@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify via sbt
+(outside this script), then compare each <out>/<name> parquet against the
+DuckDB result of oracle_sql.json on the same sf dir.
+
+Usage: python3 scripts/check.py <sfDir> <outDir> [query ...]
+"""
+import json
+import sys
+import glob
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            # lists/arrays -> tuples so they sort/compare
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                str(type(v)).find("ndarray") >= 0 else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort",
+                        na_position="last").reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        try:
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output")
+                n_fail += 1
+                continue
+            mine = normalize(con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            oracle = normalize(con.execute(sql).df())
+            if list(mine.columns) != list(oracle.columns):
+                print(f"FAIL {name}: columns {list(mine.columns)} vs "
+                      f"{list(oracle.columns)}")
+                n_fail += 1
+                continue
+            if len(mine) != len(oracle):
+                print(f"FAIL {name}: rows {len(mine)} vs {len(oracle)}")
+                n_fail += 1
+                continue
+            # exact value compare, NaN==NaN
+            neq = []
+            for c in mine.columns:
+                a, b = mine[c], oracle[c]
+                bad = ~((a == b) | (a.isna() & b.isna()))
+                if bad.any():
+                    neq.append((c, int(bad.sum()),
+                                a[bad].head(3).tolist(),
+                                b[bad].head(3).tolist()))
+            if neq:
+                print(f"FAIL {name}: value diffs {neq}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(mine)} rows)")
+                n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

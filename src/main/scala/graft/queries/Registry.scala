@@ -1,0 +1,21 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** All graded queries, one entry per implemented operator from SURVEY §2
+  * (+ the beyond-reference LLM-pipeline operators).
+  */
+object Registry {
+  def all: Seq[Q] =
+    Relational.queries ++
+      Joins.queries ++
+      Aggregates.queries ++
+      SetOps.queries ++
+      Windows.queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+}
