@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. Designed for 100 TB: every stage is
+  * shuffle-minimal — signatures are computed scan-side (no shuffle), and
+  * candidate generation goes through LSH band buckets (equi-join on band
+  * hash) instead of any pairwise comparison.
+  *
+  * Hash functions are pluggable: production uses xxhash64 (codegen'd,
+  * cheap); the DuckDB-oracle queries pass an md5-based hash both engines
+  * can compute identically.
+  */
+object Dedup {
+
+  /** Seeded 60-bit hash from md5 — reproducible in any SQL engine:
+    * CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS BIGINT).
+    */
+  def md5Hash(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Seeded xxhash64 (fast path). */
+  def xxHash(s: Column, seed: Int): Column = xxhash64(lit(seed), s)
+
+  /** Exact dedup: keep the lowest id per canonical-text fingerprint. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word w-shingles of the text (w consecutive tokens joined by space). */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    filter(
+      transform(toks,
+        (_, i) => when(i <= size(toks) - w,
+          array_join(slice(toks, i + 1, lit(w)), " "))),
+      s => s.isNotNull)
+  }
+
+  /** MinHash signature: for each seed, the min hash over shingles.
+    * Computed entirely scan-side with higher-order functions — one array
+    * traversal per seed, no explode, no shuffle.
+    */
+  def minhashSignature(text: Column, w: Int, numHashes: Int,
+      hashFn: (Column, Int) => Column = xxHash): Column = {
+    val sh = shingles(text, w)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => hashFn(s, seed)))
+    }: _*)
+  }
+
+  /** LSH band key for a signature slice [b*rows, (b+1)*rows). */
+  def bandKey(sig: Column, band: Int, rows: Int): Column =
+    concat_ws(",",
+      transform(slice(sig, band * rows + 1, rows), h => h.cast("string")))
+
+  /** Candidate duplicate pairs via LSH banding: docs sharing any band
+    * bucket. Output (id_a < id_b, est_jaccard = matching signature
+    * fraction). The band join is an equi-join on (band, key) — at scale
+    * this shuffles only (id, band_key) pairs, never text.
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int, numHashes: Int, bands: Int,
+      hashFn: (Column, Int) => Column = xxHash): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), w, numHashes, hashFn).as("sig"))
+      .filter(size(col("sig")) > 0 && !array_contains(
+        transform(col("sig"), s => s.isNull), true))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(col("sig"), b, rows).as("bkey"))): _*))
+        .as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash: sign-aggregated per-bit token hashes → `bits`-bit fingerprint
+    * (bits ≤ 60 to stay in positive BIGINT range for cross-engine
+    * compares). Near-dup docs differ in few bits (Hamming distance).
+    * Pure higher-order-function expression: per-bit counters folded over
+    * the token hashes (O(tokens × bits) scan-side work, no shuffle).
+    */
+  def simhash(text: Column, bits: Int,
+      hashFn: (Column, Int) => Column = xxHash): Column = {
+    require(bits <= 60, "bits must fit positive BIGINT")
+    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
+    val hashes = transform(TextAnalysis.tokens(text), t => hashFn(t, 0))
+    // counter(b) = sum over tokens of (bit b set ? +1 : -1)
+    val counters = aggregate(
+      hashes,
+      array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc,
+        transform(masks, m => when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)),
+        (a, x) => a + x))
+    // recombine: bit b contributes 2^b when its counter is positive
+    aggregate(
+      zip_with(counters, masks,
+        (cnt, m) => when(cnt > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDistance(a: Column, b: Column, bits: Int): Column = {
+    val masks = array((0 until bits).map(b0 => lit(1L << b0)): _*)
+    aggregate(
+      transform(masks,
+        m => when(a.bitwiseAND(m) === b.bitwiseAND(m), 0).otherwise(1)),
+      lit(0), (acc, x) => acc + x)
+  }
+
+  /** Exact n-gram Jaccard similarity between two token arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      nullif(size(array_union(a, b)), lit(0))
+
+  /** Word n-gram sets per doc (distinct shingles) for Jaccard dedup. */
+  def ngramSet(text: Column, n: Int): Column =
+    array_distinct(shingles(text, n))
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure Catalyst expressions (codegen'd, no UDFs): at 100 TB these run
+  * embarrassingly parallel over the scan with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (empty tokens removed). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word count: splits on word boundaries AND digit runs,
+    * approximating tokenizer behavior (letters chunked ~4 chars).
+    */
+  def approxBpeCount(text: Column): Column =
+    ceil(length(regexp_replace(text, "\\s+", "")).cast("double") / 4)
+      .cast("long") + size(filter(split(text, "[^0-9]+"), t => length(t) > 0))
+
+  /** Ratio of characters matching `pattern` (Java/RE2-safe class). */
+  def charClassRatio(text: Column, pattern: String): Column =
+    (length(text) - length(regexp_replace(text, pattern, ""))).cast("double") /
+      nullif(length(text), lit(0))
+
+  /** Heuristic quality score in [0,1]: rewards reasonable length, word
+    * diversity, and clean (alphanumeric) text. Deterministic ratio
+    * arithmetic over integer counts.
+    */
+  def qualityScore(text: Column,
+      cleanPattern: String = "[a-zA-Z0-9\\s]"): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val uniqRatio = size(array_distinct(toks)).cast("double") /
+      nullif(size(toks), lit(0))
+    val cleanRatio = charClassRatio(text, cleanPattern)
+    val lenScore = least(nTok / 20.0, lit(1.0))
+    greatest(lit(0.0),
+      least(lit(1.0),
+        lenScore * 0.4 + uniqRatio * 0.4 + cleanRatio * 0.2))
+  }
+
+  /** Language-ID by stopword evidence: score per language = number of
+    * tokens in that language's stopword list; argmax wins (ties broken by
+    * list order). A cheap, deterministic n-gram-free heuristic.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "de", "un", "una", "que"),
+    "it" -> Seq("il", "la", "gli", "e", "di", "un", "una", "che"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(filter(toks,
+        t => words.map(w => t === w).reduce(_ || _)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax via a packed (score, -ord) struct max
+    val packed = scores.zipWithIndex.map { case ((lang, score), i) =>
+      struct(score.as("s"), lit(-i).as("ord"), lit(lang).as("lang"))
+    }
+    greatest(packed: _*).getField("lang")
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — the exact-dedup key. (Reference-free; standard pipeline op.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling (polynomial) content-defined fingerprint over tokens:
+    * fold hash = hash*31 + tokenHash (mod 2^61) — order-sensitive, unlike
+    * the bag-of-words md5. Pure higher-order-function expression.
+    */
+  def rollingFingerprint(text: Column): Column =
+    // modulus < 2^50 keeps acc*31 + tokenHash within Long under ANSI mode
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(1000003L)),
+        lit(1125899906842597L)))
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QB._
+
+/** Scalar function library coverage (SURVEY §2.8; reference crates/sqllib/
+  * — string.rs, float.rs, timestamp.rs, array.rs, variant.rs, casts.rs).
+  * All expressions are native Catalyst functions (codegen'd, no UDFs) so
+  * they stay inside WholeStageCodegen at scale.
+  *
+  * Transcendental functions (ln/exp/trig) are rounded to 6 decimals: JVM
+  * and DuckDB libm may differ in the last ulp; everything else is exact.
+  */
+object Functions {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "fn_string",
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+        |  LENGTH(p_name) AS len,
+        |  SUBSTR(p_name, 3, 8) AS sub,
+        |  STRPOS(p_name, 'a') AS pos_a,
+        |  SPLIT_PART(p_type, ' ', 1) AS type_head,
+        |  CONCAT(p_brand, '#', p_type) AS tagged,
+        |  CONCAT_WS('/', p_brand, p_type) AS joined,
+        |  REPLACE(p_name, ' ', '_') AS snake,
+        |  TRANSLATE(p_name, 'aeiou', '-----') AS devowel,
+        |  REVERSE(p_brand) AS rev,
+        |  TRIM(CONCAT('  ', p_brand, ' ')) AS trimmed,
+        |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  RPAD(p_brand, 12, '.') AS brand_pad,
+        |  LEFT(p_name, 5) AS l5, RIGHT(p_name, 5) AS r5,
+        |  REPEAT(p_brand, 2) AS twice,
+        |  ASCII(p_brand) AS first_code,
+        |  MD5(p_name) AS name_md5,
+        |  SHA256(p_name) AS name_sha,
+        |  LEVENSHTEIN(p_brand, 'Brand#11') AS lev,
+        |  CONTAINS(p_name, 'al') AS has_al,
+        |  STARTS_WITH(p_type, 'S') AS is_s,
+        |  ENDS_WITH(p_type, 'D') AS ends_d,
+        |  (p_name LIKE '%press%') AS is_press,
+        |  REGEXP_EXTRACT(p_brand, '[0-9]+') AS brand_num,
+        |  REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS consonants,
+        |  PRINTF('%06d', p_partkey) AS key_pad
+        |FROM part""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+        length(col("p_name")).as("len"),
+        substring(col("p_name"), 3, 8).as("sub"),
+        instr(col("p_name"), "a").as("pos_a"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("tagged"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("joined"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        translate(col("p_name"), "aeiou", "-----").as("devowel"),
+        reverse(col("p_brand")).as("rev"),
+        trim(concat(lit("  "), col("p_brand"), lit(" "))).as("trimmed"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        rpad(col("p_brand"), 12, ".").as("brand_pad"),
+        substring(col("p_name"), 1, 5).as("l5"),
+        expr("right(p_name, 5)").as("r5"),
+        repeat(col("p_brand"), 2).as("twice"),
+        ascii(col("p_brand")).as("first_code"),
+        md5(col("p_name")).as("name_md5"),
+        sha2(col("p_name"), 256).as("name_sha"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
+        col("p_name").contains("al").as("has_al"),
+        col("p_type").startsWith("S").as("is_s"),
+        col("p_type").endsWith("D").as("ends_d"),
+        col("p_name").like("%press%").as("is_press"),
+        regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"),
+        format_string("%06d", col("p_partkey")).as("key_pad"))
+    },
+
+    Q(
+      "fn_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_quantity - 25) AS dist25,
+        |  CEIL(l_extendedprice / 1000) AS price_k_ceil,
+        |  FLOOR(l_extendedprice / 1000) AS price_k_floor,
+        |  MOD(CAST(l_quantity AS BIGINT), 7) AS qmod,
+        |  SIGN(l_discount - 0.05) AS disc_sign,
+        |  ROUND(SQRT(l_quantity), 6) AS qsqrt,
+        |  ROUND(LN(l_quantity), 6) AS qln,
+        |  ROUND(LOG10(l_extendedprice), 6) AS plog,
+        |  ROUND(EXP(l_discount), 6) AS dexp,
+        |  ROUND(POW(l_quantity, 2), 6) AS qsq,
+        |  ROUND(SIN(l_quantity), 6) AS qsin,
+        |  ROUND(COS(l_quantity), 6) AS qcos,
+        |  ROUND(ATAN2(l_quantity, 10), 6) AS qatan2,
+        |  ROUND(DEGREES(ATAN(l_discount)), 6) AS ddeg,
+        |  ROUND(RADIANS(l_quantity), 6) AS qrad,
+        |  ROUND(CBRT(l_quantity), 6) AS qcbrt,
+        |  GREATEST(l_tax, l_discount) AS max_rate,
+        |  ROUND(PI(), 6) AS pi6
+        |FROM lineitem WHERE l_orderkey <= 12000""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 12000).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("dist25"),
+        ceil(col("l_extendedprice") / 1000).as("price_k_ceil"),
+        floor(col("l_extendedprice") / 1000).as("price_k_floor"),
+        (col("l_quantity").cast("long") % 7).as("qmod"),
+        signum(col("l_discount") - 0.05).as("disc_sign"),
+        round(sqrt(col("l_quantity")), 6).as("qsqrt"),
+        round(log(col("l_quantity")), 6).as("qln"),
+        round(log10(col("l_extendedprice")), 6).as("plog"),
+        round(exp(col("l_discount")), 6).as("dexp"),
+        round(pow(col("l_quantity"), 2), 6).as("qsq"),
+        round(sin(col("l_quantity")), 6).as("qsin"),
+        round(cos(col("l_quantity")), 6).as("qcos"),
+        round(atan2(col("l_quantity"), lit(10d)), 6).as("qatan2"),
+        round(degrees(atan(col("l_discount"))), 6).as("ddeg"),
+        round(radians(col("l_quantity")), 6).as("qrad"),
+        round(cbrt(col("l_quantity")), 6).as("qcbrt"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        round(lit(math.Pi), 6).as("pi6"))
+    },
+
+    Q(
+      "fn_datetime",
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS INT) AS y,
+        |  CAST(QUARTER(o_orderdate) AS INT) AS q,
+        |  CAST(MONTH(o_orderdate) AS INT) AS m,
+        |  CAST(DAY(o_orderdate) AS INT) AS d,
+        |  CAST(WEEKOFYEAR(o_orderdate) AS INT) AS woy,
+        |  CAST(ISODOW(o_orderdate) AS INT) AS idow,
+        |  CAST(HOUR(o_orderdate) AS INT) AS h,
+        |  LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS epoch_s,
+        |  STRFTIME(o_orderdate, '%Y-%m') AS ym,
+        |  MAKE_DATE(CAST(YEAR(o_orderdate) AS INT), 1, 1) AS year_start,
+        |  CAST(MAKE_TIMESTAMP(2024, 3, 1, 12, 0, 0) AS DATE) AS fixed_ts_d
+        |FROM orders""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        weekofyear(col("o_orderdate")).as("woy"),
+        (weekday(col("o_orderdate")) + 1).as("idow"),
+        hour(col("o_orderdate")).as("h"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01"))
+          .as("days_since"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        make_date(year(col("o_orderdate")), lit(1), lit(1)).as("year_start"),
+        expr("make_timestamp(2024, 3, 1, 12, 0, 0)").cast("date")
+          .as("fixed_ts_d"))
+    },
+
+    Q(
+      "fn_array",
+      """SELECT p_partkey,
+        |  words,
+        |  len(words) AS n_words,
+        |  list_contains(words, 'spring') AS has_spring,
+        |  CAST(list_position(words, 'green') AS BIGINT) AS pos_green,
+        |  list_sort(list_distinct(words)) AS uniq_sorted,
+        |  array_to_string(words, '|') AS joined,
+        |  words[1] AS head,
+        |  words[2:3] AS mid,
+        |  list_transform(range(1, (p_size % 5) + 2), x -> x * 10) AS tens,
+        |  list_filter(range(1, 7), x -> x % 2 = 0) AS evens,
+        |  CAST(list_reduce(range(1, (p_size % 5) + 2), (a, b) -> a + b) AS BIGINT) AS tri
+        |FROM (SELECT p_partkey, p_size, string_split(p_name, ' ') AS words FROM part)""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_size"),
+            split(col("p_name"), " ").as("words"))
+          .select(
+            col("p_partkey"),
+            col("words"),
+            size(col("words")).as("n_words"),
+            array_contains(col("words"), "spring").as("has_spring"),
+            array_position(col("words"), "green").as("pos_green"),
+            sort_array(array_distinct(col("words"))).as("uniq_sorted"),
+            array_join(col("words"), "|").as("joined"),
+            element_at(col("words"), 1).as("head"),
+            slice(col("words"), 2, 2).as("mid"),
+            transform(sequence(lit(1), (col("p_size") % 5) + 1),
+              x => x * 10).as("tens"),
+            filter(sequence(lit(1), lit(6)), x => x % 2 === 0).as("evens"),
+            aggregate(sequence(lit(1), (col("p_size") % 5) + 1), lit(0L),
+              (a, x) => a + x).as("tri"))
+    },
+
+    // JSON / VARIANT (reference: sqllib/src/variant.rs; SURVEY maps VARIANT
+    // → Spark 4 VariantType). Exercises both the string-path extract and a
+    // true variant round-trip (parse_json → variant_get).
+    Q(
+      "fn_json",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+        |  json_valid(props) AS ok
+        |FROM events WHERE event_id < 2000""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").filter(col("event_id") < 2000).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        try_variant_get(parse_json(col("props")), "$.k", "int").as("k_int"),
+        (try_variant_get(parse_json(col("props")), "$.k", "int") * 2)
+          .as("k_doubled"),
+        get_json_object(col("props"), "$.k").isNotNull.as("ok"))
+    }
+  )
+}

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import QB._
+
+/** Training-data pipeline operators (beyond-reference; BASELINE.json north
+  * star): dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), embedding
+  * similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle-checked variants use the md5-derived 60-bit hash both engines
+  * compute identically (`Dedup.md5Hash`); the `*_fast` variants use
+  * xxhash64 (production path, rows-only check).
+  */
+object LlmOps {
+
+  /** DuckDB fragments mirroring TextAnalysis.tokens / Dedup.shingles(3). */
+  private val tk =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private def md5h(seed: Int, e: String) =
+    s"CAST(('0x' || substr(md5('$seed:' || $e), 1, 15)) AS BIGINT)"
+  private val sigCtes =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tk AS tkn FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_filter(
+       |    list_transform(range(1, len(tkn) + 1),
+       |      i -> CASE WHEN i + 2 <= len(tkn)
+       |           THEN tkn[i] || ' ' || tkn[i+1] || ' ' || tkn[i+2] END),
+       |    s -> s IS NOT NULL) AS shs
+       |  FROM toks WHERE len(tkn) >= 3),
+       |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |sig AS (SELECT doc_id,
+       |  ${(0 until 8).map(i => s"MIN(${md5h(i, "s")}) AS h$i").mkString(", ")}
+       |  FROM e GROUP BY doc_id)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "llm_text_stats",
+      s"""SELECT doc_id,
+         |  CAST(len($tk) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / NULLIF(length(text), 0) AS clean_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |    / NULLIF(length(text), 0) AS digit_ratio,
+         |  CAST(len(list_distinct($tk)) AS DOUBLE) / NULLIF(len($tk), 0) AS uniq_ratio,
+         |  GREATEST(0.0, LEAST(1.0,
+         |    LEAST(CAST(len($tk) AS DOUBLE) / 20.0, 1.0) * 0.4
+         |    + (CAST(len(list_distinct($tk)) AS DOUBLE) / NULLIF(len($tk), 0)) * 0.4
+         |    + (CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |       / NULLIF(length(text), 0)) * 0.2)) AS quality,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |FROM documents""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TextAnalysis.charClassRatio(col("text"), "[a-zA-Z0-9\\s]")
+          .as("clean_ratio"),
+        TextAnalysis.charClassRatio(col("text"), "[0-9]").as("digit_ratio"),
+        (size(array_distinct(TextAnalysis.tokens(col("text"))))
+          .cast("double")
+          / nullif(size(TextAnalysis.tokens(col("text"))), lit(0)))
+          .as("uniq_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+
+    Q(
+      "llm_langid",
+      { // argmax CASE chain in sorted-key order == langId's tie-break
+        val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+        val scoreExprs = langs.map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), x -> list_contains([$inList], x))) AS s_$lang"
+        }
+        val caseChain = langs.map(_._1).zipWithIndex.map { case (l, i) =>
+          val rest = langs.map(_._1).drop(i + 1)
+          if (rest.isEmpty) s"ELSE '$l' END AS lang_guess"
+          else s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang, s_en, CASE $caseChain FROM (
+           |  SELECT doc_id, lang, ${scoreExprs.mkString(", ")} FROM documents)""".stripMargin
+      }) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langScores(col("text"))
+          .find(_._1 == "en").get._2.cast("long").as("s_en"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))
+    },
+
+    Q(
+      "llm_dedup_exact",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+    },
+
+    Q(
+      "llm_minhash",
+      s"""$sigCtes SELECT * FROM sig""") { (s, dir) =>
+      val sig = Dedup.minhashSignature(col("text"), 3, 8, Dedup.md5Hash)
+      t(s, dir, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+        .select(col("doc_id") +: (0 until 8).map(i =>
+          element_at(sig, i + 1).as(s"h$i")): _*)
+    },
+
+    Q(
+      "llm_dup_pairs",
+      s"""$sigCtes,
+         |banded AS (
+         |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, CAST(h${2*b} AS VARCHAR) || ',' || CAST(h${2*b+1} AS VARCHAR) AS bkey FROM sig")
+             .mkString(" UNION ALL ")}),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  (${(0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")}) / 8.0 AS est_jaccard
+         |FROM pairs
+         |JOIN sig sa ON sa.doc_id = id_a
+         |JOIN sig sb ON sb.doc_id = id_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashDupPairs(
+        t(s, dir, "documents")
+          .filter(size(TextAnalysis.tokens(col("text"))) >= 3),
+        "doc_id", "text", w = 3, numHashes = 8, bands = 4,
+        hashFn = Dedup.md5Hash)
+    },
+
+    Q(
+      "llm_simhash",
+      s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |tok AS (SELECT doc_id, unnest(tkn) AS tok FROM toks WHERE len(tkn) >= 1),
+         |h AS (SELECT doc_id, ${md5h(0, "tok")} AS hh FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN (hh & (CAST(1 AS BIGINT) << b)) != 0 THEN 1 ELSE -1 END) AS cnt
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS b)
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sim_fp
+         |FROM bits GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 1)
+        .select(col("doc_id"),
+          Dedup.simhash(col("text"), 48, Dedup.md5Hash).as("sim_fp"))
+    },
+
+    Q(
+      "llm_ngram_jaccard",
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct(list_filter(
+         |    list_transform(range(1, len($tk) + 1),
+         |      i -> CASE WHEN i + 1 <= len($tk)
+         |           THEN ($tk)[i] || ' ' || ($tk)[i+1] END),
+         |    s -> s IS NOT NULL)) AS gs
+         |  FROM documents WHERE doc_id < 60)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+         |    / NULLIF(len(list_distinct(a.gs || b.gs)), 0) AS jac
+         |FROM d a, d b WHERE a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), Dedup.ngramSet(col("text"), 2).as("gs"))
+      val a = d.select(col("doc_id").as("id_a"), col("gs").as("ga"))
+      val b = d.select(col("doc_id").as("id_b"), col("gs").as("gb"))
+      broadcast(a).join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("ga"), col("gb")).as("jac"))
+    },
+
+    Q(
+      "llm_cosine_topk",
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |  list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nrm
+        |  FROM q),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+        |    CAST(list_reduce(list_transform(range(1, len(p.qv) + 1),
+        |        i -> p.qv[i] * c.qv[i]), (a, b) -> a + b) AS DOUBLE)
+        |      / NULLIF(sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)), 0) AS sim
+        |  FROM n p, n c WHERE p.vec_id < 10)
+        |SELECT probe_id, corpus_id, sim, rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        emb.select(col("vec_id").as("corpus_id"), col("embedding")),
+        k = 5, quantScale = 1000)
+    },
+
+    // Production (xxhash64) paths — rows-only checks.
+    Q.noOracle("llm_minhash_fast") { (s, dir) =>
+      val sig = Dedup.minhashSignature(col("text"), 3, 16)
+      t(s, dir, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+        .select(col("doc_id"), sig.as("sig"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+    },
+
+    Q.noOracle("llm_lsh_topk") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        emb.select(col("vec_id").as("corpus_id"), col("embedding")),
+        k = 5, planes = 8)
+    },
+
+    Q.noOracle("llm_multimodal") { (s, dir) =>
+      val assets = t(s, dir, "documents").select(
+        col("doc_id"),
+        Multimodal.asset(
+          col("text").cast("binary"), lit("image"), lit("fake"),
+          (col("n_chars") % 640 + 1).cast("int"),
+          (col("n_chars") % 480 + 1).cast("int"),
+          lit(0L), (col("n_chars") % 100).cast("int")).as("asset"))
+      Multimodal.extractFeatures(assets, "asset", dims = 8)
+        .select(col("doc_id"), size(col("features")).as("n_dims"),
+          Multimodal.resizeMeta(col("asset.meta"), 256).as("resized"),
+          size(Multimodal.frameSampleIndices(
+            col("asset.meta.n_frames"), 10)).as("n_sampled"))
+        .select(col("doc_id"), col("n_dims"),
+          col("resized.width").as("rw"), col("resized.height").as("rh"),
+          col("n_sampled"))
+    }
+  )
+}

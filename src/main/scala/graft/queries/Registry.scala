@@ -11,7 +11,10 @@ object Registry {
       Joins.queries ++
       Aggregates.queries ++
       SetOps.queries ++
-      Windows.queries
+      Windows.queries ++
+      Functions.queries ++
+      TimeSeries.queries ++
+      LlmOps.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
