@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.incremental.IncrementalOps
+import graft.incremental.IncrementalOps.LinearAggSpec
+import graft.recursive.Fixpoint
+import graft.zset.ZSets
+import QB._
+
+/** Incremental-vs-batch equivalence, graded by the driver: each query runs
+  * the DELTA path (multiple batches with ~10% retractions through
+  * graft.incremental) and the oracle is the equivalent BATCH SQL over the
+  * final snapshot — the reference's core guarantee (README.md:67-70,
+  * SLT `-inc` mode) expressed as a DuckDB hash-match.
+  *
+  * Delta schedule (deterministic): rows arrive in 3 batches by
+  * l_orderkey % 3; batch 3 also RETRACTS every row with l_orderkey % 10 = 0
+  * (all inserted in earlier batches or batch 3 itself... those with mod 3
+  * = 2 arrive and retract in the same step, exercising same-batch
+  * cancellation). Final snapshot = rows with l_orderkey % 10 <> 0.
+  */
+object Incremental {
+
+  private def deltaBatches(li: DataFrame): Seq[DataFrame] = {
+    val z = (m: Int) => ZSets.lift(li.filter(col("l_orderkey") % 3 === m))
+    val retract = ZSets.negate(
+      ZSets.lift(li.filter(col("l_orderkey") % 10 === 0)))
+    Seq(z(0), z(1), z(2).unionByName(retract))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "inc_linear_agg",
+      s"""SELECT l_returnflag,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n,
+         |  ${sqlDavg("l_quantity")} AS avg_qty
+         |FROM lineitem WHERE l_orderkey % 10 <> 0
+         |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val state = deltaBatches(li).foldLeft(Option.empty[DataFrame]) {
+        (st, delta) =>
+          Some(IncrementalOps.linearAggStep(st, delta, Seq("l_returnflag"),
+            Seq(LinearAggSpec("_sum_q", dec(col("l_quantity"))))))
+      }.get
+      state.select(col("l_returnflag"),
+        col("_sum_q").cast("double").as("sum_qty"),
+        col("_cnt").as("n"),
+        (col("_sum_q").cast("double") / col("_cnt")).as("avg_qty"))
+    },
+
+    Q(
+      "inc_general_agg",
+      """SELECT l_returnflag, MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+        |  MAX(l_extendedprice) AS max_p
+        |FROM lineitem WHERE l_orderkey % 10 <> 0
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      var state = Option.empty[DataFrame]
+      var lastOut: DataFrame = null
+      deltaBatches(li).foreach { delta =>
+        val (st, out) = IncrementalOps.generalAggStep(
+          state, delta.drop("l_orderkey"), Seq("l_returnflag"),
+          Seq(min(col("l_quantity")).as("min_q"),
+            max(col("l_quantity")).as("max_q"),
+            max(col("l_extendedprice")).as("max_p")))
+        state = Some(st.localCheckpoint(true))
+        lastOut = out
+      }
+      // every group is touched in the last batch → lastOut is the answer
+      lastOut
+    },
+
+    Q(
+      "inc_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey
+        |FROM lineitem WHERE l_orderkey % 10 <> 0""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_suppkey")
+      var state = Option.empty[DataFrame]
+      var result = Option.empty[DataFrame]
+      deltaBatches(li).foreach { delta =>
+        val (st, out) = IncrementalOps.distinctStep(state,
+          delta.drop("l_orderkey"))
+        state = Some(st.localCheckpoint(true))
+        // integrate the output deltas to materialize the distinct view
+        result = Some(result.map(_.unionByName(out)).getOrElse(out))
+      }
+      ZSets.positive(ZSets.consolidate(result.get)).drop(ZSets.W)
+    },
+
+    Q(
+      "inc_join",
+      """SELECT o_orderkey, o_custkey, l_linenumber,
+        |  l_extendedprice, o_totalprice
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 < 2""".stripMargin) {
+      (s, dir) =>
+        // orders arrive in 2 batches; lineitem in 3 with the retraction
+        // schedule; join key o_orderkey (renamed on lineitem side).
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 7 < 2)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 7 < 2)
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"))
+        val oBatches = Seq(
+          ZSets.lift(o.filter(col("o_orderkey") % 2 === 0)),
+          ZSets.lift(o.filter(col("o_orderkey") % 2 === 1)),
+          ZSets.lift(o).limit(0),
+          // late retraction of the % 10 == 0 orders
+          ZSets.negate(ZSets.lift(o.filter(col("o_orderkey") % 10 === 0))))
+        val lBatches = Seq(
+          ZSets.lift(li.filter(col("o_orderkey") % 3 === 0)),
+          ZSets.lift(li.filter(col("o_orderkey") % 3 === 1)),
+          ZSets.lift(li.filter(col("o_orderkey") % 3 === 2)),
+          ZSets.negate(ZSets.lift(li.filter(col("o_orderkey") % 10 === 0))))
+        var (aSt, bSt) = (Option.empty[DataFrame], Option.empty[DataFrame])
+        var out = Option.empty[DataFrame]
+        oBatches.zip(lBatches).foreach { case (dA, dB) =>
+          val (na, nb, d) = IncrementalOps.joinStep(aSt, bSt, dA, dB,
+            Seq("o_orderkey"))
+          aSt = Some(na.localCheckpoint(true))
+          bSt = Some(nb.localCheckpoint(true))
+          out = Some(out.map(_.unionByName(d)).getOrElse(d))
+        }
+        ZSets.toMultiset(ZSets.consolidate(out.get))
+          .select("o_orderkey", "o_custkey", "l_linenumber",
+            "l_extendedprice", "o_totalprice")
+    },
+
+    // Recursive view: transitive closure of a chain graph derived from
+    // nation (src → src+5), vs DuckDB WITH RECURSIVE.
+    Q(
+      "rec_closure",
+      """WITH RECURSIVE edges AS (
+        |  SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation WHERE n_nationkey + 5 <= 24),
+        |closure(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src)
+        |SELECT src, dst FROM closure""".stripMargin) { (s, dir) =>
+      val edges = t(s, dir, "nation")
+        .filter(col("n_nationkey") + 5 <= 24)
+        .select(col("n_nationkey").as("src"),
+          (col("n_nationkey") + 5).as("dst"))
+      Fixpoint.semiNaive(edges, delta =>
+        delta.alias("c")
+          .join(edges.alias("e"), col("c.dst") === col("e.src"))
+          .select(col("c.src").as("src"), col("e.dst").as("dst")))
+    }
+  )
+}

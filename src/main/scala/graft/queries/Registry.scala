@@ -14,7 +14,8 @@ object Registry {
       Windows.queries ++
       Functions.queries ++
       TimeSeries.queries ++
-      LlmOps.queries
+      LlmOps.queries ++
+      Incremental.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
