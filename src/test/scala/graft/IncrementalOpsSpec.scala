@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.incremental.IncrementalOps
+import graft.incremental.IncrementalOps.LinearAggSpec
+import graft.zset.ZSets
+
+/** Incremental-vs-batch equivalence on controlled inputs with interleaved
+  * retractions (mirrors the reference's SLT `-inc` mode,
+  * sql-to-dbsp-compiler/README.md:147).
+  */
+class IncrementalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three delta batches over (k, v): inserts then a retraction of (a, 10)
+  private def batches: Seq[DataFrame] = Seq(
+    Seq(("a", 10L, 1L), ("a", 20L, 1L), ("b", 5L, 1L)),
+    Seq(("b", 7L, 1L), ("a", 10L, 1L)), // duplicate row (a,10) again
+    Seq(("a", 10L, -1L), ("c", 2L, 1L)) // retract one copy of (a,10)
+  ).map(_.toDF("k", "v", ZSets.W))
+
+  // final snapshot: a→{10,20}, b→{5,7}, c→{2}
+  private val finalRows = Seq(("a", 10L), ("a", 20L), ("b", 5L),
+    ("b", 7L), ("c", 2L))
+
+  test("linearAggStep equals batch sum/count after retraction") {
+    val state = batches.foldLeft(Option.empty[DataFrame]) { (st, d) =>
+      Some(IncrementalOps.linearAggStep(st, d, Seq("k"),
+        Seq(LinearAggSpec("s", col("v")))))
+    }.get
+    val got = state.select("k", "s", "_cnt").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exp = finalRows.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.map(_._2).sum, vs.size.toLong))
+    }
+    assert(got === exp)
+  }
+
+  test("linearAggStep drops groups whose multiset empties") {
+    val d1 = Seq(("x", 1L, 1L)).toDF("k", "v", ZSets.W)
+    val d2 = Seq(("x", 1L, -1L)).toDF("k", "v", ZSets.W)
+    val st1 = IncrementalOps.linearAggStep(None, d1, Seq("k"),
+      Seq(LinearAggSpec("s", col("v"))))
+    val st2 = IncrementalOps.linearAggStep(Some(st1), d2, Seq("k"),
+      Seq(LinearAggSpec("s", col("v"))))
+    assert(st2.count() === 0)
+  }
+
+  test("generalAggStep min/max correct under retraction of the extremum") {
+    val d1 = Seq(("a", 10L, 1L), ("a", 99L, 1L)).toDF("k", "v", ZSets.W)
+    val d2 = Seq(("a", 99L, -1L)).toDF("k", "v", ZSets.W) // retract the max
+    val (st1, out1) = IncrementalOps.generalAggStep(None, d1, Seq("k"),
+      Seq(min(col("v")).as("mn"), max(col("v")).as("mx")))
+    assert(out1.as[(String, Long, Long)].collect() === Array(("a", 10L, 99L)))
+    val (_, out2) = IncrementalOps.generalAggStep(Some(st1), d2, Seq("k"),
+      Seq(min(col("v")).as("mn"), max(col("v")).as("mx")))
+    assert(out2.as[(String, Long, Long)].collect() === Array(("a", 10L, 10L)))
+  }
+
+  test("distinctStep emits only sign transitions") {
+    val d1 = Seq(("a", 1L), ("a", 1L), ("b", 1L)).toDF("k", ZSets.W)
+    val (st1, o1) = IncrementalOps.distinctStep(None, d1)
+    assert(o1.as[(String, Long)].collect().toMap ===
+      Map("a" -> 1L, "b" -> 1L))
+    // removing ONE copy of a (still one left) emits nothing for a;
+    // removing b emits -1
+    val d2 = Seq(("a", -1L), ("b", -1L)).toDF("k", ZSets.W)
+    val (_, o2) = IncrementalOps.distinctStep(Some(st1), d2)
+    assert(o2.as[(String, Long)].collect().toMap === Map("b" -> -1L))
+  }
+
+  test("joinStep integrates to the batch join") {
+    val a1 = Seq((1L, "a1", 1L), (2L, "a2", 1L)).toDF("k", "av", ZSets.W)
+    val b1 = Seq((1L, "b1", 1L)).toDF("k", "bv", ZSets.W)
+    val a2 = Seq((3L, "a3", 1L), (1L, "a1", -1L)).toDF("k", "av", ZSets.W)
+    val b2 = Seq((2L, "b2", 1L), (3L, "b3", 1L)).toDF("k", "bv", ZSets.W)
+    var (ast, bst) = (Option.empty[DataFrame], Option.empty[DataFrame])
+    var out = Option.empty[DataFrame]
+    Seq((a1, b1), (a2, b2)).foreach { case (da, db) =>
+      val (na, nb, d) = IncrementalOps.joinStep(ast, bst, da, db, Seq("k"))
+      ast = Some(na); bst = Some(nb)
+      out = Some(out.map(_.unionByName(d)).getOrElse(d))
+    }
+    val integrated = ZSets.consolidate(out.get)
+      .select("k", "av", "bv", ZSets.W).as[(Long, String, String, Long)]
+      .collect().toSet
+    // final A = {(2,a2),(3,a3)}, B = {(1,b1),(2,b2),(3,b3)} → join on k
+    assert(integrated === Set((2L, "a2", "b2", 1L), (3L, "a3", "b3", 1L)))
+  }
+}

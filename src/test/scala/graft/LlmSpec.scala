@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different words about spark catalyst optimizer plans and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical canonical texts") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash estimate tracks true jaccard (near-dups high, unrelated low)") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def est(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 64.0
+    assert(est(1L, 4L) === 1.0)         // identical docs
+    assert(est(1L, 2L) > 0.5)           // near-dup: one token differs
+    assert(est(1L, 3L) < 0.2)           // unrelated
+  }
+
+  test("minhashDupPairs surfaces the near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      w = 3, numHashes = 16, bands = 8)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 4L)) === 1.0)
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val fps = docs.select(col("doc_id"),
+      Dedup.simhash(col("text"), 48).as("fp")).as[(Long, Long)]
+      .collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(ham(1L, 4L) === 0)
+    assert(ham(1L, 2L) < 10)
+    assert(ham(1L, 3L) > 10)
+  }
+
+  test("ngram jaccard: exact dup 1.0, near-dup high, unrelated 0") {
+    val g = docs.select(col("doc_id"), Dedup.ngramSet(col("text"), 2).as("gs"))
+    val a = g.select(col("doc_id").as("ia"), col("gs").as("ga"))
+    val b = g.select(col("doc_id").as("ib"), col("gs").as("gb"))
+    val jac = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        Dedup.jaccard(col("ga"), col("gb")).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(jac((1L, 4L)) === 1.0)
+    assert(jac((1L, 2L)) > 0.8)
+    assert(jac((1L, 3L)) === 0.0)
+  }
+
+  test("brute-force cosine topk: self is rank 1; lsh recall is sane") {
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val corpus = vecs.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val bf = Similarity.bruteForceTopK(probes, corpus, 3)
+      .filter(col("rk") === 1)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(bf === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    val lsh = Similarity.lshTopK(probes, corpus, 3, planes = 6)
+      .filter(col("rk") === 1)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toMap
+    // self always shares its own bucket → rank-1 self-match survives LSH
+    assert(lsh === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("quality score in [0,1]; langid picks the stopword-matching language") {
+    val t = Seq(
+      (1L, "the cat and the dog in the house for a while"),
+      (2L, "der hund und die katze ist von dem haus"),
+      (3L, "el perro y la casa es de un gato que")).toDF("id", "text")
+    val out = t.select(col("id"), TextAnalysis.langId(col("text")).as("l"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, String, Double)].collect()
+    assert(out.map(r => r._1 -> r._2).toMap ===
+      Map(1L -> "en", 2L -> "de", 3L -> "es"))
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("multimodal stub plumbing: feature dims, resize, frame sampling") {
+    val assets = docs.select(col("doc_id"),
+      Multimodal.asset(col("text").cast("binary"), lit("image"), lit("png"),
+        lit(1920), lit(1080), lit(0L), lit(95)).as("asset"))
+    val out = Multimodal.extractFeatures(assets, "asset", dims = 16)
+      .select(col("doc_id"), size(col("features")).as("nd"),
+        Multimodal.resizeMeta(col("asset.meta"), 256).getField("width").as("rw"),
+        Multimodal.resizeMeta(col("asset.meta"), 256).getField("height").as("rh"),
+        size(Multimodal.frameSampleIndices(col("asset.meta.n_frames"), 10))
+          .as("nf"))
+      .as[(Long, Int, Int, Int, Int)].collect()
+    out.foreach { case (_, nd, rw, rh, nf) =>
+      assert(nd === 16)
+      assert(rw === 256 && rh === 144) // aspect preserved
+      assert(nf === 10)                // frames 0,10,...,90
+    }
+    // determinism: same bytes → same features
+    val f = Multimodal.extractFeatures(assets, "asset", 4)
+      .select("features").as[Seq[Double]].collect()
+    assert(f(0) === f(3)) // doc 1 and 4 have identical text
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AsofJoin, Sessionize}
+import graft.recursive.Fixpoint
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsofJoin.backward picks latest at-or-before, ties match") {
+    val probe = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:05:00")),
+      (3L, "u1", ts("2024-01-01 09:00:00")), // before any build row
+      (4L, "u2", ts("2024-01-01 12:00:00"))  // tie with build ts
+    ).toDF("id", "user", "t")
+    val build = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 100.0),
+      ("u1", ts("2024-01-01 10:00:00"), 200.0), // tie with probe 1
+      ("u2", ts("2024-01-01 12:00:00"), 300.0)
+    ).toDF("user", "t", "v")
+    val out = AsofJoin.backward(probe, build, Seq("user"), "t", "t", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(1L -> Some(200.0), 2L -> Some(200.0),
+      3L -> None, 4L -> Some(300.0)))
+  }
+
+  test("AsofJoin.backward preserves legitimately-null payload fields") {
+    val probe = Seq((1L, "k", 10L)).toDF("id", "key", "t")
+    val build = Seq(("k", 5L, Option.empty[String]),
+      ("k", 1L, Some("old"))).toDF("key", "t", "p")
+    val out = AsofJoin.backward(probe, build, Seq("key"), "t", "t", Seq("p"))
+      .select("id", "p").as[(Long, Option[String])].collect()
+    // latest build row (t=5) has a NULL payload — must NOT fall back to t=1
+    assert(out === Array((1L, None)))
+  }
+
+  test("Sessionize splits on gap and is tie-stable") {
+    val df = Seq(
+      ("u", 100L, 1L), ("u", 200L, 2L), ("u", 200L, 3L), // same second
+      ("u", 5000L, 4L), ("u", 5100L, 5L)
+    ).toDF("user", "es", "id")
+    val out = Sessionize.assign(df, "user", "es", 1800, "id")
+      .select("id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("Fixpoint.semiNaive computes transitive closure") {
+    val edges = Seq((1, 2), (2, 3), (3, 4), (10, 11)).toDF("src", "dst")
+    val closure = Fixpoint.semiNaive(edges, d =>
+      d.select(col("src").as("s"), col("dst").as("mid"))
+        .join(edges, col("mid") === col("src"))
+        .select(col("s").as("src"), col("dst")))
+    val got = closure.as[(Int, Int)].collect().toSet
+    assert(got === Set((1, 2), (2, 3), (3, 4), (10, 11),
+      (1, 3), (2, 4), (1, 4)))
+  }
+}
