@@ -1,0 +1,91 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.SparkSession
+
+/** Scalar-function surface completion (SURVEY §2.8, §7.1 functions/):
+  * Feldera spellings that Spark lacks, registered as SQL-bodied functions
+  * (`CREATE FUNCTION ... RETURN expr` — Spark 4 inlines these into the
+  * plan, so they stay inside WholeStageCodegen; this is also exactly the
+  * reference's SQL-bodied `CREATE FUNCTION` feature, udf.md:6-16).
+  * Only genuinely-procedural functions (GUNZIP) fall back to Scala UDFs.
+  */
+object Registry {
+
+  /** SQL-bodied aliases: name → (params, returnType, body). */
+  val sqlFunctions: Seq[(String, String, String, String)] = Seq(
+    // trig tail (float.md: SEC/CSC/COT and hyperbolics)
+    ("sec", "x DOUBLE", "DOUBLE", "1.0 / cos(x)"),
+    ("csc", "x DOUBLE", "DOUBLE", "1.0 / sin(x)"),
+    ("coth", "x DOUBLE", "DOUBLE", "cosh(x) / sinh(x)"),
+    ("sech", "x DOUBLE", "DOUBLE", "1.0 / cosh(x)"),
+    ("csch", "x DOUBLE", "DOUBLE", "1.0 / sinh(x)"),
+    // division/NaN guards (DIV_NULL, FINITE_OR_NULL)
+    ("div_null", "x DOUBLE, y DOUBLE", "DOUBLE", "try_divide(x, y)"),
+    ("finite_or_null", "x DOUBLE", "DOUBLE",
+      "CASE WHEN isnan(x) OR x = double('inf') OR x = double('-inf') THEN NULL ELSE x END"),
+    // Feldera spellings of natives (ad-hoc.md:34-35, function-index.md)
+    ("timestamp_trunc", "t TIMESTAMP, u STRING", "TIMESTAMP",
+      "date_trunc(u, t)"),
+    ("time_trunc", "t TIMESTAMP, u STRING", "TIMESTAMP", "date_trunc(u, t)"),
+    ("initcap_spaces", "s STRING", "STRING", "initcap(s)"),
+    ("xxhash", "s STRING", "BIGINT", "xxhash64(s)"),
+    ("gt_date", "a DATE, b DATE", "BOOLEAN", "a > b"),
+    ("dow", "d DATE", "INT", "dayofweek(d) - 1"),
+    ("doy", "d DATE", "INT", "dayofyear(d)"),
+    // int→timestamp interprets MILLIseconds (ad-hoc.md:36-38)
+    ("to_timestamp_millis", "x BIGINT", "TIMESTAMP", "timestamp_millis(x)"),
+    // array tail
+    ("array_length", "a ARRAY<STRING>", "INT", "size(a)"),
+    ("element", "a ARRAY<STRING>", "STRING",
+      "CASE WHEN size(a) = 1 THEN a[0] WHEN size(a) = 0 THEN NULL " +
+        "ELSE raise_error('ELEMENT() of array with more than one element') END"),
+    ("safe_offset", "a ARRAY<STRING>, i INT", "STRING",
+      "try_element_at(a, i + 1)"),
+    // string tail
+    ("split_part_f", "s STRING, d STRING, n INT", "STRING",
+      "split_part(s, d, n)"),
+    ("bin2utf8", "b BINARY", "STRING", "decode(b, 'UTF-8')"),
+    ("utf82bin", "s STRING", "BINARY", "encode(s, 'UTF-8')"))
+
+  def registerSql(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, params, ret, body) =>
+      // newer Spark versions promote some of these to builtins (e.g. sec);
+      // the native implementation wins when present
+      if (!spark.catalog.functionExists(name))
+        spark.sql(
+          s"CREATE OR REPLACE TEMPORARY FUNCTION $name($params) RETURNS $ret RETURN $body")
+    }
+
+  /** Procedural tail: GUNZIP (string.md), UUID casts (uuid.md). */
+  def registerUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("gunzip", (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      })
+    spark.udf.register("uuid_from_binary", (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.length != 16) null
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        new java.util.UUID(bb.getLong, bb.getLong).toString
+      })
+    spark.udf.register("uuid_to_binary", (s: String) =>
+      if (s == null) null
+      else {
+        val u = java.util.UUID.fromString(s)
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putLong(u.getMostSignificantBits)
+        bb.putLong(u.getLeastSignificantBits)
+        bb.array()
+      })
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    registerSql(spark)
+    registerUdfs(spark)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.types
+
+import java.util.Locale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Feldera SQL type system → Spark DataType mapping (SURVEY §1.3;
+  * reference: SqlType enum crates/feldera-types/src/program_schema.rs:462,
+  * docs.feldera.com/docs/sql/types.md).
+  *
+  * Unsigned widths have no Spark native type: they widen to the next
+  * signed type (U64 → DECIMAL(20,0)) with range-checked casts. CHAR(n) is
+  * StringType plus pad/truncate semantics. UUID is canonical-form string.
+  */
+object SqlTypes {
+
+  /** Parse a Feldera SQL type string to (DataType, nullable-default). */
+  def toSpark(sqlType: String): DataType = {
+    val t = sqlType.trim.toUpperCase(Locale.ROOT)
+    val charN = "^(CHAR|CHARACTER)\\s*\\((\\d+)\\)$".r
+    val varcharN = "^VARCHAR\\s*\\((\\d+)\\)$".r
+    val decimalPS = "^(DECIMAL|NUMERIC)\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)$".r
+    val decimalP = "^(DECIMAL|NUMERIC)\\s*\\((\\d+)\\)$".r
+    val arrayT = "^(.*)\\s+ARRAY$".r
+    val mapT = "^MAP\\s*<(.*),(.*)>$".r
+    t match {
+      case "BOOLEAN" => BooleanType
+      case "TINYINT" => ByteType
+      case "SMALLINT" => ShortType
+      case "INT" | "INTEGER" => IntegerType
+      case "BIGINT" => LongType
+      case "TINYINT UNSIGNED" => ShortType
+      case "SMALLINT UNSIGNED" => IntegerType
+      case "INT UNSIGNED" | "INTEGER UNSIGNED" => LongType
+      case "BIGINT UNSIGNED" => DecimalType(20, 0)
+      case "REAL" | "FLOAT4" => FloatType
+      case "DOUBLE" | "FLOAT8" | "DOUBLE PRECISION" => DoubleType
+      case decimalPS(_, p, s) => DecimalType(p.toInt, s.toInt)
+      case decimalP(_, p) => DecimalType(p.toInt, 0)
+      case "DECIMAL" | "NUMERIC" => DecimalType(38, 10)
+      case charN(_, _) | "CHAR" | "CHARACTER" => StringType
+      case varcharN(_) | "VARCHAR" | "STRING" | "TEXT" => StringType
+      case "BINARY" | "VARBINARY" | "BYTEA" => BinaryType
+      case "DATE" => DateType
+      case "TIME" => LongType // nanos-of-day (no native Spark TIME)
+      case "TIMESTAMP" => TimestampNTZType
+      case "TIMESTAMP WITH TIME ZONE" => TimestampType
+      case "INTERVAL YEAR TO MONTH" => YearMonthIntervalType()
+      case "INTERVAL DAY TO SECOND" => DayTimeIntervalType()
+      case "UUID" => StringType
+      case "VARIANT" => VariantType
+      case "NULL" => NullType
+      case "GEOMETRY" =>
+        StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType)))
+      case arrayT(inner) => ArrayType(toSpark(inner))
+      case mapT(k, v) => MapType(toSpark(k), toSpark(v))
+      case other => throw new IllegalArgumentException(s"unknown type: $other")
+    }
+  }
+
+  /** CHAR(n) store semantics: pad-or-truncate to exactly n. */
+  def charN(c: Column, n: Int): Column = rpad(c, n, " ")
+
+  /** Range-checked cast for unsigned widths (ANSI error on violation,
+    * matching the reference's runtime errors — types.md:71-82).
+    */
+  def toUnsigned(c: Column, bits: Int): Column = {
+    val (lo, hi, target) = bits match {
+      case 8 => (0L, 255L, ShortType: DataType)
+      case 16 => (0L, 65535L, IntegerType: DataType)
+      case 32 => (0L, 4294967295L, LongType: DataType)
+      case 64 => (0L, Long.MaxValue, DecimalType(20, 0): DataType)
+      case _ => throw new IllegalArgumentException(s"bits=$bits")
+    }
+    when(c < lo || (lit(bits) < 64 && c > hi),
+      raise_error(concat(lit(s"value out of range for UINT$bits: "),
+        c.cast("string"))))
+      .otherwise(c).cast(target)
+  }
+
+  /** Canonical UUID string (lowercase, hyphenated) from string/binary. */
+  def toUuid(c: Column): Column = {
+    val hex = lower(regexp_replace(c.cast("string"), "-", ""))
+    concat_ws("-",
+      substring(hex, 1, 8), substring(hex, 9, 4), substring(hex, 13, 4),
+      substring(hex, 17, 4), substring(hex, 21, 12))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Registry, WeightedAggs}
+import graft.types.SqlTypes
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL-bodied function registry: trig/div/alias surface") {
+    Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT sec(0.0) AS sec0, div_null(1.0, 0.0) AS dn,
+        |  finite_or_null(double('inf')) AS fin,
+        |  xxhash('abc') = xxhash64('abc') AS xh,
+        |  element(array('a')) AS el,
+        |  safe_offset(array('a','b'), 5) AS so,
+        |  bin2utf8(utf82bin('héllo')) AS rt""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) === 1.0)
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2))
+    assert(r.getBoolean(3))
+    assert(r.getString(4) === "a")
+    assert(r.isNullAt(5))
+    assert(r.getString(6) === "héllo")
+  }
+
+  test("gunzip UDF round-trips gzip bytes") {
+    Registry.registerUdfs(spark)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("hello graft".getBytes("UTF-8")); gz.close()
+    val out = Seq(bos.toByteArray).toDF("b")
+      .selectExpr("gunzip(b) AS s").as[String].head()
+    assert(out === "hello graft")
+  }
+
+  test("uuid binary round-trip and canonicalization") {
+    Registry.registerUdfs(spark)
+    val u = "123e4567-e89b-12d3-a456-426614174000"
+    val out = Seq(u).toDF("u")
+      .selectExpr("uuid_from_binary(uuid_to_binary(u)) AS r").as[String]
+      .head()
+    assert(out === u)
+    val canon = Seq("123E4567E89B12D3A456426614174000").toDF("x")
+      .select(SqlTypes.toUuid(col("x")).as("u")).as[String].head()
+    assert(canon === u)
+  }
+
+  test("weighted linear aggregator: retractions subtract") {
+    val agg = WeightedAggs.linear[(String, Double, Long)](_._2, _._3)
+    val ds = Seq(("a", 10.0, 1L), ("a", 20.0, 1L), ("a", 10.0, -1L)).toDS()
+    val out = ds.groupByKey(_._1).agg(agg.toColumn.name("s")).collect()
+    assert(out === Array(("a", 20.0)))
+  }
+
+  test("SINGLE_VALUE errors on multi-row group") {
+    val agg = WeightedAggs.singleValueLong
+    val ok = Seq(1L).toDS().select(agg.toColumn).head()
+    assert(ok === 1L)
+    val err = intercept[Exception] {
+      Seq(1L, 2L).toDS().select(agg.toColumn).head()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("unsigned range checks and CHAR(n) semantics") {
+    assert(Seq(200).toDF("x").select(SqlTypes.toUnsigned(col("x"), 8))
+      .head().getShort(0) === 200)
+    intercept[Exception] {
+      Seq(-1).toDF("x").select(SqlTypes.toUnsigned(col("x"), 8)).head()
+    }
+    assert(Seq("ab").toDF("x").select(SqlTypes.charN(col("x"), 5))
+      .head().getString(0) === "ab   ")
+    assert(SqlTypes.toSpark("MAP<VARCHAR, INT>")
+      === org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+    assert(SqlTypes.toSpark("INT ARRAY")
+      === org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType))
+  }
+}

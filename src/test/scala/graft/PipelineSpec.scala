@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ddl.Ddl
+import graft.runtime.Pipeline
+import graft.types.SqlTypes
+import graft.zset.ZSets
+
+/** End-to-end program slice (SURVEY §7.2): DDL → pipeline → batch AND
+  * incremental evaluation with the final-state-equals-batch assertion.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val programSql =
+    """CREATE TABLE lineitem (
+      |  l_orderkey BIGINT NOT NULL,
+      |  l_quantity DOUBLE,
+      |  l_returnflag VARCHAR,
+      |  l_shipdate TIMESTAMP LATENESS INTERVAL 1 DAY
+      |) WITH ('materialized' = 'true');
+      |CREATE LOCAL VIEW restricted AS
+      |  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity < 40;
+      |CREATE MATERIALIZED VIEW qty_by_flag AS
+      |  SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |         COUNT(*) AS n
+      |  FROM restricted GROUP BY l_returnflag;""".stripMargin
+
+  test("DDL parse extracts tables, PK/LATENESS, view kinds") {
+    val p = Ddl.parse(programSql)
+    assert(p.tables.map(_.name) === Seq("lineitem"))
+    val t = p.tables.head
+    assert(t.materialized)
+    assert(t.columns.find(_.name == "l_shipdate").get.lateness
+      === Some("INTERVAL 1 DAY"))
+    assert(t.columns.find(_.name == "l_orderkey").get.notNull)
+    assert(p.views.map(v => v.name -> v.kind) === Seq(
+      "restricted" -> Ddl.LocalView,
+      "qty_by_flag" -> Ddl.MaterializedView))
+    assert(SqlTypes.toSpark(t.columns.head.sqlType)
+      === org.apache.spark.sql.types.LongType)
+  }
+
+  test("incremental steps converge to batch recompute (core contract)") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    val pipe = Pipeline(spark, programSql)
+
+    // batch reference over the final snapshot (rows with %10 != 0)
+    val expected = pipe.runBatch(Map("lineitem" ->
+      li.filter(col("l_orderkey") % 10 =!= 0)))("qty_by_flag")
+      .as[(String, Double, Long)].collect().toSet
+
+    // delta schedule: 2 insert batches + retraction batch
+    val pipe2 = Pipeline(spark, programSql)
+    val deltas = Seq(
+      ZSets.lift(li.filter(col("l_orderkey") % 2 === 0)),
+      ZSets.lift(li.filter(col("l_orderkey") % 2 === 1)),
+      ZSets.negate(ZSets.lift(li.filter(col("l_orderkey") % 10 === 0))))
+    var outs: Map[String, org.apache.spark.sql.DataFrame] = Map.empty
+    deltas.foreach(d => outs = pipe2.step(Map("lineitem" -> d)))
+
+    // 1) final materialized view equals batch
+    val got = pipe2.adHoc("SELECT * FROM qty_by_flag")
+      .as[(String, Double, Long)].collect().toSet
+    assert(got === expected)
+
+    // 2) integrating all emitted output deltas also equals batch
+    //    (we check the last step's delta applied over the previous state
+    //    implicitly via 1; here check deltas are retraction-formed)
+    val lastDelta = outs("qty_by_flag")
+    assert(lastDelta.filter(col(ZSets.W) === 0).count() === 0)
+  }
+
+  test("ad-hoc queries see materialized views and registered functions") {
+    val pipe = Pipeline(spark, programSql)
+    pipe.step(Map("lineitem" -> ZSets.lift(
+      Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))))
+    val n = pipe.adHoc(
+      "SELECT sec(0.0) AS s, timestamp_trunc(TIMESTAMP '2024-02-15 10:30:00', 'month') AS m, count(*) AS c FROM qty_by_flag")
+      .as[(Double, java.sql.Timestamp, Long)].head()
+    assert(n._1 === 1.0)
+    assert(n._2.toString.startsWith("2024-02-01"))
+    assert(n._3 > 0)
+  }
+}
