@@ -30,27 +30,44 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word w-shingles of the text (w consecutive tokens joined by space). */
-  def shingles(text: Column, w: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word w-shingles from a TOKEN ARRAY COLUMN (w consecutive tokens
+    * joined by space). Pass an attribute (materialized column), not a
+    * derived expression: sub-expressions referenced inside HOF lambdas are
+    * re-evaluated per element, so a derived `tokens(text)` here would
+    * re-split the text O(n²) times.
+    */
+  def shinglesOfTokens(toks: Column, w: Int): Column =
     filter(
       transform(toks,
         (_, i) => when(i <= size(toks) - w,
           array_join(slice(toks, i + 1, lit(w)), " "))),
       s => s.isNotNull)
-  }
 
-  /** MinHash signature: for each seed, the min hash over shingles.
-    * Computed entirely scan-side with higher-order functions — one array
-    * traversal per seed, no explode, no shuffle.
+  /** Word w-shingles of raw text (convenience; see [[shinglesOfTokens]]
+    * for the staged fast path).
     */
+  def shingles(text: Column, w: Int): Column =
+    shinglesOfTokens(TextAnalysis.tokens(text), w)
+
+  /** MinHash signature from a SHINGLE ARRAY COLUMN: ONE traversal computes
+    * all seeds (fold with an array accumulator of per-seed minima) — the
+    * hash work is exactly numHashes × |shingles|, nothing recomputed.
+    * Empty shingle sets yield an all-null signature.
+    */
+  def minhashFromShingles(sh: Column, numHashes: Int,
+      hashFn: (Column, Int) => Column = xxHash): Column =
+    transform(
+      aggregate(sh,
+        array_repeat(lit(Long.MaxValue), numHashes),
+        (acc, s) => zip_with(acc,
+          array((0 until numHashes).map(seed => hashFn(s, seed)): _*),
+          (a, b) => least(a, b))),
+      m => when(m === Long.MaxValue, lit(null).cast("long")).otherwise(m))
+
+  /** MinHash signature of raw text (convenience composition). */
   def minhashSignature(text: Column, w: Int, numHashes: Int,
-      hashFn: (Column, Int) => Column = xxHash): Column = {
-    val sh = shingles(text, w)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => hashFn(s, seed)))
-    }: _*)
-  }
+      hashFn: (Column, Int) => Column = xxHash): Column =
+    minhashFromShingles(shingles(text, w), numHashes, hashFn)
 
   /** LSH band key for a signature slice [b*rows, (b+1)*rows). */
   def bandKey(sig: Column, band: Int, rows: Int): Column =
@@ -66,11 +83,22 @@ object Dedup {
       w: Int, numHashes: Int, bands: Int,
       hashFn: (Column, Int) => Column = xxHash): DataFrame = {
     val rows = numHashes / bands
+    // Staged pipeline: tokens → shingles → signature as materialized
+    // COLUMNS (each stage references the previous stage's attribute once;
+    // CollapseProject keeps non-cheap multi-referenced exprs staged), then
+    // persist BEFORE filtering — the cache is a pushdown barrier, so the
+    // null-check filter reads the cached column instead of re-inlining the
+    // whole signature expression. (id, sig) is tiny relative to the text
+    // at any scale, so this is also the right 100 TB architecture: hash
+    // the corpus once, then shuffle only signatures.
     val sigs = df
       .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), w, numHashes, hashFn).as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(
-        transform(col("sig"), s => s.isNull), true))
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), shinglesOfTokens(col("_toks"), w).as("_sh"))
+      .select(col("id"),
+        minhashFromShingles(col("_sh"), numHashes, hashFn).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(!array_contains(transform(col("sig"), s => s.isNull), true))
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(col("sig"), b, rows).as("bkey"))): _*))

@@ -101,11 +101,16 @@ object LlmOps {
     Q(
       "llm_minhash",
       s"""$sigCtes SELECT * FROM sig""") { (s, dir) =>
-      val sig = Dedup.minhashSignature(col("text"), 3, 8, Dedup.md5Hash)
+      // staged columns: tokens/shingles/sig each computed once per row
       t(s, dir, "documents")
-        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .filter(size(col("_toks")) >= 3)
+        .select(col("doc_id"),
+          Dedup.shinglesOfTokens(col("_toks"), 3).as("_sh"))
+        .select(col("doc_id"),
+          Dedup.minhashFromShingles(col("_sh"), 8, Dedup.md5Hash).as("sig"))
         .select(col("doc_id") +: (0 until 8).map(i =>
-          element_at(sig, i + 1).as(s"h$i")): _*)
+          element_at(col("sig"), i + 1).as(s"h$i")): _*)
     },
 
     Q(
@@ -200,11 +205,17 @@ object LlmOps {
 
     // Production (xxhash64) paths — rows-only checks.
     Q.noOracle("llm_minhash_fast") { (s, dir) =>
-      val sig = Dedup.minhashSignature(col("text"), 3, 16)
       t(s, dir, "documents")
-        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-        .select(col("doc_id"), sig.as("sig"),
-          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .filter(size(col("_toks")) >= 3)
+        .select(col("doc_id"),
+          Dedup.shinglesOfTokens(col("_toks"), 3).as("_sh"),
+          aggregate(col("_toks"), lit(0L),
+            (acc, tk) => pmod(acc * 31 + pmod(xxhash64(tk), lit(1000003L)),
+              lit(1125899906842597L))).as("rolling_fp"))
+        .select(col("doc_id"),
+          Dedup.minhashFromShingles(col("_sh"), 16).as("sig"),
+          col("rolling_fp"))
     },
 
     Q.noOracle("llm_lsh_topk") { (s, dir) =>
