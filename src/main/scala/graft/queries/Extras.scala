@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QB._
+
+/** Remaining SURVEY §2 surface: PIVOT, map functions, interval arithmetic,
+  * binary functions, controlled filter (error routing), NOW()-style
+  * temporal evaluation.
+  */
+object Extras {
+
+  val queries: Seq[Q] = Seq(
+    // PIVOT (SURVEY §2.8 misc) — Spark native pivot; oracle is the
+    // equivalent FILTER-ed aggregate spread.
+    Q(
+      "agg_pivot",
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+    },
+
+    // MAP construction/access (sqllib/src/map.rs; map.md). Raw map columns
+    // are avoided in the output (engine-specific parquet encoding); we
+    // emit sorted keys, summed values, and a point lookup.
+    Q(
+      "fn_map",
+      """SELECT o_orderkey,
+        |  list_sort(map_keys(m)) AS ks,
+        |  (m['p'])[1] AS pv,
+        |  len(map_keys(m)) AS n_keys,
+        |  list_reduce(map_values(m), (a, b) -> a + b) AS v_sum
+        |FROM (
+        |  SELECT o_orderkey,
+        |    map(['p', 's', 'k2'],
+        |        [CAST(FLOOR(o_totalprice) AS BIGINT), CAST(LENGTH(o_orderstatus) AS BIGINT), o_orderkey * 2]) AS m
+        |  FROM orders WHERE o_orderkey <= 1000)""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          map_from_arrays(
+            array(lit("p"), lit("s"), lit("k2")),
+            array(floor(col("o_totalprice")).cast("long"),
+              length(col("o_orderstatus")).cast("long"),
+              col("o_orderkey") * 2)).as("m"))
+        .select(col("o_orderkey"),
+          sort_array(map_keys(col("m"))).as("ks"),
+          element_at(col("m"), "p").as("pv"),
+          size(map_keys(col("m"))).as("n_keys"),
+          aggregate(map_values(col("m")), lit(0L), (a, b) => a + b)
+            .as("v_sum"))
+    },
+
+    // Interval arithmetic (sqllib/src/interval.rs; datetime.md operators):
+    // month-clamped adds, TIMESTAMPDIFF/TIMESTAMPADD.
+    Q(
+      "fn_interval",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS minus45d,
+        |  CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS plus1y,
+        |  DATE_DIFF('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS months_since,
+        |  DATE_DIFF('hour', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS hours_since
+        |FROM orders WHERE o_orderkey <= 20000""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          date_sub(col("o_orderdate").cast("date"), 45).as("minus45d"),
+          add_months(col("o_orderdate"), 12).as("plus1y"),
+          expr("timestampdiff(MONTH, DATE '1995-01-01', CAST(o_orderdate AS DATE))")
+            .as("months_since"),
+          expr("timestampdiff(HOUR, TIMESTAMP '1995-01-01 00:00:00', o_orderdate)")
+            .as("hours_since"))
+    },
+
+    // Binary functions (sqllib/src/binary.rs; binary.md). Restricted to
+    // the blob surface DuckDB 1.0 shares: hex / concat / octet_length /
+    // base64 / utf8 round-trip.
+    Q(
+      "fn_binary",
+      """SELECT p_partkey,
+        |  octet_length(b) AS blen,
+        |  hex(b) AS bhex,
+        |  hex(b || encode('!')) AS bconcat,
+        |  base64(b) AS b64,
+        |  decode(b) AS roundtrip
+        |FROM (SELECT p_partkey, encode(p_name) AS b FROM part WHERE p_partkey <= 500)""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "part").filter(col("p_partkey") <= 500)
+          .select(col("p_partkey"),
+            col("p_name").cast("binary").as("b"))
+          .select(col("p_partkey"),
+            octet_length(col("b")).as("blen"),
+            hex(col("b")).as("bhex"),
+            hex(concat(col("b"), lit("!").cast("binary"))).as("bconcat"),
+            base64(col("b")).as("b64"),
+            col("b").cast("string").as("roundtrip"))
+    },
+
+    // Controlled filter / error routing (controlled_filter.rs): rows
+    // violating a validity rule land in the error view with a reason.
+    Q(
+      "controlled_filter_errors",
+      """SELECT l_orderkey, l_linenumber, l_discount,
+        |  'discount out of range' AS error_reason
+        |FROM lineitem WHERE NOT (l_discount <= 0.08)""".stripMargin) {
+      (s, dir) =>
+        val (_, errors) = graft.ops.ControlledFilter.route(
+          t(s, dir, "lineitem"),
+          col("l_discount") <= 0.08, "discount out of range")
+        errors.select("l_orderkey", "l_linenumber", "l_discount",
+          "error_reason")
+    },
+
+    // NOW()-driven temporal filter (ImplementNow.java, DBSPNowOperator):
+    // inherently nondeterministic across engines → rows-only check; the
+    // deterministic variant is ts_temporal_filter.
+    Q.noOracle("ts_now") { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts") >= current_timestamp() - expr("INTERVAL 36500 DAY"))
+        .select("event_id", "user_id", "event_type")
+    }
+  )
+}

@@ -15,7 +15,8 @@ object Registry {
       Functions.queries ++
       TimeSeries.queries ++
       LlmOps.queries ++
-      Incremental.queries
+      Incremental.queries ++
+      Extras.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
