@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import QB._
 
 /** Remaining SURVEY §2 surface: PIVOT, map functions, interval arithmetic,
@@ -114,6 +115,40 @@ object Extras {
           col("l_discount") <= 0.08, "discount out of range")
         errors.select("l_orderkey", "l_linenumber", "l_discount",
           "error_reason")
+    },
+
+    // DECIMAL edge semantics (SURVEY §7.4 hard parts; crates/fxp/):
+    // exact fixed-point add/sub/mul, HALF_UP rounding incl. negatives,
+    // scale-preserving string rendering. Results pinned as VARCHAR so the
+    // hash-match checks DIGITS, not float proximity. (DECIMAL division is
+    // engine-specific — DuckDB returns DOUBLE — so quotients go through
+    // double on both sides.)
+    Q(
+      "fn_decimal",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(p + p AS VARCHAR) AS dsum,
+        |  CAST(p - q AS VARCHAR) AS ddiff,
+        |  CAST(p * q AS VARCHAR) AS dprod,
+        |  CAST(ROUND(p * q, 1) AS VARCHAR) AS dround,
+        |  CAST(ROUND(0 - (p * q), 1) AS VARCHAR) AS dround_neg,
+        |  CAST(CAST(p AS DOUBLE) / CAST(q AS DOUBLE) AS DOUBLE) AS dquot
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+        |    CAST(l_quantity + 0.5 AS DECIMAL(8,2)) AS q
+        |  FROM lineitem WHERE l_orderkey <= 6000)""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 6000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).as("p"),
+          (col("l_quantity") + 0.5).cast(DecimalType(8, 2)).as("q"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("p") + col("p")).cast("string").as("dsum"),
+          (col("p") - col("q")).cast("string").as("ddiff"),
+          (col("p") * col("q")).cast("string").as("dprod"),
+          round(col("p") * col("q"), 1).cast("string").as("dround"),
+          round(lit(0) - col("p") * col("q"), 1).cast("string")
+            .as("dround_neg"),
+          (col("p").cast("double") / col("q").cast("double")).as("dquot"))
     },
 
     // NOW()-driven temporal filter (ImplementNow.java, DBSPNowOperator):
