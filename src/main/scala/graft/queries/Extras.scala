@@ -117,6 +117,53 @@ object Extras {
           "error_reason")
     },
 
+    // LAG/LEAD/FIRST_VALUE with IGNORE NULLS (RankAggregate /
+    // LeadLagAggregates surface).
+    Q(
+      "win_ignore_nulls",
+      """SELECT o_orderkey,
+        |  lag(big_price IGNORE NULLS) OVER w AS prev_big,
+        |  first_value(big_price IGNORE NULLS) OVER w AS first_big,
+        |  last_value(big_price IGNORE NULLS) OVER w AS last_big
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price
+        |  FROM orders WHERE o_orderkey <= 30000)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        t(s, dir, "orders").filter(col("o_orderkey") <= 30000)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            when(col("o_totalprice") > 200000, col("o_totalprice"))
+              .as("big_price"))
+          .select(col("o_orderkey"),
+            lag(col("big_price"), 1, null, ignoreNulls = true).over(w)
+              .as("prev_big"),
+            first(col("big_price"), ignoreNulls = true).over(w)
+              .as("first_big"),
+            last(col("big_price"), ignoreNulls = true).over(w)
+              .as("last_big"))
+    },
+
+    // Exact interpolated quantiles (sample.rs / stream_key_quantiles
+    // analogue — here the exact batch form; integer-valued doubles keep
+    // the interpolation arithmetic identical across engines).
+    Q(
+      "agg_quantiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    },
+
     // DECIMAL edge semantics (SURVEY §7.4 hard parts; crates/fxp/):
     // exact fixed-point add/sub/mul, HALF_UP rounding incl. negatives,
     // scale-preserving string rendering. Results pinned as VARCHAR so the
