@@ -84,6 +84,73 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: a deterministic k-means-lite coarse
+    * quantizer — centroids seeded from hash-selected corpus vectors,
+    * refined by `iters` Lloyd rounds — then probes search only the
+    * `nprobe` nearest cells. Centroids are TINY, so cell assignment is a
+    * pure scan-side expression (centroid literal; distance + sort per
+    * row) — no shuffle. The classic corpus-partitioned ANN layout: at
+    * 100 TB the corpus is written bucketed by `cell` and a probe touches
+    * nprobe/nCells of the data.
+    */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int, nCells: Int,
+      iters: Int = 2, nprobe: Int = 2,
+      probeId: String = "probe_id", corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): DataFrame = {
+
+    // nearest-`n` cells of a vector, as array<struct<d2,cell>> expression
+    def cellsExpr(vec: Column, cents: Seq[(Int, Seq[Double])],
+        n: Int): Column = {
+      val centArr = array(cents.map { case (cell, cv) =>
+        struct(array(cv.map(lit): _*).as("cvec"), lit(cell).as("cell"))
+      }: _*)
+      val scored = transform(centArr, c => struct(
+        aggregate(zip_with(vec, c.getField("cvec"),
+          (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+          lit(0d), (acc, x) => acc + x).as("d2"),
+        c.getField("cell").as("cell")))
+      slice(array_sort(scored), 1, n)
+    }
+
+    // deterministic seeds: the nCells corpus vectors with smallest id hash
+    var cents: Seq[(Int, Seq[Double])] = corpus
+      .withColumn("__h", xxhash64(col(corpusId)))
+      .orderBy("__h").limit(nCells)
+      .select(transform(col(vecCol), _.cast("double")).as("cvec"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+
+    // Lloyd refinement: assign (scan-side) -> per-cell/dimension mean
+    (0 until iters).foreach { _ =>
+      cents = corpus
+        .withColumn("cell",
+          cellsExpr(col(vecCol), cents, 1).getItem(0).getField("cell"))
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cell"),
+          transform(col("dm"), s => s.getField("m")).as("cvec"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    }
+
+    val corpusCells = corpus.withColumn("cell",
+      cellsExpr(col(vecCol), cents, 1).getItem(0).getField("cell"))
+      .select(col("cell"), col(corpusId), col(vecCol).as("__cv"))
+    val probeCells = probes.withColumn("__cells",
+      transform(cellsExpr(col(vecCol), cents, nprobe),
+        c => c.getField("cell")))
+      .select(col(probeId), col(vecCol).as("__pv"),
+        explode(col("__cells")).as("cell"))
+    val scored = broadcast(probeCells).join(corpusCells, "cell")
+      .select(col(probeId).as("probe_id"), col(corpusId).as("corpus_id"),
+        cosine(col("__pv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** ANN top-k via sign-LSH: probes only compare corpus vectors in the
     * same bucket. Recall < 1 by construction; scale path for when the
     * corpus no longer fits a broadcast-probe cross product.

@@ -203,6 +203,41 @@ object LlmOps {
         k = 5, quantScale = 1000)
     },
 
+    // Embedding-cosine near-duplicate pairs (the 5th dedup modality):
+    // exact quantized cosine over a bounded candidate set; at scale the
+    // candidate set would come from Similarity.lshTopK buckets instead of
+    // the bounded cross join.
+    Q(
+      "llm_embed_dups",
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 300),
+        |n AS (SELECT vec_id, qv,
+        |  list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nrm
+        |  FROM q)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_reduce(list_transform(range(1, len(a.qv) + 1),
+        |      i -> a.qv[i] * b.qv[i]), (x, y) -> x + y) AS DOUBLE)
+        |    / NULLIF(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)), 0) AS sim
+        |FROM n a, n b
+        |WHERE a.vec_id < b.vec_id
+        |  AND CAST(list_reduce(list_transform(range(1, len(a.qv) + 1),
+        |      i -> a.qv[i] * b.qv[i]), (x, y) -> x + y) AS DOUBLE)
+        |    / NULLIF(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)), 0) > 0.3""".stripMargin) {
+      (s, dir) =>
+        val q = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        val a = q.select(col("vec_id").as("id_a"),
+          col("embedding").as("ea"))
+        val b = q.select(col("vec_id").as("id_b"),
+          col("embedding").as("eb"))
+        broadcast(a).join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            Similarity.cosineQuantized(col("ea"), col("eb"), 1000)
+              .as("sim"))
+          .filter(col("sim") > 0.3)
+    },
+
     // Production (xxhash64) paths — rows-only checks.
     Q.noOracle("llm_minhash_fast") { (s, dir) =>
       t(s, dir, "documents")
@@ -225,6 +260,15 @@ object LlmOps {
           .select(col("vec_id").as("probe_id"), col("embedding")),
         emb.select(col("vec_id").as("corpus_id"), col("embedding")),
         k = 5, planes = 8)
+    },
+
+    Q.noOracle("llm_ivf_topk") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        emb.select(col("vec_id").as("corpus_id"), col("embedding")),
+        k = 5, nCells = 16, iters = 1, nprobe = 3)
     },
 
     Q.noOracle("llm_multimodal") { (s, dir) =>

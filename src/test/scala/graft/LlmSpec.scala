@@ -83,6 +83,26 @@ class LlmSpec extends SparkSpec {
     assert(lsh === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
 
+  test("IVF ANN: self is rank 1; recall overlaps brute force") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val corpus = vecs.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val ivf = Similarity.ivfTopK(probes, corpus, k = 3, nCells = 4,
+      iters = 2, nprobe = 2)
+      .select("probe_id", "corpus_id", "rk")
+      .as[(Long, Long, Int)].collect()
+    val self = ivf.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    assert(self === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val bf = Similarity.bruteForceTopK(probes, corpus, 3)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val hits = ivf.map(r => (r._1, r._2)).toSet
+    // nprobe=2 of 4 cells → expect majority overlap with exact top-3
+    assert(hits.intersect(bf).size >= bf.size / 2)
+  }
+
   test("quality score in [0,1]; langid picks the stopword-matching language") {
     val t = Seq(
       (1L, "the cat and the dog in the house for a while"),
