@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length numeric arrays (left-to-right fold). */
+  /** Dot product of two equal-length numeric arrays (left-to-right fold,
+    * element products in double — same arithmetic as the codegen'd
+    * functions.VectorDotFloat fast path).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -65,6 +65,29 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("VectorDotFloat codegen expression matches HOF dot product") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(16)(d => (math.sin(i * 1.3 + d)).toFloat))
+    }.toDF("id", "v")
+    val both = vecs.select(
+      graft.functions.VectorDot.dotF(col("v"), col("v")).as("fast"),
+      graft.llm.Similarity.dot(col("v"), col("v")).as("ref"))
+      .as[(Double, Double)].collect()
+    // identical operation order (left-to-right accumulate) → bit equality
+    both.foreach { case (fast, ref) => assert(fast === ref) }
+    // null input → null out
+    val n = vecs.limit(1)
+      .select(graft.functions.VectorDot.dotF(lit(null)
+        .cast("array<float>"), col("v")).as("d"))
+      .collect().head
+    assert(n.isNullAt(0))
+    // type check rejects non-float arrays
+    intercept[Exception] {
+      vecs.select(graft.functions.VectorDot.dotF(
+        array(lit(1.0)), array(lit(2.0)))).collect()
+    }
+  }
+
   test("unsigned range checks and CHAR(n) semantics") {
     assert(Seq(200).toDF("x").select(SqlTypes.toUnsigned(col("x"), 8))
       .head().getShort(0) === 200)
