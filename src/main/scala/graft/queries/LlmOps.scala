@@ -226,15 +226,27 @@ object LlmOps {
         |      i -> a.qv[i] * b.qv[i]), (x, y) -> x + y) AS DOUBLE)
         |    / NULLIF(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)), 0) > 0.3""".stripMargin) {
       (s, dir) =>
+        // stage quantized vectors + norms once (persist barrier — the
+        // sim filter would otherwise inline the full quantize+fold into
+        // the nested-loop join condition, recomputing it per pair)
         val q = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-        val a = q.select(col("vec_id").as("id_a"),
-          col("embedding").as("ea"))
-        val b = q.select(col("vec_id").as("id_b"),
-          col("embedding").as("eb"))
+          .select(col("vec_id"),
+            Similarity.quantize(col("embedding"), 1000).as("qv"))
+          .select(col("vec_id"), col("qv"),
+            aggregate(transform(col("qv"), x => x * x), lit(0L),
+              (acc, x) => acc + x).as("nrm"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+          col("nrm").as("na"))
+        val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+          col("nrm").as("nb"))
+        val dt = aggregate(zip_with(col("qa"), col("qb"),
+          (x, y) => x * y), lit(0L), (acc, x) => acc + x)
         broadcast(a).join(b, col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            Similarity.cosineQuantized(col("ea"), col("eb"), 1000)
-              .as("sim"))
+            (dt.cast("double") / nullif(
+              sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")),
+              lit(0d))).as("sim"))
           .filter(col("sim") > 0.3)
     },
 
