@@ -198,6 +198,43 @@ object Extras {
           (col("p").cast("double") / col("q").cast("double")).as("dquot"))
     },
 
+    // PARSE_DATE / PARSE_TIMESTAMP / FORMAT_DATE (timestamp.rs parse/format
+    // surface): each engine uses its own pattern dialect to express the
+    // same conversion, results compared as epoch/date.
+    Q(
+      "fn_parse",
+      """SELECT o_orderkey,
+        |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS DATE) AS reparsed,
+        |  CAST(FLOOR(EPOCH(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d'))) AS BIGINT) AS day_epoch,
+        |  strftime(o_orderdate, '%d-%m-%Y') AS dmy
+        |FROM orders WHERE o_orderkey <= 10000""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") <= 10000)
+        .select(col("o_orderkey"),
+          to_timestamp(date_format(col("o_orderdate"),
+            "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss").cast("date")
+            .as("reparsed"),
+          unix_timestamp(to_timestamp(date_format(col("o_orderdate"),
+            "yyyy/MM/dd"), "yyyy/MM/dd")).as("day_epoch"),
+          date_format(col("o_orderdate"), "dd-MM-yyyy").as("dmy"))
+    },
+
+    // MAP_AGG (sqllib/src/map.rs map_agg): engine map encodings differ in
+    // parquet, so the map round-trips through sorted entries for compare.
+    Q(
+      "agg_map_agg",
+      """SELECT n_regionkey,
+        |  list_sort(map_keys(map_from_entries(list((n_name, CAST(n_nationkey AS BIGINT)))))) AS ks,
+        |  list_reduce(map_values(map_from_entries(list((n_name, CAST(n_nationkey AS BIGINT))))), (a, b) -> a + b) AS vsum
+        |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").groupBy("n_regionkey")
+        .agg(map_from_entries(collect_list(
+          struct(col("n_name"), col("n_nationkey").cast("long")))).as("m"))
+        .select(col("n_regionkey"),
+          sort_array(map_keys(col("m"))).as("ks"),
+          aggregate(map_values(col("m")), lit(0L), (a, b) => a + b)
+            .as("vsum"))
+    },
+
     // NOW()-driven temporal filter (ImplementNow.java, DBSPNowOperator):
     // inherently nondeterministic across engines → rows-only check; the
     // deterministic variant is ts_temporal_filter.
