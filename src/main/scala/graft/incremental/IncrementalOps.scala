@@ -119,6 +119,53 @@ object IncrementalOps {
     (newState, out)
   }
 
+  // ---------------------------------------------------------------- upsert
+
+  /** PRIMARY-KEY upsert step (reference: input_upsert.rs:254,
+    * DBSPUpsertFeedbackOperator.java:22): each batch carries at most one
+    * command per key — `_deleted = false` upserts the payload, `true`
+    * deletes the key. State = latest row per key; output delta = retract
+    * replaced/deleted rows, insert new ones. The streaming twin is
+    * graft.streaming.Upsert (per-row ordered within a key).
+    *
+    * Returns (newState, outputDelta as Z-set over key+payload).
+    */
+  def upsertStep(
+      state: Option[DataFrame],
+      batch: DataFrame,
+      key: Seq[String],
+      deletedCol: String = "_deleted"): (DataFrame, DataFrame) = {
+    val payload = batch.columns.toSeq.filterNot(c =>
+      key.contains(c) || c == deletedCol)
+    // state carries an explicit liveness marker so nullable payloads work
+    val old = state match {
+      case Some(st) => st
+      case None => batch.drop(deletedCol)
+        .withColumn("_present", lit(true)).limit(0)
+    }
+    val b = batch.select(
+      key.map(col) ++ payload.map(c => col(c).as(s"_n_$c"))
+        :+ col(deletedCol).as("_del"): _*)
+    val joined = old.join(b, key, "full_outer")
+    val oldLive = coalesce(col("_present"), lit(false))
+    val isUpsert = col("_del") === false
+    val newState = joined.select(
+      key.map(col) ++ payload.map { c =>
+        when(col("_del").isNull, col(c))              // untouched key
+          .when(isUpsert, col(s"_n_$c"))              // upsert
+          .otherwise(lit(null)).as(c)                 // delete
+      } :+ when(col("_del").isNull, oldLive)
+        .otherwise(isUpsert).as("_present"): _*)
+      .filter(col("_present"))
+    val touched = joined.filter(col("_del").isNotNull)
+    val retracts = touched.filter(oldLive)
+      .select(key.map(col) ++ payload.map(col) :+ lit(-1L).as(W): _*)
+    val inserts = touched.filter(isUpsert)
+      .select(key.map(col) ++ payload.map(c => col(s"_n_$c").as(c))
+        :+ lit(1L).as(W): _*)
+    (newState, ZSets.consolidate(retracts.unionByName(inserts)))
+  }
+
   // ------------------------------------------------------------------ join
 
   /** Incremental inner equi-join: ΔOut = ΔA⋈B ∪ (A+ΔA)⋈ΔB, with output

@@ -134,6 +134,38 @@ object Incremental {
             "l_extendedprice", "o_totalprice")
     },
 
+    // PRIMARY KEY (upsert) table semantics: v1 for every order, v2
+    // overwrite for keys % 3 = 0, delete for keys % 13 = 0 — the final
+    // integrated view must equal the last-writer-wins snapshot.
+    Q(
+      "inc_upsert",
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN CAST(FLOOR(o_totalprice) AS BIGINT) + 7
+        |       ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END AS v
+        |FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey <= 60000""".stripMargin) {
+      (s, dir) =>
+        val o = t(s, dir, "orders").filter(col("o_orderkey") <= 60000)
+          .select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice")).cast("long").as("v"))
+        val batches = Seq(
+          o.withColumn("_deleted", lit(false)),
+          o.filter(col("k") % 3 === 0)
+            .withColumn("v", col("v") + 7)
+            .withColumn("_deleted", lit(false)),
+          o.filter(col("k") % 13 === 0)
+            .withColumn("v", lit(null).cast("long"))
+            .withColumn("_deleted", lit(true)))
+        var state = Option.empty[DataFrame]
+        var out = Option.empty[DataFrame]
+        batches.foreach { batch =>
+          val (st, delta) = IncrementalOps.upsertStep(state, batch, Seq("k"))
+          state = Some(st.localCheckpoint(true))
+          out = Some(out.map(_.unionByName(delta)).getOrElse(delta))
+        }
+        // integrate output deltas → the materialized PK table
+        ZSets.toMultiset(ZSets.consolidate(out.get)).select("k", "v")
+    },
+
     // Recursive view: transitive closure of a chain graph derived from
     // nation (src → src+5), vs DuckDB WITH RECURSIVE.
     Q(

@@ -70,6 +70,30 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(o2.as[(String, Long)].collect().toMap === Map("b" -> -1L))
   }
 
+  test("upsertStep: overwrite, delete, and delete-then-reinsert") {
+    import org.apache.spark.sql.DataFrame
+    def batch(rows: Seq[(Long, Option[Long], Boolean)]): DataFrame =
+      rows.toDF("k", "v", "_deleted")
+    var st = Option.empty[DataFrame]
+    var deltas = List.empty[Set[(Long, Option[Long], Long)]]
+    def step(rows: Seq[(Long, Option[Long], Boolean)]): Unit = {
+      val (s2, d) = IncrementalOps.upsertStep(st, batch(rows), Seq("k"))
+      st = Some(s2.localCheckpoint(true))
+      deltas = deltas :+ d.as[(Long, Option[Long], Long)].collect().toSet
+    }
+    step(Seq((1L, Some(10L), false), (2L, Some(20L), false)))
+    step(Seq((1L, Some(11L), false), (2L, None, true)))   // overwrite + delete
+    step(Seq((2L, Some(22L), false)))                     // re-insert
+    step(Seq((1L, Some(11L), false)))                     // no-op upsert
+    assert(deltas(0) === Set((1L, Some(10L), 1L), (2L, Some(20L), 1L)))
+    assert(deltas(1) === Set((1L, Some(10L), -1L), (1L, Some(11L), 1L),
+      (2L, Some(20L), -1L)))
+    assert(deltas(2) === Set((2L, Some(22L), 1L)))
+    assert(deltas(3) === Set.empty)
+    assert(st.get.select("k", "v").as[(Long, Long)].collect().toSet
+      === Set((1L, 11L), (2L, 22L)))
+  }
+
   test("joinStep integrates to the batch join") {
     val a1 = Seq((1L, "a1", 1L), (2L, "a2", 1L)).toDF("k", "av", ZSets.W)
     val b1 = Seq((1L, "b1", 1L)).toDF("k", "bv", ZSets.W)
