@@ -57,6 +57,11 @@ def main():
                       f"{list(oracle.columns)}")
                 n_fail += 1
                 continue
+            dt = [(c, str(mine[c].dtype), str(oracle[c].dtype))
+                  for c in mine.columns
+                  if str(mine[c].dtype) != str(oracle[c].dtype)]
+            if dt:
+                print(f"DTYPE {name}: {dt}")
             if len(mine) != len(oracle):
                 print(f"FAIL {name}: rows {len(mine)} vs {len(oracle)}")
                 n_fail += 1

@@ -64,7 +64,8 @@ object Similarity {
         col(s"c.$corpusId").as("corpus_id"), sim.as("sim"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("corpus_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):

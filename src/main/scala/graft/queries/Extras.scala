@@ -51,7 +51,7 @@ object Extras {
         .select(col("o_orderkey"),
           sort_array(map_keys(col("m"))).as("ks"),
           element_at(col("m"), "p").as("pv"),
-          size(map_keys(col("m"))).as("n_keys"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
           aggregate(map_values(col("m")), lit(0L), (a, b) => a + b)
             .as("v_sum"))
     },
@@ -95,7 +95,7 @@ object Extras {
           .select(col("p_partkey"),
             col("p_name").cast("binary").as("b"))
           .select(col("p_partkey"),
-            octet_length(col("b")).as("blen"),
+            octet_length(col("b")).cast("long").as("blen"),
             hex(col("b")).as("bhex"),
             hex(concat(col("b"), lit("!").cast("binary"))).as("bconcat"),
             base64(col("b")).as("b64"),

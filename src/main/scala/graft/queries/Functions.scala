@@ -47,9 +47,9 @@ object Functions {
       t(s, dir, "part").select(
         col("p_partkey"),
         upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
-        length(col("p_name")).as("len"),
+        length(col("p_name")).cast("long").as("len"),
         substring(col("p_name"), 3, 8).as("sub"),
-        instr(col("p_name"), "a").as("pos_a"),
+        instr(col("p_name"), "a").cast("long").as("pos_a"),
         split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
         concat(col("p_brand"), lit("#"), col("p_type")).as("tagged"),
         concat_ws("/", col("p_brand"), col("p_type")).as("joined"),
@@ -65,7 +65,7 @@ object Functions {
         ascii(col("p_brand")).as("first_code"),
         md5(col("p_name")).as("name_md5"),
         sha2(col("p_name"), 256).as("name_sha"),
-        levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
+        levenshtein(col("p_brand"), lit("Brand#11")).cast("long").as("lev"),
         col("p_name").contains("al").as("has_al"),
         col("p_type").startsWith("S").as("is_s"),
         col("p_type").endsWith("D").as("ends_d"),
@@ -79,10 +79,10 @@ object Functions {
       "fn_math",
       """SELECT l_orderkey, l_linenumber,
         |  ABS(l_quantity - 25) AS dist25,
-        |  CEIL(l_extendedprice / 1000) AS price_k_ceil,
-        |  FLOOR(l_extendedprice / 1000) AS price_k_floor,
+        |  CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+        |  CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
         |  MOD(CAST(l_quantity AS BIGINT), 7) AS qmod,
-        |  SIGN(l_discount - 0.05) AS disc_sign,
+        |  CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
         |  ROUND(SQRT(l_quantity), 6) AS qsqrt,
         |  ROUND(LN(l_quantity), 6) AS qln,
         |  ROUND(LOG10(l_extendedprice), 6) AS plog,
@@ -152,7 +152,7 @@ object Functions {
           .as("month_start"),
         date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
         datediff(col("o_orderdate").cast("date"), lit("1995-01-01"))
-          .as("days_since"),
+          .cast("long").as("days_since"),
         unix_timestamp(col("o_orderdate")).as("epoch_s"),
         date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
         make_date(year(col("o_orderdate")), lit(1), lit(1)).as("year_start"),
@@ -182,7 +182,7 @@ object Functions {
           .select(
             col("p_partkey"),
             col("words"),
-            size(col("words")).as("n_words"),
+            size(col("words")).cast("long").as("n_words"),
             array_contains(col("words"), "spring").as("has_spring"),
             array_position(col("words"), "green").as("pos_green"),
             sort_array(array_distinct(col("words"))).as("uniq_sorted"),

@@ -147,7 +147,7 @@ object LlmOps {
          |  FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS b)
          |  GROUP BY doc_id, b)
          |SELECT doc_id,
-         |  SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sim_fp
+         |  CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sim_fp
          |FROM bits GROUP BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .filter(size(TextAnalysis.tokens(col("text"))) >= 1)

@@ -66,8 +66,8 @@ object TimeSeries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
         |sessions AS (
         |  SELECT user_id, es,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM marked)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(es) AS session_start, MAX(es) AS session_end

@@ -28,7 +28,7 @@ object Windows {
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
       t(s, dir, "customer")
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 3)
     },
 
@@ -50,10 +50,10 @@ object Windows {
         .orderBy("o_totalprice", "o_orderkey")
       t(s, dir, "orders").filter(col("o_orderkey") <= 30000)
         .select(col("o_orderkey"),
-          rank().over(byStatus).as("rk"),
-          dense_rank().over(byStatus).as("drk"),
+          rank().over(byStatus).cast("long").as("rk"),
+          dense_rank().over(byStatus).cast("long").as("drk"),
           percent_rank().over(byPrice).as("prk"),
-          ntile(4).over(byPrice).as("tile"),
+          ntile(4).over(byPrice).cast("long").as("tile"),
           cume_dist().over(byPrice).as("cd"))
     },
 
@@ -107,7 +107,7 @@ object Windows {
             .over(w.rowsBetween(Window.unboundedPreceding,
               Window.currentRow))
             .cast("double").as("running_spend"),
-          row_number().over(w).as("order_seq"))
+          row_number().over(w).cast("long").as("order_seq"))
     },
 
     // Rolling aggregate over RANGE INTERVAL PRECEDING (reference:
