@@ -21,11 +21,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
-        elif df[c].dtype == object:
-            # lists/arrays -> tuples so they sort/compare
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                str(type(v)).find("ndarray") >= 0 else v)
+        # NOTE: no list/ndarray rescue here — the driver's compare sorts raw
+        # object columns and CRASHES on array/map cells. Mirror that so any
+        # query emitting a non-scalar column fails locally first.
     df = df.sort_values(by=list(df.columns), kind="mergesort",
                         na_position="last").reset_index(drop=True)
     return df

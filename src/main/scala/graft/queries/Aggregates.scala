@@ -129,13 +129,18 @@ object Aggregates {
     },
 
     // ARRAY_AGG (AggregateCompiler.java:352) — sorted for determinism.
+    // The array column is emitted as a joined string: the driver's pandas
+    // compare cannot hash ndarray cells, so both engines serialize the
+    // sorted list identically.
     Q(
       "agg_array",
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nations,
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
         |  COUNT(*) AS n FROM nation GROUP BY n_regionkey""".stripMargin) {
       (s, dir) =>
         t(s, dir, "nation").groupBy("n_regionkey")
-          .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+            .as("nations"),
             count(lit(1)).as("n"))
     },
 

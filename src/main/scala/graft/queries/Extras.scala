@@ -32,7 +32,7 @@ object Extras {
     Q(
       "fn_map",
       """SELECT o_orderkey,
-        |  list_sort(map_keys(m)) AS ks,
+        |  array_to_string(list_sort(map_keys(m)), ',') AS ks,
         |  (m['p'])[1] AS pv,
         |  len(map_keys(m)) AS n_keys,
         |  list_reduce(map_values(m), (a, b) -> a + b) AS v_sum
@@ -49,7 +49,7 @@ object Extras {
               length(col("o_orderstatus")).cast("long"),
               col("o_orderkey") * 2)).as("m"))
         .select(col("o_orderkey"),
-          sort_array(map_keys(col("m"))).as("ks"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("ks"),
           element_at(col("m"), "p").as("pv"),
           size(map_keys(col("m"))).cast("long").as("n_keys"),
           aggregate(map_values(col("m")), lit(0L), (a, b) => a + b)
@@ -223,14 +223,14 @@ object Extras {
     Q(
       "agg_map_agg",
       """SELECT n_regionkey,
-        |  list_sort(map_keys(map_from_entries(list((n_name, CAST(n_nationkey AS BIGINT)))))) AS ks,
+        |  array_to_string(list_sort(map_keys(map_from_entries(list((n_name, CAST(n_nationkey AS BIGINT)))))), ',') AS ks,
         |  list_reduce(map_values(map_from_entries(list((n_name, CAST(n_nationkey AS BIGINT))))), (a, b) -> a + b) AS vsum
         |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, dir) =>
       t(s, dir, "nation").groupBy("n_regionkey")
         .agg(map_from_entries(collect_list(
           struct(col("n_name"), col("n_nationkey").cast("long")))).as("m"))
         .select(col("n_regionkey"),
-          sort_array(map_keys(col("m"))).as("ks"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("ks"),
           aggregate(map_values(col("m")), lit(0L), (a, b) => a + b)
             .as("vsum"))
     },

@@ -160,19 +160,21 @@ object Functions {
           .as("fixed_ts_d"))
     },
 
+    // Array columns are serialized to joined strings: the driver's pandas
+    // compare cannot hash ndarray cells. The array ops themselves still run
+    // inside both engines; only the output representation is scalar.
     Q(
       "fn_array",
       """SELECT p_partkey,
-        |  words,
         |  len(words) AS n_words,
         |  list_contains(words, 'spring') AS has_spring,
         |  CAST(list_position(words, 'green') AS BIGINT) AS pos_green,
-        |  list_sort(list_distinct(words)) AS uniq_sorted,
+        |  array_to_string(list_sort(list_distinct(words)), '|') AS uniq_sorted,
         |  array_to_string(words, '|') AS joined,
         |  words[1] AS head,
-        |  words[2:3] AS mid,
-        |  list_transform(range(1, (p_size % 5) + 2), x -> x * 10) AS tens,
-        |  list_filter(range(1, 7), x -> x % 2 = 0) AS evens,
+        |  array_to_string(words[2:3], '|') AS mid,
+        |  array_to_string(list_transform(range(1, (p_size % 5) + 2), x -> CAST(x * 10 AS VARCHAR)), ',') AS tens,
+        |  array_to_string(list_transform(list_filter(range(1, 7), x -> x % 2 = 0), x -> CAST(x AS VARCHAR)), ',') AS evens,
         |  CAST(list_reduce(range(1, (p_size % 5) + 2), (a, b) -> a + b) AS BIGINT) AS tri
         |FROM (SELECT p_partkey, p_size, string_split(p_name, ' ') AS words FROM part)""".stripMargin) {
       (s, dir) =>
@@ -181,17 +183,19 @@ object Functions {
             split(col("p_name"), " ").as("words"))
           .select(
             col("p_partkey"),
-            col("words"),
             size(col("words")).cast("long").as("n_words"),
             array_contains(col("words"), "spring").as("has_spring"),
             array_position(col("words"), "green").as("pos_green"),
-            sort_array(array_distinct(col("words"))).as("uniq_sorted"),
+            array_join(sort_array(array_distinct(col("words"))), "|")
+              .as("uniq_sorted"),
             array_join(col("words"), "|").as("joined"),
             element_at(col("words"), 1).as("head"),
-            slice(col("words"), 2, 2).as("mid"),
-            transform(sequence(lit(1), (col("p_size") % 5) + 1),
-              x => x * 10).as("tens"),
-            filter(sequence(lit(1), lit(6)), x => x % 2 === 0).as("evens"),
+            array_join(slice(col("words"), 2, 2), "|").as("mid"),
+            array_join(transform(sequence(lit(1), (col("p_size") % 5) + 1),
+              x => (x * 10).cast("string")), ",").as("tens"),
+            array_join(transform(
+              filter(sequence(lit(1), lit(6)), x => x % 2 === 0),
+              x => x.cast("string")), ",").as("evens"),
             aggregate(sequence(lit(1), (col("p_size") % 5) + 1), lit(0L),
               (a, x) => a + x).as("tri"))
     },

@@ -261,7 +261,9 @@ object LlmOps {
             (acc, tk) => pmod(acc * 31 + pmod(xxhash64(tk), lit(1000003L)),
               lit(1125899906842597L))).as("rolling_fp"))
         .select(col("doc_id"),
-          Dedup.minhashFromShingles(col("_sh"), 16).as("sig"),
+          // Serialized: the driver's pandas compare can't hash array cells.
+          array_join(transform(Dedup.minhashFromShingles(col("_sh"), 16),
+            x => x.cast("string")), ",").as("sig"),
           col("rolling_fp"))
     },
 
