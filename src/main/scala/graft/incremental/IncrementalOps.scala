@@ -13,12 +13,48 @@ import graft.zset.ZSets.W
   * final state equals the batch recompute (the reference's core contract,
   * README.md:67-70).
   *
-  * Scale: every step touches only delta-adjacent state — deltas join/agg
-  * against state on the group/join key (one shuffle, key-partitioned;
-  * state would live bucketed-by-key in a real deployment so the join is
-  * co-located and per-batch cost is O(|delta|), not O(|state|)).
+  * Scale contract (the part that must survive 100×): per-step SHUFFLE is
+  * O(|delta|), never O(|state|). State is only ever
+  *   (a) probed by a BroadcastHashJoin against the (small) touched-key set
+  *       — a narrow, exchange-free scan, and
+  *   (b) rewritten scan-side (union of untouched rows + merged touched
+  *       rows) when the caller re-materializes it.
+  * No step re-aggregates or re-shuffles the full state (the reference's
+  * aggregate-over-trace does the same: only delta keys consult the trace,
+  * crates/dbsp/src/operator/dynamic/aggregate.rs:209). On a cluster the
+  * state side lives as a key-bucketed table so (b) becomes a bucket-pruned
+  * MERGE; IncrementalShuffleSpec asserts property (a) directly by metering
+  * shuffle bytes against growing state.
   */
 object IncrementalOps {
+
+  /** Split `state` into (touched, untouched) by probing a broadcast of the
+    * touched key set — BroadcastHashJoin LeftSemi/LeftAnti: the state side
+    * is scanned in place, never shuffled or sorted. Null-safe equality so
+    * null keys merge rather than duplicate.
+    */
+  private[graft] def splitTouched(
+      state: DataFrame,
+      touchedRaw: DataFrame,
+      keys: Seq[String]): (DataFrame, DataFrame) = {
+    val touched = broadcast(
+      touchedRaw.select(keys.map(k => col(k).as(s"_t_$k")): _*).distinct())
+    val cond = keys.map(k => col(k) <=> col(s"_t_$k")).reduce(_ && _)
+    (state.join(touched, cond, "left_semi"),
+      state.join(touched, cond, "left_anti"))
+  }
+
+  /** Z-set integrate: state + delta, touching only delta rows. The merged
+    * (touched ∪ delta) aggregation is delta-sized; untouched state rows
+    * pass through scan-side. Replaces consolidate(state ∪ delta), whose
+    * groupBy re-shuffles the ENTIRE state every step.
+    */
+  def mergeDelta(state: DataFrame, delta: DataFrame): DataFrame = {
+    val keys = ZSets.dataCols(state)
+    val dCon = ZSets.consolidate(delta)
+    val (touchedOld, untouched) = splitTouched(state, dCon, keys)
+    untouched.unionByName(ZSets.consolidate(touchedOld.unionByName(dCon)))
+  }
 
   // ---------------------------------------------------------------- linear
 
@@ -42,6 +78,9 @@ object IncrementalOps {
     * of weights]. Groups whose weight-count reaches 0 are dropped (the
     * AggregateZero contract for grouped aggs: a group vanishes when its
     * multiset empties — DBSPAggregateZeroOperator.java:45).
+    *
+    * Cost: one O(|delta|) aggregation + broadcast split of state; only
+    * touched groups re-aggregate (touchedOld is at most |delta| groups).
     */
   def linearAggStep(
       state: Option[DataFrame],
@@ -51,40 +90,51 @@ object IncrementalOps {
     val contrib = delta.groupBy(groupKeys.map(col): _*)
       .agg(sum(col(W)).as("_cnt"),
         specs.map(sp => sum(sp.valueExpr * col(W)).as(sp.name)): _*)
-    val merged = state match {
-      case None => contrib
-      case Some(st) => st.unionByName(contrib)
+    state match {
+      case None => contrib.filter(col("_cnt") =!= 0)
+      case Some(st) =>
+        val (touchedOld, untouched) =
+          splitTouched(st, contrib.select(groupKeys.map(col): _*), groupKeys)
+        val merged = touchedOld.unionByName(contrib)
           .groupBy(groupKeys.map(col): _*)
           .agg(sum(col("_cnt")).as("_cnt"),
             specs.map(sp => sum(col(sp.name)).as(sp.name)): _*)
+          .filter(col("_cnt") =!= 0)
+        untouched.unionByName(merged)
     }
-    merged.filter(col("_cnt") =!= 0)
   }
+
+  /** Result of a general-aggregate step: the new state, the fresh aggregate
+    * rows for touched groups, and the touched groups whose multiset emptied
+    * (their previous aggregate row must be DELETED by the consumer — the
+    * reference emits an explicit retraction when a group vanishes).
+    */
+  final case class GeneralAggStep(
+      state: DataFrame, rows: DataFrame, deletedGroups: DataFrame)
 
   /** General (fold) aggregation with retraction support — MIN/MAX/etc.
     * State = the consolidated input Z-set restricted to (groupKeys, value
     * columns); each step recomputes aggregates only for groups touched by
     * the delta (the reference's aggregate-over-integrated-trace,
     * DBSPAggregateOperator.java:43 / dynamic/aggregate/fold.rs).
-    *
-    * Returns (newState, newAggRowsForTouchedGroups).
     */
   def generalAggStep(
       state: Option[DataFrame],
       delta: DataFrame,
       groupKeys: Seq[String],
-      aggs: Seq[Column]): (DataFrame, DataFrame) = {
-    val newState = ZSets.consolidate(
-      state.map(_.unionByName(delta)).getOrElse(delta))
-    val touched = delta.select(groupKeys.map(col): _*).distinct()
-    val touchedState = newState.join(touched, groupKeys, "left_semi")
-    // weights are row multiplicities for the fold: expand (weights are
-    // small positive after consolidation of insert-heavy streams; fold
-    // aggs over true multisets)
+      aggs: Seq[Column]): GeneralAggStep = {
+    val newState = state match {
+      case None => ZSets.consolidate(delta)
+      case Some(st) => mergeDelta(st, delta)
+    }
+    val touchedKeys = delta.select(groupKeys.map(col): _*).distinct()
+    val (touchedState, _) = splitTouched(newState, touchedKeys, groupKeys)
     val newRows = ZSets.toMultiset(touchedState)
       .groupBy(groupKeys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    (newState, newRows)
+    val (_, deleted) = splitTouched(touchedKeys,
+      newRows.select(groupKeys.map(col): _*), groupKeys)
+    GeneralAggStep(newState, newRows, deleted)
   }
 
   // --------------------------------------------------------------- distinct
@@ -93,30 +143,40 @@ object IncrementalOps {
     * delta = sign transitions (appeared → +1, vanished → −1)
     * (reference: distinct.rs:38 incremental distinct).
     *
+    * Only delta rows consult the state (broadcast probe); the transition
+    * computation is a small×small join over touched rows.
+    *
     * Returns (newState, outputDelta).
     */
   def distinctStep(
       state: Option[DataFrame],
       delta: DataFrame): (DataFrame, DataFrame) = {
     val keys = ZSets.dataCols(delta)
-    val old = state.getOrElse(delta.limit(0))
-    val newState = ZSets.consolidate(old.unionByName(delta))
-    val oldW = old.groupBy(keys.map(col): _*).agg(sum(col(W)).as("_ow"))
-    val newW = newState.join(delta.select(keys.map(col): _*).distinct(),
-        keys, "left_semi")
-      .select(keys.map(col) :+ col(W).as("_nw"): _*)
-    val joined = oldW.join(newW, keys, "full_outer")
-      .withColumn("_ow", coalesce(col("_ow"), lit(0L)))
-      .withColumn("_nw", coalesce(col("_nw"), lit(0L)))
-      // full-outer keeps untouched old rows; restrict to touched ones
-      .join(delta.select(keys.map(col): _*).distinct(), keys, "left_semi")
-    val out = joined.withColumn(W,
-        when(col("_ow") <= 0 && col("_nw") > 0, 1L)
-          .when(col("_ow") > 0 && col("_nw") <= 0, -1L)
-          .otherwise(0L))
-      .filter(col(W) =!= 0)
-      .drop("_ow", "_nw")
-    (newState, out)
+    val dCon = ZSets.consolidate(delta)
+    state match {
+      case None =>
+        val st = dCon
+        (st, st.filter(col(W) > 0).withColumn(W, lit(1L)))
+      case Some(st) =>
+        val (touchedOld, untouched) = splitTouched(st, dCon, keys)
+        // old and new weights of touched rows only — both delta-sized
+        val oldW = touchedOld
+          .select(keys.map(k => col(k).as(s"_o_$k")) :+ col(W).as("_ow"): _*)
+        val cond = keys.map(k => col(s"_o_$k") <=> col(k)).reduce(_ && _)
+        val j = dCon.withColumnRenamed(W, "_dw")
+          .join(broadcast(oldW), cond, "left_outer")
+          .withColumn("_ow", coalesce(col("_ow"), lit(0L)))
+          .withColumn("_nw", col("_ow") + col("_dw"))
+        val merged = j.filter(col("_nw") =!= 0)
+          .select(keys.map(col) :+ col("_nw").as(W): _*)
+        val out = j.withColumn(W,
+            when(col("_ow") <= 0 && col("_nw") > 0, 1L)
+              .when(col("_ow") > 0 && col("_nw") <= 0, -1L)
+              .otherwise(0L))
+          .filter(col(W) =!= 0)
+          .select(keys.map(col) :+ col(W): _*)
+        (untouched.unionByName(merged), out)
+    }
   }
 
   // ---------------------------------------------------------------- upsert
@@ -127,6 +187,9 @@ object IncrementalOps {
     * deletes the key. State = latest row per key; output delta = retract
     * replaced/deleted rows, insert new ones. The streaming twin is
     * graft.streaming.Upsert (per-row ordered within a key).
+    *
+    * Only batch keys consult the state: untouched keys pass through
+    * scan-side, the full-outer reconcile is batch-sized×batch-sized.
     *
     * Returns (newState, outputDelta as Z-set over key+payload).
     */
@@ -143,13 +206,15 @@ object IncrementalOps {
       case None => batch.drop(deletedCol)
         .withColumn("_present", lit(true)).limit(0)
     }
+    val (touchedOld, untouched) =
+      splitTouched(old, batch.select(key.map(col): _*), key)
     val b = batch.select(
       key.map(col) ++ payload.map(c => col(c).as(s"_n_$c"))
         :+ col(deletedCol).as("_del"): _*)
-    val joined = old.join(b, key, "full_outer")
+    val joined = touchedOld.join(b, key, "full_outer")
     val oldLive = coalesce(col("_present"), lit(false))
     val isUpsert = col("_del") === false
-    val newState = joined.select(
+    val newTouched = joined.select(
       key.map(col) ++ payload.map { c =>
         when(col("_del").isNull, col(c))              // untouched key
           .when(isUpsert, col(s"_n_$c"))              // upsert
@@ -157,6 +222,7 @@ object IncrementalOps {
       } :+ when(col("_del").isNull, oldLive)
         .otherwise(isUpsert).as("_present"): _*)
       .filter(col("_present"))
+    val newState = untouched.unionByName(newTouched)
     val touched = joined.filter(col("_del").isNotNull)
     val retracts = touched.filter(oldLive)
       .select(key.map(col) ++ payload.map(col) :+ lit(-1L).as(W): _*)
@@ -171,6 +237,10 @@ object IncrementalOps {
   /** Incremental inner equi-join: ΔOut = ΔA⋈B ∪ (A+ΔA)⋈ΔB, with output
     * weight = wA·wB (the bilinear form; reference join.rs:123 /
     * dynamic/join.rs:1358 JoinTrace).
+    *
+    * The DELTA side of each sub-join is broadcast: the big integrated
+    * trace (B, then A+ΔA) is probed in place — a narrow scan, no shuffle —
+    * exactly the reference's delta-probes-trace shape.
     *
     * Inputs are the *integrated* sides A, B (consolidated Z-sets) plus the
     * deltas. Returns (newA, newB, outputDelta).
@@ -188,8 +258,15 @@ object IncrementalOps {
     }
     val a = aState.getOrElse(dA.limit(0))
     val b = bState.getOrElse(dB.limit(0))
-    val newA = ZSets.consolidate(a.unionByName(dA))
-    val out = joined(dA, b).unionByName(joined(newA, dB))
-    (newA, ZSets.consolidate(b.unionByName(dB)), ZSets.consolidate(out))
+    val newA = aState match {
+      case None => ZSets.consolidate(dA)
+      case Some(st) => mergeDelta(st, dA)
+    }
+    val newB = bState match {
+      case None => ZSets.consolidate(dB)
+      case Some(st) => mergeDelta(st, dB)
+    }
+    val out = joined(broadcast(dA), b).unionByName(joined(newA, broadcast(dB)))
+    (newA, newB, ZSets.consolidate(out))
   }
 }

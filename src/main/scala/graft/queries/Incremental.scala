@@ -63,13 +63,13 @@ object Incremental {
       var state = Option.empty[DataFrame]
       var lastOut: DataFrame = null
       deltaBatches(li).foreach { delta =>
-        val (st, out) = IncrementalOps.generalAggStep(
+        val r = IncrementalOps.generalAggStep(
           state, delta.drop("l_orderkey"), Seq("l_returnflag"),
           Seq(min(col("l_quantity")).as("min_q"),
             max(col("l_quantity")).as("max_q"),
             max(col("l_extendedprice")).as("max_p")))
-        state = Some(st.localCheckpoint(true))
-        lastOut = out
+        state = Some(r.state.localCheckpoint(true))
+        lastOut = r.rows
       }
       // every group is touched in the last batch → lastOut is the answer
       lastOut

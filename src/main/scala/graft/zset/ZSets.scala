@@ -60,10 +60,23 @@ object ZSets {
 
   /** Expand weights back to row multiplicity (for comparing against plain
     * relations in tests; weights must be positive and small).
+    *
+    * Non-positive weights are dropped FIRST: Spark's sequence(1, w) would
+    * otherwise auto-reverse for w <= 0 (sequence(1,0) = [1,0]) and
+    * fabricate phantom rows from over-retracted input. Over-retraction is
+    * a caller bug; detect it with `assertNonNegative` where it matters.
     */
   def toMultiset(df: DataFrame): DataFrame = {
     val keys = dataCols(df)
-    df.withColumn("__i", explode(sequence(lit(1), col(W).cast("int"))))
+    df.filter(col(W) > 0)
+      .withColumn("__i", explode(sequence(lit(1), col(W).cast("int"))))
       .select(keys.map(col): _*)
+  }
+
+  /** Fail fast if any consolidated weight is negative (over-retraction). */
+  def assertNonNegative(df: DataFrame): DataFrame = {
+    val bad = df.filter(col(W) < 0).limit(1).count()
+    require(bad == 0, s"Z-set contains negative weights (over-retraction)")
+    df
   }
 }

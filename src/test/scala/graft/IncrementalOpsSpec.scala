@@ -50,12 +50,26 @@ class IncrementalOpsSpec extends SparkSpec {
   test("generalAggStep min/max correct under retraction of the extremum") {
     val d1 = Seq(("a", 10L, 1L), ("a", 99L, 1L)).toDF("k", "v", ZSets.W)
     val d2 = Seq(("a", 99L, -1L)).toDF("k", "v", ZSets.W) // retract the max
-    val (st1, out1) = IncrementalOps.generalAggStep(None, d1, Seq("k"),
+    val r1 = IncrementalOps.generalAggStep(None, d1, Seq("k"),
       Seq(min(col("v")).as("mn"), max(col("v")).as("mx")))
-    assert(out1.as[(String, Long, Long)].collect() === Array(("a", 10L, 99L)))
-    val (_, out2) = IncrementalOps.generalAggStep(Some(st1), d2, Seq("k"),
+    assert(r1.rows.as[(String, Long, Long)].collect() === Array(("a", 10L, 99L)))
+    val r2 = IncrementalOps.generalAggStep(Some(r1.state), d2, Seq("k"),
       Seq(min(col("v")).as("mn"), max(col("v")).as("mx")))
-    assert(out2.as[(String, Long, Long)].collect() === Array(("a", 10L, 10L)))
+    assert(r2.rows.as[(String, Long, Long)].collect() === Array(("a", 10L, 10L)))
+    assert(r2.deletedGroups.count() === 0)
+  }
+
+  test("generalAggStep reports groups whose multiset empties as deleted") {
+    val d1 = Seq(("a", 10L, 1L), ("b", 5L, 1L)).toDF("k", "v", ZSets.W)
+    val d2 = Seq(("a", 10L, -1L)).toDF("k", "v", ZSets.W) // empty group a
+    val r1 = IncrementalOps.generalAggStep(None, d1, Seq("k"),
+      Seq(max(col("v")).as("mx")))
+    val r2 = IncrementalOps.generalAggStep(Some(r1.state), d2, Seq("k"),
+      Seq(max(col("v")).as("mx")))
+    assert(r2.rows.count() === 0) // no surviving rows for touched group a
+    assert(r2.deletedGroups.as[String].collect() === Array("a"))
+    // untouched group b is still in state
+    assert(r2.state.filter(col("k") === "b").count() === 1)
   }
 
   test("distinctStep emits only sign transitions") {
