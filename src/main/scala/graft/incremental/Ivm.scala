@@ -1,0 +1,216 @@
+package graft.incremental
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** View-shape classifier for incremental view maintenance — the Spark
+  * analogue of the reference compiler's incrementalization pass
+  * (sql-to-dbsp-compiler CircuitOptimizer IncrementalizeVisitor; SURVEY
+  * §4.2 D∘Q∘I). Each view's ANALYZED Catalyst plan is classified once;
+  * [[graft.runtime.Pipeline.step]] then evaluates the cheapest exact
+  * delta rule the shape admits:
+  *
+  *  - [[Linear]]   Q(S + Δ) = Q(S) + Q(Δ): project/filter/unnest/union
+  *    commute with differentiation — evaluate the view SQL over the delta
+  *    multisets alone (reference: linear operators stay unchanged under
+  *    incrementalization, DBSPMapOperator et al.).
+  *  - [[Multilinear]] join chains: Δ(r1⋈…⋈rk) telescopes into k terms,
+  *    term i binding r_j→new (j<i), r_i→Δ_i, r_j→old (j>i). Each term
+  *    probes big snapshots with a broadcast delta — the reference's
+  *    delta-probes-trace join (crates/dbsp/src/operator/dynamic/join.rs:1358).
+  *    Inner/cross only (outer joins are not bilinear); every relation must
+  *    appear exactly once and no union/constant branches (the delta rule
+  *    needs Q homogeneous-linear in each slot).
+  *  - [[GroupAgg]]  a single Aggregate/DISTINCT over a linear single-source
+  *    child: re-evaluate the view over the snapshot semi-restricted to the
+  *    groups touched by the delta (aggregate-over-trace,
+  *    crates/dbsp/src/operator/dynamic/aggregate.rs:209). Exact for ANY
+  *    aggregate function, including MIN/MAX under retraction.
+  *  - [[Opaque]]   anything else: recompute-and-diff fallback.
+  *
+  * Aggregates over joins classify Opaque by design: declare the join as its
+  * own (multilinear) LOCAL VIEW and aggregate over that — mirroring the
+  * reference where every operator is a separate circuit node.
+  */
+object Ivm {
+
+  sealed trait Shape
+  /** Relations referenced (each may appear any number of times). */
+  final case class Linear(relations: Set[String]) extends Shape
+  /** Relations in first-appearance order, each exactly once. */
+  final case class Multilinear(relations: Seq[String]) extends Shape
+  /** Single-source aggregate: `groupCols` name the grouping keys on the
+    * SOURCE relation, `outCols` the same keys in the VIEW output schema
+    * (positionally aligned). Empty groupCols = global aggregate (state-wide
+    * re-eval; one group).
+    */
+  final case class GroupAgg(relation: String, groupCols: Seq[String],
+      outCols: Seq[String]) extends Shape
+  case object Opaque extends Shape
+
+  /** Classify a view body. `known` = names of program tables and earlier
+    * views (all registered as temp views at call time).
+    */
+  def classify(spark: SparkSession, sql: String,
+      known: Set[String]): Shape = {
+    val plan = spark.sql(sql).queryExecution.analyzed
+    def leaf(p: LogicalPlan): Option[String] = p match {
+      case s: SubqueryAlias if known(s.alias.toLowerCase) =>
+        Some(s.alias.toLowerCase)
+      case _ => None
+    }
+    classifyPlan(plan, leaf)
+  }
+
+  private def classifyPlan(plan: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Shape = {
+    linearRels(plan, leaf) match {
+      case Some(rels) if rels.nonEmpty => Linear(rels)
+      case _ =>
+        aggShape(plan, leaf)
+          .orElse(multiShape(plan, leaf))
+          .getOrElse(Opaque)
+    }
+  }
+
+  /** No correlated/scalar subqueries hiding in this node's expressions. */
+  private def noSubquery(p: LogicalPlan): Boolean =
+    p.expressions.forall(e => !e.exists(_.isInstanceOf[PlanExpression[_]]))
+
+  /** Subtree built only from weight-linear nodes → referenced relations. */
+  private def linearRels(p: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Option[Set[String]] =
+    leaf(p) match {
+      case Some(n) => Some(Set(n))
+      case None => p match {
+        case _: Project | _: Filter | _: Generate | _: Union |
+             _: SubqueryAlias | _: View if noSubquery(p) =>
+          p.children.foldLeft(Option(Set.empty[String])) { (acc, c) =>
+            acc.flatMap(s => linearRels(c, leaf).map(s ++ _))
+          }
+        case _ => None
+      }
+    }
+
+  /** Pure inner/cross join chain over linear single-relation legs; no
+    * unions or constants (homogeneous multilinearity). Returns relations
+    * in first-appearance order; duplicates → None.
+    */
+  private def multiRels(p: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Option[Seq[String]] =
+    leaf(p) match {
+      case Some(n) => Some(Seq(n))
+      case None => p match {
+        case j: Join
+            if (j.joinType == Inner || j.joinType == Cross) && noSubquery(j) =>
+          for (l <- multiRels(j.left, leaf); r <- multiRels(j.right, leaf))
+            yield l ++ r
+        case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+             _: View if noSubquery(p) && p.children.size == 1 =>
+          multiRels(p.children.head, leaf)
+        case _ => None
+      }
+    }
+
+  private def multiShape(p: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Option[Shape] =
+    multiRels(p, leaf).filter(rs => rs.distinct.size == rs.size && rs.size >= 2)
+      .map(Multilinear)
+
+  /** Grouping-key core found under Project/Filter wrappers: source
+    * relation, base-column names of the keys, and the keys' exprIds at the
+    * current plan's output.
+    */
+  private final case class AggCore(relation: String, groupCols: Seq[String],
+      outIds: Seq[ExprId])
+
+  private def aggShape(plan: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Option[Shape] =
+    findCore(plan, leaf).flatMap { core =>
+      val names = core.outIds.map(id =>
+        plan.output.find(_.exprId == id).map(_.name))
+      if (names.forall(_.isDefined))
+        Some(GroupAgg(core.relation, core.groupCols, names.map(_.get)))
+      else None
+    }
+
+  private def findCore(p: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Option[AggCore] = p match {
+    case Project(projList, child) if noSubquery(p) =>
+      findCore(child, leaf).flatMap { core =>
+        val remapped = core.outIds.map { id =>
+          projList.collectFirst {
+            case ar: AttributeReference if ar.exprId == id => ar.exprId
+            case a @ Alias(ar: AttributeReference, _) if ar.exprId == id =>
+              a.exprId
+          }
+        }
+        if (remapped.forall(_.isDefined))
+          Some(core.copy(outIds = remapped.map(_.get)))
+        else None
+      }
+    case Filter(_, child) if noSubquery(p) => findCore(child, leaf)
+    case s: SubqueryAlias if leaf(s).isEmpty => findCore(s.child, leaf)
+    case agg: Aggregate if noSubquery(agg) =>
+      buildAggCore(agg.groupingExpressions, agg.aggregateExpressions,
+        agg.child, leaf)
+    case d: Distinct =>
+      // SELECT DISTINCT = group by every output column, no agg exprs
+      val attrs = d.child.output
+      buildAggCore(attrs, attrs, d.child, leaf)
+    case _ => None
+  }
+
+  private def buildAggCore(groupingExprs: Seq[Expression],
+      resultExprs: Seq[NamedExpression], child: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Option[AggCore] = {
+    // the child must be linear over exactly one relation
+    linearRels(child, leaf).filter(_.size == 1).flatMap { rels =>
+      val groupAttrs = groupingExprs.map {
+        case ar: AttributeReference => Some(ar)
+        case _ => None
+      }
+      if (!groupAttrs.forall(_.isDefined)) None
+      else {
+        val attrs = groupAttrs.map(_.get)
+        val base = attrs.map(a => resolveDown(a, child, leaf))
+        // each grouping key must surface in the aggregate output
+        val outIds = attrs.map { a =>
+          resultExprs.collectFirst {
+            case ar: AttributeReference if ar.exprId == a.exprId => ar.exprId
+            case al @ Alias(ar: AttributeReference, _)
+                if ar.exprId == a.exprId => al.exprId
+          }
+        }
+        if (base.forall(_.isDefined) && outIds.forall(_.isDefined))
+          Some(AggCore(rels.head, base.map(_.get), outIds.map(_.get)))
+        else None
+      }
+    }
+  }
+
+  /** Trace an attribute down a linear chain to its base-relation column
+    * name (through Project aliases of plain columns; computed columns or
+    * unions → None).
+    */
+  private def resolveDown(attr: Attribute, p: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Option[String] =
+    leaf(p) match {
+      case Some(_) => p.output.find(_.exprId == attr.exprId).map(_.name)
+      case None => p match {
+        case Project(projList, child) =>
+          projList.find(_.exprId == attr.exprId).flatMap {
+            case ar: AttributeReference => resolveDown(ar, child, leaf)
+            case Alias(ar: AttributeReference, _) => resolveDown(ar, child, leaf)
+            case _ => None
+          }
+        case Filter(_, child) => resolveDown(attr, child, leaf)
+        case g: Generate => resolveDown(attr, g.child, leaf)
+        case s: SubqueryAlias => resolveDown(attr, s.child, leaf)
+        case v: View => resolveDown(attr, v.child, leaf)
+        case _ => None
+      }
+    }
+}

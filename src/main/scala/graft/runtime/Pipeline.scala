@@ -3,7 +3,12 @@ package graft.runtime
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
 import graft.ddl.Ddl
+import graft.incremental.{IncrementalOps, Ivm}
+import graft.types.SqlTypes
 import graft.zset.ZSets
 
 /** Program runner (SURVEY §3.1/§7.1 runtime/): tables + views → executed
@@ -17,26 +22,67 @@ import graft.zset.ZSets
   *    (topological registration), so nested views share Catalyst-optimized
   *    subplans — the CSE the reference gets from its circuit
   *    (CircuitOptimizer CSE pass :102,156).
-  *  - `step`: consume Z-set deltas per table, maintain a materialized
-  *    snapshot per table, re-evaluate views, and emit per-view output
-  *    deltas (new vs old Z-set difference). The final-state-equals-batch
-  *    contract (README.md:67-70) holds by construction and is asserted in
+  *  - `step`: true incremental view maintenance. Each view is classified
+  *    ONCE by [[Ivm.classify]] and maintained by the cheapest exact delta
+  *    rule its shape admits (linear pass-through, multilinear join terms,
+  *    touched-group re-aggregation) — recompute-and-diff only as the
+  *    Opaque fallback. Per-step SHUFFLE is O(|delta|) for the non-opaque
+  *    shapes: state is only broadcast-probed or rewritten scan-side, never
+  *    re-shuffled (PipelineIvmSpec meters this). The
+  *    final-state-equals-batch contract (README.md:67-70) is asserted in
   *    PipelineSpec.
   *
-  * Scale: snapshots would live as bucketed Delta/parquet tables rather
-  * than cached DataFrames; the view-diff becomes MERGE on the bucket key.
-  * LATENESS columns (Ddl.ColumnDef.lateness) map to withWatermark in the
-  * streaming path (graft.streaming.Streams.withLateness).
+  * Scale: snapshots live as localCheckpoint'd DataFrames here; on a
+  * cluster they would be key-bucketed Delta/parquet tables and the
+  * scan-side state rewrite becomes a bucket-pruned MERGE. LATENESS columns
+  * (Ddl.ColumnDef.lateness) map to withWatermark in the streaming path
+  * (graft.streaming.Streams.withLateness).
   */
 final class Pipeline(spark: SparkSession, program: Ddl.Program) {
 
   graft.functions.Registry.registerAll(spark)
 
-  private val snapshots = mutable.Map[String, DataFrame]()
-  private val lastViewState = mutable.Map[String, DataFrame]()
+  /** Z-set snapshots: tables AND view outputs, consolidated. */
+  private val tableState = mutable.Map[String, DataFrame]()
+  private val viewState = mutable.Map[String, DataFrame]()
+
+  private val tableNames = program.tables.map(_.name)
+
+  /** Empty relation per table from its DDL schema (used for binding
+    * relations that have received no data yet, and for classification).
+    */
+  private val emptyTables: Map[String, DataFrame] = program.tables.map { t =>
+    val schema = StructType(t.columns.map(c =>
+      org.apache.spark.sql.types.StructField(
+        c.name, SqlTypes.toSpark(c.sqlType), nullable = !c.notNull)))
+    t.name -> spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }.toMap
+
+  /** View shapes + empty outputs, classified once against empty bindings
+    * (shape depends on plan structure, not data).
+    */
+  private val (shapes: Map[String, Ivm.Shape],
+      emptyViews: Map[String, DataFrame]) = {
+    emptyTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    val sh = mutable.Map[String, Ivm.Shape]()
+    val ev = mutable.Map[String, DataFrame]()
+    val known = mutable.Set[String]() ++ tableNames
+    program.views.foreach { v =>
+      sh(v.name) = Ivm.classify(spark, v.sql, known.toSet)
+      val out = spark.sql(v.sql).limit(0).localCheckpoint(true)
+      out.createOrReplaceTempView(v.name)
+      ev(v.name) = out
+      known += v.name
+    }
+    (sh.toMap, ev.toMap)
+  }
 
   /** Current materialized snapshot of a table (empty before first delta). */
-  def snapshot(table: String): Option[DataFrame] = snapshots.get(table)
+  def snapshot(table: String): Option[DataFrame] = tableState.get(table)
+
+  /** The IVM shape chosen for a view (exposed for tests/introspection). */
+  def shapeOf(view: String): Ivm.Shape = shapes(view)
 
   /** Register table snapshots as temp views, then evaluate each view in
     * declaration order (later views may reference earlier ones).
@@ -50,46 +96,171 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     }.toMap
   }
 
+  private def emptyOf(rel: String): DataFrame =
+    emptyTables.getOrElse(rel, emptyViews(rel))
+
+  /** Multiset form of a relation's Z-set state under `states`. */
+  private def multisetOf(rel: String,
+      states: collection.Map[String, DataFrame]): DataFrame =
+    states.get(rel).map(ZSets.toMultiset).getOrElse(emptyOf(rel))
+
+  private def stateOrEmpty(states: collection.Map[String, DataFrame],
+      rel: String): DataFrame =
+    states.getOrElse(rel, ZSets.lift(emptyOf(rel)).limit(0))
+
+  /** Evaluate the view SQL with explicit relation bindings (overwrites the
+    * session temp views; `step` re-registers canonical views at the end).
+    */
+  private def evalWith(sql: String,
+      bindings: Map[String, DataFrame]): DataFrame = {
+    bindings.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    spark.sql(sql)
+  }
+
   /** One incremental step: apply Z-set deltas (must carry `_w`) to table
-    * snapshots, re-evaluate views over the new snapshots, and return
-    * per-view OUTPUT DELTAS (Z-sets). Upsert tables (PRIMARY KEY) should
+    * snapshots, maintain every view by its IVM shape, and return per-view
+    * OUTPUT DELTAS (Z-sets). Upsert tables (PRIMARY KEY) should
     * pre-convert via graft.streaming.Upsert.
     */
   def step(deltas: Map[String, DataFrame]): Map[String, DataFrame] = {
+    // pre-step snapshots ("old" side of the multilinear terms)
+    val oldTables = tableState.toMap
+    val oldViews = viewState.toMap
+    val oldStates = oldTables ++ oldViews
+
+    // 1. integrate table deltas — mergeDelta touches only delta keys
+    val relDeltas = mutable.Map[String, DataFrame]()
     deltas.foreach { case (name, d) =>
-      val merged = snapshots.get(name) match {
-        case Some(prev) => ZSets.consolidate(prev.unionByName(d))
-        case None => ZSets.consolidate(d)
-      }
-      val mat = materialize(merged)
-      snapshots(name) = mat
+      val dCon = ZSets.consolidate(d).localCheckpoint(true)
+      relDeltas(name) = dCon
+      tableState(name) = (tableState.get(name) match {
+        case Some(prev) => IncrementalOps.mergeDelta(prev, dCon)
+        case None => dCon
+      }).localCheckpoint(true)
     }
-    // plain relations for view evaluation
-    snapshots.foreach { case (n, z) =>
-      ZSets.toMultiset(z).createOrReplaceTempView(n)
-    }
-    program.views.map { v =>
-      val now = materialize(spark.sql(v.sql))
-      now.createOrReplaceTempView(v.name)
-      val delta = lastViewState.get(v.name) match {
-        case Some(prev) =>
-          ZSets.consolidate(
-            ZSets.lift(now).unionByName(ZSets.negate(ZSets.lift(prev))))
-        case None => ZSets.lift(now)
+
+    // 2. maintain views in declaration order
+    val newStates = mutable.Map[String, DataFrame]() ++ tableState ++ viewState
+    val out = program.views.map { v =>
+      val rawDelta = shapes(v.name) match {
+        case Ivm.Linear(rels) =>
+          evalLinear(v.sql, rels, relDeltas)
+        case Ivm.Multilinear(rels) if rels.exists(relDeltas.contains) =>
+          evalMultilinear(v.sql, rels, relDeltas, oldStates, newStates)
+        case Ivm.Multilinear(_) => ZSets.lift(emptyViews(v.name))
+        case Ivm.GroupAgg(rel, groupCols, outCols)
+            if relDeltas.contains(rel) =>
+          evalGroupAgg(v.sql, rel, groupCols, outCols, relDeltas(rel),
+            newStates, oldViews.get(v.name))
+        case Ivm.GroupAgg(_, _, _) => ZSets.lift(emptyViews(v.name))
+        case Ivm.Opaque =>
+          recomputeDiff(v.sql, newStates, oldViews.get(v.name))
       }
-      lastViewState(v.name) = now
-      v.name -> delta
+      val vDelta = ZSets.consolidate(rawDelta).localCheckpoint(true)
+      val newView = (viewState.get(v.name) match {
+        case Some(prev) => IncrementalOps.mergeDelta(prev, vDelta)
+        case None => vDelta
+      }).localCheckpoint(true)
+      viewState(v.name) = newView
+      newStates(v.name) = newView
+      relDeltas(v.name) = vDelta
+      v.name -> vDelta
     }.toMap
+
+    // 3. restore canonical temp views (multiset form) for adHoc/runBatch
+    (tableNames ++ program.views.map(_.name)).foreach { n =>
+      multisetOf(n, newStates).createOrReplaceTempView(n)
+    }
+    out
+  }
+
+  /** Linear: Q(Δ) directly — bind every referenced relation to its delta
+    * (positive part, then negated negative part). One row in, its rows
+    * out; nothing touches state.
+    */
+  private def evalLinear(sql: String, rels: Set[String],
+      relDeltas: collection.Map[String, DataFrame]): DataFrame = {
+    def part(sign: DataFrame => DataFrame): Map[String, DataFrame] =
+      rels.map(r => r -> relDeltas.get(r)
+        .map(d => ZSets.toMultiset(sign(d)))
+        .getOrElse(emptyOf(r))).toMap
+    val pos = ZSets.lift(evalWith(sql, part(identity)))
+    val neg = ZSets.negate(ZSets.lift(evalWith(sql, part(ZSets.negate))))
+    pos.unionByName(neg)
+  }
+
+  /** Multilinear telescoping: term i binds r_j→new (j<i), Δ_i (broadcast),
+    * r_j→old (j>i). Snapshots are probed by the broadcast delta — no
+    * state shuffle.
+    */
+  private def evalMultilinear(sql: String, rels: Seq[String],
+      relDeltas: collection.Map[String, DataFrame],
+      oldStates: collection.Map[String, DataFrame],
+      newStates: collection.Map[String, DataFrame]): DataFrame = {
+    val terms = rels.zipWithIndex.flatMap { case (ri, i) =>
+      relDeltas.get(ri).toSeq.flatMap { d =>
+        def bind(delta: DataFrame): Map[String, DataFrame] =
+          rels.zipWithIndex.map { case (rj, j) =>
+            rj -> (if (j < i) multisetOf(rj, newStates)
+              else if (j > i) multisetOf(rj, oldStates)
+              else delta.hint("broadcast"))
+          }.toMap
+        val pos = ZSets.toMultiset(d)
+        val neg = ZSets.toMultiset(ZSets.negate(d))
+        Seq(
+          ZSets.lift(evalWith(sql, bind(pos))),
+          ZSets.negate(ZSets.lift(evalWith(sql, bind(neg)))))
+      }
+    }
+    terms.reduce(_ unionByName _)
+  }
+
+  /** Touched-group re-aggregation: restrict the source snapshot to groups
+    * present in the delta (broadcast semi-probe), re-run the view SQL over
+    * the restriction, and retract the old output rows of those groups.
+    * Exact for any aggregate; global aggregates (no keys) re-evaluate the
+    * single group.
+    */
+  private def evalGroupAgg(sql: String, rel: String, groupCols: Seq[String],
+      outCols: Seq[String], delta: DataFrame,
+      newStates: collection.Map[String, DataFrame],
+      oldView: Option[DataFrame]): DataFrame = {
+    val snap = stateOrEmpty(newStates, rel)
+    val old = oldView.getOrElse(
+      ZSets.lift(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        evalWith(sql, Map(rel -> emptyOf(rel))).schema)))
+    if (groupCols.isEmpty) {
+      // global aggregate: one group, always touched
+      val newRows = evalWith(sql, Map(rel -> ZSets.toMultiset(snap)))
+      ZSets.lift(newRows).unionByName(ZSets.negate(old))
+    } else {
+      val touched = delta.select(groupCols.map(col): _*).distinct()
+      val (restricted, _) = IncrementalOps.splitTouched(snap, touched, groupCols)
+      val newRows = evalWith(sql, Map(rel -> ZSets.toMultiset(restricted)))
+      val touchedOut = touched.toDF(outCols: _*)
+      val (oldTouched, _) = IncrementalOps.splitTouched(old, touchedOut, outCols)
+      ZSets.lift(newRows).unionByName(ZSets.negate(oldTouched))
+    }
+  }
+
+  /** Opaque fallback: evaluate over full new snapshots, diff against the
+    * previous output (the only shape paying O(|state|) per step).
+    */
+  private def recomputeDiff(sql: String,
+      newStates: collection.Map[String, DataFrame],
+      oldView: Option[DataFrame]): DataFrame = {
+    val rels = (tableNames ++ program.views.map(_.name)).toSet
+    val bindings = rels.map(r => r -> multisetOf(r, newStates)).toMap
+    val now = ZSets.lift(evalWith(sql, bindings))
+    oldView match {
+      case Some(prev) => now.unionByName(ZSets.negate(prev))
+      case None => now
+    }
   }
 
   /** Ad-hoc SQL over materialized views/tables (entry point B, §3.2). */
   def adHoc(sql: String): DataFrame = spark.sql(sql)
-
-  private def materialize(df: DataFrame): DataFrame = {
-    val rdd = df.rdd
-    rdd.cache()
-    spark.createDataFrame(rdd, df.schema)
-  }
 }
 
 object Pipeline {

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.incremental.Ivm
+import graft.runtime.Pipeline
+import graft.zset.ZSets
+
+/** IVM planner: shape classification, exactness of each delta rule against
+  * batch recompute, and the scale contract (step shuffle independent of
+  * snapshot size) for the non-opaque shapes.
+  */
+class PipelineIvmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val programSql =
+    """CREATE TABLE orders (o_id BIGINT NOT NULL, o_cust BIGINT, o_amt DOUBLE);
+      |CREATE TABLE customer (c_id BIGINT NOT NULL, c_name VARCHAR);
+      |CREATE LOCAL VIEW big AS SELECT o_id, o_cust, o_amt FROM orders WHERE o_amt > 10;
+      |CREATE LOCAL VIEW joined AS
+      |  SELECT o.o_id, o.o_amt, c.c_name
+      |  FROM big o JOIN customer c ON o.o_cust = c.c_id;
+      |CREATE VIEW amt_by_cust AS
+      |  SELECT o_cust, COUNT(*) AS n, SUM(o_amt) AS total, MAX(o_amt) AS mx
+      |  FROM big GROUP BY o_cust;
+      |CREATE VIEW dnames AS SELECT DISTINCT c_name FROM customer;
+      |CREATE VIEW opaque_topk AS
+      |  SELECT o_cust, o_amt FROM big ORDER BY o_amt DESC LIMIT 5;""".stripMargin
+
+  private def orders(n: Int): DataFrame =
+    spark.range(n.toLong).select(col("id").as("o_id"),
+      (col("id") % 50).as("o_cust"),
+      (col("id") % 100 + 11).cast("double").as("o_amt"))
+
+  private def customers(n: Int): DataFrame =
+    spark.range(n.toLong).select(col("id").as("c_id"),
+      concat(lit("c"), col("id") % 40).as("c_name"))
+
+  test("views classify to the expected IVM shapes") {
+    val pipe = Pipeline(spark, programSql)
+    assert(pipe.shapeOf("big") === Ivm.Linear(Set("orders")))
+    assert(pipe.shapeOf("joined") === Ivm.Multilinear(Seq("big", "customer")))
+    assert(pipe.shapeOf("amt_by_cust")
+      === Ivm.GroupAgg("big", Seq("o_cust"), Seq("o_cust")))
+    assert(pipe.shapeOf("dnames")
+      === Ivm.GroupAgg("customer", Seq("c_name"), Seq("c_name")))
+    assert(pipe.shapeOf("opaque_topk") === Ivm.Opaque)
+  }
+
+  test("incremental maintenance equals batch recompute for every shape") {
+    val pipe = Pipeline(spark, programSql)
+    val o = orders(500).localCheckpoint(true)
+    val c = customers(60).localCheckpoint(true)
+    // step 1: inserts; step 2: mixed insert+retract touching both tables
+    pipe.step(Map(
+      "orders" -> ZSets.lift(o.filter(col("o_id") % 3 =!= 0)),
+      "customer" -> ZSets.lift(c.filter(col("c_id") < 50))))
+    pipe.step(Map(
+      "orders" -> ZSets.lift(o.filter(col("o_id") % 3 === 0))
+        .unionByName(ZSets.negate(ZSets.lift(o.filter(col("o_id") % 7 === 0)))),
+      "customer" -> ZSets.lift(c.filter(col("c_id") >= 50))
+        .unionByName(ZSets.negate(ZSets.lift(c.filter(col("c_id") % 11 === 3))))))
+
+    val batch = Pipeline(spark, programSql).runBatch(Map(
+      "orders" -> o.filter(col("o_id") % 3 =!= 0 || col("o_id") % 3 === 0)
+        .filter(col("o_id") % 7 =!= 0),
+      "customer" -> c.filter(col("c_id") % 11 =!= 3)))
+
+    for (v <- Seq("big", "joined", "amt_by_cust", "dnames")) {
+      val inc = pipe.adHoc(s"SELECT * FROM $v")
+      val exp = batch(v)
+      assert(inc.exceptAll(exp).isEmpty && exp.exceptAll(inc).isEmpty,
+        s"view $v diverged from batch recompute")
+    }
+  }
+
+  test("agg view emits retraction-formed deltas incl. group tombstones") {
+    val sql =
+      """CREATE TABLE t (k VARCHAR, v BIGINT);
+        |CREATE VIEW m AS SELECT k, MAX(v) AS mx FROM t GROUP BY k;""".stripMargin
+    val pipe = Pipeline(spark, sql)
+    val d1 = pipe.step(Map("t" -> Seq(("a", 1L, 1L), ("b", 9L, 1L))
+      .toDF("k", "v", ZSets.W)))("m")
+    assert(d1.orderBy("k").as[(String, Long, Long)].collect()
+      === Array(("a", 1L, 1L), ("b", 9L, 1L)))
+    // retract all of group b → tombstone (-1) for its old row, no new row
+    val d2 = pipe.step(Map("t" -> Seq(("b", 9L, -1L))
+      .toDF("k", "v", ZSets.W)))("m")
+    assert(d2.as[(String, Long, Long)].collect() === Array(("b", 9L, -1L)))
+    assert(pipe.adHoc("SELECT * FROM m").as[(String, Long)].collect()
+      === Array(("a", 1L)))
+  }
+
+  private class ShuffleMeter extends SparkListener {
+    @volatile var records: Long = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      records += sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+  }
+
+  private def meter(action: => Unit): Long = {
+    val m = new ShuffleMeter
+    spark.sparkContext.addSparkListener(m)
+    try {
+      action
+      org.apache.spark.graft.TestShims.drainListenerBus(spark.sparkContext)
+      m.records
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
+  test("step shuffle volume is independent of snapshot size (IVM contract)") {
+    // program without the Opaque view (recompute-and-diff is O(state) by design)
+    val ivmOnly = programSql.split('\n')
+      .takeWhile(!_.contains("opaque_topk")).mkString("\n").stripSuffix(";") + ";"
+    def seeded(n: Int): Pipeline = {
+      val p = Pipeline(spark, ivmOnly)
+      p.step(Map("orders" -> ZSets.lift(orders(n)),
+        "customer" -> ZSets.lift(customers(60))))
+      p
+    }
+    val delta = ZSets.lift(orders(12).withColumn("o_id", col("o_id") + 1000000))
+      .localCheckpoint(true)
+    def one(p: Pipeline): Unit = p.step(Map("orders" -> delta))
+    val small = { val p = seeded(2000); meter(one(p)) }
+    val large = { val p = seeded(40000); meter(one(p)) }
+    assert(large <= small + 100,
+      s"step shuffle grew with snapshot: small=$small large=$large")
+  }
+}
