@@ -1,28 +1,30 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
 
 /** Keyed stateful operators for the retraction-correct streaming cases the
   * built-in operators can't express (SURVEY §7.4 "hard parts"):
   *
   *  - streaming TopK per key under inserts AND deletes (reference:
   *    DBSPIndexedTopKOperator.java:29 / group/topk.rs) — state is a
-  *    bounded sorted multiset per key;
+  *    value→multiplicity multiset per key;
   *  - retractable MIN/MAX (reference: chain_aggregate.rs is append-only;
   *    the general path keeps the group multiset — dynamic/aggregate/
-  *    min.rs/max.rs) — state is a value→multiplicity map per key.
+  *    min.rs/max.rs).
   *
   * Both consume weighted changes (value, ±weight) — the output of
   * `Upsert.toChangelog` or any Z-set delta stream — and emit the new
-  * per-key result each time it changes. State lives in the Spark state
-  * store (RocksDB-backed at scale), partitioned by key hash: the same
-  * layout as the reference's per-key traces.
+  * per-key result each time it changes.
   *
-  * For the unbounded-retraction TopK, the state keeps the FULL per-key
-  * multiset (as the reference does — a deleted element can promote any
-  * element back into the top k). Callers with append-only inputs should
-  * use plain windowed rank (win_topk) instead.
+  * Implementation: `transformWithState` with a [[MapState]] keyed by VALUE,
+  * so state I/O is per-entry (RocksDB point put/delete per changed value),
+  * not a whole-multiset blob rewrite per batch — the same trace layout as
+  * the reference's per-key indexed Z-sets. An optional [[TTLConfig]] maps
+  * the reference's state-retention conventions (retain_keys/values) onto
+  * the state store's native TTL GC. Requires the RocksDB state store
+  * provider (`spark.sql.streaming.stateStore.providerClass`), which is the
+  * at-scale configuration anyway.
   */
 object StatefulOps {
 
@@ -30,42 +32,70 @@ object StatefulOps {
   final case class TopK[K](key: K, topk: Seq[Long])
   final case class MinMax[K](key: K, min: Long, max: Long, empty: Boolean)
 
-  /** Streaming TopK (ascending) per key over a change stream. */
-  def topK[K](changes: Dataset[Change[K]], k: Int)(
-      implicit kEnc: Encoder[K],
-      stEnc: Encoder[Map[Long, Long]],
-      outEnc: Encoder[TopK[K]]): Dataset[TopK[K]] =
-    changes.groupByKey(_.key)
-      .mapGroupsWithState[Map[Long, Long], TopK[K]](
-        GroupStateTimeout.NoTimeout) {
-        (key: K, rows: Iterator[Change[K]], state: GroupState[Map[Long, Long]]) =>
-          val mult = applyChanges(state.getOption.getOrElse(Map.empty), rows)
-          state.update(mult)
-          TopK(key, mult.keys.toSeq.sorted.flatMap(v =>
-            Seq.fill(math.min(mult(v), k).toInt)(v)).take(k))
+  /** value→multiplicity multiset in MapState; emits one O per batch per
+    * touched key, computed from a single entry scan.
+    */
+  private final class MultisetProcessor[K, O](
+      emit: (K, Array[(Long, Long)]) => O,
+      ttl: TTLConfig)
+      extends StatefulProcessor[K, Change[K], O] {
+    @transient private var mult: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mult = getHandle.getMapState[Long, Long](
+        "mult", Encoders.scalaLong, Encoders.scalaLong, ttl)
+
+    override def handleInputRows(key: K, rows: Iterator[Change[K]],
+        tv: TimerValues): Iterator[O] = {
+      rows.foreach { c =>
+        val w = (if (mult.containsKey(c.value)) mult.getValue(c.value)
+          else 0L) + c.weight
+        if (w == 0L) mult.removeKey(c.value)
+        else mult.updateValue(c.value, w)
       }
+      Iterator.single(emit(key, mult.iterator().toArray))
+    }
+  }
+
+  /** Streaming TopK (ascending) per key over a change stream. A retraction
+    * can promote any element back into the top k, so the full per-key
+    * multiset is retained (as the reference does); per-batch work is one
+    * scan of the key's entries.
+    */
+  def topK[K](changes: Dataset[Change[K]], k: Int,
+      ttl: TTLConfig = TTLConfig.NONE)(
+      implicit kEnc: Encoder[K], outEnc: Encoder[TopK[K]]): Dataset[TopK[K]] =
+    changes.groupByKey(_.key)
+      .transformWithState(
+        new MultisetProcessor[K, TopK[K]]((key, entries) => {
+          val sorted = entries.sortBy(_._1)
+          val out = Seq.newBuilder[Long]
+          var left = k
+          var i = 0
+          while (left > 0 && i < sorted.length) {
+            val (v, m) = sorted(i)
+            val take = math.min(m, left.toLong).toInt
+            out ++= Seq.fill(take)(v)
+            left -= take
+            i += 1
+          }
+          TopK(key, out.result())
+        }, ttl),
+        TimeMode.None(), OutputMode.Update())
 
   /** Streaming retractable MIN/MAX per key over a change stream. */
-  def minMax[K](changes: Dataset[Change[K]])(
+  def minMax[K](changes: Dataset[Change[K]],
+      ttl: TTLConfig = TTLConfig.NONE)(
       implicit kEnc: Encoder[K],
-      stEnc: Encoder[Map[Long, Long]],
       outEnc: Encoder[MinMax[K]]): Dataset[MinMax[K]] =
     changes.groupByKey(_.key)
-      .mapGroupsWithState[Map[Long, Long], MinMax[K]](
-        GroupStateTimeout.NoTimeout) {
-        (key: K, rows: Iterator[Change[K]], state: GroupState[Map[Long, Long]]) =>
-          val mult = applyChanges(state.getOption.getOrElse(Map.empty), rows)
-          state.update(mult)
-          if (mult.isEmpty) MinMax(key, 0L, 0L, empty = true)
-          else MinMax(key, mult.keys.min, mult.keys.max, empty = false)
-      }
-
-  private def applyChanges[K](init: Map[Long, Long],
-      rows: Iterator[Change[K]]): Map[Long, Long] =
-    rows.foldLeft(init) { (m, c) =>
-      val w = m.getOrElse(c.value, 0L) + c.weight
-      if (w == 0) m - c.value else m.updated(c.value, w)
-    }
+      .transformWithState(
+        new MultisetProcessor[K, MinMax[K]]((key, entries) => {
+          if (entries.isEmpty) MinMax(key, 0L, 0L, empty = true)
+          else MinMax(key, entries.map(_._1).min, entries.map(_._1).max,
+            empty = false)
+        }, ttl),
+        TimeMode.None(), OutputMode.Update())
 
   /** Output mode for these operators in streaming queries. */
   val outputMode: OutputMode = OutputMode.Update
