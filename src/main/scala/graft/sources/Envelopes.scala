@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.zset.ZSets
+
+/** JSON update-envelope decode: raw JSON lines → Z-set delta rows
+  * (`schema` data columns + `_w`).
+  *
+  * Formats mirror the reference's wire contract
+  * (crates/feldera-types/src/format/json.rs:148-160; docs formats/json):
+  *
+  *  - `insert_delete`: `{"insert": {...}}` → +1, `{"delete": {...}}` → −1
+  *  - `weighted`:      `{"weight": n, "data": {...}}` → weight n
+  *  - `raw`:           bare record → +1 (insert-only streams)
+  *  - `snowflake`:     flat record + `__action` ("insert"/"delete")
+  *  - `debezium`:      `{"payload": {"op": c|r|u|d, "before": …, "after": …}}`
+  *                     — `u` emits a retraction of `before` AND an insert
+  *                     of `after`
+  *
+  * Everything is pure column expressions (from_json + explode) — the
+  * decode runs inside whole-stage codegen and scales with the scan; no
+  * UDFs, no driver work. Malformed lines yield null parses and are
+  * dropped, matching the reference's skip-on-error connector default.
+  */
+object Envelopes {
+
+  /** Decode `raw`'s string column `valueCol` in the given update format. */
+  def decodeJson(raw: DataFrame, schema: StructType,
+      format: String, valueCol: String = "value"): DataFrame = {
+    val v = col(valueCol)
+    def finish(entries: Column): DataFrame =
+      raw.select(explode(entries).as("_e"))
+        .where(col("_e.r").isNotNull)
+        .select(schema.fieldNames.map(f => col(s"_e.r.`$f`"))
+          :+ col("_e.w").as(ZSets.W): _*)
+
+    format.toLowerCase match {
+      case "insert_delete" =>
+        val env = StructType(Seq(
+          StructField("insert", schema), StructField("delete", schema)))
+        val p = from_json(v, env)
+        finish(array(
+          struct(p.getField("insert").as("r"), lit(1L).as("w")),
+          struct(p.getField("delete").as("r"), lit(-1L).as("w"))))
+      case "weighted" =>
+        val env = StructType(Seq(
+          StructField("weight", LongType), StructField("data", schema)))
+        val p = from_json(v, env)
+        finish(array(struct(p.getField("data").as("r"),
+          coalesce(p.getField("weight"), lit(1L)).as("w"))))
+      case "raw" =>
+        val p = from_json(v, schema)
+        finish(array(struct(p.as("r"), lit(1L).as("w"))))
+      case "snowflake" =>
+        val env = StructType(schema.fields.toSeq
+          :+ StructField("__action", StringType))
+        val p = from_json(v, env)
+        val row = struct(schema.fieldNames.map(f =>
+          p.getField(f).as(f)): _*)
+        finish(array(struct(row.as("r"),
+          when(p.getField("__action") === "delete", -1L)
+            .otherwise(1L).as("w"))))
+      case "debezium" =>
+        val env = StructType(Seq(StructField("payload", StructType(Seq(
+          StructField("op", StringType),
+          StructField("before", schema), StructField("after", schema))))))
+        val p = from_json(v, env).getField("payload")
+        val op = p.getField("op")
+        finish(array(
+          struct(when(op.isin("d", "u"), p.getField("before")).as("r"),
+            lit(-1L).as("w")),
+          struct(when(op.isin("c", "r", "u"), p.getField("after")).as("r"),
+            lit(1L).as("w"))))
+      case other =>
+        throw new IllegalArgumentException(s"unknown update format: $other")
+    }
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.runtime.{DurableRunner, Pipeline}
+import graft.sources.Envelopes
+import graft.zset.ZSets
+
+/** End-to-end streaming program: file-stream transport, insert_delete
+  * envelope decode, journaled steps, and kill/restart with exactly-once
+  * view contents (the reference's checkpoint + journal FT contract).
+  */
+class DurableRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val programSql =
+    """CREATE TABLE orders (o_id BIGINT NOT NULL, o_cust BIGINT, o_amt DOUBLE);
+      |CREATE VIEW totals AS
+      |  SELECT o_cust, COUNT(*) AS n, SUM(o_amt) AS total
+      |  FROM orders GROUP BY o_cust;""".stripMargin
+
+  test("insert_delete / weighted / debezium / snowflake envelopes decode") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType)))
+    def dec(fmt: String, lines: String*): Set[(Long, String, Long)] =
+      Envelopes.decodeJson(lines.toDF("value"), schema, fmt)
+        .as[(Long, String, Long)].collect().toSet
+
+    assert(dec("insert_delete",
+      """{"insert": {"a": 1, "b": "x"}}""",
+      """{"delete": {"a": 2, "b": "y"}}""")
+      === Set((1L, "x", 1L), (2L, "y", -1L)))
+    assert(dec("weighted",
+      """{"weight": 3, "data": {"a": 5, "b": "z"}}""",
+      """{"weight": -2, "data": {"a": 6, "b": "w"}}""")
+      === Set((5L, "z", 3L), (6L, "w", -2L)))
+    assert(dec("raw", """{"a": 9, "b": "r"}""") === Set((9L, "r", 1L)))
+    assert(dec("snowflake",
+      """{"a": 4, "b": "s", "__action": "insert"}""",
+      """{"a": 5, "b": "t", "__action": "delete"}""")
+      === Set((4L, "s", 1L), (5L, "t", -1L)))
+    assert(dec("debezium",
+      """{"payload": {"op": "c", "after": {"a": 1, "b": "n"}}}""",
+      """{"payload": {"op": "d", "before": {"a": 2, "b": "o"}}}""",
+      """{"payload": {"op": "u", "before": {"a": 3, "b": "p"}, "after": {"a": 3, "b": "q"}}}""")
+      === Set((1L, "n", 1L), (2L, "o", -1L), (3L, "p", -1L), (3L, "q", 1L)))
+  }
+
+  private def writeLines(dir: Path, table: String, file: String,
+      lines: Seq[String]): Unit = {
+    val d = dir.resolve(table)
+    Files.createDirectories(d)
+    Files.write(d.resolve(file), lines.mkString("\n").getBytes)
+  }
+
+  private def ins(id: Long, cust: Long, amt: Double): String =
+    s"""{"insert": {"o_id": $id, "o_cust": $cust, "o_amt": $amt}}"""
+  private def del(id: Long, cust: Long, amt: Double): String =
+    s"""{"delete": {"o_id": $id, "o_cust": $cust, "o_amt": $amt}}"""
+
+  private def runOnce(input: Path, ckpt: Path, state: Path): Unit = {
+    val runner = new DurableRunner(spark, graft.ddl.Ddl.parse(programSql),
+      state.toString)
+    val q = runner.writer(input.toString)((_, _, _) => ())
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // keep this runner's pipeline registered for assertions
+    DurableRunnerSpec.last = runner
+  }
+
+  test("file stream + journal survives kill/restart with exactly-once state") {
+    val input = Files.createTempDirectory("graft_in")
+    val ckpt = Files.createTempDirectory("graft_ckpt")
+    val state = Files.createTempDirectory("graft_state")
+
+    writeLines(input, "orders", "f1.jsonl",
+      Seq(ins(1, 10, 5.0), ins(2, 10, 7.0), ins(3, 20, 1.0)))
+    runOnce(input, ckpt, state)
+    val after1 = DurableRunnerSpec.last.pipeline
+      .adHoc("SELECT * FROM totals").as[(Long, Long, Double)].collect().toSet
+    assert(after1 === Set((10L, 2L, 12.0), (20L, 1L, 1.0)))
+
+    // "crash": discard the runner (in-memory state gone), add more files —
+    // including a retraction — and restart with the same checkpoint+journal
+    writeLines(input, "orders", "f2.jsonl",
+      Seq(del(2, 10, 7.0), ins(4, 20, 2.5)))
+    runOnce(input, ckpt, state)
+    val after2 = DurableRunnerSpec.last.pipeline
+      .adHoc("SELECT * FROM totals").as[(Long, Long, Double)].collect().toSet
+    assert(after2 === Set((10L, 1L, 5.0), (20L, 2L, 3.5)))
+
+    // restart with no new data: replay must be idempotent
+    runOnce(input, ckpt, state)
+    val after3 = DurableRunnerSpec.last.pipeline
+      .adHoc("SELECT * FROM totals").as[(Long, Long, Double)].collect().toSet
+    assert(after3 === after2)
+
+    // batch recompute over all surviving rows agrees (journal = truth)
+    val batch = Pipeline(spark, programSql).runBatch(Map("orders" ->
+      Seq((1L, 10L, 5.0), (3L, 20L, 1.0), (4L, 20L, 2.5))
+        .toDF("o_id", "o_cust", "o_amt")))("totals")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after2 === batch)
+  }
+  test("DDL LATENESS becomes a watermark on a real file-stream source") {
+    val input = Files.createTempDirectory("graft_late_in")
+    val ckpt = Files.createTempDirectory("graft_late_ckpt")
+    val prog = graft.ddl.Ddl.parse(
+      """CREATE TABLE events (ev_ts TIMESTAMP LATENESS INTERVAL 10 SECONDS,
+        |  ev_val BIGINT);""".stripMargin)
+    def row(s: Int, v: Long): String =
+      s"""{"insert": {"ev_ts": "2024-01-01 00:00:${"%02d".format(s)}", "ev_val": $v}}"""
+
+    Files.createDirectories(input.resolve("events"))
+    val src = graft.sources.FileSource.tableStream(spark, input.toString,
+      prog.tables.head)
+    // watermark present on the decoded stream
+    assert(src.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
+
+    val agg = graft.streaming.Streams.tumbleAgg(
+      src.drop(ZSets.W), "ev_ts", "10 seconds", Nil,
+      Seq(sum(col("ev_val")).as("s")))
+    writeLines(input, "events", "b1.jsonl", Seq(row(1, 1), row(5, 2)))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString).start()
+    q.processAllAvailable()
+    // advance watermark past the first window, then send a too-late row
+    writeLines(input, "events", "b2.jsonl", Seq(row(40, 100)))
+    q.processAllAvailable()
+    writeLines(input, "events", "b3.jsonl", Seq(row(2, 50), row(55, 7)))
+    q.processAllAvailable()
+    q.stop()
+    // first window emitted once, WITHOUT the too-late ev_val=50 row
+    val s0 = spark.table("late_out")
+      .filter(col("window_start") === "2024-01-01 00:00:00")
+      .select("s").as[Long].collect()
+    assert(s0 === Array(3L))
+  }
+}
+
+object DurableRunnerSpec {
+  @volatile var last: graft.runtime.DurableRunner = _
+}
