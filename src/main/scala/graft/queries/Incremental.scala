@@ -185,6 +185,40 @@ object Incremental {
         delta.alias("c")
           .join(edges.alias("e"), col("c.dst") === col("e.src"))
           .select(col("c.src").as("src"), col("e.dst").as("dst")))
+    },
+
+    // Mutually recursive views (DECLARE RECURSIVE VIEW over two views,
+    // DBSPNestedOperator.java:30; recursion.mdx): even/odd-distance
+    // reachability from node 0 over a two-generator edge set. The Spark
+    // side runs a true two-view joint fixpoint; DuckDB can't express
+    // mutual CTEs, so the oracle is the parity-tagged single-CTE encoding.
+    Q(
+      "rec_mutual",
+      """WITH RECURSIVE edges AS (
+        |  SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation WHERE n_nationkey + 5 <= 24
+        |  UNION ALL
+        |  SELECT n_nationkey, n_nationkey + 7 FROM nation WHERE n_nationkey + 7 <= 24),
+        |reach(n, p) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.dst, 1 - r.p FROM reach r JOIN edges e ON r.n = e.src)
+        |SELECT DISTINCT n, CASE WHEN p = 0 THEN 'even' ELSE 'odd' END AS parity FROM reach""".stripMargin) { (s, dir) =>
+      val nk = t(s, dir, "nation").select(col("n_nationkey").as("src"))
+      val edges = nk.filter(col("src") + 5 <= 24)
+          .select(col("src"), (col("src") + 5).as("dst"))
+        .unionByName(nk.filter(col("src") + 7 <= 24)
+          .select(col("src"), (col("src") + 7).as("dst")))
+        .localCheckpoint(true)
+      def hop(from: DataFrame): DataFrame =
+        from.join(edges, from("n") === edges("src"))
+          .select(edges("dst").as("n"))
+      val seed = s.range(1).select(lit(0L).as("n"))
+      val fp = Fixpoint.mutual(
+        Map("even" -> seed, "odd" -> seed.limit(0)),
+        Map("even" -> (st => hop(st.deltas("odd"))),
+          "odd" -> (st => hop(st.deltas("even")))))
+      fp("even").select(col("n"), lit("even").as("parity"))
+        .unionByName(fp("odd").select(col("n"), lit("odd").as("parity")))
     }
   )
 }

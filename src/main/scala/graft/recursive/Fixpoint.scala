@@ -1,5 +1,6 @@
 package graft.recursive
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 
 /** Semi-naive fixpoint driver for recursive views (reference:
@@ -9,41 +10,112 @@ import org.apache.spark.sql.DataFrame
   *
   * Spark has no recursion primitive, so the driver iterates: each round
   * applies `step` to the latest delta only (semi-naive), unions new rows,
-  * and stops when the delta is empty. `localCheckpoint` truncates the
-  * lineage each round — without it the plan doubles per iteration and
-  * planning cost explodes; with it each round is a bounded join against
-  * the accumulated set. At scale the accumulator would be bucketed by the
-  * join key so each round's `except` and `step` are co-partitioned.
+  * and stops when the delta is empty. Materializing each round truncates
+  * the lineage — without it the plan doubles per iteration and planning
+  * cost explodes; with it each round is a bounded join against the
+  * accumulated set. Superseded round caches are unpersisted as soon as a
+  * round no longer references them. At scale the accumulator would be
+  * bucketed by the join key so each round's `except` and `step` are
+  * co-partitioned.
   */
 object Fixpoint {
+
+  /** Cut lineage by materializing to a cached RDD (localCheckpoint trips a
+    * Spark 4 attribute-mapping bug on EXCEPT plans; this is equivalent:
+    * the plan behind `df` is evaluated once and iterations restart from a
+    * LogicalRDD). Returns the cache handle so callers can unpersist.
+    */
+  private def materialize(df: DataFrame): (DataFrame, RDD[_]) = {
+    val rdd = df.rdd
+    rdd.cache()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
 
   /** Least fixpoint of `base ∪ step(·)` under set semantics.
     *
     * @param step monotone rule body: given the NEW rows of the last round,
     *             produce candidate rows (may contain duplicates/known rows)
     */
-  /** Cut lineage by materializing to a cached RDD (localCheckpoint trips a
-    * Spark 4 attribute-mapping bug on EXCEPT plans; this is equivalent:
-    * the plan behind `df` is evaluated once and iterations restart from a
-    * LogicalRDD).
-    */
-  private def materialize(df: DataFrame): DataFrame = {
-    val rdd = df.rdd
-    rdd.cache()
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
-
   def semiNaive(base: DataFrame, step: DataFrame => DataFrame,
-      maxIterations: Int = 1000): DataFrame = {
-    var total = materialize(base.distinct())
-    var delta = total
+      maxIterations: Int = 1000): DataFrame =
+    mutual(Map("v" -> base),
+      Map("v" -> ((st: RoundState) => step(st.deltas("v")))),
+      maxIterations)("v")
+
+  /** Per-round bindings handed to each rule body: the accumulated totals
+    * and the rows that are NEW since the previous round, per view.
+    */
+  final case class RoundState(totals: Map[String, DataFrame],
+      deltas: Map[String, DataFrame])
+
+  /** Joint least fixpoint of a VECTOR of mutually recursive views — the
+    * reference's `DECLARE RECURSIVE VIEW` over several views stepped
+    * together inside one nested circuit (DBSPNestedOperator.java:30;
+    * recursion.mdx "mutually recursive"). All views advance in synchronous
+    * rounds (Jacobi iteration); convergence = every view's delta empty in
+    * the same round, checked on the deltas themselves (never inferred from
+    * the iteration counter).
+    *
+    * @param bases non-recursive seed rows per view
+    * @param steps monotone rule body per view; may read any view's totals
+    *              or deltas (semi-naive callers join deltas against static
+    *              relations and other views' totals)
+    */
+  def mutual(bases: Map[String, DataFrame],
+      steps: Map[String, RoundState => DataFrame],
+      maxIterations: Int = 1000): Map[String, DataFrame] = {
+    require(bases.keySet == steps.keySet, "bases/steps views must match")
+    val names = bases.keys.toSeq
+    // one cache slot per (view × {total, delta}); a superseded slot's RDD
+    // is unpersisted once no other slot still points at it (round-1 totals
+    // and deltas share their base cache)
+    val totalRdds = scala.collection.mutable.Map[String, RDD[_]]()
+    val deltaRdds = scala.collection.mutable.Map[String, RDD[_]]()
+    def liveRdds: Set[RDD[_]] =
+      (totalRdds.values ++ deltaRdds.values).toSet
+    def mat(df: DataFrame): (DataFrame, RDD[_]) = {
+      val (out, rdd) = materialize(df)
+      rdd.count() // eager: the cache must be complete before any
+      (out, rdd)  // predecessor cache is released
+    }
+    def retire(old: Option[RDD[_]]): Unit =
+      old.filterNot(liveRdds.contains).foreach(_.unpersist(blocking = false))
+
+    var totals = bases.map { case (n, df) =>
+      val (out, rdd) = mat(df.distinct())
+      totalRdds(n) = rdd; deltaRdds(n) = rdd
+      n -> out
+    }
+    var deltas = totals
+    var converged = names.forall(n => deltas(n).isEmpty)
     var i = 0
-    while (i < maxIterations && !delta.isEmpty) {
-      delta = materialize(step(delta).except(total))
-      if (!delta.isEmpty) total = materialize(total.unionByName(delta))
+    while (i < maxIterations && !converged) {
+      val state = RoundState(totals, deltas)
+      // all candidates evaluate against the PREVIOUS round's state; old
+      // delta caches stay live until every view's step has run
+      val computed = names.map { n =>
+        (n, mat(steps(n)(state).except(totals(n))))
+      }
+      val oldDeltas = names.map(deltaRdds.get)
+      computed.foreach { case (n, (_, rdd)) => deltaRdds(n) = rdd }
+      oldDeltas.foreach(retire)
+      val next = computed.map { case (n, (out, _)) => n -> out }.toMap
+      converged = names.forall(n => next(n).isEmpty)
+      totals = names.map { n =>
+        n -> (if (next(n).isEmpty) totals(n)
+          else {
+            val (out, rdd) = mat(totals(n).unionByName(next(n)))
+            val old = totalRdds.get(n)
+            totalRdds(n) = rdd
+            retire(old)
+            out
+          })
+      }.toMap
+      deltas = next
       i += 1
     }
-    require(i < maxIterations, s"fixpoint did not converge in $maxIterations")
-    total
+    require(converged, s"fixpoint did not converge in $maxIterations rounds")
+    names.foreach(n => retire(deltaRdds.remove(n)))
+    totals
   }
 }

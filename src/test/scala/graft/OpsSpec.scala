@@ -59,4 +59,33 @@ class OpsSpec extends SparkSpec {
     assert(got === Set((1, 2), (2, 3), (3, 4), (10, 11),
       (1, 3), (2, 4), (1, 4)))
   }
+
+  test("Fixpoint.semiNaive converges when fixpoint lands on the last round") {
+    // chain 1→2→3: closure needs exactly 2 productive rounds + 1 empty;
+    // maxIterations=3 exercises the boundary (empty delta on the final
+    // allowed round must count as convergence, not failure)
+    val edges = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val closure = Fixpoint.semiNaive(edges, d =>
+      d.select(col("src").as("s"), col("dst").as("mid"))
+        .join(edges, col("mid") === col("src"))
+        .select(col("s").as("src"), col("dst")),
+      maxIterations = 3)
+    assert(closure.count() === 3)
+  }
+
+  test("Fixpoint.mutual solves two mutually recursive views jointly") {
+    // even/odd distance from 0 over edges {0→1,1→2,2→3,3→1}
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 1)).toDF("src", "dst")
+    def hop(from: org.apache.spark.sql.DataFrame) =
+      from.join(edges, from("n") === edges("src"))
+        .select(edges("dst").as("n"))
+    val seed = Seq(0).toDF("n")
+    val fp = Fixpoint.mutual(
+      Map("even" -> seed, "odd" -> seed.limit(0)),
+      Map("even" -> (st => hop(st.deltas("odd"))),
+        "odd" -> (st => hop(st.deltas("even")))))
+    // cycle 1→2→3→1 has odd length, so 1,2,3 reach both parities
+    assert(fp("even").as[Int].collect().toSet === Set(0, 1, 2, 3))
+    assert(fp("odd").as[Int].collect().toSet === Set(1, 2, 3))
+  }
 }
