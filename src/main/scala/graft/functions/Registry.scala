@@ -48,7 +48,36 @@ object Registry {
     ("split_part_f", "s STRING, d STRING, n INT", "STRING",
       "split_part(s, d, n)"),
     ("bin2utf8", "b BINARY", "STRING", "decode(b, 'UTF-8')"),
-    ("utf82bin", "s STRING", "BINARY", "encode(s, 'UTF-8')"))
+    ("utf82bin", "s STRING", "BINARY", "encode(s, 'UTF-8')"),
+    // VARIANT tail SQL spellings (variant.rs; json.md:78-510). Lambda-taking
+    // functions (VARIANT_FILTER/MAP/MERGE…) live in graft.functions.Variants
+    // — SQL can't pass lambdas through a function boundary; the JSON_EACH
+    // family and VARIANTNULL have no such parameter, so they register here.
+    ("variantnull", "", "VARIANT", "parse_json('null')"),
+    ("json_each_bigint", "v VARIANT", "MAP<STRING,BIGINT>",
+      "transform_values(map_filter(try_cast(v AS MAP<STRING,VARIANT>), " +
+        "(k, x) -> schema_of_variant(x) = 'BIGINT'), " +
+        "(k, x) -> cast(x AS BIGINT))"),
+    ("json_each_string", "v VARIANT", "MAP<STRING,STRING>",
+      "transform_values(map_filter(try_cast(v AS MAP<STRING,VARIANT>), " +
+        "(k, x) -> schema_of_variant(x) = 'STRING'), " +
+        "(k, x) -> cast(x AS STRING))"),
+    ("json_each_boolean", "v VARIANT", "MAP<STRING,BOOLEAN>",
+      "transform_values(map_filter(try_cast(v AS MAP<STRING,VARIANT>), " +
+        "(k, x) -> schema_of_variant(x) = 'BOOLEAN'), " +
+        "(k, x) -> cast(x AS BOOLEAN))"),
+    ("json_each_date", "v VARIANT", "MAP<STRING,DATE>",
+      "transform_values(map_filter(try_cast(v AS MAP<STRING,VARIANT>), " +
+        "(k, x) -> (CASE WHEN schema_of_variant(x) = 'DATE' THEN try_cast(x AS DATE) " +
+        "WHEN schema_of_variant(x) = 'STRING' THEN try_cast(try_cast(x AS STRING) AS DATE) END) IS NOT NULL), " +
+        "(k, x) -> CASE WHEN schema_of_variant(x) = 'DATE' THEN try_cast(x AS DATE) " +
+        "ELSE try_cast(try_cast(x AS STRING) AS DATE) END)"),
+    ("json_each_timestamp", "v VARIANT", "MAP<STRING,TIMESTAMP>",
+      "transform_values(map_filter(try_cast(v AS MAP<STRING,VARIANT>), " +
+        "(k, x) -> (CASE WHEN schema_of_variant(x) LIKE 'TIMESTAMP%' THEN try_cast(x AS TIMESTAMP) " +
+        "WHEN schema_of_variant(x) = 'STRING' THEN try_cast(try_cast(x AS STRING) AS TIMESTAMP) END) IS NOT NULL), " +
+        "(k, x) -> CASE WHEN schema_of_variant(x) LIKE 'TIMESTAMP%' THEN try_cast(x AS TIMESTAMP) " +
+        "ELSE try_cast(try_cast(x AS STRING) AS TIMESTAMP) END)"))
 
   def registerSql(spark: SparkSession): Unit =
     sqlFunctions.foreach { case (name, params, ret, body) =>

@@ -218,6 +218,53 @@ object Functions {
         (try_variant_get(parse_json(col("props")), "$.k", "int") * 2)
           .as("k_doubled"),
         get_json_object(col("props"), "$.k").isNotNull.as("ok"))
+    },
+
+    // VARIANT function tail (crates/sqllib/src/variant.rs; json.md:78-510):
+    // both engines build the same JSON document from event columns, then
+    // this side runs the real variant operators (graft.functions.Variants)
+    // while the oracle — knowing the document's shape — states the results
+    // directly. Object-valued results serialize as sorted `k=<json>` CSV so
+    // the compare is order-independent.
+    Q(
+      "fn_variant",
+      """SELECT event_id,
+        |  'id,meta,note,type' AS keys_csv,
+        |  'id,meta,meta.k,meta.src,note,type' AS deep_keys_csv,
+        |  'id=' || event_id AS each_int,
+        |  'type="' || event_type || '"' AS strs,
+        |  'id=' || event_id || ',meta={"k":' || CAST(json_extract(props, '$.k') AS BIGINT)
+        |    || '},note=null,type="' || event_type || '"' AS pruned,
+        |  'extra=true,id=' || event_id || ',meta={"k":0,"src":"ev"},note=null,type="'
+        |    || event_type || '"' AS merged
+        |FROM events WHERE event_id < 2000""".stripMargin) { (s, dir) =>
+      import graft.functions.Variants
+      val j = concat(lit("{\"id\": "), col("event_id"),
+        lit(", \"type\": \""), col("event_type"),
+        lit("\", \"meta\": {\"k\": "),
+        get_json_object(col("props"), "$.k"),
+        lit(", \"src\": \"ev\"}, \"note\": null}"))
+      val v = parse_json(j)
+      def objCsv(c: org.apache.spark.sql.Column) = {
+        val m = Variants.toObjectMap(c)
+        array_join(transform(array_sort(map_keys(m)),
+          k => concat(k, lit("="), to_json(element_at(m, k)))), ",")
+      }
+      def mapCsv(m: org.apache.spark.sql.Column) =
+        array_join(transform(array_sort(map_keys(m)),
+          k => concat(k, lit("="), element_at(m, k).cast("string"))), ",")
+      t(s, dir, "events").filter(col("event_id") < 2000).select(
+        col("event_id"),
+        array_join(Variants.jsonObjectKeys(v), ",").as("keys_csv"),
+        array_join(Variants.jsonKeys(v), ",").as("deep_keys_csv"),
+        mapCsv(Variants.jsonEachBigint(v)).as("each_int"),
+        objCsv(Variants.variantFilter(v,
+          (_, x) => Variants.variantTypeof(x) === "VARCHAR")).as("strs"),
+        objCsv(Variants.variantDeepFilter(v,
+          (p, _) => p =!= "meta.src")).as("pruned"),
+        objCsv(Variants.variantMerge(v,
+          parse_json(lit("""{"meta": {"k": 0}, "extra": true}"""))))
+          .as("merged"))
     }
   )
 }

@@ -104,4 +104,18 @@ class FunctionsSpec extends SparkSpec {
       === org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.IntegerType))
   }
+
+  test("VARIANT SQL spellings: VARIANTNULL and JSON_EACH family") {
+    graft.functions.Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT is_variant_null(variantnull()) AS vn,
+        |  to_json(json_each_bigint(parse_json('{"a":1,"b":"x","c":2.5}'))) AS ints,
+        |  to_json(json_each_string(parse_json('{"a":1,"b":"x"}'))) AS strs,
+        |  to_json(json_each_date(parse_json('{"d":"2024-01-01","n":5}'))) AS dates
+        |""".stripMargin).head()
+    assert(r.getBoolean(0))
+    assert(r.getString(1) === """{"a":1}""")
+    assert(r.getString(2) === """{"b":"x"}""")
+    assert(r.getString(3) === """{"d":"2024-01-01"}""")
+  }
 }
