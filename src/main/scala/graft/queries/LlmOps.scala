@@ -203,46 +203,72 @@ object LlmOps {
         k = 5, quantScale = 1000)
     },
 
-    // Embedding-cosine near-duplicate pairs (the 5th dedup modality):
-    // exact quantized cosine over a bounded candidate set; at scale the
-    // candidate set would come from Similarity.lshTopK buckets instead of
-    // the bounded cross join.
+    // Embedding-cosine near-duplicate pairs (the 5th dedup modality), the
+    // SCALE shape end-to-end: integer sign-LSH band signatures → banding
+    // equi-join for candidates → exact quantized cosine on candidates
+    // only. No cross join anywhere; only (id, band, sig) rows shuffle.
+    // The hyperplanes are pure-integer (Dedup.signBands), so DuckDB
+    // re-derives the identical candidate set independently — the oracle
+    // checks the whole LSH pipeline, not just the cosine.
     Q(
       "llm_embed_dups",
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        |  FROM embeddings WHERE vec_id < 300),
+        |  FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, band, SUM(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS sig
+        |  FROM (
+        |    SELECT q.vec_id, b.band, bt.bit,
+        |      list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |        i -> q.qv[i] * ((1103515245 * ((b.band * 3 + bt.bit) * 1259 + (i - 1)) + 12345) % 2097152 - 1048576)),
+        |        (x, y) -> x + y) AS dot
+        |    FROM q, (SELECT unnest(generate_series(0, 23)) AS band) b,
+        |         (SELECT unnest(generate_series(0, 2)) AS bit) bt)
+        |  GROUP BY vec_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        |    AND a.vec_id < b.vec_id),
         |n AS (SELECT vec_id, qv,
         |  list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nrm
         |  FROM q)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |SELECT c.id_a, c.id_b,
         |  CAST(list_reduce(list_transform(range(1, len(a.qv) + 1),
         |      i -> a.qv[i] * b.qv[i]), (x, y) -> x + y) AS DOUBLE)
         |    / NULLIF(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)), 0) AS sim
-        |FROM n a, n b
-        |WHERE a.vec_id < b.vec_id
-        |  AND CAST(list_reduce(list_transform(range(1, len(a.qv) + 1),
+        |FROM cand c JOIN n a ON c.id_a = a.vec_id JOIN n b ON c.id_b = b.vec_id
+        |WHERE CAST(list_reduce(list_transform(range(1, len(a.qv) + 1),
         |      i -> a.qv[i] * b.qv[i]), (x, y) -> x + y) AS DOUBLE)
         |    / NULLIF(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)), 0) > 0.3""".stripMargin) {
       (s, dir) =>
-        // stage quantized vectors + norms once (persist barrier — the
-        // sim filter would otherwise inline the full quantize+fold into
-        // the nested-loop join condition, recomputing it per pair)
-        val q = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        // stage quantized vectors + signatures once (persist barrier: the
+        // banding join would otherwise recompute the 72-plane signatures
+        // per candidate pair)
+        val q = t(s, dir, "embeddings")
           .select(col("vec_id"),
             Similarity.quantize(col("embedding"), 1000).as("qv"))
           .select(col("vec_id"), col("qv"),
             aggregate(transform(col("qv"), x => x * x), lit(0L),
-              (acc, x) => acc + x).as("nrm"))
+              (acc, x) => acc + x).as("nrm"),
+            Dedup.signBands(col("qv"), bands = 24, bitsPerBand = 3)
+              .as("bands"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"),
-          col("nrm").as("na"))
-        val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"),
-          col("nrm").as("nb"))
+        val sigs = q.select(col("vec_id"), explode(col("bands")).as("bs"))
+          .select(col("vec_id"), col("bs.band").as("band"),
+            col("bs.sig").as("sig"))
+        val cand = sigs.alias("a").join(sigs.alias("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+              && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .distinct()
         val dt = aggregate(zip_with(col("qa"), col("qb"),
           (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-        broadcast(a).join(b, col("id_a") < col("id_b"))
+        cand
+          .join(q.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+            col("nrm").as("na")), "id_a")
+          .join(q.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+            col("nrm").as("nb")), "id_b")
           .select(col("id_a"), col("id_b"),
             (dt.cast("double") / nullif(
               sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")),
@@ -278,11 +304,14 @@ object LlmOps {
 
     Q.noOracle("llm_ivf_topk") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+      // index build (offline artifact) …
+      val index = Similarity.ivfTrain(corpus, nCells = 16, iters = 1)
+      // … then the query path: pure plan, centroids inlined, no collect
       Similarity.ivfTopK(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding")),
-        emb.select(col("vec_id").as("corpus_id"), col("embedding")),
-        k = 5, nCells = 16, iters = 1, nprobe = 3)
+        corpus, index, k = 5, nprobe = 3)
     },
 
     Q.noOracle("llm_multimodal") { (s, dir) =>

@@ -90,8 +90,8 @@ class LlmSpec extends SparkSpec {
     val probes = vecs.filter(col("vec_id") < 4)
       .select(col("vec_id").as("probe_id"), col("embedding"))
     val corpus = vecs.select(col("vec_id").as("corpus_id"), col("embedding"))
-    val ivf = Similarity.ivfTopK(probes, corpus, k = 3, nCells = 4,
-      iters = 2, nprobe = 2)
+    val index = Similarity.ivfTrain(corpus, nCells = 4, iters = 2)
+    val ivf = Similarity.ivfTopK(probes, corpus, index, k = 3, nprobe = 2)
       .select("probe_id", "corpus_id", "rk")
       .as[(Long, Long, Int)].collect()
     val self = ivf.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
@@ -101,6 +101,31 @@ class LlmSpec extends SparkSpec {
     val hits = ivf.map(r => (r._1, r._2)).toSet
     // nprobe=2 of 4 cells → expect majority overlap with exact top-3
     assert(hits.intersect(bf).size >= bf.size / 2)
+  }
+
+  test("bucketed IVF corpus: same results, no corpus-side exchange") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val corpus = vecs.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val index = Similarity.ivfTrain(corpus, nCells = 4, iters = 1)
+    spark.sql("DROP TABLE IF EXISTS ivf_corpus")
+    Similarity.ivfWriteBucketed(corpus, index, "ivf_corpus", nBuckets = 4)
+    val bucketed = Similarity.ivfTopKBucketed(probes, "ivf_corpus", index,
+      k = 3, nprobe = 2)
+    val direct = Similarity.ivfTopK(probes, corpus, index, k = 3, nprobe = 2)
+    assert(bucketed.drop("rk").exceptAll(direct.drop("rk")).isEmpty
+      && direct.drop("rk").exceptAll(bucketed.drop("rk")).isEmpty)
+    // the corpus scan feeds the join with no Exchange (broadcast probe
+    // side is the only data movement)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    val corpusSection = plan.linesIterator
+      .dropWhile(l => !l.contains("ivf_corpus"))
+      .mkString("\n")
+    assert(!corpusSection.contains("Exchange"),
+      s"corpus side must be exchange-free, got:\n$plan")
   }
 
   test("quality score in [0,1]; langid picks the stopword-matching language") {
