@@ -256,14 +256,16 @@ object Functions {
       t(s, dir, "events").filter(col("event_id") < 2000).select(
         col("event_id"),
         array_join(Variants.jsonObjectKeys(v), ",").as("keys_csv"),
-        array_join(Variants.jsonKeys(v), ",").as("deep_keys_csv"),
+        // the document is 2 levels deep — unrolling recursion further only
+        // inflates the plan (codegen time dominated this query at depth 8)
+        array_join(Variants.jsonKeys(v, depth = 3), ",").as("deep_keys_csv"),
         mapCsv(Variants.jsonEachBigint(v)).as("each_int"),
         objCsv(Variants.variantFilter(v,
           (_, x) => Variants.variantTypeof(x) === "VARCHAR")).as("strs"),
         objCsv(Variants.variantDeepFilter(v,
-          (p, _) => p =!= "meta.src")).as("pruned"),
+          (p, _) => p =!= "meta.src", depth = 3)).as("pruned"),
         objCsv(Variants.variantMerge(v,
-          parse_json(lit("""{"meta": {"k": 0}, "extra": true}"""))))
+          parse_json(lit("""{"meta": {"k": 0}, "extra": true}""")), depth = 3))
           .as("merged"))
     }
   )

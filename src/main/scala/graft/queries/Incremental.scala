@@ -86,7 +86,7 @@ object Incremental {
       deltaBatches(li).foreach { delta =>
         val (st, out) = IncrementalOps.distinctStep(state,
           delta.drop("l_orderkey"))
-        state = Some(st.localCheckpoint(true))
+        state = Some(st.localCheckpoint(false))
         // integrate the output deltas to materialize the distinct view
         result = Some(result.map(_.unionByName(out)).getOrElse(out))
       }
@@ -125,8 +125,8 @@ object Incremental {
         oBatches.zip(lBatches).foreach { case (dA, dB) =>
           val (na, nb, d) = IncrementalOps.joinStep(aSt, bSt, dA, dB,
             Seq("o_orderkey"))
-          aSt = Some(na.localCheckpoint(true))
-          bSt = Some(nb.localCheckpoint(true))
+          aSt = Some(na.localCheckpoint(false))
+          bSt = Some(nb.localCheckpoint(false))
           out = Some(out.map(_.unionByName(d)).getOrElse(d))
         }
         ZSets.toMultiset(ZSets.consolidate(out.get))
@@ -159,7 +159,7 @@ object Incremental {
         var out = Option.empty[DataFrame]
         batches.foreach { batch =>
           val (st, delta) = IncrementalOps.upsertStep(state, batch, Seq("k"))
-          state = Some(st.localCheckpoint(true))
+          state = Some(st.localCheckpoint(false))
           out = Some(out.map(_.unionByName(delta)).getOrElse(delta))
         }
         // integrate output deltas → the materialized PK table
