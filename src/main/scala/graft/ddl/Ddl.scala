@@ -43,7 +43,25 @@ object Ddl {
   case object OutputView extends ViewKind
   case object MaterializedView extends ViewKind  // ad-hoc queryable
 
-  final case class Program(tables: Seq[TableDef], views: Seq[ViewDef])
+  /** SQL-bodied or external user-defined function (grammar.md:278-285;
+    * udf.md): body = None means an external-body UDF that must already be
+    * registered with the session.
+    */
+  final case class FunctionDef(name: String, params: String,
+      returnType: String, body: Option[String])
+
+  /** CREATE TYPE name AS typedef (grammar.md:43-50). */
+  final case class TypeDef(name: String, typedef: String)
+
+  /** CREATE [LINEAR] AGGREGATE (grammar.md:287-293); implementations are
+    * supplied via graft.functions.WeightedAggs.
+    */
+  final case class AggregateDef(name: String, linear: Boolean,
+      params: String, returnType: String)
+
+  final case class Program(tables: Seq[TableDef], views: Seq[ViewDef],
+      functions: Seq[FunctionDef] = Nil, types: Seq[TypeDef] = Nil,
+      aggregates: Seq[AggregateDef] = Nil)
 
   private val tableRe: Regex =
     """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*$""".r
@@ -51,21 +69,38 @@ object Ddl {
     """(?is)CREATE\s+(LOCAL\s+|MATERIALIZED\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$""".r
   private val colRe: Regex =
     """(?is)^(\w+)\s+(.+?)(\s+NOT\s+NULL)?(\s+PRIMARY\s+KEY)?(\s+LATENESS\s+(INTERVAL\s+[^,]+))?$""".r
+  private val funcRe: Regex =
+    """(?is)CREATE\s+FUNCTION\s+(\w+)\s*\((.*?)\)\s*RETURNS\s+(.+?)(?:\s+AS\s+(.+))?$""".r
+  private val typeRe: Regex =
+    """(?is)CREATE\s+TYPE\s+(\w+)\s+AS\s+(.+)$""".r
+  private val aggRe: Regex =
+    """(?is)CREATE\s+(LINEAR\s+)?AGGREGATE\s+(\w+)\s*\((.*?)\)\s*RETURNS\s+(.+)$""".r
 
-  /** Split a program text into statements on top-level semicolons. */
+  /** Split a program text into statements on top-level semicolons.
+    * Quote-aware: `''` inside a quoted string is an escaped quote, not a
+    * string boundary.
+    */
   private[ddl] def statements(program: String): Seq[String] = {
     val out = mutable.Buffer[String]()
     val sb = new StringBuilder
     var depth = 0
     var inQuote = false
-    program.foreach {
-      case '\'' => inQuote = !inQuote; sb += '\''
-      case '(' if !inQuote => depth += 1; sb += '('
-      case ')' if !inQuote => depth -= 1; sb += ')'
-      case ';' if !inQuote && depth == 0 =>
-        if (sb.toString.trim.nonEmpty) out += sb.toString.trim
-        sb.clear()
-      case c => sb += c
+    var i = 0
+    while (i < program.length) {
+      val c = program.charAt(i)
+      c match {
+        case '\'' if inQuote && i + 1 < program.length
+            && program.charAt(i + 1) == '\'' =>
+          sb += '\''; sb += '\''; i += 1 // escaped quote, stay in-string
+        case '\'' => inQuote = !inQuote; sb += '\''
+        case '(' if !inQuote => depth += 1; sb += '('
+        case ')' if !inQuote => depth -= 1; sb += ')'
+        case ';' if !inQuote && depth == 0 =>
+          if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+          sb.clear()
+        case ch => sb += ch
+      }
+      i += 1
     }
     if (sb.toString.trim.nonEmpty) out += sb.toString.trim
     out.toSeq
@@ -98,17 +133,58 @@ object Ddl {
       throw new IllegalArgumentException(s"cannot parse column: $other")
   }
 
+  /** Split on a separator at depth 0 outside quotes (`''` = escaped). */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = mutable.Buffer[String]()
+    val sb = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' if inQuote && i + 1 < s.length && s.charAt(i + 1) == '\'' =>
+          sb += '\''; sb += '\''; i += 1
+        case '\'' => inQuote = !inQuote; sb += '\''
+        case '(' | '<' if !inQuote => depth += 1; sb += c
+        case ')' | '>' if !inQuote => depth -= 1; sb += c
+        case `sep` if !inQuote && depth == 0 =>
+          out += sb.toString; sb.clear()
+        case ch => sb += ch
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+
+  /** Connector properties: comma/quote-aware, so values containing commas
+    * or escaped quotes survive.
+    */
   private def parseProps(s: String): Map[String, String] =
     if (s == null || s.trim.isEmpty) Map.empty
-    else s.split(",").map { kv =>
-      val Array(k, v) = kv.split("=", 2).map(_.trim.stripPrefix("'")
-        .stripSuffix("'"))
-      k -> v
+    else splitTop(s, ',').filter(_.trim.nonEmpty).map { kv =>
+      val Array(k, v) = {
+        val parts = splitTop(kv, '=')
+        require(parts.length == 2, s"cannot parse property: $kv")
+        parts.toArray
+      }
+      unquote(k) -> unquote(v)
     }.toMap
 
   def parse(program: String): Program = {
     val tables = mutable.Buffer[TableDef]()
     val views = mutable.Buffer[ViewDef]()
+    val functions = mutable.Buffer[FunctionDef]()
+    val types = mutable.Buffer[TypeDef]()
+    val aggregates = mutable.Buffer[AggregateDef]()
     statements(program).foreach {
       case tableRe(name, cols, props) =>
         tables += TableDef(name.toLowerCase,
@@ -122,10 +198,19 @@ object Ddl {
           case _ => OutputView
         }
         views += ViewDef(name.toLowerCase, sql.trim, k)
+      case funcRe(name, params, ret, body) =>
+        functions += FunctionDef(name.toLowerCase, params.trim, ret.trim,
+          Option(body).map(_.trim))
+      case typeRe(name, typedef) =>
+        types += TypeDef(name.toLowerCase, typedef.trim)
+      case aggRe(linear, name, params, ret) =>
+        aggregates += AggregateDef(name.toLowerCase, linear != null,
+          params.trim, ret.trim)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported statement: ${other.take(60)}")
     }
-    Program(tables.toSeq, views.toSeq)
+    Program(tables.toSeq, views.toSeq, functions.toSeq, types.toSeq,
+      aggregates.toSeq)
   }
 }

@@ -220,6 +220,60 @@ object Functions {
         get_json_object(col("props"), "$.k").isNotNull.as("ok"))
     },
 
+    // Function-index completeness tail (function-index.md): TO_HEX,
+    // OVERLAY, ARRAY_INSERT/REPEAT/EXCEPT/INTERSECT (Feldera's EXCEPT/
+    // INTERSECT are deduped AND sorted — array.md:100-103 — hence the
+    // array_sort wrappers), MAKE_TIMESTAMP, CONVERT_TIMEZONE. DuckDB
+    // lacks OVERLAY/ARRAY_* spellings, so the oracle states the same
+    // semantics through substr/list primitives.
+    Q(
+      "fn_tail",
+      """SELECT p_partkey,
+        |  lower(hex(encode(p_brand))) AS hexed,
+        |  substr(p_name, 1, 2) || 'XY' || substr(p_name, 3 + 4) AS overlaid,
+        |  array_to_string(list_sort(list_distinct(list_filter(
+        |    [p_partkey, p_partkey % 7, p_partkey % 3, p_partkey % 7],
+        |    x -> NOT list_contains([p_partkey % 3, 99], x)))), ',') AS exc,
+        |  array_to_string(list_sort(list_distinct(list_filter(
+        |    [p_partkey, p_partkey % 7, p_partkey % 3, p_partkey % 7],
+        |    x -> list_contains([p_partkey % 3, 99], x)))), ',') AS inter,
+        |  array_to_string([p_partkey, p_partkey % 7][1:1] || [p_partkey % 5]
+        |    || [p_partkey, p_partkey % 7][2:], ',') AS inserted,
+        |  array_to_string(list_transform(range(3), x -> p_partkey % 9), ',') AS repeated,
+        |  CAST(make_timestamp(2024, 1 + p_partkey % 12, 1 + p_partkey % 28,
+        |    CAST(p_partkey % 24 AS INT), CAST(p_partkey % 60 AS INT), 0) AS VARCHAR) AS made_ts,
+        |  CAST((TIMESTAMP '2008-03-05 12:25:29' AT TIME ZONE 'America/New_York')
+        |    AT TIME ZONE 'America/Los_Angeles' AS VARCHAR) AS converted
+        |FROM part WHERE p_partkey >= 3 AND p_partkey < 500""".stripMargin) { (s, dir) =>
+      val arr = array(col("p_partkey"), col("p_partkey") % 7,
+        col("p_partkey") % 3, col("p_partkey") % 7)
+      val other = array(col("p_partkey") % 3, lit(99L))
+      // p_partkey >= 3 keeps every array column non-empty: an empty
+      // array_to_string cell round-trips as NaN on the pandas side and
+      // breaks the row sort alignment
+      t(s, dir, "part")
+        .filter(col("p_partkey") >= 3 && col("p_partkey") < 500).select(
+        col("p_partkey"),
+        lower(hex(col("p_brand").cast("binary"))).as("hexed"),
+        overlay(col("p_name"), lit("XY"), lit(3), lit(4)).as("overlaid"),
+        array_sort(array_except(arr, other)).as("exc"),
+        array_sort(array_intersect(arr, other)).as("inter"),
+        array_insert(array(col("p_partkey"), col("p_partkey") % 7),
+          lit(2), col("p_partkey") % 5).as("inserted"),
+        array_repeat(col("p_partkey") % 9, 3).as("repeated"),
+        make_timestamp_ntz(lit(2024), lit(1) + col("p_partkey") % 12,
+          lit(1) + col("p_partkey") % 28, col("p_partkey") % 24,
+          col("p_partkey") % 60, lit(0)).cast("string").as("made_ts"),
+        convert_timezone(lit("America/New_York"),
+          lit("America/Los_Angeles"),
+          lit("2008-03-05 12:25:29").cast("timestamp_ntz"))
+          .cast("string").as("converted"))
+        .withColumn("exc", concat_ws(",", col("exc")))
+        .withColumn("inter", concat_ws(",", col("inter")))
+        .withColumn("inserted", concat_ws(",", col("inserted")))
+        .withColumn("repeated", concat_ws(",", col("repeated")))
+    },
+
     // VARIANT function tail (crates/sqllib/src/variant.rs; json.md:78-510):
     // both engines build the same JSON document from event columns, then
     // this side runs the real variant operators (graft.functions.Variants)

@@ -42,6 +42,21 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
 
   graft.functions.Registry.registerAll(spark)
 
+  // program-declared types and functions (grammar.md:43-50, 278-285):
+  // CREATE TYPE aliases resolve through SqlTypes; SQL-bodied CREATE
+  // FUNCTION inlines via Spark's own SQL function support; an external
+  // body (no AS clause) must already be registered with the session
+  program.types.foreach(t => SqlTypes.registerType(t.name, t.typedef))
+  program.functions.foreach { f =>
+    f.body match {
+      case Some(b) => spark.sql(
+        s"CREATE OR REPLACE TEMPORARY FUNCTION ${f.name}(${f.params}) " +
+          s"RETURNS ${f.returnType} RETURN $b")
+      case None => require(spark.catalog.functionExists(f.name),
+        s"external-body function '${f.name}' is not registered")
+    }
+  }
+
   /** Z-set snapshots: tables AND view outputs, consolidated. */
   private val tableState = mutable.Map[String, DataFrame]()
   private val viewState = mutable.Map[String, DataFrame]()

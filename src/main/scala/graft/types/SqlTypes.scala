@@ -16,9 +16,19 @@ import org.apache.spark.sql.types._
   */
 object SqlTypes {
 
+  /** User-defined type aliases (CREATE TYPE name AS typedef,
+    * grammar.md:43-50) — names resolve recursively through [[toSpark]].
+    */
+  private val userTypes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def registerType(name: String, typedef: String): Unit =
+    userTypes(name.trim.toUpperCase(Locale.ROOT)) = typedef
+
   /** Parse a Feldera SQL type string to (DataType, nullable-default). */
   def toSpark(sqlType: String): DataType = {
     val t = sqlType.trim.toUpperCase(Locale.ROOT)
+    userTypes.get(t).foreach(td => return toSpark(td))
     val charN = "^(CHAR|CHARACTER)\\s*\\((\\d+)\\)$".r
     val varcharN = "^VARCHAR\\s*\\((\\d+)\\)$".r
     val decimalPS = "^(DECIMAL|NUMERIC)\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)$".r

@@ -112,6 +112,17 @@ class LlmSpec extends SparkSpec {
     val corpus = vecs.select(col("vec_id").as("corpus_id"), col("embedding"))
     val index = Similarity.ivfTrain(corpus, nCells = 4, iters = 1)
     spark.sql("DROP TABLE IF EXISTS ivf_corpus")
+    // DROP leaves an orphaned location behind if a prior run died mid-write
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "ivf_corpus")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     Similarity.ivfWriteBucketed(corpus, index, "ivf_corpus", nBuckets = 4)
     val bucketed = Similarity.ivfTopKBucketed(probes, "ivf_corpus", index,
       k = 3, nprobe = 2)

@@ -72,6 +72,35 @@ class PipelineSpec extends SparkSpec {
     assert(lastDelta.filter(col(ZSets.W) === 0).count() === 0)
   }
 
+  test("program-declared CREATE FUNCTION and CREATE TYPE are usable") {
+    val prog =
+      """CREATE TYPE money AS DECIMAL(18, 4);
+        |CREATE FUNCTION with_tax(amount DOUBLE) RETURNS DOUBLE AS amount * 1.2;
+        |CREATE TABLE sales (s_id BIGINT, s_amt money);
+        |CREATE VIEW taxed AS SELECT s_id, with_tax(CAST(s_amt AS DOUBLE)) AS t FROM sales;""".stripMargin
+    val parsed = Ddl.parse(prog)
+    assert(parsed.functions ===
+      Seq(Ddl.FunctionDef("with_tax", "amount DOUBLE", "DOUBLE",
+        Some("amount * 1.2"))))
+    assert(parsed.types === Seq(Ddl.TypeDef("money", "DECIMAL(18, 4)")))
+    val pipe = Pipeline(spark, prog)
+    assert(SqlTypes.toSpark("money")
+      === org.apache.spark.sql.types.DecimalType(18, 4))
+    val out = pipe.step(Map("sales" -> ZSets.lift(
+      Seq((1L, BigDecimal(10))).toDF("s_id", "s_amt"))))("taxed")
+    assert(out.select("t").as[Double].head() === 12.0)
+  }
+
+  test("connector properties with commas and escaped quotes parse") {
+    val p = Ddl.parse(
+      """CREATE TABLE t (x BIGINT) WITH (
+        |  'connectors' = '[{"a": 1, "b": 2}]',
+        |  'note' = 'it''s, quoted');""".stripMargin)
+    assert(p.tables.head.properties === Map(
+      "connectors" -> """[{"a": 1, "b": 2}]""",
+      "note" -> "it's, quoted"))
+  }
+
   test("ad-hoc queries see materialized views and registered functions") {
     val pipe = Pipeline(spark, programSql)
     pipe.step(Map("lineitem" -> ZSets.lift(
