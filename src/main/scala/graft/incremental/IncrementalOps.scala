@@ -104,6 +104,44 @@ object IncrementalOps {
     }
   }
 
+  /** One chain-aggregate column: MIN or MAX of `valueExpr`. */
+  final case class ChainSpec(name: String, valueExpr: Column, isMax: Boolean)
+
+  /** Append-only MIN/MAX fast path — the reference's chain aggregate
+    * (crates/dbsp/src/operator/dynamic/chain_aggregate.rs; used when a
+    * table is declared `append_only`, streaming.md). Without retractions
+    * the extremum is monotone, so state is ONE row per group (not the
+    * group's multiset) and a step is: aggregate the delta, broadcast-split
+    * the state, merge touched groups with least/greatest. O(|delta|)
+    * shuffle, O(groups) state — strictly cheaper than [[generalAggStep]],
+    * which must retain multisets to survive retraction.
+    */
+  def chainAggStep(
+      state: Option[DataFrame],
+      delta: DataFrame,
+      groupKeys: Seq[String],
+      specs: Seq[ChainSpec]): DataFrame = {
+    val contrib = delta.groupBy(groupKeys.map(col): _*)
+      .agg(specs.head.pick, specs.tail.map(_.pick): _*)
+    state match {
+      case None => contrib
+      case Some(st) =>
+        val (touchedOld, untouched) =
+          splitTouched(st, contrib.select(groupKeys.map(col): _*), groupKeys)
+        val merged = touchedOld.unionByName(contrib)
+          .groupBy(groupKeys.map(col): _*)
+          .agg(specs.head.pickMerge, specs.tail.map(_.pickMerge): _*)
+        untouched.unionByName(merged)
+    }
+  }
+
+  private implicit class ChainSpecOps(sp: ChainSpec) {
+    def pick: Column =
+      (if (sp.isMax) max(sp.valueExpr) else min(sp.valueExpr)).as(sp.name)
+    def pickMerge: Column =
+      (if (sp.isMax) max(col(sp.name)) else min(col(sp.name))).as(sp.name)
+  }
+
   /** Result of a general-aggregate step: the new state, the fresh aggregate
     * rows for touched groups, and the touched groups whose multiset emptied
     * (their previous aggregate row must be DELETED by the consumer — the

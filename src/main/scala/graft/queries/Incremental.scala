@@ -75,6 +75,26 @@ object Incremental {
       lastOut
     },
 
+    // append_only chain aggregate (chain_aggregate.rs): the 3 insert-only
+    // batches flow through the O(groups)-state fast path; oracle = batch
+    // MIN/MAX over everything inserted.
+    Q(
+      "inc_chain_agg",
+      """SELECT l_returnflag, MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val appendBatches = (0 until 3).map(m =>
+        li.filter(col("l_orderkey") % 3 === m).drop("l_orderkey"))
+      val specs = Seq(
+        IncrementalOps.ChainSpec("min_q", col("l_quantity"), isMax = false),
+        IncrementalOps.ChainSpec("max_q", col("l_quantity"), isMax = true))
+      appendBatches.foldLeft(Option.empty[DataFrame]) { (st, b) =>
+        Some(IncrementalOps.chainAggStep(st, b, Seq("l_returnflag"), specs)
+          .localCheckpoint(false))
+      }.get
+    },
+
     Q(
       "inc_distinct",
       """SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey

@@ -1,0 +1,170 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ddl.Ddl
+import graft.zset.ZSets
+
+/** Connector dispatch for the reference's `WITH ('connectors' = '[...]')`
+  * table clause (docs connectors/; crates/adapters/src/transport/):
+  * transport name + config → a Spark reader.
+  *
+  *  - `file_input`          → batch/stream file read + [[Envelopes]] decode
+  *  - `datagen`             → deterministic generator from the table schema
+  *    (transport/datagen.rs's role; seeded, reproducible)
+  *  - `jdbc_input` / `postgresql_input` → Spark's JDBC source (tested
+  *    against the embedded Derby driver in this environment)
+  *  - `kafka_input`, `delta_table_input`, `iceberg_input` → dispatch to the
+  *    corresponding DataSource format, JAR-GATED: the code path resolves
+  *    the format at runtime and raises a precise error when the connector
+  *    jar is absent (none of the three ship in this container), rather
+  *    than failing inside Spark's classloader.
+  *
+  * Sink side: [[writeView]] covers file/jdbc/noop sinks symmetrically.
+  */
+object Connectors {
+
+  final case class ConnectorConf(transport: String,
+      config: Map[String, String], format: String,
+      formatConfig: Map[String, String])
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse the `connectors` property JSON array. */
+  def parse(json: String): Seq[ConnectorConf] = {
+    val root = mapper.readTree(json)
+    require(root.isArray, "connectors property must be a JSON array")
+    root.elements().asScala.map { c =>
+      def cfg(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+        if (node == null || node.get("config") == null) Map.empty
+        else node.get("config").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      val tr = c.get("transport")
+      val fm = c.get("format")
+      ConnectorConf(
+        if (tr == null) "file_input" else tr.get("name").asText(),
+        cfg(tr),
+        if (fm == null || fm.get("name") == null) "json"
+        else fm.get("name").asText(),
+        cfg(fm))
+    }.toSeq
+  }
+
+  def connectorsOf(t: Ddl.TableDef): Seq[ConnectorConf] =
+    t.properties.get("connectors").map(parse).getOrElse(Nil)
+
+  /** Is a DataSource format resolvable on this classpath? */
+  def formatAvailable(spark: SparkSession, fmt: String): Boolean =
+    Try(org.apache.spark.sql.execution.datasources.DataSource
+      .lookupDataSource(fmt, spark.sessionState.conf)).isSuccess
+
+  private def requireFormat(spark: SparkSession, fmt: String,
+      connector: String): Unit =
+    require(formatAvailable(spark, fmt),
+      s"connector '$connector' needs the '$fmt' DataSource on the " +
+        s"classpath (add the $fmt connector jar)")
+
+  /** Batch-read one connector of a table as a Z-set delta (`_w` = +1 for
+    * plain rows; update formats decode through [[Envelopes]]).
+    */
+  def read(spark: SparkSession, table: Ddl.TableDef,
+      conf: ConnectorConf): DataFrame = {
+    val schema = FileSource.schemaOf(table)
+    conf.transport match {
+      case "file_input" | "url_input" =>
+        val path = conf.config.getOrElse("path",
+          conf.config.getOrElse("paths", sys.error("file connector: no path")))
+        conf.format match {
+          case "json" =>
+            val update = conf.formatConfig.getOrElse("update_format", "raw")
+            Envelopes.decodeJson(spark.read.text(path), schema, update)
+          case "csv" =>
+            ZSets.lift(spark.read.schema(schema)
+              .options(conf.formatConfig).csv(path))
+          case "parquet" => ZSets.lift(spark.read.parquet(path))
+          case other => sys.error(s"unsupported file format: $other")
+        }
+      case "datagen" =>
+        ZSets.lift(datagen(spark, table,
+          conf.config.getOrElse("rows", "1000").toLong))
+      case "jdbc_input" | "postgresql_input" =>
+        val reader = spark.read.format("jdbc")
+          .option("url", conf.config("url"))
+          .option("dbtable", conf.config.getOrElse("table", table.name))
+        ZSets.lift(conf.config.get("driver")
+          .map(d => reader.option("driver", d)).getOrElse(reader).load())
+      case "kafka_input" =>
+        requireFormat(spark, "kafka", "kafka_input")
+        val raw = spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers",
+            conf.config("bootstrap.servers"))
+          .option("subscribe", conf.config("topic"))
+          .load()
+          .select(col("value").cast("string"))
+        Envelopes.decodeJson(raw, schema,
+          conf.formatConfig.getOrElse("update_format", "insert_delete"))
+      case "delta_table_input" =>
+        requireFormat(spark, "delta", "delta_table_input")
+        ZSets.lift(spark.read.format("delta").load(conf.config("uri")))
+      case "iceberg_input" =>
+        requireFormat(spark, "iceberg", "iceberg_input")
+        ZSets.lift(spark.read.format("iceberg").load(conf.config("uri")))
+      case other => sys.error(s"unknown transport: $other")
+    }
+  }
+
+  /** Deterministic schema-driven generator (transport/datagen.rs's role):
+    * seeded hash per (row, column) — reproducible on any cluster layout.
+    */
+  def datagen(spark: SparkSession, table: Ddl.TableDef, rows: Long): DataFrame = {
+    val base = spark.range(rows)
+    val cols = table.columns.map { c =>
+      val h = abs(xxhash64(lit(c.name), col("id")))
+      val v = graft.types.SqlTypes.toSpark(c.sqlType) match {
+        case org.apache.spark.sql.types.LongType => (h % 1000000L).cast("long")
+        case org.apache.spark.sql.types.IntegerType => (h % 100000L).cast("int")
+        case org.apache.spark.sql.types.DoubleType =>
+          (h % 1000000L).cast("double") / 100.0
+        case org.apache.spark.sql.types.StringType =>
+          concat(lit(c.name + "_"), (h % 10000L).cast("string"))
+        case org.apache.spark.sql.types.BooleanType => (h % 2 === 0)
+        case org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.TimestampType =>
+          timestamp_millis(lit(1700000000000L) + (h % 86400000L))
+        case org.apache.spark.sql.types.DateType =>
+          date_add(lit("2024-01-01").cast("date"), (h % 365L).cast("int"))
+        case dt => lit(null).cast(dt)
+      }
+      v.as(c.name)
+    }
+    base.select(cols: _*)
+  }
+
+  /** Sink side: write a view's rows through a connector config. */
+  def writeView(df: DataFrame, conf: ConnectorConf): Unit =
+    conf.transport match {
+      case "file_output" =>
+        val path = conf.config("path")
+        conf.format match {
+          case "parquet" => df.write.mode("append").parquet(path)
+          case "csv" => df.write.mode("append")
+            .options(conf.formatConfig).csv(path)
+          case "json" => df.write.mode("append").json(path)
+          case other => sys.error(s"unsupported file sink format: $other")
+        }
+      case "jdbc_output" | "postgresql_output" =>
+        val w = df.write.format("jdbc").mode("append")
+          .option("url", conf.config("url"))
+          .option("dbtable", conf.config("table"))
+        conf.config.get("driver").map(d => w.option("driver", d))
+          .getOrElse(w).save()
+      case "null_output" => df.write.format("noop").mode("overwrite").save()
+      case other => sys.error(s"unknown sink transport: $other")
+    }
+}

@@ -72,6 +72,25 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(r2.state.filter(col("k") === "b").count() === 1)
   }
 
+  test("chainAggStep: append-only min/max equals batch, one row per group") {
+    val batches = Seq(
+      Seq(("a", 5L), ("a", 9L), ("b", 2L)),
+      Seq(("a", 1L), ("b", 7L)),
+      Seq(("c", 4L)))
+    val specs = Seq(
+      IncrementalOps.ChainSpec("mn", col("v"), isMax = false),
+      IncrementalOps.ChainSpec("mx", col("v"), isMax = true))
+    val state = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      (st, rows) =>
+        Some(IncrementalOps.chainAggStep(st, rows.toDF("k", "v"),
+          Seq("k"), specs).localCheckpoint(true))
+    }.get
+    val got = state.orderBy("k").as[(String, Long, Long)].collect()
+    assert(got === Array(("a", 1L, 9L), ("b", 2L, 7L), ("c", 4L, 4L)))
+    // state is exactly one row per group — no multiset retained
+    assert(state.count() === 3)
+  }
+
   test("distinctStep emits only sign transitions") {
     val d1 = Seq(("a", 1L), ("a", 1L), ("b", 1L)).toDF("k", ZSets.W)
     val (st1, o1) = IncrementalOps.distinctStep(None, d1)
