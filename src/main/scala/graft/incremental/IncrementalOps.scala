@@ -56,6 +56,21 @@ object IncrementalOps {
     untouched.unionByName(ZSets.consolidate(touchedOld.unionByName(dCon)))
   }
 
+  /** Like [[mergeDelta]], but splitting the state on an explicit key
+    * subset: the broadcast probe carries only the delta's DISTINCT key
+    * values (usually far smaller than its rows), at the cost of
+    * re-consolidating every state row sharing a touched key. Right when
+    * the delta is dense in rows but sparse in keys — the shape of an
+    * indexed trace update (join/agg state keyed by the operator key).
+    */
+  def mergeDeltaByKeys(state: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val touched = delta.select(keys.map(col): _*).distinct()
+    val (touchedOld, untouched) = splitTouched(state, touched, keys)
+    untouched.unionByName(
+      ZSets.consolidate(touchedOld.unionByName(delta)))
+  }
+
   // ---------------------------------------------------------------- linear
 
   /** Linear operators commute with differentiation: apply to deltas as-is
@@ -161,12 +176,22 @@ object IncrementalOps {
       delta: DataFrame,
       groupKeys: Seq[String],
       aggs: Seq[Column]): GeneralAggStep = {
-    val newState = state match {
-      case None => ZSets.consolidate(delta)
-      case Some(st) => mergeDelta(st, delta)
-    }
     val touchedKeys = delta.select(groupKeys.map(col): _*).distinct()
-    val (touchedState, _) = splitTouched(newState, touchedKeys, groupKeys)
+    // state merge keyed by the TOUCHED GROUPS (the broadcast is a handful
+    // of group keys, never the delta rows): untouched groups pass through
+    // scan-side; touched groups re-consolidate. The consolidate shuffles
+    // O(touched-group rows) — the same volume the newRows re-aggregation
+    // below already shuffles, so it sets the step's asymptotics, not a
+    // row-keyed merge (whose broadcast would grow with the delta).
+    val (touchedState, newState) = state match {
+      case None =>
+        val st = ZSets.consolidate(delta)
+        (st, st)
+      case Some(st) =>
+        val (touchedOld, untouched) = splitTouched(st, touchedKeys, groupKeys)
+        val merged = ZSets.consolidate(touchedOld.unionByName(delta))
+        (merged, untouched.unionByName(merged))
+    }
     val newRows = ZSets.toMultiset(touchedState)
       .groupBy(groupKeys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -296,13 +321,15 @@ object IncrementalOps {
     }
     val a = aState.getOrElse(dA.limit(0))
     val b = bState.getOrElse(dB.limit(0))
+    // trace maintenance keyed by the JOIN key: the split broadcast is the
+    // delta's distinct keys, not its rows (the indexed-trace layout)
     val newA = aState match {
       case None => ZSets.consolidate(dA)
-      case Some(st) => mergeDelta(st, dA)
+      case Some(st) => mergeDeltaByKeys(st, dA, keys)
     }
     val newB = bState match {
       case None => ZSets.consolidate(dB)
-      case Some(st) => mergeDelta(st, dB)
+      case Some(st) => mergeDeltaByKeys(st, dB, keys)
     }
     val out = joined(broadcast(dA), b).unionByName(joined(newA, broadcast(dB)))
     (newA, newB, ZSets.consolidate(out))

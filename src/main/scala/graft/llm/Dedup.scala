@@ -167,19 +167,25 @@ object Dedup {
     * the same banding equi-join shape as minhashDupPairs, which is what
     * scales: only (id, band, sig) rows shuffle, never vector pairs.
     */
-  def signBands(qv: Column, bands: Int, bitsPerBand: Int): Column =
+  def signBands(qv: Column, bands: Int, bitsPerBand: Int,
+      dims: Int = 64): Column = {
+    // hyperplane components precomputed host-side and inlined as literal
+    // arrays — the per-element LCG would otherwise re-evaluate inside the
+    // fold for every (vector × plane × dim)
+    def component(p: Long, d: Long): Long =
+      (1103515245L * (p * 1259L + d) + 12345L) % 2097152L - 1048576L
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         (0 until bitsPerBand).map { bit =>
           val p = (b * bitsPerBand + bit).toLong
-          val dot = aggregate(
-            zip_with(qv, sequence(lit(0L), size(qv).cast("long") - 1L),
-              (x, d) => x * ((lit(1103515245L) * (lit(p * 1259L) + d)
-                + lit(12345L)) % 2097152L - 1048576L)),
+          val plane = array((0L until dims.toLong).map(d =>
+            lit(component(p, d))): _*)
+          val dot = aggregate(zip_with(qv, plane, (x, c) => x * c),
             lit(0L), (acc, x) => acc + x)
           when(dot >= 0, lit(1L << bit)).otherwise(lit(0L))
         }.reduce(_ + _).as("sig"))
     }: _*)
+  }
 
   def ngramSet(text: Column, n: Int): Column =
     array_distinct(shingles(text, n))

@@ -93,6 +93,32 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     (sh.toMap, ev.toMap)
   }
 
+  /** Views that read the logical clock (reference ImplementNow pass,
+    * now.md: NOW() is the circuit STEP time, not row-evaluation time).
+    * They re-evaluate whenever the clock advances, emitting deltas — e.g.
+    * a temporal filter `ts >= NOW() - INTERVAL …` retracts rows as they
+    * expire. Detected textually; evaluation substitutes the step clock as
+    * a literal so Catalyst still constant-folds the window bounds.
+    */
+  private val nowRe = "(?i)\\bNOW\\s*\\(\\s*\\)".r
+  private val nowViews: Set[String] =
+    program.views.filter(v => nowRe.findFirstIn(v.sql).isDefined)
+      .map(_.name).toSet
+  private var clock: java.sql.Timestamp =
+    new java.sql.Timestamp(System.currentTimeMillis())
+
+  private def bindClock(sql: String): String =
+    nowRe.replaceAllIn(sql, s"TIMESTAMP '${clock.toString}'")
+
+  /** Advance the logical clock WITHOUT new data: NOW()-dependent views
+    * re-evaluate against the new step time and emit their deltas
+    * (DBSPNowOperator / temporal filter semantics).
+    */
+  def advanceClock(now: java.sql.Timestamp): Map[String, DataFrame] = {
+    clock = now
+    step(Map.empty)
+  }
+
   /** Current materialized snapshot of a table (empty before first delta). */
   def snapshot(table: String): Option[DataFrame] = tableState.get(table)
 
@@ -157,7 +183,10 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     // 2. maintain views in declaration order
     val newStates = mutable.Map[String, DataFrame]() ++ tableState ++ viewState
     val out = program.views.map { v =>
-      val rawDelta = shapes(v.name) match {
+      val rawDelta = if (nowViews(v.name))
+        // clock-dependent: always recompute against the bound step time
+        recomputeDiff(bindClock(v.sql), newStates, oldViews.get(v.name))
+      else shapes(v.name) match {
         case Ivm.Linear(rels) =>
           evalLinear(v.sql, rels, relDeltas)
         case Ivm.Multilinear(rels) if rels.exists(relDeltas.contains) =>

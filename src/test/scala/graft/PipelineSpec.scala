@@ -91,6 +91,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("t").as[Double].head() === 12.0)
   }
 
+  test("NOW() views re-evaluate on clock advance (temporal filter expiry)") {
+    val prog =
+      """CREATE TABLE ev (ts TIMESTAMP, v BIGINT);
+        |CREATE VIEW recent AS
+        |  SELECT v FROM ev WHERE ts >= NOW() - INTERVAL 100 SECONDS;""".stripMargin
+    val pipe = Pipeline(spark, prog)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val d1 = {
+      pipe.advanceClock(ts(100)) // set the step clock first
+      pipe.step(Map("ev" -> ZSets.lift(
+        Seq((ts(10), 1L), (ts(50), 2L), (ts(90), 3L)).toDF("ts", "v"))))
+    }
+    // at clock 100 the window is [0, ∞): all three rows visible
+    assert(d1("recent").filter(col(ZSets.W) > 0).count() === 3)
+    // advance to 160: window [60, ∞) — rows at 10 and 50 must RETRACT
+    val d2 = pipe.advanceClock(ts(160))("recent")
+    assert(d2.filter(col(ZSets.W) < 0).select("v").as[Long].collect().toSet
+      === Set(1L, 2L))
+    assert(pipe.adHoc("SELECT v FROM recent").as[Long].collect().toSet
+      === Set(3L))
+  }
+
   test("connector properties with commas and escaped quotes parse") {
     val p = Ddl.parse(
       """CREATE TABLE t (x BIGINT) WITH (
