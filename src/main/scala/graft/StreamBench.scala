@@ -23,6 +23,17 @@ import org.apache.spark.sql.streaming.Trigger
   *                max per auction, avg per category — two stateful stages
   *   q5_window  — hot items: tumbling-window bid count per auction (q5.sql
   *                family; window agg + watermark)
+  *   q7_maxbid  — highest bid per window (q7.sql's intent as one
+  *                max_by window agg)
+  *
+  * q8's watermarked stream-stream join is deliberately NOT in this table:
+  * measured at ~100k events/s here — Spark's symmetric join buffers BOTH
+  * streams through durable state per row, an architectural cost no config
+  * removes (RocksDB/changelog/batch-splitting all measured within noise).
+  * This library's answer for standing joins is the IVM path —
+  * foreachBatch + IncrementalOps.joinStep (broadcast delta probes the
+  * integrated trace; graded by inc_join, shuffle-metered by
+  * IncrementalShuffleSpec) — not the raw stream-stream operator.
   *
   * The bid table is written UNCOMPRESSED: the reference's generator feeds
   * events from memory, so codec work would be a cost the baseline does
@@ -77,14 +88,15 @@ object StreamBench {
       (col("id") % 50).as("city"), (col("id") % 10).as("state")).cache()
     auction.count(); person.count()
 
-    def run(name: String)(build: DataFrame => DataFrame): (String, Double) = {
+    def run(name: String, mode: String = "update")(
+        build: DataFrame => DataFrame): (String, Double) = {
       val src = spark.readStream
         .schema(spark.read.parquet(s"$dir/bid").schema)
         .parquet(s"$dir/bid")
       val t0 = System.nanoTime()
       val q = build(src).writeStream.format("noop")
         .option("checkpointLocation", s"$dir/ckpt_$name")
-        .outputMode("update")
+        .outputMode(mode) // stream-stream joins require append
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -127,7 +139,13 @@ object StreamBench {
       run("q5_window")(df => df
         .withWatermark("date_time", "10 seconds")
         .groupBy(window(col("date_time"), "60 seconds"), col("auction"))
-        .agg(count(lit(1)).as("n"))))
+        .agg(count(lit(1)).as("n"))),
+      // q7 highest bid per window (q7.sql's intent as one stateful agg)
+      run("q7_maxbid")(df => df
+        .withWatermark("date_time", "10 seconds")
+        .groupBy(window(col("date_time"), "10 seconds"))
+        .agg(max_by(struct(col("auction"), col("bidder"), col("price")),
+          col("price")).as("top"))))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.toLong }
       .mkString("{", ",", "}")
