@@ -47,7 +47,13 @@ object Ivm {
     * re-eval; one group).
     */
   final case class GroupAgg(relation: String, groupCols: Seq[String],
-      outCols: Seq[String]) extends Shape
+      outCols: Seq[String],
+      /** Non-empty iff every aggregate is MIN/MAX directly at the view's
+        * output (name → isMax): with an append-only source the runner may
+        * then use the chain fast path (state = the view output itself,
+        * least/greatest merge) instead of touched-group re-aggregation.
+        */
+      chainCols: Seq[(String, Boolean)] = Nil) extends Shape
   case object Opaque extends Shape
 
   /** Classify a view body. `known` = names of program tables and earlier
@@ -124,7 +130,7 @@ object Ivm {
     * current plan's output.
     */
   private final case class AggCore(relation: String, groupCols: Seq[String],
-      outIds: Seq[ExprId])
+      outIds: Seq[ExprId], chainCols: Seq[(String, Boolean)])
 
   private def aggShape(plan: LogicalPlan,
       leaf: LogicalPlan => Option[String]): Option[Shape] =
@@ -132,7 +138,8 @@ object Ivm {
       val names = core.outIds.map(id =>
         plan.output.find(_.exprId == id).map(_.name))
       if (names.forall(_.isDefined))
-        Some(GroupAgg(core.relation, core.groupCols, names.map(_.get)))
+        Some(GroupAgg(core.relation, core.groupCols, names.map(_.get),
+          core.chainCols))
       else None
     }
 
@@ -148,10 +155,11 @@ object Ivm {
           }
         }
         if (remapped.forall(_.isDefined))
-          Some(core.copy(outIds = remapped.map(_.get)))
+          Some(core.copy(outIds = remapped.map(_.get), chainCols = Nil))
         else None
       }
-    case Filter(_, child) if noSubquery(p) => findCore(child, leaf)
+    case Filter(_, child) if noSubquery(p) =>
+      findCore(child, leaf).map(_.copy(chainCols = Nil))
     case s: SubqueryAlias if leaf(s).isEmpty => findCore(s.child, leaf)
     case agg: Aggregate if noSubquery(agg) =>
       buildAggCore(agg.groupingExpressions, agg.aggregateExpressions,
@@ -184,9 +192,29 @@ object Ivm {
                 if ar.exprId == a.exprId => al.exprId
           }
         }
-        if (base.forall(_.isDefined) && outIds.forall(_.isDefined))
-          Some(AggCore(rels.head, base.map(_.get), outIds.map(_.get)))
-        else None
+        if (base.forall(_.isDefined) && outIds.forall(_.isDefined)) {
+          val groupIdSet = attrs.map(_.exprId).toSet
+          val chain = resultExprs
+            .filterNot {
+              case ar: AttributeReference => groupIdSet(ar.exprId)
+              case Alias(ar: AttributeReference, _) => groupIdSet(ar.exprId)
+              case _ => false
+            }
+            .map {
+              case al @ Alias(ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression, _) =>
+                ae.aggregateFunction match {
+                  case _: org.apache.spark.sql.catalyst.expressions.aggregate.Min =>
+                    Some(al.name -> false)
+                  case _: org.apache.spark.sql.catalyst.expressions.aggregate.Max =>
+                    Some(al.name -> true)
+                  case _ => None
+                }
+              case _ => None
+            }
+          Some(AggCore(rels.head, base.map(_.get), outIds.map(_.get),
+            if (chain.nonEmpty && chain.forall(_.isDefined))
+              chain.map(_.get) else Nil))
+        } else None
       }
     }
   }

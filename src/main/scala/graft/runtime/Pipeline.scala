@@ -192,11 +192,19 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
         case Ivm.Multilinear(rels) if rels.exists(relDeltas.contains) =>
           evalMultilinear(v.sql, rels, relDeltas, oldStates, newStates)
         case Ivm.Multilinear(_) => ZSets.lift(emptyViews(v.name))
-        case Ivm.GroupAgg(rel, groupCols, outCols)
+        case Ivm.GroupAgg(rel, _, outCols, chainCols)
+            if relDeltas.contains(rel) && chainCols.nonEmpty
+              && program.tables.exists(t => t.name == rel && t.appendOnly) =>
+          // append-only source + pure MIN/MAX view: chain fast path —
+          // state is the view output itself, merged with least/greatest
+          // (chain_aggregate.rs; no touched-group re-scan of the source)
+          evalChainAgg(v.sql, rel, outCols, chainCols, relDeltas(rel),
+            oldViews.get(v.name))
+        case Ivm.GroupAgg(rel, groupCols, outCols, _)
             if relDeltas.contains(rel) =>
           evalGroupAgg(v.sql, rel, groupCols, outCols, relDeltas(rel),
             newStates, oldViews.get(v.name))
-        case Ivm.GroupAgg(_, _, _) => ZSets.lift(emptyViews(v.name))
+        case Ivm.GroupAgg(_, _, _, _) => ZSets.lift(emptyViews(v.name))
         case Ivm.Opaque =>
           recomputeDiff(v.sql, newStates, oldViews.get(v.name))
       }
@@ -285,6 +293,37 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       val touchedOut = touched.toDF(outCols: _*)
       val (oldTouched, _) = IncrementalOps.splitTouched(old, touchedOut, outCols)
       ZSets.lift(newRows).unionByName(ZSets.negate(oldTouched))
+    }
+  }
+
+  /** Chain fast path: the delta's own aggregate (the view SQL over the
+    * delta multiset alone) merged into the old view rows of touched
+    * groups with least/greatest. O(|delta|); never consults the source
+    * snapshot. Valid only for append-only sources with pure MIN/MAX
+    * aggregates — extrema are monotone without retraction.
+    */
+  private def evalChainAgg(sql: String, rel: String, outCols: Seq[String],
+      chainCols: Seq[(String, Boolean)], delta: DataFrame,
+      oldView: Option[DataFrame]): DataFrame = {
+    val contrib = evalWith(sql,
+      Map(rel -> ZSets.toMultiset(ZSets.positive(delta))))
+    oldView match {
+      case None => ZSets.lift(contrib)
+      case Some(old) =>
+        val oldTouched =
+          if (outCols.isEmpty) old
+          else {
+            val touched = contrib.select(outCols.map(col): _*)
+            IncrementalOps.splitTouched(old, touched, outCols)._1
+          }
+        val mergeAggs = chainCols.map { case (n, isMax) =>
+          (if (isMax) max(col(n)) else min(col(n))).as(n)
+        }
+        val merged = oldTouched.drop(ZSets.W).unionByName(contrib)
+          .groupBy(outCols.map(col): _*)
+          .agg(mergeAggs.head, mergeAggs.tail: _*)
+          .select(contrib.columns.map(col): _*)
+        ZSets.lift(merged).unionByName(ZSets.negate(oldTouched))
     }
   }
 

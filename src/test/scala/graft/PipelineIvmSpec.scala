@@ -93,6 +93,29 @@ class PipelineIvmSpec extends SparkSpec {
       === Array(("a", 1L)))
   }
 
+  test("append_only table + MIN/MAX view routes through the chain path") {
+    val sql =
+      """CREATE TABLE metrics (k VARCHAR, v BIGINT) WITH ('append_only' = 'true');
+        |CREATE VIEW extremes AS
+        |  SELECT k, MIN(v) AS mn, MAX(v) AS mx FROM metrics GROUP BY k;""".stripMargin
+    val pipe = Pipeline(spark, sql)
+    // classification carries the chain columns
+    assert(pipe.shapeOf("extremes") ===
+      Ivm.GroupAgg("metrics", Seq("k"), Seq("k"),
+        Seq("mn" -> false, "mx" -> true)))
+    pipe.step(Map("metrics" -> ZSets.lift(
+      Seq(("a", 5L), ("a", 9L), ("b", 2L)).toDF("k", "v"))))
+    val d2 = pipe.step(Map("metrics" -> ZSets.lift(
+      Seq(("a", 1L), ("c", 7L)).toDF("k", "v"))))("extremes")
+    // delta: retract a's old row, emit a's new extremes + c's first row
+    assert(d2.orderBy("k", ZSets.W).as[(String, Long, Long, Long)]
+      .collect().toSet === Set(
+        ("a", 1L, 9L, 1L), ("a", 5L, 9L, -1L), ("c", 7L, 7L, 1L)))
+    assert(pipe.adHoc("SELECT * FROM extremes ORDER BY k")
+      .as[(String, Long, Long)].collect()
+      === Array(("a", 1L, 9L), ("b", 2L, 2L), ("c", 7L, 7L)))
+  }
+
   private class ShuffleMeter extends SparkListener {
     @volatile var records: Long = 0L
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
