@@ -52,6 +52,20 @@ class DurableRunnerSpec extends SparkSpec {
       === Set((1L, "n", 1L), (2L, "o", -1L), (3L, "p", -1L), (3L, "q", 1L)))
   }
 
+  test("malformed and partial envelope lines drop, valid ones survive") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType)))
+    val out = Envelopes.decodeJson(Seq(
+      """{"insert": {"a": 1}}""",
+      """not json at all""",
+      """{"unknown_key": {"a": 2}}""",
+      """{"insert": null}""",
+      """{}""").toDF("value"), schema, "insert_delete")
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L)))
+  }
+
   private def writeLines(dir: Path, table: String, file: String,
       lines: Seq[String]): Unit = {
     val d = dir.resolve(table)
