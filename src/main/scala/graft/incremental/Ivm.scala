@@ -54,6 +54,16 @@ object Ivm {
         * least/greatest merge) instead of touched-group re-aggregation.
         */
       chainCols: Seq[(String, Boolean)] = Nil) extends Shape
+  /** Aggregate directly over a multilinear join body — the composite the
+    * reference compiles as two circuit nodes. The runner maintains a
+    * hidden Z-set for the join (by the multilinear rule) and re-aggregates
+    * touched groups from it. `groupPositions` index the grouping keys in
+    * the join body's output (positional, because join outputs can repeat
+    * column names); `outCols` name them in the view output.
+    */
+  final case class AggOverMulti(relations: Seq[String],
+      groupPositions: Seq[Int], outCols: Seq[String]) extends Shape
+
   case object Opaque extends Shape
 
   /** Classify a view body. `known` = names of program tables and earlier
@@ -77,7 +87,50 @@ object Ivm {
       case _ =>
         aggShape(plan, leaf)
           .orElse(multiShape(plan, leaf))
+          .orElse(aggOverMulti(plan, leaf))
           .getOrElse(Opaque)
+    }
+  }
+
+  /** Aggregate whose child is a pure join chain: the view body IS the
+    * aggregate (only alias wrappers above), grouping keys are attributes
+    * of the join output surfacing in the aggregate output.
+    */
+  private def aggOverMulti(plan: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Option[Shape] = {
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias if leaf(s).isEmpty => unwrap(s.child)
+      case x => x
+    }
+    unwrap(plan) match {
+      case agg: Aggregate if noSubquery(agg) =>
+        multiRels(agg.child, leaf)
+          .filter(rs => rs.distinct.size == rs.size && rs.size >= 2)
+          .flatMap { rels =>
+            val childOut = agg.child.output
+            val groupAttrs = agg.groupingExpressions.map {
+              case ar: AttributeReference => Some(ar)
+              case _ => None
+            }
+            if (!groupAttrs.forall(_.isDefined)) None
+            else {
+              val attrs = groupAttrs.map(_.get)
+              val positions =
+                attrs.map(a => childOut.indexWhere(_.exprId == a.exprId))
+              val outNames = attrs.map { a =>
+                agg.aggregateExpressions.collectFirst {
+                  case ar: AttributeReference if ar.exprId == a.exprId =>
+                    ar.name
+                  case al @ Alias(ar: AttributeReference, _)
+                      if ar.exprId == a.exprId => al.name
+                }
+              }
+              if (positions.forall(_ >= 0) && outNames.forall(_.isDefined))
+                Some(AggOverMulti(rels, positions, outNames.map(_.get)))
+              else None
+            }
+          }
+      case _ => None
     }
   }
 

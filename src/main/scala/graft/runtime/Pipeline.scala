@@ -60,6 +60,10 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
   /** Z-set snapshots: tables AND view outputs, consolidated. */
   private val tableState = mutable.Map[String, DataFrame]()
   private val viewState = mutable.Map[String, DataFrame]()
+  /** Hidden join-body Z-sets for AggOverMulti views (positional column
+    * names `_c0.._cN` — join outputs can repeat names).
+    */
+  private val joinState = mutable.Map[String, DataFrame]()
 
   private val tableNames = program.tables.map(_.name)
 
@@ -205,6 +209,11 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
           evalGroupAgg(v.sql, rel, groupCols, outCols, relDeltas(rel),
             newStates, oldViews.get(v.name))
         case Ivm.GroupAgg(_, _, _, _) => ZSets.lift(emptyViews(v.name))
+        case Ivm.AggOverMulti(rels, groupPos, outCols)
+            if rels.exists(relDeltas.contains) =>
+          evalAggOverMulti(v.sql, v.name, rels, groupPos, outCols,
+            relDeltas, oldStates, newStates, oldViews.get(v.name))
+        case Ivm.AggOverMulti(_, _, _) => ZSets.lift(emptyViews(v.name))
         case Ivm.Opaque =>
           recomputeDiff(v.sql, newStates, oldViews.get(v.name))
       }
@@ -293,6 +302,91 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       val touchedOut = touched.toDF(outCols: _*)
       val (oldTouched, _) = IncrementalOps.splitTouched(old, touchedOut, outCols)
       ZSets.lift(newRows).unionByName(ZSets.negate(oldTouched))
+    }
+  }
+
+  /** Aggregate-over-join composite (the reference's two circuit nodes,
+    * derived automatically): a hidden Z-set maintains the JOIN BODY by the
+    * multilinear delta rule — the Aggregate node's child is evaluated
+    * under per-term bindings via plan surgery (Shims.ofRows) — and the
+    * view output is re-aggregated only for touched groups by grafting the
+    * restricted state back under the original Aggregate node with
+    * exprId-preserving aliases.
+    */
+  private def evalAggOverMulti(sql: String, viewName: String,
+      rels: Seq[String], groupPos: Seq[Int], outCols: Seq[String],
+      relDeltas: collection.Map[String, DataFrame],
+      oldStates: collection.Map[String, DataFrame],
+      newStates: collection.Map[String, DataFrame],
+      oldView: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    val shims = org.apache.spark.sql.graft.Shims
+
+    def analyzedAgg(bindings: Map[String, DataFrame]): Aggregate = {
+      bindings.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      spark.sql(sql).queryExecution.analyzed
+        .collectFirst { case a: Aggregate => a }
+        .getOrElse(sys.error(s"view $viewName lost its Aggregate node"))
+    }
+    def positional(df: DataFrame): DataFrame =
+      df.toDF(df.columns.indices.map(i => s"_c$i"): _*)
+
+    // 1. delta of the join body (telescoped multilinear terms)
+    val terms = rels.zipWithIndex.flatMap { case (ri, i) =>
+      relDeltas.get(ri).toSeq.flatMap { d =>
+        def bind(delta: DataFrame): Map[String, DataFrame] =
+          rels.zipWithIndex.map { case (rj, j) =>
+            rj -> (if (j < i) multisetOf(rj, newStates)
+              else if (j > i) multisetOf(rj, oldStates)
+              else delta.hint("broadcast"))
+          }.toMap
+        def body(delta: DataFrame): DataFrame =
+          positional(shims.ofRows(spark, analyzedAgg(bind(delta)).child))
+        Seq(ZSets.lift(body(ZSets.toMultiset(d))),
+          ZSets.negate(ZSets.lift(body(ZSets.toMultiset(ZSets.negate(d))))))
+      }
+    }
+    val dJ = ZSets.consolidate(terms.reduce(_ unionByName _))
+      .localCheckpoint(true)
+
+    // 2. merge the hidden join state (scan-side; broadcast delta keys)
+    val newJ = (joinState.get(viewName) match {
+      case Some(st) => IncrementalOps.mergeDelta(st, dJ)
+      case None => dJ
+    }).localCheckpoint(true)
+    joinState(viewName) = newJ
+
+    // 3. restrict to touched groups (positional key names)
+    val posKeys = groupPos.map(p => s"_c$p")
+    val touched = dJ.select(posKeys.map(col): _*).distinct()
+    val restricted =
+      if (posKeys.isEmpty) newJ
+      else IncrementalOps.splitTouched(newJ, touched, posKeys)._1
+
+    // 4. graft the restricted multiset back under the original Aggregate
+    val agg = analyzedAgg(rels.map(r => r -> multisetOf(r, newStates)).toMap)
+    val childOut: Seq[Attribute] = agg.child.output
+    val restPlan = ZSets.toMultiset(restricted).queryExecution.analyzed
+    require(restPlan.output.size == childOut.size,
+      s"join-state arity drifted for $viewName")
+    val aliases = childOut.zip(restPlan.output).map { case (orig, cur) =>
+      require(cur.dataType == orig.dataType,
+        s"join-state type drifted for $viewName: $cur vs $orig")
+      Alias(cur, orig.name)(exprId = orig.exprId)
+    }
+    val newRows = shims.ofRows(spark,
+      Aggregate(agg.groupingExpressions, agg.aggregateExpressions,
+        Project(aliases, restPlan)))
+
+    // 5. retract the old output rows of touched groups
+    val oldTouched = oldView.map { o =>
+      if (outCols.isEmpty) o
+      else IncrementalOps.splitTouched(o, touched.toDF(outCols: _*), outCols)._1
+    }
+    oldTouched match {
+      case Some(o) => ZSets.lift(newRows).unionByName(ZSets.negate(o))
+      case None => ZSets.lift(newRows)
     }
   }
 

@@ -93,6 +93,37 @@ class PipelineIvmSpec extends SparkSpec {
       === Array(("a", 1L)))
   }
 
+  test("aggregate directly over a join classifies AggOverMulti and converges") {
+    val sql =
+      """CREATE TABLE orders (o_id BIGINT NOT NULL, o_cust BIGINT, o_amt DOUBLE);
+        |CREATE TABLE customer (c_id BIGINT NOT NULL, c_name VARCHAR);
+        |CREATE VIEW spend AS
+        |  SELECT c_name, COUNT(*) AS n, SUM(o_amt) AS total
+        |  FROM orders JOIN customer ON o_cust = c_id
+        |  GROUP BY c_name;""".stripMargin
+    val pipe = Pipeline(spark, sql)
+    assert(pipe.shapeOf("spend") ===
+      Ivm.AggOverMulti(Seq("orders", "customer"), Seq(4), Seq("c_name")))
+
+    val o = orders(400).localCheckpoint(true)
+    val c = customers(60).localCheckpoint(true)
+    pipe.step(Map(
+      "orders" -> ZSets.lift(o.filter(col("o_id") % 2 === 0)),
+      "customer" -> ZSets.lift(c.filter(col("c_id") < 50))))
+    pipe.step(Map(
+      "orders" -> ZSets.lift(o.filter(col("o_id") % 2 === 1))
+        .unionByName(ZSets.negate(ZSets.lift(o.filter(col("o_id") % 5 === 0)))),
+      "customer" -> ZSets.lift(c.filter(col("c_id") >= 50))
+        .unionByName(ZSets.negate(ZSets.lift(c.filter(col("c_id") % 7 === 3))))))
+
+    val expected = Pipeline(spark, sql).runBatch(Map(
+      "orders" -> o.filter(col("o_id") % 5 =!= 0),
+      "customer" -> c.filter(col("c_id") % 7 =!= 3)))("spend")
+    val got = pipe.adHoc("SELECT * FROM spend")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "AggOverMulti view diverged from batch recompute")
+  }
+
   test("append_only table + MIN/MAX view routes through the chain path") {
     val sql =
       """CREATE TABLE metrics (k VARCHAR, v BIGINT) WITH ('append_only' = 'true');
