@@ -220,6 +220,24 @@ object Functions {
         get_json_object(col("props"), "$.k").isNotNull.as("ok"))
     },
 
+    // UUID surface (uuid.md; types/SqlTypes UUID = canonical string,
+    // functions/Registry uuid_from_binary): deterministic UUIDs derived
+    // from md5 bytes; DuckDB formats the same 16 bytes by hand.
+    Q(
+      "fn_uuid",
+      """SELECT p_partkey,
+        |  lower(concat(substr(md5(p_name), 1, 8), '-',
+        |    substr(md5(p_name), 9, 4), '-', substr(md5(p_name), 13, 4), '-',
+        |    substr(md5(p_name), 17, 4), '-', substr(md5(p_name), 21, 12))) AS u,
+        |  length(md5(p_name)) AS ulen
+        |FROM part WHERE p_partkey < 1000""".stripMargin) { (s, dir) =>
+      graft.functions.Registry.registerAll(s)
+      t(s, dir, "part").filter(col("p_partkey") < 1000).select(
+        col("p_partkey"),
+        call_udf("uuid_from_binary", unhex(md5(col("p_name")))).as("u"),
+        length(md5(col("p_name"))).cast("long").as("ulen"))
+    },
+
     // Function-index completeness tail (function-index.md): TO_HEX,
     // OVERLAY, ARRAY_INSERT/REPEAT/EXCEPT/INTERSECT (Feldera's EXCEPT/
     // INTERSECT are deduped AND sorted — array.md:100-103 — hence the

@@ -64,6 +64,8 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     * names `_c0.._cN` — join outputs can repeat names).
     */
   private val joinState = mutable.Map[String, DataFrame]()
+  /** Presence-marked upsert state for PRIMARY KEY tables. */
+  private val upsertState = mutable.Map[String, DataFrame]()
 
   private val tableNames = program.tables.map(_.name)
 
@@ -173,9 +175,21 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     val oldViews = viewState.toMap
     val oldStates = oldTables ++ oldViews
 
-    // 1. integrate table deltas — mergeDelta touches only delta keys
+    // 1. integrate table deltas — mergeDelta touches only delta keys.
+    // PRIMARY KEY tables accept upsert batches (rows + `_deleted` flag):
+    // upsertStep converts overwrite/delete semantics into retract+insert
+    // Z-set deltas against the presence-marked key state
+    // (crates: upsert handling in the input controller; SURVEY §2.1).
     val relDeltas = mutable.Map[String, DataFrame]()
-    deltas.foreach { case (name, d) =>
+    deltas.foreach { case (name, raw) =>
+      val pk = program.tables.find(_.name == name)
+        .map(_.primaryKey).getOrElse(Nil)
+      val d = if (pk.nonEmpty && raw.columns.contains("_deleted")) {
+        val (st, zd) = IncrementalOps.upsertStep(
+          upsertState.get(name), raw, pk)
+        upsertState(name) = st.localCheckpoint(true)
+        zd
+      } else raw
       val dCon = ZSets.consolidate(d).localCheckpoint(true)
       relDeltas(name) = dCon
       tableState(name) = (tableState.get(name) match {

@@ -164,9 +164,16 @@ class PipelineIvmSpec extends SparkSpec {
   }
 
   test("step shuffle volume is independent of snapshot size (IVM contract)") {
-    // program without the Opaque view (recompute-and-diff is O(state) by design)
+    // program without the Opaque view (recompute-and-diff is O(state) by
+    // design); add an aggregate-over-join so the composite shape is under
+    // the meter too
     val ivmOnly = programSql.split('\n')
-      .takeWhile(!_.contains("opaque_topk")).mkString("\n").stripSuffix(";") + ";"
+      .takeWhile(!_.contains("opaque_topk")).mkString("\n").stripSuffix(";") +
+      """;
+        |CREATE VIEW spend AS
+        |  SELECT c_name, COUNT(*) AS n, SUM(o_amt) AS total
+        |  FROM orders JOIN customer ON o_cust = c_id GROUP BY c_name;"""
+        .stripMargin
     def seeded(n: Int): Pipeline = {
       val p = Pipeline(spark, ivmOnly)
       p.step(Map("orders" -> ZSets.lift(orders(n)),

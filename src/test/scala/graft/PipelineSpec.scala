@@ -91,6 +91,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("t").as[Double].head() === 12.0)
   }
 
+  test("PRIMARY KEY tables accept upsert batches: overwrite + delete") {
+    val prog =
+      """CREATE TABLE kv (k BIGINT NOT NULL PRIMARY KEY, v VARCHAR);
+        |CREATE VIEW vals AS SELECT k, v FROM kv;""".stripMargin
+    val pipe = Pipeline(spark, prog)
+    def batch(rows: Seq[(Long, String, Boolean)]) =
+      rows.toDF("k", "v", "_deleted")
+    pipe.step(Map("kv" -> batch(Seq(
+      (1L, "a", false), (2L, "b", false)))))
+    // overwrite k=1, delete k=2, insert k=3 — last-writer-wins snapshot
+    val d = pipe.step(Map("kv" -> batch(Seq(
+      (1L, "a2", false), (2L, null, true), (3L, "c", false)))))("vals")
+    assert(d.filter(col(ZSets.W) < 0).select("k", "v")
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    assert(pipe.adHoc("SELECT * FROM vals").as[(Long, String)]
+      .collect().toSet === Set((1L, "a2"), (3L, "c")))
+  }
+
   test("NOW() views re-evaluate on clock advance (temporal filter expiry)") {
     val prog =
       """CREATE TABLE ev (ts TIMESTAMP, v BIGINT);
