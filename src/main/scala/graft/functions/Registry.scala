@@ -117,4 +117,36 @@ object Registry {
     registerSql(spark)
     registerUdfs(spark)
   }
+
+  /** Generic (any element type) Column forms of the array tail — the SQL
+    * registrations above are necessarily monomorphic (a SQL-bodied
+    * function needs concrete parameter types); library users get the
+    * full-generic contract here.
+    */
+  object arrays {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+
+    def arrayLength(a: Column): Column = size(a)
+
+    /** Single element of a 0/1-element array; errors on more (array.md
+      * ELEMENT).
+      */
+    def element(a: Column): Column =
+      when(size(a) === 1, a.getItem(0))
+        .when(size(a) === 0, lit(null))
+        .otherwise(raise_error(
+          lit("ELEMENT() of array with more than one element")))
+
+    /** 0-based SAFE_OFFSET: null out of range. */
+    def safeOffset(a: Column, i: Column): Column = try_element_at(a, i + 1)
+
+    /** Feldera ARRAY_EXCEPT/INTERSECT: deduplicated AND ascending
+      * (array.md:100-103) — Spark's natives keep left order.
+      */
+    def arrayExcept(l: Column, r: Column): Column =
+      array_sort(array_except(l, r))
+    def arrayIntersect(l: Column, r: Column): Column =
+      array_sort(array_intersect(l, r))
+  }
 }

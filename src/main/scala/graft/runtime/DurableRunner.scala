@@ -40,15 +40,44 @@ final class DurableRunner(spark: SparkSession, program: Ddl.Program,
   private val journal = Paths.get(stateDir, "journal")
   Files.createDirectories(journal)
 
-  /** Replay committed batches (ascending id) to rebuild in-memory state. */
+  private val snapshots = Paths.get(stateDir, "snapshots")
+  Files.createDirectories(snapshots)
+
+  /** Latest committed snapshot id, if any (written by [[compact]]). */
+  private def latestSnapshot: Option[Long] = {
+    val ids = Files.list(snapshots).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("upto="))
+      .filter(p => Files.exists(p.resolve("_COMMIT")))
+      .map(_.getFileName.toString.stripPrefix("upto=").toLong)
+      .toSeq
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  private val initialSnapshot: Option[Long] = latestSnapshot
+
+  /** Replay = latest snapshot (loaded as one synthetic delta from empty)
+    * + committed journal batches after it, ascending.
+    */
   val restoredBatches: Seq[Long] = {
+    val snap = initialSnapshot
+    snap.foreach { upTo =>
+      val dir = snapshots.resolve(s"upto=$upTo")
+      val tables = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("table="))
+        .map { p =>
+          p.getFileName.toString.stripPrefix("table=") ->
+            spark.read.parquet(p.toString)
+        }.toMap
+      pipeline.step(tables)
+    }
     val ids = Files.list(journal).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("batch="))
       .filter(p => Files.exists(p.resolve("_COMMIT")))
       .map(_.getFileName.toString.stripPrefix("batch=").toLong)
       .toSeq.sorted
+      .filter(id => snap.forall(id > _))
     ids.foreach { id => pipeline.step(readBatch(id)) }
-    ids
+    snap.toSeq ++ ids
   }
 
   private var committed: Set[Long] = restoredBatches.toSet
@@ -68,7 +97,9 @@ final class DurableRunner(spark: SparkSession, program: Ddl.Program,
     */
   def step(batchId: Long,
       deltas: Map[String, DataFrame]): Option[Map[String, DataFrame]] = {
-    if (committed(batchId)) None
+    // a batch at or below the restored snapshot is committed by definition
+    // even though its journal entry has been truncated away
+    if (committed(batchId) || initialSnapshot.exists(batchId <= _)) None
     else {
       deltas.foreach { case (t, d) =>
         d.write.mode("overwrite")
@@ -79,6 +110,34 @@ final class DurableRunner(spark: SparkSession, program: Ddl.Program,
       committed += batchId
       // re-read from the journal so replay and live paths are identical
       Some(pipeline.step(readBatch(batchId)))
+    }
+  }
+
+  /** Snapshot compaction — the reference checkpointer's design
+    * (crates/dbsp/src/circuit/checkpointer.rs): persist every table's
+    * integrated Z-set as of the highest committed batch, then truncate the
+    * journal up to it. Restart cost becomes O(state) + O(journal tail)
+    * instead of O(full history).
+    */
+  def compact(): Unit = {
+    val upTo = committed.foldLeft(-1L)(math.max)
+    if (upTo >= 0) {
+      val dir = snapshots.resolve(s"upto=$upTo")
+      program.tables.foreach { t =>
+        pipeline.snapshot(t.name).foreach(_.write.mode("overwrite")
+          .parquet(dir.resolve(s"table=${t.name}").toString))
+      }
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("_COMMIT"), Array.empty[Byte])
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala.foreach(rm)
+        Files.delete(p)
+      }
+      Files.list(journal).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("batch="))
+        .filter(_.getFileName.toString.stripPrefix("batch=").toLong <= upTo)
+        .toSeq.foreach(rm)
     }
   }
 

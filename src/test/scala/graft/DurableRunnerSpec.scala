@@ -123,6 +123,33 @@ class DurableRunnerSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(after2 === batch)
   }
+  test("snapshot compaction truncates the journal; restart restores exactly") {
+    val input = Files.createTempDirectory("graft_cmp_in")
+    val ckpt = Files.createTempDirectory("graft_cmp_ckpt")
+    val state = Files.createTempDirectory("graft_cmp_state")
+
+    writeLines(input, "orders", "f1.jsonl",
+      Seq(ins(1, 10, 5.0), ins(2, 10, 7.0)))
+    runOnce(input, ckpt, state)
+    // compact: snapshot state, truncate journal
+    DurableRunnerSpec.last.compact()
+    assert(!java.nio.file.Files.list(state.resolve("journal")).iterator()
+      .hasNext, "journal should be truncated after compaction")
+
+    // more data (with a retraction), then restart from snapshot + tail
+    writeLines(input, "orders", "f2.jsonl", Seq(del(2, 10, 7.0), ins(3, 20, 1.0)))
+    runOnce(input, ckpt, state)
+    val got = DurableRunnerSpec.last.pipeline
+      .adHoc("SELECT * FROM totals").as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((10L, 1L, 5.0), (20L, 1L, 1.0)))
+
+    // idempotent restart again
+    runOnce(input, ckpt, state)
+    val again = DurableRunnerSpec.last.pipeline
+      .adHoc("SELECT * FROM totals").as[(Long, Long, Double)].collect().toSet
+    assert(again === got)
+  }
+
   test("DDL LATENESS becomes a watermark on a real file-stream source") {
     val input = Files.createTempDirectory("graft_late_in")
     val ckpt = Files.createTempDirectory("graft_late_ckpt")

@@ -105,6 +105,23 @@ class FunctionsSpec extends SparkSpec {
         org.apache.spark.sql.types.IntegerType))
   }
 
+  test("generic array tail works across element types") {
+    import graft.functions.Registry.arrays._
+    val df = Seq((Seq(3.5, 1.5), Seq(1.5), Seq("b", "a"), Seq("a")))
+      .toDF("d1", "d2", "s1", "s2")
+    val r = df.select(
+      arrayLength(col("d1")), element(col("d2")),
+      safeOffset(col("s1"), lit(1)), safeOffset(col("s1"), lit(9)),
+      arrayExcept(col("d1"), col("d2")), arrayIntersect(col("s1"), col("s2")))
+      .head()
+    assert(r.getInt(0) === 2)
+    assert(r.getDouble(1) === 1.5)
+    assert(r.getString(2) === "a")
+    assert(r.isNullAt(3))
+    assert(r.getSeq[Double](4) === Seq(3.5))
+    assert(r.getSeq[String](5) === Seq("a"))
+  }
+
   test("VARIANT SQL spellings: VARIANTNULL and JSON_EACH family") {
     graft.functions.Registry.registerAll(spark)
     val r = spark.sql(
