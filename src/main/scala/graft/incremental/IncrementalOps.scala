@@ -245,11 +245,18 @@ object IncrementalOps {
   // ---------------------------------------------------------------- upsert
 
   /** PRIMARY-KEY upsert step (reference: input_upsert.rs:254,
-    * DBSPUpsertFeedbackOperator.java:22): each batch carries at most one
-    * command per key — `_deleted = false` upserts the payload, `true`
-    * deletes the key. State = latest row per key; output delta = retract
-    * replaced/deleted rows, insert new ones. The streaming twin is
-    * graft.streaming.Upsert (per-row ordered within a key).
+    * DBSPUpsertFeedbackOperator.java:22): `_deleted = false` upserts the
+    * payload, `true` deletes the key. State = latest row per key; output
+    * delta = retract replaced/deleted rows, insert new ones. The streaming
+    * twin is graft.streaming.Upsert (per-row ordered within a key).
+    *
+    * Within a batch, LAST WRITE WINS per key (the reference's input
+    * handler folds a batch's commands per key before applying): pass
+    * `seqCol` naming a deterministic ordering column — the highest value
+    * wins and the column is dropped from the payload. Without `seqCol` a
+    * batch with duplicate keys has no defined winner; the step fails fast
+    * (raise_error inside the plan) instead of fanning out the reconcile
+    * join into duplicated retractions.
     *
     * Only batch keys consult the state: untouched keys pass through
     * scan-side, the full-outer reconcile is batch-sized×batch-sized.
@@ -258,9 +265,25 @@ object IncrementalOps {
     */
   def upsertStep(
       state: Option[DataFrame],
-      batch: DataFrame,
+      batchRaw: DataFrame,
       key: Seq[String],
-      deletedCol: String = "_deleted"): (DataFrame, DataFrame) = {
+      deletedCol: String = "_deleted",
+      seqCol: Option[String] = None): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val batch = seqCol match {
+      case Some(sc) =>
+        val w = Window.partitionBy(key.map(col): _*).orderBy(col(sc).desc)
+        batchRaw.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn").drop(sc)
+      case None =>
+        val w = Window.partitionBy(key.map(col): _*)
+        batchRaw.withColumn("_dup", count(lit(1)).over(w))
+          .withColumn("_chk", when(col("_dup") > 1, raise_error(concat(
+            lit("upsert batch carries "), col("_dup").cast("string"),
+            lit(s" rows for one key (${key.mkString(",")}); " +
+              "pass seqCol for last-write-wins or pre-dedup the batch")))))
+          .filter(col("_chk").isNull).drop("_dup", "_chk")
+    }
     val payload = batch.columns.toSeq.filterNot(c =>
       key.contains(c) || c == deletedCol)
     // state carries an explicit liveness marker so nullable payloads work

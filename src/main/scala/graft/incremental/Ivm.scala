@@ -72,9 +72,30 @@ object Ivm {
   def classify(spark: SparkSession, sql: String,
       known: Set[String]): Shape = {
     val plan = spark.sql(sql).queryExecution.analyzed
+    // The registered plan behind each known temp view (outer alias
+    // stripped) — the comparison target for leaf identification.
+    val registered: Map[String, LogicalPlan] = known.map { n =>
+      n -> (spark.table(n).queryExecution.analyzed match {
+        case s: SubqueryAlias => s.child
+        case p => p
+      })
+    }.toMap
+    // A relation reference analyzes as SubqueryAlias(name, <registered
+    // plan>); `FROM t AS a` adds an outer rename alias above it. Resolve
+    // through the alias chain to the INNERMOST alias and accept it only if
+    // it wraps that name's registered plan: a derived subquery whose alias
+    // merely collides with a table/view name (`FROM (…) AS t`) must NOT
+    // classify as reading `t` — delta evaluation would rebind the wrong
+    // relation and silently freeze or corrupt the view.
     def leaf(p: LogicalPlan): Option[String] = p match {
-      case s: SubqueryAlias if known(s.alias.toLowerCase) =>
-        Some(s.alias.toLowerCase)
+      case s: SubqueryAlias =>
+        var in = s
+        while (in.child.isInstanceOf[SubqueryAlias])
+          in = in.child.asInstanceOf[SubqueryAlias]
+        val n = in.alias.toLowerCase
+        if (known(n) && registered.get(n).exists(in.child.sameResult))
+          Some(n)
+        else None
       case _ => None
     }
     classifyPlan(plan, leaf)

@@ -18,7 +18,7 @@ import graft.zset.ZSets
   * (crates/dbsp/src/circuit/checkpointer.rs, journal replay in the
   * controller; docs fault-tolerance).
   *
-  * Exactly-once protocol:
+  * Protocol — STATE is exactly-once, OUTPUTS are at-least-once:
   *  1. Spark's file source + `checkpointLocation` re-delivers each batch
   *     with a stable `batchId` after a crash (at-least-once).
   *  2. `step(batchId, …)` first APPENDS the batch's table deltas to a
@@ -27,6 +27,16 @@ import graft.zset.ZSets
   *  3. A restarted runner rebuilds pipeline state by replaying committed
   *     journal batches in order through the same IVM step — deterministic,
   *     so the rebuilt state equals the pre-crash state exactly.
+  *  4. Output delivery is acknowledged separately: `writer` marks a batch
+  *     `_DELIVERED` only after `onOutput` returns. A crash between
+  *     `_COMMIT` and that acknowledgement leaves the batch committed to
+  *     state but undelivered; the restarted runner captures its view
+  *     deltas during journal replay ([[pendingOutputs]]) and `writer`
+  *     re-delivers them before processing live batches. Sinks therefore
+  *     see every batch at least once (dedup on (view, batchId) for
+  *     exactly-once sinks). Call [[compact]] only after outputs are
+  *     delivered: compaction drops the journal entries that redelivery
+  *     reads from.
   *
   * Scale note: replay cost grows with journal length; the production path
   * is periodic state-snapshot compaction (write table/view Z-sets, truncate
@@ -56,8 +66,12 @@ final class DurableRunner(spark: SparkSession, program: Ddl.Program,
   private val initialSnapshot: Option[Long] = latestSnapshot
 
   /** Replay = latest snapshot (loaded as one synthetic delta from empty)
-    * + committed journal batches after it, ascending.
+    * + committed journal batches after it, ascending. Alongside state
+    * rebuild this captures the view deltas of committed-but-undelivered
+    * batches into [[pendingOutputs]].
     */
+  private var pending = Map.empty[Long, Map[String, DataFrame]]
+
   val restoredBatches: Seq[Long] = {
     val snap = initialSnapshot
     snap.foreach { upTo =>
@@ -69,6 +83,11 @@ final class DurableRunner(spark: SparkSession, program: Ddl.Program,
             spark.read.parquet(p.toString)
         }.toMap
       pipeline.step(tables)
+      // the snapshot bypasses upsertStep (plain Z-set delta): rebuild the
+      // per-key liveness state for PRIMARY KEY tables so post-restart
+      // upsert batches still retract pre-snapshot rows
+      program.tables.filter(_.primaryKey.nonEmpty)
+        .foreach(t => pipeline.rebuildUpsertState(t.name))
     }
     val ids = Files.list(journal).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("batch="))
@@ -76,9 +95,34 @@ final class DurableRunner(spark: SparkSession, program: Ddl.Program,
       .map(_.getFileName.toString.stripPrefix("batch=").toLong)
       .toSeq.sorted
       .filter(id => snap.forall(id > _))
-    ids.foreach { id => pipeline.step(readBatch(id)) }
+    ids.foreach { id =>
+      val out = pipeline.step(readBatch(id))
+      if (!Files.exists(batchDir(id).resolve("_DELIVERED")))
+        pending += id -> out
+    }
     snap.toSeq ++ ids
   }
+
+  /** View deltas of batches committed to state whose outputs were never
+    * acknowledged (crash between `_COMMIT` and `markDelivered`), keyed by
+    * batchId. Deltas are materialized (localCheckpoint) during replay.
+    */
+  def pendingOutputs: Map[Long, Map[String, DataFrame]] = pending
+
+  /** Acknowledge that a batch's outputs reached the sink. */
+  def markDelivered(batchId: Long): Unit = {
+    val dir = batchDir(batchId)
+    if (Files.exists(dir))
+      Files.write(dir.resolve("_DELIVERED"), Array.empty[Byte])
+    pending -= batchId
+  }
+
+  /** Re-deliver [[pendingOutputs]] in batch order and acknowledge them. */
+  def deliverPending(onOutput: (String, DataFrame, Long) => Unit): Unit =
+    pending.keys.toSeq.sorted.foreach { id =>
+      pending(id).foreach { case (v, d) => onOutput(v, d, id) }
+      markDelivered(id)
+    }
 
   private var committed: Set[Long] = restoredBatches.toSet
 
@@ -148,6 +192,9 @@ final class DurableRunner(spark: SparkSession, program: Ddl.Program,
   def writer(inputDir: String, format: String = "insert_delete")(
       onOutput: (String, DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
     val schemas = program.tables.map(t => t.name -> FileSource.schemaOf(t)).toMap
+    // at-least-once: committed-but-unacknowledged outputs from before the
+    // restart go out first, in batch order
+    deliverPending(onOutput)
     FileSource.programStream(spark, inputDir, program)
       .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
@@ -159,9 +206,10 @@ final class DurableRunner(spark: SparkSession, program: Ddl.Program,
               Envelopes.decodeJson(rows, schemas(t.name), format))
           }.toMap
           if (deltas.nonEmpty)
-            step(batchId, deltas).foreach(_.foreach { case (v, d) =>
-              onOutput(v, d, batchId)
-            })
+            step(batchId, deltas).foreach { out =>
+              out.foreach { case (v, d) => onOutput(v, d, batchId) }
+              markDelivered(batchId)
+            }
         } finally { batch.unpersist(); () }
       }
   }

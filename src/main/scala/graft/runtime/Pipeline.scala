@@ -128,6 +128,19 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
   /** Current materialized snapshot of a table (empty before first delta). */
   def snapshot(table: String): Option[DataFrame] = tableState.get(table)
 
+  /** Rebuild the PRIMARY-KEY presence state for `table` from its
+    * integrated snapshot. A snapshot-compacted restore replays the
+    * snapshot as a plain Z-set delta, which bypasses [[IncrementalOps
+    * .upsertStep]]; without this reconstruction a post-restart upsert of a
+    * pre-snapshot key would find no liveness state and never retract the
+    * old row (the table would silently diverge from the batch recompute).
+    */
+  def rebuildUpsertState(table: String): Unit =
+    tableState.get(table).foreach { st =>
+      upsertState(table) = ZSets.toMultiset(st)
+        .withColumn("_present", lit(true)).localCheckpoint(true)
+    }
+
   /** The IVM shape chosen for a view (exposed for tests/introspection). */
   def shapeOf(view: String): Ivm.Shape = shapes(view)
 
@@ -185,8 +198,11 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       val pk = program.tables.find(_.name == name)
         .map(_.primaryKey).getOrElse(Nil)
       val d = if (pk.nonEmpty && raw.columns.contains("_deleted")) {
+        // an optional `_seq` column orders commands within the batch
+        // (last-write-wins); without it duplicate keys fail fast
+        val seq = if (raw.columns.contains("_seq")) Some("_seq") else None
         val (st, zd) = IncrementalOps.upsertStep(
-          upsertState.get(name), raw, pk)
+          upsertState.get(name), raw, pk, seqCol = seq)
         upsertState(name) = st.localCheckpoint(true)
         zd
       } else raw
@@ -413,8 +429,12 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
   private def evalChainAgg(sql: String, rel: String, outCols: Seq[String],
       chainCols: Seq[(String, Boolean)], delta: DataFrame,
       oldView: Option[DataFrame]): DataFrame = {
+    // append_only contract: a retraction here would silently corrupt the
+    // monotone extremum (tableState still integrates it) — fail fast
+    // instead (the delta is already localCheckpoint'd; the scan is cheap)
+    ZSets.assertNonNegative(delta)
     val contrib = evalWith(sql,
-      Map(rel -> ZSets.toMultiset(ZSets.positive(delta))))
+      Map(rel -> ZSets.toMultiset(delta)))
     oldView match {
       case None => ZSets.lift(contrib)
       case Some(old) =>

@@ -145,4 +145,39 @@ class IncrementalOpsSpec extends SparkSpec {
     // final A = {(2,a2),(3,a3)}, B = {(1,b1),(2,b2),(3,b3)} → join on k
     assert(integrated === Set((2L, "a2", "b2", 1L), (3L, "a3", "b3", 1L)))
   }
+
+  test("upsertStep: last-write-wins within a batch via seqCol") {
+    val b1 = Seq((1L, "a", false, 1L), (1L, "b", false, 2L),
+      (2L, "x", false, 1L)).toDF("k", "v", "_deleted", "_seq")
+    val (st1, d1) = IncrementalOps.upsertStep(None, b1, Seq("k"),
+      seqCol = Some("_seq"))
+    assert(st1.select("k", "v").as[(Long, String)].collect().toSet
+      === Set((1L, "b"), (2L, "x")))
+    assert(d1.as[(Long, String, Long)].collect().toSet
+      === Set((1L, "b", 1L), (2L, "x", 1L)))
+    // update then delete the same key in one batch: the delete wins
+    val b2 = Seq((1L, Some("c"), false, 1L), (1L, None, true, 2L))
+      .toDF("k", "v", "_deleted", "_seq")
+    val (st2, d2) = IncrementalOps.upsertStep(
+      Some(st1.localCheckpoint(true)), b2, Seq("k"), seqCol = Some("_seq"))
+    assert(st2.select("k", "v").as[(Long, String)].collect().toSet
+      === Set((2L, "x")))
+    assert(d2.as[(Long, Option[String], Long)].collect().toSet
+      === Set((1L, Some("b"), -1L)))
+  }
+
+  test("upsertStep: duplicate keys without seqCol fail fast, unique pass") {
+    val dup = Seq((1L, "a", false), (1L, "b", false)).toDF("k", "v", "_deleted")
+    val ex = intercept[Throwable] {
+      IncrementalOps.upsertStep(None, dup, Seq("k"))._1.count()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    assert(chain(ex).exists(_.contains("upsert batch carries")),
+      s"unexpected failure: ${chain(ex)}")
+    // unique keys sail through the guard unchanged
+    val ok = Seq((1L, "a", false), (2L, "b", false)).toDF("k", "v", "_deleted")
+    val (st, _) = IncrementalOps.upsertStep(None, ok, Seq("k"))
+    assert(st.count() === 2)
+  }
 }

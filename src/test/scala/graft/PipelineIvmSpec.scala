@@ -147,6 +147,45 @@ class PipelineIvmSpec extends SparkSpec {
       === Array(("a", 1L, 9L), ("b", 2L, 2L), ("c", 7L, 7L)))
   }
 
+  test("alias colliding with a known relation classifies the actual source") {
+    val sql =
+      """CREATE TABLE a (x BIGINT);
+        |CREATE TABLE b (x BIGINT);
+        |CREATE VIEW v1 AS SELECT x FROM b AS a;
+        |CREATE VIEW v2 AS SELECT x FROM (SELECT x + 1 AS x FROM b) AS a;
+        |CREATE VIEW v3 AS SELECT x FROM (VALUES (500)) AS a(x);""".stripMargin
+    val pipe = Pipeline(spark, sql)
+    // v1 reads b (the alias is a rename, not the relation identity); v2's
+    // colliding alias is ignored — the subquery is linear in b; v3's alias
+    // collides but wraps a constant → Opaque, never misbound to table a
+    assert(pipe.shapeOf("v1") === Ivm.Linear(Set("b")))
+    assert(pipe.shapeOf("v2") === Ivm.Linear(Set("b")))
+    assert(pipe.shapeOf("v3") === Ivm.Opaque)
+    pipe.step(Map(
+      "a" -> Seq((100L, 1L)).toDF("x", ZSets.W),
+      "b" -> Seq((1L, 1L), (2L, 1L)).toDF("x", ZSets.W)))
+    assert(pipe.adHoc("SELECT * FROM v1").as[Long].collect().toSet
+      === Set(1L, 2L))
+    assert(pipe.adHoc("SELECT * FROM v2").as[Long].collect().toSet
+      === Set(2L, 3L))
+    // a retraction on b must flow through both (no frozen view)
+    pipe.step(Map("b" -> Seq((2L, -1L)).toDF("x", ZSets.W)))
+    assert(pipe.adHoc("SELECT * FROM v1").as[Long].collect().toSet === Set(1L))
+    assert(pipe.adHoc("SELECT * FROM v2").as[Long].collect().toSet === Set(2L))
+  }
+
+  test("append_only chain view rejects retractions instead of corrupting") {
+    val sql =
+      """CREATE TABLE metrics (k VARCHAR, v BIGINT) WITH ('append_only' = 'true');
+        |CREATE VIEW extremes AS
+        |  SELECT k, MIN(v) AS mn FROM metrics GROUP BY k;""".stripMargin
+    val pipe = Pipeline(spark, sql)
+    pipe.step(Map("metrics" -> ZSets.lift(Seq(("a", 5L)).toDF("k", "v"))))
+    intercept[IllegalArgumentException] {
+      pipe.step(Map("metrics" -> Seq(("a", 5L, -1L)).toDF("k", "v", ZSets.W)))
+    }
+  }
+
   private class ShuffleMeter extends SparkListener {
     @volatile var records: Long = 0L
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
