@@ -32,13 +32,20 @@ object IncrementalOps {
     * touched key set — BroadcastHashJoin LeftSemi/LeftAnti: the state side
     * is scanned in place, never shuffled or sorted. Null-safe equality so
     * null keys merge rather than duplicate.
+    *
+    * The probe side is broadcast WITHOUT a distinct: duplicate keys are
+    * harmless to exists/not-exists semantics, the broadcast stays bounded
+    * by the delta size, and skipping the dedup removes a whole shuffle
+    * exchange from every step's broadcast build (per-stage fixed cost is
+    * the dominant term in a micro-batch step — callers that want a
+    * smaller broadcast pass a pre-distinct frame).
     */
   private[graft] def splitTouched(
       state: DataFrame,
       touchedRaw: DataFrame,
       keys: Seq[String]): (DataFrame, DataFrame) = {
     val touched = broadcast(
-      touchedRaw.select(keys.map(k => col(k).as(s"_t_$k")): _*).distinct())
+      touchedRaw.select(keys.map(k => col(k).as(s"_t_$k")): _*))
     val cond = keys.map(k => col(k) <=> col(s"_t_$k")).reduce(_ && _)
     (state.join(touched, cond, "left_semi"),
       state.join(touched, cond, "left_anti"))
@@ -65,7 +72,7 @@ object IncrementalOps {
     */
   def mergeDeltaByKeys(state: DataFrame, delta: DataFrame,
       keys: Seq[String]): DataFrame = {
-    val touched = delta.select(keys.map(col): _*).distinct()
+    val touched = delta.select(keys.map(col): _*)
     val (touchedOld, untouched) = splitTouched(state, touched, keys)
     untouched.unionByName(
       ZSets.consolidate(touchedOld.unionByName(delta)))
@@ -175,7 +182,13 @@ object IncrementalOps {
       state: Option[DataFrame],
       delta: DataFrame,
       groupKeys: Seq[String],
-      aggs: Seq[Column]): GeneralAggStep = {
+      aggs: Seq[Column],
+      /** Applied to the merged touched-group state, which is consumed
+        * TWICE (as part of the new state and as the re-aggregation input)
+        * — materializing it halves the step's consolidate work. Default =
+        * no materialization.
+        */
+      materialize: DataFrame => DataFrame = identity): GeneralAggStep = {
     val touchedKeys = delta.select(groupKeys.map(col): _*).distinct()
     // state merge keyed by the TOUCHED GROUPS (the broadcast is a handful
     // of group keys, never the delta rows): untouched groups pass through
@@ -185,11 +198,12 @@ object IncrementalOps {
     // row-keyed merge (whose broadcast would grow with the delta).
     val (touchedState, newState) = state match {
       case None =>
-        val st = ZSets.consolidate(delta)
+        val st = materialize(ZSets.consolidate(delta))
         (st, st)
       case Some(st) =>
         val (touchedOld, untouched) = splitTouched(st, touchedKeys, groupKeys)
-        val merged = ZSets.consolidate(touchedOld.unionByName(delta))
+        val merged = materialize(
+          ZSets.consolidate(touchedOld.unionByName(delta)))
         (merged, untouched.unionByName(merged))
     }
     val newRows = ZSets.toMultiset(touchedState)
@@ -268,13 +282,21 @@ object IncrementalOps {
       batchRaw: DataFrame,
       key: Seq[String],
       deletedCol: String = "_deleted",
-      seqCol: Option[String] = None): (DataFrame, DataFrame) = {
+      seqCol: Option[String] = None,
+      /** Caller asserts the batch already has at most one row per key —
+        * skips the duplicate-key guard window (one shuffle+sort per step;
+        * fixed cost matters in micro-batch loops). A violated assertion
+        * fans out the reconcile join exactly like the pre-guard behavior,
+        * so only set this where uniqueness is structural.
+        */
+      assumeUnique: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val batch = seqCol match {
       case Some(sc) =>
         val w = Window.partitionBy(key.map(col): _*).orderBy(col(sc).desc)
         batchRaw.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn").drop(sc)
+      case None if assumeUnique => batchRaw
       case None =>
         val w = Window.partitionBy(key.map(col): _*)
         batchRaw.withColumn("_dup", count(lit(1)).over(w))
@@ -334,7 +356,14 @@ object IncrementalOps {
   def joinStep(
       aState: Option[DataFrame], bState: Option[DataFrame],
       dA: DataFrame, dB: DataFrame,
-      keys: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+      keys: Seq[String],
+      /** Applied to each new trace BEFORE the output term probes it: the
+        * (A+ΔA)⋈ΔB term reuses the materialized merge instead of
+        * re-evaluating it, and the caller's next step starts from the same
+        * materialization. Pass e.g. `_.localCheckpoint(false)` in a
+        * multi-step loop; default = no materialization.
+        */
+      materialize: DataFrame => DataFrame = identity): (DataFrame, DataFrame, DataFrame) = {
     def joined(l: DataFrame, r: DataFrame): DataFrame = {
       val lw = l.withColumnRenamed(W, "_wl")
       val rw = r.withColumnRenamed(W, "_wr")
@@ -342,18 +371,17 @@ object IncrementalOps {
         .withColumn(W, col("_wl") * col("_wr"))
         .drop("_wl", "_wr")
     }
-    val a = aState.getOrElse(dA.limit(0))
     val b = bState.getOrElse(dB.limit(0))
-    // trace maintenance keyed by the JOIN key: the split broadcast is the
-    // delta's distinct keys, not its rows (the indexed-trace layout)
-    val newA = aState match {
+    // trace maintenance keyed by the JOIN key: the split broadcast carries
+    // only the delta's key projection (the indexed-trace layout)
+    val newA = materialize(aState match {
       case None => ZSets.consolidate(dA)
       case Some(st) => mergeDeltaByKeys(st, dA, keys)
-    }
-    val newB = bState match {
+    })
+    val newB = materialize(bState match {
       case None => ZSets.consolidate(dB)
       case Some(st) => mergeDeltaByKeys(st, dB, keys)
-    }
+    })
     val out = joined(broadcast(dA), b).unionByName(joined(newA, broadcast(dB)))
     (newA, newB, ZSets.consolidate(out))
   }

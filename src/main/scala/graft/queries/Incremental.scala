@@ -22,12 +22,7 @@ import QB._
   */
 object Incremental {
 
-  private def deltaBatches(liRaw: DataFrame): Seq[DataFrame] = {
-    // materialize the source projection ONCE: every batch filter (and the
-    // splitTouched/broadcast subplans that reference a batch two or three
-    // times per step) then scans the cached RDD instead of re-reading
-    // parquet — at sf0.1 this removes ~10 redundant scans per query
-    val li = liRaw.localCheckpoint(true)
+  private def deltaBatches(li: DataFrame): Seq[DataFrame] = {
     val z = (m: Int) => ZSets.lift(li.filter(col("l_orderkey") % 3 === m))
     val retract = ZSets.negate(
       ZSets.lift(li.filter(col("l_orderkey") % 10 === 0)))
@@ -47,12 +42,8 @@ object Incremental {
         .select("l_orderkey", "l_returnflag", "l_quantity")
       val state = deltaBatches(li).foldLeft(Option.empty[DataFrame]) {
         (st, delta) =>
-          // checkpoint the (few-row) state per step: splitTouched scans it
-          // twice, so an unmaterialized state doubles the whole prior
-          // step's sub-DAG each step — 2^n contribution re-evaluations
           Some(IncrementalOps.linearAggStep(st, delta, Seq("l_returnflag"),
-            Seq(LinearAggSpec("_sum_q", dec(col("l_quantity")))))
-            .localCheckpoint(true))
+            Seq(LinearAggSpec("_sum_q", dec(col("l_quantity"))))))
       }.get
       state.select(col("l_returnflag"),
         col("_sum_q").cast("double").as("sum_qty"),
@@ -76,8 +67,9 @@ object Incremental {
           state, delta.drop("l_orderkey"), Seq("l_returnflag"),
           Seq(min(col("l_quantity")).as("min_q"),
             max(col("l_quantity")).as("max_q"),
-            max(col("l_extendedprice")).as("max_p")))
-        state = Some(r.state.localCheckpoint(true))
+            max(col("l_extendedprice")).as("max_p")),
+          materialize = _.localCheckpoint(false))
+        state = Some(r.state.localCheckpoint(false))
         lastOut = r.rows
       }
       // every group is touched in the last batch → lastOut is the answer
@@ -93,7 +85,6 @@ object Incremental {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity")
-        .localCheckpoint(true)
       val appendBatches = (0 until 3).map(m =>
         li.filter(col("l_orderkey") % 3 === m).drop("l_orderkey"))
       val specs = Seq(
@@ -135,12 +126,10 @@ object Incremental {
         val o = t(s, dir, "orders")
           .filter(col("o_orderkey") % 7 < 2)
           .select("o_orderkey", "o_custkey", "o_totalprice")
-          .localCheckpoint(true)
         val li = t(s, dir, "lineitem")
           .filter(col("l_orderkey") % 7 < 2)
           .select(col("l_orderkey").as("o_orderkey"),
             col("l_linenumber"), col("l_extendedprice"))
-          .localCheckpoint(true)
         val oBatches = Seq(
           ZSets.lift(o.filter(col("o_orderkey") % 2 === 0)),
           ZSets.lift(o.filter(col("o_orderkey") % 2 === 1)),
@@ -155,10 +144,12 @@ object Incremental {
         var (aSt, bSt) = (Option.empty[DataFrame], Option.empty[DataFrame])
         var out = Option.empty[DataFrame]
         oBatches.zip(lBatches).foreach { case (dA, dB) =>
+          // materialize inside the step: the output term probes the SAME
+          // checkpointed trace the next step starts from (no double merge)
           val (na, nb, d) = IncrementalOps.joinStep(aSt, bSt, dA, dB,
-            Seq("o_orderkey"))
-          aSt = Some(na.localCheckpoint(false))
-          bSt = Some(nb.localCheckpoint(false))
+            Seq("o_orderkey"), materialize = _.localCheckpoint(false))
+          aSt = Some(na)
+          bSt = Some(nb)
           out = Some(out.map(_.unionByName(d)).getOrElse(d))
         }
         ZSets.toMultiset(ZSets.consolidate(out.get))
@@ -179,7 +170,6 @@ object Incremental {
         val o = t(s, dir, "orders").filter(col("o_orderkey") <= 60000)
           .select(col("o_orderkey").as("k"),
             floor(col("o_totalprice")).cast("long").as("v"))
-          .localCheckpoint(true)
         val batches = Seq(
           o.withColumn("_deleted", lit(false)),
           o.filter(col("k") % 3 === 0)
@@ -191,7 +181,9 @@ object Incremental {
         var state = Option.empty[DataFrame]
         var out = Option.empty[DataFrame]
         batches.foreach { batch =>
-          val (st, delta) = IncrementalOps.upsertStep(state, batch, Seq("k"))
+          // batches are filters of a PK table → structurally one row/key
+          val (st, delta) = IncrementalOps.upsertStep(state, batch, Seq("k"),
+            assumeUnique = true)
           state = Some(st.localCheckpoint(false))
           out = Some(out.map(_.unionByName(delta)).getOrElse(delta))
         }

@@ -15,6 +15,10 @@ object JobMeter {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -22,27 +26,40 @@ object JobMeter {
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0L
+    @volatile var busyMs = 0L
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1; starts.put(j.jobId, j.time); ()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
       }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = ()
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(j.jobId)).foreach(t0 => busyMs += j.time - t0)
+      }
     }
     spark.sparkContext.addSparkListener(listener)
 
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // floor cost of a trivial job (scheduling + codegen + bus latency)
+    (1 to 3).foreach { round =>
+      val t = System.nanoTime()
+      (1 to 10).foreach(i =>
+        spark.range(2).repartition(2).selectExpr("sum(id)").collect())
+      println(f"MICRO round$round: ${(System.nanoTime() - t) / 1e7 }%.0f ms/job (shuffle+agg)")
+    }
 
     args.foreach { name =>
-      jobs = 0; stages = 0; tasks = 0
+      jobs = 0; stages = 0; tasks = 0; busyMs = 0
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the listener bus drain
-      println(f"METER $name%-20s ${sec}%8.2fs jobs=$jobs stages=$stages tasks=$tasks")
+      println(f"METER $name%-20s ${sec}%8.2fs jobs=$jobs stages=$stages tasks=$tasks busy=${busyMs / 1000.0}%.2fs")
     }
     spark.stop()
   }
