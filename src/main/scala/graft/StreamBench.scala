@@ -25,6 +25,31 @@ import org.apache.spark.sql.streaming.Trigger
   *                family; window agg + watermark)
   *   q7_maxbid  — highest bid per window (q7.sql's intent as one
   *                max_by window agg)
+  *   q9_winning — winning bid per auction (q9.sql: ROW_NUMBER top-1 by
+  *                price desc, time asc → max_by with a composite
+  *                (price, −time) ordering key; broadcast auction join +
+  *                validity filter, one stateful agg)
+  *   q13_side   — bounded side-input enrichment (q13.sql: LEFT ASOF JOIN
+  *                on mod(auction) against a timestamped side table).
+  *                The static side is compiled into per-key validity
+  *                intervals [s_time, s_end) so each bid matches at most
+  *                one broadcast row — STATELESS, where a naive as-of
+  *                aggregation would keep per-bid state
+  *   q14_calc   — currency calc + day/night bucketing + filter (q14.sql,
+  *                stateless transform class; also covers q21/q22's shape)
+  *   q17_daily  — per-auction daily stats with price-band counts
+  *                (q17.sql: FILTER-style conditional counts in one agg)
+  *   q20_expand — bids of one category with full auction payload
+  *                (q20.sql: selective broadcast join, stateless)
+  *
+  * Not representable as single streaming operators here: q15/q16 need
+  * exact COUNT(DISTINCT) per day (unbounded dedup state Spark only offers
+  * as approx_count_distinct — a sketch, not the reference's exact answer),
+  * q18/q19 need per-group ROW_NUMBER beyond top-1 (window functions are
+  * unsupported on streams; the IVM path computes them via
+  * foreachBatch + batch window, the same answer the reference's
+  * retraction machinery gives), q10/q12 are sink-format/processing-time
+  * demos, not throughput queries.
   *
   * q8's watermarked stream-stream join is deliberately NOT in this table:
   * measured at ~100k events/s here — Spark's symmetric join buffers BOTH
@@ -68,6 +93,7 @@ object StreamBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val nAuctions = 1000L
+    val baseMs = 1700000000000L
     val dir = Files.createTempDirectory("graft_stream").toString
     spark.range(n).select(
       col("id").as("bid_id"),
@@ -77,16 +103,37 @@ object StreamBench {
       (pmod(col("id") * 2654435761L, lit(10000L)) + 100).as("price"))
       .write.mode("overwrite").parquet(s"$dir/bid")
 
-    // dimension sides (auction: category + expiry; person: location)
+    // dimension sides (auction: category + open/expiry window; person:
+    // location)
     val auction = spark.range(nAuctions).select(
       col("id").as("a_id"), (col("id") % 25).as("category"),
       (col("id") % 100).as("seller"),
-      timestamp_millis(lit(1700000000000L) + col("id") * 1000).as("expires"))
+      timestamp_millis(lit(baseMs)).as("starts"),
+      timestamp_millis(lit(baseMs) + col("id") * 1000).as("expires"))
       .cache()
     val person = spark.range(100).select(
       col("id").as("p_id"), concat(lit("person_"), col("id")).as("name"),
       (col("id") % 50).as("city"), (col("id") % 10).as("state")).cache()
     auction.count(); person.count()
+
+    // q13 side input: 3 timestamped versions per key, compiled into
+    // per-key validity intervals so the as-of lookup is a single-match
+    // broadcast join (no per-bid state) — the same precompute a 100 TB
+    // run would do once per side-input refresh
+    val sideIntervals = {
+      import org.apache.spark.sql.expressions.Window
+      val side = spark.range(300).select(
+        (col("id") % 100).as("key"),
+        timestamp_millis(lit(baseMs) + expr("id div 100") * 600000L)
+          .as("s_time"),
+        concat(lit("v"), col("id")).as("side_value"))
+      val w = Window.partitionBy("key").orderBy("s_time")
+      side.withColumn("s_end",
+        lead(col("s_time"), 1,
+          java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).over(w))
+        .cache()
+    }
+    sideIntervals.count()
 
     def run(name: String, mode: String = "update")(
         build: DataFrame => DataFrame): (String, Double) = {
@@ -145,7 +192,59 @@ object StreamBench {
         .withWatermark("date_time", "10 seconds")
         .groupBy(window(col("date_time"), "10 seconds"))
         .agg(max_by(struct(col("auction"), col("bidder"), col("price")),
-          col("price")).as("top"))))
+          col("price")).as("top"))),
+      // q9 winning bid per auction: ROW_NUMBER()=1 ordered by price DESC,
+      // time ASC ≡ max_by on (price, −time); bid must fall inside the
+      // auction's [starts, expires] window
+      run("q9_winning")(df => df
+        .join(broadcast(auction), col("auction") === col("a_id"))
+        .filter(col("date_time").between(col("starts"), col("expires")))
+        .groupBy(col("a_id"))
+        .agg(max_by(
+          struct(col("bidder"), col("price"), col("date_time")),
+          struct(col("price"),
+            (lit(Long.MaxValue) - unix_millis(col("date_time")))
+              .as("_tiebreak"))).as("win"))),
+      // q13 bounded side-input as-of enrichment: interval-compiled side,
+      // one broadcast probe per bid, stateless
+      run("q13_side", "append")(df => df
+        .withColumn("mod", col("auction") % 10000)
+        .join(broadcast(sideIntervals),
+          col("mod") === col("key") &&
+            col("date_time") >= col("s_time") &&
+            col("date_time") < col("s_end"),
+          "left")
+        .select(col("auction"), col("bidder"), col("price"),
+          col("date_time"), col("side_value"))),
+      // q14 stateless calc: EUR conversion, day/night bucket, filter
+      run("q14_calc", "append")(df => df
+        .select(col("auction"), col("bidder"),
+          (col("price") * 0.908).as("price_eur"),
+          when(hour(col("date_time")).between(8, 18), "dayTime")
+            .when(hour(col("date_time")).isin(0, 1, 2, 3, 4, 5, 21, 22, 23),
+              "nightTime")
+            .otherwise("otherTime").as("bid_time_type"),
+          col("date_time"))
+        .filter(col("price_eur") > 1000)),
+      // q17 per-auction daily stats with price-band conditional counts
+      run("q17_daily")(df => df
+        .withWatermark("date_time", "10 seconds")
+        .groupBy(col("auction"), window(col("date_time"), "1 day"))
+        .agg(count(lit(1)).as("total_bids"),
+          count(when(col("price") < 1000, 1)).as("rank1_bids"),
+          count(when(col("price").between(1000, 5000), 1)).as("rank2_bids"),
+          count(when(col("price") > 5000, 1)).as("rank3_bids"),
+          min(col("price")).as("min_price"),
+          max(col("price")).as("max_price"),
+          avg(col("price")).as("avg_price"),
+          sum(col("price")).as("sum_price"))),
+      // q20 bids of one category expanded with the auction payload
+      run("q20_expand", "append")(df => df
+        .join(broadcast(auction), col("auction") === col("a_id"))
+        .filter(col("category") === 10)
+        .select(col("auction"), col("bidder"), col("price"),
+          col("date_time"), col("seller"), col("category"),
+          col("expires"))))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.toLong }
       .mkString("{", ",", "}")
