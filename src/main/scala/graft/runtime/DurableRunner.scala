@@ -203,7 +203,7 @@ final class DurableRunner(spark: SparkSession, program: Ddl.Program,
             val rows = batch.filter(col("_table") === t.name).drop("_table")
             if (rows.isEmpty) None
             else Some(t.name ->
-              Envelopes.decodeJson(rows, schemas(t.name), format))
+              Envelopes.decode(rows, schemas(t.name), format))
           }.toMap
           if (deltas.nonEmpty)
             step(batchId, deltas).foreach { out =>

@@ -78,4 +78,41 @@ object Envelopes {
         throw new IllegalArgumentException(s"unknown update format: $other")
     }
   }
+
+  /** CSV record decode (reference: crates/adapters/src/format/csv.rs —
+    * input rows are INSERTS; delimiter/quote/escape/headers mirror
+    * CsvFormatConfig in crates/feldera-types/src/format/csv.rs:22-56).
+    * Malformed lines drop, like the JSON path: a corrupt-record sidecar
+    * column marks rows the parser could not fully decode.
+    */
+  def decodeCsv(raw: DataFrame, schema: StructType,
+      delimiter: String = ",", quote: String = "\"",
+      escape: Option[String] = None, headers: Boolean = false,
+      valueCol: String = "value"): DataFrame = {
+    val parseSchema = StructType(schema.fields.toSeq
+      :+ StructField("_corrupt", StringType))
+    val opts = Map(
+      "sep" -> delimiter, "quote" -> quote,
+      "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt") ++
+      escape.map("escape" -> _)
+    val headerLine = schema.fieldNames.mkString(delimiter)
+    val rows = if (headers) raw.filter(col(valueCol) =!= headerLine) else raw
+    rows.select(from_csv(col(valueCol), parseSchema, opts).as("_r"))
+      .where(col("_r._corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"_r.`$f`"))
+        :+ lit(1L).as(ZSets.W): _*)
+  }
+
+  /** Format dispatch used by the transports: JSON update envelopes, CSV
+    * records, and a precise jar-gate for Avro (spark-avro is an external
+    * module; these jars ship without it).
+    */
+  def decode(raw: DataFrame, schema: StructType, format: String,
+      valueCol: String = "value"): DataFrame = format.toLowerCase match {
+    case "csv" => decodeCsv(raw, schema, valueCol = valueCol)
+    case "avro" => throw new IllegalStateException(
+      "avro format requires the spark-avro module on the classpath " +
+        "(org.apache.spark:spark-avro); not bundled in this build")
+    case json => decodeJson(raw, schema, json, valueCol)
+  }
 }

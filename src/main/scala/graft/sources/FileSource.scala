@@ -31,7 +31,7 @@ object FileSource {
   def tableStream(spark: SparkSession, dir: String, table: Ddl.TableDef,
       format: String = "insert_delete"): DataFrame = {
     val raw = spark.readStream.text(s"$dir/${table.name}")
-    val decoded = Envelopes.decodeJson(raw, schemaOf(table), format)
+    val decoded = Envelopes.decode(raw, schemaOf(table), format)
     table.columns.find(_.lateness.isDefined) match {
       case Some(c) =>
         // Feldera TIMESTAMP is wall-clock (NTZ); Spark watermarks require

@@ -52,6 +52,29 @@ class DurableRunnerSpec extends SparkSpec {
       === Set((1L, "n", 1L), (2L, "o", -1L), (3L, "p", -1L), (3L, "q", 1L)))
   }
 
+  test("csv format decodes records as inserts; malformed lines drop") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType)))
+    val out = Envelopes.decode(Seq(
+      "1,x", "2,\"quoted, comma\"", "not_a_number,y", "3,z")
+      .toDF("value"), schema, "csv")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set((1L, "x", 1L), (2L, "quoted, comma", 1L),
+      (3L, "z", 1L)))
+    // header skip
+    val withHeader = Envelopes.decodeCsv(Seq("a,b", "7,h").toDF("value"),
+      schema, headers = true).as[(Long, String, Long)].collect().toSet
+    assert(withHeader === Set((7L, "h", 1L)))
+    // avro is jar-gated with a precise error
+    val ex = intercept[IllegalStateException] {
+      Envelopes.decode(Seq("x").toDF("value"), schema, "avro")
+    }
+    assert(ex.getMessage.contains("spark-avro"))
+  }
+
   test("malformed and partial envelope lines drop, valid ones survive") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("a",
