@@ -59,9 +59,16 @@ object Ddl {
   final case class AggregateDef(name: String, linear: Boolean,
       params: String, returnType: String)
 
+  /** DECLARE RECURSIVE VIEW name (cols) — forward declaration marking the
+    * subsequent CREATE VIEW of the same name as self- or mutually
+    * recursive (docs recursion.mdx:14-60; DBSPNestedOperator.java:30).
+    */
+  final case class RecursiveDecl(name: String, columns: Seq[ColumnDef])
+
   final case class Program(tables: Seq[TableDef], views: Seq[ViewDef],
       functions: Seq[FunctionDef] = Nil, types: Seq[TypeDef] = Nil,
-      aggregates: Seq[AggregateDef] = Nil)
+      aggregates: Seq[AggregateDef] = Nil,
+      recursive: Seq[RecursiveDecl] = Nil)
 
   private val tableRe: Regex =
     """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*$""".r
@@ -75,6 +82,8 @@ object Ddl {
     """(?is)CREATE\s+TYPE\s+(\w+)\s+AS\s+(.+)$""".r
   private val aggRe: Regex =
     """(?is)CREATE\s+(LINEAR\s+)?AGGREGATE\s+(\w+)\s*\((.*?)\)\s*RETURNS\s+(.+)$""".r
+  private val recRe: Regex =
+    """(?is)DECLARE\s+RECURSIVE\s+VIEW\s+(\w+)\s*\((.*)\)\s*$""".r
 
   /** Split a program text into statements on top-level semicolons.
     * Quote-aware: `''` inside a quoted string is an escaped quote, not a
@@ -185,7 +194,11 @@ object Ddl {
     val functions = mutable.Buffer[FunctionDef]()
     val types = mutable.Buffer[TypeDef]()
     val aggregates = mutable.Buffer[AggregateDef]()
+    val recursive = mutable.Buffer[RecursiveDecl]()
     statements(program).foreach {
+      case recRe(name, cols) =>
+        recursive += RecursiveDecl(name.toLowerCase,
+          splitColumns(cols).map(parseColumn))
       case tableRe(name, cols, props) =>
         tables += TableDef(name.toLowerCase,
           splitColumns(cols).filterNot(c =>
@@ -211,6 +224,6 @@ object Ddl {
           s"unsupported statement: ${other.take(60)}")
     }
     Program(tables.toSeq, views.toSeq, functions.toSeq, types.toSeq,
-      aggregates.toSeq)
+      aggregates.toSeq, recursive.toSeq)
   }
 }

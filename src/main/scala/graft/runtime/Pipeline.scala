@@ -80,17 +80,36 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }.toMap
 
+  /** Views declared DECLARE RECURSIVE VIEW: evaluated as a joint fixpoint
+    * group, never through the per-shape delta rules.
+    */
+  private val recursiveNames: Set[String] = program.recursive.map(_.name).toSet
+
   /** View shapes + empty outputs, classified once against empty bindings
-    * (shape depends on plan structure, not data).
+    * (shape depends on plan structure, not data). Recursive views are
+    * registered (from their declared schemas) BEFORE the loop so that
+    * self- and forward references inside the group analyze, and are
+    * pinned to Opaque — the fixpoint group replaces shape-based
+    * maintenance for them.
     */
   private val (shapes: Map[String, Ivm.Shape],
       emptyViews: Map[String, DataFrame]) = {
     emptyTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    program.recursive.foreach { r =>
+      val schema = StructType(r.columns.map(c =>
+        org.apache.spark.sql.types.StructField(
+          c.name, SqlTypes.toSpark(c.sqlType), nullable = !c.notNull)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .createOrReplaceTempView(r.name)
+    }
     val sh = mutable.Map[String, Ivm.Shape]()
     val ev = mutable.Map[String, DataFrame]()
     val known = mutable.Set[String]() ++ tableNames
     program.views.foreach { v =>
-      sh(v.name) = Ivm.classify(spark, v.sql, known.toSet)
+      sh(v.name) =
+        if (recursiveNames(v.name)) Ivm.Opaque
+        else Ivm.classify(spark, v.sql, known.toSet)
       val out = spark.sql(v.sql).limit(0).localCheckpoint(true)
       out.createOrReplaceTempView(v.name)
       ev(v.name) = out
@@ -144,14 +163,56 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
   /** The IVM shape chosen for a view (exposed for tests/introspection). */
   def shapeOf(view: String): Ivm.Shape = shapes(view)
 
+  /** Joint naive fixpoint of the DECLARE RECURSIVE VIEW group
+    * (recursion.mdx; DBSPNestedOperator.java:30): every round re-evaluates
+    * each recursive view's full SQL with the group bound to its
+    * accumulated totals; [[Fixpoint.mutual]] supplies convergence checks
+    * (on deltas, never the round counter), set-semantics dedup, and cache
+    * rotation. Naive rather than semi-naive because the rule body is
+    * arbitrary SQL — delta-linear rewriting of the body is the reference
+    * compiler's incrementalization pass; callers with a known rule use
+    * the semi-naive library API (graft.recursive.Fixpoint) directly.
+    * Non-recursive relations must already be bound as temp views.
+    */
+  private def evalRecursiveGroup(): Map[String, DataFrame] = {
+    val group = program.views.filter(v => recursiveNames(v.name))
+    // round 0: the base terms — each member's SQL with the whole group
+    // bound to empty (an empty seed would otherwise read as already
+    // converged: the base case lives INSIDE the SQL body)
+    group.foreach(v => emptyViews(v.name).createOrReplaceTempView(v.name))
+    val bases = group.map(v => v.name -> spark.sql(v.sql)).toMap
+    graft.recursive.Fixpoint.mutual(
+      bases,
+      group.map { v =>
+        v.name -> ((st: graft.recursive.Fixpoint.RoundState) => {
+          st.totals.foreach { case (n, df) =>
+            df.createOrReplaceTempView(n)
+          }
+          spark.sql(v.sql)
+        })
+      }.toMap)
+  }
+
   /** Register table snapshots as temp views, then evaluate each view in
     * declaration order (later views may reference earlier ones).
+    * Recursive views evaluate as one joint fixpoint group at the position
+    * of the group's first member.
     */
   def runBatch(inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     inputs.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    var recResults = Map.empty[String, DataFrame]
     program.views.map { v =>
-      val df = spark.sql(v.sql)
-      df.createOrReplaceTempView(v.name)
+      val df = if (recursiveNames(v.name)) {
+        if (recResults.isEmpty) {
+          recResults = evalRecursiveGroup()
+          recResults.foreach { case (n, d) => d.createOrReplaceTempView(n) }
+        }
+        recResults(v.name)
+      } else {
+        val d = spark.sql(v.sql)
+        d.createOrReplaceTempView(v.name)
+        d
+      }
       v.name -> df
     }.toMap
   }
@@ -216,10 +277,27 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
 
     // 2. maintain views in declaration order
     val newStates = mutable.Map[String, DataFrame]() ++ tableState ++ viewState
+    var recStep = Map.empty[String, DataFrame]
     val out = program.views.map { v =>
       val rawDelta = if (nowViews(v.name))
         // clock-dependent: always recompute against the bound step time
         recomputeDiff(bindClock(v.sql), newStates, oldViews.get(v.name))
+      else if (recursiveNames(v.name)) {
+        // recursive group: one joint fixpoint per step over the new
+        // snapshots (recompute-diff — exact under retraction, where
+        // incremental recursion would need the reference's nested-circuit
+        // delta machinery), then diff each member against its old output
+        if (recStep.isEmpty) {
+          ((tableNames ++ program.views.map(_.name)).toSet -- recursiveNames)
+            .foreach(r => multisetOf(r, newStates).createOrReplaceTempView(r))
+          recStep = evalRecursiveGroup()
+        }
+        val now = ZSets.lift(recStep(v.name))
+        oldViews.get(v.name) match {
+          case Some(prev) => now.unionByName(ZSets.negate(prev))
+          case None => now
+        }
+      }
       else shapes(v.name) match {
         case Ivm.Linear(rels) =>
           evalLinear(v.sql, rels, relDeltas)

@@ -109,6 +109,66 @@ class PipelineSpec extends SparkSpec {
       .collect().toSet === Set((1L, "a2"), (3L, "c")))
   }
 
+  test("DECLARE RECURSIVE VIEW: closure via DDL, batch and step agree") {
+    val prog =
+      """CREATE TABLE edges (src BIGINT, dst BIGINT);
+        |DECLARE RECURSIVE VIEW closure (src BIGINT, dst BIGINT);
+        |CREATE VIEW closure AS
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src;
+        |CREATE VIEW reach_count AS
+        |  SELECT src, COUNT(*) AS n FROM closure GROUP BY src;""".stripMargin
+    def edges(rows: (Long, Long)*) = rows.toDF("src", "dst")
+    val expected = Set((1L, 2L), (2L, 3L), (3L, 4L),
+      (1L, 3L), (2L, 4L), (1L, 4L))
+
+    // batch mode
+    val batch = Pipeline(spark, prog)
+      .runBatch(Map("edges" -> edges(1L -> 2L, 2L -> 3L, 3L -> 4L)))
+    assert(batch("closure").as[(Long, Long)].collect().toSet === expected)
+    assert(batch("reach_count").as[(Long, Long)].collect().toSet
+      === Set((1L, 3L), (2L, 2L), (3L, 1L)))
+
+    // step mode: two inserts then a retraction that splits the chain
+    val pipe = Pipeline(spark, prog)
+    pipe.step(Map("edges" -> ZSets.lift(edges(1L -> 2L, 2L -> 3L))))
+    val d2 = pipe.step(Map("edges" -> ZSets.lift(edges(3L -> 4L))))
+    assert(d2("closure").filter(col(ZSets.W) > 0).drop(ZSets.W)
+      .as[(Long, Long)].collect().toSet
+      === Set((3L, 4L), (2L, 4L), (1L, 4L)))
+    assert(pipe.adHoc("SELECT * FROM closure").as[(Long, Long)]
+      .collect().toSet === expected)
+    // retract 2→3: everything crossing it must retract (non-monotone step)
+    val d3 = pipe.step(Map("edges" ->
+      ZSets.negate(ZSets.lift(edges(2L -> 3L)))))
+    assert(d3("closure").filter(col(ZSets.W) < 0).drop(ZSets.W)
+      .as[(Long, Long)].collect().toSet
+      === Set((2L, 3L), (1L, 3L), (2L, 4L), (1L, 4L)))
+    assert(pipe.adHoc("SELECT * FROM closure").as[(Long, Long)]
+      .collect().toSet === Set((1L, 2L), (3L, 4L)))
+    // downstream non-recursive view tracked the group
+    assert(pipe.adHoc("SELECT * FROM reach_count").as[(Long, Long)]
+      .collect().toSet === Set((1L, 1L), (3L, 1L)))
+  }
+
+  test("DECLARE RECURSIVE VIEW: mutually recursive pair via DDL") {
+    val prog =
+      """CREATE TABLE edges (src BIGINT, dst BIGINT);
+        |DECLARE RECURSIVE VIEW even_r (n BIGINT);
+        |DECLARE RECURSIVE VIEW odd_r (n BIGINT);
+        |CREATE VIEW even_r AS
+        |  SELECT CAST(0 AS BIGINT) AS n
+        |  UNION
+        |  SELECT e.dst AS n FROM odd_r o JOIN edges e ON o.n = e.src;
+        |CREATE VIEW odd_r AS
+        |  SELECT e.dst AS n FROM even_r v JOIN edges e ON v.n = e.src;""".stripMargin
+    val out = Pipeline(spark, prog).runBatch(Map("edges" ->
+      Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")))
+    assert(out("even_r").as[Long].collect().toSet === Set(0L, 2L))
+    assert(out("odd_r").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("NOW() views re-evaluate on clock advance (temporal filter expiry)") {
     val prog =
       """CREATE TABLE ev (ts TIMESTAMP, v BIGINT);
