@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.runtime.Pipeline
+import graft.zset.ZSets
+import QB._
+
+/** End-to-end program-runner queries, graded by the driver: a full DDL
+  * program (CREATE TABLE / CREATE VIEW / DECLARE RECURSIVE VIEW) runs
+  * through [[graft.runtime.Pipeline.step]] as a sequence of Z-set delta
+  * batches with retractions, and the ORACLE is the equivalent batch SQL
+  * over the final snapshot — grading the IVM planner, the recursive
+  * fixpoint group, and the runner's state integration themselves (the
+  * reference's end-to-end contract, README.md:67-70), not just the
+  * operator library the inc_* queries exercise directly.
+  */
+object PipelineE2e {
+
+  val queries: Seq[Q] = Seq(
+    // Aggregate directly over a join, maintained by the AggOverMulti
+    // composite shape (hidden join-body Z-set + touched-group re-agg)
+    // under a 3-step orders / 2-step customer delta schedule with
+    // retractions on both sides.
+    Q(
+      "pipeline_ivm",
+      """SELECT c_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 10 <> 0 AND c_custkey % 17 <> 0
+        |  AND o_custkey <= 1500 AND c_custkey <= 1500
+        |GROUP BY c_name""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE);
+          |CREATE TABLE customer (c_custkey BIGINT, c_name VARCHAR);
+          |CREATE VIEW spend AS
+          |  SELECT c_name, COUNT(*) AS n,
+          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  GROUP BY c_name;""".stripMargin
+      val pipe = Pipeline(s, prog)
+      val o = t(s, dir, "orders").filter(col("o_custkey") <= 1500)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint(true)
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 1500)
+        .select("c_custkey", "c_name").localCheckpoint(true)
+      // two steps (each step pays a fixed multi-job cost in local mode —
+      // the schedule exercises inserts, then late inserts + retractions
+      // on BOTH join sides, which is the full delta-rule surface):
+      // step 2 retracts the %10 orders and the %17 customers, whose
+      // groups emit tombstones for already-joined rows
+      val oB = (m: Int) => ZSets.lift(o.filter(col("o_orderkey") % 2 === m))
+      val steps = Seq(
+        Map("orders" -> oB(0),
+          "customer" -> ZSets.lift(c.filter(col("c_custkey") % 2 === 0))),
+        Map("orders" -> oB(1).unionByName(ZSets.negate(
+            ZSets.lift(o.filter(col("o_orderkey") % 10 === 0)))),
+          "customer" -> ZSets.lift(c.filter(col("c_custkey") % 2 === 1))
+            .unionByName(ZSets.negate(
+              ZSets.lift(c.filter(col("c_custkey") % 17 === 0))))))
+      steps.foreach(pipe.step)
+      pipe.adHoc("SELECT * FROM spend")
+    },
+
+    // DECLARE RECURSIVE VIEW through the runner: transitive closure over
+    // an edge table fed in two insert steps plus a retraction step that
+    // severs paths (the recompute-diff fixpoint is exact under
+    // retraction); oracle = DuckDB WITH RECURSIVE over the surviving
+    // edges.
+    Q(
+      "pipeline_recursive",
+      """WITH RECURSIVE edges AS (
+        |  SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation
+        |  WHERE n_nationkey + 5 <= 24 AND n_nationkey % 4 <> 0),
+        |closure(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src)
+        |SELECT src, dst FROM closure""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE edges (src INT, dst INT);
+          |DECLARE RECURSIVE VIEW closure (src INT, dst INT);
+          |CREATE VIEW closure AS
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src;""".stripMargin
+      val pipe = Pipeline(s, prog)
+      val edges = t(s, dir, "nation")
+        .filter(col("n_nationkey") + 5 <= 24)
+        .select(col("n_nationkey").as("src"),
+          (col("n_nationkey") + 5).as("dst"))
+        .localCheckpoint(true)
+      pipe.step(Map("edges" -> ZSets.lift(edges.filter(col("src") % 2 === 0))))
+      // late inserts + a retraction severing paths in the same step
+      pipe.step(Map("edges" ->
+        ZSets.lift(edges.filter(col("src") % 2 === 1)).unionByName(
+          ZSets.negate(ZSets.lift(edges.filter(col("src") % 4 === 0))))))
+      pipe.adHoc("SELECT * FROM closure")
+    }
+  )
+}

@@ -16,6 +16,7 @@ object Registry {
       TimeSeries.queries ++
       LlmOps.queries ++
       Incremental.queries ++
+      PipelineE2e.queries ++
       Extras.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

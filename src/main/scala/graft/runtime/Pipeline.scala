@@ -110,7 +110,7 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       sh(v.name) =
         if (recursiveNames(v.name)) Ivm.Opaque
         else Ivm.classify(spark, v.sql, known.toSet)
-      val out = spark.sql(v.sql).limit(0).localCheckpoint(true)
+      val out = spark.sql(v.sql).limit(0).localCheckpoint(false)
       out.createOrReplaceTempView(v.name)
       ev(v.name) = out
       known += v.name
@@ -157,7 +157,7 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
   def rebuildUpsertState(table: String): Unit =
     tableState.get(table).foreach { st =>
       upsertState(table) = ZSets.toMultiset(st)
-        .withColumn("_present", lit(true)).localCheckpoint(true)
+        .withColumn("_present", lit(true)).localCheckpoint(false)
     }
 
   /** The IVM shape chosen for a view (exposed for tests/introspection). */
@@ -264,15 +264,15 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
         val seq = if (raw.columns.contains("_seq")) Some("_seq") else None
         val (st, zd) = IncrementalOps.upsertStep(
           upsertState.get(name), raw, pk, seqCol = seq)
-        upsertState(name) = st.localCheckpoint(true)
+        upsertState(name) = st.localCheckpoint(false)
         zd
       } else raw
-      val dCon = ZSets.consolidate(d).localCheckpoint(true)
+      val dCon = ZSets.consolidate(d).localCheckpoint(false)
       relDeltas(name) = dCon
       tableState(name) = (tableState.get(name) match {
         case Some(prev) => IncrementalOps.mergeDelta(prev, dCon)
         case None => dCon
-      }).localCheckpoint(true)
+      }).localCheckpoint(false)
     }
 
     // 2. maintain views in declaration order
@@ -325,11 +325,11 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
         case Ivm.Opaque =>
           recomputeDiff(v.sql, newStates, oldViews.get(v.name))
       }
-      val vDelta = ZSets.consolidate(rawDelta).localCheckpoint(true)
+      val vDelta = ZSets.consolidate(rawDelta).localCheckpoint(false)
       val newView = (viewState.get(v.name) match {
         case Some(prev) => IncrementalOps.mergeDelta(prev, vDelta)
         case None => vDelta
-      }).localCheckpoint(true)
+      }).localCheckpoint(false)
       viewState(v.name) = newView
       newStates(v.name) = newView
       relDeltas(v.name) = vDelta
@@ -456,13 +456,13 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       }
     }
     val dJ = ZSets.consolidate(terms.reduce(_ unionByName _))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // 2. merge the hidden join state (scan-side; broadcast delta keys)
     val newJ = (joinState.get(viewName) match {
       case Some(st) => IncrementalOps.mergeDelta(st, dJ)
       case None => dJ
-    }).localCheckpoint(true)
+    }).localCheckpoint(false)
     joinState(viewName) = newJ
 
     // 3. restrict to touched groups (positional key names)
