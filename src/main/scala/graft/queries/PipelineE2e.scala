@@ -96,6 +96,48 @@ object PipelineE2e {
         ZSets.lift(edges.filter(col("src") % 2 === 1)).unionByName(
           ZSets.negate(ZSets.lift(edges.filter(col("src") % 4 === 0))))))
       pipe.adHoc("SELECT * FROM closure")
+    },
+
+    // Wire-format round trip, graded: every order emits an `insert`
+    // envelope line and the %5 orders ALSO emit a `delete` line; decoding
+    // through Envelopes.decodeJson and consolidating the Z-set must leave
+    // exactly the %5<>0 rows — the reference's insert_delete JSON contract
+    // (crates/feldera-types/src/format/json.rs:148-160).
+    Q(
+      "fmt_envelopes",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderkey % 5 <> 0""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val body = to_json(struct(col("o_orderkey"), col("o_custkey")))
+      val lines = o.select(
+        concat(lit("""{"insert": """), body, lit("}")).as("value"))
+        .unionByName(o.filter(col("o_orderkey") % 5 === 0).select(
+          concat(lit("""{"delete": """), body, lit("}")).as("value")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType)))
+      ZSets.toMultiset(ZSets.consolidate(
+        graft.sources.Envelopes.decodeJson(lines, schema, "insert_delete")))
+    },
+
+    // CSV record decode, graded: serialize rows to CSV lines (quoting the
+    // string field), decode through Envelopes.decodeCsv, and match the
+    // plain projection — insert-only records per the reference CSV input
+    // (crates/adapters/src/format/csv.rs).
+    Q(
+      "fmt_csv",
+      "SELECT c_custkey, c_name FROM customer") { (s, dir) =>
+      val lines = t(s, dir, "customer").select(concat_ws(",",
+        col("c_custkey"),
+        concat(lit("\""), col("c_name"), lit("\""))).as("value"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.Envelopes.decodeCsv(lines, schema).drop(ZSets.W)
     }
   )
 }
