@@ -2,7 +2,8 @@ package graft.incremental
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.optimizer.{PullupCorrelatedPredicates, RewritePredicateSubquery}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 
 /** View-shape classifier for incremental view maintenance — the Spark
@@ -64,14 +65,112 @@ object Ivm {
   final case class AggOverMulti(relations: Seq[String],
       groupPositions: Seq[Int], outCols: Seq[String]) extends Shape
 
+  /** Semi or anti join under linear wrappers — the reference compiles
+    * EXISTS/IN to a semijoin node and incrementalizes it as
+    * join-with-distinct (Calcite SEMI/ANTI; DBSP expresses semijoin via
+    * distinct + join). The delta rule maintains an INDICATOR Z-set — the
+    * distinct key projection of the right side — and telescopes:
+    *   Δsemi = semi(ΔA, I_new) + semi(A_old, ΔI⁺) − semi(A_old, ΔI⁻)
+    * (signs of the ΔI terms flipped for anti). Exactness rests on the
+    * condition being a conjunction of equalities left-attr = right-attr
+    * (plus any left-only conjuncts): each left row then matches AT MOST
+    * ONE indicator key, so indicator sign transitions map one-to-one to
+    * match transitions.
+    */
+  final case class SemiAnti(leftRels: Set[String], rightRels: Set[String],
+      isAnti: Boolean) extends Shape
+
   case object Opaque extends Shape
+
+  /** The semi/anti Join node plus the paired condition key attributes
+    * (left-side and right-side, conjunct order, deduped on the right
+    * attribute). Re-extracted per analysis — exprIds are analysis-local.
+    */
+  private[graft] final case class SemiParts(join: Join,
+      leftKeys: Seq[Attribute], rightKeys: Seq[Attribute])
+
+  /** Rewrite EXISTS / IN predicate subqueries into semi/anti joins using
+    * Spark's own optimizer rules, so both spellings classify identically.
+    * PullupCorrelatedPredicates must precede the rewrite (same order as
+    * the optimizer's batches; the rewrite expects correlation conditions
+    * already hoisted out of the subquery). NOT IN rewrites to a
+    * null-tolerant OR-condition anti join, which the equality check below
+    * rejects → Opaque, preserving its semantics.
+    */
+  private[graft] def rewriteSubqueries(plan: LogicalPlan): LogicalPlan =
+    RewritePredicateSubquery(PullupCorrelatedPredicates(plan))
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Locate the single LeftSemi/LeftAnti join under Project/Filter/alias
+    * wrappers and validate its condition: every conjunct either references
+    * only the left side, or is an equality between one left and one right
+    * attribute. Returns None (→ Opaque) otherwise.
+    */
+  private[graft] def semiParts(plan: LogicalPlan): Option[SemiParts] = {
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case _: Project | _: Filter if noSubquery(p) && p.children.size == 1 =>
+        unwrap(p.children.head)
+      case s: SubqueryAlias => unwrap(s.child)
+      case x => x
+    }
+    unwrap(plan) match {
+      case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+        j.condition.flatMap { cond =>
+          val pairs = conjuncts(cond).map {
+            case e if e.references.subsetOf(j.left.outputSet) => Some(None)
+            case EqualTo(l: AttributeReference, r: AttributeReference) =>
+              sideOf(j, l, r)
+            case EqualNullSafe(l: AttributeReference, r: AttributeReference) =>
+              sideOf(j, l, r)
+            case _ => None
+          }
+          if (!pairs.forall(_.isDefined)) None
+          else {
+            val keyPairs = pairs.flatMap(_.get)
+            // dedupe on the right attribute (repeated conjuncts pinning the
+            // same right column add constraints the grafted condition still
+            // enforces; one indicator column suffices)
+            val deduped = keyPairs.foldLeft(Seq.empty[(Attribute, Attribute)]) {
+              case (acc, p) =>
+                if (acc.exists(_._2.exprId == p._2.exprId)) acc else acc :+ p
+            }
+            if (deduped.isEmpty) None
+            else Some(SemiParts(j, deduped.map(_._1), deduped.map(_._2)))
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Orient an equality's attrs as (left-side, right-side), if possible. */
+  private def sideOf(j: Join, a: AttributeReference,
+      b: AttributeReference): Option[Option[(Attribute, Attribute)]] =
+    if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b))
+      Some(Some((a, b)))
+    else if (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
+      Some(Some((b, a)))
+    else None
+
+  private def semiAntiShape(plan: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Option[Shape] =
+    semiParts(plan).flatMap { sp =>
+      for {
+        l <- linearRels(sp.join.left, leaf)
+        r <- linearRels(sp.join.right, leaf)
+        if l.nonEmpty && r.nonEmpty
+      } yield SemiAnti(l, r, sp.join.joinType == LeftAnti)
+    }
 
   /** Classify a view body. `known` = names of program tables and earlier
     * views (all registered as temp views at call time).
     */
   def classify(spark: SparkSession, sql: String,
       known: Set[String]): Shape = {
-    val plan = spark.sql(sql).queryExecution.analyzed
+    val plan = rewriteSubqueries(spark.sql(sql).queryExecution.analyzed)
     // The registered plan behind each known temp view (outer alias
     // stripped) — the comparison target for leaf identification.
     val registered: Map[String, LogicalPlan] = known.map { n =>
@@ -109,6 +208,7 @@ object Ivm {
         aggShape(plan, leaf)
           .orElse(multiShape(plan, leaf))
           .orElse(aggOverMulti(plan, leaf))
+          .orElse(semiAntiShape(plan, leaf))
           .getOrElse(Opaque)
     }
   }

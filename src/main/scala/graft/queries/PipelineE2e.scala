@@ -98,6 +98,64 @@ object PipelineE2e {
       pipe.adHoc("SELECT * FROM closure")
     },
 
+    // Semi/anti-join IVM through the runner: EXISTS / NOT EXISTS views
+    // maintained by the SemiAnti indicator delta rule (distinct right-key
+    // presence transitions) under a schedule that inserts and retracts on
+    // BOTH sides — customer retractions flip indicator keys, moving order
+    // rows between the semi and anti views; oracle = DuckDB EXISTS over
+    // the surviving rows.
+    Q(
+      "pipeline_semi_anti",
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+        |           WHERE o_orderkey % 9 <> 0),
+        |     c AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 0)
+        |SELECT 'semi' AS side, o_orderkey, o_custkey FROM o
+        |WHERE EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'anti' AS side, o_orderkey, o_custkey FROM o
+        |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)"""
+        .stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT);
+          |CREATE TABLE customer (c_custkey BIGINT);
+          |CREATE VIEW has_cust AS
+          |  SELECT o_orderkey, o_custkey FROM orders o
+          |  WHERE EXISTS (SELECT 1 FROM customer c
+          |                WHERE c.c_custkey = o.o_custkey);
+          |CREATE VIEW no_cust AS
+          |  SELECT o_orderkey, o_custkey FROM orders o
+          |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+          |                    WHERE c.c_custkey = o.o_custkey);""".stripMargin
+      val pipe = Pipeline(s, prog)
+      // honesty guard: these must route through the SemiAnti delta rule,
+      // not the recompute-diff fallback
+      require(pipe.shapeOf("has_cust")
+        .isInstanceOf[graft.incremental.Ivm.SemiAnti]
+        && pipe.shapeOf("no_cust")
+          .isInstanceOf[graft.incremental.Ivm.SemiAnti],
+        "semi/anti views must classify SemiAnti")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .localCheckpoint(true)
+      val c = t(s, dir, "customer").select("c_custkey").localCheckpoint(true)
+      val steps = Seq(
+        Map(
+          "orders" -> ZSets.lift(o.filter(col("o_orderkey") % 2 === 0)),
+          "customer" -> ZSets.lift(c.filter(col("c_custkey") % 2 === 0))),
+        Map(
+          "orders" -> ZSets.lift(o.filter(col("o_orderkey") % 2 === 1))
+            .unionByName(ZSets.negate(
+              ZSets.lift(o.filter(col("o_orderkey") % 9 === 0)))),
+          "customer" -> ZSets.lift(c.filter(col("c_custkey") % 2 === 1))
+            .unionByName(ZSets.negate(
+              ZSets.lift(c.filter(col("c_custkey") % 13 === 0))))))
+      steps.foreach(pipe.step)
+      pipe.adHoc(
+        """SELECT 'semi' AS side, o_orderkey, o_custkey FROM has_cust
+          |UNION ALL
+          |SELECT 'anti' AS side, o_orderkey, o_custkey FROM no_cust"""
+          .stripMargin)
+    },
+
     // Wire-format round trip, graded: every order emits an `insert`
     // envelope line and the %5 orders ALSO emit a `delete` line; decoding
     // through Envelopes.decodeJson and consolidating the Z-set must leave

@@ -66,6 +66,11 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
   private val joinState = mutable.Map[String, DataFrame]()
   /** Presence-marked upsert state for PRIMARY KEY tables. */
   private val upsertState = mutable.Map[String, DataFrame]()
+  /** Indicator Z-sets for SemiAnti views: the distinct key projection of
+    * the semi/anti join's right side, with derivation counts (positional
+    * columns `_k0.._kn` + `_w`).
+    */
+  private val indicatorState = mutable.Map[String, DataFrame]()
 
   private val tableNames = program.tables.map(_.name)
 
@@ -322,6 +327,9 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
           evalAggOverMulti(v.sql, v.name, rels, groupPos, outCols,
             relDeltas, oldStates, newStates, oldViews.get(v.name))
         case Ivm.AggOverMulti(_, _, _) => ZSets.lift(emptyViews(v.name))
+        case Ivm.SemiAnti(l, r, anti) if (l ++ r).exists(relDeltas.contains) =>
+          evalSemiAnti(v.sql, v.name, l, r, anti, relDeltas, oldStates)
+        case Ivm.SemiAnti(_, _, _) => ZSets.lift(emptyViews(v.name))
         case Ivm.Opaque =>
           recomputeDiff(v.sql, newStates, oldViews.get(v.name))
       }
@@ -496,6 +504,132 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       case Some(o) => ZSets.lift(newRows).unionByName(ZSets.negate(o))
       case None => ZSets.lift(newRows)
     }
+  }
+
+  /** Semi/anti-join delta rule (shape [[Ivm.SemiAnti]]): maintain an
+    * INDICATOR Z-set I — the distinct key projection of the join's right
+    * side, with derivation counts (incremental DISTINCT → presence
+    * transitions ΔI) — then telescope
+    *   Δview = V(ΔA, I_new) + V_semi(A_old, ΔI⁺) − V_semi(A_old, ΔI⁻)
+    * for semi (ΔI-term signs flipped for anti; the ΔA term keeps the
+    * view's own join type). Each term evaluates the ORIGINAL view plan
+    * with the join's right child grafted to a small broadcast key set
+    * (Shims.ofRows plan surgery), so left-only predicates and Project/
+    * Filter wrappers apply unchanged. Exact because the condition is a
+    * conjunction of equalities: a left row matches at most one indicator
+    * key, so ΔI maps one-to-one to match transitions (Ivm.semiParts
+    * validates this at classification). Shuffle is O(|delta|): indicator
+    * state and the left snapshot are broadcast-probed or scanned in place,
+    * never re-shuffled.
+    */
+  private def evalSemiAnti(sql: String, viewName: String,
+      leftRels: Set[String], rightRels: Set[String], isAnti: Boolean,
+      relDeltas: collection.Map[String, DataFrame],
+      oldStates: collection.Map[String, DataFrame]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+    val shims = org.apache.spark.sql.graft.Shims
+
+    def analyzedParts(
+        bindings: Map[String, DataFrame]): (LogicalPlan, Ivm.SemiParts) = {
+      bindings.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      val plan = Ivm.rewriteSubqueries(spark.sql(sql).queryExecution.analyzed)
+      (plan, Ivm.semiParts(plan).getOrElse(
+        sys.error(s"view $viewName lost its semi-join shape")))
+    }
+    def posNames(n: Int): Seq[String] = (0 until n).map(i => s"_k$i")
+
+    // delta bindings for one side: changed rels → signed delta multiset,
+    // unchanged rels → empty (the linear delta rule on that subtree)
+    def deltaPart(rels: Set[String], sign: DataFrame => DataFrame) =
+      rels.map(r => r -> relDeltas.get(r)
+        .map(d => ZSets.toMultiset(sign(d)))
+        .getOrElse(emptyOf(r))).toMap
+
+    // 1. indicator maintenance: ΔKB = Δ(π_keys(right side)) via the linear
+    //    rule on the right subtree, then incremental DISTINCT
+    val rightTouched = rightRels.exists(relDeltas.contains)
+    val dI: Option[DataFrame] = if (!rightTouched) None else {
+      def keyTerm(sign: DataFrame => DataFrame): DataFrame = {
+        val (_, sp) = analyzedParts(deltaPart(rightRels, sign))
+        val proj = sp.rightKeys.zipWithIndex.map { case (a, i) =>
+          Alias(a, s"_k$i")()
+        }
+        shims.ofRows(spark, Project(proj, sp.join.right))
+      }
+      val dKB = ZSets.consolidate(
+        ZSets.lift(keyTerm(identity)).unionByName(
+          ZSets.negate(ZSets.lift(keyTerm(ZSets.negate)))))
+      val (st, d) = IncrementalOps.distinctStep(
+        indicatorState.get(viewName), dKB)
+      indicatorState(viewName) = st.localCheckpoint(false)
+      Some(d.localCheckpoint(false))
+    }
+
+    // graft: replace the join's right child with `rows` (aliased onto the
+    // right key attrs' exprIds, broadcast) and evaluate the full view plan
+    def graft(plan: LogicalPlan, sp: Ivm.SemiParts,
+        rows: DataFrame, forceSemi: Boolean): DataFrame = {
+      val rplan = rows.hint("broadcast").queryExecution.analyzed
+      require(rplan.output.size == sp.rightKeys.size,
+        s"indicator arity drifted for $viewName")
+      val aliases = sp.rightKeys.zip(rplan.output).map { case (orig, cur) =>
+        require(cur.dataType == orig.dataType,
+          s"indicator type drifted for $viewName: $cur vs $orig")
+        Alias(cur, orig.name)(exprId = orig.exprId)
+      }
+      val newJoin = sp.join.copy(right = Project(aliases, rplan),
+        joinType = if (forceSemi) LeftSemi else sp.join.joinType)
+      shims.ofRows(spark, plan.transformUp {
+        case j: Join if j eq sp.join => newJoin
+      })
+    }
+
+    // 2. ΔA term against I_new, restricted scan-side to the delta's own
+    //    keys first so only a delta-sized key set is broadcast
+    val signs: Seq[(DataFrame => DataFrame, Boolean)] =
+      Seq((identity[DataFrame], false), (ZSets.negate _, true))
+    val t1: Seq[DataFrame] =
+      if (!leftRels.exists(relDeltas.contains)) Nil
+      else signs.map { case (sign, negOut) =>
+        val (plan, sp) = analyzedParts(deltaPart(leftRels, sign))
+        val names = posNames(sp.rightKeys.size)
+        val probe = shims.ofRows(spark, Project(
+          sp.leftKeys.zipWithIndex.map { case (a, i) => Alias(a, s"_k$i")() },
+          sp.join.left))
+        val present = indicatorState.get(viewName)
+          .map(st => st.filter(col(ZSets.W) > 0).drop(ZSets.W))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(names.zip(sp.rightKeys).map { case (n, a) =>
+              org.apache.spark.sql.types.StructField(n, a.dataType) })))
+        val restricted = IncrementalOps.splitTouched(present, probe, names)._1
+        val res = graft(plan, sp, restricted, forceSemi = false)
+        if (negOut) ZSets.negate(ZSets.lift(res)) else ZSets.lift(res)
+      }
+
+    // 3. transition terms against the PRE-STEP left side: a key appearing
+    //    INSERTS matching old-left rows into a semi view and RETRACTS them
+    //    from an anti view; a vanishing key is the reverse
+    val t2: Seq[DataFrame] = dI.toSeq.flatMap { d =>
+      val appeared = d.filter(col(ZSets.W) > 0).drop(ZSets.W)
+      val vanished = d.filter(col(ZSets.W) < 0).drop(ZSets.W)
+      lazy val oldParts = analyzedParts(
+        leftRels.map(r => r -> multisetOf(r, oldStates)).toMap)
+      def term(rows: DataFrame, negOut: Boolean): Seq[DataFrame] =
+        if (rows.isEmpty) Nil
+        else {
+          val (plan, sp) = oldParts
+          val res = graft(plan, sp, rows, forceSemi = true)
+          Seq(if (negOut) ZSets.negate(ZSets.lift(res)) else ZSets.lift(res))
+        }
+      term(appeared, negOut = isAnti) ++ term(vanished, negOut = !isAnti)
+    }
+
+    val terms = t1 ++ t2
+    if (terms.isEmpty) ZSets.lift(emptyViews(viewName))
+    else terms.reduce(_ unionByName _)
   }
 
   /** Chain fast path: the delta's own aggregate (the view SQL over the
