@@ -171,22 +171,29 @@ object Ivm {
   def classify(spark: SparkSession, sql: String,
       known: Set[String]): Shape = {
     val plan = rewriteSubqueries(spark.sql(sql).queryExecution.analyzed)
-    // The registered plan behind each known temp view (outer alias
-    // stripped) — the comparison target for leaf identification.
+    classifyPlan(plan, leafFn(spark, known))
+  }
+
+  /** Leaf identifier over the currently-registered temp views. A relation
+    * reference analyzes as SubqueryAlias(name, <registered plan>);
+    * `FROM t AS a` adds an outer rename alias above it. Resolve through
+    * the alias chain to the INNERMOST alias and accept it only if it
+    * wraps that name's registered plan: a derived subquery whose alias
+    * merely collides with a table/view name (`FROM (…) AS t`) must NOT
+    * classify as reading `t` — delta evaluation would rebind the wrong
+    * relation and silently freeze or corrupt the view.
+    */
+  private[graft] def leafFn(spark: SparkSession,
+      known: Set[String]): LogicalPlan => Option[String] = {
+    // the registered plan behind each known temp view (outer alias
+    // stripped) — the comparison target for leaf identification
     val registered: Map[String, LogicalPlan] = known.map { n =>
       n -> (spark.table(n).queryExecution.analyzed match {
         case s: SubqueryAlias => s.child
         case p => p
       })
     }.toMap
-    // A relation reference analyzes as SubqueryAlias(name, <registered
-    // plan>); `FROM t AS a` adds an outer rename alias above it. Resolve
-    // through the alias chain to the INNERMOST alias and accept it only if
-    // it wraps that name's registered plan: a derived subquery whose alias
-    // merely collides with a table/view name (`FROM (…) AS t`) must NOT
-    // classify as reading `t` — delta evaluation would rebind the wrong
-    // relation and silently freeze or corrupt the view.
-    def leaf(p: LogicalPlan): Option[String] = p match {
+    val f: LogicalPlan => Option[String] = {
       case s: SubqueryAlias =>
         var in = s
         while (in.child.isInstanceOf[SubqueryAlias])
@@ -197,7 +204,38 @@ object Ivm {
         else None
       case _ => None
     }
-    classifyPlan(plan, leaf)
+    f
+  }
+
+  /** Flatten a recursive view body into its top-level UNION (set
+    * semantics) branches, descending through alias/Distinct wrappers but
+    * never into an identified relation leaf. Shared by classification and
+    * delta evaluation — both must split identically.
+    */
+  private[graft] def unionBranches(p: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Seq[LogicalPlan] = p match {
+    case s: SubqueryAlias if leaf(s).isEmpty => unionBranches(s.child, leaf)
+    case d: Distinct => unionBranches(d.child, leaf)
+    case u: Union => u.children.flatMap(c => unionBranches(c, leaf))
+    case x => Seq(x)
+  }
+
+  /** Classify a recursive view body as a vector of UNION branches, each
+    * Linear or Multilinear over `known` (which includes the recursive
+    * group members). This is the sum-of-products form the incremental
+    * recursion path can maintain semi-naively under insert-only deltas;
+    * None → the runner falls back to per-step recompute-diff.
+    */
+  def classifyRecursive(spark: SparkSession, sql: String,
+      known: Set[String]): Option[Seq[Shape]] = {
+    val plan = spark.sql(sql).queryExecution.analyzed
+    val leaf = leafFn(spark, known)
+    val shapes = unionBranches(plan, leaf).map { b =>
+      linearRels(b, leaf).filter(_.nonEmpty).map(Linear(_): Shape)
+        .orElse(multiShape(b, leaf))
+    }
+    if (shapes.nonEmpty && shapes.forall(_.isDefined)) Some(shapes.map(_.get))
+    else None
   }
 
   private def classifyPlan(plan: LogicalPlan,

@@ -98,6 +98,43 @@ object PipelineE2e {
       pipe.adHoc("SELECT * FROM closure")
     },
 
+    // Incremental recursion: an insert-only 3-step schedule keeps the
+    // closure group on the semi-naive CONTINUATION path (asserted via
+    // lastRecursiveMode — never a from-scratch fixpoint), extending the
+    // previous totals with only the paths through each step's new edges;
+    // oracle = DuckDB WITH RECURSIVE over the full chain.
+    Q(
+      "pipeline_rec_inc",
+      """WITH RECURSIVE edges AS (
+        |  SELECT n_nationkey AS src, n_nationkey + 1 AS dst FROM nation
+        |  WHERE n_nationkey < 24),
+        |closure(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src)
+        |SELECT src, dst FROM closure""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE edges (src INT, dst INT);
+          |DECLARE RECURSIVE VIEW closure (src INT, dst INT);
+          |CREATE VIEW closure AS
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src;"""
+          .stripMargin
+      val pipe = Pipeline(s, prog)
+      val edges = t(s, dir, "nation").filter(col("n_nationkey") < 24)
+        .select(col("n_nationkey").cast("int").as("src"),
+          (col("n_nationkey") + 1).cast("int").as("dst"))
+        .localCheckpoint(true)
+      (0 until 3).foreach { m =>
+        pipe.step(Map("edges" ->
+          ZSets.lift(edges.filter(col("src") % 3 === m))))
+        require(pipe.lastRecursiveMode == "incremental",
+          "insert-only steps must take the incremental recursion path")
+      }
+      pipe.adHoc("SELECT * FROM closure")
+    },
+
     // Semi/anti-join IVM through the runner: EXISTS / NOT EXISTS views
     // maintained by the SemiAnti indicator delta rule (distinct right-key
     // presence transitions) under a schedule that inserts and retracts on

@@ -118,4 +118,90 @@ object Fixpoint {
     names.foreach(n => retire(deltaRdds.remove(n)))
     totals
   }
+
+  /** Semi-naive CONTINUATION of an already-converged fixpoint under grown
+    * inputs — the incremental-recursion path (the reference's nested
+    * circuit maintains the inner fixpoint under outer deltas,
+    * recursive.rs:262; exact here only for monotone growth, which the
+    * caller guarantees by requiring insert-only deltas). Starts from
+    * `initTotals` (the previous step's converged totals, NOT re-shuffled
+    * or re-derived) with `seeds` = candidate rows derived from the input
+    * deltas; each round fires `steps` on the newest rows only and keeps
+    * the genuinely new ones.
+    *
+    * Per-round cost is O(|new rows|): candidates are deduped against
+    * totals by a broadcast-probe semi join (totals scanned in place,
+    * `IncrementalOps.splitTouched`) followed by an except of two
+    * candidate-sized frames — never a full except against the
+    * accumulated state.
+    *
+    * Returns the new totals and the rows added beyond initTotals per
+    * view, plus a `release` callback freeing the round caches — call it
+    * AFTER materializing (checkpointing) whatever results are kept.
+    */
+  final case class Continuation(totals: Map[String, DataFrame],
+      newRows: Map[String, DataFrame], release: () => Unit)
+
+  def continueFrom(initTotals: Map[String, DataFrame],
+      seeds: Map[String, DataFrame],
+      steps: Map[String, RoundState => DataFrame],
+      maxIterations: Int = 1000): Continuation = {
+    require(initTotals.keySet == steps.keySet,
+      "initTotals/steps views must match")
+    val names = initTotals.keys.toSeq
+    // every round's delta cache stays live until release(): totals are
+    // LAZY unions over the cached delta RDDs (linear lineage — never a
+    // full re-materialization of the accumulated state per round), so the
+    // caches they reference cannot be retired mid-run
+    val owned = scala.collection.mutable.ListBuffer[RDD[_]]()
+    def mat(df: DataFrame): (DataFrame, Long) = {
+      val (out, rdd) = materialize(df)
+      val c = rdd.count()
+      owned += rdd
+      (out, c)
+    }
+    // candidates minus totals, with totals only broadcast-probed: the
+    // matching totals rows (dup, candidate-sized) are extracted scan-side
+    // (splitTouched), then a small except finishes the set difference
+    def newOnly(cand: DataFrame, totals: DataFrame): DataFrame = {
+      val cols = cand.columns.toSeq
+      val dup = graft.incremental.IncrementalOps
+        .splitTouched(totals, cand, cols)._1
+      cand.except(dup.select(cols.map(org.apache.spark.sql.functions.col): _*))
+    }
+
+    var totals = initTotals
+    val accParts = scala.collection.mutable.Map[String, List[DataFrame]]()
+    var deltas: Map[String, (DataFrame, Long)] = names.map { n =>
+      val s = seeds.getOrElse(n, initTotals(n).limit(0))
+      n -> mat(newOnly(s, totals(n)))
+    }.toMap
+    def absorb(): Unit = names.foreach { n =>
+      val (df, c) = deltas(n)
+      if (c > 0) {
+        totals += (n -> totals(n).unionByName(df))
+        accParts(n) = df :: accParts.getOrElse(n, Nil)
+      }
+    }
+    absorb()
+    var converged = deltas.values.forall(_._2 == 0)
+    var i = 0
+    while (i < maxIterations && !converged) {
+      val state = RoundState(totals,
+        deltas.map { case (n, (df, _)) => n -> df })
+      deltas = names.map(n =>
+        n -> mat(newOnly(steps(n)(state), totals(n)))).toMap
+      converged = deltas.values.forall(_._2 == 0)
+      absorb()
+      i += 1
+    }
+    require(converged,
+      s"fixpoint continuation did not converge in $maxIterations rounds")
+    val newRows = names.map { n =>
+      n -> accParts.getOrElse(n, Nil).reduceOption(_ unionByName _)
+        .getOrElse(initTotals(n).limit(0))
+    }.toMap
+    Continuation(totals, newRows,
+      () => owned.foreach(_.unpersist(blocking = false)))
+  }
 }

@@ -123,6 +123,32 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     (sh.toMap, ev.toMap)
   }
 
+  /** Branch shapes of each recursive member's body — top-level UNION
+    * branches, each Linear or Multilinear over the whole program
+    * (including the group members). None → that member's body is outside
+    * the sum-of-products form and the group uses recompute-diff.
+    */
+  private val recShapes: Map[String, Option[Seq[Ivm.Shape]]] = {
+    val known = (tableNames ++ program.views.map(_.name)).toSet
+    program.views.filter(v => recursiveNames(v.name))
+      .map(v => v.name -> Ivm.classifyRecursive(spark, v.sql, known)).toMap
+  }
+  private val recIncCapable: Boolean =
+    recShapes.nonEmpty && recShapes.values.forall(_.isDefined)
+  /** External (non-member) relations feeding the recursive group. */
+  private val recExtRels: Set[String] =
+    recShapes.values.flatten.flatten.flatMap {
+      case Ivm.Linear(rs) => rs
+      case Ivm.Multilinear(rs) => rs.toSet
+      case _ => Set.empty[String]
+    }.toSet -- recursiveNames
+
+  /** How the last step maintained the recursive group: "incremental"
+    * (semi-naive continuation) or "recompute" (fixpoint from scratch +
+    * diff). Introspection for tests.
+    */
+  @volatile var lastRecursiveMode: String = ""
+
   /** Views that read the logical clock (reference ImplementNow pass,
     * now.md: NOW() is the circuit STEP time, not row-evaluation time).
     * They re-evaluate whenever the clock advances, emitting deltas — e.g.
@@ -282,26 +308,19 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
 
     // 2. maintain views in declaration order
     val newStates = mutable.Map[String, DataFrame]() ++ tableState ++ viewState
-    var recStep = Map.empty[String, DataFrame]
+    var recDeltas = Map.empty[String, DataFrame]
     val out = program.views.map { v =>
       val rawDelta = if (nowViews(v.name))
         // clock-dependent: always recompute against the bound step time
         recomputeDiff(bindClock(v.sql), newStates, oldViews.get(v.name))
       else if (recursiveNames(v.name)) {
-        // recursive group: one joint fixpoint per step over the new
-        // snapshots (recompute-diff — exact under retraction, where
-        // incremental recursion would need the reference's nested-circuit
-        // delta machinery), then diff each member against its old output
-        if (recStep.isEmpty) {
-          ((tableNames ++ program.views.map(_.name)).toSet -- recursiveNames)
-            .foreach(r => multisetOf(r, newStates).createOrReplaceTempView(r))
-          recStep = evalRecursiveGroup()
-        }
-        val now = ZSets.lift(recStep(v.name))
-        oldViews.get(v.name) match {
-          case Some(prev) => now.unionByName(ZSets.negate(prev))
-          case None => now
-        }
+        // recursive group: maintained jointly — semi-naive continuation
+        // of the previous fixpoint when the bodies are sum-of-products
+        // and the step is insert-only, recompute-diff otherwise
+        if (recDeltas.isEmpty)
+          recDeltas = evalRecursiveStep(relDeltas, oldStates, newStates,
+            oldViews)
+        recDeltas(v.name)
       }
       else shapes(v.name) match {
         case Ivm.Linear(rels) =>
@@ -348,6 +367,144 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     (tableNames ++ program.views.map(_.name)).foreach { n =>
       multisetOf(n, newStates).createOrReplaceTempView(n)
     }
+    out
+  }
+
+  /** One step of the DECLARE RECURSIVE VIEW group, returning per-member
+    * OUTPUT DELTAS. Incremental path (nested-circuit analogue,
+    * recursive.rs:262): when every member body is a vector of
+    * Linear/Multilinear UNION branches and this step's relevant deltas
+    * are insert-only — the group is then monotone in its inputs, the new
+    * fixpoint contains the old one, and [[Fixpoint.continueFrom]] extends
+    * the previous totals semi-naively from delta-derived seeds instead of
+    * re-running the fixpoint from scratch. Anything else (retractions,
+    * non-monotone bodies) falls back to recompute-diff, which is exact
+    * unconditionally.
+    */
+  private def evalRecursiveStep(
+      relDeltas: collection.Map[String, DataFrame],
+      oldStates: collection.Map[String, DataFrame],
+      newStates: collection.Map[String, DataFrame],
+      oldViews: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val group = program.views.filter(v => recursiveNames(v.name))
+    val touchedExt = recExtRels.filter(relDeltas.contains)
+    lazy val insertOnly = touchedExt.forall(r =>
+      relDeltas(r).filter(col(ZSets.W) < 0).isEmpty)
+    if (recIncCapable && insertOnly) {
+      lastRecursiveMode = "incremental"
+      evalRecursiveIncremental(group, touchedExt, relDeltas, oldStates,
+        newStates, oldViews)
+    } else {
+      lastRecursiveMode = "recompute"
+      ((tableNames ++ program.views.map(_.name)).toSet -- recursiveNames)
+        .foreach(r => multisetOf(r, newStates).createOrReplaceTempView(r))
+      val totals = evalRecursiveGroup()
+      group.map { m =>
+        val now = ZSets.lift(totals(m.name))
+        m.name -> (oldViews.get(m.name) match {
+          case Some(prev) => now.unionByName(ZSets.negate(prev))
+          case None => now
+        })
+      }.toMap
+    }
+  }
+
+  /** Incremental recursion: evaluate each member's UNION branches under
+    * per-term relation bindings (plan split via Ivm.unionBranches +
+    * Shims.ofRows so each branch sees ONLY its own bindings):
+    *
+    *  - seeds = Δ(branch) w.r.t. the external deltas, member slots pinned
+    *    to the OLD totals (linear branches bind ext→Δ, members→∅;
+    *    multilinear branches telescope over the touched ext slots);
+    *  - round steps = Δ(branch) w.r.t. the newest member rows (linear:
+    *    members→round deltas, ext→∅; multilinear: one term per member
+    *    slot, others→totals, ext→NEW snapshots).
+    *
+    * Per-round shuffle is O(|new rows|): snapshots and totals are only
+    * scanned or broadcast-probed (Fixpoint.continueFrom dedups against
+    * totals the same way).
+    */
+  private def evalRecursiveIncremental(
+      group: Seq[Ddl.ViewDef],
+      touchedExt: Set[String],
+      relDeltas: collection.Map[String, DataFrame],
+      oldStates: collection.Map[String, DataFrame],
+      newStates: collection.Map[String, DataFrame],
+      oldViews: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val known = (tableNames ++ program.views.map(_.name)).toSet
+    def branches(sql: String, outCols: Seq[String],
+        bindings: Map[String, DataFrame]): Seq[DataFrame] = {
+      bindings.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      val plan = spark.sql(sql).queryExecution.analyzed
+      Ivm.unionBranches(plan, Ivm.leafFn(spark, known)).map(b =>
+        org.apache.spark.sql.graft.Shims.ofRows(spark, b).toDF(outCols: _*))
+    }
+    val oldTotals = group.map(m => m.name -> multisetOf(m.name, oldViews)).toMap
+    val outCols = group.map(m => m.name -> emptyViews(m.name).columns.toSeq).toMap
+
+    val seeds: Map[String, DataFrame] = group.flatMap { m =>
+      val terms = recShapes(m.name).get.zipWithIndex.flatMap { case (sh, bi) =>
+        sh match {
+          case Ivm.Linear(rels) if rels.exists(touchedExt) =>
+            val binds = rels.map(r => r -> (
+              if (recursiveNames(r)) emptyOf(r)
+              else relDeltas.get(r).map(ZSets.toMultiset)
+                .getOrElse(emptyOf(r)))).toMap
+            Seq(branches(m.sql, outCols(m.name), binds)(bi))
+          case Ivm.Multilinear(rels) =>
+            rels.zipWithIndex
+              .filter { case (r, _) => !recursiveNames(r) && touchedExt(r) }
+              .map { case (_, i) =>
+                val binds = rels.zipWithIndex.map { case (rj, j) =>
+                  rj -> (
+                    if (recursiveNames(rj)) oldTotals(rj)
+                    else if (j == i)
+                      ZSets.toMultiset(relDeltas(rj)).hint("broadcast")
+                    else if (j < i) multisetOf(rj, newStates)
+                    else multisetOf(rj, oldStates))
+                }.toMap
+                branches(m.sql, outCols(m.name), binds)(bi)
+              }
+          case _ => Nil
+        }
+      }
+      if (terms.isEmpty) None
+      else Some(m.name -> terms.reduce(_ unionByName _))
+    }.toMap
+
+    val steps: Map[String, graft.recursive.Fixpoint.RoundState => DataFrame] =
+      group.map { m =>
+        m.name -> ((st: graft.recursive.Fixpoint.RoundState) => {
+          val terms = recShapes(m.name).get.zipWithIndex.flatMap {
+            case (sh, bi) => sh match {
+              case Ivm.Linear(rels) if rels.exists(recursiveNames) =>
+                val binds = rels.map(r => r -> (
+                  if (recursiveNames(r)) st.deltas(r) else emptyOf(r))).toMap
+                Seq(branches(m.sql, outCols(m.name), binds)(bi))
+              case Ivm.Multilinear(rels) =>
+                rels.zipWithIndex.filter { case (r, _) => recursiveNames(r) }
+                  .map { case (_, i) =>
+                    val binds = rels.zipWithIndex.map { case (rj, j) =>
+                      rj -> (
+                        if (j == i) st.deltas(rj).hint("broadcast")
+                        else if (recursiveNames(rj)) st.totals(rj)
+                        else multisetOf(rj, newStates))
+                    }.toMap
+                    branches(m.sql, outCols(m.name), binds)(bi)
+                  }
+              case _ => Nil
+            }
+          }
+          if (terms.isEmpty) emptyViews(m.name)
+          else terms.reduce(_ unionByName _)
+        })
+      }.toMap
+
+    val cont = graft.recursive.Fixpoint.continueFrom(oldTotals, seeds, steps)
+    // eager-checkpoint the new rows BEFORE releasing the round caches
+    val out = group.map(m => m.name ->
+      ZSets.lift(cont.newRows(m.name)).localCheckpoint(true)).toMap
+    cont.release()
     out
   }
 
