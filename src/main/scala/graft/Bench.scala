@@ -9,7 +9,16 @@ import org.apache.spark.sql.SparkSession
   * caches — otherwise the first query absorbs ~5-8s of JVM warmup and the
   * numbers are noise), then each query executed to completion through the
   * `noop` sink (full pipeline materialization; `count()` would let Spark
-  * skip payload columns).
+  * skip payload columns). Caches and persistent RDDs are dropped between
+  * queries: the incremental/pipeline demos localCheckpoint their state
+  * (cached RDDs) and would otherwise leak storage memory into every
+  * later query's measurement.
+  *
+  * Output: the driver captures only the LAST ~2000 chars of stdout and
+  * parses the final line as JSON, so the final line is kept under 1700
+  * chars — the full per-query map always fits in BENCH_DETAIL.json (cwd);
+  * if the map itself is too long the final line keeps the SLOWEST queries
+  * and reports how many fast ones were omitted.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,26 +36,50 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    def dropCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     // warmup: generic JIT + one shuffle-heavy and one scan-heavy query
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
     Seq("agg_linear", "join_star", "map_project")
       .filter(SparkEntry.queries.contains).foreach { q =>
         try run(q) catch { case _: Throwable => () }
       }
+    dropCaches()
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$m$om,"sf":"$sfDir"}"""
+    }
+    val full = line(results, 0)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), full + "\n")
+    catch { case _: Throwable => () }
+    // final line budget: keep the slowest queries while under 1700 chars
+    val bySlowest = results.sortBy(-_._2)
+    var keep = bySlowest.length
+    while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1),
+        results.length - keep).length > 1700)
+      keep -= 1
+    val out = line(bySlowest.take(keep).sortBy(_._1), results.length - keep)
     // stop FIRST so the JSON is the final stdout line, after any logging
     // has quiesced — the driver parses the last line
     spark.stop()
-    println(line)
+    println(out)
   }
 }

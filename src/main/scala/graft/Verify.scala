@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), onlyNames) = args.splitAt(2)
     val only: Set[String] = onlyNames.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "a typo here would silently verify nothing")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
