@@ -207,6 +207,21 @@ object Ivm {
     f
   }
 
+  /** Identified relation leaves of a plan in in-order (left-to-right)
+    * traversal — the binding slots for plan-surgery delta evaluation.
+    * Matches the slot order of [[Multilinear]] (multiRels walks join legs
+    * left-to-right). The returned nodes are the ORIGINAL plan objects:
+    * callers key replacement on object identity inside one transformUp,
+    * so analysis happens once per step instead of once per fixpoint round
+    * per term.
+    */
+  private[graft] def leafNodes(p: LogicalPlan,
+      leaf: LogicalPlan => Option[String]): Seq[(String, LogicalPlan)] =
+    leaf(p) match {
+      case Some(n) => Seq(n -> p)
+      case None => p.children.flatMap(c => leafNodes(c, leaf))
+    }
+
   /** Flatten a recursive view body into its top-level UNION (set
     * semantics) branches, descending through alias/Distinct wrappers but
     * never into an identified relation leaf. Shared by classification and

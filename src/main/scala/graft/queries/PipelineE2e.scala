@@ -107,7 +107,7 @@ object PipelineE2e {
       "pipeline_rec_inc",
       """WITH RECURSIVE edges AS (
         |  SELECT n_nationkey AS src, n_nationkey + 1 AS dst FROM nation
-        |  WHERE n_nationkey < 24),
+        |  WHERE n_nationkey < 12),
         |closure(src, dst) AS (
         |  SELECT src, dst FROM edges
         |  UNION
@@ -122,7 +122,7 @@ object PipelineE2e {
           |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src;"""
           .stripMargin
       val pipe = Pipeline(s, prog)
-      val edges = t(s, dir, "nation").filter(col("n_nationkey") < 24)
+      val edges = t(s, dir, "nation").filter(col("n_nationkey") < 12)
         .select(col("n_nationkey").cast("int").as("src"),
           (col("n_nationkey") + 1).cast("int").as("dst"))
         .localCheckpoint(true)

@@ -146,6 +146,22 @@ object Fixpoint {
       seeds: Map[String, DataFrame],
       steps: Map[String, RoundState => DataFrame],
       maxIterations: Int = 1000): Continuation = {
+    // each round plans + compiles a FRESH tiny query (new cached-RDD
+    // leaves); Janino whole-stage compilation is a fixed ~50-100ms per
+    // round that interpreted evaluation avoids — round deltas are small
+    // by construction, so execution cost is planning-dominated
+    val spark = initTotals.head._2.sparkSession
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try continueFromImpl(initTotals, seeds, steps, maxIterations)
+    finally spark.conf.set(key, prev)
+  }
+
+  private def continueFromImpl(initTotals: Map[String, DataFrame],
+      seeds: Map[String, DataFrame],
+      steps: Map[String, RoundState => DataFrame],
+      maxIterations: Int): Continuation = {
     require(initTotals.keySet == steps.keySet,
       "initTotals/steps views must match")
     val names = initTotals.keys.toSeq
@@ -162,12 +178,20 @@ object Fixpoint {
     }
     // candidates minus totals, with totals only broadcast-probed: the
     // matching totals rows (dup, candidate-sized) are extracted scan-side
-    // (splitTouched), then a small except finishes the set difference
+    // (splitTouched), then a STATIC broadcast anti join + distinct
+    // finishes the set difference. (`.except` would plan as anti join +
+    // distinct too, but AQE materializes its two shuffle stages as
+    // separate jobs per round before it can pick the broadcast — with
+    // ~5 extra scheduler jobs per fixpoint round that dominated deep
+    // recursions; the hand-broadcast form never shuffles the join.)
     def newOnly(cand: DataFrame, totals: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.{broadcast, col}
       val cols = cand.columns.toSeq
       val dup = graft.incremental.IncrementalOps
         .splitTouched(totals, cand, cols)._1
-      cand.except(dup.select(cols.map(org.apache.spark.sql.functions.col): _*))
+        .select(cols.map(c => col(c).as(s"_d_$c")): _*)
+      val cond = cols.map(c => col(c) <=> col(s"_d_$c")).reduce(_ && _)
+      cand.join(broadcast(dup), cond, "left_anti").dropDuplicates()
     }
 
     var totals = initTotals
@@ -186,6 +210,7 @@ object Fixpoint {
     absorb()
     var converged = deltas.values.forall(_._2 == 0)
     var i = 0
+    var sinceCompact = 0
     while (i < maxIterations && !converged) {
       val state = RoundState(totals,
         deltas.map { case (n, (df, _)) => n -> df })
@@ -194,6 +219,16 @@ object Fixpoint {
       converged = deltas.values.forall(_._2 == 0)
       absorb()
       i += 1
+      sinceCompact += 1
+      // compact the totals lineage every few rounds: the lazy union chain
+      // grows one cached-RDD leaf per round, so optimizer+codegen cost per
+      // round grows with the round number (quadratic over a deep
+      // recursion) — re-materializing into one cached RDD resets plan
+      // depth for one amortized state-sized write
+      if (sinceCompact >= 8 && !converged) {
+        totals = names.map { n => n -> mat(totals(n))._1 }.toMap
+        sinceCompact = 0
+      }
     }
     require(converged,
       s"fixpoint continuation did not converge in $maxIterations rounds")

@@ -388,8 +388,13 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       oldViews: Map[String, DataFrame]): Map[String, DataFrame] = {
     val group = program.views.filter(v => recursiveNames(v.name))
     val touchedExt = recExtRels.filter(relDeltas.contains)
-    lazy val insertOnly = touchedExt.forall(r =>
-      relDeltas(r).filter(col(ZSets.W) < 0).isEmpty)
+    // ONE action for the whole check (ADVICE r3: one isEmpty per touched
+    // relation added a fixed per-step job each): union limit-1 probes of
+    // every touched delta's negative-weight rows
+    lazy val insertOnly = touchedExt.isEmpty || touchedExt.toSeq
+      .map(r => relDeltas(r).select(col(ZSets.W))
+        .filter(col(ZSets.W) < 0).limit(1))
+      .reduce(_ unionByName _).isEmpty
     if (recIncCapable && insertOnly) {
       lastRecursiveMode = "incremental"
       evalRecursiveIncremental(group, touchedExt, relDeltas, oldStates,
@@ -432,12 +437,28 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       newStates: collection.Map[String, DataFrame],
       oldViews: Map[String, DataFrame]): Map[String, DataFrame] = {
     val known = (tableNames ++ program.views.map(_.name)).toSet
-    def branches(sql: String, outCols: Seq[String],
-        bindings: Map[String, DataFrame]): Seq[DataFrame] = {
-      bindings.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-      val plan = spark.sql(sql).queryExecution.analyzed
-      Ivm.unionBranches(plan, Ivm.leafFn(spark, known)).map(b =>
-        org.apache.spark.sql.graft.Shims.ofRows(spark, b).toDF(outCols: _*))
+    // each member's body is analyzed ONCE per step (against the canonical
+    // temp views); every seed term and every fixpoint round then GRAFTS
+    // its bindings onto the cached branch plans by object-identity leaf
+    // replacement (bindLeaves). Re-registering temp views and re-analyzing
+    // inside the round closure was the dominant driver-side cost of deep
+    // recursions (ADVICE r3: analysis cost scaled rounds × members ×
+    // branches).
+    val leaf = Ivm.leafFn(spark, known)
+    val analyzed: Map[String, Seq[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)])]] =
+      group.map { m =>
+        val plan = spark.sql(m.sql).queryExecution.analyzed
+        val bs = Ivm.unionBranches(plan, leaf).map(b => (b, Ivm.leafNodes(b, leaf)))
+        require(bs.length == recShapes(m.name).get.length,
+          s"branch structure drifted for ${m.name}: ${bs.length} branches " +
+            s"now vs ${recShapes(m.name).get.length} at classification")
+        m.name -> bs
+      }.toMap
+    def branch(m: String, bi: Int, outCols: Seq[String],
+        binds: Map[String, DataFrame]): DataFrame = {
+      val (b, slots) = analyzed(m)(bi)
+      bindLeaves(b, slots, binds).toDF(outCols: _*)
     }
     val oldTotals = group.map(m => m.name -> multisetOf(m.name, oldViews)).toMap
     val outCols = group.map(m => m.name -> emptyViews(m.name).columns.toSeq).toMap
@@ -450,7 +471,7 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
               if (recursiveNames(r)) emptyOf(r)
               else relDeltas.get(r).map(ZSets.toMultiset)
                 .getOrElse(emptyOf(r)))).toMap
-            Seq(branches(m.sql, outCols(m.name), binds)(bi))
+            Seq(branch(m.name, bi, outCols(m.name), binds))
           case Ivm.Multilinear(rels) =>
             rels.zipWithIndex
               .filter { case (r, _) => !recursiveNames(r) && touchedExt(r) }
@@ -463,7 +484,7 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
                     else if (j < i) multisetOf(rj, newStates)
                     else multisetOf(rj, oldStates))
                 }.toMap
-                branches(m.sql, outCols(m.name), binds)(bi)
+                branch(m.name, bi, outCols(m.name), binds)
               }
           case _ => Nil
         }
@@ -480,7 +501,7 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
               case Ivm.Linear(rels) if rels.exists(recursiveNames) =>
                 val binds = rels.map(r => r -> (
                   if (recursiveNames(r)) st.deltas(r) else emptyOf(r))).toMap
-                Seq(branches(m.sql, outCols(m.name), binds)(bi))
+                Seq(branch(m.name, bi, outCols(m.name), binds))
               case Ivm.Multilinear(rels) =>
                 rels.zipWithIndex.filter { case (r, _) => recursiveNames(r) }
                   .map { case (_, i) =>
@@ -490,7 +511,7 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
                         else if (recursiveNames(rj)) st.totals(rj)
                         else multisetOf(rj, newStates))
                     }.toMap
-                    branches(m.sql, outCols(m.name), binds)(bi)
+                    branch(m.name, bi, outCols(m.name), binds)
                   }
               case _ => Nil
             }
@@ -506,6 +527,37 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       ZSets.lift(cont.newRows(m.name)).localCheckpoint(true)).toMap
     cont.release()
     out
+  }
+
+  /** Replace each identified relation leaf of `plan` (object-identity
+    * keyed) with its binding DataFrame's plan, aliased exprId-preservingly
+    * onto the leaf's output so every upstream reference stays valid — the
+    * same graft evalSemiAnti/evalAggOverMulti use, generalized to N leaves
+    * in one bottom-up transform. Lets delta rules evaluate a pre-analyzed
+    * plan under fresh bindings without re-registering temp views or
+    * re-analyzing the SQL.
+    */
+  private def bindLeaves(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      leaves: Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
+      binds: Map[String, DataFrame]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    val repl = new java.util.IdentityHashMap[LogicalPlan, LogicalPlan]()
+    leaves.foreach { case (rel, node) =>
+      val rplan = binds(rel).queryExecution.analyzed
+      require(rplan.output.size == node.output.size,
+        s"binding arity drifted for $rel")
+      val aliases = node.output.zip(rplan.output).map { case (orig, cur) =>
+        require(cur.dataType == orig.dataType,
+          s"binding type drifted for $rel: $cur vs $orig")
+        Alias(cur, orig.name)(exprId = orig.exprId)
+      }
+      repl.put(node, Project(aliases, rplan))
+    }
+    org.apache.spark.sql.graft.Shims.ofRows(spark, plan.transformUp {
+      case p if repl.containsKey(p) => repl.get(p)
+    })
   }
 
   /** Linear: Q(Δ) directly — bind every referenced relation to its delta
@@ -684,18 +736,38 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       relDeltas: collection.Map[String, DataFrame],
       oldStates: collection.Map[String, DataFrame]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
     val shims = org.apache.spark.sql.graft.Shims
 
-    def analyzedParts(
-        bindings: Map[String, DataFrame]): (LogicalPlan, Ivm.SemiParts) = {
-      bindings.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-      val plan = Ivm.rewriteSubqueries(spark.sql(sql).queryExecution.analyzed)
-      (plan, Ivm.semiParts(plan).getOrElse(
-        sys.error(s"view $viewName lost its semi-join shape")))
+    // ONE analysis per step (was one per term — ADVICE r3): the canonical
+    // temp views are bound at analysis; every term grafts its own leaf
+    // bindings and indicator right side onto this plan
+    val plan0 = Ivm.rewriteSubqueries(spark.sql(sql).queryExecution.analyzed)
+    val sp0 = Ivm.semiParts(plan0).getOrElse(
+      sys.error(s"view $viewName lost its semi-join shape"))
+    val known = (tableNames ++ program.views.map(_.name)).toSet
+    val leaf = Ivm.leafFn(spark, known)
+    val leftLeaves = Ivm.leafNodes(sp0.join.left, leaf)
+    val rightLeaves = Ivm.leafNodes(sp0.join.right, leaf)
+    val names = sp0.rightKeys.indices.map(i => s"_k$i")
+
+    def leafRepl(leaves: Seq[(String, LogicalPlan)],
+        binds: Map[String, DataFrame]): java.util.IdentityHashMap[LogicalPlan, LogicalPlan] = {
+      val repl = new java.util.IdentityHashMap[LogicalPlan, LogicalPlan]()
+      leaves.foreach { case (rel, node) =>
+        val rplan = binds(rel).queryExecution.analyzed
+        require(rplan.output.size == node.output.size,
+          s"binding arity drifted for $rel in $viewName")
+        val aliases = node.output.zip(rplan.output).map { case (orig, cur) =>
+          require(cur.dataType == orig.dataType,
+            s"binding type drifted for $rel in $viewName: $cur vs $orig")
+          Alias(cur, orig.name)(exprId = orig.exprId)
+        }
+        repl.put(node, Project(aliases, rplan))
+      }
+      repl
     }
-    def posNames(n: Int): Seq[String] = (0 until n).map(i => s"_k$i")
 
     // delta bindings for one side: changed rels → signed delta multiset,
     // unchanged rels → empty (the linear delta rule on that subtree)
@@ -708,12 +780,14 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     //    rule on the right subtree, then incremental DISTINCT
     val rightTouched = rightRels.exists(relDeltas.contains)
     val dI: Option[DataFrame] = if (!rightTouched) None else {
+      val proj = sp0.rightKeys.zipWithIndex.map { case (a, i) =>
+        Alias(a, s"_k$i")()
+      }
       def keyTerm(sign: DataFrame => DataFrame): DataFrame = {
-        val (_, sp) = analyzedParts(deltaPart(rightRels, sign))
-        val proj = sp.rightKeys.zipWithIndex.map { case (a, i) =>
-          Alias(a, s"_k$i")()
-        }
-        shims.ofRows(spark, Project(proj, sp.join.right))
+        val repl = leafRepl(rightLeaves, deltaPart(rightRels, sign))
+        shims.ofRows(spark, Project(proj, sp0.join.right).transformUp {
+          case p if repl.containsKey(p) => repl.get(p)
+        })
       }
       val dKB = ZSets.consolidate(
         ZSets.lift(keyTerm(identity)).unionByName(
@@ -724,22 +798,27 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       Some(d.localCheckpoint(false))
     }
 
-    // graft: replace the join's right child with `rows` (aliased onto the
-    // right key attrs' exprIds, broadcast) and evaluate the full view plan
-    def graft(plan: LogicalPlan, sp: Ivm.SemiParts,
+    // graft: bind the left-side leaves and replace the join's right child
+    // with `rows` (aliased onto the right key attrs' exprIds, broadcast)
+    // in ONE bottom-up transform of the pre-analyzed plan. The single
+    // semi/anti Join is matched by type: leaf replacement rebuilds its
+    // ancestors, so object identity can't anchor the join itself.
+    def graft(leftBinds: Map[String, DataFrame],
         rows: DataFrame, forceSemi: Boolean): DataFrame = {
       val rplan = rows.hint("broadcast").queryExecution.analyzed
-      require(rplan.output.size == sp.rightKeys.size,
+      require(rplan.output.size == sp0.rightKeys.size,
         s"indicator arity drifted for $viewName")
-      val aliases = sp.rightKeys.zip(rplan.output).map { case (orig, cur) =>
+      val aliases = sp0.rightKeys.zip(rplan.output).map { case (orig, cur) =>
         require(cur.dataType == orig.dataType,
           s"indicator type drifted for $viewName: $cur vs $orig")
         Alias(cur, orig.name)(exprId = orig.exprId)
       }
-      val newJoin = sp.join.copy(right = Project(aliases, rplan),
-        joinType = if (forceSemi) LeftSemi else sp.join.joinType)
-      shims.ofRows(spark, plan.transformUp {
-        case j: Join if j eq sp.join => newJoin
+      val repl = leafRepl(leftLeaves, leftBinds)
+      shims.ofRows(spark, plan0.transformUp {
+        case p if repl.containsKey(p) => repl.get(p)
+        case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+          j.copy(right = Project(aliases, rplan),
+            joinType = if (forceSemi) LeftSemi else sp0.join.joinType)
       })
     }
 
@@ -750,19 +829,21 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     val t1: Seq[DataFrame] =
       if (!leftRels.exists(relDeltas.contains)) Nil
       else signs.map { case (sign, negOut) =>
-        val (plan, sp) = analyzedParts(deltaPart(leftRels, sign))
-        val names = posNames(sp.rightKeys.size)
+        val binds = deltaPart(leftRels, sign)
+        val probeRepl = leafRepl(leftLeaves, binds)
         val probe = shims.ofRows(spark, Project(
-          sp.leftKeys.zipWithIndex.map { case (a, i) => Alias(a, s"_k$i")() },
-          sp.join.left))
+          sp0.leftKeys.zipWithIndex.map { case (a, i) => Alias(a, s"_k$i")() },
+          sp0.join.left).transformUp {
+            case p if probeRepl.containsKey(p) => probeRepl.get(p)
+          })
         val present = indicatorState.get(viewName)
           .map(st => st.filter(col(ZSets.W) > 0).drop(ZSets.W))
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(names.zip(sp.rightKeys).map { case (n, a) =>
+            StructType(names.zip(sp0.rightKeys).map { case (n, a) =>
               org.apache.spark.sql.types.StructField(n, a.dataType) })))
         val restricted = IncrementalOps.splitTouched(present, probe, names)._1
-        val res = graft(plan, sp, restricted, forceSemi = false)
+        val res = graft(binds, restricted, forceSemi = false)
         if (negOut) ZSets.negate(ZSets.lift(res)) else ZSets.lift(res)
       }
 
@@ -772,13 +853,12 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     val t2: Seq[DataFrame] = dI.toSeq.flatMap { d =>
       val appeared = d.filter(col(ZSets.W) > 0).drop(ZSets.W)
       val vanished = d.filter(col(ZSets.W) < 0).drop(ZSets.W)
-      lazy val oldParts = analyzedParts(
-        leftRels.map(r => r -> multisetOf(r, oldStates)).toMap)
+      lazy val oldBinds = leftRels.map(r =>
+        r -> multisetOf(r, oldStates)).toMap
       def term(rows: DataFrame, negOut: Boolean): Seq[DataFrame] =
         if (rows.isEmpty) Nil
         else {
-          val (plan, sp) = oldParts
-          val res = graft(plan, sp, rows, forceSemi = true)
+          val res = graft(oldBinds, rows, forceSemi = true)
           Seq(if (negOut) ZSets.negate(ZSets.lift(res)) else ZSets.lift(res))
         }
       term(appeared, negOut = isAnti) ++ term(vanished, negOut = !isAnti)
