@@ -205,6 +205,22 @@ object Variants {
       .otherwise(f(lit(null).cast("string"), v).cast("variant"))
   }
 
+  /** Runtime-recursive VARIANT_DEEP_FILTER — same semantics as
+    * [[variantDeepFilter]] but with NO depth bound and constant plan size
+    * (a native HigherOrderFunction walking the variant binary,
+    * [[org.apache.spark.sql.graft.VariantDeepTransform]]). Prefer this for
+    * deep or unknown-depth documents: the unrolled tree doubles per level
+    * (depth 8 ≈ 24 s of codegen), this expression plans in milliseconds.
+    */
+  def variantDeepFilterAll(v: Column, f: (Column, Column) => Column): Column =
+    org.apache.spark.sql.graft.VariantDeepTransform.deepFilter(v, f)
+
+  /** Runtime-recursive VARIANT_DEEP_MAP — unbounded-depth twin of
+    * [[variantDeepMap]]; see [[variantDeepFilterAll]].
+    */
+  def variantDeepMapAll(v: Column, f: (Column, Column) => Column): Column =
+    org.apache.spark.sql.graft.VariantDeepTransform.deepMap(v, f)
+
   /** Recursive merge of two VARIANTs; objects merge key-wise, anything
     * else resolves to the SECOND value (json.md VARIANT_MERGE).
     */

@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.{UTF8String, VariantVal}
   * deep filter/map; docs json.md VARIANT_DEEP_*). Lives under
   * org.apache.spark.sql because HigherOrderFunction's AbstractDataType
   * signature is private[sql]; the public API is the companion's
-  * deepFilter/deepMap, re-exported via graft.functions.Variants.
+  * deepFilter/deepMap, re-exported as graft.functions.Variants
+  * .variantDeepFilterAll / .variantDeepMapAll (parity-tested against the
+  * unrolled versions in VariantsSpec).
   *
   * The HOF-composed versions in [[Variants]] unroll structural recursion
   * to a depth bound, and the unrolled expression tree DOUBLES per level

@@ -90,6 +90,54 @@ class VariantsSpec extends SparkSpec {
       (_, x) => x.cast("bigint") * 100)) === """{"a":{"b":200},"c":[500]}""")
   }
 
+  test("runtime-recursive deep filter/map match the unrolled versions") {
+    // parity across the documented surface: nested objects, array
+    // shrinking with 1-based paths, quoted keys, NULL-predicate = drop,
+    // NULL-map-result = JSON null leaf, top-level scalars
+    val docs = Seq(
+      """{"a": {"b": 1, "c": {"d": 2}}}""",
+      """{"e":[10,20,30]}""",
+      """{"example.com": {"a": 1}, "example": {"b": 2}}""",
+      """{"a":{"b":2},"c":[5],"n":null}""",
+      """[{"x":1},{"x":2}]""",
+      "5", "\"s\"", "null")
+    val preds: Seq[(Column, Column) => Column] = Seq(
+      (p, _) => p =!= "a.c",
+      (p, _) => p =!= "e[2]",
+      (p, _) => !p.like("example.%"),
+      (_, x) => schema_of_variant(x) =!= "BIGINT",
+      (p, _) => when(p.like("%x%"), lit(null)), // NULL predicate = drop
+      (p, _) => p.isNull)
+    for (d <- docs; f <- preds)
+      assert(one(variantDeepFilterAll(v(d), f)) === one(variantDeepFilter(v(d), f)),
+        s"deep-filter parity broke on $d")
+    val maps: Seq[(Column, Column) => Column] = Seq(
+      (_, x) => x.try_cast("bigint") * 100, // non-numeric leaf → JSON null
+      (p, x) => when(p.like("%b%"), (x.cast("bigint") * 10).cast("variant"))
+        .otherwise(x.cast("variant")),
+      (_, _) => lit(null)) // NULL map result = JSON null leaf
+    for (d <- docs; f <- maps)
+      assert(one(variantDeepMapAll(v(d), f)) === one(variantDeepMap(v(d), f)),
+        s"deep-map parity broke on $d")
+  }
+
+  test("runtime-recursive deep functions have no depth bound") {
+    // 12 nested levels: the unrolled version (depth 8 default) leaves the
+    // deep leaf untouched; the runtime walk reaches it
+    val deep = (1 to 12).foldRight("7") { (i, acc) => s"""{"k$i":$acc}""" }
+    val path = (1 to 12).map(i => s"k$i").mkString(".")
+    assert(one(variantDeepMapAll(v(deep), (_, x) => x.cast("bigint") * 2))
+      .contains("14"))
+    // dropping the full-depth path removes field k12, leaving k11 empty
+    assert(one(variantDeepFilterAll(v(deep), (p, _) => p =!= path))
+      .contains(""""k11":{}"""))
+    // and the lambda sees the full dot-joined path at depth: field k9's
+    // path starts with the 9-component prefix, so k8 is left empty
+    assert(one(variantDeepFilterAll(v(deep),
+      (p, _) => !p.startsWith("k1.k2.k3.k4.k5.k6.k7.k8.k9")))
+      .contains(""""k8":{}"""))
+  }
+
   test("VARIANT_MERGE merges objects recursively, second wins") {
     assert(one(variantMerge(
       v("""{"a": {"x": 1, "y": 2}, "b": 1}"""),
