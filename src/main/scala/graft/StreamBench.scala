@@ -51,10 +51,11 @@ import org.apache.spark.sql.streaming.Trigger
   *   q18_last   — last bid per (bidder,auction) (q18.sql: ROW_NUMBER()=1
   *                by time desc ≡ max_by on event time, one stateful agg)
   *
-  * Not representable as single streaming operators here: q19 needs
-  * per-group ROW_NUMBER beyond top-1 (stream window functions; the IVM
-  * path computes it via foreachBatch + batch window — graded win_topk —
-  * and StatefulOps.topK maintains top-k under retraction), q10/q12 are
+  *   q19_top10  — top-10 bids per auction (q19.sql: ROW_NUMBER <= 10 by
+  *                price desc): StatefulOps.topK — transformWithState
+  *                value→multiplicity state, retraction-correct
+  *
+  * Not representable as single streaming operators here: q10/q12 are
   * sink-format/processing-time demos, not throughput queries.
   *
   * q8's watermarked stream-stream join is deliberately NOT in this table:
@@ -276,7 +277,28 @@ object StreamBench {
       run("q18_last")(df => df
         .groupBy(col("bidder"), col("auction"))
         .agg(max_by(struct(col("price"), col("date_time")),
-          col("date_time")).as("last"))))
+          col("date_time")).as("last"))),
+      // q19 top-10 bids per auction (ROW_NUMBER <= 10 by price desc):
+      // StatefulOps.topK — transformWithState multiset state, correct
+      // under retraction too (this stream is insert-only); top-by-desc =
+      // ascending top-k of the negated price. Needs the RocksDB provider.
+      {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try run("q19_top10")(df => {
+          import spark.implicits._
+          graft.streaming.StatefulOps.topK(
+            df.select(col("auction").as("key"),
+              (-col("price")).as("value"), lit(1L).as("weight"))
+              .as[graft.streaming.StatefulOps.Change[Long]], 10).toDF()
+        })
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      })
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.toLong }
       .mkString("{", ",", "}")
