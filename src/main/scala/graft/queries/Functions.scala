@@ -339,6 +339,43 @@ object Functions {
         objCsv(Variants.variantMerge(v,
           parse_json(lit("""{"meta": {"k": 0}, "extra": true}""")), depth = 3))
           .as("merged"))
+    },
+
+    // Runtime-recursive VARIANT_DEEP_MAP / VARIANT_DEEP_FILTER (the
+    // unbounded-depth HigherOrderFunction, o.a.s.sql.graft.VariantDeep):
+    // both engines build the same 3-level document; this side runs the
+    // real operators, the oracle — knowing the shape — states the JSON
+    // results directly (keys are alphabetical, matching variant
+    // normalization).
+    Q(
+      "fn_variant_deep",
+      """SELECT event_id,
+        |  '{"a":{"b":{"c":' || (event_id * 2) || ',"d":"' || event_type
+        |    || '"},"e":' || (CAST(json_extract(props, '$.k') AS BIGINT) * 2)
+        |    || '},"arr":[' || (event_id * 2) || ',{"f":'
+        |    || (CAST(json_extract(props, '$.k') AS BIGINT) * 2) || '}]}' AS mapped,
+        |  '{"a":{"b":{"c":' || event_id || '},"e":'
+        |    || CAST(json_extract(props, '$.k') AS BIGINT) || '},"arr":[{"f":'
+        |    || CAST(json_extract(props, '$.k') AS BIGINT) || '}]}' AS filtered
+        |FROM events WHERE event_id < 2000""".stripMargin) { (s, dir) =>
+      import graft.functions.Variants
+      val k = get_json_object(col("props"), "$.k")
+      val v = parse_json(concat(
+        lit("{\"a\":{\"b\":{\"c\":"), col("event_id"),
+        lit(",\"d\":\""), col("event_type"),
+        lit("\"},\"e\":"), k,
+        lit("},\"arr\":["), col("event_id"),
+        lit(",{\"f\":"), k, lit("}]}")))
+      t(s, dir, "events").filter(col("event_id") < 2000).select(
+        col("event_id"),
+        // double every numeric leaf, at any depth; strings untouched
+        to_json(Variants.variantDeepMapAll(v, (_, x) =>
+          when(schema_of_variant(x) === "BIGINT",
+            (x.cast("bigint") * 2).cast("variant")).otherwise(x)))
+          .as("mapped"),
+        // prune a deep object field and shrink the array (1-based path)
+        to_json(Variants.variantDeepFilterAll(v, (p, _) =>
+          p =!= "a.b.d" && p =!= "arr[1]")).as("filtered"))
     }
   )
 }
