@@ -47,4 +47,33 @@ class RuntimeSpec extends SparkSpec {
     assert(csvBack.exceptAll(src).isEmpty && src.exceptAll(csvBack).isEmpty)
     assert(jsonBack.exceptAll(src).isEmpty && src.exceptAll(jsonBack).isEmpty)
   }
+
+  test("standing join: streaming deltas through the IVM path, with retraction") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Long, String, Long)] // (k, a, _w)
+    val r = MemoryStream[(Long, String, Long)] // (k, b, _w)
+    val deltas = mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    val q = StreamingPipeline.standingJoin(
+      l.toDF().toDF("k", "a", "_w"), r.toDF().toDF("k", "b", "_w"),
+      Seq("k")) { (d, _) => deltas += d.localCheckpoint(true); () }
+      .outputMode("update").start()
+    // batch 1: left-only — no matches yet
+    l.addData((1L, "a1", 1L), (2L, "a2", 1L))
+    q.processAllAvailable()
+    // batch 2: right side arrives — (1,a1,b1) and (2,a2,b2) appear
+    r.addData((1L, "b1", 1L), (2L, "b2", 1L), (3L, "b3", 1L))
+    q.processAllAvailable()
+    // batch 3: BOTH sides in one micro-batch + a retraction of (2,a2)
+    l.addData((3L, "a3", 1L), (2L, "a2", -1L))
+    r.addData((1L, "b1x", 1L))
+    q.processAllAvailable()
+    q.stop()
+    // integrated output = batch join of the surviving sides
+    val out = graft.zset.ZSets.toMultiset(graft.zset.ZSets.consolidate(
+      deltas.reduce(_ unionByName _)))
+    val expected = Seq(
+      (1L, "a1", "b1"), (1L, "a1", "b1x"), (3L, "a3", "b3"))
+      .toDF("k", "a", "b")
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+  }
 }
