@@ -278,6 +278,35 @@ object StreamBench {
         .groupBy(col("bidder"), col("auction"))
         .agg(max_by(struct(col("price"), col("date_time")),
           col("date_time")).as("last"))),
+      // q8's stream-stream join shape through the IVM path
+      // (StreamingPipeline.standingJoin): the stream splits into two
+      // sides paired 1:1 on consecutive bid ids; each micro-batch applies
+      // both sides' deltas against the integrated traces (delta probes
+      // trace — never the symmetric buffering join). maxFilesPerTrigger
+      // forces multiple micro-batches so the standing (not one-shot
+      // batch) behavior is what's measured.
+      {
+        val name = "q8_ivmjoin"
+        val src = spark.readStream
+          .schema(spark.read.parquet(s"$dir/bid").schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(s"$dir/bid")
+        val left = src.filter(pmod(col("bid_id"), lit(2)) === 0)
+          .select(col("bid_id").as("k"), col("bidder").as("l_bidder"),
+            col("price").as("l_price"), lit(1L).as("_w"))
+        val right = src.filter(pmod(col("bid_id"), lit(2)) === 1)
+          .select((col("bid_id") - 1).as("k"), col("bidder").as("r_bidder"),
+            col("price").as("r_price"), lit(1L).as("_w"))
+        val t0 = System.nanoTime()
+        val q = graft.runtime.StreamingPipeline
+          .standingJoin(left, right, Seq("k")) { (d, _) =>
+            d.write.format("noop").mode("overwrite").save() }
+          .option("checkpointLocation", s"$dir/ckpt_$name")
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        name -> n / ((System.nanoTime() - t0) / 1e9)
+      },
       // q19 top-10 bids per auction (ROW_NUMBER <= 10 by price desc):
       // StatefulOps.topK — transformWithState multiset state, correct
       // under retraction too (this stream is insert-only); top-by-desc =
