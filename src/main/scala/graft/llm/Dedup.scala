@@ -189,4 +189,77 @@ object Dedup {
 
   def ngramSet(text: Column, n: Int): Column =
     array_distinct(shingles(text, n))
+
+  /** One alternating-star round (see [[connectedComponents]]): for every
+    * node u with neighborhood Γ(u), m = min(Γ(u) ∪ {u});
+    *   large star: re-attach the strictly LARGER neighbors to m,
+    *   small star: re-attach the smaller-or-equal neighbors (and u) to m.
+    * One symmetrize + one groupBy(min) + one edge-sized equi-join —
+    * shuffle is O(|E|), nothing accumulates per node.
+    */
+  private def starRound(edges: DataFrame, large: Boolean): DataFrame = {
+    val sym = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("_mv"))
+      .select(col("u"), least(col("u"), col("_mv")).as("m"))
+    val j = sym.join(mins, "u")
+    val out =
+      if (large) j.filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      else j.filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+    out.filter(!(col("u") <=> col("v"))).distinct()
+  }
+
+  /** Connected components over a duplicate-pair edge list: groups
+    * near-duplicates (from [[minhashDupPairs]] / [[signBands]] candidates)
+    * into clusters so a pipeline can keep one canonical doc per cluster.
+    *
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round is one
+    * groupBy + one edge-sized equi-join (shuffle O(|E|), never a per-node
+    * adjacency list), and the edge set converges to disjoint min-rooted
+    * stars in O(log n) rounds — the shape that survives 100 TB edge
+    * lists, unlike diameter-bound label propagation. Rounds are cut from
+    * the lineage via `materialize`; convergence = (count, order-free
+    * checksum) of the edge set stable across a full large+small cycle.
+    *
+    * Output: (node, component = min node id in the component), one row per
+    * node that appears in `pairs` (singleton docs never enter the edge
+    * list; left-join the corpus if they need rows).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false))
+      : DataFrame = {
+    var edges = materialize(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .filter(!(col("u") <=> col("v"))).distinct())
+    def stamp(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(hash(col("u"),
+        col("v")).cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var last = stamp(edges)
+    var round = 0
+    var converged = last._1 == 0L
+    while (!converged && round < maxRounds) {
+      edges = materialize(starRound(starRound(edges, large = true),
+        large = false))
+      val cur = stamp(edges)
+      converged = cur == last
+      last = cur
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds")
+    // at fixpoint the edges are min-rooted stars: component(u) =
+    // min(u, min neighbor); roots map to themselves
+    val sym = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+    sym.groupBy("u").agg(min(col("v")).as("_mv"))
+      .select(col("u").as("node"),
+        least(col("u"), col("_mv")).as("component"))
+  }
 }

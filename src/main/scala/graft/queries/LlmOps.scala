@@ -136,6 +136,38 @@ object LlmOps {
         hashFn = Dedup.md5Hash)
     },
 
+    // Duplicate-group clustering: connected components over the LSH
+    // candidate pairs (alternating large/small-star), vs DuckDB's
+    // recursive min-label closure over the identical pair set.
+    Q(
+      "llm_dup_groups",
+      s"""${sigCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |banded AS (
+         |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, CAST(h${2*b} AS VARCHAR) || ',' || CAST(h${2*b+1} AS VARCHAR) AS bkey FROM sig")
+             .mkString(" UNION ALL ")}),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u)
+         |SELECT n AS doc_id, MIN(m) AS group_id FROM reach GROUP BY n""".stripMargin) {
+      (s, dir) =>
+        val pairs = Dedup.minhashDupPairs(
+          t(s, dir, "documents")
+            .filter(size(TextAnalysis.tokens(col("text"))) >= 3),
+          "doc_id", "text", w = 3, numHashes = 8, bands = 4,
+          hashFn = Dedup.md5Hash)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("node").as("doc_id"), col("component").as("group_id"))
+    },
+
     Q(
       "llm_simhash",
       s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),

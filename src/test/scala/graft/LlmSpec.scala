@@ -173,4 +173,23 @@ class LlmSpec extends SparkSpec {
       .select("features").as[Seq[Double]].collect()
     assert(f(0) === f(3)) // doc 1 and 4 have identical text
   }
+
+  test("connectedComponents groups dup pairs into min-rooted clusters") {
+    // two chains and a singleton edge: {1,2,4,9}, {5,7}, {3,8}
+    val pairs = Seq((1L, 2L), (2L, 4L), (4L, 9L), (5L, 7L), (8L, 3L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L, 3L -> 3L, 8L -> 3L))
+    // empty edge list → empty output, no failure
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(empty.count() === 0L)
+    // a long path exercises multi-round convergence (log-round contract)
+    val path = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(path, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(comp.length === 40 && comp.forall(_._2 == 1L))
+  }
 }
