@@ -33,8 +33,14 @@ object TextAnalysis {
     * arithmetic over integer counts.
     */
   def qualityScore(text: Column,
+      cleanPattern: String = "[a-zA-Z0-9\\s]"): Column =
+    qualityScoreFromTokens(text, tokens(text), cleanPattern)
+
+  /** Quality score over a pre-staged token column (tokenize once per row
+    * when combined with other token-derived stats).
+    */
+  def qualityScoreFromTokens(text: Column, toks: Column,
       cleanPattern: String = "[a-zA-Z0-9\\s]"): Column = {
-    val toks = tokens(text)
     val nTok = size(toks).cast("double")
     val uniqRatio = size(array_distinct(toks)).cast("double") /
       nullif(size(toks), lit(0))
@@ -56,22 +62,33 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "de", "un", "una", "que"),
     "it" -> Seq("il", "la", "gli", "e", "di", "un", "una", "che"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(lower(text))
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresFromTokens(tokens(lower(text)))
+
+  /** Scores over a pre-tokenized (lowercased) column. Stage the token array
+    * as a real column first — CollapseProject keeps non-cheap multi-use
+    * aliases materialized, so the split runs once per row instead of once
+    * per language.
+    */
+  def langScoresFromTokens(toks: Column): Seq[(String, Column)] =
     stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       lang -> size(filter(toks,
         t => words.map(w => t === w).reduce(_ || _)))
     }
-  }
 
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
+  /** Argmax over already-computed per-language score columns (ties broken
+    * by sorted language order, matching the reference CASE chain).
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     // argmax via a packed (score, -ord) struct max
     val packed = scores.zipWithIndex.map { case ((lang, score), i) =>
       struct(score.as("s"), lit(-i).as("ord"), lit(lang).as("lang"))
     }
     greatest(packed: _*).getField("lang")
   }
+
+  def langId(text: Column): Column =
+    langIdFromScores(langScores(text))
 
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
     * text — the exact-dedup key. (Reference-free; standard pipeline op.)

@@ -52,19 +52,23 @@ object LlmOps {
          |       / NULLIF(length(text), 0)) * 0.2)) AS quality,
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
          |FROM documents""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        length(col("text")).cast("long").as("n_chars_calc"),
-        TextAnalysis.charClassRatio(col("text"), "[a-zA-Z0-9\\s]")
-          .as("clean_ratio"),
-        TextAnalysis.charClassRatio(col("text"), "[0-9]").as("digit_ratio"),
-        (size(array_distinct(TextAnalysis.tokens(col("text"))))
-          .cast("double")
-          / nullif(size(TextAnalysis.tokens(col("text"))), lit(0)))
-          .as("uniq_ratio"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
+      // token array staged once per row; every token-derived stat reads it
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          size(col("_toks")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          TextAnalysis.charClassRatio(col("text"), "[a-zA-Z0-9\\s]")
+            .as("clean_ratio"),
+          TextAnalysis.charClassRatio(col("text"), "[0-9]").as("digit_ratio"),
+          (size(array_distinct(col("_toks"))).cast("double")
+            / nullif(size(col("_toks")), lit(0)))
+            .as("uniq_ratio"),
+          TextAnalysis.qualityScoreFromTokens(col("text"), col("_toks"))
+            .as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
     },
 
     Q(
@@ -83,11 +87,21 @@ object LlmOps {
         s"""SELECT doc_id, lang, s_en, CASE $caseChain FROM (
            |  SELECT doc_id, lang, ${scoreExprs.mkString(", ")} FROM documents)""".stripMargin
       }) { (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        TextAnalysis.langScores(col("text"))
-          .find(_._1 == "en").get._2.cast("long").as("s_en"),
-        TextAnalysis.langId(col("text")).as("lang_guess"))
+      // tokens staged once, then the 5 score filters staged once, then the
+      // argmax reads the score columns: one tokenize + 5 filters per row
+      // (was ~10 tokenizations — HOFs re-evaluate captures per element).
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(lower(col("text"))).as("_toks"))
+        .select(Seq(col("doc_id"), col("lang")) ++
+          TextAnalysis.langScoresFromTokens(col("_toks"))
+            .map { case (l, c) => c.as(s"_s_$l") }: _*)
+        .select(
+          col("doc_id"), col("lang"),
+          col("_s_en").cast("long").as("s_en"),
+          TextAnalysis.langIdFromScores(
+            TextAnalysis.stopwords.keys.toSeq.sorted
+              .map(l => l -> col(s"_s_$l"))).as("lang_guess"))
     },
 
     Q(
