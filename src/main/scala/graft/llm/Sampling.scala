@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and source-mixing operators for training-data
+  * pipelines (beyond-reference; companions to [[Dedup]]/[[TextAnalysis]]).
+  *
+  * All sampling decisions derive from a seeded content hash of the row id,
+  * never from RNG state: the same row is kept or dropped regardless of
+  * partitioning, retries, or cluster size — the only sampling discipline
+  * that is reproducible (and auditable) at 100 TB. The filters are pure
+  * stateless expressions evaluated on the scan (no shuffle); the mixing
+  * planner adds one tiny per-source aggregate broadcast back onto the scan.
+  *
+  * Hash buckets use the md5-derived 60-bit hash ([[Dedup.md5Hash]]) reduced
+  * mod 1e6, so any SQL engine re-derives identical keep/drop decisions.
+  */
+object Sampling {
+
+  /** Bucket granularity: rates are expressed in parts-per-million. */
+  val M = 1000000L
+
+  /** Deterministic bucket in [0, 1e6) for a row id. */
+  def hashBucket(id: Column, seed: Int): Column =
+    pmod(Dedup.md5Hash(id.cast("string"), seed), lit(M))
+
+  /** SQL fragment mirroring [[hashBucket]] (DuckDB/ANSI). */
+  def sqlHashBucket(expr: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5('$seed:' || CAST($expr AS VARCHAR)), 1, 15)) AS BIGINT) % $M"
+
+  /** Uniform deterministic sample: keeps ~`rate` of rows, exactly
+    * reproducibly. A pure filter — pushed to the scan, zero shuffle.
+    */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+      seed: Int = 7): DataFrame =
+    df.filter(hashBucket(col(idCol), seed) < lit((rate * M).toLong))
+
+  /** Per-stratum deterministic rates (e.g. downsample low-quality sources,
+    * upweight rare languages). Unlisted strata get `defaultRate`.
+    * Still a pure stateless filter.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      seed: Int = 7): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultRate * M).toLong)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit((r * M).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), seed) < thr)
+  }
+
+  /** Exactly `k` rows per stratum, chosen by hash order — a deterministic
+    * "random" fixed-size sample (reservoir-sampling analogue without RNG
+    * state). row_number ≤ k compiles to WindowGroupLimit: each map task
+    * pre-prunes to its local top-k before the per-stratum shuffle, so the
+    * exchange carries O(k × partitions), not the full table.
+    */
+  def topKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, seed: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), seed), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Mix strata to target proportions (ppm weights), keeping the most
+    * constrained stratum whole: achievable total N = min_s(n_s·M ÷ w_s),
+    * per-stratum threshold = min(M, w_s·N ÷ n_s). All arithmetic is Long
+    * floor-division so any engine derives the identical thresholds (swap
+    * to DECIMAL(38,0) beyond ~1e11 rows per stratum).
+    *
+    * Plan shape: per-stratum count (map-side combined, one row per
+    * stratum) → scalar min → broadcast of the tiny rate table back onto
+    * the scan → stateless hash filter. One pass over the data.
+    */
+  def mixToProportions(df: DataFrame, stratumCol: String, idCol: String,
+      weightsPpm: Map[String, Long], seed: Int = 7): DataFrame = {
+    val wdf = df.sparkSession.createDataFrame(
+      weightsPpm.toSeq.sortBy(_._1)).toDF(stratumCol, "_w")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("_n"))
+      .join(wdf, stratumCol)
+    // scalar min over the tiny counts table via a global window (a
+    // crossJoin of counts with its own aggregate trips Spark's self-join
+    // attribute dedup; and column resolution is case-insensitive, so the
+    // total must NOT be named "_N" — withColumn would replace "_n")
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("_ntot", min(expr("_n * 1000000 div _w")).over(all))
+      .select(col(stratumCol),
+        least(lit(M), expr("_w * _ntot div _n")).as("_thr"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashBucket(col(idCol), seed) < col("_thr"))
+      .drop("_thr")
+  }
+}

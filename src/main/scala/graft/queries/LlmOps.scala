@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import QB._
 
 /** Training-data pipeline operators (beyond-reference; BASELINE.json north
@@ -360,6 +360,59 @@ object LlmOps {
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding")),
         corpus, index, k = 5, nprobe = 3)
+    },
+
+    // Deterministic hash-bucket sampling: per-language rates, pure
+    // stateless filter on the scan (the only reproducible sampling
+    // discipline at 100 TB — no RNG state, partitioning-independent).
+    Q(
+      "llm_sample_stratified",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Sampling.sqlHashBucket("doc_id", 7)} <
+         |  CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 800000
+         |            WHEN 'zh' THEN 1000000 ELSE 500000 END""".stripMargin) {
+      (s, dir) =>
+        Sampling.stratifiedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id",
+          rates = Map("en" -> 0.25, "de" -> 0.8, "zh" -> 1.0),
+          defaultRate = 0.5)
+    },
+
+    // Exactly-k-per-stratum deterministic sample, chosen by hash order
+    // (reservoir analogue; row_number <= k gets WindowGroupLimit pushdown).
+    Q(
+      "llm_sample_topk",
+      s"""SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+         |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY ${Sampling.sqlHashBucket("doc_id", 7)}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      Sampling.topKPerStratum(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", k = 20)
+    },
+
+    // Source mixing to target proportions: tiny per-language count agg ->
+    // integer-exact keep thresholds -> broadcast back onto the scan.
+    Q(
+      "llm_sample_mix",
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |w(lang, w) AS (VALUES ('en', CAST(400000 AS BIGINT)),
+         |  ('de', 200000), ('fr', 150000), ('es', 150000), ('zh', 100000)),
+         |cw AS (SELECT c.lang, n, w FROM c JOIN w ON c.lang = w.lang),
+         |nn AS (SELECT MIN(n * 1000000 // w) AS ntot FROM cw),
+         |r AS (SELECT lang, LEAST(1000000, w * ntot // n) AS thr FROM cw, nn)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN r ON d.lang = r.lang
+         |WHERE ${Sampling.sqlHashBucket("d.doc_id", 7)} < r.thr""".stripMargin) {
+      (s, dir) =>
+        Sampling.mixToProportions(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id",
+          weightsPpm = Map("en" -> 400000L, "de" -> 200000L,
+            "fr" -> 150000L, "es" -> 150000L, "zh" -> 100000L))
+          .select(col("doc_id"), col("lang"))
     },
 
     Q.noOracle("llm_multimodal") { (s, dir) =>

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (1L to n.toLong)
+    .map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "src")
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val df = ids(2000)
+    val a = Sampling.hashSample(df, "id", 0.3).select("id")
+      .as[Long].collect().sorted
+    val b = Sampling.hashSample(df.repartition(13), "id", 0.3).select("id")
+      .as[Long].collect().sorted
+    assert(a.sameElements(b))
+    // rate is approximately honored
+    assert(math.abs(a.length / 2000.0 - 0.3) < 0.05)
+  }
+
+  test("stratifiedSample honors per-stratum rates") {
+    val out = Sampling.stratifiedSample(ids(3000), "src", "id",
+      rates = Map("a" -> 1.0), defaultRate = 0.1)
+    val byStratum = out.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(byStratum("a") === 1000L) // rate 1.0 keeps every row
+    assert(math.abs(byStratum("b") / 2000.0 - 0.1) < 0.05)
+  }
+
+  test("topKPerStratum returns exactly k rows per stratum, stable") {
+    val out = Sampling.topKPerStratum(ids(500), "src", "id", k = 7)
+    val counts = out.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts === Map("a" -> 7L, "b" -> 7L))
+    val again = Sampling.topKPerStratum(ids(500).repartition(11),
+      "src", "id", k = 7).select("id").as[Long].collect().sorted
+    assert(again.sameElements(
+      out.select("id").as[Long].collect().sorted))
+  }
+
+  test("mixToProportions hits target mix, most-constrained stratum whole") {
+    // 1000 "a" rows, 2000 "b" rows; target 50/50 -> all of "a", ~1000 of "b"
+    val out = Sampling.mixToProportions(ids(3000), "src", "id",
+      weightsPpm = Map("a" -> 500000L, "b" -> 500000L))
+    val counts = out.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("a") === 1000L)
+    assert(math.abs(counts("b") - 1000L) < 100)
+  }
+}
