@@ -155,7 +155,13 @@ object Connectors {
           case "parquet" => df.write.mode("append").parquet(path)
           case "csv" => df.write.mode("append")
             .options(conf.formatConfig).csv(path)
-          case "json" => df.write.mode("append").json(path)
+          // update_format set + Z-set weights present → envelope lines
+          // (the reference's egress wire contract), else plain JSON rows
+          case "json" => conf.formatConfig.get("update_format") match {
+            case Some(uf) if df.columns.contains(graft.zset.ZSets.W) =>
+              Envelopes.encodeJson(df, uf).write.mode("append").text(path)
+            case _ => df.write.mode("append").json(path)
+          }
           case other => sys.error(s"unsupported file sink format: $other")
         }
       case "jdbc_output" | "postgresql_output" =>

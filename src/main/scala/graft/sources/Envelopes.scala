@@ -103,6 +103,47 @@ object Envelopes {
         :+ lit(1L).as(ZSets.W): _*)
   }
 
+  /** JSON update-envelope ENCODE: Z-set delta rows (data columns + `_w`)
+    * → one envelope string per output line in column `value` — the egress
+    * mirror of [[decodeJson]] (reference: JSON output formats in
+    * crates/adapters/src/format/json/output.rs; docs formats/json).
+    *
+    * `insert_delete`/`snowflake` carry unit weights on the wire, so a row
+    * with |_w| > 1 expands to |_w| lines (array_repeat + explode — still
+    * pure codegen'd expressions); `weighted` keeps the weight in-band and
+    * emits one line per row. Field order in the JSON object follows the
+    * input column order, deterministically.
+    */
+  def encodeJson(delta: DataFrame, format: String,
+      valueCol: String = "value"): DataFrame = {
+    val dataCols = delta.columns.filterNot(_ == ZSets.W).toSeq
+    val rec = to_json(struct(dataCols.map(col): _*))
+    val w = col(ZSets.W)
+    format.toLowerCase match {
+      case "insert_delete" =>
+        val line = concat(
+          when(w > 0, lit("{\"insert\":")).otherwise(lit("{\"delete\":")),
+          rec, lit("}"))
+        delta.where(w =!= 0)
+          .select(explode(array_repeat(line, abs(w).cast("int")))
+            .as(valueCol))
+      case "weighted" =>
+        delta.where(w =!= 0)
+          .select(concat(lit("{\"weight\":"), w.cast("string"),
+            lit(",\"data\":"), rec, lit("}")).as(valueCol))
+      case "snowflake" =>
+        val flat = to_json(struct(dataCols.map(col) :+
+          when(w > 0, lit("insert")).otherwise(lit("delete"))
+            .as("__action"): _*))
+        delta.where(w =!= 0)
+          .select(explode(array_repeat(flat, abs(w).cast("int")))
+            .as(valueCol))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown output update format: $other")
+    }
+  }
+
   /** Format dispatch used by the transports: JSON update envelopes, CSV
     * records, and a precise jar-gate for Avro (spark-avro is an external
     * module; these jars ship without it).

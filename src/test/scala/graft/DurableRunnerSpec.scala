@@ -52,6 +52,27 @@ class DurableRunnerSpec extends SparkSpec {
       === Set((1L, "n", 1L), (2L, "o", -1L), (3L, "p", -1L), (3L, "q", 1L)))
   }
 
+  test("envelope encode round-trips through decode (egress mirror)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType)))
+    val delta = Seq((1L, "x", 2L), (2L, "y", -1L), (3L, "z", 1L))
+      .toDF("a", "b", "_w")
+    for (fmt <- Seq("insert_delete", "weighted", "snowflake")) {
+      val wire = Envelopes.encodeJson(delta, fmt)
+      val back = graft.zset.ZSets.consolidate(
+        Envelopes.decodeJson(wire, schema, fmt))
+        .as[(Long, String, Long)].collect().toSet
+      assert(back === Set((1L, "x", 2L), (2L, "y", -1L), (3L, "z", 1L)),
+        s"round trip failed for $fmt")
+    }
+    // unit-weight formats expand |w| copies on the wire
+    assert(Envelopes.encodeJson(delta, "insert_delete").count() === 4)
+    assert(Envelopes.encodeJson(delta, "weighted").count() === 3)
+  }
+
   test("csv format decodes records as inserts; malformed lines drop") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("a",

@@ -40,6 +40,21 @@ class SamplingSpec extends SparkSpec {
       out.select("id").as[Long].collect().sorted))
   }
 
+  test("sampling filters are stateless: no exchange in the plan") {
+    val plan = Sampling.stratifiedSample(ids(100), "src", "id",
+      rates = Map("a" -> 0.5), defaultRate = 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"stratified sample must not shuffle:\n$plan")
+  }
+
+  test("topKPerStratum compiles to WindowGroupLimit (rank pushdown)") {
+    val plan = Sampling.topKPerStratum(ids(100), "src", "id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number <= k must push the group limit below the shuffle:\n$plan")
+  }
+
   test("mixToProportions hits target mix, most-constrained stratum whole") {
     // 1000 "a" rows, 2000 "b" rows; target 50/50 -> all of "a", ~1000 of "b"
     val out = Sampling.mixToProportions(ids(3000), "src", "id",
