@@ -919,8 +919,26 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     }
   }
 
-  /** Ad-hoc SQL over materialized views/tables (entry point B, §3.2). */
-  def adHoc(sql: String): DataFrame = spark.sql(sql)
+  /** Ad-hoc batch SQL over the pipeline's CURRENT state — reference entry
+    * point B: `/v0/pipelines/{p}/query`, evaluated there by embedded
+    * DataFusion over materialized tables/views (SURVEY §3.2;
+    * docs/sql/ad-hoc.md, crates/adapters/src/adhoc/executor.rs).
+    *
+    * Re-registers every stepped table and view from its materialized
+    * multiset snapshot first, rather than trusting whatever temp views the
+    * last evaluation happened to leave in the session — ad-hoc results
+    * must reflect the state as of the last `step` even if a failed or
+    * partial evaluation overwrote the session bindings. Relations with no
+    * stepped state (e.g. after a bare `runBatch`, which is stateless)
+    * keep their current session registration.
+    */
+  def adHoc(sql: String): DataFrame = {
+    tableNames.filter(tableState.contains).foreach(n =>
+      multisetOf(n, tableState).createOrReplaceTempView(n))
+    program.views.map(_.name).filter(viewState.contains).foreach(v =>
+      multisetOf(v, viewState).createOrReplaceTempView(v))
+    spark.sql(sql)
+  }
 }
 
 object Pipeline {
