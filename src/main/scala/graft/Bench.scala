@@ -50,13 +50,30 @@ object Bench {
       }
     dropCaches()
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Spark-measured executor task time per query: wall time on this
+    // shared host swings ~2x with co-tenant load, task run time barely
+    // does — BENCH_DETAIL.json carries both so regressions are separable
+    // from noise.
+    val busyMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) busyMs.addAndGet(m.executorRunTime)
+        }
+      })
+
+    val timed = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val b0 = busyMs.get
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
       dropCaches()
-      name -> sec
+      org.apache.spark.sql.graft.Shims.drainListeners(spark)
+      (name, sec, (busyMs.get - b0) / 1e3)
     }
+    val results = timed.map(t => t._1 -> t._2)
     def fmt(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
@@ -66,7 +83,11 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":$m$om,"sf":"$sfDir"}"""
     }
-    val full = line(results, 0)
+    val taskMap = timed.map { case (k, _, b) => "\"" + k + "\":" + fmt(b) }
+      .mkString("{", ",", "}")
+    val full = line(results, 0).dropRight(1) +
+      s""","task_time_sec":${fmt(timed.map(_._3).sum)}""" +
+      s""","task_time_queries":$taskMap}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), full + "\n")
     catch { case _: Throwable => () }

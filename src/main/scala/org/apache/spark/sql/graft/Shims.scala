@@ -12,6 +12,13 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Block until all queued listener events are delivered (private[spark]
+    * listener bus) — used by Bench so per-query task-time attribution
+    * doesn't bleed into the next query's window.
+    */
+  def drainListeners(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(30000)
+
   /** DataFrame from a logical plan (private[sql] Dataset.ofRows) — used by
     * the IVM planner to evaluate a sub-plan (e.g. an Aggregate's child)
     * under rebound temp-view bindings.
