@@ -61,4 +61,39 @@ class StatefulOpsSpec extends SparkSpec {
     assert((rows(1).min, rows(1).max) === (50L, 50L))
     assert(rows(2).empty)
   }
+
+  test("streaming topk matches a model under random insert/retract batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    val state = collection.mutable.Map.empty[Long, Long] // model multiset
+    val batches = (0 until 12).map { _ =>
+      val changes = (0 until 8).flatMap { _ =>
+        val v = rnd.nextInt(10).toLong
+        val canRetract = state.getOrElse(v, 0L) > 0
+        val w = if (canRetract && rnd.nextBoolean()) -1L else 1L
+        state(v) = state.getOrElse(v, 0L) + w
+        if (state(v) == 0L) state.remove(v)
+        Some(Change("g", v, w))
+      }
+      val expect = state.toSeq.sortBy(_._1)
+        .flatMap { case (v, m) => Seq.fill(m.toInt)(v) }.take(3)
+      (changes, expect)
+    }
+
+    val in = MemoryStream[Change[String]]
+    val q = StatefulOps.topK(in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk_rand_out")
+      .outputMode(OutputMode.Update).start()
+    val got = batches.map { case (changes, expect) =>
+      in.addData(changes)
+      q.processAllAvailable()
+      val rows = spark.table("topk_rand_out")
+        .as[StatefulOps.TopK[String]].collect()
+      (rows.last.topk, expect)
+    }
+    q.stop()
+    got.zipWithIndex.foreach { case ((actual, expect), i) =>
+      assert(actual === expect, s"batch $i")
+    }
+  }
 }
