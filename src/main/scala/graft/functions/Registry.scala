@@ -24,6 +24,19 @@ object Registry {
     ("csch", "x DOUBLE", "DOUBLE", "1.0 / sinh(x)"),
     // division/NaN guards (DIV_NULL, FINITE_OR_NULL)
     ("div_null", "x DOUBLE, y DOUBLE", "DOUBLE", "try_divide(x, y)"),
+    // float predicates + numeric truncation (float.md IS_INF/IS_NAN;
+    // decimal.md TRUNC — truncation toward zero at a scale, which Spark
+    // only has for dates; double→bigint CAST truncates, matching)
+    ("is_inf", "x DOUBLE", "BOOLEAN",
+      "x = double('inf') OR x = double('-inf')"),
+    ("is_nan", "x DOUBLE", "BOOLEAN", "isnan(x)"),
+    ("truncate", "x DOUBLE, n INT", "DOUBLE",
+      "CAST(CAST(x * power(10, n) AS BIGINT) AS DOUBLE) / power(10, n)"),
+    // Feldera GREATEST/LEAST return NULL on any NULL argument; the
+    // _IGNORE_NULLS forms are Spark's native skip-null semantics
+    ("greatest_ignore_nulls", "x DOUBLE, y DOUBLE", "DOUBLE",
+      "greatest(x, y)"),
+    ("least_ignore_nulls", "x DOUBLE, y DOUBLE", "DOUBLE", "least(x, y)"),
     ("finite_or_null", "x DOUBLE", "DOUBLE",
       "CASE WHEN isnan(x) OR x = double('inf') OR x = double('-inf') THEN NULL ELSE x END"),
     // Feldera spellings of natives (ad-hoc.md:34-35, function-index.md)

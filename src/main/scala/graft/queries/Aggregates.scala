@@ -80,15 +80,26 @@ object Aggregates {
         |   / (COUNT(l_quantity) * (COUNT(l_quantity) - 1.0)) AS var_qty,
         |  SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * COUNT(l_quantity)
         |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE))
-        |   / (COUNT(l_quantity) * (COUNT(l_quantity) - 1.0))) AS std_qty
+        |   / (COUNT(l_quantity) * (COUNT(l_quantity) - 1.0))) AS std_qty,
+        |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * COUNT(l_quantity)
+        |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE))
+        |   / (COUNT(l_quantity) * CAST(COUNT(l_quantity) AS DOUBLE)) AS var_pop_qty,
+        |  SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * COUNT(l_quantity)
+        |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE))
+        |   / (COUNT(l_quantity) * CAST(COUNT(l_quantity) AS DOUBLE))) AS std_pop_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      // closed-form exact moments: the same decimal sums yield both the
+      // sample (n−1) and population (n) variants — STDDEV_POP/VAR_POP of
+      // the reference's aggregate set (aggregates.md)
       val q = dec(col("l_quantity"))
       val n = count(col("l_quantity"))
       val s1 = sum(q).cast("double")
       val s2 = sum(q * q).cast("double")
       val variance = (s2 * n - s1 * s1) / (n * (n - lit(1.0)))
+      val varPop = (s2 * n - s1 * s1) / (n * n.cast("double"))
       t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(n.as("n"), variance.as("var_qty"), sqrt(variance).as("std_qty"))
+        .agg(n.as("n"), variance.as("var_qty"), sqrt(variance).as("std_qty"),
+          varPop.as("var_pop_qty"), sqrt(varPop).as("std_pop_qty"))
     },
 
     // BIT_AND/OR/XOR + BOOL_AND/OR (AggregateCompiler.java:231-240;

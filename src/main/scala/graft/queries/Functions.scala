@@ -292,6 +292,114 @@ object Functions {
         .withColumn("repeated", concat_ws(",", col("repeated")))
     },
 
+    // Function-index completeness tail 2 (function-index.md): inverse/
+    // hyperbolic trig (ACOS/ASIN/TAN/TANH/ASINH/ACOSH/ATANH), BROUND
+    // (banker's rounding — ties exact here because l_quantity is
+    // integer-valued so q/2 is exactly representable), POWER, TRUNC
+    // (numeric, toward zero), SAFE_CAST→try_cast, IS_INF/IS_NAN,
+    // GREATEST/LEAST_IGNORE_NULLS, CHR, CHAR_LENGTH, ILIKE, IFNULL,
+    // DATE_PART('week'). DuckDB lacks tanh/asinh/acosh/atanh — the oracle
+    // states the defining exp/ln identities; both sides round to 6.
+    Q(
+      "fn_math2",
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(ACOS(l_discount), 6) AS v_acos,
+        |  ROUND(ASIN(l_discount), 6) AS v_asin,
+        |  ROUND(TAN(l_discount), 6) AS v_tan,
+        |  ROUND((EXP(2 * l_discount) - 1) / (EXP(2 * l_discount) + 1), 6) AS v_tanh,
+        |  ROUND(LN(1.0 + l_quantity + SQRT((1.0 + l_quantity) * (1.0 + l_quantity) - 1)), 6) AS v_acosh,
+        |  ROUND(LN(l_quantity + SQRT(l_quantity * l_quantity + 1)), 6) AS v_asinh,
+        |  ROUND(0.5 * LN((1 + l_discount) / (1 - l_discount)), 6) AS v_atanh,
+        |  round_even(l_quantity / 2, 0) AS v_bround,
+        |  POWER(l_quantity, 3) AS v_pow,
+        |  CAST(trunc(l_extendedprice / 7.0 * 100) AS BIGINT) / 100.0 AS v_trunc,
+        |  TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN '12' ELSE 'x' END AS INT) AS v_safe,
+        |  isinf(EXP(l_quantity * 20.0)) AS v_isinf,
+        |  isnan(CASE WHEN l_linenumber = 1 THEN CAST('NaN' AS DOUBLE) ELSE l_discount END) AS v_isnan,
+        |  GREATEST(l_tax, l_discount) AS v_gin,
+        |  LEAST(l_tax, l_discount) AS v_lin,
+        |  chr(65 + l_linenumber % 26) AS v_chr,
+        |  CAST(length(l_linestatus) AS BIGINT) AS v_clen,
+        |  l_returnflag ILIKE 'a%' AS v_ilike,
+        |  ifnull(nullif(l_linenumber, 3), -1) AS v_ifnull,
+        |  CAST(date_part('week', l_shipdate) AS BIGINT) AS v_wk
+        |FROM lineitem WHERE l_orderkey <= 12000""".stripMargin) { (s, dir) =>
+      graft.functions.Registry.registerAll(s)
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 12000).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(acos(col("l_discount")), 6).as("v_acos"),
+        round(asin(col("l_discount")), 6).as("v_asin"),
+        round(tan(col("l_discount")), 6).as("v_tan"),
+        round(tanh(col("l_discount")), 6).as("v_tanh"),
+        round(expr("acosh(1.0 + l_quantity)"), 6).as("v_acosh"),
+        round(expr("asinh(l_quantity)"), 6).as("v_asinh"),
+        round(expr("atanh(l_discount)"), 6).as("v_atanh"),
+        bround(col("l_quantity") / 2, 0).as("v_bround"),
+        expr("power(l_quantity, 3)").as("v_pow"),
+        expr("truncate(l_extendedprice / 7.0, 2)").as("v_trunc"),
+        expr("try_cast(CASE WHEN l_linenumber % 2 = 0 THEN '12' ELSE 'x' END AS INT)")
+          .as("v_safe"),
+        expr("is_inf(exp(l_quantity * 20.0))").as("v_isinf"),
+        expr("is_nan(CASE WHEN l_linenumber = 1 THEN double('NaN') ELSE l_discount END)")
+          .as("v_isnan"),
+        expr("greatest_ignore_nulls(l_tax, l_discount)").as("v_gin"),
+        expr("least_ignore_nulls(l_tax, l_discount)").as("v_lin"),
+        expr("chr(65 + l_linenumber % 26)").as("v_chr"),
+        expr("char_length(l_linestatus)").cast("long").as("v_clen"),
+        expr("l_returnflag ILIKE 'a%'").as("v_ilike"),
+        expr("ifnull(nullif(l_linenumber, 3), -1)").as("v_ifnull"),
+        expr("date_part('week', l_shipdate)").cast("long").as("v_wk"))
+    },
+
+    // Array/map tail 2 (array.md, map.md): ARRAY_APPEND/PREPEND/CONCAT/
+    // COMPACT/REMOVE/REVERSE/SIZE, CARDINALITY, ARRAY_MAX/MIN,
+    // ARRAYS_OVERLAP, ARRAY_EXISTS, MAP_CONCAT, MAP_CONTAINS_KEY. DuckDB
+    // spells these through list_* primitives; array outputs serialize
+    // as '|'-joined strings for the compare.
+    Q(
+      "fn_array2",
+      """SELECT p_partkey,
+        |  array_to_string(list_append(words, 'zz'), '|') AS app,
+        |  array_to_string(list_prepend('aa', words), '|') AS pre,
+        |  array_to_string(list_concat(words, ['x', 'y']), '|') AS cat,
+        |  array_to_string(list_filter([words[1], NULL, 'mid'], x -> x IS NOT NULL), '|') AS compacted,
+        |  array_to_string(list_filter(words, x -> x <> 'green'), '|') AS removed,
+        |  array_to_string(list_reverse(words), '|') AS rev,
+        |  CAST(len(words) AS BIGINT) AS asize,
+        |  list_max(words) AS amax,
+        |  list_min(words) AS amin,
+        |  list_has_any(words, ['green', 'spring']) AS overlap,
+        |  len(list_filter(words, x -> x = 'green')) > 0 AS exists_green,
+        |  CAST(cardinality(map_concat(MAP(['a'], [1]), MAP(['b'], [2]))) AS BIGINT) AS mlen,
+        |  list_contains(map_keys(MAP(['green', 'blue'], [1, 2])), words[1]) AS mck
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"), split(col("p_name"), " ").as("words"))
+          .select(
+            col("p_partkey"),
+            array_join(array_append(col("words"), lit("zz")), "|").as("app"),
+            array_join(array_prepend(col("words"), lit("aa")), "|").as("pre"),
+            array_join(concat(col("words"), array(lit("x"), lit("y"))), "|")
+              .as("cat"),
+            array_join(array_compact(
+              array(element_at(col("words"), 1),
+                lit(null).cast("string"), lit("mid"))), "|").as("compacted"),
+            array_join(array_remove(col("words"), "green"), "|").as("removed"),
+            array_join(reverse(col("words")), "|").as("rev"),
+            size(col("words")).cast("long").as("asize"),
+            array_max(col("words")).as("amax"),
+            array_min(col("words")).as("amin"),
+            arrays_overlap(col("words"), array(lit("green"), lit("spring")))
+              .as("overlap"),
+            exists(col("words"), x => x === "green").as("exists_green"),
+            expr("cardinality(map_concat(map('a', 1), map('b', 2)))")
+              .cast("long").as("mlen"),
+            map_contains_key(
+              map(lit("green"), lit(1), lit("blue"), lit(2)),
+              element_at(col("words"), 1)).as("mck"))
+    },
+
     // VARIANT function tail (crates/sqllib/src/variant.rs; json.md:78-510):
     // both engines build the same JSON document from event columns, then
     // this side runs the real variant operators (graft.functions.Variants)
