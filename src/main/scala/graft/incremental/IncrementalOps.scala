@@ -28,6 +28,27 @@ import graft.zset.ZSets.W
   */
 object IncrementalOps {
 
+  /** Upper bound on a forced delta broadcast: a micro-batch delta is
+    * usually tiny, but nothing bounds it — a backfill or compaction batch
+    * can be GBs, and force-broadcasting that is a driver OOM long before
+    * Spark's 8GB hard limit. Above the bound the hint is dropped and the
+    * planner falls back to a shuffle join (the delta side moves; the
+    * trace side is already hash-partitioned by the join key).
+    */
+  private val MaxDeltaBroadcastBytes = 512L << 20
+
+  /** Broadcast `df` only while its optimizer size estimate stays under
+    * [[MaxDeltaBroadcastBytes]]. Estimates are exact for materialized
+    * (localCheckpoint/cached) deltas — what every multi-step caller
+    * passes — and scan-derived otherwise.
+    */
+  private[graft] def maybeBroadcast(df: DataFrame): DataFrame = {
+    val size =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(-1) }
+    if (size >= 0 && size <= MaxDeltaBroadcastBytes) broadcast(df) else df
+  }
+
   /** Split `state` into (touched, untouched) by probing a broadcast of the
     * touched key set — BroadcastHashJoin LeftSemi/LeftAnti: the state side
     * is scanned in place, never shuffled or sorted. Null-safe equality so
@@ -44,7 +65,7 @@ object IncrementalOps {
       state: DataFrame,
       touchedRaw: DataFrame,
       keys: Seq[String]): (DataFrame, DataFrame) = {
-    val touched = broadcast(
+    val touched = maybeBroadcast(
       touchedRaw.select(keys.map(k => col(k).as(s"_t_$k")): _*))
     val cond = keys.map(k => col(k) <=> col(s"_t_$k")).reduce(_ && _)
     (state.join(touched, cond, "left_semi"),
@@ -241,7 +262,7 @@ object IncrementalOps {
           .select(keys.map(k => col(k).as(s"_o_$k")) :+ col(W).as("_ow"): _*)
         val cond = keys.map(k => col(s"_o_$k") <=> col(k)).reduce(_ && _)
         val j = dCon.withColumnRenamed(W, "_dw")
-          .join(broadcast(oldW), cond, "left_outer")
+          .join(maybeBroadcast(oldW), cond, "left_outer")
           .withColumn("_ow", coalesce(col("_ow"), lit(0L)))
           .withColumn("_nw", col("_ow") + col("_dw"))
         val merged = j.filter(col("_nw") =!= 0)
@@ -382,7 +403,8 @@ object IncrementalOps {
       case None => ZSets.consolidate(dB)
       case Some(st) => mergeDeltaByKeys(st, dB, keys)
     })
-    val out = joined(broadcast(dA), b).unionByName(joined(newA, broadcast(dB)))
+    val out = joined(maybeBroadcast(dA), b)
+      .unionByName(joined(newA, maybeBroadcast(dB)))
     (newA, newB, ZSets.consolidate(out))
   }
 }

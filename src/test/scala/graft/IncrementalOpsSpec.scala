@@ -180,4 +180,15 @@ class IncrementalOpsSpec extends SparkSpec {
     val (st, _) = IncrementalOps.upsertStep(None, ok, Seq("k"))
     assert(st.count() === 2)
   }
+
+  test("delta broadcast hint is size-gated: huge deltas fall back") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      IncrementalOps.maybeBroadcast(df).queryExecution.analyzed
+        .collectFirst { case h: ResolvedHint => h }.nonEmpty
+    assert(hinted(spark.range(10).toDF("k")))
+    // cross join of two ranges: multi-GB size estimate, nothing executed
+    assert(!hinted(spark.range(1L << 24).toDF("a")
+      .crossJoin(spark.range(1L << 10).toDF("b"))))
+  }
 }
