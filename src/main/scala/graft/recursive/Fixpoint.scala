@@ -185,13 +185,16 @@ object Fixpoint {
     // ~5 extra scheduler jobs per fixpoint round that dominated deep
     // recursions; the hand-broadcast form never shuffles the join.)
     def newOnly(cand: DataFrame, totals: DataFrame): DataFrame = {
-      import org.apache.spark.sql.functions.{broadcast, col}
+      import org.apache.spark.sql.functions.col
       val cols = cand.columns.toSeq
       val dup = graft.incremental.IncrementalOps
         .splitTouched(totals, cand, cols)._1
         .select(cols.map(c => col(c).as(s"_d_$c")): _*)
       val cond = cols.map(c => col(c) <=> col(s"_d_$c")).reduce(_ && _)
-      cand.join(broadcast(dup), cond, "left_anti").dropDuplicates()
+      // dup is candidate-sized, but a round-0 candidate set of a huge
+      // closure is unbounded — same size gate as the delta broadcasts
+      cand.join(graft.incremental.IncrementalOps.maybeBroadcast(dup),
+        cond, "left_anti").dropDuplicates()
     }
 
     var totals = initTotals
