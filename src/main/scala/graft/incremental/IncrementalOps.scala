@@ -37,16 +37,30 @@ object IncrementalOps {
     */
   private val MaxDeltaBroadcastBytes = 512L << 20
 
-  /** Broadcast `df` only while its optimizer size estimate stays under
-    * [[MaxDeltaBroadcastBytes]]. Estimates are exact for materialized
-    * (localCheckpoint/cached) deltas — what every multi-step caller
-    * passes — and scan-derived otherwise.
+  /** Broadcast `df` only while the SUM OF ITS LEAF scan estimates stays
+    * under [[MaxDeltaBroadcastBytes]]. Leaf stats are real (file sizes,
+    * materialized-RDD sizes); the derived-plan estimate is not — joins
+    * multiply child estimates, so an un-materialized delta expression
+    * routinely "estimates" terabytes and would spuriously lose the hint
+    * (shuffling the state side — the exact regression the hint prevents).
+    * A filter/project/join of delta-sized leaves stays delta-sized; the
+    * gate errs toward broadcasting, and catches the real hazard — a
+    * genuinely huge materialized or scanned delta (backfill, compaction).
     */
   private[graft] def maybeBroadcast(df: DataFrame): DataFrame = {
-    val size =
-      try df.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case _: Throwable => BigInt(-1) }
-    if (size >= 0 && size <= MaxDeltaBroadcastBytes) broadcast(df) else df
+    val keep =
+      try {
+        val default =
+          org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes
+        val sizes = df.queryExecution.optimizedPlan.collectLeaves()
+          .map(_.stats.sizeInBytes)
+        // a leaf reporting the session default has UNKNOWN size (e.g. the
+        // cached-RDD materialization LogicalRDD) — that is how every
+        // in-loop delta looks, so unknown keeps the hint; only leaves
+        // with real (file/range) stats can prove the delta is huge
+        sizes.filter(_ < default).sum <= MaxDeltaBroadcastBytes
+      } catch { case _: Throwable => true }
+    if (keep) broadcast(df) else df
   }
 
   /** Split `state` into (touched, untouched) by probing a broadcast of the

@@ -187,8 +187,10 @@ class IncrementalOpsSpec extends SparkSpec {
       IncrementalOps.maybeBroadcast(df).queryExecution.analyzed
         .collectFirst { case h: ResolvedHint => h }.nonEmpty
     assert(hinted(spark.range(10).toDF("k")))
-    // cross join of two ranges: multi-GB size estimate, nothing executed
-    assert(!hinted(spark.range(1L << 24).toDF("a")
+    // a multi-GB LEAF estimate drops the hint; a derived plan over small
+    // leaves keeps it even when the join-product estimate explodes
+    assert(!hinted(spark.range(1L << 30).toDF("a")))
+    assert(hinted(spark.range(1L << 10).toDF("a")
       .crossJoin(spark.range(1L << 10).toDF("b"))))
   }
 }
