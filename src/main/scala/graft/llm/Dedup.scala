@@ -262,4 +262,41 @@ object Dedup {
       .select(col("u").as("node"),
         least(col("u"), col("_mv")).as("component"))
   }
+
+  /** Benchmark decontamination: per-document overlap with a contamination
+    * set (eval/benchmark texts that must not leak into training data).
+    * Score = fraction of the document's distinct n-grams that appear
+    * anywhere in the contamination set — the standard n-gram-overlap
+    * decontamination rule.
+    *
+    * Plan shape: both sides explode to (id, ngramHash) / (ngramHash)
+    * rows; the contamination side is a DISTINCT hash set (one shuffle of
+    * the small side); the overlap count is an equi-join on the hash — the
+    * planner broadcasts when the set is small, falls back to a hash-
+    * partitioned join when it is not. The corpus is never all-pairs
+    * compared to anything; cost is O(corpus n-grams + contam n-grams).
+    */
+  def contaminationScore(
+      corpus: DataFrame, idCol: String, textCol: String,
+      contam: DataFrame, contamTextCol: String,
+      n: Int = 3,
+      hashFn: (Column, Int) => Column = xxHash): DataFrame = {
+    val docGrams = corpus
+      .select(col(idCol), ngramSet(col(textCol), n).as("_grams"))
+      .filter(size(col("_grams")) > 0)
+      .select(col(idCol), explode(col("_grams")).as("_g"))
+      .select(col(idCol), hashFn(col("_g"), 0).as("_h"))
+    val contamSet = contam
+      .select(explode(ngramSet(col(contamTextCol), n)).as("_g"))
+      .select(hashFn(col("_g"), 0).as("_h"))
+      .distinct()
+    val hits = docGrams.join(contamSet, Seq("_h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    docGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_grams")).as("contamination"))
+  }
 }

@@ -90,6 +90,25 @@ object TextAnalysis {
   def langId(text: Column): Column =
     langIdFromScores(langScores(text))
 
+  /** PII scrubbing patterns: (regex, placeholder). Portable syntax only
+    * (no lookaround) so Java regex and RE2-based engines (the DuckDB
+    * oracle) apply the identical rule.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** Replace emails, phone numbers, and IPv4 addresses with typed
+    * placeholders — a pure regexp_replace chain (codegen'd, zero
+    * shuffle); order matters (IPs must not first be half-eaten by the
+    * phone rule, hence most-specific first).
+    */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (re, tag)) =>
+      regexp_replace(t, re, tag)
+    }
+
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
     * text — the exact-dedup key. (Reference-free; standard pipeline op.)
     */

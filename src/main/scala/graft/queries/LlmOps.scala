@@ -362,6 +362,67 @@ object LlmOps {
         corpus, index, k = 5, nprobe = 3)
     },
 
+    // Benchmark decontamination: fraction of each document's distinct
+    // 3-grams that appear in a "benchmark" set (docs 0-49 here). Corpus
+    // and contamination set meet only through an n-gram-hash equi-join —
+    // never all-pairs.
+    Q(
+      "llm_decontaminate",
+      s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_filter(
+         |    list_transform(range(1, len(tkn) + 1),
+         |      i -> CASE WHEN i + 2 <= len(tkn)
+         |           THEN tkn[i] || ' ' || tkn[i+1] || ' ' || tkn[i+2] END),
+         |    s -> s IS NOT NULL)) AS grams
+         |  FROM toks WHERE len(tkn) >= 3),
+         |dg AS (SELECT doc_id, ${md5h(0, "g")} AS h
+         |  FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
+         |cs AS (SELECT DISTINCT h FROM dg WHERE doc_id < 50),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+         |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM dg
+         |  WHERE h IN (SELECT h FROM cs) GROUP BY doc_id)
+         |SELECT t.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+         |  COALESCE(n_hit, 0) * 1.0 / n_grams AS contamination
+         |FROM tot t LEFT JOIN hit USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationScore(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 50), "text",
+        n = 3, hashFn = Dedup.md5Hash)
+    },
+
+    // PII scrubbing: both engines synthesize the same deterministic PII
+    // (email/phone/IP derived from doc_id), then this side runs the
+    // scrubber while the oracle applies the identical regex chain.
+    Q(
+      "llm_pii_scrub",
+      { val aug = "text || ' reach: user' || doc_id || " +
+          "'@mail.example.com or (555) 123-' || " +
+          "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+          "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+        // standard SQL strings pass backslashes through untouched — the
+        // Scala-level pattern is already the literal regex
+        val scrubbed = TextAnalysis.piiPatterns.foldLeft(aug) {
+          case (t, (re, tag)) =>
+            s"regexp_replace($t, '$re', '$tag', 'g')"
+        }
+        s"""SELECT doc_id, $scrubbed AS clean,
+           |  CAST(len(regexp_extract_all($aug,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+           |FROM documents""".stripMargin
+      }) { (s, dir) =>
+      val aug = concat(col("text"), lit(" reach: user"), col("doc_id"),
+        lit("@mail.example.com or (555) 123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.scrubPii(aug).as("clean"),
+        size(regexp_extract_all(aug,
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+          .cast("long").as("n_emails"))
+    },
+
     // Deterministic hash-bucket sampling: per-language rates, pure
     // stateless filter on the scan (the only reproducible sampling
     // discipline at 100 TB — no RNG state, partitioning-independent).

@@ -192,4 +192,29 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(comp.length === 40 && comp.forall(_._2 == 1L))
   }
+
+  test("contaminationScore flags overlap with the benchmark set") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(docs, "doc_id", "text",
+      bench, "text", n = 3)
+      .select("doc_id", "contamination").as[(Long, Double)]
+      .collect().toMap
+    assert(out(1L) > 0.4)  // shares a long prefix with the benchmark doc
+    assert(out(3L) === 0.0) // unrelated text
+  }
+
+  test("scrubPii replaces emails, phones, and IPs; clean text unchanged") {
+    val rows = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call (555) 123-4567 or 555 987 6543",
+      "host 192.168.0.1 responded",
+      "nothing sensitive here").toDF("t")
+      .select(TextAnalysis.scrubPii(col("t")).as("c"))
+      .as[String].collect()
+    assert(rows(0) === "mail <EMAIL> now")
+    assert(rows(1) === "call <PHONE> or <PHONE>")
+    assert(rows(2) === "host <IP> responded")
+    assert(rows(3) === "nothing sensitive here")
+  }
 }
