@@ -281,22 +281,30 @@ object Dedup {
       contam: DataFrame, contamTextCol: String,
       n: Int = 3,
       hashFn: (Column, Int) => Column = xxHash): DataFrame = {
-    val docGrams = corpus
-      .select(col(idCol), ngramSet(col(textCol), n).as("_grams"))
-      .filter(size(col("_grams")) > 0)
-      .select(col(idCol), explode(col("_grams")).as("_g"))
-      .select(col(idCol), hashFn(col("_g"), 0).as("_h"))
-    val contamSet = contam
-      .select(explode(ngramSet(col(contamTextCol), n)).as("_g"))
-      .select(hashFn(col("_g"), 0).as("_h"))
+    // tokens staged as a real column with the size filter BETWEEN the
+    // projections: the HOF lambda re-evaluates captured sub-expressions
+    // per element, and CollapseProject would inline a once-used alias
+    // back into the lambda (re-tokenizing per shingle position, O(L²));
+    // an intervening Filter blocks the collapse — the llm_minhash idiom
+    def gramHashes(df: DataFrame, text: String,
+        extra: Seq[Column]): DataFrame =
+      df.select(extra :+ TextAnalysis.tokens(col(text)).as("_toks"): _*)
+        .filter(size(col("_toks")) >= n)
+        .select(extra :+
+          array_distinct(shinglesOfTokens(col("_toks"), n)).as("_grams"): _*)
+        .select(extra :+ explode(col("_grams")).as("_g"): _*)
+        .select(extra :+ hashFn(col("_g"), 0).as("_h"): _*)
+    val contamSet = gramHashes(contam, contamTextCol, Seq.empty)
       .distinct()
-    val hits = docGrams.join(contamSet, Seq("_h"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
-    docGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") /
-          col("n_grams")).as("contamination"))
+    // single pass: mark hits with a left join against the distinct set
+    // (multiplicity-safe), then ONE per-doc aggregation for both counts
+    gramHashes(corpus, textCol, Seq(col(idCol)))
+      .join(contamSet.withColumn("_hit", lit(1L)), Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams"))
+          .as("contamination"))
   }
 }

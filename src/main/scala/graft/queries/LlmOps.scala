@@ -384,7 +384,11 @@ object LlmOps {
          |SELECT t.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
          |  COALESCE(n_hit, 0) * 1.0 / n_grams AS contamination
          |FROM tot t LEFT JOIN hit USING (doc_id)""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      // the local documents table is ONE parquet row group = one task;
+      // fan out before the CPU-heavy shingle+hash projection (a real scan
+      // at scale already has thousands of partitions — this shuffle of
+      // 5k short rows is the local stand-in, not a scale cost)
+      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
       Dedup.contaminationScore(
         docs, "doc_id", "text",
         docs.filter(col("doc_id") < 50), "text",
