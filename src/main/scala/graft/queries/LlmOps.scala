@@ -115,8 +115,10 @@ object LlmOps {
     Q(
       "llm_minhash",
       s"""$sigCtes SELECT * FROM sig""") { (s, dir) =>
-      // staged columns: tokens/shingles/sig each computed once per row
-      t(s, dir, "documents")
+      // staged columns: tokens/shingles/sig each computed once per row;
+      // repartition = local fan-out of the one-row-group input before the
+      // CPU-heavy interpreted HOF pipeline
+      t(s, dir, "documents").repartition(32, col("doc_id"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
         .filter(size(col("_toks")) >= 3)
         .select(col("doc_id"),
@@ -144,7 +146,7 @@ object LlmOps {
          |JOIN sig sa ON sa.doc_id = id_a
          |JOIN sig sb ON sb.doc_id = id_b""".stripMargin) { (s, dir) =>
       Dedup.minhashDupPairs(
-        t(s, dir, "documents")
+        t(s, dir, "documents").repartition(32, col("doc_id"))
           .filter(size(TextAnalysis.tokens(col("text"))) >= 3),
         "doc_id", "text", w = 3, numHashes = 8, bands = 4,
         hashFn = Dedup.md5Hash)
@@ -174,7 +176,7 @@ object LlmOps {
          |SELECT n AS doc_id, MIN(m) AS group_id FROM reach GROUP BY n""".stripMargin) {
       (s, dir) =>
         val pairs = Dedup.minhashDupPairs(
-          t(s, dir, "documents")
+          t(s, dir, "documents").repartition(32, col("doc_id"))
             .filter(size(TextAnalysis.tokens(col("text"))) >= 3),
           "doc_id", "text", w = 3, numHashes = 8, bands = 4,
           hashFn = Dedup.md5Hash)
@@ -195,7 +197,7 @@ object LlmOps {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sim_fp
          |FROM bits GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents")
+      t(s, dir, "documents").repartition(32, col("doc_id"))
         .filter(size(TextAnalysis.tokens(col("text"))) >= 1)
         .select(col("doc_id"),
           Dedup.simhash(col("text"), 48, Dedup.md5Hash).as("sim_fp"))
