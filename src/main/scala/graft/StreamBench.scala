@@ -235,8 +235,13 @@ object StreamBench {
       // q6 avg winning-bid price per seller (q6.sql). The reference bounds
       // the avg to each seller's last 10 auctions; that recency bound
       // needs ordered per-seller state — the unbounded avg measures the
-      // same two-stage retraction-propagating shape (per-auction max →
-      // per-seller avg), like q4 grouped by seller instead of category.
+      // same two-stage shape (per-auction max → per-seller avg), like q4
+      // grouped by seller instead of category. HONESTY NOTE: Spark does
+      // NOT retract a superseded per-auction max from the downstream avg
+      // in chained update-mode aggs, so avg_win double-counts stale maxes
+      // — this entry measures THROUGHPUT SHAPE only, not correct values
+      // (checkCorrectness stays off; the IVM path, as used by q8, is the
+      // retraction-correct route).
       run("q6_winavg")(df => df
         .join(broadcast(auction), col("auction") === col("a_id"))
         .filter(col("date_time").between(col("starts"), col("expires")))

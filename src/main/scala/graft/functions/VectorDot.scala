@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graft.Shims
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression: dot product of two FLOAT vectors in a tight
   * codegen loop over the underlying ArrayData — no intermediate array
@@ -76,10 +76,78 @@ case class VectorDotFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: exact integer dot product of two BIGINT
+  * vectors (the quantized-embedding representation the oracle-checked
+  * similarity queries use). Same tight-loop shape as [[VectorDotFloat]];
+  * arithmetic is exact long adds/multiplies, so the result is identical to
+  * the interpreted `aggregate(zip_with(...))` fold it replaces — but stays
+  * inside WholeStageCodegen with no per-pair array allocation.
+  *
+  * Null semantics: null if either array is null; null ELEMENTS contribute 0
+  * (quantized embeddings have no null elements; branch kept for safety).
+  */
+case class VectorDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vector_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += x.getLong(i) * y.getLong(i)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VectorDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorDot {
   /** Column API: codegen'd float-vector dot product. */
   def dotF(a: Column, b: Column): Column =
     Shims.column(VectorDotFloat(Shims.expression(a), Shims.expression(b)))
+
+  /** Column API: codegen'd exact integer (BIGINT) vector dot product. */
+  def dotL(a: Column, b: Column): Column =
+    Shims.column(VectorDotLong(Shims.expression(a), Shims.expression(b)))
 
   /** Cosine similarity on float vectors via the codegen'd dot. */
   def cosineF(a: Column, b: Column): Column = {

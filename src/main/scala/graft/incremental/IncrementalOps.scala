@@ -59,7 +59,7 @@ object IncrementalOps {
         // in-loop delta looks, so unknown keeps the hint; only leaves
         // with real (file/range) stats can prove the delta is huge
         sizes.filter(_ < default).sum <= MaxDeltaBroadcastBytes
-      } catch { case _: Throwable => true }
+      } catch { case scala.util.control.NonFatal(_) => true }
     if (keep) broadcast(df) else df
   }
 

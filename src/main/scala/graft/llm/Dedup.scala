@@ -25,6 +25,34 @@ object Dedup {
   /** Seeded xxhash64 (fast path). */
   def xxHash(s: Column, seed: Int): Column = xxhash64(lit(seed), s)
 
+  /** Fingerprint modulus: largest prime below 2^50 · 1024 — keeps
+    * acc*31 + x < 2^63 for acc < FP_P and x < FP_P.
+    */
+  val FP_P = 1125899906842597L
+
+  /** Karp–Rabin polynomial hash of a string: fold over Unicode code points
+    * of acc·31 + codepoint (mod [[FP_P]]). Pure arithmetic — no crypto
+    * hash — so it is the FAST fingerprint tier, yet any SQL engine computes
+    * it identically (DuckDB: list_reduce over ascii(substr(...))).
+    */
+  def polyHash(s: Column): Column =
+    // empty-string guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) while
+    // DuckDB's range(1, 1) is empty — never let the fold see length 0
+    when(length(s) < 1, lit(7L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(s)),
+          i => ascii(s.substr(i, lit(1))).cast("long")),
+        lit(7L), (acc, c) => (acc * 31L + c) % FP_P))
+
+  /** Order-sensitive document fingerprint: the same polynomial fold rolled
+    * over per-token [[polyHash]] values. Two docs share a fingerprint iff
+    * they have the identical token sequence — the cheap first-pass exact
+    * dedup key (vs [[TextAnalysis.fingerprint]]'s md5 canonical-text form).
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(transform(toks, tk => polyHash(tk)),
+      lit(7L), (acc, h) => (acc * 31L + h) % FP_P)
+
   /** Exact dedup: keep the lowest id per canonical-text fingerprint. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))

@@ -50,18 +50,39 @@ object Similarity {
     * by cosine. Probe set must be small (it is broadcast); the corpus is
     * scanned once with no shuffle of vectors — only (probe_id, corpus_id,
     * sim) pairs move, pruned by the rank filter's partial-sort pushdown.
+    *
+    * Per-row work (quantization, squared norm) is STAGED in a projection on
+    * each side BEFORE the join — the per-pair hot loop is a single codegen'd
+    * dot product ([[graft.functions.VectorDot]]) plus two multiplies. The
+    * arithmetic is identical to the interpreted fold (exact long sums for
+    * the quantized tier; left-to-right double products for the float tier),
+    * so oracle hashes are unchanged.
     */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int,
       probeId: String = "probe_id", corpusId: String = "corpus_id",
       vecCol: String = "embedding", quantScale: Int = 0): DataFrame = {
-    val sim =
+    import graft.functions.VectorDot.{dotF, dotL}
+    def prep(df: DataFrame, id: String, outId: String): DataFrame =
       if (quantScale > 0)
-        cosineQuantized(col(s"p.$vecCol"), col(s"c.$vecCol"), quantScale)
-      else cosine(col(s"p.$vecCol"), col(s"c.$vecCol"))
-    val scored = broadcast(probes.alias("p"))
-      .crossJoin(corpus.alias("c"))
-      .select(col(s"p.$probeId").as("probe_id"),
-        col(s"c.$corpusId").as("corpus_id"), sim.as("sim"))
+        df.select(col(id).as(outId),
+            quantize(col(vecCol), quantScale).as("__v"))
+          .select(col(outId), col("__v"),
+            dotL(col("__v"), col("__v")).as("__n2"))
+      else
+        df.select(col(id).as(outId), col(vecCol).as("__v"))
+          .select(col(outId), col("__v"),
+            dotF(col("__v"), col("__v")).as("__n2"))
+    val p = prep(probes, probeId, "probe_id").alias("p")
+    val c = prep(corpus, corpusId, "corpus_id").alias("c")
+    val pairDot =
+      if (quantScale > 0)
+        dotL(col("p.__v"), col("c.__v")).cast("double")
+      else dotF(col("p.__v"), col("c.__v"))
+    val sim = pairDot / nullif(
+      sqrt(col("p.__n2").cast("double")) * sqrt(col("c.__n2").cast("double")),
+      lit(0d))
+    val scored = broadcast(p).crossJoin(c)
+      .select(col("probe_id"), col("corpus_id"), sim.as("sim"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("corpus_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -209,14 +230,135 @@ object Similarity {
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, planes: Int,
       probeId: String = "probe_id", corpusId: String = "corpus_id",
       vecCol: String = "embedding"): DataFrame = {
-    val pb = probes.withColumn("bucket", lshBucket(col(vecCol), planes))
-    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
-    val scored = broadcast(pb.alias("p")).join(cb.alias("c"), "bucket")
-      .select(col(s"p.$probeId").as("probe_id"),
-        col(s"c.$corpusId").as("corpus_id"),
-        cosine(col(s"p.$vecCol"), col(s"c.$vecCol")).as("sim"))
+    import graft.functions.VectorDot.dotF
+    // bucket + squared norm staged per ROW, so the per-pair work inside the
+    // bucket join is one codegen'd dot product
+    def prep(df: DataFrame, id: String, outId: String): DataFrame =
+      df.select(col(id).as(outId), col(vecCol).as("__v"),
+          lshBucket(col(vecCol), planes).as("bucket"))
+        .select(col(outId), col("__v"), col("bucket"),
+          dotF(col("__v"), col("__v")).as("__n2"))
+    val p = prep(probes, probeId, "probe_id").alias("p")
+    val c = prep(corpus, corpusId, "corpus_id").alias("c")
+    val scored = broadcast(p).join(c, "bucket")
+      .select(col("probe_id"), col("corpus_id"),
+        (dotF(col("p.__v"), col("c.__v")) / nullif(
+          sqrt(col("p.__n2")) * sqrt(col("c.__n2")), lit(0d))).as("sim"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("corpus_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Oracle-checkable ANN top-k via INTEGER sign-LSH: vectors quantized to
+    * BIGINT (scale), buckets from the pure-integer LCG hyperplanes of
+    * [[Dedup.signBands]], similarity = exact quantized cosine. Every
+    * intermediate is exact integer arithmetic, so any engine derives the
+    * identical buckets, candidates, and similarity — the DuckDB oracle
+    * re-runs the whole ANN pipeline independently.
+    *
+    * Same 100-TB shape as [[lshTopK]]: candidates only ever meet through a
+    * (band, sig) equi-join; vectors are never all-pairs compared.
+    */
+  def lshTopKQuantized(probes: DataFrame, corpus: DataFrame, k: Int,
+      bands: Int = 1, bitsPerBand: Int = 8, scale: Int = 1000,
+      probeId: String = "probe_id", corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorDot.dotL
+    def prep(df: DataFrame, id: String, outId: String): DataFrame =
+      df.select(col(id).as(outId), quantize(col(vecCol), scale).as("__v"))
+        .select(col(outId), col("__v"), dotL(col("__v"), col("__v")).as("__n2"),
+          explode(Dedup.signBands(col("__v"), bands, bitsPerBand)).as("__b"))
+        .select(col(outId), col("__v"), col("__n2"),
+          col("__b.band").as("band"), col("__b.sig").as("sig"))
+    val p = prep(probes, probeId, "probe_id").alias("p")
+    val c = prep(corpus, corpusId, "corpus_id").alias("c")
+    // candidate set distinct over bands (a pair sharing 2 bands must score
+    // once), then vectors re-joined — the minhashDupPairs/embed_dups shape
+    val cand = broadcast(p.select(col("probe_id"), col("band"), col("sig")))
+      .join(c.select(col("corpus_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("probe_id"), col("corpus_id")).distinct()
+    val scored = cand
+      .join(broadcast(p.select(col("probe_id"), col("__v").as("__pv"),
+        col("__n2").as("__pn")).distinct()), "probe_id")
+      .join(c.select(col("corpus_id"), col("__v").as("__cv"),
+        col("__n2").as("__cn")).dropDuplicates("corpus_id"), "corpus_id")
+      .select(col("probe_id"), col("corpus_id"),
+        (dotL(col("__pv"), col("__cv")).cast("double") / nullif(
+          sqrt(col("__pn").cast("double")) * sqrt(col("__cn").cast("double")),
+          lit(0d))).as("sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Oracle-checkable IVF: the whole index life-cycle — deterministic
+    * seeding, ONE exact-integer Lloyd refinement, cell assignment, probe
+    * routing — as a single Spark plan over quantized vectors, nothing
+    * collected. Seeds are the quantized vectors with id < nCells; the
+    * refined centroid is the per-dimension floor(mean) (exact: integer sums
+    * < 2^53 divided in double, floored). Every step is reproducible
+    * arithmetic, so the DuckDB oracle independently re-trains the identical
+    * index and re-derives the identical top-k.
+    *
+    * The production float path ([[ivfTrain]]/[[ivfTopK]], multi-iteration
+    * Lloyd, offline centroid artifact, bucketed corpus layout) remains the
+    * scale architecture; this variant exists so the driver can hash-grade
+    * IVF end-to-end.
+    */
+  def ivfTopKQuantized(probes: DataFrame, corpus: DataFrame, nCells: Int,
+      k: Int, nprobe: Int = 2, scale: Int = 1000,
+      probeId: String = "probe_id", corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorDot.dotL
+    val q = corpus.select(col(corpusId).as("__id"),
+      quantize(col(vecCol), scale).as("__qv"))
+    val seeds = q.filter(col("__id") < nCells)
+      .select(col("__id").cast("int").as("__cell"), col("__qv").as("__cv"))
+    // exact integer squared L2 distance to a centroid column
+    def d2(v: Column, cvec: Column): Column =
+      aggregate(zip_with(v, cvec, (x, cc) => (x - cc) * (x - cc)),
+        lit(0L), (acc, x) => acc + x)
+    def assign(vecs: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+      val scored = vecs.crossJoin(broadcast(cents))
+        .withColumn("__d2", d2(col("__qv"), col("__cv")))
+      val w = Window.partitionBy("__id").orderBy(col("__d2"), col("__cell"))
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= keep)
+        .select(col("__id"), col("__qv"), col("__cell"))
+    }
+    val a1 = assign(q, seeds, keep = 1)
+    // one Lloyd round: per-(cell, dim) floor-mean, reassembled in dim order
+    val cent2 = a1
+      .select(col("__cell"), posexplode(col("__qv")).as(Seq("__d", "__x")))
+      .groupBy("__cell", "__d")
+      .agg(floor(sum(col("__x")).cast("double") / count(lit(1)))
+        .cast("long").as("__m"))
+      .groupBy("__cell")
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m"))))
+        .as("__dm"))
+      .select(col("__cell"),
+        transform(col("__dm"), s => s.getField("__m")).as("__cv"))
+    val corpusCells = assign(q, cent2, keep = 1)
+      .select(col("__id").as("corpus_id"), col("__qv").as("__cqv"),
+        col("__cell"), dotL(col("__qv"), col("__qv")).as("__cn"))
+    val probeCells = assign(
+      probes.select(col(probeId).as("__id"),
+        quantize(col(vecCol), scale).as("__qv")),
+      cent2, keep = nprobe)
+      .select(col("__id").as("probe_id"), col("__qv").as("__pqv"),
+        col("__cell"), dotL(col("__qv"), col("__qv")).as("__pn"))
+    val scored = broadcast(probeCells).join(corpusCells, "__cell")
+      .select(col("probe_id"), col("corpus_id"),
+        (dotL(col("__pqv"), col("__cqv")).cast("double") / nullif(
+          sqrt(col("__pn").cast("double")) * sqrt(col("__cn").cast("double")),
+          lit(0d))).as("sim"))
+    // no dedupe needed: each corpus vector lives in exactly one cell, so a
+    // (probe, corpus) pair meets at most once even with nprobe > 1
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 }

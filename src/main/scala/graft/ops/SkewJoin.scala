@@ -38,17 +38,25 @@ object SkewJoin {
     * replicated `factor` times.
     */
   def salted(probe: DataFrame, build: DataFrame, keys: Seq[String],
-      factor: Int): DataFrame =
+      factor: Int): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
     withSalt(probe, factor)
       .join(replicate(build, factor), keys :+ SaltCol)
       .drop(SaltCol)
+  }
 
   /** Inner equi-join salting ONLY the rows whose first join-key value is
     * in `hotValues`; all other keys join unsalted. One probe scan feeds
     * both paths; the build side replicates only its hot rows.
+    *
+    * INNER-join only: rows whose first key is NULL fail both the `isHot`
+    * and `!isHot` filters and are dropped from both paths — equivalent for
+    * inner equi-joins (a NULL key never matches), but NOT valid for outer
+    * joins, which must preserve the null-keyed rows.
     */
   def saltedHot(probe: DataFrame, build: DataFrame, keys: Seq[String],
       hotValues: Seq[Any], factor: Int): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
     val isHot = col(keys.head).isin(hotValues: _*)
     val hot = salted(probe.filter(isHot), build.filter(isHot), keys, factor)
     val cold = probe.filter(!isHot).join(build.filter(!isHot), keys)

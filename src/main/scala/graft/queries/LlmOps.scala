@@ -244,10 +244,16 @@ object LlmOps {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rk
         |  FROM scored) WHERE rk <= 5""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
+      // corpus fanned out past the one-row-group scan BEFORE the per-pair
+      // scoring (the 1e5c6a1 idiom — a real scan at scale already has
+      // thousands of partitions; this shuffle of 2k small rows is the
+      // local stand-in). Quantization/norms are staged per row inside
+      // bruteForceTopK; the pair loop is the codegen'd VectorDotLong.
       Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding")),
-        emb.select(col("vec_id").as("corpus_id"), col("embedding")),
+        emb.repartition(32, col("vec_id"))
+          .select(col("vec_id").as("corpus_id"), col("embedding")),
         k = 5, quantScale = 1000)
     },
 
@@ -294,8 +300,9 @@ object LlmOps {
         // banding join would otherwise recompute the 48-plane signatures
         // per candidate pair). 12 bands x 4 bits: 16 buckets/band keeps
         // the candidate volume ~bucket-quadratic-small at this corpus
-        // size with ~0.8 recall at the 0.3 threshold
-        val q = t(s, dir, "embeddings")
+        // size with ~0.8 recall at the 0.3 threshold. repartition = local
+        // fan-out of the one-row-group scan before the signature CPU.
+        val q = t(s, dir, "embeddings").repartition(32, col("vec_id"))
           .select(col("vec_id"),
             Similarity.quantize(col("embedding"), 1000).as("qv"))
           .select(col("vec_id"), col("qv"),
@@ -326,42 +333,137 @@ object LlmOps {
           .filter(col("sim") > 0.3)
     },
 
-    // Production (xxhash64) paths — rows-only checks.
-    Q.noOracle("llm_minhash_fast") { (s, dir) =>
-      t(s, dir, "documents")
+    // Fast-tier document fingerprint, oracle-checked: Karp–Rabin polynomial
+    // rolling hash (pure BIGINT arithmetic — no crypto hash — so DuckDB
+    // folds the identical recurrence). The xxhash64 minhash production path
+    // is spec-graded (DedupSpec); the md5 minhash pipeline is llm_minhash.
+    Q(
+      "llm_minhash_fast",
+      s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |th AS (SELECT doc_id, len(tkn) AS n_tokens,
+         |  list_transform(tkn, t -> list_reduce(
+         |    list_prepend(CAST(7 AS BIGINT),
+         |      list_transform(range(1, length(t) + 1),
+         |        i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |    (acc, c) -> (acc * 31 + c) % ${Dedup.FP_P})) AS hs
+         |  FROM toks)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(7 AS BIGINT), hs),
+         |    (acc, h) -> (acc * 31 + h) % ${Dedup.FP_P}) AS rolling_fp
+         |FROM th""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").repartition(32, col("doc_id"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
-        .filter(size(col("_toks")) >= 3)
-        .select(col("doc_id"),
-          Dedup.shinglesOfTokens(col("_toks"), 3).as("_sh"),
-          aggregate(col("_toks"), lit(0L),
-            (acc, tk) => pmod(acc * 31 + pmod(xxhash64(tk), lit(1000003L)),
-              lit(1125899906842597L))).as("rolling_fp"))
-        .select(col("doc_id"),
-          // Serialized: the driver's pandas compare can't hash array cells.
-          array_join(transform(Dedup.minhashFromShingles(col("_sh"), 16),
-            x => x.cast("string")), ",").as("sig"),
-          col("rolling_fp"))
+        .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
+          Dedup.rollingFingerprint(col("_toks")).as("rolling_fp"))
     },
 
-    Q.noOracle("llm_lsh_topk") { (s, dir) =>
+    // Integer sign-LSH ANN, oracle-checked end-to-end: DuckDB re-derives
+    // the identical quantization, LCG hyperplane buckets, candidate set,
+    // and exact quantized cosine — the whole ANN pipeline is hash-graded
+    // (the llm_embed_dups trick applied to top-k search). The float-tier
+    // lshTopK stays the production path (SimilaritySpec).
+    Q(
+      "llm_lsh_topk",
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, SUM(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS sig
+        |  FROM (
+        |    SELECT q.vec_id, bt.bit,
+        |      list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |        i -> q.qv[i] * ((1103515245 * (bt.bit * 1259 + (i - 1)) + 12345) % 2097152 - 1048576)),
+        |        (x, y) -> x + y) AS dot
+        |    FROM q, (SELECT unnest(generate_series(0, 7)) AS bit) bt)
+        |  GROUP BY vec_id),
+        |n AS (SELECT vec_id, qv,
+        |  list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nrm
+        |  FROM q),
+        |cand AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id
+        |  FROM sig p JOIN sig c ON p.sig = c.sig
+        |  WHERE p.vec_id < 10),
+        |scored AS (
+        |  SELECT cand.probe_id, cand.corpus_id,
+        |    CAST(list_reduce(list_transform(range(1, len(a.qv) + 1),
+        |        i -> a.qv[i] * b.qv[i]), (x, y) -> x + y) AS DOUBLE)
+        |      / NULLIF(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)), 0) AS sim
+        |  FROM cand JOIN n a ON cand.probe_id = a.vec_id
+        |            JOIN n b ON cand.corpus_id = b.vec_id)
+        |SELECT probe_id, corpus_id, sim, rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(
+      Similarity.lshTopKQuantized(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding")),
-        emb.select(col("vec_id").as("corpus_id"), col("embedding")),
-        k = 5, planes = 8)
+        emb.repartition(32, col("vec_id"))
+          .select(col("vec_id").as("corpus_id"), col("embedding")),
+        k = 5, bands = 1, bitsPerBand = 8, scale = 1000)
     },
 
-    Q.noOracle("llm_ivf_topk") { (s, dir) =>
+    // IVF ANN, oracle-checked end-to-end INCLUDING the index build: seeds =
+    // quantized vectors with vec_id < 16, one exact-integer Lloyd round
+    // (floor-mean centroids), nprobe=3 routing, quantized cosine. DuckDB
+    // re-trains the identical index from scratch. The float ivfTrain/
+    // ivfTopK/ivfWriteBucketed production path keeps its recall +
+    // bucketed-plan specs (SimilaritySpec).
+    Q(
+      "llm_ivf_topk",
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seed AS (SELECT CAST(vec_id AS INT) AS cell, qv AS cv FROM q WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, qv, cell FROM (
+        |    SELECT q.vec_id, q.qv, s.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |          i -> (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])),
+        |          (a, b) -> a + b), s.cell) AS rk
+        |    FROM q, seed s) WHERE rk = 1),
+        |cexp AS (SELECT cell, unnest(range(1, len(qv) + 1)) AS i, unnest(qv) AS x FROM a1),
+        |centd AS (SELECT cell, i, CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |  FROM cexp GROUP BY cell, i),
+        |cent2 AS (SELECT cell, list(m ORDER BY i) AS cv FROM centd GROUP BY cell),
+        |corpus AS (
+        |  SELECT vec_id, qv, cell,
+        |    list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nrm
+        |  FROM (
+        |    SELECT q.vec_id, q.qv, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |          i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+        |          (a, b) -> a + b), c.cell) AS rk
+        |    FROM q, cent2 c) WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id, qv, cell,
+        |    list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nrm
+        |  FROM (
+        |    SELECT q.vec_id, q.qv, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |          i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+        |          (a, b) -> a + b), c.cell) AS rk
+        |    FROM q, cent2 c WHERE q.vec_id < 10) WHERE rk <= 3),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+        |    CAST(list_reduce(list_transform(range(1, len(p.qv) + 1),
+        |        i -> p.qv[i] * c.qv[i]), (x, y) -> x + y) AS DOUBLE)
+        |      / NULLIF(sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)), 0) AS sim
+        |  FROM probes p JOIN corpus c ON p.cell = c.cell)
+        |SELECT probe_id, corpus_id, sim, rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
-      // index build (offline artifact) …
-      val index = Similarity.ivfTrain(corpus, nCells = 16, iters = 1)
-      // … then the query path: pure plan, centroids inlined, no collect
-      Similarity.ivfTopK(
+      Similarity.ivfTopKQuantized(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding")),
-        corpus, index, k = 5, nprobe = 3)
+        emb.repartition(32, col("vec_id"))
+          .select(col("vec_id").as("corpus_id"), col("embedding")),
+        nCells = 16, k = 5, nprobe = 3, scale = 1000)
     },
 
     // Benchmark decontamination: fraction of each document's distinct

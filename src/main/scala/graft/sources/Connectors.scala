@@ -155,10 +155,14 @@ object Connectors {
           case "parquet" => df.write.mode("append").parquet(path)
           case "csv" => df.write.mode("append")
             .options(conf.formatConfig).csv(path)
-          // update_format set + Z-set weights present → envelope lines
-          // (the reference's egress wire contract), else plain JSON rows
+          // encodable update_format set + Z-set weights present → envelope
+          // lines (the reference's egress wire contract). raw/debezium are
+          // INGRESS formats here (decodeJson accepts them; egress encoding
+          // is not implemented) — they fall back to plain JSON rows rather
+          // than failing at write time.
           case "json" => conf.formatConfig.get("update_format") match {
-            case Some(uf) if df.columns.contains(graft.zset.ZSets.W) =>
+            case Some(uf) if Envelopes.encodableFormats(uf.toLowerCase)
+                && df.columns.contains(graft.zset.ZSets.W) =>
               Envelopes.encodeJson(df, uf).write.mode("append").text(path)
             case _ => df.write.mode("append").json(path)
           }

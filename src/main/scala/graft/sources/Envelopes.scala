@@ -114,19 +114,31 @@ object Envelopes {
     * emits one line per row. Field order in the JSON object follows the
     * input column order, deterministically.
     */
+  /** Formats [[encodeJson]] can emit; sinks use this to gate envelope
+    * encoding (raw/debezium are decode-only here).
+    */
+  val encodableFormats: Set[String] = Set("insert_delete", "weighted",
+    "snowflake")
+
   def encodeJson(delta: DataFrame, format: String,
       valueCol: String = "value"): DataFrame = {
     val dataCols = delta.columns.filterNot(_ == ZSets.W).toSeq
     val rec = to_json(struct(dataCols.map(col): _*))
     val w = col(ZSets.W)
+    // unit-weight formats expand a weight-w row to |w| wire lines via
+    // array_repeat(_, |w| as int): guard the int cast so a |w| beyond
+    // Int.MaxValue fails loudly instead of wrapping negative and silently
+    // emitting zero lines
+    val wInt = when(abs(w) > Int.MaxValue.toLong,
+      raise_error(concat(lit("encodeJson: |_w| exceeds Int.MaxValue: "),
+        w.cast("string")))).otherwise(abs(w).cast("int"))
     format.toLowerCase match {
       case "insert_delete" =>
         val line = concat(
           when(w > 0, lit("{\"insert\":")).otherwise(lit("{\"delete\":")),
           rec, lit("}"))
         delta.where(w =!= 0)
-          .select(explode(array_repeat(line, abs(w).cast("int")))
-            .as(valueCol))
+          .select(explode(array_repeat(line, wInt)).as(valueCol))
       case "weighted" =>
         delta.where(w =!= 0)
           .select(concat(lit("{\"weight\":"), w.cast("string"),
@@ -136,8 +148,7 @@ object Envelopes {
           when(w > 0, lit("insert")).otherwise(lit("delete"))
             .as("__action"): _*))
         delta.where(w =!= 0)
-          .select(explode(array_repeat(flat, abs(w).cast("int")))
-            .as(valueCol))
+          .select(explode(array_repeat(flat, wInt)).as(valueCol))
       case other =>
         throw new IllegalArgumentException(
           s"unknown output update format: $other")
