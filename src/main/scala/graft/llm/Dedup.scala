@@ -253,14 +253,23 @@ object Dedup {
     * the lineage via `materialize`; convergence = (count, order-free
     * checksum) of the edge set stable across a full large+small cycle.
     *
+    * Small-graph tail: when the deduplicated edge count is at most
+    * `smallGraphThreshold` (known for free from the first convergence
+    * stamp), the rounds are pointless — each one costs a scheduling-floor
+    * job to move a few KB. The edges are pulled to the driver (bounded:
+    * threshold × 2 ids) and finished with a union-find in microseconds.
+    * LSH candidate graphs are usually exactly this tail: dedup rates of a
+    * few percent leave edge sets orders of magnitude smaller than the
+    * corpus. Set the threshold to 0 to force the distributed path.
+    *
     * Output: (node, component = min node id in the component), one row per
     * node that appears in `pairs` (singleton docs never enter the edge
     * list; left-join the corpus if they need rows).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(false))
-      : DataFrame = {
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false),
+      smallGraphThreshold: Long = 100000L): DataFrame = {
     var edges = materialize(
       pairs.select(col(aCol).as("u"), col(bCol).as("v"))
         .filter(!(col("u") <=> col("v"))).distinct())
@@ -270,6 +279,7 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var last = stamp(edges)
+    if (last._1 <= smallGraphThreshold) return localUnionFind(edges)
     var round = 0
     var converged = last._1 == 0L
     while (!converged && round < maxRounds) {
@@ -289,6 +299,49 @@ object Dedup {
     sym.groupBy("u").agg(min(col("v")).as("_mv"))
       .select(col("u").as("node"),
         least(col("u"), col("_mv")).as("component"))
+  }
+
+  /** Driver-side union-find finish for the small-graph tail of
+    * [[connectedComponents]]: same (node, min-member component) contract,
+    * computed in one collect instead of log-n distributed rounds. Ordering
+    * for the min label matches SQL LEAST via the catalyst row ordering of
+    * the id column (ids are numeric/string in practice — Comparable).
+    */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema("u").dataType
+    val rows = edges.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    rows.foreach { row =>
+      val (u, v) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(ru) = rv
+    }
+    implicit val anyOrd: Ordering[Any] =
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val label = parent.keys.toSeq.groupBy(find)
+      .flatMap { case (_, members) =>
+        val m = members.min
+        members.map(n => n -> m)
+      }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val list = new java.util.ArrayList[Row](label.size)
+    label.foreach { case (n, m) => list.add(Row(n, m)) }
+    spark.createDataFrame(list,
+      StructType(Seq(StructField("node", idType),
+        StructField("component", idType))))
   }
 
   /** Benchmark decontamination: per-document overlap with a contamination

@@ -27,6 +27,7 @@ object JobMeter {
     @volatile var stages = 0
     @volatile var tasks = 0L
     @volatile var busyMs = 0L
+    val runMs = new java.util.concurrent.atomic.AtomicLong
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
@@ -35,6 +36,11 @@ object JobMeter {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
+      }
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { runMs.addAndGet(m.executorRunTime); () }
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         Option(starts.remove(j.jobId)).foreach(t0 => busyMs += j.time - t0)
@@ -53,13 +59,16 @@ object JobMeter {
     }
 
     args.foreach { name =>
-      jobs = 0; stages = 0; tasks = 0; busyMs = 0
+      jobs = 0; stages = 0; tasks = 0; busyMs = 0; runMs.set(0L)
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the listener bus drain
-      println(f"METER $name%-20s ${sec}%8.2fs jobs=$jobs stages=$stages tasks=$tasks busy=${busyMs / 1000.0}%.2fs")
+      println(f"METER $name%-20s ${sec}%8.2fs jobs=$jobs stages=$stages tasks=$tasks busy=${busyMs / 1000.0}%.2fs taskRun=${runMs.get / 1000.0}%.2fs")
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -175,21 +175,29 @@ class LlmSpec extends SparkSpec {
   }
 
   test("connectedComponents groups dup pairs into min-rooted clusters") {
-    // two chains and a singleton edge: {1,2,4,9}, {5,7}, {3,8}
+    // two chains and a singleton edge: {1,2,4,9}, {5,7}, {3,8} — run BOTH
+    // execution tiers: driver union-find (small-graph tail) and the
+    // distributed star rounds (threshold 0) must agree exactly
     val pairs = Seq((1L, 2L), (2L, 4L), (4L, 9L), (5L, 7L), (8L, 3L))
       .toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L, 3L -> 3L, 8L -> 3L)
+    val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
-    assert(out === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 9L -> 1L,
-      5L -> 5L, 7L -> 5L, 3L -> 3L, 8L -> 3L))
-    // empty edge list → empty output, no failure
-    val empty = Dedup.connectedComponents(
-      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
-    assert(empty.count() === 0L)
+    assert(local === expected)
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      smallGraphThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(dist === expected)
+    // empty edge list → empty output, no failure (both tiers)
+    val emptyDf = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(emptyDf, "id_a", "id_b").count() === 0L)
+    assert(Dedup.connectedComponents(emptyDf, "id_a", "id_b",
+      smallGraphThreshold = 0L).count() === 0L)
     // a long path exercises multi-round convergence (log-round contract)
+    // on the DISTRIBUTED tier
     val path = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(path, "id_a", "id_b")
-      .as[(Long, Long)].collect()
+    val comp = Dedup.connectedComponents(path, "id_a", "id_b",
+      smallGraphThreshold = 0L).as[(Long, Long)].collect()
     assert(comp.length === 40 && comp.forall(_._2 == 1L))
   }
 
