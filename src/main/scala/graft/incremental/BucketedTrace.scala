@@ -1,0 +1,234 @@
+package graft.incremental
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.zset.ZSets
+import graft.zset.ZSets.W
+
+/** Persistent key-bucketed Z-set trace — the cluster-grade state backend
+  * for the incremental operators (the piece the reference implements as its
+  * LSM spine, crates/dbsp/src/trace/spine_async.rs).
+  *
+  * Layout: a parquet directory partitioned by `_b = hash(keys) mod
+  * nBuckets`, holding one or more RUNS per bucket (one run file-set per
+  * appended delta). The three operations mirror the spine contract:
+  *
+  *   - [[append]]: write the delta as a new run — I/O is O(|delta|),
+  *     NEVER O(|state|). This is the per-step cost, replacing the
+  *     full-trace rewrite a localCheckpoint-per-step loop pays.
+  *   - [[probe]]: read the consolidated trace rows matching a probe key
+  *     set. The scan is PARTITION-PRUNED to the probe's buckets (the
+  *     driver knows the bucket ids from the probe — at most nBuckets
+  *     values), then narrowed by a broadcast semi-join on the keys;
+  *     consolidation happens on the matching rows only.
+  *   - [[compact]]: fold all runs of every bucket into one (amortized
+  *     O(|state| / steps-between-compactions) per step, exactly the LSM
+  *     merge amortization). Auto-triggered every `autoCompactRuns`
+  *     appends; callers with a natural quiet point can call it directly.
+  *
+  * Atomicity: compaction writes to a sibling temp dir and swaps via
+  * directory rename — safe on a local/HDFS filesystem. An object-store
+  * deployment would swap a manifest instead (the rename is the only
+  * filesystem-specific line).
+  *
+  * Determinism: consolidated content is a Z-set (unordered, weighted), so
+  * run boundaries and compaction timing never change what [[read]] /
+  * [[probe]] return.
+  */
+final class BucketedTrace(
+    template: DataFrame,
+    val keys: Seq[String],
+    val nBuckets: Int = 32,
+    val autoCompactRuns: Int = 8,
+    root: Option[Path] = None) {
+
+  import BucketedTrace.B
+
+  private val spark: SparkSession = template.sparkSession
+  val path: Path = root.getOrElse(
+    Files.createTempDirectory("graft-trace-"))
+  private var runs = 0
+  private var appends = 0
+
+  /** Empty frame with the trace schema and FRESH attribute ids — the
+    * template's own ids usually belong to the caller's delta lineage, and
+    * reusing them puts duplicate ids on both sides of downstream unions
+    * (which trips Catalyst's union constraint rewrite).
+    */
+  private def empty: DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), template.schema)
+
+  private def bucketOf: Column =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+
+  /** Append one delta as a new run. Consolidate the delta FIRST if it may
+    * carry duplicate rows — runs are merged lazily, so an unconsolidated
+    * append is correct either way, just larger on disk.
+    */
+  def append(delta: DataFrame): Unit = {
+    delta.withColumn(B, bucketOf)
+      .write.mode("append").partitionBy(B)
+      .parquet(path.toString)
+    runs += 1
+    appends += 1
+    if (runs >= autoCompactRuns) compact()
+  }
+
+  // explicit read schema (data cols + bucket partition col): skips the
+  // parquet schema-inference job every probe/read would otherwise pay
+  private val readSchema = org.apache.spark.sql.types.StructType(
+    template.schema.fields :+ org.apache.spark.sql.types.StructField(
+      B, org.apache.spark.sql.types.LongType))
+
+  /** All raw run rows (weights NOT yet consolidated), with the bucket
+    * column still attached for pruning.
+    */
+  private def raw: DataFrame =
+    if (runs == 0 && !Files.exists(path.resolve("_SUCCESS"))) {
+      empty.withColumn(B, lit(0L))
+    } else spark.read.schema(readSchema).parquet(path.toString)
+
+  /** Full consolidated state (one shuffle over the whole trace — the
+    * batch-read path, not the per-step path).
+    */
+  def read(): DataFrame =
+    ZSets.consolidate(raw.drop(B)).filter(col(W) =!= 0)
+
+  /** Consolidated trace rows whose key appears in `probeKeys`: the
+    * per-step read path. Scans ONLY the probe's buckets — STATIC partition
+    * pruning via the collected bucket-id set (bounded by nBuckets; one
+    * tiny driver job) — and consolidates only the key-matching rows.
+    */
+  def probe(probeKeys: DataFrame): DataFrame = {
+    val ids = probeKeys
+      .select(bucketOf.as(B)).distinct()
+      .collect().map(_.get(0).toString.toLong)
+    if (ids.isEmpty || runs == 0) return ZSets.consolidate(empty)
+    val pruned = raw.filter(col(B).isin(ids.toSeq: _*)).drop(B)
+    val probe = IncrementalOps.maybeBroadcast(
+      probeKeys.select(keys.map(k => col(k).as(s"_p_$k")): _*))
+    val cond = keys.map(k => col(k) <=> col(s"_p_$k")).reduce(_ && _)
+    ZSets.consolidate(pruned.join(probe, cond, "left_semi"))
+      .filter(col(W) =!= 0)
+  }
+
+  /** Key-matching run rows WITHOUT consolidation — same partition-pruned
+    * broadcast-semi scan as [[probe]], minus its merge shuffle. Right for
+    * BILINEAR consumers (join terms): weight multiplication distributes
+    * over the run decomposition, so consolidating the OUTPUT once replaces
+    * consolidating every probe — one shuffle instead of three per step.
+    *
+    * The probe side carries its own bucket id and the semi-join condition
+    * equates it with the scan's partition column, so the optimizer CAN
+    * prune run files at runtime (dynamic partition pruning) without the
+    * per-probe driver collect that [[probe]]'s static pruning pays — in a
+    * tight step loop that collect is a scheduling-floor job per probe.
+    * DPP firing is a planner cost decision; when it declines, the
+    * semi-join still bounds the rows that leave the scan.
+    */
+  def probeRaw(probeKeys: DataFrame): DataFrame = {
+    if (runs == 0) return empty
+    // no distinct on the broadcast side: duplicates are harmless to the
+    // semi-join and the dedup would cost a shuffle per probe
+    val probe = IncrementalOps.maybeBroadcast(
+      probeKeys.select(bucketOf.as("_p_b") +:
+        keys.map(k => col(k).as(s"_p_$k")): _*))
+    val cond = (col(B) === col("_p_b")) &&
+      keys.map(k => col(k) <=> col(s"_p_$k")).reduce(_ && _)
+    raw.join(probe, cond, "left_semi").drop(B)
+  }
+
+  /** Fold every bucket's runs into one; swap atomically. */
+  def compact(): Unit = {
+    if (runs <= 1) return
+    val tmp = path.resolveSibling(path.getFileName.toString + ".compact")
+    BucketedTrace.deleteRecursively(tmp)
+    read().withColumn(B, bucketOf)
+      .write.mode("overwrite").partitionBy(B)
+      .parquet(tmp.toString)
+    val old = path.resolveSibling(path.getFileName.toString + ".old")
+    BucketedTrace.deleteRecursively(old)
+    Files.move(path, old)
+    Files.move(tmp, path)
+    BucketedTrace.deleteRecursively(old)
+    runs = 1
+  }
+
+  /** Total bytes currently on disk (spec/telemetry hook). */
+  def bytesOnDisk: Long = BucketedTrace.sizeOf(path)
+
+  /** Runs appended since construction (spec/telemetry hook). */
+  def appendCount: Int = appends
+
+  /** Drop the backing directory. */
+  def delete(): Unit = BucketedTrace.deleteRecursively(path)
+}
+
+object BucketedTrace {
+  /** Bucket partition column (parquet directory key). */
+  val B = "_b"
+
+  private[incremental] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+    }
+
+  private[incremental] def sizeOf(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_))
+        .mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
+
+  /** Incremental inner equi-join over two persistent traces, in the FULL
+    * bilinear expansion against the pre-step state:
+    *   Δ(A⋈B) = ΔA⋈B  +  A⋈ΔB  +  ΔA⋈ΔB
+    * — the same delta rule as [[IncrementalOps.joinStep]] (which uses the
+    * equivalent (A+ΔA)⋈ΔB grouping), but the traces live on disk and each
+    * step costs
+    *   write O(|ΔA| + |ΔB|)                    (two run appends)
+    *   read  O(touched buckets, key-filtered)  (two pruned probes)
+    * instead of a full-trace rewrite. All three terms probe the PRE-append
+    * trace, so the whole step delta evaluates at one point (a single
+    * delta-sized localCheckpoint) before the runs are appended — no
+    * ordering subtleties between probe evaluation and file appends.
+    */
+  def joinStep(
+      aTrace: BucketedTrace, bTrace: BucketedTrace,
+      dA: DataFrame, dB: DataFrame,
+      joinKeys: Seq[String]): DataFrame = {
+    def joined(l: DataFrame, r: DataFrame): DataFrame = {
+      val lw = l.withColumnRenamed(W, "_wl")
+      val rw = r.withColumnRenamed(W, "_wr")
+      lw.join(rw, joinKeys)
+        .withColumn(W, col("_wl") * col("_wr"))
+        .drop("_wl", "_wr")
+    }
+    // ΔA ⋈ B against the PRE-append trace, evaluated (delta-sized
+    // checkpoint) before the appends mutate the run set. Keeping the two
+    // terms in separate evaluation phases also keeps every union free of
+    // branches sharing attribute ids — a three-term ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    // union (deltas appearing in two branches) trips Catalyst's union
+    // constraint rewrite.
+    val t1 = joined(IncrementalOps.maybeBroadcast(dA),
+      bTrace.probeRaw(dA.select(joinKeys.map(col): _*)))
+      .localCheckpoint(true)
+    aTrace.append(dA)
+    bTrace.append(dB)
+    // … then (A+ΔA) ⋈ ΔB against the post-append runs. The probe's file
+    // listing is pinned at creation (InMemoryFileIndex), so later steps'
+    // appends never leak into this term even though it evaluates lazily.
+    val term2 = joined(
+      aTrace.probeRaw(dB.select(joinKeys.map(col): _*)),
+      IncrementalOps.maybeBroadcast(dB))
+    ZSets.consolidate(t1.unionByName(term2))
+  }
+}

@@ -141,20 +141,38 @@ object Incremental {
           ZSets.lift(li.filter(col("o_orderkey") % 3 === 1)),
           ZSets.lift(li.filter(col("o_orderkey") % 3 === 2)),
           ZSets.negate(ZSets.lift(li.filter(col("o_orderkey") % 10 === 0))))
-        var (aSt, bSt) = (Option.empty[DataFrame], Option.empty[DataFrame])
-        var out = Option.empty[DataFrame]
-        oBatches.zip(lBatches).foreach { case (dA, dB) =>
-          // materialize inside the step: the output term probes the SAME
-          // checkpointed trace the next step starts from (no double merge)
-          val (na, nb, d) = IncrementalOps.joinStep(aSt, bSt, dA, dB,
-            Seq("o_orderkey"), materialize = _.localCheckpoint(false))
-          aSt = Some(na)
-          bSt = Some(nb)
-          out = Some(out.map(_.unionByName(d)).getOrElse(d))
+        // traces live in the persistent bucketed backend (the spine
+        // analogue): each step APPENDS the delta as a run — O(|Δ|) write —
+        // and the bilinear output terms PROBE only the buckets/keys the
+        // opposite delta touches. No step reads or rewrites the full trace
+        // (the localCheckpoint-per-step form rewrote both traces through a
+        // row-encoder round trip every batch).
+        // 16 buckets: below Spark's parallel-listing threshold (32 paths),
+        // so run listings stay driver-side instead of costing a job per
+        // probe. Production sizing scales nBuckets with the cluster.
+        val aTrace = new graft.incremental.BucketedTrace(
+          ZSets.lift(o), Seq("o_orderkey"), nBuckets = 16)
+        val bTrace = new graft.incremental.BucketedTrace(
+          ZSets.lift(li), Seq("o_orderkey"), nBuckets = 16)
+        try {
+          var out = Option.empty[DataFrame]
+          oBatches.zip(lBatches).foreach { case (dA, dB) =>
+            val d = graft.incremental.BucketedTrace.joinStep(
+              aTrace, bTrace, dA, dB, Seq("o_orderkey"))
+            out = Some(out.map(_.unionByName(d)).getOrElse(d))
+          }
+          ZSets.toMultiset(ZSets.consolidate(out.get))
+            .select("o_orderkey", "o_custkey", "l_linenumber",
+              "l_extendedprice", "o_totalprice")
+            // the traces are deleted in the finally below, so the result
+            // must not depend on their files: snapshot it first. The
+            // snapshot is result-sized (the integrated view), not
+            // trace-sized.
+            .localCheckpoint(true)
+        } finally {
+          aTrace.delete()
+          bTrace.delete()
         }
-        ZSets.toMultiset(ZSets.consolidate(out.get))
-          .select("o_orderkey", "o_custkey", "l_linenumber",
-            "l_extendedprice", "o_totalprice")
     },
 
     // PRIMARY KEY (upsert) table semantics: v1 for every order, v2
