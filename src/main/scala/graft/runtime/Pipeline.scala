@@ -71,6 +71,44 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     * columns `_k0.._kn` + `_w`).
     */
   private val indicatorState = mutable.Map[String, DataFrame]()
+  /** Cached per-view analyzed plans for the SemiAnti delta rule: (plan0,
+    * semi parts, left leaves, right leaves, indicator identity). Safe to
+    * reuse across steps — every evaluation replaces ALL leaf bindings
+    * before running.
+    */
+  private val semiAntiCache = mutable.Map[String,
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Ivm.SemiParts,
+      Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
+      Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
+      String)]()
+
+  /** Per-step memo of each delta's weight signs (hasPositive,
+    * hasNegative) — single-stage RDD fold, one job per rel per step,
+    * which lets every ± telescoped rule SKIP the term for an absent sign
+    * (each skipped term saves a broadcast-build job plus its share of
+    * planning). Cleared at the top of [[step]].
+    */
+  private val stepDeltaSigns = mutable.Map[String, (Boolean, Boolean)]()
+
+  private def signsOf(name: String,
+      relDeltas: collection.Map[String, DataFrame]): (Boolean, Boolean) =
+    stepDeltaSigns.getOrElseUpdate(name, relDeltas.get(name) match {
+      case None => (false, false)
+      case Some(d) => d.select(col(ZSets.W)).rdd.aggregate((false, false))(
+        (acc, r) => {
+          val w = r.getLong(0)
+          (acc._1 || w > 0, acc._2 || w < 0)
+        },
+        (a, b) => (a._1 || b._1, a._2 || b._2))
+    })
+
+  /** Per-step memo of indicator deltas, keyed by the indicator identity
+    * (canonicalized right-side plan): views sharing a subquery (the
+    * common EXISTS / NOT EXISTS pair over one relation) maintain ONE
+    * indicator Z-set and compute its delta once per step. Cleared at the
+    * top of [[step]].
+    */
+  private val stepIndicatorMemo = mutable.Map[String, Option[DataFrame]]()
 
   private val tableNames = program.tables.map(_.name)
 
@@ -279,6 +317,8 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     val oldTables = tableState.toMap
     val oldViews = viewState.toMap
     val oldStates = oldTables ++ oldViews
+    stepDeltaSigns.clear()
+    stepIndicatorMemo.clear()
 
     // 1. integrate table deltas — mergeDelta touches only delta keys.
     // PRIMARY KEY tables accept upsert batches (rows + `_deleted` flag):
@@ -570,9 +610,16 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       rels.map(r => r -> relDeltas.get(r)
         .map(d => ZSets.toMultiset(sign(d)))
         .getOrElse(emptyOf(r))).toMap
-    val pos = ZSets.lift(evalWith(sql, part(identity)))
-    val neg = ZSets.negate(ZSets.lift(evalWith(sql, part(ZSets.negate))))
-    pos.unionByName(neg)
+    // evaluate only the sign parts that exist in this step's deltas
+    val (hasPos, hasNeg) = rels.toSeq.map(signsOf(_, relDeltas))
+      .foldLeft((false, false))((a, b) => (a._1 || b._1, a._2 || b._2))
+    val terms =
+      (if (hasPos) Seq(ZSets.lift(evalWith(sql, part(identity)))) else Nil) ++
+      (if (hasNeg)
+        Seq(ZSets.negate(ZSets.lift(evalWith(sql, part(ZSets.negate)))))
+      else Nil)
+    if (terms.isEmpty) ZSets.lift(evalWith(sql, part(identity)).limit(0))
+    else terms.reduce(_ unionByName _)
   }
 
   /** Multilinear telescoping: term i binds r_j→new (j<i), Δ_i (broadcast),
@@ -591,14 +638,18 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
               else if (j > i) multisetOf(rj, oldStates)
               else delta.hint("broadcast"))
           }.toMap
-        val pos = ZSets.toMultiset(d)
-        val neg = ZSets.toMultiset(ZSets.negate(d))
-        Seq(
-          ZSets.lift(evalWith(sql, bind(pos))),
-          ZSets.negate(ZSets.lift(evalWith(sql, bind(neg)))))
+        val (hasPos, hasNeg) = signsOf(ri, relDeltas)
+        (if (hasPos)
+          Seq(ZSets.lift(evalWith(sql, bind(ZSets.toMultiset(d))))) else Nil) ++
+        (if (hasNeg)
+          Seq(ZSets.negate(ZSets.lift(evalWith(sql,
+            bind(ZSets.toMultiset(ZSets.negate(d))))))) else Nil)
       }
     }
-    terms.reduce(_ unionByName _)
+    if (terms.isEmpty)
+      ZSets.lift(evalWith(sql,
+        rels.map(r => r -> emptyOf(r)).toMap).limit(0))
+    else terms.reduce(_ unionByName _)
   }
 
   /** Touched-group re-aggregation: restrict the source snapshot to groups
@@ -668,10 +719,14 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
           }.toMap
         def body(delta: DataFrame): DataFrame =
           positional(shims.ofRows(spark, analyzedAgg(bind(delta)).child))
-        Seq(ZSets.lift(body(ZSets.toMultiset(d))),
-          ZSets.negate(ZSets.lift(body(ZSets.toMultiset(ZSets.negate(d))))))
+        val (hasPos, hasNeg) = signsOf(ri, relDeltas)
+        (if (hasPos) Seq(ZSets.lift(body(ZSets.toMultiset(d)))) else Nil) ++
+        (if (hasNeg)
+          Seq(ZSets.negate(ZSets.lift(body(
+            ZSets.toMultiset(ZSets.negate(d)))))) else Nil)
       }
     }
+    if (terms.isEmpty) return ZSets.lift(emptyViews(viewName))
     val dJ = ZSets.consolidate(terms.reduce(_ unionByName _))
       .localCheckpoint(false)
 
@@ -740,16 +795,26 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
     val shims = org.apache.spark.sql.graft.Shims
 
-    // ONE analysis per step (was one per term — ADVICE r3): the canonical
-    // temp views are bound at analysis; every term grafts its own leaf
-    // bindings and indicator right side onto this plan
-    val plan0 = Ivm.rewriteSubqueries(spark.sql(sql).queryExecution.analyzed)
-    val sp0 = Ivm.semiParts(plan0).getOrElse(
-      sys.error(s"view $viewName lost its semi-join shape"))
-    val known = (tableNames ++ program.views.map(_.name)).toSet
-    val leaf = Ivm.leafFn(spark, known)
-    val leftLeaves = Ivm.leafNodes(sp0.join.left, leaf)
-    val rightLeaves = Ivm.leafNodes(sp0.join.right, leaf)
+    // ONE analysis per VIEW for the whole pipeline lifetime (was one per
+    // step — the per-step Catalyst analysis was a measurable slice of the
+    // step's driver floor): every term grafts its own leaf bindings and
+    // indicator right side onto this plan, so the cached analysis can
+    // never go stale — no term evaluates a plan0 leaf as-bound.
+    val (plan0, sp0, leftLeaves, rightLeaves, indKey) =
+      semiAntiCache.getOrElseUpdate(viewName, {
+        val p0 = Ivm.rewriteSubqueries(spark.sql(sql).queryExecution.analyzed)
+        val sp = Ivm.semiParts(p0).getOrElse(
+          sys.error(s"view $viewName lost its semi-join shape"))
+        val known = (tableNames ++ program.views.map(_.name)).toSet
+        val leaf = Ivm.leafFn(spark, known)
+        // indicator identity: canonicalized right subtree + key types —
+        // a semi and an anti view over the SAME subquery share one
+        // indicator state and one delta computation per step
+        val ik = sp.join.right.canonicalized.toString + "|" +
+          sp.rightKeys.map(_.dataType.catalogString).mkString(",")
+        (p0, sp, Ivm.leafNodes(sp.join.left, leaf),
+          Ivm.leafNodes(sp.join.right, leaf), ik)
+      })
     val names = sp0.rightKeys.indices.map(i => s"_k$i")
 
     def leafRepl(leaves: Seq[(String, LogicalPlan)],
@@ -777,26 +842,38 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
         .getOrElse(emptyOf(r))).toMap
 
     // 1. indicator maintenance: ΔKB = Δ(π_keys(right side)) via the linear
-    //    rule on the right subtree, then incremental DISTINCT
+    //    rule on the right subtree, then incremental DISTINCT. Memoized by
+    //    indicator identity, so a semi/anti PAIR over one subquery pays
+    //    this once per step; only the sign parts present in the deltas are
+    //    evaluated.
     val rightTouched = rightRels.exists(relDeltas.contains)
-    val dI: Option[DataFrame] = if (!rightTouched) None else {
-      val proj = sp0.rightKeys.zipWithIndex.map { case (a, i) =>
-        Alias(a, s"_k$i")()
-      }
-      def keyTerm(sign: DataFrame => DataFrame): DataFrame = {
-        val repl = leafRepl(rightLeaves, deltaPart(rightRels, sign))
-        shims.ofRows(spark, Project(proj, sp0.join.right).transformUp {
-          case p if repl.containsKey(p) => repl.get(p)
-        })
-      }
-      val dKB = ZSets.consolidate(
-        ZSets.lift(keyTerm(identity)).unionByName(
-          ZSets.negate(ZSets.lift(keyTerm(ZSets.negate)))))
-      val (st, d) = IncrementalOps.distinctStep(
-        indicatorState.get(viewName), dKB)
-      indicatorState(viewName) = st.localCheckpoint(false)
-      Some(d.localCheckpoint(false))
-    }
+    val dI: Option[DataFrame] =
+      if (!rightTouched) None
+      else stepIndicatorMemo.getOrElseUpdate(indKey, {
+        val (rPos, rNeg) = rightRels.toSeq.map(signsOf(_, relDeltas))
+          .foldLeft((false, false))((a, b) => (a._1 || b._1, a._2 || b._2))
+        if (!rPos && !rNeg) None
+        else {
+          val proj = sp0.rightKeys.zipWithIndex.map { case (a, i) =>
+            Alias(a, s"_k$i")()
+          }
+          def keyTerm(sign: DataFrame => DataFrame): DataFrame = {
+            val repl = leafRepl(rightLeaves, deltaPart(rightRels, sign))
+            shims.ofRows(spark, Project(proj, sp0.join.right).transformUp {
+              case p if repl.containsKey(p) => repl.get(p)
+            })
+          }
+          val kTerms =
+            (if (rPos) Seq(ZSets.lift(keyTerm(identity))) else Nil) ++
+            (if (rNeg)
+              Seq(ZSets.negate(ZSets.lift(keyTerm(ZSets.negate)))) else Nil)
+          val dKB = ZSets.consolidate(kTerms.reduce(_ unionByName _))
+          val (st, d) = IncrementalOps.distinctStep(
+            indicatorState.get(indKey), dKB)
+          indicatorState(indKey) = st.localCheckpoint(false)
+          Some(d.localCheckpoint(false))
+        }
+      })
 
     // graft: bind the left-side leaves and replace the join's right child
     // with `rows` (aliased onto the right key attrs' exprIds, broadcast)
@@ -823,9 +900,13 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
     }
 
     // 2. ΔA term against I_new, restricted scan-side to the delta's own
-    //    keys first so only a delta-sized key set is broadcast
+    //    keys first so only a delta-sized key set is broadcast; only the
+    //    sign parts present in the left deltas are evaluated
+    val (lPos, lNeg) = leftRels.toSeq.map(signsOf(_, relDeltas))
+      .foldLeft((false, false))((a, b) => (a._1 || b._1, a._2 || b._2))
     val signs: Seq[(DataFrame => DataFrame, Boolean)] =
-      Seq((identity[DataFrame], false), (ZSets.negate _, true))
+      (if (lPos) Seq((identity[DataFrame] _, false)) else Nil) ++
+        (if (lNeg) Seq((ZSets.negate _, true)) else Nil)
     val t1: Seq[DataFrame] =
       if (!leftRels.exists(relDeltas.contains)) Nil
       else signs.map { case (sign, negOut) =>
@@ -836,7 +917,7 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
           sp0.join.left).transformUp {
             case p if probeRepl.containsKey(p) => probeRepl.get(p)
           })
-        val present = indicatorState.get(viewName)
+        val present = indicatorState.get(indKey)
           .map(st => st.filter(col(ZSets.W) > 0).drop(ZSets.W))
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -849,19 +930,33 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
 
     // 3. transition terms against the PRE-STEP left side: a key appearing
     //    INSERTS matching old-left rows into a semi view and RETRACTS them
-    //    from an anti view; a vanishing key is the reverse
+    //    from an anti view; a vanishing key is the reverse. Both sides'
+    //    presence is decided by ONE aggregate job (two isEmpty probes were
+    //    two scheduling-floor jobs per step).
     val t2: Seq[DataFrame] = dI.toSeq.flatMap { d =>
-      val appeared = d.filter(col(ZSets.W) > 0).drop(ZSets.W)
-      val vanished = d.filter(col(ZSets.W) < 0).drop(ZSets.W)
+      // single-stage RDD fold: one job, no shuffle (a DataFrame agg would
+      // spawn one AQE job per query stage), and it materializes d's lazy
+      // checkpoint for the terms below as a side effect
+      val (nAppeared, nVanished) = d.select(col(ZSets.W)).rdd
+        .aggregate((0L, 0L))(
+          (acc, r) => {
+            val w = r.getLong(0)
+            (acc._1 + (if (w > 0) 1L else 0L),
+              acc._2 + (if (w < 0) 1L else 0L))
+          },
+          (a, b) => (a._1 + b._1, a._2 + b._2))
       lazy val oldBinds = leftRels.map(r =>
         r -> multisetOf(r, oldStates)).toMap
-      def term(rows: DataFrame, negOut: Boolean): Seq[DataFrame] =
-        if (rows.isEmpty) Nil
+      def term(rows: DataFrame, n: Long, negOut: Boolean): Seq[DataFrame] =
+        if (n == 0L) Nil
         else {
           val res = graft(oldBinds, rows, forceSemi = true)
           Seq(if (negOut) ZSets.negate(ZSets.lift(res)) else ZSets.lift(res))
         }
-      term(appeared, negOut = isAnti) ++ term(vanished, negOut = !isAnti)
+      term(d.filter(col(ZSets.W) > 0).drop(ZSets.W), nAppeared,
+        negOut = isAnti) ++
+        term(d.filter(col(ZSets.W) < 0).drop(ZSets.W), nVanished,
+          negOut = !isAnti)
     }
 
     val terms = t1 ++ t2

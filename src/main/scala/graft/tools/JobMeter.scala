@@ -31,7 +31,12 @@ object JobMeter {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs += 1; starts.put(j.jobId, j.time); ()
+        jobs += 1; starts.put(j.jobId, j.time)
+        if (sys.env.contains("SPARK_GRAFT_TRACE")) {
+          val d = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          println(s"  JOB ${j.jobId}: $d")
+        }
+        ()
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
