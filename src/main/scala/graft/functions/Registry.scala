@@ -50,6 +50,47 @@ object Registry {
     ("doy", "d DATE", "INT", "dayofyear(d)"),
     // int→timestamp interprets MILLIseconds (ad-hoc.md:36-38)
     ("to_timestamp_millis", "x BIGINT", "TIMESTAMP", "timestamp_millis(x)"),
+    // TIME tail (types.md:19; crates/sqllib/src/timestamp.rs TIME
+    // section). The primary mapping is Spark 4.1's NATIVE TimeType
+    // (SqlTypes "TIME"; fn_time grades it) — native make_time/EXTRACT/
+    // casts apply there. This BIGINT nanos-of-day tail is the portable
+    // fallback for sessions without spark.sql.timeType.enabled, plus the
+    // pieces the native type lacks (wrap-around arithmetic, explicit
+    // format). format_time renders exactly like an engine-native
+    // TIME→VARCHAR cast (zero-padded HH:MM:SS, fractional part trimmed
+    // of trailing zeros, omitted when zero) so cross-engine string
+    // compares work. No "make_time" here: that name is the native
+    // builtin, which wins resolution over a CREATE FUNCTION.
+    ("parse_time", "s STRING", "BIGINT",
+      "CAST(split(s, ':')[0] AS BIGINT) * 3600000000000 " +
+        "+ CAST(split(s, ':')[1] AS BIGINT) * 60000000000 " +
+        "+ CAST(CAST(split(s, ':')[2] AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"),
+    ("format_time", "t BIGINT", "STRING",
+      "concat(lpad(CAST(t div 3600000000000 AS STRING), 2, '0'), ':', " +
+        "lpad(CAST((t div 60000000000) % 60 AS STRING), 2, '0'), ':', " +
+        "lpad(CAST((t div 1000000000) % 60 AS STRING), 2, '0'), " +
+        "CASE WHEN t % 1000000000 = 0 THEN '' ELSE concat('.', " +
+        "regexp_replace(lpad(CAST(t % 1000000000 AS STRING), 9, '0'), '0+$', '')) END)"),
+    ("hour_time", "t BIGINT", "BIGINT", "t div 3600000000000"),
+    ("minute_time", "t BIGINT", "BIGINT", "(t div 60000000000) % 60"),
+    ("second_time", "t BIGINT", "BIGINT", "(t div 1000000000) % 60"),
+    ("millisecond_time", "t BIGINT", "BIGINT", "(t div 1000000) % 1000"),
+    // interval arithmetic wraps mod 24h, like the reference's TIME ops
+    ("time_add_seconds", "t BIGINT, s BIGINT", "BIGINT",
+      "pmod(t + s * 1000000000, 86400000000000)"),
+    ("time_to_timestamp", "d DATE, t BIGINT", "TIMESTAMP",
+      "CAST(d AS TIMESTAMP_NTZ) + make_dt_interval(0, 0, 0, " +
+        "CAST(t AS DOUBLE) / 1000000000)"),
+    // GEOMETRY point tail (crates/sqllib/src/geopoint.rs: MAKE_GEOPOINT,
+    // ST_DISTANCE = planar Euclidean distance); GEOMETRY maps to
+    // STRUCT<x,y> (SqlTypes "GEOMETRY")
+    ("make_geopoint", "x DOUBLE, y DOUBLE", "STRUCT<x: DOUBLE, y: DOUBLE>",
+      "named_struct('x', x, 'y', y)"),
+    ("st_x", "p STRUCT<x: DOUBLE, y: DOUBLE>", "DOUBLE", "p.x"),
+    ("st_y", "p STRUCT<x: DOUBLE, y: DOUBLE>", "DOUBLE", "p.y"),
+    ("st_distance", "a STRUCT<x: DOUBLE, y: DOUBLE>, " +
+      "b STRUCT<x: DOUBLE, y: DOUBLE>", "DOUBLE",
+      "sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"),
     // array tail
     ("array_length", "a ARRAY<STRING>", "INT", "size(a)"),
     ("element", "a ARRAY<STRING>", "STRING",

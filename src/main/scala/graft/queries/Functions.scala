@@ -484,6 +484,82 @@ object Functions {
         // prune a deep object field and shrink the array (1-based path)
         to_json(Variants.variantDeepFilterAll(v, (p, _) =>
           p =!= "a.b.d" && p =!= "arr[1]")).as("filtered"))
+    },
+
+    // TIME type (types.md:19; sqllib timestamp.rs TIME section): Spark
+    // 4.1's NATIVE TimeType, enabled via spark.sql.timeType.enabled —
+    // construction (make_time), VARCHAR rendering (identical trimmed-
+    // fraction form in both engines), EXTRACT, wrap-around interval
+    // arithmetic (native add overflows past midnight, so the wrap is the
+    // conditional ±24h form both engines agree on), parse/format round
+    // trip, and date+time → timestamp composition. The BIGINT
+    // nanos-of-day registry tail (parse_time/format_time/...) remains the
+    // portable fallback for sessions without the flag.
+    Q(
+      "fn_time",
+      """SELECT o_orderkey AS k,
+        |  CAST(tt AS VARCHAR) AS t_str,
+        |  EXTRACT(hour FROM tt) AS t_h,
+        |  EXTRACT(minute FROM tt) AS t_m,
+        |  CAST(EXTRACT(second FROM tt) AS BIGINT) AS t_s,
+        |  CAST(tt + INTERVAL 97 MINUTES AS VARCHAR) AS t_plus,
+        |  CAST(CAST(CAST(tt AS VARCHAR) AS TIME) AS VARCHAR) AS t_rt,
+        |  CAST(CAST('2024-03-05' AS DATE) + tt AS VARCHAR) AS t_ts
+        |FROM (
+        |  SELECT o_orderkey, make_time(
+        |    CAST(o_orderkey % 24 AS BIGINT),
+        |    CAST(o_orderkey % 60 AS BIGINT),
+        |    CAST(o_orderkey % 60 AS DOUBLE) + (o_orderkey % 1000) / 1000.0) AS tt
+        |  FROM orders WHERE o_orderkey <= 12000)""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.timeType.enabled", "true")
+      t(s, dir, "orders").filter(col("o_orderkey") <= 12000)
+        .select(col("o_orderkey").as("k"),
+          expr("make_time(CAST(o_orderkey % 24 AS INT), " +
+            "CAST(o_orderkey % 60 AS INT), " +
+            "CAST(o_orderkey % 60 AS DOUBLE) + (o_orderkey % 1000) / 1000.0)")
+            .as("tt"))
+        .select(col("k"),
+          expr("CAST(tt AS STRING)").as("t_str"),
+          expr("EXTRACT(HOUR FROM tt)").cast("long").as("t_h"),
+          expr("EXTRACT(MINUTE FROM tt)").cast("long").as("t_m"),
+          expr("CAST(EXTRACT(SECOND FROM tt) AS BIGINT)").as("t_s"),
+          // DuckDB's TIME + INTERVAL wraps mod 24h; Spark's native add
+          // raises DATETIME_OVERFLOW past midnight — the conditional
+          // ±(24h − 97min) form is the wrap both engines compute alike
+          expr("CAST(CASE WHEN tt >= TIME'22:23:00' " +
+            "THEN tt - INTERVAL 1343 MINUTES " +
+            "ELSE tt + INTERVAL 97 MINUTES END AS STRING)").as("t_plus"),
+          expr("CAST(CAST(CAST(tt AS STRING) AS TIME) AS STRING)")
+            .as("t_rt"),
+          expr("CAST(make_timestamp_ntz(DATE'2024-03-05', tt) AS STRING)")
+            .as("t_ts"))
+    },
+
+    // GEOMETRY point type (crates/sqllib/src/geopoint.rs): MAKE_GEOPOINT /
+    // ST_X / ST_Y / planar Euclidean ST_DISTANCE over STRUCT<x,y>. The
+    // oracle re-derives the same points and the same closed-form distance.
+    Q(
+      "fn_geo",
+      """SELECT n1.n_nationkey AS a, n2.n_nationkey AS b,
+        |  CAST(n1.n_nationkey AS DOUBLE) / 7 AS ax,
+        |  CAST(n1.n_nationkey % 5 AS DOUBLE) AS ay,
+        |  ROUND(sqrt(
+        |    (CAST(n1.n_nationkey AS DOUBLE) / 7 - CAST(n2.n_nationkey AS DOUBLE) / 7)
+        |      * (CAST(n1.n_nationkey AS DOUBLE) / 7 - CAST(n2.n_nationkey AS DOUBLE) / 7)
+        |    + (CAST(n1.n_nationkey % 5 AS DOUBLE) - CAST(n2.n_nationkey % 5 AS DOUBLE))
+        |      * (CAST(n1.n_nationkey % 5 AS DOUBLE) - CAST(n2.n_nationkey % 5 AS DOUBLE))), 9) AS dist
+        |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey""".stripMargin) {
+      (s, dir) =>
+        graft.functions.Registry.registerAll(s)
+        val n = t(s, dir, "nation").select(col("n_nationkey"),
+          expr("make_geopoint(CAST(n_nationkey AS DOUBLE) / 7, " +
+            "CAST(n_nationkey % 5 AS DOUBLE))").as("p"))
+        n.alias("n1").join(n.alias("n2"),
+            col("n1.n_nationkey") < col("n2.n_nationkey"))
+          .select(col("n1.n_nationkey").as("a"),
+            col("n2.n_nationkey").as("b"),
+            expr("st_x(n1.p)").as("ax"), expr("st_y(n1.p)").as("ay"),
+            round(expr("st_distance(n1.p, n2.p)"), 9).as("dist"))
     }
   )
 }

@@ -1,5 +1,7 @@
 package graft.runtime
 
+import java.util.Locale
+
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -41,6 +43,8 @@ import graft.zset.ZSets
 final class Pipeline(spark: SparkSession, program: Ddl.Program) {
 
   graft.functions.Registry.registerAll(spark)
+  // TIME columns (SqlTypes "TIME" → native TimeType) need the 4.1 flag
+  spark.conf.set("spark.sql.timeType.enabled", "true")
 
   // program-declared types and functions (grammar.md:43-50, 278-285):
   // CREATE TYPE aliases resolve through SqlTypes; SQL-bodied CREATE
@@ -1032,11 +1036,47 @@ final class Pipeline(spark: SparkSession, program: Ddl.Program) {
       multisetOf(n, tableState).createOrReplaceTempView(n))
     program.views.map(_.name).filter(viewState.contains).foreach(v =>
       multisetOf(v, viewState).createOrReplaceTempView(v))
-    spark.sql(sql)
+    sql match {
+      case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
+      case _ => spark.sql(sql)
+    }
+  }
+
+  /** Ad-hoc `INSERT INTO t VALUES ... | SELECT ...` (ad-hoc.md:23 —
+    * ad-hoc supports SELECT/INSERT): the source is evaluated against the
+    * CURRENT stepped state (so INSERT … SELECT can read tables and
+    * views), aligned positionally to the table's declared schema, and
+    * routed through a full [[step]] as a +1 Z-set delta — views update
+    * through their incremental rules exactly as if the rows had arrived
+    * through a connector. Returns the reference's shape: one row with the
+    * inserted-row `count`.
+    */
+  private def adHocInsert(table: String, source: String): DataFrame = {
+    require(tableNames.contains(table),
+      s"ad-hoc INSERT into unknown table: $table")
+    val src = spark.sql(
+      if (source.trim.toUpperCase(Locale.ROOT).startsWith("VALUES"))
+        s"SELECT * FROM ($source)"
+      else source)
+    val target = emptyTables(table).schema
+    require(src.schema.size == target.size,
+      s"ad-hoc INSERT arity mismatch for $table: " +
+        s"${src.schema.size} columns vs ${target.size} declared")
+    // positional alignment + declared-type casts (the INSERT contract)
+    val aligned = src.toDF(target.fieldNames.toSeq: _*)
+      .select(target.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      .localCheckpoint(true) // evaluate BEFORE step() rebinds temp views
+    val n = aligned.count()
+    step(Map(table -> ZSets.lift(aligned)))
+    spark.sql(s"SELECT CAST($n AS BIGINT) AS count")
   }
 }
 
 object Pipeline {
+  /** `INSERT INTO <table> <VALUES …|SELECT …>` (ad-hoc surface). */
+  private[runtime] val InsertRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(VALUES\\b.*|SELECT\\b.*)$".r
+
   def apply(spark: SparkSession, programSql: String): Pipeline =
     new Pipeline(spark, Ddl.parse(programSql))
 }

@@ -101,13 +101,13 @@ object Connectors {
           .map(d => reader.option("driver", d)).getOrElse(reader).load())
       case "kafka_input" =>
         requireFormat(spark, "kafka", "kafka_input")
-        val raw = spark.readStream.format("kafka")
-          .option("kafka.bootstrap.servers",
-            conf.config("bootstrap.servers"))
-          .option("subscribe", conf.config("topic"))
-          .load()
-          .select(col("value").cast("string"))
-        Envelopes.decodeJson(raw, schema,
+        decodeKafkaBatch(
+          spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers",
+              conf.config("bootstrap.servers"))
+            .option("subscribe", conf.config("topic"))
+            .load(),
+          schema,
           conf.formatConfig.getOrElse("update_format", "insert_delete"))
       case "delta_table_input" =>
         requireFormat(spark, "delta", "delta_table_input")
@@ -118,6 +118,21 @@ object Connectors {
       case other => sys.error(s"unknown transport: $other")
     }
   }
+
+  /** Decode a Kafka record batch into a Z-set delta. `records` carries
+    * the EXACT relation the spark-sql-kafka source produces (key/value
+    * BINARY + topic/partition/offset/timestamp); payload bytes are UTF-8
+    * JSON update envelopes, decoded by [[Envelopes.decodeJson]] — the
+    * reference's kafka transport + json format pairing
+    * (crates/adapters/src/transport/kafka/). Split out from the
+    * broker-reading path so the wire decode is testable (and reusable for
+    * a recorded-bytes replay) without Kafka jars or a broker.
+    */
+  def decodeKafkaBatch(records: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      updateFormat: String): DataFrame =
+    Envelopes.decodeJson(records.select(col("value").cast("string")),
+      schema, updateFormat)
 
   /** Deterministic schema-driven generator (transport/datagen.rs's role):
     * seeded hash per (row, column) — reproducible on any cluster layout.

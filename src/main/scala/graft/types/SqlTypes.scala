@@ -54,7 +54,11 @@ object SqlTypes {
       case varcharN(_) | "VARCHAR" | "STRING" | "TEXT" => StringType
       case "BINARY" | "VARBINARY" | "BYTEA" => BinaryType
       case "DATE" => DateType
-      case "TIME" => LongType // nanos-of-day (no native Spark TIME)
+      // Spark 4.1 native TIME (micros precision), gated by
+      // spark.sql.timeType.enabled — Pipeline enables it; the Registry's
+      // BIGINT nanos-of-day tail (parse_time/format_time/hour_time/…)
+      // remains the portable fallback for flag-less sessions
+      case "TIME" => TimeType(TimeType.DEFAULT_PRECISION)
       case "TIMESTAMP" => TimestampNTZType
       case "TIMESTAMP WITH TIME ZONE" => TimestampType
       case "INTERVAL YEAR TO MONTH" => YearMonthIntervalType()

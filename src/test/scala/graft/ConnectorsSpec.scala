@@ -45,6 +45,37 @@ class ConnectorsSpec extends SparkSpec {
     assert(out === Set((1L, "x", 1L), (2L, "y", -1L)))
   }
 
+  test("kafka wire bytes decode end-to-end without a broker") {
+    // recorded wire frames in the EXACT relation shape spark-sql-kafka
+    // produces: key/value BINARY + topic/partition/offset/timestamp.
+    // Payloads are the reference's insert_delete envelopes; the same
+    // decodeKafkaBatch call is what the kafka_input transport runs on a
+    // live stream, so the decode contract is proven broker-free.
+    val frames = Seq(
+      (Array[Byte](107), """{"insert": {"a": 1, "b": "x"}}""".getBytes("UTF-8"),
+        "t", 0, 0L, new java.sql.Timestamp(1700000000000L)),
+      (null.asInstanceOf[Array[Byte]],
+        """{"insert": {"a": 2, "b": "y"}}""".getBytes("UTF-8"),
+        "t", 1, 7L, new java.sql.Timestamp(1700000001000L)),
+      (Array[Byte](108), """{"delete": {"a": 1, "b": "x"}}""".getBytes("UTF-8"),
+        "t", 0, 1L, new java.sql.Timestamp(1700000002000L)))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val t = tableWith("[]")
+    val out = Connectors.decodeKafkaBatch(frames,
+        graft.sources.FileSource.schemaOf(t), "insert_delete")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set((1L, "x", 1L), (2L, "y", 1L), (1L, "x", -1L)))
+    // weighted envelopes ride the same wire path
+    val wf = Seq((null.asInstanceOf[Array[Byte]],
+      """{"weight": -3, "data": {"a": 9, "b": "z"}}""".getBytes("UTF-8"),
+      "t", 0, 2L, new java.sql.Timestamp(1700000003000L)))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val wout = Connectors.decodeKafkaBatch(wf,
+        graft.sources.FileSource.schemaOf(t), "weighted")
+      .as[(Long, String, Long)].collect().toSet
+    assert(wout === Set((9L, "z", -3L)))
+  }
+
   test("datagen transport generates schema-driven deterministic rows") {
     val t = tableWith(
       """[{"transport": {"name": "datagen", "config": {"rows": "50"}}}]""",

@@ -213,4 +213,39 @@ class PipelineSpec extends SparkSpec {
     assert(n._2.toString.startsWith("2024-02-01"))
     assert(n._3 > 0)
   }
+
+  test("ad-hoc INSERT routes rows through a step; views update") {
+    val pipe = Pipeline(spark, programSql)
+    pipe.step(Map("lineitem" -> ZSets.lift(
+      Seq((1L, 10.0, "A", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))))
+    // VALUES form: two rows into the A group (one filtered out by the
+    // restricted view's quantity < 40 predicate)
+    val ins = pipe.adHoc(
+      "INSERT INTO lineitem VALUES " +
+        "(2, 20.0, 'A', TIMESTAMP '2024-01-02 00:00:00'), " +
+        "(3, 99.0, 'A', TIMESTAMP '2024-01-02 00:00:00')")
+      .as[Long].head()
+    assert(ins === 2L)
+    val afterValues = pipe.adHoc(
+      "SELECT sum_qty, n FROM qty_by_flag WHERE l_returnflag = 'A'")
+      .as[(Double, Long)].head()
+    assert(afterValues === ((30.0, 2L))) // 10 + 20; 99 filtered
+    // INSERT … SELECT reads the pipeline's own stepped state
+    val ins2 = pipe.adHoc(
+      "INSERT INTO lineitem SELECT l_orderkey + 100, l_quantity, " +
+        "l_returnflag, l_shipdate FROM lineitem WHERE l_quantity < 15")
+      .as[Long].head()
+    assert(ins2 === 1L) // only the quantity-10 row
+    val afterSelect = pipe.adHoc(
+      "SELECT sum_qty, n FROM qty_by_flag WHERE l_returnflag = 'A'")
+      .as[(Double, Long)].head()
+    assert(afterSelect === ((40.0, 3L)))
+    // batch contract: stepped view state equals a from-scratch recompute
+    val batch = pipe.adHoc(
+      "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) " +
+        "FROM lineitem WHERE l_quantity < 40 AND l_returnflag = 'A'")
+      .as[Double].head()
+    assert(batch === 40.0)
+  }
 }
