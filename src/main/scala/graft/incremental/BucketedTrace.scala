@@ -159,6 +159,14 @@ final class BucketedTrace(
     runs = 1
   }
 
+  /** All current run rows, unconsolidated, bucket column dropped — the
+    * zero-overhead read for BILINEAR consumers that already join against a
+    * (broadcast) delta: the join's own hash probe filters the scan rows,
+    * so a semi pre-filter on the same keys would duplicate that work (and
+    * its broadcast build) for nothing.
+    */
+  def runsRaw: DataFrame = raw.drop(B)
+
   /** Total bytes currently on disk (spec/telemetry hook). */
   def bytesOnDisk: Long = BucketedTrace.sizeOf(path)
 
@@ -167,6 +175,86 @@ final class BucketedTrace(
 
   /** Drop the backing directory. */
   def delete(): Unit = BucketedTrace.deleteRecursively(path)
+}
+
+/** The EXCHANGE-FREE sibling of [[BucketedTrace]]: run appends go to a
+  * Spark BUCKETED table (bucketBy on the join keys), so a scan reports
+  * HashPartitioning and a shuffle-hash join against a delta moves ONLY the
+  * delta — no broadcast collect of a large delta on the driver, and never
+  * a shuffle of the trace. This is the co-located-join state layout for
+  * standing stream-stream joins (the q8 shape), where deltas are large
+  * and uniform so [[BucketedTrace]]'s pruned point probes don't pay off.
+  *
+  * The two layouts are complementary spine representations:
+  * directory-partitioned runs for pruned, selective probes (inc_* loops);
+  * bucketed-table runs for co-located full-delta joins (streaming).
+  */
+final class BucketedTableTrace(
+    template: DataFrame,
+    val keys: Seq[String],
+    val nBuckets: Int = 16) {
+
+  private val spark: SparkSession = template.sparkSession
+  /** Unique per JVM AND across runs: a crashed run leaves its managed
+    * location behind in the warehouse even though the in-memory catalog
+    * forgot the table, so a plain counter would collide with the corpse.
+    */
+  val table: String = "graft_trace_" +
+    java.lang.Long.toHexString(System.nanoTime()) +
+    s"_${BucketedTableTrace.nextId()}"
+  private var runs = 0
+
+  private def empty: DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), template.schema)
+
+  /** Append one delta as a new run: bytes written O(|delta|); each
+    * bucket's files accumulate and scan back as ONE partition.
+    */
+  def append(delta: DataFrame): Unit = {
+    delta.write.mode("append")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+    runs += 1
+  }
+
+  /** All run rows (unconsolidated), partitioned by the bucketing. */
+  def runsRaw: DataFrame =
+    if (runs == 0) empty else spark.table(table)
+
+  /** Full consolidated state. */
+  def read(): DataFrame =
+    ZSets.consolidate(runsRaw).filter(col(W) =!= 0)
+
+  def delete(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table"); ()
+  }
+}
+
+object BucketedTableTrace {
+  private val counter = new java.util.concurrent.atomic.AtomicLong
+  private def nextId(): Long = counter.incrementAndGet()
+
+  /** Bilinear join step over two bucketed-table traces — identical delta
+    * rule and phase structure to [[BucketedTrace.joinStep]], but each
+    * term is a SHUFFLE-HASH join that builds on the (hinted) delta and
+    * streams the bucketed runs in place: per-step movement is the delta's
+    * exchange into the bucket partitioning, O(|Δ|); the trace is neither
+    * shuffled nor collected for a broadcast.
+    */
+  def joinStep(
+      aTrace: BucketedTableTrace, bTrace: BucketedTableTrace,
+      dA: DataFrame, dB: DataFrame,
+      joinKeys: Seq[String]): DataFrame = {
+    val t1 = BucketedTrace.joined(dA.hint("shuffle_hash"), bTrace.runsRaw,
+        joinKeys)
+      .localCheckpoint(true)
+    aTrace.append(dA)
+    bTrace.append(dB)
+    val term2 = BucketedTrace.joined(aTrace.runsRaw,
+      dB.hint("shuffle_hash"), joinKeys)
+    t1.unionByName(term2)
+  }
 }
 
 object BucketedTrace {
@@ -205,30 +293,48 @@ object BucketedTrace {
       aTrace: BucketedTrace, bTrace: BucketedTrace,
       dA: DataFrame, dB: DataFrame,
       joinKeys: Seq[String]): DataFrame = {
-    def joined(l: DataFrame, r: DataFrame): DataFrame = {
-      val lw = l.withColumnRenamed(W, "_wl")
-      val rw = r.withColumnRenamed(W, "_wr")
-      lw.join(rw, joinKeys)
-        .withColumn(W, col("_wl") * col("_wr"))
-        .drop("_wl", "_wr")
-    }
-    // ΔA ⋈ B against the PRE-append trace, evaluated (delta-sized
-    // checkpoint) before the appends mutate the run set. Keeping the two
-    // terms in separate evaluation phases also keeps every union free of
-    // branches sharing attribute ids — a three-term ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
-    // union (deltas appearing in two branches) trips Catalyst's union
-    // constraint rewrite.
-    val t1 = joined(IncrementalOps.maybeBroadcast(dA),
-      bTrace.probeRaw(dA.select(joinKeys.map(col): _*)))
-      .localCheckpoint(true)
+    // ΔA ⋈ B against the PRE-append trace. The delta side is broadcast
+    // and the runs are scanned IN PLACE — the hash join itself filters
+    // the scan to matching keys, so no semi pre-filter (probeRaw's use
+    // case is consumers that need the matching rows as data). Both terms
+    // stay LIVE plans: each run scan's file listing is pinned at creation
+    // (InMemoryFileIndex), so t1 keeps reading the pre-append run set and
+    // term2 this step's set even when the caller evaluates the delta
+    // later. (A localCheckpoint barrier here would leak the origin plan's
+    // constraints through the LogicalRDD and crash Catalyst's union
+    // constraint rewrite in downstream delta unions.) CONTRACT: evaluate
+    // or materialize the returned delta before the traces COMPACT —
+    // compaction swaps run directories out from under a pinned listing
+    // (autoCompactRuns appends away, or an explicit compact()).
+    val t1 = joined(IncrementalOps.maybeBroadcast(dA), bTrace.runsRaw,
+      joinKeys)
     aTrace.append(dA)
     bTrace.append(dB)
-    // … then (A+ΔA) ⋈ ΔB against the post-append runs. The probe's file
-    // listing is pinned at creation (InMemoryFileIndex), so later steps'
-    // appends never leak into this term even though it evaluates lazily.
-    val term2 = joined(
-      aTrace.probeRaw(dB.select(joinKeys.map(col): _*)),
-      IncrementalOps.maybeBroadcast(dB))
-    ZSets.consolidate(t1.unionByName(term2))
+    val term2 = joined(aTrace.runsRaw, IncrementalOps.maybeBroadcast(dB),
+      joinKeys)
+    // NO output consolidation: the two terms cover disjoint pair spaces
+    // (ΔA×B_pre vs (A+ΔA)×ΔB), so the union is already a valid Z-set;
+    // canonicalizing it would cost an output-sized shuffle per step that
+    // integrators pay once at read time instead
+    t1.unionByName(term2)
+  }
+
+  /** Weight-multiplying inner equi-join of two Z-sets WITHOUT a USING
+    * join: the right side's keys are renamed and joined by explicit
+    * equality, then dropped. A USING join keeps the eliminated right keys
+    * as hidden output, and constraints referencing them crash Catalyst's
+    * union constraint rewrite when the result lands in a Union whose other
+    * branch shares attribute ids (the streaming foreachBatch shape).
+    */
+  private[incremental] def joined(l: DataFrame, r: DataFrame,
+      joinKeys: Seq[String]): DataFrame = {
+    val lw = l.withColumnRenamed(W, "_wl")
+    val rw0 = r.withColumnRenamed(W, "_wr")
+    val rw = rw0.select(rw0.columns.map(c =>
+      if (joinKeys.contains(c)) col(c).as(s"_rk_$c") else col(c)): _*)
+    val cond = joinKeys.map(k => col(k) === col(s"_rk_$k")).reduce(_ && _)
+    lw.join(rw, cond)
+      .withColumn(W, col("_wl") * col("_wr"))
+      .drop("_wl" +: "_wr" +: joinKeys.map(k => s"_rk_$k"): _*)
   }
 }

@@ -49,14 +49,23 @@ object StreamingPipeline {
     * Payload column names must be disjoint (join output flattens both).
     *
     * `onDelta(outputDelta, batchId)` receives the join's Z-set output
-    * delta per batch (weight = wL·wR). State lives as localCheckpoint'd
-    * DataFrames across batches; on a cluster the integrated sides would be
-    * key-bucketed tables (IncrementalOps' scale contract) and restart
-    * recovery comes from DurableRunner's journal replay.
+    * delta per batch (weight = wL·wR). The integrated traces live in the
+    * persistent bucketed backend ([[graft.incremental.BucketedTrace]] —
+    * the spine analogue): a micro-batch APPENDS its deltas as runs
+    * (O(|Δ|) write) and the bilinear terms join the broadcast delta
+    * against the runs scanned in place — a step never rewrites or
+    * re-encodes the full trace, which is what keeps throughput flat as
+    * the traces grow. Deployments where a delta is too large to broadcast
+    * swap in [[graft.incremental.BucketedTableTrace]] (same contract,
+    * shuffle-hash joins that move only the delta; measured slower in
+    * local mode where an in-process broadcast is nearly free, faster once
+    * a broadcast must actually fan out over a cluster). Restart recovery
+    * comes from DurableRunner's journal replay.
     *
     * Returns the writer (caller sets trigger/checkpoint and starts).
     */
-  def standingJoin(left: DataFrame, right: DataFrame, keys: Seq[String])(
+  def standingJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      nBuckets: Int = 16)(
       onDelta: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val w = ZSets.W
     def payload(df: DataFrame): Seq[String] =
@@ -75,7 +84,8 @@ object StreamingPipeline {
         keys.map(col) ++ Seq(lit("R").as("_side"),
           lit(null).cast(lt).as("_lp"),
           struct(rp.map(col): _*).as("_rp"), col(w)): _*))
-    var aState, bState = Option.empty[DataFrame]
+    var aTrace: graft.incremental.BucketedTrace = null
+    var bTrace: graft.incremental.BucketedTrace = null
     tagged.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       batch.persist()
       try {
@@ -85,10 +95,58 @@ object StreamingPipeline {
         val dB = batch.filter(col("_side") === "R")
           .select(keys.map(col) ++ rp.map(c => col(s"_rp.$c").as(c))
             :+ col(w): _*)
-        val (na, nb, delta) = IncrementalOps.joinStep(aState, bState, dA, dB,
-          keys, materialize = _.localCheckpoint(true))
-        aState = Some(na); bState = Some(nb)
-        onDelta(delta, batchId)
+        if (aTrace == null) {
+          aTrace = new graft.incremental.BucketedTrace(dA, keys, nBuckets)
+          bTrace = new graft.incremental.BucketedTrace(dB, keys, nBuckets)
+        }
+        // consolidate → canonical Z-set delta. The createDataFrame wrap
+        // is a CONSTRAINT BARRIER: Dataset.localCheckpoint (which delta
+        // consumers legitimately call) captures the origin plan's
+        // constraints, and under AQE that capture can keep references to
+        // attributes no longer in the output — a later union of such
+        // checkpoints crashes Catalyst's constraint rewrite
+        // (key-not-found in AttributeMap). A fresh Row-RDD frame carries
+        // no origin constraints; the conversion is delta-sized and lazy.
+        val d = ZSets.consolidate(graft.incremental.BucketedTrace.joinStep(
+          aTrace, bTrace, dA, dB, keys))
+        onDelta(d.sparkSession.createDataFrame(d.rdd, d.schema), batchId)
+      } finally { batch.unpersist(); () }
+    }
+  }
+
+  /** [[standingJoin]] for the common case of ONE physical stream feeding
+    * both join sides (self-join shapes like Nexmark q8): the micro-batch
+    * is split by `splitSides` INSIDE foreachBatch, skipping the
+    * tag/struct-pack/union/unpack round trip the two-stream form needs to
+    * keep its sides atomic — here a single batch is atomic by definition.
+    * `splitSides` must return Z-set sides (payloads + `_w`) with disjoint
+    * payload names.
+    */
+  def standingJoinSingle(source: DataFrame,
+      splitSides: DataFrame => (DataFrame, DataFrame), keys: Seq[String],
+      nBuckets: Int = 16)(
+      onDelta: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    var aTrace: graft.incremental.BucketedTrace = null
+    var bTrace: graft.incremental.BucketedTrace = null
+    source.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.persist()
+      try {
+        val (dA, dB) = splitSides(batch)
+        if (aTrace == null) {
+          aTrace = new graft.incremental.BucketedTrace(dA, keys, nBuckets)
+          bTrace = new graft.incremental.BucketedTrace(dB, keys, nBuckets)
+        }
+        // consolidate → canonical Z-set delta. The createDataFrame wrap
+        // is a CONSTRAINT BARRIER: Dataset.localCheckpoint (which delta
+        // consumers legitimately call) captures the origin plan's
+        // constraints, and under AQE that capture can keep references to
+        // attributes no longer in the output — a later union of such
+        // checkpoints crashes Catalyst's constraint rewrite
+        // (key-not-found in AttributeMap). A fresh Row-RDD frame carries
+        // no origin constraints; the conversion is delta-sized and lazy.
+        val d = ZSets.consolidate(graft.incremental.BucketedTrace.joinStep(
+          aTrace, bTrace, dA, dB, keys))
+        onDelta(d.sparkSession.createDataFrame(d.rdd, d.schema), batchId)
       } finally { batch.unpersist(); () }
     }
   }

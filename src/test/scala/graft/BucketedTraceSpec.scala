@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.incremental.BucketedTrace
+import graft.incremental.{BucketedTableTrace, BucketedTrace}
 import graft.zset.ZSets
 import graft.zset.ZSets.W
 
@@ -132,6 +132,45 @@ class BucketedTraceSpec extends SparkSpec {
         .join(b.filter(col("k") =!= 10), "k")
         .as[(Long, String, String)].collect().sorted.toSeq
       assert(got === want)
+    } finally { aT.delete(); bT.delete() }
+  }
+
+  test("bucketed-TABLE trace joins exchange-free and matches the batch join") {
+    // the cluster layout for standing joins: runs in a bucketBy table, so
+    // the join shuffles ONLY the delta — assert both the values and the
+    // plan shape (shuffle-hash join; no Exchange above the trace scan)
+    val a = Seq((1L, "o1"), (2L, "o2"), (3L, "o3")).toDF("k", "av")
+    val b = Seq((1L, "l1"), (1L, "l1b"), (3L, "l3")).toDF("k", "bv")
+    val aB = Seq(ZSets.lift(a.filter(col("k") <= 2)),
+      ZSets.lift(a.filter(col("k") > 2)))
+    val bB = Seq(ZSets.lift(b.filter(col("k") <= 1)),
+      ZSets.lift(b.filter(col("k") > 1)))
+    val aT = new BucketedTableTrace(aB.head.limit(0), Seq("k"), nBuckets = 4)
+    val bT = new BucketedTableTrace(bB.head.limit(0), Seq("k"), nBuckets = 4)
+    try {
+      var out = Option.empty[org.apache.spark.sql.DataFrame]
+      aB.zip(bB).foreach { case (dA, dB) =>
+        val d = BucketedTableTrace.joinStep(aT, bT, dA, dB, Seq("k"))
+        out = Some(out.map(_.unionByName(d)).getOrElse(d))
+      }
+      val got = ZSets.toMultiset(ZSets.consolidate(out.get))
+        .as[(Long, String, String)].collect().sorted.toSeq
+      val want = a.join(b, "k").as[(Long, String, String)]
+        .collect().sorted.toSeq
+      assert(got === want)
+      // plan shape: trace side scans the bucketed table with no Exchange
+      // between scan and join; the delta side carries the only Exchange
+      val plan = aT.runsRaw.withColumnRenamed(W, "_wt")
+        .join(Seq((1L, "x", 1L)).toDF("k", "p", "_wd").hint("shuffle_hash"),
+          Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-hash join:\n$plan")
+      val traceSide = plan.linesIterator
+        .dropWhile(l => !l.contains("ShuffledHashJoin")).toSeq
+        .takeWhile(l => !l.contains("Exchange")).mkString("\n")
+      assert(traceSide.contains(aT.table),
+        s"trace scan must sit under the join with no Exchange:\n$plan")
     } finally { aT.delete(); bT.delete() }
   }
 }

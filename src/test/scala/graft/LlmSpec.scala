@@ -19,6 +19,16 @@ class LlmSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  test("Karp-Rabin rolling fingerprint: order-sensitive, whitespace-stable") {
+    def fp(txt: String): Long = spark.range(1)
+      .select(Dedup.rollingFingerprint(TextAnalysis.tokens(lit(txt))))
+      .head().getLong(0)
+    assert(fp("a b c") !== fp("b a c"))   // order matters (vs set hashes)
+    assert(fp("a b c") === fp("a  b \t c")) // tokenization absorbs runs
+    assert(fp("") === 7L)                  // empty fold = init constant
+    assert(fp("中文 token") === fp("中文  token")) // codepoint arithmetic
+  }
+
   test("minhash estimate tracks true jaccard (near-dups high, unrelated low)") {
     val sigs = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
