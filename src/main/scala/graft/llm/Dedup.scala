@@ -344,6 +344,53 @@ object Dedup {
         StructField("component", idType))))
   }
 
+  /** [[contaminationScore]]'s FAST tier: grams are never materialized as
+    * strings — each TOKEN is md5-hashed once, and an n-gram's hash is
+    * the arithmetic combination of its n token hashes (fold of
+    * acc·131 + h mod [[FP_P]]). One digest per token instead of one per
+    * gram over a 3×-longer string, and no gram-string construction
+    * (slice + array_join per position) at all — and any SQL engine still
+    * computes identical hashes, so the DuckDB oracle re-derives the same
+    * overlap exactly. (A fully digest-free per-char Karp–Rabin tier
+    * measured SLOWER here: interpreted substr/ascii per character costs
+    * more than one native md5 per token.)
+    */
+  def contaminationScoreRolling(
+      corpus: DataFrame, idCol: String, textCol: String,
+      contam: DataFrame, contamTextCol: String,
+      n: Int = 3): DataFrame = {
+    // _toks and _th staged as real columns; the size filter references
+    // ONLY _toks (predicate pushdown substitutes it into a tokens-only
+    // re-evaluation — never the md5 pipeline); the persist before the
+    // explode is a pushdown barrier: the Generate's derived
+    // isnotnull/size filters would otherwise be substituted all the way
+    // down to the text column, re-inlining the whole token-hash + gram
+    // pipeline into a per-row Filter evaluated before the projections
+    // (measured 3× the query's entire cost). Cached payload is
+    // (id, gram-hash array) — tiny relative to the text.
+    def gramHashes(df: DataFrame, text: String,
+        extra: Seq[Column]): DataFrame =
+      df.select(extra :+ TextAnalysis.tokens(col(text)).as("_toks"): _*)
+        .filter(size(col("_toks")) >= n)
+        .select(extra :+
+          transform(col("_toks"), t => md5Hash(t, 0)).as("_th"): _*)
+        .select(extra :+ array_distinct(
+          transform(sequence(lit(1), size(col("_th")) - n + 1),
+            i => aggregate(slice(col("_th"), i, lit(n)), lit(7L),
+              (acc, h) => (acc * 131L + h) % FP_P))).as("_g"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(extra :+ explode(col("_g")).as("_h"): _*)
+    val contamSet = gramHashes(contam, contamTextCol, Seq.empty).distinct()
+    gramHashes(corpus, textCol, Seq(col(idCol)))
+      .join(contamSet.withColumn("_hit", lit(1L)), Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
+
   /** Benchmark decontamination: per-document overlap with a contamination
     * set (eval/benchmark texts that must not leak into training data).
     * Score = fraction of the document's distinct n-grams that appear

@@ -470,17 +470,21 @@ object LlmOps {
     // 3-grams that appear in a "benchmark" set (docs 0-49 here). Corpus
     // and contamination set meet only through an n-gram-hash equi-join —
     // never all-pairs.
+    // n-gram hashes via ONE md5 per token + arithmetic fold of the 3
+    // token hashes per gram — no per-gram digest, no gram strings, and
+    // DuckDB folds the identical BIGINT recurrence (was the slowest
+    // bench line as |grams| md5 calls over 3x-longer strings).
     Q(
       "llm_decontaminate",
       s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_filter(
-         |    list_transform(range(1, len(tkn) + 1),
-         |      i -> CASE WHEN i + 2 <= len(tkn)
-         |           THEN tkn[i] || ' ' || tkn[i+1] || ' ' || tkn[i+2] END),
-         |    s -> s IS NOT NULL)) AS grams
+         |th AS (SELECT doc_id,
+         |    list_transform(tkn, t -> ${md5h(0, "t")}) AS hs
          |  FROM toks WHERE len(tkn) >= 3),
-         |dg AS (SELECT doc_id, ${md5h(0, "g")} AS h
-         |  FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
+         |dg AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(hs) - 1),
+         |      i -> list_reduce(list_prepend(CAST(7 AS BIGINT), hs[i:i+2]),
+         |        (acc, h) -> (acc * 131 + h) % ${Dedup.FP_P})))) AS h
+         |  FROM th),
          |cs AS (SELECT DISTINCT h FROM dg WHERE doc_id < 50),
          |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
          |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM dg
@@ -489,14 +493,13 @@ object LlmOps {
          |  COALESCE(n_hit, 0) * 1.0 / n_grams AS contamination
          |FROM tot t LEFT JOIN hit USING (doc_id)""".stripMargin) { (s, dir) =>
       // the local documents table is ONE parquet row group = one task;
-      // fan out before the CPU-heavy shingle+hash projection (a real scan
+      // fan out before the CPU-heavy hashing projection (a real scan
       // at scale already has thousands of partitions — this shuffle of
       // 5k short rows is the local stand-in, not a scale cost)
       val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
-      Dedup.contaminationScore(
+      Dedup.contaminationScoreRolling(
         docs, "doc_id", "text",
-        docs.filter(col("doc_id") < 50), "text",
-        n = 3, hashFn = Dedup.md5Hash)
+        docs.filter(col("doc_id") < 50), "text", n = 3)
     },
 
     // PII scrubbing: both engines synthesize the same deterministic PII
