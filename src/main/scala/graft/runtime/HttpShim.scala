@@ -1,0 +1,117 @@
+package graft.runtime
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Envelopes, FileSource}
+import graft.zset.ZSets
+
+/** Minimal HTTP ingress/egress/query surface over a [[Pipeline]] — the
+  * reference's per-pipeline HTTP API shape (SURVEY §3.2;
+  * docs.feldera.com: POST /ingress/{table}, GET /egress/{view},
+  * POST /query), built on the JDK's bundled HttpServer so the library
+  * keeps its zero-extra-dependency contract:
+  *
+  *   - POST /ingress/{table}[?update_format=fmt] — body is newline-
+  *     delimited JSON update envelopes (insert_delete by default; any
+  *     format [[Envelopes.decodeJson]] accepts). The batch is decoded to
+  *     a Z-set delta and applied through ONE [[Pipeline.step]]; responds
+  *     200 with {"rows": n} after the step commits.
+  *   - GET /egress/{view} — the view's CURRENT integrated state as
+  *     insert-envelope lines (the snapshot form of the reference's egress
+  *     stream; a long-lived change subscription belongs to the streaming
+  *     runner, not this shim).
+  *   - POST /query — body is ad-hoc SQL (SELECT or INSERT INTO …,
+  *     [[Pipeline.adHoc]]); responds with JSON rows.
+  *
+  * Requests execute on a SINGLE-threaded dispatcher: steps must apply in
+  * arrival order (the reference serializes per-pipeline input the same
+  * way), and a snapshot read between two steps sees a consistent state.
+  *
+  * This is a dev/edge shim, not a datacenter ingest tier — at scale bulk
+  * data arrives through connectors (Kafka/files); the HTTP surface is
+  * for control, tests, and low-volume pushes, which is also how the
+  * reference positions it.
+  */
+final class HttpShim private (pipeline: Pipeline, server: HttpServer) {
+
+  /** Bound port (useful with port = 0). */
+  def port: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+}
+
+object HttpShim {
+
+  def serve(pipeline: Pipeline, port: Int = 0): HttpShim = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // single thread: serialized steps + consistent reads (see class doc)
+    server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+    server.createContext("/ingress/", (ex: HttpExchange) =>
+      handle(ex) { body =>
+        require(ex.getRequestMethod == "POST", "ingress requires POST")
+        val table = ex.getRequestURI.getPath.stripPrefix("/ingress/")
+        val tdef = pipeline.program.tables.find(_.name == table)
+          .getOrElse(sys.error(s"unknown table: $table"))
+        val fmt = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").find(_.startsWith("update_format="))
+            .map(_.stripPrefix("update_format=")))
+          .getOrElse("insert_delete")
+        val spark = pipeline.session
+        val lines = body.split("\n").toSeq.filter(_.trim.nonEmpty)
+        import spark.implicits._
+        val delta = Envelopes.decodeJson(
+          lines.toDF("value"), FileSource.schemaOf(tdef), fmt)
+        pipeline.step(Map(table -> delta))
+        s"""{"rows": ${lines.size}}"""
+      })
+    server.createContext("/egress/", (ex: HttpExchange) =>
+      handle(ex) { _ =>
+        require(ex.getRequestMethod == "GET", "egress requires GET")
+        val view = ex.getRequestURI.getPath.stripPrefix("/egress/")
+        require(pipeline.program.views.exists(_.name == view),
+          s"unknown view: $view")
+        // integrated snapshot as insert envelopes (unit weights)
+        val snap = ZSets.lift(pipeline.adHoc(s"SELECT * FROM $view"))
+        Envelopes.encodeJson(snap, "insert_delete")
+          .collect().map(_.getString(0)).mkString("\n")
+      })
+    server.createContext("/query", (ex: HttpExchange) =>
+      handle(ex) { body =>
+        require(ex.getRequestMethod == "POST", "query requires POST")
+        pipeline.adHoc(body.trim).toJSON.collect().mkString("\n")
+      })
+    server.start()
+    new HttpShim(pipeline, server)
+  }
+
+  private def handle(ex: HttpExchange)(f: String => String): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val (code, out) =
+      try (200, f(body))
+      catch {
+        case e: Throwable =>
+          (400, s"""{"error": ${quote(e.getMessage)}}""")
+      }
+    val bytes = out.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def quote(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

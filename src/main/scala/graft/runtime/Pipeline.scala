@@ -40,7 +40,10 @@ import graft.zset.ZSets
   * (Ddl.ColumnDef.lateness) map to withWatermark in the streaming path
   * (graft.streaming.Streams.withLateness).
   */
-final class Pipeline(spark: SparkSession, program: Ddl.Program) {
+final class Pipeline(spark: SparkSession,
+    private[runtime] val program: Ddl.Program) {
+
+  private[runtime] def session: SparkSession = spark
 
   graft.functions.Registry.registerAll(spark)
   // TIME columns (SqlTypes "TIME" → native TimeType) need the 4.1 flag

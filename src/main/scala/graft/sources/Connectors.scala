@@ -115,6 +115,31 @@ object Connectors {
       case "iceberg_input" =>
         requireFormat(spark, "iceberg", "iceberg_input")
         ZSets.lift(spark.read.format("iceberg").load(conf.config("uri")))
+      case "s3_input" =>
+        // object storage is a FILESYSTEM to Spark: an s3a:// path through
+        // the normal file readers, provided hadoop-aws + credentials are
+        // on the classpath — gate with a precise probe instead of letting
+        // a raw ClassNotFound surface mid-scan
+        val uri = conf.config.getOrElse("uri",
+          conf.config.getOrElse("path", sys.error("s3 connector: no uri")))
+        val scheme = java.net.URI.create(uri).getScheme
+        try {
+          org.apache.hadoop.fs.FileSystem.getFileSystemClass(
+            scheme, spark.sparkContext.hadoopConfiguration); ()
+        } catch {
+          case scala.util.control.NonFatal(_) => sys.error(
+            s"s3_input needs a Hadoop FileSystem for scheme '$scheme' " +
+              "(add hadoop-aws + aws-sdk-bundle jars and fs.s3a credentials)")
+        }
+        read(spark, table, conf.copy(transport = "file_input",
+          config = conf.config + ("path" -> uri)))
+      case t @ ("nats_input" | "pub_sub_input" | "redis_output") =>
+        // no public Spark DataSource ships for these; the reference's
+        // adapters speak the broker protocol directly. Until a connector
+        // jar provides one, bridge through kafka_input / file_input or
+        // the HTTP ingress shim.
+        sys.error(s"$t has no bundled Spark DataSource on this classpath; " +
+          "bridge via kafka_input, file_input, or the HTTP ingress shim")
       case other => sys.error(s"unknown transport: $other")
     }
   }

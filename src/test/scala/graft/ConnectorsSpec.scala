@@ -139,5 +139,32 @@ class ConnectorsSpec extends SparkSpec {
       assert(e.getMessage.contains("jar"),
         s"$transport should fail with the jar-gating message, got: ${e.getMessage}")
     }
+    // object-store + brokerless transports: precise guidance, not a raw
+    // ClassNotFound mid-scan
+    for ((transport, cfg, expect) <- Seq(
+        ("s3_input", """{"uri": "s3a://bucket/prefix"}""", "hadoop-aws"),
+        ("nats_input", "{}", "bridge via"),
+        ("pub_sub_input", "{}", "bridge via"),
+        ("redis_output", "{}", "bridge via"))) {
+      val t = tableWith(
+        s"""[{"transport": {"name": "$transport", "config": $cfg}}]""")
+      val e = intercept[RuntimeException] {
+        Connectors.read(spark, t, Connectors.connectorsOf(t).head)
+      }
+      assert(e.getMessage.contains(expect),
+        s"$transport: got ${e.getMessage}")
+    }
+    // s3_input DISPATCH is real: a supported scheme routes through the
+    // file reader (local file:// stands in for s3a://)
+    val dir = java.nio.file.Files.createTempDirectory("conn_s3")
+    java.nio.file.Files.write(dir.resolve("in.jsonl"),
+      """{"insert": {"a": 5, "b": "s"}}""".getBytes)
+    val t3 = tableWith(
+      s"""[{"transport": {"name": "s3_input", "config": {"uri": "file://$dir"}},
+         |  "format": {"name": "json", "config": {"update_format": "insert_delete"}}}]"""
+        .stripMargin.replace("'", "''"))
+    val out = Connectors.read(spark, t3, Connectors.connectorsOf(t3).head)
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set((5L, "s", 1L)))
   }
 }
