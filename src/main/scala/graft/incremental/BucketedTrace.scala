@@ -319,6 +319,29 @@ object BucketedTrace {
     t1.unionByName(term2)
   }
 
+  /** General (fold) aggregation step over a persistent trace — the
+    * bucketed form of [[IncrementalOps.generalAggStep]]: state is the
+    * consolidated input Z-set, kept as appended runs; each step appends
+    * the delta (O(|Δ|) write) and re-aggregates ONLY the groups the delta
+    * touches, read back through the trace's pruned consolidated probe.
+    * Returns (fresh aggregate rows for touched groups, touched groups
+    * whose multiset emptied — the consumer must retract their previous
+    * output rows).
+    */
+  def generalAggStep(
+      trace: BucketedTrace, delta: DataFrame,
+      groupKeys: Seq[String], aggs: Seq[Column]): (DataFrame, DataFrame) = {
+    val touchedKeys = delta.select(groupKeys.map(col): _*).distinct()
+      .localCheckpoint(true) // read twice (probe + deleted); delta-sized
+    trace.append(delta)
+    val newRows = ZSets.toMultiset(trace.probe(touchedKeys))
+      .groupBy(groupKeys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val (_, deleted) = IncrementalOps.splitTouched(touchedKeys,
+      newRows.select(groupKeys.map(col): _*), groupKeys)
+    (newRows, deleted)
+  }
+
   /** Weight-multiplying inner equi-join of two Z-sets WITHOUT a USING
     * join: the right side's keys are renamed and joined by explicit
     * equality, then dropped. A USING join keeps the eliminated right keys

@@ -60,20 +60,27 @@ object Incremental {
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity",
           "l_extendedprice")
-      var state = Option.empty[DataFrame]
-      var lastOut: DataFrame = null
-      deltaBatches(li).foreach { delta =>
-        val r = IncrementalOps.generalAggStep(
-          state, delta.drop("l_orderkey"), Seq("l_returnflag"),
-          Seq(min(col("l_quantity")).as("min_q"),
-            max(col("l_quantity")).as("max_q"),
-            max(col("l_extendedprice")).as("max_p")),
-          materialize = _.localCheckpoint(false))
-        state = Some(r.state.localCheckpoint(false))
-        lastOut = r.rows
-      }
-      // every group is touched in the last batch → lastOut is the answer
-      lastOut
+      // state = the consolidated input Z-set, kept in the persistent
+      // bucketed backend: each step appends the delta as a run (O(|Δ|)
+      // write) and re-aggregates only the touched groups through the
+      // pruned consolidated probe — no per-step full-state rewrite
+      val trace = new graft.incremental.BucketedTrace(
+        ZSets.lift(li.drop("l_orderkey")), Seq("l_returnflag"),
+        nBuckets = 16)
+      try {
+        var lastOut: DataFrame = null
+        deltaBatches(li).foreach { delta =>
+          val (rows, _) = graft.incremental.BucketedTrace.generalAggStep(
+            trace, delta.drop("l_orderkey"), Seq("l_returnflag"),
+            Seq(min(col("l_quantity")).as("min_q"),
+              max(col("l_quantity")).as("max_q"),
+              max(col("l_extendedprice")).as("max_p")))
+          lastOut = rows
+        }
+        // every group is touched in the last batch → lastOut is the
+        // answer; materialize before the trace files are deleted
+        lastOut.localCheckpoint(true)
+      } finally trace.delete()
     },
 
     // append_only chain aggregate (chain_aggregate.rs): the 3 insert-only

@@ -135,6 +135,41 @@ class BucketedTraceSpec extends SparkSpec {
     } finally { aT.delete(); bT.delete() }
   }
 
+  test("bucketed generalAggStep equals the in-memory rule under retraction") {
+    import graft.incremental.IncrementalOps
+    val rows = Seq(
+      ("a", 10.0), ("a", 20.0), ("b", 5.0), ("b", 7.0), ("c", 9.0))
+      .toDF("g", "v")
+    // batch 1 inserts everything; batch 2 retracts group c entirely and
+    // one of a's rows — group c must surface in deletedGroups
+    val batches = Seq(
+      ZSets.lift(rows),
+      ZSets.negate(ZSets.lift(rows.filter(col("g") === "c" || col("v") === 20.0))))
+    val aggs = Seq(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(lit(1)).as("n"))
+    val trace = new BucketedTrace(batches.head.limit(0), Seq("g"),
+      nBuckets = 4)
+    try {
+      var st = Option.empty[org.apache.spark.sql.DataFrame]
+      batches.foreach { d =>
+        // reference rule (in-memory state)
+        val r = IncrementalOps.generalAggStep(st, d, Seq("g"), aggs)
+        st = Some(r.state.localCheckpoint(false))
+        // bucketed rule
+        val (rows2, deleted2) = BucketedTrace.generalAggStep(
+          trace, d, Seq("g"), aggs)
+        val a = r.rows.as[(String, Double, Double, Long)].collect().toSet
+        val b = rows2.as[(String, Double, Double, Long)].collect().toSet
+        assert(a === b)
+        assert(r.deletedGroups.as[String].collect().toSet
+          === deleted2.select("g").as[String].collect().toSet)
+      }
+      // final state agrees too
+      assert(trace.read().as[(String, Double, Long)].collect().toSet
+        === st.get.as[(String, Double, Long)].collect().toSet)
+    } finally trace.delete()
+  }
+
   test("bucketed-TABLE trace joins exchange-free and matches the batch join") {
     // the cluster layout for standing joins: runs in a bucketBy table, so
     // the join shuffles ONLY the delta — assert both the values and the
