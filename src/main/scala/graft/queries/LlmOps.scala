@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import QB._
 
 /** Training-data pipeline operators (beyond-reference; BASELINE.json north
@@ -585,6 +585,51 @@ object LlmOps {
           weightsPpm = Map("en" -> 400000L, "de" -> 200000L,
             "fr" -> 150000L, "es" -> 150000L, "zh" -> 100000L))
           .select(col("doc_id"), col("lang"))
+    },
+
+    // Sequence packing: documents fill fixed token-budget training bins,
+    // ordered by seeded content hash within hash-assigned buckets — the
+    // deterministic, partition-independent packing discipline (a global
+    // cumulative sum would be the unscalable form). DuckDB re-derives
+    // the identical buckets, order, running totals, and bin ids.
+    Q(
+      "llm_pack",
+      s"""WITH d AS (SELECT doc_id, CAST(len($tk) AS BIGINT) AS n FROM documents),
+         |b AS (SELECT doc_id, n,
+         |  (${Sampling.sqlHashBucket("doc_id", 7)}) % 8 AS bucket,
+         |  ${Sampling.sqlHashBucket("doc_id", 8)} AS ord FROM d),
+         |w AS (SELECT doc_id, bucket, n,
+         |  CAST(COALESCE(SUM(n) OVER (PARTITION BY bucket ORDER BY ord, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+         |  FROM b)
+         |SELECT doc_id, bucket, CAST(FLOOR(tok_before / 2048) AS BIGINT) AS bin,
+         |  n AS n_tokens, tok_before FROM w""".stripMargin) { (s, dir) =>
+      Packing.packBins(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L, nBuckets = 8, seed = 7)
+    },
+
+    // Context-length chunking: overlapping token windows (size 64,
+    // overlap 16) — one row per chunk, boundaries by pure arithmetic both
+    // engines share.
+    Q(
+      "llm_chunk",
+      s"""WITH t AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |n AS (SELECT doc_id, tkn,
+         |  1 + CAST(FLOOR((GREATEST(len(tkn) - 64, 0) + 47) / 48) AS INT) AS nch
+         |  FROM t WHERE len(tkn) >= 1),
+         |e AS (SELECT doc_id, tkn, unnest(range(0, nch)) AS chunk_id FROM n)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  array_to_string(tkn[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk
+         |FROM e""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").repartition(32, col("doc_id"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .filter(size(col("_toks")) >= 1)
+        .select(col("doc_id"),
+          explode(Packing.chunkTokens(col("_toks"), 64, 16)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.text").as("chunk"))
     },
 
     Q.noOracle("llm_multimodal") { (s, dir) =>

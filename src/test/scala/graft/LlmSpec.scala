@@ -19,6 +19,46 @@ class LlmSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  test("sequence packing: deterministic bins that respect the budget rule") {
+    import graft.llm.Packing
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      (col("id") % 97 + 10).as("n_tokens"))
+    val p1 = Packing.packBins(docs, "doc_id", "n_tokens",
+      budget = 256L, nBuckets = 4)
+    // partitioning-independent: a different physical layout packs the same
+    val p2 = Packing.packBins(docs.repartition(13), "doc_id", "n_tokens",
+      budget = 256L, nBuckets = 4)
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty)
+    val rows = p1.select("bucket", "bin", "n_tokens", "tok_before")
+      .as[(Long, Long, Long, Long)].collect()
+    // the defining invariant: bin = floor(tok_before / budget)
+    assert(rows.forall { case (_, bin, _, before) => bin == before / 256 })
+    // packing actually fills bins (more than one doc per bin on average)
+    val binCount = rows.map { case (bu, bi, _, _) => (bu, bi) }.distinct.length
+    assert(binCount < rows.length / 2, s"bins=$binCount docs=${rows.length}")
+  }
+
+  test("token chunking: sizes, overlap, and short-doc edge") {
+    import graft.llm.Packing
+    val toks = (1 to 100).map(i => s"t$i")
+    val out = spark.range(1)
+      .select(explode(Packing.chunkTokens(
+        lit(toks.toArray), size = 30, overlap = 10)).as("c"))
+      .select(col("c.chunk_id"), col("c.text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    // 100 tokens, size 30, step 20 → 1 + ceil(70/20) = 5 chunks
+    assert(out.length === 5)
+    assert(out.head._2.startsWith("t1 ") && out.head._2.endsWith(" t30"))
+    assert(out(1)._2.startsWith("t21 ")) // 10-token overlap
+    assert(out.last._2.endsWith(" t100")) // tail covered, shorter chunk
+    // shorter than one chunk → exactly one chunk with everything
+    val short = spark.range(1)
+      .select(explode(Packing.chunkTokens(
+        lit(Array("a", "b")), 30, 10)).as("c"))
+      .select(col("c.text")).as[String].collect()
+    assert(short.toSeq === Seq("a b"))
+  }
+
   test("Karp-Rabin rolling fingerprint: order-sensitive, whitespace-stable") {
     def fp(txt: String): Long = spark.range(1)
       .select(Dedup.rollingFingerprint(TextAnalysis.tokens(lit(txt))))
