@@ -64,7 +64,12 @@ object Bench {
         }
       })
 
-    val timed = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // dev-only filter for iterating on one query's wall/task time
+    // (comma-separated names; never set in graded runs — absent = all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val timed = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val b0 = busyMs.get
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }

@@ -1,7 +1,10 @@
 package graft.recursive
 
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 
 /** Semi-naive fixpoint driver for recursive views (reference:
   * DECLARE RECURSIVE VIEW — DBSPNestedOperator.java:30,
@@ -142,10 +145,17 @@ object Fixpoint {
   final case class Continuation(totals: Map[String, DataFrame],
       newRows: Map[String, DataFrame], release: () => Unit)
 
+  /** Row bound (summed over all views) under which the continuation runs
+    * in the DRIVER TIER (see [[continueFromDriver]]); `0` disables the
+    * tier (spec hook — both tiers must agree exactly).
+    */
+  val DriverTierMaxRows = 100000
+
   def continueFrom(initTotals: Map[String, DataFrame],
       seeds: Map[String, DataFrame],
       steps: Map[String, RoundState => DataFrame],
-      maxIterations: Int = 1000): Continuation = {
+      maxIterations: Int = 1000,
+      driverTierMaxRows: Int = DriverTierMaxRows): Continuation = {
     // each round plans + compiles a FRESH tiny query (new cached-RDD
     // leaves); Janino whole-stage compilation is a fixed ~50-100ms per
     // round that interpreted evaluation avoids — round deltas are small
@@ -154,11 +164,172 @@ object Fixpoint {
     val key = "spark.sql.codegen.wholeStage"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "false")
-    try continueFromImpl(initTotals, seeds, steps, maxIterations)
-    finally spark.conf.set(key, prev)
+    try {
+      val small = if (driverTierMaxRows > 0)
+        collectCapped(initTotals, driverTierMaxRows) else None
+      small match {
+        case Some(rows) => continueFromDriver(initTotals, rows, seeds, steps,
+          maxIterations, driverTierMaxRows)
+        case None =>
+          continueFromDistributed(initTotals, seeds, steps, maxIterations)
+      }
+    } finally spark.conf.set(key, prev)
   }
 
-  private def continueFromImpl(initTotals: Map[String, DataFrame],
+  // ------------------------------------------------------------ driver tier
+
+  /** Collect every view's totals if they jointly fit `cap` rows; None as
+    * soon as the budget is exceeded (each collect is bounded by the
+    * remaining budget + 1, so driver memory never exceeds the cap by more
+    * than one row per view).
+    */
+  private def collectCapped(totals: Map[String, DataFrame],
+      cap: Int): Option[Map[String, Array[Row]]] = {
+    var budget = cap
+    val out = Map.newBuilder[String, Array[Row]]
+    for ((n, df) <- totals) {
+      val rows = df.limit(budget + 1).collect()
+      if (rows.length > budget) return None
+      budget -= rows.length
+      out += n -> rows
+    }
+    Some(out.result())
+  }
+
+  /** Canonical value for driver-side row identity, matching SQL set
+    * semantics (`<=>` / DISTINCT): binary compares by content, nested
+    * rows/arrays recurse, and -0.0 folds onto 0.0 (boxed NaN already
+    * equals itself, matching SQL).
+    */
+  private def canon(v: Any): Any = v match {
+    case null => null
+    case b: Array[Byte] => b.toSeq
+    case r: Row => r.toSeq.map(canon)
+    case s: scala.collection.Seq[_] => s.map(canon)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => (canon(k), canon(x)) }
+    case d: java.lang.Double if d.doubleValue == 0.0d =>
+      java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue == 0.0f =>
+      java.lang.Float.valueOf(0.0f)
+    case x => x
+  }
+  private def rowKey(r: Row): Seq[Any] = r.toSeq.map(canon)
+
+  /** DRIVER-TIER continuation for small states: totals and deltas are
+    * driver-local row sets, each round evaluates EVERY view's candidate
+    * plan in one Spark job (an RDD union over the per-view plans, each
+    * capped at the row budget), and candidates-minus-totals is a driver
+    * hash-set lookup — no per-view broadcast-build or count jobs. Deltas
+    * and totals re-enter step bodies as LocalRelations, which the
+    * optimizer folds driver-side (ConvertToLocalRelation), so delta-side
+    * broadcasts need no collect job either: the per-round floor is ONE
+    * scheduled job instead of ~3 per view. Deep recursions over small
+    * deltas are scheduling-floor-bound, which makes this the same
+    * latency tier as the connected-components driver union-find
+    * (llm/Dedup.scala); the moment a round's candidates or the
+    * accumulated totals overflow the cap, the CURRENT state hands off to
+    * [[continueFromDistributed]], which is exact at any size.
+    */
+  private def continueFromDriver(
+      initTotals: Map[String, DataFrame],
+      initRows: Map[String, Array[Row]],
+      seeds: Map[String, DataFrame],
+      steps: Map[String, RoundState => DataFrame],
+      maxIterations: Int,
+      cap: Int): Continuation = {
+    val names = initTotals.keys.toSeq
+    val spark = initTotals.head._2.sparkSession
+    // top-level nullability relaxed: candidate plans routinely widen it,
+    // and LocalRelation conversion validates the declared schema. Nested
+    // types stay EXACTLY the totals' types — binding code compares
+    // dataType (which includes nested nullability) when grafting these
+    // frames onto analyzed plans.
+    val schemas = names.map { n =>
+      n -> org.apache.spark.sql.types.StructType(
+        initTotals(n).schema.fields.map(_.copy(nullable = true)))
+    }.toMap
+    val seen = names.map { n =>
+      n -> (mutable.HashSet.empty[Seq[Any]] ++= initRows(n).map(rowKey))
+    }.toMap
+    val totalRows = names.map { n =>
+      n -> (mutable.ArrayBuffer.empty[Row] ++= initRows(n))
+    }.toMap
+    val addedRows = names.map(n => n -> mutable.ArrayBuffer.empty[Row]).toMap
+    var totalCount = initRows.valuesIterator.map(_.length.toLong).sum
+
+    def localDF(n: String, rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, schemas(n))
+    def totalsDFs: Map[String, DataFrame] =
+      names.map(n => n -> localDF(n, totalRows(n).toSeq)).toMap
+
+    // hand the CURRENT state to the distributed tier: its newOnly() takes
+    // over the dedup of the in-flight candidates, and rows already added
+    // here are prepended to the continuation's newRows
+    def bail(cands: Map[String, DataFrame], remaining: Int): Continuation = {
+      val cont = continueFromDistributed(totalsDFs, cands, steps, remaining)
+      Continuation(cont.totals,
+        names.map(n => n -> localDF(n, addedRows(n).toSeq)
+          .unionByName(cont.newRows(n))).toMap,
+        cont.release)
+    }
+
+    // ONE job for the whole round: candidates aligned to the view schema,
+    // row-capped, tagged with the view index, and collected through an
+    // RDD union. None = some view overflowed the cap (its collection is
+    // incomplete and must be discarded).
+    def evalRound(cands: Map[String, DataFrame]): Option[Map[String, Array[Row]]] = {
+      val tagged = names.zipWithIndex.map { case (n, i) =>
+        val df = cands(n)
+        val aligned =
+          if (df.columns.sameElements(schemas(n).fieldNames)) df
+          else df.select(schemas(n).fieldNames.toSeq
+            .map(org.apache.spark.sql.functions.col): _*)
+        aligned.limit(cap + 1).rdd.map(r => (i, r))
+      }
+      val collected = spark.sparkContext.union(tagged).collect()
+      val by = collected.groupBy(_._1)
+      val out = names.zipWithIndex.map { case (n, i) =>
+        n -> by.getOrElse(i, Array.empty[(Int, Row)]).map(_._2)
+      }.toMap
+      if (out.valuesIterator.exists(_.length > cap)) None else Some(out)
+    }
+
+    var cands: Map[String, DataFrame] = names.map(n =>
+      n -> seeds.getOrElse(n, initTotals(n).limit(0))).toMap
+    var i = 0
+    var converged = false
+    while (!converged) {
+      evalRound(cands) match {
+        case None => return bail(cands, maxIterations - i)
+        case Some(collected) =>
+          val fresh = names.map { n =>
+            n -> collected(n).filter(r => seen(n).add(rowKey(r))).toSeq
+          }.toMap
+          names.foreach { n =>
+            totalRows(n) ++= fresh(n); addedRows(n) ++= fresh(n)
+          }
+          totalCount += fresh.valuesIterator.map(_.size.toLong).sum
+          converged = fresh.valuesIterator.forall(_.isEmpty)
+          i += 1
+          if (!converged) {
+            require(i < maxIterations,
+              s"fixpoint continuation did not converge in $maxIterations rounds")
+            val state = RoundState(totalsDFs,
+              names.map(n => n -> localDF(n, fresh(n))).toMap)
+            cands = names.map(n => n -> steps(n)(state)).toMap
+            if (totalCount > cap) return bail(cands, maxIterations - i)
+          }
+      }
+    }
+    Continuation(totalsDFs,
+      names.map(n => n -> localDF(n, addedRows(n).toSeq)).toMap,
+      () => ())
+  }
+
+  // ------------------------------------------------------- distributed tier
+
+  private def continueFromDistributed(initTotals: Map[String, DataFrame],
       seeds: Map[String, DataFrame],
       steps: Map[String, RoundState => DataFrame],
       maxIterations: Int): Continuation = {

@@ -88,4 +88,32 @@ class OpsSpec extends SparkSpec {
     assert(fp("even").as[Int].collect().toSet === Set(0, 1, 2, 3))
     assert(fp("odd").as[Int].collect().toSet === Set(1, 2, 3))
   }
+
+  test("Fixpoint.continueFrom: driver tier, bail path, and distributed agree") {
+    // converged forward closure over chain 1→2→3, then continue from seed
+    // edge (3,4): forward extension walks 4→5→6, one row per round
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6)).toDF("src", "dst")
+    val init = Seq((1, 2), (2, 3), (1, 3)).toDF("src", "dst")
+    val seeds = Seq((3, 4)).toDF("src", "dst")
+    def run(cap: Int) = {
+      val cont = Fixpoint.continueFrom(
+        Map("v" -> init), Map("v" -> seeds),
+        Map("v" -> ((st: Fixpoint.RoundState) =>
+          st.deltas("v").select(col("src").as("s"), col("dst").as("mid"))
+            .join(edges, col("mid") === col("src"))
+            .select(col("s").as("src"), col("dst")))),
+        driverTierMaxRows = cap)
+      val out = (cont.totals("v").as[(Int, Int)].collect().toSet,
+        cont.newRows("v").as[(Int, Int)].collect().toSet)
+      cont.release()
+      out
+    }
+    val expNew = Set((3, 4), (3, 5), (3, 6))
+    val expTotals = Set((1, 2), (2, 3), (1, 3)) ++ expNew
+    for (cap <- Seq(100000, 0, 4)) { // driver tier / distributed / mid-loop bail
+      val (totals, fresh) = run(cap)
+      assert(totals === expTotals, s"totals diverged at cap=$cap")
+      assert(fresh === expNew, s"newRows diverged at cap=$cap")
+    }
+  }
 }
