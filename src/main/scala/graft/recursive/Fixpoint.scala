@@ -68,6 +68,44 @@ object Fixpoint {
       steps: Map[String, RoundState => DataFrame],
       maxIterations: Int = 1000): Map[String, DataFrame] = {
     require(bases.keySet == steps.keySet, "bases/steps views must match")
+    // a from-scratch fixpoint IS a continuation from empty totals with the
+    // bases as seeds, so small fixpoints ride the driver tier's
+    // one-job-per-round floor. The smallness probe doubles as the seed
+    // evaluation (bases re-enter as LocalRelations); big bases keep the
+    // distributed loop below, whose per-round queries are large enough
+    // that whole-stage codegen pays for itself.
+    collectCapped(bases, DriverTierMaxRows) match {
+      case None => mutualDistributed(bases, steps, maxIterations)
+      case Some(rows) =>
+        val spark = bases.head._2.sparkSession
+        val seeds = bases.map { case (n, df) =>
+          n -> spark.createDataFrame(rows(n).toSeq.asJava,
+            org.apache.spark.sql.types.StructType(
+              df.schema.fields.map(_.copy(nullable = true))))
+        }
+        val cont = continueFrom(
+          bases.map { case (n, df) => n -> df.limit(0) },
+          seeds, steps, maxIterations)
+        // pure driver-tier totals are LocalRelations (self-contained); a
+        // mid-loop bail leaves frames over round caches, which must be
+        // materialized before release()
+        val out = bases.keys.toSeq.map { n =>
+          val df = cont.totals(n)
+          n -> (if (df.queryExecution.logical
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) df
+            else { val (m, rdd) = materialize(df); rdd.count(); m })
+        }.toMap
+        cont.release()
+        out
+    }
+  }
+
+  /** Distributed from-scratch fixpoint loop — the large-bases tier of
+    * [[mutual]].
+    */
+  private def mutualDistributed(bases: Map[String, DataFrame],
+      steps: Map[String, RoundState => DataFrame],
+      maxIterations: Int = 1000): Map[String, DataFrame] = {
     val names = bases.keys.toSeq
     // one cache slot per (view × {total, delta}); a superseded slot's RDD
     // is unpersisted once no other slot still points at it (round-1 totals
@@ -281,10 +319,16 @@ object Fixpoint {
     def evalRound(cands: Map[String, DataFrame]): Option[Map[String, Array[Row]]] = {
       val tagged = names.zipWithIndex.map { case (n, i) =>
         val df = cands(n)
+        // align column order AND types to the view schema (unionByName in
+        // the distributed tier coerces candidate types the same way —
+        // e.g. an INT-typed rule branch feeding a BIGINT view)
         val aligned =
-          if (df.columns.sameElements(schemas(n).fieldNames)) df
-          else df.select(schemas(n).fieldNames.toSeq
-            .map(org.apache.spark.sql.functions.col): _*)
+          if (df.columns.sameElements(schemas(n).fieldNames) &&
+              df.schema.fields.map(_.dataType)
+                .sameElements(schemas(n).fields.map(_.dataType))) df
+          else df.select(schemas(n).fields.toSeq.map(f =>
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(f.dataType).as(f.name)): _*)
         aligned.limit(cap + 1).rdd.map(r => (i, r))
       }
       val collected = spark.sparkContext.union(tagged).collect()
