@@ -115,6 +115,49 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Word bigrams (space-joined) from a token array — zip_with over
+    * shifted slices: pure scan-side expression, no explode/shuffle.
+    */
+  def wordBigrams(toks: Column): Column = {
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Word trigrams, same shape. */
+  def wordTrigrams(toks: Column): Column = {
+    val n = greatest(size(toks) - 2, lit(0))
+    zip_with(
+      zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(toks, lit(3), n), (ab, c) => concat(ab, lit(" "), c))
+  }
+
+  /** Most frequent element of a string array with its count, as
+    * struct(item, cnt) — array_sort + one run-length fold: O(n log n) per
+    * row ON THE SCAN (the explode → groupBy(doc, gram) alternative
+    * shuffles every gram of every document, which at 100 TB is a shuffle
+    * several times the corpus). Ties break to the lexicographically
+    * smallest item (the sort's first maximal run — strict `>` keeps the
+    * earliest). Empty array → (null, 0).
+    */
+  def topRun(arr: Column): Column = {
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"),
+      lit(null).cast("string").as("item"))
+    aggregate(array_sort(arr), zero,
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        val better = run > acc.getField("best")
+        struct(x.as("prev"), run.as("run"),
+          when(better, run).otherwise(acc.getField("best")).as("best"),
+          when(better, x).otherwise(acc.getField("item")).as("item"))
+      },
+      acc => struct(acc.getField("item").as("item"),
+        acc.getField("best").as("cnt")))
+  }
+
   /** Rolling (polynomial) content-defined fingerprint over tokens:
     * fold hash = hash*31 + tokenHash (mod 2^61) — order-sensitive, unlike
     * the bag-of-words md5. Pure higher-order-function expression.

@@ -632,6 +632,100 @@ object LlmOps {
           col("c.text").as("chunk"))
     },
 
+    // Repetition detection (the quality-filter dimension the plain stats
+    // miss: heavily templated/looping documents): duplicate-token
+    // fraction plus most-frequent word bigram/trigram and its share of
+    // all n-gram slots. The Spark side never explodes — top n-gram is a
+    // per-row sort + run-length fold on the scan — while the oracle
+    // re-derives the same values relationally (unnest + group + window).
+    Q(
+      "llm_repetition",
+      s"""WITH tkv AS (SELECT doc_id, $tk AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |  i -> toks[i] || ' ' || toks[i+1])) AS g FROM tkv),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |b1 AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) rn
+         |  FROM bc) WHERE rn = 1),
+         |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM tkv),
+         |tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+         |t1 AS (SELECT doc_id, c FROM (SELECT doc_id, c,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) rn
+         |  FROM tc) WHERE rn = 1)
+         |SELECT tkv.doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+         |    / NULLIF(len(toks), 0) AS dup_token_frac,
+         |  b1.g AS top_bigram,
+         |  CAST(b1.c AS DOUBLE) / NULLIF(len(toks) - 1, 0) AS top_bigram_frac,
+         |  CAST(t1.c AS DOUBLE) / NULLIF(len(toks) - 2, 0) AS top_trigram_frac
+         |FROM tkv LEFT JOIN b1 ON b1.doc_id = tkv.doc_id
+         |LEFT JOIN t1 ON t1.doc_id = tkv.doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), col("_toks"),
+          TextAnalysis.topRun(TextAnalysis.wordBigrams(col("_toks")))
+            .as("_b2"),
+          TextAnalysis.topRun(TextAnalysis.wordTrigrams(col("_toks")))
+            .as("_b3"))
+        .select(
+          col("doc_id"),
+          size(col("_toks")).cast("long").as("n_tokens"),
+          ((size(col("_toks")) - size(array_distinct(col("_toks"))))
+            .cast("double") / nullif(size(col("_toks")), lit(0)))
+            .as("dup_token_frac"),
+          col("_b2").getField("item").as("top_bigram"),
+          (col("_b2").getField("cnt").cast("double")
+            / nullif(size(col("_toks")) - 1, lit(0))).as("top_bigram_frac"),
+          (col("_b3").getField("cnt").cast("double")
+            / nullif(size(col("_toks")) - 2, lit(0))).as("top_trigram_frac"))
+    },
+
+    // TF-IDF ranked terms: per-doc term frequency x inverse document
+    // frequency, top 3 per document. The idf is the LINEAR form N/df —
+    // plain IEEE division both engines compute bit-identically, where
+    // ln(N/df) would hash-diverge on libm differences; the ordering it
+    // induces per fixed tf is the same. Shape: explode → partial-agg
+    // groupBy (map-side combine), df table broadcast back, rank via
+    // window top-k (WindowGroupLimit).
+    Q(
+      "llm_tfidf",
+      s"""WITH tkv AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |term AS (SELECT doc_id, unnest(toks) AS term FROM tkv),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+         |SELECT doc_id, term, tf, score, rnk FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    CAST(tf.tf AS DOUBLE) * (n.n / CAST(df.df AS DOUBLE)) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) * (n.n / CAST(df.df AS DOUBLE)) DESC,
+         |        tf.term ASC) AS rnk
+         |  FROM tf JOIN df USING (term), n)
+         |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokens(lower(col("text"))).as("_toks"))
+      val tf = docs.select(col("doc_id"), explode(col("_toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("_n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * (col("_n") / col("df").cast("double")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("score"),
+          col("rnk").cast("long").as("rnk"))
+    },
+
     Q.noOracle("llm_multimodal") { (s, dir) =>
       val assets = t(s, dir, "documents").select(
         col("doc_id"),

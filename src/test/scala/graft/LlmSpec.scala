@@ -262,6 +262,32 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) === 0.0) // unrelated text
   }
 
+  test("topRun finds the most frequent n-gram; ties break lexicographically") {
+    val rows = Seq(
+      "a b a b a c",       // bigrams: a b ×2, b a ×2 → tie → "a b"
+      "x y",               // single bigram
+      "solo",              // no bigrams
+      "").toDF("t")
+      .select(TextAnalysis.topRun(
+        TextAnalysis.wordBigrams(TextAnalysis.tokens(col("t")))).as("r"))
+      .select(col("r.item"), col("r.cnt"))
+      .as[(Option[String], Long)].collect()
+    assert(rows(0) === ((Some("a b"), 2L)))
+    assert(rows(1) === ((Some("x y"), 1L)))
+    assert(rows(2) === ((None, 0L)))
+    assert(rows(3) === ((None, 0L)))
+  }
+
+  test("wordTrigrams window the token stream; short docs yield none") {
+    val tri = Seq("a b c d", "a b", "")
+      .toDF("t")
+      .select(TextAnalysis.wordTrigrams(TextAnalysis.tokens(col("t"))).as("g"))
+      .as[Seq[String]].collect()
+    assert(tri(0) === Seq("a b c", "b c d"))
+    assert(tri(1) === Seq.empty)
+    assert(tri(2) === Seq.empty)
+  }
+
   test("scrubPii replaces emails, phones, and IPs; clean text unchanged") {
     val rows = Seq(
       "mail bob.smith+x@corp.example.org now",
