@@ -342,6 +342,85 @@ object BucketedTrace {
     (newRows, deleted)
   }
 
+  /** Materialize as a fresh cached Row-RDD frame: an origin-constraint
+    * barrier (see StreamingPipeline — localCheckpoint frames leak
+    * origin-plan constraints that crash Catalyst's union constraint
+    * rewrite when step outputs are unioned) that also pins the result
+    * against later run compaction.
+    */
+  private def snapshot(df: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.cache()
+    rdd.count() // eager: the result must not depend on run files a later
+    //             compaction may replace
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
+  /** Incremental DISTINCT over a persistent trace — the bucketed form of
+    * [[IncrementalOps.distinctStep]]: state = consolidated multiplicities
+    * kept as appended runs. Each step probes the PRE-append trace for the
+    * delta's rows (partition-pruned, O(|Δ| buckets) read), appends the
+    * consolidated delta as a run (O(|Δ|) write — never a state rewrite),
+    * and returns the sign transitions (appeared → +1, vanished → −1) as a
+    * compaction-safe materialized frame.
+    */
+  def distinctStep(trace: BucketedTrace, delta: DataFrame): DataFrame = {
+    val keys = ZSets.dataCols(delta)
+    val dCon = ZSets.consolidate(delta).localCheckpoint(true)
+    val oldW = trace.probe(dCon.select(keys.map(col): _*))
+      .select(keys.map(k => col(k).as(s"_o_$k")) :+ col(W).as("_ow"): _*)
+    val cond = keys.map(k => col(s"_o_$k") <=> col(k)).reduce(_ && _)
+    val j = dCon.withColumnRenamed(W, "_dw")
+      .join(IncrementalOps.maybeBroadcast(oldW), cond, "left_outer")
+      .withColumn("_ow", coalesce(col("_ow"), lit(0L)))
+      .withColumn("_nw", col("_ow") + col("_dw"))
+    val out = snapshot(j.withColumn(W,
+        when(col("_ow") <= 0 && col("_nw") > 0, 1L)
+          .when(col("_ow") > 0 && col("_nw") <= 0, -1L)
+          .otherwise(0L))
+      .filter(col(W) =!= 0)
+      .select(keys.map(col) :+ col(W): _*))
+    trace.append(dCon)
+    out
+  }
+
+  /** PRIMARY-KEY upsert over a persistent trace — the bucketed form of
+    * [[IncrementalOps.upsertStep]]: state = the live rows as a Z-set
+    * (integrate(appended output deltas)), so a step appends exactly its
+    * OUTPUT delta (retract replaced/deleted rows, insert new ones) and the
+    * trace never rewrites untouched keys. Old rows come from the pruned
+    * pre-append probe of the batch's keys. Returns the output delta
+    * (compaction-safe materialized frame); the integrated view is
+    * `ZSets.toMultiset(trace.read())`.
+    */
+  def upsertStep(
+      trace: BucketedTrace, batchRaw: DataFrame, key: Seq[String],
+      deletedCol: String = "_deleted",
+      seqCol: Option[String] = None,
+      assumeUnique: Boolean = false): DataFrame = {
+    val batch = IncrementalOps
+      .normalizeUpsertBatch(batchRaw, key, seqCol, assumeUnique)
+      .localCheckpoint(true)
+    val payload = batch.columns.toSeq.filterNot(c =>
+      key.contains(c) || c == deletedCol)
+    val old = ZSets.toMultiset(trace.probe(batch.select(key.map(col): _*)))
+      .withColumn("_present", lit(true))
+    val b = batch.select(
+      key.map(col) ++ payload.map(c => col(c).as(s"_n_$c"))
+        :+ col(deletedCol).as("_del"): _*)
+    val joined = old.join(b, key, "full_outer")
+    val oldLive = coalesce(col("_present"), lit(false))
+    val isUpsert = col("_del") === false
+    val retracts = joined.filter(oldLive)
+      .select(key.map(col) ++ payload.map(col) :+ lit(-1L).as(W): _*)
+    val inserts = joined.filter(isUpsert)
+      .select(key.map(col) ++ payload.map(c => col(s"_n_$c").as(c))
+        :+ lit(1L).as(W): _*)
+    val out = snapshot(ZSets.consolidate(retracts.unionByName(inserts)))
+    trace.append(out)
+    out
+  }
+
   /** Weight-multiplying inner equi-join of two Z-sets WITHOUT a USING
     * join: the right side's keys are renamed and joined by explicit
     * equality, then dropped. A USING join keeps the eliminated right keys

@@ -312,21 +312,15 @@ object IncrementalOps {
     *
     * Returns (newState, outputDelta as Z-set over key+payload).
     */
-  def upsertStep(
-      state: Option[DataFrame],
-      batchRaw: DataFrame,
-      key: Seq[String],
-      deletedCol: String = "_deleted",
-      seqCol: Option[String] = None,
-      /** Caller asserts the batch already has at most one row per key —
-        * skips the duplicate-key guard window (one shuffle+sort per step;
-        * fixed cost matters in micro-batch loops). A violated assertion
-        * fans out the reconcile join exactly like the pre-guard behavior,
-        * so only set this where uniqueness is structural.
-        */
-      assumeUnique: Boolean = false): (DataFrame, DataFrame) = {
+  /** Per-batch last-write-wins / duplicate-key guard shared by the
+    * in-memory and bucketed-trace upsert steps (see [[upsertStep]] for the
+    * seqCol / assumeUnique contract).
+    */
+  private[incremental] def normalizeUpsertBatch(
+      batchRaw: DataFrame, key: Seq[String],
+      seqCol: Option[String], assumeUnique: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val batch = seqCol match {
+    seqCol match {
       case Some(sc) =>
         val w = Window.partitionBy(key.map(col): _*).orderBy(col(sc).desc)
         batchRaw.withColumn("_rn", row_number().over(w))
@@ -341,6 +335,22 @@ object IncrementalOps {
               "pass seqCol for last-write-wins or pre-dedup the batch")))))
           .filter(col("_chk").isNull).drop("_dup", "_chk")
     }
+  }
+
+  def upsertStep(
+      state: Option[DataFrame],
+      batchRaw: DataFrame,
+      key: Seq[String],
+      deletedCol: String = "_deleted",
+      seqCol: Option[String] = None,
+      /** Caller asserts the batch already has at most one row per key —
+        * skips the duplicate-key guard window (one shuffle+sort per step;
+        * fixed cost matters in micro-batch loops). A violated assertion
+        * fans out the reconcile join exactly like the pre-guard behavior,
+        * so only set this where uniqueness is structural.
+        */
+      assumeUnique: Boolean = false): (DataFrame, DataFrame) = {
+    val batch = normalizeUpsertBatch(batchRaw, key, seqCol, assumeUnique)
     val payload = batch.columns.toSeq.filterNot(c =>
       key.contains(c) || c == deletedCol)
     // state carries an explicit liveness marker so nullable payloads work

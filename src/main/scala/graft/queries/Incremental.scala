@@ -109,16 +109,24 @@ object Incremental {
         |FROM lineitem WHERE l_orderkey % 10 <> 0""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_linestatus", "l_suppkey")
-      var state = Option.empty[DataFrame]
-      var result = Option.empty[DataFrame]
-      deltaBatches(li).foreach { delta =>
-        val (st, out) = IncrementalOps.distinctStep(state,
-          delta.drop("l_orderkey"))
-        state = Some(st.localCheckpoint(false))
-        // integrate the output deltas to materialize the distinct view
-        result = Some(result.map(_.unionByName(out)).getOrElse(out))
-      }
-      ZSets.positive(ZSets.consolidate(result.get)).drop(ZSets.W)
+      // multiplicity state lives in the persistent bucketed backend: each
+      // step appends the consolidated delta as a run (O(|Δ|) write) and
+      // probes only the delta's buckets for the old weights — no per-step
+      // full-state localCheckpoint rewrite
+      val trace = new graft.incremental.BucketedTrace(
+        ZSets.lift(li.drop("l_orderkey")), Seq("l_returnflag",
+          "l_linestatus", "l_suppkey"), nBuckets = 16)
+      try {
+        var result = Option.empty[DataFrame]
+        deltaBatches(li).foreach { delta =>
+          val out = graft.incremental.BucketedTrace.distinctStep(
+            trace, delta.drop("l_orderkey"))
+          // integrate the output deltas to materialize the distinct view
+          result = Some(result.map(_.unionByName(out)).getOrElse(out))
+        }
+        ZSets.positive(ZSets.consolidate(result.get)).drop(ZSets.W)
+          .localCheckpoint(true)
+      } finally trace.delete()
     },
 
     Q(
@@ -203,17 +211,23 @@ object Incremental {
           o.filter(col("k") % 13 === 0)
             .withColumn("v", lit(null).cast("long"))
             .withColumn("_deleted", lit(true)))
-        var state = Option.empty[DataFrame]
-        var out = Option.empty[DataFrame]
-        batches.foreach { batch =>
-          // batches are filters of a PK table → structurally one row/key
-          val (st, delta) = IncrementalOps.upsertStep(state, batch, Seq("k"),
-            assumeUnique = true)
-          state = Some(st.localCheckpoint(false))
-          out = Some(out.map(_.unionByName(delta)).getOrElse(delta))
-        }
-        // integrate output deltas → the materialized PK table
-        ZSets.toMultiset(ZSets.consolidate(out.get)).select("k", "v")
+        // PK state as a Z-set trace: each step appends exactly its OUTPUT
+        // delta (retract replaced/deleted, insert new) — untouched keys
+        // are never rewritten; old rows come from the pruned probe
+        val trace = new graft.incremental.BucketedTrace(
+          ZSets.lift(o), Seq("k"), nBuckets = 16)
+        try {
+          var out = Option.empty[DataFrame]
+          batches.foreach { batch =>
+            // batches are filters of a PK table → structurally one row/key
+            val delta = graft.incremental.BucketedTrace.upsertStep(
+              trace, batch, Seq("k"), assumeUnique = true)
+            out = Some(out.map(_.unionByName(delta)).getOrElse(delta))
+          }
+          // integrate output deltas → the materialized PK table
+          ZSets.toMultiset(ZSets.consolidate(out.get)).select("k", "v")
+            .localCheckpoint(true)
+        } finally trace.delete()
     },
 
     // Recursive view: transitive closure of a chain graph derived from

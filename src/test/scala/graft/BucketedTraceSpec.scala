@@ -170,6 +170,57 @@ class BucketedTraceSpec extends SparkSpec {
     } finally trace.delete()
   }
 
+  test("bucketed distinctStep equals the in-memory rule across transitions") {
+    import graft.incremental.IncrementalOps
+    // schedule: appear → duplicate (no transition) → vanish → reappear
+    val batches = Seq(
+      Seq(("x", 1L), ("y", 1L)),
+      Seq(("x", 1L), ("z", 1L)),          // x now weight 2 — no transition
+      Seq(("x", -2L), ("y", -1L)),        // x and y vanish
+      Seq(("x", 1L))                      // x reappears
+    ).map(_.toDF("v", W))
+    val trace = new BucketedTrace(batches.head.limit(0), Seq("v"),
+      nBuckets = 4)
+    try {
+      var st = Option.empty[DataFrame]
+      batches.foreach { d =>
+        val (s2, outMem) = IncrementalOps.distinctStep(st, d)
+        st = Some(s2.localCheckpoint(false))
+        val outTrace = BucketedTrace.distinctStep(trace, d)
+        assert(outMem.as[(String, Long)].collect().toSet
+          === outTrace.as[(String, Long)].collect().toSet)
+      }
+      assert(trace.read().as[(String, Long)].collect().toSet
+        === st.get.as[(String, Long)].collect().toSet)
+    } finally trace.delete()
+  }
+
+  test("bucketed upsertStep equals the in-memory rule: overwrite + delete") {
+    import graft.incremental.IncrementalOps
+    val batches = Seq(
+      Seq((1L, "a", false), (2L, "b", false), (3L, "c", false)),
+      Seq((2L, "B", false), (3L, "c", false)),  // overwrite + no-op rewrite
+      Seq((1L, null.asInstanceOf[String], true), (4L, "d", false))
+    ).map(_.toDF("k", "v", "_deleted"))
+    val trace = new BucketedTrace(
+      Seq((0L, "t", 0L)).toDF("k", "v", W).limit(0), Seq("k"), nBuckets = 4)
+    try {
+      var st = Option.empty[DataFrame]
+      batches.foreach { b =>
+        val (s2, outMem) = IncrementalOps.upsertStep(st, b, Seq("k"),
+          assumeUnique = true)
+        st = Some(s2.localCheckpoint(false))
+        val outTrace = BucketedTrace.upsertStep(trace, b, Seq("k"),
+          assumeUnique = true)
+        assert(outMem.as[(Long, String, Long)].collect().toSet
+          === outTrace.as[(Long, String, Long)].collect().toSet)
+      }
+      // integrated trace = live PK rows
+      assert(ZSets.toMultiset(trace.read()).as[(Long, String)]
+        .collect().toSet === Set((2L, "B"), (3L, "c"), (4L, "d")))
+    } finally trace.delete()
+  }
+
   test("bucketed-TABLE trace joins exchange-free and matches the batch join") {
     // the cluster layout for standing joins: runs in a bucketBy table, so
     // the join shuffles ONLY the delta — assert both the values and the
