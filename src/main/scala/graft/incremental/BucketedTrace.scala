@@ -71,7 +71,13 @@ final class BucketedTrace(
     * append is correct either way, just larger on disk.
     */
   def append(delta: DataFrame): Unit = {
+    // runs are written KEY-SORTED within each bucket (a local sort of the
+    // delta, no shuffle): parquet row-group min/max stats then line up
+    // with the keys, so [[probe]]'s pushed key-range filter skips row
+    // groups a point probe cannot match. Z-set content is unordered, so
+    // the sort never changes what read()/probe() return.
     delta.withColumn(B, bucketOf)
+      .sortWithinPartitions(col(B) +: keys.map(col): _*)
       .write.mode("append").partitionBy(B)
       .parquet(path.toString)
     runs += 1
@@ -104,16 +110,40 @@ final class BucketedTrace(
     * pruning via the collected bucket-id set (bounded by nBuckets; one
     * tiny driver job) — and consolidates only the key-matching rows.
     */
+  /** Key columns whose min/max can drive a pushed range filter (atomic
+    * orderable types with meaningful parquet stats).
+    */
+  private val rangeKeys: Seq[String] = {
+    import org.apache.spark.sql.types._
+    template.schema.fields.filter(f => keys.contains(f.name)).collect {
+      case f if f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == StringType || f.dataType == DateType ||
+        f.dataType == TimestampType => f.name
+    }.toSeq
+  }
+
   def probe(probeKeys: DataFrame): DataFrame = {
-    val ids = probeKeys
-      .select(bucketOf.as(B)).distinct()
-      .collect().map(_.get(0).toString.toLong)
+    // ONE driver job collects the probe's bucket ids AND its per-key
+    // min/max: the ids drive static partition pruning; the ranges become
+    // pushed scan filters that, with key-sorted runs ([[append]]), prune
+    // parquet row groups inside the surviving buckets.
+    val aggs = collect_set(bucketOf).as("_bs") +:
+      rangeKeys.flatMap(k => Seq(min(col(k)).as(s"_lo_$k"),
+        max(col(k)).as(s"_hi_$k")))
+    val st = probeKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val ids = st.getSeq[Any](0).map(_.toString.toLong)
     if (ids.isEmpty || runs == 0) return ZSets.consolidate(empty)
-    val pruned = raw.filter(col(B).isin(ids.toSeq: _*)).drop(B)
+    val ranged = rangeKeys.zipWithIndex.foldLeft(
+      raw.filter(col(B).isin(ids: _*)).drop(B)) { case (df, (k, i)) =>
+        val (lo, hi) = (st.get(1 + 2 * i), st.get(2 + 2 * i))
+        if (lo == null) df // all-null probe keys match only null rows
+        else df.filter(col(k).isNull ||
+          (col(k) >= lit(lo) && col(k) <= lit(hi)))
+      }
     val probe = IncrementalOps.maybeBroadcast(
       probeKeys.select(keys.map(k => col(k).as(s"_p_$k")): _*))
     val cond = keys.map(k => col(k) <=> col(s"_p_$k")).reduce(_ && _)
-    ZSets.consolidate(pruned.join(probe, cond, "left_semi"))
+    ZSets.consolidate(ranged.join(probe, cond, "left_semi"))
       .filter(col(W) =!= 0)
   }
 
@@ -149,6 +179,7 @@ final class BucketedTrace(
     val tmp = path.resolveSibling(path.getFileName.toString + ".compact")
     BucketedTrace.deleteRecursively(tmp)
     read().withColumn(B, bucketOf)
+      .sortWithinPartitions(col(B) +: keys.map(col): _*)
       .write.mode("overwrite").partitionBy(B)
       .parquet(tmp.toString)
     val old = path.resolveSibling(path.getFileName.toString + ".old")

@@ -89,6 +89,26 @@ class BucketedTraceSpec extends SparkSpec {
     } finally t.delete()
   }
 
+  test("probe pushes the key range to the parquet scan (sorted-run pruning)") {
+    val t = new BucketedTrace(zset(Nil), Seq("k"), nBuckets = 4,
+      autoCompactRuns = 100)
+    try {
+      t.append(spark.range(5000)
+        .select(col("id").as("k"), lit("x").as("v"), lit(1L).as(W)))
+      val probed = t.probe(Seq(Tuple1(42L), Tuple1(43L)).toDF("k"))
+      // correctness
+      assert(probed.as[(Long, String, Long)].collect().toSet
+        === Set((42L, "x", 1L), (43L, "x", 1L)))
+      // plan: the scan carries pushed >= / <= filters on k, so key-sorted
+      // row groups can be skipped by parquet min/max stats at scale
+      val scan = probed.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("PushedFilters")).mkString("\n")
+      assert(scan.contains("GreaterThanOrEqual(k,42)")
+        && scan.contains("LessThanOrEqual(k,43)"),
+        s"expected pushed key-range filters in:\n$scan")
+    } finally t.delete()
+  }
+
   test("compaction folds runs, preserves content, and bounds disk") {
     val t = new BucketedTrace(zset(Nil), Seq("k"), nBuckets = 4,
       autoCompactRuns = 3)
