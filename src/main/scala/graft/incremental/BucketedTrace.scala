@@ -415,6 +415,89 @@ object BucketedTrace {
     out
   }
 
+  /** Incremental LINEAR aggregation (SUM/COUNT family) over a persistent
+    * trace — the bucketed form of [[IncrementalOps.linearAggStep]]: state
+    * = one row per live group (weight-1 Z-set). A step aggregates the
+    * delta (O(|Δ|)), probes the pre-append trace for the touched groups'
+    * old sums, merges, and appends retract-old ∪ insert-merged — groups
+    * whose weight-count hits 0 vanish (AggregateZero), untouched groups
+    * are never rewritten, and a numerically unchanged group cancels to
+    * ZERO bytes in the run. Returns the fresh rows for touched groups;
+    * the full view is `ZSets.toMultiset(trace.read())`.
+    */
+  /** Build a trace whose schema matches [[linearAggStep]]'s state rows —
+    * derived from the same aggregate expressions so types (decimal
+    * precision in particular) line up exactly.
+    */
+  def linearAggTrace(deltaTemplate: DataFrame, groupKeys: Seq[String],
+      specs: Seq[IncrementalOps.LinearAggSpec],
+      nBuckets: Int = 32): BucketedTrace =
+    new BucketedTrace(
+      deltaTemplate.limit(0).groupBy(groupKeys.map(col): _*)
+        .agg(sum(col(W)).as("_cnt"),
+          specs.map(sp => sum(sp.valueExpr * col(W)).as(sp.name)): _*)
+        .withColumn(W, lit(1L)),
+      groupKeys, nBuckets)
+
+  /** [[chainAggStep]]'s state-schema twin of [[linearAggTrace]] (chain
+    * deltas carry no weight column — append-only batches).
+    */
+  def chainAggTrace(deltaTemplate: DataFrame, groupKeys: Seq[String],
+      specs: Seq[IncrementalOps.ChainSpec],
+      nBuckets: Int = 32): BucketedTrace =
+    new BucketedTrace(
+      deltaTemplate.limit(0).groupBy(groupKeys.map(col): _*)
+        .agg(IncrementalOps.pick(specs.head),
+          specs.tail.map(IncrementalOps.pick): _*)
+        .withColumn(W, lit(1L)),
+      groupKeys, nBuckets)
+
+  def linearAggStep(
+      trace: BucketedTrace, delta: DataFrame,
+      groupKeys: Seq[String],
+      specs: Seq[IncrementalOps.LinearAggSpec]): DataFrame = {
+    val contrib = delta.groupBy(groupKeys.map(col): _*)
+      .agg(sum(col(W)).as("_cnt"),
+        specs.map(sp => sum(sp.valueExpr * col(W)).as(sp.name)): _*)
+      .localCheckpoint(true)
+    val old = ZSets.toMultiset(
+      trace.probe(contrib.select(groupKeys.map(col): _*)))
+    val merged = old.unionByName(contrib)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(sum(col("_cnt")).as("_cnt"),
+        specs.map(sp => sum(col(sp.name)).as(sp.name)): _*)
+      .filter(col("_cnt") =!= 0)
+    val out = snapshot(merged)
+    trace.append(old.withColumn(W, lit(-1L))
+      .unionByName(out.withColumn(W, lit(1L))))
+    out
+  }
+
+  /** Append-only chain aggregate (MIN/MAX fast path) over a persistent
+    * trace — the bucketed form of [[IncrementalOps.chainAggStep]]: same
+    * state-as-Z-set encoding as [[linearAggStep]] with least/greatest
+    * merge; a group whose extremum did not move cancels to zero bytes.
+    */
+  def chainAggStep(
+      trace: BucketedTrace, delta: DataFrame,
+      groupKeys: Seq[String],
+      specs: Seq[IncrementalOps.ChainSpec]): DataFrame = {
+    val contrib = delta.groupBy(groupKeys.map(col): _*)
+      .agg(IncrementalOps.pick(specs.head),
+        specs.tail.map(IncrementalOps.pick): _*)
+      .localCheckpoint(true)
+    val old = ZSets.toMultiset(
+      trace.probe(contrib.select(groupKeys.map(col): _*)))
+    val merged = old.unionByName(contrib)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(IncrementalOps.pickMerge(specs.head),
+        specs.tail.map(IncrementalOps.pickMerge): _*)
+    val out = snapshot(merged)
+    trace.append(old.withColumn(W, lit(-1L))
+      .unionByName(out.withColumn(W, lit(1L))))
+    out
+  }
+
   /** PRIMARY-KEY upsert over a persistent trace — the bucketed form of
     * [[IncrementalOps.upsertStep]]: state = the live rows as a Z-set
     * (integrate(appended output deltas)), so a step appends exactly its

@@ -179,7 +179,7 @@ object IncrementalOps {
       groupKeys: Seq[String],
       specs: Seq[ChainSpec]): DataFrame = {
     val contrib = delta.groupBy(groupKeys.map(col): _*)
-      .agg(specs.head.pick, specs.tail.map(_.pick): _*)
+      .agg(pick(specs.head), specs.tail.map(pick): _*)
     state match {
       case None => contrib
       case Some(st) =>
@@ -187,17 +187,15 @@ object IncrementalOps {
           splitTouched(st, contrib.select(groupKeys.map(col): _*), groupKeys)
         val merged = touchedOld.unionByName(contrib)
           .groupBy(groupKeys.map(col): _*)
-          .agg(specs.head.pickMerge, specs.tail.map(_.pickMerge): _*)
+          .agg(pickMerge(specs.head), specs.tail.map(pickMerge): _*)
         untouched.unionByName(merged)
     }
   }
 
-  private implicit class ChainSpecOps(sp: ChainSpec) {
-    def pick: Column =
-      (if (sp.isMax) max(sp.valueExpr) else min(sp.valueExpr)).as(sp.name)
-    def pickMerge: Column =
-      (if (sp.isMax) max(col(sp.name)) else min(col(sp.name))).as(sp.name)
-  }
+  private[incremental] def pick(sp: ChainSpec): Column =
+    (if (sp.isMax) max(sp.valueExpr) else min(sp.valueExpr)).as(sp.name)
+  private[incremental] def pickMerge(sp: ChainSpec): Column =
+    (if (sp.isMax) max(col(sp.name)) else min(col(sp.name))).as(sp.name)
 
   /** Result of a general-aggregate step: the new state, the fresh aggregate
     * rows for touched groups, and the touched groups whose multiset emptied

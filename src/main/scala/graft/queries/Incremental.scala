@@ -40,15 +40,25 @@ object Incremental {
          |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity")
-      val state = deltaBatches(li).foldLeft(Option.empty[DataFrame]) {
-        (st, delta) =>
-          Some(IncrementalOps.linearAggStep(st, delta, Seq("l_returnflag"),
-            Seq(LinearAggSpec("_sum_q", dec(col("l_quantity"))))))
-      }.get
-      state.select(col("l_returnflag"),
-        col("_sum_q").cast("double").as("sum_qty"),
-        col("_cnt").as("n"),
-        (col("_sum_q").cast("double") / col("_cnt")).as("avg_qty"))
+      val specs = Seq(LinearAggSpec("_sum_q", dec(col("l_quantity"))))
+      // group sums live in the bucketed backend as weight-1 rows: each
+      // step aggregates its delta, probes old sums for the touched
+      // groups, and appends retract-old / insert-merged — untouched
+      // groups are never rewritten
+      val trace = graft.incremental.BucketedTrace.linearAggTrace(
+        ZSets.lift(li), Seq("l_returnflag"), specs, nBuckets = 16)
+      try {
+        deltaBatches(li).foreach { delta =>
+          graft.incremental.BucketedTrace.linearAggStep(
+            trace, delta, Seq("l_returnflag"), specs)
+        }
+        ZSets.toMultiset(trace.read())
+          .select(col("l_returnflag"),
+            col("_sum_q").cast("double").as("sum_qty"),
+            col("_cnt").as("n"),
+            (col("_sum_q").cast("double") / col("_cnt")).as("avg_qty"))
+          .localCheckpoint(true)
+      } finally trace.delete()
     },
 
     Q(
@@ -97,10 +107,17 @@ object Incremental {
       val specs = Seq(
         IncrementalOps.ChainSpec("min_q", col("l_quantity"), isMax = false),
         IncrementalOps.ChainSpec("max_q", col("l_quantity"), isMax = true))
-      appendBatches.foldLeft(Option.empty[DataFrame]) { (st, b) =>
-        Some(IncrementalOps.chainAggStep(st, b, Seq("l_returnflag"), specs)
-          .localCheckpoint(false))
-      }.get
+      // O(groups) extremum state in the bucketed backend; a batch that
+      // moves no extremum cancels to a zero-byte run
+      val trace = graft.incremental.BucketedTrace.chainAggTrace(
+        appendBatches.head, Seq("l_returnflag"), specs, nBuckets = 16)
+      try {
+        appendBatches.foreach { b =>
+          graft.incremental.BucketedTrace.chainAggStep(
+            trace, b, Seq("l_returnflag"), specs)
+        }
+        ZSets.toMultiset(trace.read()).localCheckpoint(true)
+      } finally trace.delete()
     },
 
     Q(

@@ -190,6 +190,57 @@ class BucketedTraceSpec extends SparkSpec {
     } finally trace.delete()
   }
 
+  test("bucketed linearAggStep equals the in-memory rule; groups vanish at 0") {
+    import graft.incremental.IncrementalOps
+    import graft.incremental.IncrementalOps.LinearAggSpec
+    val rows = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 9L))
+      .toDF("g", "v")
+    val batches = Seq(
+      ZSets.lift(rows),
+      // retract all of c (group must vanish) and one of a's rows
+      ZSets.negate(ZSets.lift(rows.filter(col("g") === "c" || col("v") === 20L))),
+      ZSets.lift(Seq(("b", 100L)).toDF("g", "v")))
+    val specs = Seq(LinearAggSpec("s", col("v")))
+    val trace = BucketedTrace.linearAggTrace(batches.head, Seq("g"), specs,
+      nBuckets = 4)
+    try {
+      var st = Option.empty[DataFrame]
+      batches.foreach { d =>
+        st = Some(IncrementalOps.linearAggStep(st, d, Seq("g"), specs)
+          .localCheckpoint(false))
+        BucketedTrace.linearAggStep(trace, d, Seq("g"), specs)
+      }
+      assert(ZSets.toMultiset(trace.read()).as[(String, Long, Long)]
+        .collect().toSet
+        === st.get.as[(String, Long, Long)].collect().toSet)
+    } finally trace.delete()
+  }
+
+  test("bucketed chainAggStep equals the in-memory rule; no-move cancels") {
+    import graft.incremental.IncrementalOps
+    import graft.incremental.IncrementalOps.ChainSpec
+    val specs = Seq(ChainSpec("mn", col("v"), isMax = false),
+      ChainSpec("mx", col("v"), isMax = true))
+    val batches = Seq(
+      Seq(("a", 5L), ("a", 9L), ("b", 3L)),
+      Seq(("a", 7L), ("b", 1L)),   // a unchanged → zero-byte contribution
+      Seq(("a", 100L), ("c", 2L))
+    ).map(_.toDF("g", "v"))
+    val trace = BucketedTrace.chainAggTrace(batches.head, Seq("g"), specs,
+      nBuckets = 4)
+    try {
+      var st = Option.empty[DataFrame]
+      batches.foreach { b =>
+        st = Some(IncrementalOps.chainAggStep(st, b, Seq("g"), specs)
+          .localCheckpoint(false))
+        BucketedTrace.chainAggStep(trace, b, Seq("g"), specs)
+      }
+      assert(ZSets.toMultiset(trace.read()).as[(String, Long, Long)]
+        .collect().toSet
+        === st.get.as[(String, Long, Long)].collect().toSet)
+    } finally trace.delete()
+  }
+
   test("bucketed distinctStep equals the in-memory rule across transitions") {
     import graft.incremental.IncrementalOps
     // schedule: appear → duplicate (no transition) → vanish → reappear
