@@ -422,7 +422,11 @@ object StreamBench {
               col("price").as("r_price"), lit(1L).as("_w")))
         val t0 = System.nanoTime()
         val q = graft.runtime.StreamingPipeline
-          .standingJoinSingle(src, split, Seq("k"), nBuckets = 8) { (d, _) =>
+          // consolidateOutput off: bid ids are unique per side, so the
+          // bilinear terms emit a duplicate-free delta already — matching
+          // the reference's unconsolidated operator output (join.rs)
+          .standingJoinSingle(src, split, Seq("k"), nBuckets = 8,
+            consolidateOutput = false) { (d, _) =>
             d.write.format("noop").mode("overwrite").save() }
           .option("checkpointLocation", s"$dir/ckpt_$name")
           .outputMode("update")

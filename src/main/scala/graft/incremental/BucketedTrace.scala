@@ -44,7 +44,13 @@ final class BucketedTrace(
     val keys: Seq[String],
     val nBuckets: Int = 32,
     val autoCompactRuns: Int = 8,
-    root: Option[Path] = None) {
+    root: Option[Path] = None,
+    /** Write runs key-sorted within each bucket so [[probe]]'s pushed
+      * range filter can skip parquet row groups. Disable for traces whose
+      * consumers only full-scan runs (e.g. standing-join bilinear terms)
+      * — there the sort buys nothing and costs a per-append local sort.
+      */
+    val sortRuns: Boolean = true) {
 
   import BucketedTrace.B
 
@@ -76,8 +82,9 @@ final class BucketedTrace(
     // with the keys, so [[probe]]'s pushed key-range filter skips row
     // groups a point probe cannot match. Z-set content is unordered, so
     // the sort never changes what read()/probe() return.
-    delta.withColumn(B, bucketOf)
-      .sortWithinPartitions(col(B) +: keys.map(col): _*)
+    val bucketed = delta.withColumn(B, bucketOf)
+    (if (sortRuns) bucketed.sortWithinPartitions(col(B) +: keys.map(col): _*)
+     else bucketed)
       .write.mode("append").partitionBy(B)
       .parquet(path.toString)
     runs += 1
@@ -178,8 +185,9 @@ final class BucketedTrace(
     if (runs <= 1) return
     val tmp = path.resolveSibling(path.getFileName.toString + ".compact")
     BucketedTrace.deleteRecursively(tmp)
-    read().withColumn(B, bucketOf)
-      .sortWithinPartitions(col(B) +: keys.map(col): _*)
+    val folded = read().withColumn(B, bucketOf)
+    (if (sortRuns) folded.sortWithinPartitions(col(B) +: keys.map(col): _*)
+     else folded)
       .write.mode("overwrite").partitionBy(B)
       .parquet(tmp.toString)
     val old = path.resolveSibling(path.getFileName.toString + ".old")

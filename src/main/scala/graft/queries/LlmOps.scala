@@ -682,6 +682,57 @@ object LlmOps {
             / nullif(size(col("_toks")) - 2, lit(0))).as("top_trigram_frac"))
     },
 
+    // Composite curation gate: the keep/drop decision with the FIRST
+    // failing rule as the reason — the filter a pipeline actually runs
+    // over the per-doc stats (length window, repetition, quality floor).
+    // Pure scan-side CASE over already-graded stat expressions.
+    Q(
+      "llm_quality_filter",
+      s"""WITH tkv AS (SELECT doc_id, text, $tk AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |  i -> toks[i] || ' ' || toks[i+1])) AS g FROM tkv),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |b1 AS (SELECT doc_id, max(c) AS c FROM bc GROUP BY doc_id),
+         |st AS (SELECT tkv.doc_id,
+         |  len(toks) AS n_tok,
+         |  CAST(b1.c AS DOUBLE) / NULLIF(len(toks) - 1, 0) AS big_frac,
+         |  GREATEST(0.0, LEAST(1.0,
+         |    LEAST(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) * 0.4
+         |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0)) * 0.4
+         |    + (CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |       / NULLIF(length(text), 0)) * 0.2)) AS quality
+         |  FROM tkv LEFT JOIN b1 ON b1.doc_id = tkv.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN n_tok < 20 THEN 'too_short'
+         |       WHEN n_tok > 90 THEN 'too_long'
+         |       WHEN big_frac > 0.08 THEN 'repetitive'
+         |       WHEN quality < 0.72 THEN 'low_quality'
+         |       ELSE 'ok' END AS reason,
+         |  CASE WHEN n_tok >= 20 AND n_tok <= 90
+         |        AND COALESCE(big_frac, 0) <= 0.08
+         |        AND quality >= 0.72 THEN TRUE ELSE FALSE END AS keep
+         |FROM st""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          size(col("_toks")).as("_n"),
+          (TextAnalysis.topRun(TextAnalysis.wordBigrams(col("_toks")))
+            .getField("cnt").cast("double")
+            / nullif(size(col("_toks")) - 1, lit(0))).as("_bf"),
+          TextAnalysis.qualityScoreFromTokens(col("text"), col("_toks"))
+            .as("_q"))
+        .select(col("doc_id"),
+          when(col("_n") < 20, "too_short")
+            .when(col("_n") > 90, "too_long")
+            .when(col("_bf") > 0.08, "repetitive")
+            .when(col("_q") < 0.72, "low_quality")
+            .otherwise("ok").as("reason"),
+          (col("_n") >= 20 && col("_n") <= 90 &&
+            coalesce(col("_bf"), lit(0.0)) <= 0.08 &&
+            col("_q") >= 0.72).as("keep"))
+    },
+
     // TF-IDF ranked terms: per-doc term frequency x inverse document
     // frequency, top 3 per document. The idf is the LINEAR form N/df —
     // plain IEEE division both engines compute bit-identically, where

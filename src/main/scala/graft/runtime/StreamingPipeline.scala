@@ -65,7 +65,18 @@ object StreamingPipeline {
     * Returns the writer (caller sets trigger/checkpoint and starts).
     */
   def standingJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      nBuckets: Int = 16)(
+      nBuckets: Int = 16,
+      /** Consolidate each batch's output delta into canonical Z-set form.
+        * The reference's join operator emits UNCONSOLIDATED batches
+        * (canonicalization happens in trace maintenance, not at operator
+        * output — crates/dbsp/src/operator/dynamic/join.rs), and the two
+        * bilinear terms cover disjoint pair spaces, so with duplicate-free
+        * input deltas the output is already duplicate-free: disabling
+        * skips an output-sized shuffle per micro-batch. Keep enabled when
+        * input deltas may carry duplicate or cancelling rows and the
+        * consumer needs canonical weights.
+        */
+      consolidateOutput: Boolean = true)(
       onDelta: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val w = ZSets.W
     def payload(df: DataFrame): Seq[String] =
@@ -96,20 +107,26 @@ object StreamingPipeline {
           .select(keys.map(col) ++ rp.map(c => col(s"_rp.$c").as(c))
             :+ col(w): _*)
         if (aTrace == null) {
-          aTrace = new graft.incremental.BucketedTrace(dA, keys, nBuckets)
-          bTrace = new graft.incremental.BucketedTrace(dB, keys, nBuckets)
+          // sortRuns off: the bilinear terms full-scan runs (no point
+          // probes), so a per-append sort would be pure cost
+          aTrace = new graft.incremental.BucketedTrace(dA, keys, nBuckets,
+            sortRuns = false)
+          bTrace = new graft.incremental.BucketedTrace(dB, keys, nBuckets,
+            sortRuns = false)
         }
-        // consolidate → canonical Z-set delta. The createDataFrame wrap
-        // is a CONSTRAINT BARRIER: Dataset.localCheckpoint (which delta
-        // consumers legitimately call) captures the origin plan's
-        // constraints, and under AQE that capture can keep references to
-        // attributes no longer in the output — a later union of such
-        // checkpoints crashes Catalyst's constraint rewrite
-        // (key-not-found in AttributeMap). A fresh Row-RDD frame carries
-        // no origin constraints; the conversion is delta-sized and lazy.
-        val d = ZSets.consolidate(graft.incremental.BucketedTrace.joinStep(
-          aTrace, bTrace, dA, dB, keys))
-        onDelta(d.sparkSession.createDataFrame(d.rdd, d.schema), batchId)
+        // the delta crosses to the consumer through a CONSTRAINT
+        // BARRIER: Dataset.localCheckpoint (which delta consumers
+        // legitimately call) captures the origin plan's constraints, and
+        // under AQE that capture can keep references to attributes no
+        // longer in the output — a later union of such checkpoints
+        // crashes Catalyst's constraint rewrite (key-not-found in
+        // AttributeMap). Shims.internalBarrier rebases the plan on its
+        // internal-row RDD with no origin constraints — no per-row
+        // external conversion, still lazy.
+        val d0 = graft.incremental.BucketedTrace.joinStep(
+          aTrace, bTrace, dA, dB, keys)
+        val d = if (consolidateOutput) ZSets.consolidate(d0) else d0
+        onDelta(org.apache.spark.sql.graft.Shims.internalBarrier(d), batchId)
       } finally { batch.unpersist(); () }
     }
   }
@@ -124,7 +141,9 @@ object StreamingPipeline {
     */
   def standingJoinSingle(source: DataFrame,
       splitSides: DataFrame => (DataFrame, DataFrame), keys: Seq[String],
-      nBuckets: Int = 16)(
+      nBuckets: Int = 16,
+      /** See [[standingJoin]]'s consolidateOutput. */
+      consolidateOutput: Boolean = true)(
       onDelta: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     var aTrace: graft.incremental.BucketedTrace = null
     var bTrace: graft.incremental.BucketedTrace = null
@@ -133,20 +152,26 @@ object StreamingPipeline {
       try {
         val (dA, dB) = splitSides(batch)
         if (aTrace == null) {
-          aTrace = new graft.incremental.BucketedTrace(dA, keys, nBuckets)
-          bTrace = new graft.incremental.BucketedTrace(dB, keys, nBuckets)
+          // sortRuns off: the bilinear terms full-scan runs (no point
+          // probes), so a per-append sort would be pure cost
+          aTrace = new graft.incremental.BucketedTrace(dA, keys, nBuckets,
+            sortRuns = false)
+          bTrace = new graft.incremental.BucketedTrace(dB, keys, nBuckets,
+            sortRuns = false)
         }
-        // consolidate → canonical Z-set delta. The createDataFrame wrap
-        // is a CONSTRAINT BARRIER: Dataset.localCheckpoint (which delta
-        // consumers legitimately call) captures the origin plan's
-        // constraints, and under AQE that capture can keep references to
-        // attributes no longer in the output — a later union of such
-        // checkpoints crashes Catalyst's constraint rewrite
-        // (key-not-found in AttributeMap). A fresh Row-RDD frame carries
-        // no origin constraints; the conversion is delta-sized and lazy.
-        val d = ZSets.consolidate(graft.incremental.BucketedTrace.joinStep(
-          aTrace, bTrace, dA, dB, keys))
-        onDelta(d.sparkSession.createDataFrame(d.rdd, d.schema), batchId)
+        // the delta crosses to the consumer through a CONSTRAINT
+        // BARRIER: Dataset.localCheckpoint (which delta consumers
+        // legitimately call) captures the origin plan's constraints, and
+        // under AQE that capture can keep references to attributes no
+        // longer in the output — a later union of such checkpoints
+        // crashes Catalyst's constraint rewrite (key-not-found in
+        // AttributeMap). Shims.internalBarrier rebases the plan on its
+        // internal-row RDD with no origin constraints — no per-row
+        // external conversion, still lazy.
+        val d0 = graft.incremental.BucketedTrace.joinStep(
+          aTrace, bTrace, dA, dB, keys)
+        val d = if (consolidateOutput) ZSets.consolidate(d0) else d0
+        onDelta(org.apache.spark.sql.graft.Shims.internalBarrier(d), batchId)
       } finally { batch.unpersist(); () }
     }
   }

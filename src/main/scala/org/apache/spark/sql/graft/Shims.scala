@@ -27,4 +27,22 @@ object Shims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Plan barrier WITHOUT the external-row round trip:
+    * `createDataFrame(df.rdd, schema)` severs origin-plan lineage (and its
+    * constraints — see the streaming-delta constraint-bug workaround) but
+    * converts every row InternalRow → Row → InternalRow. This wraps the
+    * INTERNAL row RDD in a LogicalRDD constructed with no origin stats or
+    * constraints: same barrier, zero per-row conversion. Lazy — the
+    * underlying plan runs when (and each time) the result is consumed,
+    * exactly like the external-row form.
+    */
+  def internalBarrier(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = classic.sparkSession
+    val plan = org.apache.spark.sql.execution.LogicalRDD(
+      classic.queryExecution.analyzed.output,
+      classic.queryExecution.toRdd)(spark)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+  }
 }
