@@ -50,7 +50,7 @@ final class BucketedTrace(
       * consumers only full-scan runs (e.g. standing-join bilinear terms)
       * — there the sort buys nothing and costs a per-append local sort.
       */
-    val sortRuns: Boolean = true) {
+    val sortRuns: Boolean = true) extends Trace {
 
   import BucketedTrace.B
 
@@ -329,7 +329,7 @@ object BucketedTrace {
     * ordering subtleties between probe evaluation and file appends.
     */
   def joinStep(
-      aTrace: BucketedTrace, bTrace: BucketedTrace,
+      aTrace: Trace, bTrace: Trace,
       dA: DataFrame, dB: DataFrame,
       joinKeys: Seq[String]): DataFrame = {
     // ΔA ⋈ B against the PRE-append trace. The delta side is broadcast
@@ -368,7 +368,7 @@ object BucketedTrace {
     * output rows).
     */
   def generalAggStep(
-      trace: BucketedTrace, delta: DataFrame,
+      trace: Trace, delta: DataFrame,
       groupKeys: Seq[String], aggs: Seq[Column]): (DataFrame, DataFrame) = {
     val touchedKeys = delta.select(groupKeys.map(col): _*).distinct()
       .localCheckpoint(true) // read twice (probe + deleted); delta-sized
@@ -387,13 +387,7 @@ object BucketedTrace {
     * rewrite when step outputs are unioned) that also pins the result
     * against later run compaction.
     */
-  private def snapshot(df: DataFrame): DataFrame = {
-    val rdd = df.rdd
-    rdd.cache()
-    rdd.count() // eager: the result must not depend on run files a later
-    //             compaction may replace
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
+  private def snapshot(df: DataFrame): DataFrame = Trace.materialize(df)
 
   /** Incremental DISTINCT over a persistent trace — the bucketed form of
     * [[IncrementalOps.distinctStep]]: state = consolidated multiplicities
@@ -403,7 +397,7 @@ object BucketedTrace {
     * and returns the sign transitions (appeared → +1, vanished → −1) as a
     * compaction-safe materialized frame.
     */
-  def distinctStep(trace: BucketedTrace, delta: DataFrame): DataFrame = {
+  def distinctStep(trace: Trace, delta: DataFrame): DataFrame = {
     val keys = ZSets.dataCols(delta)
     val dCon = ZSets.consolidate(delta).localCheckpoint(true)
     val oldW = trace.probe(dCon.select(keys.map(col): _*))
@@ -441,11 +435,19 @@ object BucketedTrace {
       specs: Seq[IncrementalOps.LinearAggSpec],
       nBuckets: Int = 32): BucketedTrace =
     new BucketedTrace(
-      deltaTemplate.limit(0).groupBy(groupKeys.map(col): _*)
-        .agg(sum(col(W)).as("_cnt"),
-          specs.map(sp => sum(sp.valueExpr * col(W)).as(sp.name)): _*)
-        .withColumn(W, lit(1L)),
+      linearAggTemplate(deltaTemplate, groupKeys, specs),
       groupKeys, nBuckets)
+
+  /** Empty frame with [[linearAggStep]]'s state-row schema — shared by
+    * every backend's trace constructor so types (decimal precision in
+    * particular) line up exactly with the step's aggregate expressions.
+    */
+  def linearAggTemplate(deltaTemplate: DataFrame, groupKeys: Seq[String],
+      specs: Seq[IncrementalOps.LinearAggSpec]): DataFrame =
+    deltaTemplate.limit(0).groupBy(groupKeys.map(col): _*)
+      .agg(sum(col(W)).as("_cnt"),
+        specs.map(sp => sum(sp.valueExpr * col(W)).as(sp.name)): _*)
+      .withColumn(W, lit(1L))
 
   /** [[chainAggStep]]'s state-schema twin of [[linearAggTrace]] (chain
     * deltas carry no weight column — append-only batches).
@@ -454,14 +456,19 @@ object BucketedTrace {
       specs: Seq[IncrementalOps.ChainSpec],
       nBuckets: Int = 32): BucketedTrace =
     new BucketedTrace(
-      deltaTemplate.limit(0).groupBy(groupKeys.map(col): _*)
-        .agg(IncrementalOps.pick(specs.head),
-          specs.tail.map(IncrementalOps.pick): _*)
-        .withColumn(W, lit(1L)),
+      chainAggTemplate(deltaTemplate, groupKeys, specs),
       groupKeys, nBuckets)
 
+  /** Empty frame with [[chainAggStep]]'s state-row schema. */
+  def chainAggTemplate(deltaTemplate: DataFrame, groupKeys: Seq[String],
+      specs: Seq[IncrementalOps.ChainSpec]): DataFrame =
+    deltaTemplate.limit(0).groupBy(groupKeys.map(col): _*)
+      .agg(IncrementalOps.pick(specs.head),
+        specs.tail.map(IncrementalOps.pick): _*)
+      .withColumn(W, lit(1L))
+
   def linearAggStep(
-      trace: BucketedTrace, delta: DataFrame,
+      trace: Trace, delta: DataFrame,
       groupKeys: Seq[String],
       specs: Seq[IncrementalOps.LinearAggSpec]): DataFrame = {
     val contrib = delta.groupBy(groupKeys.map(col): _*)
@@ -487,7 +494,7 @@ object BucketedTrace {
     * merge; a group whose extremum did not move cancels to zero bytes.
     */
   def chainAggStep(
-      trace: BucketedTrace, delta: DataFrame,
+      trace: Trace, delta: DataFrame,
       groupKeys: Seq[String],
       specs: Seq[IncrementalOps.ChainSpec]): DataFrame = {
     val contrib = delta.groupBy(groupKeys.map(col): _*)
@@ -516,7 +523,7 @@ object BucketedTrace {
     * `ZSets.toMultiset(trace.read())`.
     */
   def upsertStep(
-      trace: BucketedTrace, batchRaw: DataFrame, key: Seq[String],
+      trace: Trace, batchRaw: DataFrame, key: Seq[String],
       deletedCol: String = "_deleted",
       seqCol: Option[String] = None,
       assumeUnique: Boolean = false): DataFrame = {

@@ -41,12 +41,16 @@ object Incremental {
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity")
       val specs = Seq(LinearAggSpec("_sum_q", dec(col("l_quantity"))))
-      // group sums live in the bucketed backend as weight-1 rows: each
+      // group sums live in the LSM-tiered backend as weight-1 rows: each
       // step aggregates its delta, probes old sums for the touched
       // groups, and appends retract-old / insert-merged — untouched
-      // groups are never rewritten
-      val trace = graft.incremental.BucketedTrace.linearAggTrace(
-        ZSets.lift(li), Seq("l_returnflag"), specs, nBuckets = 16)
+      // groups are never rewritten. Runs stay in the memtable while the
+      // state is small and spill to the bucketed parquet tier past the
+      // bound (TieredTraceSpec drives both sides of the flush).
+      val trace = new graft.incremental.TieredTrace(
+        graft.incremental.BucketedTrace.linearAggTemplate(
+          ZSets.lift(li), Seq("l_returnflag"), specs),
+        Seq("l_returnflag"), nBuckets = 16)
       try {
         deltaBatches(li).foreach { delta =>
           graft.incremental.BucketedTrace.linearAggStep(
@@ -70,11 +74,11 @@ object Incremental {
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity",
           "l_extendedprice")
-      // state = the consolidated input Z-set, kept in the persistent
-      // bucketed backend: each step appends the delta as a run (O(|Δ|)
-      // write) and re-aggregates only the touched groups through the
-      // pruned consolidated probe — no per-step full-state rewrite
-      val trace = new graft.incremental.BucketedTrace(
+      // state = the consolidated input Z-set, kept in the LSM-tiered
+      // backend: each step appends the delta as a run (O(|Δ|) write,
+      // memtable until the spill bound) and re-aggregates only the
+      // touched groups through the probe — no per-step full-state rewrite
+      val trace = new graft.incremental.TieredTrace(
         ZSets.lift(li.drop("l_orderkey")), Seq("l_returnflag"),
         nBuckets = 16)
       try {
@@ -107,10 +111,12 @@ object Incremental {
       val specs = Seq(
         IncrementalOps.ChainSpec("min_q", col("l_quantity"), isMax = false),
         IncrementalOps.ChainSpec("max_q", col("l_quantity"), isMax = true))
-      // O(groups) extremum state in the bucketed backend; a batch that
-      // moves no extremum cancels to a zero-byte run
-      val trace = graft.incremental.BucketedTrace.chainAggTrace(
-        appendBatches.head, Seq("l_returnflag"), specs, nBuckets = 16)
+      // O(groups) extremum state in the tiered backend; a batch that
+      // moves no extremum cancels to a zero-row run
+      val trace = new graft.incremental.TieredTrace(
+        graft.incremental.BucketedTrace.chainAggTemplate(
+          appendBatches.head, Seq("l_returnflag"), specs),
+        Seq("l_returnflag"), nBuckets = 16)
       try {
         appendBatches.foreach { b =>
           graft.incremental.BucketedTrace.chainAggStep(
@@ -126,11 +132,12 @@ object Incremental {
         |FROM lineitem WHERE l_orderkey % 10 <> 0""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_linestatus", "l_suppkey")
-      // multiplicity state lives in the persistent bucketed backend: each
-      // step appends the consolidated delta as a run (O(|Δ|) write) and
-      // probes only the delta's buckets for the old weights — no per-step
-      // full-state localCheckpoint rewrite
-      val trace = new graft.incremental.BucketedTrace(
+      // multiplicity state lives in the LSM-tiered backend: each step
+      // appends the consolidated delta as a run (O(|Δ|) write) and probes
+      // the old weights for the delta's rows — no per-step full-state
+      // localCheckpoint rewrite, no parquet round trip while the state
+      // fits the memtable
+      val trace = new graft.incremental.TieredTrace(
         ZSets.lift(li.drop("l_orderkey")), Seq("l_returnflag",
           "l_linestatus", "l_suppkey"), nBuckets = 16)
       try {
@@ -173,18 +180,18 @@ object Incremental {
           ZSets.lift(li.filter(col("o_orderkey") % 3 === 1)),
           ZSets.lift(li.filter(col("o_orderkey") % 3 === 2)),
           ZSets.negate(ZSets.lift(li.filter(col("o_orderkey") % 10 === 0))))
-        // traces live in the persistent bucketed backend (the spine
-        // analogue): each step APPENDS the delta as a run — O(|Δ|) write —
-        // and the bilinear output terms PROBE only the buckets/keys the
-        // opposite delta touches. No step reads or rewrites the full trace
-        // (the localCheckpoint-per-step form rewrote both traces through a
-        // row-encoder round trip every batch).
-        // 16 buckets: below Spark's parallel-listing threshold (32 paths),
-        // so run listings stay driver-side instead of costing a job per
-        // probe. Production sizing scales nBuckets with the cluster.
-        val aTrace = new graft.incremental.BucketedTrace(
+        // traces live in the LSM-tiered backend (the spine analogue):
+        // each step APPENDS the delta as a run — O(|Δ|) write, cached
+        // memtable runs until the spill bound, bucketed parquet after —
+        // and the bilinear output terms probe the runs in place. No step
+        // reads or rewrites the full trace (the localCheckpoint-per-step
+        // form rewrote both traces through a row-encoder round trip every
+        // batch). 16 buckets on the disk tier: below Spark's
+        // parallel-listing threshold (32 paths), so run listings stay
+        // driver-side. Production sizing scales nBuckets with the cluster.
+        val aTrace = new graft.incremental.TieredTrace(
           ZSets.lift(o), Seq("o_orderkey"), nBuckets = 16)
-        val bTrace = new graft.incremental.BucketedTrace(
+        val bTrace = new graft.incremental.TieredTrace(
           ZSets.lift(li), Seq("o_orderkey"), nBuckets = 16)
         try {
           var out = Option.empty[DataFrame]
@@ -228,10 +235,11 @@ object Incremental {
           o.filter(col("k") % 13 === 0)
             .withColumn("v", lit(null).cast("long"))
             .withColumn("_deleted", lit(true)))
-        // PK state as a Z-set trace: each step appends exactly its OUTPUT
-        // delta (retract replaced/deleted, insert new) — untouched keys
-        // are never rewritten; old rows come from the pruned probe
-        val trace = new graft.incremental.BucketedTrace(
+        // PK state as a Z-set trace in the tiered backend: each step
+        // appends exactly its OUTPUT delta (retract replaced/deleted,
+        // insert new) — untouched keys are never rewritten; old rows come
+        // from the probe
+        val trace = new graft.incremental.TieredTrace(
           ZSets.lift(o), Seq("k"), nBuckets = 16)
         try {
           var out = Option.empty[DataFrame]
