@@ -106,17 +106,19 @@ final class MemoryTrace(
     * barrier (see BucketedTrace.snapshot) whose eager count also returns
     * the run's size for the spill accounting.
     */
-  private def snapshot(df: DataFrame): (DataFrame, Long) = {
-    val rdd = df.rdd
-    rdd.cache()
-    val n = rdd.count()
-    (spark.createDataFrame(rdd, df.schema), n)
-  }
+  /** Eager cached INTERNAL-row snapshot (no external-row conversion, no
+    * parquet encode — the memtable write path). MEMORY_AND_DISK: an
+    * evicted MEMORY_ONLY partition recomputes through lineage, and a run
+    * built from a streaming micro-batch has no replayable lineage once
+    * the batch ends — spill to local disk instead of recomputing.
+    */
+  private def snapshot(df: DataFrame): (DataFrame, Long, org.apache.spark.rdd.RDD[_]) =
+    org.apache.spark.sql.graft.Shims.internalSnapshot(df)
 
   def append(delta: DataFrame): Unit = {
-    val (run, n) = snapshot(delta)
+    val (run, n, rdd) = snapshot(delta)
     runList :+= run
-    cached :+= run.rdd
+    cached :+= rdd
     rowCount += n
     if (runList.size >= autoCompactRuns) compact()
   }
@@ -145,10 +147,10 @@ final class MemoryTrace(
 
   def compact(): Unit = {
     if (runList.size <= 1) return
-    val (folded, n) = snapshot(read())
+    val (folded, n, rdd) = snapshot(read())
     val old = cached
     runList = Vector(folded)
-    cached = Vector(folded.rdd)
+    cached = Vector(rdd)
     rowCount = n
     old.foreach(_.unpersist(false))
   }
@@ -206,7 +208,14 @@ final class TieredTrace(
     val memRows: Long = 4L << 20,
     val nBuckets: Int = 32,
     val diskAutoCompactRuns: Int = 8,
-    val sortRuns: Boolean = true) extends Trace {
+    val sortRuns: Boolean = true,
+    /** Merge weights when the memtable spills. Disable for append-only /
+      * duplicate-free traces (standing-join sides with unique keys):
+      * unconsolidated runs are correct Z-set content either way — merging
+      * happens lazily at read — and skipping saves a memtable-sized
+      * shuffle per flush.
+      */
+    val consolidateOnFlush: Boolean = true) extends Trace {
 
   /** Memtable self-compacts every 16 runs: a long append schedule below
     * the spill bound would otherwise union hundreds of run frames into
@@ -230,12 +239,14 @@ final class TieredTrace(
     if (mem.heldRows > memRows) flush()
   }
 
-  /** Consolidate the memtable down to the disk tier as one run. */
+  /** Spill the memtable down to the disk tier as one run. */
   def flush(): Unit = {
     if (mem.heldRows == 0) return
     val runs = mem.drain()
-    val folded = ZSets.consolidate(
-      runs.map(_._1).reduce(_ unionByName _)).filter(col(W) =!= 0)
+    val all = runs.map(_._1).reduce(_ unionByName _)
+    val folded =
+      if (consolidateOnFlush) ZSets.consolidate(all).filter(col(W) =!= 0)
+      else all
     disk.append(folded) // parquet write evaluates `folded` eagerly...
     runs.foreach(_._2.unpersist(false)) // ...so the caches can go now
   }

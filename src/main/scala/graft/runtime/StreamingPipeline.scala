@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.incremental.IncrementalOps
+import graft.incremental.{IncrementalOps, TieredTrace, Trace}
 import graft.zset.ZSets
 
 /** Streaming program runner: ONE input stream fanned out to MULTIPLE view
@@ -16,6 +16,22 @@ import graft.zset.ZSets
   * so shared subplans are evaluated once.
   */
 object StreamingPipeline {
+
+  /** Default standing-join state backend: LSM-tiered — micro-batch deltas
+    * append as cluster-memory runs (MEMORY_AND_DISK, so pressure spills
+    * partitions to local disk rather than recomputing dead streaming
+    * lineage) and the trace degrades to bucketed parquet runs past the
+    * spill bound. Run sorting and flush consolidation are off: the
+    * bilinear terms full-scan runs (no point probes), so both would be
+    * pure per-batch cost. The memtable bound is rows HELD, sized so a
+    * long-running join eventually rests its cold majority on disk; the
+    * reference's spine makes the same memory/disk split
+    * (crates/dbsp/src/trace/spine_async.rs).
+    */
+  def defaultJoinTrace(template: DataFrame, keys: Seq[String],
+      nBuckets: Int): Trace =
+    new TieredTrace(template, keys, memRows = 32L << 20, nBuckets = nBuckets,
+      sortRuns = false, consolidateOnFlush = false)
 
   /** Attach `views` (name → transformation of the micro-batch) to a
     * streaming DataFrame; `emit` receives each view's result per batch
@@ -76,7 +92,14 @@ object StreamingPipeline {
         * input deltas may carry duplicate or cancelling rows and the
         * consumer needs canonical weights.
         */
-      consolidateOutput: Boolean = true)(
+      consolidateOutput: Boolean = true,
+      /** State backend for the two integrated traces. Default: the
+        * LSM-tiered backend with consolidation off at spill (standing
+        * joins full-scan runs, so run sorting/merging buys nothing) —
+        * fresh batches stay in cluster memory, large traces degrade to
+        * bucketed parquet runs. See [[defaultJoinTrace]].
+        */
+      mkTrace: (DataFrame, Seq[String], Int) => Trace = defaultJoinTrace)(
       onDelta: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val w = ZSets.W
     def payload(df: DataFrame): Seq[String] =
@@ -95,8 +118,8 @@ object StreamingPipeline {
         keys.map(col) ++ Seq(lit("R").as("_side"),
           lit(null).cast(lt).as("_lp"),
           struct(rp.map(col): _*).as("_rp"), col(w)): _*))
-    var aTrace: graft.incremental.BucketedTrace = null
-    var bTrace: graft.incremental.BucketedTrace = null
+    var aTrace: Trace = null
+    var bTrace: Trace = null
     tagged.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       batch.persist()
       try {
@@ -107,12 +130,8 @@ object StreamingPipeline {
           .select(keys.map(col) ++ rp.map(c => col(s"_rp.$c").as(c))
             :+ col(w): _*)
         if (aTrace == null) {
-          // sortRuns off: the bilinear terms full-scan runs (no point
-          // probes), so a per-append sort would be pure cost
-          aTrace = new graft.incremental.BucketedTrace(dA, keys, nBuckets,
-            sortRuns = false)
-          bTrace = new graft.incremental.BucketedTrace(dB, keys, nBuckets,
-            sortRuns = false)
+          aTrace = mkTrace(dA, keys, nBuckets)
+          bTrace = mkTrace(dB, keys, nBuckets)
         }
         // the delta crosses to the consumer through a CONSTRAINT
         // BARRIER: Dataset.localCheckpoint (which delta consumers
@@ -143,21 +162,19 @@ object StreamingPipeline {
       splitSides: DataFrame => (DataFrame, DataFrame), keys: Seq[String],
       nBuckets: Int = 16,
       /** See [[standingJoin]]'s consolidateOutput. */
-      consolidateOutput: Boolean = true)(
+      consolidateOutput: Boolean = true,
+      /** See [[standingJoin]]'s mkTrace. */
+      mkTrace: (DataFrame, Seq[String], Int) => Trace = defaultJoinTrace)(
       onDelta: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    var aTrace: graft.incremental.BucketedTrace = null
-    var bTrace: graft.incremental.BucketedTrace = null
+    var aTrace: Trace = null
+    var bTrace: Trace = null
     source.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       batch.persist()
       try {
         val (dA, dB) = splitSides(batch)
         if (aTrace == null) {
-          // sortRuns off: the bilinear terms full-scan runs (no point
-          // probes), so a per-append sort would be pure cost
-          aTrace = new graft.incremental.BucketedTrace(dA, keys, nBuckets,
-            sortRuns = false)
-          bTrace = new graft.incremental.BucketedTrace(dB, keys, nBuckets,
-            sortRuns = false)
+          aTrace = mkTrace(dA, keys, nBuckets)
+          bTrace = mkTrace(dB, keys, nBuckets)
         }
         // the delta crosses to the consumer through a CONSTRAINT
         // BARRIER: Dataset.localCheckpoint (which delta consumers

@@ -45,4 +45,29 @@ object Shims {
       classic.queryExecution.toRdd)(spark)
     org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
   }
+
+  /** EAGER, CACHED internal-row snapshot — [[internalBarrier]] plus
+    * persistence: runs the plan once, persists the internal rows at the
+    * given storage level, and returns (frame over the cached RDD, row
+    * count). Rows are copied before caching because the scan reuses one
+    * UnsafeRow buffer per partition — caching the references without the
+    * copy would alias every row to the last one read. Output attributes
+    * are re-instanced so two snapshots of related plans never put
+    * duplicate expression ids on both sides of a downstream union. This
+    * is the memtable write path: no external-row conversion, no parquet
+    * encode.
+    */
+  def internalSnapshot(df: org.apache.spark.sql.DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK):
+      (org.apache.spark.sql.DataFrame, Long, org.apache.spark.rdd.RDD[_]) = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = classic.sparkSession
+    val rdd = classic.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level)
+    val n = rdd.count()
+    val out = classic.queryExecution.analyzed.output.map(_.newInstance())
+    val plan = org.apache.spark.sql.execution.LogicalRDD(out, rdd)(spark)
+    (org.apache.spark.sql.classic.Dataset.ofRows(spark, plan), n, rdd)
+  }
 }
