@@ -41,9 +41,47 @@ import graft.zset.ZSets
   * (graft.streaming.Streams.withLateness).
   */
 final class Pipeline(spark: SparkSession,
-    private[runtime] val program: Ddl.Program) {
+    private[runtime] val program: Ddl.Program,
+    /** Relations (tables or views) whose integrated state rides the
+      * LSM-tiered trace backend instead of per-step materialized frames:
+      * a step APPENDS the relation's delta as a run — O(|Δ|), memtable
+      * until the spill bound, bucketed parquet after — and consumers see
+      * a lazy consolidated read pinned to the step's run set. Right for
+      * relations whose state is large relative to the per-step deltas
+      * (the 100-TB shape); the default per-step snapshot is right for
+      * small hot states, where a consolidation shuffle per read would
+      * cost more than it saves. PipelineStateBackendSpec asserts the two
+      * backends agree step-for-step.
+      */
+    traceBacked: Set[String] = Set.empty,
+    /** Memtable spill bound (rows) for trace-backed relation state. */
+    traceMemRows: Long = 4L << 20) {
 
   private[runtime] def session: SparkSession = spark
+
+  /** LSM-tiered state traces for [[traceBacked]] relations. */
+  private val relTraces =
+    mutable.Map[String, graft.incremental.TieredTrace]()
+
+  /** Integrate `delta` into a trace-backed relation's state and return
+    * the post-append consolidated read (lazy; pinned to this step's
+    * runs, so a later append never changes what this frame reads).
+    */
+  private def traceIntegrate(name: String, delta: DataFrame): DataFrame = {
+    val tr = relTraces.getOrElseUpdate(name,
+      new graft.incremental.TieredTrace(delta.limit(0),
+        ZSets.dataCols(delta), memRows = traceMemRows))
+    tr.append(delta)
+    tr.read()
+  }
+
+  /** Release trace-backed state storage (memtable caches + any spilled
+    * runs). The pipeline remains usable; state restarts empty.
+    */
+  def close(): Unit = {
+    relTraces.values.foreach(_.delete())
+    relTraces.clear()
+  }
 
   graft.functions.Registry.registerAll(spark)
   // TIME columns (SqlTypes "TIME" → native TimeType) need the 4.1 flag
@@ -347,10 +385,12 @@ final class Pipeline(spark: SparkSession,
       } else raw
       val dCon = ZSets.consolidate(d).localCheckpoint(false)
       relDeltas(name) = dCon
-      tableState(name) = (tableState.get(name) match {
-        case Some(prev) => IncrementalOps.mergeDelta(prev, dCon)
-        case None => dCon
-      }).localCheckpoint(false)
+      tableState(name) =
+        if (traceBacked(name)) traceIntegrate(name, dCon)
+        else (tableState.get(name) match {
+          case Some(prev) => IncrementalOps.mergeDelta(prev, dCon)
+          case None => dCon
+        }).localCheckpoint(false)
     }
 
     // 2. maintain views in declaration order
@@ -400,10 +440,12 @@ final class Pipeline(spark: SparkSession,
           recomputeDiff(v.sql, newStates, oldViews.get(v.name))
       }
       val vDelta = ZSets.consolidate(rawDelta).localCheckpoint(false)
-      val newView = (viewState.get(v.name) match {
-        case Some(prev) => IncrementalOps.mergeDelta(prev, vDelta)
-        case None => vDelta
-      }).localCheckpoint(false)
+      val newView =
+        if (traceBacked(v.name)) traceIntegrate(v.name, vDelta)
+        else (viewState.get(v.name) match {
+          case Some(prev) => IncrementalOps.mergeDelta(prev, vDelta)
+          case None => vDelta
+        }).localCheckpoint(false)
       viewState(v.name) = newView
       newStates(v.name) = newView
       relDeltas(v.name) = vDelta
@@ -1082,4 +1124,11 @@ object Pipeline {
 
   def apply(spark: SparkSession, programSql: String): Pipeline =
     new Pipeline(spark, Ddl.parse(programSql))
+
+  /** Pipeline with the named relations' state on the LSM-tiered trace
+    * backend (see the `traceBacked` constructor doc).
+    */
+  def apply(spark: SparkSession, programSql: String,
+      traceBacked: Set[String], traceMemRows: Long): Pipeline =
+    new Pipeline(spark, Ddl.parse(programSql), traceBacked, traceMemRows)
 }
