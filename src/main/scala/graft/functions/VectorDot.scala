@@ -140,10 +140,77 @@ case class VectorDotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd exact squared-L2 distance over BIGINT vectors — the
+  * assignment kernel of the quantized IVF path (centroid routing computes
+  * |vectors| × |centroids| of these per Lloyd round / per query batch).
+  * Identical arithmetic to the interpreted
+  * `aggregate(zip_with((x-c)*(x-c)))` fold it replaces.
+  */
+case class VectorDist2Long(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vector_dist2_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VectorDist2Long =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorDot {
   /** Column API: codegen'd float-vector dot product. */
   def dotF(a: Column, b: Column): Column =
     Shims.column(VectorDotFloat(Shims.expression(a), Shims.expression(b)))
+
+  /** Column API: codegen'd exact BIGINT squared-L2 distance. */
+  def dist2L(a: Column, b: Column): Column =
+    Shims.column(VectorDist2Long(Shims.expression(a), Shims.expression(b)))
 
   /** Column API: codegen'd exact integer (BIGINT) vector dot product. */
   def dotL(a: Column, b: Column): Column =

@@ -311,15 +311,15 @@ object Similarity {
       k: Int, nprobe: Int = 2, scale: Int = 1000,
       probeId: String = "probe_id", corpusId: String = "corpus_id",
       vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorDot.dotL
+    import graft.functions.VectorDot.{dist2L, dotL}
     val q = corpus.select(col(corpusId).as("__id"),
       quantize(col(vecCol), scale).as("__qv"))
     val seeds = q.filter(col("__id") < nCells)
       .select(col("__id").cast("int").as("__cell"), col("__qv").as("__cv"))
-    // exact integer squared L2 distance to a centroid column
-    def d2(v: Column, cvec: Column): Column =
-      aggregate(zip_with(v, cvec, (x, cc) => (x - cc) * (x - cc)),
-        lit(0L), (acc, x) => acc + x)
+    // exact integer squared L2 distance to a centroid column — the
+    // codegen'd kernel (identical arithmetic to the interpreted
+    // aggregate/zip_with fold; this runs |vectors| x |centroids| times)
+    def d2(v: Column, cvec: Column): Column = dist2L(v, cvec)
     def assign(vecs: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
       val scored = vecs.crossJoin(broadcast(cents))
         .withColumn("__d2", d2(col("__qv"), col("__cv")))
@@ -340,6 +340,10 @@ object Similarity {
         .as("__dm"))
       .select(col("__cell"),
         transform(col("__dm"), s => s.getField("__m")).as("__cv"))
+      // nCells tiny rows consumed by TWO assigns (corpus + probes), each
+      // a broadcast build: persist so the Lloyd round — which re-reads
+      // the whole corpus assignment lineage — evaluates once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusCells = assign(q, cent2, keep = 1)
       .select(col("__id").as("corpus_id"), col("__qv").as("__cqv"),
         col("__cell"), dotL(col("__qv"), col("__qv")).as("__cn"))

@@ -306,8 +306,7 @@ object LlmOps {
           .select(col("vec_id"),
             Similarity.quantize(col("embedding"), 1000).as("qv"))
           .select(col("vec_id"), col("qv"),
-            aggregate(transform(col("qv"), x => x * x), lit(0L),
-              (acc, x) => acc + x).as("nrm"),
+            graft.functions.VectorDot.dotL(col("qv"), col("qv")).as("nrm"),
             Dedup.signBands(col("qv"), bands = 12, bitsPerBand = 4)
               .as("bands"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -319,8 +318,10 @@ object LlmOps {
               && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .distinct()
-        val dt = aggregate(zip_with(col("qa"), col("qb"),
-          (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        // codegen'd exact BIGINT dot (identical arithmetic to the
+        // interpreted zip_with fold, which cost ~100M lambda invocations
+        // across the candidate pairs — the dominant task time here)
+        val dt = graft.functions.VectorDot.dotL(col("qa"), col("qb"))
         cand
           .join(q.select(col("vec_id").as("id_a"), col("qv").as("qa"),
             col("nrm").as("na")), "id_a")
