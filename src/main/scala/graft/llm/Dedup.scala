@@ -435,4 +435,33 @@ object Dedup {
         (col("n_hit").cast("double") / col("n_grams"))
           .as("contamination"))
   }
+
+  /** One step of INCREMENTAL cross-corpus exact dedup: admit the rows of
+    * `batch` whose fingerprint has never been seen by the trace (ties
+    * within the batch go to the lowest id), and record the admissions so
+    * later batches dedup against them. This is the continuous-ingest
+    * shape of a training-data pipeline — each crawl increment dedups
+    * against the WHOLE accumulated corpus without rescanning it: the
+    * trace probe is partition-pruned to the batch's fingerprint buckets
+    * (memtable-resident while small, bucketed parquet at scale), and the
+    * state write is an O(|admitted|) run append. The reference expresses
+    * the same computation as an incremental DISTINCT/ARG_MIN view over an
+    * append stream (SURVEY §2.5, distinct.rs); here the dedup key set IS
+    * the operator state.
+    *
+    * Returns the admitted (fpCol, idCol) rows, eagerly materialized
+    * (their plan must not see the trace's own append).
+    */
+  def incrementalDedup(trace: graft.incremental.Trace, batch: DataFrame,
+      fpCol: String, idCol: String): DataFrame = {
+    import graft.zset.ZSets
+    // within-batch winner per fingerprint; read twice (probe + admit)
+    val w = graft.incremental.Trace.materialize(
+      batch.groupBy(col(fpCol)).agg(min(col(idCol)).as(idCol)))
+    val seen = trace.probe(w.select(col(fpCol)))
+    val admitted = graft.incremental.Trace.materialize(
+      w.join(seen.select(col(fpCol)), Seq(fpCol), "left_anti"))
+    trace.append(admitted.withColumn(ZSets.W, lit(1L)))
+    admitted
+  }
 }

@@ -112,6 +112,48 @@ object LlmOps {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
     },
 
+    // INCREMENTAL cross-corpus dedup: documents arrive in 3 batches
+    // (doc_id % 3); each batch admits only fingerprints never seen by the
+    // accumulated corpus state, which lives in the LSM-tiered trace
+    // backend (memtable runs here; bucketed parquet with partition-pruned
+    // probes at corpus scale — the continuous-crawl-ingest shape, where a
+    // new increment never rescans the accumulated corpus). Oracle:
+    // first-arrival winner per fingerprint under the same batch order,
+    // over the identical Karp–Rabin rolling fingerprint.
+    Q(
+      "llm_inc_dedup",
+      s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |fp AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |    list_transform(tkn, t -> list_reduce(
+         |      list_prepend(CAST(7 AS BIGINT),
+         |        list_transform(range(1, length(t) + 1),
+         |          i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |      (acc, c) -> (acc * 31 + c) % ${Dedup.FP_P}))),
+         |    (acc, h) -> (acc * 31 + h) % ${Dedup.FP_P}) AS fp
+         |  FROM toks)
+         |SELECT fp, doc_id AS keep_id FROM (
+         |  SELECT fp, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id % 3, doc_id) AS rk
+         |  FROM fp) WHERE rk = 1""".stripMargin) { (s, dir) =>
+      val fps = t(s, dir, "documents").repartition(32, col("doc_id"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          Dedup.rollingFingerprint(col("_toks")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val trace = new graft.incremental.TieredTrace(
+        fps.select(col("fp"), col("doc_id")).limit(0)
+          .withColumn(graft.zset.ZSets.W, lit(1L)),
+        Seq("fp"), nBuckets = 16)
+      try {
+        (0 until 3).map(m => Dedup.incrementalDedup(trace,
+            fps.filter(col("doc_id") % 3 === m), "fp", "doc_id"))
+          .reduce(_ unionByName _)
+          .select(col("fp"), col("doc_id").as("keep_id"))
+          .localCheckpoint(true)
+      } finally { trace.delete(); fps.unpersist(); () }
+    },
+
     Q(
       "llm_minhash",
       s"""$sigCtes SELECT * FROM sig""") { (s, dir) =>

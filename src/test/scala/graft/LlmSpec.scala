@@ -288,6 +288,36 @@ class LlmSpec extends SparkSpec {
     assert(tri(2) === Seq.empty)
   }
 
+  test("incremental dedup admits first arrivals only, across a spill") {
+    import graft.incremental.TieredTrace
+    import graft.zset.ZSets
+    // 300 rows over 100 fingerprints: each fp arrives 3 times, once per
+    // batch — only the first arrival may be admitted, later re-sends of
+    // an already-admitted fp must be rejected against the trace
+    val rows = spark.range(300).select(
+      col("id"), (col("id") % 100).as("fp"))
+    val trace = new TieredTrace(
+      rows.select(col("fp"), col("id")).limit(0)
+        .withColumn(ZSets.W, lit(1L)),
+      Seq("fp"), memRows = 40, nBuckets = 8) // tiny bound: forces spills
+    try {
+      val admitted = (0 until 3).map { b =>
+        Dedup.incrementalDedup(trace,
+          rows.filter(col("id") % 3 === b)
+            .select(col("fp"), col("id")), "fp", "id")
+      }
+      assert(trace.bytesOnDisk > 0, "schedule must cross the spill")
+      // batch 0 holds ids 0,3,..,297 = fps 0..99 each once → all admitted
+      assert(admitted(0).count() === 100L)
+      // batches 1 and 2 re-send the same 100 fps → nothing admitted
+      assert(admitted(1).count() === 0L)
+      assert(admitted(2).count() === 0L)
+      val got = admitted(0).as[(Long, Long)].collect().toMap
+      // winner per fp is the batch-0 id (id % 3 == 0) with that fp
+      assert(got.forall { case (fp, id) => id % 3 === 0 && id % 100 === fp })
+    } finally trace.delete()
+  }
+
   test("scrubPii replaces emails, phones, and IPs; clean text unchanged") {
     val rows = Seq(
       "mail bob.smith+x@corp.example.org now",
