@@ -358,6 +358,49 @@ object BucketedTrace {
     t1.unionByName(term2)
   }
 
+  /** Bilinear join step over two CO-PARTITIONED memory traces
+    * ([[MemoryTrace]] with `hashParts` set): every run on both sides is
+    * hash-partitioned by the join keys with the layout declared on the
+    * frame, so each run-vs-run term plans with NO exchange — per batch
+    * the only data movement is each delta's own O(|Δ|) repartition at
+    * append. This is the layout for standing joins whose deltas outgrow
+    * a broadcast: the broadcast form collects every batch to the driver;
+    * the shuffle-hash-on-union form reshuffles the trace every batch;
+    * this form moves each row exactly once, ever (the reference's
+    * sharded trace layout — join workers own key ranges).
+    *
+    * Terms are per run PAIR (a union of co-partitioned runs loses the
+    * declared partitioning): ΔA ⋈ r for r in B's pre-append runs, plus
+    * r ⋈ ΔB for r in A's post-append runs — together the exact bilinear
+    * delta. Run-count growth is bounded by compaction at the BATCH
+    * boundary (never mid-step: frames captured by this step's terms must
+    * not lose their caches before the caller evaluates the delta).
+    */
+  def coPartJoinStep(
+      aTrace: MemoryTrace, bTrace: MemoryTrace,
+      dA: DataFrame, dB: DataFrame,
+      joinKeys: Seq[String],
+      maxRuns: Int = 16): DataFrame = {
+    require(aTrace.hashParts.isDefined &&
+      aTrace.hashParts == bTrace.hashParts,
+      "coPartJoinStep needs both traces hash-partitioned identically")
+    require(aTrace.autoCompactRuns > maxRuns + 1 &&
+      bTrace.autoCompactRuns > maxRuns + 1,
+      "trace auto-compaction would fire mid-step; compaction must happen " +
+        "only at the batch boundary below")
+    aTrace.compactIfOver(maxRuns)
+    bTrace.compactIfOver(maxRuns)
+    val bPre = bTrace.runFrames
+    aTrace.append(dA)
+    bTrace.append(dB)
+    val aRun = aTrace.runFrames.last
+    val bRun = bTrace.runFrames.last
+    val t1 = bPre.map(r => joined(aRun.hint("shuffle_hash"), r, joinKeys))
+    val t2 = aTrace.runFrames.map(r =>
+      joined(r, bRun.hint("shuffle_hash"), joinKeys))
+    (t1 ++ t2).reduce(_ unionByName _)
+  }
+
   /** General (fold) aggregation step over a persistent trace — the
     * bucketed form of [[IncrementalOps.generalAggStep]]: state is the
     * consolidated input Z-set, kept as appended runs; each step appends

@@ -91,7 +91,16 @@ object Trace {
 final class MemoryTrace(
     template: DataFrame,
     val keys: Seq[String],
-    val autoCompactRuns: Int = 16) extends Trace {
+    val autoCompactRuns: Int = 16,
+    /** When set, every run is hash-partitioned by [[keys]] into this many
+      * partitions AND the layout is declared on the run frame
+      * (HashPartitioning), so run-vs-run equi-joins on the keys plan with
+      * NO exchange — the co-partitioned standing-join layout
+      * ([[BucketedTrace.coPartJoinStep]]). The append pays one O(|delta|)
+      * shuffle instead of the join paying a broadcast collect or a trace
+      * reshuffle per batch.
+      */
+    val hashParts: Option[Int] = None) extends Trace {
 
   private val spark: SparkSession = template.sparkSession
   private var runList: Vector[DataFrame] = Vector.empty
@@ -113,7 +122,11 @@ final class MemoryTrace(
     * the batch ends — spill to local disk instead of recomputing.
     */
   private def snapshot(df: DataFrame): (DataFrame, Long, org.apache.spark.rdd.RDD[_]) =
-    org.apache.spark.sql.graft.Shims.internalSnapshot(df)
+    hashParts match {
+      case Some(n) => org.apache.spark.sql.graft.Shims
+        .internalSnapshotPartitioned(df, keys, n)
+      case None => org.apache.spark.sql.graft.Shims.internalSnapshot(df)
+    }
 
   def append(delta: DataFrame): Unit = {
     val (run, n, rdd) = snapshot(delta)
@@ -157,6 +170,19 @@ final class MemoryTrace(
 
   /** Rows currently held (pre-consolidation) — the spill accounting. */
   def heldRows: Long = rowCount
+
+  /** The current immutable run frames (consumers doing per-run joins —
+    * [[BucketedTrace.coPartJoinStep]] — iterate these; a union loses the
+    * declared per-run partitioning).
+    */
+  def runFrames: Vector[DataFrame] = runList
+
+  /** Compact if the run count exceeds `n` — for step loops that must
+    * control WHEN compaction happens (a compact unpersists the old runs,
+    * so frames captured before it would re-evaluate dead lineage; call
+    * this at a batch boundary, before capturing run frames).
+    */
+  def compactIfOver(n: Int): Unit = if (runList.size > n) compact()
 
   /** Hand the current runs to a consumer and clear the tier. The caller
     * owns unpersisting the returned frames' RDDs once it has durably

@@ -70,4 +70,42 @@ object Shims {
     val plan = org.apache.spark.sql.execution.LogicalRDD(out, rdd)(spark)
     (org.apache.spark.sql.classic.Dataset.ofRows(spark, plan), n, rdd)
   }
+
+  /** [[internalSnapshot]] that first hash-partitions the rows by `keys`
+    * into `nParts` partitions and DECLARES that layout on the returned
+    * frame (LogicalRDD outputPartitioning = HashPartitioning) — so a
+    * later equi-join on those keys against an identically-partitioned
+    * frame plans with NO exchange on either side. This is the
+    * co-partitioned run layout for standing-join traces: each micro-batch
+    * delta pays one O(|delta|) shuffle into the bucket layout at append,
+    * and every subsequent run-vs-run join is exchange-free — the delta is
+    * never collected for a broadcast and the trace is never reshuffled.
+    */
+  def internalSnapshotPartitioned(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], nParts: Int,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK):
+      (org.apache.spark.sql.DataFrame, Long, org.apache.spark.rdd.RDD[_]) = {
+    import org.apache.spark.sql.functions.col
+    val shuffled = df.repartition(nParts, keys.map(col): _*)
+    val classic = shuffled.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = classic.sparkSession
+    // .map preserves partition structure (same partitions, same rows), so
+    // the declared HashPartitioning below still describes the layout
+    val rdd = classic.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level)
+    val n = rdd.count()
+    val origin = classic.queryExecution.analyzed.output
+    val out = origin.map(_.newInstance())
+    val keyAttrs = keys.map { k =>
+      val i = origin.indexWhere(a =>
+        spark.sessionState.analyzer.resolver(a.name, k))
+      require(i >= 0, s"partition key $k not in snapshot output")
+      out(i)
+    }
+    val part = org.apache.spark.sql.catalyst.plans.physical
+      .HashPartitioning(keyAttrs, nParts)
+    val plan = org.apache.spark.sql.execution.LogicalRDD(out, rdd, part)(spark)
+    (org.apache.spark.sql.classic.Dataset.ofRows(spark, plan), n, rdd)
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.incremental.{BucketedTrace, MemoryTrace, Trace}
+import graft.zset.ZSets
+import graft.zset.ZSets.W
+
+/** Co-partitioned standing-join state: hash-partitioned memory runs whose
+  * run-vs-run bilinear terms plan with ZERO exchanges — the only movement
+  * per batch is each delta's own repartition at append. Correctness
+  * through a retraction schedule with batch-boundary compaction, plus the
+  * plan-shape assertion.
+  */
+class CoPartJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTrace(template: DataFrame): MemoryTrace =
+    new MemoryTrace(ZSets.lift(template).limit(0), Seq("k"),
+      autoCompactRuns = Int.MaxValue, hashParts = Some(8))
+
+  test("co-partitioned bilinear join: exact result, exchange-free terms") {
+    val a = spark.range(600).select(col("id").as("k"),
+      (col("id") * 2).as("av"))
+    val b = spark.range(600).select((col("id") % 300).as("k"),
+      (col("id") + 7).as("bv"))
+    val aT = mkTrace(a)
+    val bT = mkTrace(b)
+    try {
+      val aBatches = Seq(
+        ZSets.lift(a.filter(col("k") % 3 === 0)),
+        ZSets.lift(a.filter(col("k") % 3 === 1)),
+        ZSets.lift(a.filter(col("k") % 3 === 2)).unionByName(
+          ZSets.negate(ZSets.lift(a.filter(col("k") % 10 === 0)))))
+      val bBatches = Seq(
+        ZSets.lift(b.filter(col("k") % 3 === 1)),
+        ZSets.lift(b.filter(col("k") % 3 === 2)),
+        ZSets.lift(b.filter(col("k") % 3 === 0)))
+      var out = Option.empty[DataFrame]
+      aBatches.zip(bBatches).foreach { case (dA, dB) =>
+        // maxRuns = 1 forces a batch-boundary compaction between steps —
+        // the schedule exercises compaction without breaking captured
+        // frames (it happens before this step captures run lists)
+        val d0 = BucketedTrace.coPartJoinStep(aT, bT, dA, dB, Seq("k"),
+          maxRuns = 1)
+        // the step's whole output plan moves no data: runs are declared
+        // hash-partitioned and every term is a run-vs-run co-partitioned
+        // join (the deltas' own repartition happened at append, outside
+        // this plan)
+        d0.collect() // resolve AQE to the final physical plan first
+        val plan = d0.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"expected exchange-free co-partitioned join terms, got:\n$plan")
+        val d = graft.incremental.Trace.materialize(d0)
+        out = Some(out.map(_.unionByName(d)).getOrElse(d))
+      }
+      val got = ZSets.toMultiset(ZSets.consolidate(out.get))
+        .select("k", "av", "bv").as[(Long, Long, Long)].collect().sorted
+      val want = a.filter(col("k") % 10 =!= 0).join(b, "k")
+        .select("k", "av", "bv").as[(Long, Long, Long)].collect().sorted
+      assert(got === want)
+    } finally { aT.delete(); bT.delete() }
+  }
+}
