@@ -92,6 +92,35 @@ object Dedup {
           (a, b) => least(a, b))),
       m => when(m === Long.MaxValue, lit(null).cast("long")).otherwise(m))
 
+  /** Modulus for the permuted minhash family: 2^31 - 1 (Mersenne prime).
+    * Base hashes are reduced below it so every affine permutation's
+    * product stays < 2^62 — exact in BIGINT on any engine (DuckDB raises
+    * on 64-bit overflow where Spark wraps, so staying in range is what
+    * keeps the two engines bit-identical).
+    */
+  val MH_P = 2147483647L
+
+  /** MinHash from ONE base hash per shingle + exact affine permutations
+    * h_i = (a_i·h + c_i) mod 2^31-1 — the textbook universal-hash minhash
+    * construction, and ~numHashes× cheaper than hashing every shingle
+    * per seed when the base hash is expensive (the md5 oracle tier: one
+    * digest per shingle instead of eight). Same null sentinel contract
+    * as [[minhashFromShingles]].
+    */
+  def minhashPermuted(sh: Column, numHashes: Int,
+      base: Column => Column): Column = {
+    val hs = transform(sh, s => base(s) % MH_P)
+    transform(
+      aggregate(hs,
+        array_repeat(lit(Long.MaxValue), numHashes),
+        (acc, h) => zip_with(acc,
+          array((0 until numHashes).map(i =>
+            (lit(1103515245L + 2L * i) * h + lit(12345L + 1259L * i))
+              % MH_P): _*),
+          (a, b) => least(a, b))),
+      m => when(m === Long.MaxValue, lit(null).cast("long")).otherwise(m))
+  }
+
   /** MinHash signature of raw text (convenience composition). */
   def minhashSignature(text: Column, w: Int, numHashes: Int,
       hashFn: (Column, Int) => Column = xxHash): Column =
@@ -109,8 +138,14 @@ object Dedup {
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int, numHashes: Int, bands: Int,
-      hashFn: (Column, Int) => Column = xxHash): DataFrame = {
+      hashFn: (Column, Int) => Column = xxHash,
+      /** Override the shingle-array → signature construction (e.g.
+        * [[minhashPermuted]] for the one-digest-per-shingle md5 tier).
+        */
+      sigOf: Option[Column => Column] = None): DataFrame = {
     val rows = numHashes / bands
+    val sigExpr = sigOf.getOrElse(
+      (sh: Column) => minhashFromShingles(sh, numHashes, hashFn))
     // Staged pipeline: tokens → shingles → signature as materialized
     // COLUMNS (each stage references the previous stage's attribute once;
     // CollapseProject keeps non-cheap multi-referenced exprs staged), then
@@ -123,8 +158,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col("id"), shinglesOfTokens(col("_toks"), w).as("_sh"))
-      .select(col("id"),
-        minhashFromShingles(col("_sh"), numHashes, hashFn).as("sig"))
+      .select(col("id"), sigExpr(col("_sh")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .filter(!array_contains(transform(col("sig"), s => s.isNull), true))
     val banded = sigs.select(col("id"), col("sig"),

@@ -19,6 +19,10 @@ object LlmOps {
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private def md5h(seed: Int, e: String) =
     s"CAST(('0x' || substr(md5('$seed:' || $e), 1, 15)) AS BIGINT)"
+  // permuted-minhash oracle: ONE md5 per shingle, reduced mod 2^31-1,
+  // then 8 exact affine permutations (products < 2^62 — DuckDB raises on
+  // BIGINT overflow where Spark wraps, so staying in range is what keeps
+  // the engines bit-identical). Mirrors Dedup.minhashPermuted.
   private val sigCtes =
     s"""WITH toks AS (
        |  SELECT doc_id, $tk AS tkn FROM documents),
@@ -30,9 +34,12 @@ object LlmOps {
        |    s -> s IS NOT NULL) AS shs
        |  FROM toks WHERE len(tkn) >= 3),
        |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |bh AS (SELECT doc_id, ${md5h(0, "s")} % 2147483647 AS h FROM e),
        |sig AS (SELECT doc_id,
-       |  ${(0 until 8).map(i => s"MIN(${md5h(i, "s")}) AS h$i").mkString(", ")}
-       |  FROM e GROUP BY doc_id)""".stripMargin
+       |  ${(0 until 8).map(i =>
+            s"MIN((${1103515245L + 2 * i} * h + ${12345 + 1259 * i}) % 2147483647) AS h$i")
+           .mkString(", ")}
+       |  FROM bh GROUP BY doc_id)""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -166,7 +173,8 @@ object LlmOps {
         .select(col("doc_id"),
           Dedup.shinglesOfTokens(col("_toks"), 3).as("_sh"))
         .select(col("doc_id"),
-          Dedup.minhashFromShingles(col("_sh"), 8, Dedup.md5Hash).as("sig"))
+          Dedup.minhashPermuted(col("_sh"), 8,
+            s => Dedup.md5Hash(s, 0)).as("sig"))
         .select(col("doc_id") +: (0 until 8).map(i =>
           element_at(col("sig"), i + 1).as(s"h$i")): _*)
     },
@@ -191,7 +199,8 @@ object LlmOps {
         t(s, dir, "documents").repartition(32, col("doc_id"))
           .filter(size(TextAnalysis.tokens(col("text"))) >= 3),
         "doc_id", "text", w = 3, numHashes = 8, bands = 4,
-        hashFn = Dedup.md5Hash)
+        sigOf = Some(sh => Dedup.minhashPermuted(sh, 8,
+          s0 => Dedup.md5Hash(s0, 0))))
     },
 
     // Duplicate-group clustering: connected components over the LSH
@@ -221,7 +230,8 @@ object LlmOps {
           t(s, dir, "documents").repartition(32, col("doc_id"))
             .filter(size(TextAnalysis.tokens(col("text"))) >= 3),
           "doc_id", "text", w = 3, numHashes = 8, bands = 4,
-          hashFn = Dedup.md5Hash)
+          sigOf = Some(sh => Dedup.minhashPermuted(sh, 8,
+            s0 => Dedup.md5Hash(s0, 0))))
         Dedup.connectedComponents(pairs, "id_a", "id_b")
           .select(col("node").as("doc_id"), col("component").as("group_id"))
     },
