@@ -88,6 +88,12 @@ object Connectors {
             ZSets.lift(spark.read.schema(schema)
               .options(conf.formatConfig).csv(path))
           case "parquet" => ZSets.lift(spark.read.parquet(path))
+          case "avro" =>
+            // binary avro record files: one record per binaryFile row is
+            // not the avro container format — read container files via
+            // the bundled core library per partition
+            Envelopes.decodeAvroContainer(spark, path, schema,
+              conf.formatConfig.get("avro_schema"))
           case other => sys.error(s"unsupported file format: $other")
         }
       case "datagen" =>

@@ -76,6 +76,68 @@ class ConnectorsSpec extends SparkSpec {
     assert(wout === Set((9L, "z", -3L)))
   }
 
+  test("avro records decode through the bundled avro core, plain + framed") {
+    // encode genuine Avro binary with the same library the decoder uses
+    val avroSchema =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"a","type":"long"},
+        |{"name":"b","type":["null","string"],"default":null},
+        |{"name":"c","type":"double"}]}""".stripMargin
+    val parsed = new org.apache.avro.Schema.Parser().parse(avroSchema)
+    def enc(a: Long, b: Option[String], c: Double): Array[Byte] = {
+      val rec = new org.apache.avro.generic.GenericData.Record(parsed)
+      rec.put("a", a); rec.put("b", b.orNull); rec.put("c", c)
+      val bos = new java.io.ByteArrayOutputStream()
+      val e = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](parsed).write(rec, e)
+      e.flush(); bos.toByteArray
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.DoubleType)))
+    val plain = Seq(Tuple1(enc(1L, Some("x"), 1.5)),
+      Tuple1(enc(2L, None, -2.25))).toDF("value")
+    val out = graft.sources.Envelopes
+      .decode(plain, schema, "avro", avroSchema = Some(avroSchema))
+      .as[(Long, Option[String], Double, Long)].collect().toSet
+    assert(out === Set((1L, Some("x"), 1.5, 1L), (2L, None, -2.25, 1L)))
+    // confluent wire framing: 5-byte magic+schema-id prefix skipped
+    val framed = Seq(Tuple1(
+      Array[Byte](0, 0, 0, 0, 42) ++ enc(7L, Some("y"), 0.5))).toDF("value")
+    val fout = graft.sources.Envelopes
+      .decodeAvro(framed, schema, avroSchema, confluentWire = true)
+      .as[(Long, Option[String], Double, Long)].collect().toSet
+    assert(fout === Set((7L, Some("y"), 0.5, 1L)))
+    // missing writer schema fails fast with guidance
+    val err = intercept[IllegalStateException] {
+      graft.sources.Envelopes.decode(plain, schema, "avro")
+    }
+    assert(err.getMessage.contains("avro_schema"))
+
+    // container files (embedded writer schema) through the file connector
+    val dir = java.nio.file.Files.createTempDirectory("avro").toFile
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](parsed))
+    w.create(parsed, new java.io.File(dir, "part-0.avro"))
+    def recOf(a: Long, b: Option[String], c: Double) = {
+      val r = new org.apache.avro.generic.GenericData.Record(parsed)
+      r.put("a", a); r.put("b", b.orNull); r.put("c", c); r
+    }
+    w.append(recOf(10L, Some("p"), 1.0))
+    w.append(recOf(11L, None, 2.0))
+    w.close()
+    val cout = graft.sources.Envelopes
+      .decodeAvroContainer(spark, dir.getAbsolutePath, schema)
+      .as[(Long, Option[String], Double, Long)].collect().toSet
+    assert(cout === Set((10L, Some("p"), 1.0, 1L), (11L, None, 2.0, 1L)))
+  }
+
   test("datagen transport generates schema-driven deterministic rows") {
     val t = tableWith(
       """[{"transport": {"name": "datagen", "config": {"rows": "50"}}}]""",
