@@ -200,6 +200,52 @@ object Envelopes {
     spark.createDataFrame(rows, schema).withColumn(ZSets.W, lit(1L))
   }
 
+  /** Egress twin of [[decodeAvro]] (the reference's avro OUTPUT format,
+    * crates/adapters/src/format/avro/output.rs): each multiset row →
+    * one binary Avro record in `valueCol`, per-partition encoder reuse.
+    * Weights must be positive (avro output is an insert stream in the
+    * reference unless the schema carries explicit change fields); a
+    * weight-w row emits w records. Field mapping mirrors the decode.
+    */
+  def encodeAvro(delta: DataFrame, avroSchemaJson: String,
+      valueCol: String = "value"): DataFrame = {
+    val spark = delta.sparkSession
+    val fields = delta.schema.fields.filterNot(_.name == ZSets.W)
+      .map(f => (f.name, f.dataType))
+    val hasW = delta.columns.contains(ZSets.W)
+    val rows = delta.rdd.mapPartitions { it =>
+      val avSchema = new org.apache.avro.Schema.Parser()
+        .parse(avroSchemaJson)
+      val writer = new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](avSchema)
+      val bos = new java.io.ByteArrayOutputStream()
+      var encoder: org.apache.avro.io.BinaryEncoder = null
+      it.flatMap { row =>
+        val w = if (hasW) row.getAs[Long](ZSets.W) else 1L
+        require(w >= 0, s"encodeAvro: negative weight $w — avro egress " +
+          "is insert-only (use a change-capturing schema upstream)")
+        val rec = new org.apache.avro.generic.GenericData.Record(avSchema)
+        fields.foreach { case (name, dt) =>
+          val v = row.getAs[Any](name)
+          rec.put(name, (v, dt) match {
+            case (null, _) => null
+            case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+            case (x, _) => x
+          })
+        }
+        bos.reset()
+        encoder = org.apache.avro.io.EncoderFactory.get()
+          .binaryEncoder(bos, encoder)
+        writer.write(rec, encoder)
+        encoder.flush()
+        val bytes = bos.toByteArray
+        Seq.fill(w.toInt)(org.apache.spark.sql.Row(bytes))
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(valueCol, BinaryType))))
+  }
+
   /** Convert one Avro generic record to a Row by field name. */
   private def avroRow(rec: org.apache.avro.generic.GenericRecord,
       fields: Array[(String, DataType)]): org.apache.spark.sql.Row =

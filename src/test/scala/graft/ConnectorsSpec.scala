@@ -136,6 +136,17 @@ class ConnectorsSpec extends SparkSpec {
       .decodeAvroContainer(spark, dir.getAbsolutePath, schema)
       .as[(Long, Option[String], Double, Long)].collect().toSet
     assert(cout === Set((10L, Some("p"), 1.0, 1L), (11L, None, 2.0, 1L)))
+
+    // egress round trip: encode multiset rows (weight 2 emits 2 records)
+    // and decode them back through the same wire contract
+    val delta = Seq((20L, "q", 4.5, 2L), (21L, "r", -0.5, 1L))
+      .toDF("a", "b", "c", graft.zset.ZSets.W)
+    val wire = graft.sources.Envelopes.encodeAvro(delta, avroSchema)
+    val back = graft.sources.Envelopes
+      .decodeAvro(wire, schema, avroSchema)
+      .groupBy("a", "b", "c").count()
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(back === Set((20L, "q", 4.5, 2L), (21L, "r", -0.5, 1L)))
   }
 
   test("datagen transport generates schema-driven deterministic rows") {
