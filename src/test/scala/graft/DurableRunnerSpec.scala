@@ -89,11 +89,12 @@ class DurableRunnerSpec extends SparkSpec {
     val withHeader = Envelopes.decodeCsv(Seq("a,b", "7,h").toDF("value"),
       schema, headers = true).as[(Long, String, Long)].collect().toSet
     assert(withHeader === Set((7L, "h", 1L)))
-    // avro is jar-gated with a precise error
+    // avro without a writer schema fails fast with guidance (the decode
+    // itself is real — ConnectorsSpec round-trips it)
     val ex = intercept[IllegalStateException] {
       Envelopes.decode(Seq("x").toDF("value"), schema, "avro")
     }
-    assert(ex.getMessage.contains("spark-avro"))
+    assert(ex.getMessage.contains("avro_schema"))
   }
 
   test("malformed and partial envelope lines drop, valid ones survive") {
