@@ -377,17 +377,19 @@ object BucketedTrace {
     * not lose their caches before the caller evaluates the delta).
     */
   def coPartJoinStep(
-      aTrace: MemoryTrace, bTrace: MemoryTrace,
+      aTrace: CoPartitionedTrace, bTrace: CoPartitionedTrace,
       dA: DataFrame, dB: DataFrame,
       joinKeys: Seq[String],
       maxRuns: Int = 16): DataFrame = {
     require(aTrace.hashParts.isDefined &&
       aTrace.hashParts == bTrace.hashParts,
       "coPartJoinStep needs both traces hash-partitioned identically")
-    require(aTrace.autoCompactRuns > maxRuns + 1 &&
-      bTrace.autoCompactRuns > maxRuns + 1,
-      "trace auto-compaction would fire mid-step; compaction must happen " +
-        "only at the batch boundary below")
+    Seq(aTrace, bTrace).foreach {
+      case m: MemoryTrace => require(m.autoCompactRuns > maxRuns + 1,
+        "trace auto-compaction would fire mid-step; compaction must " +
+          "happen only at the batch boundary below")
+      case _ => ()
+    }
     aTrace.compactIfOver(maxRuns)
     bTrace.compactIfOver(maxRuns)
     val bPre = bTrace.runFrames

@@ -80,6 +80,20 @@ object Trace {
   }
 }
 
+/** A trace whose runs share one declared hash partitioning on [[Trace
+  * keys]], so run-vs-run equi-joins plan with no exchange
+  * ([[BucketedTrace.coPartJoinStep]]). `runFrames` exposes the
+  * individual run frames (a union would lose the declared layout);
+  * `compactIfOver` bounds run count at a batch boundary — never
+  * mid-step, because maintenance may unpersist frames an in-flight
+  * delta still reads.
+  */
+trait CoPartitionedTrace extends Trace {
+  def hashParts: Option[Int]
+  def runFrames: Vector[DataFrame]
+  def compactIfOver(n: Int): Unit
+}
+
 /** Memory-tier trace: runs are cached-RDD frames. The memtable of the LSM
   * — appends cost one delta-sized cache+count job (no parquet encode, no
   * file listing on read), probes are broadcast-semi filters over the
@@ -100,7 +114,7 @@ final class MemoryTrace(
       * shuffle instead of the join paying a broadcast collect or a trace
       * reshuffle per batch.
       */
-    val hashParts: Option[Int] = None) extends Trace {
+    val hashParts: Option[Int] = None) extends CoPartitionedTrace {
 
   private val spark: SparkSession = template.sparkSession
   private var runList: Vector[DataFrame] = Vector.empty
@@ -318,4 +332,92 @@ final class TieredTrace(
 
   /** Disk bytes currently held (0 while the state fits the memtable). */
   def bytesOnDisk: Long = diskOpt.map(_.bytesOnDisk).getOrElse(0L)
+}
+
+/** CO-PARTITIONED LSM-tiered trace — the standing-join state layout at
+  * full scale: memory runs hash-partitioned by the join keys
+  * ([[MemoryTrace]] with hashParts) in front of a Spark BUCKETED TABLE
+  * tier ([[BucketedTableTrace]]) with the same bucket count. A bucketed
+  * scan reports the same HashPartitioning the memory runs declare, so
+  * EVERY run — memtable or disk — joins run-vs-run with no exchange;
+  * spilling changes where bytes live, not the plan shape. The memtable
+  * drains to the table as one run when it exceeds `memRows` (rows land
+  * in the bucket their partition already is — the write re-hashes but
+  * never shuffles), which is [[compactIfOver]]'s batch-boundary hook.
+  */
+final class CoPartTieredTrace(
+    template: DataFrame,
+    val keys: Seq[String],
+    val nParts: Int,
+    val memRows: Long = 32L << 20) extends CoPartitionedTrace {
+
+  val mem = new MemoryTrace(template, keys,
+    autoCompactRuns = Int.MaxValue, hashParts = Some(nParts))
+  private var diskOpt: Option[BucketedTableTrace] = None
+  private def disk: BucketedTableTrace = diskOpt.getOrElse {
+    val d = new BucketedTableTrace(template, keys, nParts)
+    diskOpt = Some(d)
+    d
+  }
+
+  def hashParts: Option[Int] = Some(nParts)
+
+  def append(delta: DataFrame): Unit = mem.append(delta)
+
+  /** Drain the memtable into the bucketed table as one run. Eager (the
+    * table write evaluates the runs) — only call at a batch boundary:
+    * the drained frames unpersist afterwards.
+    */
+  def flush(): Unit = {
+    if (mem.heldRows == 0) return
+    val runs = mem.drain()
+    disk.append(runs.map(_._1).reduce(_ unionByName _))
+    runs.foreach(_._2.unpersist(false))
+  }
+
+  /** Memtable spill check — the batch-boundary maintenance hook
+    * ([[BucketedTrace.coPartJoinStep]] calls this before capturing run
+    * frames). Spills on HELD ROWS rather than run count: the disk tier
+    * absorbs any number of runs as one co-partitioned frame.
+    */
+  def compactIfOver(n: Int): Unit =
+    if (mem.heldRows > memRows || mem.runFrames.size > n) flush()
+
+  def runFrames: Vector[DataFrame] =
+    diskOpt.map(d => Vector(d.runsRaw)).getOrElse(Vector.empty) ++
+      mem.runFrames
+
+  def runsRaw: DataFrame = runFrames match {
+    case Vector() => mem.runsRaw
+    case fs => fs.reduce(_ unionByName _)
+  }
+
+  def read(): DataFrame =
+    ZSets.consolidate(runsRaw).filter(col(W) =!= 0)
+
+  private def semi(df: DataFrame, probeKeys: DataFrame): DataFrame = {
+    val probe = IncrementalOps.maybeBroadcast(
+      probeKeys.select(keys.map(k => col(k).as(s"_p_$k")): _*))
+    val cond = keys.map(k => col(k) <=> col(s"_p_$k")).reduce(_ && _)
+    df.join(probe, cond, "left_semi")
+  }
+
+  def probe(probeKeys: DataFrame): DataFrame =
+    ZSets.consolidate(semi(runsRaw, probeKeys)).filter(col(W) =!= 0)
+
+  def probeRaw(probeKeys: DataFrame): DataFrame = semi(runsRaw, probeKeys)
+
+  def compact(): Unit = flush()
+
+  def delete(): Unit = {
+    mem.delete()
+    diskOpt.foreach(_.delete())
+    diskOpt = None
+  }
+
+  /** Rows currently in the memtable (0 right after a flush). */
+  def memHeldRows: Long = mem.heldRows
+
+  /** Whether the disk tier has been engaged. */
+  def spilled: Boolean = diskOpt.nonEmpty
 }

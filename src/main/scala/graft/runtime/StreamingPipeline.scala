@@ -163,8 +163,11 @@ object StreamingPipeline {
         // internal-row RDD with no origin constraints — no per-row
         // external conversion, still lazy.
         val d0 = (aTrace, bTrace) match {
-          // co-partitioned memory traces: run-vs-run exchange-free terms
-          case (a: MemoryTrace, b: MemoryTrace) if a.hashParts.isDefined =>
+          // co-partitioned traces (memory or tiered-to-bucketed-table):
+          // run-vs-run exchange-free terms
+          case (a: graft.incremental.CoPartitionedTrace,
+              b: graft.incremental.CoPartitionedTrace)
+              if a.hashParts.isDefined =>
             BucketedTrace.coPartJoinStep(a, b, dA, dB, keys)
           case _ =>
             BucketedTrace.joinStep(aTrace, bTrace, dA, dB, keys)
@@ -211,8 +214,11 @@ object StreamingPipeline {
         // internal-row RDD with no origin constraints — no per-row
         // external conversion, still lazy.
         val d0 = (aTrace, bTrace) match {
-          // co-partitioned memory traces: run-vs-run exchange-free terms
-          case (a: MemoryTrace, b: MemoryTrace) if a.hashParts.isDefined =>
+          // co-partitioned traces (memory or tiered-to-bucketed-table):
+          // run-vs-run exchange-free terms
+          case (a: graft.incremental.CoPartitionedTrace,
+              b: graft.incremental.CoPartitionedTrace)
+              if a.hashParts.isDefined =>
             BucketedTrace.coPartJoinStep(a, b, dA, dB, keys)
           case _ =>
             BucketedTrace.joinStep(aTrace, bTrace, dA, dB, keys)

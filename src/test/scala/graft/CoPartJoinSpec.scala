@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.incremental.{BucketedTrace, MemoryTrace, Trace}
+import graft.incremental.{BucketedTrace, CoPartTieredTrace, MemoryTrace, Trace}
 import graft.zset.ZSets
 import graft.zset.ZSets.W
 
@@ -58,6 +58,46 @@ class CoPartJoinSpec extends SparkSpec {
       val got = ZSets.toMultiset(ZSets.consolidate(out.get))
         .select("k", "av", "bv").as[(Long, Long, Long)].collect().sorted
       val want = a.filter(col("k") % 10 =!= 0).join(b, "k")
+        .select("k", "av", "bv").as[(Long, Long, Long)].collect().sorted
+      assert(got === want)
+    } finally { aT.delete(); bT.delete() }
+  }
+
+  test("tiered co-partitioned trace: memtable spills to the bucketed " +
+      "table without changing results or plan shape") {
+    val a = spark.range(400).select(col("id").as("k"),
+      (col("id") * 3).as("av"))
+    val b = spark.range(400).select((col("id") % 200).as("k"),
+      (col("id") + 1).as("bv"))
+    // memRows tiny: every batch-boundary check drains the memtable into
+    // the bucketed table, so later batches join memory runs AGAINST the
+    // disk tier — both sides still co-partitioned, still no exchange
+    def mk(t: org.apache.spark.sql.DataFrame) = new CoPartTieredTrace(
+      ZSets.lift(t).limit(0), Seq("k"), nParts = 8, memRows = 50)
+    val aT = mk(a)
+    val bT = mk(b)
+    try {
+      val aBatches = Seq(
+        ZSets.lift(a.filter(col("k") % 2 === 0)),
+        ZSets.lift(a.filter(col("k") % 2 === 1)).unionByName(
+          ZSets.negate(ZSets.lift(a.filter(col("k") % 8 === 0)))))
+      val bBatches = Seq(
+        ZSets.lift(b.filter(col("k") % 2 === 1)),
+        ZSets.lift(b.filter(col("k") % 2 === 0)))
+      var out = Option.empty[org.apache.spark.sql.DataFrame]
+      aBatches.zip(bBatches).zipWithIndex.foreach { case ((dA, dB), i) =>
+        val d0 = BucketedTrace.coPartJoinStep(aT, bT, dA, dB, Seq("k"))
+        d0.collect()
+        val plan = d0.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"step $i: expected exchange-free terms across tiers, got:\n$plan")
+        val d = graft.incremental.Trace.materialize(d0)
+        out = Some(out.map(_.unionByName(d)).getOrElse(d))
+      }
+      assert(aT.spilled && bT.spilled, "the tiny bound must have spilled")
+      val got = ZSets.toMultiset(ZSets.consolidate(out.get))
+        .select("k", "av", "bv").as[(Long, Long, Long)].collect().sorted
+      val want = a.filter(col("k") % 8 =!= 0).join(b, "k")
         .select("k", "av", "bv").as[(Long, Long, Long)].collect().sorted
       assert(got === want)
     } finally { aT.delete(); bT.delete() }
