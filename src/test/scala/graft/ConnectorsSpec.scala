@@ -137,6 +137,42 @@ class ConnectorsSpec extends SparkSpec {
       .as[(Long, Option[String], Double, Long)].collect().toSet
     assert(cout === Set((10L, Some("p"), 1.0, 1L), (11L, None, 2.0, 1L)))
 
+    // debezium-over-avro CDC envelope: c/u/d ops over nested row records
+    val dbzSchema =
+      """{"type":"record","name":"env","fields":[
+        |{"name":"before","type":["null",{"type":"record","name":"rw","fields":[
+        |  {"name":"a","type":"long"},{"name":"b","type":["null","string"],"default":null},
+        |  {"name":"c","type":"double"}]}],"default":null},
+        |{"name":"after","type":["null","rw"],"default":null},
+        |{"name":"op","type":"string"}]}""".stripMargin
+    val dbzParsed = new org.apache.avro.Schema.Parser().parse(dbzSchema)
+    val rwSchema = dbzParsed.getField("after").schema().getTypes.get(1)
+    def encDbz(op: String, before: Option[(Long, String, Double)],
+        after: Option[(Long, String, Double)]): Array[Byte] = {
+      val env = new org.apache.avro.generic.GenericData.Record(dbzParsed)
+      def rw(t: (Long, String, Double)) = {
+        val r = new org.apache.avro.generic.GenericData.Record(rwSchema)
+        r.put("a", t._1); r.put("b", t._2); r.put("c", t._3); r
+      }
+      env.put("before", before.map(rw).orNull)
+      env.put("after", after.map(rw).orNull)
+      env.put("op", op)
+      val bos = new java.io.ByteArrayOutputStream()
+      val e = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](dbzParsed).write(env, e)
+      e.flush(); bos.toByteArray
+    }
+    val cdc = Seq(
+      Tuple1(encDbz("c", None, Some((1L, "x", 1.0)))),
+      Tuple1(encDbz("u", Some((1L, "x", 1.0)), Some((1L, "x2", 1.5)))),
+      Tuple1(encDbz("d", Some((2L, "y", 2.0)), None))).toDF("value")
+    val dout = graft.sources.Envelopes
+      .decodeAvroDebezium(cdc, schema, dbzSchema)
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(dout === Set((1L, "x", 1.0, 1L), (1L, "x", 1.0, -1L),
+      (1L, "x2", 1.5, 1L), (2L, "y", 2.0, -1L)))
+
     // egress round trip: encode multiset rows (weight 2 emits 2 records)
     // and decode them back through the same wire contract
     val delta = Seq((20L, "q", 4.5, 2L), (21L, "r", -0.5, 1L))
