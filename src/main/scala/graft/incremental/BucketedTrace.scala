@@ -231,7 +231,7 @@ final class BucketedTrace(
 final class BucketedTableTrace(
     template: DataFrame,
     val keys: Seq[String],
-    val nBuckets: Int = 16) {
+    val nBuckets: Int = 16) extends Trace {
 
   private val spark: SparkSession = template.sparkSession
   /** Unique per JVM AND across runs: a crashed run leaves its managed
@@ -264,6 +264,31 @@ final class BucketedTableTrace(
   /** Full consolidated state. */
   def read(): DataFrame =
     ZSets.consolidate(runsRaw).filter(col(W) =!= 0)
+
+  private def semi(df: DataFrame, probeKeys: DataFrame): DataFrame = {
+    val probe = IncrementalOps.maybeBroadcast(
+      probeKeys.select(keys.map(k => col(k).as(s"_p_$k")): _*))
+    val cond = keys.map(k => col(k) <=> col(s"_p_$k")).reduce(_ && _)
+    df.join(probe, cond, "left_semi")
+  }
+
+  def probe(probeKeys: DataFrame): DataFrame =
+    ZSets.consolidate(semi(runsRaw, probeKeys)).filter(col(W) =!= 0)
+
+  def probeRaw(probeKeys: DataFrame): DataFrame = semi(runsRaw, probeKeys)
+
+  /** Rewrite the table as one consolidated run (amortized maintenance;
+    * readers created before the call see the table continuously — the
+    * swap is an INSERT OVERWRITE, atomic at the catalog level).
+    */
+  def compact(): Unit = {
+    if (runs <= 1) return
+    val folded = Trace.materialize(read())
+    folded.write.mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+    runs = 1
+  }
 
   def delete(): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table"); ()
