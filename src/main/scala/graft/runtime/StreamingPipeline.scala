@@ -85,17 +85,17 @@ object StreamingPipeline {
     * Payload column names must be disjoint (join output flattens both).
     *
     * `onDelta(outputDelta, batchId)` receives the join's Z-set output
-    * delta per batch (weight = wL·wR). The integrated traces live in the
-    * persistent bucketed backend ([[graft.incremental.BucketedTrace]] —
-    * the spine analogue): a micro-batch APPENDS its deltas as runs
-    * (O(|Δ|) write) and the bilinear terms join the broadcast delta
-    * against the runs scanned in place — a step never rewrites or
-    * re-encodes the full trace, which is what keeps throughput flat as
-    * the traces grow. Deployments where a delta is too large to broadcast
-    * swap in [[graft.incremental.BucketedTableTrace]] (same contract,
-    * shuffle-hash joins that move only the delta; measured slower in
-    * local mode where an in-process broadcast is nearly free, faster once
-    * a broadcast must actually fan out over a cluster). Restart recovery
+    * delta per batch (weight = wL·wR). The integrated traces default to
+    * the CO-PARTITIONED layout ([[defaultJoinTrace]]): every run is
+    * hash-partitioned by the join keys, a micro-batch APPENDS its deltas
+    * as runs (O(|Δ|) write — the delta's own repartition is the only
+    * per-batch movement) and the bilinear terms join run-vs-run with no
+    * exchange — a step never rewrites, re-encodes, reshuffles, or
+    * driver-collects the trace, which is what keeps throughput flat as
+    * the traces grow ([[graft.incremental.CoPartTieredTrace]] adds the
+    * bucketed-table spill tier at the same plan shape). Small-delta /
+    * huge-cold-state deployments swap in [[tieredJoinTrace]] (broadcast
+    * delta probing LSM-tiered runs scanned in place). Restart recovery
     * comes from DurableRunner's journal replay.
     *
     * Returns the writer (caller sets trigger/checkpoint and starts).
