@@ -170,6 +170,8 @@ object Registry {
   def registerAll(spark: SparkSession): Unit = {
     registerSql(spark)
     registerUdfs(spark)
+    // debug helpers: BLACKBOX (optimizer barrier), WRITELOG (per-row tap)
+    org.apache.spark.sql.graft.DebugFns.register(spark)
   }
 
   /** Generic (any element type) Column forms of the array tail — the SQL

@@ -292,6 +292,21 @@ object Functions {
         .withColumn("repeated", concat_ws(",", col("repeated")))
     },
 
+    // Debug helpers (operators.rs blackbox, string.rs writelog): both are
+    // value-level identities — the oracle is the plain projection; the
+    // point graded here is that the barrier and the tap do not change
+    // results (their side effects are on optimization and logging)
+    Q(
+      "fn_debug",
+      """SELECT n_nationkey AS k, n_nationkey * 2 AS dbl, n_name AS nm
+        |FROM nation""".stripMargin) { (s, dir) =>
+      graft.functions.Registry.registerAll(s)
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql("""SELECT blackbox(n_nationkey) AS k,
+              |  writelog('', n_nationkey * 2) AS dbl,
+              |  blackbox(n_name) AS nm FROM nation""".stripMargin)
+    },
+
     // Function-index completeness tail 2 (function-index.md): inverse/
     // hyperbolic trig (ACOS/ASIN/TAN/TANH/ASINH/ACOSH/ATANH), BROUND
     // (banker's rounding — ties exact here because l_quantity is

@@ -7,6 +7,30 @@ import graft.types.SqlTypes
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("blackbox is an identity the optimizer cannot fold; writelog taps") {
+    Registry.registerAll(spark)
+    // value passes through unchanged for any type
+    val r = spark.sql(
+      "SELECT blackbox(2 + 3) AS a, blackbox('x') AS b, blackbox(NULL) AS c")
+      .collect()(0)
+    assert(r.getInt(0) === 5 && r.getString(1) === "x" && r.isNullAt(2))
+    // the barrier survives optimization: a foldable argument is NOT
+    // constant-folded through it
+    val plan = spark.sql("SELECT blackbox(2 + 3) AS a")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("blackbox"),
+      s"blackbox folded away in optimized plan:\n$plan")
+    // writelog returns its argument (the print lands on the task's
+    // stdout — a side effect by contract, not an output column)
+    val v = spark.sql("SELECT writelog('row=%%\n', 41 + 1) AS v")
+      .collect()(0).getInt(0)
+    assert(v === 42)
+    // null format: no print, value still passes through
+    val vn = spark.sql("SELECT writelog(CAST(NULL AS STRING), 7) AS v")
+      .collect()(0).getInt(0)
+    assert(vn === 7)
+  }
+
   test("SQL-bodied function registry: trig/div/alias surface") {
     Registry.registerAll(spark)
     val r = spark.sql(
