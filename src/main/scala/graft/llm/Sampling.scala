@@ -64,6 +64,28 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Deterministic global shuffle + shard assignment — the layout step
+    * that turns a curated corpus into training shards: every row gets a
+    * shard in [0, nShards) and a position within its shard, both derived
+    * ONLY from the row id and the seed. The "shuffle" is hash order (a
+    * content-derived total order), not an RNG permutation, so the result
+    * is identical across partitionings, retries, and cluster sizes, and
+    * any engine re-derives it. Epoch reshuffles = new seed.
+    *
+    * Plan shape: one exchange on shard (which the shard-file write needs
+    * anyway) + a per-shard sort; row_number over (shard, hash) — with
+    * nShards sized so a shard fits a writer task (the usual 100-TB shard
+    * discipline: thousands of shards, not eight).
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+      seed: Int = 7): DataFrame = {
+    val withShard = df.withColumn("shard",
+      pmod(hashBucket(col(idCol), seed), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashBucket(col(idCol), seed + 1), col(idCol))
+    withShard.withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
   /** Mix strata to target proportions (ppm weights), keeping the most
     * constrained stratum whole: achievable total N = min_s(n_s·M ÷ w_s),
     * per-stratum threshold = min(M, w_s·N ÷ n_s). All arithmetic is Long

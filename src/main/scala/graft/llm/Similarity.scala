@@ -365,4 +365,58 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** SEMANTIC dedup (the SemDeDup recipe): cluster embeddings into cells,
+    * compare pairs ONLY within a cell, and drop every vector that has a
+    * sufficiently-cosine-similar neighbor with a smaller id — one
+    * representative survives per near-duplicate set (transitively within
+    * the cell: the min id keeps, everything similar to a smaller id
+    * drops). This is the dedup tier between exact/MinHash (surface text)
+    * and nothing: paraphrases and re-encodings that share no n-grams.
+    *
+    * 100-TB shape: the cell assignment bounds the pair blow-up — pairs
+    * are cell-local (equi-join on cell), never corpus × corpus. Cells
+    * here come from nearest-of-nCells seeds (ids < nCells) so the whole
+    * pipeline is exact integer arithmetic any engine re-derives; the
+    * production path swaps in a trained [[ivfTrain]] index (same plan:
+    * assignment literals + cell equi-join) and writes the corpus
+    * cell-bucketed ([[ivfWriteBucketed]]) so the pair join is
+    * exchange-free.
+    *
+    * Returns one row per corpus vector: (id, cell, dup_of = smallest
+    * similar-enough smaller id or NULL, keep = dup_of IS NULL).
+    */
+  def semanticDedup(corpus: DataFrame, nCells: Int, threshold: Double,
+      scale: Int = 1000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorDot.{dist2L, dotL}
+    val q = corpus.select(col(idCol).as("__id"),
+      quantize(col(vecCol), scale).as("__qv"))
+    val seeds = q.filter(col("__id") < nCells)
+      .select(col("__id").cast("int").as("__cell"), col("__qv").as("__cv"))
+    val w = Window.partitionBy("__id").orderBy(col("__d2"), col("__cell"))
+    val assigned = q.crossJoin(broadcast(seeds))
+      .withColumn("__d2", dist2L(col("__qv"), col("__cv")))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col("__id"), col("__qv"), col("__cell"),
+        dotL(col("__qv"), col("__qv")).as("__n2"))
+      // the cell table feeds both sides of the pair join and the final
+      // left join — evaluate the assignment once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("__cell"), col("__id").as("id_a"),
+      col("__qv").as("__va"), col("__n2").as("__na"))
+    val b = assigned.select(col("__cell"), col("__id").as("id_b"),
+      col("__qv").as("__vb"), col("__n2").as("__nb"))
+    val dupOf = a.join(b, Seq("__cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        (dotL(col("__va"), col("__vb")).cast("double") / nullif(
+          sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double")),
+          lit(0d))).as("__sim"), col("id_a"))
+      .filter(col("__sim") > threshold)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+    assigned.join(dupOf, assigned("__id") === dupOf("id_b"), "left")
+      .select(col("__id").as(idCol), col("__cell").cast("int").as("cell"),
+        col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
 }

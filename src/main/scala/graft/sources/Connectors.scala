@@ -114,7 +114,10 @@ object Connectors {
             .option("subscribe", conf.config("topic"))
             .load(),
           schema,
-          conf.formatConfig.getOrElse("update_format", "insert_delete"))
+          conf.formatConfig.getOrElse("update_format", "insert_delete"),
+          conf.format,
+          conf.formatConfig.get("avro_schema"),
+          conf.formatConfig.get("registry_urls"))
       case "delta_table_input" =>
         requireFormat(spark, "delta", "delta_table_input")
         ZSets.lift(spark.read.format("delta").load(conf.config("uri")))
@@ -161,9 +164,19 @@ object Connectors {
     */
   def decodeKafkaBatch(records: DataFrame,
       schema: org.apache.spark.sql.types.StructType,
-      updateFormat: String): DataFrame =
-    Envelopes.decodeJson(records.select(col("value").cast("string")),
-      schema, updateFormat)
+      updateFormat: String, format: String = "json",
+      avroSchema: Option[String] = None,
+      registryUrls: Option[String] = None): DataFrame =
+    format.toLowerCase match {
+      case "avro" =>
+        // binary payloads stay binary: explicit writer schema, or
+        // Confluent-framed with registry resolution (`registry_urls`)
+        Envelopes.decode(records.select(col("value")), schema, "avro",
+          avroSchema = avroSchema, registryUrls = registryUrls)
+      case _ =>
+        Envelopes.decodeJson(records.select(col("value").cast("string")),
+          schema, updateFormat)
+    }
 
   /** Deterministic schema-driven generator (transport/datagen.rs's role):
     * seeded hash per (row, column) — reproducible on any cluster layout.

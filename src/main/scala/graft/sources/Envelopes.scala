@@ -200,6 +200,48 @@ object Envelopes {
     spark.createDataFrame(rows, schema).withColumn(ZSets.W, lit(1L))
   }
 
+  /** Confluent-framed Avro decode with schema-REGISTRY resolution (the
+    * reference's `registry_urls` avro connector setting): each record's
+    * 5-byte header carries the writer-schema id; the writer schema is
+    * fetched from the registry and cached per JVM
+    * ([[SchemaRegistry.schemaForId]]), so a backlog with rotating schema
+    * versions decodes with one registry round trip per distinct id per
+    * executor. Field mapping is BY NAME (as [[decodeAvro]]), which is the
+    * useful half of Avro schema evolution for ingestion: renamed ids keep
+    * decoding as long as the declared columns exist in the writer schema.
+    */
+  def decodeAvroRegistry(raw: DataFrame, schema: StructType,
+      registryUrls: String, valueCol: String = "value"): DataFrame = {
+    val spark = raw.sparkSession
+    val fields = schema.fields.map(f => (f.name, f.dataType))
+    val bytesRdd = raw.select(col(valueCol)).rdd
+      .map(_.getAs[Array[Byte]](0))
+    val rows = bytesRdd.mapPartitions { it =>
+      // per-partition reader cache on top of the per-JVM schema cache:
+      // parse each distinct writer schema once per task
+      val readers = scala.collection.mutable.Map.empty[Int,
+        org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]]
+      var decoder: org.apache.avro.io.BinaryDecoder = null
+      it.map { bytes =>
+        val id = SchemaRegistry.schemaIdOf(bytes)
+        val reader = readers.getOrElseUpdate(id, {
+          val json = SchemaRegistry.schemaForId(registryUrls, id)
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord](
+            new org.apache.avro.Schema.Parser().parse(json))
+        })
+        val payload = java.util.Arrays.copyOfRange(
+          bytes, SchemaRegistry.WireHeaderLen, bytes.length)
+        decoder = org.apache.avro.io.DecoderFactory.get()
+          .binaryDecoder(payload, decoder)
+        val rec = reader.read(null, decoder)
+        avroRowLenient(rec, fields)
+      }
+    }
+    spark.createDataFrame(rows, schema).withColumn(ZSets.W, lit(1L))
+  }
+
   /** Egress twin of [[decodeAvro]] (the reference's avro OUTPUT format,
     * crates/adapters/src/format/avro/output.rs): each multiset row →
     * one binary Avro record in `valueCol`, per-partition encoder reuse.
@@ -274,6 +316,19 @@ object Envelopes {
       fields: Array[(String, DataType)]): org.apache.spark.sql.Row =
     org.apache.spark.sql.Row.fromSeq(fields.toIndexedSeq.map {
       case (name, dt) => avroValue(rec.get(name), dt, name)
+    })
+
+  /** [[avroRow]] tolerating columns ABSENT from the writer schema (→
+    * NULL) — the schema-evolution contract of the registry path, where a
+    * backlog mixes writer versions and older records simply predate newer
+    * columns. The fixed-schema paths keep failing fast instead.
+    */
+  private def avroRowLenient(rec: org.apache.avro.generic.GenericRecord,
+      fields: Array[(String, DataType)]): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row.fromSeq(fields.toIndexedSeq.map {
+      case (name, dt) =>
+        if (rec.getSchema.getField(name) == null) null
+        else avroValue(rec.get(name), dt, name)
     })
 
   /** Debezium-over-Avro envelope decode (the reference's avro CDC input,
@@ -358,20 +413,24 @@ object Envelopes {
   }
 
   /** Format dispatch used by the transports: JSON update envelopes, CSV
-    * records, and binary Avro records (pass the writer schema via
-    * `avroSchema`; without it the avro branch fails fast with guidance).
+    * records, and binary Avro records — writer schema either passed
+    * explicitly (`avroSchema`) or resolved from a Confluent-compatible
+    * registry (`registryUrls`, Confluent-framed records).
     */
   def decode(raw: DataFrame, schema: StructType, format: String,
       valueCol: String = "value",
-      avroSchema: Option[String] = None): DataFrame =
+      avroSchema: Option[String] = None,
+      registryUrls: Option[String] = None): DataFrame =
     format.toLowerCase match {
       case "csv" => decodeCsv(raw, schema, valueCol = valueCol)
-      case "avro" => avroSchema match {
-        case Some(s) => decodeAvro(raw, schema, s, valueCol)
-        case None => throw new IllegalStateException(
-          "avro format needs the writer schema: pass the connector " +
-            "property 'avro_schema' (schema-registry resolution is not " +
-            "available in this build)")
+      case "avro" => (avroSchema, registryUrls) match {
+        case (Some(s), _) => decodeAvro(raw, schema, s, valueCol)
+        case (None, Some(urls)) =>
+          decodeAvroRegistry(raw, schema, urls, valueCol)
+        case (None, None) => throw new IllegalStateException(
+          "avro format needs a writer schema: pass the connector " +
+            "property 'avro_schema', or 'registry_urls' for " +
+            "schema-registry resolution of Confluent-framed records")
       }
       case json => decodeJson(raw, schema, json, valueCol)
     }

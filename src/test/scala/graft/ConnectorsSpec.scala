@@ -276,4 +276,88 @@ class ConnectorsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(out === Set((5L, "s", 1L)))
   }
+
+  test("avro schema-registry resolution: framed ids, per-JVM cache, evolution") {
+    import java.util.concurrent.atomic.AtomicInteger
+    // two writer-schema VERSIONS behind registry ids 1 and 2 (v2 adds c)
+    val v1 = """{"type":"record","name":"r","fields":[
+      |{"name":"a","type":"long"},
+      |{"name":"b","type":["null","string"],"default":null}]}""".stripMargin
+    val v2 = """{"type":"record","name":"r","fields":[
+      |{"name":"a","type":"long"},
+      |{"name":"b","type":["null","string"],"default":null},
+      |{"name":"c","type":"double"}]}""".stripMargin
+    val hits = Map(1 -> new AtomicInteger, 2 -> new AtomicInteger)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val id = ex.getRequestURI.getPath.split('/').last.toInt
+        hits(id).incrementAndGet()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .createObjectNode()
+        node.put("schema", if (id == 1) v1 else v2)
+        val body = node.toString.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      })
+    server.start()
+    try {
+      val urls = s"http://127.0.0.1:${server.getAddress.getPort}"
+      def enc(schemaJson: String, id: Int, vals: (String, Any)*): Array[Byte] = {
+        val parsed = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val rec = new org.apache.avro.generic.GenericData.Record(parsed)
+        vals.foreach { case (k, v) => rec.put(k, v) }
+        val bos = new java.io.ByteArrayOutputStream()
+        val e = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](parsed).write(rec, e)
+        e.flush()
+        Array[Byte](0, 0, 0, 0, id.toByte) ++ bos.toByteArray
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.DoubleType)))
+      val frames = Seq(
+        Tuple1(enc(v1, 1, "a" -> 1L, "b" -> "x")),
+        Tuple1(enc(v1, 1, "a" -> 2L, "b" -> null)),
+        Tuple1(enc(v2, 2, "a" -> 3L, "b" -> "y", "c" -> 2.5)))
+        .toDF("value")
+      // mixed-version batch: each record decodes with ITS writer schema;
+      // v1 rows surface the missing c as NULL (by-name evolution)
+      val out = graft.sources.Envelopes
+        .decodeAvroRegistry(frames, schema, urls)
+        .as[(Long, Option[String], Option[Double], Long)].collect().toSet
+      assert(out === Set((1L, Some("x"), None, 1L),
+        (2L, None, None, 1L), (3L, Some("y"), Some(2.5), 1L)))
+      // per-JVM cache: each schema id resolved exactly once (local mode =
+      // one JVM; on a cluster it is once per executor, never per record)
+      assert(hits(1).get() === 1 && hits(2).get() === 1)
+      // re-decoding hits the cache, not the registry
+      graft.sources.Envelopes.decodeAvroRegistry(frames, schema, urls)
+        .collect()
+      assert(hits(1).get() === 1 && hits(2).get() === 1)
+      // the same wire frames also flow through the kafka transport decode
+      val kafkaish = frames.select(lit(null).cast("binary").as("key"),
+        col("value"), lit("t").as("topic"), lit(0).as("partition"),
+        monotonically_increasing_id().as("offset"),
+        lit(new java.sql.Timestamp(1700000000000L)).as("timestamp"))
+      val kout = Connectors.decodeKafkaBatch(kafkaish, schema,
+          "insert_delete", format = "avro", registryUrls = Some(urls))
+        .as[(Long, Option[String], Option[Double], Long)].collect().toSet
+      assert(kout === out)
+      // un-framed bytes fail fast with the wire-format message
+      val bad = Seq(Tuple1(Array[Byte](1, 2, 3, 4, 5, 6))).toDF("value")
+      val err = intercept[org.apache.spark.SparkException] {
+        graft.sources.Envelopes.decodeAvroRegistry(bad, schema, urls)
+          .collect()
+      }
+      assert(err.getMessage.contains("Confluent") ||
+        Option(err.getCause).exists(_.getMessage.contains("Confluent")))
+    } finally server.stop(0)
+  }
 }
