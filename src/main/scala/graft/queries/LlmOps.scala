@@ -386,6 +386,47 @@ object LlmOps {
           .filter(col("sim") > 0.3)
     },
 
+    // Semantic dedup (SemDeDup shape): cluster the corpus by embedding
+    // (IVF cells), then drop near-duplicates WITHIN each cell — the pair
+    // join is cell-scoped, never corpus-quadratic, and at scale the cells
+    // are the bucketing keys (ivfWriteBucketed) so it runs exchange-free.
+    // Deterministic seeds + exact integer arithmetic end-to-end: DuckDB
+    // re-derives the identical cells, pairs, and keep/drop decisions.
+    Q(
+      "llm_semantic_dedup",
+      s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seeds AS (SELECT CAST(vec_id AS INT) AS cell, qv AS cv
+        |  FROM q WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, qv, cell FROM (
+        |    SELECT q.vec_id, q.qv, s.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |          i -> (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])),
+        |          (a, b) -> a + b), s.cell) AS rk
+        |    FROM q, seeds s) WHERE rk = 1),
+        |a AS (SELECT vec_id, qv, cell,
+        |  list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y) AS n2
+        |  FROM asg),
+        |dup AS (
+        |  SELECT y.vec_id AS id_b, MIN(x.vec_id) AS dup_of
+        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE CAST(list_reduce(list_transform(range(1, len(x.qv) + 1),
+        |      i -> x.qv[i] * y.qv[i]), (p, r) -> p + r) AS DOUBLE)
+        |    / NULLIF(sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)), 0)
+        |    > 0.85
+        |  GROUP BY y.vec_id)
+        |SELECT a.vec_id, a.cell, d.dup_of, d.dup_of IS NULL AS keep
+        |FROM a LEFT JOIN dup d ON a.vec_id = d.id_b""".stripMargin) {
+      (s, dir) =>
+        Similarity.semanticDedup(
+          t(s, dir, "embeddings").repartition(32, col("vec_id")),
+          nCells = 8, threshold = 0.85, scale = 1000)
+    },
+
     // Fast-tier document fingerprint, oracle-checked: Karp–Rabin polynomial
     // rolling hash (pure BIGINT arithmetic — no crypto hash — so DuckDB
     // folds the identical recurrence). The xxhash64 minhash production path

@@ -318,6 +318,25 @@ class LlmSpec extends SparkSpec {
     } finally trace.delete()
   }
 
+  test("semantic dedup: cell-scoped near-dup removal keeps first arrival") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),   // seeds (ids < nCells)
+      (2L, Seq(1.0f, 0.01f)),                          // near-dup of 0
+      (3L, Seq(0.01f, 1.0f)),                          // near-dup of 1
+      (4L, Seq(0.7f, 0.7f)),                           // dissimilar to both
+      (5L, Seq(1.0f, 0.0f))                            // exact dup of 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, nCells = 2, threshold = 0.95)
+      .orderBy("vec_id")
+      .select("vec_id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(out === Seq(
+      (0L, None, true), (1L, None, true), (2L, Some(0L), false),
+      (3L, Some(1L), false), (4L, None, true), (5L, Some(0L), false)))
+    // keep <=> dup_of IS NULL is the contract the downstream filter uses
+    assert(out.forall { case (_, d, k) => k == d.isEmpty })
+  }
+
   test("scrubPii replaces emails, phones, and IPs; clean text unchanged") {
     val rows = Seq(
       "mail bob.smith+x@corp.example.org now",
