@@ -167,4 +167,40 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(1000003L)),
         lit(1125899906842597L)))
+
+  /** Corpus unigram-frequency scoring — the LM-free core of the CCNet/
+    * Gopher "commonness" quality signal: per document, the exact BIGINT
+    * sum of each token's corpus frequency plus the rare-token fraction.
+    * High mean_cf = boilerplate/common text; high rare_frac = noise,
+    * OCR garbage, or genuinely novel content — both standard filter axes.
+    *
+    * All aggregation is integer (count/sum of BIGINT), so the result is
+    * partitioning-independent and any engine re-derives it bit-exactly;
+    * the only doubles are two final single divisions per row.
+    *
+    * Plan shape at 100 TB: explode → map-side-combined groupBy(token)
+    * builds the vocab count table (output rows = |vocab|, far smaller
+    * than the corpus); the count table joins back onto the exploded scan.
+    * `broadcastVocab = true` (default) broadcasts it — right while the
+    * vocab fits (~tens of millions of rows); set false to fall back to a
+    * shuffle join on token, in which case the Zipf head ("the") is the
+    * classic skew key — route through [[graft.ops.SkewJoin]] there.
+    * Documents with zero tokens have no exploded rows and drop out, in
+    * both engines.
+    */
+  def unigramScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, rareMax: Long = 2L,
+      broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val e = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val cf0 = e.groupBy(col("__t")).agg(count(lit(1)).as("__cf"))
+    val cf = if (broadcastVocab) broadcast(cf0) else cf0
+    e.join(cf, "__t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__cf")).as("sum_cf"),
+        sum(when(col("__cf") <= rareMax, 1L).otherwise(0L)).as("__rare"))
+      .select(col(idCol), col("n_tokens"), col("sum_cf"),
+        (col("sum_cf").cast("double") / col("n_tokens")).as("mean_cf"),
+        (col("__rare").cast("double") / col("n_tokens")).as("rare_frac"))
+  }
 }

@@ -681,6 +681,42 @@ object LlmOps {
           .select(col("doc_id"), col("lang"))
     },
 
+    // Deterministic global shuffle into training shards: shard + position
+    // derived only from (id, seed) — identical across partitionings,
+    // retries, and cluster sizes (epoch reshuffle = a new seed). The one
+    // exchange is on shard, which the shard-file write needs anyway.
+    Q(
+      "llm_shard_shuffle",
+      s"""SELECT doc_id,
+         |  (${Sampling.sqlHashBucket("doc_id", 7)}) % 8 AS shard,
+         |  ROW_NUMBER() OVER (
+         |    PARTITION BY (${Sampling.sqlHashBucket("doc_id", 7)}) % 8
+         |    ORDER BY ${Sampling.sqlHashBucket("doc_id", 8)}, doc_id) - 1 AS pos
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Sampling.shardAssign(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)
+    },
+
+    // Corpus unigram-frequency scoring — the LM-free CCNet/Gopher
+    // commonness signal: vocab counts from a map-side-combined groupBy,
+    // broadcast back onto the exploded scan, integer-exact per-doc sums;
+    // the only doubles are two final single divisions per row.
+    Q(
+      "llm_unigram_lm",
+      s"""WITH e AS (SELECT doc_id, unnest($tk) AS t FROM documents),
+         |cf AS (SELECT t, COUNT(*) AS cf FROM e GROUP BY t)
+         |SELECT e.doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(cf) AS BIGINT) AS sum_cf,
+         |  CAST(SUM(cf) AS DOUBLE) / COUNT(*) AS mean_cf,
+         |  CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         |    AS rare_frac
+         |FROM e JOIN cf USING (t) GROUP BY e.doc_id""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.unigramScore(
+          t(s, dir, "documents").repartition(32, col("doc_id"))
+            .select(col("doc_id"), col("text")), "doc_id", "text")
+    },
+
     // Sequence packing: documents fill fixed token-budget training bins,
     // ordered by seeded content hash within hash-assigned buckets — the
     // deterministic, partition-independent packing discipline (a global

@@ -55,6 +55,37 @@ class SamplingSpec extends SparkSpec {
       s"row_number <= k must push the group limit below the shuffle:\n$plan")
   }
 
+  test("shardAssign: dense 0-based positions per shard, layout-independent") {
+    val df = ids(200)
+    val a = Sampling.shardAssign(df, "id", nShards = 4)
+    val b = Sampling.shardAssign(df.repartition(13), "id", nShards = 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val byShard = a.select("shard", "pos").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byShard.keySet.subsetOf((0L until 4L).toSet))
+    // positions are exactly 0..n-1 within every shard — the contract a
+    // shard writer needs to lay rows out without gaps or collisions
+    byShard.foreach { case (_, ps) => assert(ps === (0L until ps.length)) }
+    assert(byShard.values.map(_.length).sum === 200)
+  }
+
+  test("unigramScore: exact integer corpus frequencies and rare fraction") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "zyx")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramScore(docs, "doc_id", "text", rareMax = 1L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "sum_cf", "rare_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // corpus cf: the=3, cat=1, sat=2, on=1, mat=1, dog=1, zyx=1
+    assert(out === Seq(
+      (1L, 6L, 3L + 1 + 2 + 1 + 3 + 1, 3.0 / 6),   // rare: cat, on, mat
+      (2L, 3L, 3L + 1 + 2, 1.0 / 3),                // rare: dog
+      (3L, 1L, 1L, 1.0)))
+  }
+
   test("mixToProportions hits target mix, most-constrained stratum whole") {
     // 1000 "a" rows, 2000 "b" rows; target 50/50 -> all of "a", ~1000 of "b"
     val out = Sampling.mixToProportions(ids(3000), "src", "id",
