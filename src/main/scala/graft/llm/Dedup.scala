@@ -393,26 +393,9 @@ object Dedup {
       corpus: DataFrame, idCol: String, textCol: String,
       contam: DataFrame, contamTextCol: String,
       n: Int = 3): DataFrame = {
-    // _toks and _th staged as real columns; the size filter references
-    // ONLY _toks (predicate pushdown substitutes it into a tokens-only
-    // re-evaluation — never the md5 pipeline); the persist before the
-    // explode is a pushdown barrier: the Generate's derived
-    // isnotnull/size filters would otherwise be substituted all the way
-    // down to the text column, re-inlining the whole token-hash + gram
-    // pipeline into a per-row Filter evaluated before the projections
-    // (measured 3× the query's entire cost). Cached payload is
-    // (id, gram-hash array) — tiny relative to the text.
     def gramHashes(df: DataFrame, text: String,
         extra: Seq[Column]): DataFrame =
-      df.select(extra :+ TextAnalysis.tokens(col(text)).as("_toks"): _*)
-        .filter(size(col("_toks")) >= n)
-        .select(extra :+
-          transform(col("_toks"), t => md5Hash(t, 0)).as("_th"): _*)
-        .select(extra :+ array_distinct(
-          transform(sequence(lit(1), size(col("_th")) - n + 1),
-            i => aggregate(slice(col("_th"), i, lit(n)), lit(7L),
-              (acc, h) => (acc * 131L + h) % FP_P))).as("_g"): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rollingGramArrays(df, text, extra, n)
         .select(extra :+ explode(col("_g")).as("_h"): _*)
     val contamSet = gramHashes(contam, contamTextCol, Seq.empty).distinct()
     gramHashes(corpus, textCol, Seq(col(idCol)))
@@ -422,6 +405,88 @@ object Dedup {
         coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
       .select(col(idCol), col("n_grams"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
+
+  /** Per-document distinct rolling-gram-hash ARRAYS (the
+    * [[contaminationScoreRolling]] fast tier staging, shared with the
+    * Bloom variant). _toks and _th staged as real columns; the size filter
+    * references ONLY _toks (predicate pushdown substitutes it into a
+    * tokens-only re-evaluation — never the md5 pipeline); the persist is a
+    * pushdown barrier: a downstream Generate's derived isnotnull/size
+    * filters would otherwise be substituted all the way down to the text
+    * column, re-inlining the whole token-hash + gram pipeline into a
+    * per-row Filter evaluated before the projections (measured 3× the
+    * query's entire cost). Cached payload is (extra, gram-hash array) —
+    * tiny relative to the text.
+    */
+  private def rollingGramArrays(df: DataFrame, text: String,
+      extra: Seq[Column], n: Int): DataFrame =
+    df.select(extra :+ TextAnalysis.tokens(col(text)).as("_toks"): _*)
+      .filter(size(col("_toks")) >= n)
+      .select(extra :+
+        transform(col("_toks"), t => md5Hash(t, 0)).as("_th"): _*)
+      .select(extra :+ array_distinct(
+        transform(sequence(lit(1), size(col("_th")) - n + 1),
+          i => aggregate(slice(col("_th"), i, lit(n)), lit(7L),
+            (acc, h) => (acc * 131L + h) % FP_P))).as("_g"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[contaminationScoreRolling]] with a Bloom-sketch pre-filter — the
+    * join-INPUT shape for 100 TB. The exact equi-join against the distinct
+    * contamination set is what makes the score exact, but it shuffles (or
+    * at best broadcast-probes) EVERY corpus gram; when the contamination
+    * set outgrows broadcast range, the non-contaminated ~99.9% of corpus
+    * grams pay a shuffle just to NOT match. Here a Bloom sketch of the
+    * contamination hashes (megabytes for millions of grams — collected
+    * once, an offline artifact like the IVF centroids, shipped in the task
+    * binary) is applied SCAN-SIDE with `might_contain`: only Bloom
+    * candidates (true hits + the fp-rate tail) ever reach the exact
+    * confirm join, so the shuffled corpus volume drops from O(all grams)
+    * to O(hits). False positives cost only a wasted probe — the confirm
+    * join keeps the output exactly equal to [[contaminationScoreRolling]],
+    * which is why the same DuckDB oracle grades it. Per-doc totals come
+    * from the gram-array length before the explode — no aggregation of
+    * unfiltered grams anywhere.
+    *
+    * Uses Spark's own runtime-filter machinery (`BloomFilterAggregate` /
+    * `BloomFilterMightContain` — codegen'd, the sketch deserialized once
+    * per task) rather than a hand-rolled bitset.
+    */
+  def bloomContaminationScore(
+      corpus: DataFrame, idCol: String, textCol: String,
+      contam: DataFrame, contamTextCol: String,
+      n: Int = 3,
+      expectedContamGrams: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Shims
+    import org.apache.spark.sql.types.BinaryType
+    val contamSet = rollingGramArrays(contam, contamTextCol, Seq.empty, n)
+      .select(explode(col("_g")).as("_h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketchCol = Shims.column(
+      new BloomFilterAggregate(Shims.expression(col("_h")),
+        expectedContamGrams).toAggregateExpression())
+    // one tiny driver artifact (null on an empty contamination set)
+    val sketch = contamSet.select(sketchCol).head.get(0)
+      .asInstanceOf[Array[Byte]]
+    val corpusGrams = rollingGramArrays(corpus, textCol, Seq(col(idCol)), n)
+    val totals = corpusGrams
+      .select(col(idCol), size(col("_g")).cast("long").as("n_grams"))
+    val hits =
+      if (sketch == null)
+        totals.select(col(idCol), lit(0L).as("n_hit")).limit(0)
+      else
+        corpusGrams.select(col(idCol), explode(col("_g")).as("_h"))
+          .filter(Shims.column(BloomFilterMightContain(
+            Literal(sketch, BinaryType), Shims.expression(col("_h")))))
+          .join(contamSet, Seq("_h"))
+          .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
           .as("contamination"))
   }
 

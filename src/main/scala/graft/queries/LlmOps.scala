@@ -596,6 +596,36 @@ object LlmOps {
         docs.filter(col("doc_id") < 50), "text", n = 3)
     },
 
+    // Bloom-prefiltered decontamination — same exact overlap contract
+    // (the sketch only prunes join INPUT; the confirm join restores
+    // exactness, so DuckDB grades the full pipeline with plain SQL).
+    // The 100-TB shape: non-contaminated grams are dropped scan-side by
+    // might_contain against a megabyte sketch instead of paying the
+    // equi-join shuffle.
+    Q(
+      "llm_bloom_decontaminate",
+      s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |th AS (SELECT doc_id,
+         |    list_transform(tkn, t -> ${md5h(0, "t")}) AS hs
+         |  FROM toks WHERE len(tkn) >= 3),
+         |dg AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(hs) - 1),
+         |      i -> list_reduce(list_prepend(CAST(7 AS BIGINT), hs[i:i+2]),
+         |        (acc, h) -> (acc * 131 + h) % ${Dedup.FP_P})))) AS h
+         |  FROM th),
+         |cs AS (SELECT DISTINCT h FROM dg WHERE doc_id < 80),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+         |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM dg
+         |  WHERE h IN (SELECT h FROM cs) GROUP BY doc_id)
+         |SELECT t.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+         |  COALESCE(n_hit, 0) * 1.0 / n_grams AS contamination
+         |FROM tot t LEFT JOIN hit USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
+      Dedup.bloomContaminationScore(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 80), "text", n = 3)
+    },
+
     // PII scrubbing: both engines synthesize the same deterministic PII
     // (email/phone/IP derived from doc_id), then this side runs the
     // scrubber while the oracle applies the identical regex chain.

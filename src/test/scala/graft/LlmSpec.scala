@@ -262,6 +262,21 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) === 0.0) // unrelated text
   }
 
+  test("bloomContaminationScore equals the exact rolling-gram score") {
+    val bench = docs.filter($"doc_id" <= 2L).select($"doc_id" + 100L, $"text")
+      .toDF("doc_id", "text")
+    val exact = Dedup.contaminationScoreRolling(
+      docs, "doc_id", "text", bench, "text", n = 3)
+    val bloom = Dedup.bloomContaminationScore(
+      docs, "doc_id", "text", bench, "text", n = 3)
+    assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
+    // empty contamination set → all-zero scores, no crash on a null sketch
+    val none = Dedup.bloomContaminationScore(
+      docs, "doc_id", "text", bench.limit(0), "text", n = 3)
+    assert(none.filter($"contamination" =!= 0.0).count() === 0L)
+    assert(none.count() === docs.count())
+  }
+
   test("topRun finds the most frequent n-gram; ties break lexicographically") {
     val rows = Seq(
       "a b a b a c",       // bigrams: a b ×2, b a ×2 → tie → "a b"
