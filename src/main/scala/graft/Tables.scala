@@ -18,14 +18,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as raw nanos and convert (µs truncation is
-      // lossless on this data — sub-µs digits are zero; see TESTDATA.md).
+      // events.ts arrives as parquet TIMESTAMP(NANOS) in some driver
+      // generations (Spark's vectorized reader rejects it — read as raw
+      // nanos and convert; µs truncation is lossless, sub-µs digits are
+      // zero) and plain TIMESTAMP(MICROS) in others. Normalize both to
+      // TimestampType (session tz is pinned UTC, so NTZ→TZ is wall-clock
+      // identity and downstream epoch arithmetic is unchanged).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000L")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000L")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all tables as temp views (for spark.sql-based access). */

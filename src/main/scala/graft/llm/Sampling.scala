@@ -86,6 +86,34 @@ object Sampling {
     withShard.withColumn("pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** Deterministic train/val/test split assignment, with a contamination
+    * quarantine lane: the split derives from (id, seed) ONLY — the same
+    * row lands in the same split across input layouts, retries, epochs,
+    * and cluster sizes, and adding data never moves existing rows between
+    * splits (the property a random split lacks). Rows matching
+    * `quarantine` (e.g. benchmark-contaminated docs from
+    * [[Dedup.contaminationScoreRolling]]) are routed to 'quarantine'
+    * regardless of bucket, so eval text can never leak into a training
+    * shard even when the corpus is re-split.
+    *
+    * Percents are out of 100: train takes buckets [0, trainPct), val
+    * [trainPct, trainPct+valPct), test the rest. Adds `bucket` (BIGINT in
+    * [0,100)) and `split` (STRING); a pure stateless projection on the
+    * scan — zero shuffle.
+    */
+  def splitAssign(df: DataFrame, idCol: String, seed: Int = 7,
+      trainPct: Int = 90, valPct: Int = 5,
+      quarantine: Column = lit(false)): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percents out of range: train=$trainPct val=$valPct")
+    df.withColumn("bucket", pmod(hashBucket(col(idCol), seed), lit(100L)))
+      .withColumn("split",
+        when(quarantine, lit("quarantine"))
+          .when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Mix strata to target proportions (ppm weights), keeping the most
     * constrained stratum whole: achievable total N = min_s(n_s·M ÷ w_s),
     * per-stratum threshold = min(M, w_s·N ÷ n_s). All arithmetic is Long

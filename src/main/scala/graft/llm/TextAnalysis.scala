@@ -203,4 +203,54 @@ object TextAnalysis {
         (col("sum_cf").cast("double") / col("n_tokens")).as("mean_cf"),
         (col("__rare").cast("double") / col("n_tokens")).as("rare_frac"))
   }
+
+  /** Corpus bigram-LM fluency features — the bigram tier above
+    * [[unigramScore]] (the next CCNet/Gopher commonness axis: unigram
+    * frequency says the WORDS are common; bigram frequency says the word
+    * ORDER is, which is what separates fluent text from shuffled-token
+    * spam). Per document:
+    *   - n_bigrams — bigram positions (len - 1)
+    *   - sum_bf — exact BIGINT sum of each bigram's corpus frequency
+    *   - rare_frac — fraction of bigrams with corpus frequency <= rareMax
+    *     (high = novel word order: noise, OCR garbage, or genuinely new
+    *     prose)
+    *   - cond_p — pooled conditional probability Σbf / Σuf(w1): the
+    *     stupid-backoff p(w2|w1) = cf(w1 w2)/cf(w1) with numerator and
+    *     denominator each summed EXACTLY per doc before ONE IEEE
+    *     division (a per-bigram mean would sum doubles in partition
+    *     order and lose cross-engine determinism).
+    *
+    * Plan shape at 100 TB mirrors [[unigramScore]]: the bigram and
+    * unigram vocab tables are map-side-combined groupBys whose output is
+    * |vocab| rows, broadcast back onto the exploded scan (shuffle-join
+    * fallback via broadcastVocab = false; the Zipf head is the skew key
+    * there). Documents with < 2 tokens have no bigrams and drop out, in
+    * both engines.
+    */
+  def bigramScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, rareMax: Long = 2L,
+      broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val n = greatest(size(col("__tk")) - 1, lit(0))
+    val pairs = zip_with(
+      slice(col("__tk"), lit(1), n), slice(col("__tk"), lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val e = toks.select(col(idCol), explode(pairs).as("__p"))
+      .select(col(idCol),
+        col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val uni0 = docs.select(explode(tokens(col(textCol))).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__uf"))
+    val bi0 = e.groupBy("__w1", "__w2").agg(count(lit(1)).as("__bf"))
+    val (uf, bf) =
+      if (broadcastVocab) (broadcast(uni0), broadcast(bi0)) else (uni0, bi0)
+    e.join(bf, Seq("__w1", "__w2")).join(uf, Seq("__w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__bf")).as("sum_bf"),
+        sum(col("__uf")).as("__sum_uf"),
+        sum(when(col("__bf") <= rareMax, 1L).otherwise(0L)).as("__rare"))
+      .select(col(idCol), col("n_bigrams"), col("sum_bf"),
+        (col("__rare").cast("double") / col("n_bigrams")).as("rare_frac"),
+        (col("sum_bf").cast("double") / col("__sum_uf")).as("cond_p"))
+  }
 }

@@ -747,6 +747,77 @@ object LlmOps {
             .select(col("doc_id"), col("text")), "doc_id", "text")
     },
 
+    // Bigram-LM fluency features — the word-ORDER commonness axis above
+    // llm_unigram_lm: bigram + unigram vocab tables broadcast onto the
+    // exploded scan; per-doc sums exact BIGINT; cond_p is the pooled
+    // stupid-backoff Σcf(w1 w2)/Σcf(w1) with ONE IEEE division per row
+    // (a per-bigram double mean would be partition-order-dependent).
+    Q(
+      "llm_bigram_lm",
+      s"""WITH tok AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |e AS (SELECT doc_id, tkn[i] AS w1, tkn[i+1] AS w2
+         |  FROM tok, UNNEST(range(1, len(tkn))) AS u(i)),
+         |uf AS (SELECT t, COUNT(*) AS uf
+         |  FROM (SELECT unnest(tkn) AS t FROM tok) GROUP BY t),
+         |bf AS (SELECT w1, w2, COUNT(*) AS bf FROM e GROUP BY 1, 2)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(bf) AS BIGINT) AS sum_bf,
+         |  CAST(SUM(CASE WHEN bf <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         |    AS rare_frac,
+         |  CAST(SUM(bf) AS DOUBLE) / SUM(uf) AS cond_p
+         |FROM e JOIN bf USING (w1, w2) JOIN uf ON e.w1 = uf.t
+         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramScore(
+        t(s, dir, "documents").repartition(32, col("doc_id"))
+          .select(col("doc_id"), col("text")), "doc_id", "text")
+    },
+
+    // Contamination-aware train/val/test split: assignment from
+    // (doc_id, seed) only — stable across layouts/retries/growth — with
+    // benchmark-contaminated docs (rolling-gram overlap vs the doc_id<50
+    // "benchmark" set, as in llm_decontaminate) forced into a quarantine
+    // lane so eval text cannot leak into training shards. Pure stateless
+    // projection after the decontamination join.
+    Q(
+      "llm_split",
+      s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |th AS (SELECT doc_id,
+         |    list_transform(tkn, t -> ${md5h(0, "t")}) AS hs
+         |  FROM toks WHERE len(tkn) >= 3),
+         |dg AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(hs) - 1),
+         |      i -> list_reduce(list_prepend(CAST(7 AS BIGINT), hs[i:i+2]),
+         |        (acc, h) -> (acc * 131 + h) % ${Dedup.FP_P})))) AS h
+         |  FROM th),
+         |cs AS (SELECT DISTINCT h FROM dg WHERE doc_id < 50),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+         |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM dg
+         |  WHERE h IN (SELECT h FROM cs) GROUP BY doc_id),
+         |c AS (SELECT t.doc_id,
+         |    COALESCE(n_hit, 0) * 1.0 / n_grams AS contamination
+         |  FROM tot t LEFT JOIN hit USING (doc_id)),
+         |b AS (SELECT d.doc_id,
+         |    (${Sampling.sqlHashBucket("d.doc_id", 11)}) % 100 AS bucket,
+         |    COALESCE(c.contamination, 0) AS contamination
+         |  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN contamination >= 0.2 THEN 'quarantine'
+         |       WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
+      val contam = Dedup.contaminationScoreRolling(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 50), "text", n = 3)
+        .select(col("doc_id"), col("contamination"))
+      Sampling.splitAssign(
+        docs.select("doc_id").join(broadcast(contam), Seq("doc_id"), "left"),
+        "doc_id", seed = 11, trainPct = 80, valPct = 10,
+        quarantine = coalesce(col("contamination"), lit(0.0)) >= 0.2)
+        .select(col("doc_id"), col("bucket"), col("split"))
+    },
+
     // Sequence packing: documents fill fixed token-budget training bins,
     // ordered by seeded content hash within hash-assigned buckets — the
     // deterministic, partition-independent packing discipline (a global

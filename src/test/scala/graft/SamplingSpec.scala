@@ -86,6 +86,61 @@ class SamplingSpec extends SparkSpec {
       (3L, 1L, 1L, 1.0)))
   }
 
+  test("bigramScore: exact bigram frequencies and pooled conditional p") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramScore(docs, "doc_id", "text", rareMax = 1L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "sum_bf", "rare_frac", "cond_p")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // corpus bigram cf: (a b)=3, (b a)=1, (b c)=1; unigram cf: a=3, b=3,
+    // c=1, x=1. doc 3 has one token -> no bigrams -> absent.
+    assert(out === Seq(
+      // doc 1: bigrams (a b),(b a),(a b): sum_bf 3+1+3; rare (b a);
+      //   denom uf(a)+uf(b)+uf(a) = 9
+      (1L, 3L, 7L, 1.0 / 3, 7.0 / 9),
+      // doc 2: (a b),(b c): sum_bf 3+1; rare (b c); denom uf(a)+uf(b) = 6
+      (2L, 2L, 4L, 1.0 / 2, 4.0 / 6)))
+  }
+
+  test("splitAssign: deterministic, layout-independent, quarantine wins") {
+    val df = ids(2000).withColumn("flag", col("id") % 100 === 0)
+    val a = Sampling.splitAssign(df, "id", seed = 3, trainPct = 80,
+      valPct = 10, quarantine = col("flag"))
+    val b = Sampling.splitAssign(df.repartition(17), "id", seed = 3,
+      trainPct = 80, valPct = 10, quarantine = col("flag"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val rows = a.select("id", "bucket", "split")
+      .as[(Long, Long, String)].collect()
+    // flagged rows are quarantined regardless of their hash bucket
+    assert(rows.filter(_._1 % 100 == 0).forall(_._3 == "quarantine"))
+    // unflagged rows follow the bucket thresholds exactly
+    rows.filterNot(_._1 % 100 == 0).foreach { case (_, bkt, s) =>
+      val want = if (bkt < 80) "train" else if (bkt < 90) "val" else "test"
+      assert(s === want)
+    }
+    // rough proportions hold (hash uniformity)
+    val frac = rows.count(_._3 == "train") / 2000.0
+    assert(math.abs(frac - 0.8 * 0.99) < 0.05)
+    // growing the corpus never moves an existing row between splits
+    val grown = Sampling.splitAssign(ids(4000).withColumn("flag",
+        col("id") % 100 === 0), "id", seed = 3, trainPct = 80,
+      valPct = 10, quarantine = col("flag"))
+      .filter(col("id") <= 2000).select("id", "bucket", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(grown === rows.sortBy(_._1))
+  }
+
+  test("splitAssign is a stateless projection: no exchange in the plan") {
+    val plan = Sampling.splitAssign(ids(100), "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"split assignment must not shuffle:\n$plan")
+  }
+
   test("mixToProportions hits target mix, most-constrained stratum whole") {
     // 1000 "a" rows, 2000 "b" rows; target 50/50 -> all of "a", ~1000 of "b"
     val out = Sampling.mixToProportions(ids(3000), "src", "id",
