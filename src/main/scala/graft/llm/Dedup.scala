@@ -490,6 +490,39 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Exact k-token-span duplicate pairs — the exact-substring dedup
+    * discipline of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2022) re-expressed relationally: two documents
+    * are span-duplicates when they share ANY exact k-token window, and a
+    * pair carries the count of distinct shared spans. Complements the
+    * approximate tiers (MinHash estimates whole-document similarity; this
+    * catches verbatim partial overlap — quoted passages, mirrored
+    * sections — that a low global Jaccard hides).
+    *
+    * Plan shape at 100 TB: distinct (doc, span-hash) rows self-equi-join
+    * on the hash — document all-pairs never happens. The frequency gate
+    * runs first: spans with document frequency < 2 cannot pair and spans
+    * above `maxDf` (boilerplate headers/footers shared by thousands of
+    * docs) are dropped, the standard cap that bounds the per-span pair
+    * fan-out at maxDf² instead of letting one viral span go quadratic in
+    * the corpus. Span hashes are the same Karp-Rabin token-hash fold as
+    * [[contaminationScoreRolling]], so any engine re-derives them.
+    */
+  def spanDupPairs(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maxDf: Long = 50L): DataFrame = {
+    val g = rollingGramArrays(corpus, textCol, Seq(col(idCol)), k)
+      .select(col(idCol).as("id"), explode(col("_g")).as("_h"))
+    val gate = g.groupBy("_h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select("_h")
+    val gk = g.join(gate, Seq("_h"))
+    val a = gk.select(col("_h"), col("id").as("id_a"))
+    val b = gk.select(col("_h"), col("id").as("id_b"))
+    a.join(b, Seq("_h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_spans"))
+  }
+
   /** Benchmark decontamination: per-document overlap with a contamination
     * set (eval/benchmark texts that must not leak into training data).
     * Score = fraction of the document's distinct n-grams that appear

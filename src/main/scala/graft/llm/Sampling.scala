@@ -125,11 +125,30 @@ object Sampling {
     * the scan → stateless hash filter. One pass over the data.
     */
   def mixToProportions(df: DataFrame, stratumCol: String, idCol: String,
-      weightsPpm: Map[String, Long], seed: Int = 7): DataFrame = {
+      weightsPpm: Map[String, Long], seed: Int = 7): DataFrame =
+    mixImpl(df, stratumCol, idCol, count(lit(1)), weightsPpm, seed)
+
+  /** [[mixToProportions]] measured in a weight column instead of row
+    * count — token counts, the unit training mixtures are actually
+    * specified in ("30% code tokens", not "30% code documents").
+    * Thresholds derive from per-stratum exact BIGINT weight sums; the
+    * keep decision is the same stateless hash filter, so the KEPT weight
+    * per stratum matches the target in expectation (documents are atomic
+    * — exact-to-the-token trimming would need a per-stratum running sum,
+    * the shape [[topKPerStratum]] covers for fixed-size needs).
+    */
+  def mixToProportionsByWeight(df: DataFrame, stratumCol: String,
+      idCol: String, weightCol: String, weightsPpm: Map[String, Long],
+      seed: Int = 7): DataFrame =
+    mixImpl(df, stratumCol, idCol, sum(col(weightCol)), weightsPpm, seed)
+
+  private def mixImpl(df: DataFrame, stratumCol: String, idCol: String,
+      measure: Column, weightsPpm: Map[String, Long],
+      seed: Int): DataFrame = {
     val wdf = df.sparkSession.createDataFrame(
       weightsPpm.toSeq.sortBy(_._1)).toDF(stratumCol, "_w")
     val counts = df.groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("_n"))
+      .agg(measure.as("_n"))
       .join(wdf, stratumCol)
     // scalar min over the tiny counts table via a global window (a
     // crossJoin of counts with its own aggregate trips Spark's self-join

@@ -711,6 +711,34 @@ object LlmOps {
           .select(col("doc_id"), col("lang"))
     },
 
+    // Token-weighted source mixing: the mixture is a TOKEN budget (the
+    // unit training recipes use), so per-language thresholds derive from
+    // exact BIGINT token sums instead of doc counts; same stateless
+    // hash-filter keep decision.
+    Q(
+      "llm_sample_mix_tokens",
+      s"""WITH c AS (SELECT lang, CAST(SUM(len($tk)) AS BIGINT) AS n
+         |  FROM documents GROUP BY lang),
+         |w(lang, w) AS (VALUES ('en', CAST(400000 AS BIGINT)),
+         |  ('de', 200000), ('fr', 150000), ('es', 150000), ('zh', 100000)),
+         |cw AS (SELECT c.lang, n, w FROM c JOIN w ON c.lang = w.lang),
+         |nn AS (SELECT MIN(n * 1000000 // w) AS ntot FROM cw),
+         |r AS (SELECT lang, LEAST(1000000, w * ntot // n) AS thr FROM cw, nn)
+         |SELECT d.doc_id, d.lang, CAST(len($tk) AS BIGINT) AS n_tokens
+         |FROM documents d
+         |JOIN r ON d.lang = r.lang
+         |WHERE ${Sampling.sqlHashBucket("d.doc_id", 7)} < r.thr""".stripMargin) {
+      (s, dir) =>
+        Sampling.mixToProportionsByWeight(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long")
+              .as("n_tokens")),
+          "lang", "doc_id", "n_tokens",
+          weightsPpm = Map("en" -> 400000L, "de" -> 200000L,
+            "fr" -> 150000L, "es" -> 150000L, "zh" -> 100000L))
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+    },
+
     // Deterministic global shuffle into training shards: shard + position
     // derived only from (id, seed) — identical across partitionings,
     // retries, and cluster sizes (epoch reshuffle = a new seed). The one
@@ -816,6 +844,34 @@ object LlmOps {
         "doc_id", seed = 11, trainPct = 80, valPct = 10,
         quarantine = coalesce(col("contamination"), lit(0.0)) >= 0.2)
         .select(col("doc_id"), col("bucket"), col("split"))
+    },
+
+    // Exact 5-token-span duplicate pairs (Lee et al. 2022 exact-substring
+    // dedup, relational form): distinct (doc, span-hash) rows self-join on
+    // the hash — never document all-pairs — behind a document-frequency
+    // gate (df in [2, 50]) that drops unpairable singletons and caps the
+    // boilerplate-span pair fan-out. DuckDB re-derives the identical
+    // Karp-Rabin span hashes, gate, and pair counts.
+    Q(
+      "llm_span_dups",
+      s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |th AS (SELECT doc_id,
+         |    list_transform(tkn, t -> ${md5h(0, "t")}) AS hs
+         |  FROM toks WHERE len(tkn) >= 5),
+         |dg AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(hs) - 3),
+         |      i -> list_reduce(list_prepend(CAST(7 AS BIGINT), hs[i:i+4]),
+         |        (acc, h) -> (acc * 131 + h) % ${Dedup.FP_P})))) AS h
+         |  FROM th),
+         |gate AS (SELECT h FROM dg GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
+         |g AS (SELECT doc_id, h FROM dg JOIN gate USING (h))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_spans
+         |FROM g a JOIN g b USING (h) WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Dedup.spanDupPairs(
+        t(s, dir, "documents").repartition(32, col("doc_id"))
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 5, maxDf = 50L)
     },
 
     // Sequence packing: documents fill fixed token-budget training bins,

@@ -277,6 +277,30 @@ class LlmSpec extends SparkSpec {
     assert(none.count() === docs.count())
   }
 
+  test("spanDupPairs: shared exact spans pair, boilerplate df-capped") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro alpha beta gamma delta epsilon zeta outro"), // embeds doc 1's span
+      (3L, "totally different content with no overlap at all"),
+      // 4..9 share a "boilerplate" 5-token footer
+      (4L, "aa bb cc dd ee unique4"), (5L, "aa bb cc dd ee unique5"),
+      (6L, "aa bb cc dd ee unique6"), (7L, "aa bb cc dd ee unique7"),
+      (8L, "aa bb cc dd ee unique8"), (9L, "aa bb cc dd ee unique9"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.spanDupPairs(corpus, "doc_id", "text", k = 5)
+      .select("id_a", "id_b", "n_spans").as[(Long, Long, Long)]
+      .collect().toSet
+    // docs 1-2 share exactly two 5-token windows (alpha..epsilon shifted)
+    assert(pairs.contains((1L, 2L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // the footer span (df=6) pairs all of 4..9 under the default cap...
+    assert(pairs.contains((4L, 5L, 1L)) && pairs.contains((8L, 9L, 1L)))
+    // ...and is dropped entirely when the cap is tightened below its df
+    val capped = Dedup.spanDupPairs(corpus, "doc_id", "text", k = 5,
+      maxDf = 5L).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L)))
+  }
+
   test("topRun finds the most frequent n-gram; ties break lexicographically") {
     val rows = Seq(
       "a b a b a c",       // bigrams: a b ×2, b a ×2 → tie → "a b"

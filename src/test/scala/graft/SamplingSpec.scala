@@ -150,4 +150,20 @@ class SamplingSpec extends SparkSpec {
     assert(counts("a") === 1000L)
     assert(math.abs(counts("b") - 1000L) < 100)
   }
+
+  test("mixToProportionsByWeight targets the token budget, not doc count") {
+    // stratum a: 1000 docs × 10 tokens; stratum b: 2000 docs × 40 tokens.
+    // Token mix 50/50 -> all of a (10k tokens), ~10k of b's 80k tokens —
+    // i.e. ~1/8 of b's DOCS, where a doc-count mix would keep ~1/2.
+    val df = ids(3000).withColumn("ntok",
+      when(col("src") === "a", 10L).otherwise(40L))
+    val out = Sampling.mixToProportionsByWeight(df, "src", "id", "ntok",
+      weightsPpm = Map("a" -> 500000L, "b" -> 500000L))
+    val kept = out.groupBy("src").agg(
+        count(lit(1)).as("docs"), sum("ntok").as("toks"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(kept("a")._3 === 10000L) // most-constrained stratum kept whole
+    assert(math.abs(kept("b")._3 - 10000L) < 1500)
+    assert(kept("b")._2 < 400) // far fewer docs than a doc-count mix
+  }
 }
