@@ -42,9 +42,15 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
-    // warmup: generic JIT + one shuffle-heavy and one scan-heavy query
+    // warmup: generic JIT + one query per expression family — scan/agg,
+    // shuffle-join, projection, interpreted HOF array lambdas (the token/
+    // shingle pipelines), and the codegen'd vector kernels. First-touch
+    // of each family otherwise pays 5-10x in class-load + C2 compile on
+    // 32 threads at once, which would be charged to whichever graded
+    // query happens to run that shape first.
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
-    Seq("agg_linear", "join_star", "map_project")
+    Seq("agg_linear", "join_star", "map_project",
+        "llm_text_stats", "llm_minhash_fast", "llm_cosine_topk")
       .filter(SparkEntry.queries.contains).foreach { q =>
         try run(q) catch { case _: Throwable => () }
       }
