@@ -596,4 +596,49 @@ object Dedup {
     trace.append(admitted.withColumn(ZSets.W, lit(1L)))
     admitted
   }
+
+  /** Incremental SPAN-level dedup/decontamination — [[incrementalDedup]]
+    * for partial overlap: a batch's documents are admitted only while the
+    * fraction of their k-token spans already present in the accumulated
+    * span state of PREVIOUSLY ADMITTED documents stays below `threshold`,
+    * and an admitted document appends only its genuinely new span hashes
+    * (O(|new spans|), never a state rescan — rejected documents, the
+    * usual crawl majority, contribute nothing). This is the
+    * continuous-ingest form of [[spanDupPairs]]: the batch equivalent
+    * finds verbatim partial overlap inside a static corpus; this one
+    * blocks it at the door as the corpus accumulates.
+    *
+    * Within a batch, overlap is measured against prior state only
+    * (micro-batch semantics; intra-batch near-dups are [[spanDupPairs]]'s
+    * concern). Returns one row per document with spans:
+    * (idCol, n_spans, n_seen, overlap, admitted) — eagerly materialized
+    * so the caller's plan never observes the trace's own append.
+    */
+  def incrementalSpanDedup(trace: graft.incremental.Trace,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import graft.zset.ZSets
+    val grams = rollingGramArrays(batch, textCol, Seq(col(idCol)), k)
+    val g = graft.incremental.Trace.materialize(
+      grams.select(col(idCol), explode(col("_g")).as("_h")))
+    grams.unpersist()
+    // state hashes present in this batch — read twice (score + new-hash
+    // anti-join), so pin the probe result
+    val seen = graft.incremental.Trace.materialize(
+      trace.probe(g.select("_h").distinct()).select("_h").distinct())
+    val scored = graft.incremental.Trace.materialize(
+      g.join(seen.withColumn("_hit", lit(1L)), Seq("_h"), "left")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_spans"),
+          coalesce(sum(col("_hit")), lit(0L)).as("n_seen"))
+        .select(col(idCol), col("n_spans"), col("n_seen"),
+          (col("n_seen").cast("double") / col("n_spans")).as("overlap"))
+        .withColumn("admitted", col("overlap") < threshold))
+    val newHashes = g
+      .join(scored.filter(col("admitted")).select(idCol), Seq(idCol))
+      .select("_h").distinct()
+      .join(seen, Seq("_h"), "left_anti")
+    trace.append(newHashes.withColumn(ZSets.W, lit(1L)))
+    scored
+  }
 }

@@ -161,6 +161,55 @@ object LlmOps {
       } finally { trace.delete(); fps.unpersist(); () }
     },
 
+    // Incremental SPAN-level dedup: batches admit a document only while
+    // its 3-token-span overlap with the accumulated state of previously
+    // ADMITTED documents stays under 50%; admitted docs append only their
+    // new span hashes to the tiered trace. The oracle replays the same
+    // 3-batch schedule as chained CTEs (state0 = ∅ → admit → state1 → …),
+    // including the rule that REJECTED documents contribute no spans.
+    Q(
+      "llm_inc_span_dedup",
+      s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |th AS (SELECT doc_id,
+         |    list_transform(tkn, t -> ${md5h(0, "t")}) AS hs
+         |  FROM toks WHERE len(tkn) >= 3),
+         |dg AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(hs) - 1),
+         |      i -> list_reduce(list_prepend(CAST(7 AS BIGINT), hs[i:i+2]),
+         |        (acc, h) -> (acc * 131 + h) % ${Dedup.FP_P})))) AS h
+         |  FROM th),
+         |out0 AS (SELECT doc_id, COUNT(*) AS n_spans, 0 AS n_seen
+         |  FROM dg WHERE doc_id % 3 = 0 GROUP BY doc_id),
+         |s1 AS (SELECT DISTINCT h FROM dg WHERE doc_id % 3 = 0),
+         |out1 AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |    SUM(CASE WHEN h IN (SELECT h FROM s1) THEN 1 ELSE 0 END) AS n_seen
+         |  FROM dg WHERE doc_id % 3 = 1 GROUP BY doc_id),
+         |s2 AS (SELECT h FROM s1 UNION SELECT h FROM dg
+         |  WHERE doc_id IN (SELECT doc_id FROM out1
+         |                   WHERE n_seen * 1.0 / n_spans < 0.5)),
+         |out2 AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |    SUM(CASE WHEN h IN (SELECT h FROM s2) THEN 1 ELSE 0 END) AS n_seen
+         |  FROM dg WHERE doc_id % 3 = 2 GROUP BY doc_id)
+         |SELECT doc_id, n_spans, CAST(n_seen AS BIGINT) AS n_seen,
+         |  n_seen * 1.0 / n_spans AS overlap,
+         |  n_seen * 1.0 / n_spans < 0.5 AS admitted
+         |FROM (SELECT * FROM out0 UNION ALL SELECT * FROM out1
+         |      UNION ALL SELECT * FROM out2)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val trace = new graft.incremental.TieredTrace(
+        docs.select(lit(0L).as("_h")).limit(0)
+          .withColumn(graft.zset.ZSets.W, lit(1L)),
+        Seq("_h"), nBuckets = 16)
+      try {
+        (0 until 3).map(m => Dedup.incrementalSpanDedup(trace,
+            docs.filter(col("doc_id") % 3 === m), "doc_id", "text",
+            k = 3, threshold = 0.5))
+          .reduce(_ unionByName _)
+          .localCheckpoint(true)
+      } finally { trace.delete(); () }
+    },
+
     Q(
       "llm_minhash",
       s"""$sigCtes SELECT * FROM sig""") { (s, dir) =>

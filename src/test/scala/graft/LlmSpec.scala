@@ -357,6 +357,47 @@ class LlmSpec extends SparkSpec {
     } finally trace.delete()
   }
 
+  test("incremental span dedup: overlap vs admitted state only, w/ spill") {
+    import graft.incremental.TieredTrace
+    import graft.zset.ZSets
+    // batch 0 admits everything (empty state); batch 1 has a verbatim
+    // partial copy (rejected: all spans seen) and a fresh doc; batch 2
+    // tests that the REJECTED doc's unique spans did NOT enter state
+    val b0 = Seq((1L, "p q r s t u v w")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (2L, "p q r s t u"),              // spans ⊂ doc 1 → overlap 1.0
+      (3L, "p q r completely new tail here x y z"), // partial overlap
+      (4L, "totally fresh content nothing shared here")).toDF("doc_id", "text")
+    val b2 = Seq(
+      // doc 3's tail: admitted docs' spans are state → fully seen
+      (5L, "completely new tail here x y z"),
+      // copies the REJECTED doc 2 verbatim → still fully covered by doc 1
+      (6L, "p q r s t u")).toDF("doc_id", "text")
+    val trace = new TieredTrace(
+      b0.select(lit(0L).as("_h")).limit(0).withColumn(ZSets.W, lit(1L)),
+      Seq("_h"), memRows = 4, nBuckets = 4) // tiny bound: forces spills
+    try {
+      val r0 = Dedup.incrementalSpanDedup(trace, b0, "doc_id", "text")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+      assert(r0 === Seq((1L, 6L, 0L, 0.0, true)))
+      val r1 = Dedup.incrementalSpanDedup(trace, b1, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4)))
+        .toMap
+      assert(r1(2L) === ((4L, false)))  // every span already in state
+      assert(r1(3L)._1 === 1L && r1(3L)._2) // only "p q r" seen
+      assert(r1(4L) === ((0L, true)))
+      assert(trace.bytesOnDisk > 0, "schedule must cross the spill")
+      val r2 = Dedup.incrementalSpanDedup(trace, b2, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4)))
+        .toMap
+      // doc 3 was admitted, so its tail spans are state → doc 5 rejected
+      assert(r2(5L) === ((5L, false)))
+      // doc 2 was REJECTED: its spans entered state only via doc 1's
+      // admission — doc 6 (= doc 2) is still fully covered and rejected
+      assert(r2(6L) === ((4L, false)))
+    } finally trace.delete()
+  }
+
   test("semantic dedup: cell-scoped near-dup removal keeps first arrival") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),   // seeds (ids < nCells)
