@@ -895,6 +895,70 @@ object LlmOps {
         .select(col("doc_id"), col("bucket"), col("split"))
     },
 
+    // End-to-end curation pipeline as ONE graded unit: quality gate
+    // (token-count window) → exact dedup (first arrival per canonical
+    // fingerprint) → benchmark decontamination (drop rolling-3-gram
+    // overlap ≥ 0.2 vs the doc_id<50 eval set) → deterministic split
+    // assignment. Every stage is a library op used elsewhere; grading the
+    // composition catches stage-interface drift (column renames, null
+    // handling between stages) that per-stage oracles cannot.
+    Q(
+      "llm_curate_e2e",
+      s"""WITH g AS (SELECT doc_id, text, CAST(len($tk) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len($tk) BETWEEN 10 AND 90),
+         |w AS (SELECT MIN(doc_id) AS doc_id FROM g
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |win AS (SELECT g.* FROM g JOIN w USING (doc_id)),
+         |bh AS (SELECT doc_id,
+         |    list_transform($tk, t -> ${md5h(0, "t")}) AS hs
+         |  FROM documents WHERE doc_id < 50 AND len($tk) >= 3),
+         |cs AS (SELECT DISTINCT unnest(list_distinct(
+         |    list_transform(range(1, len(hs) - 1),
+         |      i -> list_reduce(list_prepend(CAST(7 AS BIGINT), hs[i:i+2]),
+         |        (acc, h) -> (acc * 131 + h) % ${Dedup.FP_P})))) AS h
+         |  FROM bh),
+         |th AS (SELECT doc_id,
+         |    list_transform($tk, t -> ${md5h(0, "t")}) AS hs
+         |  FROM win),
+         |dg AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(hs) - 1),
+         |      i -> list_reduce(list_prepend(CAST(7 AS BIGINT), hs[i:i+2]),
+         |        (acc, h) -> (acc * 131 + h) % ${Dedup.FP_P})))) AS h
+         |  FROM th),
+         |c AS (SELECT doc_id,
+         |    SUM(CASE WHEN h IN (SELECT h FROM cs) THEN 1 ELSE 0 END) * 1.0
+         |      / COUNT(*) AS contamination
+         |  FROM dg GROUP BY doc_id),
+         |k AS (SELECT win.doc_id, win.n_tokens,
+         |    (${Sampling.sqlHashBucket("win.doc_id", 11)}) % 100 AS bucket
+         |  FROM win LEFT JOIN c ON win.doc_id = c.doc_id
+         |  WHERE COALESCE(c.contamination, 0) < 0.2)
+         |SELECT doc_id, n_tokens, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM k""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
+      val gated = docs
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .filter(col("n_tokens").between(10, 90))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val firsts = gated.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val winners = gated.join(firsts, Seq("fp", "doc_id"))
+        .select("doc_id", "text", "n_tokens")
+      val contam = Dedup.contaminationScoreRolling(
+        winners, "doc_id", "text",
+        docs.filter(col("doc_id") < 50), "text", n = 3)
+        .select(col("doc_id"), col("contamination"))
+      val clean = winners.join(broadcast(contam), Seq("doc_id"), "left")
+        .filter(coalesce(col("contamination"), lit(0.0)) < 0.2)
+      Sampling.splitAssign(clean.select("doc_id", "n_tokens"), "doc_id",
+        seed = 11, trainPct = 80, valPct = 10)
+        .select("doc_id", "n_tokens", "bucket", "split")
+    },
+
     // Exact 5-token-span duplicate pairs (Lee et al. 2022 exact-substring
     // dedup, relational form): distinct (doc, span-hash) rows self-join on
     // the hash — never document all-pairs — behind a document-frequency
