@@ -98,4 +98,65 @@ class CurationStreamSpec extends SparkSpec {
     assert(Set(0L, 5L, 13L, 15L, 20L, 22L).subsetOf(ids))
     trace.delete()
   }
+
+  test("streamed span-overlap admission equals the sequential replay") {
+    val dir = Files.createTempDirectory("spangate").toString
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id": $id, "text": "$text"}"""
+    val waves = Seq(
+      Seq(doc(1L, "p q r s t u v w"),
+        doc(2L, "m n o p distinct words here")),
+      Seq(doc(3L, "p q r s t u"),                  // verbatim partial copy of 1
+        doc(4L, "fresh second wave content appears now")),
+      Seq(doc(5L, "second wave content appears now"), // tail of ADMITTED 4
+        doc(6L, "p q r s t u"),                    // copy of REJECTED 3
+        doc(7L, "entirely novel final wave text")))
+    waves.zipWithIndex.foreach { case (lines, i) =>
+      val p = java.nio.file.Paths.get(dir, s"wave_$i.json")
+      Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def newTrace() = new TieredTrace(
+      spark.range(0).select(lit(0L).as("_h")).limit(0)
+        .withColumn(ZSets.W, lit(1L)),
+      Seq("_h"), memRows = 8, nBuckets = 4) // tiny bound: forces spills
+    var trace: TieredTrace = null
+    var streamed = Vector.empty[(Long, Boolean)]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(dir)
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        if (trace == null) trace = newTrace()
+        streamed = streamed ++ Dedup.incrementalSpanDedup(trace,
+            batch, "doc_id", "text")
+          .select(col("doc_id"), col("admitted"))
+          .as[(Long, Boolean)].collect()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(trace.bytesOnDisk > 0, "schedule must cross the spill")
+
+    // sequential replay over the same wave schedule on a fresh trace
+    val replay = newTrace()
+    val expected = waves.indices.flatMap { i =>
+      val batch = spark.read.schema(schema)
+        .json(java.nio.file.Paths.get(dir, s"wave_$i.json").toString)
+      Dedup.incrementalSpanDedup(replay, batch, "doc_id", "text")
+        .select(col("doc_id"), col("admitted"))
+        .as[(Long, Boolean)].collect()
+    }
+    assert(streamed.toSet === expected.toSet)
+    // the partial copy, the admitted-doc tail, and the rejected-doc copy
+    // are all rejected; fresh docs admit at every wave
+    val admitted = streamed.filter(_._2).map(_._1).toSet
+    assert(admitted === Set(1L, 2L, 4L, 7L))
+    trace.delete(); replay.delete()
+  }
 }
