@@ -173,6 +173,109 @@ final class Pipeline(spark: SparkSession,
     */
   private val recursiveNames: Set[String] = program.recursive.map(_.name).toSet
 
+  /** Built-in `ERROR_VIEW` (docs/sql/system.md): runtime-populated
+    * (table_or_view_name, message, metadata) rows. Currently fed by the
+    * LATENESS gate below — the same contract the reference documents
+    * ("currently this view contains all late records that are filtered
+    * away by LATENESS annotations").
+    */
+  private var errorState: DataFrame = {
+    val schema = StructType(Seq("table_or_view_name", "message", "metadata")
+      .map(n => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.StringType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  def errorView: DataFrame = errorState
+
+  /** (table, lateness column) → discard cutoff. The waterline is
+    * max-observed(ts) − LATENESS, advanced AFTER each ingested chunk
+    * (tutorials/time-series.md:154-195: "Feldera ingests input records in
+    * chunks and advances the cutoff timestamp, below which inputs are
+    * discarded, after processing the whole chunk" — so a chunk is judged
+    * against the waterline its PREDECESSORS established, making lateness
+    * the documented soft bound).
+    */
+  private val latenessCutoffs = mutable.Map[(String, String), Any]()
+
+  /** Normalize a collected temporal value into one comparable domain:
+    * deltas arrive with whatever timestamp flavor the producer used
+    * (TIMESTAMP → java.sql.Timestamp, TIMESTAMP_NTZ → LocalDateTime,
+    * declared-schema casts may flip between them step to step), and the
+    * waterline must compare across all of them.
+    */
+  private def canonTime(v: Any): Any = v match {
+    case t: java.sql.Timestamp => t.toLocalDateTime
+    case i: java.time.Instant =>
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneId.systemDefault())
+    case d: java.sql.Date => d.toLocalDate
+    case other => other // LocalDateTime, LocalDate, numerics
+  }
+
+  /** `column < cutoff` in the cutoff's canonical domain. */
+  private def lateCmp(c: org.apache.spark.sql.Column, cut: Any):
+      org.apache.spark.sql.Column = cut match {
+    case ldt: java.time.LocalDateTime =>
+      c.cast(org.apache.spark.sql.types.TimestampNTZType) < lit(ldt)
+    case ld: java.time.LocalDate =>
+      c.cast(org.apache.spark.sql.types.DateType) < lit(ld)
+    case other => c < lit(other)
+  }
+
+  /** Discard delta rows that violate a declared LATENESS bound and log
+    * them to [[errorView]]. Scale shape: tables without LATENESS pay
+    * nothing; a gated table pays ONE small aggregate over its delta
+    * (per-column waterline candidate + late count fused into a single
+    * job), and the common no-late-rows case never rescans the delta.
+    */
+  private def latenessGate(name: String, raw: DataFrame): DataFrame = {
+    val lateCols = program.tables.find(_.name == name)
+      .map(_.columns.filter(_.lateness.isDefined)).getOrElse(Nil)
+    if (lateCols.isEmpty || raw.columns.isEmpty) return raw
+    val latePred = lateCols.map { c =>
+      latenessCutoffs.get((name, c.name)) match {
+        case Some(cut) => lateCmp(col(c.name), cut)
+        case None => lit(false)
+      }
+    }.reduce(_ || _)
+    val aggs = lateCols.map(c =>
+      expr(s"max(${c.name}) - ${c.lateness.get}").as("_wl_" + c.name)) :+
+      sum(when(latePred, 1L).otherwise(0L)).as("_late")
+    val stats = raw.agg(aggs.head, aggs.tail: _*).head()
+    val nLate = Option(stats.getAs[Long]("_late")).getOrElse(0L)
+    val kept = if (nLate == 0L) raw else {
+      val dropped = raw.filter(latePred)
+      val entries = dropped.select(
+        lit(name).as("table_or_view_name"),
+        concat(lit("late record discarded: "),
+          concat_ws(", ", lateCols.map(c =>
+            concat(lit(c.name + "="), col(c.name).cast("string"))): _*),
+          lit(" violates " + lateCols.map(c =>
+            s"LATENESS ${c.lateness.get} on ${c.name}").mkString("; ")))
+          .as("message"),
+        to_json(struct(raw.columns.map(col): _*)).as("metadata"))
+      // materialize now: the waterline advances below, and error rows must
+      // reflect THIS chunk's verdict (constraint-safe eager snapshot)
+      errorState = errorState.unionByName(
+        graft.incremental.Trace.materialize(entries))
+      raw.filter(!latePred)
+    }
+    // advance waterlines from this chunk's maxima (late rows cannot raise
+    // a max that already exceeds the cutoff they sit below)
+    lateCols.foreach { c =>
+      Option(stats.getAs[Any]("_wl_" + c.name)).map(canonTime).foreach { cand =>
+        val next = latenessCutoffs.get((name, c.name)) match {
+          case Some(cur)
+            if cur.asInstanceOf[Comparable[Any]].compareTo(cand) >= 0 => cur
+          case _ => cand
+        }
+        latenessCutoffs((name, c.name)) = next
+      }
+    }
+    kept
+  }
+
   /** View shapes + empty outputs, classified once against empty bindings
     * (shape depends on plan structure, not data). Recursive views are
     * registered (from their declared schemas) BEFORE the loop so that
@@ -371,7 +474,8 @@ final class Pipeline(spark: SparkSession,
     // Z-set deltas against the presence-marked key state
     // (crates: upsert handling in the input controller; SURVEY §2.1).
     val relDeltas = mutable.Map[String, DataFrame]()
-    deltas.foreach { case (name, raw) =>
+    deltas.foreach { case (name, raw0) =>
+      val raw = latenessGate(name, raw0)
       val pk = program.tables.find(_.name == name)
         .map(_.primaryKey).getOrElse(Nil)
       val d = if (pk.nonEmpty && raw.columns.contains("_deleted")) {
@@ -1081,7 +1185,19 @@ final class Pipeline(spark: SparkSession,
       multisetOf(n, tableState).createOrReplaceTempView(n))
     program.views.map(_.name).filter(viewState.contains).foreach(v =>
       multisetOf(v, viewState).createOrReplaceTempView(v))
+    errorState.createOrReplaceTempView("error_view")
     sql match {
+      case Pipeline.PrepExecRe(pname, body, ename, argList) =>
+        require(pname.equalsIgnoreCase(ename),
+          s"ad-hoc EXECUTE $ename does not name the prepared statement " +
+            s"$pname (names do not persist across requests; PREPARE and " +
+            "its EXECUTE must arrive in the same request)")
+        val bound = Pipeline.bindParams(
+          body, Pipeline.splitArgs(Option(argList).getOrElse("")))
+        bound match {
+          case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
+          case _ => spark.sql(bound)
+        }
       case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
       case _ => spark.sql(sql)
     }
@@ -1121,6 +1237,83 @@ object Pipeline {
   /** `INSERT INTO <table> <VALUES …|SELECT …>` (ad-hoc surface). */
   private[runtime] val InsertRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(VALUES\\b.*|SELECT\\b.*)$".r
+
+  /** `PREPARE name AS <sql>; EXECUTE name(<literals>)` — the ad-hoc
+    * parameterized form (`ad-hoc.md:210-224`): both statements arrive in
+    * ONE request, only the EXECUTE produces rows, and parameters are
+    * positional literals bound to `$1..$n`. The statement name does not
+    * persist — it only has to agree between the two halves.
+    */
+  private[runtime] val PrepExecRe =
+    ("(?is)^\\s*PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*?)\\s*;" +
+      "\\s*EXECUTE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\((.*)\\))?\\s*;?\\s*$").r
+
+  /** Split an EXECUTE argument list on top-level commas. Tracks
+    * single-quote spans (with `''` escapes) and paren depth so literals
+    * like `'a,b'` or `ARRAY(1,2)` survive intact.
+    */
+  private[runtime] def splitArgs(s: String): IndexedSeq[String] = {
+    if (s.trim.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.result().trim
+    out.result()
+  }
+
+  /** Substitute `$k` positional parameters with the EXECUTE literals.
+    * Only text OUTSIDE single-quoted spans is rewritten (a `$1` inside a
+    * string literal is data, not a parameter — the binding contract real
+    * prepared statements honor). Fails fast on an index past the supplied
+    * argument list.
+    */
+  private[runtime] def bindParams(sql: String, args: IndexedSeq[String]): String = {
+    val out = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        out.append(c)
+        if (c == '\'') inQuote = false
+        i += 1
+      } else if (c == '\'') {
+        inQuote = true; out.append(c); i += 1
+      } else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        val k = sql.substring(i + 1, j).toInt
+        require(k >= 1 && k <= args.length,
+          s"ad-hoc EXECUTE binds ${args.length} argument(s) but the " +
+            s"prepared statement references $$$k")
+        out.append(args(k - 1))
+        i = j
+      } else {
+        out.append(c); i += 1
+      }
+    }
+    out.result()
+  }
 
   def apply(spark: SparkSession, programSql: String): Pipeline =
     new Pipeline(spark, Ddl.parse(programSql))

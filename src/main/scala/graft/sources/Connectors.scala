@@ -96,6 +96,12 @@ object Connectors {
               conf.formatConfig.get("avro_schema"))
           case other => sys.error(s"unsupported file format: $other")
         }
+      case "empty" =>
+        // connectors/sources/empty.md: a source that produces no rows —
+        // used to declare a table whose data arrives only via ad-hoc
+        // INSERT / the HTTP ingress
+        ZSets.lift(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
       case "datagen" =>
         ZSets.lift(datagen(spark, table,
           conf.config.getOrElse("rows", "1000").toLong))

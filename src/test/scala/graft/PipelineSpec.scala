@@ -17,7 +17,7 @@ class PipelineSpec extends SparkSpec {
       |  l_orderkey BIGINT NOT NULL,
       |  l_quantity DOUBLE,
       |  l_returnflag VARCHAR,
-      |  l_shipdate TIMESTAMP LATENESS INTERVAL 1 DAY
+      |  l_shipdate TIMESTAMP
       |) WITH ('materialized' = 'true');
       |CREATE LOCAL VIEW restricted AS
       |  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity < 40;
@@ -27,7 +27,10 @@ class PipelineSpec extends SparkSpec {
       |  FROM restricted GROUP BY l_returnflag;""".stripMargin
 
   test("DDL parse extracts tables, PK/LATENESS, view kinds") {
-    val p = Ddl.parse(programSql)
+    // LATENESS-annotated variant: the shared program feeds out-of-order
+    // batches, so it intentionally declares none (the gate would discard)
+    val p = Ddl.parse(programSql.replace("l_shipdate TIMESTAMP",
+      "l_shipdate TIMESTAMP LATENESS INTERVAL 1 DAY"))
     assert(p.tables.map(_.name) === Seq("lineitem"))
     val t = p.tables.head
     assert(t.materialized)
@@ -247,5 +250,86 @@ class PipelineSpec extends SparkSpec {
         "FROM lineitem WHERE l_quantity < 40 AND l_returnflag = 'A'")
       .as[Double].head()
     assert(batch === 40.0)
+  }
+
+  test("LATENESS discards violating rows into ERROR_VIEW, per chunk") {
+    // the tutorial's purchase example (time-series.md:163-195): 1-hour
+    // lateness, five single-row chunks; only the fifth violates
+    val pipe = Pipeline(spark,
+      """CREATE TABLE purchase (
+        |  id BIGINT,
+        |  ts TIMESTAMP LATENESS INTERVAL 1 HOUR,
+        |  amount BIGINT
+        |);
+        |CREATE VIEW total AS SELECT SUM(amount) AS s FROM purchase;
+        |""".stripMargin)
+    def ins(ts: String, amount: Long): Unit =
+      pipe.step(Map("purchase" -> ZSets.lift(
+        Seq((1L, java.sql.Timestamp.valueOf(ts), amount))
+          .toDF("id", "ts", "amount"))))
+    ins("2020-01-01 00:00:00", 10)
+    ins("2020-01-01 01:00:00", 20)
+    // late but within the bound (50 min behind the 01:00 max)
+    ins("2020-01-01 00:10:00", 15)
+    ins("2020-01-01 02:00:00", 12)
+    // 100 min behind the 02:00 max: violates, discarded
+    ins("2020-01-01 00:20:00", 65)
+    assert(pipe.adHoc("SELECT s FROM total").as[Long].head() === 57L)
+    val errs = pipe.adHoc(
+      "SELECT table_or_view_name, metadata FROM error_view")
+      .as[(String, String)].collect()
+    assert(errs.length === 1)
+    assert(errs.head._1 === "purchase")
+    assert(errs.head._2.contains("00:20:00") && errs.head._2.contains("65"))
+    // waterline advances AFTER a chunk: one chunk mixing a fresh row and
+    // a row late only relative to ITS OWN sibling keeps both (soft bound)
+    pipe.step(Map("purchase" -> ZSets.lift(
+      Seq(
+        (2L, java.sql.Timestamp.valueOf("2020-01-01 05:00:00"), 1L),
+        (2L, java.sql.Timestamp.valueOf("2020-01-01 01:30:00"), 2L))
+        .toDF("id", "ts", "amount"))))
+    assert(pipe.adHoc("SELECT s FROM total").as[Long].head() === 60L)
+    // but the next chunk is judged against the advanced 04:00 waterline
+    ins("2020-01-01 01:30:00", 100)
+    assert(pipe.adHoc("SELECT s FROM total").as[Long].head() === 60L)
+    assert(pipe.adHoc("SELECT count(*) FROM error_view")
+      .as[Long].head() === 2L)
+  }
+
+  test("ad-hoc PREPARE/EXECUTE binds positional literals in one request") {
+    val pipe = Pipeline(spark, programSql)
+    pipe.step(Map("lineitem" -> ZSets.lift(
+      Seq(
+        (1L, 10.0, "A", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, 20.0, "B", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+        (3L, 30.0, "A", java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))))
+    // the doc's shape: PREPARE q AS ...; EXECUTE q('...') in one request
+    val got = pipe.adHoc(
+      "prepare q AS SELECT l_orderkey FROM lineitem " +
+        "WHERE l_returnflag = $1 AND l_quantity > $2 ORDER BY 1;\n" +
+        "EXECUTE q('A', 5)")
+      .as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L))
+    // $k inside a string literal is data, not a parameter; quoted commas
+    // survive the argument split; $2 may bind before $1
+    val lit = pipe.adHoc(
+      "PREPARE p AS SELECT concat('$1,', $2, '-', $1) AS s;" +
+        "EXECUTE p('x,''y', 'z')")
+      .as[String].head()
+    assert(lit === "$1,z-x,'y")
+    // EXECUTE routes INSERT through a real step: views update
+    pipe.adHoc(
+      "PREPARE ins AS INSERT INTO lineitem VALUES " +
+        "($1, $2, 'A', TIMESTAMP '2024-01-04 00:00:00');" +
+        "EXECUTE ins(7, 15.0)")
+    assert(pipe.adHoc(
+      "SELECT n FROM qty_by_flag WHERE l_returnflag = 'A'")
+      .as[Long].head() === 3L)
+    // name mismatch and out-of-range parameters fail fast
+    assertThrows[IllegalArgumentException](
+      pipe.adHoc("PREPARE a AS SELECT 1; EXECUTE b()"))
+    assertThrows[IllegalArgumentException](
+      pipe.adHoc("PREPARE a AS SELECT $2; EXECUTE a(1)"))
   }
 }
