@@ -16,7 +16,60 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** (path → (rowGroups, rows)) from the parquet footer, read once per
+    * path on the driver. Parquet scans split at ROW-GROUP granularity, so
+    * a large file written as one row group caps the whole scan stage —
+    * and everything Spark evaluates scan-side: pushed filters, broadcast
+    * probes, partial aggregates — at ONE task no matter the cluster.
+    */
+  private val footerMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+
+  private def footerOf(spark: SparkSession, path: String): (Int, Long) =
+    footerMeta.computeIfAbsent(path, { p =>
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(hp.getFileSystem(conf).getFileStatus(hp), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks
+        val rows = {
+          var s = 0L; blocks.forEach(b => s += b.getRowCount); s
+        }
+        (blocks.size, rows)
+      } finally r.close()
+    })
+
+  /** Rebalance a scan whose INPUT LAYOUT under-parallelizes it: if the
+    * file has materially fewer row groups than the session has cores (and
+    * enough rows to matter), hash-repartition on the leading column so
+    * downstream scan-side work fans out. At production scale inputs carry
+    * row groups ≫ cores and this is a no-op — no exchange is added; the
+    * condition only fires on small single-row-group files, where the
+    * exchange moves a few MB. Hash (not round-robin) partitioning keeps
+    * the layout deterministic across retries.
+    */
+  private def fanOut(spark: SparkSession, df: DataFrame,
+      path: String): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val (groups, rows) = footerOf(spark, path)
+    if (rows >= 100000L && groups < math.max(2, cores / 2))
+      df.repartition(cores,
+        org.apache.spark.sql.functions.col(df.columns.head))
+    else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    fanOut(spark, loadRaw(spark, dir, name), s"$dir/$name.parquet")
+
+  /** [[load]] without the layout rebalance — for consumers that slice a
+    * table into many SMALL deltas (the incremental demos): each slice
+    * would re-pay the exchange per step, and a small delta needs no scan
+    * fan-out. Also the right call when the first pass is a groupBy whose
+    * map-side combine should run scan-side rather than after an exchange.
+    */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts arrives as parquet TIMESTAMP(NANOS) in some driver
       // generations (Spark's vectorized reader rejects it — read as raw

@@ -21,6 +21,12 @@ import QB._
   * cancellation). Final snapshot = rows with l_orderkey % 10 <> 0.
   */
 object Incremental {
+  /** Shadow QB.t with the un-rebalanced loader: these demos slice tables
+    * into many small per-step deltas, where the single-row-group fan-out
+    * exchange would be re-paid per step for no scan-side win.
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.loadRaw(s, dir, name)
 
   private def deltaBatches(li: DataFrame): Seq[DataFrame] = {
     val z = (m: Int) => ZSets.lift(li.filter(col("l_orderkey") % 3 === m))
