@@ -641,4 +641,57 @@ object Dedup {
     trace.append(newHashes.withColumn(ZSets.W, lit(1L)))
     scored
   }
+
+  /** Boilerplate removal by corpus-level SEGMENT dedup (the CCNet recipe:
+    * drop paragraphs/lines whose hash repeats across documents — headers,
+    * navigation chrome, license blurbs). The segmenter is pluggable; real
+    * corpora segment on newlines, this form uses consecutive `segTokens`-
+    * token windows (the driver corpus has no line structure). A segment
+    * appearing in ≥ `maxDf` DISTINCT documents is dropped from every
+    * document; survivors are reassembled in original order.
+    *
+    * 100-TB shape: segments are hashed scan-side ([[polyHash]] — exact
+    * BIGINT, any engine re-derives it); the document-frequency pass is a
+    * map-side-combined groupBy on the hash; the common-segment set (tiny
+    * by construction — boilerplate is the repeated FEW) broadcasts into a
+    * left-anti join; reassembly groups by document. No all-pairs stage.
+    *
+    * Returns (idCol, n_segs, n_kept, clean_text) — one row per input
+    * document, including documents whose every segment was dropped.
+    */
+  def dropCommonSegments(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 5, maxDf: Long = 2L): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_toks"))
+    // Column `/` is fractional — floor back to the integer segment count
+    val lastSeg = floor((size(col("_toks")) - 1) / lit(segTokens)).cast("int")
+    val nSegs = when(size(col("_toks")) < 1, lit(0L))
+      .otherwise((lastSeg + 1).cast("long"))
+    val segArr = when(size(col("_toks")) < 1,
+      array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), lastSeg),
+        i => array_join(
+          slice(col("_toks"), i * segTokens + 1, lit(segTokens)), " ")))
+    val base = toks.select(col(idCol), nSegs.as("n_segs"), segArr.as("_segs"))
+    val segs = base
+      .select(col(idCol), posexplode(col("_segs")).as(Seq("_i", "_seg")))
+      .withColumn("_h", polyHash(col("_seg")))
+    val common = segs.groupBy("_h")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= maxDf).select("_h")
+    val kept = segs.join(broadcast(common), Seq("_h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_i"), col("_seg")))),
+            s => s.getField("_seg")),
+          " ").as("clean_text"))
+    base.select(col(idCol), col("n_segs"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

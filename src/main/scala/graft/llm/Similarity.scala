@@ -307,31 +307,34 @@ object Similarity {
     * scale architecture; this variant exists so the driver can hash-grade
     * IVF end-to-end.
     */
-  def ivfTopKQuantized(probes: DataFrame, corpus: DataFrame, nCells: Int,
-      k: Int, nprobe: Int = 2, scale: Int = 1000,
-      probeId: String = "probe_id", corpusId: String = "corpus_id",
-      vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorDot.{dist2L, dotL}
-    val q = corpus.select(col(corpusId).as("__id"),
-      quantize(col(vecCol), scale).as("__qv"))
+  /** Exact-integer nearest-`keep` cell assignment of `(__id, __qv)` rows
+    * against a `(__cell, __cv)` centroid table (broadcast — nCells rows).
+    * The squared-L2 kernel is the codegen'd [[graft.functions.VectorDot]];
+    * ties break on cell id so any engine re-derives the assignment.
+    */
+  private def assignCells(vecs: DataFrame, cents: DataFrame,
+      keep: Int): DataFrame = {
+    import graft.functions.VectorDot.dist2L
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("__d2", dist2L(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("__id").orderBy(col("__d2"), col("__cell"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= keep)
+      .select(col("__id"), col("__qv"), col("__cell"))
+  }
+
+  /** Deterministic quantized k-means index build over `(__id, __qv)`:
+    * seeds = vectors with id < nCells, ONE exact-integer Lloyd round
+    * (per-dimension floor-mean). Returns the persisted `(__cell, __cv)`
+    * centroid table (tiny — it feeds broadcast assigns).
+    */
+  private def kmeansCentroidsQuantized(q: DataFrame,
+      nCells: Int): DataFrame = {
     val seeds = q.filter(col("__id") < nCells)
       .select(col("__id").cast("int").as("__cell"), col("__qv").as("__cv"))
-    // exact integer squared L2 distance to a centroid column — the
-    // codegen'd kernel (identical arithmetic to the interpreted
-    // aggregate/zip_with fold; this runs |vectors| x |centroids| times)
-    def d2(v: Column, cvec: Column): Column = dist2L(v, cvec)
-    def assign(vecs: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
-      val scored = vecs.crossJoin(broadcast(cents))
-        .withColumn("__d2", d2(col("__qv"), col("__cv")))
-      val w = Window.partitionBy("__id").orderBy(col("__d2"), col("__cell"))
-      scored.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= keep)
-        .select(col("__id"), col("__qv"), col("__cell"))
-    }
-    val a1 = assign(q, seeds, keep = 1)
+    val a1 = assignCells(q, seeds, keep = 1)
     // one Lloyd round: per-(cell, dim) floor-mean, reassembled in dim order
-    val cent2 = a1
-      .select(col("__cell"), posexplode(col("__qv")).as(Seq("__d", "__x")))
+    a1.select(col("__cell"), posexplode(col("__qv")).as(Seq("__d", "__x")))
       .groupBy("__cell", "__d")
       .agg(floor(sum(col("__x")).cast("double") / count(lit(1)))
         .cast("long").as("__m"))
@@ -340,14 +343,46 @@ object Similarity {
         .as("__dm"))
       .select(col("__cell"),
         transform(col("__dm"), s => s.getField("__m")).as("__cv"))
-      // nCells tiny rows consumed by TWO assigns (corpus + probes), each
-      // a broadcast build: persist so the Lloyd round — which re-reads
-      // the whole corpus assignment lineage — evaluates once
+      // nCells tiny rows consumed by multiple broadcast-build assigns:
+      // persist so the Lloyd round — which re-reads the whole corpus
+      // assignment lineage — evaluates once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusCells = assign(q, cent2, keep = 1)
+  }
+
+  /** K-means cluster assignment as a curation op: every vector labeled
+    * with its cell from the same deterministic quantized index build as
+    * [[ivfTopKQuantized]] (seeds = ids < nCells, one exact-integer Lloyd
+    * round). Output (idCol, cell) — the building block for
+    * diversity-aware curation: cluster-balanced sampling, per-topic
+    * quotas, cluster-size pruning (tiny cells ≈ noise, huge cells ≈
+    * boilerplate).
+    *
+    * 100-TB shape: centroids are nCells tiny rows (broadcast); each
+    * vector scores against them scan-side; no vector-vector pair ever
+    * forms. The float production tier stays [[ivfTrain]] (multi-round
+    * Lloyd, offline artifact).
+    */
+  def kmeansCellsQuantized(corpus: DataFrame, nCells: Int,
+      scale: Int = 1000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = corpus.select(col(idCol).as("__id"),
+      quantize(col(vecCol), scale).as("__qv"))
+    assignCells(q, kmeansCentroidsQuantized(q, nCells), keep = 1)
+      .select(col("__id").as(idCol), col("__cell").cast("int").as("cell"))
+  }
+
+  def ivfTopKQuantized(probes: DataFrame, corpus: DataFrame, nCells: Int,
+      k: Int, nprobe: Int = 2, scale: Int = 1000,
+      probeId: String = "probe_id", corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorDot.{dist2L, dotL}
+    val q = corpus.select(col(corpusId).as("__id"),
+      quantize(col(vecCol), scale).as("__qv"))
+    val cent2 = kmeansCentroidsQuantized(q, nCells)
+    val corpusCells = assignCells(q, cent2, keep = 1)
       .select(col("__id").as("corpus_id"), col("__qv").as("__cqv"),
         col("__cell"), dotL(col("__qv"), col("__qv")).as("__cn"))
-    val probeCells = assign(
+    val probeCells = assignCells(
       probes.select(col(probeId).as("__id"),
         quantize(col(vecCol), scale).as("__qv")),
       cent2, keep = nprobe)

@@ -1193,6 +1193,136 @@ object LlmOps {
         .select(col("doc_id"), col("n_dims"),
           col("resized.width").as("rw"), col("resized.height").as("rh"),
           col("n_sampled"))
+    },
+
+    // Boilerplate removal by corpus-level segment dedup (the CCNet line-
+    // dedup recipe with a fixed 5-token segmenter — this corpus has no
+    // line structure): segments hashed scan-side with the pure-BIGINT
+    // polynomial fold, document-frequency gate df >= 2, survivors
+    // reassembled in original order. DuckDB re-derives the identical
+    // segment hashes, gate, and reassembled text.
+    Q(
+      "llm_boilerplate",
+      s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |seg AS (SELECT doc_id, i AS seg_idx,
+         |    array_to_string(tkn[(i*5+1):(i*5+5)], ' ') AS seg
+         |  FROM (SELECT doc_id, tkn, unnest(range(0,
+         |      CASE WHEN len(tkn) < 1 THEN 0
+         |           ELSE (len(tkn) - 1) // 5 + 1 END)) AS i FROM toks)),
+         |hh AS (SELECT doc_id, seg_idx, seg,
+         |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |      list_transform(range(1, length(seg) + 1),
+         |        i -> CAST(ascii(substr(seg, i, 1)) AS BIGINT))),
+         |      (acc, c) -> (acc * 31 + c) % ${Dedup.FP_P}) AS h
+         |  FROM seg),
+         |dfc AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM hh GROUP BY h),
+         |kept AS (SELECT hh.doc_id, hh.seg_idx, hh.seg
+         |  FROM hh JOIN dfc USING (h) WHERE df < 2),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(CASE WHEN len(tkn) < 1 THEN 0
+         |       ELSE (len(tkn) - 1) // 5 + 1 END AS BIGINT) AS n_segs,
+         |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(clean_text, '') AS clean_text
+         |FROM toks t LEFT JOIN agg USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        Dedup.dropCommonSegments(
+          t(s, dir, "documents").repartition(32, col("doc_id")),
+          "doc_id", "text", segTokens = 5, maxDf = 2L)
+    },
+
+    // Cluster-balanced sampling: k-means cells from the same
+    // deterministic quantized index build as llm_ivf_topk, then a fixed
+    // per-cell quota chosen by hash order — the diversity-preserving
+    // subsample (SemDeDup/DCLM-style cluster balancing). DuckDB re-trains
+    // the identical index and re-derives sizes, ranks, and the picks.
+    Q(
+      "llm_cluster_sample",
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seed AS (SELECT CAST(vec_id AS INT) AS cell, qv AS cv FROM q WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, qv, cell FROM (
+        |    SELECT q.vec_id, q.qv, s.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |          i -> (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])),
+        |          (a, b) -> a + b), s.cell) AS rk
+        |    FROM q, seed s) WHERE rk = 1),
+        |cexp AS (SELECT cell, unnest(range(1, len(qv) + 1)) AS i, unnest(qv) AS x FROM a1),
+        |centd AS (SELECT cell, i, CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |  FROM cexp GROUP BY cell, i),
+        |cent2 AS (SELECT cell, list(m ORDER BY i) AS cv FROM centd GROUP BY cell),
+        |cells AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT q.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |          i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+        |          (a, b) -> a + b), c.cell) AS rk
+        |    FROM q, cent2 c) WHERE rk = 1),
+        |sz AS (SELECT cell, COUNT(*) AS cell_size FROM cells GROUP BY cell),
+        |r AS (SELECT c.vec_id, CAST(c.cell AS INT) AS cell, sz.cell_size,
+        |    ROW_NUMBER() OVER (PARTITION BY c.cell
+        |      ORDER BY CAST(('0x' || substr(md5('7:' || CAST(c.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000, c.vec_id) AS rk
+        |  FROM cells c JOIN sz USING (cell))
+        |SELECT vec_id, cell, cell_size, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      val cells = Similarity.kmeansCellsQuantized(
+        t(s, dir, "embeddings").repartition(32, col("vec_id"))
+          .select("vec_id", "embedding"),
+        nCells = 16, scale = 1000)
+      val sized = cells.join(
+        broadcast(cells.groupBy("cell").agg(count(lit(1)).as("cell_size"))),
+        Seq("cell"))
+      Sampling.topKPerStratum(sized, "cell", "vec_id", k = 20)
+        .select(col("vec_id"), col("cell"), col("cell_size"), col("rk"))
+    },
+
+    // Perplexity-bucket assignment (the CCNet head/middle/tail split,
+    // with the bigram-LM cond_p as the fluency score — higher = more
+    // fluent = head): corpus tercile thresholds from ONE tiny aggregate
+    // broadcast back onto the scan — never a global sort/NTILE, which
+    // would single-partition at scale. Thresholds rounded to 6 decimals
+    // in both engines (interpolated percentiles can differ in the last
+    // bits across engines; the agg_quantiles convention).
+    Q(
+      "llm_ppl_buckets",
+      s"""WITH tok AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |e AS (SELECT doc_id, tkn[i] AS w1, tkn[i+1] AS w2
+         |  FROM tok, UNNEST(range(1, len(tkn))) AS u(i)),
+         |uf AS (SELECT t, COUNT(*) AS uf
+         |  FROM (SELECT unnest(tkn) AS t FROM tok) GROUP BY t),
+         |bf AS (SELECT w1, w2, COUNT(*) AS bf FROM e GROUP BY 1, 2),
+         |sc AS (SELECT doc_id,
+         |    CAST(SUM(bf) AS DOUBLE) / SUM(uf) AS cond_p
+         |  FROM e JOIN bf USING (w1, w2) JOIN uf ON e.w1 = uf.t
+         |  GROUP BY doc_id),
+         |thr AS (SELECT
+         |    ROUND(quantile_cont(cond_p, 1.0/3), 6) AS t_lo,
+         |    ROUND(quantile_cont(cond_p, 2.0/3), 6) AS t_hi
+         |  FROM sc)
+         |SELECT doc_id, cond_p,
+         |  CASE WHEN cond_p >= t_hi THEN 'head'
+         |       WHEN cond_p >= t_lo THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc, thr""".stripMargin) { (s, dir) =>
+      val sc = TextAnalysis.bigramScore(
+        t(s, dir, "documents").repartition(32, col("doc_id"))
+          .select(col("doc_id"), col("text")), "doc_id", "text")
+        .select(col("doc_id"), col("cond_p"))
+      val thr = sc.agg(
+        round(expr("percentile(cond_p, 1.0D/3)"), 6).as("t_lo"),
+        round(expr("percentile(cond_p, 2.0D/3)"), 6).as("t_hi"))
+      sc.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("cond_p"),
+          when(col("cond_p") >= col("t_hi"), "head")
+            .when(col("cond_p") >= col("t_lo"), "middle")
+            .otherwise("tail").as("bucket"))
     }
   )
 }

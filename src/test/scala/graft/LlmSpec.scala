@@ -417,6 +417,54 @@ class LlmSpec extends SparkSpec {
     assert(out.forall { case (_, d, k) => k == d.isEmpty })
   }
 
+  test("dropCommonSegments removes repeated segments, keeps order") {
+    // 2-token segments; "the boilerplate" appears in 3 docs -> dropped
+    // everywhere; unique tails survive in original order
+    val docs = Seq(
+      (1L, "the boilerplate alpha beta gamma delta"),
+      (2L, "the boilerplate epsilon zeta"),
+      (3L, "the boilerplate"),
+      (4L, "totally unique words here"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = graft.llm.Dedup
+      .dropCommonSegments(docs, "doc_id", "text", segTokens = 2, maxDf = 2L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 2L, "alpha beta gamma delta")))
+    assert(out(2L) === ((2L, 1L, "epsilon zeta")))
+    // every segment boilerplate: doc survives with empty text
+    assert(out(3L) === ((1L, 0L, "")))
+    assert(out(4L) === ((2L, 2L, "totally unique words here")))
+    // empty document: zero segments, still one output row
+    assert(out(5L) === ((0L, 0L, "")))
+    // a segment repeated WITHIN one doc is not corpus boilerplate
+    val intra = graft.llm.Dedup.dropCommonSegments(
+      Seq((1L, "x y x y")).toDF("doc_id", "text"),
+      "doc_id", "text", segTokens = 2, maxDf = 2L)
+      .as[(Long, Long, Long, String)].head()
+    assert(intra === ((1L, 2L, 2L, "x y x y")))
+  }
+
+  test("kmeansCellsQuantized: one cell per vector, agrees with IVF cells") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => (math.sin(i * 131 + d) * 0.9).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cells = graft.llm.Similarity
+      .kmeansCellsQuantized(vecs, nCells = 4, scale = 1000)
+      .as[(Long, Int)].collect()
+    assert(cells.length === 40)
+    assert(cells.map(_._1).toSet === (0L until 40L).toSet)
+    assert(cells.forall { case (_, c) => c >= 0 && c < 4 })
+    // the ivf corpus routing (nprobe=1 top-1 over the same index) lands
+    // every vector in its own kmeans cell: self-search must stay in-cell
+    val self = graft.llm.Similarity.ivfTopKQuantized(
+      vecs.select(col("vec_id").as("probe_id"), col("embedding")),
+      vecs.select(col("vec_id").as("corpus_id"), col("embedding")),
+      nCells = 4, k = 1, nprobe = 1, scale = 1000)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect()
+    assert(self.forall { case (p, c) => p == c })
+  }
+
   test("scrubPii replaces emails, phones, and IPs; clean text unchanged") {
     val rows = Seq(
       "mail bob.smith+x@corp.example.org now",
