@@ -20,7 +20,8 @@ object Ddl {
       sqlType: String,
       notNull: Boolean,
       primaryKey: Boolean,
-      lateness: Option[String])     // e.g. "INTERVAL 10 MINUTES"
+      lateness: Option[String],     // e.g. "INTERVAL 10 MINUTES"
+      default: Option[String] = None) // DEFAULT expr (grammar.md:135-151)
 
   final case class TableDef(
       name: String,
@@ -75,7 +76,7 @@ object Ddl {
   private val viewRe: Regex =
     """(?is)CREATE\s+(LOCAL\s+|MATERIALIZED\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$""".r
   private val colRe: Regex =
-    """(?is)^(\w+)\s+(.+?)(\s+NOT\s+NULL)?(\s+PRIMARY\s+KEY)?(\s+LATENESS\s+(INTERVAL\s+[^,]+))?$""".r
+    """(?is)^(\w+)\s+(.+?)(\s+DEFAULT\s+(.+?))?(\s+NOT\s+NULL)?(\s+PRIMARY\s+KEY)?(\s+LATENESS\s+(INTERVAL\s+[^,]+))?$""".r
   private val funcRe: Regex =
     """(?is)CREATE\s+FUNCTION\s+(\w+)\s*\((.*?)\)\s*RETURNS\s+(.+?)(?:\s+AS\s+(.+))?$""".r
   private val typeRe: Regex =
@@ -134,10 +135,11 @@ object Ddl {
   }
 
   def parseColumn(s: String): ColumnDef = s.trim match {
-    case colRe(name, tpe, notNull, pk, _, lateness) =>
+    case colRe(name, tpe, _, default, notNull, pk, _, lateness) =>
       ColumnDef(name.toLowerCase, tpe.trim,
         notNull != null || pk != null, pk != null,
-        Option(lateness).map(_.trim))
+        Option(lateness).map(_.trim),
+        Option(default).map(_.trim))
     case other =>
       throw new IllegalArgumentException(s"cannot parse column: $other")
   }

@@ -65,7 +65,8 @@ object HttpShim {
         val lines = body.split("\n").toSeq.filter(_.trim.nonEmpty)
         import spark.implicits._
         val delta = Envelopes.decodeJson(
-          lines.toDF("value"), FileSource.schemaOf(tdef), fmt)
+          lines.toDF("value"), FileSource.schemaOf(tdef), fmt,
+          defaults = graft.sources.Connectors.defaultsOf(tdef, Map.empty))
         pipeline.step(Map(table -> delta))
         s"""{"rows": ${lines.size}}"""
       })

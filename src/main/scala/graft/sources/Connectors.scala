@@ -83,7 +83,8 @@ object Connectors {
         conf.format match {
           case "json" =>
             val update = conf.formatConfig.getOrElse("update_format", "raw")
-            Envelopes.decodeJson(spark.read.text(path), schema, update)
+            Envelopes.decodeJson(spark.read.text(path), schema, update,
+              defaults = defaultsOf(table, conf.config))
           case "csv" =>
             ZSets.lift(spark.read.schema(schema)
               .options(conf.formatConfig).csv(path))
@@ -172,7 +173,8 @@ object Connectors {
       schema: org.apache.spark.sql.types.StructType,
       updateFormat: String, format: String = "json",
       avroSchema: Option[String] = None,
-      registryUrls: Option[String] = None): DataFrame =
+      registryUrls: Option[String] = None,
+      defaults: Map[String, String] = Map.empty): DataFrame =
     format.toLowerCase match {
       case "avro" =>
         // binary payloads stay binary: explicit writer schema, or
@@ -181,8 +183,43 @@ object Connectors {
           avroSchema = avroSchema, registryUrls = registryUrls)
       case _ =>
         Envelopes.decodeJson(records.select(col("value").cast("string")),
-          schema, updateFormat)
+          schema, updateFormat, defaults = defaults)
     }
+
+  /** Column → DEFAULT-expression map for a table, with
+    * CONNECTOR_METADATA() resolved against this connector's transport
+    * config (grammar.md:140-151: the built-in returns a nullable VARIANT
+    * of connector-specific values, indexable as `[...'key']`).
+    */
+  def defaultsOf(table: Ddl.TableDef,
+      connectorConfig: Map[String, String]): Map[String, String] =
+    table.columns.flatMap(c =>
+      c.default.map(d => c.name -> substMetadata(d, connectorConfig))).toMap
+
+  private val MetaIndexedRe =
+    """(?i)CONNECTOR_METADATA\s*\(\s*\)\s*\[\s*'([^']+)'\s*\]""".r
+  private val MetaBareRe = """(?i)CONNECTOR_METADATA\s*\(\s*\)""".r
+
+  /** Rewrite CONNECTOR_METADATA() calls in a DEFAULT expression into
+    * literals over this connector's config: the reference evaluates the
+    * built-in against per-connector metadata at ingest time; here the
+    * metadata is a constant per (table, connector) pair, so it folds into
+    * the decode plan as a variant literal — zero per-row cost.
+    */
+  def substMetadata(exprSql: String,
+      meta: Map[String, String]): String = {
+    val json = meta.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${escape(k)}": "${escape(v)}"""" }.mkString("{", ", ", "}")
+    val lit = s"parse_json('${json.replace("'", "''")}')"
+    val s1 = MetaIndexedRe.replaceAllIn(exprSql, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"variant_get($lit, '$$.${m.group(1)}')"))
+    MetaBareRe.replaceAllIn(s1,
+      scala.util.matching.Regex.quoteReplacement(lit))
+  }
+
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** Deterministic schema-driven generator (transport/datagen.rs's role):
     * seeded hash per (row, column) — reproducible on any cluster layout.

@@ -27,15 +27,36 @@ import graft.zset.ZSets
   */
 object Envelopes {
 
-  /** Decode `raw`'s string column `valueCol` in the given update format. */
+  /** Decode `raw`'s string column `valueCol` in the given update format.
+    *
+    * `defaults` maps column name → SQL DEFAULT expression
+    * (grammar.md:135-151): a field the record does NOT carry decodes to
+    * the default instead of NULL. Presence is tested on the record's own
+    * json object (json_object_keys), so an EXPLICIT null stays null —
+    * the serde contract real DEFAULT columns follow. Callers resolve
+    * CONNECTOR_METADATA() before passing (Connectors.substMetadata).
+    */
   def decodeJson(raw: DataFrame, schema: StructType,
-      format: String, valueCol: String = "value"): DataFrame = {
+      format: String, valueCol: String = "value",
+      defaults: Map[String, String] = Map.empty): DataFrame = {
     val v = col(valueCol)
-    def finish(entries: Column): DataFrame =
-      raw.select(explode(entries).as("_e"))
+    def finish(entries: Column): DataFrame = {
+      val base = raw.select(explode(entries).as("_e"))
         .where(col("_e.r").isNotNull)
-        .select(schema.fieldNames.map(f => col(s"_e.r.`$f`"))
-          :+ col("_e.w").as(ZSets.W): _*)
+      val cols = schema.fields.map { f =>
+        val c = col(s"_e.r.`${f.name}`")
+        defaults.get(f.name) match {
+          case Some(d) =>
+            when(c.isNull && !array_contains(
+                json_object_keys(col("_e.j")), f.name),
+              expr(d).cast(f.dataType)).otherwise(c).as(f.name)
+          case None => c
+        }
+      }
+      base.select(cols.toSeq :+ col("_e.w").as(ZSets.W): _*)
+    }
+    def entry(r: Column, w: Column, j: Column): Column =
+      struct(r.as("r"), w.as("w"), j.as("j"))
 
     format.toLowerCase match {
       case "insert_delete" =>
@@ -43,26 +64,29 @@ object Envelopes {
           StructField("insert", schema), StructField("delete", schema)))
         val p = from_json(v, env)
         finish(array(
-          struct(p.getField("insert").as("r"), lit(1L).as("w")),
-          struct(p.getField("delete").as("r"), lit(-1L).as("w"))))
+          entry(p.getField("insert"), lit(1L),
+            get_json_object(v, "$.insert")),
+          entry(p.getField("delete"), lit(-1L),
+            get_json_object(v, "$.delete"))))
       case "weighted" =>
         val env = StructType(Seq(
           StructField("weight", LongType), StructField("data", schema)))
         val p = from_json(v, env)
-        finish(array(struct(p.getField("data").as("r"),
-          coalesce(p.getField("weight"), lit(1L)).as("w"))))
+        finish(array(entry(p.getField("data"),
+          coalesce(p.getField("weight"), lit(1L)),
+          get_json_object(v, "$.data"))))
       case "raw" =>
         val p = from_json(v, schema)
-        finish(array(struct(p.as("r"), lit(1L).as("w"))))
+        finish(array(entry(p, lit(1L), v)))
       case "snowflake" =>
         val env = StructType(schema.fields.toSeq
           :+ StructField("__action", StringType))
         val p = from_json(v, env)
         val row = struct(schema.fieldNames.map(f =>
           p.getField(f).as(f)): _*)
-        finish(array(struct(row.as("r"),
+        finish(array(entry(row,
           when(p.getField("__action") === "delete", -1L)
-            .otherwise(1L).as("w"))))
+            .otherwise(1L), v)))
       case "debezium" =>
         val env = StructType(Seq(StructField("payload", StructType(Seq(
           StructField("op", StringType),
@@ -70,10 +94,10 @@ object Envelopes {
         val p = from_json(v, env).getField("payload")
         val op = p.getField("op")
         finish(array(
-          struct(when(op.isin("d", "u"), p.getField("before")).as("r"),
-            lit(-1L).as("w")),
-          struct(when(op.isin("c", "r", "u"), p.getField("after")).as("r"),
-            lit(1L).as("w"))))
+          entry(when(op.isin("d", "u"), p.getField("before")), lit(-1L),
+            get_json_object(v, "$.payload.before")),
+          entry(when(op.isin("c", "r", "u"), p.getField("after")), lit(1L),
+            get_json_object(v, "$.payload.after"))))
       case other =>
         throw new IllegalArgumentException(s"unknown update format: $other")
     }

@@ -45,6 +45,41 @@ class ConnectorsSpec extends SparkSpec {
     assert(out === Set((1L, "x", 1L), (2L, "y", -1L)))
   }
 
+  test("DEFAULT columns fill missing fields; explicit nulls survive") {
+    val tdef = graft.ddl.Ddl.parse(
+      """CREATE TABLE t (
+        |  id BIGINT NOT NULL,
+        |  src VARCHAR DEFAULT CAST(CONNECTOR_METADATA()['topic'] AS STRING),
+        |  score DOUBLE DEFAULT 1.5
+        |);""".stripMargin).tables.head
+    assert(tdef.columns.find(_.name == "score").get.default === Some("1.5"))
+    assert(tdef.columns.find(_.name == "src").get.default.get
+      .startsWith("CAST(CONNECTOR_METADATA()"))
+    val lines = Seq(
+      """{"insert": {"id": 1}}""",
+      """{"insert": {"id": 2, "score": null}}""",
+      """{"insert": {"id": 3, "score": 9.0, "src": "explicit"}}""")
+      .toDF("value")
+    val out = sources.Envelopes.decodeJson(
+      lines, sources.FileSource.schemaOf(tdef), "insert_delete",
+      defaults = Connectors.defaultsOf(tdef, Map("topic" -> "book-fair")))
+      .orderBy("id")
+      .select("id", "src", "score")
+      .as[(Long, Option[String], Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1L, Some("book-fair"), Some(1.5)),   // both fields missing → defaults
+      (2L, Some("book-fair"), None),        // explicit null is NOT defaulted
+      (3L, Some("explicit"), Some(9.0))))   // supplied values win
+    // a connector without the metadata key: variant_get misses → null
+    val noMeta = sources.Envelopes.decodeJson(
+      Seq("""{"insert": {"id": 9}}""").toDF("value"),
+      sources.FileSource.schemaOf(tdef), "insert_delete",
+      defaults = Connectors.defaultsOf(tdef, Map.empty))
+      .select("id", "src", "score")
+      .as[(Long, Option[String], Option[Double])].head()
+    assert(noMeta === ((9L, None, Some(1.5))))
+  }
+
   test("kafka wire bytes decode end-to-end without a broker") {
     // recorded wire frames in the EXACT relation shape spark-sql-kafka
     // produces: key/value BINARY + topic/partition/offset/timestamp.
