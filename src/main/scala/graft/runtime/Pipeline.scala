@@ -223,6 +223,28 @@ final class Pipeline(spark: SparkSession,
     case other => c < lit(other)
   }
 
+  /** `append_only` input contract (streaming.md): a declared-append-only
+    * table must never receive a deletion — the chain-agg fast path keys
+    * its state layout on it and would silently corrupt. Enforced as a
+    * raise_error branch on the weight INSIDE the existing evaluation:
+    * zero extra jobs per step, fails at first violating row.
+    */
+  private def appendOnlyGuard(name: String, raw: DataFrame): DataFrame = {
+    if (!program.tables.exists(t => t.name == name && t.appendOnly)) return raw
+    val msg = s"append_only table $name received a deletion"
+    val w =
+      if (raw.columns.contains(ZSets.W))
+        Seq(ZSets.W -> when(col(ZSets.W) < 0,
+          raise_error(lit(msg)).cast("long")).otherwise(col(ZSets.W)))
+      else Nil
+    val del =
+      if (raw.columns.contains("_deleted"))
+        Seq("_deleted" -> when(col("_deleted"),
+          raise_error(lit(msg)).cast("boolean")).otherwise(col("_deleted")))
+      else Nil
+    (w ++ del).foldLeft(raw) { case (df, (c, e)) => df.withColumn(c, e) }
+  }
+
   /** Discard delta rows that violate a declared LATENESS bound and log
     * them to [[errorView]]. Scale shape: tables without LATENESS pay
     * nothing; a gated table pays ONE small aggregate over its delta
@@ -475,7 +497,7 @@ final class Pipeline(spark: SparkSession,
     // (crates: upsert handling in the input controller; SURVEY §2.1).
     val relDeltas = mutable.Map[String, DataFrame]()
     deltas.foreach { case (name, raw0) =>
-      val raw = latenessGate(name, raw0)
+      val raw = appendOnlyGuard(name, latenessGate(name, raw0))
       val pk = program.tables.find(_.name == name)
         .map(_.primaryKey).getOrElse(Nil)
       val d = if (pk.nonEmpty && raw.columns.contains("_deleted")) {

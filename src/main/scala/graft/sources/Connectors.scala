@@ -32,7 +32,8 @@ object Connectors {
 
   final case class ConnectorConf(transport: String,
       config: Map[String, String], format: String,
-      formatConfig: Map[String, String])
+      formatConfig: Map[String, String],
+      softDelete: Boolean = false)
 
   private val mapper = new ObjectMapper()
 
@@ -52,7 +53,9 @@ object Connectors {
         cfg(tr),
         if (fm == null || fm.get("name") == null) "json"
         else fm.get("name").asText(),
-        cfg(fm))
+        cfg(fm),
+        softDelete = c.get("soft_delete") != null
+          && c.get("soft_delete").asBoolean(false))
     }.toSeq
   }
 
@@ -76,7 +79,7 @@ object Connectors {
   def read(spark: SparkSession, table: Ddl.TableDef,
       conf: ConnectorConf): DataFrame = {
     val schema = FileSource.schemaOf(table)
-    conf.transport match {
+    val decoded = conf.transport match {
       case "file_input" | "url_input" =>
         val path = conf.config.getOrElse("path",
           conf.config.getOrElse("paths", sys.error("file connector: no path")))
@@ -158,6 +161,29 @@ object Connectors {
           "bridge via kafka_input, file_input, or the HTTP ingress shim")
       case other => sys.error(s"unknown transport: $other")
     }
+    if (conf.softDelete) applySoftDelete(table, decoded) else decoded
+  }
+
+  /** `soft_delete` connector property (connectors/#soft_delete,
+    * streaming.md "Soft deletes with temporal filters"): every change
+    * becomes an INSERTION — the table is a log, not a mirrored relation —
+    * and the change kind lands in any column whose DEFAULT reads
+    * `CONNECTOR_METADATA()['is_delete']`. Retraction weights flip to
+    * insertions of the same multiplicity; the per-connector
+    * metadata-folding in [[defaultsOf]] leaves those columns null (the
+    * key is row-level, absent from the folded constant), so filling
+    * nulls from the pre-flip sign here completes the contract.
+    */
+  private def applySoftDelete(table: Ddl.TableDef,
+      decoded: DataFrame): DataFrame = {
+    val isDeleteRe =
+      "(?is).*CONNECTOR_METADATA\\s*\\(\\s*\\)\\s*\\[\\s*'is_delete'.*"
+    val targets = table.columns.filter(_.default.exists(_.matches(isDeleteRe)))
+    val filled = targets.foldLeft(decoded) { (df, c) =>
+      df.withColumn(c.name, coalesce(col(c.name),
+        (col(ZSets.W) < 0).cast(graft.types.SqlTypes.toSpark(c.sqlType))))
+    }
+    filled.withColumn(ZSets.W, abs(col(ZSets.W)))
   }
 
   /** Decode a Kafka record batch into a Z-set delta. `records` carries

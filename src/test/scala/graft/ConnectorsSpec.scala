@@ -80,6 +80,45 @@ class ConnectorsSpec extends SparkSpec {
     assert(noMeta === ((9L, None, Some(1.5))))
   }
 
+  test("soft_delete turns deletions into flagged insertions") {
+    val dir = Files.createTempDirectory("conn_soft")
+    Files.write(dir.resolve("log.jsonl"),
+      """{"insert": {"id": 1, "s": "a", "ts": 10}}
+        |{"insert": {"id": 2, "s": "b", "ts": 11}}
+        |{"delete": {"id": 1, "s": "a", "ts": 12}}
+        |{"insert": {"id": 1, "s": "a2", "ts": 13}}""".stripMargin.getBytes)
+    val t = graft.ddl.Ddl.parse(
+      s"""CREATE TABLE input_log (
+         |  id BIGINT,
+         |  s VARCHAR,
+         |  ts BIGINT,
+         |  is_delete BOOLEAN DEFAULT CAST(CONNECTOR_METADATA()['is_delete'] AS BOOLEAN)
+         |) WITH ('append_only' = 'true', 'connectors' = '[{
+         |  "name": "changes", "soft_delete": true,
+         |  "transport": {"name": "file_input", "config": {"path": "$dir"}},
+         |  "format": {"name": "json", "config": {"update_format": "insert_delete"}}}]');
+         |""".stripMargin).tables.head
+    val conf = Connectors.connectorsOf(t).head
+    assert(conf.softDelete)
+    val log = Connectors.read(spark, t, conf)
+    val rows = log.select("id", "s", "is_delete", "_w")
+      .as[(Long, String, Boolean, Long)].collect().toSet
+    // every change is an INSERTION (all weights +1); the deletion is
+    // flagged, explicit is_delete would win over the flag
+    assert(rows === Set(
+      (1L, "a", false, 1L), (2L, "b", false, 1L),
+      (1L, "a", true, 1L), (1L, "a2", false, 1L)))
+    // the docs' reconstruction: latest change per key, kept iff an insert
+    log.createOrReplaceTempView("input_log")
+    val current = spark.sql(
+      """SELECT id, s FROM (
+        |  SELECT id, s, is_delete,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts DESC) AS rk
+        |  FROM input_log) WHERE rk = 1 AND NOT is_delete""".stripMargin)
+      .as[(Long, String)].collect().toSet
+    assert(current === Set((1L, "a2"), (2L, "b")))
+  }
+
   test("kafka wire bytes decode end-to-end without a broker") {
     // recorded wire frames in the EXACT relation shape spark-sql-kafka
     // produces: key/value BINARY + topic/partition/offset/timestamp.

@@ -296,6 +296,26 @@ class PipelineSpec extends SparkSpec {
       .as[Long].head() === 2L)
   }
 
+  test("append_only tables reject deletions at the door") {
+    val pipe = Pipeline(spark,
+      """CREATE TABLE log (k BIGINT, v BIGINT)
+        |WITH ('append_only' = 'true');
+        |CREATE VIEW hi AS SELECT k, MAX(v) AS mx FROM log GROUP BY k;
+        |""".stripMargin)
+    pipe.step(Map("log" -> ZSets.lift(
+      Seq((1L, 10L), (1L, 20L)).toDF("k", "v"))))
+    assert(pipe.adHoc("SELECT mx FROM hi").as[Long].head() === 20L)
+    // a retraction violates the declared contract: fail, don't corrupt
+    val err = intercept[Exception] {
+      pipe.step(Map("log" -> ZSets.negate(ZSets.lift(
+        Seq((1L, 20L)).toDF("k", "v")))))
+    }
+    assert(err.getMessage != null)
+    // inserts keep flowing after the rejected batch
+    pipe.step(Map("log" -> ZSets.lift(Seq((1L, 30L)).toDF("k", "v"))))
+    assert(pipe.adHoc("SELECT mx FROM hi").as[Long].head() === 30L)
+  }
+
   test("ad-hoc PREPARE/EXECUTE binds positional literals in one request") {
     val pipe = Pipeline(spark, programSql)
     pipe.step(Map("lineitem" -> ZSets.lift(
