@@ -29,16 +29,22 @@ object Tables {
     footerMeta.computeIfAbsent(path, { p =>
       val conf = spark.sessionState.newHadoopConf()
       val hp = new org.apache.hadoop.fs.Path(p)
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromStatus(hp.getFileSystem(conf).getFileStatus(hp), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val blocks = r.getFooter.getBlocks
-        val rows = {
-          var s = 0L; blocks.forEach(b => s += b.getRowCount); s
-        }
-        (blocks.size, rows)
-      } finally r.close()
+      val status = hp.getFileSystem(conf).getFileStatus(hp)
+      if (status.isDirectory) {
+        // multi-file datasets already parallelize by file — no rebalance
+        (Int.MaxValue, 0L)
+      } else {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(status, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          val rows = {
+            var s = 0L; blocks.forEach(b => s += b.getRowCount); s
+          }
+          (blocks.size, rows)
+        } finally r.close()
+      }
     })
 
   /** Rebalance a scan whose INPUT LAYOUT under-parallelizes it: if the

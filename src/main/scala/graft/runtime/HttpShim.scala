@@ -86,6 +86,27 @@ object HttpShim {
         require(ex.getRequestMethod == "POST", "query requires POST")
         pipeline.adHoc(body.trim).toJSON.collect().mkString("\n")
       })
+    // connector orchestration (connectors/orchestration.md): POST
+    // /connectors/{table}/{name}/start|pause flips the Running/Paused
+    // state; POST /connectors/ingest runs one ingestion round over the
+    // currently-active connectors (one atomic step)
+    server.createContext("/connectors/", (ex: HttpExchange) =>
+      handle(ex) { _ =>
+        require(ex.getRequestMethod == "POST", "connectors requires POST")
+        val path = ex.getRequestURI.getPath.stripPrefix("/connectors/")
+        if (path == "ingest") {
+          val out = pipeline.ingestConnectors()
+          s"""{"views": [${out.keys.toSeq.sorted
+            .map(v => s""""$v"""").mkString(", ")}]}"""
+        } else path.split("/") match {
+          case Array(table, name, "start") =>
+            pipeline.startConnector(s"$table/$name"); """{"state": "running"}"""
+          case Array(table, name, "pause") =>
+            pipeline.pauseConnector(s"$table/$name"); """{"state": "paused"}"""
+          case _ => sys.error(
+            "expected /connectors/{table}/{name}/start|pause or /connectors/ingest")
+        }
+      })
     server.start()
     new HttpShim(pipeline, server)
   }

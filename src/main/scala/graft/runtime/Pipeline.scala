@@ -223,6 +223,54 @@ final class Pipeline(spark: SparkSession,
     case other => c < lit(other)
   }
 
+  /** Per-connector Running/Paused state (connectors/orchestration.md):
+    * seeded from each connector's `paused` attribute; flipped at runtime
+    * by [[startConnector]]/[[pauseConnector]]. Keyed `table/name` (or
+    * `table/<index>` for unnamed connectors).
+    */
+  private val connectorStates: mutable.Map[String, Boolean] = {
+    val m = mutable.Map[String, Boolean]()
+    program.tables.foreach { t =>
+      graft.sources.Connectors.connectorsOf(t).zipWithIndex.foreach {
+        case (c, i) =>
+          m(s"${t.name}/${c.name.getOrElse(i.toString)}") = !c.paused
+      }
+    }
+    m
+  }
+
+  def connectorState: Map[String, Boolean] = connectorStates.toMap
+
+  def startConnector(key: String): Unit = setConnector(key, running = true)
+  def pauseConnector(key: String): Unit = setConnector(key, running = false)
+
+  private def setConnector(key: String, running: Boolean): Unit = {
+    require(connectorStates.contains(key),
+      s"unknown connector: $key (known: ${connectorStates.keys.toSeq.sorted
+        .mkString(", ")})")
+    connectorStates(key) = running
+  }
+
+  /** One ingestion round from the DDL-declared connectors
+    * (orchestration.md): batch-read every table's ACTIVE connectors
+    * (paused ones stay idle), union each table's batches, and apply as
+    * ONE atomic [[step]] — the backfill-then-switch-over control flow the
+    * reference drives through its connector start/pause endpoints.
+    * Returns the step's per-view output deltas (empty map if every
+    * connector is paused or nothing is configured).
+    */
+  def ingestConnectors(): Map[String, DataFrame] = {
+    val deltas = program.tables.flatMap { t =>
+      val batches = graft.sources.Connectors.connectorsOf(t).zipWithIndex
+        .filter { case (c, i) =>
+          connectorStates(s"${t.name}/${c.name.getOrElse(i.toString)}") }
+        .map { case (c, _) => graft.sources.Connectors.read(spark, t, c) }
+      if (batches.isEmpty) None
+      else Some(t.name -> batches.reduce(_ unionByName _))
+    }.toMap
+    if (deltas.isEmpty) Map.empty else step(deltas)
+  }
+
   /** `append_only` input contract (streaming.md): a declared-append-only
     * table must never receive a deletion — the chain-agg fast path keys
     * its state layout on it and would silently corrupt. Enforced as a

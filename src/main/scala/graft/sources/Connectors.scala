@@ -33,7 +33,9 @@ object Connectors {
   final case class ConnectorConf(transport: String,
       config: Map[String, String], format: String,
       formatConfig: Map[String, String],
-      softDelete: Boolean = false)
+      softDelete: Boolean = false,
+      name: Option[String] = None,
+      paused: Boolean = false)
 
   private val mapper = new ObjectMapper()
 
@@ -55,7 +57,9 @@ object Connectors {
         else fm.get("name").asText(),
         cfg(fm),
         softDelete = c.get("soft_delete") != null
-          && c.get("soft_delete").asBoolean(false))
+          && c.get("soft_delete").asBoolean(false),
+        name = Option(c.get("name")).map(_.asText()),
+        paused = c.get("paused") != null && c.get("paused").asBoolean(false))
     }.toSeq
   }
 

@@ -68,4 +68,54 @@ class HttpShimSpec extends SparkSpec {
       assert(c7 === 400 && b7.contains("unknown table"), b7)
     } finally shim.stop()
   }
+
+  test("connector orchestration: backfill paused, start, ingest rounds") {
+    // two file connectors: historical backfill starts PAUSED, live starts
+    // running — the orchestration example's switch-over, driven over HTTP
+    val dir = java.nio.file.Files.createTempDirectory("orch")
+    val hist = dir.resolve("hist"); val live = dir.resolve("live")
+    java.nio.file.Files.createDirectories(hist)
+    java.nio.file.Files.createDirectories(live)
+    java.nio.file.Files.write(hist.resolve("h.jsonl"),
+      """{"insert": {"id": 1, "qty": 100.0, "tag": "h"}}""".getBytes)
+    java.nio.file.Files.write(live.resolve("l.jsonl"),
+      """{"insert": {"id": 2, "qty": 1.0, "tag": "l"}}""".getBytes)
+    val prog =
+      s"""CREATE TABLE item (id BIGINT NOT NULL, qty DOUBLE, tag VARCHAR)
+         |WITH ('connectors' = '[
+         |  {"name": "hist", "paused": true,
+         |   "transport": {"name": "file_input", "config": {"path": "$hist"}},
+         |   "format": {"name": "json", "config": {"update_format": "insert_delete"}}},
+         |  {"name": "live",
+         |   "transport": {"name": "file_input", "config": {"path": "$live"}},
+         |   "format": {"name": "json", "config": {"update_format": "insert_delete"}}}]');
+         |CREATE MATERIALIZED VIEW tags AS
+         |  SELECT tag, COUNT(*) AS n FROM item GROUP BY tag;""".stripMargin
+    val pipe = Pipeline(spark, prog)
+    assert(pipe.connectorState === Map(
+      "item/hist" -> false, "item/live" -> true))
+    val shim = HttpShim.serve(pipe)
+    val client = HttpClient.newHttpClient()
+    def url(p: String) = URI.create(s"http://127.0.0.1:${shim.port}$p")
+    def post(p: String, body: String = "") = send(client,
+      HttpRequest.newBuilder(url(p))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+    try {
+      // round 1: only the live connector is active
+      assert(post("/connectors/ingest")._2.contains("tags"))
+      val (_, q1) = post("/query", "SELECT tag FROM tags ORDER BY tag")
+      assert(q1.contains("\"l\"") && !q1.contains("\"h\""), q1)
+      // activate the backfill, pause live; round 2 ingests history only
+      assert(post("/connectors/item/hist/start")._2.contains("running"))
+      assert(post("/connectors/item/live/pause")._2.contains("paused"))
+      post("/connectors/ingest")
+      val (_, q2) = post("/query",
+        "SELECT tag, n FROM tags ORDER BY tag")
+      assert(q2.contains("\"h\""), q2)
+      // live stayed paused: its row was not re-ingested (n stays 1)
+      assert(q2.contains("\"n\":1"), q2)
+      // unknown connector → 400
+      assert(post("/connectors/item/nope/start")._1 === 400)
+    } finally shim.stop()
+  }
 }
