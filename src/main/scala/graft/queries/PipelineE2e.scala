@@ -233,6 +233,47 @@ object PipelineE2e {
         org.apache.spark.sql.types.StructField("c_name",
           org.apache.spark.sql.types.StringType)))
       graft.sources.Envelopes.decodeCsv(lines, schema).drop(ZSets.W)
+    },
+
+    // LATENESS + ERROR_VIEW end-to-end (streaming.md LATENESS;
+    // system.md ERROR_VIEW): a two-chunk schedule where chunk 2 carries
+    // rows older than the waterline chunk 1 established (max ts − 1 day).
+    // The runner must discard exactly those rows into error_view and
+    // aggregate the admitted set; the oracle replays the chunk schedule
+    // and waterline arithmetic relationally.
+    Q(
+      "pipeline_lateness",
+      """WITH e AS (SELECT event_id, ts, value FROM events),
+        |b1 AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |w AS (SELECT MAX(ts) - INTERVAL 1 DAY AS cutoff FROM b1),
+        |b2 AS (SELECT e.* FROM e, w WHERE event_id % 2 = 1 AND ts >= cutoff),
+        |adm AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        |nl AS (SELECT COUNT(*) AS n_late FROM e, w
+        |  WHERE event_id % 2 = 1 AND ts < cutoff)
+        |SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+        |  nl.n_late
+        |FROM adm, nl
+        |GROUP BY 1, nl.n_late""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE ev (
+          |  ts TIMESTAMP LATENESS INTERVAL 1 DAY,
+          |  value DOUBLE
+          |);
+          |CREATE VIEW daily AS
+          |  SELECT unix_timestamp(ts) div 86400 AS day, COUNT(*) AS n,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+          |  FROM ev GROUP BY unix_timestamp(ts) div 86400;""".stripMargin
+      val pipe = Pipeline(s, prog)
+      val ev = t(s, dir, "events").select("event_id", "ts", "value")
+        .localCheckpoint(true)
+      def half(m: Int) =
+        ZSets.lift(ev.filter(col("event_id") % 2 === m).drop("event_id"))
+      pipe.step(Map("ev" -> half(0)))
+      pipe.step(Map("ev" -> half(1)))
+      pipe.adHoc("SELECT * FROM daily").crossJoin(broadcast(
+        pipe.adHoc("SELECT COUNT(*) AS n_late FROM error_view")))
     }
   )
 }

@@ -126,6 +126,25 @@ final class DurableRunner(spark: SparkSession, program: Ddl.Program,
 
   private var committed: Set[Long] = restoredBatches.toSet
 
+  /** Completion token (connectors/completion-tokens.md): an opaque handle
+    * for the current end of the committed input stream. State application
+    * is synchronous inside [[step]], so the only asynchronous stage this
+    * runner tracks is sink delivery: the token completes once every batch
+    * at or below it has its outputs acknowledged ([[markDelivered]]) —
+    * compacted-away batches count as delivered (compaction only drops
+    * entries redelivery no longer needs). New batches can keep arriving
+    * while a client waits; they never block an earlier token.
+    */
+  def completionToken(): Long =
+    if (committed.isEmpty) -1L else committed.max
+
+  /** Has everything at or before `token` been processed AND delivered? */
+  def isComplete(token: Long): Boolean =
+    committed.filter(_ <= token).forall { id =>
+      val dir = batchDir(id)
+      !Files.exists(dir) || Files.exists(dir.resolve("_DELIVERED"))
+    }
+
   private def batchDir(id: Long) = journal.resolve(s"batch=$id")
 
   private def readBatch(id: Long): Map[String, DataFrame] =

@@ -51,6 +51,13 @@ object HttpShim {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // single thread: serialized steps + consistent reads (see class doc)
     server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+    // completion tokens (connectors/completion-tokens.md): the shim's
+    // steps are synchronous — an /ingress response means the step has
+    // fully evaluated — so a token is a monotone ingest counter and
+    // completes as soon as it is issued. The API shape matches the
+    // reference (token per ingress response; /completion_token for the
+    // current stream position; /completion_status to poll).
+    val ingested = new java.util.concurrent.atomic.AtomicLong(0L)
     server.createContext("/ingress/", (ex: HttpExchange) =>
       handle(ex) { body =>
         require(ex.getRequestMethod == "POST", "ingress requires POST")
@@ -68,7 +75,17 @@ object HttpShim {
           lines.toDF("value"), FileSource.schemaOf(tdef), fmt,
           defaults = graft.sources.Connectors.defaultsOf(tdef, Map.empty))
         pipeline.step(Map(table -> delta))
-        s"""{"rows": ${lines.size}}"""
+        s"""{"rows": ${lines.size}, "token": ${ingested.incrementAndGet()}}"""
+      })
+    server.createContext("/completion_token", (ex: HttpExchange) =>
+      handle(ex) { _ => s"""{"token": ${ingested.get()}}""" })
+    server.createContext("/completion_status", (ex: HttpExchange) =>
+      handle(ex) { _ =>
+        val t = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").find(_.startsWith("token="))
+            .map(_.stripPrefix("token=").toLong))
+          .getOrElse(sys.error("completion_status requires ?token="))
+        s"""{"complete": ${t <= ingested.get()}}"""
       })
     server.createContext("/egress/", (ex: HttpExchange) =>
       handle(ex) { _ =>

@@ -55,8 +55,12 @@ object Envelopes {
       }
       base.select(cols.toSeq :+ col("_e.w").as(ZSets.W): _*)
     }
-    def entry(r: Column, w: Column, j: Column): Column =
-      struct(r.as("r"), w.as("w"), j.as("j"))
+    // the raw-object json (`j`) is only materialized when DEFAULT columns
+    // need the presence test — the defaults-free hot path keeps the exact
+    // two-field entry it always had (no per-row get_json_object)
+    def entry(r: Column, w: Column, j: => Column): Column =
+      if (defaults.isEmpty) struct(r.as("r"), w.as("w"))
+      else struct(r.as("r"), w.as("w"), j.as("j"))
 
     format.toLowerCase match {
       case "insert_delete" =>

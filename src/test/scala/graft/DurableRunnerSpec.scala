@@ -134,6 +134,30 @@ class DurableRunnerSpec extends SparkSpec {
     DurableRunnerSpec.last = runner
   }
 
+  test("completion tokens: complete only once outputs are acknowledged") {
+    val state = Files.createTempDirectory("graft_tok")
+    val runner = new DurableRunner(spark, graft.ddl.Ddl.parse(programSql),
+      state.toString)
+    assert(runner.completionToken() === -1L)
+    assert(runner.isComplete(-1L)) // empty stream is trivially complete
+    runner.step(1L, Map("orders" ->
+      graft.zset.ZSets.lift(Seq((1L, 10L, 5.0))
+        .toDF("o_id", "o_cust", "o_amt"))))
+    val t1 = runner.completionToken()
+    assert(t1 === 1L)
+    // state is applied, but the sink has not acknowledged the outputs
+    assert(!runner.isComplete(t1))
+    // later batches never block an earlier token (overlapping execution)
+    runner.step(2L, Map("orders" ->
+      graft.zset.ZSets.lift(Seq((2L, 10L, 7.0))
+        .toDF("o_id", "o_cust", "o_amt"))))
+    runner.markDelivered(1L)
+    assert(runner.isComplete(t1))
+    assert(!runner.isComplete(runner.completionToken())) // batch 2 pending
+    runner.markDelivered(2L)
+    assert(runner.isComplete(runner.completionToken()))
+  }
+
   test("file stream + journal survives kill/restart with exactly-once state") {
     val input = Files.createTempDirectory("graft_in")
     val ckpt = Files.createTempDirectory("graft_ckpt")

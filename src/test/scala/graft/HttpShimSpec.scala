@@ -35,7 +35,14 @@ class HttpShimSpec extends SparkSpec {
             |{"insert": {"id": 3, "qty": 9.0, "tag": "b"}}
             |{"delete": {"id": 3, "qty": 9.0, "tag": "b"}}""".stripMargin))
         .build())
-      assert(c1 === 200 && b1 === """{"rows": 4}""")
+      assert(c1 === 200 && b1 === """{"rows": 4, "token": 1}""")
+      // synchronous shim: the token completes as soon as it is issued
+      val (_, bt) = send(client, HttpRequest
+        .newBuilder(url("/completion_status?token=1")).GET().build())
+      assert(bt === """{"complete": true}""")
+      val (_, bt2) = send(client, HttpRequest
+        .newBuilder(url("/completion_token")).GET().build())
+      assert(bt2 === """{"token": 1}""")
       // 2. second batch: the view must update incrementally
       val (c2, _) = send(client, HttpRequest.newBuilder(url("/ingress/item"))
         .POST(HttpRequest.BodyPublishers.ofString(

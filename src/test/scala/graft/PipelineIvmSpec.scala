@@ -181,9 +181,13 @@ class PipelineIvmSpec extends SparkSpec {
         |  SELECT k, MIN(v) AS mn FROM metrics GROUP BY k;""".stripMargin
     val pipe = Pipeline(spark, sql)
     pipe.step(Map("metrics" -> ZSets.lift(Seq(("a", 5L)).toDF("k", "v"))))
-    intercept[IllegalArgumentException] {
+    // the door-level append_only guard fires first (raise_error inside
+    // the consolidate evaluation), ahead of the chain rule's own check
+    val e = intercept[Exception] {
       pipe.step(Map("metrics" -> Seq(("a", 5L, -1L)).toDF("k", "v", ZSets.W)))
     }
+    assert(e.getMessage.contains("append_only") ||
+      e.getCause != null && e.getCause.getMessage.contains("append_only"), e)
   }
 
   private class ShuffleMeter extends SparkListener {
