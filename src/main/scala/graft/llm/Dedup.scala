@@ -674,9 +674,13 @@ object Dedup {
         i => array_join(
           slice(col("_toks"), i * segTokens + 1, lit(segTokens)), " ")))
     val base = toks.select(col(idCol), nSegs.as("n_segs"), segArr.as("_segs"))
+    // the hashed segment frame feeds BOTH the df-count and the keep join
+    // (and the hash is the expensive projection) — stage it once, the
+    // minhashDupPairs signature-persist discipline
     val segs = base
       .select(col(idCol), posexplode(col("_segs")).as(Seq("_i", "_seg")))
       .withColumn("_h", polyHash(col("_seg")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val common = segs.groupBy("_h")
       .agg(countDistinct(col(idCol)).as("_df"))
       .filter(col("_df") >= maxDf).select("_h")
