@@ -66,10 +66,19 @@ object Ddl {
     */
   final case class RecursiveDecl(name: String, columns: Seq[ColumnDef])
 
+  /** Standalone `LATENESS view.column INTERVAL ...` statement
+    * (tutorials/time-series.md:113-127): lateness for a column computed
+    * in a view — e.g. a timestamp parsed out of a raw payload — where no
+    * input-table column can carry the annotation.
+    */
+  final case class LatenessDecl(view: String, column: String,
+      interval: String)
+
   final case class Program(tables: Seq[TableDef], views: Seq[ViewDef],
       functions: Seq[FunctionDef] = Nil, types: Seq[TypeDef] = Nil,
       aggregates: Seq[AggregateDef] = Nil,
-      recursive: Seq[RecursiveDecl] = Nil)
+      recursive: Seq[RecursiveDecl] = Nil,
+      viewLateness: Seq[LatenessDecl] = Nil)
 
   private val tableRe: Regex =
     """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*$""".r
@@ -85,6 +94,8 @@ object Ddl {
     """(?is)CREATE\s+(LINEAR\s+)?AGGREGATE\s+(\w+)\s*\((.*?)\)\s*RETURNS\s+(.+)$""".r
   private val recRe: Regex =
     """(?is)DECLARE\s+RECURSIVE\s+VIEW\s+(\w+)\s*\((.*)\)\s*$""".r
+  private val latenessStmtRe: Regex =
+    """(?is)LATENESS\s+(\w+)\.(\w+)\s+(INTERVAL\s+.+)$""".r
 
   /** Split a program text into statements on top-level semicolons.
     * Quote-aware: `''` inside a quoted string is an escaped quote, not a
@@ -197,7 +208,11 @@ object Ddl {
     val types = mutable.Buffer[TypeDef]()
     val aggregates = mutable.Buffer[AggregateDef]()
     val recursive = mutable.Buffer[RecursiveDecl]()
+    val viewLateness = mutable.Buffer[LatenessDecl]()
     statements(program).foreach {
+      case latenessStmtRe(view, column, interval) =>
+        viewLateness += LatenessDecl(view.toLowerCase,
+          column.toLowerCase, interval.trim)
       case recRe(name, cols) =>
         recursive += RecursiveDecl(name.toLowerCase,
           splitColumns(cols).map(parseColumn))
@@ -226,6 +241,6 @@ object Ddl {
           s"unsupported statement: ${other.take(60)}")
     }
     Program(tables.toSeq, views.toSeq, functions.toSeq, types.toSeq,
-      aggregates.toSeq, recursive.toSeq)
+      aggregates.toSeq, recursive.toSeq, viewLateness.toSeq)
   }
 }

@@ -299,18 +299,32 @@ final class Pipeline(spark: SparkSession,
     * (per-column waterline candidate + late count fused into a single
     * job), and the common no-late-rows case never rescans the delta.
     */
-  private def latenessGate(name: String, raw: DataFrame): DataFrame = {
-    val lateCols = program.tables.find(_.name == name)
-      .map(_.columns.filter(_.lateness.isDefined)).getOrElse(Nil)
+  private def latenessGate(name: String, raw: DataFrame): DataFrame =
+    latenessGateOn(name, raw,
+      program.tables.find(_.name == name)
+        .map(_.columns.filter(_.lateness.isDefined)
+          .map(c => c.name -> c.lateness.get)).getOrElse(Nil))
+
+  /** Lateness declared on VIEW columns via the standalone `LATENESS
+    * view.column INTERVAL ...` statement (time-series.md:113-127) —
+    * applied to the view's OUTPUT DELTAS by the same waterline rule as
+    * table columns.
+    */
+  private val viewLateness: Map[String, Seq[(String, String)]] =
+    program.viewLateness.groupBy(_.view)
+      .map { case (v, ds) => v -> ds.map(d => d.column -> d.interval) }
+
+  private def latenessGateOn(name: String, raw: DataFrame,
+      lateCols: Seq[(String, String)]): DataFrame = {
     if (lateCols.isEmpty || raw.columns.isEmpty) return raw
-    val latePred = lateCols.map { c =>
-      latenessCutoffs.get((name, c.name)) match {
-        case Some(cut) => lateCmp(col(c.name), cut)
+    val latePred = lateCols.map { case (cn, _) =>
+      latenessCutoffs.get((name, cn)) match {
+        case Some(cut) => lateCmp(col(cn), cut)
         case None => lit(false)
       }
     }.reduce(_ || _)
-    val aggs = lateCols.map(c =>
-      expr(s"max(${c.name}) - ${c.lateness.get}").as("_wl_" + c.name)) :+
+    val aggs = lateCols.map { case (cn, iv) =>
+      expr(s"max($cn) - $iv").as("_wl_" + cn) } :+
       sum(when(latePred, 1L).otherwise(0L)).as("_late")
     val stats = raw.agg(aggs.head, aggs.tail: _*).head()
     val nLate = Option(stats.getAs[Long]("_late")).getOrElse(0L)
@@ -319,10 +333,10 @@ final class Pipeline(spark: SparkSession,
       val entries = dropped.select(
         lit(name).as("table_or_view_name"),
         concat(lit("late record discarded: "),
-          concat_ws(", ", lateCols.map(c =>
-            concat(lit(c.name + "="), col(c.name).cast("string"))): _*),
-          lit(" violates " + lateCols.map(c =>
-            s"LATENESS ${c.lateness.get} on ${c.name}").mkString("; ")))
+          concat_ws(", ", lateCols.map { case (cn, _) =>
+            concat(lit(cn + "="), col(cn).cast("string")) }: _*),
+          lit(" violates " + lateCols.map { case (cn, iv) =>
+            s"LATENESS $iv on $cn" }.mkString("; ")))
           .as("message"),
         to_json(struct(raw.columns.map(col): _*)).as("metadata"))
       // materialize now: the waterline advances below, and error rows must
@@ -333,14 +347,14 @@ final class Pipeline(spark: SparkSession,
     }
     // advance waterlines from this chunk's maxima (late rows cannot raise
     // a max that already exceeds the cutoff they sit below)
-    lateCols.foreach { c =>
-      Option(stats.getAs[Any]("_wl_" + c.name)).map(canonTime).foreach { cand =>
-        val next = latenessCutoffs.get((name, c.name)) match {
+    lateCols.foreach { case (cn, _) =>
+      Option(stats.getAs[Any]("_wl_" + cn)).map(canonTime).foreach { cand =>
+        val next = latenessCutoffs.get((name, cn)) match {
           case Some(cur)
             if cur.asInstanceOf[Comparable[Any]].compareTo(cand) >= 0 => cur
           case _ => cand
         }
-        latenessCutoffs((name, c.name)) = next
+        latenessCutoffs((name, cn)) = next
       }
     }
     kept
@@ -613,7 +627,9 @@ final class Pipeline(spark: SparkSession,
         case Ivm.Opaque =>
           recomputeDiff(v.sql, newStates, oldViews.get(v.name))
       }
-      val vDelta = ZSets.consolidate(rawDelta).localCheckpoint(false)
+      val gatedDelta = viewLateness.get(v.name)
+        .map(latenessGateOn(v.name, rawDelta, _)).getOrElse(rawDelta)
+      val vDelta = ZSets.consolidate(gatedDelta).localCheckpoint(false)
       val newView =
         if (traceBacked(v.name)) traceIntegrate(v.name, vDelta)
         else (viewState.get(v.name) match {

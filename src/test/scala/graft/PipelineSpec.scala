@@ -296,6 +296,34 @@ class PipelineSpec extends SparkSpec {
       .as[Long].head() === 2L)
   }
 
+  test("LATENESS statement gates a VIEW column parsed from raw payloads") {
+    // the time-series.md motivation: the timestamp only exists after the
+    // view parses it out of the raw payload, so lateness rides the VIEW
+    val pipe = Pipeline(spark,
+      """CREATE TABLE raw_ev (payload VARCHAR);
+        |CREATE LOCAL VIEW parsed AS
+        |  SELECT CAST(split_part(payload, '|', 1) AS TIMESTAMP) AS ts,
+        |         CAST(split_part(payload, '|', 2) AS BIGINT) AS amount
+        |  FROM raw_ev;
+        |LATENESS parsed.ts INTERVAL 1 HOUR;
+        |CREATE VIEW total AS SELECT SUM(amount) AS s FROM parsed;
+        |""".stripMargin)
+    def ins(ts: String, amount: Long): Unit =
+      pipe.step(Map("raw_ev" -> ZSets.lift(
+        Seq(s"$ts|$amount").toDF("payload"))))
+    ins("2020-01-01 00:00:00", 10)
+    ins("2020-01-01 02:00:00", 12)
+    // 100 min behind the 02:00 waterline: discarded from the VIEW delta,
+    // so the downstream aggregate never sees it
+    ins("2020-01-01 00:20:00", 65)
+    assert(pipe.adHoc("SELECT s FROM total").as[Long].head() === 22L)
+    val errs = pipe.adHoc(
+      "SELECT table_or_view_name, metadata FROM error_view")
+      .as[(String, String)].collect()
+    assert(errs.length === 1)
+    assert(errs.head._1 === "parsed" && errs.head._2.contains("65"))
+  }
+
   test("append_only tables reject deletions at the door") {
     val pipe = Pipeline(spark,
       """CREATE TABLE log (k BIGINT, v BIGINT)
