@@ -79,6 +79,8 @@ object HttpShim {
       })
     server.createContext("/completion_token", (ex: HttpExchange) =>
       handle(ex) { _ => s"""{"token": ${ingested.get()}}""" })
+    server.createContext("/stats", (ex: HttpExchange) =>
+      handle(ex) { _ => pipeline.stats() })
     server.createContext("/completion_status", (ex: HttpExchange) =>
       handle(ex) { _ =>
         val t = Option(ex.getRequestURI.getQuery)

@@ -241,6 +241,26 @@ final class Pipeline(spark: SparkSession,
 
   def connectorState: Map[String, Boolean] = connectorStates.toMap
 
+  private var stepsRun: Long = 0L
+
+  /** Observability snapshot (the reference's pipeline /stats surface):
+    * steps run, per-connector state, per-relation CURRENT row counts and
+    * the error_view size. Counts are computed on demand — a stats call
+    * pays its own jobs; the step loop never does.
+    */
+  def stats(): String = {
+    def n(df: DataFrame): Long = df.count()
+    val rels = (tableNames.filter(tableState.contains).map(t =>
+      t -> n(multisetOf(t, tableState))) ++
+      program.views.map(_.name).filter(viewState.contains).map(v =>
+        v -> n(multisetOf(v, viewState))))
+      .map { case (r, c) => s""""$r": $c""" }.mkString(", ")
+    val conns = connectorStates.toSeq.sorted.map { case (k, run) =>
+      s""""$k": "${if (run) "running" else "paused"}"""" }.mkString(", ")
+    s"""{"steps": $stepsRun, "relations": {$rels}, """ +
+      s""""connectors": {$conns}, "errors": ${n(errorState)}}"""
+  }
+
   def startConnector(key: String): Unit = setConnector(key, running = true)
   def pauseConnector(key: String): Unit = setConnector(key, running = false)
 
@@ -646,6 +666,7 @@ final class Pipeline(spark: SparkSession,
     (tableNames ++ program.views.map(_.name)).foreach { n =>
       multisetOf(n, newStates).createOrReplaceTempView(n)
     }
+    stepsRun += 1
     out
   }
 

@@ -123,6 +123,15 @@ class HttpShimSpec extends SparkSpec {
       assert(q2.contains("\"n\":1"), q2)
       // unknown connector → 400
       assert(post("/connectors/item/nope/start")._1 === 400)
+      // observability snapshot: steps, relation sizes, connector states
+      val (cs, bs) = send(client,
+        HttpRequest.newBuilder(url("/stats")).GET().build())
+      assert(cs === 200, bs)
+      assert(bs.contains("\"steps\": 2"), bs)
+      assert(bs.contains("\"item/hist\": \"running\""), bs)
+      assert(bs.contains("\"item/live\": \"paused\""), bs)
+      assert(bs.contains("\"item\": 2") && bs.contains("\"tags\": 2"), bs)
+      assert(bs.contains("\"errors\": 0"), bs)
     } finally shim.stop()
   }
 }
