@@ -39,4 +39,45 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"touched-key probe should broadcast:\n$p")
   }
+
+  test("Tables.load rebalances only layout-starved single-row-group files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    // single file, one row group, >=100k rows → rebalance fires
+    (0L until 120000L).toDF("id").coalesce(1)
+      .write.parquet(s"$dir/one.db")
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/one.db"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var pq: java.nio.file.Path = null
+    while (f.hasNext) { val p = f.next()
+      if (p.toString.endsWith(".parquet")) pq = p }
+    java.nio.file.Files.copy(pq,
+      java.nio.file.Paths.get(s"$dir/starved.parquet"))
+    val starved = graft.Tables.load(spark, dir, "starved")
+    assert(starved.queryExecution.optimizedPlan.toString
+      .contains("RepartitionByExpression"),
+      "single-row-group fact file should rebalance")
+    // filters still reach the scan through the rebalance
+    val filtered = starved.filter(col("id") === 5L)
+      .queryExecution.executedPlan.toString
+    assert(filtered.contains("PushedFilters: [IsNotNull(id), EqualTo(id,5)]"),
+      s"pushdown must survive the rebalance:\n$filtered")
+    // many row groups → production layout → NO exchange added
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1000")
+    val manyDir = s"$dir/many.db"
+    (0L until 120000L).toDF("id").coalesce(1)
+      .write.option("parquet.block.size", "4096").parquet(manyDir)
+    spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val f2 = java.nio.file.Files.list(java.nio.file.Paths.get(manyDir))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var pq2: java.nio.file.Path = null
+    while (f2.hasNext) { val p = f2.next()
+      if (p.toString.endsWith(".parquet")) pq2 = p }
+    java.nio.file.Files.copy(pq2,
+      java.nio.file.Paths.get(s"$dir/healthy.parquet"))
+    val healthy = graft.Tables.load(spark, dir, "healthy")
+    assert(!healthy.queryExecution.optimizedPlan.toString
+      .contains("RepartitionByExpression"),
+      "a file with row groups >= cores must not pay an exchange")
+  }
 }
