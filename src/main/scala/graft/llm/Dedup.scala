@@ -650,8 +650,10 @@ object Dedup {
     * appearing in ≥ `maxDf` DISTINCT documents is dropped from every
     * document; survivors are reassembled in original order.
     *
-    * 100-TB shape: segments are hashed scan-side ([[polyHash]] — exact
-    * BIGINT, any engine re-derives it); the document-frequency pass is a
+    * 100-TB shape: segments are hashed scan-side ([[md5Hash]] — ONE
+    * codegen'd digest per segment, any engine re-derives it; an
+    * interpreted per-char fold measured ~10x slower here); the
+    * document-frequency pass is a
     * map-side-combined groupBy on the hash; the common-segment set (tiny
     * by construction — boilerplate is the repeated FEW) broadcasts into a
     * left-anti join; reassembly groups by document. No all-pairs stage.
@@ -679,7 +681,7 @@ object Dedup {
     // minhashDupPairs signature-persist discipline
     val segs = base
       .select(col(idCol), posexplode(col("_segs")).as(Seq("_i", "_seg")))
-      .withColumn("_h", polyHash(col("_seg")))
+      .withColumn("_h", md5Hash(col("_seg"), 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val common = segs.groupBy("_h")
       .agg(countDistinct(col(idCol)).as("_df"))

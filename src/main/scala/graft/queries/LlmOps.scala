@@ -1209,11 +1209,7 @@ object LlmOps {
          |  FROM (SELECT doc_id, tkn, unnest(range(0,
          |      CASE WHEN len(tkn) < 1 THEN 0
          |           ELSE (len(tkn) - 1) // 5 + 1 END)) AS i FROM toks)),
-         |hh AS (SELECT doc_id, seg_idx, seg,
-         |    list_reduce(list_prepend(CAST(7 AS BIGINT),
-         |      list_transform(range(1, length(seg) + 1),
-         |        i -> CAST(ascii(substr(seg, i, 1)) AS BIGINT))),
-         |      (acc, c) -> (acc * 31 + c) % ${Dedup.FP_P}) AS h
+         |hh AS (SELECT doc_id, seg_idx, seg, ${md5h(0, "seg")} AS h
          |  FROM seg),
          |dfc AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM hh GROUP BY h),
          |kept AS (SELECT hh.doc_id, hh.seg_idx, hh.seg
