@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.incremental.{BucketedTrace, CoPartTieredTrace, MemoryTrace, Trace}
+import graft.zset.ZSets
+
+/** Multi-executor validation (dev tool): runs the co-partitioned /
+  * tiered / bucketed state layouts on a REAL multi-process cluster —
+  * Spark's `local-cluster[2,2,...]` master spawns two separate executor
+  * JVMs — so the layout claims the plan-shape specs assert (declared
+  * hash partitioning on memory runs, exchange-free run-vs-run terms,
+  * bucket-pruned disk probes) are exercised with genuine serialization,
+  * remote broadcasts, and cross-process shuffles rather than the
+  * in-process fast paths of `local[n]`.
+  *
+  * Prints `CLUSTERCHECK OK executors=N` and exits 0 on success; any
+  * failure exits nonzero. Driven by LocalClusterSpec as a spawned
+  * process (one SparkContext per JVM).
+  */
+object ClusterCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_CLUSTER_MASTER",
+        "local-cluster[2,2,1500]"))
+      .appName("graft-cluster-check")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // ship this build's classes to the executor JVMs
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      // 1. demand REAL executors (driver + 2): the point of the check
+      val deadline = System.currentTimeMillis() + 120000
+      def execs(): Int =
+        spark.sparkContext.statusTracker.getExecutorInfos.length
+      while (execs() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      require(execs() >= 3, s"expected >=2 remote executors, got ${execs() - 1}")
+
+      val a = spark.range(600).select(col("id").as("k"),
+        (col("id") * 2).as("av"))
+      val b = spark.range(600).select((col("id") % 300).as("k"),
+        (col("id") + 7).as("bv"))
+      val want = a.filter(col("k") % 10 =!= 0).join(b, "k")
+        .select("k", "av", "bv").collect().map(_.toString).sorted
+      val aBatches = Seq(
+        ZSets.lift(a.filter(col("k") % 3 === 0)),
+        ZSets.lift(a.filter(col("k") % 3 === 1)),
+        ZSets.lift(a.filter(col("k") % 3 === 2)).unionByName(
+          ZSets.negate(ZSets.lift(a.filter(col("k") % 10 === 0)))))
+      val bBatches = Seq(
+        ZSets.lift(b.filter(col("k") % 3 === 1)),
+        ZSets.lift(b.filter(col("k") % 3 === 2)),
+        ZSets.lift(b.filter(col("k") % 3 === 0)))
+
+      def drive(aT: Trace with graft.incremental.CoPartitionedTrace,
+          bT: Trace with graft.incremental.CoPartitionedTrace,
+          assertNoExchange: Boolean): Array[String] = {
+        var out = Option.empty[DataFrame]
+        aBatches.zip(bBatches).foreach { case (dA, dB) =>
+          val d0 = BucketedTrace.coPartJoinStep(aT, bT, dA, dB, Seq("k"),
+            maxRuns = 1)
+          d0.collect()
+          if (assertNoExchange) {
+            val plan = d0.queryExecution.executedPlan.toString
+            require(!plan.contains("Exchange"),
+              s"co-partitioned terms must stay exchange-free on a real " +
+                s"cluster, got:\n$plan")
+          }
+          val d = Trace.materialize(d0)
+          out = Some(out.map(_.unionByName(d)).getOrElse(d))
+        }
+        ZSets.toMultiset(ZSets.consolidate(out.get))
+          .select("k", "av", "bv").collect().map(_.toString).sorted
+      }
+
+      // 2. co-partitioned memory runs: exchange-free across processes
+      val aT = new MemoryTrace(ZSets.lift(a).limit(0), Seq("k"),
+        autoCompactRuns = Int.MaxValue, hashParts = Some(8))
+      val bT = new MemoryTrace(ZSets.lift(b).limit(0), Seq("k"),
+        autoCompactRuns = Int.MaxValue, hashParts = Some(8))
+      try require(drive(aT, bT, assertNoExchange = true).sameElements(want),
+        "co-partitioned memory-run join diverged on local-cluster")
+      finally { aT.delete(); bT.delete() }
+
+      // 3. tiered: memtable spilling to the bucketed disk layout, read
+      // back by whichever executor the task lands on (shared local FS)
+      val aT2 = new CoPartTieredTrace(ZSets.lift(a).limit(0), Seq("k"),
+        nParts = 8, memRows = 50)
+      val bT2 = new CoPartTieredTrace(ZSets.lift(b).limit(0), Seq("k"),
+        nParts = 8, memRows = 50)
+      try require(drive(aT2, bT2, assertNoExchange = false).sameElements(want),
+        "tiered co-partitioned join diverged on local-cluster")
+      finally { aT2.delete(); bT2.delete() }
+
+      // 4. bucketed disk trace: append as runs, key-pruned probe
+      val cT = new BucketedTrace(ZSets.lift(a).limit(0), Seq("k"),
+        nBuckets = 8)
+      try {
+        cT.append(ZSets.lift(a.filter(col("k") < 300)))
+        cT.append(ZSets.lift(a.filter(col("k") >= 300)))
+        val probe = spark.range(10).select((col("id") * 7).as("k"))
+        val got = cT.probe(probe).select("k", "av")
+          .collect().map(_.toString).sorted
+        val exp = a.join(probe, "k").select("k", "av")
+          .collect().map(_.toString).sorted
+        require(got.sameElements(exp), "bucketed probe diverged")
+      } finally cT.delete()
+
+      println(s"CLUSTERCHECK OK executors=${execs() - 1} checks=3")
+    } finally spark.stop()
+  }
+}
