@@ -111,7 +111,36 @@ object ClusterCheck {
         require(got.sameElements(exp), "bucketed probe diverged")
       } finally cT.delete()
 
-      println(s"CLUSTERCHECK OK executors=${execs() - 1} checks=3")
+      // 5. full runner e2e: a DDL program with an aggregate-over-join
+      // view stepped twice (with a retraction) must equal the batch
+      // recompute — the IVM delta rules under real cross-process shuffles
+      val pipe = graft.runtime.Pipeline(spark,
+        """CREATE TABLE o (ok BIGINT, ck BIGINT, amt DOUBLE);
+          |CREATE TABLE c (ck BIGINT, nm VARCHAR);
+          |CREATE VIEW spend AS
+          |  SELECT nm, COUNT(*) AS n,
+          |    CAST(SUM(CAST(amt AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |  FROM o JOIN c ON o.ck = c.ck GROUP BY nm;""".stripMargin)
+      val o = spark.range(500).select(col("id").as("ok"),
+        (col("id") % 40).as("ck"), (col("id") * 1.5).as("amt"))
+      val c = spark.range(40).select(col("id").as("ck"),
+        concat(lit("c"), col("id")).as("nm"))
+      pipe.step(Map(
+        "o" -> ZSets.lift(o.filter(col("ok") % 2 === 0)),
+        "c" -> ZSets.lift(c)))
+      pipe.step(Map(
+        "o" -> ZSets.lift(o.filter(col("ok") % 2 === 1)).unionByName(
+          ZSets.negate(ZSets.lift(o.filter(col("ok") % 10 === 0))))))
+      val gotV = pipe.adHoc("SELECT * FROM spend")
+        .collect().map(_.toString).sorted
+      val wantV = o.filter(col("ok") % 10 =!= 0).join(c, "ck")
+        .groupBy("nm").agg(count(lit(1)).as("n"),
+          sum(col("amt").cast("decimal(18,4)")).cast("double").as("total"))
+        .select("nm", "n", "total").collect().map(_.toString).sorted
+      require(gotV.sameElements(wantV),
+        "pipeline step diverged from batch recompute on local-cluster")
+
+      println(s"CLUSTERCHECK OK executors=${execs() - 1} checks=4")
     } finally spark.stop()
   }
 }
