@@ -29,18 +29,26 @@ object JobMeter {
     @volatile var busyMs = 0L
     val runMs = new java.util.concurrent.atomic.AtomicLong
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageRun = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1; starts.put(j.jobId, j.time)
         if (sys.env.contains("SPARK_GRAFT_TRACE")) {
           val d = j.stageInfos.lastOption.map(_.name).getOrElse("?")
-          println(s"  JOB ${j.jobId}: $d")
+          println(s"  JOB ${j.jobId} t=${j.time % 1000000}: $d")
         }
         ()
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
+        if (sys.env.contains("SPARK_GRAFT_TRACE")) {
+          val m = s.stageInfo.taskMetrics
+          println(f"    stage ${s.stageInfo.stageId}%4d run=${m.executorRunTime / 1000.0}%7.2fs cpu=${m.executorCpuTime / 1e9}%7.2fs gc=${m.jvmGCTime / 1000.0}%6.2fs deser=${m.executorDeserializeTime / 1000.0}%6.2fs tasks=${s.stageInfo.numTasks}%3d  ${s.stageInfo.name.split("\n").head.take(90)}")
+          val site = s.stageInfo.name.split("\n").head
+          stageRun.merge(site, m.executorRunTime, (a, b) => a + b)
+          ()
+        }
       }
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -48,7 +56,11 @@ object JobMeter {
         if (m != null) { runMs.addAndGet(m.executorRunTime); () }
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        Option(starts.remove(j.jobId)).foreach(t0 => busyMs += j.time - t0)
+        Option(starts.remove(j.jobId)).foreach { t0 =>
+          busyMs += j.time - t0
+          if (sys.env.contains("SPARK_GRAFT_TRACE"))
+            println(s"  JOBEND ${j.jobId} t=${j.time % 1000000} took=${j.time - t0}ms")
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -65,12 +77,20 @@ object JobMeter {
 
     args.foreach { name =>
       jobs = 0; stages = 0; tasks = 0; busyMs = 0; runMs.set(0L)
+      stageRun.clear()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the listener bus drain
       println(f"METER $name%-20s ${sec}%8.2fs jobs=$jobs stages=$stages tasks=$tasks busy=${busyMs / 1000.0}%.2fs taskRun=${runMs.get / 1000.0}%.2fs")
+      if (sys.env.contains("SPARK_GRAFT_TRACE")) {
+        import scala.jdk.CollectionConverters._
+        stageRun.asScala.toSeq.sortBy(-_._2).takeWhile(_._2 > 50)
+          .foreach { case (site, ms) =>
+            println(f"  STAGE ${ms / 1000.0}%8.2fs  $site")
+          }
+      }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

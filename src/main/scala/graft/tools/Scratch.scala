@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratchpad: micro-measure expression pipelines in isolation.
+  * Not part of any graded path; contents change freely between
+  * experiments.
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.llm.{Dedup, TextAnalysis}
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(32, col("doc_id")).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"TIME $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3fs")
+    }
+
+    // warmup
+    docs.select(count(lit(1))).collect()
+
+    time("tokens only") {
+      docs.select(TextAnalysis.tokens(col("text")).as("t"))
+        .select(sum(size(col("t")))).collect()
+    }
+    time("tokens+md5 per token") {
+      docs.select(transform(TextAnalysis.tokens(col("text")),
+          t => Dedup.md5Hash(t, 0)).as("th"))
+        .select(sum(size(col("th")))).collect()
+    }
+    time("md5 only (whole text)") {
+      docs.select(Dedup.md5Hash(col("text"), 0).as("h"))
+        .select(sum(pmod(col("h"), lit(1000003L)))).collect()
+    }
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+      .filter(size(col("_toks")) >= 3)
+      .select(col("doc_id"),
+        transform(col("_toks"), t => Dedup.md5Hash(t, 0)).as("_th"))
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("_th")) - 2),
+          i => aggregate(slice(col("_th"), i, lit(3)), lit(7L),
+            (acc, h) => (acc * 131L + h) % Dedup.FP_P))).as("_g"))
+    time("full gram pipeline") {
+      grams.select(sum(size(col("_g")))).collect()
+    }
+    time("full gram pipeline x2") {
+      grams.select(sum(size(col("_g")))).collect()
+    }
+    time("gram persist + explode + materialize") {
+      val p = grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = graft.incremental.Trace.materialize(
+        p.select(col("doc_id"), explode(col("_g")).as("_h")))
+      p.unpersist()
+      ()
+    }
+    time("gram explode + materialize (no persist)") {
+      val g = graft.incremental.Trace.materialize(
+        grams.select(col("doc_id"), explode(col("_g")).as("_h")))
+      ()
+    }
+    time("gram explode + count only") {
+      grams.select(col("doc_id"), explode(col("_g")).as("_h"))
+        .select(count(lit(1))).collect()
+      ()
+    }
+
+    // replicate incrementalSpanDedup with per-phase timers
+    {
+      import graft.zset.ZSets
+      val trace = new graft.incremental.TieredTrace(
+        docs.select(lit(0L).as("_h")).limit(0)
+          .withColumn(ZSets.W, lit(1L)),
+        Seq("_h"), nBuckets = 16)
+      (0 until 3).foreach { m =>
+        val batch = docs.filter(col("doc_id") % 3 === m)
+        var g: org.apache.spark.sql.DataFrame = null
+        var seen: org.apache.spark.sql.DataFrame = null
+        var scored: org.apache.spark.sql.DataFrame = null
+        time(s"b$m grams+materialize") {
+          val gr = batch
+            .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+            .filter(size(col("_toks")) >= 3)
+            .select(col("doc_id"),
+              transform(col("_toks"), t => Dedup.md5Hash(t, 0)).as("_th"))
+            .select(col("doc_id"), array_distinct(
+              transform(sequence(lit(1), size(col("_th")) - 2),
+                i => aggregate(slice(col("_th"), i, lit(3)), lit(7L),
+                  (acc, h) => (acc * 131L + h) % Dedup.FP_P))).as("_g"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          g = graft.incremental.Trace.materialize(
+            gr.select(col("doc_id"), explode(col("_g")).as("_h")))
+          gr.unpersist()
+          ()
+        }
+        time(s"b$m probe seen") {
+          seen = graft.incremental.Trace.materialize(
+            trace.probe(g.select("_h").distinct()).select("_h").distinct())
+        }
+        time(s"b$m score") {
+          scored = graft.incremental.Trace.materialize(
+            g.join(seen.withColumn("_hit", lit(1L)), Seq("_h"), "left")
+              .groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("n_spans"),
+                coalesce(sum(col("_hit")), lit(0L)).as("n_seen"))
+              .select(col("doc_id"), col("n_spans"), col("n_seen"),
+                (col("n_seen").cast("double") / col("n_spans")).as("overlap"))
+              .withColumn("admitted", col("overlap") < lit(0.5)))
+        }
+        time(s"b$m append new hashes") {
+          val newHashes = g
+            .join(scored.filter(col("admitted")).select("doc_id"), Seq("doc_id"))
+            .select("_h").distinct()
+            .join(seen, Seq("_h"), "left_anti")
+          trace.append(newHashes.withColumn(ZSets.W, lit(1L)))
+        }
+      }
+      trace.delete()
+    }
+    spark.stop()
+  }
+}
