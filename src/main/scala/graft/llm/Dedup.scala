@@ -675,7 +675,10 @@ object Dedup {
         sequence(lit(0), lastSeg),
         i => array_join(
           slice(col("_toks"), i * segTokens + 1, lit(segTokens)), " ")))
+    // base feeds the hashed-segment frame AND the final n_segs join —
+    // stage it so tokenize+segment runs once (same discipline as `segs`)
     val base = toks.select(col(idCol), nSegs.as("n_segs"), segArr.as("_segs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the hashed segment frame feeds BOTH the df-count and the keep join
     // (and the hash is the expensive projection) — stage it once, the
     // minhashDupPairs signature-persist discipline

@@ -946,8 +946,11 @@ object LlmOps {
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       val firsts = gated.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"))
+      // winners feeds the contamination scorer AND the clean-side probe —
+      // snapshot so the tokenize+fingerprint+dedup lineage runs once
       val winners = gated.join(firsts, Seq("fp", "doc_id"))
         .select("doc_id", "text", "n_tokens")
+        .localCheckpoint(true)
       val contam = Dedup.contaminationScoreRolling(
         winners, "doc_id", "text",
         docs.filter(col("doc_id") < 50), "text", n = 3)
@@ -1268,10 +1271,13 @@ object LlmOps {
         |  FROM cells c JOIN sz USING (cell))
         |SELECT vec_id, cell, cell_size, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      // cells feeds the size aggregate AND the stratum sampler — snapshot
+      // so the k-means assignment pipeline evaluates once
       val cells = Similarity.kmeansCellsQuantized(
         t(s, dir, "embeddings").repartition(32, col("vec_id"))
           .select("vec_id", "embedding"),
         nCells = 16, scale = 1000)
+        .localCheckpoint(true)
       val sized = cells.join(
         broadcast(cells.groupBy("cell").agg(count(lit(1)).as("cell_size"))),
         Seq("cell"))
@@ -1307,10 +1313,14 @@ object LlmOps {
          |       WHEN cond_p >= t_lo THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM sc, thr""".stripMargin) { (s, dir) =>
+      // the score frame feeds the threshold aggregate AND the final
+      // probe — snapshot it so the bigram-LM pipeline (3 tokenizations
+      // per evaluation) runs once, not twice
       val sc = TextAnalysis.bigramScore(
         t(s, dir, "documents").repartition(32, col("doc_id"))
           .select(col("doc_id"), col("text")), "doc_id", "text")
         .select(col("doc_id"), col("cond_p"))
+        .localCheckpoint(true)
       val thr = sc.agg(
         round(expr("percentile(cond_p, 1.0D/3)"), 6).as("t_lo"),
         round(expr("percentile(cond_p, 2.0D/3)"), 6).as("t_hi"))

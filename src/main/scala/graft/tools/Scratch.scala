@@ -79,6 +79,41 @@ object Scratch {
       ()
     }
 
+    // kmeans cells in isolation
+    {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .repartition(32, col("vec_id")).select("vec_id", "embedding")
+        .localCheckpoint(true)
+      time("kmeansCellsQuantized") {
+        graft.llm.Similarity.kmeansCellsQuantized(emb, nCells = 16,
+          scale = 1000).write.format("noop").mode("overwrite").save()
+      }
+      time("kmeansCellsQuantized x2") {
+        graft.llm.Similarity.kmeansCellsQuantized(emb, nCells = 16,
+          scale = 1000).write.format("noop").mode("overwrite").save()
+      }
+      import graft.functions.VectorDot.dist2L
+      val q = emb.select(col("vec_id").as("__id"),
+        graft.llm.Similarity.quantize(col("embedding"), 1000).as("__qv"))
+        .localCheckpoint(true)
+      val seeds = q.filter(col("__id") < 16)
+        .select(col("__id").cast("int").as("__cell"), col("__qv").as("__cv"))
+        .localCheckpoint(true)
+      time("assign crossJoin+dist2L only") {
+        q.crossJoin(broadcast(seeds))
+          .select(sum(pmod(dist2L(col("__qv"), col("__cv")), lit(97L))))
+          .collect()
+      }
+      time("assign + window rank") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("__id").orderBy(col("__d2"), col("__cell"))
+        q.crossJoin(broadcast(seeds))
+          .withColumn("__d2", dist2L(col("__qv"), col("__cv")))
+          .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+          .select(count(lit(1))).collect()
+      }
+    }
+
     // replicate incrementalSpanDedup with per-phase timers
     {
       import graft.zset.ZSets
