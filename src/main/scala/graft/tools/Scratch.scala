@@ -20,6 +20,47 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.llm.{Dedup, TextAnalysis}
 
+    if (sys.env.contains("SPARK_GRAFT_FLOOR")) {
+      def floor(name: String)(mk: => Unit): Unit = {
+        (1 to 5).foreach(_ => mk) // warm
+        val t0 = System.nanoTime()
+        (1 to 20).foreach(_ => mk)
+        println(f"FLOOR $name%-36s ${(System.nanoTime() - t0) / 20e6}%8.1f ms/job")
+      }
+      floor("collect no-shuffle") {
+        spark.range(2).selectExpr("sum(id)").collect(); ()
+      }
+      floor("collect shuffle(2)") {
+        spark.range(2).repartition(2).selectExpr("sum(id)").collect(); ()
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      floor("collect shuffle(2) AQE off") {
+        spark.range(2).repartition(2).selectExpr("sum(id)").collect(); ()
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      floor("noop write shuffle(2)") {
+        spark.range(2).repartition(2).write.format("noop")
+          .mode("overwrite").save()
+      }
+      floor("broadcast-join tiny") {
+        val a = spark.range(4).toDF("k")
+        val b = broadcast(spark.range(4).toDF("k"))
+        a.join(b, "k").selectExpr("count(*)").collect(); ()
+      }
+      floor("collect 1-partition range") {
+        spark.range(0, 2, 1, 1).selectExpr("sum(id)").collect(); ()
+      }
+      floor("collect 4-partition range") {
+        spark.range(0, 2, 1, 4).selectExpr("sum(id)").collect(); ()
+      }
+      floor("count cached 1-part rdd") {
+        val r = spark.range(0, 2, 1, 1)
+        r.count(); ()
+      }
+      spark.stop()
+      return
+    }
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(32, col("doc_id")).select(col("doc_id"), col("text"))
       .localCheckpoint(true)

@@ -102,4 +102,59 @@ class CoPartJoinSpec extends SparkSpec {
       assert(got === want)
     } finally { aT.delete(); bT.delete() }
   }
+
+  test("standing join per-batch shuffle stays flat over 24 micro-batches") {
+    // the streaming steady-state contract (q8's shape): constant-size
+    // deltas, traces growing 24x, per-batch shuffle volume must track the
+    // DELTA (append repartition + output), never the accumulated runs.
+    // Periodic compaction (maxRuns = 8) consolidates state — an amortized
+    // O(|state|/maxRuns) spike by design — so the flatness assertion
+    // compares window MEDIANS, which skip the compaction batches.
+    val batchRows = 512
+    def dA(m: Int): DataFrame = spark.range(batchRows.toLong)
+      .select((col("id") + m.toLong * batchRows).as("k"),
+        (col("id") * 2).as("av")).withColumn(W, lit(1L))
+    def dB(m: Int): DataFrame = spark.range(batchRows.toLong)
+      .select((col("id") + m.toLong * batchRows).as("k"),
+        (col("id") + 7).as("bv")).withColumn(W, lit(1L))
+    val aT = mkTrace(spark.range(1).select(col("id").as("k"),
+      col("id").as("av")))
+    val bT = mkTrace(spark.range(1).select(col("id").as("k"),
+      col("id").as("bv")))
+    val meterListener =
+      new org.apache.spark.scheduler.SparkListener {
+        @volatile var records = 0L
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          records += sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+      }
+    def metered(action: => Unit): Long = {
+      meterListener.records = 0L
+      spark.sparkContext.addSparkListener(meterListener)
+      try {
+        action
+        org.apache.spark.graft.TestShims.drainListenerBus(spark.sparkContext)
+        meterListener.records
+      } finally spark.sparkContext.removeSparkListener(meterListener)
+    }
+    try {
+      var total = 0L
+      val perBatch = (0 until 24).map { m =>
+        metered {
+          val d = BucketedTrace.coPartJoinStep(aT, bT,
+            dA(m).localCheckpoint(true), dB(m).localCheckpoint(true),
+            Seq("k"), maxRuns = 8)
+          total += d.count()
+        }
+      }
+      def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+      val early = median(perBatch.slice(2, 10))
+      val late = median(perBatch.slice(16, 24))
+      assert(late <= early * 13 / 10 + 64,
+        s"per-batch shuffle grew with trace size: early=$early late=$late " +
+          s"(all: ${perBatch.mkString(",")})")
+      // every pair joins exactly once across the schedule
+      assert(total === 24L * batchRows)
+    } finally { aT.delete(); bT.delete() }
+  }
 }
