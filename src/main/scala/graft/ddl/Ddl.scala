@@ -217,9 +217,18 @@ object Ddl {
         recursive += RecursiveDecl(name.toLowerCase,
           splitColumns(cols).map(parseColumn))
       case tableRe(name, cols, props) =>
+        val (pkClauses, colDefs) = splitColumns(cols)
+          .partition(_.toUpperCase.startsWith("PRIMARY KEY"))
+        // table-level PRIMARY KEY (a, b) marks the named columns, same as
+        // the inline form (grammar.md's table constraint)
+        val pkCols = pkClauses.flatMap { c =>
+          c.drop("PRIMARY KEY".length).trim
+            .stripPrefix("(").stripSuffix(")")
+            .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
+        }.toSet
         tables += TableDef(name.toLowerCase,
-          splitColumns(cols).filterNot(c =>
-            c.toUpperCase.startsWith("PRIMARY KEY")).map(parseColumn),
+          colDefs.map(parseColumn).map(c =>
+            if (pkCols(c.name)) c.copy(primaryKey = true) else c),
           parseProps(props))
       case viewRe(kind, name, sql) =>
         val k = Option(kind).map(_.trim.toUpperCase) match {

@@ -58,6 +58,9 @@ object HttpShim {
     // reference (token per ingress response; /completion_token for the
     // current stream position; /completion_status to poll).
     val ingested = new java.util.concurrent.atomic.AtomicLong(0L)
+    // tokens issued while a transaction is open complete only at commit:
+    // committedFloor trails `ingested` during the transaction window
+    val committedFloor = new java.util.concurrent.atomic.AtomicLong(0L)
     server.createContext("/ingress/", (ex: HttpExchange) =>
       handle(ex) { body =>
         require(ex.getRequestMethod == "POST", "ingress requires POST")
@@ -75,19 +78,51 @@ object HttpShim {
           lines.toDF("value"), FileSource.schemaOf(tdef), fmt,
           defaults = graft.sources.Connectors.defaultsOf(tdef, Map.empty))
         pipeline.step(Map(table -> delta))
-        s"""{"rows": ${lines.size}, "token": ${ingested.incrementAndGet()}}"""
+        val t = ingested.incrementAndGet()
+        if (pipeline.transactionInProgress.isEmpty) committedFloor.set(t)
+        s"""{"rows": ${lines.size}, "token": $t}"""
       })
     server.createContext("/completion_token", (ex: HttpExchange) =>
       handle(ex) { _ => s"""{"token": ${ingested.get()}}""" })
     server.createContext("/stats", (ex: HttpExchange) =>
       handle(ex) { _ => pipeline.stats() })
+    // transactions (pipelines/transactions.md): start buffers subsequent
+    // /ingress chunks; commit applies them as ONE atomic step; abort
+    // discards. The single-threaded dispatcher serializes these against
+    // in-flight ingests, like the reference's per-pipeline input lock.
+    server.createContext("/start_transaction", (ex: HttpExchange) =>
+      handle(ex) { _ =>
+        require(ex.getRequestMethod == "POST",
+          "start_transaction requires POST")
+        s"""{"transaction_id": ${pipeline.startTransaction()}}"""
+      })
+    server.createContext("/commit_transaction", (ex: HttpExchange) =>
+      handle(ex) { _ =>
+        require(ex.getRequestMethod == "POST",
+          "commit_transaction requires POST")
+        val out = pipeline.commitTransaction()
+        committedFloor.set(ingested.get())
+        s"""{"views": [${out.keys.toSeq.sorted
+          .map(v => s""""$v"""").mkString(", ")}]}"""
+      })
+    server.createContext("/abort_transaction", (ex: HttpExchange) =>
+      handle(ex) { _ =>
+        require(ex.getRequestMethod == "POST",
+          "abort_transaction requires POST")
+        val id = pipeline.transactionInProgress
+          .getOrElse(sys.error("no transaction in progress"))
+        pipeline.abortTransaction(id)
+        // aborted inputs are RESOLVED (by discard): their tokens complete
+        committedFloor.set(ingested.get())
+        s"""{"aborted": $id}"""
+      })
     server.createContext("/completion_status", (ex: HttpExchange) =>
       handle(ex) { _ =>
         val t = Option(ex.getRequestURI.getQuery)
           .flatMap(_.split("&").find(_.startsWith("token="))
             .map(_.stripPrefix("token=").toLong))
           .getOrElse(sys.error("completion_status requires ?token="))
-        s"""{"complete": ${t <= ingested.get()}}"""
+        s"""{"complete": ${t <= committedFloor.get()}}"""
       })
     server.createContext("/egress/", (ex: HttpExchange) =>
       handle(ex) { _ =>

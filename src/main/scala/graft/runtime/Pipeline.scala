@@ -257,9 +257,100 @@ final class Pipeline(spark: SparkSession,
       .map { case (r, c) => s""""$r": $c""" }.mkString(", ")
     val conns = connectorStates.toSeq.sorted.map { case (k, run) =>
       s""""$k": "${if (run) "running" else "paused"}"""" }.mkString(", ")
-    s"""{"steps": $stepsRun, "relations": {$rels}, """ +
+    s"""{"steps": $stepsRun, "transaction": ${txnOpen.getOrElse("null")}, """ +
+      s""""relations": {$rels}, """ +
       s""""connectors": {$conns}, "errors": ${n(errorState)}}"""
   }
+
+  // ---------------------------------------------------------- transactions
+
+  /** Transactional bulk ingest (pipelines/transactions.md): between
+    * [[startTransaction]] and [[commitTransaction]] every [[step]] call
+    * BUFFERS its table deltas instead of maintaining views — ad-hoc reads
+    * keep seeing the last committed state — and commit applies the
+    * cumulative delta as ONE atomic step. This is the backfill form: N
+    * ingest chunks cost one view-maintenance round instead of N, no
+    * intermediate output deltas ever exist (they would largely cancel),
+    * and downstream sinks see one consistent update. Z-set deltas sum
+    * losslessly, so buffering is exact for plain tables; PRIMARY KEY
+    * command batches are tagged with a transaction-order `_seq` so the
+    * commit's upsert resolution stays last-write-wins across chunks.
+    * Buffered frames stay LAZY until commit — a transaction of N chunks
+    * evaluates each input source exactly once, inside the commit step.
+    */
+  private var txnOpen: Option[Long] = None
+  private var txnNext = 1L
+  private val txnChunks = mutable.Map[String, Vector[DataFrame]]()
+
+  def transactionInProgress: Option[Long] = txnOpen
+
+  /** Total committed steps (transactions commit as one). */
+  def stepCount: Long = stepsRun
+
+  /** Begin a transaction; fails if one is already open (the reference's
+    * single-transaction contract).
+    */
+  def startTransaction(): Long = {
+    require(txnOpen.isEmpty,
+      s"transaction ${txnOpen.get} already in progress")
+    val id = txnNext
+    txnNext += 1
+    txnOpen = Some(id)
+    id
+  }
+
+  /** Commit the open transaction: ONE atomic step over the cumulative
+    * buffered deltas; returns its per-view output deltas. The no-arg form
+    * commits whatever transaction is open (the REST surface); the id form
+    * additionally checks the caller still owns the transaction it thinks
+    * it does.
+    */
+  def commitTransaction(): Map[String, DataFrame] = {
+    val id = txnOpen.getOrElse(sys.error("no transaction in progress"))
+    commitTransaction(id)
+  }
+
+  def commitTransaction(id: Long): Map[String, DataFrame] = {
+    require(txnOpen.contains(id),
+      s"transaction $id is not in progress (open: $txnOpen)")
+    val cumulative = txnChunks.toMap.map { case (name, chunks) =>
+      name -> chunks.reduce(_ unionByName _)
+    }
+    txnChunks.clear()
+    txnOpen = None
+    if (cumulative.isEmpty) Map.empty else step(cumulative)
+  }
+
+  /** Discard the open transaction's buffered inputs; state is untouched. */
+  def abortTransaction(id: Long): Unit = {
+    require(txnOpen.contains(id),
+      s"transaction $id is not in progress (open: $txnOpen)")
+    txnChunks.clear()
+    txnOpen = None
+  }
+
+  private def bufferTxn(deltas: Map[String, DataFrame]): Unit =
+    deltas.foreach { case (name, d) =>
+      val prev = txnChunks.getOrElse(name, Vector.empty)
+      val pk = program.tables.find(_.name == name)
+        .map(_.primaryKey).getOrElse(Nil)
+      val tagged =
+        if (pk.nonEmpty && d.columns.contains("_deleted")) {
+          // chunk-major, caller-seq-minor ordering; caller seqs must fit
+          // 32 bits for the composite to preserve their relative order
+          val userSeq =
+            if (d.columns.contains("_seq")) col("_seq").cast("long")
+            else lit(0L)
+          d.withColumn("_seq",
+            lit(prev.size.toLong * (1L << 32)) + userSeq)
+        } else d
+      prev.headOption.foreach(h => require(
+        h.columns.sorted.sameElements(tagged.columns.sorted),
+        s"transaction chunks for '$name' mix shapes: " +
+          s"${h.columns.sorted.mkString(",")} vs " +
+          s"${tagged.columns.sorted.mkString(",")}"))
+      txnChunks(name) = prev :+ tagged
+    }
 
   def startConnector(key: String): Unit = setConnector(key, running = true)
   def pauseConnector(key: String): Unit = setConnector(key, running = false)
@@ -565,6 +656,13 @@ final class Pipeline(spark: SparkSession,
     * pre-convert via graft.streaming.Upsert.
     */
   def step(deltas: Map[String, DataFrame]): Map[String, DataFrame] = {
+    // open transaction: buffer and emit nothing — views keep their last
+    // committed state until commitTransaction applies the cumulative
+    // delta as one step (pipelines/transactions.md)
+    if (txnOpen.isDefined) {
+      bufferTxn(deltas)
+      return Map.empty
+    }
     // pre-step snapshots ("old" side of the multilinear terms)
     val oldTables = tableState.toMap
     val oldViews = viewState.toMap

@@ -134,4 +134,44 @@ class HttpShimSpec extends SparkSpec {
       assert(bs.contains("\"errors\": 0"), bs)
     } finally shim.stop()
   }
+
+  test("transactions over HTTP: buffered ingress, one commit step") {
+    val shim = HttpShim.serve(Pipeline(spark, program))
+    val client = HttpClient.newHttpClient()
+    def url(p: String) = URI.create(s"http://127.0.0.1:${shim.port}$p")
+    def post(p: String, body: String = ""): (Int, String) = send(client,
+      HttpRequest.newBuilder(url(p))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+    try {
+      val (cs, bs) = post("/start_transaction")
+      assert(cs === 200 && bs === """{"transaction_id": 1}""", bs)
+      // a second start while one is open → 400
+      assert(post("/start_transaction")._1 === 400)
+      // two buffered chunks: view stays empty, tokens stay incomplete
+      val (_, t1) = post("/ingress/item",
+        """{"insert": {"id": 1, "qty": 2.0, "tag": "a"}}""")
+      assert(t1.contains("\"token\": 1"), t1)
+      post("/ingress/item",
+        """{"insert": {"id": 2, "qty": 3.0, "tag": "a"}}""")
+      val (_, q1) = post("/query", "SELECT COUNT(*) AS n FROM qty_by_tag")
+      assert(q1.contains("\"n\":0"), q1)
+      val (_, st1) = send(client, HttpRequest
+        .newBuilder(url("/completion_status?token=1")).GET().build())
+      assert(st1 === """{"complete": false}""", st1)
+      // commit: one atomic step, view reflects both chunks, tokens done
+      val (cc, bc) = post("/commit_transaction")
+      assert(cc === 200 && bc.contains("qty_by_tag"), bc)
+      val (_, q2) = post("/query",
+        "SELECT total, n FROM qty_by_tag WHERE tag = 'a'")
+      assert(q2.contains("5.0") && q2.contains("\"n\":2"), q2)
+      val (_, st2) = send(client, HttpRequest
+        .newBuilder(url("/completion_status?token=2")).GET().build())
+      assert(st2 === """{"complete": true}""", st2)
+      // stats shows no open transaction; abort without one → 400
+      val (_, bstats) = send(client,
+        HttpRequest.newBuilder(url("/stats")).GET().build())
+      assert(bstats.contains("\"transaction\": null"), bstats)
+      assert(post("/abort_transaction")._1 === 400)
+    } finally shim.stop()
+  }
 }
