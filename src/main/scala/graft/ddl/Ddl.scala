@@ -37,7 +37,16 @@ object Ddl {
   final case class ViewDef(
       name: String,
       sql: String,
-      kind: ViewKind)
+      kind: ViewKind,
+      /** `WITH ('connectors' = …)` clause — output connectors etc. */
+      properties: Map[String, String] = Map.empty)
+
+  /** `CREATE INDEX name ON view(col, …)` — a unique-key declaration for a
+    * view (connectors/unique_keys.md): output connectors referencing the
+    * index by name merge each key's delete+insert pair into one atomic
+    * update.
+    */
+  final case class IndexDef(name: String, view: String, columns: Seq[String])
 
   sealed trait ViewKind
   case object LocalView extends ViewKind         // not an output
@@ -78,12 +87,15 @@ object Ddl {
       functions: Seq[FunctionDef] = Nil, types: Seq[TypeDef] = Nil,
       aggregates: Seq[AggregateDef] = Nil,
       recursive: Seq[RecursiveDecl] = Nil,
-      viewLateness: Seq[LatenessDecl] = Nil)
+      viewLateness: Seq[LatenessDecl] = Nil,
+      indexes: Seq[IndexDef] = Nil)
 
   private val tableRe: Regex =
     """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*$""".r
   private val viewRe: Regex =
-    """(?is)CREATE\s+(LOCAL\s+|MATERIALIZED\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$""".r
+    """(?is)CREATE\s+(LOCAL\s+|MATERIALIZED\s+)?VIEW\s+(\w+)\s*(?:WITH\s*\((.*?)\)\s*)?AS\s+(.*)$""".r
+  private val indexRe: Regex =
+    """(?is)CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\((.*?)\)\s*$""".r
   private val colRe: Regex =
     """(?is)^(\w+)\s+(.+?)(\s+DEFAULT\s+(.+?))?(\s+NOT\s+NULL)?(\s+PRIMARY\s+KEY)?(\s+LATENESS\s+(INTERVAL\s+[^,]+))?$""".r
   private val funcRe: Regex =
@@ -209,6 +221,7 @@ object Ddl {
     val aggregates = mutable.Buffer[AggregateDef]()
     val recursive = mutable.Buffer[RecursiveDecl]()
     val viewLateness = mutable.Buffer[LatenessDecl]()
+    val indexes = mutable.Buffer[IndexDef]()
     statements(program).foreach {
       case latenessStmtRe(view, column, interval) =>
         viewLateness += LatenessDecl(view.toLowerCase,
@@ -230,13 +243,16 @@ object Ddl {
           colDefs.map(parseColumn).map(c =>
             if (pkCols(c.name)) c.copy(primaryKey = true) else c),
           parseProps(props))
-      case viewRe(kind, name, sql) =>
+      case viewRe(kind, name, props, sql) =>
         val k = Option(kind).map(_.trim.toUpperCase) match {
           case Some("LOCAL") => LocalView
           case Some("MATERIALIZED") => MaterializedView
           case _ => OutputView
         }
-        views += ViewDef(name.toLowerCase, sql.trim, k)
+        views += ViewDef(name.toLowerCase, sql.trim, k, parseProps(props))
+      case indexRe(name, view, cols) =>
+        indexes += IndexDef(name.toLowerCase, view.toLowerCase,
+          splitColumns(cols).map(_.trim.toLowerCase).filter(_.nonEmpty))
       case funcRe(name, params, ret, body) =>
         functions += FunctionDef(name.toLowerCase, params.trim, ret.trim,
           Option(body).map(_.trim))
@@ -250,6 +266,6 @@ object Ddl {
           s"unsupported statement: ${other.take(60)}")
     }
     Program(tables.toSeq, views.toSeq, functions.toSeq, types.toSeq,
-      aggregates.toSeq, recursive.toSeq, viewLateness.toSeq)
+      aggregates.toSeq, recursive.toSeq, viewLateness.toSeq, indexes.toSeq)
   }
 }

@@ -352,6 +352,31 @@ final class Pipeline(spark: SparkSession,
       txnChunks(name) = prev :+ tagged
     }
 
+  /** Route a step's view output deltas through the views' declared output
+    * connectors (`WITH ('connectors' = …)` on CREATE VIEW). A connector's
+    * `index` property resolves against the program's CREATE INDEX
+    * declarations (connectors/unique_keys.md) and switches that sink to
+    * atomic-update delivery: each key's delete+insert pair lands as one
+    * update envelope (json) or one keyed transactional overwrite (jdbc).
+    */
+  def emitOutputs(outputDeltas: Map[String, DataFrame]): Unit =
+    program.views.foreach { v =>
+      outputDeltas.get(v.name).foreach { d =>
+        graft.sources.Connectors.connectorsOf(v).filterNot(_.paused)
+          .foreach { c =>
+            val keys = c.index.map { ix =>
+              program.indexes
+                .find(i => i.name == ix && i.view == v.name)
+                .getOrElse(sys.error(s"connector on view ${v.name} " +
+                  s"references unknown index '$ix' (declared: " +
+                  s"${program.indexes.map(_.name).mkString(", ")})"))
+                .columns
+            }
+            graft.sources.Connectors.writeView(d, c, keys)
+          }
+      }
+    }
+
   def startConnector(key: String): Unit = setConnector(key, running = true)
   def pauseConnector(key: String): Unit = setConnector(key, running = false)
 

@@ -35,7 +35,44 @@ object Connectors {
       formatConfig: Map[String, String],
       softDelete: Boolean = false,
       name: Option[String] = None,
-      paused: Boolean = false)
+      paused: Boolean = false,
+      /** Index name (connectors/unique_keys.md): output connectors merge
+        * each index key's delete+insert pair into one atomic update.
+        */
+      index: Option[String] = None)
+
+  /** Resolve `${env:NAME}` and `${secret:kubernetes:name/key}` references
+    * in a connector config value (connectors/secret-references.md).
+    * Environment references read the pipeline process environment; secret
+    * references read the control plane's mounted secret files —
+    * `$GRAFT_SECRETS_DIR/<name>/<key>`, the shape a Kubernetes volume
+    * mount produces. Resolution happens at connector-parse time and
+    * resolved values are never written back to DDL/journals.
+    */
+  private[graft] def resolveRefs(value: String,
+      env: String => Option[String] = sys.env.get): String = {
+    val re = """\$\{(env|secret):([^}]+)\}""".r
+    re.replaceAllIn(value, m => {
+      val resolved = m.group(1) match {
+        case "env" => env(m.group(2)).getOrElse(
+          sys.error(s"unresolved env reference: ${m.group(2)}"))
+        case "secret" => m.group(2).split(":", 2) match {
+          case Array("kubernetes", ident) =>
+            val root = env("GRAFT_SECRETS_DIR").getOrElse(
+              sys.error("secret reference needs GRAFT_SECRETS_DIR " +
+                "(the mounted-secrets root)"))
+            val p = java.nio.file.Paths.get(root, ident.split("/"): _*)
+            require(java.nio.file.Files.isRegularFile(p),
+              s"secret not mounted: $ident")
+            new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+          case other => sys.error(
+            s"unknown secret provider: ${other.head}")
+        }
+      }
+      scala.util.matching.Regex.quoteReplacement(resolved)
+    })
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -47,7 +84,7 @@ object Connectors {
       def cfg(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
         if (node == null || node.get("config") == null) Map.empty
         else node.get("config").properties().asScala
-          .map(e => e.getKey -> e.getValue.asText()).toMap
+          .map(e => e.getKey -> resolveRefs(e.getValue.asText())).toMap
       val tr = c.get("transport")
       val fm = c.get("format")
       ConnectorConf(
@@ -59,12 +96,16 @@ object Connectors {
         softDelete = c.get("soft_delete") != null
           && c.get("soft_delete").asBoolean(false),
         name = Option(c.get("name")).map(_.asText()),
-        paused = c.get("paused") != null && c.get("paused").asBoolean(false))
+        paused = c.get("paused") != null && c.get("paused").asBoolean(false),
+        index = Option(c.get("index")).map(_.asText()))
     }.toSeq
   }
 
   def connectorsOf(t: Ddl.TableDef): Seq[ConnectorConf] =
     t.properties.get("connectors").map(parse).getOrElse(Nil)
+
+  def connectorsOf(v: Ddl.ViewDef): Seq[ConnectorConf] =
+    v.properties.get("connectors").map(parse).getOrElse(Nil)
 
   /** Is a DataSource format resolvable on this classpath? */
   def formatAvailable(spark: SparkSession, fmt: String): Boolean =
@@ -278,8 +319,15 @@ object Connectors {
     base.select(cols: _*)
   }
 
-  /** Sink side: write a view's rows through a connector config. */
-  def writeView(df: DataFrame, conf: ConnectorConf): Unit =
+  /** Sink side: write a view's rows through a connector config.
+    * `indexKeys` (resolved from the connector's `index` property against
+    * the program's CREATE INDEX declarations — connectors/unique_keys.md)
+    * switches the sink to ATOMIC-UPDATE form: each key's delete+insert
+    * pair becomes one update (json envelope) or one keyed overwrite
+    * (jdbc), instead of separate delete and insert events.
+    */
+  def writeView(df: DataFrame, conf: ConnectorConf,
+      indexKeys: Option[Seq[String]] = None): Unit =
     conf.transport match {
       case "file_output" =>
         val path = conf.config("path")
@@ -287,11 +335,16 @@ object Connectors {
           case "parquet" => df.write.mode("append").parquet(path)
           case "csv" => df.write.mode("append")
             .options(conf.formatConfig).csv(path)
-          // encodable update_format set + Z-set weights present → envelope
-          // lines (the reference's egress wire contract). raw/debezium are
-          // INGRESS formats here (decodeJson accepts them; egress encoding
-          // is not implemented) — they fall back to plain JSON rows rather
-          // than failing at write time.
+          // indexed connector + Z-set delta → atomic upsert envelopes;
+          // encodable update_format set + weights → envelope lines (the
+          // reference's egress wire contract). raw/debezium are INGRESS
+          // formats here (decodeJson accepts them; egress encoding is not
+          // implemented) — they fall back to plain JSON rows rather than
+          // failing at write time.
+          case "json" if indexKeys.isDefined
+              && df.columns.contains(graft.zset.ZSets.W) =>
+            Envelopes.encodeJsonUpserts(df, indexKeys.get)
+              .write.mode("append").text(path)
           case "json" => conf.formatConfig.get("update_format") match {
             case Some(uf) if Envelopes.encodableFormats(uf.toLowerCase)
                 && df.columns.contains(graft.zset.ZSets.W) =>
@@ -300,6 +353,10 @@ object Connectors {
           }
           case other => sys.error(s"unsupported file sink format: $other")
         }
+      case "jdbc_output" | "postgresql_output"
+          if indexKeys.isDefined
+            && df.columns.contains(graft.zset.ZSets.W) =>
+        jdbcKeyedMerge(df, conf, indexKeys.get)
       case "jdbc_output" | "postgresql_output" =>
         val w = df.write.format("jdbc").mode("append")
           .option("url", conf.config("url"))
@@ -309,4 +366,54 @@ object Connectors {
       case "null_output" => df.write.format("noop").mode("overwrite").save()
       case other => sys.error(s"unknown sink transport: $other")
     }
+
+  /** Keyed JDBC delivery of a view output delta (the postgres-output
+    * `index` behaviour): per index key, delete the old row and insert the
+    * new one in ONE transaction per partition — idempotent updates
+    * without a dialect-specific MERGE, exactly-the-delta I/O (no full
+    * refresh). Runs per partition with one prepared statement pair; the
+    * standard per-partition imperative escape hatch, not a per-row UDF.
+    */
+  private def jdbcKeyedMerge(delta: DataFrame, conf: ConnectorConf,
+      keys: Seq[String]): Unit = {
+    val url = conf.config("url")
+    val table = conf.config("table")
+    val driver = conf.config.get("driver")
+    val up = Envelopes.upsertForm(delta, keys)
+    val cols = up.columns.filterNot(_ == "_op").toSeq
+    val delSql = s"DELETE FROM $table WHERE " +
+      keys.map(k => s"$k = ?").mkString(" AND ")
+    val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
+      s"(${cols.map(_ => "?").mkString(", ")})"
+    val keyIdx = keys.map(up.columns.indexOf(_))
+    val colIdx = cols.map(up.columns.indexOf(_))
+    val opIdx = up.columns.indexOf("_op")
+    up.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        driver.foreach(Class.forName(_))
+        val cn = java.sql.DriverManager.getConnection(url)
+        try {
+          cn.setAutoCommit(false)
+          val del = cn.prepareStatement(delSql)
+          val ins = cn.prepareStatement(insSql)
+          rows.foreach { r =>
+            val op = r.getString(opIdx)
+            if (op == "delete" || op == "update") {
+              keyIdx.zipWithIndex.foreach { case (i, p) =>
+                del.setObject(p + 1, r.get(i)) }
+              del.addBatch()
+            }
+            if (op == "insert" || op == "update") {
+              colIdx.zipWithIndex.foreach { case (i, p) =>
+                ins.setObject(p + 1, r.get(i)) }
+              ins.addBatch()
+            }
+          }
+          del.executeBatch()
+          ins.executeBatch()
+          cn.commit()
+        } finally cn.close()
+      }
+    }
+  }
 }

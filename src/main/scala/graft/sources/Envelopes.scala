@@ -183,6 +183,63 @@ object Envelopes {
     }
   }
 
+  /** Index-merged upsert form of a view output delta
+    * (connectors/unique_keys.md): group the delta by the declared unique
+    * key and merge each key's delete+insert PAIR into one atomic
+    * `update`. Returns (`_op` ∈ insert/update/delete, data columns) —
+    * insert/update rows carry the NEW payload, delete rows the OLD. The
+    * index's uniqueness contract (one live row per key, unit weights) is
+    * ENFORCED: a key with more than one inserted or retracted row in the
+    * delta raises, rather than silently emitting ambiguous updates.
+    *
+    * 100-TB shape: one hash aggregation on the key — the same shuffle the
+    * consolidation already pays — with the pair-merge as a scan-side
+    * conditional; no self-join, no window.
+    */
+  def upsertForm(delta: DataFrame, keys: Seq[String],
+      opCol: String = "_op"): DataFrame = {
+    val con = ZSets.consolidate(delta).filter(col(ZSets.W) =!= 0)
+    val payload = con.columns.filterNot(c =>
+      keys.contains(c) || c == ZSets.W).toSeq
+    require(payload.nonEmpty,
+      s"upsertForm: view has no non-key columns besides ${keys.mkString(",")}")
+    // collect_list skips nulls: each side keeps only its sign's rows
+    def side(cond: Column): Column =
+      collect_list(when(cond, struct(payload.map(col): _*)))
+    val grouped = con.groupBy(keys.map(col): _*)
+      .agg(side(col(ZSets.W) > 0).as("_new"),
+        side(col(ZSets.W) < 0).as("_old"),
+        max(abs(col(ZSets.W))).as("_maxw"))
+    val guard = when(size(col("_new")) > 1 || size(col("_old")) > 1
+        || col("_maxw") > 1,
+      raise_error(concat(lit("upsertForm: index key is not unique in "
+        + "delta: "), to_json(struct(keys.map(col): _*)))))
+    val op = when(size(col("_new")) === 1 && size(col("_old")) === 1,
+        lit("update"))
+      .when(size(col("_new")) === 1, lit("insert"))
+      .otherwise(lit("delete"))
+    val row = when(size(col("_new")) === 1, col("_new").getItem(0))
+      .otherwise(col("_old").getItem(0))
+    grouped
+      .select((keys.map(col) :+ coalesce(guard.cast("string"), op)
+        .as(opCol) :+ row.as("_r")): _*)
+      .select((Seq(col(opCol)) ++ keys.map(col)
+        ++ payload.map(f => col(s"_r.`$f`").as(f))): _*)
+  }
+
+  /** [[upsertForm]] rendered as JSON wire lines:
+    * `{"insert": {...new}}`, `{"update": {...new}}`, `{"delete":
+    * {...old}}` — the atomic-update egress envelope an indexed output
+    * connector emits instead of separate delete+insert lines.
+    */
+  def encodeJsonUpserts(delta: DataFrame, keys: Seq[String],
+      valueCol: String = "value"): DataFrame = {
+    val up = upsertForm(delta, keys)
+    val dataCols = up.columns.filterNot(_ == "_op").toSeq
+    up.select(concat(lit("{\""), col("_op"), lit("\":"),
+      to_json(struct(dataCols.map(col): _*)), lit("}")).as(valueCol))
+  }
+
   /** Binary Avro record decode (the reference's avro input format,
     * crates/adapters/src/format/avro/): a BINARY `valueCol` of
     * Avro-encoded records → insert rows matching `schema`, using the
