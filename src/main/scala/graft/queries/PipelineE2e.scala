@@ -274,6 +274,113 @@ object PipelineE2e {
       pipe.step(Map("ev" -> half(1)))
       pipe.adHoc("SELECT * FROM daily").crossJoin(broadcast(
         pipe.adHoc("SELECT COUNT(*) AS n_late FROM error_view")))
+    },
+
+    // Transactions (pipelines/transactions.md), graded end-to-end: three
+    // ingest chunks buffer inside an open transaction (views hold their
+    // pre-transaction state, which the result proves by capturing the
+    // mid-transaction view row count), then commit applies the
+    // cumulative delta as ONE atomic step. Oracle = the same split
+    // replayed relationally: mid = chunk-0-only aggregate, final = all
+    // chunks.
+    Q(
+      "pipeline_txn",
+      """WITH o AS (SELECT o_custkey % 50 AS grp, o_totalprice AS v
+        |           FROM orders WHERE o_orderkey <= 40000),
+        |mid AS (SELECT COUNT(*) AS n FROM (
+        |  SELECT grp FROM o WHERE grp % 4 = 0 GROUP BY grp)),
+        |fin AS (SELECT grp, COUNT(*) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |  FROM o GROUP BY grp)
+        |SELECT fin.grp, fin.n, fin.sv, mid.n AS mid_groups
+        |FROM fin, mid""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE o (grp BIGINT, v DOUBLE);
+          |CREATE VIEW agg AS
+          |  SELECT grp, COUNT(*) AS n,
+          |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv
+          |  FROM o GROUP BY grp;""".stripMargin
+      val pipe = Pipeline(s, prog)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 40000)
+        .select((col("o_custkey") % 50).as("grp"),
+          col("o_totalprice").as("v"))
+        .localCheckpoint(true)
+      // committed baseline: the grp % 4 == 0 slice
+      pipe.step(Map("o" -> ZSets.lift(o.filter(col("grp") % 4 === 0))))
+      val id = pipe.startTransaction()
+      (1 to 3).foreach(m =>
+        pipe.step(Map("o" -> ZSets.lift(o.filter(col("grp") % 4 === m)))))
+      // mid-transaction: the view still shows only the committed slice
+      val mid = pipe.adHoc("SELECT COUNT(*) AS mid_groups FROM agg")
+        .localCheckpoint(true)
+      pipe.commitTransaction(id)
+      pipe.adHoc("SELECT * FROM agg").crossJoin(broadcast(mid))
+    },
+
+    // Unique keys (connectors/unique_keys.md), graded end-to-end: a PK
+    // table drives a view through an INDEXED file connector; each step's
+    // output delta lands as atomic upsert envelopes ({"update": …}
+    // instead of delete+insert pairs). The query returns the decoded
+    // wire lines (op, k, v); the oracle re-derives the op per key
+    // relationally from the two snapshots.
+    Q(
+      "pipeline_indexed_sink",
+      """WITH s1 AS (SELECT o_orderkey AS k,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey <= 2000),
+        |s2 AS (SELECT o_orderkey AS k,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 3 = 0 THEN 7 ELSE 0 END AS v
+        |  FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 5 <> 0),
+        |ops AS (
+        |  SELECT 'insert' AS op, k, v FROM s1
+        |  UNION ALL
+        |  SELECT CASE WHEN s2.k IS NULL THEN 'delete'
+        |              ELSE 'update' END AS op,
+        |    s1.k, COALESCE(s2.v, s1.v) AS v
+        |  FROM s1 LEFT JOIN s2 ON s1.k = s2.k
+        |  WHERE s2.k IS NULL OR s2.v <> s1.v)
+        |SELECT op, k, v FROM ops""".stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files
+        .createTempDirectory("idx_sink").toString
+      val prog =
+        s"""CREATE TABLE kv (k BIGINT NOT NULL, v BIGINT, PRIMARY KEY (k));
+           |CREATE VIEW cur WITH ('connectors' = '[
+           |  {"index": "cur_idx",
+           |   "transport": {"name": "file_output",
+           |    "config": {"path": "$outDir/wire"}},
+           |   "format": {"name": "json"}}]')
+           |AS SELECT k, v FROM kv;
+           |CREATE INDEX cur_idx ON cur(k);""".stripMargin
+      val pipe = Pipeline(s, prog)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+        .localCheckpoint(true)
+      // snapshot 1: every key; snapshot 2: %5 keys deleted, %3 bumped
+      val s2 = o.filter(col("k") % 5 =!= 0)
+        .withColumn("v", col("v") +
+          when(col("k") % 3 === 0, 7L).otherwise(0L))
+      def cmds(df: org.apache.spark.sql.DataFrame, del: Boolean) =
+        df.withColumn("_deleted", lit(del))
+      pipe.emitOutputs(pipe.step(Map("kv" -> cmds(o, del = false))))
+      pipe.emitOutputs(pipe.step(Map("kv" ->
+        cmds(s2, del = false).unionByName(
+          cmds(o.filter(col("k") % 5 === 0), del = true)))))
+      // decode the wire lines back: one row per envelope
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      val lines = s.read.text(s"$outDir/wire")
+      Seq("insert", "update", "delete").map { op =>
+        lines.select(get_json_object(col("value"), s"$$.$op").as("body"))
+          .filter(col("body").isNotNull)
+          .select(lit(op).as("op"),
+            from_json(col("body"), schema).as("r"))
+          .select(col("op"), col("r.k").as("k"), col("r.v").as("v"))
+      }.reduce(_ unionByName _)
     }
   )
 }
