@@ -113,7 +113,7 @@ object Ddl {
     * Quote-aware: `''` inside a quoted string is an escaped quote, not a
     * string boundary.
     */
-  private[ddl] def statements(program: String): Seq[String] = {
+  private[graft] def statements(program: String): Seq[String] = {
     val out = mutable.Buffer[String]()
     val sb = new StringBuilder
     var depth = 0

@@ -1411,25 +1411,57 @@ final class Pipeline(spark: SparkSession,
     * keep their current session registration.
     */
   def adHoc(sql: String): DataFrame = {
-    tableNames.filter(tableState.contains).foreach(n =>
-      multisetOf(n, tableState).createOrReplaceTempView(n))
-    program.views.map(_.name).filter(viewState.contains).foreach(v =>
-      multisetOf(v, viewState).createOrReplaceTempView(v))
-    errorState.createOrReplaceTempView("error_view")
+    def bindCurrent(): Unit = {
+      tableNames.filter(tableState.contains).foreach(n =>
+        multisetOf(n, tableState).createOrReplaceTempView(n))
+      program.views.map(_.name).filter(viewState.contains).foreach(v =>
+        multisetOf(v, viewState).createOrReplaceTempView(v))
+      errorState.createOrReplaceTempView("error_view")
+    }
+    bindCurrent()
+    def one(stmt: String): DataFrame = stmt match {
+      case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
+      case _ => spark.sql(stmt)
+    }
     sql match {
       case Pipeline.PrepExecRe(pname, body, ename, argList) =>
         require(pname.equalsIgnoreCase(ename),
           s"ad-hoc EXECUTE $ename does not name the prepared statement " +
             s"$pname (names do not persist across requests; PREPARE and " +
             "its EXECUTE must arrive in the same request)")
-        val bound = Pipeline.bindParams(
-          body, Pipeline.splitArgs(Option(argList).getOrElse("")))
-        bound match {
-          case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
-          case _ => spark.sql(bound)
-        }
-      case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
-      case _ => spark.sql(sql)
+        one(Pipeline.bindParams(
+          body, Pipeline.splitArgs(Option(argList).getOrElse(""))))
+      case _ => graft.ddl.Ddl.statements(sql) match {
+        case Seq() => sys.error("empty ad-hoc request")
+        case Seq(single) => one(single)
+        case stmts =>
+          // multi-statement request (ad-hoc.md "read-after-write"): every
+          // statement READS the single consistent snapshot captured at
+          // request start — intermediate INSERTs apply to the pipeline
+          // but are not observed by later statements in the request. The
+          // captured frames are immutable, so rebinding them before each
+          // statement pins the snapshot even across the INSERTs' steps.
+          val snapTables = tableNames.filter(tableState.contains)
+            .map(n => n -> multisetOf(n, tableState)).toMap
+          val snapViews = program.views.map(_.name)
+            .filter(viewState.contains)
+            .map(v => v -> multisetOf(v, viewState)).toMap
+          val snapErr = errorState
+          def bindSnapshot(): Unit = {
+            snapTables.foreach { case (n, df) =>
+              df.createOrReplaceTempView(n) }
+            snapViews.foreach { case (v, df) =>
+              df.createOrReplaceTempView(v) }
+            snapErr.createOrReplaceTempView("error_view")
+          }
+          val out = stmts.map { stmt =>
+            bindSnapshot()
+            one(stmt)
+          }.last
+          // leave the session on CURRENT state for later callers
+          bindCurrent()
+          out
+      }
     }
   }
 

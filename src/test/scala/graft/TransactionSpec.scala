@@ -95,6 +95,22 @@ class TransactionSpec extends SparkSpec {
     assert(got === Seq((1L, 12L), (3L, 30L)))
   }
 
+  test("multi-statement ad-hoc reads one snapshot captured at start") {
+    // ad-hoc.md "Read-after-write": a trailing SELECT does NOT observe
+    // earlier INSERTs of the same request, though they apply for later
+    // requests
+    val pipe = Pipeline(spark, programSql)
+    pipe.step(Map("ev" -> chunk(0, 10)))
+    val n0 = pipe.adHoc(
+      """INSERT INTO ev VALUES (100, 1, 2.0);
+        |SELECT CAST(SUM(n) AS BIGINT) AS total FROM agg""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n0 === 10L, "the SELECT must see the pre-request snapshot")
+    val n1 = pipe.adHoc("SELECT CAST(SUM(n) AS BIGINT) AS total FROM agg")
+      .collect().head.getLong(0)
+    assert(n1 === 11L, "the INSERT must apply for subsequent requests")
+  }
+
   test("ad-hoc INSERT and connector ingest join an open transaction") {
     val pipe = Pipeline(spark, programSql)
     val id = pipe.startTransaction()
