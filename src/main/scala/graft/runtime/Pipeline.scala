@@ -262,6 +262,90 @@ final class Pipeline(spark: SparkSession,
       s""""connectors": {$conns}, "errors": ${n(errorState)}}"""
   }
 
+  // --------------------------------------------------------- bootstrapping
+
+  /** Modify the pipeline while preserving its state — BOOTSTRAPPING
+    * (pipelines/modifying.md): build a new [[Pipeline]] from modified
+    * program SQL without re-ingesting input data. Carried over:
+    *
+    *   - integrated state of every table whose column definitions are
+    *     unchanged (the expensive asset at scale — the ingested history);
+    *     a table whose schema changed (or was removed) drops its state,
+    *     matching the reference's re-ingest requirement;
+    *   - PRIMARY-KEY presence state of carried tables, so later upsert
+    *     batches still resolve overwrites/deletes against history.
+    *
+    * Every view of the new program — new, modified, and unchanged — is
+    * then rebuilt by replaying the carried table snapshots as ONE seed
+    * step through the normal step machinery, which reconstructs all
+    * derived state (view contents, hidden join bodies, semi/anti
+    * indicators) exactly as a first step would; correctness therefore
+    * never depends on surgically transplanting internal indexes. (The
+    * reference additionally skips recomputing unaffected views; here
+    * they cost one local batch evaluation — the part bootstrapping
+    * eliminates, re-reading source history, is eliminated too.)
+    *
+    * Returns the new pipeline and the BOOTSTRAP OUTPUT DELTAS a restart
+    * must push to sinks: full content for views new to the program, a
+    * content diff (new minus old, retractions included) for views whose
+    * SQL or transitive inputs changed, and nothing for stable views —
+    * their sinks are already current.
+    */
+  def migrate(newProgramSql: String): (Pipeline, Map[String, DataFrame]) = {
+    require(txnOpen.isEmpty, "cannot migrate with a transaction in progress")
+    val newProg = Ddl.parse(newProgramSql)
+    val next = new Pipeline(spark, newProg, traceBacked, traceMemRows)
+
+    // tables carried over: same name, identical column definitions
+    val carriedTables = newProg.tables
+      .filter(t => program.tables.find(_.name == t.name)
+        .exists(_.columns == t.columns))
+      .map(_.name)
+      .filter(tableState.contains)
+      .toSet
+
+    // stability: unchanged SQL and every transitively-referenced input
+    // carried/stable — computed on the NEW program's bindings (the
+    // constructor registered them), declaration order resolves deps
+    val oldViewSql = program.views.map(v => v.name -> v.sql).toMap
+    val known = (newProg.tables.map(_.name)
+      ++ newProg.views.map(_.name)).toSet
+    val leaf = graft.incremental.Ivm.leafFn(spark, known)
+    val stable = mutable.Set[String]() ++ carriedTables
+    newProg.views.foreach { v =>
+      val deps = graft.incremental.Ivm
+        .leafNodes(spark.sql(v.sql).queryExecution.analyzed, leaf)
+        .map(_._1).toSet
+      if (oldViewSql.get(v.name).contains(v.sql) && deps.subsetOf(stable))
+        stable += v.name
+      ()
+    }
+
+    // seed step: replay carried table snapshots (already canonical
+    // Z-sets) through the new pipeline — rebuilds every view and every
+    // hidden state the step machinery maintains
+    val seed = carriedTables.map(n => n -> tableState(n)).toMap
+    val out = if (seed.isEmpty) Map.empty[String, DataFrame]
+      else next.step(seed)
+    // PK presence state of carried tables survives the migration
+    carriedTables.foreach(n =>
+      upsertState.get(n).foreach(st => next.upsertState(n) = st))
+
+    val bootstrap = newProg.views.flatMap { v =>
+      if (stable(v.name)) None
+      else out.get(v.name).map { full =>
+        v.name -> (viewState.get(v.name) match {
+          // modified/affected view that existed before: sinks hold the
+          // OLD content — emit the diff
+          case Some(prev) => ZSets.consolidate(
+            full.unionByName(ZSets.negate(prev)))
+          case None => full // new view: full content
+        })
+      }
+    }.toMap
+    (next, bootstrap)
+  }
+
   // ---------------------------------------------------------- transactions
 
   /** Transactional bulk ingest (pipelines/transactions.md): between
