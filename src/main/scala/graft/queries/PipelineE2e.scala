@@ -317,6 +317,53 @@ object PipelineE2e {
       pipe.adHoc("SELECT * FROM agg").crossJoin(broadcast(mid))
     },
 
+    // Bootstrapping (pipelines/modifying.md), graded end-to-end: the
+    // pipeline runs two steps under program v1, MIGRATES to v2 (the view
+    // gains a filter + a projection change, a new view appears), then
+    // runs a third step on the migrated pipeline. Table history carries
+    // over without re-ingest; the oracle is plain batch SQL of the v2
+    // program over all three chunks.
+    Q(
+      "pipeline_migrate",
+      """WITH o AS (SELECT o_orderkey, o_custkey % 40 AS grp, o_totalprice AS v
+        |           FROM orders WHERE o_orderkey <= 30000),
+        |agg AS (SELECT grp, COUNT(*) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |  FROM o WHERE v >= 1000 GROUP BY grp),
+        |hi AS (SELECT COUNT(*) AS n_hi FROM o WHERE v >= 100000)
+        |SELECT agg.grp, agg.n, agg.sv, hi.n_hi FROM agg, hi""".stripMargin) {
+      (s, dir) =>
+      val prog1 =
+        """CREATE TABLE o (o_orderkey BIGINT, grp BIGINT, v DOUBLE);
+          |CREATE VIEW agg AS
+          |  SELECT grp, COUNT(*) AS n,
+          |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv
+          |  FROM o GROUP BY grp;""".stripMargin
+      // v2: agg gains a value filter; hi is new
+      val prog2 =
+        """CREATE TABLE o (o_orderkey BIGINT, grp BIGINT, v DOUBLE);
+          |CREATE VIEW agg AS
+          |  SELECT grp, COUNT(*) AS n,
+          |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv
+          |  FROM o WHERE v >= 1000 GROUP BY grp;
+          |CREATE VIEW hi AS
+          |  SELECT COUNT(*) AS n_hi FROM o WHERE v >= 100000;""".stripMargin
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 30000)
+        .select(col("o_orderkey"), (col("o_custkey") % 40).as("grp"),
+          col("o_totalprice").as("v"))
+        .localCheckpoint(true)
+      val p1 = Pipeline(s, prog1)
+      p1.step(Map("o" -> ZSets.lift(o.filter(col("o_orderkey") % 3 === 0))))
+      p1.step(Map("o" -> ZSets.lift(o.filter(col("o_orderkey") % 3 === 1))))
+      val (p2, bootstrap) = p1.migrate(prog2)
+      require(bootstrap.keySet == Set("agg", "hi"),
+        s"expected bootstrap deltas for the modified and new views, " +
+          s"got ${bootstrap.keySet}")
+      p2.step(Map("o" -> ZSets.lift(o.filter(col("o_orderkey") % 3 === 2))))
+      p2.adHoc("SELECT * FROM agg").crossJoin(broadcast(
+        p2.adHoc("SELECT * FROM hi")))
+    },
+
     // Unique keys (connectors/unique_keys.md), graded end-to-end: a PK
     // table drives a view through an INDEXED file connector; each step's
     // output delta lands as atomic upsert envelopes ({"update": …}
