@@ -95,6 +95,58 @@ class PipelineMigrateSpec extends SparkSpec {
       .head.getLong(0) === 4L)
   }
 
+  test("LATENESS waterline reconstructs through the seed step") {
+    // the carried rows contain the max observed ts, so replaying them
+    // re-derives the old waterline: a row the pre-migration pipeline
+    // would discard as late stays discarded post-migration
+    val prog =
+      """CREATE TABLE ev (k BIGINT NOT NULL,
+        |  ts TIMESTAMP LATENESS INTERVAL 1 HOUR);
+        |CREATE VIEW cnt AS SELECT COUNT(*) AS n FROM ev;""".stripMargin
+    import spark.implicits._
+    def batch(rows: (Long, String)*): DataFrame =
+      rows.toSeq.toDF("k", "s")
+        .select(col("k"), col("s").cast("timestamp").as("ts"))
+        .withColumn(ZSets.W, lit(1L))
+    val p1 = Pipeline(spark, prog)
+    p1.step(Map("ev" -> batch(
+      (1L, "2026-01-01 10:00:00"), (2L, "2026-01-01 12:00:00"))))
+    val (p2, _) = p1.migrate(prog)
+    // 10:00 is below the reconstructed waterline (12:00 - 1h) → discarded
+    p2.step(Map("ev" -> batch((3L, "2026-01-01 10:30:00"),
+      (4L, "2026-01-01 12:30:00"))))
+    assert(p2.adHoc("SELECT * FROM cnt").collect().head.getLong(0) === 3L)
+    assert(p2.adHoc("SELECT COUNT(*) AS e FROM error_view")
+      .collect().head.getLong(0) === 1L)
+  }
+
+  test("recursive programs migrate: closure continues incrementally") {
+    val prog =
+      """CREATE TABLE edges (src BIGINT, dst BIGINT);
+        |DECLARE RECURSIVE VIEW closure (src BIGINT, dst BIGINT);
+        |CREATE VIEW closure AS
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src;"""
+        .stripMargin
+    import spark.implicits._
+    def edges(rows: (Long, Long)*): DataFrame =
+      rows.toSeq.toDF("src", "dst").withColumn(ZSets.W, lit(1L))
+    val p1 = Pipeline(spark, prog)
+    p1.step(Map("edges" -> edges((1L, 2L), (2L, 3L))))
+    val (p2, deltas) = p1.migrate(prog)
+    // identical program: closure is recursive → always rebuilt, and its
+    // bootstrap diff must be EMPTY (content unchanged)
+    deltas.get("closure").foreach { d =>
+      assert(ZSets.consolidate(d).filter(col(ZSets.W) =!= 0).count() === 0L)
+    }
+    p2.step(Map("edges" -> edges((3L, 4L))))
+    val got = p2.adHoc("SELECT * FROM closure")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+  }
+
   test("PRIMARY KEY presence state survives migration") {
     val prog =
       """CREATE TABLE kv (k BIGINT NOT NULL, v BIGINT, PRIMARY KEY (k));
