@@ -290,6 +290,11 @@ final class Pipeline(spark: SparkSession,
     * content diff (new minus old, retractions included) for views whose
     * SQL or transitive inputs changed, and nothing for stable views —
     * their sinks are already current.
+    *
+    * The seed step and the returned deltas reference the OLD pipeline's
+    * state frames lazily; keep the old pipeline (and its trace storage,
+    * if trace-backed) alive until the new pipeline has taken a step or
+    * the caller has consumed the bootstrap deltas.
     */
   def migrate(newProgramSql: String): (Pipeline, Map[String, DataFrame]) = {
     require(txnOpen.isEmpty, "cannot migrate with a transaction in progress")
