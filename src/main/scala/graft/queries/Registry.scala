@@ -17,6 +17,7 @@ object Registry {
       LlmOps.queries ++
       Incremental.queries ++
       PipelineE2e.queries ++
+      ConnectorsE2e.queries ++
       Extras.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -20,11 +20,14 @@ import graft.zset.ZSets
   *    (transport/datagen.rs's role; seeded, reproducible)
   *  - `jdbc_input` / `postgresql_input` → Spark's JDBC source (tested
   *    against the embedded Derby driver in this environment)
-  *  - `kafka_input`, `delta_table_input`, `iceberg_input` → dispatch to the
-  *    corresponding DataSource format, JAR-GATED: the code path resolves
-  *    the format at runtime and raises a precise error when the connector
-  *    jar is absent (none of the three ship in this container), rather
-  *    than failing inside Spark's classloader.
+  *  - `delta_table_input` / `delta_table_output` → the NATIVE Delta log
+  *    reader/writer in [[DeltaLake]] (snapshot/follow/snapshot_and_follow/
+  *    cdc modes; no delta jar needed — the log protocol is JSON+parquet)
+  *  - `kafka_input`, `iceberg_input` → dispatch to the corresponding
+  *    DataSource format, JAR-GATED: the code path resolves the format at
+  *    runtime and raises a precise error when the connector jar is absent
+  *    (neither ships in this container), rather than failing inside
+  *    Spark's classloader.
   *
   * Sink side: [[writeView]] covers file/jdbc/noop sinks symmetrically.
   */
@@ -174,11 +177,93 @@ object Connectors {
           conf.formatConfig.get("avro_schema"),
           conf.formatConfig.get("registry_urls"))
       case "delta_table_input" =>
-        requireFormat(spark, "delta", "delta_table_input")
-        ZSets.lift(spark.read.format("delta").load(conf.config("uri")))
+        // native Delta log reader (sources/DeltaLake.scala) — no delta
+        // jar needed; object-store URIs additionally need their Hadoop
+        // FileSystem on the classpath (same probe as s3_input)
+        val uri = conf.config("uri")
+        val scheme = Option(java.net.URI.create(uri).getScheme)
+          .getOrElse("file")
+        if (!Set("file", "hdfs").contains(scheme)) try {
+          org.apache.hadoop.fs.FileSystem.getFileSystemClass(
+            scheme, spark.sparkContext.hadoopConfiguration); ()
+        } catch {
+          case scala.util.control.NonFatal(_) => sys.error(
+            s"delta_table_input needs a Hadoop FileSystem for scheme " +
+              s"'$scheme' (add the object-store jars and credentials)")
+        }
+        val cf = conf.config
+        val mode = cf.getOrElse("mode", "snapshot")
+        val version = cf.get("version").orElse(cf.get("start_version"))
+          .map(_.toLong)
+        val endVersion = cf.get("end_version").map(_.toLong)
+        val datetime = cf.get("datetime")
+        val startV = version
+          .orElse(datetime.map(DeltaLake.versionAt(spark, uri, _)))
+        mode match {
+          case "snapshot" =>
+            ZSets.lift(DeltaLake.snapshot(spark, uri, version, datetime,
+              cf.get("filter"), cf.get("snapshot_filter")))
+          case "follow" =>
+            DeltaLake.changes(spark, uri,
+              startV.getOrElse(DeltaLake.reconstruct(spark, uri).version),
+              endVersion, cf.get("filter"))
+          case "snapshot_and_follow" =>
+            val snapV = startV.getOrElse(
+              DeltaLake.reconstruct(spark, uri).version)
+            ZSets.lift(DeltaLake.snapshot(spark, uri, Some(snapV), None,
+                cf.get("filter"), cf.get("snapshot_filter")))
+              .unionAll(DeltaLake.changes(spark, uri, snapV, endVersion,
+                cf.get("filter")))
+          case "cdc" =>
+            DeltaLake.cdc(spark, uri,
+              startV.getOrElse(-1L),
+              cf.get("cdc_delete_filter").orElse(cf.get("cdc_delete_filer")),
+              cf.get("cdc_order_by"), endVersion, cf.get("filter"))
+          case other => sys.error(s"delta_table_input: unknown mode $other")
+        }
       case "iceberg_input" =>
-        requireFormat(spark, "iceberg", "iceberg_input")
-        ZSets.lift(spark.read.format("iceberg").load(conf.config("uri")))
+        // native Iceberg metadata reader (sources/IcebergLake.scala) — no
+        // iceberg jar needed. metadata_location = catalog-free snapshot
+        // (the doc's direct-read path); a table directory with
+        // metadata/version-hint.text (the Hadoop catalog layout) also
+        // supports follow / snapshot_and_follow. REST/Glue catalogs need
+        // live services absent here.
+        val cf = conf.config
+        require(!cf.contains("catalog_type"),
+          s"iceberg_input catalog_type=${cf("catalog_type")} needs a live " +
+            "catalog service; use metadata_location (direct read) or a " +
+            "filesystem table dir (version-hint.text)")
+        val snapId = cf.get("snapshot_id").map(_.toLong)
+        val endId = cf.get("end_snapshot_id").map(_.toLong)
+        val datetime = cf.get("datetime")
+        val mode = cf.getOrElse("mode", "snapshot")
+        val metaLoc = cf.get("metadata_location")
+        require(mode == "snapshot" || metaLoc.isEmpty,
+          "follow modes cannot be used with metadata_location " +
+            "(it pins a fixed snapshot); point uri at the table directory")
+        val tableDir = cf.get("uri").orElse(cf.get("path"))
+        def resolvedMeta = metaLoc.getOrElse(
+          IcebergLake.currentMetadata(spark, tableDir.getOrElse(
+            sys.error("iceberg_input: set metadata_location or uri"))))
+        mode match {
+          case "snapshot" =>
+            ZSets.lift(IcebergLake.snapshot(spark, resolvedMeta, snapId,
+              datetime, cf.get("snapshot_filter")))
+          case "follow" =>
+            val meta = IcebergLake.readMetadata(spark, resolvedMeta)
+            val start = snapId.orElse(meta.currentSnapshotId)
+            IcebergLake.changes(spark, tableDir.get, start, endId,
+              cf.get("filter"))
+          case "snapshot_and_follow" =>
+            val start = snapId
+            ZSets.lift(IcebergLake.snapshot(spark, resolvedMeta, start,
+                datetime, cf.get("snapshot_filter")))
+              .unionAll(IcebergLake.changes(spark, tableDir.get,
+                start.orElse(IcebergLake.readMetadata(spark, resolvedMeta)
+                  .currentSnapshotId),
+                endId, cf.get("filter")))
+          case other => sys.error(s"iceberg_input: unknown mode $other")
+        }
       case "s3_input" =>
         // object storage is a FILESYSTEM to Spark: an s3a:// path through
         // the normal file readers, provided hadoop-aws + credentials are
@@ -363,6 +448,14 @@ object Connectors {
           .option("dbtable", conf.config("table"))
         conf.config.get("driver").map(d => w.option("driver", d))
           .getOrElse(w).save()
+      case "delta_table_output" =>
+        // docs/connectors/sinks/delta.md: deltas append as a change log
+        // with __feldera_op / __feldera_ts metadata columns (the merge
+        // job is DeltaLake.integrateChangeLog)
+        val d = if (df.columns.contains(graft.zset.ZSets.W)) df
+          else graft.zset.ZSets.lift(df)
+        DeltaLake.writeDelta(d.sparkSession, conf.config("uri"), d,
+          System.currentTimeMillis()); ()
       case "null_output" => df.write.format("noop").mode("overwrite").save()
       case other => sys.error(s"unknown sink transport: $other")
     }

@@ -1,0 +1,523 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.zset.ZSets
+
+/** Native Delta Lake table support — log protocol reader + append writer —
+  * with zero dependencies beyond Spark itself (the `_delta_log` is plain
+  * JSON + parquet).
+  *
+  * Implements the reference's Delta connectors
+  * (docs/connectors/sources/delta.md, docs/connectors/sinks/delta.md;
+  * crates/adapters/src/transport/delta_table/):
+  *
+  *  - read modes `snapshot`, `follow`, `snapshot_and_follow`, `cdc`
+  *    (delete rows via `cdc_delete_filter`, update order via
+  *    `cdc_order_by`), `version`/`datetime`/`end_version` pinning, and
+  *    `filter`/`snapshot_filter` row predicates;
+  *  - sink: every output delta appends as a change log with the
+  *    documented `__feldera_op` / `__feldera_ts` metadata columns.
+  *
+  * Scale notes. The transaction log is METADATA — KBs per commit — so
+  * driver-side JSON replay is the standard design (delta-rs and Spark's
+  * own DeltaLog do the same); state reconstruction starts from the latest
+  * parquet checkpoint at or below the target version, so replay cost is
+  * O(commits since checkpoint), not O(table age). Data files are read as
+  * ordinary distributed parquet scans. Partitioned snapshots are built as
+  * a union of per-partition-tuple scans whose partition columns are
+  * LITERALS: a `filter`/`snapshot_filter` over partition columns
+  * constant-folds per branch, so Catalyst prunes non-matching partitions
+  * to empty relations at plan time — Delta's partition pruning for free.
+  */
+object DeltaLake {
+
+  private val mapper = new ObjectMapper()
+
+  /** One data file of a table version (the `add` action's fields the
+    * reader needs).
+    */
+  final case class AddFile(path: String,
+      partitionValues: Map[String, String], size: Long)
+
+  /** Reconstructed table state at one version. */
+  final case class Snapshot(version: Long, schema: StructType,
+      partitionColumns: Seq[String], files: Seq[AddFile],
+      /** commitInfo/in-commit timestamp per replayed version (for
+        * `datetime` resolution).
+        */
+      timestamps: Map[Long, Long])
+
+  private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def logDir(dir: String) = new Path(dir, "_delta_log")
+
+  /** List commit versions present as JSON files, ascending. */
+  private def commitVersions(f: FileSystem, log: Path): Seq[Long] =
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong).sorted
+
+  /** `_last_checkpoint` pointer, if one exists and is at or below
+    * `maxVersion`.
+    */
+  private def checkpointAt(spark: SparkSession, f: FileSystem, log: Path,
+      maxVersion: Long): Option[Long] = {
+    val ptr = new Path(log, "_last_checkpoint")
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      val node = try mapper.readTree(in) finally in.close()
+      Some(node.get("version").asLong()).filter(_ <= maxVersion)
+    }
+  }
+
+  /** Replay the log into a [[Snapshot]] at `version` (latest when None).
+    * Starts from the newest eligible parquet checkpoint, then applies
+    * JSON commits after it.
+    */
+  def reconstruct(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Snapshot = {
+    val (f, _) = fs(spark, dir)
+    val log = logDir(dir)
+    val versions = commitVersions(f, log)
+    require(versions.nonEmpty || checkpointAt(spark, f, log, Long.MaxValue).isDefined,
+      s"not a Delta table (no _delta_log commits): $dir")
+    val target = version.getOrElse(
+      (versions ++ checkpointAt(spark, f, log, Long.MaxValue)).max)
+    val ckpt = checkpointAt(spark, f, log, target)
+
+    var schema: StructType = null
+    var partCols: Seq[String] = Seq.empty
+    // path → AddFile; removes delete keys
+    val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val stamps = scala.collection.mutable.Map[Long, Long]()
+
+    ckpt.foreach { cv =>
+      // checkpoint parquet: one row per action with nullable structs
+      // add / remove / metaData (read via Spark — the checkpoint can be
+      // large on wide tables, but we only collect add paths + partition
+      // values + metaData, never data)
+      val cp = spark.read.parquet(
+        new Path(log, f"$cv%020d.checkpoint.parquet").toString)
+      val cols = cp.columns.toSet
+      if (cols.contains("metaData")) {
+        cp.select("metaData.schemaString", "metaData.partitionColumns")
+          .where(col("metaData").isNotNull).collect().foreach { r =>
+            schema = DataType.fromJson(r.getString(0)).asInstanceOf[StructType]
+            partCols = r.getSeq[String](1)
+          }
+      }
+      if (cols.contains("add")) {
+        cp.select("add.path", "add.partitionValues", "add.size")
+          .where(col("add").isNotNull).collect().foreach { r =>
+            live(r.getString(0)) = AddFile(r.getString(0),
+              Option(r.getMap[String, String](1)).map(_.toMap)
+                .getOrElse(Map.empty), r.getLong(2))
+          }
+      }
+    }
+
+    versions.filter(v => v <= target && ckpt.forall(v > _)).foreach { v =>
+      val in = f.open(new Path(log, f"$v%020d.json"))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      lines.foreach { line =>
+        val a = mapper.readTree(line)
+        if (a.has("metaData")) {
+          val m = a.get("metaData")
+          schema = DataType.fromJson(m.get("schemaString").asText())
+            .asInstanceOf[StructType]
+          partCols = Option(m.get("partitionColumns")).toSeq
+            .flatMap(_.elements().asScala.map(_.asText()))
+        }
+        if (a.has("add")) {
+          val ad = a.get("add")
+          live(ad.get("path").asText()) = AddFile(ad.get("path").asText(),
+            partValues(ad.get("partitionValues")),
+            Option(ad.get("size")).map(_.asLong()).getOrElse(0L))
+        }
+        if (a.has("remove")) live.remove(a.get("remove").get("path").asText())
+        if (a.has("commitInfo")) {
+          val ci = a.get("commitInfo")
+          if (ci.has("timestamp")) stamps(v) = ci.get("timestamp").asLong()
+        }
+      }
+      if (!stamps.contains(v))
+        stamps(v) = f.getFileStatus(new Path(log, f"$v%020d.json"))
+          .getModificationTime
+    }
+    require(schema != null,
+      s"Delta log has no metaData action at or below version $target: $dir")
+    Snapshot(target, schema, partCols, live.values.toSeq, stamps.toMap)
+  }
+
+  private def partValues(node: JsonNode): Map[String, String] =
+    if (node == null) Map.empty
+    else node.properties().asScala
+      .map(e => e.getKey -> (if (e.getValue.isNull) null
+        else e.getValue.asText())).toMap
+
+  /** Resolve `datetime` (ISO-8601) to the newest version whose commit
+    * timestamp is at or before it (delta.md: "based on the server time
+    * recorded in the transaction log").
+    */
+  def versionAt(spark: SparkSession, dir: String, datetime: String): Long = {
+    val snap = reconstruct(spark, dir, None)
+    val cut = java.time.OffsetDateTime.parse(datetime).toInstant.toEpochMilli
+    val eligible = snap.timestamps.filter(_._2 <= cut).keys
+    require(eligible.nonEmpty,
+      s"no Delta commit at or before $datetime in $dir")
+    eligible.max
+  }
+
+  /** Read the rows added by exactly one data file set, with partition
+    * columns attached as literals. `files` must share one partitionValues
+    * tuple.
+    */
+  private def readGroup(spark: SparkSession, dir: String,
+      snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+    val paths = files.map(a => new Path(dir,
+      java.net.URLDecoder.decode(a.path, "UTF-8")).toString)
+    val dataSchema = StructType(snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    val base = spark.read.schema(dataSchema).parquet(paths: _*)
+    val pv = files.head.partitionValues
+    val withParts = snap.partitionColumns.foldLeft(base) { (df, c) =>
+      val dt = snap.schema(c).dataType
+      df.withColumn(c, lit(pv.getOrElse(c, null)).cast(dt))
+    }
+    // restore declared column order
+    withParts.select(snap.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** The full content of a file set as one DataFrame (union of
+    * per-partition-tuple scans; empty-table safe).
+    */
+  private def readFiles(spark: SparkSession, dir: String, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else files.groupBy(_.partitionValues).values.toSeq
+      .map(g => readGroup(spark, dir, snap, g))
+      .reduce(_.unionAll(_))
+
+  /** Snapshot read: the table's rows at `version` / `datetime` (latest
+    * when neither is set), with optional `filter` and `snapshot_filter`
+    * predicates (both are plain SQL boolean expressions; predicates over
+    * partition columns prune branches at plan time).
+    */
+  def snapshot(spark: SparkSession, dir: String,
+      version: Option[Long] = None, datetime: Option[String] = None,
+      filter: Option[String] = None,
+      snapshotFilter: Option[String] = None): DataFrame = {
+    require(version.isEmpty || datetime.isEmpty,
+      "at most one of version and datetime can be specified")
+    val v = version.orElse(datetime.map(versionAt(spark, dir, _)))
+    val snap = reconstruct(spark, dir, v)
+    val df = readFiles(spark, dir, snap, snap.files)
+    Seq(filter, snapshotFilter).flatten.foldLeft(df)((d, p) => d.where(expr(p)))
+  }
+
+  /** Follow the log after `startVersion` up to `endVersion` (inclusive):
+    * each commit's added files contribute +1 rows and removed files −1
+    * rows — a Z-set delta stream, the connector's `follow` mode. Removed
+    * files are re-read for their content (they remain on storage until
+    * VACUUM; the same contract the reference's follow mode relies on).
+    */
+  def changes(spark: SparkSession, dir: String, startVersion: Long,
+      endVersion: Option[Long] = None,
+      filter: Option[String] = None): DataFrame = {
+    val (f, _) = fs(spark, dir)
+    val log = logDir(dir)
+    val snap = reconstruct(spark, dir, None)
+    val vs = commitVersions(f, log)
+      .filter(v => v > startVersion && endVersion.forall(v <= _))
+    val deltas = vs.flatMap { v =>
+      val in = f.open(new Path(log, f"$v%020d.json"))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      val adds = scala.collection.mutable.ArrayBuffer[AddFile]()
+      val removes = scala.collection.mutable.ArrayBuffer[AddFile]()
+      lines.foreach { line =>
+        val a = mapper.readTree(line)
+        if (a.has("add")) {
+          val ad = a.get("add")
+          adds += AddFile(ad.get("path").asText(),
+            partValues(ad.get("partitionValues")),
+            Option(ad.get("size")).map(_.asLong()).getOrElse(0L))
+        }
+        if (a.has("remove")) {
+          val rm = a.get("remove")
+          removes += AddFile(rm.get("path").asText(),
+            partValues(rm.get("partitionValues")), 0L)
+        }
+      }
+      Seq(ZSets.lift(readFiles(spark, dir, snap, adds.toSeq))) ++
+        (if (removes.isEmpty) Nil
+         else Seq(ZSets.negate(ZSets.lift(
+           readFiles(spark, dir, snap, removes.toSeq)))))
+    }
+    val all =
+      if (deltas.isEmpty)
+        ZSets.lift(readFiles(spark, dir, snap, Seq.empty))
+      else deltas.reduce(_.unionAll(_))
+    filter.foldLeft(all)((d, p) => d.where(expr(p)))
+  }
+
+  /** CDC mode (delta.md `mode = cdc`): the table is an append-only log of
+    * actions; only `add` files after `startVersion` are read (removes are
+    * log cleanup, ignored). `deleteFilter` marks deletion events (weight
+    * −1); `orderBy` — required for PK tables — must be castable to BIGINT
+    * and lands in `_seq` so upsert ingestion applies last-write-wins in
+    * update order WITHOUT a global sort (the reference requires a totally
+    * ordered column here for the same reason).
+    */
+  def cdc(spark: SparkSession, dir: String, startVersion: Long,
+      deleteFilter: Option[String], orderBy: Option[String],
+      endVersion: Option[Long] = None,
+      filter: Option[String] = None): DataFrame = {
+    val (f, _) = fs(spark, dir)
+    val log = logDir(dir)
+    val snap = reconstruct(spark, dir, None)
+    val vs = commitVersions(f, log)
+      .filter(v => v > startVersion && endVersion.forall(v <= _))
+    val adds = vs.flatMap { v =>
+      val in = f.open(new Path(log, f"$v%020d.json"))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      lines.flatMap { line =>
+        val a = mapper.readTree(line)
+        if (a.has("add")) {
+          val ad = a.get("add")
+          Some(AddFile(ad.get("path").asText(),
+            partValues(ad.get("partitionValues")),
+            Option(ad.get("size")).map(_.asLong()).getOrElse(0L)))
+        } else None
+      }
+    }
+    val rows = readFiles(spark, dir, snap, adds)
+    val filtered = filter.foldLeft(rows)((d, p) => d.where(expr(p)))
+    val weighted = deleteFilter match {
+      case Some(p) => filtered.withColumn(ZSets.W,
+        when(expr(p), lit(-1L)).otherwise(lit(1L)))
+      case None => ZSets.lift(filtered)
+    }
+    orderBy match {
+      case Some(o) => weighted.withColumn("_seq", expr(o).cast("long"))
+      case None => weighted
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Writer
+  // ------------------------------------------------------------------
+
+  /** Append `df` to the Delta table at `dir` as one commit; creates the
+    * table (protocol + metaData actions) on first write. Returns the
+    * committed version. Data lands as ordinary distributed parquet part
+    * files; only the commit JSON is written driver-side, atomically
+    * (create-no-overwrite — a concurrent committer loses and retries,
+    * the protocol's optimistic concurrency rule).
+    */
+  def append(spark: SparkSession, dir: String, df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    val (f, root) = fs(spark, dir)
+    val log = logDir(dir)
+    f.mkdirs(log)
+    val existing = commitVersions(f, log)
+    val version = if (existing.isEmpty) 0L else existing.max + 1
+
+    // stage part files in a scratch dir, then move them into the table
+    // root under unique names (the standard two-phase object-store commit)
+    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
+    val writer = if (partitionBy.nonEmpty)
+      df.write.partitionBy(partitionBy: _*) else df.write
+    writer.parquet(stage.toString)
+
+    def dataFiles(p: Path): Seq[Path] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) dataFiles(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty
+      }
+    val parts = dataFiles(stage)
+    val stageUri = f.makeQualified(stage).toUri
+    val adds = parts.map { p =>
+      // partition values from the hive-style staged path
+      val rel = stageUri.relativize(f.makeQualified(p).toUri).getPath
+      val pv = rel.split('/').dropRight(1).flatMap(_.split('=') match {
+        case Array(k, v) => Some(k ->
+          (if (v == "__HIVE_DEFAULT_PARTITION__") null
+           else java.net.URLDecoder.decode(v, "UTF-8")))
+        case _ => None
+      }).toMap
+      val name = s"part-$version-${java.util.UUID.randomUUID()}.parquet"
+      val sub = rel.split('/').dropRight(1).mkString("/")
+      val destDir = if (sub.isEmpty) root else new Path(root, sub)
+      f.mkdirs(destDir)
+      val dest = new Path(destDir, name)
+      require(f.rename(p, dest), s"stage move failed: $p -> $dest")
+      val relPath = (if (sub.isEmpty) name else s"$sub/$name")
+      AddFile(relPath, pv, f.getFileStatus(dest).getLen)
+    }
+    f.delete(stage, true)
+
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    val now = System.currentTimeMillis()
+    if (version == 0L) {
+      actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      val schemaJson = mapper.writeValueAsString(
+        StructType(df.schema.fields.map(_.copy(nullable = true))).json)
+      actions += s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$schemaJson,""" +
+        s""""partitionColumns":${partitionBy.map(p =>
+          "\"" + p + "\"").mkString("[", ",", "]")},""" +
+        s""""configuration":{},"createdTime":$now}}"""
+    }
+    adds.foreach { a =>
+      val pvJson = a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
+        mapper.writeValueAsString(k) + ":" +
+          (if (v == null) "null" else mapper.writeValueAsString(v))
+      }.mkString("{", ",", "}")
+      actions += s"""{"add":{"path":"${a.path}","partitionValues":$pvJson,""" +
+        s""""size":${a.size},"modificationTime":$now,"dataChange":true}}"""
+    }
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE"}}"""
+
+    val commit = new Path(log, f"$version%020d.json")
+    val out = f.create(commit, /* overwrite = */ false)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
+  /** Remove rows matching `pred` from the table: rewrite affected files
+    * (add survivors, remove originals) as one commit. A demo-grade DELETE
+    * for tests and the `follow` mode's retraction path; the production
+    * path at scale is the sink's change-log form below.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, pred: String): Long = {
+    val (f, root) = fs(spark, dir)
+    val snap = reconstruct(spark, dir, None)
+    // files whose content matches the predicate
+    val affected = snap.files.filter { a =>
+      readGroup(spark, dir, snap, Seq(a)).where(expr(pred)).limit(1)
+        .count() > 0
+    }
+    if (affected.isEmpty) return snap.version
+    val survivors = readFiles(spark, dir, snap, affected)
+      .where(not(expr(pred)))
+    val version = snap.version + 1
+    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
+    survivors.write.parquet(stage.toString)
+    val parts = f.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val now = System.currentTimeMillis()
+    val adds = parts.map { p =>
+      val name = s"part-$version-${java.util.UUID.randomUUID()}.parquet"
+      val dest = new Path(root, name)
+      require(f.rename(p, dest), s"stage move failed: $p -> $dest")
+      AddFile(name, Map.empty, f.getFileStatus(dest).getLen)
+    }
+    f.delete(stage, true)
+    val actions =
+      adds.map(a => s"""{"add":{"path":"${a.path}","partitionValues":{},""" +
+        s""""size":${a.size},"modificationTime":$now,"dataChange":true}}""") ++
+      affected.map(a =>
+        s"""{"remove":{"path":"${a.path}","deletionTimestamp":$now,""" +
+          s""""dataChange":true}}""") ++
+      Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE"}}""")
+    val out = f.create(new Path(logDir(dir), f"$version%020d.json"), false)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
+  /** Write a parquet checkpoint of the state at the latest version and
+    * point `_last_checkpoint` at it — the log-compaction step that bounds
+    * replay cost (and lets old JSON commits be cleaned up).
+    */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.Row
+    val (f, _) = fs(spark, dir)
+    val snap = reconstruct(spark, dir, None)
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType)))
+    val metaType = StructType(Seq(
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val ckptSchema = StructType(Seq(
+      StructField("add", addType), StructField("metaData", metaType)))
+    val rows =
+      Row(null, Row(snap.schema.json, snap.partitionColumns)) +:
+      snap.files.map(a => Row(Row(a.path, a.partitionValues, a.size), null))
+    val log = logDir(dir)
+    spark.createDataFrame(rows.asJava, ckptSchema).repartition(1)
+      .write.mode("overwrite")
+      .parquet(new Path(log, ".ckpt-tmp").toString)
+    val part = f.listStatus(new Path(log, ".ckpt-tmp")).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val dest = new Path(log, f"${snap.version}%020d.checkpoint.parquet")
+    f.delete(dest, false)
+    require(f.rename(part, dest), "checkpoint move failed")
+    f.delete(new Path(log, ".ckpt-tmp"), true)
+    val out = f.create(new Path(log, "_last_checkpoint"), true)
+    try out.write(
+      s"""{"version":${snap.version},"size":${snap.files.size + 1}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    snap.version
+  }
+
+  /** Sink form (docs/connectors/sinks/delta.md): a view output delta
+    * lands as an append of change-log records with the documented
+    * metadata columns — `__feldera_op` (`i` insert / `d` delete; weight
+    * sign) and `__feldera_ts` (monotone update stamp establishing apply
+    * order). |w| > 1 rows expand to that many records, matching the wire
+    * semantics of one record per multiset element.
+    */
+  def writeDelta(spark: SparkSession, dir: String, delta: DataFrame,
+      ts: Long): Long = {
+    require(delta.columns.contains(ZSets.W),
+      "delta sink expects a Z-set delta (weight column)")
+    val dataCols = ZSets.dataCols(delta).map(col)
+    val expanded = delta
+      .withColumn("__feldera_op",
+        when(col(ZSets.W) < 0, lit("d")).otherwise(lit("i")))
+      .withColumn("__feldera_ts", lit(ts))
+      .withColumn("_n", explode(sequence(lit(1L), abs(col(ZSets.W)))))
+      .select(dataCols :+ col("__feldera_op") :+ col("__feldera_ts"): _*)
+    append(spark, dir, expanded)
+  }
+
+  /** Reconstruct the current table contents from a change-log table
+    * written by [[writeDelta]] — the MERGE job the sink docs prescribe,
+    * expressed as a Z-set integration (Σ signed weights > 0 keeps the
+    * row).
+    */
+  def integrateChangeLog(log: DataFrame): DataFrame = {
+    val dataCols = log.columns.toSeq
+      .filterNot(Set("__feldera_op", "__feldera_ts"))
+    ZSets.positive(ZSets.consolidate(
+      log.withColumn(ZSets.W,
+        when(col("__feldera_op") === "d", lit(-1L)).otherwise(lit(1L)))
+        .select(dataCols.map(col) :+ col(ZSets.W): _*)))
+  }
+}

@@ -1,0 +1,458 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.zset.ZSets
+
+/** Native Apache Iceberg table support — catalog-free metadata reads plus
+  * a Hadoop-catalog (`version-hint.text`) follow mode — using only the
+  * Avro core library bundled with Spark (Iceberg metadata = JSON, its
+  * manifests = Avro container files, its data = parquet).
+  *
+  * Implements the reference's Iceberg input connector
+  * (docs/connectors/sources/iceberg.md;
+  * crates/adapters/src/transport/iceberg/):
+  *
+  *  - `metadata_location` direct reads (the doc's headline catalog-free
+  *    path): `snapshot` mode with `snapshot_id` / `datetime` selection
+  *    and `snapshot_filter`;
+  *  - `follow` / `snapshot_and_follow` over a filesystem table layout
+  *    (`metadata/version-hint.text`, the Hadoop catalog shape): snapshots
+  *    after the start are diffed by walking each manifest entry's status
+  *    (ADDED → +1 rows, DELETED → −1 rows);
+  *  - `end_snapshot_id` stops the walk at an exact snapshot id.
+  *
+  * Scale notes. Metadata/manifest files are KB-to-MB scale and read
+  * driver-side (what iceberg-rust and Spark's own SnapshotScan do); data
+  * files are distributed parquet scans. Iceberg data files carry ALL
+  * columns (partition transforms never strip columns), so a snapshot is
+  * ONE multi-file scan — no partition-literal reconstruction needed.
+  * Format-v2 row-level delete files (`content` = 1/2) are detected and
+  * rejected with a precise error instead of silently mis-reading.
+  */
+object IcebergLake {
+
+  private val mapper = new ObjectMapper()
+
+  final case class DataFileEntry(status: Int, path: String, format: String,
+      content: Int, recordCount: Long)
+
+  final case class TableMeta(location: String, schema: StructType,
+      currentSnapshotId: Option[Long],
+      /** snapshot-id → (manifest-list path, timestamp-ms, sequence) in
+        * commit order.
+        */
+      snapshots: Seq[(Long, String, Long)])
+
+  private def fs(spark: SparkSession, p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  private def readBytes(f: FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Iceberg JSON type → Spark type (primitives + nested structs/lists/
+    * maps; decimal(p,s), fixed/binary, timestamps).
+    */
+  private def toSpark(t: JsonNode): DataType =
+    if (t.isTextual) t.asText() match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "time" => LongType // micros-of-day; Spark TIME needs the flag
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "string" => StringType
+      case "uuid" => StringType
+      case "binary" => BinaryType
+      case s if s.startsWith("decimal") =>
+        val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, sc)
+      case s if s.startsWith("fixed") => BinaryType
+      case other => sys.error(s"iceberg type not mapped: $other")
+    } else t.get("type").asText() match {
+      case "struct" => StructType(t.get("fields").elements().asScala.map {
+        f => StructField(f.get("name").asText(), toSpark(f.get("type")),
+          !f.get("required").asBoolean(false))
+      }.toSeq)
+      case "list" => ArrayType(toSpark(t.get("element")),
+        !t.get("element-required").asBoolean(false))
+      case "map" => MapType(toSpark(t.get("key")), toSpark(t.get("value")),
+        !t.get("value-required").asBoolean(false))
+      case other => sys.error(s"iceberg type not mapped: $other")
+    }
+
+  /** Parse a table metadata JSON file. */
+  def readMetadata(spark: SparkSession, metadataLocation: String): TableMeta = {
+    val (f, p) = fs(spark, metadataLocation)
+    val root = mapper.readTree(readBytes(f, p))
+    val schemaNode = Option(root.get("schemas")) match {
+      case Some(schemas) if schemas.isArray && schemas.size() > 0 =>
+        val cur = Option(root.get("current-schema-id")).map(_.asInt())
+        schemas.elements().asScala.find(s => cur.forall(
+          _ == s.get("schema-id").asInt())).getOrElse(schemas.get(0))
+      case _ => root.get("schema") // format v1 single-schema field
+    }
+    require(schemaNode != null, s"no schema in $metadataLocation")
+    val schema = toSpark(schemaNode).asInstanceOf[StructType]
+    val snaps = Option(root.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).map { s =>
+        (s.get("snapshot-id").asLong(),
+          s.get("manifest-list").asText(),
+          Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L))
+      }
+    TableMeta(
+      Option(root.get("location")).map(_.asText())
+        .getOrElse(p.getParent.getParent.toString),
+      schema,
+      Option(root.get("current-snapshot-id")).map(_.asLong())
+        .filter(_ != -1L),
+      snaps)
+  }
+
+  /** Resolve a `file:` / relative manifest URI against the table root. */
+  private def resolve(meta: TableMeta, uri: String): String =
+    if (uri.contains("://") || uri.startsWith("/")) uri
+    else new Path(meta.location, uri).toString
+
+  /** Read an Avro container file into its generic records. */
+  private def avroRecords(f: FileSystem, p: Path): Vector[GenericRecord] = {
+    val in = f.open(p)
+    try {
+      val stream = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try stream.iterator().asScala.toVector finally stream.close()
+    } finally in.close()
+  }
+
+  /** All manifest entries of one snapshot: (status, data-file) pairs.
+    * Status: 0 existing, 1 added, 2 deleted (the manifest-entry spec).
+    */
+  def manifestEntries(spark: SparkSession, meta: TableMeta,
+      manifestList: String): Seq[DataFileEntry] = {
+    val (f, _) = fs(spark, meta.location)
+    val manifests = avroRecords(f, new Path(resolve(meta, manifestList)))
+      .map(_.get("manifest_path").toString)
+    manifests.flatMap { mp =>
+      avroRecords(f, new Path(resolve(meta, mp))).map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val content = Option(df.get("content"))
+          .map(_.asInstanceOf[Int]).getOrElse(0)
+        DataFileEntry(
+          e.get("status").asInstanceOf[Int],
+          df.get("file_path").toString,
+          Option(df.get("file_format")).map(_.toString)
+            .getOrElse("PARQUET"),
+          content,
+          Option(df.get("record_count")).map(_.asInstanceOf[Long])
+            .getOrElse(0L))
+      }
+    }
+  }
+
+  private[graft] def requireNoDeleteFiles(
+      entries: Seq[DataFileEntry]): Unit = {
+    val dels = entries.filter(_.content != 0)
+    require(dels.isEmpty,
+      s"iceberg v2 row-level delete files not supported " +
+        s"(${dels.size} delete file(s), e.g. ${dels.head.path}); " +
+        "compact the table (rewrite_data_files) first")
+  }
+
+  private def readPaths(spark: SparkSession, meta: TableMeta,
+      entries: Seq[DataFileEntry]): DataFrame = {
+    requireNoDeleteFiles(entries)
+    entries.foreach(e => require(e.format.equalsIgnoreCase("PARQUET"),
+      s"iceberg data file format not supported: ${e.format}"))
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else spark.read.schema(meta.schema)
+      .parquet(entries.map(e => resolve(meta, e.path)): _*)
+  }
+
+  /** Pick the snapshot: by id, by datetime (newest with timestamp ≤), or
+    * the current one.
+    */
+  private def pickSnapshot(meta: TableMeta, snapshotId: Option[Long],
+      datetime: Option[String]): Option[(Long, String, Long)] = {
+    require(snapshotId.isEmpty || datetime.isEmpty,
+      "at most one of snapshot_id and datetime can be specified")
+    snapshotId match {
+      case Some(id) =>
+        Some(meta.snapshots.find(_._1 == id).getOrElse(
+          sys.error(s"snapshot $id not in table history")))
+      case None => datetime match {
+        case Some(dt) =>
+          val cut = java.time.OffsetDateTime.parse(dt).toInstant.toEpochMilli
+          val eligible = meta.snapshots.filter(_._3 <= cut)
+          require(eligible.nonEmpty, s"no snapshot at or before $dt")
+          Some(eligible.maxBy(_._3))
+        case None => meta.currentSnapshotId.flatMap(id =>
+          meta.snapshots.find(_._1 == id))
+      }
+    }
+  }
+
+  /** Snapshot read from a metadata file location (the catalog-free path). */
+  def snapshot(spark: SparkSession, metadataLocation: String,
+      snapshotId: Option[Long] = None, datetime: Option[String] = None,
+      snapshotFilter: Option[String] = None): DataFrame = {
+    val meta = readMetadata(spark, metadataLocation)
+    val df = pickSnapshot(meta, snapshotId, datetime) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+      case Some((_, list, _)) =>
+        // a snapshot's manifest-list covers its FULL file set; deleted
+        // entries (status 2) record removal and are excluded
+        val entries = manifestEntries(spark, meta, list).filter(_.status != 2)
+        readPaths(spark, meta, entries)
+    }
+    snapshotFilter.foldLeft(df)((d, p) => d.where(expr(p)))
+  }
+
+  /** Latest metadata file of a filesystem (Hadoop-catalog) table:
+    * `metadata/version-hint.text` names the current version.
+    */
+  def currentMetadata(spark: SparkSession, tableDir: String): String = {
+    val (f, root) = fs(spark, tableDir)
+    val hint = new Path(root, "metadata/version-hint.text")
+    require(f.exists(hint),
+      s"not a filesystem iceberg table (no metadata/version-hint.text): " +
+        tableDir)
+    val v = new String(readBytes(f, hint), "UTF-8").trim
+    new Path(root, s"metadata/v$v.metadata.json").toString
+  }
+
+  /** Changes after `startSnapshotId` (exclusive) up to `endSnapshotId`
+    * (inclusive, exact-match contract per the doc): each later snapshot's
+    * ADDED entries contribute +1 rows and DELETED entries −1 rows — the
+    * connector's `follow` mode over a filesystem table.
+    */
+  def changes(spark: SparkSession, tableDir: String,
+      startSnapshotId: Option[Long],
+      endSnapshotId: Option[Long] = None,
+      filter: Option[String] = None): DataFrame = {
+    val meta = readMetadata(spark, currentMetadata(spark, tableDir))
+    val ordered = meta.snapshots.sortBy(_._3)
+    val startIdx = startSnapshotId match {
+      case Some(id) =>
+        val i = ordered.indexWhere(_._1 == id)
+        require(i >= 0, s"start snapshot $id not in table history")
+        i + 1
+      case None => 0
+    }
+    endSnapshotId.foreach(id => require(ordered.exists(_._1 == id),
+      s"end_snapshot_id $id not in table history " +
+        "(iceberg ids are unordered; the bound is an exact match)"))
+    val endIdx = endSnapshotId.map(id => ordered.indexWhere(_._1 == id))
+      .getOrElse(ordered.size - 1)
+    val walk = ordered.slice(startIdx, endIdx + 1)
+    val deltas = walk.flatMap { case (sid, list, _) =>
+      val entries = manifestEntries(spark, meta, list)
+      // entries carry the snapshot that changed them: only this
+      // snapshot's own adds/deletes are its delta (status 0 = carried)
+      val added = entries.filter(_.status == 1)
+      val deleted = entries.filter(_.status == 2)
+      Seq(ZSets.lift(readPaths(spark, meta, added))) ++
+        (if (deleted.isEmpty) Nil
+         else Seq(ZSets.negate(ZSets.lift(readPaths(spark, meta, deleted)))))
+    }
+    val all =
+      if (deltas.isEmpty) ZSets.lift(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema))
+      else deltas.reduce(_.unionAll(_))
+    filter.foldLeft(all)((d, p) => d.where(expr(p)))
+  }
+
+  // ------------------------------------------------------------------
+  // Writer (filesystem Hadoop-catalog layout) — commits append/delete
+  // snapshots; primarily the fixture/round-trip path, but a spec-correct
+  // v1 table any Iceberg reader can open.
+  // ------------------------------------------------------------------
+
+  private def icebergType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case other => sys.error(s"iceberg writer: type not mapped: $other")
+  }
+
+  private def schemaJson(st: StructType): String = {
+    val fields = st.fields.zipWithIndex.map { case (f, i) =>
+      mapper.createObjectNode()
+        .put("id", i + 1).put("name", f.name)
+        .put("required", !f.nullable)
+        .put("type", icebergType(f.dataType).toString)
+    }
+    val node = mapper.createObjectNode()
+    node.put("type", "struct").put("schema-id", 0)
+    node.putArray("fields").addAll(fields.toSeq.asJava)
+    mapper.writeValueAsString(node)
+  }
+
+  private val ManifestEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}
+      |]}}]}""".stripMargin)
+
+  private val ManifestFileSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+      |]}""".stripMargin)
+
+  private def writeAvro(f: FileSystem, p: Path, schema: Schema,
+      records: Seq[GenericRecord]): Long = {
+    val out = f.create(p, false)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    try {
+      w.create(schema, out)
+      records.foreach(w.append)
+    } finally w.close()
+    f.getFileStatus(p).getLen
+  }
+
+  /** Append `df` to (or create) a filesystem Iceberg table; returns the
+    * new snapshot id. `deletePaths` additionally marks previously-live
+    * data files DELETED in the same snapshot (a rewrite/delete commit).
+    */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+      deletePaths: Seq[String] = Seq.empty): Long = {
+    val (f, root) = fs(spark, tableDir)
+    val metaDir = new Path(root, "metadata")
+    f.mkdirs(metaDir)
+    val hint = new Path(metaDir, "version-hint.text")
+    val (prev, version) =
+      if (f.exists(hint)) {
+        val v = new String(readBytes(f, hint), "UTF-8").trim.toInt
+        (Some(readMetadata(spark,
+          new Path(metaDir, s"v$v.metadata.json").toString)), v + 1)
+      } else (None, 1)
+    val snapshotId = System.nanoTime()
+
+    // write data files via a staged distributed parquet write
+    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
+    df.write.parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    f.mkdirs(dataDir)
+    val files = f.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map { p =>
+        val dest = new Path(dataDir,
+          s"$snapshotId-${java.util.UUID.randomUUID()}.parquet")
+        require(f.rename(p, dest), s"stage move failed: $p")
+        dest
+      }
+    f.delete(stage, true)
+
+    // carried-forward entries (status 0) from the previous snapshot,
+    // minus deletions (status 2); new files are status 1
+    val prevEntries: Seq[DataFileEntry] = prev.flatMap(m =>
+      m.currentSnapshotId.flatMap(id => m.snapshots.find(_._1 == id))
+        .map { case (_, list, _) =>
+          manifestEntries(spark, m, list).filter(_.status != 2) })
+      .getOrElse(Seq.empty)
+    def entry(status: Int, path: String, count: Long, size: Long) = {
+      val r = new GenericData.Record(ManifestEntrySchema)
+      r.put("status", status)
+      r.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema())
+      d.put("content", 0)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", count)
+      d.put("file_size_in_bytes", size)
+      r.put("data_file", d)
+      r
+    }
+    val rowCount = df.count()
+    val records =
+      prevEntries.map(e => entry(
+        if (deletePaths.contains(e.path)) 2 else 0,
+        e.path, e.recordCount, 0L)) ++
+      files.map(p => entry(1, p.toString, rowCount,
+        f.getFileStatus(p).getLen))
+
+    val manifestPath = new Path(metaDir, s"manifest-$snapshotId.avro")
+    val mLen = writeAvro(f, manifestPath, ManifestEntrySchema, records)
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", mLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("added_snapshot_id", snapshotId)
+    val listPath = new Path(metaDir, s"snap-$snapshotId.avro")
+    writeAvro(f, listPath, ManifestFileSchema, Seq(mf))
+
+    val now = System.currentTimeMillis()
+    val snapsJson = (prev.toSeq.flatMap(_.snapshots) :+
+      ((snapshotId, listPath.toString, now))).map { case (id, list, ts) =>
+        s"""{"snapshot-id":$id,"timestamp-ms":$ts,""" +
+          s""""manifest-list":${mapper.writeValueAsString(list)},""" +
+          s""""summary":{"operation":"append"}}"""
+      }.mkString("[", ",", "]")
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"${java.util.UUID.randomUUID()}",
+         |"location":${mapper.writeValueAsString(root.toString)},
+         |"last-sequence-number":$version,
+         |"last-updated-ms":$now,"last-column-id":${df.schema.size},
+         |"current-schema-id":0,
+         |"schemas":[${schemaJson(df.schema)}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":$snapshotId,
+         |"snapshots":$snapsJson}""".stripMargin
+    val metaFile = new Path(metaDir, s"v$version.metadata.json")
+    val out = f.create(metaFile, false)
+    try out.write(metaJson.getBytes("UTF-8")) finally out.close()
+    val h = f.create(hint, true)
+    try h.write(version.toString.getBytes("UTF-8")) finally h.close()
+    snapshotId
+  }
+}

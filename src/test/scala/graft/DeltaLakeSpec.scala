@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ddl.Ddl
+import graft.sources.{Connectors, DeltaLake}
+import graft.zset.ZSets
+
+/** Native Delta Lake log protocol: append commits, snapshot/time-travel
+  * reads, follow/cdc Z-set deltas, checkpoint compaction, partition
+  * pruning, and the sink's change-log form — all without a delta jar
+  * (docs/connectors/sources/delta.md, docs/connectors/sinks/delta.md).
+  */
+class DeltaLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("delta").toString
+
+  test("append + snapshot round trip across two commits") {
+    val dir = tmp()
+    val v0 = DeltaLake.append(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val v1 = DeltaLake.append(spark, dir, Seq((3L, "c")).toDF("id", "s"))
+    assert(v0 === 0L && v1 === 1L)
+    assert(DeltaLake.snapshot(spark, dir).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel to version 0
+    assert(DeltaLake.snapshot(spark, dir, version = Some(0L))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("deleteWhere removes rows; follow emits signed deltas") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    DeltaLake.append(spark, dir, Seq((3L, "c")).toDF("id", "s"))
+    DeltaLake.deleteWhere(spark, dir, "id = 2")
+    assert(DeltaLake.snapshot(spark, dir).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (3L, "c")))
+    // follow after version 0: +3c (v1), then v2 rewrites the (1,2) file
+    // into a survivor file: +1a −1a −2b net = {+3c, −2b}
+    val delta = ZSets.consolidate(
+      DeltaLake.changes(spark, dir, startVersion = 0L))
+      .as[(Long, String, Long)].collect().toSet
+    assert(delta === Set((3L, "c", 1L), (2L, "b", -1L)))
+  }
+
+  test("checkpoint bounds replay: reads work after early commits vanish") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    DeltaLake.append(spark, dir, Seq((2L, "b")).toDF("id", "s"))
+    DeltaLake.checkpoint(spark, dir)
+    DeltaLake.append(spark, dir, Seq((3L, "c")).toDF("id", "s"))
+    // simulate log cleanup: drop the pre-checkpoint JSON commits
+    val log = new java.io.File(dir, "_delta_log")
+    Seq(0L, 1L).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete())
+    }
+    assert(DeltaLake.snapshot(spark, dir).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("partitioned table: values restored, filter prunes branches") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir,
+      Seq((1L, "us", 10.0), (2L, "eu", 20.0), (3L, "us", 30.0))
+        .toDF("id", "region", "v"),
+      partitionBy = Seq("region"))
+    val all = DeltaLake.snapshot(spark, dir)
+    assert(all.as[(Long, String, Double)].collect().toSet
+      === Set((1L, "us", 10.0), (2L, "eu", 20.0), (3L, "us", 30.0)))
+    // a partition-column predicate constant-folds per union branch: the
+    // optimized plan must scan only the matching partition's files
+    val pruned = DeltaLake.snapshot(spark, dir,
+      filter = Some("region = 'eu'"))
+    assert(pruned.as[(Long, String, Double)].collect().toSet
+      === Set((2L, "eu", 20.0)))
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }).sum
+    assert(scanned === 1, "non-matching partition branches must be pruned")
+  }
+
+  test("datetime pins the version by commit timestamp") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    val cut = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+    Thread.sleep(20)
+    DeltaLake.append(spark, dir, Seq((2L, "b")).toDF("id", "s"))
+    val asOf = DeltaLake.snapshot(spark, dir,
+      datetime = Some(cut.toString))
+    assert(asOf.as[(Long, String)].collect().toSet === Set((1L, "a")))
+  }
+
+  test("cdc mode: delete filter weights, order lands in _seq") {
+    val dir = tmp()
+    // an append-only action log: op + seq + payload
+    DeltaLake.append(spark, dir,
+      Seq(("ins", 1L, 10L, "x"), ("ins", 2L, 20L, "y"))
+        .toDF("op", "seq", "k", "s"))
+    DeltaLake.append(spark, dir,
+      Seq(("del", 3L, 10L, "x"), ("ins", 4L, 10L, "x2"))
+        .toDF("op", "seq", "k", "s"))
+    val d = DeltaLake.cdc(spark, dir, startVersion = -1L,
+      deleteFilter = Some("op = 'del'"), orderBy = Some("seq"))
+    val rows = d.select("k", "s", ZSets.W, "_seq")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(rows === Set((10L, "x", 1L, 1L), (20L, "y", 1L, 2L),
+      (10L, "x", -1L, 3L), (10L, "x2", 1L, 4L)))
+  }
+
+  test("connector dispatch: snapshot, follow, snapshot_and_follow") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("a", "b"))
+    DeltaLake.append(spark, dir, Seq((3L, "c")).toDF("a", "b"))
+    def conf(extra: String) = {
+      val json = s"""[{"transport": {"name": "delta_table_input", """ +
+        s""""config": {"uri": "$dir"$extra}}}]"""
+      val t = Ddl.parse("CREATE TABLE t (a BIGINT NOT NULL, b VARCHAR) " +
+        s"WITH ('connectors' = '$json');").tables.head
+      (t, Connectors.connectorsOf(t).head)
+    }
+    val (t1, c1) = conf(""", "mode": "snapshot"""")
+    assert(Connectors.read(spark, t1, c1).as[(Long, String, Long)]
+      .collect().toSet
+      === Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)))
+    val (t2, c2) = conf(""", "mode": "follow", "version": "0"""")
+    assert(Connectors.read(spark, t2, c2).as[(Long, String, Long)]
+      .collect().toSet === Set((3L, "c", 1L)))
+    val (t3, c3) = conf(
+      """, "mode": "snapshot_and_follow", "version": "0"""")
+    assert(Connectors.read(spark, t3, c3).as[(Long, String, Long)]
+      .collect().toSet
+      === Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)))
+    val (t4, c4) = conf(
+      """, "mode": "snapshot", "snapshot_filter": "a >= 2"""")
+    assert(Connectors.read(spark, t4, c4).as[(Long, String, Long)]
+      .collect().toSet === Set((2L, "b", 1L), (3L, "c", 1L)))
+  }
+
+  test("delta sink writes the change-log form; merge reconstructs") {
+    val dir = tmp()
+    val d1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", ZSets.W)
+    val d2 = Seq((2L, "b", -1L), (3L, "c", 2L)).toDF("id", "s", ZSets.W)
+    DeltaLake.writeDelta(spark, dir, d1, ts = 100L)
+    DeltaLake.writeDelta(spark, dir, d2, ts = 200L)
+    val log = DeltaLake.snapshot(spark, dir)
+    assert(log.columns.toSeq
+      === Seq("id", "s", "__feldera_op", "__feldera_ts"))
+    // |w|=2 expands to two records
+    assert(log.where("id = 3").count() === 2L)
+    assert(log.where("__feldera_op = 'd'").count() === 1L)
+    val current = DeltaLake.integrateChangeLog(log)
+      .select("id", "s", ZSets.W).as[(Long, String, Long)].collect().toSet
+    assert(current === Set((1L, "a", 1L), (3L, "c", 2L)))
+  }
+}
