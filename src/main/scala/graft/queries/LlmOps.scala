@@ -609,6 +609,70 @@ object LlmOps {
         nCells = 16, k = 5, nprobe = 3, scale = 1000)
     },
 
+    // Product-quantization ANN (Jégou et al. 2011), oracle-checked
+    // end-to-end INCLUDING the codebook training: vectors split into 4
+    // subvectors, per-subspace codebooks (seeds = ids < 16, one exact
+    // floor-mean Lloyd round), corpus stored as 4-code arrays only, and
+    // probes score by Asymmetric Distance Computation (an m × ksub exact
+    // lookup table per probe; corpus distance = 4 lookups summed).
+    // DuckDB re-trains the codebooks and re-derives every code, lookup,
+    // and rank — all integer arithmetic. The compression story: 64-dim
+    // float32 → 4 codes is the representation an ADC scan serves at
+    // 100 TB without touching raw vectors.
+    Q(
+      "llm_pq_topk",
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, j, qv[j*(len(qv)//4)+1 : (j+1)*(len(qv)//4)] AS sv
+        |  FROM q, (SELECT unnest(range(0, 4)) AS j)),
+        |seed AS (SELECT j, CAST(vec_id AS INT) AS cid, sv AS cv
+        |  FROM subs WHERE vec_id < 16),
+        |a1 AS (SELECT j, cid, sv FROM (
+        |    SELECT s.vec_id, s.j, se.cid, s.sv,
+        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+        |        list_reduce(list_transform(range(1, len(s.sv) + 1),
+        |          i -> (s.sv[i] - se.cv[i]) * (s.sv[i] - se.cv[i])),
+        |          (a, b) -> a + b), se.cid) AS rk
+        |    FROM subs s JOIN seed se ON s.j = se.j) WHERE rk = 1),
+        |cexp AS (SELECT j, cid, unnest(range(1, len(sv) + 1)) AS d,
+        |    unnest(sv) AS x FROM a1),
+        |centd AS (SELECT j, cid, d,
+        |    CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |  FROM cexp GROUP BY j, cid, d),
+        |books AS (SELECT j, cid, list(m ORDER BY d) AS cv
+        |  FROM centd GROUP BY j, cid),
+        |codes AS (SELECT vec_id, j, code FROM (
+        |    SELECT s.vec_id, s.j, b.cid AS code,
+        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+        |        list_reduce(list_transform(range(1, len(s.sv) + 1),
+        |          i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i])),
+        |          (a, b) -> a + b), b.cid) AS rk
+        |    FROM subs s JOIN books b ON s.j = b.j) WHERE rk = 1),
+        |lut AS (SELECT s.vec_id AS probe_id, s.j, b.cid AS code,
+        |    list_reduce(list_transform(range(1, len(s.sv) + 1),
+        |      i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM subs s JOIN books b ON s.j = b.j WHERE s.vec_id < 10),
+        |scored AS (SELECT l.probe_id, c.vec_id AS corpus_id,
+        |    CAST(SUM(l.d2) AS BIGINT) AS ad2
+        |  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+        |  GROUP BY l.probe_id, c.vec_id)
+        |SELECT probe_id, corpus_id, ad2, rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY ad2, corpus_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        emb.repartition(32, col("vec_id"))
+          .select(col("vec_id").as("corpus_id"), col("embedding")),
+        m = 4, ksub = 16, k = 5, scale = 1000)
+    },
+
     // Benchmark decontamination: fraction of each document's distinct
     // 3-grams that appear in a "benchmark" set (docs 0-49 here). Corpus
     // and contamination set meet only through an n-gram-hash equi-join —

@@ -133,6 +133,37 @@ class LlmSpec extends SparkSpec {
     assert(lsh === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
 
+  test("PQ/ADC: codes compress to m ints; self is rank 1; " +
+      "layout-independent") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(vecs, m = 4, ksub = 8)
+    assert(codes.count() === 40L)
+    // the compressed form: exactly m codes per vector, ids < ksub
+    assert(codes.select(size(col("codes"))).as[Int].collect().toSet
+      === Set(4))
+    assert(codes.select(explode(col("codes"))).as[Int].collect()
+      .forall(c => c >= 0 && c < 8))
+    val probes = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val corpus = vecs.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val pq = Similarity.pqTopK(probes, corpus, m = 4, ksub = 8, k = 3)
+    // a probe's own PQ code has distance ≤ every other vector's to it in
+    // each subspace it quantizes to — self must rank first (ties broken
+    // by id keep self ahead)
+    val self = pq.filter(col("rk") === 1)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(self === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // exact-integer build ⇒ identical output under any input layout
+    val shuffled = Similarity.pqTopK(probes,
+      corpus.repartition(7, col("corpus_id")), m = 4, ksub = 8, k = 3)
+    assert(pq.select("probe_id", "corpus_id", "ad2", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+      === shuffled.select("probe_id", "corpus_id", "ad2", "rk")
+        .as[(Long, Long, Long, Long)].collect().toSet)
+  }
+
   test("IVF ANN: self is rank 1; recall overlaps brute force") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
