@@ -448,6 +448,23 @@ object Connectors {
           .option("dbtable", conf.config("table"))
         conf.config.get("driver").map(d => w.option("driver", d))
           .getOrElse(w).save()
+      case "iceberg_output" =>
+        // the reference supports Iceberg output only indirectly (avro
+        // CDC records through Kafka Connect, connectors/sinks/iceberg.md);
+        // with the native writer we can land the same CDC record shape
+        // directly: data columns + the cdc_field op column (I/D) — the
+        // exact relation the Iceberg Sink Kafka Connector would build.
+        val cdcField = conf.formatConfig.getOrElse("cdc_field", "op")
+        val dI = if (df.columns.contains(graft.zset.ZSets.W)) df
+          else graft.zset.ZSets.lift(df)
+        val wc = col(graft.zset.ZSets.W)
+        val dataCols = graft.zset.ZSets.dataCols(dI).map(col)
+        val expanded = dI
+          .withColumn(cdcField, when(wc < 0, lit("D")).otherwise(lit("I")))
+          .withColumn("__n", explode(sequence(lit(1L), abs(wc))))
+          .select(dataCols :+ col(cdcField): _*)
+        IcebergLake.append(dI.sparkSession, conf.config("uri"), expanded)
+        ()
       case "delta_table_output" =>
         // docs/connectors/sinks/delta.md: deltas append as a change log
         // with __feldera_op / __feldera_ts metadata columns (the merge

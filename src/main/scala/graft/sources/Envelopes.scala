@@ -330,27 +330,48 @@ object Envelopes {
   /** Egress twin of [[decodeAvro]] (the reference's avro OUTPUT format,
     * crates/adapters/src/format/avro/output.rs): each multiset row →
     * one binary Avro record in `valueCol`, per-partition encoder reuse.
-    * Weights must be positive (avro output is an insert stream in the
-    * reference unless the schema carries explicit change fields); a
-    * weight-w row emits w records. Field mapping mirrors the decode.
+    * A weight-w row emits |w| records. Field mapping mirrors the decode.
+    *
+    * `cdcField` (formats/avro.md `cdc_field`, raw update format only —
+    * the contract the Iceberg Sink Kafka Connector consumes,
+    * connectors/sinks/iceberg.md): when set, a string field of that name
+    * is ADDED to the writer schema and carries the operation — `I` for
+    * inserts (w > 0), `D` for deletions (w < 0). Without it, negative
+    * weights are rejected: plain avro egress is an insert stream.
     */
   def encodeAvro(delta: DataFrame, avroSchemaJson: String,
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value",
+      cdcField: Option[String] = None): DataFrame = {
     val spark = delta.sparkSession
     val fields = delta.schema.fields.filterNot(_.name == ZSets.W)
       .map(f => (f.name, f.dataType))
     val hasW = delta.columns.contains(ZSets.W)
     val rows = delta.rdd.mapPartitions { it =>
-      val avSchema = new org.apache.avro.Schema.Parser()
+      val base = new org.apache.avro.Schema.Parser()
         .parse(avroSchemaJson)
+      // cdc_field extends the user schema: original fields + the op column
+      val avSchema = cdcField match {
+        case None => base
+        case Some(cf) =>
+          val fs = new java.util.ArrayList[org.apache.avro.Schema.Field]()
+          base.getFields.forEach(f => fs.add(
+            new org.apache.avro.Schema.Field(f.name(), f.schema(),
+              f.doc(), f.defaultVal())))
+          fs.add(new org.apache.avro.Schema.Field(cf,
+            org.apache.avro.Schema.create(
+              org.apache.avro.Schema.Type.STRING), null, null))
+          org.apache.avro.Schema.createRecord(base.getName, base.getDoc,
+            base.getNamespace, false, fs)
+      }
       val writer = new org.apache.avro.generic.GenericDatumWriter[
         org.apache.avro.generic.GenericRecord](avSchema)
       val bos = new java.io.ByteArrayOutputStream()
       var encoder: org.apache.avro.io.BinaryEncoder = null
       it.flatMap { row =>
         val w = if (hasW) row.getAs[Long](ZSets.W) else 1L
-        require(w >= 0, s"encodeAvro: negative weight $w — avro egress " +
-          "is insert-only (use a change-capturing schema upstream)")
+        require(w >= 0 || cdcField.isDefined,
+          s"encodeAvro: negative weight $w — plain avro egress is " +
+            "insert-only (set cdc_field to emit I/D operations)")
         val rec = new org.apache.avro.generic.GenericData.Record(avSchema)
         fields.foreach { case (name, dt) =>
           val v = row.getAs[Any](name)
@@ -360,13 +381,14 @@ object Envelopes {
             case (x, _) => x
           })
         }
+        cdcField.foreach(cf => rec.put(cf, if (w < 0) "D" else "I"))
         bos.reset()
         encoder = org.apache.avro.io.EncoderFactory.get()
           .binaryEncoder(bos, encoder)
         writer.write(rec, encoder)
         encoder.flush()
         val bytes = bos.toByteArray
-        Seq.fill(w.toInt)(org.apache.spark.sql.Row(bytes))
+        Seq.fill(math.abs(w).toInt)(org.apache.spark.sql.Row(bytes))
       }
     }
     spark.createDataFrame(rows, StructType(Seq(

@@ -99,6 +99,70 @@ class IcebergLakeSpec extends SparkSpec {
     assert(e.getMessage.contains("metadata_location"))
   }
 
+  test("iceberg_output sink lands CDC records; integration reconstructs") {
+    val dir = tmp()
+    val conf = Connectors.ConnectorConf("iceberg_output",
+      Map("uri" -> dir), "avro", Map("cdc_field" -> "op"))
+    val d1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", ZSets.W)
+    val d2 = Seq((2L, "b", -1L), (3L, "c", 2L)).toDF("id", "s", ZSets.W)
+    Connectors.writeView(d1, conf)
+    Connectors.writeView(d2, conf)
+    val log = IcebergLake.snapshot(spark,
+      IcebergLake.currentMetadata(spark, dir))
+    assert(log.columns.toSeq === Seq("id", "s", "op"))
+    assert(log.where("op = 'D'").count() === 1L)
+    assert(log.where("id = 3").count() === 2L) // |w|=2 expands
+    // integrate the CDC log: Σ signed ops > 0 keeps the row
+    val current = ZSets.positive(ZSets.consolidate(
+      log.withColumn(ZSets.W,
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("op") === "D", -1L)
+          .otherwise(1L)).drop("op")))
+      .select("id", "s", ZSets.W).as[(Long, String, Long)].collect().toSet
+    assert(current === Set((1L, "a", 1L), (3L, "c", 2L)))
+  }
+
+  test("avro egress cdc_field: I/D ops round-trip through binary records") {
+    import graft.sources.Envelopes
+    val schemaJson =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":["null","long"],"default":null},
+        |{"name":"s","type":["null","string"],"default":null}]}"""
+        .stripMargin
+    val delta = Seq((1L, "a", 2L), (2L, "b", -1L)).toDF("id", "s", ZSets.W)
+    val wire = Envelopes.encodeAvro(delta, schemaJson,
+      cdcField = Some("op"))
+    val decoded = wire.collect().map { row =>
+      val bytes = row.getAs[Array[Byte]](0)
+      val parser = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val fs = new java.util.ArrayList[org.apache.avro.Schema.Field]()
+      parser.getFields.forEach(f => fs.add(
+        new org.apache.avro.Schema.Field(f.name(), f.schema(),
+          f.doc(), f.defaultVal())))
+      fs.add(new org.apache.avro.Schema.Field("op",
+        org.apache.avro.Schema.create(
+          org.apache.avro.Schema.Type.STRING), null, null))
+      val full = org.apache.avro.Schema.createRecord("r", null, null,
+        false, fs)
+      val reader = new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord](full)
+      val rec = reader.read(null,
+        org.apache.avro.io.DecoderFactory.get().binaryDecoder(bytes, null))
+      (rec.get("id").asInstanceOf[Long], rec.get("s").toString,
+        rec.get("op").toString)
+    }.toSeq
+    // |w|=2 insert emits two records; the deletion carries op=D
+    assert(decoded.sorted === Seq((1L, "a", "I"), (1L, "a", "I"),
+      (2L, "b", "D")))
+    // without cdc_field, negative weights still fail fast
+    val e = intercept[Exception](
+      Envelopes.encodeAvro(delta, schemaJson).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("insert-only"))
+  }
+
   test("v2 row-level delete files are rejected with a precise error") {
     val dir = tmp()
     IcebergLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
