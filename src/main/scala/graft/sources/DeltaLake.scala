@@ -414,10 +414,17 @@ object DeltaLake {
   def deleteWhere(spark: SparkSession, dir: String, pred: String): Long = {
     val (f, root) = fs(spark, dir)
     val snap = reconstruct(spark, dir, None)
-    // files whose content matches the predicate
+    // files whose content matches the predicate — ONE distributed scan
+    // (input_file_name aggregation), not a probe job per file
+    val hitFiles = readFiles(spark, dir, snap, snap.files)
+      .where(expr(pred)).select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    def norm(s: String): String = java.net.URLDecoder.decode(
+      s.stripPrefix("file:"), "UTF-8")
     val affected = snap.files.filter { a =>
-      readGroup(spark, dir, snap, Seq(a)).where(expr(pred)).limit(1)
-        .count() > 0
+      val full = norm(new Path(dir,
+        java.net.URLDecoder.decode(a.path, "UTF-8")).toString)
+      hitFiles.exists(h => norm(h).endsWith(full))
     }
     if (affected.isEmpty) return snap.version
     val survivors = readFiles(spark, dir, snap, affected)
