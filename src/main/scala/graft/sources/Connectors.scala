@@ -87,7 +87,11 @@ object Connectors {
       def cfg(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
         if (node == null || node.get("config") == null) Map.empty
         else node.get("config").properties().asScala
-          .map(e => e.getKey -> resolveRefs(e.getValue.asText())).toMap
+          .map(e => e.getKey -> (
+            // nested config values (e.g. datagen's `plan` array) survive
+            // as their JSON text; scalars stay raw strings
+            if (e.getValue.isValueNode) resolveRefs(e.getValue.asText())
+            else mapper.writeValueAsString(e.getValue))).toMap
       val tr = c.get("transport")
       val fm = c.get("format")
       ConnectorConf(
@@ -155,8 +159,7 @@ object Connectors {
         ZSets.lift(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
       case "datagen" =>
-        ZSets.lift(datagen(spark, table,
-          conf.config.getOrElse("rows", "1000").toLong))
+        ZSets.lift(Datagen.generate(spark, table, conf.config))
       case "jdbc_input" | "postgresql_input" =>
         val reader = spark.read.format("jdbc")
           .option("url", conf.config("url"))
@@ -376,33 +379,6 @@ object Connectors {
 
   private def escape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
-
-  /** Deterministic schema-driven generator (transport/datagen.rs's role):
-    * seeded hash per (row, column) — reproducible on any cluster layout.
-    */
-  def datagen(spark: SparkSession, table: Ddl.TableDef, rows: Long): DataFrame = {
-    val base = spark.range(rows)
-    val cols = table.columns.map { c =>
-      val h = abs(xxhash64(lit(c.name), col("id")))
-      val v = graft.types.SqlTypes.toSpark(c.sqlType) match {
-        case org.apache.spark.sql.types.LongType => (h % 1000000L).cast("long")
-        case org.apache.spark.sql.types.IntegerType => (h % 100000L).cast("int")
-        case org.apache.spark.sql.types.DoubleType =>
-          (h % 1000000L).cast("double") / 100.0
-        case org.apache.spark.sql.types.StringType =>
-          concat(lit(c.name + "_"), (h % 10000L).cast("string"))
-        case org.apache.spark.sql.types.BooleanType => (h % 2 === 0)
-        case org.apache.spark.sql.types.TimestampNTZType |
-             org.apache.spark.sql.types.TimestampType =>
-          timestamp_millis(lit(1700000000000L) + (h % 86400000L))
-        case org.apache.spark.sql.types.DateType =>
-          date_add(lit("2024-01-01").cast("date"), (h % 365L).cast("int"))
-        case dt => lit(null).cast(dt)
-      }
-      v.as(c.name)
-    }
-    base.select(cols: _*)
-  }
 
   /** Sink side: write a view's rows through a connector config.
     * `indexKeys` (resolved from the connector's `index` property against

@@ -308,19 +308,25 @@ class ConnectorsSpec extends SparkSpec {
   }
 
   test("kafka/delta/iceberg paths are jar-gated with a precise error") {
-    for ((transport, key) <- Seq(
-        "kafka_input" -> Map("bootstrap.servers" -> "h:9092", "topic" -> "t"),
-        "delta_table_input" -> Map("uri" -> "/x"),
-        "iceberg_input" -> Map("uri" -> "/x"))) {
-      val cfgJson = key.map { case (k, v) => s""""$k": "$v"""" }
-        .mkString("{", ", ", "}")
+    // kafka needs its DataSource jar; the NATIVE delta/iceberg readers
+    // fail on a missing table, not a missing jar
+    val tk = tableWith(
+      """[{"transport": {"name": "kafka_input", "config":
+        | {"bootstrap.servers": "h:9092", "topic": "t"}}}]""".stripMargin)
+    val ek = intercept[IllegalArgumentException](
+      Connectors.read(spark, tk, Connectors.connectorsOf(tk).head))
+    assert(ek.getMessage.contains("jar"),
+      s"kafka_input should fail with the jar-gating message: ${ek.getMessage}")
+    for ((transport, expect) <- Seq(
+        "delta_table_input" -> "not a Delta table",
+        "iceberg_input" -> "iceberg")) {
       val t = tableWith(
-        s"""[{"transport": {"name": "$transport", "config": $cfgJson}}]""")
-      val e = intercept[IllegalArgumentException] {
+        s"""[{"transport": {"name": "$transport", "config": {"uri": "/x"}}}]""")
+      val e = intercept[RuntimeException] {
         Connectors.read(spark, t, Connectors.connectorsOf(t).head)
       }
-      assert(e.getMessage.contains("jar"),
-        s"$transport should fail with the jar-gating message, got: ${e.getMessage}")
+      assert(e.getMessage.toLowerCase.contains(expect.toLowerCase),
+        s"$transport: got ${e.getMessage}")
     }
     // object-store + brokerless transports: precise guidance, not a raw
     // ClassNotFound mid-scan
