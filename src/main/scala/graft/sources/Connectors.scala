@@ -133,8 +133,23 @@ object Connectors {
     val schema = FileSource.schemaOf(table)
     val decoded = conf.transport match {
       case "file_input" | "url_input" =>
-        val path = conf.config.getOrElse("path",
+        val rawPath = conf.config.getOrElse("path",
           conf.config.getOrElse("paths", sys.error("file connector: no path")))
+        // url_input with an http(s) URL (connectors/sources/http-get.md):
+        // fetched once with GET into a scratch file, then decoded like
+        // any file — config-data scale, a driver-side fetch by design
+        // (the reference's url transport streams the same single body)
+        val path = if (rawPath.startsWith("http://")
+            || rawPath.startsWith("https://")) {
+          val tmp = java.nio.file.Files.createTempFile("url_input", ".dat")
+          val resp = java.net.http.HttpClient.newHttpClient().send(
+            java.net.http.HttpRequest.newBuilder()
+              .uri(java.net.URI.create(rawPath)).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofFile(tmp))
+          require(resp.statusCode() == 200,
+            s"url_input GET $rawPath returned HTTP ${resp.statusCode()}")
+          tmp.toString
+        } else rawPath
         conf.format match {
           case "json" =>
             val update = conf.formatConfig.getOrElse("update_format", "raw")

@@ -307,6 +307,33 @@ class ConnectorsSpec extends SparkSpec {
     assert(n === 3L)
   }
 
+  test("url_input fetches an http body and decodes it like a file") {
+    val body =
+      """{"insert": {"a": 1, "b": "x"}}
+        |{"delete": {"a": 2, "b": "y"}}""".stripMargin
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.jsonl", ex => {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url =
+        s"http://127.0.0.1:${server.getAddress.getPort}/data.jsonl"
+      val t = tableWith(
+        s"""[{"transport": {"name": "url_input", "config": {"path": "$url"}},
+           |  "format": {"name": "json",
+           |   "config": {"update_format": "insert_delete"}}}]"""
+          .stripMargin.replace("'", "''"))
+      val out = Connectors.read(spark, t, Connectors.connectorsOf(t).head)
+        .as[(Long, String, Long)].collect().toSet
+      assert(out === Set((1L, "x", 1L), (2L, "y", -1L)))
+    } finally server.stop(0)
+  }
+
   test("kafka/delta/iceberg paths are jar-gated with a precise error") {
     // kafka needs its DataSource jar; the NATIVE delta/iceberg readers
     // fail on a missing table, not a missing jar
