@@ -489,11 +489,60 @@ final class Pipeline(spark: SparkSession,
       val batches = graft.sources.Connectors.connectorsOf(t).zipWithIndex
         .filter { case (c, i) =>
           connectorStates(s"${t.name}/${c.name.getOrElse(i.toString)}") }
-        .map { case (c, _) => graft.sources.Connectors.read(spark, t, c) }
+        .map { case (c, i) => graft.sources.Connectors.read(spark, t,
+          advanceCursor(s"${t.name}/${c.name.getOrElse(i.toString)}", c)) }
       if (batches.isEmpty) None
       else Some(t.name -> batches.reduce(_ unionByName _))
     }.toMap
     if (deltas.isEmpty) Map.empty else step(deltas)
+  }
+
+  // lakehouse follow-mode cursors: connector key → last ingested Delta
+  // version / Iceberg snapshot id (the connector-side resume point the
+  // reference journals for its at-least-once delta/iceberg FT)
+  private val connectorCursors = mutable.Map[String, Long]()
+
+  /** For Delta/Iceberg connectors in a follow mode, pin this ingest
+    * round to (cursor, latest] and advance the cursor — so each
+    * [[ingestConnectors]] round ingests exactly the commits that arrived
+    * since the last round, and a commit racing the read is left for the
+    * next round rather than half-ingested.
+    */
+  private def advanceCursor(key: String,
+      c: graft.sources.Connectors.ConnectorConf)
+      : graft.sources.Connectors.ConnectorConf = c.transport match {
+    case "delta_table_input"
+        if Set("follow", "snapshot_and_follow", "cdc")
+          .contains(c.config.getOrElse("mode", "")) =>
+      val latest = graft.sources.DeltaLake
+        .reconstruct(spark, c.config("uri")).version
+      val prior = connectorCursors.get(key)
+      connectorCursors(key) = latest
+      prior match {
+        case Some(v) => c.copy(config = c.config +
+          ("mode" -> (if (c.config("mode") == "cdc") "cdc" else "follow")) +
+          ("version" -> v.toString) + ("end_version" -> latest.toString))
+        case None => c.copy(config =
+          c.config + ("end_version" -> latest.toString))
+      }
+    case "iceberg_input"
+        if Set("follow", "snapshot_and_follow")
+          .contains(c.config.getOrElse("mode", "")) =>
+      val metaLoc = graft.sources.IcebergLake.currentMetadata(spark,
+        c.config.getOrElse("uri", c.config.getOrElse("path",
+          sys.error("iceberg_input follow: set uri"))))
+      val latest = graft.sources.IcebergLake.readMetadata(spark, metaLoc)
+        .currentSnapshotId
+      val prior = connectorCursors.get(key)
+      latest.foreach(connectorCursors(key) = _)
+      prior match {
+        case Some(v) => c.copy(config = c.config + ("mode" -> "follow") +
+          ("snapshot_id" -> v.toString) ++
+          latest.map(l => "end_snapshot_id" -> l.toString))
+        case None => c.copy(config = c.config ++
+          latest.map(l => "end_snapshot_id" -> l.toString))
+      }
+    case _ => c
   }
 
   /** `append_only` input contract (streaming.md): a declared-append-only

@@ -142,6 +142,34 @@ class DeltaLakeSpec extends SparkSpec {
       .collect().toSet === Set((2L, "b", 1L), (3L, "c", 1L)))
   }
 
+  test("pipeline follow-mode ingest advances a cursor per round") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val prog =
+      s"""CREATE TABLE t (k BIGINT, v BIGINT) WITH ('connectors' = '[
+         |  {"name": "d", "transport": {"name": "delta_table_input",
+         |   "config": {"uri": "$dir", "mode": "snapshot_and_follow"}}}]');
+         |CREATE VIEW s AS SELECT SUM(v) AS total, COUNT(*) AS n FROM t;
+         |""".stripMargin
+    val pipe = graft.runtime.Pipeline(spark, prog)
+    // round 1: the snapshot
+    pipe.ingestConnectors()
+    def state() = pipe.adHoc("SELECT * FROM s").as[(Long, Long)]
+      .collect().toSet
+    assert(state() === Set((30L, 2L)))
+    // round 2: nothing new — view unchanged, ingest is a no-op delta
+    pipe.ingestConnectors()
+    assert(state() === Set((30L, 2L)))
+    // a new commit arrives; round 3 ingests exactly that commit
+    DeltaLake.append(spark, dir, Seq((3L, 5L)).toDF("k", "v"))
+    pipe.ingestConnectors()
+    assert(state() === Set((35L, 3L)))
+    // a delete commit follows; round 4 retracts those rows
+    DeltaLake.deleteWhere(spark, dir, "k = 1")
+    pipe.ingestConnectors()
+    assert(state() === Set((25L, 2L)))
+  }
+
   test("delta sink writes the change-log form; merge reconstructs") {
     val dir = tmp()
     val d1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", ZSets.W)
