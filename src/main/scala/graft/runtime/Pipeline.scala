@@ -485,16 +485,103 @@ final class Pipeline(spark: SparkSession,
     * connector is paused or nothing is configured).
     */
   def ingestConnectors(): Map[String, DataFrame] = {
+    val ordered = mutable.Buffer[(Ddl.TableDef,
+      graft.sources.Connectors.ConnectorConf, String)]()
     val deltas = program.tables.flatMap { t =>
       val batches = graft.sources.Connectors.connectorsOf(t).zipWithIndex
         .filter { case (c, i) =>
           connectorStates(s"${t.name}/${c.name.getOrElse(i.toString)}") }
-        .map { case (c, i) => graft.sources.Connectors.read(spark, t,
-          advanceCursor(s"${t.name}/${c.name.getOrElse(i.toString)}", c)) }
+        .flatMap { case (c, i) =>
+          val key = s"${t.name}/${c.name.getOrElse(i.toString)}"
+          if (orderedSnapshotDue(c, key)) { ordered += ((t, c, key)); None }
+          else Some(graft.sources.Connectors.read(spark, t,
+            advanceCursor(key, c)))
+        }
       if (batches.isEmpty) None
       else Some(t.name -> batches.reduce(_ unionByName _))
     }.toMap
-    if (deltas.isEmpty) Map.empty else step(deltas)
+    val stepOut = if (deltas.isEmpty) Map.empty[String, DataFrame]
+      else step(deltas)
+    val chunkOuts = ordered.map { case (t, c, key) =>
+      ingestOrderedSnapshot(t, c, key) }
+    (stepOut +: chunkOuts.toSeq).reduceOption { (a, b) =>
+      (a.keySet ++ b.keySet).map { v =>
+        v -> ((a.get(v), b.get(v)) match {
+          case (Some(x), Some(y)) => ZSets.consolidate(x.unionByName(y))
+          case (x, y) => x.orElse(y).get
+        })
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Does this connector's FIRST ingest round need the timestamp-ordered
+    * chunked snapshot (delta.md/iceberg.md `timestamp_column`)?
+    */
+  private def orderedSnapshotDue(
+      c: graft.sources.Connectors.ConnectorConf, key: String): Boolean =
+    Set("delta_table_input", "iceberg_input").contains(c.transport) &&
+      c.config.contains("timestamp_column") &&
+      Set("snapshot", "snapshot_and_follow")
+        .contains(c.config.getOrElse("mode", "snapshot")) &&
+      !connectorCursors.contains(key)
+
+  /** Ingest a lakehouse snapshot as a series of steps, one per
+    * LATENESS-width timestamp range in ascending order (delta.md
+    * "Ingesting time series data"): each step's rows are at most
+    * LATENESS earlier than the waterline the previous steps advanced,
+    * so downstream LATENESS gates and temporal operators see the same
+    * monotone stream a live ingest would deliver. Without a LATENESS
+    * annotation on the column the whole snapshot is one chunk.
+    */
+  private def ingestOrderedSnapshot(t: Ddl.TableDef,
+      c: graft.sources.Connectors.ConnectorConf,
+      key: String): Map[String, DataFrame] = {
+    val tsCol = c.config("timestamp_column")
+    // pin the snapshot version and set the follow cursor
+    val pinned = c.transport match {
+      case "delta_table_input" =>
+        val latest = graft.sources.DeltaLake
+          .reconstruct(spark, c.config("uri")).version
+        connectorCursors(key) = latest
+        c.copy(config = c.config + ("mode" -> "snapshot") +
+          ("version" -> latest.toString) - "datetime")
+      case _ =>
+        val metaLoc = graft.sources.IcebergLake.currentMetadata(spark,
+          c.config.getOrElse("uri", c.config("path")))
+        val cur = graft.sources.IcebergLake.readMetadata(spark, metaLoc)
+          .currentSnapshotId
+        cur.foreach(connectorCursors(key) = _)
+        c.copy(config = c.config + ("mode" -> "snapshot") ++
+          cur.map(s => "snapshot_id" -> s.toString) - "datetime")
+    }
+    val rows = graft.sources.Connectors.read(spark, t, pinned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lateness = t.columns.find(_.name == tsCol).flatMap(_.lateness)
+    val outs = lateness match {
+      case None => Seq(step(Map(t.name -> rows)))
+      case Some(iv) =>
+        val secs = spark.sql("SELECT cast(timestamp'1970-01-01 00:00:00' " +
+          s"+ $iv as long)").head().getLong(0)
+        require(secs > 0, s"LATENESS must be positive, got $iv")
+        val chunked = rows.withColumn("__chunk",
+          coalesce(floor(col(tsCol).cast("long") / secs),
+            lit(Long.MinValue)))
+        val ids = chunked.select("__chunk").distinct()
+          .orderBy("__chunk").collect().map(_.getLong(0))
+        ids.toSeq.map { id =>
+          step(Map(t.name ->
+            chunked.where(col("__chunk") === id).drop("__chunk")))
+        }
+    }
+    rows.unpersist()
+    outs.reduceOption { (a, b) =>
+      (a.keySet ++ b.keySet).map { v =>
+        v -> ((a.get(v), b.get(v)) match {
+          case (Some(x), Some(y)) => ZSets.consolidate(x.unionByName(y))
+          case (x, y) => x.orElse(y).get
+        })
+      }.toMap
+    }.getOrElse(Map.empty)
   }
 
   // lakehouse follow-mode cursors: connector key → last ingested Delta
