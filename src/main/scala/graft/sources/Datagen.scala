@@ -64,18 +64,66 @@ object Datagen {
       val cols = table.columns.map { c =>
         val cfg = fieldsNode.flatMap(f => Option(f.get(c.name)))
         fieldCol(c.name, graft.types.SqlTypes.toSpark(c.sqlType), cfg,
-          s"$seed/$pi").as(c.name)
+          s"$seed/$pi", col("id")).as(c.name)
       }
       base.select(cols: _*)
     }
     frames.reduce(_.unionAll(_))
   }
 
+  /** STREAMING datagen: the same field generators over Spark's `rate`
+    * source — `rate` rows/second (the reference's global plan throttle),
+    * row ids monotone from 0, so a streamed table equals the batch plan's
+    * prefix at every point. Plans with multiple entries concatenate by
+    * id offset: a row id in [Σ earlier limits, Σ limits) takes entry i's
+    * field settings; an entry without `limit` must be last (it runs
+    * forever). Use with `FileSource`-style foreachBatch ingest or any
+    * writeStream sink.
+    */
+  def stream(spark: SparkSession, table: Ddl.TableDef,
+      config: Map[String, String]): DataFrame = {
+    val rate = config.getOrElse("rate", "1000").toInt
+    val seed = config.getOrElse("seed", "42")
+    val entries: Seq[(Option[Long], JsonNode)] = config.get("plan") match {
+      case None => Seq((config.get("rows").map(_.toLong),
+        mapper.createObjectNode()))
+      case Some(p) =>
+        val root = mapper.readTree(p)
+        require(root.isArray, "datagen plan must be a JSON array")
+        val es = root.elements().asScala.map(e =>
+          (Option(e.get("limit")).map(_.asLong()), e)).toSeq
+        es.dropRight(1).zipWithIndex.foreach { case ((lim, _), i) =>
+          require(lim.isDefined,
+            s"datagen plan entry $i: only the LAST entry may omit limit") }
+        es
+    }
+    val base = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+      .select(col("value").as("id"))
+    // per-entry columns selected by id window, offset back to entry-local
+    val offsets = entries.scanLeft(0L) { case (acc, (lim, _)) =>
+      acc + lim.getOrElse(Long.MaxValue - acc) }
+    val cols = table.columns.map { c =>
+      val cases = entries.zipWithIndex.map { case ((_, entry), i) =>
+        val cfg = Option(entry.get("fields")).flatMap(f =>
+          Option(f.get(c.name)))
+        val local = fieldCol(c.name,
+          graft.types.SqlTypes.toSpark(c.sqlType), cfg, s"$seed/$i",
+          col("id") - offsets(i))
+        (col("id") >= offsets(i) && col("id") < offsets(i + 1), local)
+      }
+      cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+        case (acc, (p, v)) => acc.when(p, v) }.as(c.name)
+    }
+    // rows past every limit are dropped (a bounded plan just stops)
+    base.where(col("id") < offsets.last).select(cols: _*)
+  }
+
   /** Uniform draw in [0, 1) for (field, row) — deterministic, no RNG
     * state, identical on every layout/retry.
     */
-  private def u01(tag: String, extra: String = ""): Column =
-    (pmod(xxhash64(lit(tag), lit(extra), col("id")), lit(1L << 40))
+  private def u01(tag: String, idc: Column): Column =
+    (pmod(xxhash64(lit(tag), idc), lit(1L << 40))
       .cast("double") / lit((1L << 40).toDouble))
 
   private def strategyOf(cfg: Option[JsonNode]): String =
@@ -115,13 +163,12 @@ object Datagen {
   }
 
   private def fieldCol(name: String, dt: DataType, cfg: Option[JsonNode],
-      seed: String): Column = {
+      seed: String, id: Column): Column = {
     val strat = strategyOf(cfg)
     val range = rangeOf(cfg)
     val values = valuesOf(cfg)
     val scale = scaleOf(cfg)
-    val u = u01(s"$seed/$name")
-    val id = col("id")
+    val u = u01(s"$seed/$name", id)
 
     val core: Column = values match {
       case Some(vs) =>
@@ -168,12 +215,12 @@ object Datagen {
           }
           (lit(start) + raw).cast(dt)
         case _: DecimalType =>
-          fieldCol(name, DoubleType, cfg, seed).cast(dt)
+          fieldCol(name, DoubleType, cfg, seed, id).cast(dt)
         case BooleanType => strat match {
           case "increment" => pmod(id, lit(2L)) === 1
           case _ => u >= 0.5
         }
-        case StringType => stringCol(name, strat, range, scale, u, seed)
+        case StringType => stringCol(name, strat, range, scale, u, seed, id)
         case TimestampType | TimestampNTZType =>
           // range in RFC-3339 strings or unix millis; increment = 1 ms
           def ms(n: JsonNode): Long =
@@ -222,7 +269,7 @@ object Datagen {
           val valueCfg = cfg.flatMap(c => Option(c.get("value")))
           when(n <= 0, array().cast(ArrayType(et)))
             .otherwise(transform(sequence(lit(1), n), i =>
-              elemCol(name, et, valueCfg, seed, i)))
+              elemCol(name, et, valueCfg, seed, i, id)))
         case other => sys.error(
           s"datagen: type not supported for field $name: $other " +
             "(map/struct/binary fields need explicit values)")
@@ -230,7 +277,7 @@ object Datagen {
     }
     val np = nullPct(cfg)
     if (np <= 0) core
-    else when(u01(s"$seed/$name/null") < np / 100.0, lit(null).cast(dt))
+    else when(u01(s"$seed/$name/null", id) < np / 100.0, lit(null).cast(dt))
       .otherwise(core)
   }
 
@@ -238,8 +285,8 @@ object Datagen {
     * (row, element position) so elements differ within one array.
     */
   private def elemCol(name: String, dt: DataType, cfg: Option[JsonNode],
-      seed: String, i: Column): Column = {
-    val u = (pmod(xxhash64(lit(s"$seed/$name/elem"), col("id"), i),
+      seed: String, i: Column, id: Column): Column = {
+    val u = (pmod(xxhash64(lit(s"$seed/$name/elem"), id, i),
       lit(1L << 40)).cast("double") / lit((1L << 40).toDouble))
     dt match {
       case LongType | IntegerType =>
@@ -303,9 +350,9 @@ object Datagen {
     * words/sentences/paragraphs lengths are range-controlled).
     */
   private def picks(vals: Seq[String], seed: String, n: Column,
-      sep: String, cap: String = ""): Column = {
+      sep: String, id: Column, cap: String = ""): Column = {
     val arr = transform(sequence(lit(1), n), i => {
-      val ui = (pmod(xxhash64(lit(seed), col("id"), i), lit(1L << 40))
+      val ui = (pmod(xxhash64(lit(seed), id, i), lit(1L << 40))
         .cast("double") / lit((1L << 40).toDouble))
       pick(vals, ui)
     })
@@ -316,7 +363,7 @@ object Datagen {
 
   private def stringCol(name: String, strat: String,
       range: Option[(JsonNode, JsonNode)], scale: Double, u: Column,
-      seed: String): Column = {
+      seed: String, id: Column): Column = {
     val (lo, hi) = range.map(r => (r._1.asLong(), r._2.asLong()))
       .getOrElse((0L, 25L))
     val nIn = (lit(lo) + floor(u * math.max(1L, hi - lo)).cast("long"))
@@ -325,7 +372,7 @@ object Datagen {
     def w(tag: String) = s"$seed/$name/$tag"
     strat match {
       case "increment" =>
-        pmod((col("id").cast("double") * scale).cast("long"),
+        pmod((id.cast("double") * scale).cast("long"),
           lit(Long.MaxValue)).cast("string")
       case "uniform" =>
         // random lowercase string, length in [lo, hi)
@@ -334,37 +381,37 @@ object Datagen {
         when(nIn <= 0, lit(""))
           .otherwise(array_join(transform(sequence(lit(1), nIn), i =>
             element_at(alphabet,
-              (pmod(xxhash64(lit(w("ch")), col("id"), i), lit(26L)) + 1)
+              (pmod(xxhash64(lit(w("ch")), id, i), lit(26L)) + 1)
                 .cast("int"))), ""))
       case "word" => pick(Words, u)
-      case "words" => picks(Words, w("words"), n, " ")
-      case "sentence" => picks(Words, w("sent"), greatest(n, lit(3)), " ", ".")
-      case "sentences" => picks(Words, w("sents"), greatest(n, lit(6)), " ", ".")
-      case "paragraph" => picks(Words, w("para"), greatest(n, lit(12)), " ", ".")
-      case "paragraphs" => picks(Words, w("paras"), greatest(n, lit(24)), " ", ".")
+      case "words" => picks(Words, w("words"), n, " ", id)
+      case "sentence" => picks(Words, w("sent"), greatest(n, lit(3)), " ", id, ".")
+      case "sentences" => picks(Words, w("sents"), greatest(n, lit(6)), " ", id, ".")
+      case "paragraph" => picks(Words, w("para"), greatest(n, lit(12)), " ", id, ".")
+      case "paragraphs" => picks(Words, w("paras"), greatest(n, lit(24)), " ", id, ".")
       case "first_name" => pick(FirstNames, u)
       case "last_name" => pick(LastNames, u)
       case "name" | "name_with_title" =>
         val full = concat(pick(FirstNames, u), lit(" "),
-          pick(LastNames, u01(w("ln"))))
+          pick(LastNames, u01(w("ln"), id)))
         if (strat == "name_with_title") concat(lit("Dr. "), full) else full
       case "title" => lit("Dr.")
       case "suffix" => lit("Jr.")
       case "username" =>
         concat(lower(pick(FirstNames, u)),
-          floor(u01(w("un")) * 1000).cast("long").cast("string"))
+          floor(u01(w("un"), id) * 1000).cast("long").cast("string"))
       case "email" =>
         concat(lower(pick(FirstNames, u)), lit("."),
-          lower(pick(LastNames, u01(w("ln")))), lit("@example."),
-          pick(DomainSuffixes, u01(w("dom"))))
+          lower(pick(LastNames, u01(w("ln"), id))), lit("@example."),
+          pick(DomainSuffixes, u01(w("dom"), id)))
       case "domain_suffix" => pick(DomainSuffixes, u)
       case "ipv4" | "ip" =>
         concat_ws(".", (1 to 4).map(i =>
-          pmod(xxhash64(lit(w(s"ip$i")), col("id")), lit(256L))
+          pmod(xxhash64(lit(w(s"ip$i")), id), lit(256L))
             .cast("string")): _*)
       case "phone_number" | "cell_number" =>
         concat(lit("555-"),
-          lpad(pmod(xxhash64(lit(w("ph")), col("id")), lit(10000L))
+          lpad(pmod(xxhash64(lit(w("ph")), id), lit(10000L))
             .cast("string"), 4, "0"))
       case "city_name" => pick(CityNames, u)
       case "country_name" => pick(CountryCodes, u) // code stands in
@@ -372,7 +419,7 @@ object Datagen {
       case "state_abbr" => pick(StateAbbrs, u)
       case "state_name" => pick(StateAbbrs, u)
       case "zip_code" | "post_code" =>
-        lpad(pmod(xxhash64(lit(w("zip")), col("id")), lit(100000L))
+        lpad(pmod(xxhash64(lit(w("zip")), id), lit(100000L))
           .cast("string"), 5, "0")
       case other => sys.error(
         s"datagen $name: string strategy '$other' not implemented " +

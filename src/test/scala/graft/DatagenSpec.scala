@@ -107,6 +107,35 @@ class DatagenSpec extends SparkSpec {
     assert(bad.getMessage.contains("not implemented"))
   }
 
+  test("streaming datagen is the batch plan's prefix at a bounded rate") {
+    val tdef = table("a BIGINT, b VARCHAR")
+    val plan =
+      """[{"limit": 100000, "fields": {
+        |  "a": {"strategy": "uniform", "range": [10, 20]},
+        |  "b": {"strategy": "increment"}}}]""".stripMargin
+    val sdf = Datagen.stream(spark, tdef,
+      Map("rate" -> "400", "plan" -> plan))
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("dg_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      var waited = 0
+      while (spark.table("dg_stream").count() < 3 && waited < 100) {
+        Thread.sleep(200); q.processAllAvailable(); waited += 1
+      }
+    } finally q.stop()
+    val got = spark.table("dg_stream").as[(Long, String)].collect()
+      .sortBy(_._2.toLong)
+    assert(got.length >= 3)
+    // the streamed rows are EXACTLY the batch plan's first n rows
+    val batch = Datagen.generate(spark, tdef,
+      Map("rows" -> got.length.toString, "plan" ->
+        plan.replace("100000", got.length.toString)))
+      .as[(Long, String)].collect().sortBy(_._2.toLong)
+    assert(got.toSeq === batch.toSeq)
+  }
+
   test("multi-entry plans concatenate; connector dispatch carries plan") {
     val json =
       """[{"transport": {"name": "datagen", "config": {"plan": [
