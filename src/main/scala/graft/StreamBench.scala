@@ -356,18 +356,21 @@ object StreamBench {
           col("date_time")).as("last"))),
       // q21 channel_id: known channels map to fixed ids, otherwise the
       // url's channel_id query parameter; rows with neither are dropped
+      // the filter guards with a cheap rlike FIND (at least one value
+      // char, ≡ extract != "") so the capturing extract runs once per
+      // surviving row in the projection, not twice per input row
+      // (CollapseProject would inline a withColumn'd extract into both)
       run("q21_channel", "append", "bid_url")(df => df
         .withColumn("lower_channel", lower(col("channel")))
-        .withColumn("url_channel_id",
-          regexp_extract(col("url"), "(&|\\?)channel_id=([^&]*)", 2))
         .filter(col("lower_channel").isin("apple", "google", "facebook",
-          "baidu") || col("url_channel_id") =!= "")
+          "baidu") || col("url").rlike("[&?]channel_id=[^&]"))
         .select(col("auction"), col("bidder"), col("price"), col("channel"),
           when(col("lower_channel") === "apple", "0")
             .when(col("lower_channel") === "google", "1")
             .when(col("lower_channel") === "facebook", "2")
             .when(col("lower_channel") === "baidu", "3")
-            .otherwise(col("url_channel_id")).as("channel_id"))),
+            .otherwise(regexp_extract(col("url"),
+              "(&|\\?)channel_id=([^&]*)", 2)).as("channel_id"))),
       // q22 url directory split: SPLIT_INDEX(url, '/', 3..5)
       run("q22_split", "append", "bid_url")(df => df
         .select(col("auction"), col("bidder"), col("price"), col("channel"),

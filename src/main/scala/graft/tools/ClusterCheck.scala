@@ -140,7 +140,39 @@ object ClusterCheck {
       require(gotV.sameElements(wantV),
         "pipeline step diverged from batch recompute on local-cluster")
 
-      println(s"CLUSTERCHECK OK executors=${execs() - 1} checks=4")
+      // 6. native lakehouse connectors under real executors: the log is
+      // driver-side metadata, but part-file writes/reads and the
+      // follow-mode delta scans run on the remote executor JVMs
+      val lakeDir = java.nio.file.Files
+        .createTempDirectory("cluster_delta").toString
+      val rows = spark.range(400).select(col("id").as("k"),
+        (col("id") * 3).as("v"))
+      graft.sources.DeltaLake.append(spark, lakeDir,
+        rows.filter(col("k") < 200))
+      graft.sources.DeltaLake.append(spark, lakeDir,
+        rows.filter(col("k") >= 200))
+      graft.sources.DeltaLake.deleteWhere(spark, lakeDir, "k % 50 = 0")
+      val gotD = graft.sources.DeltaLake.snapshot(spark, lakeDir)
+        .collect().map(_.toString).sorted
+      val wantD = rows.filter(col("k") % 50 =!= 0)
+        .collect().map(_.toString).sorted
+      require(gotD.sameElements(wantD),
+        "delta round trip diverged on local-cluster")
+      val iceDir = java.nio.file.Files
+        .createTempDirectory("cluster_iceberg").toString
+      graft.sources.IcebergLake.append(spark, iceDir,
+        rows.filter(col("k") < 100))
+      graft.sources.IcebergLake.append(spark, iceDir,
+        rows.filter(col("k") >= 100 && col("k") < 150))
+      val gotI = graft.sources.IcebergLake.snapshot(spark,
+          graft.sources.IcebergLake.currentMetadata(spark, iceDir))
+        .collect().map(_.toString).sorted
+      val wantI = rows.filter(col("k") < 150)
+        .collect().map(_.toString).sorted
+      require(gotI.sameElements(wantI),
+        "iceberg round trip diverged on local-cluster")
+
+      println(s"CLUSTERCHECK OK executors=${execs() - 1} checks=6")
     } finally spark.stop()
   }
 }
