@@ -86,6 +86,53 @@ object HttpShim {
       handle(ex) { _ => s"""{"token": ${ingested.get()}}""" })
     server.createContext("/stats", (ex: HttpExchange) =>
       handle(ex) { _ => pipeline.stats() })
+    // Prometheus exposition (operations/metrics.md): the reference's
+    // /metrics endpoint. Cheap counters/gauges only — no per-scrape
+    // Spark jobs (relation row counts live on /stats, priced on demand).
+    server.createContext("/metrics", (ex: HttpExchange) =>
+      handle(ex, contentType = "text/plain; version=0.0.4") { _ =>
+        val os = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean
+        val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+        val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+        val threads = java.lang.management.ManagementFactory.getThreadMXBean
+        val cpuSec = os match {
+          case x: com.sun.management.OperatingSystemMXBean =>
+            x.getProcessCpuTime / 1e9
+          case _ => 0d
+        }
+        val fds = os match {
+          case u: com.sun.management.UnixOperatingSystemMXBean => Seq(
+            "# TYPE process_open_fds gauge",
+            s"process_open_fds ${u.getOpenFileDescriptorCount}",
+            "# TYPE process_max_fds gauge",
+            s"process_max_fds ${u.getMaxFileDescriptorCount}")
+          case _ => Seq.empty
+        }
+        val conns = pipeline.connectorState.toSeq.sorted.map {
+          case (k, running) =>
+            s"""graft_connector_running{connector="$k"} ${
+              if (running) 1 else 0}"""
+        }
+        (Seq(
+          "# HELP dbsp_steps_total Total number of steps executed.",
+          "# TYPE dbsp_steps_total counter",
+          s"dbsp_steps_total ${pipeline.stepCount}",
+          "# TYPE process_cpu_seconds_total counter",
+          f"process_cpu_seconds_total $cpuSec%.3f",
+          "# TYPE process_start_time_seconds counter",
+          s"process_start_time_seconds ${rt.getStartTime / 1000}",
+          "# TYPE process_resident_memory_bytes gauge",
+          s"process_resident_memory_bytes ${
+            mem.getHeapMemoryUsage.getUsed}",
+          "# TYPE process_threads gauge",
+          s"process_threads ${threads.getThreadCount}",
+          "# TYPE graft_transaction_open gauge",
+          s"graft_transaction_open ${
+            if (pipeline.transactionInProgress.isDefined) 1 else 0}",
+          "# TYPE graft_connector_running gauge") ++ fds ++ conns)
+          .mkString("", "\n", "\n")
+      })
     // transactions (pipelines/transactions.md): start buffers subsequent
     // /ingress chunks; commit applies them as ONE atomic step; abort
     // discards. The single-threaded dispatcher serializes these against
@@ -165,7 +212,9 @@ object HttpShim {
     new HttpShim(pipeline, server)
   }
 
-  private def handle(ex: HttpExchange)(f: String => String): Unit = {
+  private def handle(ex: HttpExchange,
+      contentType: String = "application/json")(
+      f: String => String): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val (code, out) =
       try (200, f(body))
@@ -174,7 +223,8 @@ object HttpShim {
           (400, s"""{"error": ${quote(e.getMessage)}}""")
       }
     val bytes = out.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type",
+      if (code == 200) contentType else "application/json")
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     ex.close()

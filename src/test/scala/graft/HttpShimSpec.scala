@@ -76,6 +76,28 @@ class HttpShimSpec extends SparkSpec {
     } finally shim.stop()
   }
 
+  test("/metrics serves Prometheus exposition with step counters") {
+    val shim = HttpShim.serve(Pipeline(spark, program))
+    val client = HttpClient.newHttpClient()
+    def url(p: String) = URI.create(s"http://127.0.0.1:${shim.port}$p")
+    try {
+      send(client, HttpRequest.newBuilder(url("/ingress/item"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"insert": {"id": 1, "qty": 1.0, "tag": "a"}}""")).build())
+      val req = HttpRequest.newBuilder(url("/metrics")).GET().build()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(r.headers().firstValue("Content-Type").get()
+        .startsWith("text/plain"))
+      val lines = r.body().linesIterator.toSeq
+      assert(lines.contains("# TYPE dbsp_steps_total counter"))
+      assert(lines.exists(l => l.startsWith("dbsp_steps_total ")
+        && l.split(" ")(1).toLong >= 1L))
+      assert(lines.exists(_.startsWith("process_cpu_seconds_total ")))
+      assert(lines.exists(_.startsWith("graft_transaction_open 0")))
+    } finally shim.stop()
+  }
+
   test("connector orchestration: backfill paused, start, ingest rounds") {
     // two file connectors: historical backfill starts PAUSED, live starts
     // running — the orchestration example's switch-over, driven over HTTP
