@@ -317,10 +317,20 @@ object Similarity {
     import graft.functions.VectorDot.dist2L
     val scored = vecs.crossJoin(broadcast(cents))
       .withColumn("__d2", dist2L(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("__id").orderBy(col("__d2"), col("__cell"))
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= keep)
-      .select(col("__id"), col("__qv"), col("__cell"))
+    if (keep == 1)
+      // argmin as a min_by aggregation: candidate scores combine
+      // map-side, one row per id shuffles (ties break on cell id)
+      scored.groupBy("__id")
+        .agg(min_by(col("__cell"),
+            struct(col("__d2"), col("__cell"))).as("__cell"),
+          first(col("__qv")).as("__qv"))
+        .select(col("__id"), col("__qv"), col("__cell"))
+    else {
+      val w = Window.partitionBy("__id").orderBy(col("__d2"), col("__cell"))
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= keep)
+        .select(col("__id"), col("__qv"), col("__cell"))
+    }
   }
 
   /** Deterministic quantized k-means index build over `(__id, __qv)`:
@@ -446,11 +456,15 @@ object Similarity {
     val seeds = subs.filter(col("__id") < ksub)
       .select(col("__j"), col("__id").cast("int").as("__cid"),
         col("__sv").as("__cv"))
-    val w = Window.partitionBy("__id", "__j")
-      .orderBy(col("__d2"), col("__cid"))
+    // argmin as a min_by AGGREGATION, not a row_number window: the
+    // candidate scores combine map-side, so only one row per (id, j)
+    // ever shuffles (ties break on cid via the struct ordering)
     val a1 = subs.join(broadcast(seeds), "__j")
       .withColumn("__d2", dist2L(col("__sv"), col("__cv")))
-      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .groupBy("__id", "__j")
+      .agg(min_by(col("__cid"),
+          struct(col("__d2"), col("__cid"))).as("__cid"),
+        first(col("__sv")).as("__sv"))
       .select(col("__j"), col("__cid"), col("__sv"))
     a1.select(col("__j"), col("__cid"),
         posexplode(col("__sv")).as(Seq("__d", "__x")))
@@ -470,12 +484,12 @@ object Similarity {
     */
   private def pqAssign(subs: DataFrame, books: DataFrame): DataFrame = {
     import graft.functions.VectorDot.dist2L
-    val w = Window.partitionBy("__id", "__j")
-      .orderBy(col("__d2"), col("__cid"))
     subs.join(broadcast(books), "__j")
       .withColumn("__d2", dist2L(col("__sv"), col("__cv")))
-      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
-      .select(col("__id"), col("__j"), col("__cid").as("__code"))
+      .groupBy("__id", "__j")
+      .agg(min_by(col("__cid"),
+        struct(col("__d2"), col("__cid"))).as("__code"))
+      .select(col("__id"), col("__j"), col("__code"))
   }
 
   /** PQ-encode a corpus: each vector becomes its m-code array — the
