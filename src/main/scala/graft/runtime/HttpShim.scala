@@ -86,6 +86,20 @@ object HttpShim {
       handle(ex) { _ => s"""{"token": ${ingested.get()}}""" })
     server.createContext("/stats", (ex: HttpExchange) =>
       handle(ex) { _ => pipeline.stats() })
+    // Circuit profile (the reference's profile dump surface,
+    // operations/visualizing-profiles.md): how each view is MAINTAINED —
+    // the IVM planner's shape classification (which exact delta rule
+    // runs per step, or recompute-diff for Opaque) plus step count.
+    // Pure metadata, no Spark jobs.
+    server.createContext("/profile", (ex: HttpExchange) =>
+      handle(ex) { _ =>
+        val views = pipeline.program.views.map { v =>
+          val shape = try pipeline.shapeOf(v.name).toString
+            catch { case _: Throwable => "n/a" }
+          s"""{"view": ${quote(v.name)}, "shape": ${quote(shape)}}"""
+        }.mkString("[", ", ", "]")
+        s"""{"steps": ${pipeline.stepCount}, "views": $views}"""
+      })
     // Prometheus exposition (operations/metrics.md): the reference's
     // /metrics endpoint. Cheap counters/gauges only — no per-scrape
     // Spark jobs (relation row counts live on /stats, priced on demand).

@@ -95,6 +95,12 @@ class HttpShimSpec extends SparkSpec {
         && l.split(" ")(1).toLong >= 1L))
       assert(lines.exists(_.startsWith("process_cpu_seconds_total ")))
       assert(lines.exists(_.startsWith("graft_transaction_open 0")))
+      // /profile reports each view's IVM maintenance shape
+      val pr = client.send(HttpRequest.newBuilder(url("/profile"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(pr.statusCode() === 200)
+      assert(pr.body().contains(""""view": "qty_by_tag""""))
+      assert(pr.body().contains("GroupAgg"))
     } finally shim.stop()
   }
 
