@@ -41,6 +41,73 @@ object ConnectorsE2e {
           sum(floor(col("o_totalprice")).cast("long")).as("total"))
     },
 
+    // Delta follow mode: the signed Z-set delta stream after a pinned
+    // version. Commit 1 is the pre-follow base; commit 2 adds rows and
+    // commit 3 deletes a slice — the consolidated follow delta is
+    // exactly (+commit2 rows, −deleted rows), which the oracle
+    // re-derives relationally.
+    Q(
+      "conn_delta_follow",
+      """WITH d AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(SUM(w) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT o_orderkey, o_orderstatus, 1 AS w FROM orders
+        |    WHERE o_orderkey <= 3000 AND o_orderkey % 2 = 1
+        |    UNION ALL
+        |    SELECT o_orderkey, o_orderstatus, -1 AS w FROM orders
+        |    WHERE o_orderkey <= 3000 AND o_orderkey % 11 = 0)
+        |  GROUP BY o_orderkey, o_orderstatus
+        |  HAVING CAST(SUM(w) AS BIGINT) <> 0)
+        |SELECT o_orderstatus, CAST(SUM(w) AS BIGINT) AS net, COUNT(*) AS n
+        |FROM d GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tdir = java.nio.file.Files
+        .createTempDirectory("conn_delta_follow").toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      DeltaLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 0))
+      DeltaLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 1))
+      DeltaLake.deleteWhere(s, tdir, "o_orderkey % 11 = 0")
+      // the delete rewrites BOTH parities' files: net follow delta per
+      // row = +1 (commit 2) −1 (remove) +1 (survivor re-add) for odd
+      // keys, −1/+1 cancelling for evens — consolidation yields the
+      // oracle's signed relation
+      graft.zset.ZSets.consolidate(
+        DeltaLake.changes(s, tdir, startVersion = 0L))
+        .groupBy("o_orderstatus")
+        .agg(sum(col(graft.zset.ZSets.W)).as("net"),
+          count(lit(1)).as("n"))
+    },
+
+    // Delta CDC mode: the table is an append-only action log; weights
+    // come from cdc_delete_filter and apply order from cdc_order_by.
+    // The oracle replays the same log arithmetic.
+    Q(
+      "conn_delta_cdc",
+      """SELECT k, CAST(SUM(w) AS BIGINT) AS present FROM (
+        |  SELECT o_orderkey AS k, 1 AS w FROM orders
+        |  WHERE o_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, -1 AS w FROM orders
+        |  WHERE o_orderkey <= 1000 AND o_orderkey % 3 = 0)
+        |GROUP BY k HAVING CAST(SUM(w) AS BIGINT) > 0""".stripMargin) {
+      (s, dir) =>
+      val tdir = java.nio.file.Files
+        .createTempDirectory("conn_delta_cdc").toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey").as("k"))
+      // action log: inserts (seq 1), then deletions of %3 keys (seq 2)
+      DeltaLake.append(s, tdir,
+        o.select(lit("ins").as("op"), lit(1L).as("seq"), col("k")))
+      DeltaLake.append(s, tdir,
+        o.filter(col("k") % 3 === 0)
+          .select(lit("del").as("op"), lit(2L).as("seq"), col("k")))
+      val cdc = DeltaLake.cdc(s, tdir, startVersion = -1L,
+        deleteFilter = Some("op = 'del'"), orderBy = Some("seq"))
+      cdc.groupBy("k")
+        .agg(sum(col(graft.zset.ZSets.W)).as("present"))
+        .where(col("present") > 0)
+    },
+
     // Iceberg: commit 1 (even keys), commit 2 adds odd keys AND marks
     // commit 1's data files deleted in the same snapshot; the snapshot
     // read walks metadata.json → manifest-list avro → manifest avro and
