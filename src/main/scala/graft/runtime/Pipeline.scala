@@ -376,6 +376,9 @@ final class Pipeline(spark: SparkSession,
   /** Total committed steps (transactions commit as one). */
   def stepCount: Long = stepsRun
 
+  /** Declared view names, in program order (for shells/tools). */
+  def viewNames: Seq[String] = program.views.map(_.name)
+
   /** Begin a transaction; fails if one is already open (the reference's
     * single-transaction contract).
     */
