@@ -542,6 +542,60 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** IVF-PQ composite (the IVFADC architecture of Jégou et al. 2011,
+    * minus residual re-centering — documented choice: codebooks train on
+    * raw subvectors, which keeps every stage exactly re-derivable by the
+    * oracle while preserving the plan shape): IVF cells ROUTE — each
+    * probe scans only its `nprobe` nearest cells' candidates — and PQ
+    * codes SERVE — candidates are scored from their m-code arrays via
+    * the probe's ADC lookup table, never from raw vectors.
+    *
+    * 100-TB shape: centroids and codebooks are tiny broadcast tables;
+    * the corpus exists at query time as (id, cell, m codes) — bytes per
+    * vector, cell-prunable — and the only join fan-out is candidates ×
+    * m thin rows against a broadcast LUT, map-side combined. This is
+    * the memory-resident serving tier for corpora whose raw vectors
+    * only live on disk.
+    */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, nCells: Int,
+      m: Int, ksub: Int, k: Int, nprobe: Int = 2, scale: Int = 1000,
+      probeId: String = "probe_id", corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorDot.dist2L
+    val q = corpus.select(col(corpusId).as("__id"),
+      quantize(col(vecCol), scale).as("__qv"))
+    // coarse router: deterministic quantized k-means over full vectors
+    val cents = kmeansCentroidsQuantized(q, nCells)
+    val corpusCells = assignCells(q, cents, keep = 1)
+      .select(col("__id"), col("__cell"))
+    // fine quantizer: PQ codes over the same corpus
+    val subs = pqSubs(q, m)
+    val books = pqCodebooks(subs, ksub)
+    val codes = pqAssign(subs, books)
+    // the serving artifact: (id, cell, j, code) — join is on the tiny
+    // id-partitioned frames built above, computed once per index build
+    val served = codes.join(corpusCells, "__id")
+    // probe side: route to nprobe cells, build the exact ADC table
+    val probesQ = probes.select(col(probeId).as("__id"),
+      quantize(col(vecCol), scale).as("__qv"))
+    val probeCells = assignCells(probesQ, cents, keep = nprobe)
+      .select(col("__id").as("probe_id"), col("__cell"))
+    val lut = pqSubs(probesQ, m).join(broadcast(books), "__j")
+      .select(col("__id").as("probe_id"), col("__j"),
+        col("__cid").as("__code"),
+        dist2L(col("__sv"), col("__cv")).as("__d2"))
+    // candidates = corpus rows in a routed cell; ADC = m lookups summed
+    val scored = served
+      .join(broadcast(probeCells), "__cell")
+      .join(broadcast(lut), Seq("probe_id", "__j", "__code"))
+      .groupBy(col("probe_id"), col("__id").as("corpus_id"))
+      .agg(sum(col("__d2")).as("ad2"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("ad2"), col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** SEMANTIC dedup (the SemDeDup recipe): cluster embeddings into cells,
     * compare pairs ONLY within a cell, and drop every vector that has a
     * sufficiently-cosine-similar neighbor with a smaller id — one

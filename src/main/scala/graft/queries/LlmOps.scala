@@ -673,6 +673,100 @@ object LlmOps {
         m = 4, ksub = 16, k = 5, scale = 1000)
     },
 
+    // IVF-PQ composite (IVFADC minus residual re-centering): coarse
+    // cells route each probe to nprobe=2 cells; candidates are scored
+    // ONLY from their PQ codes via the probe's ADC lookup table. The
+    // oracle re-trains BOTH quantizers (coarse k-means over full
+    // vectors, per-subspace PQ codebooks) and re-derives every routing,
+    // code, lookup, and rank — end to end in exact integers.
+    Q(
+      "llm_ivfpq_topk",
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seedc AS (SELECT CAST(vec_id AS INT) AS cell, qv AS cv
+        |  FROM q WHERE vec_id < 8),
+        |ca1 AS (SELECT vec_id, qv, cell FROM (
+        |    SELECT q.vec_id, q.qv, s.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |          i -> (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])),
+        |          (a, b) -> a + b), s.cell) AS rk
+        |    FROM q, seedc s) WHERE rk = 1),
+        |cx AS (SELECT cell, unnest(range(1, len(qv) + 1)) AS i,
+        |    unnest(qv) AS x FROM ca1),
+        |cm AS (SELECT cell, i,
+        |    CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |  FROM cx GROUP BY cell, i),
+        |cent2 AS (SELECT cell, list(m ORDER BY i) AS cv
+        |  FROM cm GROUP BY cell),
+        |ccell AS (SELECT vec_id, cell FROM (
+        |    SELECT q.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |          i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+        |          (a, b) -> a + b), c.cell) AS rk
+        |    FROM q, cent2 c) WHERE rk = 1),
+        |pcell AS (SELECT vec_id, cell FROM (
+        |    SELECT q.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |          i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+        |          (a, b) -> a + b), c.cell) AS rk
+        |    FROM q, cent2 c WHERE q.vec_id < 10) WHERE rk <= 2),
+        |subs AS (
+        |  SELECT vec_id, j, qv[j*(len(qv)//4)+1 : (j+1)*(len(qv)//4)] AS sv
+        |  FROM q, (SELECT unnest(range(0, 4)) AS j)),
+        |seedf AS (SELECT j, CAST(vec_id AS INT) AS cid, sv AS cv
+        |  FROM subs WHERE vec_id < 16),
+        |fa1 AS (SELECT j, cid, sv FROM (
+        |    SELECT s.vec_id, s.j, se.cid, s.sv,
+        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+        |        list_reduce(list_transform(range(1, len(s.sv) + 1),
+        |          i -> (s.sv[i] - se.cv[i]) * (s.sv[i] - se.cv[i])),
+        |          (a, b) -> a + b), se.cid) AS rk
+        |    FROM subs s JOIN seedf se ON s.j = se.j) WHERE rk = 1),
+        |fx AS (SELECT j, cid, unnest(range(1, len(sv) + 1)) AS d,
+        |    unnest(sv) AS x FROM fa1),
+        |fm AS (SELECT j, cid, d,
+        |    CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |  FROM fx GROUP BY j, cid, d),
+        |books AS (SELECT j, cid, list(m ORDER BY d) AS cv
+        |  FROM fm GROUP BY j, cid),
+        |codes AS (SELECT vec_id, j, code FROM (
+        |    SELECT s.vec_id, s.j, b.cid AS code,
+        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+        |        list_reduce(list_transform(range(1, len(s.sv) + 1),
+        |          i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i])),
+        |          (a, b) -> a + b), b.cid) AS rk
+        |    FROM subs s JOIN books b ON s.j = b.j) WHERE rk = 1),
+        |lut AS (SELECT s.vec_id AS probe_id, s.j, b.cid AS code,
+        |    list_reduce(list_transform(range(1, len(s.sv) + 1),
+        |      i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM subs s JOIN books b ON s.j = b.j WHERE s.vec_id < 10),
+        |scored AS (SELECT l.probe_id, c.vec_id AS corpus_id,
+        |    CAST(SUM(l.d2) AS BIGINT) AS ad2
+        |  FROM codes c
+        |  JOIN ccell cc ON c.vec_id = cc.vec_id
+        |  JOIN pcell p ON cc.cell = p.cell
+        |  JOIN lut l ON l.probe_id = p.vec_id AND l.j = c.j
+        |    AND l.code = c.code
+        |  GROUP BY l.probe_id, c.vec_id)
+        |SELECT probe_id, corpus_id, ad2, rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY ad2, corpus_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        emb.repartition(32, col("vec_id"))
+          .select(col("vec_id").as("corpus_id"), col("embedding")),
+        nCells = 8, m = 4, ksub = 16, k = 5, nprobe = 2, scale = 1000)
+    },
+
     // Benchmark decontamination: fraction of each document's distinct
     // 3-grams that appear in a "benchmark" set (docs 0-49 here). Corpus
     // and contamination set meet only through an n-gram-hash equi-join —

@@ -164,6 +164,36 @@ class LlmSpec extends SparkSpec {
         .as[(Long, Long, Long, Long)].collect().toSet)
   }
 
+  test("IVF-PQ: self is rank 1; nprobe=nCells equals plain PQ") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val corpus = vecs.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val out = Similarity.ivfPqTopK(probes, corpus, nCells = 4, m = 4,
+      ksub = 8, k = 3, nprobe = 2)
+    // a probe IS a corpus vector: identical routing and codes make the
+    // self pair a candidate with the minimal ADC distance (ties break
+    // toward the smaller id, which is the self id for probes 0-3 vs
+    // their near-duplicates at +9k)
+    val self = out.filter(col("rk") === 1)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(self === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // routing-everywhere equivalence: with nprobe = nCells the coarse
+    // router prunes nothing, so IVF-PQ must EQUAL plain PQ/ADC (same
+    // codebooks, same distances, same ranking) — proving the composite
+    // changes only the candidate set, never the scoring
+    val everywhere = Similarity.ivfPqTopK(probes, corpus, nCells = 4,
+      m = 4, ksub = 8, k = 3, nprobe = 4)
+      .select("probe_id", "corpus_id", "ad2", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val plainPq = Similarity.pqTopK(probes, corpus, m = 4, ksub = 8, k = 3)
+      .select("probe_id", "corpus_id", "ad2", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(everywhere === plainPq)
+  }
+
   test("IVF ANN: self is rank 1; recall overlaps brute force") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
