@@ -54,7 +54,11 @@ object DeltaLake {
       /** commitInfo/in-commit timestamp per replayed version (for
         * `datetime` resolution).
         */
-      timestamps: Map[Long, Long])
+      timestamps: Map[Long, Long],
+      /** latest `txn` action version per application id (idempotent
+        * writer bookkeeping, the protocol's transaction identifiers).
+        */
+      txns: Map[String, Long] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -104,6 +108,7 @@ object DeltaLake {
     // path → AddFile; removes delete keys
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val stamps = scala.collection.mutable.Map[Long, Long]()
+    val txns = scala.collection.mutable.Map[String, Long]()
 
     ckpt.foreach { cv =>
       // checkpoint parquet: one row per action with nullable structs
@@ -118,6 +123,12 @@ object DeltaLake {
           .where(col("metaData").isNotNull).collect().foreach { r =>
             schema = DataType.fromJson(r.getString(0)).asInstanceOf[StructType]
             partCols = r.getSeq[String](1)
+          }
+      }
+      if (cols.contains("txn")) {
+        cp.select("txn.appId", "txn.version")
+          .where(col("txn").isNotNull).collect().foreach { r =>
+            txns(r.getString(0)) = r.getLong(1)
           }
       }
       if (cols.contains("add")) {
@@ -150,6 +161,12 @@ object DeltaLake {
             Option(ad.get("size")).map(_.asLong()).getOrElse(0L))
         }
         if (a.has("remove")) live.remove(a.get("remove").get("path").asText())
+        if (a.has("txn")) {
+          val t = a.get("txn")
+          val app = t.get("appId").asText()
+          val v = t.get("version").asLong()
+          if (txns.getOrElse(app, Long.MinValue) < v) txns(app) = v
+        }
         if (a.has("commitInfo")) {
           val ci = a.get("commitInfo")
           if (ci.has("timestamp")) stamps(v) = ci.get("timestamp").asLong()
@@ -161,7 +178,8 @@ object DeltaLake {
     }
     require(schema != null,
       s"Delta log has no metaData action at or below version $target: $dir")
-    Snapshot(target, schema, partCols, live.values.toSeq, stamps.toMap)
+    Snapshot(target, schema, partCols, live.values.toSeq, stamps.toMap,
+      txns.toMap)
   }
 
   private def partValues(node: JsonNode): Map[String, String] =
@@ -334,7 +352,8 @@ object DeltaLake {
     * the protocol's optimistic concurrency rule).
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long = {
     val (f, root) = fs(spark, dir)
     val log = logDir(dir)
     f.mkdirs(log)
@@ -388,6 +407,10 @@ object DeltaLake {
         s""""partitionColumns":${partitionBy.map(p =>
           "\"" + p + "\"").mkString("[", ",", "]")},""" +
         s""""configuration":{},"createdTime":$now}}"""
+    }
+    txn.foreach { case (app, v) =>
+      actions += s"""{"txn":{"appId":${mapper.writeValueAsString(app)},""" +
+        s""""version":$v,"lastUpdated":$now}}"""
     }
     adds.foreach { a =>
       val pvJson = a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -455,6 +478,73 @@ object DeltaLake {
     version
   }
 
+  /** OPTIMIZE-style file compaction: rewrite the current snapshot's
+    * files into at most `targetFiles` larger ones as a single
+    * add/remove commit (dataChange=false semantics: content identical).
+    * Bounds small-file fan-out from frequent micro-batch appends — the
+    * table-maintenance sibling of log [[checkpoint]]s.
+    */
+  def compactFiles(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Long = {
+    val (f, root) = fs(spark, dir)
+    val snap = reconstruct(spark, dir, None)
+    if (snap.files.size <= targetFiles) return snap.version
+    val version = snap.version + 1
+    val now = System.currentTimeMillis()
+    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
+    readFiles(spark, dir, snap, snap.files)
+      .repartition(targetFiles).write.parquet(stage.toString)
+    val parts = f.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val adds = parts.map { p =>
+      val name = s"part-$version-${java.util.UUID.randomUUID()}.parquet"
+      val dest = new Path(root, name)
+      require(f.rename(p, dest), s"stage move failed: $p")
+      AddFile(name, Map.empty, f.getFileStatus(dest).getLen)
+    }
+    f.delete(stage, true)
+    val actions =
+      adds.map(a => s"""{"add":{"path":"${a.path}","partitionValues":{},""" +
+        s""""size":${a.size},"modificationTime":$now,"dataChange":false}}""") ++
+      snap.files.map(a =>
+        s"""{"remove":{"path":"${a.path}","deletionTimestamp":$now,""" +
+          s""""dataChange":false}}""") ++
+      Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"OPTIMIZE"}}""")
+    val out = f.create(new Path(logDir(dir), f"$version%020d.json"), false)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
+  /** VACUUM: physically delete data files no longer referenced by the
+    * current snapshot and older than `retainMillis`. After a vacuum,
+    * `follow` reads that need a removed file's CONTENT fail (the same
+    * contract the reference documents: keep retention ≥ the longest
+    * follower lag). Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, dir: String,
+      retainMillis: Long = 7L * 24 * 3600 * 1000): Int = {
+    val (f, root) = fs(spark, dir)
+    val snap = reconstruct(spark, dir, None)
+    val live = snap.files
+      .map(a => java.net.URLDecoder.decode(a.path, "UTF-8")).toSet
+    val cutoff = System.currentTimeMillis() - retainMillis
+    def walk(p: Path): Seq[Path] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name == "_delta_log" || name.startsWith(".stage-")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath)
+      }
+    val qRoot = f.makeQualified(root).toUri
+    val victims = walk(root).filter { p =>
+      val rel = qRoot.relativize(f.makeQualified(p).toUri).getPath
+      !live.contains(rel) && f.getFileStatus(p).getModificationTime < cutoff
+    }
+    victims.foreach(f.delete(_, false))
+    victims.size
+  }
+
   /** Write a parquet checkpoint of the state at the latest version and
     * point `_last_checkpoint` at it — the log-compaction step that bounds
     * replay cost (and lets old JSON commits be cleaned up).
@@ -470,11 +560,17 @@ object DeltaLake {
     val metaType = StructType(Seq(
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType))))
+    val txnType = StructType(Seq(
+      StructField("appId", StringType), StructField("version", LongType)))
     val ckptSchema = StructType(Seq(
-      StructField("add", addType), StructField("metaData", metaType)))
+      StructField("add", addType), StructField("metaData", metaType),
+      StructField("txn", txnType)))
     val rows =
-      Row(null, Row(snap.schema.json, snap.partitionColumns)) +:
-      snap.files.map(a => Row(Row(a.path, a.partitionValues, a.size), null))
+      Row(null, Row(snap.schema.json, snap.partitionColumns), null) +:
+      (snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, Row(app, v)) } ++
+       snap.files.map(a =>
+         Row(Row(a.path, a.partitionValues, a.size), null, null)))
     val log = logDir(dir)
     spark.createDataFrame(rows.asJava, ckptSchema).repartition(1)
       .write.mode("overwrite")
@@ -501,9 +597,18 @@ object DeltaLake {
     * semantics of one record per multiset element.
     */
   def writeDelta(spark: SparkSession, dir: String, delta: DataFrame,
-      ts: Long): Long = {
+      ts: Long, txn: Option[(String, Long)] = None): Long = {
     require(delta.columns.contains(ZSets.W),
       "delta sink expects a Z-set delta (weight column)")
+    // idempotent retries (the protocol's txn action): a (appId, version)
+    // already in the log means this delta landed — skip, exactly-once
+    txn.foreach { case (app, v) =>
+      val (f0, _) = fs(spark, dir)
+      if (f0.exists(logDir(dir))) {
+        val cur = reconstruct(spark, dir, None)
+        if (cur.txns.getOrElse(app, Long.MinValue) >= v) return cur.version
+      }
+    }
     val dataCols = ZSets.dataCols(delta).map(col)
     val expanded = delta
       .withColumn("__feldera_op",
@@ -511,7 +616,7 @@ object DeltaLake {
       .withColumn("__feldera_ts", lit(ts))
       .withColumn("_n", explode(sequence(lit(1L), abs(col(ZSets.W)))))
       .select(dataCols :+ col("__feldera_op") :+ col("__feldera_ts"): _*)
-    append(spark, dir, expanded)
+    append(spark, dir, expanded, txn = txn)
   }
 
   /** Reconstruct the current table contents from a change-log table

@@ -204,6 +204,46 @@ class DeltaLakeSpec extends SparkSpec {
     assert(pipe.errorView.count() === 1L)
   }
 
+  test("compactFiles merges small files; vacuum reclaims dead ones") {
+    val dir = tmp()
+    (0 until 4).foreach(i =>
+      DeltaLake.append(spark, dir, Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    val before = DeltaLake.reconstruct(spark, dir).files.size
+    assert(before >= 4)
+    DeltaLake.compactFiles(spark, dir, targetFiles = 1)
+    val snap = DeltaLake.reconstruct(spark, dir)
+    assert(snap.files.size === 1)
+    assert(DeltaLake.snapshot(spark, dir).as[(Long, String)].collect()
+      .toSet === (0 until 4).map(i => (i.toLong, s"v$i")).toSet)
+    // the pre-compaction files are dead: vacuum with zero retention
+    // deletes them, and the snapshot still reads fine
+    val reclaimed = DeltaLake.vacuum(spark, dir, retainMillis = 0L)
+    assert(reclaimed >= 4)
+    assert(DeltaLake.snapshot(spark, dir).count() === 4L)
+  }
+
+  test("txn actions make the sink idempotent across retries") {
+    val dir = tmp()
+    val d = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", ZSets.W)
+    DeltaLake.writeDelta(spark, dir, d, ts = 1L, txn = Some("sink" -> 7L))
+    // a retry of the SAME (appId, version) must be a no-op
+    DeltaLake.writeDelta(spark, dir, d, ts = 1L, txn = Some("sink" -> 7L))
+    assert(DeltaLake.snapshot(spark, dir).count() === 2L)
+    // a later version lands; txn bookkeeping survives a checkpoint
+    DeltaLake.writeDelta(spark, dir,
+      Seq((3L, "c", 1L)).toDF("id", "s", ZSets.W), ts = 2L,
+      txn = Some("sink" -> 8L))
+    DeltaLake.checkpoint(spark, dir)
+    val log = new java.io.File(dir, "_delta_log")
+    log.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => assert(f.delete()))
+    assert(DeltaLake.reconstruct(spark, dir).txns === Map("sink" -> 8L))
+    DeltaLake.writeDelta(spark, dir,
+      Seq((9L, "x", 1L)).toDF("id", "s", ZSets.W), ts = 3L,
+      txn = Some("sink" -> 8L)) // stale retry after restart: no-op
+    assert(DeltaLake.snapshot(spark, dir).count() === 3L)
+  }
+
   test("delta sink writes the change-log form; merge reconstructs") {
     val dir = tmp()
     val d1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", ZSets.W)
