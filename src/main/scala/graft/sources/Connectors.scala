@@ -159,6 +159,35 @@ object Connectors {
             ZSets.lift(spark.read.schema(schema)
               .options(conf.formatConfig).csv(path))
           case "parquet" => ZSets.lift(spark.read.parquet(path))
+          case "raw" =>
+            // formats/raw.md: UNPARSED bytes into one VARBINARY/VARCHAR
+            // column; `mode` lines (split on \n) or blob (whole object =
+            // one row); other columns must have defaults. Insert-only by
+            // contract (no metadata to express deletions).
+            val mode = conf.formatConfig.getOrElse("mode", "blob")
+            val target = conf.formatConfig.get("column_name").getOrElse {
+              require(schema.fields.length == 1,
+                "raw format: column_name is required when the table has " +
+                  "more than one column")
+              schema.fields.head.name
+            }
+            val dt = schema(target).dataType
+            val raw = mode match {
+              case "lines" =>
+                spark.read.text(path).select(col("value").cast(dt).as(target))
+              case "blob" =>
+                spark.read.format("binaryFile").load(path)
+                  .select(col("content").cast(dt).as(target))
+              case other => sys.error(s"raw format: unknown mode $other")
+            }
+            val defaults = defaultsOf(table, conf.config)
+            val full = schema.fields.foldLeft(raw) { (df, fld) =>
+              if (fld.name == target) df
+              else df.withColumn(fld.name,
+                defaults.get(fld.name).map(d => expr(d).cast(fld.dataType))
+                  .getOrElse(lit(null).cast(fld.dataType)))
+            }
+            ZSets.lift(full.select(schema.fieldNames.map(col).toSeq: _*))
           case "avro" =>
             // binary avro record files: one record per binaryFile row is
             // not the avro container format — read container files via

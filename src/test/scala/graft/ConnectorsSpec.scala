@@ -307,6 +307,32 @@ class ConnectorsSpec extends SparkSpec {
     assert(n === 3L)
   }
 
+  test("raw format: lines and blob modes land unparsed payloads") {
+    val dir = Files.createTempDirectory("conn_raw")
+    Files.write(dir.resolve("a.txt"), "line one\nline two".getBytes)
+    // lines mode: one row per line, defaults fill the other column
+    val t1 = Ddl.parse(
+      ("CREATE TABLE t (data VARCHAR, src VARCHAR DEFAULT 'crawl') WITH " +
+        s"""('connectors' = '[{"transport": {"name": "file_input", """ +
+        s""""config": {"path": "$dir"}}, "format": {"name": "raw", """ +
+        """"config": {"mode": "lines", "column_name": "data"}}}]');"""))
+      .tables.head
+    val lines = Connectors.read(spark, t1, Connectors.connectorsOf(t1).head)
+      .as[(String, String, Long)].collect().toSet
+    assert(lines === Set(("line one", "crawl", 1L),
+      ("line two", "crawl", 1L)))
+    // blob mode on a 1-column VARBINARY table: whole file = one row
+    val t2 = Ddl.parse(
+      ("CREATE TABLE t (data VARBINARY) WITH " +
+        s"""('connectors' = '[{"transport": {"name": "file_input", """ +
+        s""""config": {"path": "$dir"}}, "format": {"name": "raw", """ +
+        """"config": {"mode": "blob"}}}]');""")).tables.head
+    val blobs = Connectors.read(spark, t2, Connectors.connectorsOf(t2).head)
+      .select("data").as[Array[Byte]].collect()
+    assert(blobs.length === 1)
+    assert(new String(blobs.head) === "line one\nline two")
+  }
+
   test("url_input fetches an http body and decodes it like a file") {
     val body =
       """{"insert": {"a": 1, "b": "x"}}
