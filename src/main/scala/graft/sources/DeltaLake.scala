@@ -351,22 +351,17 @@ object DeltaLake {
     * (create-no-overwrite — a concurrent committer loses and retries,
     * the protocol's optimistic concurrency rule).
     */
-  def append(spark: SparkSession, dir: String, df: DataFrame,
-      partitionBy: Seq[String] = Seq.empty,
-      txn: Option[(String, Long)] = None): Long = {
-    val (f, root) = fs(spark, dir)
-    val log = logDir(dir)
-    f.mkdirs(log)
-    val existing = commitVersions(f, log)
-    val version = if (existing.isEmpty) 0L else existing.max + 1
-
-    // stage part files in a scratch dir, then move them into the table
-    // root under unique names (the standard two-phase object-store commit)
+  /** Stage `df` as parquet part files (hive-partitioned when
+    * `partitionBy` is set), move them into the table root under unique
+    * version-stamped names, and return their add entries — the shared
+    * two-phase write behind append/delete/compaction.
+    */
+  private def stageWrite(f: FileSystem, root: Path, df: DataFrame,
+      partitionBy: Seq[String], version: Long): Seq[AddFile] = {
     val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
     val writer = if (partitionBy.nonEmpty)
       df.write.partitionBy(partitionBy: _*) else df.write
     writer.parquet(stage.toString)
-
     def dataFiles(p: Path): Seq[Path] =
       f.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) dataFiles(st.getPath)
@@ -394,6 +389,28 @@ object DeltaLake {
       AddFile(relPath, pv, f.getFileStatus(dest).getLen)
     }
     f.delete(stage, true)
+    adds
+  }
+
+  private def addActionJson(a: AddFile, now: Long,
+      dataChange: Boolean): String = {
+    val pvJson = a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
+      mapper.writeValueAsString(k) + ":" +
+        (if (v == null) "null" else mapper.writeValueAsString(v))
+    }.mkString("{", ",", "}")
+    s"""{"add":{"path":"${a.path}","partitionValues":$pvJson,""" +
+      s""""size":${a.size},"modificationTime":$now,"dataChange":$dataChange}}"""
+  }
+
+  def append(spark: SparkSession, dir: String, df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long = {
+    val (f, root) = fs(spark, dir)
+    val log = logDir(dir)
+    f.mkdirs(log)
+    val existing = commitVersions(f, log)
+    val version = if (existing.isEmpty) 0L else existing.max + 1
+    val adds = stageWrite(f, root, df, partitionBy, version)
 
     val actions = scala.collection.mutable.ArrayBuffer[String]()
     val now = System.currentTimeMillis()
@@ -412,14 +429,7 @@ object DeltaLake {
       actions += s"""{"txn":{"appId":${mapper.writeValueAsString(app)},""" +
         s""""version":$v,"lastUpdated":$now}}"""
     }
-    adds.foreach { a =>
-      val pvJson = a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
-        mapper.writeValueAsString(k) + ":" +
-          (if (v == null) "null" else mapper.writeValueAsString(v))
-      }.mkString("{", ",", "}")
-      actions += s"""{"add":{"path":"${a.path}","partitionValues":$pvJson,""" +
-        s""""size":${a.size},"modificationTime":$now,"dataChange":true}}"""
-    }
+    adds.foreach(a => actions += addActionJson(a, now, dataChange = true))
     actions += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE"}}"""
 
     val commit = new Path(log, f"$version%020d.json")
@@ -453,21 +463,12 @@ object DeltaLake {
     val survivors = readFiles(spark, dir, snap, affected)
       .where(not(expr(pred)))
     val version = snap.version + 1
-    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
-    survivors.write.parquet(stage.toString)
-    val parts = f.listStatus(stage).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
     val now = System.currentTimeMillis()
-    val adds = parts.map { p =>
-      val name = s"part-$version-${java.util.UUID.randomUUID()}.parquet"
-      val dest = new Path(root, name)
-      require(f.rename(p, dest), s"stage move failed: $p -> $dest")
-      AddFile(name, Map.empty, f.getFileStatus(dest).getLen)
-    }
-    f.delete(stage, true)
+    // rewrite WITH the table's partitioning, or a partitioned table's
+    // survivors would land with empty partitionValues and read as null
+    val adds = stageWrite(f, root, survivors, snap.partitionColumns, version)
     val actions =
-      adds.map(a => s"""{"add":{"path":"${a.path}","partitionValues":{},""" +
-        s""""size":${a.size},"modificationTime":$now,"dataChange":true}}""") ++
+      adds.map(a => addActionJson(a, now, dataChange = true)) ++
       affected.map(a =>
         s"""{"remove":{"path":"${a.path}","deletionTimestamp":$now,""" +
           s""""dataChange":true}}""") ++
@@ -491,21 +492,11 @@ object DeltaLake {
     if (snap.files.size <= targetFiles) return snap.version
     val version = snap.version + 1
     val now = System.currentTimeMillis()
-    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
-    readFiles(spark, dir, snap, snap.files)
-      .repartition(targetFiles).write.parquet(stage.toString)
-    val parts = f.listStatus(stage).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-    val adds = parts.map { p =>
-      val name = s"part-$version-${java.util.UUID.randomUUID()}.parquet"
-      val dest = new Path(root, name)
-      require(f.rename(p, dest), s"stage move failed: $p")
-      AddFile(name, Map.empty, f.getFileStatus(dest).getLen)
-    }
-    f.delete(stage, true)
+    val adds = stageWrite(f, root,
+      readFiles(spark, dir, snap, snap.files).repartition(targetFiles),
+      snap.partitionColumns, version)
     val actions =
-      adds.map(a => s"""{"add":{"path":"${a.path}","partitionValues":{},""" +
-        s""""size":${a.size},"modificationTime":$now,"dataChange":false}}""") ++
+      adds.map(a => addActionJson(a, now, dataChange = false)) ++
       snap.files.map(a =>
         s"""{"remove":{"path":"${a.path}","deletionTimestamp":$now,""" +
           s""""dataChange":false}}""") ++

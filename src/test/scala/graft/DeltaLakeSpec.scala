@@ -222,6 +222,22 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.snapshot(spark, dir).count() === 4L)
   }
 
+  test("deleteWhere and compactFiles preserve partition values") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir,
+      Seq((1L, "us"), (2L, "eu"), (3L, "us"), (4L, "eu"))
+        .toDF("id", "region"),
+      partitionBy = Seq("region"))
+    DeltaLake.deleteWhere(spark, dir, "id = 3")
+    assert(DeltaLake.snapshot(spark, dir).as[(Long, String)].collect()
+      .toSet === Set((1L, "us"), (2L, "eu"), (4L, "eu")))
+    DeltaLake.compactFiles(spark, dir, targetFiles = 1)
+    val snap = DeltaLake.snapshot(spark, dir)
+    assert(snap.as[(Long, String)].collect().toSet
+      === Set((1L, "us"), (2L, "eu"), (4L, "eu")))
+    assert(snap.where("region IS NULL").count() === 0L)
+  }
+
   test("txn actions make the sink idempotent across retries") {
     val dir = tmp()
     val d = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", ZSets.W)
