@@ -108,6 +108,39 @@ object ConnectorsE2e {
         .where(col("present") > 0)
     },
 
+    // Iceberg follow mode: snapshots after the start are diffed by
+    // manifest-entry STATUS — commit 2 both adds the odd keys and marks
+    // commit 1's files deleted, so the consolidated delta is
+    // (+odds, −evens); the oracle re-derives the signed relation.
+    Q(
+      "conn_iceberg_follow",
+      """SELECT o_orderstatus, CAST(SUM(w) AS BIGINT) AS net,
+        |  COUNT(*) AS n FROM (
+        |  SELECT o_orderkey, o_orderstatus, 1 AS w FROM orders
+        |  WHERE o_orderkey <= 3000 AND o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, -1 AS w FROM orders
+        |  WHERE o_orderkey <= 3000 AND o_orderkey % 2 = 0)
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tdir = java.nio.file.Files
+        .createTempDirectory("conn_iceberg_follow").toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 0))
+      val meta1 = IcebergLake.readMetadata(s,
+        IcebergLake.currentMetadata(s, tdir))
+      val start = meta1.currentSnapshotId.get
+      val firstFiles = IcebergLake.manifestEntries(s, meta1,
+        meta1.snapshots.head._2).map(_.path)
+      IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 1),
+        deletePaths = firstFiles)
+      graft.zset.ZSets.consolidate(
+        IcebergLake.changes(s, tdir, Some(start)))
+        .groupBy("o_orderstatus")
+        .agg(sum(col(graft.zset.ZSets.W)).as("net"),
+          count(lit(1)).as("n"))
+    },
+
     // Iceberg: commit 1 (even keys), commit 2 adds odd keys AND marks
     // commit 1's data files deleted in the same snapshot; the snapshot
     // read walks metadata.json → manifest-list avro → manifest avro and

@@ -147,6 +147,23 @@ object DeltaLake {
         .getLines().toVector finally in.close()
       lines.foreach { line =>
         val a = mapper.readTree(line)
+        if (a.has("protocol")) {
+          // refuse tables whose reader features this implementation does
+          // not honor — silently mis-reading (ignoring deletion vectors,
+          // resolving mapped column names wrong) is worse than failing
+          val pr = a.get("protocol")
+          val mrv = Option(pr.get("minReaderVersion")).map(_.asInt())
+            .getOrElse(1)
+          val feats = Option(pr.get("readerFeatures")).toSeq
+            .flatMap(_.elements().asScala.map(_.asText()))
+          val unsupported = feats.filterNot(Set(
+            "timestampNtz", "vacuumProtocolCheck"))
+          require(mrv <= 1 || (mrv == 3 && unsupported.isEmpty),
+            s"Delta reader version $mrv with features " +
+              s"[${unsupported.mkString(", ")}] not supported " +
+              "(deletion vectors / column mapping would be mis-read); " +
+              "rewrite the table without these features first")
+        }
         if (a.has("metaData")) {
           val m = a.get("metaData")
           schema = DataType.fromJson(m.get("schemaString").asText())

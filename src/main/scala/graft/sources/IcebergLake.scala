@@ -113,6 +113,9 @@ object IcebergLake {
   def readMetadata(spark: SparkSession, metadataLocation: String): TableMeta = {
     val (f, p) = fs(spark, metadataLocation)
     val root = mapper.readTree(readBytes(f, p))
+    Option(root.get("format-version")).map(_.asInt()).foreach(fv =>
+      require(fv <= 2, s"iceberg format-version $fv not supported " +
+        "(v3 deletion/row-lineage semantics would be mis-read)"))
     val schemaNode = Option(root.get("schemas")) match {
       case Some(schemas) if schemas.isArray && schemas.size() > 0 =>
         val cur = Option(root.get("current-schema-id")).map(_.asInt())

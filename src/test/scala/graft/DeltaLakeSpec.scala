@@ -222,6 +222,20 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.snapshot(spark, dir).count() === 4L)
   }
 
+  test("unsupported reader features fail loudly, never mis-read") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    // forge a protocol upgrade to deletion vectors
+    val log = new java.io.File(dir, "_delta_log")
+    Files.write(new java.io.File(log, f"${1L}%020d.json").toPath,
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""" + "\n").getBytes)
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.snapshot(spark, dir))
+    assert(e.getMessage.contains("deletionVectors"))
+  }
+
   test("deleteWhere and compactFiles preserve partition values") {
     val dir = tmp()
     DeltaLake.append(spark, dir,

@@ -163,6 +163,22 @@ class IcebergLakeSpec extends SparkSpec {
     assert(msgs.contains("insert-only"))
   }
 
+  test("format-version 3 metadata is rejected, not mis-read") {
+    val dir = tmp()
+    IcebergLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    val metaLoc = IcebergLake.currentMetadata(spark, dir)
+    val p = java.nio.file.Paths.get(metaLoc.stripPrefix("file:"))
+    val patched = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("\"format-version\":2", "\"format-version\":3")
+    java.nio.file.Files.write(p, patched.getBytes("UTF-8"))
+    // the direct edit invalidates the local-FS checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+    val e = intercept[IllegalArgumentException](
+      IcebergLake.readMetadata(spark, metaLoc))
+    assert(e.getMessage.contains("format-version 3"))
+  }
+
   test("v2 row-level delete files are rejected with a precise error") {
     val dir = tmp()
     IcebergLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
