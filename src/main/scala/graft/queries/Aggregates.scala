@@ -25,7 +25,7 @@ object Aggregates {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
          |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-         |  CAST(SUM(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")})) AS DOUBLE) AS sum_disc_price,
+         |  CAST(ROUND(SUM(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")})), 4) AS DOUBLE) AS sum_disc_price,
          |  ${sqlDavg("l_quantity")} AS avg_qty,
          |  COUNT(*) AS count_order
          |FROM lineitem
@@ -35,7 +35,14 @@ object Aggregates {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          // ROUND the exact scale-8 decimal sum to scale 4 BEFORE the
+          // double cast: a scale-4 decimal of this magnitude converts to
+          // double exactly in both engines, where the raw scale-8 value
+          // hit a one-ulp divergence at sf0.1 (DuckDB converts decimals
+          // as int128/10^s in floating point — two roundings — while
+          // Spark's BigDecimal conversion rounds once)
+          round(sum(dec(col("l_extendedprice"))
+              * (lit(1) - dec(col("l_discount")))), 4)
             .cast("double").as("sum_disc_price"),
           davg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
