@@ -335,6 +335,14 @@ final class Pipeline(spark: SparkSession,
     // PK presence state of carried tables survives the migration
     carriedTables.foreach(n =>
       upsertState.get(n).foreach(st => next.upsertState(n) = st))
+    // lakehouse follow cursors survive too: a carried table's state
+    // already CONTAINS the ingested snapshot, so the new pipeline must
+    // resume following from the old cursor — resetting would re-ingest
+    // the snapshot on top of the carried state (double counting)
+    connectorCursors.foreach { case (key, v) =>
+      if (carriedTables.contains(key.split('/').head))
+        next.connectorCursors(key) = v
+    }
 
     val bootstrap = newProg.views.flatMap { v =>
       if (stable(v.name)) None

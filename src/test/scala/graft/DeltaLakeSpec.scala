@@ -170,6 +170,34 @@ class DeltaLakeSpec extends SparkSpec {
     assert(state() === Set((25L, 2L)))
   }
 
+  test("follow cursors survive migrate: no snapshot re-ingest") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val prog =
+      s"""CREATE TABLE t (k BIGINT, v BIGINT) WITH ('connectors' = '[
+         |  {"name": "d", "transport": {"name": "delta_table_input",
+         |   "config": {"uri": "$dir", "mode": "snapshot_and_follow"}}}]');
+         |CREATE VIEW s AS SELECT CAST(SUM(v) AS BIGINT) AS total FROM t;
+         |""".stripMargin
+    val p1 = graft.runtime.Pipeline(spark, prog)
+    p1.ingestConnectors()
+    // migrate with an ADDED view; carried table keeps its state AND
+    // its connector cursor
+    val (p2, _) = p1.migrate(prog.replace(
+      "CREATE VIEW s AS",
+      "CREATE VIEW n AS SELECT COUNT(*) AS c FROM t;\nCREATE VIEW s AS"))
+    def total() = p2.adHoc("SELECT * FROM s").as[Long].head()
+    assert(total() === 30L)
+    // an ingest round on the migrated pipeline must be a NO-OP (the
+    // snapshot is already in the carried state) ...
+    p2.ingestConnectors()
+    assert(total() === 30L, "snapshot re-ingested after migrate")
+    // ... while a genuinely new commit still flows
+    DeltaLake.append(spark, dir, Seq((3L, 5L)).toDF("k", "v"))
+    p2.ingestConnectors()
+    assert(total() === 35L)
+  }
+
   test("timestamp_column snapshot ingests in LATENESS-width ordered " +
       "chunks") {
     val dir = tmp()
