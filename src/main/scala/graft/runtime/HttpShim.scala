@@ -61,9 +61,12 @@ object HttpShim {
     // tokens issued while a transaction is open complete only at commit:
     // committedFloor trails `ingested` during the transaction window
     val committedFloor = new java.util.concurrent.atomic.AtomicLong(0L)
+    // data-plane gate, bound below once the runtime-status machine exists
+    var requireRunning: () => Unit = () => ()
     server.createContext("/ingress/", (ex: HttpExchange) =>
       handle(ex) { body =>
         require(ex.getRequestMethod == "POST", "ingress requires POST")
+        requireRunning()
         val table = ex.getRequestURI.getPath.stripPrefix("/ingress/")
         val tdef = pipeline.program.tables.find(_.name == table)
           .getOrElse(sys.error(s"unknown table: $table"))
@@ -86,6 +89,32 @@ object HttpShim {
       handle(ex) { _ => s"""{"token": ${ingested.get()}}""" })
     server.createContext("/stats", (ex: HttpExchange) =>
       handle(ex) { _ => pipeline.stats() })
+    // Runtime status (pipelines/lifecycle.md): the pipeline process's
+    // own paused/running state machine. While PAUSED, data-plane calls
+    // (ingress, connector ingest rounds) are rejected; the control and
+    // query planes (ad-hoc /query, /stats, /metrics, egress of already-
+    // computed state) stay available — the reference's paused semantics.
+    val runtimeStatus =
+      new java.util.concurrent.atomic.AtomicReference[String]("running")
+    requireRunning = () => require(runtimeStatus.get() == "running",
+      s"pipeline is ${runtimeStatus.get()}: resume it first (/resume)")
+    server.createContext("/pause", (ex: HttpExchange) =>
+      handle(ex) { _ =>
+        require(ex.getRequestMethod == "POST", "pause requires POST")
+        runtimeStatus.set("paused"); s"""{"status": "paused"}"""
+      })
+    server.createContext("/resume", (ex: HttpExchange) =>
+      handle(ex) { _ =>
+        require(ex.getRequestMethod == "POST", "resume requires POST")
+        runtimeStatus.set("running"); s"""{"status": "running"}"""
+      })
+    server.createContext("/status", (ex: HttpExchange) =>
+      handle(ex) { _ =>
+        s"""{"deployment_runtime_status": "${runtimeStatus.get()}", """ +
+          s""""steps": ${pipeline.stepCount}, """ +
+          s""""transaction_open": ${
+            pipeline.transactionInProgress.isDefined}}"""
+      })
     // Circuit profile (the reference's profile dump surface,
     // operations/visualizing-profiles.md): how each view is MAINTAINED —
     // the IVM planner's shape classification (which exact delta rule
@@ -210,6 +239,7 @@ object HttpShim {
         require(ex.getRequestMethod == "POST", "connectors requires POST")
         val path = ex.getRequestURI.getPath.stripPrefix("/connectors/")
         if (path == "ingest") {
+          requireRunning()
           val out = pipeline.ingestConnectors()
           s"""{"views": [${out.keys.toSeq.sorted
             .map(v => s""""$v"""").mkString(", ")}]}"""

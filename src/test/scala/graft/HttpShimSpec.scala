@@ -104,6 +104,33 @@ class HttpShimSpec extends SparkSpec {
     } finally shim.stop()
   }
 
+  test("lifecycle: paused rejects ingress, query plane stays up") {
+    val shim = HttpShim.serve(Pipeline(spark, program))
+    val client = HttpClient.newHttpClient()
+    def url(p: String) = URI.create(s"http://127.0.0.1:${shim.port}$p")
+    def post(p: String, body: String = "") = send(client,
+      HttpRequest.newBuilder(url(p))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+    try {
+      val (_, st0) = send(client,
+        HttpRequest.newBuilder(url("/status")).GET().build())
+      assert(st0.contains(""""deployment_runtime_status": "running""""))
+      post("/ingress/item", """{"insert": {"id": 1, "qty": 1.0, "tag": "a"}}""")
+      assert(post("/pause")._2 === """{"status": "paused"}""")
+      // data plane rejected while paused
+      val (c, body) = post("/ingress/item",
+        """{"insert": {"id": 2, "qty": 1.0, "tag": "a"}}""")
+      assert(c === 400 && body.contains("paused"))
+      // query/control planes stay available and show pre-pause state
+      val (cq, q) = post("/query", "SELECT * FROM qty_by_tag")
+      assert(cq === 200 && q.contains("\"n\""))
+      assert(post("/resume")._2 === """{"status": "running"}""")
+      val (c2, _) = post("/ingress/item",
+        """{"insert": {"id": 2, "qty": 1.0, "tag": "a"}}""")
+      assert(c2 === 200)
+    } finally shim.stop()
+  }
+
   test("connector orchestration: backfill paused, start, ingest rounds") {
     // two file connectors: historical backfill starts PAUSED, live starts
     // running — the orchestration example's switch-over, driven over HTTP
