@@ -329,13 +329,20 @@ object Connectors {
         }
         read(spark, table, conf.copy(transport = "file_input",
           config = conf.config + ("path" -> uri)))
-      case t @ ("nats_input" | "pub_sub_input" | "redis_output") =>
-        // no public Spark DataSource ships for these; the reference's
-        // adapters speak the broker protocol directly. Until a connector
-        // jar provides one, bridge through kafka_input / file_input or
-        // the HTTP ingress shim.
-        sys.error(s"$t has no bundled Spark DataSource on this classpath; " +
-          "bridge via kafka_input, file_input, or the HTTP ingress shim")
+      case "nats_input" =>
+        // native JetStream ordered-pull round (sources/Nats.scala): pull
+        // everything currently available past this connector's sequence
+        // cursor, decode through the format layer like any transport
+        Nats.readRound(spark, table, conf)
+      case "redis_output" =>
+        sys.error("redis_output is a SINK transport (writeView); it " +
+          "cannot feed a table")
+      case t @ "pub_sub_input" =>
+        // Google Pub/Sub is gRPC+protobuf — no client on this classpath;
+        // bridge through kafka_input / file_input or the HTTP ingress shim
+        sys.error(s"$t needs a Pub/Sub client library (gRPC) absent from " +
+          "this classpath; bridge via kafka_input, file_input, or the " +
+          "HTTP ingress shim")
       case other => sys.error(s"unknown transport: $other")
     }
     if (conf.softDelete) applySoftDelete(table, decoded) else decoded
@@ -493,6 +500,25 @@ object Connectors {
           else graft.zset.ZSets.lift(df)
         DeltaLake.writeDelta(d.sparkSession, conf.config("uri"), d,
           System.currentTimeMillis()); ()
+      case "redis_output" =>
+        // docs/connectors/sinks/redis.md: keyed row store, one atomic
+        // MULTI..EXEC transaction per batch (sources/Redis.scala). The
+        // key columns come from the json format's `key_fields` list.
+        require(conf.format == "json",
+          s"redis_output supports only the json format, got ${conf.format}")
+        val keyFields = conf.formatConfig.get("key_fields") match {
+          case Some(jsonText) =>
+            val node = mapper.readTree(jsonText)
+            require(node.isArray, "redis_output: key_fields must be a list")
+            node.elements().asScala.map(_.asText()).toSeq
+          case None => sys.error("redis_output: format config needs " +
+            "key_fields (the columns forming the Redis key)")
+        }
+        Redis.writeUpserts(df, keyFields,
+          conf.config.getOrElse("key_separator", ":"),
+          conf.config.getOrElse("connection_string",
+            sys.error("redis_output: connection_string is required")))
+        ()
       case "null_output" => df.write.format("noop").mode("overwrite").save()
       case other => sys.error(s"unknown sink transport: $other")
     }

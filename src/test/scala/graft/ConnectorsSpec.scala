@@ -382,12 +382,13 @@ class ConnectorsSpec extends SparkSpec {
         s"$transport: got ${e.getMessage}")
     }
     // object-store + brokerless transports: precise guidance, not a raw
-    // ClassNotFound mid-scan
+    // ClassNotFound mid-scan. nats_input/redis_output are now NATIVE
+    // (NatsSpec/RedisSpec); here only their misconfig contract is checked
     for ((transport, cfg, expect) <- Seq(
         ("s3_input", """{"uri": "s3a://bucket/prefix"}""", "hadoop-aws"),
-        ("nats_input", "{}", "bridge via"),
+        ("nats_input", "{}", "server_url"),
         ("pub_sub_input", "{}", "bridge via"),
-        ("redis_output", "{}", "bridge via"))) {
+        ("redis_output", "{}", "SINK"))) {
       val t = tableWith(
         s"""[{"transport": {"name": "$transport", "config": $cfg}}]""")
       val e = intercept[RuntimeException] {
