@@ -253,4 +253,62 @@ object TextAnalysis {
         (col("__rare").cast("double") / col("n_bigrams")).as("rare_frac"),
         (col("sum_bf").cast("double") / col("__sum_uf")).as("cond_p"))
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank raw-corpus
+    * documents by how target-domain-like their HASHED-unigram profile
+    * is. Tokens hash into `nBuckets` feature buckets; the target and raw
+    * bucket distributions come from one map-side-combined groupBy over
+    * the same exploded scan (the target rows are just the `isTarget`
+    * slice); each document's importance is the pooled ratio
+    *
+    *   ratio = (Σ (t[b]+1) · (R + nBuckets)) / (Σ (r[b]+1) · (T + nBuckets))
+    *
+    * — numerator and denominator are EXACT BIGINT sums/products with ONE
+    * IEEE division at the end (the paper's per-token log-ratio sum is
+    * replaced by the pooled rational form for cross-engine determinism —
+    * same ordering axis, no transcendental); add-one smoothing is applied
+    * SYMMETRICALLY to both distributions, so target-unseen buckets drag
+    * the ratio below 1 instead of zeroing it and the smoothing bias
+    * cancels once T, R ≫ nBuckets (any real corpus). `keep` = ratio > 1:
+    * the document looks more like the target domain than the average
+    * corpus document.
+    *
+    * 100-TB shape: the bucket table is ≤ nBuckets rows regardless of
+    * corpus size — broadcast onto the exploded scan, totals folded in by
+    * a window over that tiny table; no shuffle larger than the per-doc
+    * aggregate. Products stay < 2^63 while
+    * max-doc-tokens · corpus-tokens < 9.2e18 — at larger scales widen
+    * nBuckets (flattening bucket counts) or score per shard.
+    */
+  def dsirScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTarget: Column, nBuckets: Int = 256,
+      seed: Int = 5, broadcastVocab: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val e = docs.select(col(idCol), isTarget.as("__is_t"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), col("__is_t"),
+        (Dedup.md5Hash(col("__tok"), seed) % nBuckets).as("__b"))
+    val vocab0 = e.groupBy("__b").agg(
+      count(lit(1)).as("__r"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__tc"))
+    val allW = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val vocab1 = vocab0
+      .withColumn("__rtot", sum(col("__r")).over(allW))
+      .withColumn("__ttot", sum(col("__tc")).over(allW))
+    val vocab = if (broadcastVocab) broadcast(vocab1) else vocab1
+    val ratio =
+      (col("s_target") * (col("__rm") + nBuckets.toLong)).cast("double") /
+        (col("s_raw") * (col("__tm") + nBuckets.toLong)).cast("double")
+    e.join(vocab, "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__tc") + 1L).as("s_target"),
+        sum(col("__r") + 1L).as("s_raw"),
+        max(col("__rtot")).as("__rm"),
+        max(col("__ttot")).as("__tm"))
+      .select(col(idCol), col("n_tokens"), col("s_target"), col("s_raw"),
+        ratio.as("ratio"), (ratio > 1.0d).as("keep"))
+  }
 }

@@ -1007,6 +1007,40 @@ object LlmOps {
           .select(col("doc_id"), col("text")), "doc_id", "text")
     },
 
+    // DSIR-style importance resampling (Xie et al. 2023): hashed-unigram
+    // bucket profiles, target = the English slice, importance = pooled
+    // (Σ(t+1)·(R+B))/(Σ(r+1)·(T+B)) — exact BIGINT sums/products, ONE
+    // IEEE division (the paper's log-ratio sum linearized for
+    // cross-engine determinism; add-one smoothing symmetric on both
+    // distributions). keep = more-target-like than the corpus average.
+    // The bucket table is ≤ 256 rows at ANY corpus size → broadcast.
+    Q(
+      "llm_dsir",
+      s"""WITH e AS (SELECT doc_id, lang = 'en' AS is_t,
+         |    ${md5h(5, "t")} % 256 AS b
+         |  FROM (SELECT doc_id, lang, unnest($tk) AS t FROM documents)),
+         |v AS (SELECT b, COUNT(*) AS r,
+         |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+         |  FROM e GROUP BY b),
+         |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rtot,
+         |    CAST(SUM(tc) AS BIGINT) AS ttot FROM v)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(tc + 1) AS BIGINT) AS s_target,
+         |  CAST(SUM(r + 1) AS BIGINT) AS s_raw,
+         |  CAST(CAST(SUM(tc + 1) AS BIGINT) * (MAX(rtot) + 256) AS DOUBLE)
+         |    / CAST(CAST(SUM(r + 1) AS BIGINT) * (MAX(ttot) + 256) AS DOUBLE)
+         |    AS ratio,
+         |  CAST(CAST(SUM(tc + 1) AS BIGINT) * (MAX(rtot) + 256) AS DOUBLE)
+         |    / CAST(CAST(SUM(r + 1) AS BIGINT) * (MAX(ttot) + 256) AS DOUBLE)
+         |    > 1.0 AS keep
+         |FROM e JOIN v USING (b) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.dsirScore(
+        t(s, dir, "documents").repartition(32, col("doc_id"))
+          .select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", col("lang") === "en")
+    },
+
     // Contamination-aware train/val/test split: assignment from
     // (doc_id, seed) only — stable across layouts/retries/growth — with
     // benchmark-contaminated docs (rolling-gram overlap vs the doc_id<50

@@ -205,11 +205,45 @@ object Connectors {
       case "datagen" =>
         ZSets.lift(Datagen.generate(spark, table, conf.config))
       case "jdbc_input" | "postgresql_input" =>
-        val reader = spark.read.format("jdbc")
-          .option("url", conf.config("url"))
-          .option("dbtable", conf.config.getOrElse("table", table.name))
+        // the reference's postgres connector shape (connectors/sources/
+        // postgresql.md): `uri` = postgres URL, `query` = arbitrary
+        // SELECT whose rows are ingested. postgres:// URIs translate to
+        // the JDBC spelling with credentials split out; plain jdbc urls
+        // pass through.
+        val rawUri = conf.config.getOrElse("url",
+          conf.config.getOrElse("uri",
+            sys.error(s"${conf.transport}: set uri (or url)")))
+        val (url, creds) =
+          if (rawUri.startsWith("postgresql://")
+              || rawUri.startsWith("postgres://")) {
+            val u = java.net.URI.create(
+              "postgresql://" + rawUri.split("://", 2)(1))
+            val userInfo = Option(u.getUserInfo).map(_.split(":", 2))
+            (s"jdbc:postgresql://${u.getHost}" +
+              (if (u.getPort > 0) s":${u.getPort}" else "") + u.getPath,
+              userInfo.map(ui => (ui(0),
+                if (ui.length > 1) ui(1) else "")))
+          } else (rawUri, None)
+        val reader0 = spark.read.format("jdbc").option("url", url)
+        val reader1 = creds.map { case (user, pass) =>
+          reader0.option("user", user).option("password", pass)
+        }.getOrElse(reader0)
+        val reader = conf.config.get("query") match {
+          case Some(q) => reader1.option("query", q.stripSuffix(";"))
+          case None => reader1.option("dbtable",
+            conf.config.getOrElse("table", table.name))
+        }
         ZSets.lift(conf.config.get("driver")
           .map(d => reader.option("driver", d)).getOrElse(reader).load())
+      case "postgres_cdc_input" =>
+        // logical-replication CDC (connectors/sources/postgresql-cdc.md)
+        // needs a live PostgreSQL speaking the replication protocol with
+        // a pre-created publication — no server exists in this
+        // environment. The equivalent change-stream path here is
+        // debezium-formatted kafka_input or the delta cdc connector.
+        sys.error("postgres_cdc_input needs a live PostgreSQL with " +
+          "logical replication; ingest the same change stream via " +
+          "kafka_input with format debezium, or delta_table_input cdc")
       case "kafka_input" =>
         requireFormat(spark, "kafka", "kafka_input")
         decodeKafkaBatch(

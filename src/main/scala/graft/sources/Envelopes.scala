@@ -338,19 +338,27 @@ object Envelopes {
     * is ADDED to the writer schema and carries the operation — `I` for
     * inserts (w > 0), `D` for deletions (w < 0). Without it, negative
     * weights are rejected: plain avro egress is an insert stream.
+    *
+    * `registryUrls` (the reference encoder's `post_schema` step): the
+    * EFFECTIVE writer schema (incl. the cdc_field extension) is
+    * registered once driver-side under `subject` — default subject is
+    * the record's full name, the record-name strategy the reference
+    * defaults to for raw avro — and every outgoing record is framed
+    * with the Confluent 5-byte header carrying the returned id, so
+    * [[decodeAvro]]/[[decodeAvroRegistry]] consumers resolve it back.
     */
   def encodeAvro(delta: DataFrame, avroSchemaJson: String,
       valueCol: String = "value",
-      cdcField: Option[String] = None): DataFrame = {
+      cdcField: Option[String] = None,
+      registryUrls: Option[String] = None,
+      subject: Option[String] = None): DataFrame = {
     val spark = delta.sparkSession
     val fields = delta.schema.fields.filterNot(_.name == ZSets.W)
       .map(f => (f.name, f.dataType))
     val hasW = delta.columns.contains(ZSets.W)
-    val rows = delta.rdd.mapPartitions { it =>
-      val base = new org.apache.avro.Schema.Parser()
-        .parse(avroSchemaJson)
-      // cdc_field extends the user schema: original fields + the op column
-      val avSchema = cdcField match {
+    // cdc_field extends the user schema: original fields + the op column
+    def extend(base: org.apache.avro.Schema): org.apache.avro.Schema =
+      cdcField match {
         case None => base
         case Some(cf) =>
           val fs = new java.util.ArrayList[org.apache.avro.Schema.Field]()
@@ -363,6 +371,23 @@ object Envelopes {
           org.apache.avro.Schema.createRecord(base.getName, base.getDoc,
             base.getNamespace, false, fs)
       }
+    val driverSchema = extend(
+      new org.apache.avro.Schema.Parser().parse(avroSchemaJson))
+    // registry registration happens ONCE, driver-side, before the job;
+    // executors only prepend the already-known id
+    val header: Array[Byte] = registryUrls match {
+      case None => Array.emptyByteArray
+      case Some(urls) =>
+        val subj = subject.getOrElse(driverSchema.getFullName)
+        val id = SchemaRegistry.registerSchema(urls, subj,
+          driverSchema.toString)
+        Array[Byte](0, (id >> 24).toByte, (id >> 16).toByte,
+          (id >> 8).toByte, id.toByte)
+    }
+    val effectiveJson = driverSchema.toString
+    val rows = delta.rdd.mapPartitions { it =>
+      val avSchema = new org.apache.avro.Schema.Parser()
+        .parse(effectiveJson)
       val writer = new org.apache.avro.generic.GenericDatumWriter[
         org.apache.avro.generic.GenericRecord](avSchema)
       val bos = new java.io.ByteArrayOutputStream()
@@ -387,7 +412,8 @@ object Envelopes {
           .binaryEncoder(bos, encoder)
         writer.write(rec, encoder)
         encoder.flush()
-        val bytes = bos.toByteArray
+        val bytes =
+          if (header.isEmpty) bos.toByteArray else header ++ bos.toByteArray
         Seq.fill(math.abs(w).toInt)(org.apache.spark.sql.Row(bytes))
       }
     }

@@ -78,4 +78,61 @@ object SchemaRegistry {
       s"schema registry: could not resolve schema id $id from any of " +
         s"[${bases.mkString(", ")}]", lastErr)
   }
+
+  // (urls, subject, schema) → registered id. Registration is idempotent
+  // on the registry side (re-posting an identical schema returns the
+  // existing id), so caching per JVM only saves round trips.
+  private val registered = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), Integer]()
+
+  private[sources] def registeredCount: Int = registered.size()
+
+  /** Egress side (the reference's avro encoder `post_schema` step):
+    * register a value schema under `subject` and return the id to frame
+    * outgoing records with. POST `{base}/subjects/{subject}/versions`.
+    */
+  def registerSchema(urls: String, subject: String,
+      schemaJson: String): Int =
+    registered.computeIfAbsent((urls, subject, schemaJson),
+      _ => post(urls, subject, schemaJson)).intValue()
+
+  private def post(urls: String, subject: String,
+      schemaJson: String): Int = {
+    val bases = urls.split(',').map(_.trim).filter(_.nonEmpty)
+    require(bases.nonEmpty, "schema registry: empty url list")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val bodyNode = mapper.createObjectNode()
+    bodyNode.put("schema", schemaJson)
+    val body = bodyNode.toString
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    var lastErr: Throwable = null
+    bases.foreach { base =>
+      try {
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"${base.stripSuffix("/")}/subjects/" +
+            s"${java.net.URLEncoder.encode(subject, "UTF-8")}/versions"))
+          .header("Content-Type",
+            "application/vnd.schemaregistry.v1+json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"schema registry $base returned HTTP ${resp.statusCode()} " +
+            s"registering subject $subject: ${resp.body().take(200)}")
+        val node = mapper.readTree(resp.body())
+        val id = node.get("id")
+        require(id != null && id.canConvertToInt,
+          s"schema registry $base: register response has no 'id': " +
+            s"${resp.body().take(200)}")
+        return id.asInt()
+      } catch {
+        case scala.util.control.NonFatal(e) => lastErr = e
+      }
+    }
+    throw new IllegalStateException(
+      s"schema registry: could not register subject $subject at any of " +
+        s"[${bases.mkString(", ")}]", lastErr)
+  }
 }

@@ -305,6 +305,38 @@ class ConnectorsSpec extends SparkSpec {
       } finally c2.close()
     }
     assert(n === 3L)
+
+    // the reference's postgres-connector config shape: arbitrary `query`
+    // instead of a table name (connectors/sources/postgresql.md) — the
+    // trailing semicolon the doc example carries is tolerated
+    val tq = tableWith(
+      s"""[{"transport": {"name": "jdbc_input",
+         |   "config": {"url": "jdbc:derby:$dbDir/db",
+         |     "query": "SELECT a, b FROM items WHERE a >= 2;"}}}]"""
+        .stripMargin.replace("'", "''"))
+    val gotQ = Connectors.read(spark, tq, Connectors.connectorsOf(tq).head)
+      .as[(Long, String, Long)].collect().toSet
+    assert(gotQ === Set((2L, "y", 1L), (3L, "z", 1L)))
+  }
+
+  test("postgres URI translates to JDBC url + credentials; CDC gates") {
+    // no postgres server exists here — assert the translation by the
+    // error surface: the driver lookup fails AFTER the uri parse, with
+    // the jdbc spelling in the cause chain
+    val t = tableWith(
+      """[{"transport": {"name": "postgresql_input", "config":
+        | {"uri": "postgresql://u:pw@db.example.org:5433/mydb",
+        |  "query": "select 1"}}}]""".stripMargin)
+    val err = intercept[Exception](
+      Connectors.read(spark, t, Connectors.connectorsOf(t).head))
+    assert(TestErrors.messageChain(err).exists(m =>
+      m.contains("jdbc:postgresql://db.example.org:5433/mydb")
+        || m.toLowerCase.contains("suitable driver")))
+    val t2 = tableWith(
+      """[{"transport": {"name": "postgres_cdc_input", "config": {}}}]""")
+    val err2 = intercept[RuntimeException](
+      Connectors.read(spark, t2, Connectors.connectorsOf(t2).head))
+    assert(err2.getMessage.contains("logical replication"))
   }
 
   test("raw format: lines and blob modes land unparsed payloads") {
@@ -492,6 +524,82 @@ class ConnectorsSpec extends SparkSpec {
       }
       assert(err.getMessage.contains("Confluent") ||
         Option(err.getCause).exists(_.getMessage.contains("Confluent")))
+    } finally server.stop(0)
+  }
+
+  test("avro egress registers the writer schema and frames records " +
+      "(registry round trip)") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import graft.sources.{Envelopes, SchemaRegistry}
+    // stub registry: POST /subjects/{s}/versions assigns ids (idempotent
+    // on identical schemas — the real registry contract); GET
+    // /schemas/ids/{id} serves them back for the decode side
+    val mapperJ = new com.fasterxml.jackson.databind.ObjectMapper()
+    val byId = scala.collection.mutable.Map[Int, String]()
+    val idOf = scala.collection.mutable.Map[String, Int]()
+    val subjects = scala.collection.mutable.Buffer[String]()
+    val posts = new AtomicInteger
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/subjects/",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        posts.incrementAndGet()
+        val subject = ex.getRequestURI.getPath.split('/')(2)
+        val schema = mapperJ.readTree(ex.getRequestBody.readAllBytes())
+          .get("schema").asText()
+        val id = byId.synchronized {
+          subjects += subject
+          idOf.getOrElseUpdate(schema,
+            { val n = idOf.size + 100; byId(n) = schema; n })
+        }
+        val body = s"""{"id":$id}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      })
+    server.createContext("/schemas/ids/",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val id = ex.getRequestURI.getPath.split('/').last.toInt
+        val node = mapperJ.createObjectNode()
+        node.put("schema", byId.synchronized(byId(id)))
+        val body = node.toString.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      })
+    server.start()
+    try {
+      val urls = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val schemaJson = """{"type":"record","name":"r_egress","fields":[
+        |{"name":"a","type":"long"},
+        |{"name":"b","type":["null","string"],"default":null}]}"""
+        .stripMargin
+      val delta = Seq((1L, "x", 1L), (2L, null, 2L))
+        .toDF("a", "b", graft.zset.ZSets.W)
+      val framed = Envelopes.encodeAvro(delta, schemaJson,
+        registryUrls = Some(urls))
+      val frames = framed.as[Array[Byte]].collect()
+      // |w|=2 expands; every frame carries the Confluent header with the
+      // id the registry assigned
+      assert(frames.length === 3)
+      assert(frames.forall(f => f(0) == 0 &&
+        SchemaRegistry.schemaIdOf(f) == 100))
+      // record-name subject strategy (raw avro default in the reference)
+      assert(byId.synchronized(subjects.distinct) === Seq("r_egress"))
+      // decode side resolves the id back from the registry: full round
+      // trip through the kafka wire decode
+      val sparkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.StringType)))
+      val out = Envelopes.decodeAvroRegistry(framed, sparkSchema, urls)
+        .as[(Long, Option[String], Long)].collect().toSeq.sorted
+      assert(out === Seq((1L, Some("x"), 1L), (2L, None, 1L),
+        (2L, None, 1L)))
+      // re-encoding reuses the cached registration (no second POST)
+      val postsBefore = posts.get()
+      Envelopes.encodeAvro(delta, schemaJson, registryUrls = Some(urls))
+        .collect()
+      assert(posts.get() === postsBefore)
     } finally server.stop(0)
   }
 

@@ -539,4 +539,36 @@ class LlmSpec extends SparkSpec {
     assert(rows(2) === "host <IP> responded")
     assert(rows(3) === "nothing sensitive here")
   }
+
+  test("dsirScore ranks target-vocabulary docs above off-domain ones") {
+    // keep>1 is calibrated for corpora with target tokens >> nBuckets
+    // (the smoothing constant) — build one: 100 target docs on vocab A,
+    // 100 raw-only docs on vocab B, plus two probe docs
+    val base = spark.range(200).select(col("id").as("doc_id"),
+      (col("id") < 100).as("is_t"),
+      when(col("id") < 100, concat_ws(" ", (0 until 20).map(j =>
+          concat(lit("tgt"), (col("id") * 20 + j) % 40)): _*))
+        .otherwise(concat_ws(" ", (0 until 20).map(j =>
+          concat(lit("raw"), (col("id") * 20 + j) % 40)): _*))
+        .as("text"))
+    val probes = Seq(
+      (900L, false, (0 until 12).map(j => s"tgt${j % 40}").mkString(" ")),
+      (901L, false, (0 until 12).map(j => s"raw${j % 40}").mkString(" ")))
+      .toDF("doc_id", "is_t", "text")
+    val d = base.unionByName(probes)
+    val out = TextAnalysis.dsirScore(d, "doc_id", "text", col("is_t"))
+      .select("doc_id", "ratio", "keep")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    // target-vocabulary probe kept, raw-vocabulary probe dropped
+    assert(out(900L)._2 > 1.0 && out(900L)._3)
+    assert(out(901L)._2 < 1.0 && !out(901L)._3)
+    // and the margin is real: every target doc outranks every raw doc
+    assert(out(0L)._2 > out(100L)._2)
+    // broadcast and shuffle-join vocab tiers agree exactly
+    val noB = TextAnalysis.dsirScore(d, "doc_id", "text", col("is_t"),
+      broadcastVocab = false)
+      .select("doc_id", "ratio", "keep")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(noB === out)
+  }
 }
