@@ -245,18 +245,12 @@ object Connectors {
           "logical replication; ingest the same change stream via " +
           "kafka_input with format debezium, or delta_table_input cdc")
       case "kafka_input" =>
-        requireFormat(spark, "kafka", "kafka_input")
-        decodeKafkaBatch(
-          spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers",
-              conf.config("bootstrap.servers"))
-            .option("subscribe", conf.config("topic"))
-            .load(),
-          schema,
-          conf.formatConfig.getOrElse("update_format", "insert_delete"),
-          conf.format,
-          conf.formatConfig.get("avro_schema"),
-          conf.formatConfig.get("registry_urls"))
+        // NATIVE wire-protocol round (sources/Kafka.scala): fetch
+        // exactly (cursor, current-high] per partition, decode through
+        // the format layer. A spark-sql-kafka DataSource, when present
+        // on the classpath, can still serve executor-parallel streaming
+        // backfills — dispatch stays here for the zero-jar contract.
+        Kafka.readRound(spark, table, conf)
       case "delta_table_input" =>
         // native Delta log reader (sources/DeltaLake.scala) — no delta
         // jar needed; object-store URIs additionally need their Hadoop
@@ -534,6 +528,43 @@ object Connectors {
           else graft.zset.ZSets.lift(df)
         DeltaLake.writeDelta(d.sparkSession, conf.config("uri"), d,
           System.currentTimeMillis()); ()
+      case "kafka_output" =>
+        // native Produce path (sources/Kafka.scala): the same envelope
+        // bytes the file sinks write, delivered as record values
+        val lines: DataFrame = conf.format match {
+          case "json" if indexKeys.isDefined
+              && df.columns.contains(graft.zset.ZSets.W) =>
+            Envelopes.encodeJsonUpserts(df, indexKeys.get)
+          case "json" => conf.formatConfig.get("update_format") match {
+            case Some(uf) if Envelopes.encodableFormats(uf.toLowerCase)
+                && df.columns.contains(graft.zset.ZSets.W) =>
+              Envelopes.encodeJson(df, uf)
+            case _ => df.select(to_json(struct(df.columns.filterNot(
+              _ == graft.zset.ZSets.W).map(col).toSeq: _*)).as("value"))
+          }
+          case "avro" =>
+            Envelopes.encodeAvro(df,
+              conf.formatConfig.getOrElse("avro_schema", sys.error(
+                "kafka_output avro: avro_schema is required")),
+              cdcField = conf.formatConfig.get("cdc_field"),
+              registryUrls = conf.formatConfig.get("registry_urls"),
+              subject = conf.formatConfig.get("subject"))
+          case other =>
+            sys.error(s"kafka_output: unsupported format $other")
+        }
+        val valueCol = lines.schema.fields.head
+        val it = lines.toLocalIterator()
+        val bytes = new Iterator[Array[Byte]] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Array[Byte] = valueCol.dataType match {
+            case org.apache.spark.sql.types.BinaryType =>
+              it.next().getAs[Array[Byte]](0)
+            case _ => it.next().getString(0)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+        }
+        Kafka.writeRound(bytes, conf)
+        ()
       case "redis_output" =>
         // docs/connectors/sinks/redis.md: keyed row store, one atomic
         // MULTI..EXEC transaction per batch (sources/Redis.scala). The

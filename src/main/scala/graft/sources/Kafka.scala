@@ -1,0 +1,533 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+  DataOutputStream, InputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.ddl.Ddl
+
+/** Native Kafka transport (docs/connectors/sources/kafka.md, sinks/
+  * kafka.md; reference `crates/adapters/src/transport/kafka/`): the
+  * broker wire protocol spoken directly over a socket — request framing,
+  * Metadata v1 / ListOffsets v1 / Fetch v4 / Produce v3, and the
+  * RecordBatch v2 on-disk format (varint records, CRC32C integrity,
+  * gzip/snappy/lz4/zstd codecs — all four decompressors ship with
+  * Spark) — so the reference's PRIMARY ingestion path runs with zero
+  * extra jars.
+  *
+  * Ingestion follows the same (cursor, latest] discipline as the
+  * Delta/Iceberg/NATS connectors: each [[readRound]] resolves the
+  * topic's partitions, pins this round's end at each partition's
+  * current high-offset, fetches exactly (cursor, end], and advances the
+  * per-partition cursor — records racing the round wait for the next
+  * one. First-round position honors `auto.offset.reset`
+  * (earliest/latest, librdkafka's option spelling, which the reference
+  * passes through verbatim).
+  *
+  * Scale note: like the reference's consumer (and the NATS adapter),
+  * the endpoint is one reader per connector — fetches stream
+  * partition-by-partition on the driver and the DECODE + downstream
+  * plan run distributed on the batch. Deployments with a spark-sql-
+  * kafka DataSource on the classpath can prefer it for
+  * executor-parallel long-haul backfills; this client is the
+  * zero-dependency contract path and the per-round tail-following one.
+  */
+object Kafka {
+
+  // ------------------------------------------------------------ wire IO
+
+  private def writeString(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(UTF_8)
+    out.writeShort(b.length)
+    out.write(b)
+  }
+
+  private def readString(buf: ByteBuffer): String = {
+    val n = buf.getShort
+    if (n < 0) null
+    else {
+      val b = new Array[Byte](n); buf.get(b); new String(b, UTF_8)
+    }
+  }
+
+  /** One broker connection: framed request/response with correlation-id
+    * checking.
+    */
+  final class Broker(host: String, port: Int,
+      clientId: String = "graft", timeoutMs: Int = 10000) {
+    private val socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), timeoutMs)
+    socket.setSoTimeout(timeoutMs)
+    socket.setTcpNoDelay(true)
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(socket.getInputStream))
+    private val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(socket.getOutputStream))
+    private var corr = 0
+
+    def request(apiKey: Short, version: Short)(
+        body: DataOutputStream => Unit): ByteBuffer = {
+      corr += 1
+      val payload = new ByteArrayOutputStream()
+      val p = new DataOutputStream(payload)
+      p.writeShort(apiKey)
+      p.writeShort(version)
+      p.writeInt(corr)
+      writeString(p, clientId)
+      body(p)
+      p.flush()
+      out.writeInt(payload.size())
+      payload.writeTo(out)
+      out.flush()
+      val size = in.readInt()
+      require(size > 4, s"kafka: short response ($size bytes)")
+      val resp = new Array[Byte](size)
+      in.readFully(resp)
+      val buf = ByteBuffer.wrap(resp)
+      val gotCorr = buf.getInt
+      require(gotCorr == corr,
+        s"kafka: correlation id mismatch ($gotCorr != $corr)")
+      buf
+    }
+
+    def close(): Unit = socket.close()
+  }
+
+  private def errName(code: Short): String = code match {
+    case 0 => "NONE"
+    case 1 => "OFFSET_OUT_OF_RANGE"
+    case 3 => "UNKNOWN_TOPIC_OR_PARTITION"
+    case 6 => "NOT_LEADER_FOR_PARTITION"
+    case other => s"ERROR_$other"
+  }
+
+  private def check(code: Short, ctx: String): Unit =
+    require(code == 0, s"kafka: $ctx failed: ${errName(code)}")
+
+  // ------------------------------------------------------- api requests
+
+  final case class PartInfo(partition: Int, leaderHost: String,
+      leaderPort: Int)
+
+  /** Metadata v1: topic → partitions with their leader endpoints. */
+  def metadata(b: Broker, topic: String): Seq[PartInfo] = {
+    val buf = b.request(3, 1) { p =>
+      p.writeInt(1); writeString(p, topic)
+    }
+    val brokers = (0 until buf.getInt).map { _ =>
+      val nodeId = buf.getInt
+      val host = readString(buf)
+      val port = buf.getInt
+      readString(buf) // rack
+      nodeId -> ((host, port))
+    }.toMap
+    buf.getInt // controller id
+    val nTopics = buf.getInt
+    require(nTopics == 1, s"kafka: expected 1 topic, got $nTopics")
+    val errorCode = buf.getShort
+    val name = readString(buf)
+    buf.get() // is_internal
+    check(errorCode, s"metadata for $name")
+    (0 until buf.getInt).map { _ =>
+      val pErr = buf.getShort
+      val pid = buf.getInt
+      val leader = buf.getInt
+      (0 until buf.getInt).foreach(_ => buf.getInt) // replicas
+      (0 until buf.getInt).foreach(_ => buf.getInt) // isr
+      check(pErr, s"metadata for $name/$pid")
+      val (h, pt) = brokers.getOrElse(leader,
+        sys.error(s"kafka: unknown leader $leader for $name/$pid"))
+      PartInfo(pid, h, pt)
+    }.sortBy(_.partition)
+  }
+
+  /** ListOffsets v1 (timestamp −2 = earliest, −1 = latest). */
+  def listOffset(b: Broker, topic: String, partition: Int,
+      timestamp: Long): Long = {
+    val buf = b.request(2, 1) { p =>
+      p.writeInt(-1) // replica id = consumer
+      p.writeInt(1); writeString(p, topic)
+      p.writeInt(1); p.writeInt(partition); p.writeLong(timestamp)
+    }
+    buf.getInt // topic count (1)
+    readString(buf)
+    buf.getInt // partition count (1)
+    buf.getInt // partition id
+    val err = buf.getShort
+    buf.getLong // timestamp
+    val offset = buf.getLong
+    check(err, s"listOffsets $topic/$partition")
+    offset
+  }
+
+  final case class FetchedRecord(offset: Long, timestampMs: Long,
+      key: Option[Array[Byte]], value: Option[Array[Byte]])
+
+  /** Fetch v4: one partition read from `offset`, returning the parsed
+    * records at/after it plus the partition's high watermark.
+    */
+  def fetch(b: Broker, topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 4 << 20, maxWaitMs: Int = 100)
+      : (Vector[FetchedRecord], Long) = {
+    val buf = b.request(1, 4) { p =>
+      p.writeInt(-1)          // replica id
+      p.writeInt(maxWaitMs)
+      p.writeInt(1)           // min bytes
+      p.writeInt(maxBytes)
+      p.writeByte(0)          // isolation level: read_uncommitted
+      p.writeInt(1); writeString(p, topic)
+      p.writeInt(1); p.writeInt(partition); p.writeLong(offset)
+      p.writeInt(maxBytes)
+    }
+    buf.getInt // throttle
+    buf.getInt // topic count (1)
+    readString(buf)
+    buf.getInt // partition count (1)
+    buf.getInt // partition id
+    val err = buf.getShort
+    val highWatermark = buf.getLong
+    buf.getLong // last stable offset
+    val nAborted = buf.getInt
+    (0 until math.max(nAborted, 0)).foreach { _ =>
+      buf.getLong; buf.getLong
+    }
+    check(err, s"fetch $topic/$partition@$offset")
+    val setLen = buf.getInt
+    val set = new Array[Byte](math.max(setLen, 0))
+    buf.get(set)
+    // brokers return whole batches containing the fetch offset — records
+    // below it are skipped client-side (the protocol contract)
+    (parseRecordSet(set).filter(_.offset >= offset), highWatermark)
+  }
+
+  /** Produce v3 (acks=all): append a record set, returning its assigned
+    * base offset.
+    */
+  def produce(b: Broker, topic: String, partition: Int,
+      recordSet: Array[Byte], timeoutMs: Int = 10000): Long = {
+    val buf = b.request(0, 3) { p =>
+      p.writeShort(-1)        // transactional id: null
+      p.writeShort(-1)        // acks: all
+      p.writeInt(timeoutMs)
+      p.writeInt(1); writeString(p, topic)
+      p.writeInt(1); p.writeInt(partition)
+      p.writeInt(recordSet.length); p.write(recordSet)
+    }
+    buf.getInt // topic count (1)
+    readString(buf)
+    buf.getInt // partition count (1)
+    buf.getInt // partition id
+    val err = buf.getShort
+    val baseOffset = buf.getLong
+    buf.getLong // log append time
+    check(err, s"produce $topic/$partition")
+    baseOffset
+  }
+
+  // ------------------------------------------- RecordBatch v2 (varints)
+
+  private def zigzagDecode(n: Long): Long = (n >>> 1) ^ -(n & 1)
+  private def zigzagEncode(n: Long): Long = (n << 1) ^ (n >> 63)
+
+  private def readUnsignedVarlong(buf: ByteBuffer): Long = {
+    var value = 0L
+    var shift = 0
+    var b = buf.get()
+    while ((b & 0x80) != 0) {
+      value |= (b & 0x7fL) << shift
+      shift += 7
+      b = buf.get()
+    }
+    value | ((b & 0x7fL) << shift)
+  }
+
+  private def readVarlong(buf: ByteBuffer): Long =
+    zigzagDecode(readUnsignedVarlong(buf))
+  private def readVarint(buf: ByteBuffer): Int = readVarlong(buf).toInt
+
+  private def writeUnsignedVarlong(out: ByteArrayOutputStream,
+      v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+  private def writeVarlong(out: ByteArrayOutputStream, v: Long): Unit =
+    writeUnsignedVarlong(out, zigzagEncode(v))
+  private def writeVarint(out: ByteArrayOutputStream, v: Int): Unit =
+    writeVarlong(out, v.toLong)
+
+  private def decompress(codec: Int, bytes: Array[Byte]): Array[Byte] = {
+    val raw = new ByteArrayInputStream(bytes)
+    val in: InputStream = codec match {
+      case 0 => raw
+      case 1 => new java.util.zip.GZIPInputStream(raw)
+      case 2 => new org.xerial.snappy.SnappyInputStream(raw)
+      case 3 => new net.jpountz.lz4.LZ4FrameInputStream(raw)
+      case 4 => new com.github.luben.zstd.ZstdInputStream(raw)
+      case other => sys.error(s"kafka: unknown compression codec $other")
+    }
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def compress(codec: Int, bytes: Array[Byte]): Array[Byte] = {
+    if (codec == 0) return bytes
+    val bos = new ByteArrayOutputStream()
+    val out: java.io.OutputStream = codec match {
+      case 1 => new java.util.zip.GZIPOutputStream(bos)
+      case 2 => new org.xerial.snappy.SnappyOutputStream(bos)
+      case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case 4 => new com.github.luben.zstd.ZstdOutputStream(bos)
+      case other => sys.error(s"kafka: unknown compression codec $other")
+    }
+    out.write(bytes); out.close()
+    bos.toByteArray
+  }
+
+  /** Parse a fetch response's record set: zero or more v2 batches. The
+    * header CRC32C (attributes → end, over the wire bytes) is VERIFIED —
+    * a corrupt batch fails loudly instead of decoding garbage.
+    */
+  def parseRecordSet(set: Array[Byte]): Vector[FetchedRecord] = {
+    val out = Vector.newBuilder[FetchedRecord]
+    var pos = 0
+    // a truncated trailing batch (broker hit maxBytes mid-batch) is
+    // dropped, per protocol
+    while (set.length - pos >= 61) {
+      val buf = ByteBuffer.wrap(set, pos, set.length - pos).slice()
+      val baseOffset = buf.getLong
+      val batchLength = buf.getInt
+      val total = 12 + batchLength
+      if (set.length - pos < total) return out.result()
+      buf.getInt // partition leader epoch
+      val magic = buf.get()
+      require(magic == 2,
+        s"kafka: unsupported record batch magic $magic (need v2)")
+      val crc = buf.getInt
+      val crcCheck = new java.util.zip.CRC32C()
+      crcCheck.update(set, pos + 21, total - 21)
+      require(crcCheck.getValue.toInt == crc,
+        s"kafka: record batch CRC mismatch at offset $baseOffset")
+      val attributes = buf.getShort
+      buf.getInt // last offset delta
+      val baseTimestamp = buf.getLong
+      buf.getLong // max timestamp
+      buf.getLong // producer id
+      buf.getShort // producer epoch
+      buf.getInt // base sequence
+      val recordCount = buf.getInt
+      val recordsBytes = new Array[Byte](total - 61)
+      buf.get(recordsBytes)
+      val rb = ByteBuffer.wrap(decompress(attributes & 7, recordsBytes))
+      var i = 0
+      while (i < recordCount) {
+        readVarint(rb) // record length
+        rb.get() // record attributes
+        val tsDelta = readVarlong(rb)
+        val offDelta = readVarint(rb)
+        def bytesField(): Option[Array[Byte]] = {
+          val n = readVarint(rb)
+          if (n < 0) None
+          else {
+            val a = new Array[Byte](n); rb.get(a); Some(a)
+          }
+        }
+        val key = bytesField()
+        val value = bytesField()
+        val nHeaders = readVarint(rb)
+        var h = 0
+        while (h < nHeaders) {
+          val kl = readVarint(rb); rb.position(rb.position() + math.max(kl, 0))
+          val vl = readVarint(rb); rb.position(rb.position() + math.max(vl, 0))
+          h += 1
+        }
+        out += FetchedRecord(baseOffset + offDelta,
+          baseTimestamp + tsDelta, key, value)
+        i += 1
+      }
+      pos += total
+    }
+    out.result()
+  }
+
+  /** Build one v2 record batch (egress + test seeding). */
+  def buildRecordBatch(baseOffset: Long, timestampMs: Long,
+      records: Seq[(Option[Array[Byte]], Option[Array[Byte]])],
+      codec: Int = 0): Array[Byte] = {
+    require(records.nonEmpty, "kafka: empty record batch")
+    val body = new ByteArrayOutputStream()
+    records.zipWithIndex.foreach { case ((key, value), i) =>
+      val rec = new ByteArrayOutputStream()
+      rec.write(0) // record attributes
+      writeVarlong(rec, 0L) // timestamp delta
+      writeVarint(rec, i)   // offset delta
+      def put(b: Option[Array[Byte]]): Unit = b match {
+        case None => writeVarint(rec, -1)
+        case Some(a) => writeVarint(rec, a.length); rec.write(a)
+      }
+      put(key); put(value)
+      writeVarint(rec, 0) // headers
+      writeVarint(body, rec.size())
+      rec.writeTo(body)
+    }
+    val packed = compress(codec, body.toByteArray)
+    val tail = new ByteArrayOutputStream() // attributes → records
+    val t = new DataOutputStream(tail)
+    t.writeShort(codec)               // attributes
+    t.writeInt(records.length - 1)    // last offset delta
+    t.writeLong(timestampMs)          // base timestamp
+    t.writeLong(timestampMs)          // max timestamp
+    t.writeLong(-1L)                  // producer id
+    t.writeShort(-1)                  // producer epoch
+    t.writeInt(-1)                    // base sequence
+    t.writeInt(records.length)
+    t.write(packed)
+    t.flush()
+    val crc = new java.util.zip.CRC32C()
+    crc.update(tail.toByteArray)
+    val head = new ByteArrayOutputStream()
+    val h = new DataOutputStream(head)
+    h.writeLong(baseOffset)
+    h.writeInt(tail.size() + 9)       // batch length (after this field)
+    h.writeInt(-1)                    // partition leader epoch
+    h.writeByte(2)                    // magic
+    h.writeInt(crc.getValue.toInt)
+    h.flush()
+    tail.writeTo(head)
+    head.toByteArray
+  }
+
+  // ------------------------------------------------- connector rounds
+
+  // per-partition resume cursor (next offset to read) — the external
+  // offset tracking the reference journals instead of Kafka group
+  // commits, so replays are exact after restore
+  private val cursors = TrieMap[String, Long]()
+
+  private[graft] def resetCursors(prefix: String): Unit =
+    cursors.keys.filter(_.startsWith(prefix)).foreach(cursors.remove)
+  private[graft] def cursorOf(key: String): Option[Long] = cursors.get(key)
+
+  val recordsSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType)))
+
+  private def bootstrapHost(servers: String): (String, Int) = {
+    val first = servers.split(',').head.trim
+    val parts = first.split(':')
+    (parts(0), if (parts.length > 1) parts(1).toInt else 9092)
+  }
+
+  /** One ingestion round: fetch exactly (cursor, current-high] per
+    * partition and decode through the format layer.
+    */
+  def readRound(spark: SparkSession, table: Ddl.TableDef,
+      conf: Connectors.ConnectorConf): DataFrame = {
+    val servers = conf.config.getOrElse("bootstrap.servers",
+      sys.error("kafka_input: bootstrap.servers is required"))
+    val topic = conf.config.getOrElse("topic",
+      sys.error("kafka_input: topic is required"))
+    val startLatest =
+      conf.config.getOrElse("auto.offset.reset", "earliest") == "latest"
+    val keyPrefix = s"$servers|$topic|${conf.name.getOrElse(table.name)}"
+    val (host, port) = bootstrapHost(servers)
+    val boot = new Broker(host, port)
+    val rows = try {
+      val parts = metadata(boot, topic)
+      // leader connections cached per endpoint (single-broker setups
+      // reuse the bootstrap socket)
+      val conns = scala.collection.mutable.Map(
+        (host, port) -> boot)
+      def brokerFor(pi: PartInfo): Broker =
+        conns.getOrElseUpdate((pi.leaderHost, pi.leaderPort),
+          new Broker(pi.leaderHost, pi.leaderPort))
+      try {
+        parts.flatMap { pi =>
+          val b = brokerFor(pi)
+          val ck = s"$keyPrefix|${pi.partition}"
+          val start = cursors.getOrElse(ck,
+            listOffset(b, topic, pi.partition,
+              if (startLatest) -1L else -2L))
+          val end = listOffset(b, topic, pi.partition, -1L)
+          var offset = start
+          val recs = Vector.newBuilder[FetchedRecord]
+          while (offset < end) {
+            val (got, _) = fetch(b, topic, pi.partition, offset)
+            val inRange = got.filter(_.offset < end)
+            require(got.nonEmpty,
+              s"kafka: fetch at $topic/${pi.partition}@$offset " +
+                "returned no records below the high watermark")
+            recs ++= inRange
+            offset = math.max(got.last.offset + 1, offset + 1)
+          }
+          cursors(ck) = math.max(offset, end)
+          recs.result().map(r => Row(r.key.orNull, r.value.orNull, topic,
+            pi.partition, r.offset, new java.sql.Timestamp(r.timestampMs)))
+        }
+      } finally conns.values.foreach(c => if (c ne boot) c.close())
+    } finally boot.close()
+    import scala.jdk.CollectionConverters._
+    val records = spark.createDataFrame(rows.toList.asJava, recordsSchema)
+    Connectors.decodeKafkaBatch(records, FileSource.schemaOf(table),
+      conf.formatConfig.getOrElse("update_format", "insert_delete"),
+      conf.format, conf.formatConfig.get("avro_schema"),
+      conf.formatConfig.get("registry_urls"),
+      Connectors.defaultsOf(table, conf.config))
+  }
+
+  /** Sink side: deliver a view delta's encoded wire lines to the topic.
+    * Values are the same envelope bytes the file/json sinks emit; keys
+    * are null (keyed delivery is the indexed-connector path). Records
+    * batch per partition round-robin, one Produce per batch.
+    */
+  def writeRound(encoded: Iterator[Array[Byte]],
+      conf: Connectors.ConnectorConf, batchSize: Int = 500): Long = {
+    val servers = conf.config.getOrElse("bootstrap.servers",
+      sys.error("kafka_output: bootstrap.servers is required"))
+    val topic = conf.config.getOrElse("topic",
+      sys.error("kafka_output: topic is required"))
+    val codec = conf.config.getOrElse("compression.codec", "none") match {
+      case "none" => 0
+      case "gzip" => 1
+      case "snappy" => 2
+      case "lz4" => 3
+      case "zstd" => 4
+      case other => sys.error(s"kafka_output: unknown codec $other")
+    }
+    val (host, port) = bootstrapHost(servers)
+    val boot = new Broker(host, port)
+    try {
+      val parts = metadata(boot, topic)
+      val conns = scala.collection.mutable.Map((host, port) -> boot)
+      def brokerFor(pi: PartInfo): Broker =
+        conns.getOrElseUpdate((pi.leaderHost, pi.leaderPort),
+          new Broker(pi.leaderHost, pi.leaderPort))
+      try {
+        var sent = 0L
+        var batchIdx = 0
+        encoded.grouped(batchSize).foreach { group =>
+          val pi = parts(batchIdx % parts.length)
+          batchIdx += 1
+          val set = buildRecordBatch(0L, System.currentTimeMillis(),
+            group.map(v => (None, Some(v))), codec)
+          produce(brokerFor(pi), topic, pi.partition, set)
+          sent += group.length
+        }
+        sent
+      } finally conns.values.foreach(c => if (c ne boot) c.close())
+    } finally boot.close()
+  }
+}

@@ -392,16 +392,20 @@ class ConnectorsSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
-  test("kafka/delta/iceberg paths are jar-gated with a precise error") {
-    // kafka needs its DataSource jar; the NATIVE delta/iceberg readers
-    // fail on a missing table, not a missing jar
+  test("kafka/delta/iceberg paths fail precisely when misconfigured") {
+    // the NATIVE kafka client fails on the unreachable broker (host
+    // resolution), not a missing jar; the NATIVE delta/iceberg readers
+    // fail on a missing table
     val tk = tableWith(
       """[{"transport": {"name": "kafka_input", "config":
-        | {"bootstrap.servers": "h:9092", "topic": "t"}}}]""".stripMargin)
-    val ek = intercept[IllegalArgumentException](
+        | {"bootstrap.servers": "no-such-broker.invalid:9092",
+        |  "topic": "t"}}}]""".stripMargin)
+    val ek = intercept[Exception](
       Connectors.read(spark, tk, Connectors.connectorsOf(tk).head))
-    assert(ek.getMessage.contains("jar"),
-      s"kafka_input should fail with the jar-gating message: ${ek.getMessage}")
+    assert(ek.isInstanceOf[java.net.UnknownHostException]
+      || TestErrors.messageChain(ek).exists(m =>
+        m.contains("no-such-broker") || m.toLowerCase.contains("connect")),
+      s"kafka_input should fail on the broker connection: $ek")
     for ((transport, expect) <- Seq(
         "delta_table_input" -> "not a Delta table",
         "iceberg_input" -> "iceberg")) {
