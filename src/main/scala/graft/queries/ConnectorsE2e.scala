@@ -17,6 +17,46 @@ import QB._
 object ConnectorsE2e {
 
   val queries: Seq[Q] = Seq(
+    // Kafka: the native wire client BOTH ways against an in-process
+    // mini-broker — insert envelopes plus a retraction batch produced
+    // through kafka_output (real RecordBatch v2 bytes, CRC32C, the
+    // Produce API), read back through kafka_input's cursor round and
+    // consolidated; the oracle re-derives the surviving rows.
+    Q(
+      "conn_kafka",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders
+        |WHERE o_orderkey <= 3000 AND o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val broker = new graft.tools.KafkaMiniBroker("orders_k",
+        nPartitions = 2)
+      try {
+        val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+          .select("o_orderkey", "o_orderstatus")
+        val confOut = graft.sources.Connectors.ConnectorConf(
+          "kafka_output",
+          Map("bootstrap.servers" -> s"127.0.0.1:${broker.port}",
+            "topic" -> "orders_k"),
+          "json", Map("update_format" -> "insert_delete"))
+        graft.sources.Connectors.writeView(graft.zset.ZSets.lift(o),
+          confOut)
+        graft.sources.Connectors.writeView(
+          o.filter(col("o_orderkey") % 7 === 0)
+            .withColumn(graft.zset.ZSets.W, lit(-1L)), confOut)
+        val tdef = graft.ddl.Ddl.parse(
+          "CREATE TABLE orders_k (o_orderkey BIGINT, " +
+            "o_orderstatus VARCHAR);").tables.head
+        val confIn = confOut.copy(transport = "kafka_input")
+        graft.zset.ZSets.consolidate(
+            graft.sources.Connectors.read(s, tdef, confIn))
+          .filter(col(graft.zset.ZSets.W) =!= 0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("keysum"))
+      } finally broker.close()
+    },
+
     // Delta: two append commits, a parquet checkpoint, then a delete
     // commit; the snapshot read must replay checkpoint + post-checkpoint
     // JSON and apply the remove set.
