@@ -584,6 +584,15 @@ object Connectors {
           conf.config.getOrElse("connection_string",
             sys.error("redis_output: connection_string is required")))
         ()
+      case "dynamodb_output" =>
+        // docs/connectors/sinks/dynamodb.md: indexed views only — the
+        // index columns must be the DynamoDB table's primary key
+        require(indexKeys.isDefined,
+          "dynamodb_output requires an indexed view (CREATE INDEX + " +
+            "the connector's `index` property): the index columns map " +
+            "to the DynamoDB primary key")
+        DynamoDb.writeUpserts(df, indexKeys.get, conf.config)
+        ()
       case "null_output" => df.write.format("noop").mode("overwrite").save()
       case other => sys.error(s"unknown sink transport: $other")
     }
