@@ -466,12 +466,14 @@ object Kafka {
           val recs = Vector.newBuilder[FetchedRecord]
           while (offset < end) {
             val (got, _) = fetch(b, topic, pi.partition, offset)
-            val inRange = got.filter(_.offset < end)
-            require(got.nonEmpty,
-              s"kafka: fetch at $topic/${pi.partition}@$offset " +
-                "returned no records below the high watermark")
-            recs ++= inRange
-            offset = math.max(got.last.offset + 1, offset + 1)
+            if (got.isEmpty) {
+              // nothing between offset and the pinned end: a
+              // compaction/retention gap — skip to the round's end
+              offset = end
+            } else {
+              recs ++= got.filter(_.offset < end)
+              offset = math.max(got.last.offset + 1, offset + 1)
+            }
           }
           cursors(ck) = math.max(offset, end)
           recs.result().map(r => Row(r.key.orNull, r.value.orNull, topic,

@@ -103,6 +103,20 @@ object Redis {
 
     def flush(): Unit = out.flush()
 
+    /** Drain replies already buffered by the OS without blocking —
+      * keeps a long MULTI pipeline from deadlocking on TCP backpressure
+      * (the server's +QUEUED acks must be consumed while we stream
+      * commands, or both sides' socket buffers fill).
+      */
+    def drainAvailable(onReply: Reply => Unit): Int = {
+      var n = 0
+      while (in.available() > 0) {
+        onReply(readReply())
+        n += 1
+      }
+      n
+    }
+
     def readReply(): Reply = {
       val first = in.read()
       require(first >= 0, "redis: connection closed mid-reply")
@@ -183,7 +197,12 @@ object Redis {
     val client = new Client(target)
     try {
       expectOk(client.command(Seq("MULTI".getBytes(UTF_8))), "MULTI")
+      val onAck: Reply => Unit = {
+        case ErrorReply(e) => sys.error(s"redis: queue failed: $e")
+        case _ => ()
+      }
       var queued = 0L
+      var acked = 0L
       wire.toLocalIterator().forEachRemaining { row =>
         val key = row.getString(1).getBytes(UTF_8)
         row.getString(0) match {
@@ -194,17 +213,19 @@ object Redis {
               row.getString(2).getBytes(UTF_8)))
         }
         queued += 1
+        // consume +QUEUED acks as they arrive so a long pipeline never
+        // deadlocks on both sides' TCP buffers
+        if ((queued & 0xff) == 0) {
+          client.flush()
+          acked += client.drainAvailable(onAck)
+        }
       }
       client.send(Seq("EXEC".getBytes(UTF_8)))
       client.flush()
-      // drain the +QUEUED acks, then the EXEC reply
-      var i = 0L
-      while (i < queued) {
-        client.readReply() match {
-          case ErrorReply(e) => sys.error(s"redis: queue failed: $e")
-          case _ => ()
-        }
-        i += 1
+      // drain the remaining +QUEUED acks, then the EXEC reply
+      while (acked < queued) {
+        onAck(client.readReply())
+        acked += 1
       }
       client.readReply() match {
         case ErrorReply(e) => sys.error(

@@ -196,6 +196,20 @@ class RedisSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("a large delta streams through one transaction without " +
+      "deadlocking on reply backpressure") {
+    val srv = new RedisStubServer()
+    try {
+      val n = 20000
+      Connectors.writeView(
+        spark.range(n).select(col("id").as("c0"),
+          (col("id") * 2).as("c1"), lit(1L).as(ZSets.W)),
+        conf(srv.port, """["c0"]"""))
+      assert(srv.store.size === n)
+      assert(srv.execCount.get() === 1)
+    } finally srv.close()
+  }
+
   test("connection-string parsing covers the documented shapes") {
     assert(Redis.parseConnectionString("redis://localhost") ===
       Redis.Target("localhost", 6379, 0, None, None))
