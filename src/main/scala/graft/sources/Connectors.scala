@@ -119,12 +119,6 @@ object Connectors {
     Try(org.apache.spark.sql.execution.datasources.DataSource
       .lookupDataSource(fmt, spark.sessionState.conf)).isSuccess
 
-  private def requireFormat(spark: SparkSession, fmt: String,
-      connector: String): Unit =
-    require(formatAvailable(spark, fmt),
-      s"connector '$connector' needs the '$fmt' DataSource on the " +
-        s"classpath (add the $fmt connector jar)")
-
   /** Batch-read one connector of a table as a Z-set delta (`_w` = +1 for
     * plain rows; update formats decode through [[Envelopes]]).
     */

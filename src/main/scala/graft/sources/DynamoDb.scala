@@ -170,23 +170,40 @@ object DynamoDb {
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     val uri = URI.create(endpoint)
 
+    // transient service errors (throttling, 5xx) retry with linear
+    // backoff up to max_retries — the most common failure mode under
+    // load must not fail the batch outright
+    val transientTypes = Seq("ProvisionedThroughputExceeded",
+      "ThrottlingException", "LimitExceededException",
+      "InternalServerError", "ServiceUnavailable",
+      "RequestLimitExceeded")
     def call(target: String, body: ObjectNode): JsonNode = {
       val payload = body.toString.getBytes(UTF_8)
-      val headers = signV4("POST", uri, region, "dynamodb", payload,
-        accessKey, secret, target)
-      val req = headers.foldLeft(HttpRequest.newBuilder().uri(uri)
-          .POST(HttpRequest.BodyPublishers.ofByteArray(payload))) {
-        case (b, (k, v)) => b.header(k, v)
-      }.build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-      val node = mapper.readTree(
-        if (resp.body().isEmpty) "{}" else resp.body())
-      require(resp.statusCode() == 200 ||
-          Option(node.get("__type")).exists(_.asText()
-            .contains("TransactionCanceledException")),
-        s"dynamodb: ${target.split('.').last} failed HTTP " +
-          s"${resp.statusCode()}: ${resp.body().take(300)}")
-      node
+      var attempt = 0
+      while (true) {
+        val headers = signV4("POST", uri, region, "dynamodb", payload,
+          accessKey, secret, target)
+        val req = headers.foldLeft(HttpRequest.newBuilder().uri(uri)
+            .POST(HttpRequest.BodyPublishers.ofByteArray(payload))) {
+          case (b, (k, v)) => b.header(k, v)
+        }.build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        val node = mapper.readTree(
+          if (resp.body().isEmpty) "{}" else resp.body())
+        val errType = Option(node.get("__type")).map(_.asText())
+        val ok = resp.statusCode() == 200 ||
+          errType.exists(_.contains("TransactionCanceledException"))
+        val transient = !ok && (resp.statusCode() >= 500 ||
+          errType.exists(t => transientTypes.exists(t.contains)))
+        if (ok) return node
+        require(transient && attempt < maxRetries,
+          s"dynamodb: ${target.split('.').last} failed HTTP " +
+            s"${resp.statusCode()}: ${resp.body().take(300)}" +
+            (if (transient) s" (after $attempt retries)" else ""))
+        attempt += 1
+        Thread.sleep(math.min(100L * attempt, 2000L))
+      }
+      throw new IllegalStateException("unreachable")
     }
 
     // one evaluation: an indexed per-key delta is small by contract
@@ -228,62 +245,49 @@ object DynamoDb {
           if (cancelled.isEmpty) pending = Nil
           else {
             val reasons = cancelled.get
-            val keep = pending.zipWithIndex.filter { case (_, i) =>
-              val code = Option(reasons.get(i))
+            // condition failures are skipped permanently; every other
+            // item of the cancelled transaction (code None, transient
+            // conflicts) retries in the next attempt — a cancellation
+            // with NO condition failure (pure conflict) retries the
+            // whole chunk, bounded by max_retries
+            pending = pending.zipWithIndex.filter { case (_, i) =>
+              !Option(reasons.get(i))
                 .flatMap(n => Option(n.get("Code"))).map(_.asText())
-              // condition failures are skipped permanently; every other
-              // item of the cancelled transaction (code None / throttle)
-              // retries in the next attempt
-              !code.contains("ConditionalCheckFailed")
+                .contains("ConditionalCheckFailed")
             }.map(_._1)
-            require(keep.size < pending.size,
-              s"dynamodb: transaction cancelled without progress: $resp")
-            pending = keep
           }
         }
       } else {
-        // BatchWriteItem with UnprocessedItems retry
-        var pending = group.toSeq
+        // BatchWriteItem: unprocessed items are echoed back as complete
+        // WriteRequest objects — resend them VERBATIM (matching them
+        // back to our own ops would depend on the service's attribute
+        // serialization order)
+        var pending: Seq[JsonNode] = group.toSeq.map { op =>
+          val wrap = mapper.createObjectNode()
+          if (op.put) {
+            val put = mapper.createObjectNode()
+            put.set[JsonNode]("Item", op.item)
+            wrap.set[JsonNode]("PutRequest", put)
+          } else {
+            val del = mapper.createObjectNode()
+            del.set[JsonNode]("Key", op.key)
+            wrap.set[JsonNode]("DeleteRequest", del)
+          }
+          wrap
+        }
         var attempts = 0
         while (pending.nonEmpty) {
           require(attempts <= maxRetries,
             s"dynamodb: unprocessed items after $maxRetries retries")
           attempts += 1
           val body = mapper.createObjectNode()
-          val reqItems = body.putObject("RequestItems")
-          val arr = reqItems.putArray(table)
-          pending.foreach { op =>
-            val wrap = mapper.createObjectNode()
-            if (op.put) {
-              val put = mapper.createObjectNode()
-              put.set[JsonNode]("Item", op.item)
-              wrap.set[JsonNode]("PutRequest", put)
-            } else {
-              val del = mapper.createObjectNode()
-              del.set[JsonNode]("Key", op.key)
-              wrap.set[JsonNode]("DeleteRequest", del)
-            }
-            arr.add(wrap)
-          }
+          val arr = body.putObject("RequestItems").putArray(table)
+          pending.foreach(arr.add)
           val resp = call("DynamoDB_20120810.BatchWriteItem", body)
-          val unprocessed = Option(resp.get("UnprocessedItems"))
+          pending = Option(resp.get("UnprocessedItems"))
             .flatMap(u => Option(u.get(table)))
-          pending = unprocessed match {
-            case None => Nil
-            case Some(u) if u.size() == 0 => Nil
-            case Some(u) =>
-              // match unprocessed wire items back to ops by identity of
-              // their key rendering
-              val keys = (0 until u.size()).map { i =>
-                val n = u.get(i)
-                Option(n.get("PutRequest"))
-                  .map(p => p.get("Item").toString)
-                  .getOrElse(n.get("DeleteRequest").get("Key").toString)
-              }.toSet
-              pending.filter(op =>
-                keys.contains(op.item.toString)
-                  || keys.contains(op.key.toString))
-          }
+            .map(u => (0 until u.size()).map(u.get).toSeq)
+            .getOrElse(Nil)
         }
       }
     }

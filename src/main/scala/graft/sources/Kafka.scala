@@ -327,9 +327,14 @@ object Kafka {
       val recordCount = buf.getInt
       val recordsBytes = new Array[Byte](total - 61)
       buf.get(recordsBytes)
-      val rb = ByteBuffer.wrap(decompress(attributes & 7, recordsBytes))
+      // control batches (attributes bit 5) carry transaction
+      // commit/abort markers, not data — skip them (read_uncommitted
+      // still sees the producer's data batches themselves)
+      val isControl = (attributes & 0x20) != 0
+      val rb = if (isControl) ByteBuffer.allocate(0)
+        else ByteBuffer.wrap(decompress(attributes & 7, recordsBytes))
       var i = 0
-      while (i < recordCount) {
+      while (!isControl && i < recordCount) {
         readVarint(rb) // record length
         rb.get() // record attributes
         val tsDelta = readVarlong(rb)
@@ -465,17 +470,31 @@ object Kafka {
           var offset = start
           val recs = Vector.newBuilder[FetchedRecord]
           while (offset < end) {
-            val (got, _) = fetch(b, topic, pi.partition, offset)
+            val got = try fetch(b, topic, pi.partition, offset)._1 catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("OFFSET_OUT_OF_RANGE") =>
+                // retention truncated past the cursor: resume at the
+                // current log start instead of wedging every round
+                // (records in between are gone — the broker's loss,
+                // surfaced in its own metrics, not recoverable here)
+                val logStart = listOffset(b, topic, pi.partition, -2L)
+                if (logStart >= end) Vector.empty
+                else fetch(b, topic, pi.partition, logStart)._1
+            }
             if (got.isEmpty) {
               // nothing between offset and the pinned end: a
               // compaction/retention gap — skip to the round's end
               offset = end
             } else {
               recs ++= got.filter(_.offset < end)
-              offset = math.max(got.last.offset + 1, offset + 1)
+              // cap at the pinned end: a fetch can return records
+              // appended AFTER the end pin, which belong to the next
+              // round — advancing the cursor past end would lose them
+              offset = math.min(
+                math.max(got.last.offset + 1, offset + 1), end)
             }
           }
-          cursors(ck) = math.max(offset, end)
+          cursors(ck) = end
           recs.result().map(r => Row(r.key.orNull, r.value.orNull, topic,
             pi.partition, r.offset, new java.sql.Timestamp(r.timestampMs)))
         }

@@ -299,8 +299,8 @@ object Nats {
             case _ => ()
           }
         }
-        // a full batch with no status: more may be pending — pull again
-        if (!statusSeen && gotInBatch < maxBatch) exhausted = true
+        // a full batch with no status falls through with `exhausted`
+        // still false — the outer loop issues another pull
       }
     } finally conn.unsubscribe(sid)
     (out.result(), lastSeq)
@@ -335,6 +335,8 @@ object Nats {
         "is required"))
     val auth = Option(cc.get("auth"))
     val up = auth.flatMap(a => Option(a.get("user_and_password")))
+    up.foreach(n => require(n.get("user") != null && n.get("password") != null,
+      "nats_input: auth.user_and_password needs both user and password"))
     val user = up.map(_.get("user").asText())
     val pass = up.map(_.get("password").asText())
     val token = auth.flatMap(a => Option(a.get("token")).map(_.asText()))

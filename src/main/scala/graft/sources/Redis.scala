@@ -230,6 +230,14 @@ object Redis {
       client.readReply() match {
         case ErrorReply(e) => sys.error(
           s"redis: EXEC failed; $queued uncommitted updates lost: $e")
+        case ArrayReply(items) =>
+          // per-command failures surface inside the EXEC reply array
+          // (e.g. OOM at execution time) — a partially-failed
+          // transaction must not report success
+          items.collectFirst { case ErrorReply(e) =>
+            sys.error(s"redis: command failed inside EXEC: $e")
+          }
+          queued
         case _ => queued
       }
     } finally client.close()
