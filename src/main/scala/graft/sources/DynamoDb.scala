@@ -58,14 +58,16 @@ object DynamoDb {
     DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
 
   /** AWS Signature V4 headers for one request (public signing spec:
-    * canonical request → string-to-sign → HMAC key chain).
+    * canonical request → string-to-sign → HMAC key chain). The general
+    * form (any method / query string / header set) is pinned against
+    * the officially published AWS test vector in DynamoDbSpec; the
+    * DynamoDB calls use the POST + x-amz-json-1.0 shape.
     */
   def signV4(method: String, uri: URI, region: String, service: String,
       payload: Array[Byte], accessKey: String, secret: String,
       target: String, now: Instant = Instant.now())
       : Map[String, String] = {
     val amzDate = AmzDateFmt.format(now)
-    val date = DateFmt.format(now)
     val hostHeader = uri.getHost +
       (if (uri.getPort > 0) s":${uri.getPort}" else "")
     val headers = scala.collection.immutable.TreeMap(
@@ -73,10 +75,38 @@ object DynamoDb {
       "host" -> hostHeader,
       "x-amz-date" -> amzDate,
       "x-amz-target" -> target)
+    val (signedHeaderNames, signature, scope) =
+      signV4General(method, uri, region, service, payload, secret,
+        headers, now)
+    Map(
+      "Content-Type" -> "application/x-amz-json-1.0",
+      "X-Amz-Date" -> amzDate,
+      "X-Amz-Target" -> target,
+      "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/" +
+        s"$scope, SignedHeaders=$signedHeaderNames, " +
+        s"Signature=$signature"))
+  }
+
+  /** The signing core over an arbitrary header set and query string —
+    * returns (signed-header names, hex signature, credential scope).
+    */
+  private[graft] def signV4General(method: String, uri: URI,
+      region: String, service: String, payload: Array[Byte],
+      secret: String,
+      headers: scala.collection.immutable.TreeMap[String, String],
+      now: Instant): (String, String, String) = {
+    val amzDate = AmzDateFmt.format(now)
+    val date = DateFmt.format(now)
+    val canonicalQuery = Option(uri.getRawQuery).map(
+      _.split("&").map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+      }.sortBy(p => (p._1, p._2))
+        .map { case (k, v) => s"$k=$v" }.mkString("&")).getOrElse("")
     val signedHeaderNames = headers.keys.mkString(";")
     val canonical = method + "\n" +
       (if (uri.getPath.isEmpty) "/" else uri.getPath) + "\n" +
-      "" + "\n" + // query string
+      canonicalQuery + "\n" +
       headers.map { case (k, v) => s"$k:$v\n" }.mkString + "\n" +
       signedHeaderNames + "\n" +
       sha256Hex(payload)
@@ -86,13 +116,7 @@ object DynamoDb {
     val kSigning = hmac(hmac(hmac(hmac(
       ("AWS4" + secret).getBytes(UTF_8), date), region), service),
       "aws4_request")
-    Map(
-      "Content-Type" -> "application/x-amz-json-1.0",
-      "X-Amz-Date" -> amzDate,
-      "X-Amz-Target" -> target,
-      "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/" +
-        s"$scope, SignedHeaders=$signedHeaderNames, " +
-        s"Signature=${hex(hmac(kSigning, toSign))}"))
+    (signedHeaderNames, hex(hmac(kSigning, toSign)), scope)
   }
 
   // -------------------------------------------- attribute-value encode

@@ -207,6 +207,29 @@ class DynamoDbSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("signing matches AWS's officially published SigV4 example") {
+    // docs.aws.amazon.com "Signature Version 4 signing process" worked
+    // example: GET https://iam.amazonaws.com/?Action=ListUsers&
+    // Version=2010-05-08 at 20150830T123600Z with the documented demo
+    // secret — expected signature published alongside it
+    val now = java.time.LocalDateTime.parse("20150830T123600Z",
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
+      .toInstant(java.time.ZoneOffset.UTC)
+    val headers = scala.collection.immutable.TreeMap(
+      "content-type" -> "application/x-www-form-urlencoded; charset=utf-8",
+      "host" -> "iam.amazonaws.com",
+      "x-amz-date" -> "20150830T123600Z")
+    val (signed, signature, scope) = DynamoDb.signV4General("GET",
+      java.net.URI.create(
+        "https://iam.amazonaws.com/?Action=ListUsers&Version=2010-05-08"),
+      "us-east-1", "iam", Array.emptyByteArray,
+      "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY", headers, now)
+    assert(signed === "content-type;host;x-amz-date")
+    assert(scope === "20150830/us-east-1/iam/aws4_request")
+    assert(signature ===
+      "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+  }
+
   test("non-indexed views are rejected with the uniqueness contract") {
     val err = intercept[IllegalArgumentException] {
       Connectors.writeView(Seq((1L, "a")).toDF("id", "v"),

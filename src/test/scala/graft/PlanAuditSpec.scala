@@ -28,6 +28,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), "signatures must be staged/persisted")
   }
 
+  test("llm_dsir: bucket table broadcasts onto the scan, no cartesian") {
+    val p = plan("llm_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=256-row bucket table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"llm_dsir: stray product:\n$p")
+  }
+
   test("chainAggStep: broadcast split probe of prior state") {
     import spark.implicits._
     val st = Seq(("a", 1L, 9L)).toDF("k", "mn", "mx")
