@@ -600,6 +600,30 @@ final class Pipeline(spark: SparkSession,
   // reference journals for its at-least-once delta/iceberg FT)
   private val connectorCursors = mutable.Map[String, Long]()
 
+  /** Connector resume state for durable restarts — lakehouse
+    * versions/snapshot-ids plus the Kafka partition offsets and NATS
+    * stream sequences of this JVM's native transports, namespaced by
+    * kind. Persist this map alongside your checkpoint and
+    * [[importConnectorCursors]] before the first ingest round of a new
+    * process: the offset-journaling half of the reference's connector
+    * fault tolerance (its checkpoint files carry exactly these values).
+    */
+  def exportConnectorCursors(): Map[String, Long] =
+    connectorCursors.toMap.map { case (k, v) => s"lake|$k" -> v } ++
+      graft.sources.Kafka.cursorsSnapshot.map {
+        case (k, v) => s"kafka|$k" -> v } ++
+      graft.sources.Nats.cursorsSnapshot.map {
+        case (k, v) => s"nats|$k" -> v }
+
+  def importConnectorCursors(m: Map[String, Long]): Unit = {
+    def slice(prefix: String) = m.collect {
+      case (k, v) if k.startsWith(prefix) =>
+        k.stripPrefix(prefix) -> v }
+    slice("lake|").foreach { case (k, v) => connectorCursors(k) = v }
+    graft.sources.Kafka.importCursors(slice("kafka|"))
+    graft.sources.Nats.importCursors(slice("nats|"))
+  }
+
   /** For Delta/Iceberg connectors in a follow mode, pin this ingest
     * round to (cursor, latest] and advance the cursor — so each
     * [[ingestConnectors]] round ingests exactly the commits that arrived

@@ -422,6 +422,15 @@ object Kafka {
     cursors.keys.filter(_.startsWith(prefix)).foreach(cursors.remove)
   private[graft] def cursorOf(key: String): Option[Long] = cursors.get(key)
 
+  /** Resume-state surface (Pipeline.exportConnectorCursors): snapshot /
+    * restore the per-partition offsets — persisted alongside a
+    * checkpoint, this is the offset-journaling half of the reference's
+    * Kafka FT.
+    */
+  def cursorsSnapshot: Map[String, Long] = cursors.toMap
+  def importCursors(m: Map[String, Long]): Unit =
+    m.foreach { case (k, v) => cursors(k) = v }
+
   val recordsSchema: StructType = StructType(Seq(
     StructField("key", BinaryType),
     StructField("value", BinaryType),

@@ -321,6 +321,14 @@ object Nats {
   private[graft] def resetCursor(key: String): Unit = cursors.remove(key)
   private[graft] def cursorOf(key: String): Option[Long] = cursors.get(key)
 
+  /** Resume-state surface (Pipeline.exportConnectorCursors): snapshot /
+    * restore the stream-sequence cursors for durable restarts — the
+    * external sequence tracking the reference journals.
+    */
+  def cursorsSnapshot: Map[String, Long] = cursors.toMap
+  def importCursors(m: Map[String, Long]): Unit =
+    m.foreach { case (k, v) => cursors(k) = v }
+
   /** One ingestion round: ephemeral consumer from the cursor (or the
     * configured deliver_policy on the first round), drain available
     * messages, decode to a Z-set delta.
