@@ -359,12 +359,10 @@ object Connectors {
       case "redis_output" =>
         sys.error("redis_output is a SINK transport (writeView); it " +
           "cannot feed a table")
-      case t @ "pub_sub_input" =>
-        // Google Pub/Sub is gRPC+protobuf — no client on this classpath;
-        // bridge through kafka_input / file_input or the HTTP ingress shim
-        sys.error(s"$t needs a Pub/Sub client library (gRPC) absent from " +
-          "this classpath; bridge via kafka_input, file_input, or the " +
-          "HTTP ingress shim")
+      case "pub_sub_input" =>
+        // native REST pull round (sources/PubSub.scala): emulator mode
+        // plain-HTTP, real service via OAuth JWT-bearer credentials
+        PubSub.readRound(spark, table, conf)
       case other => sys.error(s"unknown transport: $other")
     }
     if (conf.softDelete) applySoftDelete(table, decoded) else decoded

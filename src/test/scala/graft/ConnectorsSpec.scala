@@ -423,7 +423,7 @@ class ConnectorsSpec extends SparkSpec {
     for ((transport, cfg, expect) <- Seq(
         ("s3_input", """{"uri": "s3a://bucket/prefix"}""", "hadoop-aws"),
         ("nats_input", "{}", "server_url"),
-        ("pub_sub_input", "{}", "bridge via"),
+        ("pub_sub_input", "{}", "subscription"),
         ("redis_output", "{}", "SINK"))) {
       val t = tableWith(
         s"""[{"transport": {"name": "$transport", "config": $cfg}}]""")
