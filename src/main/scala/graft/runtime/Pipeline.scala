@@ -613,7 +613,9 @@ final class Pipeline(spark: SparkSession,
       graft.sources.Kafka.cursorsSnapshot.map {
         case (k, v) => s"kafka|$k" -> v } ++
       graft.sources.Nats.cursorsSnapshot.map {
-        case (k, v) => s"nats|$k" -> v }
+        case (k, v) => s"nats|$k" -> v } ++
+      graft.sources.PgCdc.cursorsSnapshot.map {
+        case (k, v) => s"pgcdc|$k" -> v }
 
   def importConnectorCursors(m: Map[String, Long]): Unit = {
     def slice(prefix: String) = m.collect {
@@ -622,6 +624,7 @@ final class Pipeline(spark: SparkSession,
     slice("lake|").foreach { case (k, v) => connectorCursors(k) = v }
     graft.sources.Kafka.importCursors(slice("kafka|"))
     graft.sources.Nats.importCursors(slice("nats|"))
+    graft.sources.PgCdc.importCursors(slice("pgcdc|"))
   }
 
   /** For Delta/Iceberg connectors in a follow mode, pin this ingest

@@ -230,14 +230,10 @@ object Connectors {
         ZSets.lift(conf.config.get("driver")
           .map(d => reader.option("driver", d)).getOrElse(reader).load())
       case "postgres_cdc_input" =>
-        // logical-replication CDC (connectors/sources/postgresql-cdc.md)
-        // needs a live PostgreSQL speaking the replication protocol with
-        // a pre-created publication — no server exists in this
-        // environment. The equivalent change-stream path here is
-        // debezium-formatted kafka_input or the delta cdc connector.
-        sys.error("postgres_cdc_input needs a live PostgreSQL with " +
-          "logical replication; ingest the same change stream via " +
-          "kafka_input with format debezium, or delta_table_input cdc")
+        // native logical-replication rounds (sources/PgCdc.scala):
+        // slot + snapshot on the first round, pgoutput change streams
+        // from the confirmed-flush LSN after
+        PgCdc.readRound(spark, table, conf)
       case "kafka_input" =>
         // NATIVE wire-protocol round (sources/Kafka.scala): fetch
         // exactly (cursor, current-high] per partition, decode through

@@ -336,7 +336,7 @@ class ConnectorsSpec extends SparkSpec {
       """[{"transport": {"name": "postgres_cdc_input", "config": {}}}]""")
     val err2 = intercept[RuntimeException](
       Connectors.read(spark, t2, Connectors.connectorsOf(t2).head))
-    assert(err2.getMessage.contains("logical replication"))
+    assert(err2.getMessage.contains("uri is required"))
   }
 
   test("raw format: lines and blob modes land unparsed payloads") {
