@@ -57,6 +57,51 @@ object ConnectorsE2e {
       } finally broker.close()
     },
 
+    // Postgres CDC: the native logical-replication client against an
+    // in-process wire-protocol stub — round 1 creates the slot and
+    // snapshots the table; live updates and deletes stream as pgoutput
+    // in round 2 (updates retract the old row, the REPLICA IDENTITY
+    // FULL contract); the oracle re-derives the post-change state.
+    Q(
+      "conn_pgcdc",
+      """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+        |            ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 9 <> 0
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val srv = new graft.tools.PgMiniServer(
+        Seq("o_orderkey", "o_orderstatus"))
+      try {
+        val rows = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+          .select("o_orderkey", "o_orderstatus")
+          .collect().map(r => Seq(r.getLong(0).toString, r.getString(1)))
+        rows.foreach(srv.snapshot += _)
+        val tdef = graft.ddl.Ddl.parse(
+          "CREATE TABLE orders_cdc (o_orderkey BIGINT, " +
+            "o_orderstatus VARCHAR);").tables.head
+        val conf = graft.sources.Connectors.ConnectorConf(
+          "postgres_cdc_input",
+          Map("uri" -> s"postgres://u@127.0.0.1:${srv.port}/db",
+            "publication" -> "pub", "source_table" -> "public.orders"),
+          "json", Map.empty)
+        val snap = graft.sources.Connectors.read(s, tdef, conf)
+        // live changes after the slot exists
+        rows.foreach { r =>
+          val k = r.head.toLong
+          if (k % 9 == 0) srv.delete(r: _*)
+          else if (k % 5 == 0) srv.update(r, Seq(r.head, "X"))
+        }
+        val tail = graft.sources.Connectors.read(s, tdef, conf)
+        graft.zset.ZSets.consolidate(snap.unionByName(tail))
+          .filter(col(graft.zset.ZSets.W) =!= 0)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("keysum"))
+          .select(col("o_orderstatus").as("status"), col("n"),
+            col("keysum"))
+      } finally srv.close()
+    },
+
     // Delta: two append commits, a parquet checkpoint, then a delete
     // commit; the snapshot read must replay checkpoint + post-checkpoint
     // JSON and apply the remove set.
