@@ -214,7 +214,8 @@ object Connectors {
               "postgresql://" + rawUri.split("://", 2)(1))
             val userInfo = Option(u.getUserInfo).map(_.split(":", 2))
             (s"jdbc:postgresql://${u.getHost}" +
-              (if (u.getPort > 0) s":${u.getPort}" else "") + u.getPath,
+              (if (u.getPort > 0) s":${u.getPort}" else "") + u.getPath +
+              Option(u.getRawQuery).map("?" + _).getOrElse(""),
               userInfo.map(ui => (ui(0),
                 if (ui.length > 1) ui(1) else "")))
           } else (rawUri, None)

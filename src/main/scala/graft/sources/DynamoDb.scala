@@ -230,12 +230,15 @@ object DynamoDb {
       throw new IllegalStateException("unreachable")
     }
 
-    // one evaluation: an indexed per-key delta is small by contract
-    // (bounded by the touched keys, never the state)
-    val ops = up.collect().map(toOp)
-    val written = ops.length.toLong
-
-    ops.grouped(batchSize).foreach { group =>
+    // stream the delta through the driver one partition at a time
+    // (toLocalIterator): a first-snapshot backfill of a large view must
+    // never materialize whole on the driver — only one request batch
+    // plus one Spark partition is resident at any moment
+    import scala.jdk.CollectionConverters._
+    var written = 0L
+    up.toLocalIterator().asScala.map(toOp).grouped(batchSize)
+        .foreach { group =>
+      written += group.length
       if (transactional) {
         // TransactWriteItems: atomic chunk; condition-failed items are
         // dropped and the remainder retried (the documented skip)

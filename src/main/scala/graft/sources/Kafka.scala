@@ -477,6 +477,7 @@ object Kafka {
               if (startLatest) -1L else -2L))
           val end = listOffset(b, topic, pi.partition, -1L)
           var offset = start
+          var emptyStreak = 0
           val recs = Vector.newBuilder[FetchedRecord]
           while (offset < end) {
             val got = try fetch(b, topic, pi.partition, offset)._1 catch {
@@ -491,10 +492,26 @@ object Kafka {
                 else fetch(b, topic, pi.partition, logStart)._1
             }
             if (got.isEmpty) {
-              // nothing between offset and the pinned end: a
-              // compaction/retention gap — skip to the round's end
-              offset = end
+              // an empty fetch below the pinned end is EITHER a real
+              // compaction/retention gap (log start moved past the
+              // cursor) or a transient hiccup (throttling, broker
+              // restart). Only a confirmed gap may advance the cursor;
+              // transients retry bounded, then fail loudly rather than
+              // silently skipping live records.
+              val logStart = listOffset(b, topic, pi.partition, -2L)
+              if (logStart > offset) {
+                emptyStreak = 0
+                offset = math.min(logStart, end)
+              } else {
+                emptyStreak += 1
+                require(emptyStreak <= 5,
+                  s"kafka_input: $topic/${pi.partition} returned empty " +
+                    s"fetches at offset $offset (end $end, log start " +
+                    s"$logStart) 5 times — refusing to skip unread data")
+                Thread.sleep(50L * emptyStreak)
+              }
             } else {
+              emptyStreak = 0
               recs ++= got.filter(_.offset < end)
               // cap at the pinned end: a fetch can return records
               // appended AFTER the end pin, which belong to the next

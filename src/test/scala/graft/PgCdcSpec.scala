@@ -64,6 +64,53 @@ class PgCdcSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("rows committed between the consistent point and the snapshot " +
+      "SELECT are seen exactly once (exported-snapshot copy)") {
+    graft.sources.PgCdc.resetCursors()
+    val srv = new graft.tools.PgMiniServer(Seq("id", "customer", "amount"))
+    try {
+      srv.snapshot += Seq("1", "Alice", "10.00")
+      // the race: a row commits AFTER the slot's consistent point is
+      // pinned but BEFORE the client's table copy runs. A live SELECT
+      // would see it AND the stream would replay it (double count);
+      // the exported-snapshot read must not.
+      srv.onSlotCreate = () => srv.insert("2", "Bob", "5.00")
+      val p = Pipeline(spark, programSql(srv.port))
+      p.ingestConnectors() // round 1: slot + snapshot copy
+      def state() = p.adHoc("SELECT * FROM totals")
+        .as[(String, java.math.BigDecimal, Long)].collect()
+        .map(r => (r._1, r._2.toPlainString, r._3)).toSet
+      // snapshot sees only the pre-slot row
+      assert(state() === Set(("Alice", "10.00", 1L)))
+      p.ingestConnectors() // round 2: streams Bob's insert — once
+      assert(state() === Set(("Alice", "10.00", 1L), ("Bob", "5.00", 1L)))
+      p.ingestConnectors() // idle round: still exactly once
+      assert(state() === Set(("Alice", "10.00", 1L), ("Bob", "5.00", 1L)))
+    } finally { srv.onSlotCreate = () => (); srv.close() }
+  }
+
+  test("flush confirmation lags one committed round (crash-safe WAL " +
+      "retention): round N confirms round N-1's cursor, never its own " +
+      "head") {
+    graft.sources.PgCdc.resetCursors()
+    val srv = new graft.tools.PgMiniServer(Seq("id", "customer", "amount"))
+    try {
+      srv.snapshot += Seq("1", "Alice", "10.00")
+      val p = Pipeline(spark, programSql(srv.port))
+      p.ingestConnectors() // round 1: snapshot; nothing confirmed yet
+      assert(srv.confirmedFlush.get() === -1L)
+      srv.insert("2", "Bob", "5.00")
+      p.ingestConnectors() // round 2: streams Bob; confirms R1's cursor
+      val afterR2 = srv.confirmedFlush.get()
+      val cursor2 = graft.sources.PgCdc.cursorsSnapshot.values.max
+      assert(afterR2 >= 0 && afterR2 < cursor2,
+        s"round 2 must confirm the pre-round cursor, got $afterR2 " +
+          s"vs its own head $cursor2")
+      p.ingestConnectors() // round 3: idle; NOW round 2's head confirms
+      assert(srv.confirmedFlush.get() === cursor2)
+    } finally srv.close()
+  }
+
   test("md5 auth: correct password connects, wrong one fails loudly") {
     graft.sources.PgCdc.resetCursors()
     val srv = new graft.tools.PgMiniServer(Seq("id", "customer", "amount"),
