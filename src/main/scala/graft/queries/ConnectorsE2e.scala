@@ -126,6 +126,33 @@ object ConnectorsE2e {
           sum(floor(col("o_totalprice")).cast("long")).as("total"))
     },
 
+    // Delta deletion vectors: row-level DELETEs via the modern writer's
+    // DV fast path (sidecar bitmaps, no file rewrite), two successive
+    // DMLs so vectors merge; the snapshot read applies the bitmaps
+    // through the broadcast anti-join and the oracle re-derives the
+    // surviving rows relationally.
+    Q(
+      "conn_delta_dv",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders
+        |WHERE o_orderkey <= 3000 AND o_orderkey % 7 <> 0
+        |  AND o_orderkey % 11 <> 0
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tdir = java.nio.file.Files
+        .createTempDirectory("conn_delta_dv").toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderstatus")
+      DeltaLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 0))
+      DeltaLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 1))
+      DeltaLake.deleteWhereDv(s, tdir, "o_orderkey % 7 = 0")
+      DeltaLake.deleteWhereDv(s, tdir, "o_orderkey % 11 = 0")
+      DeltaLake.snapshot(s, tdir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("keysum"))
+    },
+
     // Delta follow mode: the signed Z-set delta stream after a pinned
     // version. Commit 1 is the pre-follow base; commit 2 adds rows and
     // commit 3 deletes a slice — the consolidated follow delta is

@@ -43,10 +43,11 @@ object DeltaLake {
   private val mapper = new ObjectMapper()
 
   /** One data file of a table version (the `add` action's fields the
-    * reader needs).
+    * reader needs, including its deletion vector when present).
     */
   final case class AddFile(path: String,
-      partitionValues: Map[String, String], size: Long)
+      partitionValues: Map[String, String], size: Long,
+      dv: Option[DeltaDv.Descriptor] = None)
 
   /** Reconstructed table state at one version. */
   final case class Snapshot(version: Long, schema: StructType,
@@ -58,7 +59,13 @@ object DeltaLake {
       /** latest `txn` action version per application id (idempotent
         * writer bookkeeping, the protocol's transaction identifiers).
         */
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      /** `delta.columnMapping.mode` from the table configuration:
+        * "none", "name", or "id". Under name/id mapping the parquet
+        * files store per-field physical names (kept in the schema's
+        * field metadata) and `partitionValues` keys are physical.
+        */
+      columnMappingMode: String = "none")
 
   private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -105,6 +112,7 @@ object DeltaLake {
 
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
+    var mappingMode = "none"
     // path → AddFile; removes delete keys
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val stamps = scala.collection.mutable.Map[Long, Long]()
@@ -119,10 +127,18 @@ object DeltaLake {
         new Path(log, f"$cv%020d.checkpoint.parquet").toString)
       val cols = cp.columns.toSet
       if (cols.contains("metaData")) {
-        cp.select("metaData.schemaString", "metaData.partitionColumns")
-          .where(col("metaData").isNotNull).collect().foreach { r =>
+        val hasConf = cp.select("metaData.*").columns.contains("configuration")
+        val sel = Seq(col("metaData.schemaString"),
+          col("metaData.partitionColumns")) ++
+          (if (hasConf) Seq(col("metaData.configuration")) else Nil)
+        cp.select(sel: _*)
+          .where(col("metaData.schemaString").isNotNull).collect()
+          .foreach { r =>
             schema = DataType.fromJson(r.getString(0)).asInstanceOf[StructType]
             partCols = r.getSeq[String](1)
+            if (hasConf && !r.isNullAt(2))
+              mappingMode = r.getMap[String, String](2)
+                .getOrElse("delta.columnMapping.mode", "none")
           }
       }
       if (cols.contains("txn")) {
@@ -132,11 +148,23 @@ object DeltaLake {
           }
       }
       if (cols.contains("add")) {
-        cp.select("add.path", "add.partitionValues", "add.size")
-          .where(col("add").isNotNull).collect().foreach { r =>
+        val hasDv = cp.select("add.*").columns.contains("deletionVector")
+        val sel = Seq(col("add.path"), col("add.partitionValues"),
+          col("add.size")) ++
+          (if (hasDv) Seq(col("add.deletionVector")) else Nil)
+        cp.select(sel: _*)
+          .where(col("add.path").isNotNull).collect().foreach { r =>
+            val dv = if (hasDv && !r.isNullAt(3)) {
+              val d = r.getStruct(3)
+              Some(DeltaDv.Descriptor(d.getAs[String]("storageType"),
+                d.getAs[String]("pathOrInlineDv"),
+                Option(d.getAs[Any]("offset")).map(_.toString.toLong),
+                d.getAs[Number]("sizeInBytes").intValue(),
+                d.getAs[Number]("cardinality").longValue()))
+            } else None
             live(r.getString(0)) = AddFile(r.getString(0),
               Option(r.getMap[String, String](1)).map(_.toMap)
-                .getOrElse(Map.empty), r.getLong(2))
+                .getOrElse(Map.empty), r.getLong(2), dv)
           }
       }
     }
@@ -145,6 +173,9 @@ object DeltaLake {
       val in = f.open(new Path(log, f"$v%020d.json"))
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toVector finally in.close()
+      val commitAdds =
+        scala.collection.mutable.LinkedHashMap[String, AddFile]()
+      val commitRemoves = scala.collection.mutable.Set[String]()
       lines.foreach { line =>
         val a = mapper.readTree(line)
         if (a.has("protocol")) {
@@ -157,11 +188,11 @@ object DeltaLake {
           val feats = Option(pr.get("readerFeatures")).toSeq
             .flatMap(_.elements().asScala.map(_.asText()))
           val unsupported = feats.filterNot(Set(
-            "timestampNtz", "vacuumProtocolCheck"))
-          require(mrv <= 1 || (mrv == 3 && unsupported.isEmpty),
+            "timestampNtz", "vacuumProtocolCheck", "deletionVectors",
+            "columnMapping", "v2Checkpoint"))
+          require(mrv <= 2 || (mrv == 3 && unsupported.isEmpty),
             s"Delta reader version $mrv with features " +
-              s"[${unsupported.mkString(", ")}] not supported " +
-              "(deletion vectors / column mapping would be mis-read); " +
+              s"[${unsupported.mkString(", ")}] not supported; " +
               "rewrite the table without these features first")
         }
         if (a.has("metaData")) {
@@ -170,14 +201,24 @@ object DeltaLake {
             .asInstanceOf[StructType]
           partCols = Option(m.get("partitionColumns")).toSeq
             .flatMap(_.elements().asScala.map(_.asText()))
+          mappingMode = Option(m.get("configuration"))
+            .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+            .map(_.asText()).getOrElse("none")
         }
+        // protocol reconciliation: a commit's state transition is
+        // (live ∖ removes) ∪ adds, INDEPENDENT of action order within
+        // the commit — a DML that rewrites a file's deletion vector
+        // emits both a remove (old DV) and an add (new DV) for the
+        // same path, and the add must win
         if (a.has("add")) {
           val ad = a.get("add")
-          live(ad.get("path").asText()) = AddFile(ad.get("path").asText(),
-            partValues(ad.get("partitionValues")),
-            Option(ad.get("size")).map(_.asLong()).getOrElse(0L))
+          val p = ad.get("path").asText()
+          commitAdds(p) = AddFile(p, partValues(ad.get("partitionValues")),
+            Option(ad.get("size")).map(_.asLong()).getOrElse(0L),
+            parseDv(ad))
         }
-        if (a.has("remove")) live.remove(a.get("remove").get("path").asText())
+        if (a.has("remove"))
+          commitRemoves += a.get("remove").get("path").asText()
         if (a.has("txn")) {
           val t = a.get("txn")
           val app = t.get("appId").asText()
@@ -189,6 +230,8 @@ object DeltaLake {
           if (ci.has("timestamp")) stamps(v) = ci.get("timestamp").asLong()
         }
       }
+      commitRemoves.filterNot(commitAdds.contains).foreach(live.remove)
+      commitAdds.foreach { case (p, a) => live(p) = a }
       if (!stamps.contains(v))
         stamps(v) = f.getFileStatus(new Path(log, f"$v%020d.json"))
           .getModificationTime
@@ -196,8 +239,16 @@ object DeltaLake {
     require(schema != null,
       s"Delta log has no metaData action at or below version $target: $dir")
     Snapshot(target, schema, partCols, live.values.toSeq, stamps.toMap,
-      txns.toMap)
+      txns.toMap, mappingMode)
   }
+
+  private def parseDv(action: JsonNode): Option[DeltaDv.Descriptor] =
+    Option(action.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeltaDv.Descriptor(d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asLong()),
+        d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+    }
 
   private def partValues(node: JsonNode): Map[String, String] =
     if (node == null) Map.empty
@@ -218,24 +269,92 @@ object DeltaLake {
     eligible.max
   }
 
+  /** Physical field name under column mapping (name/id modes both write
+    * `delta.columnMapping.physicalName` into the field metadata; id-mode
+    * parquet files also carry field ids, but they store the same
+    * physical names, so name resolution covers both).
+    */
+  private def physName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Recursively rename a logical type to its physical (on-disk) form. */
+  private def physType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(physName(f), physType(f.dataType), f.nullable)))
+    case ArrayType(et, n) => ArrayType(physType(et), n)
+    case MapType(k, v, n) => MapType(physType(k), physType(v), n)
+    case other => other
+  }
+
   /** Read the rows added by exactly one data file set, with partition
-    * columns attached as literals. `files` must share one partitionValues
+    * columns attached as literals, the files' deletion vectors applied,
+    * and (under column mapping) physical names resolved back to the
+    * declared logical schema. `files` must share one partitionValues
     * tuple.
     */
   private def readGroup(spark: SparkSession, dir: String,
-      snap: Snapshot, files: Seq[AddFile]): DataFrame = {
-    val paths = files.map(a => new Path(dir,
-      java.net.URLDecoder.decode(a.path, "UTF-8")).toString)
-    val dataSchema = StructType(snap.schema.fields
-      .filterNot(f => snap.partitionColumns.contains(f.name)))
-    val base = spark.read.schema(dataSchema).parquet(paths: _*)
+      snap: Snapshot, files: Seq[AddFile],
+      keepPos: Boolean = false): DataFrame = {
+    val mapped = snap.columnMappingMode != "none"
+    val dataFields = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val readSchema =
+      if (mapped) StructType(dataFields.map(f =>
+        StructField(physName(f), physType(f.dataType), f.nullable)))
+      else StructType(dataFields)
+    val (withDv, plain) = files.partition(_.dv.exists(_.cardinality > 0))
+    val needPos = keepPos || withDv.nonEmpty
+    // physical row addressing: file basename (UUID-unique within a
+    // table) + row_index from the parquet scan's metadata column
+    def scan(fs0: Seq[AddFile]): DataFrame = {
+      val d = spark.read.schema(readSchema)
+        .parquet(fs0.map(a => new Path(dir,
+          java.net.URLDecoder.decode(a.path, "UTF-8")).toString): _*)
+      if (!needPos) d
+      else d.withColumn("__file", element_at(
+          split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__idx", col("_metadata.row_index"))
+    }
+    val base0 =
+      if (withDv.isEmpty) scan(files)
+      else {
+        // deleted rows are addressed by physical position within their
+        // parquet file: drop deleted positions via ONE broadcast
+        // anti-join on (file basename, row index) — exchange-free, and
+        // the broadcast side is the DV cardinality, not the data
+        val (fsys, rootP) = fs(spark, dir)
+        val pairs = withDv.flatMap { a =>
+          val name = new Path(
+            java.net.URLDecoder.decode(a.path, "UTF-8")).getName
+          DeltaDv.readIndices(fsys, rootP, a.dv.get).map(i => (name, i))
+        }
+        import spark.implicits._
+        val deleted = pairs.toDF("__dv_file", "__dv_idx")
+        val dvScan = scan(withDv)
+          .join(broadcast(deleted),
+            col("__file") === col("__dv_file") &&
+              col("__idx") === col("__dv_idx"), "left_anti")
+        if (plain.isEmpty) dvScan else scan(plain).unionAll(dvScan)
+      }
+    val base = if (needPos && !keepPos) base0.drop("__file", "__idx")
+      else base0
+    val posCols = if (keepPos) Seq(col("__file"), col("__idx")) else Nil
+    // logical names: a positional struct cast renames nested physical
+    // fields back to the declared ones in one codegen'd projection
+    val logical =
+      if (!mapped) base
+      else base.select(dataFields.map(f =>
+        col(physName(f)).cast(f.dataType).as(f.name)).toSeq ++ posCols: _*)
     val pv = files.head.partitionValues
-    val withParts = snap.partitionColumns.foldLeft(base) { (df, c) =>
-      val dt = snap.schema(c).dataType
-      df.withColumn(c, lit(pv.getOrElse(c, null)).cast(dt))
+    val withParts = snap.partitionColumns.foldLeft(logical) { (df, c) =>
+      val f = snap.schema(c)
+      val key = if (mapped) physName(f) else c
+      df.withColumn(c, lit(pv.getOrElse(key, null)).cast(f.dataType))
     }
     // restore declared column order
-    withParts.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    withParts.select(snap.schema.fieldNames.map(col).toSeq ++ posCols: _*)
   }
 
   /** The full content of a file set as one DataFrame (union of
@@ -293,12 +412,16 @@ object DeltaLake {
           val ad = a.get("add")
           adds += AddFile(ad.get("path").asText(),
             partValues(ad.get("partitionValues")),
-            Option(ad.get("size")).map(_.asLong()).getOrElse(0L))
+            Option(ad.get("size")).map(_.asLong()).getOrElse(0L),
+            parseDv(ad))
         }
         if (a.has("remove")) {
+          // a DML that only grows a file's DV re-adds the path with the
+          // new vector and removes it with the old one: add − remove
+          // nets to a retraction of exactly the newly-deleted rows
           val rm = a.get("remove")
           removes += AddFile(rm.get("path").asText(),
-            partValues(rm.get("partitionValues")), 0L)
+            partValues(rm.get("partitionValues")), 0L, parseDv(rm))
         }
       }
       Seq(ZSets.lift(readFiles(spark, dir, snap, adds.toSeq))) ++
@@ -340,7 +463,8 @@ object DeltaLake {
           val ad = a.get("add")
           Some(AddFile(ad.get("path").asText(),
             partValues(ad.get("partitionValues")),
-            Option(ad.get("size")).map(_.asLong()).getOrElse(0L)))
+            Option(ad.get("size")).map(_.asLong()).getOrElse(0L),
+            parseDv(ad)))
         } else None
       }
     }
@@ -415,8 +539,11 @@ object DeltaLake {
       mapper.writeValueAsString(k) + ":" +
         (if (v == null) "null" else mapper.writeValueAsString(v))
     }.mkString("{", ",", "}")
+    val dvJson = a.dv.map(d =>
+      s""","deletionVector":${DeltaDv.descriptorJson(d)}""").getOrElse("")
     s"""{"add":{"path":"${a.path}","partitionValues":$pvJson,""" +
-      s""""size":${a.size},"modificationTime":$now,"dataChange":$dataChange}}"""
+      s""""size":${a.size},"modificationTime":$now,""" +
+      s""""dataChange":$dataChange$dvJson}}"""
   }
 
   def append(spark: SparkSession, dir: String, df: DataFrame,
@@ -496,6 +623,55 @@ object DeltaLake {
     version
   }
 
+  /** DELETE via deletion vectors — the modern writer's fast path: no
+    * data file is rewritten; each affected file is re-added with a
+    * sidecar bitmap marking the newly-deleted physical positions
+    * (merged with any existing vector) and removed with its old one.
+    * Write cost is O(deleted positions), independent of file sizes —
+    * the property that makes row-level DML tractable on 100-TB tables.
+    */
+  def deleteWhereDv(spark: SparkSession, dir: String, pred: String): Long = {
+    val (f, root) = fs(spark, dir)
+    val snap = reconstruct(spark, dir, None)
+    if (snap.files.isEmpty) return snap.version
+    // (file basename, physical row index) of surviving rows matching
+    // the predicate — ONE distributed scan; collected set is bounded
+    // by the deleted-row count
+    val hits = snap.files.groupBy(_.partitionValues).values.toSeq
+      .map(g => readGroup(spark, dir, snap, g, keepPos = true))
+      .reduce(_.unionAll(_))
+      .where(expr(pred))
+      .groupBy("__file").agg(collect_list("__idx").as("idxs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    if (hits.isEmpty) return snap.version
+    val now = System.currentTimeMillis()
+    val version = snap.version + 1
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    // reader/writer feature declaration (idempotent to repeat)
+    actions += """{"protocol":{"minReaderVersion":3,""" +
+      """"minWriterVersion":7,"readerFeatures":["deletionVectors"],""" +
+      """"writerFeatures":["deletionVectors"]}}"""
+    snap.files.foreach { a =>
+      val base = new Path(
+        java.net.URLDecoder.decode(a.path, "UTF-8")).getName
+      hits.get(base).foreach { newIdxs =>
+        val old = a.dv.map(d => DeltaDv.readIndices(f, root, d))
+          .getOrElse(Array.empty[Long])
+        val dv = DeltaDv.writeSidecar(f, root,
+          (old ++ newIdxs).distinct.sorted)
+        actions += addActionJson(a.copy(dv = Some(dv)), now,
+          dataChange = true)
+        actions += s"""{"remove":{"path":"${a.path}",""" +
+          s""""deletionTimestamp":$now,"dataChange":true}}"""
+      }
+    }
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE"}}"""
+    val out = f.create(new Path(logDir(dir), f"$version%020d.json"), false)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
   /** OPTIMIZE-style file compaction: rewrite the current snapshot's
     * files into at most `targetFiles` larger ones as a single
     * add/remove commit (dataChange=false semantics: content identical).
@@ -534,8 +710,13 @@ object DeltaLake {
       retainMillis: Long = 7L * 24 * 3600 * 1000): Int = {
     val (f, root) = fs(spark, dir)
     val snap = reconstruct(spark, dir, None)
+    val qRoot0 = f.makeQualified(root).toUri
     val live = snap.files
-      .map(a => java.net.URLDecoder.decode(a.path, "UTF-8")).toSet
+      .map(a => java.net.URLDecoder.decode(a.path, "UTF-8")).toSet ++
+      // deletion-vector sidecars referenced by live files stay
+      snap.files.flatMap(_.dv).filter(_.storageType == "u").map(d =>
+        qRoot0.relativize(f.makeQualified(
+          DeltaDv.sidecarPath(root, d)).toUri).getPath)
     val cutoff = System.currentTimeMillis() - retainMillis
     def walk(p: Path): Seq[Path] =
       f.listStatus(p).toSeq.flatMap { st =>
@@ -561,24 +742,39 @@ object DeltaLake {
     import org.apache.spark.sql.Row
     val (f, _) = fs(spark, dir)
     val snap = reconstruct(spark, dir, None)
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
-      StructField("size", LongType)))
+      StructField("size", LongType),
+      StructField("deletionVector", dvType)))
     val metaType = StructType(Seq(
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType))))
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
     val txnType = StructType(Seq(
       StructField("appId", StringType), StructField("version", LongType)))
     val ckptSchema = StructType(Seq(
       StructField("add", addType), StructField("metaData", metaType),
       StructField("txn", txnType)))
+    val conf0 =
+      if (snap.columnMappingMode == "none") Map.empty[String, String]
+      else Map("delta.columnMapping.mode" -> snap.columnMappingMode)
     val rows =
-      Row(null, Row(snap.schema.json, snap.partitionColumns), null) +:
+      Row(null, Row(snap.schema.json, snap.partitionColumns, conf0),
+        null) +:
       (snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, Row(app, v)) } ++
        snap.files.map(a =>
-         Row(Row(a.path, a.partitionValues, a.size), null, null)))
+         Row(Row(a.path, a.partitionValues, a.size,
+           a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+             d.offset.map(Long.box).orNull, d.sizeInBytes.toLong,
+             d.cardinality)).orNull), null, null)))
     val log = logDir(dir)
     spark.createDataFrame(rows.asJava, ckptSchema).repartition(1)
       .write.mode("overwrite")

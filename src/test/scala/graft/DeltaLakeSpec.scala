@@ -253,15 +253,162 @@ class DeltaLakeSpec extends SparkSpec {
   test("unsupported reader features fail loudly, never mis-read") {
     val dir = tmp()
     DeltaLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
-    // forge a protocol upgrade to deletion vectors
+    // forge a protocol upgrade to a feature this reader does not know
     val log = new java.io.File(dir, "_delta_log")
     Files.write(new java.io.File(log, f"${1L}%020d.json").toPath,
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors"]}}""" + "\n").getBytes)
+        """"readerFeatures":["futureMagicEncoding"],""" +
+        """"writerFeatures":["futureMagicEncoding"]}}""" + "\n").getBytes)
     val e = intercept[IllegalArgumentException](
       DeltaLake.snapshot(spark, dir))
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("futureMagicEncoding"))
+  }
+
+  private def hadoopFs(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def appendCommit(dir: String, version: Long,
+      lines: Seq[String]): Unit = {
+    val log = new java.io.File(dir, "_delta_log")
+    Files.write(new java.io.File(log, f"$version%020d.json").toPath,
+      (lines.mkString("\n") + "\n").getBytes)
+  }
+
+  test("deletion vectors: sidecar-marked rows vanish from snapshot, " +
+      "and follow retracts exactly the newly-deleted rows") {
+    import graft.sources.DeltaDv
+    val dir = tmp()
+    DeltaLake.append(spark, dir,
+      Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("id", "s")
+        .coalesce(1))
+    val snap0 = DeltaLake.reconstruct(spark, dir, None)
+    val add = snap0.files.head
+    val (fsys, rootP) = hadoopFs(dir)
+    // a modern-writer DELETE: sidecar DV marking physical rows 1 and 3,
+    // commit re-adds the file with the DV and removes the DV-less one
+    val dv = DeltaDv.writeSidecar(fsys, rootP, Array(1L, 3L))
+    appendCommit(dir, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      s"""{"add":{"path":"${add.path}","partitionValues":{},""" +
+        s""""size":${add.size},"modificationTime":1,"dataChange":true,""" +
+        s""""deletionVector":${DeltaDv.descriptorJson(dv)}}}""",
+      s"""{"remove":{"path":"${add.path}","deletionTimestamp":1,""" +
+        s""""dataChange":true}}"""))
+    assert(DeltaLake.snapshot(spark, dir).as[(Long, String)]
+      .collect().toSet === Set((0L, "a"), (2L, "c")))
+    // time travel below the DML still sees all rows
+    assert(DeltaLake.snapshot(spark, dir, version = Some(0L)).count() === 4)
+    // follow mode: add(file∖dv) − remove(file) = −deleted rows only
+    val ch = ZSets.consolidate(DeltaLake.changes(spark, dir, 0L))
+      .as[(Long, String, Long)].collect().toSet
+    assert(ch === Set((1L, "b", -1L), (3L, "d", -1L)))
+    // checkpoint preserves the DV (no row resurrection)
+    DeltaLake.checkpoint(spark, dir)
+    appendCommit(dir, 2L,
+      Seq("""{"commitInfo":{"timestamp":2,"operation":"NOOP"}}"""))
+    assert(DeltaLake.snapshot(spark, dir).as[(Long, String)]
+      .collect().toSet === Set((0L, "a"), (2L, "c")))
+  }
+
+  test("deletion vectors: inline storage and large bitmaps round-trip") {
+    import graft.sources.DeltaDv
+    // codec: array + bitmap containers, multiple 32-bit key spaces
+    val big = (0L until 5000L).toArray ++
+      Array(70000L, (1L << 32) | 7L, (1L << 32) | 99L)
+    assert(DeltaDv.deserialize(DeltaDv.serialize(big)).toSeq
+      === big.toSeq.sorted)
+    assert(DeltaDv.z85Decode(DeltaDv.z85Encode(
+      Array[Byte](0, 1, -1, 127, -128, 55, 0, 9))).toSeq
+      === Seq[Byte](0, 1, -1, 127, -128, 55, 0, 9))
+    val u = java.util.UUID.randomUUID()
+    assert(DeltaDv.z85ToUuid(DeltaDv.uuidToZ85(u)) === u)
+
+    val dir = tmp()
+    DeltaLake.append(spark, dir,
+      Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "s").coalesce(1))
+    val snap0 = DeltaLake.reconstruct(spark, dir, None)
+    val add = snap0.files.head
+    val inline = DeltaDv.inlineDescriptor(Array(0L))
+    appendCommit(dir, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      s"""{"add":{"path":"${add.path}","partitionValues":{},""" +
+        s""""size":${add.size},"modificationTime":1,"dataChange":true,""" +
+        s""""deletionVector":${DeltaDv.descriptorJson(inline)}}}"""))
+    assert(DeltaLake.snapshot(spark, dir).as[(Long, String)]
+      .collect().toSet === Set((1L, "b"), (2L, "c")))
+  }
+
+  test("deleteWhereDv: DV fast-path DELETE merges vectors across DMLs " +
+      "and never rewrites data files") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "s"))
+    val dataFiles0 = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    DeltaLake.deleteWhereDv(spark, dir, "id % 10 = 0")
+    DeltaLake.deleteWhereDv(spark, dir, "id % 7 = 0")
+    val got = DeltaLake.snapshot(spark, dir).as[(Long, String)]
+      .collect().map(_._1).toSet
+    assert(got === (0L until 100L).filter(i => i % 10 != 0 && i % 7 != 0)
+      .toSet)
+    // the original data files are untouched (only sidecars were added)
+    val dataFiles1 = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(dataFiles1 === dataFiles0)
+    // vacuum keeps live sidecars: reads still work afterwards
+    DeltaLake.vacuum(spark, dir, retainMillis = 0L)
+    assert(DeltaLake.snapshot(spark, dir).count() === got.size.toLong)
+  }
+
+  test("column mapping: physical parquet names resolve to the logical " +
+      "schema, including partition values keyed by physical name") {
+    val dir = tmp()
+    val (fsys, rootP) = hadoopFs(dir)
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(dir, "_delta_log"))
+    // parquet file with PHYSICAL names, the way a mapped writer lays
+    // them down (data columns only; the partition column stays virtual)
+    Seq((1L, "x"), (2L, "y")).toDF("col-a1", "col-b2").coalesce(1)
+      .write.parquet(dir + "/data0")
+    val part = new java.io.File(dir + "/data0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val logical =
+      """{"type":"struct","fields":[""" +
+        """{"name":"id","type":"long","nullable":true,"metadata":""" +
+        """{"delta.columnMapping.id":1,""" +
+        """"delta.columnMapping.physicalName":"col-a1"}},""" +
+        """{"name":"s","type":"string","nullable":true,"metadata":""" +
+        """{"delta.columnMapping.id":2,""" +
+        """"delta.columnMapping.physicalName":"col-b2"}},""" +
+        """{"name":"region","type":"string","nullable":true,"metadata":""" +
+        """{"delta.columnMapping.id":3,""" +
+        """"delta.columnMapping.physicalName":"col-p9"}}]}"""
+    appendCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m1","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(logical)},""" +
+        s""""partitionColumns":["region"],"configuration":""" +
+        s"""{"delta.columnMapping.mode":"name"},"createdTime":1}}""",
+      s"""{"add":{"path":"data0/${part.getName}",""" +
+        s""""partitionValues":{"col-p9":"emea"},""" +
+        s""""size":${part.length()},"modificationTime":1,""" +
+        s""""dataChange":true}}"""))
+    val got = DeltaLake.snapshot(spark, dir)
+    assert(got.columns.toSeq === Seq("id", "s", "region"))
+    assert(got.as[(Long, String, String)].collect().toSet
+      === Set((1L, "x", "emea"), (2L, "y", "emea")))
+    // predicate over the logical name still works (filter pushes to
+    // the physical scan through the rename projection)
+    assert(DeltaLake.snapshot(spark, dir, filter = Some("id = 2"))
+      .as[(Long, String, String)].collect().toSet
+      === Set((2L, "y", "emea")))
   }
 
   test("deleteWhere and compactFiles preserve partition values") {
