@@ -279,5 +279,76 @@ object ConnectorsE2e {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           sum(floor(col("o_totalprice")).cast("long")).as("total"))
+    },
+
+    // Iceberg v2 positional deletes: two row-level DELETE DMLs land as
+    // delete files (content=1, no data-file rewrite); the snapshot read
+    // applies them as an anti-join on (file, position) and the oracle
+    // re-derives the survivors.
+    Q(
+      "conn_iceberg_deletes",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders
+        |WHERE o_orderkey <= 3000 AND o_orderkey % 7 <> 0
+        |  AND o_orderkey % 11 <> 0
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tdir = java.nio.file.Files
+        .createTempDirectory("conn_iceberg_deletes").toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderstatus")
+      IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 0))
+      IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 1))
+      IcebergLake.deleteRowsWhere(s, tdir, "o_orderkey % 7 = 0")
+      IcebergLake.deleteRowsWhere(s, tdir, "o_orderkey % 11 = 0")
+      IcebergLake.snapshot(s, IcebergLake.currentMetadata(s, tdir))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("keysum"))
+    },
+
+    // Iceberg REST catalog: snapshot + follow resolved through a live
+    // in-process catalog server (OAuth2 client-credentials, /v1/config
+    // prefix override, loadTable) — the catalog serves the metadata
+    // location, a second commit lands, and the follow delta arrives
+    // through a fresh loadTable; the oracle re-derives the final state.
+    Q(
+      "conn_iceberg_rest",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tdir = java.nio.file.Files
+        .createTempDirectory("conn_iceberg_rest").toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderstatus")
+      IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 0))
+      val stub = new graft.tools.IcebergRestStub(
+        Map("sales.orders" -> tdir), credential = Some("svc:sec1"))
+      try {
+        val cf = Map("catalog_type" -> "rest",
+          "table_name" -> "sales.orders", "rest.uri" -> stub.uri,
+          "rest.credential" -> "svc:sec1")
+        val tdef = graft.ddl.Ddl.parse(
+          "CREATE TABLE orders_ib (o_orderkey BIGINT, " +
+            "o_orderstatus VARCHAR);").tables.head
+        val conf = graft.sources.Connectors.ConnectorConf("iceberg_input",
+          cf + ("mode" -> "snapshot"), "json", Map.empty)
+        val snap = graft.sources.Connectors.read(s, tdef, conf)
+        val startId = IcebergLake.readMetadata(s,
+          graft.sources.Connectors.resolveIcebergMetadata(s, cf))
+          .currentSnapshotId.get
+        // second commit lands; follow resolves the NEW location via a
+        // fresh catalog loadTable
+        IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 1))
+        val tail = graft.sources.Connectors.read(s, tdef, conf.copy(
+          config = cf + ("mode" -> "follow") +
+            ("snapshot_id" -> startId.toString)))
+        graft.zset.ZSets.consolidate(snap.unionByName(tail))
+          .filter(col(graft.zset.ZSets.W) =!= 0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("keysum"))
+      } finally stub.close()
     })
 }

@@ -653,9 +653,8 @@ final class Pipeline(spark: SparkSession,
     case "iceberg_input"
         if Set("follow", "snapshot_and_follow")
           .contains(c.config.getOrElse("mode", "")) =>
-      val metaLoc = graft.sources.IcebergLake.currentMetadata(spark,
-        c.config.getOrElse("uri", c.config.getOrElse("path",
-          sys.error("iceberg_input follow: set uri"))))
+      val metaLoc = graft.sources.Connectors
+        .resolveIcebergMetadata(spark, c.config)
       val latest = graft.sources.IcebergLake.readMetadata(spark, metaLoc)
         .currentSnapshotId
       val prior = connectorCursors.get(key)

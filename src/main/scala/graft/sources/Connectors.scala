@@ -289,16 +289,14 @@ object Connectors {
         }
       case "iceberg_input" =>
         // native Iceberg metadata reader (sources/IcebergLake.scala) — no
-        // iceberg jar needed. metadata_location = catalog-free snapshot
-        // (the doc's direct-read path); a table directory with
-        // metadata/version-hint.text (the Hadoop catalog layout) also
-        // supports follow / snapshot_and_follow. REST/Glue catalogs need
-        // live services absent here.
+        // iceberg jar needed. Resolution order: metadata_location
+        // (catalog-free snapshot, the doc's direct-read path), a REST
+        // catalog (catalog_type=rest + table_name + rest.* — snapshot
+        // AND follow: each round re-loads the table's metadata location
+        // from the catalog), or a filesystem table directory
+        // (version-hint.text, the Hadoop catalog layout). Glue/S3-Tables
+        // catalogs need live AWS services absent here.
         val cf = conf.config
-        require(!cf.contains("catalog_type"),
-          s"iceberg_input catalog_type=${cf("catalog_type")} needs a live " +
-            "catalog service; use metadata_location (direct read) or a " +
-            "filesystem table dir (version-hint.text)")
         val snapId = cf.get("snapshot_id").map(_.toLong)
         val endId = cf.get("end_snapshot_id").map(_.toLong)
         val datetime = cf.get("datetime")
@@ -306,26 +304,26 @@ object Connectors {
         val metaLoc = cf.get("metadata_location")
         require(mode == "snapshot" || metaLoc.isEmpty,
           "follow modes cannot be used with metadata_location " +
-            "(it pins a fixed snapshot); point uri at the table directory")
-        val tableDir = cf.get("uri").orElse(cf.get("path"))
-        def resolvedMeta = metaLoc.getOrElse(
-          IcebergLake.currentMetadata(spark, tableDir.getOrElse(
-            sys.error("iceberg_input: set metadata_location or uri"))))
+            "(it pins a fixed snapshot); configure a catalog or point " +
+            "uri at the table directory")
+        def resolvedMeta = resolveIcebergMetadata(spark, cf)
         mode match {
           case "snapshot" =>
             ZSets.lift(IcebergLake.snapshot(spark, resolvedMeta, snapId,
               datetime, cf.get("snapshot_filter")))
           case "follow" =>
-            val meta = IcebergLake.readMetadata(spark, resolvedMeta)
+            val loc = resolvedMeta
+            val meta = IcebergLake.readMetadata(spark, loc)
             val start = snapId.orElse(meta.currentSnapshotId)
-            IcebergLake.changes(spark, tableDir.get, start, endId,
+            IcebergLake.changesFromMetadata(spark, loc, start, endId,
               cf.get("filter"))
           case "snapshot_and_follow" =>
+            val loc = resolvedMeta
             val start = snapId
-            ZSets.lift(IcebergLake.snapshot(spark, resolvedMeta, start,
+            ZSets.lift(IcebergLake.snapshot(spark, loc, start,
                 datetime, cf.get("snapshot_filter")))
-              .unionAll(IcebergLake.changes(spark, tableDir.get,
-                start.orElse(IcebergLake.readMetadata(spark, resolvedMeta)
+              .unionAll(IcebergLake.changesFromMetadata(spark, loc,
+                start.orElse(IcebergLake.readMetadata(spark, loc)
                   .currentSnapshotId),
                 endId, cf.get("filter")))
           case other => sys.error(s"iceberg_input: unknown mode $other")
@@ -375,6 +373,28 @@ object Connectors {
     * key is row-level, absent from the folded constant), so filling
     * nulls from the pre-flip sign here completes the contract.
     */
+  /** Current metadata-file location of an Iceberg connector's table:
+    * explicit `metadata_location`, a REST catalog loadTable, or the
+    * filesystem layout's version hint.
+    */
+  def resolveIcebergMetadata(spark: SparkSession,
+      cf: Map[String, String]): String = cf.get("catalog_type") match {
+    case Some("rest") =>
+      IcebergRest.connect(cf).tableMetadataLocation(
+        cf.getOrElse("table_name",
+          sys.error("iceberg_input: catalog_type=rest needs table_name " +
+            "(namespace.table)")))
+    case Some(other) =>
+      sys.error(s"iceberg_input catalog_type=$other needs a live AWS " +
+        "service; supported here: rest, metadata_location (direct " +
+        "read), or a filesystem table dir (version-hint.text)")
+    case None => cf.get("metadata_location").getOrElse(
+      IcebergLake.currentMetadata(spark,
+        cf.get("uri").orElse(cf.get("path")).getOrElse(
+          sys.error("iceberg_input: set metadata_location, " +
+            "catalog_type, or uri"))))
+  }
+
   private def applySoftDelete(table: Ddl.TableDef,
       decoded: DataFrame): DataFrame = {
     val isDeleteRe =

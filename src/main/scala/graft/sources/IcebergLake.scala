@@ -180,25 +180,67 @@ object IcebergLake {
     }
   }
 
-  private[graft] def requireNoDeleteFiles(
+  private[graft] def requireNoEqualityDeletes(
       entries: Seq[DataFileEntry]): Unit = {
-    val dels = entries.filter(_.content != 0)
+    val dels = entries.filter(_.content == 2)
     require(dels.isEmpty,
-      s"iceberg v2 row-level delete files not supported " +
-        s"(${dels.size} delete file(s), e.g. ${dels.head.path}); " +
+      s"iceberg v2 equality-delete files not supported " +
+        s"(${dels.size} file(s), e.g. ${dels.head.path}); " +
         "compact the table (rewrite_data_files) first")
   }
 
+  /** Positional-delete parquet schema (the spec's required columns). */
+  private val posDeleteSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Read positional-delete files into (data-file basename, position)
+    * pairs — basenames are UUID-unique within a table, giving an exact
+    * join key without URI-form normalization.
+    */
+  private def deletePairs(spark: SparkSession, meta: TableMeta,
+      dels: Seq[DataFileEntry]): DataFrame = {
+    if (dels.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("__del_file", StringType),
+          StructField("__del_pos", LongType))))
+    spark.read.schema(posDeleteSchema)
+      .parquet(dels.map(e => resolve(meta, e.path)): _*)
+      .select(element_at(split(col("file_path"), "/"), -1)
+        .as("__del_file"), col("pos").as("__del_pos"))
+  }
+
+  private def emptyDf(spark: SparkSession, meta: TableMeta): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+
+  /** Scan data files, applying positional-delete files (v2 row-level
+    * deletes) via an anti-join on (file basename, physical row index).
+    * The delete side is bounded by DML size, not data size; AQE picks
+    * the join strategy (broadcast for the common small-DML case).
+    */
   private def readPaths(spark: SparkSession, meta: TableMeta,
-      entries: Seq[DataFileEntry]): DataFrame = {
-    requireNoDeleteFiles(entries)
-    entries.foreach(e => require(e.format.equalsIgnoreCase("PARQUET"),
+      entries: Seq[DataFileEntry],
+      deletes: Seq[DataFileEntry] = Seq.empty): DataFrame = {
+    requireNoEqualityDeletes(entries ++ deletes)
+    val data = entries.filter(_.content == 0)
+    val dels = (entries ++ deletes).filter(_.content == 1)
+    data.foreach(e => require(e.format.equalsIgnoreCase("PARQUET"),
       s"iceberg data file format not supported: ${e.format}"))
-    if (entries.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    else spark.read.schema(meta.schema)
-      .parquet(entries.map(e => resolve(meta, e.path)): _*)
+    if (data.isEmpty) emptyDf(spark, meta)
+    else {
+      val paths = data.map(e => resolve(meta, e.path))
+      if (dels.isEmpty) spark.read.schema(meta.schema).parquet(paths: _*)
+      else spark.read.schema(meta.schema).parquet(paths: _*)
+        .withColumn("__file", element_at(
+          split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__idx", col("_metadata.row_index"))
+        .join(deletePairs(spark, meta, dels),
+          col("__file") === col("__del_file") &&
+            col("__idx") === col("__del_pos"), "left_anti")
+        .drop("__file", "__idx")
+    }
   }
 
   /** Pick the snapshot: by id, by datetime (newest with timestamp ≤), or
@@ -262,8 +304,19 @@ object IcebergLake {
   def changes(spark: SparkSession, tableDir: String,
       startSnapshotId: Option[Long],
       endSnapshotId: Option[Long] = None,
+      filter: Option[String] = None): DataFrame =
+    changesFromMetadata(spark, currentMetadata(spark, tableDir),
+      startSnapshotId, endSnapshotId, filter)
+
+  /** [[changes]] against an explicit metadata location — the shape the
+    * catalog path uses (each follow round re-loads the table from the
+    * catalog and diffs from the cursor snapshot).
+    */
+  def changesFromMetadata(spark: SparkSession, metadataLocation: String,
+      startSnapshotId: Option[Long],
+      endSnapshotId: Option[Long] = None,
       filter: Option[String] = None): DataFrame = {
-    val meta = readMetadata(spark, currentMetadata(spark, tableDir))
+    val meta = readMetadata(spark, metadataLocation)
     val ordered = meta.snapshots.sortBy(_._3)
     val startIdx = startSnapshotId match {
       case Some(id) =>
@@ -279,20 +332,78 @@ object IcebergLake {
       .getOrElse(ordered.size - 1)
     val walk = ordered.slice(startIdx, endIdx + 1)
     val deltas = walk.flatMap { case (sid, list, _) =>
-      val entries = manifestEntries(spark, meta, list)
-      // entries carry the snapshot that changed them: only this
-      // snapshot's own adds/deletes are its delta (status 0 = carried)
-      val added = entries.filter(_.status == 1)
-      val deleted = entries.filter(_.status == 2)
-      Seq(ZSets.lift(readPaths(spark, meta, added))) ++
+      snapshotDelta(spark, meta, list)
+    }
+    val all =
+      if (deltas.isEmpty) ZSets.lift(emptyDf(spark, meta))
+      else deltas.reduce(_.unionAll(_))
+    filter.foldLeft(all)((d, p) => d.where(expr(p)))
+  }
+
+  /** One snapshot's Z-set delta from its manifest entries, including v2
+    * positional-delete arithmetic:
+    *
+    *  - data files ADDED this snapshot → +rows (minus any same-snapshot
+    *    delete positions covering them);
+    *  - data files DELETED → −rows, minus delete positions that were
+    *    retired along with them (a compaction removing a file and its
+    *    delete file retracts only the rows that were still live);
+    *  - positional-delete files ADDED, net of ones REMOVED (a DML that
+    *    rewrites a delete file adds a merged vector and removes the old
+    *    one) → −rows at the net-new positions of carried data files.
+    */
+  private def snapshotDelta(spark: SparkSession, meta: TableMeta,
+      manifestList: String): Seq[DataFrame] = {
+    val entries = manifestEntries(spark, meta, manifestList)
+    val added = entries.filter(e => e.status == 1 && e.content == 0)
+    val deleted = entries.filter(e => e.status == 2 && e.content == 0)
+    val carried = entries.filter(e => e.status == 0 && e.content == 0)
+    val addedDels = entries.filter(e => e.status == 1 && e.content == 1)
+    val removedDels = entries.filter(e => e.status == 2 && e.content == 1)
+    requireNoEqualityDeletes(entries)
+
+    if (addedDels.isEmpty && removedDels.isEmpty) {
+      // fast path: plain add/remove commit
+      return Seq(ZSets.lift(readPaths(spark, meta, added))) ++
         (if (deleted.isEmpty) Nil
          else Seq(ZSets.negate(ZSets.lift(readPaths(spark, meta, deleted)))))
     }
-    val all =
-      if (deltas.isEmpty) ZSets.lift(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema))
-      else deltas.reduce(_.unionAll(_))
-    filter.foldLeft(all)((d, p) => d.where(expr(p)))
+
+    def base(p: String): String = new Path(p).getName
+    val deletedNames = deleted.map(e => base(e.path)).toSet
+    val addedNames = added.map(e => base(e.path)).toSet
+    val addPairs = deletePairs(spark, meta, addedDels)
+    val remPairs = deletePairs(spark, meta, removedDels)
+    // positions retired together with their (removed) data files stay
+    // out of the net; the rest subtract from newly-added positions
+    val remKept = remPairs.where(!col("__del_file").isin(
+      deletedNames.toSeq: _*))
+    val netNew = addPairs.except(remKept)
+
+    val plus =
+      if (added.isEmpty) Nil
+      else Seq(ZSets.lift(readPaths(spark, meta, added, addedDels)))
+    val minusWhole =
+      if (deleted.isEmpty) Nil
+      else Seq(ZSets.negate(ZSets.lift(
+        readPaths(spark, meta, deleted, removedDels))))
+    // net-new delete positions on files that existed before this
+    // snapshot: read just the referenced files and keep the deleted rows
+    val refNames = netNew.select("__del_file").distinct()
+      .collect().map(_.getString(0)).toSet -- addedNames
+    val refFiles = carried.filter(e => refNames.contains(base(e.path)))
+    val minusPositions =
+      if (refFiles.isEmpty) Nil
+      else Seq(ZSets.negate(ZSets.lift(
+        spark.read.schema(meta.schema)
+          .parquet(refFiles.map(e => resolve(meta, e.path)): _*)
+          .withColumn("__file", element_at(
+            split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__idx", col("_metadata.row_index"))
+          .join(netNew, col("__file") === col("__del_file") &&
+            col("__idx") === col("__del_pos"), "left_semi")
+          .drop("__file", "__idx"))))
+    plus ++ minusWhole ++ minusPositions
   }
 
   // ------------------------------------------------------------------
@@ -393,35 +504,46 @@ object IcebergLake {
       }
     f.delete(stage, true)
 
-    // carried-forward entries (status 0) from the previous snapshot,
-    // minus deletions (status 2); new files are status 1
+    // carried-forward entries (status 0, content preserved — delete
+    // files carry forward too) from the previous snapshot, minus
+    // deletions (status 2); new files are status 1
     val prevEntries: Seq[DataFileEntry] = prev.flatMap(m =>
       m.currentSnapshotId.flatMap(id => m.snapshots.find(_._1 == id))
         .map { case (_, list, _) =>
           manifestEntries(spark, m, list).filter(_.status != 2) })
       .getOrElse(Seq.empty)
-    def entry(status: Int, path: String, count: Long, size: Long) = {
-      val r = new GenericData.Record(ManifestEntrySchema)
-      r.put("status", status)
-      r.put("snapshot_id", snapshotId)
-      val d = new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema())
-      d.put("content", 0)
-      d.put("file_path", path)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", count)
-      d.put("file_size_in_bytes", size)
-      r.put("data_file", d)
-      r
-    }
     val rowCount = df.count()
     val records =
-      prevEntries.map(e => entry(
+      prevEntries.map(e => manifestEntry(snapshotId,
         if (deletePaths.contains(e.path)) 2 else 0,
-        e.path, e.recordCount, 0L)) ++
-      files.map(p => entry(1, p.toString, rowCount,
-        f.getFileStatus(p).getLen))
+        e.path, e.recordCount, 0L, e.content)) ++
+      files.map(p => manifestEntry(snapshotId, 1, p.toString, rowCount,
+        f.getFileStatus(p).getLen, 0))
+    commitSnapshot(spark, f, root, metaDir, hint, prev, version,
+      snapshotId, records, df.schema)
+    snapshotId
+  }
 
+  private def manifestEntry(snapshotId: Long, status: Int, path: String,
+      count: Long, size: Long, content: Int): GenericRecord = {
+    val r = new GenericData.Record(ManifestEntrySchema)
+    r.put("status", status)
+    r.put("snapshot_id", snapshotId)
+    val d = new GenericData.Record(
+      ManifestEntrySchema.getField("data_file").schema())
+    d.put("content", content)
+    d.put("file_path", path)
+    d.put("file_format", "PARQUET")
+    d.put("record_count", count)
+    d.put("file_size_in_bytes", size)
+    r.put("data_file", d)
+    r
+  }
+
+  private def commitSnapshot(spark: SparkSession, f: FileSystem,
+      root: Path, metaDir: Path, hint: Path, prev: Option[TableMeta],
+      version: Int, snapshotId: Long, records: Seq[GenericRecord],
+      schema: StructType): Unit = {
     val manifestPath = new Path(metaDir, s"manifest-$snapshotId.avro")
     val mLen = writeAvro(f, manifestPath, ManifestEntrySchema, records)
     val mf = new GenericData.Record(ManifestFileSchema)
@@ -443,9 +565,9 @@ object IcebergLake {
       s"""{"format-version":2,"table-uuid":"${java.util.UUID.randomUUID()}",
          |"location":${mapper.writeValueAsString(root.toString)},
          |"last-sequence-number":$version,
-         |"last-updated-ms":$now,"last-column-id":${df.schema.size},
+         |"last-updated-ms":$now,"last-column-id":${schema.size},
          |"current-schema-id":0,
-         |"schemas":[${schemaJson(df.schema)}],
+         |"schemas":[${schemaJson(schema)}],
          |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
          |"last-partition-id":999,"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
@@ -456,6 +578,70 @@ object IcebergLake {
     try out.write(metaJson.getBytes("UTF-8")) finally out.close()
     val h = f.create(hint, true)
     try h.write(version.toString.getBytes("UTF-8")) finally h.close()
+  }
+
+  /** Row-level DELETE via a v2 positional-delete file: no data file is
+    * rewritten — one delete parquet records (file_path, pos) of the
+    * matching rows and the new snapshot adds it with `content = 1`.
+    * O(deleted rows) commit cost, the property that keeps row DML
+    * tractable at scale; the read side applies it as an anti-join.
+    */
+  def deleteRowsWhere(spark: SparkSession, tableDir: String,
+      pred: String): Long = {
+    val (f, root) = fs(spark, tableDir)
+    val metaDir = new Path(root, "metadata")
+    val hint = new Path(metaDir, "version-hint.text")
+    val metaLoc = currentMetadata(spark, tableDir)
+    val meta = readMetadata(spark, metaLoc)
+    val v = new String(readBytes(f, hint), "UTF-8").trim.toInt
+    val live = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_._1 == id))
+      .map { case (_, list, _) =>
+        manifestEntries(spark, meta, list).filter(_.status != 2) }
+      .getOrElse(Seq.empty)
+    val data = live.filter(_.content == 0)
+    if (data.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
+    // surviving rows matching the predicate, addressed physically —
+    // ONE distributed scan (existing deletes already applied; the
+    // _metadata columns must attach to the base file relation, before
+    // any join)
+    val delsLive = live.filter(_.content == 1)
+    val scan0 = spark.read.schema(meta.schema)
+      .parquet(data.map(e => resolve(meta, e.path)): _*)
+      .withColumn("__file", element_at(
+        split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__idx", col("_metadata.row_index"))
+    val scan =
+      if (delsLive.isEmpty) scan0
+      else scan0.join(deletePairs(spark, meta, delsLive),
+        col("__file") === col("__del_file") &&
+          col("__idx") === col("__del_pos"), "left_anti")
+    val hits = scan.where(expr(pred))
+      .select("__file", "__idx").collect()
+    if (hits.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
+    val fullPath = data.map(e => new Path(e.path).getName -> e.path).toMap
+    val snapshotId = System.nanoTime()
+    import spark.implicits._
+    val delDf = hits.toSeq.map(r =>
+        (fullPath(r.getString(0)), r.getLong(1)))
+      .toDF("file_path", "pos").repartition(1)
+    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
+    delDf.write.parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    f.mkdirs(dataDir)
+    val delFile = new Path(dataDir,
+      s"delete-$snapshotId-${java.util.UUID.randomUUID()}.parquet")
+    val part = f.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    require(f.rename(part, delFile), "stage move failed")
+    f.delete(stage, true)
+    val records =
+      live.map(e => manifestEntry(snapshotId, 0, e.path, e.recordCount,
+        0L, e.content)) :+
+      manifestEntry(snapshotId, 1, delFile.toString, hits.length.toLong,
+        f.getFileStatus(delFile).getLen, 1)
+    commitSnapshot(spark, f, root, metaDir, hint, Some(meta), v + 1,
+      snapshotId, records, meta.schema)
     snapshotId
   }
 }

@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Iceberg REST catalog client (the public Iceberg REST OpenAPI
+  * surface; reference behavior: docs/connectors/sources/iceberg.md
+  * "Rest catalog configuration", `crates/iceberg/src/input.rs`) — the
+  * catalog path production Iceberg tables live behind.
+  *
+  * Implemented endpoints:
+  *  - `POST {oauth2-server-uri | uri/v1/oauth/tokens}` — OAuth2 client
+  *    credentials (`rest.credential` = "key:secret"), exchanged for a
+  *    bearer token at catalog init;
+  *  - `GET {uri}/v1/config?warehouse=…` — server-side overrides,
+  *    including the route `prefix`;
+  *  - `GET {uri}/v1/{prefix}/namespaces/{ns}/tables/{tbl}` — loadTable:
+  *    the response's `metadata-location` is then read by the normal
+  *    metadata-direct path (IcebergLake), so snapshot/follow semantics
+  *    are IDENTICAL with and without a catalog; follow mode simply
+  *    re-loads the table each round to discover the new snapshot head.
+  *
+  * Config keys mirror the reference: `rest.uri` (required),
+  * `rest.warehouse`, `rest.token`, `rest.credential`,
+  * `rest.oauth2-server-uri`, `rest.scope`, `rest.prefix`,
+  * `rest.headers` (JSON object of extra headers).
+  */
+object IcebergRest {
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  final case class Catalog(uri: String, prefix: Option[String],
+      token: Option[String], extraHeaders: Map[String, String]) {
+
+    private def headers(b: HttpRequest.Builder): HttpRequest.Builder = {
+      val withAuth = token.foldLeft(b)((b0, t) =>
+        b0.header("Authorization", s"Bearer $t"))
+      extraHeaders.foldLeft(withAuth) { case (b0, (k, v)) =>
+        b0.header(k, v) }
+    }
+
+    private[sources] def get(path: String): JsonNode = {
+      val req = headers(HttpRequest.newBuilder()
+        .uri(URI.create(s"$uri/v1$path")).GET()).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"iceberg rest catalog: GET /v1$path failed HTTP " +
+          s"${resp.statusCode()}: ${resp.body().take(300)}")
+      mapper.readTree(resp.body())
+    }
+
+    /** loadTable: the current metadata location of `ns.table`. */
+    def tableMetadataLocation(tableName: String): String = {
+      val (ns, tbl) = tableName.lastIndexOf('.') match {
+        case -1 => sys.error(
+          s"iceberg rest: table_name must be namespace.table: $tableName")
+        case i => (tableName.substring(0, i), tableName.substring(i + 1))
+      }
+      val pfx = prefix.map(p => s"/$p").getOrElse("")
+      val nsPath = ns.replace(".", "%1F") // multipart namespace separator
+      val node = get(s"$pfx/namespaces/$nsPath/tables/$tbl")
+      Option(node.get("metadata-location")).map(_.asText()).getOrElse(
+        sys.error(s"iceberg rest: loadTable($tableName) returned no " +
+          "metadata-location"))
+    }
+  }
+
+  /** Initialize a catalog from connector config: token exchange (when
+    * `rest.credential` is set and no explicit token), then `/v1/config`
+    * for server-side overrides (route prefix).
+    */
+  def connect(cf: Map[String, String]): Catalog = {
+    val uri = cf.getOrElse("rest.uri",
+      sys.error("iceberg_input: catalog_type=rest needs rest.uri"))
+      .stripSuffix("/")
+    val extra = cf.get("rest.headers").map(h =>
+      mapper.readTree(h).properties().asScalaPairs).getOrElse(Map.empty)
+    val token = cf.get("rest.token").orElse(cf.get("rest.credential")
+      .map(cred => oauthToken(
+        cf.getOrElse("rest.oauth2-server-uri", s"$uri/v1/oauth/tokens"),
+        cred, cf.getOrElse("rest.scope", "catalog"))))
+    val boot = Catalog(uri, cf.get("rest.prefix"), token, extra)
+    // /v1/config can override the prefix (and is where real servers
+    // route multi-warehouse deployments)
+    val conf = try boot.get("/config" +
+      cf.get("rest.warehouse").map(w => s"?warehouse=" +
+        java.net.URLEncoder.encode(w, "UTF-8")).getOrElse(""))
+    catch { case _: Exception => null } // config endpoint is optional
+    val prefix = Option(conf)
+      .flatMap(c => Option(c.get("overrides")))
+      .flatMap(o => Option(o.get("prefix")).map(_.asText()))
+      .orElse(cf.get("rest.prefix"))
+    boot.copy(prefix = prefix)
+  }
+
+  /** OAuth2 client-credentials exchange (`key:secret` or `:secret`). */
+  private def oauthToken(tokenUri: String, credential: String,
+      scope: String): String = {
+    val (id, secret) = credential.split(":", 2) match {
+      case Array(s) => ("", s)
+      case Array(i, s) => (i, s)
+    }
+    val form = Seq(
+      "grant_type" -> "client_credentials",
+      "client_id" -> id, "client_secret" -> secret,
+      "scope" -> scope)
+      .map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }
+      .mkString("&")
+    val req = HttpRequest.newBuilder().uri(URI.create(tokenUri))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form, UTF_8)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"iceberg rest: token exchange failed HTTP ${resp.statusCode()}: " +
+        resp.body().take(300))
+    Option(mapper.readTree(resp.body()).get("access_token"))
+      .map(_.asText())
+      .getOrElse(sys.error("iceberg rest: token response missing " +
+        "access_token"))
+  }
+
+  private implicit class PropsOps(
+      it: java.util.Set[java.util.Map.Entry[String, JsonNode]]) {
+    def asScalaPairs: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      it.asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+}

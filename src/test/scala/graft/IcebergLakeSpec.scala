@@ -179,17 +179,105 @@ class IcebergLakeSpec extends SparkSpec {
     assert(e.getMessage.contains("format-version 3"))
   }
 
-  test("v2 row-level delete files are rejected with a precise error") {
+  test("v2 equality-delete files are rejected with a precise error") {
     val dir = tmp()
     IcebergLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
     val metaLoc = IcebergLake.currentMetadata(spark, dir)
     val meta = IcebergLake.readMetadata(spark, metaLoc)
-    // forge a delete-file entry (content=1) and drive the real guard the
-    // read path applies to every manifest entry set
+    // forge an equality-delete entry (content=2) and drive the real
+    // guard the read path applies to every manifest entry set
     val entries = IcebergLake.manifestEntries(spark, meta,
-      meta.snapshots.head._2).map(_.copy(content = 1))
+      meta.snapshots.head._2).map(_.copy(content = 2))
     val e = intercept[IllegalArgumentException](
-      IcebergLake.requireNoDeleteFiles(entries))
-    assert(e.getMessage.contains("delete file"))
+      IcebergLake.requireNoEqualityDeletes(entries))
+    assert(e.getMessage.contains("equality-delete"))
+  }
+
+  test("v2 positional deletes: DML adds a delete file, snapshot applies " +
+      "it, a second DML layers on top, follow retracts exactly the " +
+      "deleted rows") {
+    val dir = tmp()
+    IcebergLake.append(spark, dir,
+      (0L until 50L).map(i => (i, s"r$i")).toDF("id", "s"))
+    val s0 = IcebergLake.readMetadata(spark,
+      IcebergLake.currentMetadata(spark, dir)).currentSnapshotId.get
+    val dataFiles0 = new java.io.File(dir, "data").listFiles()
+      .map(_.getName).toSet
+    IcebergLake.deleteRowsWhere(spark, dir, "id % 10 = 0")
+    IcebergLake.deleteRowsWhere(spark, dir, "id % 7 = 0")
+    def ids = IcebergLake.snapshot(spark,
+        IcebergLake.currentMetadata(spark, dir))
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(ids === (0L until 50L)
+      .filter(i => i % 10 != 0 && i % 7 != 0).toSet)
+    // no data file was rewritten — only delete files appeared
+    val dataFiles1 = new java.io.File(dir, "data").listFiles()
+      .map(_.getName).toSet
+    assert(dataFiles0.subsetOf(dataFiles1))
+    // only delete files appeared (ignore Hadoop .crc sidecars)
+    assert((dataFiles1 -- dataFiles0).filterNot(_.startsWith("."))
+      .forall(_.startsWith("delete-")))
+    // follow from the pre-DML snapshot: a pure retraction delta
+    val ch = ZSets.consolidate(IcebergLake.changes(spark, dir, Some(s0)))
+      .as[(Long, String, Long)].collect().toSet
+    assert(ch === (0L until 50L).filter(i => i % 10 == 0 || i % 7 == 0)
+      .map(i => (i, s"r$i", -1L)).toSet)
+    // appends after a DML still follow cleanly
+    IcebergLake.append(spark, dir, Seq((100L, "new")).toDF("id", "s"))
+    val ch2 = ZSets.consolidate(IcebergLake.changes(spark, dir, Some(s0)))
+      .as[(Long, String, Long)].collect().toSet
+    assert(ch2.contains((100L, "new", 1L)) && ch2.size === ch.size + 1)
+  }
+
+  test("rest catalog: oauth token exchange, config prefix, loadTable " +
+      "snapshot + follow with per-round cursor carry") {
+    val dir = tmp()
+    IcebergLake.append(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val stub = new graft.tools.IcebergRestStub(
+      Map("analytics.orders" -> dir),
+      credential = Some("svc:hunter2"))
+    try {
+      val connectors =
+        s"""[{"name": "ib0", "transport": {"name": "iceberg_input",
+           | "config": {"catalog_type": "rest",
+           |  "table_name": "analytics.orders",
+           |  "mode": "snapshot_and_follow",
+           |  "rest.uri": "${stub.uri}",
+           |  "rest.credential": "svc:hunter2",
+           |  "rest.warehouse": "s3://wh"
+           |}}}]""".stripMargin.replaceAll("\n", " ")
+      val sql =
+        s"""CREATE TABLE t (id BIGINT NOT NULL, s VARCHAR) WITH (
+           | 'connectors' = '${connectors.replace("'", "''")}');
+           |CREATE MATERIALIZED VIEW v AS
+           | SELECT COUNT(*) AS n, SUM(id) AS total FROM t;
+           |""".stripMargin
+      val p = graft.runtime.Pipeline(spark, sql)
+      p.ingestConnectors() // round 1: snapshot through the catalog
+      def state() = p.adHoc("SELECT * FROM v").as[(Long, Long)].head()
+      assert(state() === ((2L, 3L)))
+      assert(stub.loadTableCalls >= 1)
+
+      // table evolves on disk; the catalog serves the new location
+      IcebergLake.append(spark, dir, Seq((10L, "c")).toDF("id", "s"))
+      IcebergLake.deleteRowsWhere(spark, dir, "id = 1")
+      p.ingestConnectors() // round 2: exactly the delta via the catalog
+      assert(state() === ((2L, 12L)))
+      p.ingestConnectors() // idle round: no change
+      assert(state() === ((2L, 12L)))
+
+      // wrong credential fails loudly at token exchange
+      val bad = connectors.replace("svc:hunter2", "svc:wrong")
+      val sqlBad = sql.replace(connectors.replace("'", "''"),
+        bad.replace("'", "''"))
+      graft.sources.IcebergLake // (no cursor state to reset; new name)
+      val pBad = graft.runtime.Pipeline(spark,
+        sqlBad.replace("TABLE t ", "TABLE t2 ")
+          .replace("VIEW v ", "VIEW v2 ").replace("FROM t;", "FROM t2;"))
+      val e = intercept[Exception](pBad.ingestConnectors())
+      assert(TestErrors.messageChain(e)
+        .exists(m => m.contains("token exchange") || m.contains("401")))
+    } finally stub.close()
   }
 }
