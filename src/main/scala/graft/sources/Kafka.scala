@@ -445,8 +445,72 @@ object Kafka {
     (parts(0), if (parts.length > 1) parts(1).toInt else 9092)
   }
 
+  /** Fetch exactly [start, end) of one partition on a fresh connection —
+    * the unit of work for BOTH the driver tailing loop and distributed
+    * backfill tasks. Deterministic for a pinned range (modulo broker
+    * compaction), so task retries are idempotent.
+    */
+  def fetchRange(host: String, port: Int, topic: String, partition: Int,
+      start: Long, end: Long): Vector[FetchedRecord] = {
+    val b = new Broker(host, port)
+    try {
+      var offset = start
+      var emptyStreak = 0
+      val recs = Vector.newBuilder[FetchedRecord]
+      while (offset < end) {
+        val got = try fetch(b, topic, partition, offset)._1 catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("OFFSET_OUT_OF_RANGE") =>
+            // retention truncated past the cursor: resume at the
+            // current log start instead of wedging every round
+            // (records in between are gone — the broker's loss,
+            // surfaced in its own metrics, not recoverable here)
+            val logStart = listOffset(b, topic, partition, -2L)
+            if (logStart >= end) Vector.empty
+            else fetch(b, topic, partition, logStart)._1
+        }
+        if (got.isEmpty) {
+          // an empty fetch below the pinned end is EITHER a real
+          // compaction/retention gap (log start moved past the
+          // cursor) or a transient hiccup (throttling, broker
+          // restart). Only a confirmed gap may advance the cursor;
+          // transients retry bounded, then fail loudly rather than
+          // silently skipping unread data.
+          val logStart = listOffset(b, topic, partition, -2L)
+          if (logStart > offset) {
+            emptyStreak = 0
+            offset = math.min(logStart, end)
+          } else {
+            emptyStreak += 1
+            require(emptyStreak <= 5,
+              s"kafka_input: $topic/$partition returned empty " +
+                s"fetches at offset $offset (end $end, log start " +
+                s"$logStart) 5 times — refusing to skip unread data")
+            Thread.sleep(50L * emptyStreak)
+          }
+        } else {
+          emptyStreak = 0
+          recs ++= got.filter(r => r.offset >= start && r.offset < end)
+          // cap at the pinned end: a fetch can return records beyond
+          // the range, which belong to another task/round
+          offset = math.min(
+            math.max(got.last.offset + 1, offset + 1), end)
+        }
+      }
+      recs.result()
+    } finally b.close()
+  }
+
   /** One ingestion round: fetch exactly (cursor, current-high] per
     * partition and decode through the format layer.
+    *
+    * Fetch topology scales with the backlog: small tailing rounds run
+    * the driver loop (one connection per leader, no job overhead); a
+    * backlog past `distributed_fetch_threshold` offsets (default 100k)
+    * fans out as (partition, offset-range) tasks of at most
+    * `fetch_task_max_offsets` (default 250k) over the executors — each
+    * task opens its own leader connection, so a 100-TB backfill is
+    * bounded by aggregate cluster bandwidth, not one driver socket.
     */
   def readRound(spark: SparkSession, table: Ddl.TableDef,
       conf: Connectors.ConnectorConf): DataFrame = {
@@ -457,77 +521,58 @@ object Kafka {
     val startLatest =
       conf.config.getOrElse("auto.offset.reset", "earliest") == "latest"
     val keyPrefix = s"$servers|$topic|${conf.name.getOrElse(table.name)}"
+    val threshold = conf.config.get("distributed_fetch_threshold")
+      .map(_.toLong).getOrElse(100000L)
+    val maxTask = conf.config.get("fetch_task_max_offsets")
+      .map(_.toLong).getOrElse(250000L)
     val (host, port) = bootstrapHost(servers)
     val boot = new Broker(host, port)
-    val rows = try {
-      val parts = metadata(boot, topic)
-      // leader connections cached per endpoint (single-broker setups
-      // reuse the bootstrap socket)
-      val conns = scala.collection.mutable.Map(
-        (host, port) -> boot)
-      def brokerFor(pi: PartInfo): Broker =
-        conns.getOrElseUpdate((pi.leaderHost, pi.leaderPort),
-          new Broker(pi.leaderHost, pi.leaderPort))
-      try {
-        parts.flatMap { pi =>
-          val b = brokerFor(pi)
+    // range plan: (leaderHost, leaderPort, partition, start, end) per
+    // partition, pinned to the current high watermark
+    val ranges = try {
+      metadata(boot, topic).map { pi =>
+        val b = if (pi.leaderHost == host && pi.leaderPort == port) boot
+          else new Broker(pi.leaderHost, pi.leaderPort)
+        try {
           val ck = s"$keyPrefix|${pi.partition}"
           val start = cursors.getOrElse(ck,
             listOffset(b, topic, pi.partition,
               if (startLatest) -1L else -2L))
           val end = listOffset(b, topic, pi.partition, -1L)
-          var offset = start
-          var emptyStreak = 0
-          val recs = Vector.newBuilder[FetchedRecord]
-          while (offset < end) {
-            val got = try fetch(b, topic, pi.partition, offset)._1 catch {
-              case e: IllegalArgumentException
-                  if e.getMessage.contains("OFFSET_OUT_OF_RANGE") =>
-                // retention truncated past the cursor: resume at the
-                // current log start instead of wedging every round
-                // (records in between are gone — the broker's loss,
-                // surfaced in its own metrics, not recoverable here)
-                val logStart = listOffset(b, topic, pi.partition, -2L)
-                if (logStart >= end) Vector.empty
-                else fetch(b, topic, pi.partition, logStart)._1
-            }
-            if (got.isEmpty) {
-              // an empty fetch below the pinned end is EITHER a real
-              // compaction/retention gap (log start moved past the
-              // cursor) or a transient hiccup (throttling, broker
-              // restart). Only a confirmed gap may advance the cursor;
-              // transients retry bounded, then fail loudly rather than
-              // silently skipping live records.
-              val logStart = listOffset(b, topic, pi.partition, -2L)
-              if (logStart > offset) {
-                emptyStreak = 0
-                offset = math.min(logStart, end)
-              } else {
-                emptyStreak += 1
-                require(emptyStreak <= 5,
-                  s"kafka_input: $topic/${pi.partition} returned empty " +
-                    s"fetches at offset $offset (end $end, log start " +
-                    s"$logStart) 5 times — refusing to skip unread data")
-                Thread.sleep(50L * emptyStreak)
-              }
-            } else {
-              emptyStreak = 0
-              recs ++= got.filter(_.offset < end)
-              // cap at the pinned end: a fetch can return records
-              // appended AFTER the end pin, which belong to the next
-              // round — advancing the cursor past end would lose them
-              offset = math.min(
-                math.max(got.last.offset + 1, offset + 1), end)
-            }
-          }
           cursors(ck) = end
-          recs.result().map(r => Row(r.key.orNull, r.value.orNull, topic,
-            pi.partition, r.offset, new java.sql.Timestamp(r.timestampMs)))
-        }
-      } finally conns.values.foreach(c => if (c ne boot) c.close())
+          (pi.leaderHost, pi.leaderPort, pi.partition, start, end)
+        } finally if (b ne boot) b.close()
+      }
     } finally boot.close()
-    import scala.jdk.CollectionConverters._
-    val records = spark.createDataFrame(rows.toList.asJava, recordsSchema)
+    val backlog = ranges.map(r => math.max(0L, r._5 - r._4)).sum
+    val records =
+      if (backlog <= threshold) {
+        // tailing round: driver loop, no job overhead
+        val rows = ranges.flatMap { case (h, p, part, start, end) =>
+          if (start >= end) Nil
+          else fetchRange(h, p, topic, part, start, end).map(r =>
+            Row(r.key.orNull, r.value.orNull, topic, part, r.offset,
+              new java.sql.Timestamp(r.timestampMs)))
+        }
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.toList.asJava, recordsSchema)
+      } else {
+        // backfill: split each partition's range into bounded chunks
+        // and fetch them as executor tasks — aggregate broker
+        // bandwidth, bounded per-task memory
+        val tasks = ranges.flatMap { case (h, p, part, start, end) =>
+          (start until end by maxTask).map(s =>
+            (h, p, part, s, math.min(s + maxTask, end)))
+        }
+        val rdd = spark.sparkContext
+          .parallelize(tasks, tasks.size.max(1))
+          .flatMap { case (h, p, part, s, e) =>
+            fetchRange(h, p, topic, part, s, e).map(r =>
+              Row(r.key.orNull, r.value.orNull, topic, part, r.offset,
+                new java.sql.Timestamp(r.timestampMs)))
+          }
+        spark.createDataFrame(rdd, recordsSchema)
+      }
     Connectors.decodeKafkaBatch(records, FileSource.schemaOf(table),
       conf.formatConfig.getOrElse("update_format", "insert_delete"),
       conf.format, conf.formatConfig.get("avro_schema"),

@@ -25,6 +25,10 @@ class KafkaMiniBroker(topic: String, nPartitions: Int = 1) {
   @volatile private var open = true
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
+  /** Total client connections accepted — lets specs prove fetch
+    * parallelism (each distributed fetch task opens its own socket).
+    */
+  val connectionsAccepted = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Seed records directly (test helper) — builds a real v2 batch. */
   def seed(partition: Int, values: Seq[String], codec: Int = 0): Unit =
@@ -52,6 +56,7 @@ class KafkaMiniBroker(topic: String, nPartitions: Int = 1) {
   private val acceptor = new Thread(() => {
     try while (open) {
       val sock = server.accept()
+      connectionsAccepted.incrementAndGet()
       val t = new Thread(() => handle(sock))
       t.setDaemon(true)
       t.start()

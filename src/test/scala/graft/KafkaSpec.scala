@@ -53,6 +53,38 @@ class KafkaSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("distributed backfill: a backlog past the threshold fans out " +
+      "as executor fetch tasks, each on its own connection") {
+    val srv = new graft.tools.KafkaMiniBroker("big", nPartitions = 3)
+    try {
+      // 3 partitions × 40 records; threshold 0 forces the distributed
+      // path and a 25-offset task cap splits each partition in two
+      for (p <- 0 until 3)
+        srv.seed(p, (0 until 40).map(i =>
+          s"""{"insert": {"k": $p, "v": $i}}"""))
+      val before = srv.connectionsAccepted.get()
+      val p = Pipeline(spark, programSql(srv.port, "big",
+        """, "distributed_fetch_threshold": "0",
+          | "fetch_task_max_offsets": "25"""".stripMargin
+          .replaceAll("\n", " ")))
+      p.ingestConnectors()
+      val got = p.adHoc("SELECT * FROM totals")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === (0 until 3).map(k =>
+        (k.toLong, (0 until 40).sum.toLong, 40L)).toSet)
+      // ≥ 6 fetch tasks (3 partitions × 2 chunks), each its own socket
+      assert(srv.connectionsAccepted.get() - before >= 6,
+        s"expected ≥6 fetch connections, saw " +
+          s"${srv.connectionsAccepted.get() - before}")
+      // tail rounds stay exactly-once after a distributed round
+      srv.seed(1, Seq("""{"insert": {"k": 1, "v": 1000}}"""))
+      p.ingestConnectors()
+      val got2 = p.adHoc("SELECT * FROM totals")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got2.contains((1L, (0 until 40).sum.toLong + 1000L, 41L)))
+    } finally srv.close()
+  }
+
   test("all four codecs decode the same records; CRC corruption is " +
       "caught") {
     val srv = new graft.tools.KafkaMiniBroker("c")
