@@ -18,6 +18,7 @@ object Registry {
       Incremental.queries ++
       PipelineE2e.queries ++
       ConnectorsE2e.queries ++
+      SqlConformance.queries ++
       Extras.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

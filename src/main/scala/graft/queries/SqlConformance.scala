@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-conformance battery modeled on the reference's ported Postgres
+  * golden suites (sql-to-dbsp-compiler `compiler/sql/postgres/
+  * PostgresWindowTests.java`, `PostgresTimestampTests.java`,
+  * `PostgresNumericTests.java`, …): window frame/boundary cases,
+  * timestamp/interval edges, numeric rounding/sign rules, and string/
+  * aggregate corner semantics the TPC-H-ish battery never touches.
+  *
+  * Every query runs over deterministic literal fixtures (range() /
+  * VALUES) in BOTH engines, so the driver's DuckDB hash-match grades
+  * dialect agreement exactly. Window ORDER BYs are either unique or
+  * used only with tie-stable functions (rank family, RANGE frames).
+  */
+object SqlConformance {
+
+  /** One conformance case: Spark SQL + the DuckDB oracle spelling
+    * (identical where the dialects agree).
+    */
+  private final case class PQ(name: String, sparkSql: String,
+      duckSql: String)
+
+  private def pq(name: String, shared: String): PQ = PQ(name, shared, shared)
+
+  // 100-row derived fixture: i, two, four, ten, v (nullable, NULL at
+  // every i % 3 == 0)
+  private val TS =
+    """WITH t AS (SELECT id AS i, CAST(id % 2 AS INT) AS two,
+      | CAST(id % 4 AS INT) AS four, CAST(id % 10 AS INT) AS ten,
+      | CAST(CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS BIGINT) AS v
+      | FROM range(0, 100)) """.stripMargin.replaceAll("\n", "")
+  private val TD =
+    """WITH t AS (SELECT i, CAST(i % 2 AS INT) AS two,
+      | CAST(i % 4 AS INT) AS four, CAST(i % 10 AS INT) AS ten,
+      | CAST(CASE WHEN i % 3 = 0 THEN NULL ELSE i END AS BIGINT) AS v
+      | FROM range(0, 100) AS _r(i)) """.stripMargin.replaceAll("\n", "")
+
+  // timestamp fixture: leap day, year boundary, epoch-era, past date
+  private val FS =
+    """WITH ts AS (SELECT * FROM VALUES
+      | ('a', TIMESTAMP '2024-02-29 13:45:30'),
+      | ('b', TIMESTAMP '2023-12-31 23:59:59'),
+      | ('c', TIMESTAMP '2020-01-01 00:00:00'),
+      | ('d', TIMESTAMP '1999-07-04 06:30:15') AS v(lab, t)) """
+      .stripMargin.replaceAll("\n", "")
+  private val FD =
+    """WITH ts(lab, t) AS (VALUES
+      | ('a', TIMESTAMP '2024-02-29 13:45:30'),
+      | ('b', TIMESTAMP '2023-12-31 23:59:59'),
+      | ('c', TIMESTAMP '2020-01-01 00:00:00'),
+      | ('d', TIMESTAMP '1999-07-04 06:30:15')) """
+      .stripMargin.replaceAll("\n", "")
+
+  private def overT(name: String, body: String): PQ =
+    PQ(name, TS + body, TD + body)
+  private def overTs(name: String, body: String): PQ =
+    PQ(name, FS + body, FD + body)
+
+  private val cases: Seq[PQ] = Seq(
+    // ------------------------------------------------------- windows
+    overT("pg_win_sum_partition",
+      """SELECT four, i, SUM(i) OVER (PARTITION BY four) AS psum,
+        | CAST(AVG(i) OVER (PARTITION BY four) AS DOUBLE) AS pavg
+        |FROM t WHERE i < 40""".stripMargin.replaceAll("\n", " ")),
+    overT("pg_win_rank_ties",
+      """SELECT i, four, RANK() OVER (ORDER BY four) AS rnk,
+        | DENSE_RANK() OVER (ORDER BY four) AS drnk,
+        | CAST(PERCENT_RANK() OVER (ORDER BY four) AS DOUBLE) AS prnk,
+        | CAST(CUME_DIST() OVER (ORDER BY four) AS DOUBLE) AS cd
+        |FROM t WHERE i < 20""".stripMargin.replaceAll("\n", " ")),
+    overT("pg_win_lag_lead",
+      """SELECT i, LAG(ten) OVER (PARTITION BY four ORDER BY i) AS lg,
+        | LEAD(ten) OVER (PARTITION BY four ORDER BY i) AS ld,
+        | LEAD(ten * 2, 1, -1) OVER (PARTITION BY four ORDER BY i) AS ld2,
+        | LAG(ten, 2, 99) OVER (PARTITION BY four ORDER BY i) AS lg2
+        |FROM t WHERE i < 30""".stripMargin.replaceAll("\n", " ")),
+    overT("pg_win_range_preceding",
+      """SELECT i, four, SUM(i) OVER
+        | (ORDER BY four RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING) AS s
+        |FROM t WHERE i < 10""".stripMargin.replaceAll("\n", " ")),
+    overT("pg_win_range_desc",
+      """SELECT i, four, SUM(i) OVER
+        | (ORDER BY four DESC
+        |  RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING) AS s
+        |FROM t WHERE i < 10""".stripMargin.replaceAll("\n", " ")),
+    overT("pg_win_rows_vs_range",
+      """SELECT i, four,
+        | SUM(four) OVER (ORDER BY four, i
+        |   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS srows,
+        | SUM(four) OVER (ORDER BY four
+        |   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS speers
+        |FROM t WHERE i < 12""".stripMargin.replaceAll("\n", " ")),
+    overT("pg_win_first_last_nth",
+      """SELECT i, four,
+        | FIRST_VALUE(i) OVER (PARTITION BY four ORDER BY i) AS fv,
+        | LAST_VALUE(i) OVER (PARTITION BY four ORDER BY i
+        |   ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND UNBOUNDED FOLLOWING) AS lv,
+        | NTH_VALUE(i, 3) OVER (PARTITION BY four ORDER BY i
+        |   ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND UNBOUNDED FOLLOWING) AS nv
+        |FROM t WHERE i < 20""".stripMargin.replaceAll("\n", " ")),
+    overT("pg_win_ntile_uneven",
+      """SELECT i, NTILE(3) OVER (ORDER BY i) AS bucket
+        |FROM t WHERE i < 10""".stripMargin.replaceAll("\n", " ")),
+    overT("pg_win_running_frames",
+      """SELECT i,
+        | SUM(i) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS headsum,
+        | SUM(i) OVER (ORDER BY i
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tailsum
+        |FROM t WHERE i < 15""".stripMargin.replaceAll("\n", " ")),
+    overT("pg_win_nulls_order",
+      """SELECT i, v,
+        | RANK() OVER (ORDER BY v NULLS FIRST) AS rnf,
+        | RANK() OVER (ORDER BY v DESC NULLS LAST) AS rnl,
+        | COUNT(v) OVER (ORDER BY i
+        |   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS cnn
+        |FROM t WHERE i < 15""".stripMargin.replaceAll("\n", " ")),
+
+    // ---------------------------------------------------- timestamps
+    overTs("pg_ts_extract",
+      """SELECT lab,
+        | CAST(EXTRACT(YEAR FROM t) AS INT) AS y,
+        | CAST(EXTRACT(QUARTER FROM t) AS INT) AS q,
+        | CAST(EXTRACT(MONTH FROM t) AS INT) AS mo,
+        | CAST(EXTRACT(DAY FROM t) AS INT) AS d,
+        | CAST(EXTRACT(HOUR FROM t) AS INT) AS h,
+        | CAST(EXTRACT(MINUTE FROM t) AS INT) AS mi,
+        | CAST(EXTRACT(SECOND FROM t) AS INT) AS sec,
+        | CAST(EXTRACT(DOY FROM t) AS INT) AS doy,
+        | CAST(EXTRACT(WEEK FROM t) AS INT) AS wk
+        |FROM ts""".stripMargin.replaceAll("\n", " ")),
+    // DuckDB date_trunc('day'-and-coarser) yields DATE; re-cast to
+    // TIMESTAMP on the oracle side so the string forms agree
+    PQ("pg_ts_trunc",
+      FS + """SELECT lab,
+        | CAST(DATE_TRUNC('YEAR', t) AS STRING) AS ty,
+        | CAST(DATE_TRUNC('QUARTER', t) AS STRING) AS tq,
+        | CAST(DATE_TRUNC('MONTH', t) AS STRING) AS tm,
+        | CAST(DATE_TRUNC('WEEK', t) AS STRING) AS tw,
+        | CAST(DATE_TRUNC('DAY', t) AS STRING) AS td,
+        | CAST(DATE_TRUNC('HOUR', t) AS STRING) AS th
+        |FROM ts""".stripMargin.replaceAll("\n", " "),
+      FD + """SELECT lab,
+        | CAST(CAST(DATE_TRUNC('YEAR', t) AS TIMESTAMP) AS STRING) AS ty,
+        | CAST(CAST(DATE_TRUNC('QUARTER', t) AS TIMESTAMP) AS STRING)
+        |   AS tq,
+        | CAST(CAST(DATE_TRUNC('MONTH', t) AS TIMESTAMP) AS STRING) AS tm,
+        | CAST(CAST(DATE_TRUNC('WEEK', t) AS TIMESTAMP) AS STRING) AS tw,
+        | CAST(CAST(DATE_TRUNC('DAY', t) AS TIMESTAMP) AS STRING) AS td,
+        | CAST(CAST(DATE_TRUNC('HOUR', t) AS TIMESTAMP) AS STRING) AS th
+        |FROM ts""".stripMargin.replaceAll("\n", " ")),
+    overTs("pg_ts_arith",
+      """SELECT lab,
+        | CAST(t + INTERVAL 1 DAY AS STRING) AS plus_day,
+        | CAST(t - INTERVAL 90 MINUTE AS STRING) AS minus_90m,
+        | CAST(t + INTERVAL 1 MONTH AS STRING) AS plus_month,
+        | CAST(t + INTERVAL 1 YEAR AS STRING) AS plus_year
+        |FROM ts""".stripMargin.replaceAll("\n", " ")),
+    pq("pg_ts_month_clamp",
+      """SELECT CAST(TIMESTAMP '2024-01-31 10:00:00'
+        |   + INTERVAL 1 MONTH AS STRING) AS jan31_plus_1mo,
+        | CAST(TIMESTAMP '2024-02-29 10:00:00'
+        |   + INTERVAL 1 YEAR AS STRING) AS leap_plus_1y,
+        | CAST(TIMESTAMP '2023-03-31 00:00:00'
+        |   - INTERVAL 1 MONTH AS STRING) AS mar31_minus_1mo
+        |""".stripMargin.replaceAll("\n", " ")),
+    PQ("pg_ts_datediff",
+      """SELECT DATEDIFF(DATE '2024-03-01', DATE '2024-02-28') AS dd1,
+        | DATEDIFF(DATE '2025-03-01', DATE '2025-02-28') AS dd2,
+        | DATEDIFF(DATE '2020-01-01', DATE '2021-01-01') AS ddneg"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT DATEDIFF('day', DATE '2024-02-28', DATE '2024-03-01')
+        |   AS dd1,
+        | DATEDIFF('day', DATE '2025-02-28', DATE '2025-03-01') AS dd2,
+        | DATEDIFF('day', DATE '2021-01-01', DATE '2020-01-01') AS ddneg"""
+        .stripMargin.replaceAll("\n", " ")),
+    // Spark spells epoch as unix_timestamp (session tz is UTC in both
+    // engines, so naive timestamps agree)
+    PQ("pg_ts_epoch",
+      FS + """SELECT lab, CAST(UNIX_TIMESTAMP(t) AS BIGINT) AS ep
+        |FROM ts""".stripMargin.replaceAll("\n", " "),
+      FD + """SELECT lab, CAST(EXTRACT(EPOCH FROM t) AS BIGINT) AS ep
+        |FROM ts""".stripMargin.replaceAll("\n", " ")),
+    pq("pg_date_parts",
+      """SELECT CAST(LAST_DAY(DATE '2024-02-05') AS STRING) AS ld_leap,
+        | CAST(LAST_DAY(DATE '2023-02-05') AS STRING) AS ld_plain,
+        | CAST(DATE '2020-02-29' + INTERVAL 1 YEAR AS DATE) AS leap_1y,
+        | CAST(DATE '2019-12-31' + INTERVAL 1 DAY AS DATE) AS y_roll"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // ------------------------------------------------------ numerics
+    pq("pg_num_round",
+      """SELECT ROUND(CAST(2.345 AS DECIMAL(10,3)), 2) AS r1,
+        | ROUND(CAST(-2.345 AS DECIMAL(10,3)), 2) AS r2,
+        | ROUND(CAST(2.5 AS DECIMAL(10,1)), 0) AS r3,
+        | ROUND(CAST(-2.5 AS DECIMAL(10,1)), 0) AS r4,
+        | ROUND(CAST(0.005 AS DECIMAL(10,3)), 2) AS r5"""
+        .stripMargin.replaceAll("\n", " ")),
+    PQ("pg_num_intdiv_mod",
+      """SELECT 7 DIV 2 AS q1, (-7) DIV 2 AS q2, 7 DIV (-2) AS q3,
+        | MOD(7, 3) AS m1, MOD(-7, 3) AS m2, MOD(7, -3) AS m3,
+        | CAST(7 / 2 AS DOUBLE) AS fdiv"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT 7 // 2 AS q1, (-7) // 2 AS q2, 7 // (-2) AS q3,
+        | MOD(7, 3) AS m1, MOD(-7, 3) AS m2, MOD(7, -3) AS m3,
+        | CAST(7 / 2 AS DOUBLE) AS fdiv"""
+        .stripMargin.replaceAll("\n", " ")),
+    // Spark CAST(double->int) truncates toward zero; DuckDB/Postgres
+    // round on that cast, so the oracle spells the truncation out
+    PQ("pg_num_floor_ceil",
+      """SELECT FLOOR(CAST(-2.7 AS DOUBLE)) AS f1,
+        | CEIL(CAST(-2.7 AS DOUBLE)) AS c1,
+        | FLOOR(CAST(2.7 AS DOUBLE)) AS f2,
+        | CEIL(CAST(2.2 AS DOUBLE)) AS c2,
+        | CAST(CAST(-2.7 AS DOUBLE) AS INT) AS trunc_neg,
+        | SIGN(CAST(-0.5 AS DOUBLE)) AS sneg, SIGN(0) AS szero,
+        | ABS(CAST(-17.25 AS DECIMAL(6,2))) AS a1"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT FLOOR(CAST(-2.7 AS DOUBLE)) AS f1,
+        | CEIL(CAST(-2.7 AS DOUBLE)) AS c1,
+        | FLOOR(CAST(2.7 AS DOUBLE)) AS f2,
+        | CEIL(CAST(2.2 AS DOUBLE)) AS c2,
+        | CAST(TRUNC(CAST(-2.7 AS DOUBLE)) AS INT) AS trunc_neg,
+        | SIGN(CAST(-0.5 AS DOUBLE)) AS sneg, SIGN(0) AS szero,
+        | ABS(CAST(-17.25 AS DECIMAL(6,2))) AS a1"""
+        .stripMargin.replaceAll("\n", " ")),
+    overT("pg_num_decimal_agg",
+      """SELECT four,
+        | CAST(SUM(CAST(i AS DECIMAL(10,2)) / 4) AS DECIMAL(20,6))
+        |   AS dsum,
+        | CAST(AVG(CAST(i AS DECIMAL(10,2))) AS DECIMAL(20,6)) AS davg
+        |FROM t WHERE i < 40 GROUP BY four"""
+        .stripMargin.replaceAll("\n", " ")),
+    pq("pg_num_power_sqrt",
+      """SELECT CAST(POWER(2, 10) AS DOUBLE) AS p1,
+        | CAST(POWER(10, -2) AS DOUBLE) AS p2,
+        | SQRT(CAST(4 AS DOUBLE)) AS s1,
+        | SQRT(CAST(2 AS DOUBLE)) AS s2,
+        | EXP(CAST(0 AS DOUBLE)) AS e0, LN(CAST(1 AS DOUBLE)) AS l1,
+        | LOG10(CAST(1000 AS DOUBLE)) AS lg, LOG2(CAST(8 AS DOUBLE)) AS l2"""
+        .stripMargin.replaceAll("\n", " ")),
+    PQ("pg_num_cast_chain",
+      """SELECT CAST(CAST(12345.678 AS DECIMAL(8,3)) AS STRING) AS s1,
+        | CAST('42' AS INT) AS i1,
+        | CAST(CAST(32767 AS SMALLINT) AS BIGINT) AS b1,
+        | CAST(CAST(-128 AS TINYINT) AS INT) AS t1,
+        | CAST(3.99 AS INT) AS trunc_pos,
+        | CAST('  7  ' AS INT) AS ws_int"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT CAST(CAST(12345.678 AS DECIMAL(8,3)) AS STRING) AS s1,
+        | CAST('42' AS INT) AS i1,
+        | CAST(CAST(32767 AS SMALLINT) AS BIGINT) AS b1,
+        | CAST(CAST(-128 AS TINYINT) AS INT) AS t1,
+        | CAST(TRUNC(3.99) AS INT) AS trunc_pos,
+        | CAST('  7  ' AS INT) AS ws_int"""
+        .stripMargin.replaceAll("\n", " ")),
+    pq("pg_float_ieee",
+      """SELECT CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS f1,
+        | CAST(1 AS DOUBLE) / 3 AS f2,
+        | CAST(1e15 AS DOUBLE) + 1 AS f3,
+        | CAST(2 AS DOUBLE) / 0.5 AS f4"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // ------------------------------------------------------- strings
+    pq("pg_str_substr",
+      """SELECT SUBSTR('abcdef', 2, 3) AS s1,
+        | SUBSTR('abcdef', 4) AS s2,
+        | SUBSTR('abcdef', 5, 10) AS s3,
+        | SUBSTR('abcdef', 7) AS s4,
+        | LEFT('abcdef', 2) AS l1, RIGHT('abcdef', 2) AS r1"""
+        .stripMargin.replaceAll("\n", " ")),
+    pq("pg_str_pad_trim",
+      """SELECT LPAD('ab', 5, 'xy') AS p1, RPAD('ab', 5, 'xy') AS p2,
+        | LPAD('abcdef', 3, 'x') AS p3,
+        | TRIM(BOTH 'x' FROM 'xxabcxx') AS t1,
+        | TRIM(LEADING 'x' FROM 'xxabcxx') AS t2,
+        | TRIM(TRAILING 'x' FROM 'xxabcxx') AS t3,
+        | TRIM('  ab  ') AS t4"""
+        .stripMargin.replaceAll("\n", " ")),
+    pq("pg_str_ops",
+      """SELECT 'a' || 'b' || NULL AS c1,
+        | UPPER('mIxEd') AS u1, LOWER('MiXeD') AS lo1,
+        | REVERSE('abc') AS rv, REPEAT('ab', 3) AS rp,
+        | LENGTH('hello') AS ln1, LENGTH('') AS ln0,
+        | REPLACE('banana', 'an', 'o') AS rep,
+        | SPLIT_PART('a,b,c', ',', 2) AS sp,
+        | POSITION('b' IN 'abc') AS pos1,
+        | POSITION('z' IN 'abc') AS pos0"""
+        .stripMargin.replaceAll("\n", " ")),
+    pq("pg_str_like",
+      """SELECT 'abcde' LIKE '%c_e' AS k1,
+        | 'abcde' LIKE 'ab%' AS k2,
+        | 'a%b' LIKE 'a!%b' ESCAPE '!' AS k3,
+        | 'axb' LIKE 'a!%b' ESCAPE '!' AS k4,
+        | 'ABC' ILIKE 'abc' AS k5,
+        | 'abc' LIKE 'ABC' AS k6"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // --------------------------------------- conditionals/aggregates
+    pq("pg_case_coalesce",
+      """SELECT COALESCE(NULL, NULL, 3) AS c1,
+        | COALESCE(NULL, 'x') AS c2,
+        | NULLIF(5, 5) AS n1, NULLIF(5, 4) AS n2,
+        | LEAST(3, NULL, 1) AS l1, GREATEST(3, NULL, 7) AS g1,
+        | CASE WHEN CAST(NULL AS BOOLEAN) THEN 'y' ELSE 'n' END AS cs1,
+        | CASE 2 WHEN 1 THEN 'one' WHEN 2 THEN 'two' END AS cs2"""
+        .stripMargin.replaceAll("\n", " ")),
+    overT("pg_bool_agg",
+      """SELECT four,
+        | BOOL_AND(i % 2 = 0) AS ba, BOOL_OR(i % 10 = 0) AS bo,
+        | BOOL_AND(v IS NULL) AS banull,
+        | COUNT(*) FILTER (WHERE i % 5 = 0) AS cf
+        |FROM t WHERE i < 40 GROUP BY four"""
+        .stripMargin.replaceAll("\n", " ")),
+    overT("pg_limit_offset",
+      """SELECT i, ten FROM t ORDER BY i DESC LIMIT 5 OFFSET 3"""
+        .stripMargin.replaceAll("\n", " ")),
+    overT("pg_grouping_sets_nulls",
+      """SELECT ten, CAST(v % 2 AS INT) AS vpar,
+        | GROUPING(ten) AS gt, GROUPING(CAST(v % 2 AS INT)) AS gv,
+        | COUNT(*) AS n
+        |FROM t WHERE i < 30
+        |GROUP BY GROUPING SETS ((ten), (CAST(v % 2 AS INT)),
+        |  (ten, CAST(v % 2 AS INT)), ())"""
+        .stripMargin.replaceAll("\n", " ")),
+    overT("pg_agg_scalar_empty",
+      """SELECT COUNT(*) AS n, SUM(i) AS s, MAX(i) AS mx, MIN(v) AS mn
+        |FROM t WHERE i < 0""".stripMargin.replaceAll("\n", " ")),
+    overT("pg_agg_distinct_nulls",
+      """SELECT COUNT(DISTINCT ten) AS cd, COUNT(v) AS cv,
+        | COUNT(*) AS call, SUM(DISTINCT ten) AS sd,
+        | CAST(AVG(DISTINCT CAST(ten AS DECIMAL(10,2))) AS DECIMAL(20,6))
+        |   AS ad
+        |FROM t WHERE i < 50""".stripMargin.replaceAll("\n", " ")),
+    pq("pg_int_bounds",
+      """SELECT CAST(9223372036854775807 AS BIGINT) AS mx,
+        | CAST(-9223372036854775807 AS BIGINT) - 1 AS mn,
+        | CAST(2147483647 AS INT) AS imx,
+        | CAST(2147483647 AS BIGINT) + 1 AS promoted"""
+        .stripMargin.replaceAll("\n", " ")))
+
+  val queries: Seq[Q] = cases.map(c =>
+    Q(c.name, c.duckSql) { (s, _) => s.sql(c.sparkSql) })
+}
