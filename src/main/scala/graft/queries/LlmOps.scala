@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, MediaCodecs, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import QB._
 
 /** Training-data pipeline operators (beyond-reference; BASELINE.json north
@@ -1372,22 +1372,67 @@ object LlmOps {
           col("rnk").cast("long").as("rnk"))
     },
 
-    Q.noOracle("llm_multimodal") { (s, dir) =>
-      val assets = t(s, dir, "documents").select(
-        col("doc_id"),
-        Multimodal.asset(
-          col("text").cast("binary"), lit("image"), lit("fake"),
-          (col("n_chars") % 640 + 1).cast("int"),
-          (col("n_chars") % 480 + 1).cast("int"),
-          lit(0L), (col("n_chars") % 100).cast("int")).as("asset"))
-      Multimodal.extractFeatures(assets, "asset", dims = 8)
-        .select(col("doc_id"), size(col("features")).as("n_dims"),
-          Multimodal.resizeMeta(col("asset.meta"), 256).as("resized"),
-          size(Multimodal.frameSampleIndices(
-            col("asset.meta.n_frames"), 10)).as("n_sampled"))
-        .select(col("doc_id"), col("n_dims"),
-          col("resized.width").as("rw"), col("resized.height").as("rh"),
-          col("n_sampled"))
+    // Multimodal with REAL codecs (JDK ImageIO + javax.sound): solid
+    // PNGs and square-wave WAVs are generated per document, decoded,
+    // resized (Graphics2D), and pooled — and because PNG is lossless
+    // and PCM is raw, every decoded stat is pure integer arithmetic of
+    // the generator parameters, which the oracle re-derives in SQL. The
+    // whole encode→decode→resize→decode→pool chain is hash-verified.
+    Q(
+      "llm_multimodal",
+      """SELECT doc_id,
+        | CAST(doc_id % 13 + 8 AS INT) AS width,
+        | CAST(doc_id % 7 + 8 AS INT) AS height,
+        | CAST(doc_id % 256 AS INT) AS mean_r,
+        | CAST((doc_id * 7) % 256 AS INT) AS mean_g,
+        | CAST((doc_id * 13) % 256 AS INT) AS mean_b,
+        | CAST(CASE WHEN GREATEST(doc_id % 13 + 8, doc_id % 7 + 8) <= 8
+        |   THEN doc_id % 13 + 8
+        |   ELSE GREATEST(1, (doc_id % 13 + 8) * 8
+        |     // GREATEST(doc_id % 13 + 8, doc_id % 7 + 8)) END AS INT)
+        |   AS rw,
+        | CAST(CASE WHEN GREATEST(doc_id % 13 + 8, doc_id % 7 + 8) <= 8
+        |   THEN doc_id % 7 + 8
+        |   ELSE GREATEST(1, (doc_id % 7 + 8) * 8
+        |     // GREATEST(doc_id % 13 + 8, doc_id % 7 + 8)) END AS INT)
+        |   AS rh,
+        | 8000 AS sr,
+        | CAST(doc_id % 5 * 80 + 800 AS BIGINT) AS n_frames,
+        | CAST((doc_id % 5 * 80 + 800) * 1000 // 8000 AS BIGINT)
+        |   AS duration_ms,
+        | CAST(doc_id % 50 * 3 + 500 AS BIGINT) AS rms,
+        | 16 AS n_dims
+        |FROM documents WHERE doc_id < 200""".stripMargin) { (s, dir) =>
+      val gen = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+        .withColumn("w", (col("doc_id") % 13 + 8).cast("int"))
+        .withColumn("h", (col("doc_id") % 7 + 8).cast("int"))
+        .withColumn("r", (col("doc_id") % 256).cast("int"))
+        .withColumn("g", (col("doc_id") * 7 % 256).cast("int"))
+        .withColumn("b", (col("doc_id") * 13 % 256).cast("int"))
+        .withColumn("frames", (col("doc_id") % 5 * 80 + 800).cast("int"))
+        .withColumn("amp", (col("doc_id") % 50 * 3 + 500).cast("int"))
+      val assets = gen
+        .withColumn("png", MediaCodecs.encodePng(
+          col("w"), col("h"), col("r"), col("g"), col("b")))
+        .withColumn("wav", MediaCodecs.encodeWav(
+          lit(8000), col("frames"), col("amp"), lit(10)))
+      assets
+        .withColumn("img", MediaCodecs.decodeImage(col("png")))
+        .withColumn("rimg", MediaCodecs.decodeImage(
+          MediaCodecs.resizeImage(col("png"), lit(8))))
+        .withColumn("aud", MediaCodecs.decodeWav(col("wav")))
+        .withColumn("feats", MediaCodecs.pooledFeaturesCol(col("png"), 4))
+        .select(col("doc_id"),
+          col("img.width").as("width"), col("img.height").as("height"),
+          col("img.mean_r").as("mean_r"), col("img.mean_g").as("mean_g"),
+          col("img.mean_b").as("mean_b"),
+          col("rimg.width").as("rw"), col("rimg.height").as("rh"),
+          col("aud.sample_rate").as("sr"),
+          col("aud.n_frames").as("n_frames"),
+          col("aud.duration_ms").as("duration_ms"),
+          col("aud.rms").as("rms"),
+          size(col("feats")).as("n_dims"))
     },
 
     // Boilerplate removal by corpus-level segment dedup (the CCNet line-

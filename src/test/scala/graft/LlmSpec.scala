@@ -285,6 +285,33 @@ class LlmSpec extends SparkSpec {
     assert(f(0) === f(3)) // doc 1 and 4 have identical text
   }
 
+  test("real media codecs: PNG encode/decode/resize and WAV PCM " +
+      "round-trip with exact stats") {
+    import graft.llm.MediaCodecs
+    // PNG: solid color survives the lossless round trip exactly
+    val png = MediaCodecs.encodePngBytes(20, 10, 200, 100, 50)
+    val st = MediaCodecs.decodeImageStats(png)
+    assert((st.width, st.height, st.mean_r, st.mean_g, st.mean_b)
+      === ((20, 10, 200, 100, 50)))
+    // resize clamps the long side, preserves aspect, keeps color
+    val small = MediaCodecs.decodeImageStats(
+      MediaCodecs.resizeImageBytes(png, 8))
+    assert((small.width, small.height) === ((8, 4)))
+    assert((small.mean_r, small.mean_g, small.mean_b) === ((200, 100, 50)))
+    // already-small images pass through untouched
+    assert(MediaCodecs.resizeImageBytes(png, 64) eq png)
+    // pooled features: solid gray image pools to a constant grid
+    val gray = MediaCodecs.encodePngBytes(16, 16, 128, 128, 128)
+    val feats = MediaCodecs.pooledFeaturesBytes(gray, 4)
+    assert(feats.length === 16)
+    assert(feats.forall(f => math.abs(f - 128.0 / 255.0) < 1e-9))
+    // WAV: square wave decodes to exact amplitude-as-RMS + metadata
+    val wav = MediaCodecs.encodeWavBytes(8000, 1600, 700, 10)
+    val au = MediaCodecs.decodeWavStats(wav)
+    assert((au.sample_rate, au.n_frames, au.duration_ms, au.rms)
+      === ((8000, 1600L, 200L, 700L)))
+  }
+
   test("connectedComponents groups dup pairs into min-rooted clusters") {
     // two chains and a singleton edge: {1,2,4,9}, {5,7}, {3,8} — run BOTH
     // execution tiers: driver union-find (small-graph tail) and the
