@@ -127,6 +127,66 @@ final class Pipeline(spark: SparkSession,
       Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
       String)]()
 
+  /** Analyzed-plan cache for the leaf-grafting delta rules (multilinear
+    * and agg-over-join): ONE Catalyst analysis per view for the pipeline
+    * lifetime, mirroring [[semiAntiCache]] — the per-term/per-step
+    * re-parse + re-analysis of the view SQL was a measurable slice of
+    * the step's driver floor. Every evaluation replaces ALL identified
+    * relation leaves before running, so the cached analysis can never
+    * evaluate a stale binding.
+    */
+  private val leafPlanCache = mutable.Map[String,
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)])]()
+
+  private def analyzedLeaves(viewName: String, sql: String)
+      : (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]) =
+    leafPlanCache.getOrElseUpdate(viewName, {
+      val plan = spark.sql(sql).queryExecution.analyzed
+      val known = (tableNames ++ program.views.map(_.name)).toSet
+      (plan, Ivm.leafNodes(plan, Ivm.leafFn(spark, known)))
+    })
+
+  /** Replacement map: each identified relation leaf → its binding's
+    * analyzed plan, aliased onto the leaf's exprIds (identity-keyed so
+    * repeated relations each rebind).
+    */
+  private def leafReplMap(
+      leaves: Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
+      binds: Map[String, DataFrame])
+      : java.util.IdentityHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val repl = new java.util.IdentityHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+    leaves.foreach { case (rel, node) =>
+      val rplan = binds(rel).queryExecution.analyzed
+      require(rplan.output.size == node.output.size,
+        s"binding arity drifted for $rel")
+      val aliases = node.output.zip(rplan.output).map { case (orig, cur) =>
+        require(cur.dataType == orig.dataType,
+          s"binding type drifted for $rel: $cur vs $orig")
+        Alias(cur, orig.name)(exprId = orig.exprId)
+      }
+      repl.put(node, Project(aliases, rplan))
+    }
+    repl
+  }
+
+  /** Graft bindings onto a cached analyzed plan (all leaves replaced). */
+  private def graftPlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      leaves: Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
+      binds: Map[String, DataFrame])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val repl = leafReplMap(leaves, binds)
+    plan.transformUp { case p if repl.containsKey(p) => repl.get(p) }
+  }
+
   /** Per-step memo of each delta's weight signs (hasPositive,
     * hasNegative) — single-stage RDD fold, one job per rel per step,
     * which lets every ± telescoped rule SKIP the term for an absent sign
@@ -139,13 +199,48 @@ final class Pipeline(spark: SparkSession,
       relDeltas: collection.Map[String, DataFrame]): (Boolean, Boolean) =
     stepDeltaSigns.getOrElseUpdate(name, relDeltas.get(name) match {
       case None => (false, false)
-      case Some(d) => d.select(col(ZSets.W)).rdd.aggregate((false, false))(
-        (acc, r) => {
-          val w = r.getLong(0)
-          (acc._1 || w > 0, acc._2 || w < 0)
-        },
-        (a, b) => (a._1 || b._1, a._2 || b._2))
+      case Some(d) =>
+        // lazy fallback (view deltas discovered mid-loop); table deltas
+        // are batch-probed by probeDeltaSigns in ONE job per step
+        val r = d.groupBy().agg(
+          org.apache.spark.sql.functions.max(col(ZSets.W)),
+          org.apache.spark.sql.functions.min(col(ZSets.W))).head()
+        (!r.isNullAt(0) && r.getLong(0) > 0,
+          !r.isNullAt(1) && r.getLong(1) < 0)
     })
+
+  /** Relations whose deltas feed a sign-consulting delta rule
+    * (multilinear / agg-over-join / semi-anti terms evaluate only the
+    * sign parts actually present).
+    */
+  private lazy val signRels: Set[String] = shapes.values.flatMap {
+    case Ivm.Multilinear(rels) => rels
+    case Ivm.AggOverMulti(rels, _, _) => rels
+    case Ivm.SemiAnti(l, r, _) => (l ++ r).toSeq
+    case _ => Nil
+  }.toSet
+
+  /** Fused per-step sign probe: ONE tagged union + tiny group-by
+    * resolves (has-positive, has-negative) for every delta-touched
+    * sign-consulted relation — replacing one scheduling-floor probe job
+    * per relation per step.
+    */
+  private def probeDeltaSigns(
+      relDeltas: collection.Map[String, DataFrame]): Unit = {
+    import org.apache.spark.sql.functions.{lit, max, min}
+    val rels = relDeltas.keySet.intersect(signRels).toSeq.sorted
+    if (rels.size < 2) return // one relation: the lazy path is the same cost
+    val tagged = rels.map(n => relDeltas(n)
+      .select(lit(n).as("_r"), col(ZSets.W)))
+      .reduce(_ unionByName _)
+    rels.foreach(n => stepDeltaSigns(n) = (false, false)) // empty deltas
+    tagged.groupBy("_r")
+      .agg(max(col(ZSets.W)).as("mx"), min(col(ZSets.W)).as("mn"))
+      .collect().foreach { r =>
+        stepDeltaSigns(r.getString(0)) =
+          (r.getLong(1) > 0, r.getLong(2) < 0)
+      }
+  }
 
   /** Per-step memo of indicator deltas, keyed by the indicator identity
     * (canonicalized right-side plan): views sharing a subquery (the
@@ -986,6 +1081,10 @@ final class Pipeline(spark: SparkSession,
         }).localCheckpoint(false)
     }
 
+    // fused sign probe for all table deltas (one job; also warms their
+    // lazy checkpoints before the delta rules scan them repeatedly)
+    probeDeltaSigns(relDeltas)
+
     // 2. maintain views in declaration order
     val newStates = mutable.Map[String, DataFrame]() ++ tableState ++ viewState
     var recDeltas = Map.empty[String, DataFrame]
@@ -1006,7 +1105,8 @@ final class Pipeline(spark: SparkSession,
         case Ivm.Linear(rels) =>
           evalLinear(v.sql, rels, relDeltas)
         case Ivm.Multilinear(rels) if rels.exists(relDeltas.contains) =>
-          evalMultilinear(v.sql, rels, relDeltas, oldStates, newStates)
+          evalMultilinear(v.name, v.sql, rels, relDeltas, oldStates,
+            newStates)
         case Ivm.Multilinear(_) => ZSets.lift(emptyViews(v.name))
         case Ivm.GroupAgg(rel, _, outCols, chainCols)
             if relDeltas.contains(rel) && chainCols.nonEmpty
@@ -1271,10 +1371,15 @@ final class Pipeline(spark: SparkSession,
     * r_j→old (j>i). Snapshots are probed by the broadcast delta — no
     * state shuffle.
     */
-  private def evalMultilinear(sql: String, rels: Seq[String],
+  private def evalMultilinear(viewName: String, sql: String,
+      rels: Seq[String],
       relDeltas: collection.Map[String, DataFrame],
       oldStates: collection.Map[String, DataFrame],
       newStates: collection.Map[String, DataFrame]): DataFrame = {
+    val shims = org.apache.spark.sql.graft.Shims
+    val (plan0, leaves) = analyzedLeaves(viewName, sql)
+    def run(binds: Map[String, DataFrame]): DataFrame =
+      shims.ofRows(spark, graftPlan(plan0, leaves, binds))
     val terms = rels.zipWithIndex.flatMap { case (ri, i) =>
       relDeltas.get(ri).toSeq.flatMap { d =>
         def bind(delta: DataFrame): Map[String, DataFrame] =
@@ -1285,15 +1390,14 @@ final class Pipeline(spark: SparkSession,
           }.toMap
         val (hasPos, hasNeg) = signsOf(ri, relDeltas)
         (if (hasPos)
-          Seq(ZSets.lift(evalWith(sql, bind(ZSets.toMultiset(d))))) else Nil) ++
+          Seq(ZSets.lift(run(bind(ZSets.toMultiset(d))))) else Nil) ++
         (if (hasNeg)
-          Seq(ZSets.negate(ZSets.lift(evalWith(sql,
+          Seq(ZSets.negate(ZSets.lift(run(
             bind(ZSets.toMultiset(ZSets.negate(d))))))) else Nil)
       }
     }
     if (terms.isEmpty)
-      ZSets.lift(evalWith(sql,
-        rels.map(r => r -> emptyOf(r)).toMap).limit(0))
+      ZSets.lift(run(rels.map(r => r -> emptyOf(r)).toMap).limit(0))
     else terms.reduce(_ unionByName _)
   }
 
@@ -1344,12 +1448,14 @@ final class Pipeline(spark: SparkSession,
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
     val shims = org.apache.spark.sql.graft.Shims
 
-    def analyzedAgg(bindings: Map[String, DataFrame]): Aggregate = {
-      bindings.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-      spark.sql(sql).queryExecution.analyzed
-        .collectFirst { case a: Aggregate => a }
-        .getOrElse(sys.error(s"view $viewName lost its Aggregate node"))
-    }
+    // ONE analysis per VIEW for the pipeline lifetime (was one per term
+    // per step): terms graft their leaf bindings onto the cached plan
+    val (aggPlan0, aggLeaves) = analyzedLeaves(viewName, sql)
+    val agg0 = aggPlan0.collectFirst { case a: Aggregate => a }
+      .getOrElse(sys.error(s"view $viewName lost its Aggregate node"))
+    lazy val childLeaves = aggLeaves.filter { case (_, node) =>
+      agg0.child.exists(_ eq node) }
+
     def positional(df: DataFrame): DataFrame =
       df.toDF(df.columns.indices.map(i => s"_c$i"): _*)
 
@@ -1363,7 +1469,8 @@ final class Pipeline(spark: SparkSession,
               else delta.hint("broadcast"))
           }.toMap
         def body(delta: DataFrame): DataFrame =
-          positional(shims.ofRows(spark, analyzedAgg(bind(delta)).child))
+          positional(shims.ofRows(spark,
+            graftPlan(agg0.child, childLeaves, bind(delta))))
         val (hasPos, hasNeg) = signsOf(ri, relDeltas)
         (if (hasPos) Seq(ZSets.lift(body(ZSets.toMultiset(d)))) else Nil) ++
         (if (hasNeg)
@@ -1389,9 +1496,8 @@ final class Pipeline(spark: SparkSession,
       if (posKeys.isEmpty) newJ
       else IncrementalOps.splitTouched(newJ, touched, posKeys)._1
 
-    // 4. graft the restricted multiset back under the original Aggregate
-    val agg = analyzedAgg(rels.map(r => r -> multisetOf(r, newStates)).toMap)
-    val childOut: Seq[Attribute] = agg.child.output
+    // 4. graft the restricted multiset back under the cached Aggregate
+    val childOut: Seq[Attribute] = agg0.child.output
     val restPlan = ZSets.toMultiset(restricted).queryExecution.analyzed
     require(restPlan.output.size == childOut.size,
       s"join-state arity drifted for $viewName")
@@ -1401,7 +1507,7 @@ final class Pipeline(spark: SparkSession,
       Alias(cur, orig.name)(exprId = orig.exprId)
     }
     val newRows = shims.ofRows(spark,
-      Aggregate(agg.groupingExpressions, agg.aggregateExpressions,
+      Aggregate(agg0.groupingExpressions, agg0.aggregateExpressions,
         Project(aliases, restPlan)))
 
     // 5. retract the old output rows of touched groups

@@ -34,8 +34,13 @@ object JobMeter {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1; starts.put(j.jobId, j.time)
         if (sys.env.contains("SPARK_GRAFT_TRACE")) {
-          val d = j.stageInfos.lastOption.map(_.name).getOrElse("?")
-          println(s"  JOB ${j.jobId} t=${j.time % 1000000}: $d")
+          val p = j.properties
+          val eid = Option(p).map(_.getProperty(
+            "spark.sql.execution.id", "-")).getOrElse("-")
+          val desc = Option(p).map(_.getProperty(
+            "spark.job.description", "")).getOrElse("")
+          println(s"  JOB ${j.jobId} t=${j.time % 1000000} exec=$eid: " +
+            desc.split("\n").head.take(110))
         }
         ()
       }
