@@ -428,8 +428,10 @@ object StreamBench {
           // consolidateOutput off: bid ids are unique per side, so the
           // bilinear terms emit a duplicate-free delta already — matching
           // the reference's unconsolidated operator output (join.rs)
+          // cacheBatch off: a parquet-backed batch re-scans (pruned,
+          // codegen) cheaper than a 10M-row Java-object block cache
           .standingJoinSingle(src, split, Seq("k"), nBuckets = 8,
-            consolidateOutput = false) { (d, _) =>
+            consolidateOutput = false, cacheBatch = false) { (d, _) =>
             d.write.format("noop").mode("overwrite").save() }
           .option("checkpointLocation", s"$dir/ckpt_$name")
           .outputMode("update")

@@ -307,6 +307,50 @@ object ConnectorsE2e {
           sum(col("o_orderkey")).as("keysum"))
     },
 
+    // Iceberg Glue catalog: the metadata location resolves through a
+    // SigV4-signed AWSGlue.GetTable against a live in-process endpoint
+    // that re-derives the signature from the wire bytes; snapshot +
+    // follow both route through the catalog.
+    Q(
+      "conn_iceberg_glue",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tdir = java.nio.file.Files
+        .createTempDirectory("conn_iceberg_glue").toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus")
+      IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 0))
+      val stub = new graft.tools.GlueMiniServer(
+        Map("sales.orders" -> tdir), secret = "gsec2")
+      try {
+        val cf = Map("catalog_type" -> "glue",
+          "table_name" -> "sales.orders",
+          "glue.endpoint" -> stub.endpoint, "glue.region" -> "us-east-2",
+          "glue.access-key-id" -> "AKIDEXAMPLE",
+          "glue.secret-access-key" -> "gsec2")
+        val tdef = graft.ddl.Ddl.parse(
+          "CREATE TABLE orders_ig (o_orderkey BIGINT, " +
+            "o_orderstatus VARCHAR);").tables.head
+        val conf = graft.sources.Connectors.ConnectorConf("iceberg_input",
+          cf + ("mode" -> "snapshot"), "json", Map.empty)
+        val snap = graft.sources.Connectors.read(s, tdef, conf)
+        val startId = IcebergLake.readMetadata(s,
+          graft.sources.Connectors.resolveIcebergMetadata(s, cf))
+          .currentSnapshotId.get
+        IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 1))
+        val tail = graft.sources.Connectors.read(s, tdef, conf.copy(
+          config = cf + ("mode" -> "follow") +
+            ("snapshot_id" -> startId.toString)))
+        graft.zset.ZSets.consolidate(snap.unionByName(tail))
+          .filter(col(graft.zset.ZSets.W) =!= 0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("keysum"))
+      } finally stub.close()
+    },
+
     // Iceberg REST catalog: snapshot + follow resolved through a live
     // in-process catalog server (OAuth2 client-credentials, /v1/config
     // prefix override, loadTable) — the catalog serves the metadata

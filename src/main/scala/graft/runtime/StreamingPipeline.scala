@@ -191,13 +191,23 @@ object StreamingPipeline {
       nBuckets: Int = 16,
       /** See [[standingJoin]]'s consolidateOutput. */
       consolidateOutput: Boolean = true,
+      /** Row-cache the micro-batch before splitting. Each side is
+        * evaluated exactly ONCE (the trace append's internal-row
+        * snapshot), so the cache only saves the second source scan — for
+        * columnar file sources (pruned parquet scan) re-scanning is
+        * cheaper than writing 10M-row Java objects through the block
+        * manager, so file-backed streams should pass false. Keep true
+        * for sources whose batch re-evaluation is expensive or
+        * non-deterministic.
+        */
+      cacheBatch: Boolean = true,
       /** See [[standingJoin]]'s mkTrace. */
       mkTrace: (DataFrame, Seq[String], Int) => Trace = defaultJoinTrace)(
       onDelta: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     var aTrace: Trace = null
     var bTrace: Trace = null
     source.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      batch.persist()
+      if (cacheBatch) batch.persist()
       try {
         val (dA, dB) = splitSides(batch)
         if (aTrace == null) {
@@ -225,7 +235,7 @@ object StreamingPipeline {
         }
         val d = if (consolidateOutput) ZSets.consolidate(d0) else d0
         onDelta(org.apache.spark.sql.graft.Shims.internalBarrier(d), batchId)
-      } finally { batch.unpersist(); () }
+      } finally { if (cacheBatch) batch.unpersist(); () }
     }
   }
 }

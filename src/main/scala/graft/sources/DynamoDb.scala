@@ -65,26 +65,33 @@ object DynamoDb {
     */
   def signV4(method: String, uri: URI, region: String, service: String,
       payload: Array[Byte], accessKey: String, secret: String,
-      target: String, now: Instant = Instant.now())
+      target: String, now: Instant = Instant.now(),
+      contentType: String = "application/x-amz-json-1.0",
+      /** Extra SIGNED headers (e.g. x-amz-security-token for temporary
+        * credentials) — lower-case names.
+        */
+      extraSigned: Map[String, String] = Map.empty)
       : Map[String, String] = {
     val amzDate = AmzDateFmt.format(now)
     val hostHeader = uri.getHost +
       (if (uri.getPort > 0) s":${uri.getPort}" else "")
     val headers = scala.collection.immutable.TreeMap(
-      "content-type" -> "application/x-amz-json-1.0",
+      "content-type" -> contentType,
       "host" -> hostHeader,
       "x-amz-date" -> amzDate,
-      "x-amz-target" -> target)
+      "x-amz-target" -> target) ++ extraSigned
     val (signedHeaderNames, signature, scope) =
       signV4General(method, uri, region, service, payload, secret,
         headers, now)
     Map(
-      "Content-Type" -> "application/x-amz-json-1.0",
+      "Content-Type" -> contentType,
       "X-Amz-Date" -> amzDate,
       "X-Amz-Target" -> target,
       "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/" +
         s"$scope, SignedHeaders=$signedHeaderNames, " +
-        s"Signature=$signature"))
+        s"Signature=$signature")) ++
+      extraSigned.map { case (k, v) =>
+        k.split('-').map(_.capitalize).mkString("-") -> v }
   }
 
   /** The signing core over an arbitrary header set and query string —

@@ -132,3 +132,65 @@ object IcebergRest {
     }
   }
 }
+
+/** AWS Glue catalog client for Iceberg tables (the public Glue data
+  * catalog API; reference: docs/connectors/sources/iceberg.md "Glue
+  * catalog configuration", `crates/iceberg/src/input.rs`
+  * open_table_glue): one SigV4-signed `AWSGlue.GetTable` call resolves
+  * the table's `metadata_location` parameter — the convention the
+  * Iceberg Glue integration stores current metadata under — and the
+  * normal metadata-direct reader takes over from there. Reuses the
+  * SigV4 implementation pinned against AWS's published test vector.
+  *
+  * Config keys mirror the reference: `glue.region` (required unless
+  * `glue.endpoint` is set), `glue.endpoint`, `glue.access-key-id`,
+  * `glue.secret-access-key`, `glue.session-token`, `glue.id`
+  * (CatalogId).
+  */
+object IcebergGlue {
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  def tableMetadataLocation(cf: Map[String, String],
+      tableName: String): String = {
+    val region = cf.getOrElse("glue.region", "us-east-1")
+    val endpoint = cf.getOrElse("glue.endpoint",
+      s"https://glue.$region.amazonaws.com")
+    val accessKey = cf.get("glue.access-key-id")
+      .orElse(sys.env.get("AWS_ACCESS_KEY_ID")).getOrElse(
+        sys.error("iceberg_input: glue catalog needs glue.access-key-id"))
+    val secret = cf.get("glue.secret-access-key")
+      .orElse(sys.env.get("AWS_SECRET_ACCESS_KEY")).getOrElse(sys.error(
+        "iceberg_input: glue catalog needs glue.secret-access-key"))
+    val (db, tbl) = tableName.lastIndexOf('.') match {
+      case -1 => sys.error(
+        s"iceberg glue: table_name must be database.table: $tableName")
+      case i => (tableName.substring(0, i), tableName.substring(i + 1))
+    }
+    val body = mapper.createObjectNode()
+    body.put("DatabaseName", db).put("Name", tbl)
+    cf.get("glue.id").foreach(body.put("CatalogId", _))
+    val payload = body.toString.getBytes(UTF_8)
+    val uri = URI.create(endpoint)
+    val headers = DynamoDb.signV4("POST", uri, region, "glue", payload,
+      accessKey, secret, "AWSGlue.GetTable",
+      contentType = "application/x-amz-json-1.1",
+      extraSigned = cf.get("glue.session-token")
+        .map(t => Map("x-amz-security-token" -> t)).getOrElse(Map.empty))
+    val req = headers.foldLeft(HttpRequest.newBuilder().uri(uri)
+        .POST(HttpRequest.BodyPublishers.ofByteArray(payload))) {
+      case (b, (k, v)) => b.header(k, v)
+    }.build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"iceberg glue: GetTable failed HTTP ${resp.statusCode()}: " +
+        resp.body().take(300))
+    Option(mapper.readTree(resp.body()).get("Table"))
+      .flatMap(t => Option(t.get("Parameters")))
+      .flatMap(p => Option(p.get("metadata_location")))
+      .map(_.asText()).getOrElse(sys.error(
+        s"iceberg glue: table $tableName has no metadata_location " +
+          "parameter (not an Iceberg table?)"))
+  }
+}

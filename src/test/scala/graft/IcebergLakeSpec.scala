@@ -229,6 +229,40 @@ class IcebergLakeSpec extends SparkSpec {
     assert(ch2.contains((100L, "new", 1L)) && ch2.size === ch.size + 1)
   }
 
+  test("glue catalog: SigV4-signed GetTable resolves the metadata " +
+      "location; wrong secret and wrong session token fail loudly") {
+    val dir = tmp()
+    IcebergLake.append(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    val stub = new graft.tools.GlueMiniServer(
+      Map("analytics.orders" -> dir), secret = "glueSecret1",
+      sessionToken = Some("sess-tok-9"))
+    try {
+      val cf = Map("catalog_type" -> "glue",
+        "table_name" -> "analytics.orders",
+        "glue.endpoint" -> stub.endpoint, "glue.region" -> "eu-west-1",
+        "glue.access-key-id" -> "AKIDEXAMPLE",
+        "glue.secret-access-key" -> "glueSecret1",
+        "glue.session-token" -> "sess-tok-9")
+      val loc = Connectors.resolveIcebergMetadata(spark, cf)
+      assert(IcebergLake.snapshot(spark, loc).count() === 3)
+      assert(stub.calls >= 1 && stub.badSignatures === 0)
+      // follow via the glue catalog sees the next commit
+      IcebergLake.append(spark, dir, Seq((9L, "z")).toDF("id", "s"))
+      val loc2 = Connectors.resolveIcebergMetadata(spark, cf)
+      assert(loc2 !== loc)
+      assert(IcebergLake.snapshot(spark, loc2).count() === 4)
+
+      val e1 = intercept[Exception](Connectors.resolveIcebergMetadata(
+        spark, cf + ("glue.secret-access-key" -> "wrong")))
+      assert(e1.getMessage.contains("403"))
+      val e2 = intercept[Exception](Connectors.resolveIcebergMetadata(
+        spark, cf - "glue.session-token"))
+      assert(e2.getMessage.contains("403"))
+      assert(stub.badSignatures === 2)
+    } finally stub.close()
+  }
+
   test("rest catalog: oauth token exchange, config prefix, loadTable " +
       "snapshot + follow with per-round cursor carry") {
     val dir = tmp()
