@@ -307,6 +307,36 @@ object ConnectorsE2e {
           sum(col("o_orderkey")).as("keysum"))
     },
 
+    // Iceberg v2 equality deletes with SEQUENCE-scoped semantics: a
+    // delete applies only to data files with smaller sequence numbers,
+    // so rows appended AFTER a delete survive even when their key
+    // values match — exactly the CDC-writer contract. The oracle
+    // re-derives: the %7 delete ran before the odd-key append (evens
+    // only), the %11 delete ran after (both halves).
+    Q(
+      "conn_iceberg_eqdel",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders
+        |WHERE o_orderkey <= 3000 AND o_orderkey % 11 <> 0
+        |  AND (o_orderkey % 2 = 1 OR o_orderkey % 7 <> 0)
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tdir = java.nio.file.Files
+        .createTempDirectory("conn_iceberg_eqdel").toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderstatus")
+      IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 0))
+      IcebergLake.deleteRowsEqualityWhere(s, tdir, Seq("o_orderkey"),
+        "o_orderkey % 7 = 0")
+      IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 1))
+      IcebergLake.deleteRowsEqualityWhere(s, tdir, Seq("o_orderkey"),
+        "o_orderkey % 11 = 0")
+      IcebergLake.snapshot(s, IcebergLake.currentMetadata(s, tdir))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("keysum"))
+    },
+
     // Iceberg Glue catalog: the metadata location resolves through a
     // SigV4-signed AWSGlue.GetTable against a live in-process endpoint
     // that re-derives the signature from the wire bytes; snapshot +

@@ -187,9 +187,13 @@ object DeltaLake {
             .getOrElse(1)
           val feats = Option(pr.get("readerFeatures")).toSeq
             .flatMap(_.elements().asScala.map(_.asText()))
+          // v2Checkpoint deliberately NOT accepted: its UUID-named
+          // checkpoint + sidecar layout differs from the classic one
+          // this reader replays, and accepting the flag without the
+          // reader would silently skip checkpointed state
           val unsupported = feats.filterNot(Set(
             "timestampNtz", "vacuumProtocolCheck", "deletionVectors",
-            "columnMapping", "v2Checkpoint"))
+            "columnMapping"))
           require(mrv <= 2 || (mrv == 3 && unsupported.isEmpty),
             s"Delta reader version $mrv with features " +
               s"[${unsupported.mkString(", ")}] not supported; " +

@@ -49,14 +49,26 @@ object IcebergLake {
   private val mapper = new ObjectMapper()
 
   final case class DataFileEntry(status: Int, path: String, format: String,
-      content: Int, recordCount: Long)
+      content: Int, recordCount: Long,
+      /** data sequence number (v2): orders row-level deletes against
+        * data — an equality delete applies only to files with a
+        * STRICTLY SMALLER sequence. Entries without an explicit value
+        * inherit the owning snapshot's sequence number.
+        */
+      sequence: Long = 0L,
+      /** equality-delete column field ids (content = 2 entries). */
+      equalityIds: Seq[Int] = Nil)
 
   final case class TableMeta(location: String, schema: StructType,
       currentSnapshotId: Option[Long],
       /** snapshot-id → (manifest-list path, timestamp-ms, sequence) in
         * commit order.
         */
-      snapshots: Seq[(Long, String, Long)])
+      snapshots: Seq[(Long, String, Long)],
+      /** snapshot-id → sequence number (v2; 0 for v1 tables). */
+      snapshotSeq: Map[Long, Long] = Map.empty,
+      /** field id → top-level column name (equality-id resolution). */
+      fieldIdToName: Map[Int, String] = Map.empty)
 
   private def fs(spark: SparkSession, p: String): (FileSystem, Path) = {
     val path = new Path(p)
@@ -125,19 +137,28 @@ object IcebergLake {
     }
     require(schemaNode != null, s"no schema in $metadataLocation")
     val schema = toSpark(schemaNode).asInstanceOf[StructType]
-    val snaps = Option(root.get("snapshots")).toSeq
-      .flatMap(_.elements().asScala).map { s =>
-        (s.get("snapshot-id").asLong(),
-          s.get("manifest-list").asText(),
-          Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L))
-      }
+    val snapNodes = Option(root.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+    val snaps = snapNodes.map { s =>
+      (s.get("snapshot-id").asLong(),
+        s.get("manifest-list").asText(),
+        Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L))
+    }
+    val snapSeq = snapNodes.map(s =>
+      s.get("snapshot-id").asLong() ->
+        Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L))
+      .toMap
+    val fieldIds = Option(schemaNode.get("fields")).toSeq
+      .flatMap(_.elements().asScala).flatMap(f =>
+        Option(f.get("id")).map(_.asInt() -> f.get("name").asText()))
+      .toMap
     TableMeta(
       Option(root.get("location")).map(_.asText())
         .getOrElse(p.getParent.getParent.toString),
       schema,
       Option(root.get("current-snapshot-id")).map(_.asLong())
         .filter(_ != -1L),
-      snaps)
+      snaps, snapSeq, fieldIds)
   }
 
   /** Resolve a `file:` / relative manifest URI against the table root. */
@@ -161,8 +182,15 @@ object IcebergLake {
   def manifestEntries(spark: SparkSession, meta: TableMeta,
       manifestList: String): Seq[DataFileEntry] = {
     val (f, _) = fs(spark, meta.location)
+    // default sequence: the snapshot this manifest list belongs to
+    // (the v2 inheritance rule for entries without an explicit value)
+    val defaultSeq = meta.snapshots.find(_._2 == manifestList)
+      .map(s => meta.snapshotSeq.getOrElse(s._1, 0L)).getOrElse(0L)
     val manifests = avroRecords(f, new Path(resolve(meta, manifestList)))
       .map(_.get("manifest_path").toString)
+    def opt(r: GenericRecord, field: String): Option[AnyRef] =
+      if (r.getSchema.getField(field) == null) None
+      else Option(r.get(field))
     manifests.flatMap { mp =>
       avroRecords(f, new Path(resolve(meta, mp))).map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -175,18 +203,18 @@ object IcebergLake {
             .getOrElse("PARQUET"),
           content,
           Option(df.get("record_count")).map(_.asInstanceOf[Long])
-            .getOrElse(0L))
+            .getOrElse(0L),
+          opt(e, "sequence_number").map(_.asInstanceOf[Long])
+            .getOrElse(defaultSeq),
+          opt(df, "equality_ids").toSeq.flatMap(_ match {
+            case l: java.util.Collection[_] =>
+              scala.jdk.CollectionConverters
+                .CollectionHasAsScala(l).asScala.toSeq
+                .map(_.asInstanceOf[Number].intValue())
+            case _ => Nil
+          }))
       }
     }
-  }
-
-  private[graft] def requireNoEqualityDeletes(
-      entries: Seq[DataFileEntry]): Unit = {
-    val dels = entries.filter(_.content == 2)
-    require(dels.isEmpty,
-      s"iceberg v2 equality-delete files not supported " +
-        s"(${dels.size} file(s), e.g. ${dels.head.path}); " +
-        "compact the table (rewrite_data_files) first")
   }
 
   /** Positional-delete parquet schema (the spec's required columns). */
@@ -215,31 +243,65 @@ object IcebergLake {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
 
-  /** Scan data files, applying positional-delete files (v2 row-level
-    * deletes) via an anti-join on (file basename, physical row index).
-    * The delete side is bounded by DML size, not data size; AQE picks
-    * the join strategy (broadcast for the common small-DML case).
+  /** Scan data files, applying v2 row-level deletes: positional-delete
+    * files via an anti-join on (file basename, physical row index), and
+    * equality-delete files via null-safe anti-joins on their
+    * equality-id columns — an equality delete applies only to data
+    * files with a STRICTLY SMALLER sequence number, so data files are
+    * grouped by their applicable delete set. Delete sides are bounded
+    * by DML size, not data size; AQE picks the join strategies.
     */
   private def readPaths(spark: SparkSession, meta: TableMeta,
       entries: Seq[DataFileEntry],
       deletes: Seq[DataFileEntry] = Seq.empty): DataFrame = {
-    requireNoEqualityDeletes(entries ++ deletes)
+    val all = entries ++ deletes
     val data = entries.filter(_.content == 0)
-    val dels = (entries ++ deletes).filter(_.content == 1)
-    data.foreach(e => require(e.format.equalsIgnoreCase("PARQUET"),
-      s"iceberg data file format not supported: ${e.format}"))
+    val posDels = all.filter(_.content == 1)
+    val eqDels = all.filter(_.content == 2)
+    (data ++ eqDels).foreach(e =>
+      require(e.format.equalsIgnoreCase("PARQUET"),
+        s"iceberg data file format not supported: ${e.format}"))
     if (data.isEmpty) emptyDf(spark, meta)
-    else {
-      val paths = data.map(e => resolve(meta, e.path))
-      if (dels.isEmpty) spark.read.schema(meta.schema).parquet(paths: _*)
+    else if (eqDels.isEmpty) scanWithDeletes(spark, meta, data, posDels, Nil)
+    else data.groupBy(f =>
+        eqDels.filter(_.sequence > f.sequence).map(_.path).toSet)
+      .toSeq.map { case (delPaths, files) =>
+        scanWithDeletes(spark, meta, files, posDels,
+          eqDels.filter(e => delPaths.contains(e.path)))
+      }.reduce(_ unionAll _)
+  }
+
+  /** One scan of `files` with a FIXED applicable delete set. */
+  private def scanWithDeletes(spark: SparkSession, meta: TableMeta,
+      files: Seq[DataFileEntry], posDels: Seq[DataFileEntry],
+      eqDels: Seq[DataFileEntry]): DataFrame = {
+    val paths = files.map(e => resolve(meta, e.path))
+    val base =
+      if (posDels.isEmpty) spark.read.schema(meta.schema).parquet(paths: _*)
       else spark.read.schema(meta.schema).parquet(paths: _*)
         .withColumn("__file", element_at(
           split(col("_metadata.file_path"), "/"), -1))
         .withColumn("__idx", col("_metadata.row_index"))
-        .join(deletePairs(spark, meta, dels),
+        .join(deletePairs(spark, meta, posDels),
           col("__file") === col("__del_file") &&
             col("__idx") === col("__del_pos"), "left_anti")
         .drop("__file", "__idx")
+    eqDels.groupBy(_.equalityIds).foldLeft(base) {
+      case (df, (ids, dels)) =>
+        require(ids.nonEmpty,
+          s"iceberg: equality-delete file without equality_ids: " +
+            dels.head.path)
+        val cols = ids.map(id => meta.fieldIdToName.getOrElse(id,
+          sys.error(s"iceberg: unknown equality field id $id")))
+        val delSchema = StructType(cols.map(c =>
+          StructField(c, meta.schema(c).dataType)))
+        val delRows = spark.read.schema(delSchema)
+          .parquet(dels.map(e => resolve(meta, e.path)): _*)
+          .select(cols.map(c => col(c).as(s"__eq_$c")): _*).distinct()
+        // null-safe match (the spec: null equals null here)
+        df.join(delRows,
+          cols.map(c => col(c) <=> col(s"__eq_$c")).reduce(_ && _),
+          "left_anti")
     }
   }
 
@@ -331,8 +393,10 @@ object IcebergLake {
     val endIdx = endSnapshotId.map(id => ordered.indexWhere(_._1 == id))
       .getOrElse(ordered.size - 1)
     val walk = ordered.slice(startIdx, endIdx + 1)
-    val deltas = walk.flatMap { case (sid, list, _) =>
-      snapshotDelta(spark, meta, list)
+    val deltas = walk.zipWithIndex.flatMap { case ((sid, list, _), i) =>
+      val g = startIdx + i
+      snapshotDelta(spark, meta, list,
+        if (g > 0) Some(ordered(g - 1)._2) else None)
     }
     val all =
       if (deltas.isEmpty) ZSets.lift(emptyDf(spark, meta))
@@ -353,14 +417,32 @@ object IcebergLake {
     *    one) → −rows at the net-new positions of carried data files.
     */
   private def snapshotDelta(spark: SparkSession, meta: TableMeta,
-      manifestList: String): Seq[DataFrame] = {
+      manifestList: String,
+      prevManifestList: Option[String]): Seq[DataFrame] = {
     val entries = manifestEntries(spark, meta, manifestList)
     val added = entries.filter(e => e.status == 1 && e.content == 0)
     val deleted = entries.filter(e => e.status == 2 && e.content == 0)
     val carried = entries.filter(e => e.status == 0 && e.content == 0)
     val addedDels = entries.filter(e => e.status == 1 && e.content == 1)
     val removedDels = entries.filter(e => e.status == 2 && e.content == 1)
-    requireNoEqualityDeletes(entries)
+
+    if (entries.exists(e => e.content == 2 && e.status != 0)) {
+      // equality-delete commit: no cheap delta rule covers sequence-
+      // scoped value matching against carried files, so fall back to an
+      // EXACT consolidated state diff between consecutive snapshots —
+      // the recompute-diff discipline the IVM runner uses for opaque
+      // shapes. Costs two snapshot scans; append/positional commits
+      // keep their fast paths.
+      val cur = readPaths(spark, meta, entries.filter(_.status != 2))
+      val prev = prevManifestList match {
+        case Some(pl) => readPaths(spark, meta,
+          manifestEntries(spark, meta, pl).filter(_.status != 2))
+        case None => emptyDf(spark, meta)
+      }
+      return Seq(ZSets.consolidate(
+        ZSets.lift(cur).unionAll(ZSets.negate(ZSets.lift(prev))))
+        .filter(col(ZSets.W) =!= 0L))
+    }
 
     if (addedDels.isEmpty && removedDels.isEmpty) {
       // fast path: plain add/remove commit
@@ -444,12 +526,15 @@ object IcebergLake {
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |  {"name":"content","type":"int"},
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",
+      |    {"type":"array","items":"int"}],"default":null}
       |]}}]}""".stripMargin)
 
   private val ManifestFileSchema = new Schema.Parser().parse(
@@ -516,19 +601,22 @@ object IcebergLake {
     val records =
       prevEntries.map(e => manifestEntry(snapshotId,
         if (deletePaths.contains(e.path)) 2 else 0,
-        e.path, e.recordCount, 0L, e.content)) ++
+        e.path, e.recordCount, 0L, e.content, e.sequence,
+        e.equalityIds)) ++
       files.map(p => manifestEntry(snapshotId, 1, p.toString, rowCount,
-        f.getFileStatus(p).getLen, 0))
+        f.getFileStatus(p).getLen, 0, version.toLong))
     commitSnapshot(spark, f, root, metaDir, hint, prev, version,
       snapshotId, records, df.schema)
     snapshotId
   }
 
   private def manifestEntry(snapshotId: Long, status: Int, path: String,
-      count: Long, size: Long, content: Int): GenericRecord = {
+      count: Long, size: Long, content: Int, sequence: Long = 0L,
+      equalityIds: Seq[Int] = Nil): GenericRecord = {
     val r = new GenericData.Record(ManifestEntrySchema)
     r.put("status", status)
     r.put("snapshot_id", snapshotId)
+    r.put("sequence_number", sequence)
     val d = new GenericData.Record(
       ManifestEntrySchema.getField("data_file").schema())
     d.put("content", content)
@@ -536,6 +624,10 @@ object IcebergLake {
     d.put("file_format", "PARQUET")
     d.put("record_count", count)
     d.put("file_size_in_bytes", size)
+    if (equalityIds.nonEmpty)
+      d.put("equality_ids",
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          equalityIds.map(Int.box)).asJava)
     r.put("data_file", d)
     r
   }
@@ -555,9 +647,13 @@ object IcebergLake {
     writeAvro(f, listPath, ManifestFileSchema, Seq(mf))
 
     val now = System.currentTimeMillis()
+    val prevSeq = prev.map(_.snapshotSeq).getOrElse(Map.empty)
     val snapsJson = (prev.toSeq.flatMap(_.snapshots) :+
       ((snapshotId, listPath.toString, now))).map { case (id, list, ts) =>
+        val seq = if (id == snapshotId) version.toLong
+          else prevSeq.getOrElse(id, 0L)
         s"""{"snapshot-id":$id,"timestamp-ms":$ts,""" +
+          s""""sequence-number":$seq,""" +
           s""""manifest-list":${mapper.writeValueAsString(list)},""" +
           s""""summary":{"operation":"append"}}"""
       }.mkString("[", ",", "]")
@@ -637,9 +733,55 @@ object IcebergLake {
     f.delete(stage, true)
     val records =
       live.map(e => manifestEntry(snapshotId, 0, e.path, e.recordCount,
-        0L, e.content)) :+
+        0L, e.content, e.sequence, e.equalityIds)) :+
       manifestEntry(snapshotId, 1, delFile.toString, hits.length.toLong,
-        f.getFileStatus(delFile).getLen, 1)
+        f.getFileStatus(delFile).getLen, 1, (v + 1).toLong)
+    commitSnapshot(spark, f, root, metaDir, hint, Some(meta), v + 1,
+      snapshotId, records, meta.schema)
+    snapshotId
+  }
+
+  /** Row-level DELETE via a v2 EQUALITY-delete file: the delete parquet
+    * records the distinct `equalityCols` values of rows matching `pred`;
+    * readers drop matching rows from every data file with a smaller
+    * sequence number (so rows inserted AFTER this DML with the same
+    * key values survive — the CDC writer semantics, e.g. Flink upserts).
+    */
+  def deleteRowsEqualityWhere(spark: SparkSession, tableDir: String,
+      equalityCols: Seq[String], pred: String): Long = {
+    val (f, root) = fs(spark, tableDir)
+    val metaDir = new Path(root, "metadata")
+    val hint = new Path(metaDir, "version-hint.text")
+    val meta = readMetadata(spark, currentMetadata(spark, tableDir))
+    val v = new String(readBytes(f, hint), "UTF-8").trim.toInt
+    val nameToId = meta.fieldIdToName.map(_.swap)
+    val ids = equalityCols.map(c => nameToId.getOrElse(c,
+      sys.error(s"iceberg: no field id for column $c")))
+    val live = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_._1 == id))
+      .map { case (_, list, _) =>
+        manifestEntries(spark, meta, list).filter(_.status != 2) }
+      .getOrElse(Seq.empty)
+    if (live.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
+    // delete rows: distinct equality values of the CURRENT matches
+    val delDf = readPaths(spark, meta, live).where(expr(pred))
+      .select(equalityCols.map(col): _*).distinct().repartition(1)
+    val snapshotId = System.nanoTime()
+    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
+    delDf.write.parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    f.mkdirs(dataDir)
+    val delFile = new Path(dataDir,
+      s"eqdelete-$snapshotId-${java.util.UUID.randomUUID()}.parquet")
+    val part = f.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    require(f.rename(part, delFile), "stage move failed")
+    f.delete(stage, true)
+    val records =
+      live.map(e => manifestEntry(snapshotId, 0, e.path, e.recordCount,
+        0L, e.content, e.sequence, e.equalityIds)) :+
+      manifestEntry(snapshotId, 1, delFile.toString, 0L,
+        f.getFileStatus(delFile).getLen, 2, (v + 1).toLong, ids)
     commitSnapshot(spark, f, root, metaDir, hint, Some(meta), v + 1,
       snapshotId, records, meta.schema)
     snapshotId

@@ -179,18 +179,39 @@ class IcebergLakeSpec extends SparkSpec {
     assert(e.getMessage.contains("format-version 3"))
   }
 
-  test("v2 equality-delete files are rejected with a precise error") {
+  test("v2 equality deletes: sequence-scoped value matching — rows " +
+      "re-inserted AFTER the delete survive; follow falls back to an " +
+      "exact state diff") {
     val dir = tmp()
-    IcebergLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
-    val metaLoc = IcebergLake.currentMetadata(spark, dir)
-    val meta = IcebergLake.readMetadata(spark, metaLoc)
-    // forge an equality-delete entry (content=2) and drive the real
-    // guard the read path applies to every manifest entry set
-    val entries = IcebergLake.manifestEntries(spark, meta,
-      meta.snapshots.head._2).map(_.copy(content = 2))
-    val e = intercept[IllegalArgumentException](
-      IcebergLake.requireNoEqualityDeletes(entries))
-    assert(e.getMessage.contains("equality-delete"))
+    IcebergLake.append(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    val s0 = IcebergLake.readMetadata(spark,
+      IcebergLake.currentMetadata(spark, dir)).currentSnapshotId.get
+    // CDC-style DELETE by key value
+    IcebergLake.deleteRowsEqualityWhere(spark, dir, Seq("id"), "id <= 2")
+    def state = IcebergLake.snapshot(spark,
+        IcebergLake.currentMetadata(spark, dir))
+      .as[(Long, String)].collect().toSet
+    assert(state === Set((3L, "c")))
+    // a LATER insert of a deleted key survives (sequence scoping): the
+    // delete applies only to files with smaller sequence numbers
+    IcebergLake.append(spark, dir, Seq((1L, "a2")).toDF("id", "s"))
+    assert(state === Set((3L, "c"), (1L, "a2")))
+    // a second equality delete layers on top of the re-insert
+    IcebergLake.deleteRowsEqualityWhere(spark, dir, Seq("s"), "s = 'c'")
+    assert(state === Set((1L, "a2")))
+    // follow across the whole history: exact net delta vs empty start
+    val ch = ZSets.consolidate(IcebergLake.changes(spark, dir, None))
+      .filter(org.apache.spark.sql.functions.col(ZSets.W) =!= 0)
+      .as[(Long, String, Long)].collect().toSet
+    assert(ch === Set((1L, "a2", 1L)))
+    // follow from after the first delete sees insert + delete of c
+    val ch2 = ZSets.consolidate(
+        IcebergLake.changes(spark, dir, Some(s0)))
+      .filter(org.apache.spark.sql.functions.col(ZSets.W) =!= 0)
+      .as[(Long, String, Long)].collect().toSet
+    assert(ch2 === Set((1L, "a2", 1L), (1L, "a", -1L), (2L, "b", -1L),
+      (3L, "c", -1L)))
   }
 
   test("v2 positional deletes: DML adds a delete file, snapshot applies " +
