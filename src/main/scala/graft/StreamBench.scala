@@ -380,7 +380,8 @@ object StreamBench {
             split_part(col("url"), lit("/"), lit(6))).as("dir3"))),
       // q10 partitioned file sink (q10.sql: log to file partitioned by
       // date/hour) — real parquet sink, measures write-side throughput
-      {
+      if (!wanted("q10_sink")) "q10_sink" -> 0.0
+      else {
         val name = "q10_sink"
         val src = spark.readStream
           .schema(spark.read.parquet(s"$dir/bid").schema)

@@ -153,6 +153,38 @@ object ConnectorsE2e {
           sum(col("o_orderkey")).as("keysum"))
     },
 
+    // Delta V2 checkpoint: the modern UUID-manifest + sidecar layout.
+    // Two appends and two DV DELETEs land, then a V2 checkpoint is cut
+    // and every pre-checkpoint JSON commit is REMOVED — the read can
+    // only succeed by replaying the manifest + sidecar (with the DVs it
+    // carries). The oracle re-derives the survivors relationally.
+    Q(
+      "conn_delta_v2ckpt",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders
+        |WHERE o_orderkey <= 3000 AND o_orderkey % 7 <> 0
+        |  AND o_orderkey % 11 <> 0
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tdir = java.nio.file.Files
+        .createTempDirectory("conn_delta_v2ckpt").toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderstatus")
+      DeltaLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 0))
+      DeltaLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 1))
+      DeltaLake.deleteWhereDv(s, tdir, "o_orderkey % 7 = 0")
+      DeltaLake.deleteWhereDv(s, tdir, "o_orderkey % 11 = 0")
+      val v = DeltaLake.checkpointV2(s, tdir)
+      val log = new java.io.File(tdir, "_delta_log")
+      (0L to v).foreach { i =>
+        new java.io.File(log, f"$i%020d.json").delete()
+      }
+      DeltaLake.snapshot(s, tdir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("keysum"))
+    },
+
     // Delta follow mode: the signed Z-set delta stream after a pinned
     // version. Commit 1 is the pre-follow base; commit 2 adds rows and
     // commit 3 deletes a slice — the consolidated follow delta is

@@ -119,53 +119,142 @@ object DeltaLake {
     val txns = scala.collection.mutable.Map[String, Long]()
 
     ckpt.foreach { cv =>
-      // checkpoint parquet: one row per action with nullable structs
-      // add / remove / metaData (read via Spark — the checkpoint can be
-      // large on wide tables, but we only collect add paths + partition
-      // values + metaData, never data)
-      val cp = spark.read.parquet(
-        new Path(log, f"$cv%020d.checkpoint.parquet").toString)
-      val cols = cp.columns.toSet
-      if (cols.contains("metaData")) {
-        val hasConf = cp.select("metaData.*").columns.contains("configuration")
-        val sel = Seq(col("metaData.schemaString"),
-          col("metaData.partitionColumns")) ++
-          (if (hasConf) Seq(col("metaData.configuration")) else Nil)
-        cp.select(sel: _*)
-          .where(col("metaData.schemaString").isNotNull).collect()
-          .foreach { r =>
-            schema = DataType.fromJson(r.getString(0)).asInstanceOf[StructType]
-            partCols = r.getSeq[String](1)
-            if (hasConf && !r.isNullAt(2))
-              mappingMode = r.getMap[String, String](2)
-                .getOrElse("delta.columnMapping.mode", "none")
-          }
+      // absorb one checkpoint-shaped DataFrame: one row per action with
+      // nullable structs add / metaData / txn (read via Spark — the
+      // checkpoint can be large on wide tables, but we only collect add
+      // paths + partition values + metaData, never data). `remove` rows
+      // are vacuum tombstones, never live state — ignored by design.
+      def absorbDf(cp: DataFrame): Unit = {
+        val cols = cp.columns.toSet
+        if (cols.contains("protocol")) {
+          val pcols = cp.select("protocol.*").columns.toSet
+          val sel = Seq(col("protocol.minReaderVersion")) ++
+            (if (pcols.contains("readerFeatures"))
+              Seq(col("protocol.readerFeatures")) else Nil)
+          cp.select(sel: _*)
+            .where(col("protocol.minReaderVersion").isNotNull).collect()
+            .foreach { r =>
+              gateProtocol(r.getAs[Number](0).intValue(),
+                if (r.length > 1 && !r.isNullAt(1)) r.getSeq[String](1)
+                else Seq.empty)
+            }
+        }
+        if (cols.contains("metaData")) {
+          val hasConf = cp.select("metaData.*").columns.contains("configuration")
+          val sel = Seq(col("metaData.schemaString"),
+            col("metaData.partitionColumns")) ++
+            (if (hasConf) Seq(col("metaData.configuration")) else Nil)
+          cp.select(sel: _*)
+            .where(col("metaData.schemaString").isNotNull).collect()
+            .foreach { r =>
+              schema = DataType.fromJson(r.getString(0)).asInstanceOf[StructType]
+              partCols = r.getSeq[String](1)
+              if (hasConf && !r.isNullAt(2))
+                mappingMode = r.getMap[String, String](2)
+                  .getOrElse("delta.columnMapping.mode", "none")
+            }
+        }
+        if (cols.contains("txn")) {
+          cp.select("txn.appId", "txn.version")
+            .where(col("txn").isNotNull).collect().foreach { r =>
+              txns(r.getString(0)) = r.getLong(1)
+            }
+        }
+        if (cols.contains("add")) {
+          val hasDv = cp.select("add.*").columns.contains("deletionVector")
+          val sel = Seq(col("add.path"), col("add.partitionValues"),
+            col("add.size")) ++
+            (if (hasDv) Seq(col("add.deletionVector")) else Nil)
+          cp.select(sel: _*)
+            .where(col("add.path").isNotNull).collect().foreach { r =>
+              val dv = if (hasDv && !r.isNullAt(3)) {
+                val d = r.getStruct(3)
+                Some(DeltaDv.Descriptor(d.getAs[String]("storageType"),
+                  d.getAs[String]("pathOrInlineDv"),
+                  Option(d.getAs[Any]("offset")).map(_.toString.toLong),
+                  d.getAs[Number]("sizeInBytes").intValue(),
+                  d.getAs[Number]("cardinality").longValue()))
+              } else None
+              live(r.getString(0)) = AddFile(r.getString(0),
+                Option(r.getMap[String, String](1)).map(_.toMap)
+                  .getOrElse(Map.empty), r.getLong(2), dv)
+            }
+        }
       }
-      if (cols.contains("txn")) {
-        cp.select("txn.appId", "txn.version")
-          .where(col("txn").isNotNull).collect().foreach { r =>
-            txns(r.getString(0)) = r.getLong(1)
+      // resolve the checkpoint's physical form by listing
+      // (delta-io PROTOCOL.md "Checkpoints"): classic single-file
+      // `n.checkpoint.parquet`, classic multi-part
+      // `n.checkpoint.ppppppppp.NNNNNNNNNN.parquet`, or V2
+      // `n.checkpoint.<uuid>.{json,parquet}` — a manifest holding the
+      // non-file actions plus `sidecar` references to parquet files of
+      // add/remove actions under `_delta_log/_sidecars/`
+      val prefix = f"$cv%020d.checkpoint"
+      val names = f.listStatus(log).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(prefix + "."))
+      val uuidRe = (java.util.regex.Pattern.quote(prefix) +
+        "\\.[0-9a-fA-F-]{36}\\.(json|parquet)").r
+      val partRe = (java.util.regex.Pattern.quote(prefix) +
+        "\\.\\d{10}\\.\\d{10}\\.parquet").r
+      val v2Manifest = names.find(n => uuidRe.matches(n)).map(new Path(log, _))
+      val multiPart = names.filter(n => partRe.matches(n)).sorted
+        .map(n => new Path(log, n).toString)
+      v2Manifest match {
+        case Some(mp) =>
+          val sidecars: Seq[String] = if (mp.getName.endsWith(".json")) {
+            // JSON manifest: one action per line, commit-shaped
+            val in = f.open(mp)
+            val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().toVector finally in.close()
+            val sc = scala.collection.mutable.Buffer[String]()
+            lines.foreach { line =>
+              val a = mapper.readTree(line)
+              if (a.has("metaData")) {
+                val m = a.get("metaData")
+                schema = DataType.fromJson(m.get("schemaString").asText())
+                  .asInstanceOf[StructType]
+                partCols = Option(m.get("partitionColumns")).toSeq
+                  .flatMap(_.elements().asScala.map(_.asText()))
+                mappingMode = Option(m.get("configuration"))
+                  .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+                  .map(_.asText()).getOrElse("none")
+              }
+              if (a.has("txn")) {
+                val t = a.get("txn")
+                txns(t.get("appId").asText()) = t.get("version").asLong()
+              }
+              if (a.has("add")) {
+                val ad = a.get("add")
+                val p = ad.get("path").asText()
+                live(p) = AddFile(p, partValues(ad.get("partitionValues")),
+                  Option(ad.get("size")).map(_.asLong()).getOrElse(0L),
+                  parseDv(ad))
+              }
+              if (a.has("sidecar"))
+                sc += a.get("sidecar").get("path").asText()
+            }
+            sc.toSeq
+          } else {
+            val cp = spark.read.parquet(mp.toString)
+            absorbDf(cp)
+            if (!cp.columns.contains("sidecar")) Seq.empty
+            else cp.select("sidecar.path")
+              .where(col("sidecar.path").isNotNull)
+              .collect().map(_.getString(0)).toSeq
           }
-      }
-      if (cols.contains("add")) {
-        val hasDv = cp.select("add.*").columns.contains("deletionVector")
-        val sel = Seq(col("add.path"), col("add.partitionValues"),
-          col("add.size")) ++
-          (if (hasDv) Seq(col("add.deletionVector")) else Nil)
-        cp.select(sel: _*)
-          .where(col("add.path").isNotNull).collect().foreach { r =>
-            val dv = if (hasDv && !r.isNullAt(3)) {
-              val d = r.getStruct(3)
-              Some(DeltaDv.Descriptor(d.getAs[String]("storageType"),
-                d.getAs[String]("pathOrInlineDv"),
-                Option(d.getAs[Any]("offset")).map(_.toString.toLong),
-                d.getAs[Number]("sizeInBytes").intValue(),
-                d.getAs[Number]("cardinality").longValue()))
-            } else None
-            live(r.getString(0)) = AddFile(r.getString(0),
-              Option(r.getMap[String, String](1)).map(_.toMap)
-                .getOrElse(Map.empty), r.getLong(2), dv)
+          if (sidecars.nonEmpty) {
+            // sidecar paths are names under _delta_log/_sidecars/ or
+            // absolute URIs
+            val paths = sidecars.map { s =>
+              if (s.contains("://") || s.startsWith("/")) s
+              else new Path(new Path(log, "_sidecars"), s).toString
+            }
+            absorbDf(spark.read.parquet(paths: _*))
           }
+        case None if multiPart.nonEmpty =>
+          absorbDf(spark.read.parquet(multiPart: _*))
+        case None =>
+          absorbDf(spark.read.parquet(
+            new Path(log, s"$prefix.parquet").toString))
       }
     }
 
@@ -183,21 +272,10 @@ object DeltaLake {
           // not honor — silently mis-reading (ignoring deletion vectors,
           // resolving mapped column names wrong) is worse than failing
           val pr = a.get("protocol")
-          val mrv = Option(pr.get("minReaderVersion")).map(_.asInt())
-            .getOrElse(1)
-          val feats = Option(pr.get("readerFeatures")).toSeq
-            .flatMap(_.elements().asScala.map(_.asText()))
-          // v2Checkpoint deliberately NOT accepted: its UUID-named
-          // checkpoint + sidecar layout differs from the classic one
-          // this reader replays, and accepting the flag without the
-          // reader would silently skip checkpointed state
-          val unsupported = feats.filterNot(Set(
-            "timestampNtz", "vacuumProtocolCheck", "deletionVectors",
-            "columnMapping"))
-          require(mrv <= 2 || (mrv == 3 && unsupported.isEmpty),
-            s"Delta reader version $mrv with features " +
-              s"[${unsupported.mkString(", ")}] not supported; " +
-              "rewrite the table without these features first")
+          gateProtocol(
+            Option(pr.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+            Option(pr.get("readerFeatures")).toSeq
+              .flatMap(_.elements().asScala.map(_.asText())))
         }
         if (a.has("metaData")) {
           val m = a.get("metaData")
@@ -244,6 +322,20 @@ object DeltaLake {
       s"Delta log has no metaData action at or below version $target: $dir")
     Snapshot(target, schema, partCols, live.values.toSeq, stamps.toMap,
       txns.toMap, mappingMode)
+  }
+
+  /** Refuse tables whose reader features this implementation does not
+    * honor — silently mis-reading (ignoring deletion vectors, resolving
+    * mapped column names wrong) is worse than failing.
+    */
+  private def gateProtocol(mrv: Int, feats: Seq[String]): Unit = {
+    val unsupported = feats.filterNot(Set(
+      "timestampNtz", "vacuumProtocolCheck", "deletionVectors",
+      "columnMapping", "v2Checkpoint"))
+    require(mrv <= 2 || (mrv == 3 && unsupported.isEmpty),
+      s"Delta reader version $mrv with features " +
+        s"[${unsupported.mkString(", ")}] not supported; " +
+        "rewrite the table without these features first")
   }
 
   private def parseDv(action: JsonNode): Option[DeltaDv.Descriptor] =
@@ -792,6 +884,94 @@ object DeltaLake {
     val out = f.create(new Path(log, "_last_checkpoint"), true)
     try out.write(
       s"""{"version":${snap.version},"size":${snap.files.size + 1}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    snap.version
+  }
+
+  /** Write a V2 checkpoint of the state at the latest version: a
+    * UUID-named parquet MANIFEST (`n.checkpoint.<uuid>.parquet`) holding
+    * the non-file actions (`checkpointMetadata`, `metaData`, `txn`) plus
+    * `sidecar` references, with the file actions in a sidecar parquet
+    * under `_delta_log/_sidecars/` — the layout modern writers produce
+    * once the `v2Checkpoint` table feature is enabled (delta-io
+    * PROTOCOL.md "V2 spec"). Functionally equivalent to [[checkpoint]];
+    * exists so round trips prove the reader against both layouts.
+    */
+  def checkpointV2(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.Row
+    val (f, _) = fs(spark, dir)
+    val snap = reconstruct(spark, dir, None)
+    val log = logDir(dir)
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("cardinality", LongType)))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("deletionVector", dvType)))
+    def stageOne(df: DataFrame, tmp: String): Path = {
+      df.repartition(1).write.mode("overwrite")
+        .parquet(new Path(log, tmp).toString)
+      f.listStatus(new Path(log, tmp)).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    }
+    // sidecar: the file actions only
+    val addRows = snap.files.map(a =>
+      Row(Row(a.path, a.partitionValues, a.size,
+        a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Long.box).orNull, d.sizeInBytes.toLong,
+          d.cardinality)).orNull)))
+    val scPart = stageOne(spark.createDataFrame(addRows.asJava,
+      StructType(Seq(StructField("add", addType)))), ".ckpt-sc-tmp")
+    val scName = java.util.UUID.randomUUID().toString + ".parquet"
+    val scDir = new Path(log, "_sidecars")
+    f.mkdirs(scDir)
+    val scDest = new Path(scDir, scName)
+    require(f.rename(scPart, scDest), "sidecar move failed")
+    f.delete(new Path(log, ".ckpt-sc-tmp"), true)
+    val scLen = f.getFileStatus(scDest).getLen
+    // manifest: checkpointMetadata + metaData + txn + the sidecar ref
+    val metaType = StructType(Seq(
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val txnType = StructType(Seq(
+      StructField("appId", StringType), StructField("version", LongType)))
+    val ckptMetaType = StructType(Seq(StructField("version", LongType)))
+    val sidecarType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val manSchema = StructType(Seq(
+      StructField("checkpointMetadata", ckptMetaType),
+      StructField("metaData", metaType),
+      StructField("txn", txnType),
+      StructField("sidecar", sidecarType)))
+    val conf0 =
+      if (snap.columnMappingMode == "none") Map.empty[String, String]
+      else Map("delta.columnMapping.mode" -> snap.columnMappingMode)
+    val manRows =
+      Row(Row(snap.version), null, null, null) +:
+      Row(null, Row(snap.schema.json, snap.partitionColumns, conf0),
+        null, null) +:
+      (snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, Row(app, v), null) } :+
+       Row(null, null, null,
+         Row(scName, scLen, System.currentTimeMillis())))
+    val manPart = stageOne(
+      spark.createDataFrame(manRows.asJava, manSchema), ".ckpt-man-tmp")
+    val dest = new Path(log, f"${snap.version}%020d.checkpoint." +
+      java.util.UUID.randomUUID().toString + ".parquet")
+    require(f.rename(manPart, dest), "checkpoint manifest move failed")
+    f.delete(new Path(log, ".ckpt-man-tmp"), true)
+    val out = f.create(new Path(log, "_last_checkpoint"), true)
+    try out.write(
+      s"""{"version":${snap.version},"size":${snap.files.size + 2}}"""
         .getBytes("UTF-8"))
     finally out.close()
     snap.version

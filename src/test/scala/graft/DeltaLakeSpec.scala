@@ -250,6 +250,155 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.snapshot(spark, dir).count() === 4L)
   }
 
+  test("v2 checkpoint round trip: UUID manifest + sidecar bound replay, " +
+      "DVs and txns survive") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir,
+      (0L until 20L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    DeltaLake.append(spark, dir, Seq((100L, "x")).toDF("id", "s"),
+      txn = Some(("appA", 7L)))
+    DeltaLake.deleteWhereDv(spark, dir, "id = 3") // DV into the checkpoint
+    DeltaLake.checkpointV2(spark, dir)
+    // the layout is the v2 one: a UUID-named manifest + a sidecar file
+    val log = new java.io.File(dir, "_delta_log")
+    val manifest = log.listFiles().map(_.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet"))
+    assert(manifest.length === 1)
+    assert(new java.io.File(log, "_sidecars").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1)
+    DeltaLake.append(spark, dir, Seq((101L, "y")).toDF("id", "s"))
+    // drop the pre-checkpoint JSON commits: replay must start at the
+    // v2 checkpoint
+    Seq(0L, 1L, 2L).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete())
+    }
+    val got = DeltaLake.snapshot(spark, dir).as[(Long, String)]
+      .collect().toSet
+    assert(got === ((0L until 20L).filter(_ != 3L)
+      .map(i => (i, s"r$i")).toSet ++ Set((100L, "x"), (101L, "y"))))
+    // txn bookkeeping survives the checkpoint
+    assert(DeltaLake.reconstruct(spark, dir, None).txns === Map("appA" -> 7L))
+  }
+
+  test("v2 checkpoint with a JSON manifest (foreign-writer layout) reads " +
+      "correctly") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+    DeltaLake.append(spark, dir, Seq((3L, "c")).toDF("id", "s").coalesce(1))
+    val snap = DeltaLake.reconstruct(spark, dir, None)
+    val log = new java.io.File(dir, "_delta_log")
+    // hand-build: sidecar parquet carries ONE add; the other add lives
+    // inline in the manifest (both positions are legal in the spec)
+    val Seq(a0, a1) = snap.files.sortBy(_.path).toSeq
+    val addType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("partitionValues",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("size",
+        org.apache.spark.sql.types.LongType)))
+    val scRows = Seq(org.apache.spark.sql.Row(
+      org.apache.spark.sql.Row(a1.path, a1.partitionValues, a1.size)))
+    import scala.jdk.CollectionConverters._
+    val tmpDir = new java.io.File(log, ".sc-build")
+    spark.createDataFrame(scRows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("add", addType))))
+      .repartition(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = tmpDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val scDir = new java.io.File(log, "_sidecars"); scDir.mkdirs()
+    val scName = java.util.UUID.randomUUID().toString + ".parquet"
+    assert(part.renameTo(new java.io.File(scDir, scName)))
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
+    val uuid = java.util.UUID.randomUUID().toString
+    Files.write(new java.io.File(log,
+      f"${1L}%020d.checkpoint.$uuid.json").toPath, (Seq(
+      s"""{"checkpointMetadata":{"version":1}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"m","schemaString":${mapperJson(
+        snap.schema.json)},"partitionColumns":[],"configuration":{},""" +
+        s""""format":{"provider":"parquet","options":{}}}}""",
+      s"""{"txn":{"appId":"appB","version":9}}""",
+      s"""{"add":{"path":"${a0.path}","partitionValues":{},""" +
+        s""""size":${a0.size},"modificationTime":1,"dataChange":true}}""",
+      s"""{"sidecar":{"path":"$scName","sizeInBytes":1,""" +
+        s""""modificationTime":1}}""").mkString("\n") + "\n").getBytes)
+    Files.write(new java.io.File(log, "_last_checkpoint").toPath,
+      """{"version":1,"size":6}""".getBytes)
+    // drop the replayed JSON commits entirely: only the v2 checkpoint
+    // (with the v2Checkpoint protocol feature) can serve the read
+    Seq(0L, 1L).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete())
+    }
+    assert(DeltaLake.snapshot(spark, dir).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(DeltaLake.reconstruct(spark, dir, None).txns === Map("appB" -> 9L))
+  }
+
+  test("multi-part classic checkpoint reads all parts") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s").coalesce(1))
+    DeltaLake.append(spark, dir, Seq((2L, "b")).toDF("id", "s").coalesce(1))
+    val snap = DeltaLake.reconstruct(spark, dir, None)
+    val log = new java.io.File(dir, "_delta_log")
+    val Seq(a0, a1) = snap.files.sortBy(_.path).toSeq
+    import scala.jdk.CollectionConverters._
+    val addType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("partitionValues",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("size",
+        org.apache.spark.sql.types.LongType)))
+    val metaType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("schemaString",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("partitionColumns",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val partSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("add", addType),
+      org.apache.spark.sql.types.StructField("metaData", metaType)))
+    def writePart(rows: Seq[org.apache.spark.sql.Row], name: String): Unit = {
+      val tmpDir = new java.io.File(log, ".mp-build")
+      spark.createDataFrame(rows.asJava, partSchema).repartition(1)
+        .write.mode("overwrite").parquet(tmpDir.toString)
+      val p = tmpDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      assert(p.renameTo(new java.io.File(log, name)))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
+    }
+    // part 1 carries metaData + the first add, part 2 the second add
+    writePart(Seq(
+      org.apache.spark.sql.Row(null,
+        org.apache.spark.sql.Row(snap.schema.json, Seq.empty[String])),
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(a0.path, a0.partitionValues, a0.size),
+        null)),
+      f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writePart(Seq(org.apache.spark.sql.Row(
+      org.apache.spark.sql.Row(a1.path, a1.partitionValues, a1.size), null)),
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    Files.write(new java.io.File(log, "_last_checkpoint").toPath,
+      """{"version":1,"size":3,"parts":2}""".getBytes)
+    Seq(0L, 1L).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete())
+    }
+    assert(DeltaLake.snapshot(spark, dir).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
+  private def mapperJson(s: String): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.writeValueAsString(s)
+  }
+
   test("unsupported reader features fail loudly, never mis-read") {
     val dir = tmp()
     DeltaLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
