@@ -99,9 +99,12 @@ object Bench {
     val full = line(results, 0).dropRight(1) +
       s""","task_time_sec":${fmt(timed.map(_._3).sum)}""" +
       s""","task_time_queries":$taskMap}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), full + "\n")
-    catch { case _: Throwable => () }
+    // dev subset runs (SPARK_GRAFT_ONLY) must not clobber the round's
+    // full-battery detail snapshot
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), full + "\n")
+      catch { case _: Throwable => () }
     // final line budget: keep the slowest queries while under 1700 chars
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest.length

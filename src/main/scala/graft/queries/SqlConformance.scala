@@ -340,6 +340,186 @@ object SqlConformance {
         | CAST(-9223372036854775807 AS BIGINT) - 1 AS mn,
         | CAST(2147483647 AS INT) AS imx,
         | CAST(2147483647 AS BIGINT) + 1 AS promoted"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // -------------------------------------------------------- arrays
+    // (PostgresArrayTests.java shapes; results reduced to scalars —
+    // the driver's compare cannot hash array cells)
+    PQ("pg_arr_basics",
+      """SELECT size(array(10, 20, 30, 20)) AS n,
+        | element_at(array(10, 20, 30, 20), 1) AS e1,
+        | element_at(array(10, 20, 30, 20), -1) AS elast,
+        | array_contains(array(10, 20, 30, 20), 20) AS has20,
+        | array_position(array(10, 20, 30, 20), 20) AS pos20"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT len([10, 20, 30, 20]) AS n,
+        | list_extract([10, 20, 30, 20], 1) AS e1,
+        | list_extract([10, 20, 30, 20], -1) AS elast,
+        | list_contains([10, 20, 30, 20], 20) AS has20,
+        | CAST(list_position([10, 20, 30, 20], 20) AS BIGINT) AS pos20"""
+        .stripMargin.replaceAll("\n", " ")),
+    PQ("pg_arr_transform",
+      """SELECT array_join(sort_array(array(3, 1, 2), false), ',') AS dsc,
+        | array_join(sort_array(array_distinct(array(1, 2, 1, 3, 2))), ',')
+        |   AS dst,
+        | array_join(reverse(array(1, 2, 3)), ',') AS rev,
+        | array_join(array_remove(array(1, 2, 1, 3), 1), ',') AS rem"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT list_aggregate(list_sort([3, 1, 2], 'DESC'), 'string_agg',
+        |   ',') AS dsc,
+        | list_aggregate(list_sort(list_distinct([1, 2, 1, 3, 2])),
+        |   'string_agg', ',') AS dst,
+        | list_aggregate(list_reverse([1, 2, 3]), 'string_agg', ',') AS rev,
+        | list_aggregate(list_filter([1, 2, 1, 3], x -> x <> 1),
+        |   'string_agg', ',') AS rem"""
+        .stripMargin.replaceAll("\n", " ")),
+    PQ("pg_arr_slice_concat",
+      """SELECT array_join(slice(array(1, 2, 3, 4, 5), 2, 3), ',') AS sl,
+        | array_join(concat(array(1, 2), array(3)), ',') AS cc,
+        | array_join(flatten(array(array(1, 2), array(3, 4))), ',') AS fl,
+        | array_max(array(4, 9, 2)) AS mx, array_min(array(4, 9, 2)) AS mn"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT list_aggregate([1, 2, 3, 4, 5][2:4], 'string_agg', ',')
+        |   AS sl,
+        | list_aggregate(list_concat([1, 2], [3]), 'string_agg', ',') AS cc,
+        | list_aggregate(flatten([[1, 2], [3, 4]]), 'string_agg', ',')
+        |   AS fl,
+        | list_max([4, 9, 2]) AS mx, list_min([4, 9, 2]) AS mn"""
+        .stripMargin.replaceAll("\n", " ")),
+    PQ("pg_arr_agg_roundtrip",
+      TS + """SELECT four,
+        | array_join(sort_array(array_agg(i)), ',') AS xs,
+        | size(array_agg(i)) AS n
+        |FROM t WHERE i < 20 GROUP BY four"""
+        .stripMargin.replaceAll("\n", " "),
+      TD + """SELECT four,
+        | list_aggregate(list_sort(array_agg(i)), 'string_agg', ',') AS xs,
+        | len(array_agg(i)) AS n
+        |FROM t WHERE i < 20 GROUP BY four"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // ----------------------------------------------------- intervals
+    // (PostgresIntervalTests.java shapes)
+    overTs("pg_interval_arith",
+      """SELECT lab, t + INTERVAL '3' MONTH AS plus3m,
+        | t - INTERVAL '90' DAY AS minus90d,
+        | t + INTERVAL '36' HOUR AS plus36h,
+        | t + INTERVAL '1' DAY + INTERVAL '12' HOUR AS plus1d12h
+        |FROM ts""".stripMargin.replaceAll("\n", " ")),
+    overTs("pg_interval_leap",
+      """SELECT lab, t + INTERVAL '1' YEAR AS plus1y,
+        | t - INTERVAL '1' MONTH AS minus1m,
+        | t + INTERVAL '400' DAY AS plus400d
+        |FROM ts""".stripMargin.replaceAll("\n", " ")),
+
+    // --------------------------------------------------------- dates
+    // (PostgresDateTests.java shapes; ISO week-53 boundaries)
+    PQ("pg_date_iso",
+      """SELECT d, CAST(extract(WEEK FROM d) AS INT) AS wk,
+        | CAST(extract(YEAROFWEEK FROM d) AS INT) AS isoy
+        |FROM VALUES (DATE '2021-01-01'), (DATE '2020-12-31'),
+        | (DATE '2024-12-30'), (DATE '2026-01-01') AS v(d)"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT d, CAST(week(d) AS INT) AS wk,
+        | CAST(isoyear(d) AS INT) AS isoy
+        |FROM (VALUES (DATE '2021-01-01'), (DATE '2020-12-31'),
+        | (DATE '2024-12-30'), (DATE '2026-01-01')) AS v(d)"""
+        .stripMargin.replaceAll("\n", " ")),
+    PQ("pg_date_dow_doy",
+      """SELECT d, dayofweek(d) AS dw, dayofyear(d) AS dy,
+        | CAST(last_day(d) AS DATE) AS ld
+        |FROM VALUES (DATE '2024-02-29'), (DATE '2024-01-01'),
+        | (DATE '1999-12-31') AS v(d)"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT d, CAST(dayofweek(d) + 1 AS INT) AS dw,
+        | CAST(dayofyear(d) AS INT) AS dy, last_day(d) AS ld
+        |FROM (VALUES (DATE '2024-02-29'), (DATE '2024-01-01'),
+        | (DATE '1999-12-31')) AS v(d)"""
+        .stripMargin.replaceAll("\n", " ")),
+    PQ("pg_date_math",
+      """SELECT date_add(DATE '2024-02-28', 2) AS fwd,
+        | date_add(DATE '2024-03-01', -2) AS back,
+        | datediff(DATE '2025-01-01', DATE '2024-01-01') AS dd,
+        | datediff(DATE '2024-01-01', DATE '2025-01-01') AS ddneg"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT DATE '2024-02-28' + 2 AS fwd,
+        | DATE '2024-03-01' - 2 AS back,
+        | CAST(date_diff('day', DATE '2024-01-01', DATE '2025-01-01')
+        |   AS INT) AS dd,
+        | CAST(date_diff('day', DATE '2025-01-01', DATE '2024-01-01')
+        |   AS INT) AS ddneg"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // ------------------------------------------- statistic aggregates
+    // (PostgresAggregatesTests.java regression family; rounded so the
+    // one-ulp double divergence between engines cannot flake the hash)
+    overT("pg_stats_corr",
+      """SELECT four,
+        | ROUND(CAST(corr(i, i * 2 + four) AS DOUBLE), 6) AS r,
+        | ROUND(CAST(covar_pop(i, ten) AS DOUBLE), 6) AS cp,
+        | ROUND(CAST(covar_samp(i, ten) AS DOUBLE), 6) AS cs
+        |FROM t WHERE i < 40 GROUP BY four"""
+        .stripMargin.replaceAll("\n", " ")),
+    overT("pg_stats_regr",
+      """SELECT
+        | ROUND(CAST(regr_slope(v, i) AS DOUBLE), 6) AS slope,
+        | ROUND(CAST(regr_intercept(v, i) AS DOUBLE), 6) AS icept,
+        | ROUND(CAST(regr_r2(v, i) AS DOUBLE), 6) AS r2,
+        | CAST(regr_count(v, i) AS BIGINT) AS n,
+        | ROUND(CAST(regr_avgx(v, i) AS DOUBLE), 6) AS ax,
+        | ROUND(CAST(regr_avgy(v, i) AS DOUBLE), 6) AS ay
+        |FROM t WHERE i < 50""".stripMargin.replaceAll("\n", " ")),
+
+    // ------------------------------------------------- strings, tail
+    pq("pg_str_split_part",
+      """SELECT split_part('a,b,c', ',', 1) AS p1,
+        | split_part('a,b,c', ',', 3) AS p3,
+        | split_part('a,b,c', ',', 9) AS pout,
+        | split_part('abc', ',', 1) AS whole"""
+        .stripMargin.replaceAll("\n", " ")),
+    PQ("pg_str_regexp",
+      // Spark regexp_replace replaces ALL matches; DuckDB only the first
+      // without the 'g' flag — the flagged spelling is the equivalent
+      """SELECT regexp_replace('a1b22c333', '[0-9]+', '#') AS rr,
+        | regexp_extract('order-1234-x', '([0-9]+)', 1) AS re,
+        | regexp_replace('aaa', 'a', 'b') AS rall"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT regexp_replace('a1b22c333', '[0-9]+', '#', 'g') AS rr,
+        | regexp_extract('order-1234-x', '([0-9]+)', 1) AS re,
+        | regexp_replace('aaa', 'a', 'b', 'g') AS rall"""
+        .stripMargin.replaceAll("\n", " ")),
+    pq("pg_str_translate_repeat",
+      """SELECT translate('12345', '143', 'ax') AS tr,
+        | repeat('ab', 3) AS rep, reverse('abc') AS rev,
+        | left('abcdef', 2) AS l2, right('abcdef', 2) AS r2,
+        | ascii('A') AS asc, chr(66) AS ch"""
+        .stripMargin.replaceAll("\n", " ")),
+    pq("pg_str_position",
+      """SELECT CAST(POSITION('b' IN 'abc') AS BIGINT) AS p1,
+        | CAST(POSITION('z' IN 'abc') AS BIGINT) AS p0,
+        | CAST(POSITION('' IN 'abc') AS BIGINT) AS pe"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // ------------------------------------------------ numerics, tail
+    pq("pg_num_log_exp",
+      """SELECT ROUND(CAST(ln(2.718281828459045) AS DOUBLE), 10) AS lnv,
+        | ROUND(CAST(log10(1000.0) AS DOUBLE), 10) AS lg10,
+        | ROUND(CAST(log2(8.0) AS DOUBLE), 10) AS lg2,
+        | ROUND(CAST(exp(1.0) AS DOUBLE), 10) AS ex,
+        | ROUND(CAST(power(2.0, 0.5) AS DOUBLE), 10) AS pw"""
+        .stripMargin.replaceAll("\n", " ")),
+    pq("pg_num_mod_sign",
+      """SELECT mod(7, 3) AS m1, mod(-7, 3) AS m2, mod(7, -3) AS m3,
+        | CAST(sign(-5.0) AS INT) AS sn, CAST(sign(0.0) AS INT) AS sz,
+        | CAST(sign(3.0) AS INT) AS sp,
+        | abs(-9223372036854775807) AS ab"""
+        .stripMargin.replaceAll("\n", " ")),
+    PQ("pg_bit_ops",
+      """SELECT 12 & 10 AS band, 12 | 10 AS bor, 12 ^ 10 AS bxor,
+        | shiftleft(3, 2) AS shl, shiftright(12, 2) AS shr, ~5 AS bnot"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT 12 & 10 AS band, 12 | 10 AS bor, xor(12, 10) AS bxor,
+        | 3 << 2 AS shl, 12 >> 2 AS shr, ~5 AS bnot"""
         .stripMargin.replaceAll("\n", " ")))
 
   val queries: Seq[Q] = cases.map(c =>
