@@ -309,7 +309,13 @@ object DeltaLake {
         }
         if (a.has("commitInfo")) {
           val ci = a.get("commitInfo")
-          if (ci.has("timestamp")) stamps(v) = ci.get("timestamp").asLong()
+          // inCommitTimestamp (the inCommitTimestamp writer feature) is
+          // the authoritative, monotonic commit time when present —
+          // modern writers make file modification times meaningless
+          if (ci.has("inCommitTimestamp"))
+            stamps(v) = ci.get("inCommitTimestamp").asLong()
+          else if (ci.has("timestamp"))
+            stamps(v) = ci.get("timestamp").asLong()
         }
       }
       commitRemoves.filterNot(commitAdds.contains).foreach(live.remove)

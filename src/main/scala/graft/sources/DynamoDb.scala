@@ -30,7 +30,10 @@ import graft.zset.ZSets
   *
   * Scale note: like the reference's endpoint, delivery is bounded by
   * DynamoDB's own per-request limits — the delta (never the state)
-  * streams off the cluster via toLocalIterator in 25/100-item chunks;
+  * streams off the cluster via toLocalIterator in 25/100-item chunks,
+  * or, with `write_parallelism` > 1, ships from executor partition
+  * tasks concurrently (the aggregate-bandwidth form for large
+  * backfills — upsert keys are unique, so parallel order cannot race);
   * `UnprocessedItems` and cancelled-transaction retries are bounded by
   * `max_retries`.
   */
@@ -154,7 +157,41 @@ object DynamoDb {
   private final case class Op(put: Boolean,
       item: ObjectNode, key: ObjectNode)
 
-  /** Deliver an indexed view delta. Returns the number of write ops. */
+  /** Serializable delivery config — the write path runs either on the
+    * driver (small per-round deltas streamed via toLocalIterator) or as
+    * executor partition tasks (`write_parallelism` > 1, the
+    * aggregate-bandwidth form for large backfills).
+    */
+  private final case class WriteConf(endpoint: String, region: String,
+      table: String, accessKey: String, secret: String,
+      transactional: Boolean, batchSize: Int, maxRetries: Int,
+      putCond: Option[String], delCond: Option[String])
+    extends Serializable
+
+  private def toOp(r: Row, cols: Array[String], opIdx: Int,
+      indexKeys: Seq[String]): Op = {
+    val item = mapper.createObjectNode()
+    val key = mapper.createObjectNode()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      if (c != "_op") {
+        val av = attrValue(r.get(i))
+        item.set[JsonNode](c, av)
+        if (indexKeys.contains(c)) key.set[JsonNode](c, av)
+      }
+    }
+    Op(r.getString(opIdx) != "delete", item, key)
+  }
+
+  /** Deliver an indexed view delta. Returns the number of write ops.
+    *
+    * `write_parallelism` > 1 fans delivery out as executor partition
+    * tasks, each with its own signed HTTP client — upsert-form deltas
+    * have UNIQUE keys (enforced by [[Envelopes.upsertForm]]), so
+    * cross-partition write order cannot race on a key and parallel
+    * delivery preserves convergence; puts/deletes are idempotent per
+    * key under task retry. Default (1) keeps the driver-streamed path:
+    * one Spark partition plus one request batch resident at a time.
+    */
   def writeUpserts(delta: DataFrame, indexKeys: Seq[String],
       config: Map[String, String]): Long = {
     val table = config.getOrElse("table",
@@ -179,24 +216,44 @@ object DynamoDb {
     require(putCond.isEmpty && delCond.isEmpty || transactional,
       "dynamodb_output: condition expressions need " +
         "write_mode=transactional")
+    val parallelism =
+      config.get("write_parallelism").map(_.toInt).getOrElse(1)
 
     val d = if (delta.columns.contains(ZSets.W)) delta else ZSets.lift(delta)
     val up = Envelopes.upsertForm(d, indexKeys)
     val cols = up.columns
     val opIdx = cols.indexOf("_op")
-    def toOp(r: Row): Op = {
-      val item = mapper.createObjectNode()
-      val key = mapper.createObjectNode()
-      cols.zipWithIndex.foreach { case (c, i) =>
-        if (c != "_op") {
-          val av = attrValue(r.get(i))
-          item.set[JsonNode](c, av)
-          if (indexKeys.contains(c)) key.set[JsonNode](c, av)
-        }
-      }
-      Op(r.getString(opIdx) != "delete", item, key)
-    }
+    val wc = WriteConf(endpoint, region, table, accessKey, secret,
+      transactional, batchSize, maxRetries, putCond, delCond)
 
+    if (parallelism > 1) {
+      // executor-parallel delivery: repartition the upsert delta across
+      // the requested task count; each task signs and ships its own
+      // partition concurrently
+      val acc = delta.sparkSession.sparkContext
+        .longAccumulator("dynamodb_written")
+      val keysB = indexKeys
+      up.repartition(parallelism).foreachPartition {
+        (it: Iterator[Row]) =>
+          acc.add(deliver(it.map(toOp(_, cols, opIdx, keysB)), wc))
+      }
+      return acc.value
+    }
+    // stream the delta through the driver one partition at a time
+    // (toLocalIterator): a first-snapshot backfill of a large view must
+    // never materialize whole on the driver — only one request batch
+    // plus one Spark partition is resident at any moment
+    import scala.jdk.CollectionConverters._
+    deliver(up.toLocalIterator().asScala.map(toOp(_, cols, opIdx,
+      indexKeys)), wc)
+  }
+
+  /** Ship one op stream as signed batch/transaction requests. Runs on
+    * the driver or inside an executor task (everything it touches is
+    * either [[WriteConf]] or JVM-local).
+    */
+  private def deliver(ops: Iterator[Op], wc: WriteConf): Long = {
+    import wc._
     val client = HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     val uri = URI.create(endpoint)
@@ -237,14 +294,8 @@ object DynamoDb {
       throw new IllegalStateException("unreachable")
     }
 
-    // stream the delta through the driver one partition at a time
-    // (toLocalIterator): a first-snapshot backfill of a large view must
-    // never materialize whole on the driver — only one request batch
-    // plus one Spark partition is resident at any moment
-    import scala.jdk.CollectionConverters._
     var written = 0L
-    up.toLocalIterator().asScala.map(toOp).grouped(batchSize)
-        .foreach { group =>
+    ops.grouped(batchSize).foreach { group =>
       written += group.length
       if (transactional) {
         // TransactWriteItems: atomic chunk; condition-failed items are

@@ -340,6 +340,25 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.reconstruct(spark, dir, None).txns === Map("appB" -> 9L))
   }
 
+  test("inCommitTimestamp is authoritative for datetime time travel") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    // a foreign writer with the inCommitTimestamp feature: commitInfo
+    // carries BOTH stamps; the in-commit one (much earlier) must win
+    val snap = DeltaLake.reconstruct(spark, dir, None)
+    val add = snap.files.head
+    appendCommit(dir, 1L, Seq(
+      s"""{"commitInfo":{"timestamp":9999999999999,""" +
+        s""""inCommitTimestamp":1000000000000,"operation":"WRITE"}}""",
+      s"""{"add":{"path":"${add.path}x","partitionValues":{},""" +
+        s""""size":1,"modificationTime":1,"dataChange":true}}"""))
+    val stamps = DeltaLake.reconstruct(spark, dir, None).timestamps
+    assert(stamps(1L) === 1000000000000L)
+    // datetime just after the in-commit stamp resolves to version 1
+    assert(DeltaLake.versionAt(spark, dir,
+      "2001-09-09T01:46:41Z") === 1L)
+  }
+
   test("multi-part classic checkpoint reads all parts") {
     val dir = tmp()
     DeltaLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s").coalesce(1))

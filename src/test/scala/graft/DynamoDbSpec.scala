@@ -20,11 +20,16 @@ import graft.zset.ZSets
   * `attribute_not_exists` condition evaluation.
   */
 class DynamoStubServer(keyNames: Seq[String], secret: String,
-    unprocessedFirst: Boolean = false) {
+    unprocessedFirst: Boolean = false,
+    /** artificial per-request latency — lets the executor-parallel
+      * writer's overlap register on [[maxInFlight]] */
+    responseDelayMs: Long = 0L) {
   private val mapper = new ObjectMapper()
   val store = TrieMap[String, String]() // key-json → item-json
   val calls = new AtomicInteger(0)
   val badSignatures = new AtomicInteger(0)
+  private val inFlight = new AtomicInteger(0)
+  val maxInFlight = new AtomicInteger(0)
   private val simulateOnce = new java.util.concurrent.atomic.AtomicBoolean(
     unprocessedFirst)
 
@@ -41,6 +46,13 @@ class DynamoStubServer(keyNames: Seq[String], secret: String,
 
   server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
     calls.incrementAndGet()
+    val now0 = inFlight.incrementAndGet()
+    maxInFlight.updateAndGet(m => math.max(m, now0))
+    if (responseDelayMs > 0) Thread.sleep(responseDelayMs)
+    try handle(ex) finally { inFlight.decrementAndGet(); () }
+  })
+
+  private def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
     val payload = ex.getRequestBody.readAllBytes()
     val target = ex.getRequestHeaders.getFirst("X-Amz-Target")
     val amzDate = ex.getRequestHeaders.getFirst("X-Amz-Date")
@@ -125,7 +137,7 @@ class DynamoStubServer(keyNames: Seq[String], secret: String,
         case other => respond(400, s"""{"__type":"Unknown:$other"}""")
       }
     }
-  })
+  }
 
   private def applyWrite(n: JsonNode): Unit =
     Option(n.get("PutRequest")) match {
@@ -134,6 +146,9 @@ class DynamoStubServer(keyNames: Seq[String], secret: String,
         store.remove(n.get("DeleteRequest").get("Key").toString); ()
     }
 
+  // a real thread pool — the default (null) executor serializes
+  // handlers on the dispatcher thread, hiding client concurrency
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
   server.start()
   def close(): Unit = server.stop(0)
 }
@@ -170,6 +185,37 @@ class DynamoDbSpec extends SparkSpec {
       assert(srv.store.size === 2)
       val item1 = srv.store(("""{"id":{"N":"1"}}"""))
       assert(item1.contains(""""S":"a2""""))
+    } finally srv.close()
+  }
+
+  test("write_parallelism ships partitions from executor tasks " +
+      "concurrently and still converges") {
+    // 120 rows / batch_size 10 = 12 requests; 60ms of stub latency per
+    // request means 4-way-parallel delivery MUST overlap (serial would
+    // stay at maxInFlight 1)
+    val srv = new DynamoStubServer(Seq("id"), "s3cr3t",
+      responseDelayMs = 60L)
+    try {
+      val rows = (1L to 120L).map(i => (i, s"v$i", 1L))
+      Connectors.writeView(
+        rows.toDF("id", "v", ZSets.W).repartition(8),
+        conf(srv.endpoint, "s3cr3t",
+          Map("write_parallelism" -> "4", "batch_size" -> "10")),
+        indexKeys = Some(Seq("id")))
+      assert(srv.store.size === 120)
+      assert(srv.maxInFlight.get() >= 2,
+        s"expected overlapping requests, saw max ${srv.maxInFlight.get()}")
+      // signatures verified server-side on every task's connection
+      assert(srv.badSignatures.get() === 0)
+
+      // deletes flow through the same parallel path
+      Connectors.writeView(
+        (1L to 60L).map(i => (i, s"v$i", -1L)).toDF("id", "v", ZSets.W)
+          .repartition(8),
+        conf(srv.endpoint, "s3cr3t",
+          Map("write_parallelism" -> "4", "batch_size" -> "10")),
+        indexKeys = Some(Seq("id")))
+      assert(srv.store.size === 60)
     } finally srv.close()
   }
 
