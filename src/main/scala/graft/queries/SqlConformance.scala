@@ -520,6 +520,77 @@ object SqlConformance {
         .stripMargin.replaceAll("\n", " "),
       """SELECT 12 & 10 AS band, 12 | 10 AS bor, xor(12, 10) AS bxor,
         | 3 << 2 AS shl, 12 >> 2 AS shr, ~5 AS bnot"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // --------------------------------- NULL semantics / three-valued
+    pq("pg_in_null_semantics",
+      """SELECT 1 IN (1, NULL) AS in_hit,
+        | 3 IN (1, NULL) AS in_unknown,
+        | 3 NOT IN (1, NULL) AS notin_unknown,
+        | 3 NOT IN (1, 2) AS notin_true,
+        | NULL IN (1, 2) AS null_in"""
+        .stripMargin.replaceAll("\n", " ")),
+    pq("pg_is_distinct",
+      """SELECT 1 IS DISTINCT FROM 2 AS d12,
+        | 1 IS DISTINCT FROM 1 AS d11,
+        | NULL IS DISTINCT FROM 1 AS dn1,
+        | NULL IS DISTINCT FROM NULL AS dnn,
+        | 1 IS NOT DISTINCT FROM NULL AS nd1n"""
+        .stripMargin.replaceAll("\n", " ")),
+    PQ("pg_str_concat_null",
+      // || propagates NULL in both engines; Spark's concat() ALSO
+      // propagates while DuckDB's skips NULLs — the || spelling is the
+      // portable equivalence, pinned here
+      """SELECT 'a' || CAST(NULL AS STRING) AS cat_null,
+        | 'a' || 'b' || 'c' AS cat3,
+        | coalesce(CAST(NULL AS STRING), '') || 'x' AS cat_coalesce"""
+        .stripMargin.replaceAll("\n", " "),
+      """SELECT 'a' || CAST(NULL AS VARCHAR) AS cat_null,
+        | 'a' || 'b' || 'c' AS cat3,
+        | coalesce(CAST(NULL AS VARCHAR), '') || 'x' AS cat_coalesce"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // ------------------------------------------- IEEE special values
+    pq("pg_float_specials",
+      """SELECT CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS nan_eq,
+        | CAST('Infinity' AS DOUBLE) > 1e308 AS inf_gt,
+        | CAST('-Infinity' AS DOUBLE) < -1e308 AS ninf_lt,
+        | isnan(CAST('Infinity' AS DOUBLE) - CAST('Infinity' AS DOUBLE))
+        |   AS inf_minus_inf,
+        | CAST('NaN' AS DOUBLE) > CAST('Infinity' AS DOUBLE) AS nan_gt_inf"""
+        .stripMargin.replaceAll("\n", " ")),
+    overT("pg_float_nan_order",
+      """SELECT i, x FROM (
+        |  SELECT i, CASE WHEN i = 3 THEN CAST('NaN' AS DOUBLE)
+        |    WHEN i = 5 THEN CAST('Infinity' AS DOUBLE)
+        |    ELSE CAST(i AS DOUBLE) END AS x
+        |  FROM t WHERE i < 8) s
+        |ORDER BY x DESC, i LIMIT 3"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // -------------------------------------- small ints / promotions
+    pq("pg_smallint_promote",
+      // decimal→int rounding is deliberately NOT here: Spark truncates,
+      // DuckDB rounds (pinned by pg_num_cast_chain's split already)
+      """SELECT CAST(CAST(100 AS SMALLINT) + CAST(27 AS SMALLINT) AS INT)
+        |   AS s_add,
+        | CAST(CAST(90 AS TINYINT) * CAST(1 AS TINYINT) AS INT) AS t_mul,
+        | CAST(CAST(-128 AS TINYINT) AS INT) AS t_min,
+        | CAST(CAST(32767 AS SMALLINT) AS INT) AS s_max"""
+        .stripMargin.replaceAll("\n", " ")),
+
+    // ------------------------------------------ conditional + aggs
+    overT("pg_case_in_agg",
+      """SELECT four,
+        | CAST(SUM(CASE WHEN ten < 5 THEN i ELSE 0 END) AS BIGINT)
+        |   AS sum_low,
+        | COUNT(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+        | MAX(CASE WHEN i % 7 = 0 THEN i END) AS mx7
+        |FROM t WHERE i < 50 GROUP BY four"""
+        .stripMargin.replaceAll("\n", " ")),
+    overT("pg_order_nulls_limit",
+      """SELECT i, v FROM t WHERE i < 12
+        |ORDER BY v ASC NULLS FIRST, i DESC LIMIT 6"""
         .stripMargin.replaceAll("\n", " ")))
 
   val queries: Seq[Q] = cases.map(c =>
