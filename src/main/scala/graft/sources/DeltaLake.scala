@@ -65,7 +65,14 @@ object DeltaLake {
         * files store per-field physical names (kept in the schema's
         * field metadata) and `partitionValues` keys are physical.
         */
-      columnMappingMode: String = "none")
+      columnMappingMode: String = "none",
+      /** Latest protocol action (version pair + feature lists) — carried
+        * so checkpoints re-emit it: a checkpoint must contain the
+        * protocol action (commits before it may be cleaned up).
+        */
+      minReaderVersion: Int = 1, minWriterVersion: Int = 2,
+      readerFeatures: Seq[String] = Seq.empty,
+      writerFeatures: Seq[String] = Seq.empty)
 
   private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -117,6 +124,33 @@ object DeltaLake {
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val stamps = scala.collection.mutable.Map[Long, Long]()
     val txns = scala.collection.mutable.Map[String, Long]()
+    // latest protocol action wins (upgrades replace); gate on record
+    var proto = (1, 2, Seq.empty[String], Seq.empty[String])
+    def recordProtocol(mrv: Int, mwv: Int, rf: Seq[String],
+        wf: Seq[String]): Unit = {
+      gateProtocol(mrv, rf)
+      proto = (mrv, mwv, rf, wf)
+    }
+    // shared JSON-action parsers (commit lines and V2 json manifests
+    // carry the same action shapes)
+    def recordProtocolJson(pr: JsonNode): Unit = recordProtocol(
+      Option(pr.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+      Option(pr.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+      strList(pr.get("readerFeatures")), strList(pr.get("writerFeatures")))
+    def recordMetaJson(m: JsonNode): Unit = {
+      schema = DataType.fromJson(m.get("schemaString").asText())
+        .asInstanceOf[StructType]
+      partCols = Option(m.get("partitionColumns")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText()))
+      mappingMode = Option(m.get("configuration"))
+        .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+        .map(_.asText()).getOrElse("none")
+    }
+    def addFileJson(ad: JsonNode): AddFile = {
+      val p = ad.get("path").asText()
+      AddFile(p, partValues(ad.get("partitionValues")),
+        Option(ad.get("size")).map(_.asLong()).getOrElse(0L), parseDv(ad))
+    }
 
     ckpt.foreach { cv =>
       // absorb one checkpoint-shaped DataFrame: one row per action with
@@ -128,15 +162,27 @@ object DeltaLake {
         val cols = cp.columns.toSet
         if (cols.contains("protocol")) {
           val pcols = cp.select("protocol.*").columns.toSet
+          def opt(name: String): Seq[Column] =
+            if (pcols.contains(name)) Seq(col(s"protocol.$name")) else Nil
           val sel = Seq(col("protocol.minReaderVersion")) ++
-            (if (pcols.contains("readerFeatures"))
-              Seq(col("protocol.readerFeatures")) else Nil)
+            opt("minWriterVersion") ++ opt("readerFeatures") ++
+            opt("writerFeatures")
+          val names = Seq("minReaderVersion") ++
+            Seq("minWriterVersion", "readerFeatures", "writerFeatures")
+              .filter(pcols.contains)
           cp.select(sel: _*)
-            .where(col("protocol.minReaderVersion").isNotNull).collect()
+            .where(col("minReaderVersion").isNotNull).collect()
             .foreach { r =>
-              gateProtocol(r.getAs[Number](0).intValue(),
-                if (r.length > 1 && !r.isNullAt(1)) r.getSeq[String](1)
-                else Seq.empty)
+              def seqAt(n: String): Seq[String] = {
+                val i = names.indexOf(n)
+                if (i >= 0 && !r.isNullAt(i)) r.getSeq[String](i)
+                else Seq.empty
+              }
+              val mwvI = names.indexOf("minWriterVersion")
+              recordProtocol(r.getAs[Number](0).intValue(),
+                if (mwvI >= 0 && !r.isNullAt(mwvI))
+                  r.getAs[Number](mwvI).intValue() else 2,
+                seqAt("readerFeatures"), seqAt("writerFeatures"))
             }
         }
         if (cols.contains("metaData")) {
@@ -196,8 +242,21 @@ object DeltaLake {
       val partRe = (java.util.regex.Pattern.quote(prefix) +
         "\\.\\d{10}\\.\\d{10}\\.parquet").r
       val v2Manifest = names.find(n => uuidRe.matches(n)).map(new Path(log, _))
-      val multiPart = names.filter(n => partRe.matches(n)).sorted
-        .map(n => new Path(log, n).toString)
+      val multiPartNames = names.filter(n => partRe.matches(n)).sorted
+      // completeness: every name carries o-of-p; a lost part must fail
+      // loudly, never yield a silently truncated snapshot
+      if (multiPartNames.nonEmpty) {
+        val op = multiPartNames.map { n =>
+          val bits = n.stripSuffix(".parquet").split('.').takeRight(2)
+          (bits(0).toInt, bits(1).toInt)
+        }
+        val totals = op.map(_._2).distinct
+        require(totals.size == 1 &&
+          op.map(_._1).toSet == (1 to totals.head).toSet,
+          s"multi-part checkpoint at version $cv is incomplete: have " +
+            s"parts ${op.map(_._1).mkString(",")} of ${totals.mkString(",")}")
+      }
+      val multiPart = multiPartNames.map(n => new Path(log, n).toString)
       v2Manifest match {
         case Some(mp) =>
           val sidecars: Seq[String] = if (mp.getName.endsWith(".json")) {
@@ -208,26 +267,15 @@ object DeltaLake {
             val sc = scala.collection.mutable.Buffer[String]()
             lines.foreach { line =>
               val a = mapper.readTree(line)
-              if (a.has("metaData")) {
-                val m = a.get("metaData")
-                schema = DataType.fromJson(m.get("schemaString").asText())
-                  .asInstanceOf[StructType]
-                partCols = Option(m.get("partitionColumns")).toSeq
-                  .flatMap(_.elements().asScala.map(_.asText()))
-                mappingMode = Option(m.get("configuration"))
-                  .flatMap(c => Option(c.get("delta.columnMapping.mode")))
-                  .map(_.asText()).getOrElse("none")
-              }
+              if (a.has("protocol")) recordProtocolJson(a.get("protocol"))
+              if (a.has("metaData")) recordMetaJson(a.get("metaData"))
               if (a.has("txn")) {
                 val t = a.get("txn")
                 txns(t.get("appId").asText()) = t.get("version").asLong()
               }
               if (a.has("add")) {
-                val ad = a.get("add")
-                val p = ad.get("path").asText()
-                live(p) = AddFile(p, partValues(ad.get("partitionValues")),
-                  Option(ad.get("size")).map(_.asLong()).getOrElse(0L),
-                  parseDv(ad))
+                val af = addFileJson(a.get("add"))
+                live(af.path) = af
               }
               if (a.has("sidecar"))
                 sc += a.get("sidecar").get("path").asText()
@@ -267,37 +315,19 @@ object DeltaLake {
       val commitRemoves = scala.collection.mutable.Set[String]()
       lines.foreach { line =>
         val a = mapper.readTree(line)
-        if (a.has("protocol")) {
-          // refuse tables whose reader features this implementation does
-          // not honor — silently mis-reading (ignoring deletion vectors,
-          // resolving mapped column names wrong) is worse than failing
-          val pr = a.get("protocol")
-          gateProtocol(
-            Option(pr.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
-            Option(pr.get("readerFeatures")).toSeq
-              .flatMap(_.elements().asScala.map(_.asText())))
-        }
-        if (a.has("metaData")) {
-          val m = a.get("metaData")
-          schema = DataType.fromJson(m.get("schemaString").asText())
-            .asInstanceOf[StructType]
-          partCols = Option(m.get("partitionColumns")).toSeq
-            .flatMap(_.elements().asScala.map(_.asText()))
-          mappingMode = Option(m.get("configuration"))
-            .flatMap(c => Option(c.get("delta.columnMapping.mode")))
-            .map(_.asText()).getOrElse("none")
-        }
+        // refuse tables whose reader features this implementation does
+        // not honor — silently mis-reading (ignoring deletion vectors,
+        // resolving mapped column names wrong) is worse than failing
+        if (a.has("protocol")) recordProtocolJson(a.get("protocol"))
+        if (a.has("metaData")) recordMetaJson(a.get("metaData"))
         // protocol reconciliation: a commit's state transition is
         // (live ∖ removes) ∪ adds, INDEPENDENT of action order within
         // the commit — a DML that rewrites a file's deletion vector
         // emits both a remove (old DV) and an add (new DV) for the
         // same path, and the add must win
         if (a.has("add")) {
-          val ad = a.get("add")
-          val p = ad.get("path").asText()
-          commitAdds(p) = AddFile(p, partValues(ad.get("partitionValues")),
-            Option(ad.get("size")).map(_.asLong()).getOrElse(0L),
-            parseDv(ad))
+          val af = addFileJson(a.get("add"))
+          commitAdds(af.path) = af
         }
         if (a.has("remove"))
           commitRemoves += a.get("remove").get("path").asText()
@@ -327,7 +357,7 @@ object DeltaLake {
     require(schema != null,
       s"Delta log has no metaData action at or below version $target: $dir")
     Snapshot(target, schema, partCols, live.values.toSeq, stamps.toMap,
-      txns.toMap, mappingMode)
+      txns.toMap, mappingMode, proto._1, proto._2, proto._3, proto._4)
   }
 
   /** Refuse tables whose reader features this implementation does not
@@ -343,6 +373,10 @@ object DeltaLake {
         s"[${unsupported.mkString(", ")}] not supported; " +
         "rewrite the table without these features first")
   }
+
+  private def strList(n: JsonNode): Seq[String] =
+    Option(n).filterNot(_.isNull).toSeq
+      .flatMap(_.elements().asScala.map(_.asText()))
 
   private def parseDv(action: JsonNode): Option[DeltaDv.Descriptor] =
     Option(action.get("deletionVector")).filterNot(_.isNull).map { d =>
@@ -840,56 +874,86 @@ object DeltaLake {
     * point `_last_checkpoint` at it — the log-compaction step that bounds
     * replay cost (and lets old JSON commits be cleaned up).
     */
+  // checkpoint action struct schemas + row builders, shared by the
+  // classic and V2 writers — ONE definition of the on-disk action shape
+  private val ckptDvType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", LongType),
+    StructField("sizeInBytes", LongType),
+    StructField("cardinality", LongType)))
+  private val ckptAddType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("deletionVector", ckptDvType)))
+  private val ckptMetaType = StructType(Seq(
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", MapType(StringType, StringType))))
+  private val ckptTxnType = StructType(Seq(
+    StructField("appId", StringType), StructField("version", LongType)))
+  private val ckptProtoType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))))
+
+  private def ckptProtoRow(s: Snapshot): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(s.minReaderVersion, s.minWriterVersion,
+      if (s.readerFeatures.isEmpty) null else s.readerFeatures,
+      if (s.writerFeatures.isEmpty) null else s.writerFeatures)
+
+  private def ckptMetaRow(s: Snapshot): org.apache.spark.sql.Row = {
+    val conf0 =
+      if (s.columnMappingMode == "none") Map.empty[String, String]
+      else Map("delta.columnMapping.mode" -> s.columnMappingMode)
+    org.apache.spark.sql.Row(s.schema.json, s.partitionColumns, conf0)
+  }
+
+  private def ckptAddRow(a: AddFile): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(a.path, a.partitionValues, a.size,
+      a.dv.map(d => org.apache.spark.sql.Row(d.storageType,
+        d.pathOrInlineDv, d.offset.map(Long.box).orNull,
+        d.sizeInBytes.toLong, d.cardinality)).orNull)
+
+  /** Write `df` as ONE parquet file under a temp dir in `log`; return
+    * the part file (caller renames it into place).
+    */
+  private def stageOneParquet(spark: SparkSession, f: FileSystem,
+      log: Path, df: DataFrame, tmp: String): Path = {
+    df.repartition(1).write.mode("overwrite")
+      .parquet(new Path(log, tmp).toString)
+    f.listStatus(new Path(log, tmp)).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+  }
+
   def checkpoint(spark: SparkSession, dir: String): Long = {
     import org.apache.spark.sql.Row
     val (f, _) = fs(spark, dir)
     val snap = reconstruct(spark, dir, None)
-    val dvType = StructType(Seq(
-      StructField("storageType", StringType),
-      StructField("pathOrInlineDv", StringType),
-      StructField("offset", LongType),
-      StructField("sizeInBytes", LongType),
-      StructField("cardinality", LongType)))
-    val addType = StructType(Seq(
-      StructField("path", StringType),
-      StructField("partitionValues", MapType(StringType, StringType)),
-      StructField("size", LongType),
-      StructField("deletionVector", dvType)))
-    val metaType = StructType(Seq(
-      StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType)),
-      StructField("configuration", MapType(StringType, StringType))))
-    val txnType = StructType(Seq(
-      StructField("appId", StringType), StructField("version", LongType)))
     val ckptSchema = StructType(Seq(
-      StructField("add", addType), StructField("metaData", metaType),
-      StructField("txn", txnType)))
-    val conf0 =
-      if (snap.columnMappingMode == "none") Map.empty[String, String]
-      else Map("delta.columnMapping.mode" -> snap.columnMappingMode)
+      StructField("add", ckptAddType), StructField("metaData", ckptMetaType),
+      StructField("txn", ckptTxnType),
+      StructField("protocol", ckptProtoType)))
+    // a checkpoint must carry the protocol and metaData actions — the
+    // commits that declared them may be cleaned up afterwards
     val rows =
-      Row(null, Row(snap.schema.json, snap.partitionColumns, conf0),
-        null) +:
+      Row(null, null, null, ckptProtoRow(snap)) +:
+      Row(null, ckptMetaRow(snap), null, null) +:
       (snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-        Row(null, null, Row(app, v)) } ++
-       snap.files.map(a =>
-         Row(Row(a.path, a.partitionValues, a.size,
-           a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-             d.offset.map(Long.box).orNull, d.sizeInBytes.toLong,
-             d.cardinality)).orNull), null, null)))
+        Row(null, null, Row(app, v), null) } ++
+       snap.files.map(a => Row(ckptAddRow(a), null, null, null)))
     val log = logDir(dir)
-    spark.createDataFrame(rows.asJava, ckptSchema).repartition(1)
-      .write.mode("overwrite")
-      .parquet(new Path(log, ".ckpt-tmp").toString)
-    val part = f.listStatus(new Path(log, ".ckpt-tmp")).toSeq
-      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val part = stageOneParquet(spark, f, log,
+      spark.createDataFrame(rows.asJava, ckptSchema), ".ckpt-tmp")
     val dest = new Path(log, f"${snap.version}%020d.checkpoint.parquet")
     f.delete(dest, false)
     require(f.rename(part, dest), "checkpoint move failed")
     f.delete(new Path(log, ".ckpt-tmp"), true)
     val out = f.create(new Path(log, "_last_checkpoint"), true)
     try out.write(
-      s"""{"version":${snap.version},"size":${snap.files.size + 1}}"""
+      s"""{"version":${snap.version},"size":${snap.files.size + 2}}"""
         .getBytes("UTF-8"))
     finally out.close()
     snap.version
@@ -909,31 +973,11 @@ object DeltaLake {
     val (f, _) = fs(spark, dir)
     val snap = reconstruct(spark, dir, None)
     val log = logDir(dir)
-    val dvType = StructType(Seq(
-      StructField("storageType", StringType),
-      StructField("pathOrInlineDv", StringType),
-      StructField("offset", LongType),
-      StructField("sizeInBytes", LongType),
-      StructField("cardinality", LongType)))
-    val addType = StructType(Seq(
-      StructField("path", StringType),
-      StructField("partitionValues", MapType(StringType, StringType)),
-      StructField("size", LongType),
-      StructField("deletionVector", dvType)))
-    def stageOne(df: DataFrame, tmp: String): Path = {
-      df.repartition(1).write.mode("overwrite")
-        .parquet(new Path(log, tmp).toString)
-      f.listStatus(new Path(log, tmp)).toSeq
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-    }
     // sidecar: the file actions only
-    val addRows = snap.files.map(a =>
-      Row(Row(a.path, a.partitionValues, a.size,
-        a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-          d.offset.map(Long.box).orNull, d.sizeInBytes.toLong,
-          d.cardinality)).orNull)))
-    val scPart = stageOne(spark.createDataFrame(addRows.asJava,
-      StructType(Seq(StructField("add", addType)))), ".ckpt-sc-tmp")
+    val addRows = snap.files.map(a => Row(ckptAddRow(a)))
+    val scPart = stageOneParquet(spark, f, log,
+      spark.createDataFrame(addRows.asJava,
+        StructType(Seq(StructField("add", ckptAddType)))), ".ckpt-sc-tmp")
     val scName = java.util.UUID.randomUUID().toString + ".parquet"
     val scDir = new Path(log, "_sidecars")
     f.mkdirs(scDir)
@@ -941,35 +985,30 @@ object DeltaLake {
     require(f.rename(scPart, scDest), "sidecar move failed")
     f.delete(new Path(log, ".ckpt-sc-tmp"), true)
     val scLen = f.getFileStatus(scDest).getLen
-    // manifest: checkpointMetadata + metaData + txn + the sidecar ref
-    val metaType = StructType(Seq(
-      StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType)),
-      StructField("configuration", MapType(StringType, StringType))))
-    val txnType = StructType(Seq(
-      StructField("appId", StringType), StructField("version", LongType)))
-    val ckptMetaType = StructType(Seq(StructField("version", LongType)))
+    // manifest: checkpointMetadata + protocol + metaData + txn + the
+    // sidecar ref — the checkpoint must carry protocol/metaData, the
+    // commits that declared them may be cleaned up afterwards
+    val ckptMetadataActionType =
+      StructType(Seq(StructField("version", LongType)))
     val sidecarType = StructType(Seq(
       StructField("path", StringType),
       StructField("sizeInBytes", LongType),
       StructField("modificationTime", LongType)))
     val manSchema = StructType(Seq(
-      StructField("checkpointMetadata", ckptMetaType),
-      StructField("metaData", metaType),
-      StructField("txn", txnType),
+      StructField("checkpointMetadata", ckptMetadataActionType),
+      StructField("protocol", ckptProtoType),
+      StructField("metaData", ckptMetaType),
+      StructField("txn", ckptTxnType),
       StructField("sidecar", sidecarType)))
-    val conf0 =
-      if (snap.columnMappingMode == "none") Map.empty[String, String]
-      else Map("delta.columnMapping.mode" -> snap.columnMappingMode)
     val manRows =
-      Row(Row(snap.version), null, null, null) +:
-      Row(null, Row(snap.schema.json, snap.partitionColumns, conf0),
-        null, null) +:
+      Row(Row(snap.version), null, null, null, null) +:
+      Row(null, ckptProtoRow(snap), null, null, null) +:
+      Row(null, null, ckptMetaRow(snap), null, null) +:
       (snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-        Row(null, null, Row(app, v), null) } :+
-       Row(null, null, null,
+        Row(null, null, null, Row(app, v), null) } :+
+       Row(null, null, null, null,
          Row(scName, scLen, System.currentTimeMillis())))
-    val manPart = stageOne(
+    val manPart = stageOneParquet(spark, f, log,
       spark.createDataFrame(manRows.asJava, manSchema), ".ckpt-man-tmp")
     val dest = new Path(log, f"${snap.version}%020d.checkpoint." +
       java.util.UUID.randomUUID().toString + ".parquet")
@@ -977,7 +1016,7 @@ object DeltaLake {
     f.delete(new Path(log, ".ckpt-man-tmp"), true)
     val out = f.create(new Path(log, "_last_checkpoint"), true)
     try out.write(
-      s"""{"version":${snap.version},"size":${snap.files.size + 2}}"""
+      s"""{"version":${snap.version},"size":${snap.files.size + 3}}"""
         .getBytes("UTF-8"))
     finally out.close()
     snap.version

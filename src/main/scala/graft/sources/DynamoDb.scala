@@ -229,15 +229,14 @@ object DynamoDb {
     if (parallelism > 1) {
       // executor-parallel delivery: repartition the upsert delta across
       // the requested task count; each task signs and ships its own
-      // partition concurrently
-      val acc = delta.sparkSession.sparkContext
-        .longAccumulator("dynamodb_written")
+      // partition concurrently. The count is the SUM of the winning
+      // attempts' results (an accumulator would double-count retried or
+      // speculative tasks; the writes themselves are idempotent per key)
       val keysB = indexKeys
-      up.repartition(parallelism).foreachPartition {
+      return up.repartition(parallelism).rdd.mapPartitions {
         (it: Iterator[Row]) =>
-          acc.add(deliver(it.map(toOp(_, cols, opIdx, keysB)), wc))
-      }
-      return acc.value
+          Iterator.single(deliver(it.map(toOp(_, cols, opIdx, keysB)), wc))
+      }.sum().toLong
     }
     // stream the delta through the driver one partition at a time
     // (toLocalIterator): a first-snapshot backfill of a large view must

@@ -276,8 +276,29 @@ class DeltaLakeSpec extends SparkSpec {
       .collect().toSet
     assert(got === ((0L until 20L).filter(_ != 3L)
       .map(i => (i, s"r$i")).toSet ++ Set((100L, "x"), (101L, "y"))))
+    val snap2 = DeltaLake.reconstruct(spark, dir, None)
     // txn bookkeeping survives the checkpoint
-    assert(DeltaLake.reconstruct(spark, dir, None).txns === Map("appA" -> 7L))
+    assert(snap2.txns === Map("appA" -> 7L))
+    // the protocol survives too: deleteWhereDv upgraded to reader 3 +
+    // deletionVectors, and the checkpoint is the only place left that
+    // records it after the commit cleanup above
+    assert(snap2.minReaderVersion === 3)
+    assert(snap2.readerFeatures.contains("deletionVectors"))
+  }
+
+  test("an incomplete multi-part checkpoint fails loudly") {
+    val dir = tmp()
+    DeltaLake.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    DeltaLake.append(spark, dir, Seq((2L, "b")).toDF("id", "s"))
+    DeltaLake.checkpoint(spark, dir)
+    val log = new java.io.File(dir, "_delta_log")
+    // fake a 2-part layout with part 2 missing
+    val classic = new java.io.File(log, f"${1L}%020d.checkpoint.parquet")
+    assert(classic.renameTo(new java.io.File(log,
+      f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")))
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.reconstruct(spark, dir, None))
+    assert(e.getMessage.contains("incomplete"))
   }
 
   test("v2 checkpoint with a JSON manifest (foreign-writer layout) reads " +
