@@ -172,6 +172,8 @@ object Registry {
     registerUdfs(spark)
     // debug helpers: BLACKBOX (optimizer barrier), WRITELOG (per-row tap)
     org.apache.spark.sql.graft.DebugFns.register(spark)
+    // the ad-hoc json_get path-getter family (ad-hoc.md)
+    org.apache.spark.sql.graft.JsonGetFns.register(spark)
   }
 
   /** Generic (any element type) Column forms of the array tail — the SQL

@@ -220,6 +220,45 @@ object Functions {
         get_json_object(col("props"), "$.k").isNotNull.as("ok"))
     },
 
+    // The ad-hoc json_get path-getter family (ad-hoc.md:160-215, the
+    // datafusion-functions-json surface) — registered by JsonGetFns as
+    // pure variant_get compositions; the oracle re-derives each getter
+    // with DuckDB's json_extract family on the same documents.
+    Q(
+      "fn_json_get",
+      """WITH d(id, doc) AS (VALUES
+        |  (1, '{"name":"Bob","scores":[8,10],"active":true,"meta":{"x":1.5}}'),
+        |  (2, '{"name":"Ann","scores":[3],"active":false,"meta":{"x":2.5}}'),
+        |  (3, '{"name":null,"scores":[],"active":true}'))
+        |SELECT id,
+        |  json_extract_string(doc, '$.name') AS nm,
+        |  CAST(json_extract(doc, '$.scores[0]') AS BIGINT) AS s0,
+        |  CAST(json_extract(doc, '$.meta.x') AS DOUBLE) AS mx,
+        |  CAST(json_extract(doc, '$.active') AS BOOLEAN) AS act,
+        |  CAST(json_extract(doc, '$.scores') AS VARCHAR) AS sraw,
+        |  json_extract(doc, '$.meta') IS NOT NULL AS hasmeta,
+        |  CAST(json_array_length(doc, '$.scores') AS BIGINT) AS slen,
+        |  list_aggregate(list_sort(json_keys(doc)), 'string_agg', ',')
+        |    AS okeys
+        |FROM d""".stripMargin) { (s, _) =>
+      graft.functions.Registry.registerAll(s)
+      s.sql("""
+        WITH d AS (SELECT * FROM VALUES
+          (1, '{"name":"Bob","scores":[8,10],"active":true,"meta":{"x":1.5}}'),
+          (2, '{"name":"Ann","scores":[3],"active":false,"meta":{"x":2.5}}'),
+          (3, '{"name":null,"scores":[],"active":true}') AS v(id, doc))
+        SELECT id,
+          json_get_str(doc, 'name') AS nm,
+          json_get_int(doc, 'scores', 0) AS s0,
+          json_get_float(doc, 'meta', 'x') AS mx,
+          json_get_bool(doc, 'active') AS act,
+          json_get_json(doc, 'scores') AS sraw,
+          json_contains(doc, 'meta') AS hasmeta,
+          json_length(doc, 'scores') AS slen,
+          array_join(array_sort(json_object_keys(doc)), ',') AS okeys
+        FROM d""")
+    },
+
     // UUID surface (uuid.md; types/SqlTypes UUID = canonical string,
     // functions/Registry uuid_from_binary): deterministic UUIDs derived
     // from md5 bytes; DuckDB formats the same 16 bytes by hand.

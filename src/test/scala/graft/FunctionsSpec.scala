@@ -159,4 +159,36 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(2) === """{"b":"x"}""")
     assert(r.getString(3) === """{"d":"2024-01-01"}""")
   }
+
+  test("json_get family: typed getters, arrays, existence, edge cases") {
+    graft.functions.Registry.registerAll(spark)
+    val doc = """'{"name":"Bob","scores":[8,10],"nil":null,"o":{"a b":7}}'"""
+    val r = spark.sql(
+      s"""SELECT json_get_int($doc, 'scores', 1) AS s1,
+         |  json_get_str($doc, 'name') AS nm,
+         |  json_get_array($doc, 'scores') AS arr,
+         |  json_contains($doc, 'nil') AS has_nil,
+         |  json_contains($doc, 'missing') AS has_missing,
+         |  json_get_int($doc, 'o', 'a b') AS quoted_key,
+         |  json_get_str('not json', 'k') AS bad_doc,
+         |  json_get_int($doc, 'name') AS wrong_type,
+         |  json_length($doc) AS root_len,
+         |  json_get_json($doc, 'o') AS raw
+         |""".stripMargin).head()
+    assert(r.getLong(0) === 10L)
+    assert(r.getString(1) === "Bob")
+    assert(r.getSeq[String](2) === Seq("8", "10"))
+    // a JSON null VALUE exists; a missing key does not
+    assert(r.getBoolean(3) === true)
+    assert(r.getBoolean(4) === false)
+    assert(r.getLong(5) === 7L) // non-identifier key → bracket path
+    assert(r.isNullAt(6)) // invalid document → NULL, never an error
+    assert(r.isNullAt(7)) // type mismatch → NULL
+    assert(r.getLong(8) === 4L) // object length at root path
+    assert(r.getString(9) === """{"a b":7}""")
+    // non-literal path steps are rejected loudly
+    val e = intercept[Exception](spark.sql(
+      s"SELECT json_get_str($doc, lower('NAME'))").collect())
+    assert(e.getMessage.contains("literal"))
+  }
 }
