@@ -204,21 +204,7 @@ object Connectors {
         // SELECT whose rows are ingested. postgres:// URIs translate to
         // the JDBC spelling with credentials split out; plain jdbc urls
         // pass through.
-        val rawUri = conf.config.getOrElse("url",
-          conf.config.getOrElse("uri",
-            sys.error(s"${conf.transport}: set uri (or url)")))
-        val (url, creds) =
-          if (rawUri.startsWith("postgresql://")
-              || rawUri.startsWith("postgres://")) {
-            val u = java.net.URI.create(
-              "postgresql://" + rawUri.split("://", 2)(1))
-            val userInfo = Option(u.getUserInfo).map(_.split(":", 2))
-            (s"jdbc:postgresql://${u.getHost}" +
-              (if (u.getPort > 0) s":${u.getPort}" else "") + u.getPath +
-              Option(u.getRawQuery).map("?" + _).getOrElse(""),
-              userInfo.map(ui => (ui(0),
-                if (ui.length > 1) ui(1) else "")))
-          } else (rawUri, None)
+        val (url, creds) = jdbcUrlCreds(conf)
         val reader0 = spark.read.format("jdbc").option("url", url)
         val reader1 = creds.map { case (user, pass) =>
           reader0.option("user", user).option("password", pass)
@@ -508,15 +494,47 @@ object Connectors {
           case other => sys.error(s"unsupported file sink format: $other")
         }
       case "jdbc_output" | "postgresql_output"
+          if conf.config.getOrElse("mode", "materialized") == "cdc"
+            && df.columns.contains(graft.zset.ZSets.W) =>
+        // CDC mode (sinks/postgresql.md): each change APPENDS to the
+        // target table as a row carrying the documented metadata
+        // columns — cdc_op_column ∈ i/u/d, cdc_ts_column = output
+        // timestamp in MICROSECONDS. Unique keys are required (the
+        // connector's uniqueness contract) so delete/update fold to one
+        // keyed record each.
+        require(indexKeys.isDefined, "postgresql_output mode=cdc needs " +
+          "a view with unique keys (CREATE INDEX / connector index)")
+        val opC = conf.config.getOrElse("cdc_op_column", "__feldera_op")
+        val tsC = conf.config.getOrElse("cdc_ts_column", "__feldera_ts")
+        val (url, creds) = jdbcUrlCreds(conf)
+        val nowMicros = System.currentTimeMillis() * 1000L
+        val out = Envelopes.upsertForm(df, indexKeys.get)
+          .withColumn(opC,
+            when(col("_op") === "insert", lit("i"))
+              .when(col("_op") === "update", lit("u"))
+              .otherwise(lit("d")))
+          .drop("_op")
+          .withColumn(tsC, lit(nowMicros))
+        val w0 = out.write.format("jdbc").mode("append")
+          .option("url", url)
+          .option("dbtable", conf.config("table"))
+        val w1 = creds.map { case (u, p) =>
+          w0.option("user", u).option("password", p) }.getOrElse(w0)
+        conf.config.get("driver").map(d => w1.option("driver", d))
+          .getOrElse(w1).save()
+      case "jdbc_output" | "postgresql_output"
           if indexKeys.isDefined
             && df.columns.contains(graft.zset.ZSets.W) =>
         jdbcKeyedMerge(df, conf, indexKeys.get)
       case "jdbc_output" | "postgresql_output" =>
-        val w = df.write.format("jdbc").mode("append")
-          .option("url", conf.config("url"))
+        val (url, creds) = jdbcUrlCreds(conf)
+        val w0 = df.write.format("jdbc").mode("append")
+          .option("url", url)
           .option("dbtable", conf.config("table"))
-        conf.config.get("driver").map(d => w.option("driver", d))
-          .getOrElse(w).save()
+        val w1 = creds.map { case (u, p) =>
+          w0.option("user", u).option("password", p) }.getOrElse(w0)
+        conf.config.get("driver").map(d => w1.option("driver", d))
+          .getOrElse(w1).save()
       case "iceberg_output" =>
         // the reference supports Iceberg output only indirectly (avro
         // CDC records through Kafka Connect, connectors/sinks/iceberg.md);
@@ -556,6 +574,28 @@ object Connectors {
             case _ => df.select(to_json(struct(df.columns.filterNot(
               _ == graft.zset.ZSets.W).map(col).toSeq: _*)).as("value"))
           }
+          case "avro" if conf.formatConfig.get("update_format")
+              .contains("confluent_jdbc") =>
+            // the Confluent JDBC sink envelope (sinks/confluent-jdbc.md):
+            // keyed messages, value = row or tombstone; key columns from
+            // key_fields, else the view's index, else ALL columns (the
+            // documented default)
+            val keyFields = conf.formatConfig.get("key_fields") match {
+              case Some(jsonText) =>
+                val node = mapper.readTree(jsonText)
+                require(node.isArray,
+                  "confluent_jdbc: key_fields must be a list")
+                node.elements().asScala.map(_.asText()).toSeq
+              case None => indexKeys.getOrElse(
+                df.columns.filterNot(_ == graft.zset.ZSets.W).toSeq)
+            }
+            Envelopes.encodeAvroConfluentJdbc(df, keyFields,
+              conf.formatConfig.getOrElse("avro_schema", sys.error(
+                "kafka_output avro: avro_schema is required")),
+              conf.formatConfig.getOrElse("registry_urls", sys.error(
+                "confluent_jdbc: registry_urls is required")),
+              conf.config.getOrElse("topic",
+                sys.error("kafka_output: topic is required")))
           case "avro" =>
             Envelopes.encodeAvro(df,
               conf.formatConfig.getOrElse("avro_schema", sys.error(
@@ -566,18 +606,32 @@ object Connectors {
           case other =>
             sys.error(s"kafka_output: unsupported format $other")
         }
-        val valueCol = lines.schema.fields.head
-        val it = lines.toLocalIterator()
-        val bytes = new Iterator[Array[Byte]] {
-          def hasNext: Boolean = it.hasNext
-          def next(): Array[Byte] = valueCol.dataType match {
-            case org.apache.spark.sql.types.BinaryType =>
-              it.next().getAs[Array[Byte]](0)
-            case _ => it.next().getString(0)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (lines.columns.sameElements(Array("key", "value"))) {
+          // keyed delivery (confluent_jdbc): tombstones are None values
+          val it = lines.toLocalIterator()
+          val keyed = new Iterator[(Array[Byte], Option[Array[Byte]])] {
+            def hasNext: Boolean = it.hasNext
+            def next(): (Array[Byte], Option[Array[Byte]]) = {
+              val r = it.next()
+              (r.getAs[Array[Byte]](0),
+                Option(r.getAs[Array[Byte]](1)))
+            }
           }
+          Kafka.writeRoundKeyed(keyed, conf)
+        } else {
+          val valueCol = lines.schema.fields.head
+          val it = lines.toLocalIterator()
+          val bytes = new Iterator[Array[Byte]] {
+            def hasNext: Boolean = it.hasNext
+            def next(): Array[Byte] = valueCol.dataType match {
+              case org.apache.spark.sql.types.BinaryType =>
+                it.next().getAs[Array[Byte]](0)
+              case _ => it.next().getString(0)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            }
+          }
+          Kafka.writeRound(bytes, conf)
         }
-        Kafka.writeRound(bytes, conf)
         ()
       case "redis_output" =>
         // docs/connectors/sinks/redis.md: keyed row store, one atomic
@@ -618,9 +672,32 @@ object Connectors {
     * refresh). Runs per partition with one prepared statement pair; the
     * standard per-partition imperative escape hatch, not a per-row UDF.
     */
+  /** `uri`/`url` config → (JDBC url, optional user/password). The
+    * reference's postgres connector shape (connectors/sources/
+    * postgresql.md, sinks/postgresql.md): postgres:// URIs translate to
+    * the JDBC spelling with credentials split out; plain jdbc urls pass
+    * through.
+    */
+  private def jdbcUrlCreds(
+      conf: ConnectorConf): (String, Option[(String, String)]) = {
+    val rawUri = conf.config.getOrElse("url",
+      conf.config.getOrElse("uri",
+        sys.error(s"${conf.transport}: set uri (or url)")))
+    if (rawUri.startsWith("postgresql://")
+        || rawUri.startsWith("postgres://")) {
+      val u = java.net.URI.create(
+        "postgresql://" + rawUri.split("://", 2)(1))
+      val userInfo = Option(u.getUserInfo).map(_.split(":", 2))
+      (s"jdbc:postgresql://${u.getHost}" +
+        (if (u.getPort > 0) s":${u.getPort}" else "") + u.getPath +
+        Option(u.getRawQuery).map("?" + _).getOrElse(""),
+        userInfo.map(ui => (ui(0), if (ui.length > 1) ui(1) else "")))
+    } else (rawUri, None)
+  }
+
   private def jdbcKeyedMerge(delta: DataFrame, conf: ConnectorConf,
       keys: Seq[String]): Unit = {
-    val url = conf.config("url")
+    val (url, creds) = jdbcUrlCreds(conf)
     val table = conf.config("table")
     val driver = conf.config.get("driver")
     val up = Envelopes.upsertForm(delta, keys)
@@ -635,7 +712,11 @@ object Connectors {
     up.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         driver.foreach(Class.forName(_))
-        val cn = java.sql.DriverManager.getConnection(url)
+        val cn = creds match {
+          case Some((u, p)) =>
+            java.sql.DriverManager.getConnection(url, u, p)
+          case None => java.sql.DriverManager.getConnection(url)
+        }
         try {
           cn.setAutoCommit(false)
           val del = cn.prepareStatement(delSql)

@@ -421,6 +421,101 @@ object Envelopes {
       StructField(valueCol, BinaryType))))
   }
 
+  /** The Confluent JDBC sink envelope
+    * (connectors/sinks/confluent-jdbc.md): keyed Kafka Avro messages —
+    * key = Avro record of the `keys` columns, value = Avro record of
+    * the full row for insert/update, NULL (a tombstone) for delete.
+    * Key and value writer schemas register under the topic-name-strategy
+    * subjects `<topic>-key` / `<topic>-value` and every component is
+    * framed with the Confluent 5-byte header.
+    *
+    * Returns (key BINARY, value BINARY-nullable) rows, ready for
+    * [[Kafka.writeRoundKeyed]].
+    */
+  def encodeAvroConfluentJdbc(delta: DataFrame, keys: Seq[String],
+      avroSchemaJson: String, registryUrls: String,
+      topic: String): DataFrame = {
+    val spark = delta.sparkSession
+    val valueSchema =
+      new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
+    // key schema: the key columns' fields, subset of the value schema
+    val keySchema = {
+      val fs = new java.util.ArrayList[org.apache.avro.Schema.Field]()
+      keys.foreach { k =>
+        val f = Option(valueSchema.getField(k)).getOrElse(sys.error(
+          s"confluent_jdbc: key field $k missing from avro_schema"))
+        fs.add(new org.apache.avro.Schema.Field(f.name(), f.schema(),
+          f.doc(), f.defaultVal()))
+      }
+      org.apache.avro.Schema.createRecord(valueSchema.getName + "Key",
+        null, valueSchema.getNamespace, false, fs)
+    }
+    def headerOf(id: Int): Array[Byte] =
+      Array[Byte](0, (id >> 24).toByte, (id >> 16).toByte,
+        (id >> 8).toByte, id.toByte)
+    val keyHeader = headerOf(SchemaRegistry.registerSchema(registryUrls,
+      s"$topic-key", keySchema.toString))
+    val valueHeader = headerOf(SchemaRegistry.registerSchema(registryUrls,
+      s"$topic-value", valueSchema.toString))
+    val up = upsertForm(delta, keys)
+    val cols = up.schema.fields.filterNot(_.name == "_op")
+      .map(f => (f.name, f.dataType))
+    val keyCols = cols.filter { case (n, _) => keys.contains(n) }
+    val opIdx = up.columns.indexOf("_op")
+    val keyJson = keySchema.toString
+    val valueJson = valueSchema.toString
+    val rows = up.rdd.mapPartitions { it =>
+      val kSchema = new org.apache.avro.Schema.Parser().parse(keyJson)
+      val vSchema = new org.apache.avro.Schema.Parser().parse(valueJson)
+      val kWriter = new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](kSchema)
+      val vWriter = new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](vSchema)
+      val bos = new java.io.ByteArrayOutputStream()
+      var encoder: org.apache.avro.io.BinaryEncoder = null
+      def encode(writer: org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord],
+          rec: org.apache.avro.generic.GenericRecord,
+          header: Array[Byte]): Array[Byte] = {
+        bos.reset()
+        encoder = org.apache.avro.io.EncoderFactory.get()
+          .binaryEncoder(bos, encoder)
+        writer.write(rec, encoder)
+        encoder.flush()
+        header ++ bos.toByteArray
+      }
+      def put(rec: org.apache.avro.generic.GenericData.Record,
+          row: org.apache.spark.sql.Row, fields: Array[(String, DataType)])
+          : Unit =
+        fields.foreach { case (name, dt) =>
+          val v = row.getAs[Any](name)
+          rec.put(name, (v, dt) match {
+            case (null, _) => null
+            case (b: Array[Byte], BinaryType) =>
+              java.nio.ByteBuffer.wrap(b)
+            case (x, _) => x
+          })
+        }
+      it.map { row =>
+        val kRec = new org.apache.avro.generic.GenericData.Record(kSchema)
+        put(kRec, row, keyCols)
+        val keyBytes = encode(kWriter, kRec, keyHeader)
+        val valueBytes =
+          if (row.getString(opIdx) == "delete") null
+          else {
+            val vRec =
+              new org.apache.avro.generic.GenericData.Record(vSchema)
+            put(vRec, row, cols)
+            encode(vWriter, vRec, valueHeader)
+          }
+        org.apache.spark.sql.Row(keyBytes, valueBytes)
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType))))
+  }
+
   /** Convert one Avro value to the Spark external value for `dt` —
     * recursive over nested records (the Debezium envelope's before/after
     * payloads are nested records).

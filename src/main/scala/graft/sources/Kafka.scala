@@ -622,4 +622,91 @@ object Kafka {
       } finally conns.values.foreach(c => if (c ne boot) c.close())
     } finally boot.close()
   }
+
+  /** Kafka's default partitioner hash (murmur2 over the key bytes) —
+    * keyed records land on the same partition a standard client would
+    * pick, so per-key ordering and log compaction behave identically
+    * for any downstream consumer.
+    */
+  private[graft] def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    var h = seed ^ data.length
+    val len4 = data.length / 4
+    var i = 0
+    while (i < len4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) + ((data(i4 + 1) & 0xff) << 8) +
+        ((data(i4 + 2) & 0xff) << 16) + ((data(i4 + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 1
+    }
+    (data.length % 4) match {
+      case 3 =>
+        h ^= (data((data.length & ~3) + 2) & 0xff) << 16
+        h ^= (data((data.length & ~3) + 1) & 0xff) << 8
+        h ^= data(data.length & ~3) & 0xff
+        h *= m
+      case 2 =>
+        h ^= (data((data.length & ~3) + 1) & 0xff) << 8
+        h ^= data(data.length & ~3) & 0xff
+        h *= m
+      case 1 =>
+        h ^= data(data.length & ~3) & 0xff
+        h *= m
+      case _ => ()
+    }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+
+  /** [[writeRound]] for KEYED records ((key, value-or-tombstone)) — the
+    * indexed-connector delivery shape (e.g. the Confluent JDBC sink
+    * envelope, connectors/sinks/confluent-jdbc.md): each record routes
+    * to the partition Kafka's default partitioner would pick for its
+    * key, and a None value produces a real tombstone record.
+    */
+  def writeRoundKeyed(
+      records: Iterator[(Array[Byte], Option[Array[Byte]])],
+      conf: Connectors.ConnectorConf, batchSize: Int = 500): Long = {
+    val servers = conf.config.getOrElse("bootstrap.servers",
+      sys.error("kafka_output: bootstrap.servers is required"))
+    val topic = conf.config.getOrElse("topic",
+      sys.error("kafka_output: topic is required"))
+    val codec = conf.config.getOrElse("compression.codec", "none") match {
+      case "none" => 0
+      case "gzip" => 1
+      case "snappy" => 2
+      case "lz4" => 3
+      case "zstd" => 4
+      case other => sys.error(s"kafka_output: unknown codec $other")
+    }
+    val (host, port) = bootstrapHost(servers)
+    val boot = new Broker(host, port)
+    try {
+      val parts = metadata(boot, topic)
+      val byId = parts.map(p => p.partition -> p).toMap
+      val conns = scala.collection.mutable.Map((host, port) -> boot)
+      def brokerFor(pi: PartInfo): Broker =
+        conns.getOrElseUpdate((pi.leaderHost, pi.leaderPort),
+          new Broker(pi.leaderHost, pi.leaderPort))
+      try {
+        var sent = 0L
+        records.grouped(batchSize).foreach { group =>
+          group.groupBy { case (k, _) =>
+            (murmur2(k) & 0x7fffffff) % parts.length
+          }.toSeq.sortBy(_._1).foreach { case (pid, rs) =>
+            val pi = byId(pid)
+            val set = buildRecordBatch(0L, System.currentTimeMillis(),
+              rs.map { case (k, v) => (Some(k), v) }, codec)
+            produce(brokerFor(pi), topic, pi.partition, set)
+            sent += rs.length
+          }
+        }
+        sent
+      } finally conns.values.foreach(c => if (c ne boot) c.close())
+    } finally boot.close()
+  }
 }

@@ -678,6 +678,131 @@ class ConnectorsSpec extends SparkSpec {
     assert(step2.contains("""{"insert":{"k":3,"v":"c"}}"""), step2)
   }
 
+  test("postgresql_output mode=cdc appends i/u/d change rows with " +
+      "metadata columns") {
+    val dbDir = Files.createTempDirectory("conn_pgcdc_out")
+    val url = s"jdbc:derby:${dbDir}/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE cdc_t (a BIGINT, b VARCHAR(20), " +
+          "\"__feldera_op\" VARCHAR(1), \"__feldera_ts\" BIGINT)")
+    } finally conn.close()
+    val conf = Connectors.ConnectorConf("postgresql_output",
+      Map("url" -> s"jdbc:derby:$dbDir/db", "table" -> "cdc_t",
+        "mode" -> "cdc"),
+      "", Map.empty)
+    // round 1: two inserts
+    Connectors.writeView(
+      Seq((1L, "x", 1L), (2L, "y", 1L)).toDF("a", "b", ZSets.W),
+      conf, indexKeys = Some(Seq("a")))
+    // round 2: update a=1 (retract old + insert new), delete a=2
+    Connectors.writeView(
+      Seq((1L, "x", -1L), (1L, "x2", 1L), (2L, "y", -1L))
+        .toDF("a", "b", ZSets.W),
+      conf, indexKeys = Some(Seq("a")))
+    val rows = {
+      val c2 = java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/db")
+      try {
+        val rs = c2.createStatement().executeQuery(
+          "SELECT a, b, \"__feldera_op\", \"__feldera_ts\" FROM cdc_t")
+        val buf = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+        while (rs.next())
+          buf += ((rs.getLong(1), rs.getString(2), rs.getString(3),
+            rs.getLong(4)))
+        buf.toSeq
+      } finally c2.close()
+    }
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet === Set(
+      (1L, "x", "i"), (2L, "y", "i"), // round 1
+      (1L, "x2", "u"), (2L, "y", "d"))) // round 2
+    // the ts column carries microseconds (plausibly recent)
+    assert(rows.forall(_._4 > 1_500_000_000_000_000L))
+  }
+
+  test("confluent_jdbc avro envelope: keyed messages, tombstone " +
+      "deletes, topic-name-strategy subjects") {
+    import graft.sources.{Envelopes, Kafka}
+    // minimal stub registry (same contract as the egress test)
+    val mapperJ = new com.fasterxml.jackson.databind.ObjectMapper()
+    val idOf = scala.collection.mutable.Map[String, Int]()
+    val subjects = scala.collection.mutable.Buffer[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/subjects/",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val subject = ex.getRequestURI.getPath.split('/')(2)
+        val schema = mapperJ.readTree(ex.getRequestBody.readAllBytes())
+          .get("schema").asText()
+        val id = idOf.synchronized {
+          subjects += subject
+          idOf.getOrElseUpdate(schema, idOf.size + 50)
+        }
+        val body = s"""{"id":$id}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      })
+    server.start()
+    val broker = new graft.tools.KafkaMiniBroker("cj_t", nPartitions = 2)
+    try {
+      val urls = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val schemaJson = """{"type":"record","name":"cj","fields":[
+        |{"name":"a","type":"long"},
+        |{"name":"b","type":["null","string"],"default":null}]}"""
+        .stripMargin
+      val conf = Connectors.ConnectorConf("kafka_output",
+        Map("bootstrap.servers" -> s"127.0.0.1:${broker.port}",
+          "topic" -> "cj_t"),
+        "avro", Map("update_format" -> "confluent_jdbc",
+          "avro_schema" -> schemaJson,
+          "key_fields" -> """["a"]""",
+          "registry_urls" -> urls))
+      Connectors.writeView(
+        Seq((1L, "x", 1L), (2L, "y", 1L)).toDF("a", "b", ZSets.W), conf)
+      Connectors.writeView(
+        Seq((1L, "x", -1L), (1L, "x2", 1L), (2L, "y", -1L))
+          .toDF("a", "b", ZSets.W), conf)
+      // both subjects registered under the topic-name strategy
+      assert(idOf.synchronized(subjects.distinct.sorted) ===
+        Seq("cj_t-key", "cj_t-value"))
+      // decode every record off the broker
+      val recs = (0 until 2).flatMap(p =>
+        broker.batches(p).flatMap(Kafka.parseRecordSet))
+      def avroDecode(frame: Array[Byte], schema: String):
+          org.apache.avro.generic.GenericRecord = {
+        val s = new org.apache.avro.Schema.Parser().parse(schema)
+        val reader = new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord](s)
+        reader.read(null, org.apache.avro.io.DecoderFactory.get()
+          .binaryDecoder(frame, 5, frame.length - 5, null))
+      }
+      val keySchema = """{"type":"record","name":"cjKey","fields":[
+        |{"name":"a","type":"long"}]}""".stripMargin
+      val decoded = recs.map { r =>
+        val k = avroDecode(r.key.get, keySchema)
+          .get("a").asInstanceOf[Long]
+        val v = r.value.map(f => avroDecode(f, schemaJson))
+          .map(g => (g.get("a").asInstanceOf[Long],
+            Option(g.get("b")).map(_.toString).orNull))
+        (k, v)
+      }
+      // 2 inserts + 1 update (new value) + 1 tombstone
+      assert(decoded.toSet === Set(
+        (1L, Some((1L, "x"))), (2L, Some((2L, "y"))),
+        (1L, Some((1L, "x2"))), (2L, None)))
+      // per-key partition consistency: every record of one key lands on
+      // one partition (the murmur2 routing)
+      val byPart = (0 until 2).flatMap(p =>
+        broker.batches(p).flatMap(Kafka.parseRecordSet)
+          .map(r => (avroDecode(r.key.get, keySchema)
+            .get("a").asInstanceOf[Long], p)))
+      assert(byPart.groupBy(_._1).values
+        .forall(ps => ps.map(_._2).distinct.size == 1))
+      // every frame carries the Confluent header with the assigned ids
+      assert(recs.forall(r => r.key.get(0) == 0.toByte))
+    } finally { broker.close(); server.stop(0) }
+  }
+
   test("connector config resolves env and mounted-secret references") {
     val secrets = Files.createTempDirectory("secrets")
     Files.createDirectories(secrets.resolve("pg"))
