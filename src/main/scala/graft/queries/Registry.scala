@@ -19,6 +19,7 @@ object Registry {
       PipelineE2e.queries ++
       ConnectorsE2e.queries ++
       SqlConformance.queries ++
+      SltFuzz.queries ++
       Extras.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -26,12 +26,12 @@ object SqlConformance {
 
   // 100-row derived fixture: i, two, four, ten, v (nullable, NULL at
   // every i % 3 == 0)
-  private val TS =
+  private[queries] val TS =
     """WITH t AS (SELECT id AS i, CAST(id % 2 AS INT) AS two,
       | CAST(id % 4 AS INT) AS four, CAST(id % 10 AS INT) AS ten,
       | CAST(CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS BIGINT) AS v
       | FROM range(0, 100)) """.stripMargin.replaceAll("\n", "")
-  private val TD =
+  private[queries] val TD =
     """WITH t AS (SELECT i, CAST(i % 2 AS INT) AS two,
       | CAST(i % 4 AS INT) AS four, CAST(i % 10 AS INT) AS ten,
       | CAST(CASE WHEN i % 3 = 0 THEN NULL ELSE i END AS BIGINT) AS v
