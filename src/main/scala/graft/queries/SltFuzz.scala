@@ -94,11 +94,76 @@ object SltFuzz {
 
   private val (flatBody, groupedBody) = gen()
 
+  /** Window-function corpus, SLT result-hash style: every generated
+    * window expression is computed per row in a subquery (ORDER BY the
+    * UNIQUE key `i`, so ties cannot make results engine-dependent) and
+    * folded to one checksum column `CAST(SUM(expr * (i+1)) AS BIGINT)`
+    * — a positional fingerprint that detects any per-row divergence.
+    * Covers the rank family, NTILE, LAG/LEAD with offset+default,
+    * FIRST/LAST/NTH_VALUE with explicit frames, and SUM/MIN/MAX/COUNT
+    * over random ROWS frames across partitions and sort directions.
+    */
+  private def genWindows(): String = {
+    val rnd = new scala.util.Random(8141821L)
+    val leaves = Seq("CAST(i AS BIGINT)", "CAST(two AS BIGINT)",
+      "CAST(four AS BIGINT)", "CAST(ten AS BIGINT)", "v")
+    def e(): String = leaves(rnd.nextInt(leaves.length))
+    def over(frame: Boolean): String = {
+      val part = Seq("", "PARTITION BY two ", "PARTITION BY four ",
+        "PARTITION BY ten ")(rnd.nextInt(4))
+      val dir = if (rnd.nextBoolean()) "ASC" else "DESC"
+      val fr =
+        if (!frame) ""
+        else rnd.nextInt(3) match {
+          case 0 => " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+          case 1 => s" ROWS BETWEEN ${1 + rnd.nextInt(3)} PRECEDING " +
+            s"AND ${rnd.nextInt(3)} FOLLOWING"
+          case 2 =>
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+        }
+      s"OVER (${part}ORDER BY i $dir$fr)"
+    }
+    def winExpr(): String = rnd.nextInt(10) match {
+      case 0 => s"ROW_NUMBER() ${over(frame = false)}"
+      case 1 => s"RANK() ${over(frame = false)}"
+      case 2 => s"DENSE_RANK() ${over(frame = false)}"
+      case 3 => s"NTILE(${2 + rnd.nextInt(5)}) ${over(frame = false)}"
+      case 4 => s"LAG(${e()}, ${1 + rnd.nextInt(3)}, " +
+        s"CAST(${rnd.nextInt(10)} AS BIGINT)) ${over(frame = false)}"
+      case 5 => s"LEAD(${e()}, ${1 + rnd.nextInt(3)}, " +
+        s"CAST(${rnd.nextInt(10)} AS BIGINT)) ${over(frame = false)}"
+      case 6 => s"FIRST_VALUE(${e()}) ${over(frame = true)}"
+      case 7 =>
+        // LAST/NTH need a full frame to see past the current row
+        val full = over(frame = false).stripSuffix(")") +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        if (rnd.nextBoolean()) s"LAST_VALUE(${e()}) $full"
+        else s"NTH_VALUE(${e()}, ${1 + rnd.nextInt(5)}) $full"
+      case 8 =>
+        val f = Seq("SUM", "MIN", "MAX", "COUNT")(rnd.nextInt(4))
+        s"$f(${e()}) ${over(frame = true)}"
+      case 9 => s"CAST(ROUND(PERCENT_RANK() ${over(frame = false)} " +
+        s"* 1000000) AS BIGINT)"
+    }
+    val nW = 60
+    val inner = (0 until nW)
+      .map(k => s"COALESCE(${winExpr()}, -1) AS w$k").mkString(", ")
+    val outer = (0 until nW)
+      .map(k => s"CAST(SUM(w$k * (CAST(i AS BIGINT) + 1)) AS BIGINT) " +
+        s"AS q$k").mkString(", ")
+    s"SELECT $outer FROM (SELECT i, $inner FROM t) s"
+  }
+
+  private val windowBody = genWindows()
+
   val queries: Seq[Q] = Seq(
     Q("slt_fuzz", SqlConformance.TD + flatBody) { (s, _) =>
       s.sql(SqlConformance.TS + flatBody)
     },
     Q("slt_fuzz_grouped", SqlConformance.TD + groupedBody) { (s, _) =>
       s.sql(SqlConformance.TS + groupedBody)
+    },
+    Q("slt_fuzz_window", SqlConformance.TD + windowBody) { (s, _) =>
+      s.sql(SqlConformance.TS + windowBody)
     })
 }
