@@ -156,6 +156,84 @@ object SltFuzz {
 
   private val windowBody = genWindows()
 
+  /** String-function corpus: ASCII-only derived strings (collation-
+    * neutral in both engines), random chains of UPPER/LOWER/SUBSTR/
+    * TRIM/REPLACE/REVERSE/LPAD/RPAD/LEFT/RIGHT/REPEAT/SPLIT_PART/||,
+    * folded per shape to a length checksum + an ASCII-of-first-char
+    * checksum + lexicographic MIN/MAX.
+    */
+  private def genStrings(): String = {
+    val rnd = new scala.util.Random(3141592L)
+    val leaves = Seq(
+      "('r' || CAST(i AS VARCHAR(20)))",
+      "('ab,cd,' || CAST(ten AS VARCHAR(20)))",
+      "(' pad ' || CAST(four AS VARCHAR(20)) || ' ')",
+      "('XyZ' || CAST(two AS VARCHAR(20)))")
+    def sExpr(d: Int): String =
+      if (d <= 0) leaves(rnd.nextInt(leaves.length))
+      else rnd.nextInt(11) match {
+        case 0 => s"UPPER(${sExpr(d - 1)})"
+        case 1 => s"LOWER(${sExpr(d - 1)})"
+        case 2 => s"SUBSTR(${sExpr(d - 1)}, ${1 + rnd.nextInt(3)}, " +
+          s"${1 + rnd.nextInt(6)})"
+        case 3 => s"TRIM(${sExpr(d - 1)})"
+        case 4 => s"REPLACE(${sExpr(d - 1)}, " +
+          s"'${"rabX".charAt(rnd.nextInt(4))}', '_')"
+        case 5 => s"REVERSE(${sExpr(d - 1)})"
+        case 6 => s"LPAD(${sExpr(d - 1)}, ${4 + rnd.nextInt(8)}, '.')"
+        case 7 => s"RPAD(${sExpr(d - 1)}, ${4 + rnd.nextInt(8)}, '-')"
+        case 8 => s"(${sExpr(d - 1)} || ${sExpr(d - 1)})"
+        case 9 => s"REPEAT(${sExpr(d - 1)}, ${1 + rnd.nextInt(2)})"
+        case 10 => s"SPLIT_PART(${sExpr(d - 1)}, ',', " +
+          s"${1 + rnd.nextInt(3)})"
+      }
+    val nS = 50
+    val inner = (0 until nS)
+      .map(k => s"${sExpr(1 + rnd.nextInt(2))} AS w$k").mkString(", ")
+    val outer = (0 until nS).map { k =>
+      s"CAST(SUM(LENGTH(w$k) * (CAST(i AS BIGINT) + 1)) AS BIGINT) " +
+        s"AS q${k}_len, " +
+        s"CAST(SUM(ASCII(w$k) * (CAST(i AS BIGINT) + 1)) AS BIGINT) " +
+        s"AS q${k}_asc, MIN(w$k) AS q${k}_mn, MAX(w$k) AS q${k}_mx"
+    }.mkString(", ")
+    s"SELECT $outer FROM (SELECT i, $inner FROM t) s"
+  }
+
+  /** Date-arithmetic corpus: make_date leaves (shared spelling), random
+    * interval add/subtract chains with month-end clamping in play, and
+    * LAST_DAY; folded per shape to a yyyymmdd positional checksum.
+    */
+  private def genDates(): String = {
+    val rnd = new scala.util.Random(27182818L)
+    def leaf(): String = rnd.nextInt(3) match {
+      case 0 => "MAKE_DATE(2000 + ten, 1 + two * 6, 1 + four * 7)"
+      case 1 => "MAKE_DATE(2020 + two, 1 + ten, 28)"
+      case 2 => "MAKE_DATE(2024, 2, 1 + MOD(i, 28))"
+    }
+    def dExpr(d: Int): String =
+      if (d <= 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => s"(${dExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(40)}' DAY)"
+        case 1 => s"(${dExpr(d - 1)} - INTERVAL '${1 + rnd.nextInt(40)}' DAY)"
+        case 2 =>
+          s"(${dExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(14)}' MONTH)"
+        case 3 => s"LAST_DAY(${dExpr(d - 1)})"
+      }
+    val nD = 40
+    val inner = (0 until nD)
+      .map(k => s"CAST(${dExpr(1 + rnd.nextInt(2))} AS DATE) AS w$k")
+      .mkString(", ")
+    val outer = (0 until nD).map { k =>
+      s"CAST(SUM((EXTRACT(YEAR FROM w$k) * 10000 + " +
+        s"EXTRACT(MONTH FROM w$k) * 100 + EXTRACT(DAY FROM w$k)) * " +
+        s"(CAST(i AS BIGINT) + 1)) AS BIGINT) AS q$k"
+    }.mkString(", ")
+    s"SELECT $outer FROM (SELECT i, $inner FROM t) s"
+  }
+
+  private val stringBody = genStrings()
+  private val dateBody = genDates()
+
   val queries: Seq[Q] = Seq(
     Q("slt_fuzz", SqlConformance.TD + flatBody) { (s, _) =>
       s.sql(SqlConformance.TS + flatBody)
@@ -165,5 +243,11 @@ object SltFuzz {
     },
     Q("slt_fuzz_window", SqlConformance.TD + windowBody) { (s, _) =>
       s.sql(SqlConformance.TS + windowBody)
+    },
+    Q("slt_fuzz_strings", SqlConformance.TD + stringBody) { (s, _) =>
+      s.sql(SqlConformance.TS + stringBody)
+    },
+    Q("slt_fuzz_dates", SqlConformance.TD + dateBody) { (s, _) =>
+      s.sql(SqlConformance.TS + dateBody)
     })
 }
