@@ -1057,8 +1057,14 @@ final class Pipeline(spark: SparkSession,
     // upsertStep converts overwrite/delete semantics into retract+insert
     // Z-set deltas against the presence-marked key state
     // (crates: upsert handling in the input controller; SURVEY §2.1).
+    // phase-tagged job descriptions: every Spark job fired by a step
+    // phase carries "step#N <phase>" so the per-step driver floor is
+    // attributable per phase/view in the UI and JobMeter traces
+    def tag(phase: String): Unit =
+      spark.sparkContext.setJobDescription(s"step#$stepsRun $phase")
     val relDeltas = mutable.Map[String, DataFrame]()
     deltas.foreach { case (name, raw0) =>
+      tag(s"integrate $name")
       val raw = appendOnlyGuard(name, latenessGate(name, raw0))
       val pk = program.tables.find(_.name == name)
         .map(_.primaryKey).getOrElse(Nil)
@@ -1083,12 +1089,14 @@ final class Pipeline(spark: SparkSession,
 
     // fused sign probe for all table deltas (one job; also warms their
     // lazy checkpoints before the delta rules scan them repeatedly)
+    tag("sign-probe")
     probeDeltaSigns(relDeltas)
 
     // 2. maintain views in declaration order
     val newStates = mutable.Map[String, DataFrame]() ++ tableState ++ viewState
     var recDeltas = Map.empty[String, DataFrame]
     val out = program.views.map { v =>
+      tag(s"view ${v.name}")
       val rawDelta = if (nowViews(v.name))
         // clock-dependent: always recompute against the bound step time
         recomputeDiff(bindClock(v.sql), newStates, oldViews.get(v.name))
@@ -1148,9 +1156,11 @@ final class Pipeline(spark: SparkSession,
     }.toMap
 
     // 3. restore canonical temp views (multiset form) for adHoc/runBatch
+    tag("restore-views")
     (tableNames ++ program.views.map(_.name)).foreach { n =>
       multisetOf(n, newStates).createOrReplaceTempView(n)
     }
+    spark.sparkContext.setJobDescription(null)
     stepsRun += 1
     out
   }
