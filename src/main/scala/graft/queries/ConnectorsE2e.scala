@@ -456,5 +456,52 @@ object ConnectorsE2e {
           .agg(count(lit(1)).as("n"),
             sum(col("o_orderkey")).as("keysum"))
       } finally stub.close()
+    },
+
+    // Amazon S3 Tables catalog: the metadata location resolves through
+    // a SigV4-signed GetTableMetadataLocation (resource-path API, ARN
+    // double-encoded in the canonical request) against a live
+    // in-process endpoint that re-derives the signature from the wire
+    // bytes; snapshot + follow both route through the catalog.
+    Q(
+      "conn_iceberg_s3t",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 2500
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tdir = java.nio.file.Files
+        .createTempDirectory("conn_iceberg_s3t").toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        .select("o_orderkey", "o_orderstatus")
+      IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 0))
+      val arn = "arn:aws:s3tables:us-west-2:123456789012:bucket/corp"
+      val stub = new graft.tools.S3TablesMiniServer(arn,
+        Map("sales.orders" -> tdir), secret = "s3tsec9")
+      try {
+        val cf = Map("catalog_type" -> "s3tables",
+          "table_name" -> "sales.orders",
+          "s3tables.table-bucket-arn" -> arn,
+          "s3tables.endpoint" -> stub.endpoint,
+          "s3tables.access-key-id" -> "AKIDEXAMPLE",
+          "s3tables.secret-access-key" -> "s3tsec9")
+        val tdef = graft.ddl.Ddl.parse(
+          "CREATE TABLE orders_is (o_orderkey BIGINT, " +
+            "o_orderstatus VARCHAR);").tables.head
+        val conf = graft.sources.Connectors.ConnectorConf("iceberg_input",
+          cf + ("mode" -> "snapshot"), "json", Map.empty)
+        val snap = graft.sources.Connectors.read(s, tdef, conf)
+        val startId = IcebergLake.readMetadata(s,
+          graft.sources.Connectors.resolveIcebergMetadata(s, cf))
+          .currentSnapshotId.get
+        IcebergLake.append(s, tdir, o.filter(col("o_orderkey") % 2 === 1))
+        val tail = graft.sources.Connectors.read(s, tdef, conf.copy(
+          config = cf + ("mode" -> "follow") +
+            ("snapshot_id" -> startId.toString)))
+        graft.zset.ZSets.consolidate(snap.unionByName(tail))
+          .filter(col(graft.zset.ZSets.W) =!= 0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("keysum"))
+      } finally stub.close()
     })
 }

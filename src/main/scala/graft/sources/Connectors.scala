@@ -375,10 +375,15 @@ object Connectors {
         cf.getOrElse("table_name",
           sys.error("iceberg_input: catalog_type=glue needs table_name " +
             "(database.table)")))
+    case Some("s3tables") =>
+      IcebergS3Tables.tableMetadataLocation(cf,
+        cf.getOrElse("table_name",
+          sys.error("iceberg_input: catalog_type=s3tables needs " +
+            "table_name (namespace.table)")))
     case Some(other) =>
       sys.error(s"iceberg_input catalog_type=$other not supported; " +
-        "use rest, glue, metadata_location (direct read), or a " +
-        "filesystem table dir (version-hint.text)")
+        "use rest, glue, s3tables, metadata_location (direct read), or " +
+        "a filesystem table dir (version-hint.text)")
     case None => cf.get("metadata_location").getOrElse(
       IcebergLake.currentMetadata(spark,
         cf.get("uri").orElse(cf.get("path")).getOrElse(

@@ -97,6 +97,35 @@ object DynamoDb {
         k.split('-').map(_.capitalize).mkString("-") -> v }
   }
 
+  /** SigV4 headers for a bare REST call (no X-Amz-Target envelope) —
+    * the shape of AWS's resource-path APIs (S3 Tables). Signed headers:
+    * host, x-amz-date (+ extras). Per the SigV4 spec, every service
+    * except S3 itself canonicalizes the path DOUBLE-encoded, so a
+    * percent-encoded segment on the wire (an ARN's `%3A`) appears as
+    * `%253A` in the canonical request (`doubleEncodePath = true`).
+    */
+  def signV4Rest(method: String, uri: URI, region: String,
+      service: String, payload: Array[Byte], accessKey: String,
+      secret: String, now: Instant = Instant.now(),
+      extraSigned: Map[String, String] = Map.empty)
+      : Map[String, String] = {
+    val amzDate = AmzDateFmt.format(now)
+    val hostHeader = uri.getHost +
+      (if (uri.getPort > 0) s":${uri.getPort}" else "")
+    val headers = scala.collection.immutable.TreeMap(
+      "host" -> hostHeader, "x-amz-date" -> amzDate) ++ extraSigned
+    val (signedHeaderNames, signature, scope) =
+      signV4General(method, uri, region, service, payload, secret,
+        headers, now, doubleEncodePath = true)
+    Map(
+      "X-Amz-Date" -> amzDate,
+      "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/" +
+        s"$scope, SignedHeaders=$signedHeaderNames, " +
+        s"Signature=$signature")) ++
+      extraSigned.map { case (k, v) =>
+        k.split('-').map(_.capitalize).mkString("-") -> v }
+  }
+
   /** The signing core over an arbitrary header set and query string —
     * returns (signed-header names, hex signature, credential scope).
     */
@@ -104,7 +133,8 @@ object DynamoDb {
       region: String, service: String, payload: Array[Byte],
       secret: String,
       headers: scala.collection.immutable.TreeMap[String, String],
-      now: Instant): (String, String, String) = {
+      now: Instant, doubleEncodePath: Boolean = false)
+      : (String, String, String) = {
     val amzDate = AmzDateFmt.format(now)
     val date = DateFmt.format(now)
     val canonicalQuery = Option(uri.getRawQuery).map(
@@ -114,8 +144,15 @@ object DynamoDb {
       }.sortBy(p => (p._1, p._2))
         .map { case (k, v) => s"$k=$v" }.mkString("&")).getOrElse("")
     val signedHeaderNames = headers.keys.mkString(";")
+    // canonical URI: S3-style services sign the raw path; everything
+    // else double-encodes (a `%3A` on the wire canonicalizes as `%253A`)
+    val canonPath =
+      if (doubleEncodePath) {
+        val raw = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+        raw.replace("%", "%25")
+      } else if (uri.getPath.isEmpty) "/" else uri.getPath
     val canonical = method + "\n" +
-      (if (uri.getPath.isEmpty) "/" else uri.getPath) + "\n" +
+      canonPath + "\n" +
       canonicalQuery + "\n" +
       headers.map { case (k, v) => s"$k:$v\n" }.mkString + "\n" +
       signedHeaderNames + "\n" +

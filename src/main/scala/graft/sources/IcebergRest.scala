@@ -133,6 +133,79 @@ object IcebergRest {
   }
 }
 
+/** Amazon S3 Tables catalog client (the public S3 Tables REST API;
+  * reference: `crates/iceberg/src/input.rs` open_table_s3tables via the
+  * `iceberg-catalog-s3tables` crate, config keys
+  * `crates/feldera-types/src/transport/iceberg.rs` "s3tables.*"): one
+  * SigV4-signed `GetTableMetadataLocation` call —
+  * `GET /tables/{tableBucketARN}/{namespace}/{name}/metadata-location`
+  * against `s3tables.<region>.amazonaws.com`, service name `s3tables` —
+  * returns the table's current `metadataLocation`, and the normal
+  * metadata-direct reader takes over. Because the ARN rides inside the
+  * path, the canonical request double-encodes it per the SigV4 spec
+  * (`%3A` on the wire → `%253A` canonical; signV4Rest handles this).
+  *
+  * Config keys mirror the reference: `s3tables.table-bucket-arn`
+  * (required), `s3tables.endpoint`, `s3tables.region`,
+  * `s3tables.access-key-id`, `s3tables.secret-access-key`,
+  * `s3tables.session-token`.
+  */
+object IcebergS3Tables {
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  /** URI-encode one path segment AWS-style (unreserved chars pass). */
+  private[sources] def enc(seg: String): String =
+    seg.flatMap { c =>
+      if (c.isLetterOrDigit && c < 128 || "-._~".contains(c)) c.toString
+      else c.toString.getBytes(UTF_8).map(b => f"%%${b & 0xff}%02X")
+        .mkString
+    }
+
+  def tableMetadataLocation(cf: Map[String, String],
+      tableName: String): String = {
+    val arn = cf.getOrElse("s3tables.table-bucket-arn", sys.error(
+      "iceberg_input: catalog_type=s3tables needs s3tables.table-bucket-arn"))
+    // ARN format: arn:aws:s3tables:<region>:<acct>:bucket/<name> — the
+    // region default comes from the ARN itself, as in the AWS SDK
+    val region = cf.get("s3tables.region")
+      .orElse(arn.split(":").lift(3).filter(_.nonEmpty))
+      .getOrElse("us-east-1")
+    val endpoint = cf.getOrElse("s3tables.endpoint",
+      s"https://s3tables.$region.amazonaws.com").stripSuffix("/")
+    val accessKey = cf.get("s3tables.access-key-id")
+      .orElse(sys.env.get("AWS_ACCESS_KEY_ID")).getOrElse(sys.error(
+        "iceberg_input: s3tables catalog needs s3tables.access-key-id"))
+    val secret = cf.get("s3tables.secret-access-key")
+      .orElse(sys.env.get("AWS_SECRET_ACCESS_KEY")).getOrElse(sys.error(
+        "iceberg_input: s3tables catalog needs s3tables.secret-access-key"))
+    val (ns, tbl) = tableName.lastIndexOf('.') match {
+      case -1 => sys.error(
+        s"iceberg s3tables: table_name must be namespace.table: $tableName")
+      case i => (tableName.substring(0, i), tableName.substring(i + 1))
+    }
+    val uri = URI.create(
+      s"$endpoint/tables/${enc(arn)}/${enc(ns)}/${enc(tbl)}/metadata-location")
+    val headers = DynamoDb.signV4Rest("GET", uri, region, "s3tables",
+      Array.emptyByteArray, accessKey, secret,
+      extraSigned = cf.get("s3tables.session-token")
+        .map(t => Map("x-amz-security-token" -> t)).getOrElse(Map.empty))
+    val req = headers.foldLeft(
+      HttpRequest.newBuilder().uri(uri).GET()) {
+      case (b, (k, v)) => b.header(k, v)
+    }.build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"iceberg s3tables: GetTableMetadataLocation failed HTTP " +
+        s"${resp.statusCode()}: ${resp.body().take(300)}")
+    Option(mapper.readTree(resp.body()).get("metadataLocation"))
+      .map(_.asText()).getOrElse(sys.error(
+        s"iceberg s3tables: table $tableName has no metadataLocation " +
+          "(never written to?)"))
+  }
+}
+
 /** AWS Glue catalog client for Iceberg tables (the public Glue data
   * catalog API; reference: docs/connectors/sources/iceberg.md "Glue
   * catalog configuration", `crates/iceberg/src/input.rs`

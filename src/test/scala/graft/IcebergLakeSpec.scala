@@ -284,6 +284,50 @@ class IcebergLakeSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("s3tables catalog: SigV4-signed GetTableMetadataLocation over " +
+      "the double-encoded ARN path resolves the metadata location; " +
+      "wrong secret fails loudly; region defaults from the ARN") {
+    val dir = tmp()
+    IcebergLake.append(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    val arn = "arn:aws:s3tables:us-east-2:123456789012:bucket/my-bucket"
+    val stub = new graft.tools.S3TablesMiniServer(arn,
+      Map("analytics.orders" -> dir), secret = "s3tSecret1",
+      sessionToken = Some("sess-tok-3"))
+    try {
+      val cf = Map("catalog_type" -> "s3tables",
+        "table_name" -> "analytics.orders",
+        "s3tables.table-bucket-arn" -> arn,
+        "s3tables.endpoint" -> stub.endpoint,
+        "s3tables.access-key-id" -> "AKIDEXAMPLE",
+        "s3tables.secret-access-key" -> "s3tSecret1",
+        "s3tables.session-token" -> "sess-tok-3")
+      // region omitted on purpose: defaults from the ARN (us-east-2) —
+      // the stub re-derives with the region in the Credential scope, so
+      // a wrong default would be a signature mismatch
+      val loc = Connectors.resolveIcebergMetadata(spark, cf)
+      assert(IcebergLake.snapshot(spark, loc).count() === 3)
+      assert(stub.calls >= 1 && stub.badSignatures === 0)
+      // follow: the catalog serves the next commit's location
+      IcebergLake.append(spark, dir, Seq((9L, "z")).toDF("id", "s"))
+      val loc2 = Connectors.resolveIcebergMetadata(spark, cf)
+      assert(loc2 !== loc)
+      assert(IcebergLake.snapshot(spark, loc2).count() === 4)
+
+      val e1 = intercept[Exception](Connectors.resolveIcebergMetadata(
+        spark, cf + ("s3tables.secret-access-key" -> "wrong")))
+      assert(e1.getMessage.contains("403"))
+      val e2 = intercept[Exception](Connectors.resolveIcebergMetadata(
+        spark, cf - "s3tables.session-token"))
+      assert(e2.getMessage.contains("403"))
+      assert(stub.badSignatures === 2)
+      // unknown table: loud 404, not a silent empty read
+      val e3 = intercept[Exception](Connectors.resolveIcebergMetadata(
+        spark, cf + ("table_name" -> "analytics.nope")))
+      assert(e3.getMessage.contains("404"))
+    } finally stub.close()
+  }
+
   test("rest catalog: oauth token exchange, config prefix, loadTable " +
       "snapshot + follow with per-round cursor carry") {
     val dir = tmp()
