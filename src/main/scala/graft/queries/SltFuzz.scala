@@ -234,6 +234,116 @@ object SltFuzz {
   private val stringBody = genStrings()
   private val dateBody = genDates()
 
+  // ------------------------------------------------------ join corpus
+
+  /** Two-table fixture for the join corpus, spelled per engine (Spark's
+    * `range` yields `id`; DuckDB's yields a positional alias). Key
+    * domains overlap partially (ka 0..12 vs kb 0..10) so outer joins
+    * produce unmatched rows on both sides, and `va`/`wb` are NULLABLE
+    * keys — the null-never-matches join rule and the NOT IN null trap
+    * are both in play.
+    */
+  private[queries] val JS =
+    """WITH a AS (SELECT id AS i, CAST(id % 13 AS INT) AS ka,
+      | CAST(CASE WHEN id % 5 = 0 THEN NULL ELSE id % 7 END AS BIGINT)
+      |  AS va FROM range(0, 100)),
+      |b AS (SELECT id AS j, CAST(id % 11 AS INT) AS kb,
+      | CAST(CASE WHEN id % 4 = 0 THEN NULL ELSE id % 9 END AS BIGINT)
+      |  AS wb FROM range(0, 60)) """.stripMargin.replaceAll("\n", "")
+  private[queries] val JD =
+    """WITH a AS (SELECT i, CAST(i % 13 AS INT) AS ka,
+      | CAST(CASE WHEN i % 5 = 0 THEN NULL ELSE i % 7 END AS BIGINT)
+      |  AS va FROM range(0, 100) AS _r(i)),
+      |b AS (SELECT j, CAST(j % 11 AS INT) AS kb,
+      | CAST(CASE WHEN j % 4 = 0 THEN NULL ELSE j % 9 END AS BIGINT)
+      |  AS wb FROM range(0, 60) AS _s(j)) """.stripMargin
+      .replaceAll("\n", "")
+
+  /** Join/subquery/set-op corpus: every generated query is folded to a
+    * scalar-subquery checksum pair `(SUM fingerprint, COUNT)` so one
+    * wide SELECT (no FROM) verifies the whole corpus in a single
+    * DuckDB hash-match. Shapes: the four join types over equi keys
+    * (incl. NULLABLE keys), compound ON conditions, grouped join
+    * aggregates, [NOT] EXISTS correlation, [NOT] IN with the null trap,
+    * and EXCEPT/INTERSECT [ALL]/UNION set ops.
+    */
+  private def genJoins(): String = {
+    val rnd = new scala.util.Random(4669201L)
+    def pred(): String = rnd.nextInt(6) match {
+      case 0 => s"a.i < b.j * ${1 + rnd.nextInt(3)}"
+      case 1 => "b.wb IS NOT NULL"
+      case 2 => "a.va IS NOT NULL"
+      case 3 => s"MOD(a.i + b.j, ${2 + rnd.nextInt(5)}) = 0"
+      case 4 => s"a.va <> b.j % 7"
+      case 5 => s"a.i + b.j < ${40 + rnd.nextInt(100)}"
+    }
+    def onKeys(): String = rnd.nextInt(4) match {
+      case 0 => "a.ka = b.kb"
+      case 1 => "a.va = b.wb" // nullable keys: NULL never matches
+      case 2 => s"MOD(a.i, ${4 + rnd.nextInt(6)}) = MOD(b.j, 8)"
+      case 3 => "a.ka = b.kb AND " + pred()
+    }
+    // null-tolerant row fingerprint: distinct COALESCE sentinels per
+    // side keep unmatched-left and unmatched-right rows distinguishable
+    def fingerprint(): String =
+      s"COALESCE(a.i, -${1 + rnd.nextInt(9)}) * 31 + " +
+        s"COALESCE(b.j, -${10 + rnd.nextInt(9)}) * 7 + " +
+        s"COALESCE(${if (rnd.nextBoolean()) "a.va" else "b.wb"}, " +
+        s"${rnd.nextInt(5)})"
+    def joinQ(): String = {
+      val jt = Seq("JOIN", "LEFT JOIN", "RIGHT JOIN",
+        "FULL JOIN")(rnd.nextInt(4))
+      val where = if (rnd.nextInt(3) == 0) s" WHERE ${pred()}" else ""
+      s"FROM a $jt b ON ${onKeys()}$where"
+    }
+    def groupedJoinQ(): String = {
+      val g = Seq("a.ka", "b.kb", "a.va")(rnd.nextInt(3))
+      s"(SELECT CAST(SUM(c * (COALESCE(g, -1) + 2)) AS BIGINT) " +
+        s"FROM (SELECT $g AS g, COUNT(*) AS c, " +
+        s"CAST(SUM(${fingerprint()}) AS BIGINT) AS f " +
+        s"${joinQ()} GROUP BY $g) s0)"
+    }
+    def subQ(): String = {
+      val corr = rnd.nextInt(4) match {
+        case 0 => s"EXISTS (SELECT 1 FROM b WHERE b.kb = a.ka AND " +
+          s"b.j < a.i + ${rnd.nextInt(20)})"
+        case 1 => s"NOT EXISTS (SELECT 1 FROM b WHERE b.wb = a.va)"
+        case 2 => s"a.ka IN (SELECT b.wb FROM b WHERE b.j % " +
+          s"${2 + rnd.nextInt(3)} = 0)" // nullable IN list
+        case 3 => s"a.va NOT IN (SELECT b.kb FROM b WHERE b.j < " +
+          s"${10 + rnd.nextInt(30)})"
+      }
+      s"(SELECT COALESCE(CAST(SUM(a.i * 13 + COALESCE(a.va, -3)) " +
+        s"AS BIGINT), -99) FROM a WHERE $corr)"
+    }
+    def setQ(): String = {
+      val op = Seq("EXCEPT", "EXCEPT ALL", "INTERSECT",
+        "INTERSECT ALL", "UNION", "UNION ALL")(rnd.nextInt(6))
+      val l = Seq("SELECT ka AS x FROM a", "SELECT CAST(MOD(i, 17) " +
+        "AS INT) AS x FROM a", "SELECT CAST(va AS INT) AS x FROM a")(
+        rnd.nextInt(3))
+      val r = Seq("SELECT kb AS x FROM b", "SELECT CAST(MOD(j, 15) " +
+        "AS INT) AS x FROM b", "SELECT CAST(wb AS INT) AS x FROM b")(
+        rnd.nextInt(3))
+      s"(SELECT COALESCE(CAST(SUM(x * 5) AS BIGINT), -7) || '/' || " +
+        s"COUNT(*) FROM ($l $op $r) s0)"
+    }
+    val cols = (0 until 44).map { k =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          val q = joinQ()
+          s"(SELECT COALESCE(CAST(SUM(${fingerprint()}) AS BIGINT), " +
+            s"-88) || '/' || COUNT(*) $q) AS q$k"
+        case 1 => s"${groupedJoinQ()} AS q$k"
+        case 2 => s"${subQ()} AS q$k"
+        case 3 => s"${setQ()} AS q$k"
+      }
+    }.mkString(", ")
+    s"SELECT $cols"
+  }
+
+  private val joinBody = genJoins()
+
   val queries: Seq[Q] = Seq(
     Q("slt_fuzz", SqlConformance.TD + flatBody) { (s, _) =>
       s.sql(SqlConformance.TS + flatBody)
@@ -249,5 +359,8 @@ object SltFuzz {
     },
     Q("slt_fuzz_dates", SqlConformance.TD + dateBody) { (s, _) =>
       s.sql(SqlConformance.TS + dateBody)
+    },
+    Q("slt_fuzz_joins", JD + joinBody) { (s, _) =>
+      s.sql(JS + joinBody)
     })
 }
