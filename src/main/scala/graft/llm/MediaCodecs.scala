@@ -10,9 +10,13 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
 /** REAL media codecs over the JDK's bundled libraries — ImageIO
-  * (PNG/JPEG/BMP/GIF) and javax.sound.sampled (WAV/PCM) — upgrading the
-  * multimodal path from an honest stub to an actual decode stage. Video
-  * remains stubbed (the JDK ships no video codec).
+  * (PNG/JPEG/BMP/GIF, including multi-frame animated GIF) and
+  * javax.sound.sampled (WAV/PCM) — upgrading the multimodal path from
+  * an honest stub to an actual decode stage. The animated-GIF path
+  * gives the video stage (frame count, duration from per-frame delays,
+  * stride frame-sampling over real pixel rasters) a genuinely decoded
+  * container; other video codecs (H.264 etc.) stay out of scope — the
+  * JDK ships no codec for them.
   *
   * These are deliberately Scala UDFs, not Catalyst expressions: a codec
   * is irreducibly procedural JVM work (the same boundary a production
@@ -136,6 +140,137 @@ object MediaCodecs {
     } finally ais.close()
   }
 
+  // ------------------------------------------------- multi-frame GIF
+
+  final case class FrameStats(frame_idx: Int, mean_r: Int, mean_g: Int,
+      mean_b: Int)
+
+  final case class VideoStats(width: Int, height: Int, n_frames: Int,
+      duration_ms: Long)
+
+  /** Encode a REAL animated GIF (the one multi-frame container the
+    * JDK's ImageIO both reads and writes): `nFrames` solid-color full
+    * frames where frame k's channels are `(c0 + k*step) % 256`, each
+    * with a GraphicControlExtension `delayTime` of `delayCs`
+    * centiseconds. GIF palettes are lossless for solid fills, so the
+    * decoded per-frame stats are pure integer arithmetic of the
+    * generator parameters — oracle-verifiable like the PNG/WAV paths.
+    */
+  def encodeGifBytes(w: Int, h: Int, nFrames: Int, r0: Int, g0: Int,
+      b0: Int, step: Int, delayCs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var k = 0
+    while (k < nFrames) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (((r0 + k * step) % 256) << 16) |
+        (((g0 + k * step) % 256) << 8) | ((b0 + k * step) % 256)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = {
+        var found: IIOMetadataNode = null
+        var n = root.getFirstChild
+        while (n != null && found == null) {
+          if (n.getNodeName == "GraphicControlExtension")
+            found = n.asInstanceOf[IIOMetadataNode]
+          n = n.getNextSibling
+        }
+        if (found == null) {
+          val g = new IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(g); g
+        } else found
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", delayCs.toString)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+      k += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  private def gifReader(bytes: Array[Byte]) = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(
+      ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+    reader
+  }
+
+  /** Container-level stats: dimensions, frame count, and total duration
+    * summed from each frame's GraphicControlExtension delay.
+    */
+  def decodeGifStats(bytes: Array[Byte]): VideoStats = {
+    val reader = gifReader(bytes)
+    try {
+      val n = reader.getNumImages(true)
+      require(n > 0, "media: gif with no frames")
+      var durCs = 0L
+      var i = 0
+      while (i < n) {
+        val meta = reader.getImageMetadata(i)
+        val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+        var node = root.getFirstChild
+        while (node != null) {
+          if (node.getNodeName == "GraphicControlExtension")
+            durCs += node.getAttributes.getNamedItem("delayTime")
+              .getNodeValue.toLong
+          node = node.getNextSibling
+        }
+        i += 1
+      }
+      VideoStats(reader.getWidth(0), reader.getHeight(0), n, durCs * 10L)
+    } finally reader.dispose()
+  }
+
+  /** REAL frame sampling: decode every `stride`-th frame of the GIF and
+    * return its per-frame mean channel stats — the multimodal
+    * frame-sample stage operating on actual pixel rasters.
+    */
+  def sampleGifFrames(bytes: Array[Byte],
+      stride: Int): Seq[FrameStats] = {
+    val reader = gifReader(bytes)
+    try {
+      val n = reader.getNumImages(true)
+      (0 until n by math.max(1, stride)).map { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val cnt = w.toLong * h
+        FrameStats(i, (sr / cnt).toInt, (sg / cnt).toInt,
+          (sb / cnt).toInt)
+      }
+    } finally reader.dispose()
+  }
+
   // ------------------------------------------------------ column API
 
   val encodePng = udf(encodePngBytes _)
@@ -143,6 +278,9 @@ object MediaCodecs {
   val resizeImage = udf(resizeImageBytes _)
   val encodeWav = udf(encodeWavBytes _)
   val decodeWav = udf(decodeWavStats _)
+  val encodeGif = udf(encodeGifBytes _)
+  val decodeGif = udf(decodeGifStats _)
+  val sampleFrames = udf(sampleGifFrames _)
 
   /** Decoded-pixel pooled features: grayscale mean over a `grid`×`grid`
     * tiling of the REAL pixel raster — the standard cheap visual

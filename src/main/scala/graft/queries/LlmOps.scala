@@ -1435,6 +1435,51 @@ object LlmOps {
           size(col("feats")).as("n_dims"))
     },
 
+    // Video stage over a REAL multi-frame container: deterministic
+    // animated GIFs (frame k's channels = (c0 + 17k) % 256, 4cs delay
+    // per frame) are encoded, then DECODED — container stats from the
+    // per-frame GraphicControlExtension delays, and stride-2 frame
+    // sampling over actual pixel rasters. GIF palettes are lossless for
+    // solid fills, so DuckDB re-derives every decoded value as integer
+    // arithmetic of the generator parameters.
+    Q(
+      "llm_video_frames",
+      """WITH fr AS (SELECT doc_id,
+        |  unnest(range(0, doc_id % 6 + 4, 2)) AS f
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST((doc_id + f * 17) % 256 AS INT) AS mean_r,
+        |  CAST((doc_id * 3 % 256 + f * 17) % 256 AS INT) AS mean_g,
+        |  CAST((doc_id * 5 % 256 + f * 17) % 256 AS INT) AS mean_b,
+        |  CAST(doc_id % 11 + 6 AS INT) AS width,
+        |  CAST(doc_id % 5 + 6 AS INT) AS height,
+        |  CAST(doc_id % 6 + 4 AS INT) AS n_frames,
+        |  CAST((doc_id % 6 + 4) * 40 AS BIGINT) AS duration_ms
+        |FROM fr""".stripMargin) { (s, dir) =>
+      val gen = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+        .withColumn("w", (col("doc_id") % 11 + 6).cast("int"))
+        .withColumn("h", (col("doc_id") % 5 + 6).cast("int"))
+        .withColumn("nf", (col("doc_id") % 6 + 4).cast("int"))
+        .withColumn("r0", (col("doc_id") % 256).cast("int"))
+        .withColumn("g0", (col("doc_id") * 3 % 256).cast("int"))
+        .withColumn("b0", (col("doc_id") * 5 % 256).cast("int"))
+      gen
+        .withColumn("gif", MediaCodecs.encodeGif(col("w"), col("h"),
+          col("nf"), col("r0"), col("g0"), col("b0"), lit(17), lit(4)))
+        .withColumn("vs", MediaCodecs.decodeGif(col("gif")))
+        .withColumn("fr",
+          explode(MediaCodecs.sampleFrames(col("gif"), lit(2))))
+        .select(col("doc_id"),
+          col("fr.frame_idx").as("frame_idx"),
+          col("fr.mean_r").as("mean_r"),
+          col("fr.mean_g").as("mean_g"),
+          col("fr.mean_b").as("mean_b"),
+          col("vs.width").as("width"), col("vs.height").as("height"),
+          col("vs.n_frames").as("n_frames"),
+          col("vs.duration_ms").as("duration_ms"))
+    },
+
     // Boilerplate removal by corpus-level segment dedup (the CCNet line-
     // dedup recipe with a fixed 5-token segmenter — this corpus has no
     // line structure): segments hashed scan-side with the pure-BIGINT

@@ -312,6 +312,32 @@ class LlmSpec extends SparkSpec {
       === ((8000, 1600L, 200L, 700L)))
   }
 
+  test("real multi-frame GIF: animated encode, container stats from " +
+      "per-frame delays, stride frame-sampling with exact colors") {
+    import graft.llm.MediaCodecs
+    // 7 frames, channels stepping by 17 per frame, 4cs delay each
+    val gif = MediaCodecs.encodeGifBytes(12, 9, 7, 200, 60, 10, 17, 4)
+    val vs = MediaCodecs.decodeGifStats(gif)
+    assert((vs.width, vs.height, vs.n_frames, vs.duration_ms)
+      === ((12, 9, 7, 280L)))
+    // stride-2 sampling: frames 0,2,4,6 with exact stepped colors
+    val fr = MediaCodecs.sampleGifFrames(gif, 2)
+    assert(fr.map(_.frame_idx) === Seq(0, 2, 4, 6))
+    fr.foreach { f =>
+      assert((f.mean_r, f.mean_g, f.mean_b) ===
+        (((200 + f.frame_idx * 17) % 256, (60 + f.frame_idx * 17) % 256,
+          (10 + f.frame_idx * 17) % 256)))
+    }
+    // channel wrap-around past 255 stays exact (k*step crosses 256)
+    val gif2 = MediaCodecs.encodeGifBytes(5, 5, 4, 250, 250, 250, 100, 2)
+    val fr2 = MediaCodecs.sampleGifFrames(gif2, 1)
+    assert(fr2.map(_.mean_r) === Seq(250, (350) % 256, (450) % 256,
+      (550) % 256))
+    // stride 1 and huge stride both behave
+    assert(MediaCodecs.sampleGifFrames(gif, 100).map(_.frame_idx)
+      === Seq(0))
+  }
+
   test("connectedComponents groups dup pairs into min-rooted clusters") {
     // two chains and a singleton edge: {1,2,4,9}, {5,7}, {3,8} — run BOTH
     // execution tiers: driver union-find (small-graph tail) and the
