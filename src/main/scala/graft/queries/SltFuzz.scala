@@ -344,6 +344,60 @@ object SltFuzz {
 
   private val joinBody = genJoins()
 
+  /** Decimal-arithmetic corpus (the reference's Postgres numeric golden
+    * suites, fuzzed): random add/subtract/multiply/ABS/LEAST/GREATEST/
+    * CASE chains over
+    * DECIMAL(18,4) with every binary result cast back to (18,4) — the
+    * cast is where scale-reduction ROUNDING happens, and both engines
+    * round ties away from zero. The grammar stays inside the exact
+    * envelope by construction: leaves ≤ 99.9999, multiplication only
+    * combines leaves (product ≤ 1e4, 8 decimals before the cast), so no
+    * intermediate overflows 38 digits in either engine and no value
+    * silently degrades to DOUBLE (DuckDB would on width overflow).
+    * Division and AVG are excluded on purpose: x/0 and decimal-AVG
+    * return types are real dialect splits, pinned separately in
+    * SqlConformance.
+    */
+  private def genDecimals(): String = {
+    val rnd = new scala.util.Random(16180339L)
+    val D = "DECIMAL(18,4)"
+    def leaf(): String = rnd.nextInt(6) match {
+      case 0 => s"CAST(i AS $D)"
+      case 1 => s"CAST(two AS $D)"
+      case 2 => s"CAST(ten AS $D)"
+      case 3 => s"CAST(v AS $D)" // nullable
+      case 4 => s"CAST(${rnd.nextInt(90)}.${1000 + rnd.nextInt(9000)} " +
+        s"AS $D)"
+      case 5 => s"CAST(-${rnd.nextInt(20)}.${1000 + rnd.nextInt(9000)} " +
+        s"AS $D)"
+    }
+    def dExpr(d: Int): String =
+      if (d <= 0) leaf()
+      else rnd.nextInt(7) match {
+        case 0 => s"CAST(${dExpr(d - 1)} + ${dExpr(d - 1)} AS $D)"
+        case 1 => s"CAST(${dExpr(d - 1)} - ${dExpr(d - 1)} AS $D)"
+        // multiplication only at the leaf tier: bounded magnitude,
+        // and the (36,8) → (18,4) cast exercises tie rounding
+        case 2 => s"CAST(${leaf()} * ${leaf()} AS $D)"
+        case 3 => s"ABS(${dExpr(d - 1)})"
+        case 4 => s"LEAST(${dExpr(d - 1)}, ${dExpr(d - 1)})"
+        case 5 => s"GREATEST(${dExpr(d - 1)}, ${dExpr(d - 1)})"
+        case 6 => s"(CASE WHEN ${dExpr(d - 1)} > ${leaf()} " +
+          s"THEN ${dExpr(d - 1)} ELSE ${dExpr(d - 1)} END)"
+      }
+    val nD = 40
+    val cols = (0 until nD).map { k =>
+      val e = dExpr(1 + rnd.nextInt(2))
+      s"CAST(SUM($e) AS DECIMAL(38,6)) AS q${k}_s, " +
+        s"CAST(MIN($e) AS $D) AS q${k}_mn, " +
+        s"CAST(MAX($e) AS $D) AS q${k}_mx, " +
+        s"COUNT($e) AS q${k}_n"
+    }.mkString(", ")
+    s"SELECT $cols FROM t"
+  }
+
+  private val decimalBody = genDecimals()
+
   val queries: Seq[Q] = Seq(
     Q("slt_fuzz", SqlConformance.TD + flatBody) { (s, _) =>
       s.sql(SqlConformance.TS + flatBody)
@@ -362,5 +416,8 @@ object SltFuzz {
     },
     Q("slt_fuzz_joins", JD + joinBody) { (s, _) =>
       s.sql(JS + joinBody)
+    },
+    Q("slt_fuzz_decimals", SqlConformance.TD + decimalBody) { (s, _) =>
+      s.sql(SqlConformance.TS + decimalBody)
     })
 }
