@@ -23,7 +23,7 @@ import graft.zset.ZSets
   */
 class IvmFuzzSpec extends SparkSpec {
 
-  private val nViews = 10
+  private val nViews = 16
 
   private def genViews(rnd: scala.util.Random): Seq[String] = {
     def pred(): String = rnd.nextInt(5) match {
@@ -47,7 +47,7 @@ class IvmFuzzSpec extends SparkSpec {
       case 3 => s"MAX(${proj()})"
     }
     (0 until nViews).map { i =>
-      val body = rnd.nextInt(6) match {
+      val body = rnd.nextInt(10) match {
         case 0 => // linear
           s"SELECT k, g, ${proj()} AS p FROM t WHERE ${pred()}"
         case 1 => // group aggregate
@@ -65,6 +65,23 @@ class IvmFuzzSpec extends SparkSpec {
         case 5 => // opaque tail
           s"SELECT k, v FROM t WHERE ${pred()} ORDER BY v DESC, k " +
             s"LIMIT ${5 + rnd.nextInt(10)}"
+        case 6 => // semi join (the SemiAnti delta rule)
+          s"SELECT k, g, v FROM t WHERE ${pred()} AND EXISTS " +
+            s"(SELECT 1 FROM d WHERE d.g = t.g AND d.g < " +
+            s"${10 + rnd.nextInt(15)})"
+        case 7 => // anti join
+          s"SELECT k, v FROM t WHERE NOT EXISTS " +
+            s"(SELECT 1 FROM d WHERE d.g = t.g AND d.g % " +
+            s"${2 + rnd.nextInt(4)} = 0)"
+        case 8 => // left outer join (classifier fallback must still
+          // converge under dim retraction)
+          s"SELECT a.k, a.v, COALESCE(d.name, '-') AS nm " +
+            s"FROM t a LEFT JOIN d ON a.g = d.g WHERE " +
+            pred().replace("v", "a.v").replace("k", "a.k")
+              .replace("g", "a.g")
+        case 9 => // union all of two linear branches
+          s"SELECT g, ${proj()} AS p FROM t WHERE ${pred()} " +
+            s"UNION ALL SELECT g, ${proj()} AS p FROM t WHERE ${pred()}"
       }
       s"CREATE VIEW fz$i AS $body;"
     }
