@@ -20,6 +20,7 @@ object Registry {
       ConnectorsE2e.queries ++
       SqlConformance.queries ++
       SltFuzz.queries ++
+      TpcH.queries ++
       Extras.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -12,6 +12,31 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("tpch suite: dims broadcast, date/brand filters pushed to scans, " +
+      "no cartesians, top-k via TakeOrdered") {
+    for (q <- Seq("tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7",
+      "tpch_q8", "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q17",
+      "tpch_q18", "tpch_q19")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian")
+      assert(p.contains("PushedFilters: ["), s"$q: no pushed filters")
+    }
+    // the star-shaped queries must broadcast every dimension side
+    for (q <- Seq("tpch_q5", "tpch_q7", "tpch_q8", "tpch_q10",
+      "tpch_q14", "tpch_q19")) {
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q: dimension join should broadcast")
+    }
+    // date-range predicates reach the lineitem/orders parquet scans
+    for (q <- Seq("tpch_q1", "tpch_q6"))
+      assert(plan(q).contains("GreaterThan") || plan(q)
+        .contains("LessThan"), s"$q: date filter not pushed")
+    // q3/q10's LIMIT rides TakeOrderedAndProject, not a global sort
+    for (q <- Seq("tpch_q3", "tpch_q10"))
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q: top-k should be TakeOrderedAndProject")
+  }
+
   test("fn_tail / fn_variant: pushed filters, single scan, codegen") {
     for (q <- Seq("fn_tail", "fn_variant")) {
       val p = plan(q)
