@@ -398,6 +398,52 @@ object SltFuzz {
 
   private val decimalBody = genDecimals()
 
+  /** Timestamp-arithmetic corpus: MAKE_TIMESTAMP leaves (shared
+    * spelling, integer args), random interval chains across every unit
+    * from SECOND to MONTH (month-end clamping in play), and DATE_TRUNC
+    * at minute/hour/day — folded per shape to a positional
+    * yyyymmddhhmmss checksum via EXTRACT, which sidesteps the epoch
+    * dialect split (Spark UNIX_TIMESTAMP vs DuckDB EXTRACT(EPOCH)).
+    */
+  private def genTimestamps(): String = {
+    val rnd = new scala.util.Random(14142135L)
+    def leaf(): String = rnd.nextInt(3) match {
+      case 0 => "MAKE_TIMESTAMP(2020 + two, 1 + ten, 1 + MOD(i, 27), " +
+        "MOD(i, 24), MOD(i * 7, 60), MOD(i * 13, 60))"
+      case 1 => "MAKE_TIMESTAMP(1999 + four, 12, 28 + MOD(i, 4), " +
+        "23, MOD(i, 60), 59)" // year-boundary rollovers
+      case 2 => "MAKE_TIMESTAMP(2024, 2, 26 + MOD(i, 4), " +
+        "MOD(i * 3, 24), 30, 0)" // leap-day neighborhood
+    }
+    def tExpr(d: Int): String =
+      if (d <= 0) leaf()
+      else rnd.nextInt(7) match {
+        case 0 => s"(${tExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(90)}' SECOND)"
+        case 1 => s"(${tExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(200)}' MINUTE)"
+        case 2 => s"(${tExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(50)}' HOUR)"
+        case 3 => s"(${tExpr(d - 1)} - INTERVAL '${1 + rnd.nextInt(40)}' DAY)"
+        case 4 => s"(${tExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(14)}' MONTH)"
+        case 5 => s"DATE_TRUNC('${Seq("minute", "hour", "day")(rnd.nextInt(3))}', " +
+          s"${tExpr(d - 1)})"
+        case 6 => s"(${tExpr(d - 1)} - INTERVAL '${1 + rnd.nextInt(1000)}' MINUTE)"
+      }
+    val nT = 40
+    val inner = (0 until nT)
+      .map(k => s"${tExpr(1 + rnd.nextInt(2))} AS w$k").mkString(", ")
+    val outer = (0 until nT).map { k =>
+      s"CAST(SUM((EXTRACT(YEAR FROM w$k) * 10000000000 + " +
+        s"EXTRACT(MONTH FROM w$k) * 100000000 + " +
+        s"EXTRACT(DAY FROM w$k) * 1000000 + " +
+        s"EXTRACT(HOUR FROM w$k) * 10000 + " +
+        s"EXTRACT(MINUTE FROM w$k) * 100 + " +
+        s"CAST(EXTRACT(SECOND FROM w$k) AS BIGINT)) * " +
+        s"(CAST(i AS BIGINT) + 1)) AS BIGINT) AS q$k"
+    }.mkString(", ")
+    s"SELECT $outer FROM (SELECT i, $inner FROM t) s"
+  }
+
+  private val timestampBody = genTimestamps()
+
   val queries: Seq[Q] = Seq(
     Q("slt_fuzz", SqlConformance.TD + flatBody) { (s, _) =>
       s.sql(SqlConformance.TS + flatBody)
@@ -419,5 +465,8 @@ object SltFuzz {
     },
     Q("slt_fuzz_decimals", SqlConformance.TD + decimalBody) { (s, _) =>
       s.sql(SqlConformance.TS + decimalBody)
+    },
+    Q("slt_fuzz_timestamps", SqlConformance.TD + timestampBody) { (s, _) =>
+      s.sql(SqlConformance.TS + timestampBody)
     })
 }
