@@ -18,6 +18,69 @@ import QB._
 object PipelineE2e {
 
   val queries: Seq[Q] = Seq(
+    // TPC-H Q1 maintained INCREMENTALLY: the full eight-column pricing
+    // summary (exact-decimal sums, ROUND-normalized money, avg via
+    // sum/count) as a pipeline view, fed inserts then a late wave with
+    // retractions; the oracle is the batch Q1 over the surviving rows.
+    // This is the engine's headline contract — the canonical analytics
+    // query kept current under a changing fact table.
+    Q(
+      "pipeline_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(10,4)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(5,4)) *
+        |    CAST(1 + CAST(l_tax AS DECIMAL(5,4)) AS DECIMAL(5,4))), 4)
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) /
+        |    COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+        |  AND l_orderkey % 7 <> 0
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val viewSql =
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_qty,
+          |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)
+          |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+          |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(10,4)) *
+          |    CAST(1 - CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(5,4)) *
+          |    CAST(1 + CAST(l_tax AS DECIMAL(5,4)) AS DECIMAL(5,4))), 4)
+          |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_charge,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) /
+          |    COUNT(l_quantity) AS avg_qty,
+          |  COUNT(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin
+      val prog =
+        """CREATE TABLE lineitem (l_orderkey BIGINT, l_quantity DOUBLE,
+          | l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE,
+          | l_returnflag VARCHAR, l_linestatus VARCHAR,
+          | l_shipdate TIMESTAMP);
+          |""".stripMargin + s"CREATE VIEW q1 AS $viewSql;"
+      val pipe = Pipeline(s, prog)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+          "l_shipdate")
+        .localCheckpoint(true)
+      // step 1: even orderkeys; step 2: odd orderkeys plus retraction of
+      // every %7 row already inserted — groups must re-derive exactly
+      pipe.step(Map("lineitem" ->
+        ZSets.lift(li.filter(col("l_orderkey") % 2 === 0))))
+      pipe.step(Map("lineitem" ->
+        ZSets.lift(li.filter(col("l_orderkey") % 2 === 1)).unionByName(
+          ZSets.negate(ZSets.lift(li.filter(col("l_orderkey") % 7 === 0))))))
+      pipe.adHoc("SELECT * FROM q1")
+    },
+
     // Aggregate directly over a join, maintained by the AggOverMulti
     // composite shape (hidden join-body Z-set + touched-group re-agg)
     // under a 3-step orders / 2-step customer delta schedule with
