@@ -81,6 +81,84 @@ object PipelineE2e {
       pipe.adHoc("SELECT * FROM q1")
     },
 
+    // TPC-H Q5 maintained INCREMENTALLY: the six-table star (two fact
+    // sides stepping with retractions, four dimensions seeded once)
+    // through the AggOverMulti IVM shape; oracle = batch Q5 over the
+    // surviving rows.
+    Q(
+      "pipeline_tpch_q5",
+      """SELECT n_name,
+        |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_orderkey % 5 <> 0
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val viewSql =
+        """SELECT n_name,
+          |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)
+          |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |  AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY n_name""".stripMargin
+      val prog =
+        """CREATE TABLE customer (c_custkey BIGINT, c_nationkey INT);
+          |CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT,
+          | o_orderdate TIMESTAMP);
+          |CREATE TABLE lineitem (l_orderkey BIGINT, l_suppkey BIGINT,
+          | l_extendedprice DOUBLE, l_discount DOUBLE);
+          |CREATE TABLE supplier (s_suppkey BIGINT, s_nationkey INT);
+          |CREATE TABLE nation (n_nationkey INT, n_name VARCHAR,
+          | n_regionkey INT);
+          |CREATE TABLE region (r_regionkey INT, r_name VARCHAR);
+          |""".stripMargin + s"CREATE VIEW q5 AS $viewSql;"
+      val pipe = Pipeline(s, prog)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .localCheckpoint(true)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .localCheckpoint(true)
+      // step 1: dims + even fact keys; step 2: odd keys on both fact
+      // sides + retraction of every %5 lineitem — insert and retract
+      // deltas hit the standing multi-join in the same step
+      pipe.step(Map(
+        "customer" -> ZSets.lift(
+          t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+        "supplier" -> ZSets.lift(
+          t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        "nation" -> ZSets.lift(
+          t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")),
+        "region" -> ZSets.lift(
+          t(s, dir, "region").select("r_regionkey", "r_name")),
+        "orders" -> ZSets.lift(o.filter(col("o_orderkey") % 2 === 0)),
+        "lineitem" -> ZSets.lift(li.filter(col("l_orderkey") % 2 === 0))))
+      pipe.step(Map(
+        "orders" -> ZSets.lift(o.filter(col("o_orderkey") % 2 === 1)),
+        "lineitem" -> ZSets.lift(li.filter(col("l_orderkey") % 2 === 1))
+          .unionByName(ZSets.negate(
+            ZSets.lift(li.filter(col("l_orderkey") % 5 === 0))))))
+      pipe.adHoc("SELECT * FROM q5")
+    },
+
     // Aggregate directly over a join, maintained by the AggOverMulti
     // composite shape (hidden join-body Z-set + touched-group re-agg)
     // under a 3-step orders / 2-step customer delta schedule with
