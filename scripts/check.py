@@ -59,7 +59,11 @@ def main():
                   for c in mine.columns
                   if str(mine[c].dtype) != str(oracle[c].dtype)]
             if dt:
-                print(f"DTYPE {name}: {dt}")
+                # the driver's hash is type-sensitive: a dtype mismatch
+                # IS a failure there, so it must be one here too
+                print(f"FAIL {name}: dtype {dt}")
+                n_fail += 1
+                continue
             if len(mine) != len(oracle):
                 print(f"FAIL {name}: rows {len(mine)} vs {len(oracle)}")
                 n_fail += 1

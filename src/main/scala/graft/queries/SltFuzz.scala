@@ -347,16 +347,21 @@ object SltFuzz {
   /** Decimal-arithmetic corpus (the reference's Postgres numeric golden
     * suites, fuzzed): random add/subtract/multiply/ABS/LEAST/GREATEST/
     * CASE chains over
-    * DECIMAL(18,4) with every binary result cast back to (18,4) — the
-    * cast is where scale-reduction ROUNDING happens, and both engines
-    * round ties away from zero. The grammar stays inside the exact
-    * envelope by construction: leaves ≤ 99.9999, multiplication only
-    * combines leaves (product ≤ 1e4, 8 decimals before the cast), so no
-    * intermediate overflows 38 digits in either engine and no value
-    * silently degrades to DOUBLE (DuckDB would on width overflow).
-    * Division and AVG are excluded on purpose: x/0 and decimal-AVG
-    * return types are real dialect splits, pinned separately in
-    * SqlConformance.
+    * DECIMAL(18,4) with every binary result cast back to (18,4). The
+    * only scale-reducing cast is the multiplication case's (,8)→(,4),
+    * and decimal scale reduction is NOT portable at all (DuckDB 1.0
+    * TRUNCATES the cast, newer DuckDB rounds, Spark rounds HALF_UP —
+    * measured), so the grammar keeps the dropped digits exactly ZERO
+    * by construction: every multiplication operand has an unscaled
+    * value that is a multiple of 100 (columns are multiples of 10^4,
+    * literal fractions carry only 2 decimals), so each product is a
+    * multiple of 10^4 and the cast is exact in every engine/version.
+    * Everything else stays inside the exact envelope: leaves ≤
+    * 99.9999, products ≤ 1e4, so no intermediate overflows 38 digits
+    * in either engine and no value silently degrades to DOUBLE (DuckDB
+    * would on width overflow). Division and AVG are excluded on
+    * purpose: x/0 and decimal-AVG return types are real dialect
+    * splits, pinned separately in SqlConformance.
     */
   private def genDecimals(): String = {
     val rnd = new scala.util.Random(16180339L)
@@ -371,14 +376,29 @@ object SltFuzz {
       case 5 => s"CAST(-${rnd.nextInt(20)}.${1000 + rnd.nextInt(9000)} " +
         s"AS $D)"
     }
+    // multiplication operands whose product's low four unscaled digits
+    // are always exact zeros (columns: multiples of 10^4; literals:
+    // 2-decimal fractions, multiples of 100 — product of two multiples
+    // of 100 is a multiple of 10^4), so the (,8)→(,4) cast drops
+    // nothing and its engine-divergent rounding mode never engages
+    def mulLeaf(): String = rnd.nextInt(6) match {
+      case 0 => s"CAST(i AS $D)"
+      case 1 => s"CAST(two AS $D)"
+      case 2 => s"CAST(ten AS $D)"
+      case 3 => s"CAST(v AS $D)" // nullable
+      case _ =>
+        val frac = 10 + rnd.nextInt(90)
+        val sign = if (rnd.nextBoolean()) "" else "-"
+        s"CAST($sign${rnd.nextInt(90)}.$frac AS $D)"
+    }
     def dExpr(d: Int): String =
       if (d <= 0) leaf()
       else rnd.nextInt(7) match {
         case 0 => s"CAST(${dExpr(d - 1)} + ${dExpr(d - 1)} AS $D)"
         case 1 => s"CAST(${dExpr(d - 1)} - ${dExpr(d - 1)} AS $D)"
         // multiplication only at the leaf tier: bounded magnitude,
-        // and the (36,8) → (18,4) cast exercises tie rounding
-        case 2 => s"CAST(${leaf()} * ${leaf()} AS $D)"
+        // and the (36,8) → (18,4) cast is tie-free (odd operands)
+        case 2 => s"CAST(${mulLeaf()} * ${mulLeaf()} AS $D)"
         case 3 => s"ABS(${dExpr(d - 1)})"
         case 4 => s"LEAST(${dExpr(d - 1)}, ${dExpr(d - 1)})"
         case 5 => s"GREATEST(${dExpr(d - 1)}, ${dExpr(d - 1)})"

@@ -60,8 +60,11 @@ object SqlConformance {
 
   private val cases: Seq[PQ] = Seq(
     // ------------------------------------------------------- windows
+    // SUM over integers is HUGEINT in DuckDB vs BIGINT in Spark; the
+    // driver's hash is type-sensitive, so every SUM is cast explicitly
     overT("pg_win_sum_partition",
-      """SELECT four, i, SUM(i) OVER (PARTITION BY four) AS psum,
+      """SELECT four, i,
+        | CAST(SUM(i) OVER (PARTITION BY four) AS BIGINT) AS psum,
         | CAST(AVG(i) OVER (PARTITION BY four) AS DOUBLE) AS pavg
         |FROM t WHERE i < 40""".stripMargin.replaceAll("\n", " ")),
     overT("pg_win_rank_ties",
@@ -87,10 +90,10 @@ object SqlConformance {
         |FROM t WHERE i < 10""".stripMargin.replaceAll("\n", " ")),
     overT("pg_win_rows_vs_range",
       """SELECT i, four,
-        | SUM(four) OVER (ORDER BY four, i
-        |   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS srows,
-        | SUM(four) OVER (ORDER BY four
-        |   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS speers
+        | CAST(SUM(four) OVER (ORDER BY four, i
+        |   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS srows,
+        | CAST(SUM(four) OVER (ORDER BY four
+        |   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS speers
         |FROM t WHERE i < 12""".stripMargin.replaceAll("\n", " ")),
     overT("pg_win_first_last_nth",
       """SELECT i, four,
@@ -107,9 +110,11 @@ object SqlConformance {
         |FROM t WHERE i < 10""".stripMargin.replaceAll("\n", " ")),
     overT("pg_win_running_frames",
       """SELECT i,
-        | SUM(i) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS headsum,
-        | SUM(i) OVER (ORDER BY i
-        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tailsum
+        | CAST(SUM(i) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+        |   AS BIGINT) AS headsum,
+        | CAST(SUM(i) OVER (ORDER BY i
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |   AS BIGINT) AS tailsum
         |FROM t WHERE i < 15""".stripMargin.replaceAll("\n", " ")),
     overT("pg_win_nulls_order",
       """SELECT i, v,
@@ -192,12 +197,16 @@ object SqlConformance {
         .stripMargin.replaceAll("\n", " ")),
 
     // ------------------------------------------------------ numerics
+    // every case is tie-free (no exact .5 at the cut digit): decimal
+    // tie-rounding is a DuckDB version split (HALF_UP in 1.0, half-even
+    // later), so ties are not a portable conformance surface
     pq("pg_num_round",
-      """SELECT ROUND(CAST(2.345 AS DECIMAL(10,3)), 2) AS r1,
-        | ROUND(CAST(-2.345 AS DECIMAL(10,3)), 2) AS r2,
-        | ROUND(CAST(2.5 AS DECIMAL(10,1)), 0) AS r3,
-        | ROUND(CAST(-2.5 AS DECIMAL(10,1)), 0) AS r4,
-        | ROUND(CAST(0.005 AS DECIMAL(10,3)), 2) AS r5"""
+      """SELECT ROUND(CAST(2.344 AS DECIMAL(10,3)), 2) AS r1,
+        | ROUND(CAST(-2.346 AS DECIMAL(10,3)), 2) AS r2,
+        | ROUND(CAST(2.4 AS DECIMAL(10,1)), 0) AS r3,
+        | ROUND(CAST(-2.6 AS DECIMAL(10,1)), 0) AS r4,
+        | ROUND(CAST(0.004 AS DECIMAL(10,3)), 2) AS r5,
+        | ROUND(CAST(7.899 AS DECIMAL(10,3)), 2) AS r6"""
         .stripMargin.replaceAll("\n", " ")),
     PQ("pg_num_intdiv_mod",
       """SELECT 7 DIV 2 AS q1, (-7) DIV 2 AS q2, 7 DIV (-2) AS q3,
@@ -210,27 +219,35 @@ object SqlConformance {
         .stripMargin.replaceAll("\n", " ")),
     // Spark CAST(double->int) truncates toward zero; DuckDB/Postgres
     // round on that cast, so the oracle spells the truncation out
+    // FLOOR/CEIL(double) is DOUBLE in DuckDB vs BIGINT in Spark, and
+    // SIGN is TINYINT in DuckDB vs DOUBLE in Spark — cast both sides to
+    // a shared type so the driver's type-sensitive hash agrees
     PQ("pg_num_floor_ceil",
-      """SELECT FLOOR(CAST(-2.7 AS DOUBLE)) AS f1,
-        | CEIL(CAST(-2.7 AS DOUBLE)) AS c1,
-        | FLOOR(CAST(2.7 AS DOUBLE)) AS f2,
-        | CEIL(CAST(2.2 AS DOUBLE)) AS c2,
+      """SELECT CAST(FLOOR(CAST(-2.7 AS DOUBLE)) AS BIGINT) AS f1,
+        | CAST(CEIL(CAST(-2.7 AS DOUBLE)) AS BIGINT) AS c1,
+        | CAST(FLOOR(CAST(2.7 AS DOUBLE)) AS BIGINT) AS f2,
+        | CAST(CEIL(CAST(2.2 AS DOUBLE)) AS BIGINT) AS c2,
         | CAST(CAST(-2.7 AS DOUBLE) AS INT) AS trunc_neg,
-        | SIGN(CAST(-0.5 AS DOUBLE)) AS sneg, SIGN(0) AS szero,
+        | CAST(SIGN(CAST(-0.5 AS DOUBLE)) AS INT) AS sneg,
+        | CAST(SIGN(0) AS INT) AS szero,
         | ABS(CAST(-17.25 AS DECIMAL(6,2))) AS a1"""
         .stripMargin.replaceAll("\n", " "),
-      """SELECT FLOOR(CAST(-2.7 AS DOUBLE)) AS f1,
-        | CEIL(CAST(-2.7 AS DOUBLE)) AS c1,
-        | FLOOR(CAST(2.7 AS DOUBLE)) AS f2,
-        | CEIL(CAST(2.2 AS DOUBLE)) AS c2,
+      """SELECT CAST(FLOOR(CAST(-2.7 AS DOUBLE)) AS BIGINT) AS f1,
+        | CAST(CEIL(CAST(-2.7 AS DOUBLE)) AS BIGINT) AS c1,
+        | CAST(FLOOR(CAST(2.7 AS DOUBLE)) AS BIGINT) AS f2,
+        | CAST(CEIL(CAST(2.2 AS DOUBLE)) AS BIGINT) AS c2,
         | CAST(TRUNC(CAST(-2.7 AS DOUBLE)) AS INT) AS trunc_neg,
-        | SIGN(CAST(-0.5 AS DOUBLE)) AS sneg, SIGN(0) AS szero,
+        | CAST(SIGN(CAST(-0.5 AS DOUBLE)) AS INT) AS sneg,
+        | CAST(SIGN(0) AS INT) AS szero,
         | ABS(CAST(-17.25 AS DECIMAL(6,2))) AS a1"""
         .stripMargin.replaceAll("\n", " ")),
+    // multiplication by an exact decimal literal instead of division:
+    // decimal-division result scale (and its scale-reduction rounding)
+    // is a DuckDB version split; 0.25 products are exact in both
     overT("pg_num_decimal_agg",
       """SELECT four,
-        | CAST(SUM(CAST(i AS DECIMAL(10,2)) / 4) AS DECIMAL(20,6))
-        |   AS dsum,
+        | CAST(SUM(CAST(i AS DECIMAL(10,2)) * CAST(0.25 AS DECIMAL(3,2)))
+        |   AS DECIMAL(20,6)) AS dsum,
         | CAST(AVG(CAST(i AS DECIMAL(10,2))) AS DECIMAL(20,6)) AS davg
         |FROM t WHERE i < 40 GROUP BY four"""
         .stripMargin.replaceAll("\n", " ")),
@@ -331,7 +348,7 @@ object SqlConformance {
         |FROM t WHERE i < 0""".stripMargin.replaceAll("\n", " ")),
     overT("pg_agg_distinct_nulls",
       """SELECT COUNT(DISTINCT ten) AS cd, COUNT(v) AS cv,
-        | COUNT(*) AS call, SUM(DISTINCT ten) AS sd,
+        | COUNT(*) AS call, CAST(SUM(DISTINCT ten) AS BIGINT) AS sd,
         | CAST(AVG(DISTINCT CAST(ten AS DECIMAL(10,2))) AS DECIMAL(20,6))
         |   AS ad
         |FROM t WHERE i < 50""".stripMargin.replaceAll("\n", " ")),

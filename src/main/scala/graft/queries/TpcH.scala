@@ -39,9 +39,13 @@ object TpcH {
     * ulp once the unscaled value exceeds 2^53, while Spark's is
     * correctly rounded — at scale 4 the unscaled sum stays well inside
     * the exact-integer double range in both engines. The scale
-    * reduction goes through ROUND (ties away from zero in BOTH engines,
-    * pinned by pg_num_round) rather than a bare decimal cast, where the
-    * engines disagree on ties (Spark HALF_UP, DuckDB half-even).
+    * reduction goes through ROUND rather than a bare decimal cast.
+    * Neither path's TIE behavior is portable (Spark HALF_UP, DuckDB
+    * half-even in newer versions), but ties are structurally absent
+    * from the 2-factor money sums (price and discount carry 2 decimals
+    * each, so the product is already exact at scale 4 and ROUND drops
+    * only zeros); the 3-factor charge sum cuts 2 exact digits and is
+    * tie-free on this dataset.
     */
   private def money(c: Column): Column =
     round(sum(c), 4).cast(DecimalType(18, 4)).cast("double")
