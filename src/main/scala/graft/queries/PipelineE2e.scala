@@ -66,11 +66,15 @@ object PipelineE2e {
           | l_shipdate TIMESTAMP);
           |""".stripMargin + s"CREATE VIEW q1 AS $viewSql;"
       val pipe = Pipeline(s, prog)
-      val li = t(s, dir, "lineitem")
+      // no eager fixture checkpoint: each step's delta consolidation
+      // scans parquet directly (pruned columns, pushed key filter) —
+      // cheaper than materializing the whole table up front, and the
+      // loadRaw form skips the scan fan-out exchange a small delta
+      // never amortizes
+      val li = tRaw(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice",
           "l_discount", "l_tax", "l_returnflag", "l_linestatus",
           "l_shipdate")
-        .localCheckpoint(true)
       // step 1: even orderkeys; step 2: odd orderkeys plus retraction of
       // every %7 row already inserted — groups must re-derive exactly
       pipe.step(Map("lineitem" ->
@@ -131,12 +135,11 @@ object PipelineE2e {
           |CREATE TABLE region (r_regionkey INT, r_name VARCHAR);
           |""".stripMargin + s"CREATE VIEW q5 AS $viewSql;"
       val pipe = Pipeline(s, prog)
-      val li = t(s, dir, "lineitem")
+      // direct pruned/pushed parquet scans per delta slice (see q1)
+      val li = tRaw(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .localCheckpoint(true)
-      val o = t(s, dir, "orders")
+      val o = tRaw(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderdate")
-        .localCheckpoint(true)
       // step 1: dims + even fact keys; step 2: odd keys on both fact
       // sides + retraction of every %5 lineitem — insert and retract
       // deltas hit the standing multi-join in the same step

@@ -39,6 +39,14 @@ object QB {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(spark, dir, name)
 
+  /** [[t]] without the scan fan-out exchange — for consumers that slice
+    * a table into small deltas (the incremental/pipeline demos), where
+    * each slice is a pruned, filter-pushed parquet scan that no exchange
+    * would amortize.
+    */
+  def tRaw(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.loadRaw(spark, dir, name)
+
   /** Exact fixed-point view of a double column: deterministic across engines. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 

