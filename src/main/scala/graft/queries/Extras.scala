@@ -235,13 +235,33 @@ object Extras {
             .as("vsum"))
     },
 
-    // NOW()-driven temporal filter (ImplementNow.java, DBSPNowOperator):
-    // inherently nondeterministic across engines → rows-only check; the
-    // deterministic variant is ts_temporal_filter.
-    Q.noOracle("ts_now") { (s, dir) =>
-      t(s, dir, "events")
-        .filter(col("ts") >= current_timestamp() - expr("INTERVAL 36500 DAY"))
-        .select("event_id", "user_id", "event_type")
+    // NOW()-driven temporal filter (ImplementNow.java, DBSPNowOperator,
+    // now.md: NOW() is the circuit STEP time). The step clock is PINNED
+    // via Pipeline.advanceClock, so the oracle replays the filter with
+    // the same literal — and the graded run exercises the clock-advance
+    // re-evaluation: rows ingested live under the first clock, then a
+    // later clock RETRACTS the expired week. Final content = what
+    // survives the second clock.
+    Q(
+      "ts_now",
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 10 DAY"""
+        .stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE events (event_id BIGINT, ts TIMESTAMP,
+          | user_id BIGINT, event_type VARCHAR);
+          |CREATE VIEW live AS
+          |  SELECT event_id, user_id, event_type FROM events
+          |  WHERE ts >= NOW() - INTERVAL 10 DAY;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      // pin the clock BEFORE data arrives, ingest, then advance: the
+      // second clock expires 2024-01-15..21 rows, emitting retractions
+      pipe.advanceClock(java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))
+      pipe.step(Map("events" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type"))))
+      pipe.advanceClock(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      pipe.adHoc("SELECT * FROM live")
     }
   )
 }
