@@ -162,6 +162,60 @@ object PipelineE2e {
       pipe.adHoc("SELECT * FROM q5")
     },
 
+    // The full user-defined surface graded through the oracle: the DDL
+    // program declares CREATE TYPE (used in the function's RETURNS and
+    // body), a SQL-bodied CREATE FUNCTION (inlined by Spark's SQL
+    // function support), and CREATE LINEAR AGGREGATE whose
+    // implementation is a session-registered weighted Aggregator
+    // (external-body contract, udf.md / grammar.md:278-293). The view
+    // uses all three and is maintained INCREMENTALLY through a
+    // retraction step; the oracle re-derives type, function and
+    // aggregate inline.
+    Q(
+      "pipeline_udf",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  SUM(l_quantity) AS wqty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_orderkey % 9 <> 0
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      // external-body implementation for the declared LINEAR AGGREGATE:
+      // Σ f(row)·w with unit weights at the SQL surface (the Z-set
+      // weighting is the runner's concern); l_quantity is whole-valued,
+      // so the double sum is exact in any order
+      s.udf.register("wsum", org.apache.spark.sql.functions.udaf(
+        graft.functions.WeightedAggs.linear[Double](identity, _ => 1L),
+        org.apache.spark.sql.Encoders.scalaDouble))
+      val prog =
+        """CREATE TYPE money AS DECIMAL(18, 4);
+          |CREATE FUNCTION disc_price(p DOUBLE, d DOUBLE) RETURNS money
+          |  AS CAST(CAST(p AS money) * (1 - CAST(d AS money)) AS money);
+          |CREATE LINEAR AGGREGATE wsum(v DOUBLE) RETURNS DOUBLE;
+          |CREATE TABLE lineitem (l_orderkey BIGINT, l_quantity DOUBLE,
+          | l_extendedprice DOUBLE, l_discount DOUBLE,
+          | l_returnflag VARCHAR);
+          |CREATE VIEW rev AS
+          |  SELECT l_returnflag,
+          |    CAST(SUM(disc_price(l_extendedprice, l_discount))
+          |      AS DOUBLE) AS revenue,
+          |    wsum(l_quantity) AS wqty,
+          |    COUNT(*) AS n
+          |  FROM lineitem GROUP BY l_returnflag;""".stripMargin
+      val pipe = Pipeline(s, prog)
+      val li = tRaw(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount", "l_returnflag")
+      pipe.step(Map("lineitem" ->
+        ZSets.lift(li.filter(col("l_orderkey") % 2 === 0))))
+      pipe.step(Map("lineitem" ->
+        ZSets.lift(li.filter(col("l_orderkey") % 2 === 1)).unionByName(
+          ZSets.negate(ZSets.lift(li.filter(col("l_orderkey") % 9 === 0))))))
+      pipe.adHoc("SELECT * FROM rev")
+    },
+
     // Aggregate directly over a join, maintained by the AggOverMulti
     // composite shape (hidden join-body Z-set + touched-group re-agg)
     // under a 3-step orders / 2-step customer delta schedule with

@@ -503,5 +503,153 @@ object TpcH {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("numcust"),
           dsum(col("c_acctbal")).as("totacctbal"))
+    },
+
+    // Q4 order-priority checking SHAPE (grouped correlated EXISTS →
+    // semi join → group-count). The testdata has no commit/receipt
+    // dates, so the row-level "late" predicate is substituted with
+    // l_discount > l_tax; the plan shape — dated order scan, EXISTS
+    // decorrelated to a left-semi against the filtered fact, group by
+    // priority — is Q4's.
+    Q(
+      "tpch_q4",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_discount > l_tax)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01"
+          && col("o_orderdate") < "1996-04-01")
+        .join(t(s, dir, "lineitem")
+          .filter(col("l_discount") > col("l_tax"))
+          .select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // Q11 important-stock SHAPE (aggregate-over-aggregate with a global
+    // scalar-subquery threshold). No partsupp: per-part VALUE is the
+    // revenue from a single nation's suppliers, kept exact through the
+    // money discipline so the > comparison is engine-identical; the
+    // 0.001 fraction multiply stays in exact decimal.
+    Q(
+      "tpch_q11",
+      s"""WITH nat AS (
+         |  SELECT l_partkey, $rev AS r
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_1')
+         |SELECT ps_partkey, CAST(vm AS DOUBLE) AS value FROM (
+         |  SELECT l_partkey AS ps_partkey,
+         |    CAST(ROUND(SUM(r), 4) AS DECIMAL(18,4)) AS vm
+         |  FROM nat GROUP BY l_partkey) per
+         |WHERE vm > (
+         |  SELECT CAST(ROUND(SUM(r), 4) AS DECIMAL(18,4)) *
+         |    CAST(0.001 AS DECIMAL(4,3)) FROM nat)""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.types.DecimalType
+        val revC = dec(col("l_extendedprice")) *
+          (lit(1) - dec(col("l_discount")))
+        val natSup = broadcast(t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_1")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey"))
+        val nat = t(s, dir, "lineitem")
+          .join(natSup, col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey"), revC.as("r"))
+        val per = nat.groupBy(col("l_partkey").as("ps_partkey"))
+          .agg(round(sum(col("r")), 4).cast(DecimalType(18, 4)).as("vm"))
+        val thresh = nat.agg((round(sum(col("r")), 4)
+          .cast(DecimalType(18, 4)) *
+          lit(0.001).cast(DecimalType(4, 3))).as("th"))
+        per.join(broadcast(thresh), col("vm") > col("th"))
+          .select(col("ps_partkey"), col("vm").cast("double").as("value"))
+    },
+
+    // Q16 parts/supplier-relationship SHAPE (grouped NOT IN + COUNT
+    // DISTINCT). No partsupp: the part↔supplier relation comes from
+    // lineitem; the complaint filter is substituted by negative account
+    // balance. Plan shape — null-aware anti against the excluded
+    // supplier set, distinct-count per (brand, type, size) — is Q16's.
+    Q(
+      "tpch_q16",
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin) { (s, dir) =>
+      val sizes = Seq(1, 4, 7, 10, 13, 16, 19, 23)
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5"
+            && col("p_size").isin(sizes: _*))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0.0).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    // Q21 suppliers-who-kept-orders-waiting SHAPE (the multi-level
+    // correlated EXISTS + NOT EXISTS over lineitem self-joins). The
+    // "late" predicate is l_discount > l_tax in place of the missing
+    // receipt/commit dates; the decorrelation shape — semi join against
+    // other-supplier rows of the same order, anti join against
+    // other-supplier LATE rows — is Q21's, with its top-100 ordered
+    // output (TakeOrderedAndProject).
+    Q(
+      "tpch_q21",
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+        |  AND l1.l_discount > l1.l_tax
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_discount > l3.l_tax)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val l1 = li.filter(col("l_discount") > col("l_tax"))
+        .select("l_orderkey", "l_suppkey")
+      val l2 = li.select(col("l_orderkey").as("k2"),
+        col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_discount") > col("l_tax"))
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      val natSup = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name"))
+      l1
+        .join(natSup, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("k2")
+          && col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3")
+          && col("l_suppkey") =!= col("s3"), "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     })
 }

@@ -92,14 +92,39 @@ final class Pipeline(spark: SparkSession,
   // FUNCTION inlines via Spark's own SQL function support; an external
   // body (no AS clause) must already be registered with the session
   program.types.foreach(t => SqlTypes.registerType(t.name, t.typedef))
+
+  /** Substitute program-declared type aliases inside a SQL fragment
+    * (function parameter lists, RETURNS clauses and bodies — the
+    * reference allows user types anywhere a type may appear, so
+    * `RETURNS money` or `CAST(x AS money)` must reach Spark spelled as
+    * the underlying type).
+    */
+  private def resolveTypeAliases(s: String): String =
+    program.types.foldLeft(s) { case (acc, t) =>
+      acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(t.name) +
+        "\\b", java.util.regex.Matcher.quoteReplacement(
+          SqlTypes.toSpark(t.name).sql))
+    }
+
   program.functions.foreach { f =>
     f.body match {
       case Some(b) => spark.sql(
-        s"CREATE OR REPLACE TEMPORARY FUNCTION ${f.name}(${f.params}) " +
-          s"RETURNS ${f.returnType} RETURN $b")
+        s"CREATE OR REPLACE TEMPORARY FUNCTION ${f.name}" +
+          s"(${resolveTypeAliases(f.params)}) " +
+          s"RETURNS ${resolveTypeAliases(f.returnType)} " +
+          s"RETURN ${resolveTypeAliases(b)}")
       case None => require(spark.catalog.functionExists(f.name),
         s"external-body function '${f.name}' is not registered")
     }
+  }
+  // CREATE [LINEAR] AGGREGATE bodies are external by contract (udf.md:
+  // the reference implements them in Rust; here a session-registered
+  // Aggregator UDAF supplies the implementation) — fail fast if the
+  // declared name is not registered
+  program.aggregates.foreach { a =>
+    require(spark.catalog.functionExists(a.name),
+      s"aggregate '${a.name}' is not registered with the session " +
+        "(CREATE AGGREGATE implementations are external — udf.md)")
   }
 
   /** Z-set snapshots: tables AND view outputs, consolidated. */

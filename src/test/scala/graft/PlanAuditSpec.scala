@@ -37,6 +37,31 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: top-k should be TakeOrderedAndProject")
   }
 
+  test("tpch shape queries (q4/q11/q16/q21): semi/anti joins, " +
+      "no cartesians, q21 top-k") {
+    for (q <- Seq("tpch_q4", "tpch_q11", "tpch_q16", "tpch_q21")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: stray cartesian:\n$p")
+      // q11's global threshold is a ONE-ROW broadcast compared non-equi
+      // (the scalar-subquery shape — an O(n) probe of a 1-row build is
+      // the right plan); everywhere else a nested-loop join is a bug
+      if (q != "tpch_q11")
+        assert(!p.contains("BroadcastNestedLoop"), s"$q: stray product:\n$p")
+      assert(p.contains("PushedFilters: ["), s"$q: no pushed filters")
+    }
+    // the EXISTS/NOT-IN decorrelations must be semi/anti hash joins
+    assert(plan("tpch_q4").contains("LeftSemi"),
+      "q4: EXISTS should decorrelate to a semi join")
+    val p16 = plan("tpch_q16")
+    assert(p16.contains("LeftAnti"),
+      "q16: NOT IN should be an anti join")
+    val p21 = plan("tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      "q21: EXISTS + NOT EXISTS should be semi + anti joins")
+    assert(p21.contains("TakeOrderedAndProject"),
+      "q21: top-100 should be TakeOrderedAndProject")
+  }
+
   test("fn_tail / fn_variant: pushed filters, single scan, codegen") {
     for (q <- Seq("fn_tail", "fn_variant")) {
       val p = plan(q)
