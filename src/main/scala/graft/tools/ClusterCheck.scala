@@ -172,7 +172,62 @@ object ClusterCheck {
       require(gotI.sameElements(wantI),
         "iceberg round trip diverged on local-cluster")
 
-      println(s"CLUSTERCHECK OK executors=${execs() - 1} checks=6")
+      // 7. spill-under-join: standing co-partitioned join whose state
+      // grows far beyond the memtable bound, so every appended run
+      // flushes to the bucketed parquet tier and the join reads the
+      // SPILLED layout on whichever executor the task lands on. The
+      // 100-TB property asserted: per-step shuffle WRITE tracks the
+      // delta, not the accumulated state (state is scanned/bucket-probed
+      // in place, never re-shuffled), and the final content equals the
+      // batch join exactly.
+      val spillBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              st: org.apache.spark.scheduler.SparkListenerStageCompleted):
+              Unit = {
+            val m = st.stageInfo.taskMetrics
+            if (m != null)
+              spillBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        })
+      val big = spark.range(240000).select(col("id").as("k"),
+        (col("id") * 2).as("av"))
+      val bigB = spark.range(240000).select((col("id") % 120000).as("k"),
+        (col("id") + 7).as("bv"))
+      val aT3 = new CoPartTieredTrace(ZSets.lift(big).limit(0), Seq("k"),
+        nParts = 8, memRows = 2000) // state ≫ memtable: all runs spill
+      val bT3 = new CoPartTieredTrace(ZSets.lift(bigB).limit(0), Seq("k"),
+        nParts = 8, memRows = 2000)
+      try {
+        var acc = Option.empty[DataFrame]
+        val stepBytes = (0 until 6).map { i =>
+          val dA = ZSets.lift(big.filter(col("k") % 6 === i))
+          val dB = ZSets.lift(bigB.filter(col("k") % 6 === i))
+          val b0 = spillBytes.get
+          val d = Trace.materialize(
+            BucketedTrace.coPartJoinStep(aT3, bT3, dA, dB, Seq("k"),
+              maxRuns = 1))
+          acc = Some(acc.map(_.unionByName(d)).getOrElse(d))
+          org.apache.spark.sql.graft.Shims.drainListeners(spark)
+          spillBytes.get - b0
+        }
+        // flat per-step shuffle: the last step (state 6x the first's)
+        // must not shuffle more than 3x the first step's bytes
+        require(stepBytes.last <= stepBytes.head * 3 + (1 << 20),
+          s"per-step shuffle grew with state: $stepBytes")
+        val gotS = ZSets.toMultiset(ZSets.consolidate(acc.get))
+          .groupBy().agg(count(lit(1)), sum(col("av")), sum(col("bv")))
+          .collect().map(_.toString).sorted
+        val wantS = big.join(bigB, "k")
+          .groupBy().agg(count(lit(1)), sum(col("av")), sum(col("bv")))
+          .collect().map(_.toString).sorted
+        require(gotS.sameElements(wantS),
+          "spilled co-partitioned join diverged from batch")
+      } finally { aT3.delete(); bT3.delete() }
+
+      println(s"CLUSTERCHECK OK executors=${execs() - 1} checks=7")
     } finally spark.stop()
   }
 }
