@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("tpch shape queries (q4/q11/q16/q21): semi/anti joins, " +
       "no cartesians, q21 top-k") {
-    for (q <- Seq("tpch_q4", "tpch_q11", "tpch_q16", "tpch_q21")) {
+    for (q <- Seq("tpch_q4", "tpch_q11", "tpch_q16", "tpch_q21",
+      "tpch_q2", "tpch_q9", "tpch_q12", "tpch_q20")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: stray cartesian:\n$p")
       // q11's global threshold is a ONE-ROW broadcast compared non-equi
@@ -60,6 +61,12 @@ class PlanAuditSpec extends SparkSpec {
       "q21: EXISTS + NOT EXISTS should be semi + anti joins")
     assert(p21.contains("TakeOrderedAndProject"),
       "q21: top-100 should be TakeOrderedAndProject")
+    // q2's correlated scalar-MIN decorrelates (no per-row subquery);
+    // q20's nested IN chains become semi joins
+    assert(plan("tpch_q2").contains("TakeOrderedAndProject"),
+      "q2: top-100 should be TakeOrderedAndProject")
+    assert(plan("tpch_q20").contains("LeftSemi"),
+      "q20: IN chains should be semi joins")
   }
 
   test("fn_tail / fn_variant: pushed filters, single scan, codegen") {
