@@ -13,12 +13,19 @@ import graft.ddl.Ddl
 
 /** Google Pub/Sub input transport (docs/connectors/sources/pubsub.md;
   * reference `crates/adapters/src/transport/pubsub/`): pulls a
-  * subscription's backlog through the service's REST/JSON surface —
-  * `subscriptions:pull` with `returnImmediately` (drain what is
-  * available, the per-round shape), `:acknowledge`, and `:seek` for the
-  * `snapshot`/`timestamp` replay options. The same API is what the
-  * Pub/Sub emulator serves, so `emulator` mode works against it
-  * verbatim with no auth, exactly as the reference's emulator option.
+  * subscription's backlog per round — `Pull` with return_immediately
+  * (drain what is available), `Acknowledge`, and `Seek` for the
+  * `snapshot`/`timestamp` replay options.
+  *
+  * Two transports:
+  *  - `grpc` (DEFAULT — the reference uses the gRPC client,
+  *    `pubsub/input.rs:12-14` google_cloud_pubsub): the NATIVE gRPC
+  *    stack in this repo — hand-rolled protobuf wire encoding of the
+  *    public google.pubsub.v1 messages over [[Grpc]]/[[Http2]]/
+  *    [[Hpack]]; h2c to an emulator-style endpoint, TLS + ALPN h2 to
+  *    the real service.
+  *  - `rest`: the service's REST/JSON surface (also served by the
+  *    emulator), kept as the fallback spelling.
   *
   * Authentication outside emulator mode implements the OAuth2
   * JWT-bearer flow from a service-account credentials JSON: an RS256-
@@ -137,6 +144,84 @@ object PubSub {
     ()
   }
 
+  // ------------------------------------------------------------- grpc
+
+  /** google.pubsub.v1 messages, hand-encoded (field numbers from the
+    * public proto): PullRequest{subscription=1, return_immediately=2,
+    * max_messages=3}; PullResponse{received_messages=1} with
+    * ReceivedMessage{ack_id=1, message=2} and PubsubMessage{data=1};
+    * AcknowledgeRequest{subscription=1, ack_ids=2};
+    * SeekRequest{subscription=1, time=2 Timestamp{seconds=1,nanos=2},
+    * snapshot=3}; PublishRequest{topic=1, messages=2}.
+    */
+  def pullAvailableGrpc(ch: Grpc.Channel, subscriptionPath: String,
+      token: Option[String], maxMessages: Int = 256)
+      : Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var more = true
+    while (more) {
+      val req = new Protobuf.Writer()
+        .str(1, subscriptionPath)
+        .bool(2, true) // return_immediately: the per-round drain shape
+        .int32(3, maxMessages)
+      val resp = ch.call("/google.pubsub.v1.Subscriber/Pull",
+        req.result(), token)
+      val ackIds = Vector.newBuilder[String]
+      var n = 0
+      val r = new Protobuf.Reader(resp)
+      while (r.hasMore) r.readTag() match {
+        case (1, 2) => // received_messages
+          n += 1
+          val rm = new Protobuf.Reader(r.lenDelim())
+          var data = Array.emptyByteArray
+          while (rm.hasMore) rm.readTag() match {
+            case (1, 2) => ackIds += rm.strField()
+            case (2, 2) =>
+              val pm = new Protobuf.Reader(rm.lenDelim())
+              while (pm.hasMore) pm.readTag() match {
+                case (1, 2) => data = pm.lenDelim()
+                case (_, w) => pm.skip(w)
+              }
+            case (_, w) => rm.skip(w)
+          }
+          out += data
+        case (_, w) => r.skip(w)
+      }
+      val acks = ackIds.result()
+      if (acks.nonEmpty) {
+        val ack = new Protobuf.Writer().str(1, subscriptionPath)
+        acks.foreach(a => ack.str(2, a))
+        ch.call("/google.pubsub.v1.Subscriber/Acknowledge",
+          ack.result(), token)
+      }
+      if (n < maxMessages) more = false
+    }
+    out.result()
+  }
+
+  def seekGrpc(ch: Grpc.Channel, subscriptionPath: String,
+      token: Option[String], snapshot: Option[String],
+      time: Option[java.time.Instant]): Unit = {
+    val req = new Protobuf.Writer().str(1, subscriptionPath)
+    time.foreach { t =>
+      req.msg(2, new Protobuf.Writer()
+        .int64(1, t.getEpochSecond).int32(2, t.getNano))
+    }
+    snapshot.foreach(s => req.str(3, s))
+    ch.call("/google.pubsub.v1.Subscriber/Seek", req.result(), token)
+    ()
+  }
+
+  /** Publish helper (tests / egress experiments), gRPC spelling. */
+  def publishGrpc(ch: Grpc.Channel, topicPath: String,
+      token: Option[String], payloads: Seq[Array[Byte]]): Unit = {
+    val req = new Protobuf.Writer().str(1, topicPath)
+    payloads.foreach(p =>
+      req.msg(2, new Protobuf.Writer().bytes(1, p)))
+    ch.call("/google.pubsub.v1.Publisher/Publish", req.result(), token)
+    ()
+  }
+
   // ------------------------------------------------- connector round
 
   // connectors whose snapshot/timestamp seek already ran (startup-only)
@@ -155,10 +240,10 @@ object PubSub {
       else s"projects/${project.getOrElse(sys.error(
         "pub_sub_input: set project_id or a full subscription path"))}" +
         s"/subscriptions/$subscription"
-    val (base, token) = cf.get("emulator") match {
-      case Some(hostPort) =>
-        // emulator contract: plain HTTP, no auth
-        (s"http://$hostPort", None)
+    val (hostPort, tls, token) = cf.get("emulator") match {
+      case Some(hp) =>
+        // emulator contract: plaintext, no auth
+        (hp, false, None)
       case None =>
         val endpoint = cf.getOrElse("endpoint", "pubsub.googleapis.com")
         val creds = cf.getOrElse("credentials",
@@ -166,25 +251,51 @@ object PubSub {
             sys.error("pub_sub_input: no credentials (config or " +
               "GOOGLE_APPLICATION_CREDENTIALS_JSON); for a local " +
               "emulator set `emulator`")))
-        (s"https://$endpoint", Some(tokenFromCredentials(creds)))
+        (endpoint, true, Some(tokenFromCredentials(creds)))
     }
-    // snapshot / timestamp replay (docs: seek the subscription once at
-    // connector startup, before the first pull — NOT per round)
+    // the reference's client is gRPC — default transport matches it;
+    // `transport = 'rest'` selects the service's JSON surface
+    val grpcMode = cf.getOrElse("transport", "grpc") match {
+      case "grpc" => true
+      case "rest" => false
+      case other => sys.error(s"pub_sub_input: unknown transport '$other'")
+    }
+    val base = (if (tls) "https://" else "http://") + hostPort
     val seekKey = s"$base|$subscriptionPath|${conf.name.getOrElse("")}"
-    if ((cf.contains("snapshot") || cf.contains("timestamp"))
-        && seeked.putIfAbsent(seekKey, true).isEmpty) {
-      cf.get("snapshot").foreach { snap =>
-        val snapPath = if (snap.startsWith("projects/")) snap
-          else s"projects/${project.get}/snapshots/$snap"
-        post(base, s"/v1/$subscriptionPath:seek",
-          s"""{"snapshot":"$snapPath"}""", token)
-      }
-      cf.get("timestamp").foreach { ts =>
-        post(base, s"/v1/$subscriptionPath:seek", s"""{"time":"$ts"}""",
-          token)
-      }
+    val doSeek = (cf.contains("snapshot") || cf.contains("timestamp")) &&
+      seeked.putIfAbsent(seekKey, true).isEmpty
+    val snapPath = cf.get("snapshot").map { snap =>
+      if (snap.startsWith("projects/")) snap
+      else s"projects/${project.get}/snapshots/$snap"
     }
-    val payloads = pullAvailable(base, subscriptionPath, token)
+    val payloads = if (grpcMode) {
+      val Array(host, port) = {
+        val i = hostPort.lastIndexOf(':')
+        if (i >= 0) Array(hostPort.take(i), hostPort.drop(i + 1))
+        else Array(hostPort, if (tls) "443" else "80")
+      }
+      val ch = new Grpc.Channel(host, port.toInt, tls)
+      try {
+        // snapshot / timestamp replay (docs: seek the subscription once
+        // at connector startup, before the first pull — NOT per round)
+        if (doSeek) {
+          snapPath.foreach(s => seekGrpc(ch, subscriptionPath, token,
+            Some(s), None))
+          cf.get("timestamp").foreach(ts => seekGrpc(ch, subscriptionPath,
+            token, None, Some(java.time.Instant.parse(ts))))
+        }
+        pullAvailableGrpc(ch, subscriptionPath, token)
+      } finally ch.close()
+    } else {
+      if (doSeek) {
+        snapPath.foreach(s => post(base, s"/v1/$subscriptionPath:seek",
+          s"""{"snapshot":"$s"}""", token))
+        cf.get("timestamp").foreach(ts =>
+          post(base, s"/v1/$subscriptionPath:seek", s"""{"time":"$ts"}""",
+            token))
+      }
+      pullAvailable(base, subscriptionPath, token)
+    }
     val records = spark.createDataset(payloads)(Encoders.BINARY)
       .toDF("value")
     Connectors.decodeKafkaBatch(records, FileSource.schemaOf(table),
