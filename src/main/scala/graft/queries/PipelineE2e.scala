@@ -145,13 +145,13 @@ object PipelineE2e {
       // deltas hit the standing multi-join in the same step
       pipe.step(Map(
         "customer" -> ZSets.lift(
-          t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          tRaw(s, dir, "customer").select("c_custkey", "c_nationkey")),
         "supplier" -> ZSets.lift(
-          t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          tRaw(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
         "nation" -> ZSets.lift(
-          t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")),
+          tRaw(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")),
         "region" -> ZSets.lift(
-          t(s, dir, "region").select("r_regionkey", "r_name")),
+          tRaw(s, dir, "region").select("r_regionkey", "r_name")),
         "orders" -> ZSets.lift(o.filter(col("o_orderkey") % 2 === 0)),
         "lineitem" -> ZSets.lift(li.filter(col("l_orderkey") % 2 === 0))))
       pipe.step(Map(
@@ -237,10 +237,10 @@ object PipelineE2e {
           |  FROM orders JOIN customer ON o_custkey = c_custkey
           |  GROUP BY c_name;""".stripMargin
       val pipe = Pipeline(s, prog)
-      val o = t(s, dir, "orders").filter(col("o_custkey") <= 1500)
+      val o = tRaw(s, dir, "orders").filter(col("o_custkey") <= 1500)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .localCheckpoint(true)
-      val c = t(s, dir, "customer").filter(col("c_custkey") <= 1500)
+      val c = tRaw(s, dir, "customer").filter(col("c_custkey") <= 1500)
         .select("c_custkey", "c_name").localCheckpoint(true)
       // two steps (each step pays a fixed multi-job cost in local mode —
       // the schedule exercises inserts, then late inserts + retractions
@@ -283,7 +283,7 @@ object PipelineE2e {
           |  UNION
           |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src;""".stripMargin
       val pipe = Pipeline(s, prog)
-      val edges = t(s, dir, "nation")
+      val edges = tRaw(s, dir, "nation")
         .filter(col("n_nationkey") + 5 <= 24)
         .select(col("n_nationkey").as("src"),
           (col("n_nationkey") + 5).as("dst"))
@@ -320,7 +320,7 @@ object PipelineE2e {
           |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src;"""
           .stripMargin
       val pipe = Pipeline(s, prog)
-      val edges = t(s, dir, "nation").filter(col("n_nationkey") < 12)
+      val edges = tRaw(s, dir, "nation").filter(col("n_nationkey") < 12)
         .select(col("n_nationkey").cast("int").as("src"),
           (col("n_nationkey") + 1).cast("int").as("dst"))
         .localCheckpoint(true)
@@ -369,9 +369,9 @@ object PipelineE2e {
         && pipe.shapeOf("no_cust")
           .isInstanceOf[graft.incremental.Ivm.SemiAnti],
         "semi/anti views must classify SemiAnti")
-      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val o = tRaw(s, dir, "orders").select("o_orderkey", "o_custkey")
         .localCheckpoint(true)
-      val c = t(s, dir, "customer").select("c_custkey").localCheckpoint(true)
+      val c = tRaw(s, dir, "customer").select("c_custkey").localCheckpoint(true)
       val steps = Seq(
         Map(
           "orders" -> ZSets.lift(o.filter(col("o_orderkey") % 2 === 0)),
@@ -400,7 +400,7 @@ object PipelineE2e {
       "fmt_envelopes",
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_orderkey % 5 <> 0""".stripMargin) { (s, dir) =>
-      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val o = tRaw(s, dir, "orders").select("o_orderkey", "o_custkey")
       val body = to_json(struct(col("o_orderkey"), col("o_custkey")))
       val lines = o.select(
         concat(lit("""{"insert": """), body, lit("}")).as("value"))
@@ -422,7 +422,7 @@ object PipelineE2e {
     Q(
       "fmt_csv",
       "SELECT c_custkey, c_name FROM customer") { (s, dir) =>
-      val lines = t(s, dir, "customer").select(concat_ws(",",
+      val lines = tRaw(s, dir, "customer").select(concat_ws(",",
         col("c_custkey"),
         concat(lit("\""), col("c_name"), lit("\""))).as("value"))
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -464,7 +464,7 @@ object PipelineE2e {
           |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
           |  FROM ev GROUP BY unix_timestamp(ts) div 86400;""".stripMargin
       val pipe = Pipeline(s, prog)
-      val ev = t(s, dir, "events").select("event_id", "ts", "value")
+      val ev = tRaw(s, dir, "events").select("event_id", "ts", "value")
         .localCheckpoint(true)
       def half(m: Int) =
         ZSets.lift(ev.filter(col("event_id") % 2 === m).drop("event_id"))
@@ -499,7 +499,7 @@ object PipelineE2e {
           |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv
           |  FROM o GROUP BY grp;""".stripMargin
       val pipe = Pipeline(s, prog)
-      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 40000)
+      val o = tRaw(s, dir, "orders").filter(col("o_orderkey") <= 40000)
         .select((col("o_custkey") % 50).as("grp"),
           col("o_totalprice").as("v"))
         .localCheckpoint(true)
@@ -546,7 +546,7 @@ object PipelineE2e {
           |  FROM o WHERE v >= 1000 GROUP BY grp;
           |CREATE VIEW hi AS
           |  SELECT COUNT(*) AS n_hi FROM o WHERE v >= 100000;""".stripMargin
-      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 30000)
+      val o = tRaw(s, dir, "orders").filter(col("o_orderkey") <= 30000)
         .select(col("o_orderkey"), (col("o_custkey") % 40).as("grp"),
           col("o_totalprice").as("v"))
         .localCheckpoint(true)
@@ -598,7 +598,7 @@ object PipelineE2e {
            |AS SELECT k, v FROM kv;
            |CREATE INDEX cur_idx ON cur(k);""".stripMargin
       val pipe = Pipeline(s, prog)
-      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      val o = tRaw(s, dir, "orders").filter(col("o_orderkey") <= 2000)
         .select(col("o_orderkey").as("k"),
           floor(col("o_totalprice")).cast("long").as("v"))
         .localCheckpoint(true)
