@@ -50,7 +50,7 @@ def main():
         # fragments across a couple hundred disparate queries in one
         # process and starts throwing spurious OutOfMemoryException
         n_run += 1
-        if n_run % 20 == 0 or name.startswith("slt_fuzz"):
+        if n_run % 20 == 0 or name.startswith(("slt_fuzz", "fz_")):
             con.close()
             con = connect(sf_dir)
         try:

@@ -32,9 +32,9 @@ object SltFuzz {
     * (a 300-way UNION ALL of the same corpus measured 20s of pure
     * Catalyst planning; this form plans in well under a second).
     */
-  private def gen(): (String, String) = {
+  private[queries] def gen(seed: Long = 20260814L): (String, String) = {
     // deterministic corpus: same text on every JVM, every run
-    val rnd = new scala.util.Random(20260814L)
+    val rnd = new scala.util.Random(seed)
     val leaves = Seq("CAST(i AS BIGINT)", "CAST(two AS BIGINT)",
       "CAST(four AS BIGINT)", "CAST(ten AS BIGINT)", "v")
 
@@ -103,8 +103,8 @@ object SltFuzz {
     * FIRST/LAST/NTH_VALUE with explicit frames, and SUM/MIN/MAX/COUNT
     * over random ROWS frames across partitions and sort directions.
     */
-  private def genWindows(): String = {
-    val rnd = new scala.util.Random(8141821L)
+  private[queries] def genWindows(seed: Long = 8141821L): String = {
+    val rnd = new scala.util.Random(seed)
     val leaves = Seq("CAST(i AS BIGINT)", "CAST(two AS BIGINT)",
       "CAST(four AS BIGINT)", "CAST(ten AS BIGINT)", "v")
     def e(): String = leaves(rnd.nextInt(leaves.length))
@@ -162,8 +162,8 @@ object SltFuzz {
     * folded per shape to a length checksum + an ASCII-of-first-char
     * checksum + lexicographic MIN/MAX.
     */
-  private def genStrings(): String = {
-    val rnd = new scala.util.Random(3141592L)
+  private[queries] def genStrings(seed: Long = 3141592L): String = {
+    val rnd = new scala.util.Random(seed)
     val leaves = Seq(
       "('r' || CAST(i AS VARCHAR(20)))",
       "('ab,cd,' || CAST(ten AS VARCHAR(20)))",
@@ -203,8 +203,8 @@ object SltFuzz {
     * interval add/subtract chains with month-end clamping in play, and
     * LAST_DAY; folded per shape to a yyyymmdd positional checksum.
     */
-  private def genDates(): String = {
-    val rnd = new scala.util.Random(27182818L)
+  private[queries] def genDates(seed: Long = 27182818L): String = {
+    val rnd = new scala.util.Random(seed)
     def leaf(): String = rnd.nextInt(3) match {
       case 0 => "MAKE_DATE(2000 + ten, 1 + two * 6, 1 + four * 7)"
       case 1 => "MAKE_DATE(2020 + two, 1 + ten, 28)"
@@ -267,8 +267,8 @@ object SltFuzz {
     * aggregates, [NOT] EXISTS correlation, [NOT] IN with the null trap,
     * and EXCEPT/INTERSECT [ALL]/UNION set ops.
     */
-  private def genJoins(): String = {
-    val rnd = new scala.util.Random(4669201L)
+  private[queries] def genJoins(seed: Long = 4669201L): String = {
+    val rnd = new scala.util.Random(seed)
     def pred(): String = rnd.nextInt(6) match {
       case 0 => s"a.i < b.j * ${1 + rnd.nextInt(3)}"
       case 1 => "b.wb IS NOT NULL"
@@ -363,8 +363,8 @@ object SltFuzz {
     * purpose: x/0 and decimal-AVG return types are real dialect
     * splits, pinned separately in SqlConformance.
     */
-  private def genDecimals(): String = {
-    val rnd = new scala.util.Random(16180339L)
+  private[queries] def genDecimals(seed: Long = 16180339L): String = {
+    val rnd = new scala.util.Random(seed)
     val D = "DECIMAL(18,4)"
     def leaf(): String = rnd.nextInt(6) match {
       case 0 => s"CAST(i AS $D)"
@@ -425,8 +425,8 @@ object SltFuzz {
     * yyyymmddhhmmss checksum via EXTRACT, which sidesteps the epoch
     * dialect split (Spark UNIX_TIMESTAMP vs DuckDB EXTRACT(EPOCH)).
     */
-  private def genTimestamps(): String = {
-    val rnd = new scala.util.Random(14142135L)
+  private[queries] def genTimestamps(seed: Long = 14142135L): String = {
+    val rnd = new scala.util.Random(seed)
     def leaf(): String = rnd.nextInt(3) match {
       case 0 => "MAKE_TIMESTAMP(2020 + two, 1 + ten, 1 + MOD(i, 27), " +
         "MOD(i, 24), MOD(i * 7, 60), MOD(i * 13, 60))"
@@ -463,6 +463,29 @@ object SltFuzz {
   }
 
   private val timestampBody = genTimestamps()
+
+  /** Alternate-seed corpora for the cross-engine robustness sweep
+    * ([[graft.tools.FuzzSweep]]): the SAME grammars as the graded
+    * fixed-seed rows, regenerated under arbitrary seeds so latent
+    * dialect splits surface in a dev sweep before any future driver
+    * DuckDB can find them. Returns (name, sparkSql, duckSql).
+    */
+  private[graft] def corpus(seed: Long): Seq[(String, String, String)] = {
+    val (f, g) = gen(seed)
+    val w = genWindows(seed)
+    val st = genStrings(seed)
+    val dt = genDates(seed)
+    val jn = genJoins(seed)
+    val dc = genDecimals(seed)
+    val ts = genTimestamps(seed)
+    def overT(n: String, b: String) =
+      (n, SqlConformance.TS + b, SqlConformance.TD + b)
+    Seq(
+      overT("fz_flat", f), overT("fz_grouped", g), overT("fz_window", w),
+      overT("fz_strings", st), overT("fz_dates", dt),
+      ("fz_joins", JS + jn, JD + jn),
+      overT("fz_decimals", dc), overT("fz_timestamps", ts))
+  }
 
   val queries: Seq[Q] = Seq(
     Q("slt_fuzz", SqlConformance.TD + flatBody) { (s, _) =>
