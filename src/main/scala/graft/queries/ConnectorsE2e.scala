@@ -130,6 +130,82 @@ object ConnectorsE2e {
       } finally srv.close()
     },
 
+    // Datagen transport (connectors/sources/datagen.md): a plan with an
+    // increment field over a scaled wrap-around range plus a values
+    // list — the deterministic strategies — generated distributed
+    // (pure column plans over spark.range) and re-derived by the
+    // oracle with plain range() arithmetic. Grades the datagen plan
+    // surface itself, not just its spec.
+    Q(
+      "conn_datagen",
+      """SELECT g AS grp, lab, COUNT(*) AS n,
+        |  CAST(SUM(id) AS BIGINT) AS idsum
+        |FROM (SELECT r AS id, 10 + (r * 2) % 25 AS g,
+        |    CASE r % 3 WHEN 0 THEN 'aa' WHEN 1 THEN 'bb'
+        |      ELSE 'cc' END AS lab
+        |  FROM range(0, 5000) AS _r(r)) s
+        |GROUP BY g, lab""".stripMargin) { (s, dir) =>
+      val tdef = graft.ddl.Ddl.parse(
+        "CREATE TABLE gen (id BIGINT, grp BIGINT, lab VARCHAR);")
+        .tables.head
+      val plan =
+        """[{"limit": 5000, "fields": {
+          |  "grp": {"strategy": "increment", "range": [10, 35],
+          |          "scale": 2},
+          |  "lab": {"values": ["aa", "bb", "cc"]}}}]"""
+          .stripMargin.replaceAll("\n", " ")
+      graft.sources.Datagen.generate(s, tdef, Map("plan" -> plan))
+        .groupBy(col("grp"), col("lab"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("idsum"))
+    },
+
+    // HTTP url_input (connectors/sources/http-get.md): an in-closure
+    // HTTP server serves insert_delete envelope lines (inserts for
+    // every row, deletions for the %6 slice); the connector GETs and
+    // decodes them, and the consolidated Z-set must equal the oracle's
+    // relational derivation.
+    Q(
+      "conn_url",
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 6 <> 0
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      import java.nio.charset.StandardCharsets.UTF_8
+      val rows = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus").collect()
+      val lines = rows.map(r =>
+        s"""{"insert": {"o_orderkey": ${r.getLong(0)},""" +
+          s""" "o_orderstatus": "${r.getString(1)}"}}""") ++
+        rows.filter(_.getLong(0) % 6 == 0).map(r =>
+          s"""{"delete": {"o_orderkey": ${r.getLong(0)},""" +
+            s""" "o_orderstatus": "${r.getString(1)}"}}""")
+      val body = lines.mkString("\n").getBytes(UTF_8)
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      srv.createContext("/feed.json",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(200, body.length.toLong)
+          ex.getResponseBody.write(body)
+          ex.close()
+        })
+      srv.start()
+      try {
+        val tdef = graft.ddl.Ddl.parse(
+          "CREATE TABLE o_url (o_orderkey BIGINT, o_orderstatus VARCHAR);")
+          .tables.head
+        val conf = graft.sources.Connectors.ConnectorConf("url_input",
+          Map("path" ->
+            s"http://127.0.0.1:${srv.getAddress.getPort}/feed.json"),
+          "json", Map("update_format" -> "insert_delete"))
+        val z = graft.sources.Connectors.read(s, tdef, conf)
+        graft.zset.ZSets.consolidate(z)
+          .filter(col(graft.zset.ZSets.W) =!= 0)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("keysum"))
+      } finally srv.stop(0)
+    },
+
     // Delta: two append commits, a parquet checkpoint, then a delete
     // commit; the snapshot read must replay checkpoint + post-checkpoint
     // JSON and apply the remove set.
