@@ -130,6 +130,126 @@ object ConnectorsE2e {
       } finally srv.close()
     },
 
+    // NATS JetStream input: the native text-protocol + JS API client
+    // against the in-process stub — insert envelopes plus a deletion
+    // wave published through a REAL client socket, drained by the
+    // ordered-pull-consumer round and consolidated; oracle re-derives
+    // the survivors.
+    Q(
+      "conn_nats",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 9 <> 0
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      import java.nio.charset.StandardCharsets.UTF_8
+      val srv = new graft.tools.NatsStubServer(Map("ORD" -> Seq("ord.>")))
+      try {
+        val rows = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+          .select("o_orderkey", "o_orderstatus").collect()
+        val pub = new graft.sources.Nats.Connection(srv.url)
+        try {
+          rows.foreach(r => pub.publish("ord.x",
+            (s"""{"insert": {"o_orderkey": ${r.getLong(0)},""" +
+              s""" "o_orderstatus": "${r.getString(1)}"}}""")
+              .getBytes(UTF_8)))
+          rows.filter(_.getLong(0) % 9 == 0).foreach(r =>
+            pub.publish("ord.x",
+              (s"""{"delete": {"o_orderkey": ${r.getLong(0)},""" +
+                s""" "o_orderstatus": "${r.getString(1)}"}}""")
+                .getBytes(UTF_8)))
+        } finally pub.close()
+        val tdef = graft.ddl.Ddl.parse(
+          "CREATE TABLE o_nats (o_orderkey BIGINT, o_orderstatus VARCHAR);")
+          .tables.head
+        val conf = graft.sources.Connectors.ConnectorConf("nats_input",
+          Map("server_url" -> srv.url, "stream_name" -> "ORD"),
+          "json", Map("update_format" -> "insert_delete"))
+        graft.zset.ZSets.consolidate(
+            graft.sources.Nats.readRound(s, tdef, conf))
+          .filter(col(graft.zset.ZSets.W) =!= 0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("keysum"))
+      } finally srv.close()
+    },
+
+    // Redis output: the native RESP2 sink against the stub — a full
+    // insert batch, then an update/delete delta, each committed as one
+    // atomic MULTI..EXEC; the graded content is the final key→value
+    // STORE read back and re-aggregated, vs the oracle's relational
+    // derivation of the same schedule.
+    Q(
+      "conn_redis",
+      """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+        |            ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 9 <> 0
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import java.nio.charset.StandardCharsets.UTF_8
+      val srv = new graft.tools.RedisStubServer()
+      try {
+        val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+          .select("o_orderkey", "o_orderstatus")
+        val conn = s"redis://127.0.0.1:${srv.port}"
+        graft.sources.Redis.writeUpserts(graft.zset.ZSets.lift(o),
+          Seq("o_orderkey"), ":", conn)
+        val upd = o.filter(col("o_orderkey") % 5 === 0
+          && col("o_orderkey") % 9 =!= 0)
+        val del = o.filter(col("o_orderkey") % 9 === 0)
+        val delta = graft.zset.ZSets.negate(
+            graft.zset.ZSets.lift(upd.unionByName(del)))
+          .unionByName(graft.zset.ZSets.lift(
+            upd.withColumn("o_orderstatus", lit("X"))))
+        graft.sources.Redis.writeUpserts(delta, Seq("o_orderkey"), ":",
+          conn)
+        val vals = srv.store.values.map(v => new String(v, UTF_8).trim)
+          .toSeq
+        s.read.json(s.createDataset(vals)(
+            org.apache.spark.sql.Encoders.STRING))
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("keysum"))
+      } finally srv.close()
+    },
+
+    // DynamoDB output: the native SigV4 + x-amz-json-1.0 sink against
+    // the signature-verifying stub — insert batch then update/delete
+    // delta through BatchWriteItem; the graded content is the final
+    // TABLE state read back from the stub's item store.
+    Q(
+      "conn_dynamodb",
+      """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+        |            ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 9 <> 0
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val srv = new graft.tools.DynamoStubServer(Seq("o_orderkey"), "sk")
+      try {
+        val cfg = Map("table" -> "orders_ddb", "region" -> "local",
+          "endpoint_url" -> srv.endpoint,
+          "aws_access_key_id" -> "ak", "aws_secret_access_key" -> "sk")
+        val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+          .select("o_orderkey", "o_orderstatus")
+        graft.sources.DynamoDb.writeUpserts(graft.zset.ZSets.lift(o),
+          Seq("o_orderkey"), cfg)
+        val upd = o.filter(col("o_orderkey") % 5 === 0
+          && col("o_orderkey") % 9 =!= 0)
+        val del = o.filter(col("o_orderkey") % 9 === 0)
+        val delta = graft.zset.ZSets.negate(
+            graft.zset.ZSets.lift(upd.unionByName(del)))
+          .unionByName(graft.zset.ZSets.lift(
+            upd.withColumn("o_orderstatus", lit("X"))))
+        graft.sources.DynamoDb.writeUpserts(delta, Seq("o_orderkey"), cfg)
+        val items = srv.store.values.toSeq
+        s.read.json(s.createDataset(items)(
+            org.apache.spark.sql.Encoders.STRING))
+          .select(col("o_orderkey.N").cast("long").as("k"),
+            col("o_orderstatus.S").as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("keysum"))
+      } finally srv.close()
+    },
+
     // Datagen transport (connectors/sources/datagen.md): a plan with an
     // increment field over a scaled wrap-around range plus a values
     // list — the deterministic strategies — generated distributed

@@ -10,148 +10,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{Connectors, DynamoDb}
+import graft.tools.DynamoStubServer
 import graft.zset.ZSets
-
-/** A live-socket stub DynamoDB endpoint: verifies each request's AWS
-  * SigV4 signature server-side (recomputed from the wire bytes — host
-  * header, x-amz-date, target, payload — against the shared secret),
-  * then applies BatchWriteItem / TransactWriteItems semantics to an
-  * in-memory table, including UnprocessedItems retry simulation and
-  * `attribute_not_exists` condition evaluation.
-  */
-class DynamoStubServer(keyNames: Seq[String], secret: String,
-    unprocessedFirst: Boolean = false,
-    /** artificial per-request latency — lets the executor-parallel
-      * writer's overlap register on [[maxInFlight]] */
-    responseDelayMs: Long = 0L) {
-  private val mapper = new ObjectMapper()
-  val store = TrieMap[String, String]() // key-json → item-json
-  val calls = new AtomicInteger(0)
-  val badSignatures = new AtomicInteger(0)
-  private val inFlight = new AtomicInteger(0)
-  val maxInFlight = new AtomicInteger(0)
-  private val simulateOnce = new java.util.concurrent.atomic.AtomicBoolean(
-    unprocessedFirst)
-
-  private val server = com.sun.net.httpserver.HttpServer.create(
-    new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-  def port: Int = server.getAddress.getPort
-  def endpoint: String = s"http://127.0.0.1:$port"
-
-  private def keyOf(item: JsonNode): String = {
-    val k = mapper.createObjectNode()
-    keyNames.foreach(n => k.set[JsonNode](n, item.get(n)))
-    k.toString
-  }
-
-  server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
-    calls.incrementAndGet()
-    val now0 = inFlight.incrementAndGet()
-    maxInFlight.updateAndGet(m => math.max(m, now0))
-    if (responseDelayMs > 0) Thread.sleep(responseDelayMs)
-    try handle(ex) finally { inFlight.decrementAndGet(); () }
-  })
-
-  private def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
-    val payload = ex.getRequestBody.readAllBytes()
-    val target = ex.getRequestHeaders.getFirst("X-Amz-Target")
-    val amzDate = ex.getRequestHeaders.getFirst("X-Amz-Date")
-    val auth = ex.getRequestHeaders.getFirst("Authorization")
-    val now = java.time.LocalDateTime.parse(amzDate,
-      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
-      .toInstant(java.time.ZoneOffset.UTC)
-    val accessKey = auth.split("Credential=")(1).split("/")(0)
-    val expected = DynamoDb.signV4("POST",
-      java.net.URI.create(endpoint + ex.getRequestURI.getPath),
-      "local", "dynamodb", payload, accessKey, secret, target, now)(
-      "Authorization")
-    def respond(code: Int, body: String): Unit = {
-      val b = body.getBytes(UTF_8)
-      ex.sendResponseHeaders(code, b.length)
-      ex.getResponseBody.write(b)
-      ex.close()
-    }
-    if (expected != auth) {
-      badSignatures.incrementAndGet()
-      respond(403, """{"__type":"InvalidSignatureException"}""")
-    } else {
-      val body = mapper.readTree(payload)
-      target match {
-        case "DynamoDB_20120810.BatchWriteItem" =>
-          val items = body.get("RequestItems")
-          val table = items.properties().iterator().next()
-          val arr = table.getValue
-          if (simulateOnce.compareAndSet(true, false)) {
-            // apply all but the LAST op; echo it back as unprocessed
-            (0 until arr.size() - 1).foreach(i => applyWrite(arr.get(i)))
-            val un = mapper.createObjectNode()
-            un.putObject("UnprocessedItems")
-              .putArray(table.getKey).add(arr.get(arr.size() - 1))
-            respond(200, un.toString)
-          } else {
-            (0 until arr.size()).foreach(i => applyWrite(arr.get(i)))
-            respond(200, """{"UnprocessedItems":{}}""")
-          }
-        case "DynamoDB_20120810.TransactWriteItems" =>
-          val items = body.get("TransactItems")
-          val failed = (0 until items.size()).filter { i =>
-            val n = items.get(i)
-            val (node, isPut) = Option(n.get("Put")).map((_, true))
-              .getOrElse((n.get("Delete"), false))
-            Option(node.get("ConditionExpression")).exists { ce =>
-              val re = """attribute_not_exists\((\w+)\)""".r
-              ce.asText() match {
-                case re(_) =>
-                  val key = if (isPut) keyOf(node.get("Item"))
-                    else node.get("Key").toString
-                  store.contains(key) // exists → condition fails
-                case _ => false
-              }
-            }
-          }.toSet
-          if (failed.isEmpty) {
-            // atomic apply
-            store.synchronized {
-              (0 until items.size()).foreach { i =>
-                val n = items.get(i)
-                Option(n.get("Put")) match {
-                  case Some(p) =>
-                    store(keyOf(p.get("Item"))) = p.get("Item").toString
-                  case None =>
-                    store.remove(n.get("Delete").get("Key").toString); ()
-                }
-              }
-            }
-            respond(200, "{}")
-          } else {
-            val resp = mapper.createObjectNode()
-            resp.put("__type",
-              "com.amazonaws.dynamodb.v20120810#TransactionCanceledException")
-            val reasons = resp.putArray("CancellationReasons")
-            (0 until items.size()).foreach { i =>
-              reasons.addObject().put("Code",
-                if (failed(i)) "ConditionalCheckFailed" else "None")
-            }
-            respond(400, resp.toString)
-          }
-        case other => respond(400, s"""{"__type":"Unknown:$other"}""")
-      }
-    }
-  }
-
-  private def applyWrite(n: JsonNode): Unit =
-    Option(n.get("PutRequest")) match {
-      case Some(p) => store(keyOf(p.get("Item"))) = p.get("Item").toString
-      case None =>
-        store.remove(n.get("DeleteRequest").get("Key").toString); ()
-    }
-
-  // a real thread pool — the default (null) executor serializes
-  // handlers on the dispatcher thread, hiding client concurrency
-  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
-  server.start()
-  def close(): Unit = server.stop(0)
-}
 
 class DynamoDbSpec extends SparkSpec {
   import spark.implicits._

@@ -10,113 +10,8 @@ import scala.collection.mutable
 import org.apache.spark.sql.functions._
 
 import graft.sources.{Connectors, Redis}
+import graft.tools.RedisStubServer
 import graft.zset.ZSets
-
-/** A live-socket stub Redis server speaking RESP2 — enough protocol
-  * (AUTH/SELECT/MULTI/EXEC/SET/DEL/GET) to prove the redis_output sink
-  * end-to-end: the graded contract is the final key→value store state
-  * after a schedule of insert/update/delete deltas, plus the atomic
-  * MULTI..EXEC framing the reference commits each batch under.
-  */
-class RedisStubServer(requirePass: Option[String] = None) {
-  val store = TrieMap[String, Array[Byte]]()
-  val execCount = new AtomicInteger(0)
-  @volatile private var open = true
-  private val server = new ServerSocket(0)
-  def port: Int = server.getLocalPort
-
-  private val acceptor = new Thread(() => {
-    try while (open) {
-      val sock = server.accept()
-      val t = new Thread(() => handle(sock))
-      t.setDaemon(true)
-      t.start()
-    } catch { case _: Throwable => () }
-  })
-  acceptor.setDaemon(true)
-  acceptor.start()
-
-  def close(): Unit = { open = false; server.close() }
-
-  private def handle(sock: Socket): Unit = {
-    val in = new java.io.BufferedInputStream(sock.getInputStream)
-    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
-    var inMulti = false
-    var authed = requirePass.isEmpty
-    val queue = mutable.Buffer[Seq[Array[Byte]]]()
-
-    def reply(s: String): Unit = { out.write(s.getBytes(UTF_8)); out.flush() }
-
-    def readLine(): String = {
-      val sb = new java.lang.StringBuilder()
-      var c = in.read()
-      if (c < 0) return null
-      while (c != '\r') { sb.append(c.toChar); c = in.read() }
-      in.read() // \n
-      sb.toString
-    }
-
-    def readCommand(): Seq[Array[Byte]] = {
-      val head = readLine()
-      if (head == null) return null
-      require(head.startsWith("*"), s"stub: expected array, got $head")
-      Seq.fill(head.drop(1).toInt) {
-        val lenLine = readLine()
-        val n = lenLine.drop(1).toInt
-        val buf = new Array[Byte](n)
-        var off = 0
-        while (off < n) off += in.read(buf, off, n - off)
-        readLine()
-        buf
-      }
-    }
-
-    def apply(cmd: Seq[Array[Byte]]): String = {
-      new String(cmd.head, UTF_8).toUpperCase match {
-        case "SET" =>
-          store(new String(cmd(1), UTF_8)) = cmd(2); "+OK\r\n"
-        case "DEL" =>
-          val existed = store.remove(new String(cmd(1), UTF_8)).isDefined
-          s":${if (existed) 1 else 0}\r\n"
-        case "GET" =>
-          store.get(new String(cmd(1), UTF_8)) match {
-            case Some(v) => s"$$${v.length}\r\n" + new String(v, UTF_8) +
-              "\r\n"
-            case None => "$-1\r\n"
-          }
-        case other => s"-ERR unknown command $other\r\n"
-      }
-    }
-
-    try {
-      var cmd = readCommand()
-      while (cmd != null) {
-        new String(cmd.head, UTF_8).toUpperCase match {
-          case "AUTH" =>
-            val pass = new String(cmd.last, UTF_8)
-            if (requirePass.contains(pass)) { authed = true; reply("+OK\r\n") }
-            else reply("-ERR invalid password\r\n")
-          case _ if !authed => reply("-NOAUTH Authentication required\r\n")
-          case "SELECT" => reply("+OK\r\n")
-          case "MULTI" => inMulti = true; queue.clear(); reply("+OK\r\n")
-          case "EXEC" =>
-            require(inMulti, "stub: EXEC without MULTI")
-            // atomic: apply the whole queue, one reply array
-            val rs = queue.map(apply).mkString
-            execCount.incrementAndGet()
-            inMulti = false
-            reply(s"*${queue.length}\r\n" + rs)
-            queue.clear()
-          case "DISCARD" =>
-            inMulti = false; queue.clear(); reply("+OK\r\n")
-          case _ if inMulti => queue += cmd; reply("+QUEUED\r\n")
-          case _ => reply(apply(cmd))
-        }
-        cmd = readCommand()
-      }
-    } catch { case _: Throwable => () } finally sock.close()
-  }
-}
 
 class RedisSpec extends SparkSpec {
   import spark.implicits._
