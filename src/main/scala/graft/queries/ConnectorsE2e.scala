@@ -225,8 +225,11 @@ object ConnectorsE2e {
         |GROUP BY 1""".stripMargin) { (s, dir) =>
       val srv = new graft.tools.DynamoStubServer(Seq("o_orderkey"), "sk")
       try {
+        // executor-parallel delivery (write_parallelism): each task
+        // signs and ships its own partition — the aggregate-bandwidth
+        // path the sink uses at scale, and ~4x faster here too
         val cfg = Map("table" -> "orders_ddb", "region" -> "local",
-          "endpoint_url" -> srv.endpoint,
+          "endpoint_url" -> srv.endpoint, "write_parallelism" -> "4",
           "aws_access_key_id" -> "ak", "aws_secret_access_key" -> "sk")
         val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
           .select("o_orderkey", "o_orderstatus")
