@@ -130,6 +130,95 @@ object ConnectorsE2e {
       } finally srv.close()
     },
 
+    // Pub/Sub input over the NATIVE gRPC stack (hand-rolled
+    // HTTP/2 + HPACK + protobuf — the reference's client protocol):
+    // inserts plus a deletion wave published through Publisher/Publish,
+    // drained by the Pull/Acknowledge round (the connector's default
+    // transport), consolidated; oracle re-derives the survivors.
+    Q(
+      "conn_pubsub",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 9 <> 0
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      import java.nio.charset.StandardCharsets.UTF_8
+      val srv = new graft.tools.GrpcPubSubStub()
+      try {
+        val rows = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+          .select("o_orderkey", "o_orderstatus").collect()
+        val ch = new graft.sources.Grpc.Channel("127.0.0.1", srv.port)
+        try {
+          graft.sources.PubSub.publishGrpc(ch, "projects/p/topics/t",
+            None, rows.toSeq.map(r =>
+              (s"""{"insert": {"o_orderkey": ${r.getLong(0)},""" +
+                s""" "o_orderstatus": "${r.getString(1)}"}}""")
+                .getBytes(UTF_8)))
+          graft.sources.PubSub.publishGrpc(ch, "projects/p/topics/t",
+            None, rows.toSeq.filter(_.getLong(0) % 9 == 0).map(r =>
+              (s"""{"delete": {"o_orderkey": ${r.getLong(0)},""" +
+                s""" "o_orderstatus": "${r.getString(1)}"}}""")
+                .getBytes(UTF_8)))
+        } finally ch.close()
+        val tdef = graft.ddl.Ddl.parse(
+          "CREATE TABLE o_ps (o_orderkey BIGINT, o_orderstatus VARCHAR);")
+          .tables.head
+        val conf = graft.sources.Connectors.ConnectorConf("pub_sub_input",
+          Map("emulator" -> srv.hostPort, "project_id" -> "p",
+            "subscription" -> "s"),
+          "json", Map("update_format" -> "insert_delete"))
+        graft.zset.ZSets.consolidate(
+            graft.sources.PubSub.readRound(s, tdef, conf))
+          .filter(col(graft.zset.ZSets.W) =!= 0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("keysum"))
+      } finally srv.close()
+    },
+
+    // JDBC query input (the reference's postgres `uri` + `query` config
+    // shape, on the embedded Derby this environment ships): the table
+    // is created and seeded over plain JDBC in the closure, read back
+    // through the connector's arbitrary-query config, and aggregated.
+    Q(
+      "conn_jdbc",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 1000 AND o_orderkey % 3 <> 0
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val dbDir = java.nio.file.Files
+        .createTempDirectory("conn_jdbc").toString
+      val url = s"jdbc:derby:$dbDir/db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute(
+          "CREATE TABLE ord (o_orderkey BIGINT, o_orderstatus VARCHAR(4))")
+        val ps = conn.prepareStatement("INSERT INTO ord VALUES (?, ?)")
+        t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+          .select("o_orderkey", "o_orderstatus").collect()
+          .foreach { r =>
+            ps.setLong(1, r.getLong(0))
+            ps.setString(2, r.getString(1))
+            ps.addBatch()
+          }
+        ps.executeBatch()
+        st.close()
+      } finally conn.close()
+      val tdef = graft.ddl.Ddl.parse(
+        "CREATE TABLE o_jdbc (o_orderkey BIGINT, o_orderstatus VARCHAR);")
+        .tables.head
+      val conf = graft.sources.Connectors.ConnectorConf("jdbc_input",
+        Map("url" -> s"jdbc:derby:$dbDir/db",
+          "query" ->
+            "SELECT o_orderkey, o_orderstatus FROM ord WHERE MOD(o_orderkey, 3) <> 0;"),
+        "", Map.empty)
+      graft.zset.ZSets.toMultiset(
+          graft.sources.Connectors.read(s, tdef, conf))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("keysum"))
+    },
+
     // NATS JetStream input: the native text-protocol + JS API client
     // against the in-process stub — insert envelopes plus a deletion
     // wave published through a REAL client socket, drained by the
