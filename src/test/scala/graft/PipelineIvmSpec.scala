@@ -206,6 +206,56 @@ class PipelineIvmSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(m)
   }
 
+  test("out-of-order seeding: term pruning for never-populated legs " +
+      "stays exact when relations arrive in any step order") {
+    // termLegsLive skips telescoping terms whose snapshot leg has never
+    // integrated a delta; this must be a pure optimization — a join view
+    // fed facts-then-dims, dims-then-facts, or everything-at-once must
+    // converge to the same content (and to the batch recompute)
+    val prog =
+      """CREATE TABLE orders (o_id BIGINT NOT NULL, o_cust BIGINT,
+        | o_amt DOUBLE);
+        |CREATE TABLE customer (c_id BIGINT NOT NULL, c_name VARCHAR);
+        |CREATE VIEW joined AS
+        |  SELECT o.o_id, o.o_amt, c.c_name
+        |  FROM orders o JOIN customer c ON o.o_cust = c.c_id;
+        |CREATE VIEW spend AS
+        |  SELECT c_name, COUNT(*) AS n, SUM(o_amt) AS total
+        |  FROM orders JOIN customer ON o_cust = c_id
+        |  GROUP BY c_name;""".stripMargin
+    val o = orders(400).localCheckpoint(true)
+    val c = customers(60).localCheckpoint(true)
+    def contentsOf(schedules: Seq[Map[String, DataFrame]])
+        : (Set[String], Set[String]) = {
+      val p = Pipeline(spark, prog)
+      schedules.foreach(p.step)
+      (p.adHoc("SELECT * FROM joined").collect().map(_.toString).toSet,
+        p.adHoc("SELECT * FROM spend").collect().map(_.toString).toSet)
+    }
+    // facts first (the join leg for customer is unseeded — every term
+    // must prune to empty, not fail), dims later with a fact retraction
+    val factsFirst = contentsOf(Seq(
+      Map("orders" -> ZSets.lift(o)),
+      Map("customer" -> ZSets.lift(c),
+        "orders" -> ZSets.negate(ZSets.lift(o.filter(col("o_id") % 7 === 0))))))
+    // dims first, then facts minus the same slice
+    val dimsFirst = contentsOf(Seq(
+      Map("customer" -> ZSets.lift(c)),
+      Map("orders" -> ZSets.lift(o.filter(col("o_id") % 7 =!= 0)))))
+    // one-shot seed
+    val oneShot = contentsOf(Seq(
+      Map("customer" -> ZSets.lift(c),
+        "orders" -> ZSets.lift(o.filter(col("o_id") % 7 =!= 0)))))
+    assert(factsFirst === dimsFirst)
+    assert(dimsFirst === oneShot)
+    // and equals batch recompute
+    val want = o.filter(col("o_id") % 7 =!= 0).as("o")
+      .join(c.as("c"), col("o.o_cust") === col("c.c_id"))
+      .select(col("o_id"), col("o_amt"), col("c_name"))
+      .collect().map(_.toString).toSet
+    assert(factsFirst._1 === want)
+  }
+
   test("step shuffle volume is independent of snapshot size (IVM contract)") {
     // program without the Opaque view (recompute-and-diff is O(state) by
     // design); add an aggregate-over-join so the composite shape is under
