@@ -5,6 +5,8 @@ DuckDB result of oracle_sql.json on the same sf dir.
 
 Usage: python3 scripts/check.py <sfDir> <outDir> [query ...]
 """
+import datetime
+import decimal
 import json
 import sys
 import glob
@@ -59,8 +61,35 @@ def main():
                 print(f"FAIL {name}: no spark output")
                 n_fail += 1
                 continue
-            mine = normalize(con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            # Read the SPARK side via pandas/pyarrow, NOT through the
+            # DuckDB connection: the driver reads our parquet with
+            # pyarrow, so a DECIMAL-typed result column surfaces there
+            # as object-dtype decimal.Decimal cells and hash-splits
+            # against the oracle's float64 — reading both sides through
+            # one DuckDB coerced both identically and made this gate
+            # structurally blind to that class (r9 adjudication).
+            mine = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                             ignore_index=True)
+            # pyarrow maps date32 -> object(datetime.date); lift it to
+            # datetime64 like the DuckDB oracle side so the kind check
+            # compares semantics, not arrow's python boxing
+            for c in mine.columns:
+                cells = mine[c].dropna()
+                if mine[c].dtype == object and len(cells) and \
+                        isinstance(cells.iloc[0], datetime.date) and \
+                        not isinstance(cells.iloc[0], datetime.datetime):
+                    mine[c] = pd.to_datetime(mine[c])
+            dec_cols = [c for c in mine.columns
+                        if mine[c].dtype == object and any(
+                            isinstance(x, decimal.Decimal)
+                            for x in mine[c].dropna().head(5))]
+            if dec_cols:
+                print(f"FAIL {name}: raw DECIMAL result column(s) "
+                      f"{dec_cols} — driver-side representation split; "
+                      f"pin as STRING digits or DOUBLE-after-ROUND")
+                n_fail += 1
+                continue
+            mine = normalize(mine)
             oracle = normalize(con.execute(sql).df())
             if list(mine.columns) != list(oracle.columns):
                 print(f"FAIL {name}: columns {list(mine.columns)} vs "

@@ -405,12 +405,20 @@ object SltFuzz {
         case 6 => s"(CASE WHEN ${dExpr(d - 1)} > ${leaf()} " +
           s"THEN ${dExpr(d - 1)} ELSE ${dExpr(d - 1)} END)"
       }
+    // Result columns are rendered as STRING digits over a pinned
+    // intermediate decimal type (the fn_decimal pattern): a raw
+    // derived-DECIMAL output column is a driver-side DuckDB-version
+    // representation split even when the values are bit-identical (r9
+    // adjudication — precision/scale/python-repr rules moved between
+    // versions). Both engines print a pinned DECIMAL(p,s) with the full
+    // s-digit scale, so the hash compares exact digits. `STRING` is a
+    // shared spelling (Spark native; DuckDB alias for VARCHAR).
     val nD = 40
     val cols = (0 until nD).map { k =>
       val e = dExpr(1 + rnd.nextInt(2))
-      s"CAST(SUM($e) AS DECIMAL(38,6)) AS q${k}_s, " +
-        s"CAST(MIN($e) AS $D) AS q${k}_mn, " +
-        s"CAST(MAX($e) AS $D) AS q${k}_mx, " +
+      s"CAST(CAST(SUM($e) AS DECIMAL(38,6)) AS STRING) AS q${k}_s, " +
+        s"CAST(CAST(MIN($e) AS $D) AS STRING) AS q${k}_mn, " +
+        s"CAST(CAST(MAX($e) AS $D) AS STRING) AS q${k}_mx, " +
         s"COUNT($e) AS q${k}_n"
     }.mkString(", ")
     s"SELECT $cols FROM t"

@@ -97,22 +97,95 @@ final class Pipeline(spark: SparkSession,
     * (function parameter lists, RETURNS clauses and bodies — the
     * reference allows user types anywhere a type may appear, so
     * `RETURNS money` or `CAST(x AS money)` must reach Spark spelled as
-    * the underlying type).
+    * the underlying type). Substitution is restricted to TYPE
+    * positions: a string literal containing the type name, or a
+    * parameter/column that happens to be named like the type, must
+    * survive untouched — a blind whole-fragment regex corrupted both.
     */
   private def resolveTypeAliases(s: String): String =
-    program.types.foldLeft(s) { case (acc, t) =>
-      acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(t.name) +
-        "\\b", java.util.regex.Matcher.quoteReplacement(
-          SqlTypes.toSpark(t.name).sql))
+    substOutsideQuotes(s, run =>
+      program.types.foldLeft(run) { case (acc, t) =>
+        acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(t.name) +
+          "\\b", java.util.regex.Matcher.quoteReplacement(
+            SqlTypes.toSpark(t.name).sql))
+      })
+
+  /** In a body, the only type position is `CAST(expr AS <type>)` — the
+    * alias name is replaced only when it directly follows AS and closes
+    * the cast, so `SELECT 'money'` and a column aliased `AS money` in a
+    * projection keep their spelling.
+    */
+  private def resolveBodyTypeCasts(s: String): String =
+    substOutsideQuotes(s, run =>
+      program.types.foldLeft(run) { case (acc, t) =>
+        acc.replaceAll("(?i)\\b(AS\\s+)" +
+          java.util.regex.Pattern.quote(t.name) + "(\\s*\\))",
+          "$1" + java.util.regex.Matcher.quoteReplacement(
+            SqlTypes.toSpark(t.name).sql) + "$2")
+      })
+
+  /** Param list `name type, name type, …`: resolve aliases only in the
+    * type slot (everything after each parameter's name token), so a
+    * parameter named like a declared type keeps its name. Splits on
+    * top-level commas only (DECIMAL(10,2) stays whole).
+    */
+  private def resolveParamTypes(params: String): String = {
+    if (params.trim.isEmpty) return params
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var inQ = false
+    for (i <- params.indices) params(i) match {
+      case '\'' => inQ = !inQ
+      case '(' if !inQ => depth += 1
+      case ')' if !inQ => depth -= 1
+      case ',' if !inQ && depth == 0 =>
+        parts += params.substring(start, i); start = i + 1
+      case _ => ()
     }
+    parts += params.substring(start)
+    parts.map { p =>
+      val t = p.trim
+      val sp = t.indexWhere(_.isWhitespace)
+      if (sp < 0) t
+      else t.take(sp) + " " + resolveTypeAliases(t.drop(sp + 1).trim)
+    }.mkString(", ")
+  }
+
+  /** Apply `f` to the unquoted runs of `s`, copying single-quoted SQL
+    * string literals (with `''` escapes) through verbatim.
+    */
+  private def substOutsideQuotes(s: String, f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var start = 0
+    while (i < s.length) {
+      if (s(i) == '\'') {
+        sb.append(f(s.substring(start, i)))
+        var k = i + 1
+        var open = true
+        while (open && k < s.length) {
+          if (s(k) == '\'') {
+            if (k + 1 < s.length && s(k + 1) == '\'') k += 2
+            else { open = false; k += 1 }
+          } else k += 1
+        }
+        sb.append(s.substring(i, k))
+        i = k
+        start = k
+      } else i += 1
+    }
+    sb.append(f(s.substring(start)))
+    sb.toString
+  }
 
   program.functions.foreach { f =>
     f.body match {
       case Some(b) => spark.sql(
         s"CREATE OR REPLACE TEMPORARY FUNCTION ${f.name}" +
-          s"(${resolveTypeAliases(f.params)}) " +
+          s"(${resolveParamTypes(f.params)}) " +
           s"RETURNS ${resolveTypeAliases(f.returnType)} " +
-          s"RETURN ${resolveTypeAliases(b)}")
+          s"RETURN ${resolveBodyTypeCasts(b)}")
       case None => require(spark.catalog.functionExists(f.name),
         s"external-body function '${f.name}' is not registered")
     }

@@ -74,9 +74,12 @@ object Grpc {
     java.util.Arrays.copyOfRange(body, 5, 5 + len)
   }
 
-  /** ASCII guard for header values we originate. */
+  /** ASCII guard for header values we originate. (A byte-length
+    * comparison would be a no-op: getBytes(US_ASCII) maps every
+    * unmappable char to one '?' byte, preserving length.)
+    */
   def ascii(s: String): String = {
-    require(s.getBytes(US_ASCII).length == s.length, s"non-ascii: $s")
+    require(s.forall(_ < 0x80), s"non-ascii: $s")
     s
   }
 }

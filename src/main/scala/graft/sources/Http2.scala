@@ -104,10 +104,25 @@ object Http2 {
     private val hpackIn = new Hpack.Decoder()
     private var nextStreamId = 1
     private var serverMaxFrame = 16384
+    // Send-side flow control (RFC 7540 §6.9): the peer's connection
+    // window starts at 65535 and grows only via WINDOW_UPDATE; each
+    // stream starts at the peer's SETTINGS_INITIAL_WINDOW_SIZE. A
+    // conformant server kills the connection with FLOW_CONTROL_ERROR
+    // if we write DATA past either, so sends pause (draining control
+    // frames) when a window is exhausted.
+    private var connSendWindow = 65535L
+    private var initialStreamWindow = 65535L
+    private var curStreamWindow = 0L // the in-flight stream's window
+    // frames for the in-flight stream that arrive while we are still
+    // sending its request body (a server may respond early)
+    private val pending = mutable.Queue[Frame]()
 
     // ---- handshake: preface + SETTINGS, wait for the server's SETTINGS
     out.write(Preface)
-    writeFrame(out, Frame(SETTINGS, 0, 0, Array.emptyByteArray))
+    // SETTINGS_ENABLE_PUSH(0x2)=0: we never handle PUSH_PROMISE, and a
+    // pushed HEADERS block would desync the shared HPACK dynamic table
+    writeFrame(out, Frame(SETTINGS, 0, 0,
+      Array(0x00, 0x02, 0x00, 0x00, 0x00, 0x00).map(_.toByte)))
     private var settingsSeen = false
     while (!settingsSeen) {
       val f = readFrame(in)
@@ -130,6 +145,12 @@ object Http2 {
         val v = ((p(i + 2) & 0xff) << 24) | ((p(i + 3) & 0xff) << 16) |
           ((p(i + 4) & 0xff) << 8) | (p(i + 5) & 0xff)
         if (id == 0x5) serverMaxFrame = v // SETTINGS_MAX_FRAME_SIZE
+        if (id == 0x4) { // SETTINGS_INITIAL_WINDOW_SIZE (§6.9.2: the
+          // delta retroactively adjusts every open stream's window)
+          val nv = v & 0xffffffffL
+          curStreamWindow += nv - initialStreamWindow
+          initialStreamWindow = nv
+        }
         i += 6
       }
     }
@@ -145,7 +166,13 @@ object Http2 {
     private def handleControl(f: Frame): Unit = f.tpe match {
       case PING if (f.flags & ACK) == 0 =>
         writeFrame(out, Frame(PING, ACK, 0, f.payload))
-      case _ => () // WINDOW_UPDATE: our sends are far below 64 KiB
+      case WINDOW_UPDATE if f.payload.length >= 4 =>
+        val inc = (((f.payload(0) & 0x7f) << 24) |
+          ((f.payload(1) & 0xff) << 16) | ((f.payload(2) & 0xff) << 8) |
+          (f.payload(3) & 0xff)).toLong
+        if (f.streamId == 0) connSendWindow += inc
+        else curStreamWindow += inc // only our one in-flight stream
+      case _ => ()
     }
 
     /** One unary request: HEADERS + DATA(END_STREAM), then read this
@@ -155,6 +182,7 @@ object Http2 {
     def unary(headers: Seq[(String, String)], body: Array[Byte]): Response = {
       val streamId = nextStreamId
       nextStreamId += 2
+      curStreamWindow = initialStreamWindow
       val block = Hpack.encode(headers)
       require(block.length <= serverMaxFrame, "http2: header block too big")
       writeFrame(out, Frame(HEADERS, END_HEADERS, streamId, block))
@@ -163,10 +191,28 @@ object Http2 {
         writeFrame(out, Frame(DATA, END_STREAM, streamId,
           Array.emptyByteArray))
       else while (off < body.length) {
-        val n = math.min(serverMaxFrame, body.length - off)
+        // pause on an exhausted send window: drain frames until a
+        // WINDOW_UPDATE/SETTINGS re-opens it, parking any early
+        // response frames for this stream on the pending queue
+        while (math.min(connSendWindow, curStreamWindow) <= 0) {
+          val f = readFrame(in)
+          if (f.streamId == streamId && f.tpe != WINDOW_UPDATE)
+            pending.enqueue(f)
+          else if (f.streamId == 0) f.tpe match {
+            case SETTINGS if (f.flags & ACK) == 0 =>
+              applySettings(f.payload)
+              writeFrame(out, Frame(SETTINGS, ACK, 0, Array.emptyByteArray))
+            case GOAWAY => sys.error(goawayMsg(f))
+            case _ => handleControl(f)
+          } else handleControl(f)
+        }
+        val n = math.min(math.min(serverMaxFrame.toLong, body.length - off),
+          math.min(connSendWindow, curStreamWindow)).toInt
         val last = off + n >= body.length
         writeFrame(out, Frame(DATA, if (last) END_STREAM else 0, streamId,
           java.util.Arrays.copyOfRange(body, off, off + n)))
+        connSendWindow -= n
+        curStreamWindow -= n
         off += n
       }
 
@@ -177,7 +223,7 @@ object Http2 {
       var done = false
       var contBuf: Option[(mutable.ArrayBuffer[Byte], Boolean)] = None
       while (!done) {
-        val f = readFrame(in)
+        val f = if (pending.nonEmpty) pending.dequeue() else readFrame(in)
         f.streamId match {
           case 0 => f.tpe match {
             case SETTINGS if (f.flags & ACK) == 0 =>
@@ -229,7 +275,15 @@ object Http2 {
               sys.error(s"http2: stream $streamId reset by server")
             case _ => ()
           }
-          case _ => () // a stream we did not open
+          case other =>
+            // We advertise ENABLE_PUSH=0 and open streams one at a
+            // time, so a HEADERS block on a stream we did not open is a
+            // protocol violation — and silently skipping it would
+            // desync the shared HPACK dynamic table for every later
+            // response. Fail loudly instead.
+            if (f.tpe == HEADERS || f.tpe == CONTINUATION)
+              sys.error(s"http2: HEADERS on unopened stream $other " +
+                "(server push is disabled)")
         }
       }
       Response(respHeaders, data.toArray, trailers)
@@ -288,6 +342,17 @@ object Http2 {
               Array.emptyByteArray, handle)
         case DATA =>
           bodies(f.streamId) ++= f.payload
+          // return the consumed receive window (connection + stream) so
+          // a flow-controlled client can keep sending bodies > 64 KiB
+          if (f.payload.nonEmpty) {
+            val n = f.payload.length
+            val inc = Array(((n >> 24) & 0x7f).toByte,
+              ((n >> 16) & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+              (n & 0xff).toByte)
+            writeFrame(out, Frame(WINDOW_UPDATE, 0, 0, inc))
+            if ((f.flags & END_STREAM) == 0)
+              writeFrame(out, Frame(WINDOW_UPDATE, 0, f.streamId, inc))
+          }
           if ((f.flags & END_STREAM) != 0)
             respond(out, hpackOut, f.streamId, heads(f.streamId),
               bodies(f.streamId).toArray, handle)

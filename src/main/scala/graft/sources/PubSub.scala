@@ -262,6 +262,11 @@ object PubSub {
     }
     val base = (if (tls) "https://" else "http://") + hostPort
     val seekKey = s"$base|$subscriptionPath|${conf.name.getOrElse("")}"
+    // the reference rejects snapshot+timestamp together (pubsub
+    // input.rs config validation) — fail fast on both transports
+    // instead of silently applying two seeks in sequence
+    require(!(cf.contains("snapshot") && cf.contains("timestamp")),
+      "pub_sub_input: 'snapshot' and 'timestamp' are mutually exclusive")
     val doSeek = (cf.contains("snapshot") || cf.contains("timestamp")) &&
       seeked.putIfAbsent(seekKey, true).isEmpty
     val snapPath = cf.get("snapshot").map { snap =>
@@ -281,8 +286,16 @@ object PubSub {
         if (doSeek) {
           snapPath.foreach(s => seekGrpc(ch, subscriptionPath, token,
             Some(s), None))
+          // RFC 3339 allows numeric offsets, not just 'Z' (the REST
+          // path forwards the string verbatim) — Instant.parse alone
+          // would reject '2024-01-01T00:00:00+02:00'
           cf.get("timestamp").foreach(ts => seekGrpc(ch, subscriptionPath,
-            token, None, Some(java.time.Instant.parse(ts))))
+            token, None, Some(
+              try java.time.Instant.parse(ts)
+              catch {
+                case _: java.time.format.DateTimeParseException =>
+                  java.time.OffsetDateTime.parse(ts).toInstant
+              })))
         }
         pullAvailableGrpc(ch, subscriptionPath, token)
       } finally ch.close()

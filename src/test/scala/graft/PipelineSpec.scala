@@ -94,6 +94,22 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("t").as[Double].head() === 12.0)
   }
 
+  test("type aliases resolve only in type positions: a string literal " +
+    "and a parameter named like the type survive") {
+    val prog =
+      """CREATE TYPE money AS DECIMAL(18, 4);
+        |CREATE FUNCTION tag(money DOUBLE) RETURNS STRING
+        |  AS CONCAT('money=', CAST(CAST(money AS money) AS STRING));
+        |CREATE TABLE sales (s_id BIGINT, s_amt DOUBLE);
+        |CREATE VIEW tagged AS SELECT s_id, tag(s_amt) AS t FROM sales;""".stripMargin
+    val pipe = Pipeline(spark, prog)
+    val out = pipe.step(Map("sales" -> ZSets.lift(
+      Seq((1L, 2.5)).toDF("s_id", "s_amt"))))("tagged")
+    // the literal 'money=' is untouched; the parameter keeps its name;
+    // only CAST(... AS money) resolved to DECIMAL(18,4) (scale 4 digits)
+    assert(out.select("t").as[String].head() === "money=2.5000")
+  }
+
   test("PRIMARY KEY tables accept upsert batches: overwrite + delete") {
     val prog =
       """CREATE TABLE kv (k BIGINT NOT NULL PRIMARY KEY, v VARCHAR);

@@ -318,4 +318,25 @@ class PubSubSpec extends SparkSpec {
       } finally ch.close()
     } finally srv.close()
   }
+
+  test("gRPC: a Publish body past the 64 KiB HTTP/2 send window round-" +
+    "trips (client pauses on flow control, resumes on WINDOW_UPDATE)") {
+    val srv = new GrpcPubSubStub()
+    try {
+      // ~50 messages × 4 KiB ≈ 200 KiB in ONE Publish call — over 3×
+      // the RFC 7540 initial connection window (65535), so the client
+      // must stall mid-body at least twice and resume on the stub's
+      // WINDOW_UPDATE credits
+      val big = Seq.tabulate(50)(i =>
+        (s"""{"insert": {"k": $i, "v": """ + "1" * 4000 + "}}")
+          .getBytes(UTF_8))
+      val ch = grpcChannel(srv)
+      try PubSub.publishGrpc(ch, "projects/p/topics/t", None, big)
+      finally ch.close()
+      val ch2 = grpcChannel(srv)
+      try assert(PubSub.pullAvailableGrpc(ch2,
+        "projects/p/subscriptions/s", None).size === 50)
+      finally ch2.close()
+    } finally srv.close()
+  }
 }
