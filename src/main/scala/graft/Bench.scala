@@ -109,6 +109,7 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_DETAIL.json"), full + "\n")
       catch { case _: Throwable => () }
+    else System.err.println("DEV_DETAIL " + full)
     // final line budget: keep the slowest queries while under 1700 chars
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest.length

@@ -1234,6 +1234,13 @@ final class Pipeline(spark: SparkSession,
           evalChainAgg(v.sql, rel, outCols, chainCols, relDeltas(rel),
             oldViews.get(v.name))
         case Ivm.GroupAgg(rel, groupCols, outCols, _)
+            if relDeltas.contains(rel) && groupCols.nonEmpty &&
+              Pipeline.linearAggEnabled &&
+              linearAggInfo(v.name, v.sql).isDefined =>
+          // all-SUM/COUNT view: partial-sum state, delta-only aggregation
+          evalLinearAgg(v.name, v.sql, rel, outCols, relDeltas,
+            oldViews.get(v.name))
+        case Ivm.GroupAgg(rel, groupCols, outCols, _)
             if relDeltas.contains(rel) =>
           evalGroupAgg(v.sql, rel, groupCols, outCols, relDeltas(rel),
             newStates, oldViews.get(v.name))
@@ -1565,6 +1572,208 @@ final class Pipeline(spark: SparkSession,
       val (oldTouched, _) = IncrementalOps.splitTouched(old, touchedOut, outCols)
       ZSets.lift(newRows).unionByName(ZSets.negate(oldTouched))
     }
+  }
+
+  // ------------------------------------------------ linear group aggs
+
+  /** Decomposition of a GroupAgg view whose aggregates are all
+    * non-distinct, filter-free SUM/COUNT over exact (decimal/integral)
+    * inputs — the reference's linear-aggregate fast path
+    * (crates/dbsp/src/operator/dynamic/aggregate.rs aggregate_linear;
+    * the Weigh + postprocess pipeline of DBSPWeighOperator.java): hidden
+    * state is one row of PARTIAL SUMS per group, a step aggregates ONLY
+    * the delta and merges touched groups — no touched-group re-scan of
+    * the integrated source state, O(|Δ|) shuffle + O(touched) merge.
+    * Float/double sums are excluded on purpose: their addition order
+    * differs between partial-merge and batch recompute, and the
+    * final-state-equals-batch contract is bit-exact.
+    */
+  private sealed trait LinearSlot {
+    def ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+  }
+  private final case class SumSlot(
+      ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression,
+      sumCol: String, cntCol: String,
+      wide: org.apache.spark.sql.types.DataType) extends LinearSlot
+  private final case class CountSlot(
+      ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression,
+      cntCol: String) extends LinearSlot
+  private final case class LinearAggInfo(
+      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      slots: Seq[LinearSlot])
+
+  private val linearAggMemo = mutable.Map[String, Option[LinearAggInfo]]()
+  /** Hidden partial-sum state per linear-agg view: group keys ++ one
+    * (sum, non-null count) pair per SUM slot ++ one count per COUNT slot
+    * ++ `_lp_w` (sum of weights — group liveness).
+    */
+  private val linearPartials = mutable.Map[String, DataFrame]()
+
+  private def linearAggInfo(viewName: String, sql: String)
+      : Option[LinearAggInfo] =
+    linearAggMemo.getOrElseUpdate(viewName, {
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, SubqueryAlias}
+      import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+      def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+          : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+        p match { case s: SubqueryAlias => strip(s.child); case o => o }
+      def exact(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: DecimalType | LongType | IntegerType | ShortType |
+             ByteType => true
+        case _ => false
+      }
+      strip(analyzedLeaves(viewName, sql)._1) match {
+        case agg: Aggregate if agg.groupingExpressions.nonEmpty &&
+            agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]) =>
+          val aes = agg.aggregateExpressions
+            .flatMap(_.collect { case ae: AggregateExpression => ae })
+          val ok = aes.nonEmpty && aes.forall { ae =>
+            !ae.isDistinct && ae.filter.isEmpty &&
+              (ae.aggregateFunction match {
+                case s: Sum => exact(s.child.dataType)
+                case _: Count => true
+                case _ => false
+              })
+          }
+          val keyNames = agg.groupingExpressions
+            .map(_.asInstanceOf[AttributeReference].name)
+          if (!ok || keyNames.distinct.size != keyNames.size) None
+          else {
+            val seen = mutable.LinkedHashMap[
+              org.apache.spark.sql.catalyst.expressions.Expression,
+              AggregateExpression]()
+            aes.foreach { ae =>
+              seen.getOrElseUpdate(ae.canonicalized, ae); ()
+            }
+            val slots = seen.values.zipWithIndex.map { case (ae, i) =>
+              ae.aggregateFunction match {
+                case s: Sum =>
+                  // partial sums live at max decimal width so the
+                  // sum-of-partials merge keeps one stable state schema
+                  val wide = s.dataType match {
+                    case d: DecimalType => DecimalType(38, d.scale)
+                    case other => other
+                  }
+                  SumSlot(ae, s"_lp_s$i", s"_lp_n$i", wide)
+                case _ => CountSlot(ae, s"_lp_c$i")
+              }
+            }.toSeq
+            Some(LinearAggInfo(agg, slots))
+          }
+        case _ => None
+      }
+    })
+
+  /** One linear-agg step: per-sign partial aggregation of the delta
+    * (plan surgery over the grafted child keeps agg0's expressions
+    * resolved), sign-combined and merged into the hidden partial state;
+    * the view's output rows for touched groups are FINALIZED from the
+    * merged partials (original output expressions with each
+    * AggregateExpression swapped for its partial columns).
+    */
+  private def evalLinearAgg(viewName: String, sql: String, rel: String,
+      outCols: Seq[String], relDeltas: collection.Map[String, DataFrame],
+      oldView: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, GreaterThan, If, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    val shims = org.apache.spark.sql.graft.Shims
+    val info = linearAggMemo(viewName).get
+    val agg0 = info.agg
+    val (_, leaves) = analyzedLeaves(viewName, sql)
+    val childLeaves = leaves.filter { case (_, node) =>
+      agg0.child.exists(_ eq node) }
+    val delta = relDeltas(rel)
+    val keyAttrs = agg0.groupingExpressions
+      .map(_.asInstanceOf[AttributeReference])
+    val keyNames = keyAttrs.map(_.name)
+    val cntName = "_lp_w"
+    val pcols = info.slots.flatMap {
+      case SumSlot(_, s, n, _) => Seq(s, n)
+      case CountSlot(_, c) => Seq(c)
+    } :+ cntName
+
+    def partials(m: DataFrame): DataFrame = {
+      val pexprs: Seq[NamedExpression] = (keyAttrs: Seq[NamedExpression]) ++
+        info.slots.flatMap {
+          case SumSlot(ae, sCol, nCol, wide) => Seq(
+            Alias(Cast(ae, wide), sCol)(),
+            Alias(AggregateExpression(
+              Count(Seq(ae.aggregateFunction.children.head)), Complete,
+              isDistinct = false), nCol)())
+          case CountSlot(ae, cCol) => Seq(Alias(ae, cCol)())
+        } :+ Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+          isDistinct = false), cntName)()
+      shims.ofRows(spark, Aggregate(agg0.groupingExpressions, pexprs,
+        graftPlan(agg0.child, childLeaves, Map(rel -> m))))
+    }
+    def aggSum(df: DataFrame): DataFrame =
+      df.groupBy(keyNames.map(col): _*)
+        .agg(sum(col(pcols.head)).as(pcols.head),
+          pcols.tail.map(c => sum(col(c)).as(c)): _*)
+    def negatePartials(df: DataFrame): DataFrame =
+      df.select(keyNames.map(col) ++ pcols.map(c => (-col(c)).as(c)): _*)
+
+    val (hasPos, hasNeg) = signsOf(rel, relDeltas)
+    val sides =
+      (if (hasPos)
+        Seq(partials(ZSets.toMultiset(ZSets.positive(delta)))) else Nil) ++
+      (if (hasNeg)
+        Seq(negatePartials(partials(ZSets.toMultiset(
+          ZSets.negate(delta.filter(col(ZSets.W) < 0)))))) else Nil)
+    if (sides.isEmpty) return ZSets.lift(emptyViews(viewName))
+    // one materialization of the delta partials: the touched-key
+    // broadcast, the state merge and the finalize all read it — without
+    // the checkpoint each consumer re-scans the delta
+    val dp = (if (sides.size == 1) sides.head
+      else aggSum(sides.head.unionByName(sides(1)))).localCheckpoint(false)
+
+    val touched = dp.select(keyNames.map(col): _*).distinct()
+    val (mergedTouched, untouched) = linearPartials.get(viewName) match {
+      case None => (dp, None)
+      case Some(st) =>
+        val (tOld, unt) = IncrementalOps.splitTouched(st, touched, keyNames)
+        (aggSum(tOld.unionByName(dp)), Some(unt))
+    }
+    // a group whose multiset emptied vanishes from state AND output
+    // (AggregateZero for grouped aggregates)
+    val liveTouched = mergedTouched.filter(col(cntName) =!= 0)
+      .localCheckpoint(false)
+    linearPartials(viewName) = (untouched match {
+      case Some(u) => u.unionByName(liveTouched)
+      case None => liveTouched
+    }).localCheckpoint(false)
+
+    // finalize: original output expressions over the partial columns
+    val livePlan = liveTouched.queryExecution.analyzed
+    val attrByName = livePlan.output.map(a => a.name -> a).toMap
+    val keyAliases = keyAttrs.map(ka =>
+      Alias(attrByName(ka.name), ka.name)(exprId = ka.exprId))
+    val proj = Project(keyAliases ++ pcols.map(attrByName), livePlan)
+    val slotByCanon = info.slots.map(s => s.ae.canonicalized -> s).toMap
+    val finals = agg0.aggregateExpressions.map { ne =>
+      ne.transform {
+        case ae: AggregateExpression => slotByCanon(ae.canonicalized) match {
+          case SumSlot(_, sCol, nCol, _) =>
+            // SUM is NULL when no non-null input survives in the group
+            If(GreaterThan(attrByName(nCol), Literal(0L)),
+              Cast(attrByName(sCol), ae.dataType),
+              Literal(null, ae.dataType))
+          case CountSlot(_, cCol) => attrByName(cCol)
+        }
+      }.asInstanceOf[NamedExpression]
+    }
+    val newRows = shims.ofRows(spark, Project(finals, proj))
+
+    val old = oldView.getOrElse(
+      ZSets.lift(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        evalWith(sql, Map(rel -> emptyOf(rel))).schema)))
+    val touchedOut = touched.toDF(outCols: _*)
+    val (oldTouched, _) = IncrementalOps.splitTouched(old, touchedOut, outCols)
+    ZSets.lift(newRows).unionByName(ZSets.negate(oldTouched))
   }
 
   /** Aggregate-over-join composite (the reference's two circuit nodes,
@@ -2005,6 +2214,13 @@ final class Pipeline(spark: SparkSession,
 }
 
 object Pipeline {
+  /** Kill switch for the linear-aggregate fast path (A/B perf work and
+    * an escape hatch): SPARK_GRAFT_LINEAR_AGG=0 reverts GroupAgg views
+    * to touched-group re-aggregation.
+    */
+  private[runtime] val linearAggEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_LINEAR_AGG", "1") != "0"
+
   /** `INSERT INTO <table> <VALUES …|SELECT …>` (ad-hoc surface). */
   private[runtime] val InsertRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(VALUES\\b.*|SELECT\\b.*)$".r
