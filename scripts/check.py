@@ -73,16 +73,20 @@ def main():
             # pyarrow maps date32 -> object(datetime.date); lift it to
             # datetime64 like the DuckDB oracle side so the kind check
             # compares semantics, not arrow's python boxing
+            # scan the FULL column, not the head: object columns from
+            # heterogeneous part files can change python type mid-column
+            # and a head-sniff would skip the lift / miss the gate
             for c in mine.columns:
                 cells = mine[c].dropna()
                 if mine[c].dtype == object and len(cells) and \
-                        isinstance(cells.iloc[0], datetime.date) and \
-                        not isinstance(cells.iloc[0], datetime.datetime):
+                        all(isinstance(x, datetime.date) and
+                            not isinstance(x, datetime.datetime)
+                            for x in cells):
                     mine[c] = pd.to_datetime(mine[c])
             dec_cols = [c for c in mine.columns
                         if mine[c].dtype == object and any(
                             isinstance(x, decimal.Decimal)
-                            for x in mine[c].dropna().head(5))]
+                            for x in mine[c].dropna())]
             if dec_cols:
                 print(f"FAIL {name}: raw DECIMAL result column(s) "
                       f"{dec_cols} — driver-side representation split; "

@@ -249,7 +249,8 @@ object Ddl {
           case Some("MATERIALIZED") => MaterializedView
           case _ => OutputView
         }
-        views += ViewDef(name.toLowerCase, sql.trim, k, parseProps(props))
+        views += ViewDef(name.toLowerCase, Dialect.normalize(sql.trim), k,
+          parseProps(props))
       case indexRe(name, view, cols) =>
         indexes += IndexDef(name.toLowerCase, view.toLowerCase,
           splitColumns(cols).map(_.trim.toLowerCase).filter(_.nonEmpty))

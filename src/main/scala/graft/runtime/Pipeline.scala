@@ -112,17 +112,48 @@ final class Pipeline(spark: SparkSession,
 
   /** In a body, the only type position is `CAST(expr AS <type>)` — the
     * alias name is replaced only when it directly follows AS and closes
-    * the cast, so `SELECT 'money'` and a column aliased `AS money` in a
-    * projection keep their spelling.
+    * a paren opened by CAST(/TRY_CAST(, so `SELECT 'money'`, a column
+    * aliased `AS money` in a projection, and a scalar subquery alias
+    * `(SELECT x AS money)` all keep their spelling (the last closes a
+    * plain paren, not a cast — an unanchored `AS name)` rewrite
+    * corrupted it).
     */
   private def resolveBodyTypeCasts(s: String): String =
-    substOutsideQuotes(s, run =>
-      program.types.foldLeft(run) { case (acc, t) =>
-        acc.replaceAll("(?i)\\b(AS\\s+)" +
-          java.util.regex.Pattern.quote(t.name) + "(\\s*\\))",
-          "$1" + java.util.regex.Matcher.quoteReplacement(
-            SqlTypes.toSpark(t.name).sql) + "$2")
-      })
+    substOutsideQuotes(s, run => {
+      if (program.types.isEmpty) run
+      else {
+        // mark every ')' that closes a CAST( / TRY_CAST( opener
+        val castClose = new Array[Boolean](run.length)
+        val stack = scala.collection.mutable.Stack[Boolean]()
+        var i = 0
+        while (i < run.length) {
+          run(i) match {
+            case '(' =>
+              var j = i - 1
+              while (j >= 0 && run(j).isWhitespace) j -= 1
+              val e = j
+              while (j >= 0 && (run(j).isLetterOrDigit || run(j) == '_'))
+                j -= 1
+              val w = run.substring(j + 1, e + 1).toUpperCase
+              stack.push(w == "CAST" || w == "TRY_CAST")
+            case ')' => castClose(i) = stack.nonEmpty && stack.pop()
+            case _ => ()
+          }
+          i += 1
+        }
+        val bySpelling = program.types
+          .map(t => t.name.toLowerCase -> SqlTypes.toSpark(t.name).sql)
+          .toMap
+        val pat = ("(?i)\\b(AS\\s+)(" + program.types.map(t =>
+          java.util.regex.Pattern.quote(t.name)).mkString("|") +
+          ")(\\s*)(?=\\))").r
+        pat.replaceAllIn(run, m =>
+          if (m.end < run.length && castClose(m.end))
+            java.util.regex.Matcher.quoteReplacement(
+              m.group(1) + bySpelling(m.group(2).toLowerCase) + m.group(3))
+          else java.util.regex.Matcher.quoteReplacement(m.matched))
+      }
+    })
 
   /** Param list `name type, name type, …`: resolve aliases only in the
     * type slot (everything after each parameter's name token), so a
@@ -1726,9 +1757,12 @@ final class Pipeline(spark: SparkSession,
     if (sides.isEmpty) return ZSets.lift(emptyViews(viewName))
     // one materialization of the delta partials: the touched-key
     // broadcast, the state merge and the finalize all read it — without
-    // the checkpoint each consumer re-scans the delta
-    val dp = (if (sides.size == 1) sides.head
-      else aggSum(sides.head.unionByName(sides(1)))).localCheckpoint(false)
+    // the checkpoint each consumer re-scans the delta. cachedBarrier (not
+    // plain localCheckpoint) so the checkpoint's carried-over origin
+    // constraints — which reference the original view plan's expression
+    // ids — never reach the state-merge Union's constraint rewrite.
+    val dp = shims.cachedBarrier(if (sides.size == 1) sides.head
+      else aggSum(sides.head.unionByName(sides(1))))
 
     val touched = dp.select(keyNames.map(col): _*).distinct()
     val (mergedTouched, untouched) = linearPartials.get(viewName) match {
@@ -1739,12 +1773,25 @@ final class Pipeline(spark: SparkSession,
     }
     // a group whose multiset emptied vanishes from state AND output
     // (AggregateZero for grouped aggregates)
-    val liveTouched = mergedTouched.filter(col(cntName) =!= 0)
-      .localCheckpoint(false)
-    linearPartials(viewName) = (untouched match {
+    // overflow guard: partials live at DECIMAL(38,s); a running total past
+    // 38 digits merges to NULL, and persisting that row would silently
+    // lose the accumulated state (batch recompute would recover once
+    // retractions bring the sum back in range — the poisoned partial never
+    // would). Fail the step instead of persisting a poisoned row.
+    val guarded = info.slots.foldLeft(mergedTouched) {
+      case (df, SumSlot(_, sCol, nCol, _)) => df.withColumn(sCol,
+        when(col(sCol).isNull && col(nCol) > 0, org.apache.spark.sql
+          .functions.raise_error(lit(s"linear-agg partial sum '$sCol' of " +
+            s"view '$viewName' overflowed DECIMAL(38,_) — restart the " +
+            "pipeline to rebuild the view by full recompute")))
+          .otherwise(col(sCol)))
+      case (df, _) => df
+    }
+    val liveTouched = shims.cachedBarrier(guarded.filter(col(cntName) =!= 0))
+    linearPartials(viewName) = shims.cachedBarrier(untouched match {
       case Some(u) => u.unionByName(liveTouched)
       case None => liveTouched
-    }).localCheckpoint(false)
+    })
 
     // finalize: original output expressions over the partial columns
     val livePlan = liveTouched.queryExecution.analyzed
@@ -1773,7 +1820,14 @@ final class Pipeline(spark: SparkSession,
         evalWith(sql, Map(rel -> emptyOf(rel))).schema)))
     val touchedOut = touched.toDF(outCols: _*)
     val (oldTouched, _) = IncrementalOps.splitTouched(old, touchedOut, outCols)
-    ZSets.lift(newRows).unionByName(ZSets.negate(oldTouched))
+    // the finalize Project reuses the ORIGINAL view plan's expression ids
+    // (keyAliases above) so agg0's output expressions stay resolved; a
+    // caller-side union over a frame carrying those ids trips Catalyst's
+    // cached-constraint rewrite (key not found: <attr>). internalBarrier
+    // severs plan constraints at this API edge — same sharp edge and same
+    // fix as the migrate() bootstrap diff (see Shims.internalBarrier).
+    shims.internalBarrier(
+      ZSets.lift(newRows).unionByName(ZSets.negate(oldTouched)))
   }
 
   /** Aggregate-over-join composite (the reference's two circuit nodes,
@@ -2137,9 +2191,12 @@ final class Pipeline(spark: SparkSession,
       errorState.createOrReplaceTempView("error_view")
     }
     bindCurrent()
-    def one(stmt: String): DataFrame = stmt match {
-      case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
-      case _ => spark.sql(stmt)
+    def one(stmt0: String): DataFrame = {
+      val stmt = graft.ddl.Dialect.normalize(stmt0)
+      stmt match {
+        case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
+        case _ => spark.sql(stmt)
+      }
     }
     sql match {
       case Pipeline.PrepExecRe(pname, body, ename, argList) =>

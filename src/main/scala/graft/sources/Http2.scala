@@ -113,6 +113,7 @@ object Http2 {
     private var connSendWindow = 65535L
     private var initialStreamWindow = 65535L
     private var curStreamWindow = 0L // the in-flight stream's window
+    private var inFlightStream = 0 // id of the stream unary() is driving
     // frames for the in-flight stream that arrive while we are still
     // sending its request body (a server may respond early)
     private val pending = mutable.Queue[Frame]()
@@ -171,7 +172,11 @@ object Http2 {
           ((f.payload(1) & 0xff) << 16) | ((f.payload(2) & 0xff) << 8) |
           (f.payload(3) & 0xff)).toLong
         if (f.streamId == 0) connSendWindow += inc
-        else curStreamWindow += inc // only our one in-flight stream
+        // a late WINDOW_UPDATE for a CLOSED stream (servers do emit
+        // these) must not inflate the current stream's send window —
+        // writing past the server's real window draws a connection-
+        // killing FLOW_CONTROL_ERROR
+        else if (f.streamId == inFlightStream) curStreamWindow += inc
       case _ => ()
     }
 
@@ -183,21 +188,31 @@ object Http2 {
       val streamId = nextStreamId
       nextStreamId += 2
       curStreamWindow = initialStreamWindow
+      inFlightStream = streamId
       val block = Hpack.encode(headers)
       require(block.length <= serverMaxFrame, "http2: header block too big")
       writeFrame(out, Frame(HEADERS, END_HEADERS, streamId, block))
       var off = 0
+      // set when the server closes the stream while we are still sending
+      // its body (RST_STREAM, or a trailers-only/early response ending in
+      // END_STREAM): no more credit will ever arrive and writing further
+      // DATA on the closed stream is a protocol error — stop sending and
+      // let the response loop below process the parked frames
+      var closedEarly = false
       if (body.isEmpty)
         writeFrame(out, Frame(DATA, END_STREAM, streamId,
           Array.emptyByteArray))
-      else while (off < body.length) {
+      else while (off < body.length && !closedEarly) {
         // pause on an exhausted send window: drain frames until a
         // WINDOW_UPDATE/SETTINGS re-opens it, parking any early
         // response frames for this stream on the pending queue
-        while (math.min(connSendWindow, curStreamWindow) <= 0) {
+        while (!closedEarly && math.min(connSendWindow, curStreamWindow) <= 0) {
           val f = readFrame(in)
-          if (f.streamId == streamId && f.tpe != WINDOW_UPDATE)
+          if (f.streamId == streamId && f.tpe != WINDOW_UPDATE) {
             pending.enqueue(f)
+            if (f.tpe == RST_STREAM || (f.flags & END_STREAM) != 0)
+              closedEarly = true
+          }
           else if (f.streamId == 0) f.tpe match {
             case SETTINGS if (f.flags & ACK) == 0 =>
               applySettings(f.payload)
@@ -206,14 +221,16 @@ object Http2 {
             case _ => handleControl(f)
           } else handleControl(f)
         }
-        val n = math.min(math.min(serverMaxFrame.toLong, body.length - off),
-          math.min(connSendWindow, curStreamWindow)).toInt
-        val last = off + n >= body.length
-        writeFrame(out, Frame(DATA, if (last) END_STREAM else 0, streamId,
-          java.util.Arrays.copyOfRange(body, off, off + n)))
-        connSendWindow -= n
-        curStreamWindow -= n
-        off += n
+        if (!closedEarly) {
+          val n = math.min(math.min(serverMaxFrame.toLong, body.length - off),
+            math.min(connSendWindow, curStreamWindow)).toInt
+          val last = off + n >= body.length
+          writeFrame(out, Frame(DATA, if (last) END_STREAM else 0, streamId,
+            java.util.Arrays.copyOfRange(body, off, off + n)))
+          connSendWindow -= n
+          curStreamWindow -= n
+          off += n
+        }
       }
 
       var respHeaders = Map.empty[String, String]

@@ -46,6 +46,18 @@ object Shims {
     org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
   }
 
+  /** LAZY, CACHED barrier: `localCheckpoint(eager = false)` for the
+    * caching (the plan runs once; later consumers read the persisted
+    * rows) wrapped in [[internalBarrier]] to DROP the origin constraints
+    * the checkpoint carries over (`LogicalRDD.fromDataset` rewrites the
+    * origin plan's constraints onto the checkpoint's output, and a
+    * constraint referencing an attribute outside that output — reachable
+    * through reused expression ids — crashes any downstream Union's
+    * cached-constraint rewrite with `key not found: <attr>`).
+    */
+  def cachedBarrier(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    internalBarrier(df.localCheckpoint(false))
+
   /** EAGER, CACHED internal-row snapshot — [[internalBarrier]] plus
     * persistence: runs the plan once, persists the internal rows at the
     * given storage level, and returns (frame over the cached RDD, row
