@@ -27,12 +27,17 @@ object Dialect {
     """(?is)\bUNPIVOT\s+EXCLUDING\s+NULLS\b""".r
   private val starExclude =
     """(?is)(\*\s*)EXCLUDE(\s*\()""".r
+  // ROW(expr, …) / ROW(T.*) constructor (grammar.md:430-436) → Spark's
+  // struct(...) (same semantics; Spark expands a star inside struct()).
+  // Word-bounded + paren-anchored so ROWS frames / ROW_NUMBER survive.
+  private val rowCtor = """(?is)\bROW(\s*\()""".r
 
   def normalize(sql: String): String =
     mapOutsideQuotes(sql) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
-      starExclude.replaceAllIn(b, "$1EXCEPT$2")
+      val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
+      rowCtor.replaceAllIn(c, "struct$1")
     }
 
   /** Apply `f` to the unquoted runs of `s`; single-quoted SQL string

@@ -311,4 +311,67 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("s_target"), col("s_raw"),
         ratio.as("ratio"), (ratio > 1.0d).as("keep"))
   }
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson/Spärck Jones; the retrieval tier above [[unigramScore]]
+    * / the TF-IDF top-terms op — the standard scorer for
+    * retrieval-based curation: picking the corpus documents most
+    * relevant to a target topic, or scoring near-benchmark text before
+    * decontamination review). Parameters are the textbook k1 = 1.2,
+    * b = 0.75, spelled as the rationals 12/10 and 3/4 so every term's
+    * contribution is ONE exact integer fraction:
+    *
+    *   idf_t  = (2N − 2df + 1) / (2df + 1)   (the ln-free rational idf —
+    *            ln() is not bit-identical across engines, the same
+    *            reason llm_tfidf uses linear idf)
+    *   tf_t   = 22·tf·T / (10·T·tf + 3·T + 9·dl·N)
+    *            (= tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    *            avgdl = T/N cleared of fractions)
+    *
+    * and the per-document score is the EXACT BIGINT sum of
+    * floor(quant · idf_t · tf_t) per matched term — quantized like the
+    * ANN cosine tiers, so the sum is order-independent and both engines
+    * hash-match; `score` = score_q / quant is the one IEEE operation.
+    *
+    * Plan shape at 100 TB: the query-term filter is a scan-side literal
+    * IN (no join); tf = map-side-combined groupBy(doc, term); df is at
+    * most |query| rows — broadcast; corpus totals are one 1-row
+    * broadcast cross join. Nothing larger than the per-doc aggregate
+    * shuffles. Exactness envelope: products stay < 2^63 while
+    * 2N · 22 · tf · T · quant < 9.2e18 — past that (true corpus scale)
+    * drop to DOUBLE contributions, where BM25 is a heuristic anyway.
+    */
+  def bm25Score(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], quant: Long = 10000L)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        size(col("__tk")).cast("long").as("__dl"))
+    val totals = toks.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
+    val e = toks
+      .select(col(idCol), col("__dl"), explode(col("__tk")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+    val tfs = e.groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfs = tfs.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val contrib = tfs
+      .join(broadcast(dfs), Seq("__term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__num",
+        (lit(2L) * col("__n") - lit(2L) * col("__df") + lit(1L)) *
+          lit(22L) * col("__tf") * col("__t") * lit(quant))
+      .withColumn("__den",
+        (lit(2L) * col("__df") + lit(1L)) *
+          (lit(10L) * col("__t") * col("__tf") + lit(3L) * col("__t") +
+            lit(9L) * col("__dl") * col("__n")))
+      .withColumn("__c", expr("__num DIV __den"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"), sum(col("__c")).as("score_q"))
+    toks.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("score_q"), lit(0L)).as("score_q"),
+        (coalesce(col("score_q"), lit(0L)).cast("double") / quant)
+          .as("score"))
+  }
 }

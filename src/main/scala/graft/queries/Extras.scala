@@ -301,6 +301,53 @@ object Extras {
       pipe.adHoc("SELECT * FROM u")
     },
 
+    // SELECT * REPLACE (expr AS col) (grammar.md:407-408) through the
+    // VIEW SQL path: Spark has no REPLACE star modifier, so the pipeline
+    // expands the star to the explicit column list with the replaced
+    // positions swapped IN PLACE (Pipeline.rewriteReplaceStar). DuckDB
+    // supports * REPLACE natively — the oracle uses it directly, so the
+    // order-preserving contract is cross-checked engine-to-engine.
+    Q(
+      "map_replace",
+      """SELECT * REPLACE (n_name || '!' AS n_name,
+        |                  n_nationkey * 100 AS n_nationkey)
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE nat (n_nationkey BIGINT, n_name VARCHAR,
+          | n_regionkey BIGINT);
+          |CREATE VIEW named AS
+          |  SELECT * REPLACE (n_name || '!' AS n_name,
+          |                    n_nationkey * 100 AS n_nationkey)
+          |  FROM nat;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("nat" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey"))))
+      pipe.adHoc("SELECT * FROM named")
+    },
+
+    // ROW(...) constructor (grammar.md:430-436) through the VIEW SQL
+    // path: ROW(T.*) maps to Spark's struct (Dialect.normalize), fields
+    // re-projected as scalars for the hashable output; the oracle
+    // computes the same fields directly (DuckDB's unnamed-ROW field
+    // naming differs, so the struct itself never surfaces).
+    Q(
+      "fn_row",
+      """SELECT r_regionkey AS k, upper(r_name) AS nm FROM region""".stripMargin) {
+      (s, dir) =>
+      val prog =
+        """CREATE TABLE reg (r_regionkey BIGINT, r_name VARCHAR);
+          |CREATE VIEW packed AS
+          |  SELECT ROW(reg.*) AS r FROM reg;
+          |CREATE VIEW flat AS
+          |  SELECT r.r_regionkey AS k, upper(r.r_name) AS nm FROM packed;"""
+          .stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("reg" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "region").select("r_regionkey", "r_name"))))
+      pipe.adHoc("SELECT * FROM flat")
+    },
+
     // SELECT * EXCLUDE(cols) (grammar.md:403-444) through the VIEW SQL
     // path: the reference's EXCLUDE spelling (synonym of EXCEPT after *)
     // is dialect-mapped to Spark's SELECT * EXCEPT (Dialect.normalize),

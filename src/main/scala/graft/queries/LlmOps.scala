@@ -973,6 +973,41 @@ object LlmOps {
         t(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)
     },
 
+    // BM25 retrieval scoring against a fixed query-term set — the
+    // standard relevance scorer for retrieval-based curation (topic
+    // selection, near-benchmark triage). Rational k1=12/10, b=3/4 and
+    // the ln-free idf make every term contribution ONE exact integer
+    // fraction; per-doc scores are exact BIGINT sums of quantized
+    // contributions (order-independent — the ANN-cosine discipline),
+    // which DuckDB re-derives term for term. 'dup' is the one rare term
+    // (df~25 of 500) so the idf contrast is exercised.
+    Q(
+      "llm_bm25",
+      s"""WITH d AS (SELECT doc_id, $tk AS tkn FROM documents),
+         |dd AS (SELECT doc_id, CAST(len(tkn) AS BIGINT) AS dl, tkn FROM d),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(dl) AS BIGINT) AS t FROM dd),
+         |e AS (SELECT doc_id, dl, unnest(tkn) AS term FROM dd),
+         |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tfv
+         |  FROM e WHERE term IN ('join', 'filter', 'dup') GROUP BY 1, 2, 3),
+         |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfv
+         |  FROM tf GROUP BY 1),
+         |c AS (SELECT tf.doc_id,
+         |    ((2*n - 2*dfv + 1) * 22 * tfv * t * 10000) //
+         |    ((2*dfv + 1) * (10*t*tfv + 3*t + 9*dl*n)) AS contrib
+         |  FROM tf JOIN dfs USING (term) CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |  CAST(SUM(contrib) AS BIGINT) AS score_q FROM c GROUP BY 1)
+         |SELECT dd.doc_id, COALESCE(n_hit, 0) AS n_hit,
+         |  COALESCE(score_q, 0) AS score_q,
+         |  CAST(COALESCE(score_q, 0) AS DOUBLE) / 10000 AS score
+         |FROM dd LEFT JOIN s USING (doc_id)""".stripMargin) { (s, dir) =>
+      TextAnalysis.bm25Score(
+        t(s, dir, "documents").repartition(32, col("doc_id"))
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("join", "filter", "dup"))
+    },
+
     // Corpus unigram-frequency scoring — the LM-free CCNet/Gopher
     // commonness signal: vocab counts from a map-side-combined groupBy,
     // broadcast back onto the exploded scan, integer-exact per-doc sums;

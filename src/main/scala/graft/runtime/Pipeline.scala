@@ -41,7 +41,7 @@ import graft.zset.ZSets
   * (graft.streaming.Streams.withLateness).
   */
 final class Pipeline(spark: SparkSession,
-    private[runtime] val program: Ddl.Program,
+    program0: Ddl.Program,
     /** Relations (tables or views) whose integrated state rides the
       * LSM-tiered trace backend instead of per-step materialized frames:
       * a step APPENDS the relation's delta as a run — O(|Δ|), memtable
@@ -56,6 +56,13 @@ final class Pipeline(spark: SparkSession,
     traceBacked: Set[String] = Set.empty,
     /** Memtable spill bound (rows) for trace-backed relation state. */
     traceMemRows: Long = 4L << 20) {
+
+  /** The program with every view's `SELECT * REPLACE` star expanded
+    * (Pipeline.resolveReplaceStars) — all downstream machinery sees
+    * plain Spark-parsable SQL.
+    */
+  private[runtime] val program: Ddl.Program =
+    Pipeline.resolveReplaceStars(spark, program0)
 
   private[runtime] def session: SparkSession = spark
 
@@ -2192,7 +2199,8 @@ final class Pipeline(spark: SparkSession,
     }
     bindCurrent()
     def one(stmt0: String): DataFrame = {
-      val stmt = graft.ddl.Dialect.normalize(stmt0)
+      val stmt = Pipeline.rewriteReplaceStar(spark,
+        graft.ddl.Dialect.normalize(stmt0))
       stmt match {
         case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
         case _ => spark.sql(stmt)
@@ -2358,6 +2366,124 @@ object Pipeline {
     }
     out.result()
   }
+
+  private val ReplaceStarRe =
+    """(?is)^(\s*SELECT\s+)((?:\w+\.)?\*)\s+REPLACE\s*\(""".r
+
+  /** Index of the LAST top-level `AS` keyword (outside quotes/parens)
+    * in a REPLACE item `expr AS column`, or -1.
+    */
+  private def lastTopLevelAs(s: String): Int = {
+    var last = -1
+    var depth = 0
+    var inQ = false
+    var i = 0
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'A' | 'a' if depth == 0 && i + 1 < s.length &&
+            (s.charAt(i + 1) == 'S' || s.charAt(i + 1) == 's') &&
+            (i == 0 || !wordChar(s.charAt(i - 1))) &&
+            (i + 2 >= s.length || !wordChar(s.charAt(i + 2))) =>
+          last = i
+        case _ => ()
+      }
+      i += 1
+    }
+    last
+  }
+
+  /** `SELECT [t.]* REPLACE (expr AS col, …) FROM …` (grammar.md:407-408):
+    * Spark has no REPLACE star modifier, so the star is expanded to the
+    * explicit column list with the replaced positions swapped IN PLACE —
+    * order-preserving, the reference's (and DuckDB's) semantics — using
+    * a throwaway schema-only analysis of the same query WITHOUT the
+    * modifier. The relations the query reads must already be registered
+    * as temp views when this runs (empty frames at pipeline
+    * construction; live state in adHoc). Replaced expressions that call
+    * program-declared SQL functions are resolved later than this rewrite
+    * and fail the analysis loudly.
+    */
+  private[runtime] def rewriteReplaceStar(spark: SparkSession,
+      sql: String): String =
+    ReplaceStarRe.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        var i = open
+        var depth = 0
+        var inQ = false
+        var close = -1
+        while (close < 0 && i < sql.length) {
+          val ch = sql.charAt(i)
+          if (inQ) { if (ch == '\'') inQ = false }
+          else ch match {
+            case '\'' => inQ = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ => ()
+          }
+          i += 1
+        }
+        require(close > 0, s"unbalanced REPLACE clause in: $sql")
+        val rest = sql.substring(close + 1)
+        val schema = spark.sql(m.group(1) + m.group(2) + rest).schema
+        val byName = splitArgs(sql.substring(open + 1, close)).map { item =>
+          val as = lastTopLevelAs(item)
+          require(as > 0,
+            s"REPLACE item must be 'expression AS column': $item")
+          val colName = item.substring(as + 2).trim
+            .stripPrefix("\"").stripSuffix("\"")
+          colName.toLowerCase(Locale.ROOT) -> item.substring(0, as).trim
+        }.toMap
+        val known = schema.fieldNames.map(_.toLowerCase(Locale.ROOT)).toSet
+        val unknown = byName.keySet.diff(known)
+        require(unknown.isEmpty,
+          s"REPLACE names column(s) not produced by *: ${unknown.mkString(", ")}")
+        val cols = schema.fieldNames.map { n =>
+          byName.get(n.toLowerCase(Locale.ROOT)) match {
+            case Some(e) => s"($e) AS `$n`"
+            case None => s"`$n`"
+          }
+        }
+        m.group(1) + cols.mkString(", ") + rest
+    }
+
+  /** Expand every view's `SELECT * REPLACE` at pipeline construction:
+    * empty frames of the declared tables (and recursive-view schemas)
+    * plus each already-expanded view register as temp views so the
+    * rewrite's throwaway analysis resolves, in declaration order. A
+    * program with no REPLACE star is returned untouched (no session
+    * side effects).
+    */
+  private[runtime] def resolveReplaceStars(spark: SparkSession,
+      p: Ddl.Program): Ddl.Program =
+    if (!p.views.exists(v => ReplaceStarRe.findFirstIn(v.sql).isDefined)) p
+    else {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      graft.functions.Registry.registerAll(spark)
+      spark.conf.set("spark.sql.timeType.enabled", "true")
+      def bindEmpty(name: String, cols: Seq[Ddl.ColumnDef]): Unit =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(cols.map(c => StructField(c.name,
+            SqlTypes.toSpark(c.sqlType), nullable = !c.notNull))))
+          .createOrReplaceTempView(name)
+      p.tables.foreach(t => bindEmpty(t.name, t.columns))
+      p.recursive.foreach(r => bindEmpty(r.name, r.columns))
+      val out = Vector.newBuilder[Ddl.ViewDef]
+      p.views.foreach { v =>
+        val sql2 = rewriteReplaceStar(spark, v.sql)
+        spark.sql(sql2).limit(0).createOrReplaceTempView(v.name)
+        out += v.copy(sql = sql2)
+      }
+      p.copy(views = out.result())
+    }
 
   def apply(spark: SparkSession, programSql: String): Pipeline =
     new Pipeline(spark, Ddl.parse(programSql))

@@ -62,6 +62,50 @@ class DialectSpec extends SparkSpec {
     assert(excl === Seq(("k1", 2L), ("k2", 1L)))
   }
 
+  test("SELECT * REPLACE swaps the expression in place, order preserved") {
+    val pipe = Pipeline(spark,
+      """CREATE TABLE t (a BIGINT, b VARCHAR, c BIGINT);
+        |CREATE VIEW v AS SELECT * REPLACE (a + c AS a, upper(b) AS b)
+        |  FROM t WHERE c > 0;""".stripMargin)
+    pipe.step(Map("t" -> ZSets.lift(
+      Seq((1L, "x", 10L), (2L, "y", -1L)).toDF("a", "b", "c"))))
+    val out = pipe.adHoc("SELECT * FROM v")
+    // replaced columns keep their ORIGINAL positions (a, b, c)
+    assert(out.columns.toSeq === Seq("a", "b", "c"))
+    assert(out.as[(Long, String, Long)].collect().toSeq
+      === Seq((11L, "X", 10L)))
+    // ad-hoc REPLACE against live state works too
+    val ad = pipe.adHoc("SELECT * REPLACE (c * 2 AS c) FROM t WHERE a = 1")
+    assert(ad.columns.toSeq === Seq("a", "b", "c"))
+    assert(ad.as[(Long, String, Long)].head() === ((1L, "x", 20L)))
+    // a REPLACE naming a column the star does not produce fails loudly
+    val e = intercept[IllegalArgumentException](
+      pipe.adHoc("SELECT * REPLACE (1 AS nope) FROM t"))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("ROW constructor maps to struct, including ROW(T.*)") {
+    val pipe = Pipeline(spark,
+      """CREATE TABLE t (a BIGINT, b VARCHAR);
+        |CREATE VIEW v AS
+        |  SELECT r.a AS ra, r.b AS rb FROM
+        |    (SELECT ROW(t.*) AS r FROM t) x;
+        |CREATE VIEW w AS
+        |  SELECT ROW(a, b).a AS ra FROM t;""".stripMargin)
+    pipe.step(Map("t" -> ZSets.lift(Seq((7L, "z")).toDF("a", "b"))))
+    assert(pipe.adHoc("SELECT * FROM v").as[(Long, String)].head()
+      === ((7L, "z")))
+    assert(pipe.adHoc("SELECT * FROM w").as[Long].head() === 7L)
+    // ROWS frames / ROW_NUMBER spellings survive untouched
+    assert(Dialect.normalize(
+      "SUM(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)")
+      === "SUM(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)")
+    assert(Dialect.normalize("ROW_NUMBER() OVER (ORDER BY y)")
+      === "ROW_NUMBER() OVER (ORDER BY y)")
+    assert(Dialect.normalize("SELECT ROW(a, b) FROM t")
+      === "SELECT struct(a, b) FROM t")
+  }
+
   test("CAST alias rewrite is anchored to CAST, not any 'AS name)'") {
     val prog = Ddl.parse(
       """CREATE TYPE money AS DECIMAL(18, 4);

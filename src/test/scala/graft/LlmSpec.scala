@@ -624,4 +624,31 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
     assert(noB === out)
   }
+
+  test("bm25Score: rare query terms outweigh common ones; misses score 0") {
+    // 20 docs all containing 'common'; only doc 0 contains 'rare'; doc 19
+    // has neither query term beyond 'common' repeated (tf saturation)
+    val docs = Seq(
+      (0L, "rare common alpha beta gamma"),
+      (19L, "common common common common common")) ++
+      (1L to 18L).map(i => (i, s"common filler$i x y z"))
+    val d = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Score(d, "doc_id", "text",
+      Seq("rare", "common", "absent"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // every doc matches 'common'; only doc 0 matches 'rare' too
+    assert(out(0L)._2 === 2L)
+    assert(out(5L)._2 === 1L)
+    // the rare term dominates: doc 0 far outranks any common-only doc
+    assert(out(0L)._3 > out(19L)._3)
+    // tf saturation: five 'common's score more than one, but not 5x
+    assert(out(19L)._3 > out(5L)._3)
+    assert(out(19L)._3 < 5L * out(5L)._3)
+    // scores are non-negative and score = score_q / quant
+    out.values.foreach { r =>
+      assert(r._3 >= 0L)
+      assert(math.abs(r._4 - r._3.toDouble / 10000L) < 1e-12)
+    }
+  }
 }
