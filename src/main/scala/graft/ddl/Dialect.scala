@@ -31,13 +31,281 @@ object Dialect {
   // struct(...) (same semantics; Spark expands a star inside struct()).
   // Word-bounded + paren-anchored so ROWS frames / ROW_NUMBER survive.
   private val rowCtor = """(?is)\bROW(\s*\()""".r
+  // CROSS APPLY / OUTER APPLY (grammar.md tableExpression) → Spark's
+  // lateral joins: CROSS APPLY ≡ CROSS JOIN LATERAL (inner, row dropped
+  // when the applied subquery is empty); OUTER APPLY ≡ LEFT OUTER JOIN
+  // LATERAL … ON TRUE (null-extended when empty) — the ON TRUE is
+  // spliced in after the applied subquery's alias by a paren-balanced
+  // scan, since Spark's LEFT JOIN grammar requires a join condition.
+  private val crossApply = """(?is)\bCROSS\s+APPLY\b""".r
+  private val outerApply = """(?is)\bOUTER\s+APPLY\b""".r
+  // ANSI FETCH spelling (grammar.md:343) → Spark's LIMIT; the count
+  // defaults to 1 when omitted. The combined `OFFSET n ROWS FETCH …`
+  // form must swap to Spark's `LIMIT k OFFSET n` clause order; a lone
+  // `OFFSET n ROWS` just drops the ROWS word.
+  private val offsetFetchRows =
+    ("""(?is)\bOFFSET\s+(\d+)\s+ROWS?\s+""" +
+      """FETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY""").r
+  private val fetchRows =
+    """(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY""".r
+  private val offsetRows = """(?is)\bOFFSET\s+(\d+)\s+ROWS?\b""".r
 
   def normalize(sql: String): String =
-    mapOutsideQuotes(sql) { run =>
+    rewriteQualify(rewriteOuterApply(mapOutsideQuotes(sql) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
-      rowCtor.replaceAllIn(c, "struct$1")
+      val d = rowCtor.replaceAllIn(c, "struct$1")
+      val e = crossApply.replaceAllIn(d, "CROSS JOIN LATERAL")
+      val f = offsetFetchRows.replaceAllIn(e, m =>
+        "LIMIT " + Option(m.group(2)).getOrElse("1") +
+          " OFFSET " + m.group(1))
+      val g = fetchRows.replaceAllIn(f,
+        m => "LIMIT " + Option(m.group(1)).getOrElse("1"))
+      offsetRows.replaceAllIn(g, "OFFSET $1")
+    }))
+
+  private val qualifyKw = """(?is)\bQUALIFY\b""".r
+
+  /** Lower a top-level `QUALIFY <pred>` (grammar.md:721 — filter on
+    * window aggregates, evaluated after the SELECT list) onto Spark,
+    * which has no QUALIFY clause:
+    *
+    * {{{
+    *   SELECT <list> FROM … QUALIFY <pred> [ORDER BY …]
+    *   ⇒ SELECT * EXCEPT (__q) FROM (
+    *       SELECT <list>, (<pred'>) AS __q FROM …) __qualify
+    *     WHERE __q [ORDER BY …]
+    * }}}
+    *
+    * where `<pred'>` is the predicate with references to SELECT-list
+    * aliases substituted by their expressions (so the predicate
+    * evaluates in the same scope as the list — a window alias reference
+    * like `QUALIFY rn = 1` inlines the window expression, which the
+    * optimizer de-duplicates against the list's own copy). Only a
+    * depth-0 QUALIFY is lowered — the grammar attaches one per SELECT
+    * block, and nested blocks arrive here one statement at a time.
+    */
+  private def rewriteQualify(s: String): String =
+    qualifyKw.findAllMatchIn(s)
+      .find(m => !inQuoteMap(s)(m.start) && depthAt(s, m.start) == 0)
+    match {
+      case None => s
+      case Some(m) =>
+        // the predicate runs to the first depth-0 trailing clause
+        val tailRe =
+          """(?is)\b(ORDER\s+BY|LIMIT|OFFSET|UNION|EXCEPT|INTERSECT)\b""".r
+        val predEnd = tailRe.findAllMatchIn(s).map(_.start)
+          .find(p => p > m.end && !inQuoteMap(s)(p) && depthAt(s, p) == 0)
+          .getOrElse(s.length)
+        val pred = s.substring(m.end, predEnd).trim
+        val tail = s.substring(predEnd)
+        val head = s.substring(0, m.start)
+        // the QUALIFY's own SELECT block = the LAST depth-0 SELECT
+        // before it (a depth-0 set-op chain puts earlier blocks in head)
+        val selStart = """(?is)\bSELECT\b""".r.findAllMatchIn(head)
+          .map(_.start)
+          .filter(p => !inQuoteMap(head)(p) && depthAt(head, p) == 0)
+          .toSeq.lastOption
+          .getOrElse(sys.error(s"QUALIFY outside a SELECT block: $s"))
+        val distinctRe = """(?is)^SELECT\s+(DISTINCT\s+)?""".r
+        val selM = distinctRe.findFirstMatchIn(head.substring(selStart)).get
+        val listStart = selStart + selM.end
+        val fromStart = """(?is)\bFROM\b""".r.findAllMatchIn(head)
+          .map(_.start)
+          .find(p => p > listStart && !inQuoteMap(head)(p) &&
+            depthAt(head, p) == 0)
+          .getOrElse(sys.error(s"QUALIFY SELECT block has no FROM: $s"))
+        val list = head.substring(listStart, fromStart)
+        // alias → expression map from the list's explicit AS aliases
+        val aliases = splitTopLevel(list).flatMap { item =>
+          val as = lastTopLevelAsIdx(item)
+          if (as < 0) None
+          else {
+            val name = item.substring(as + 2).trim
+              .stripPrefix("\"").stripSuffix("\"")
+            if (name.matches("(?i)\\w+"))
+              Some(name.toLowerCase -> item.substring(0, as).trim)
+            else None
+          }
+        }.toMap
+        val predSub =
+          if (aliases.isEmpty) pred
+          else aliases.foldLeft(pred) { case (acc, (n, e)) =>
+            acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(n) +
+              "\\b", java.util.regex.Matcher.quoteReplacement(s"($e)"))
+          }
+        val distinct = Option(selM.group(1)).map(_ => "DISTINCT ").getOrElse("")
+        rewriteQualify(
+          head.substring(0, selStart) +
+            s"SELECT * EXCEPT (__q) FROM (SELECT $distinct" +
+            list.trim + s", ($predSub) AS __q " +
+            head.substring(fromStart).trim + ") __qualify WHERE __q" +
+            (if (tail.trim.isEmpty) "" else " " + tail.trim))
+    }
+
+  private def depthAt(s: String, pos: Int): Int = {
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    depth
+  }
+
+  /** Split on depth-0 commas outside quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { cur += c; if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** Index of the last depth-0 `AS` keyword in a select item, or -1. */
+  private def lastTopLevelAsIdx(s: String): Int = {
+    var last = -1
+    var depth = 0
+    var inQ = false
+    var i = 0
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'A' | 'a' if depth == 0 && i + 1 < s.length &&
+            (s.charAt(i + 1) == 'S' || s.charAt(i + 1) == 's') &&
+            (i == 0 || !wordChar(s.charAt(i - 1))) &&
+            (i + 2 >= s.length || !wordChar(s.charAt(i + 2))) =>
+          last = i
+        case _ => ()
+      }
+      i += 1
+    }
+    last
+  }
+
+  /** Per-character in-string-literal map (with `''` escapes). */
+  private def inQuoteMap(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        m(i) = true
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            m(i + 1) = true; i += 1
+          } else inQ = false
+        }
+      } else if (c == '\'') { m(i) = true; inQ = true }
+      i += 1
+    }
+    m
+  }
+
+  /** Rewrite every `OUTER APPLY (subquery) [AS] alias [(cols)]` to
+    * `LEFT OUTER JOIN LATERAL (subquery) [AS] alias [(cols)] ON TRUE`.
+    * Runs on the FULL statement (a subquery may contain string
+    * literals, so the run-splitting quote mapper cannot host the
+    * paren-balanced scan); keyword matches inside literals are
+    * skipped. Only the parenthesized-subquery form is handled (the
+    * grammar's other operand, a bare table function, appears as UNNEST
+    * in the reference corpus and maps through the FROM-clause path).
+    */
+  private def rewriteOuterApply(s: String): String =
+    outerApply.findAllMatchIn(s)
+      .find(m => !inQuoteMap(s)(m.start)) match {
+      case None => s
+      case Some(m) =>
+        var i = m.end
+        while (i < s.length && s.charAt(i).isWhitespace) i += 1
+        if (i >= s.length || s.charAt(i) != '(')
+          // not the subquery form — leave it (Spark will report the
+          // unsupported APPLY spelling verbatim)
+          s
+        else {
+          var depth = 0
+          var inQ = false
+          var close = -1
+          var j = i
+          while (close < 0 && j < s.length) {
+            val c = s.charAt(j)
+            if (inQ) { if (c == '\'') inQ = false }
+            else c match {
+              case '\'' => inQ = true
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = j
+              case _ => ()
+            }
+            j += 1
+          }
+          require(close > 0, s"unbalanced OUTER APPLY subquery in: $s")
+          // optional [AS] alias [(colAliases)]
+          var k = close + 1
+          while (k < s.length && s.charAt(k).isWhitespace) k += 1
+          val aliasRe = """(?is)^(?:AS\s+)?(\w+)""".r
+          aliasRe.findFirstMatchIn(s.substring(k)) match {
+            case Some(am)
+                if !Set("ON", "WHERE", "GROUP", "ORDER", "LEFT", "RIGHT",
+                  "FULL", "INNER", "CROSS", "JOIN", "OUTER", "UNION",
+                  "EXCEPT", "INTERSECT", "LIMIT", "HAVING")
+                  .contains(am.group(1).toUpperCase) =>
+              k += am.end
+              // optional column-alias list
+              var k2 = k
+              while (k2 < s.length && s.charAt(k2).isWhitespace) k2 += 1
+              if (k2 < s.length && s.charAt(k2) == '(') {
+                var d2 = 0
+                var q2 = false
+                var c2 = -1
+                var j2 = k2
+                while (c2 < 0 && j2 < s.length) {
+                  val c = s.charAt(j2)
+                  if (q2) { if (c == '\'') q2 = false }
+                  else c match {
+                    case '\'' => q2 = true
+                    case '(' => d2 += 1
+                    case ')' => d2 -= 1; if (d2 == 0) c2 = j2
+                    case _ => ()
+                  }
+                  j2 += 1
+                }
+                if (c2 > 0) k = c2 + 1
+              }
+            case _ => k = close + 1
+          }
+          rewriteOuterApply(
+            s.substring(0, m.start) + "LEFT OUTER JOIN LATERAL" +
+              s.substring(m.end, k) + " ON TRUE" + s.substring(k))
+        }
     }
 
   /** Apply `f` to the unquoted runs of `s`; single-quoted SQL string

@@ -301,6 +301,128 @@ object Extras {
       pipe.adHoc("SELECT * FROM u")
     },
 
+    // QUALIFY (grammar.md:721 — filter on window aggregates) through the
+    // VIEW SQL path: Spark has no QUALIFY clause, so Dialect lowers it to
+    // a filtered subquery (window-alias references inlined). DuckDB
+    // supports QUALIFY natively — the oracle uses it verbatim, so the
+    // lowering's semantics are cross-checked engine-to-engine.
+    Q(
+      "win_qualify",
+      """SELECT c_nationkey, c_custkey FROM customer
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey) = 1""".stripMargin) {
+      (s, dir) =>
+      val prog =
+        """CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT,
+          | c_acctbal DOUBLE);
+          |CREATE VIEW top_bal AS
+          |  SELECT c_nationkey, c_custkey FROM cust
+          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+          |    ORDER BY c_acctbal DESC, c_custkey) = 1;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("cust" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal"))))
+      pipe.adHoc("SELECT * FROM top_bal")
+    },
+
+    // ANSI OFFSET … FETCH (grammar.md:343) through the VIEW SQL path:
+    // Dialect maps it to Spark's LIMIT/OFFSET (clause order swapped).
+    // The ORDER BY key is unique, so the page is deterministic.
+    Q(
+      "sort_fetch",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey OFFSET 10 LIMIT 7""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE ord (o_orderkey BIGINT, o_custkey BIGINT);
+          |CREATE VIEW page AS
+          |  SELECT o_orderkey, o_custkey FROM ord
+          |  ORDER BY o_orderkey OFFSET 10 ROWS FETCH NEXT 7 ROWS ONLY;"""
+          .stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ord" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "orders").select("o_orderkey", "o_custkey"))))
+      pipe.adHoc("SELECT * FROM page")
+    },
+
+    // GROUP BY ALL / ORDER BY ALL (grammar.md:374,417): native in both
+    // Spark and DuckDB — the graded row pins the shared spelling through
+    // the pipeline view path.
+    Q(
+      "agg_group_by_all",
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE ord (o_orderkey BIGINT, o_orderpriority VARCHAR,
+          | o_orderstatus VARCHAR);
+          |CREATE VIEW byall AS
+          |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+          |  FROM ord GROUP BY ALL ORDER BY ALL;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ord" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_orderstatus"))))
+      pipe.adHoc("SELECT * FROM byall")
+    },
+
+    // CROSS APPLY (grammar.md tableExpression) through the VIEW SQL
+    // path: maps to Spark's CROSS JOIN LATERAL (Dialect.normalize); the
+    // applied correlated aggregate always yields one row, so the oracle
+    // is the scalar-subquery equivalent.
+    Q(
+      "join_cross_apply",
+      """SELECT r_regionkey AS rk,
+        |  (SELECT COUNT(*) FROM nation
+        |   WHERE n_regionkey = r_regionkey) AS cnt,
+        |  (SELECT MAX(n_name) FROM nation
+        |   WHERE n_regionkey = r_regionkey) AS mx
+        |FROM region""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE reg (r_regionkey BIGINT, r_name VARCHAR);
+          |CREATE TABLE nat (n_nationkey BIGINT, n_name VARCHAR,
+          | n_regionkey BIGINT);
+          |CREATE VIEW agg AS
+          |  SELECT r.r_regionkey AS rk, s.cnt, s.mx FROM reg r
+          |  CROSS APPLY (
+          |    SELECT COUNT(*) AS cnt, MAX(n.n_name) AS mx
+          |    FROM nat n WHERE n.n_regionkey = r.r_regionkey) s;"""
+          .stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map(
+        "reg" -> graft.zset.ZSets.lift(
+          tRaw(s, dir, "region").select("r_regionkey", "r_name")),
+        "nat" -> graft.zset.ZSets.lift(tRaw(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey"))))
+      pipe.adHoc("SELECT * FROM agg")
+    },
+
+    // OUTER APPLY through the VIEW SQL path: maps to LEFT OUTER JOIN
+    // LATERAL ... ON TRUE — rows with an empty applied subquery are
+    // null-extended, which the LEFT JOIN oracle mirrors exactly.
+    Q(
+      "join_outer_apply",
+      """SELECT n.n_nationkey, c.c_custkey FROM nation n
+        |LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  AND c.c_acctbal > 9000""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE nat (n_nationkey BIGINT, n_name VARCHAR);
+          |CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT,
+          | c_acctbal DOUBLE);
+          |CREATE VIEW oa AS
+          |  SELECT n.n_nationkey, s.c_custkey FROM nat n
+          |  OUTER APPLY (
+          |    SELECT c.c_custkey FROM cust c
+          |    WHERE c.c_nationkey = n.n_nationkey
+          |      AND c.c_acctbal > 9000) s;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map(
+        "nat" -> graft.zset.ZSets.lift(
+          tRaw(s, dir, "nation").select("n_nationkey", "n_name")),
+        "cust" -> graft.zset.ZSets.lift(tRaw(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal"))))
+      pipe.adHoc("SELECT * FROM oa")
+    },
+
     // SELECT * REPLACE (expr AS col) (grammar.md:407-408) through the
     // VIEW SQL path: Spark has no REPLACE star modifier, so the pipeline
     // expands the star to the explicit column list with the replaced

@@ -106,6 +106,94 @@ class DialectSpec extends SparkSpec {
       === "SELECT struct(a, b) FROM t")
   }
 
+  test("CROSS/OUTER APPLY map to lateral joins, string literals safe") {
+    assert(Dialect.normalize("FROM t CROSS APPLY (SELECT t.a + 1 AS b) s")
+      === "FROM t CROSS JOIN LATERAL (SELECT t.a + 1 AS b) s")
+    assert(Dialect.normalize("FROM t OUTER APPLY (SELECT u.x FROM u WHERE u.k = t.k) s")
+      === "FROM t LEFT OUTER JOIN LATERAL (SELECT u.x FROM u WHERE u.k = t.k) s ON TRUE")
+    // alias-free and AS forms; a literal containing ')' inside the body
+    assert(Dialect.normalize("FROM t OUTER APPLY (SELECT ') ' AS x) AS s WHERE 1=1")
+      === "FROM t LEFT OUTER JOIN LATERAL (SELECT ') ' AS x) AS s ON TRUE WHERE 1=1")
+    assert(Dialect.normalize("FROM t OUTER APPLY (SELECT 1 AS x) WHERE b > 0")
+      === "FROM t LEFT OUTER JOIN LATERAL (SELECT 1 AS x) ON TRUE WHERE b > 0")
+    // the keyword inside a string literal is data
+    assert(Dialect.normalize("SELECT 'OUTER APPLY (x)' FROM t")
+      === "SELECT 'OUTER APPLY (x)' FROM t")
+  }
+
+  test("APPLY joins run end-to-end through the pipeline") {
+    val pipe = Pipeline(spark,
+      """CREATE TABLE r (rk BIGINT);
+        |CREATE TABLE n (nk BIGINT, rk BIGINT, nm VARCHAR);
+        |CREATE VIEW agg AS
+        |  SELECT r.rk, s.cnt, s.mx FROM r CROSS APPLY (
+        |    SELECT COUNT(*) AS cnt, MAX(n.nm) AS mx
+        |    FROM n WHERE n.rk = r.rk) s;
+        |CREATE VIEW oa AS
+        |  SELECT r.rk, s.nk FROM r OUTER APPLY (
+        |    SELECT n.nk FROM n WHERE n.rk = r.rk AND n.nk > 10) s;"""
+        .stripMargin)
+    pipe.step(Map(
+      "r" -> ZSets.lift(Seq(1L, 2L).toDF("rk")),
+      "n" -> ZSets.lift(Seq((11L, 1L, "a"), (12L, 1L, "b"), (5L, 2L, "c"))
+        .toDF("nk", "rk", "nm"))))
+    val agg = pipe.adHoc("SELECT * FROM agg ORDER BY rk")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(agg === Seq((1L, 2L, "b"), (2L, 1L, "c")))
+    // rk=2 has no nk>10 → null-extended by OUTER APPLY
+    val oa = pipe.adHoc("SELECT * FROM oa ORDER BY rk, nk")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(oa === Seq((1L, Some(11L)), (1L, Some(12L)), (2L, None)))
+  }
+
+  test("QUALIFY lowers to a filtered subquery; FETCH maps to LIMIT") {
+    // window-alias reference in the predicate inlines the expression
+    assert(Dialect.normalize(
+      "SELECT k, ROW_NUMBER() OVER (ORDER BY x) AS r FROM t QUALIFY r = 1")
+      === "SELECT * EXCEPT (__q) FROM (SELECT k, ROW_NUMBER() OVER " +
+        "(ORDER BY x) AS r, ((ROW_NUMBER() OVER (ORDER BY x)) = 1) AS __q " +
+        "FROM t) __qualify WHERE __q")
+    // trailing clauses stay outside the lowered block
+    assert(Dialect.normalize(
+      "SELECT k FROM t QUALIFY SUM(x) OVER () > 2 ORDER BY k LIMIT 3")
+      === "SELECT * EXCEPT (__q) FROM (SELECT k, (SUM(x) OVER () > 2) " +
+        "AS __q FROM t) __qualify WHERE __q ORDER BY k LIMIT 3")
+    // ANSI FETCH spellings
+    assert(Dialect.normalize("SELECT k FROM t ORDER BY k FETCH FIRST 5 ROWS ONLY")
+      === "SELECT k FROM t ORDER BY k LIMIT 5")
+    assert(Dialect.normalize("SELECT k FROM t ORDER BY k FETCH NEXT ROW ONLY")
+      === "SELECT k FROM t ORDER BY k LIMIT 1")
+    assert(Dialect.normalize(
+      "SELECT k FROM t ORDER BY k OFFSET 2 ROWS FETCH NEXT 5 ROWS ONLY")
+      === "SELECT k FROM t ORDER BY k LIMIT 5 OFFSET 2")
+    assert(Dialect.normalize("SELECT k FROM t ORDER BY k OFFSET 2 ROWS")
+      === "SELECT k FROM t ORDER BY k OFFSET 2")
+  }
+
+  test("QUALIFY runs end-to-end; GROUP/ORDER BY ALL pass through") {
+    val pipe = Pipeline(spark,
+      """CREATE TABLE t (k BIGINT, g VARCHAR, x BIGINT);
+        |CREATE VIEW topper AS
+        |  SELECT g, k FROM t
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC, k) = 1;
+        |CREATE VIEW byall AS
+        |  SELECT g, COUNT(*) AS n, SUM(x) AS sx FROM t
+        |  GROUP BY ALL ORDER BY ALL;
+        |CREATE VIEW fetched AS
+        |  SELECT k FROM t ORDER BY k OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY;"""
+        .stripMargin)
+    pipe.step(Map("t" -> ZSets.lift(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "b", 5L))
+        .toDF("k", "g", "x"))))
+    assert(pipe.adHoc("SELECT * FROM topper ORDER BY g")
+      .as[(String, Long)].collect().toSeq === Seq(("a", 2L), ("b", 3L)))
+    assert(pipe.adHoc("SELECT * FROM byall ORDER BY g")
+      .as[(String, Long, Long)].collect().toSeq
+      === Seq(("a", 2L, 30L), ("b", 2L, 10L)))
+    assert(pipe.adHoc("SELECT * FROM fetched ORDER BY k")
+      .as[Long].collect().toSeq === Seq(2L, 3L))
+  }
+
   test("CAST alias rewrite is anchored to CAST, not any 'AS name)'") {
     val prog = Ddl.parse(
       """CREATE TYPE money AS DECIMAL(18, 4);
