@@ -93,6 +93,32 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), s"llm_dsir: stray product:\n$p")
   }
 
+  test("QUALIFY rank=1 lowering keeps the WindowGroupLimit pushdown") {
+    import spark.implicits._
+    Seq((1L, 1, 10.0), (2L, 1, 20.0), (3L, 2, 5.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .createOrReplaceTempView("qcust")
+    val sql = graft.ddl.Dialect.normalize(
+      """SELECT c_nationkey, c_custkey FROM qcust
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey) = 1""".stripMargin)
+    val p = spark.sql(sql).queryExecution.executedPlan.toString
+    // the lowered Filter(__q) must collapse back onto the rank so
+    // Spark's WindowGroupLimit drops non-top rows BEFORE the full sort
+    assert(p.contains("WindowGroupLimit"),
+      s"QUALIFY rank filter lost the group-limit pushdown:\n$p")
+  }
+
+  test("llm_bm25: df table broadcasts, no cartesian from the totals join") {
+    val p = plan("llm_bm25")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the |query|-row df table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"llm_bm25: stray cartesian (the 1-row totals join must be a " +
+        s"broadcast nested loop, never a shuffle product):\n$p")
+  }
+
   test("chainAggStep: broadcast split probe of prior state") {
     import spark.implicits._
     val st = Seq(("a", 1L, 9L)).toDF("k", "mn", "mx")
