@@ -301,6 +301,47 @@ object Extras {
       pipe.adHoc("SELECT * FROM u")
     },
 
+    // Skew-aware salted join (SURVEY §2.3 #44, ops/SkewJoin): the probe
+    // side salts each row into `factor` buckets and the build side
+    // replicates, splitting a hot key across factor tasks; the RESULT is
+    // identical to the plain equi-join, which is exactly what the oracle
+    // checks (plain join + aggregate).
+    Q(
+      "join_skew",
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      graft.ops.SkewJoin.salted(li, o, Seq("k"), factor = 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .cast("double").as("qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // SINGLE_VALUE guard (SURVEY §2.4 #56, aggregate.rs single-value
+    // semantics): exactly-one-row groups pass the value through; a
+    // multi-row group raises. Graded over 1-row-per-key groups (the
+    // oracle's MIN is equal there by construction); the error path is
+    // FunctionsSpec's.
+    Q(
+      "agg_single_value",
+      """SELECT n_nationkey, MIN(n_regionkey) AS rk FROM nation
+        |GROUP BY n_nationkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val agg = org.apache.spark.sql.functions.udaf(
+        graft.functions.WeightedAggs.singleValueLong)
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey").cast("long"))
+        .groupBy("n_nationkey")
+        .agg(agg(col("n_regionkey")).as("rk"))
+    },
+
     // QUALIFY (grammar.md:721 — filter on window aggregates) through the
     // VIEW SQL path: Spark has no QUALIFY clause, so Dialect lowers it to
     // a filtered subquery (window-alias references inlined). DuckDB

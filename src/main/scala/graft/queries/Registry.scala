@@ -17,6 +17,7 @@ object Registry {
       LlmOps.queries ++
       Incremental.queries ++
       PipelineE2e.queries ++
+      RuntimeE2e.queries ++
       ConnectorsE2e.queries ++
       SqlConformance.queries ++
       SltFuzz.queries ++
