@@ -49,9 +49,14 @@ object Dialect {
   private val fetchRows =
     """(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY""".r
   private val offsetRows = """(?is)\bOFFSET\s+(\d+)\s+ROWS?\b""".r
+  // `LIMIT start, count` (grammar.md:341 — the MySQL-style pair) →
+  // Spark's LIMIT count OFFSET start; `LIMIT ALL` (no limit) drops.
+  private val limitStartCount =
+    """(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r
+  private val limitAll = """(?is)\s*\bLIMIT\s+ALL\b""".r
 
   def normalize(sql: String): String =
-    rewriteQualify(rewriteOuterApply(mapOutsideQuotes(sql) { run =>
+    rewriteAsofJoin(rewriteQualify(rewriteOuterApply(mapOutsideQuotes(sql) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -62,8 +67,175 @@ object Dialect {
           " OFFSET " + m.group(1))
       val g = fetchRows.replaceAllIn(f,
         m => "LIMIT " + Option(m.group(1)).getOrElse("1"))
-      offsetRows.replaceAllIn(g, "OFFSET $1")
-    }))
+      val h = offsetRows.replaceAllIn(g, "OFFSET $1")
+      val i = limitStartCount.replaceAllIn(h, "LIMIT $2 OFFSET $1")
+      limitAll.replaceAllIn(i, "")
+    })))
+
+  private val asofJoinKw = """(?is)\b(LEFT\s+)?ASOF\s+JOIN\b""".r
+
+  /** Lower the reference's ASOF join spelling (grammar.md "ASOF joins":
+    * `L [LEFT] ASOF JOIN R MATCH_CONDITION (L.t >= R.t) ON L.k = R.k`
+    * — for each left row, the single matching right row with the
+    * closest timestamp) onto Spark as a LATERAL top-1 probe:
+    *
+    * {{{
+    *   L LEFT OUTER JOIN LATERAL (
+    *     SELECT * FROM R WHERE (<on>) AND (<mc>)
+    *     ORDER BY <right-side of mc> DESC LIMIT 1) R ON TRUE
+    * }}}
+    *
+    * (CROSS JOIN LATERAL for the inner form — an empty probe drops the
+    * row, exactly the inner-ASOF contract). The right operand may be a
+    * table name or a parenthesized subquery; its alias names the
+    * lateral relation so outer references keep resolving. The
+    * MATCH_CONDITION comparison must be `>=` (the only operator the
+    * reference supports); the side referencing the right alias becomes
+    * the ORDER BY — DESC when it is the lower bound (the usual
+    * `left >= right`), ASC when the condition is reversed.
+    */
+  private def rewriteAsofJoin(s: String): String =
+    asofJoinKw.findAllMatchIn(s).find(m => !inQuoteMap(s)(m.start)) match {
+      case None => s
+      case Some(m) =>
+        val isLeft = m.group(1) != null
+        val baseDepth = depthAt(s, m.start)
+        var i = m.end
+        def skipWs(): Unit =
+          while (i < s.length && s.charAt(i).isWhitespace) i += 1
+        def balanceFrom(p: Int): Int = {
+          var depth = 0
+          var inQ = false
+          var j = p
+          var close = -1
+          while (close < 0 && j < s.length) {
+            val c = s.charAt(j)
+            if (inQ) { if (c == '\'') inQ = false }
+            else c match {
+              case '\'' => inQ = true
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = j
+              case _ => ()
+            }
+            j += 1
+          }
+          require(close > 0, s"unbalanced parens in ASOF JOIN: $s")
+          close
+        }
+        def ident(): String = {
+          val st = i
+          while (i < s.length &&
+            (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+          s.substring(st, i)
+        }
+        skipWs()
+        val opStart = i
+        var tableName = ""
+        if (i < s.length && s.charAt(i) == '(') i = balanceFrom(i) + 1
+        else tableName = ident()
+        skipWs()
+        // optional [AS] alias (stop at the MATCH_CONDITION keyword)
+        var alias = ""
+        val save = i
+        val w1 = ident()
+        if (w1.nonEmpty && !w1.equalsIgnoreCase("MATCH_CONDITION")) {
+          if (w1.equalsIgnoreCase("AS")) { skipWs(); alias = ident() }
+          else alias = w1
+        } else i = save
+        val rightOperand = s.substring(opStart, i).trim
+        require(alias.nonEmpty || tableName.nonEmpty,
+          s"ASOF JOIN subquery operand needs an alias: $s")
+        val rName = if (alias.nonEmpty) alias else tableName
+        skipWs()
+        val kw = ident()
+        require(kw.equalsIgnoreCase("MATCH_CONDITION"),
+          s"ASOF JOIN requires MATCH_CONDITION, got '$kw' in: $s")
+        skipWs()
+        require(i < s.length && s.charAt(i) == '(',
+          s"MATCH_CONDITION needs a parenthesized expression: $s")
+        val mcClose = balanceFrom(i)
+        val mc = s.substring(i + 1, mcClose)
+        i = mcClose + 1
+        skipWs()
+        require(ident().equalsIgnoreCase("ON"),
+          s"ASOF JOIN requires an ON condition: $s")
+        // ON condition extends to the first base-depth clause/join
+        // keyword, a base-depth comma, a paren closing below base
+        // depth, or end-of-text
+        val stopKw = Set("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
+          "ORDER", "LIMIT", "OFFSET", "FETCH", "UNION", "EXCEPT",
+          "INTERSECT", "MINUS", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+          "JOIN", "NATURAL", "ASOF", "OUTER")
+        val onStart = i
+        var depth = baseDepth
+        var inQ = false
+        var onEnd = -1
+        while (onEnd < 0 && i < s.length) {
+          val c = s.charAt(i)
+          if (inQ) { if (c == '\'') inQ = false; i += 1 }
+          else c match {
+            case '\'' => inQ = true; i += 1
+            case '(' => depth += 1; i += 1
+            case ')' =>
+              if (depth == baseDepth) onEnd = i else { depth -= 1; i += 1 }
+            case ',' if depth == baseDepth => onEnd = i
+            case c0 if c0.isLetter && depth == baseDepth &&
+                (i == 0 || !(s.charAt(i - 1).isLetterOrDigit ||
+                  s.charAt(i - 1) == '_' || s.charAt(i - 1) == '.')) =>
+              val st = i
+              var j = i
+              while (j < s.length && (s.charAt(j).isLetterOrDigit ||
+                s.charAt(j) == '_')) j += 1
+              val word = s.substring(st, j).toUpperCase
+              if (stopKw.contains(word)) onEnd = st else i = j
+            case _ => i += 1
+          }
+        }
+        if (onEnd < 0) onEnd = s.length
+        val onCond = s.substring(onStart, onEnd).trim
+        // ORDER BY = the mc side referencing the right alias; direction
+        // from which side of >= it sits on
+        val geIdx = {
+          var j = 0
+          var d = 0
+          var q = false
+          var at = -1
+          while (at < 0 && j < mc.length - 1) {
+            val c = mc.charAt(j)
+            if (q) { if (c == '\'') q = false }
+            else c match {
+              case '\'' => q = true
+              case '(' => d += 1
+              case ')' => d -= 1
+              case '>' if d == 0 && mc.charAt(j + 1) == '=' => at = j
+              case _ => ()
+            }
+            j += 1
+          }
+          require(at >= 0,
+            s"MATCH_CONDITION must use >= (the reference's only " +
+              s"supported comparison): $mc")
+          at
+        }
+        val (lhs, rhs) = (mc.substring(0, geIdx).trim,
+          mc.substring(geIdx + 2).trim)
+        val refsRight = (e: String) =>
+          ("(?i)\\b" + java.util.regex.Pattern.quote(rName) + "\\s*\\.").r
+            .findFirstIn(e).isDefined
+        val (orderExpr, dir) =
+          if (refsRight(rhs) && !refsRight(lhs)) (rhs, "DESC")
+          else if (refsRight(lhs) && !refsRight(rhs)) (lhs, "ASC")
+          else sys.error(s"MATCH_CONDITION must compare the right " +
+            s"table's column ($rName.*) against a left expression: $mc")
+        val joinKw = if (isLeft) "LEFT OUTER JOIN LATERAL"
+          else "CROSS JOIN LATERAL"
+        val onTrue = if (isLeft) " ON TRUE" else ""
+        rewriteAsofJoin(
+          s.substring(0, m.start) +
+            s"$joinKw (SELECT * FROM $rightOperand WHERE ($onCond) AND " +
+            s"($mc) ORDER BY $orderExpr $dir LIMIT 1) $rName$onTrue " +
+            s.substring(onEnd).trim)
+    }
 
   private val qualifyKw = """(?is)\bQUALIFY\b""".r
 

@@ -301,6 +301,72 @@ object Extras {
       pipe.adHoc("SELECT * FROM u")
     },
 
+    // The reference's SQL-spelled ASOF join (grammar.md "ASOF joins":
+    // LEFT ASOF JOIN … MATCH_CONDITION (l.ts >= r.ts) ON …) through the
+    // VIEW SQL path — Dialect lowers it to a lateral top-1 probe. Same
+    // semantics as the DataFrame-op row (join_asof); the oracle uses
+    // DuckDB's native ASOF LEFT JOIN, cross-checking the lowering.
+    Q(
+      "join_asof_sql",
+      """SELECT e.event_id, e.user_id, p.purchase_val
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id AS p_user, ts AS p_ts,
+        |    CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS purchase_val
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts) p
+        |ON e.user_id = p.p_user AND e.ts >= p.p_ts""".stripMargin) {
+      (s, dir) =>
+      val prog =
+        """CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+          | event_type VARCHAR, value DOUBLE);
+          |CREATE VIEW a AS
+          |  SELECT e.event_id, e.user_id, p.purchase_val
+          |  FROM (SELECT event_id, user_id, ts FROM ev
+          |        WHERE event_type = 'error') e
+          |  LEFT ASOF JOIN (
+          |    SELECT user_id AS p_user, ts AS p_ts,
+          |      CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          |        AS purchase_val
+          |    FROM ev WHERE event_type = 'purchase'
+          |    GROUP BY user_id, ts) p
+          |  MATCH_CONDITION (e.ts >= p.p_ts)
+          |  ON e.user_id = p.p_user;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ev" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value"))))
+      pipe.adHoc("SELECT * FROM a")
+    },
+
+    // MINUS (grammar.md:337 — synonym of EXCEPT): native in Spark;
+    // pinned through the pipeline view path. DuckDB has no MINUS, so
+    // the oracle spells the EXCEPT synonym.
+    Q(
+      "setop_minus",
+      """SELECT c_nationkey FROM customer
+        |EXCEPT
+        |SELECT n_nationkey FROM nation WHERE n_nationkey < 10""".stripMargin) {
+      (s, dir) =>
+      val prog =
+        """CREATE TABLE cust (c_nationkey INT);
+          |CREATE TABLE nat (n_nationkey INT);
+          |CREATE VIEW m AS
+          |  SELECT c_nationkey FROM cust
+          |  MINUS
+          |  SELECT n_nationkey FROM nat WHERE n_nationkey < 10;"""
+          .stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map(
+        "cust" -> graft.zset.ZSets.lift(
+          tRaw(s, dir, "customer").select("c_nationkey")),
+        "nat" -> graft.zset.ZSets.lift(tRaw(s, dir, "nation")
+          .select(col("n_nationkey").cast("int")))))
+      pipe.adHoc("SELECT * FROM m")
+    },
+
     // Skew-aware salted join (SURVEY §2.3 #44, ops/SkewJoin): the probe
     // side salts each row into `factor` buckets and the build side
     // replicates, splitting a hot key across factor tasks; the RESULT is

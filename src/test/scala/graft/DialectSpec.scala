@@ -194,6 +194,54 @@ class DialectSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(2L, 3L))
   }
 
+  test("LIMIT start,count / LIMIT ALL / MINUS spellings") {
+    assert(Dialect.normalize("SELECT k FROM t ORDER BY k LIMIT 3, 5")
+      === "SELECT k FROM t ORDER BY k LIMIT 5 OFFSET 3")
+    assert(Dialect.normalize("SELECT k FROM t ORDER BY k LIMIT ALL")
+      === "SELECT k FROM t ORDER BY k")
+    // MINUS is native in both Spark and DuckDB — pass-through
+    assert(Dialect.normalize("SELECT k FROM a MINUS SELECT k FROM b")
+      === "SELECT k FROM a MINUS SELECT k FROM b")
+  }
+
+  test("ASOF JOIN lowers to a lateral top-1 probe") {
+    val lowered = Dialect.normalize(
+      "SELECT l.k, r.v FROM l LEFT ASOF JOIN r " +
+        "MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k")
+    assert(lowered === "SELECT l.k, r.v FROM l LEFT OUTER JOIN LATERAL " +
+      "(SELECT * FROM r WHERE (l.k = r.k) AND (l.ts >= r.ts) " +
+      "ORDER BY r.ts DESC LIMIT 1) r ON TRUE ")
+    // inner form → CROSS JOIN LATERAL (unmatched lefts drop)
+    val inner = Dialect.normalize(
+      "SELECT l.k FROM l ASOF JOIN r " +
+        "MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k WHERE l.k > 0")
+    assert(inner.contains("CROSS JOIN LATERAL") &&
+      inner.contains("WHERE l.k > 0"), inner)
+  }
+
+  test("ASOF JOIN runs end-to-end through the pipeline") {
+    val pipe = Pipeline(spark,
+      """CREATE TABLE probe (k BIGINT, pts BIGINT);
+        |CREATE TABLE build (k BIGINT, bts BIGINT, v VARCHAR);
+        |CREATE VIEW a AS
+        |  SELECT probe.k, probe.pts, build.v FROM probe
+        |  LEFT ASOF JOIN build
+        |  MATCH_CONDITION (probe.pts >= build.bts)
+        |  ON probe.k = build.k;""".stripMargin)
+    pipe.step(Map(
+      "probe" -> ZSets.lift(Seq((1L, 10L), (1L, 25L), (2L, 5L))
+        .toDF("k", "pts")),
+      "build" -> ZSets.lift(
+        Seq((1L, 8L, "a"), (1L, 20L, "b"), (2L, 9L, "c"))
+          .toDF("k", "bts", "v"))))
+    val out = pipe.adHoc("SELECT * FROM a ORDER BY k, pts")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    // k=1@10 -> latest bts<=10 is 8("a"); k=1@25 -> 20("b");
+    // k=2@5 -> no bts<=5 -> null-padded (LEFT form)
+    assert(out === Seq((1L, 10L, Some("a")), (1L, 25L, Some("b")),
+      (2L, 5L, None)))
+  }
+
   test("CAST alias rewrite is anchored to CAST, not any 'AS name)'") {
     val prog = Ddl.parse(
       """CREATE TYPE money AS DECIMAL(18, 4);
