@@ -93,6 +93,17 @@ object Dialect {
     * reference supports); the side referencing the right alias becomes
     * the ORDER BY — DESC when it is the lower bound (the usual
     * `left >= right`), ASC when the condition is reversed.
+    *
+    * SCALE CAVEAT (measured, sf0.1): Spark decorrelates the lateral's
+    * LIMIT through WindowGroupLimit and pulls the equality key into a
+    * hash join, but the correlated INEQUALITY becomes a
+    * BroadcastNestedLoopJoin of DISTINCT(left timestamps) × right —
+    * quadratic. This spelling is therefore right for config-scale
+    * probes only; large ASOF joins should use the production operator
+    * [[graft.ops.AsofJoin]] (one union + window pass, O(n log n),
+    * graded by join_asof). A schema-aware union+window lowering in the
+    * view path (the REPLACE-star throwaway-analysis technique) is the
+    * planned replacement.
     */
   private def rewriteAsofJoin(s: String): String =
     asofJoinKw.findAllMatchIn(s).find(m => !inQuoteMap(s)(m.start)) match {

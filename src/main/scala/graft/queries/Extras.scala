@@ -306,16 +306,20 @@ object Extras {
     // VIEW SQL path — Dialect lowers it to a lateral top-1 probe. Same
     // semantics as the DataFrame-op row (join_asof); the oracle uses
     // DuckDB's native ASOF LEFT JOIN, cross-checking the lowering.
+    // BOUNDED INPUT on purpose: Spark plans the lateral's correlated
+    // inequality as distinct(ts)×build nested-loop (see the scale
+    // caveat on Dialect.rewriteAsofJoin) — the production path for
+    // large ASOF joins is ops.AsofJoin (join_asof).
     Q(
       "join_asof_sql",
       """SELECT e.event_id, e.user_id, p.purchase_val
         |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'error') e
+        |      WHERE event_type = 'error' AND event_id <= 3000) e
         |ASOF LEFT JOIN (
         |  SELECT user_id AS p_user, ts AS p_ts,
         |    CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |      AS purchase_val
-        |  FROM events WHERE event_type = 'purchase'
+        |  FROM events WHERE event_type = 'purchase' AND event_id <= 3000
         |  GROUP BY user_id, ts) p
         |ON e.user_id = p.p_user AND e.ts >= p.p_ts""".stripMargin) {
       (s, dir) =>
@@ -336,7 +340,7 @@ object Extras {
           |  ON e.user_id = p.p_user;""".stripMargin
       val pipe = graft.runtime.Pipeline(s, prog)
       pipe.step(Map("ev" -> graft.zset.ZSets.lift(
-        tRaw(s, dir, "events")
+        tRaw(s, dir, "events").filter(col("event_id") <= 3000)
           .select("event_id", "ts", "user_id", "event_type", "value"))))
       pipe.adHoc("SELECT * FROM a")
     },
