@@ -56,7 +56,7 @@ object Dialect {
   private val limitAll = """(?is)\s*\bLIMIT\s+ALL\b""".r
 
   def normalize(sql: String): String =
-    rewriteAsofJoin(rewriteQualify(rewriteOuterApply(mapOutsideQuotes(sql) { run =>
+    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(mapOutsideQuotes(sql) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -70,7 +70,7 @@ object Dialect {
       val h = offsetRows.replaceAllIn(g, "OFFSET $1")
       val i = limitStartCount.replaceAllIn(h, "LIMIT $2 OFFSET $1")
       limitAll.replaceAllIn(i, "")
-    })))
+    }))))
 
   private val asofJoinKw = """(?is)\b(LEFT\s+)?ASOF\s+JOIN\b""".r
 
@@ -246,6 +246,107 @@ object Dialect {
             s"$joinKw (SELECT * FROM $rightOperand WHERE ($onCond) AND " +
             s"($mc) ORDER BY $orderExpr $dir LIMIT 1) $rName$onTrue " +
             s.substring(onEnd).trim)
+    }
+
+  private val distinctOnKw =
+    """(?is)\bSELECT\s+DISTINCT\s+ON\s*\(""".r
+
+  /** Lower `SELECT DISTINCT ON (exprs) <list> FROM … [ORDER BY …]`
+    * (grammar.md:367-372 — PostgreSQL-style first-row-per-group; the ON
+    * exprs must be a prefix of the ORDER BY) onto Spark, which has no
+    * DISTINCT ON: ROW_NUMBER partitioned by the ON exprs and ordered by
+    * the statement's ORDER BY items (the partition prefix is constant
+    * within a partition, so including it is harmless), filtered to 1 —
+    * the QUALIFY lowering's shape, with the same select-list
+    * alias-substitution so ON/ORDER references to aliases evaluate in
+    * scope. Without an ORDER BY the first row is unspecified, as in
+    * PostgreSQL (the window orders by the ON exprs alone).
+    */
+  private def rewriteDistinctOn(s: String): String =
+    distinctOnKw.findAllMatchIn(s)
+      .find(m => !inQuoteMap(s)(m.start) && depthAt(s, m.start) == 0)
+    match {
+      case None => s
+      case Some(m) =>
+        val onClose = {
+          var depth = 0
+          var inQ = false
+          var j = m.end - 1
+          var close = -1
+          while (close < 0 && j < s.length) {
+            val c = s.charAt(j)
+            if (inQ) { if (c == '\'') inQ = false }
+            else c match {
+              case '\'' => inQ = true
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = j
+              case _ => ()
+            }
+            j += 1
+          }
+          require(close > 0, s"unbalanced DISTINCT ON clause: $s")
+          close
+        }
+        val onExprs = splitTopLevel(s.substring(m.end, onClose))
+          .map(_.trim)
+        val fromStart = """(?is)\bFROM\b""".r.findAllMatchIn(s)
+          .map(_.start)
+          .find(p => p > onClose && !inQuoteMap(s)(p) &&
+            depthAt(s, p) == 0)
+          .getOrElse(sys.error(s"DISTINCT ON without FROM: $s"))
+        val list = s.substring(onClose + 1, fromStart)
+        // the trailing ORDER BY of this statement (depth 0)
+        val orderM = """(?is)\bORDER\s+BY\b""".r.findAllMatchIn(s)
+          .find(p => p.start > fromStart && !inQuoteMap(s)(p.start) &&
+            depthAt(s, p.start) == 0)
+        val (bodyEnd, orderItems, tail) = orderM match {
+          case None => (s.length, onExprs, "")
+          case Some(om) =>
+            val limStart = """(?is)\b(LIMIT|OFFSET|FETCH)\b""".r
+              .findAllMatchIn(s).map(_.start)
+              .find(p => p > om.end && !inQuoteMap(s)(p) &&
+                depthAt(s, p) == 0)
+            // the ORDER BY may reference columns the select list does
+    // not project (legal in DISTINCT ON); those are visible to the
+    // WINDOW inside the subquery but not through it — so the trailing
+    // ORDER BY is DROPPED unless a LIMIT/OFFSET makes it semantic
+    // (relation output is an unordered Z-set; pure ordering is
+    // decorative). With a LIMIT it is kept and fails loudly if it
+    // names an unprojected column.
+            (om.start,
+              splitTopLevel(s.substring(om.end,
+                limStart.getOrElse(s.length))).map(_.trim),
+              limStart.map(_ => s.substring(om.start)).getOrElse(""))
+        }
+        val body = s.substring(fromStart, bodyEnd)
+        // strip trailing ASC/DESC/NULLS markers for alias substitution
+        val aliases = splitTopLevel(list).flatMap { item =>
+          val as = lastTopLevelAsIdx(item)
+          if (as < 0) None
+          else {
+            val name = item.substring(as + 2).trim
+              .stripPrefix("\"").stripSuffix("\"")
+            if (name.matches("(?i)\\w+"))
+              Some(name.toLowerCase -> item.substring(0, as).trim)
+            else None
+          }
+        }.toMap
+        def subst(e: String): String =
+          if (aliases.isEmpty) e
+          else aliases.foldLeft(e) { case (acc, (n, ex)) =>
+            // only substitute when the item IS the bare alias (possibly
+            // with a direction suffix); expressions keep their spelling
+            acc.replaceAll("(?i)^" + java.util.regex.Pattern.quote(n) +
+              "\\b", java.util.regex.Matcher.quoteReplacement(s"($ex)"))
+          }
+        val part = onExprs.map(subst).mkString(", ")
+        val ord = orderItems.map(subst).mkString(", ")
+        rewriteDistinctOn(
+          s.substring(0, m.start) +
+            "SELECT * EXCEPT (__dn) FROM (SELECT " + list.trim +
+            s", ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $ord) " +
+            s"AS __dn ${body.trim}) __don WHERE __dn = 1" +
+            (if (tail.isEmpty) "" else " " + tail.trim))
     }
 
   private val qualifyKw = """(?is)\bQUALIFY\b""".r

@@ -345,6 +345,33 @@ object Extras {
       pipe.adHoc("SELECT * FROM a")
     },
 
+    // DISTINCT ON (grammar.md:367-372, PostgreSQL-style first-row-per-
+    // group) through the VIEW SQL path: Dialect lowers it to a rank-1
+    // filter (ON exprs partition, statement ORDER BY as the window
+    // order). DuckDB supports DISTINCT ON natively — the oracle uses it
+    // verbatim, cross-checking the lowering; the ORDER BY carries a
+    // unique tiebreaker so the first row is deterministic.
+    Q(
+      "distinct_on",
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
+        |FROM customer
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin) {
+      (s, dir) =>
+      val prog =
+        """CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT,
+          | c_acctbal DOUBLE);
+          |CREATE VIEW top_per_nation AS
+          |  SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
+          |  FROM cust
+          |  ORDER BY c_nationkey, c_acctbal DESC, c_custkey;"""
+          .stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("cust" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal"))))
+      pipe.adHoc("SELECT * FROM top_per_nation")
+    },
+
     // MINUS (grammar.md:337 — synonym of EXCEPT): native in Spark;
     // pinned through the pipeline view path. DuckDB has no MINUS, so
     // the oracle spells the EXCEPT synonym.

@@ -242,6 +242,32 @@ class DialectSpec extends SparkSpec {
       (2L, 5L, None)))
   }
 
+  test("DISTINCT ON lowers to a rank-1 filter; e2e through the pipeline") {
+    // the pure-ordering tail is dropped (relations are unordered
+    // Z-sets; it may name unprojected columns) — the window keeps it
+    assert(Dialect.normalize(
+      "SELECT DISTINCT ON (g) g, k, x FROM t ORDER BY g, x DESC, k")
+      === "SELECT * EXCEPT (__dn) FROM (SELECT g, k, x, ROW_NUMBER() " +
+        "OVER (PARTITION BY g ORDER BY g, x DESC, k) AS __dn FROM t) " +
+        "__don WHERE __dn = 1")
+    // with a LIMIT the ORDER BY is semantic and survives
+    assert(Dialect.normalize(
+      "SELECT DISTINCT ON (g) g, k FROM t ORDER BY g, k LIMIT 2")
+      .endsWith("WHERE __dn = 1 ORDER BY g, k LIMIT 2"))
+    val pipe = Pipeline(spark,
+      """CREATE TABLE t (g VARCHAR, k BIGINT, x BIGINT);
+        |CREATE VIEW first_per_g AS
+        |  SELECT DISTINCT ON (g) g, k, x FROM t
+        |  ORDER BY g, x DESC, k;""".stripMargin)
+    pipe.step(Map("t" -> ZSets.lift(
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L), ("b", 4L, 5L))
+        .toDF("g", "k", "x"))))
+    val out = pipe.adHoc("SELECT * FROM first_per_g ORDER BY g")
+      .as[(String, Long, Long)].collect().toSeq
+    // a: highest x (20, k=2); b: x ties, lowest k wins (k=3)
+    assert(out === Seq(("a", 2L, 20L), ("b", 3L, 5L)))
+  }
+
   test("CAST alias rewrite is anchored to CAST, not any 'AS name)'") {
     val prog = Ddl.parse(
       """CREATE TYPE money AS DECIMAL(18, 4);
