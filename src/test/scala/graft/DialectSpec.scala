@@ -268,6 +268,51 @@ class DialectSpec extends SparkSpec {
     assert(out === Seq(("a", 2L, 20L), ("b", 3L, 5L)))
   }
 
+  test("rewriter robustness: literals, nesting, and set-op chains") {
+    // QUALIFY in the SECOND branch of a depth-0 set-op chain anchors to
+    // ITS select block, not the first one
+    val u = Dialect.normalize(
+      "SELECT k FROM a UNION ALL SELECT k FROM b QUALIFY SUM(x) OVER () > 1")
+    assert(u.startsWith("SELECT k FROM a UNION ALL SELECT * EXCEPT (__q)"), u)
+    // string literals never confuse the scanners
+    assert(Dialect.normalize(
+      "SELECT 'QUALIFY DISTINCT ON (x) LIMIT 1, 2 FETCH FIRST' FROM t")
+      === "SELECT 'QUALIFY DISTINCT ON (x) LIMIT 1, 2 FETCH FIRST' FROM t")
+    // REPLACE-like and EXCLUDE-like spellings inside literals survive
+    assert(Dialect.normalize("SELECT '* EXCLUDE (a) ROW(' FROM t")
+      === "SELECT '* EXCLUDE (a) ROW(' FROM t")
+    // a parenthesized expression containing ') AND (' inside an OUTER
+    // APPLY body keeps the splice position correct
+    val oa = Dialect.normalize(
+      "FROM t OUTER APPLY (SELECT x FROM u WHERE (a = 1) AND (b = 2)) s " +
+        "WHERE t.k > 0")
+    assert(oa === "FROM t LEFT OUTER JOIN LATERAL (SELECT x FROM u " +
+      "WHERE (a = 1) AND (b = 2)) s ON TRUE WHERE t.k > 0")
+    // FETCH with the count omitted and ROW singular
+    assert(Dialect.normalize("SELECT k FROM t FETCH FIRST ROW ONLY")
+      === "SELECT k FROM t LIMIT 1")
+    // multiple dialect features in one statement compose
+    val multi = Dialect.normalize(
+      "SELECT * EXCLUDE (b) FROM t UNPIVOT INCLUDING NULLS " +
+        "(v FOR m IN (x, y)) ORDER BY ALL FETCH FIRST 3 ROWS ONLY")
+    assert(multi === "SELECT * EXCEPT (b) FROM t UNPIVOT INCLUDE NULLS " +
+      "(v FOR m IN (x, y)) ORDER BY ALL LIMIT 3")
+  }
+
+  test("normalize is idempotent on already-normalized text") {
+    val inputs = Seq(
+      "SELECT * EXCLUDE (a) FROM t",
+      "SELECT k, ROW_NUMBER() OVER (ORDER BY x) AS r FROM t QUALIFY r = 1",
+      "FROM t OUTER APPLY (SELECT 1 AS x) s",
+      "SELECT l.k FROM l LEFT ASOF JOIN r MATCH_CONDITION (l.t >= r.t) ON l.k = r.k",
+      "SELECT DISTINCT ON (g) g, k FROM t ORDER BY g, k",
+      "SELECT k FROM t ORDER BY k OFFSET 2 ROWS FETCH NEXT 5 ROWS ONLY")
+    inputs.foreach { in =>
+      val once = Dialect.normalize(in)
+      assert(Dialect.normalize(once) === once, s"not idempotent for: $in")
+    }
+  }
+
   test("CAST alias rewrite is anchored to CAST, not any 'AS name)'") {
     val prog = Ddl.parse(
       """CREATE TYPE money AS DECIMAL(18, 4);
