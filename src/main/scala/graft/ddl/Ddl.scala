@@ -88,7 +88,15 @@ object Ddl {
       aggregates: Seq[AggregateDef] = Nil,
       recursive: Seq[RecursiveDecl] = Nil,
       viewLateness: Seq[LatenessDecl] = Nil,
-      indexes: Seq[IndexDef] = Nil)
+      indexes: Seq[IndexDef] = Nil,
+      /** `SET name = ON|OFF|literal` options (grammar.md "Setting
+        * options") — name lowercased, ON/OFF normalized to true/false.
+        * Options apply globally regardless of position in the program.
+        */
+      options: Map[String, String] = Map.empty) {
+    def optionOn(name: String): Boolean =
+      options.get(name.toLowerCase).contains("true")
+  }
 
   private val tableRe: Regex =
     """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*$""".r
@@ -108,6 +116,8 @@ object Ddl {
     """(?is)DECLARE\s+RECURSIVE\s+VIEW\s+(\w+)\s*\((.*)\)\s*$""".r
   private val latenessStmtRe: Regex =
     """(?is)LATENESS\s+(\w+)\.(\w+)\s+(INTERVAL\s+.+)$""".r
+  private val setOptionRe: Regex =
+    """(?is)SET\s+(\w+)\s*=\s*(.+)$""".r
 
   /** Split a program text into statements on top-level semicolons.
     * Quote-aware: `''` inside a quoted string is an escaped quote, not a
@@ -222,7 +232,32 @@ object Ddl {
     val recursive = mutable.Buffer[RecursiveDecl]()
     val viewLateness = mutable.Buffer[LatenessDecl]()
     val indexes = mutable.Buffer[IndexDef]()
+    val options = mutable.Map[String, String]()
     statements(program).foreach {
+      case setOptionRe(name, value) =>
+        // SET name = ON|OFF|literal (grammar.md:778): recorded on the
+        // Program. Compiler-side options with no Spark analogue
+        // (warnings-are-errors, FELDERA_IGNORE_WARNING_*,
+        // FELDERA_AVOID_STAR_JOINS, FELDERA_FLAT_VARIANT) are accepted
+        // as no-ops — Catalyst owns those decisions here; options with
+        // runtime semantics (ENFORCE_POSITIVE_INPUTS) are consumed by
+        // the Pipeline. Unknown names are accepted with a note, never
+        // an error — the reference treats them the same way.
+        val v = unquote(value.trim) match {
+          case on if on.equalsIgnoreCase("ON") ||
+            on.equalsIgnoreCase("TRUE") => "true"
+          case off if off.equalsIgnoreCase("OFF") ||
+            off.equalsIgnoreCase("FALSE") => "false"
+          case lit => lit
+        }
+        val known = Set("enforce_positive_inputs",
+          "feldera_warnings_are_errors", "feldera_avoid_star_joins",
+          "feldera_flat_variant", "feldera_use_multi_joins")
+        val n = name.toLowerCase
+        if (!known.contains(n) && !n.startsWith("feldera_ignore_warning_"))
+          System.err.println(s"graft: unknown SET option '$name' " +
+            "recorded but unused")
+        options(n) = v
       case latenessStmtRe(view, column, interval) =>
         viewLateness += LatenessDecl(view.toLowerCase,
           column.toLowerCase, interval.trim)
@@ -267,6 +302,7 @@ object Ddl {
           s"unsupported statement: ${other.take(60)}")
     }
     Program(tables.toSeq, views.toSeq, functions.toSeq, types.toSeq,
-      aggregates.toSeq, recursive.toSeq, viewLateness.toSeq, indexes.toSeq)
+      aggregates.toSeq, recursive.toSeq, viewLateness.toSeq, indexes.toSeq,
+      options.toMap)
   }
 }

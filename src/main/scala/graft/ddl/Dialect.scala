@@ -25,8 +25,11 @@ object Dialect {
     """(?is)\bUNPIVOT\s+INCLUDING\s+NULLS\b""".r
   private val unpivotExcluding =
     """(?is)\bUNPIVOT\s+EXCLUDING\s+NULLS\b""".r
+  // anchored to a select-item star (after SELECT/comma/a qualifying
+  // dot) so a multiplication by a function named `exclude`
+  // (`price * exclude(r)`) is untouched
   private val starExclude =
-    """(?is)(\*\s*)EXCLUDE(\s*\()""".r
+    """(?is)((?:\bSELECT\s+(?:DISTINCT\s+)?|,\s*|\.\s*)\*\s*)EXCLUDE(\s*\()""".r
   // ROW(expr, …) / ROW(T.*) constructor (grammar.md:430-436) → Spark's
   // struct(...) (same semantics; Spark expands a star inside struct()).
   // Word-bounded + paren-anchored so ROWS frames / ROW_NUMBER survive.
@@ -55,8 +58,16 @@ object Dialect {
     """(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r
   private val limitAll = """(?is)\s*\bLIMIT\s+ALL\b""".r
 
-  def normalize(sql: String): String =
-    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(mapOutsideQuotes(sql) { run =>
+  def normalize(sql: String): String = normalize(sql, adHoc = false)
+
+  /** @param adHoc true for interactive statements (not view bodies) —
+    *   a DISTINCT ON's trailing ORDER BY is then kept (the user asked
+    *   for a presentation order; in a view body relations are
+    *   unordered Z-sets and a pure-ordering tail may name unprojected
+    *   columns, so it is dropped).
+    */
+  def normalize(sql: String, adHoc: Boolean): String =
+    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(mapOutsideQuotes(rewriteHints(sql)) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -70,40 +81,93 @@ object Dialect {
       val h = offsetRows.replaceAllIn(g, "OFFSET $1")
       val i = limitStartCount.replaceAllIn(h, "LIMIT $2 OFFSET $1")
       limitAll.replaceAllIn(i, "")
-    }))))
+    }))), adHoc)
+
+  private val hintBlock = """(?s)/\*\+(.*?)\*/""".r
+
+  /** Map the reference's optimizer hints (grammar.md "SQL hints") onto
+    * Spark's join-strategy hints. Query-position hints (right after
+    * SELECT) translate name-wise: `broadcast(t)` → `BROADCAST(t)` (the
+    * same strategy), `shard(t)` → `SHUFFLE_HASH(t)` (hash join with the
+    * named input sharded), `balance(t)` → `SHUFFLE_HASH(t)` (the
+    * reference's balanced hashing on all fields has no exact Spark
+    * counterpart; a shuffled hash join is the closest strategy — AQE's
+    * skew handling covers the balancing concern). Unrecognized hint
+    * names pass through — Spark warns on unknown hints, it does not
+    * fail. Table-position hints (a hint block after a relation name,
+    * e.g. a size hint) have no Spark surface and are dropped with a
+    * note. Hints inside string literals are untouched.
+    */
+  private def rewriteHints(s: String): String =
+    hintBlock.replaceSomeIn(s, m => {
+      if (inQuoteMap(s)(m.start)) None
+      else {
+        var j = m.start - 1
+        while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+        val e = j
+        while (j >= 0 && (s.charAt(j).isLetterOrDigit ||
+          s.charAt(j) == '_')) j -= 1
+        if (s.substring(j + 1, e + 1).equalsIgnoreCase("SELECT")) {
+          val mapped = m.group(1)
+            .replaceAll("(?i)\\bbroadcast\\b", "BROADCAST")
+            .replaceAll("(?i)\\bshard\\b", "SHUFFLE_HASH")
+            .replaceAll("(?i)\\bbalance\\b", "SHUFFLE_HASH")
+          Some(java.util.regex.Matcher.quoteReplacement(s"/*+$mapped*/"))
+        } else {
+          System.err.println("graft: dropping table-position hint " +
+            s"'/*+${m.group(1).trim}*/' (no Spark surface)")
+          Some("")
+        }
+      }
+    })
 
   private val asofJoinKw = """(?is)\b(LEFT\s+)?ASOF\s+JOIN\b""".r
 
   /** Lower the reference's ASOF join spelling (grammar.md "ASOF joins":
     * `L [LEFT] ASOF JOIN R MATCH_CONDITION (L.t >= R.t) ON L.k = R.k`
     * — for each left row, the single matching right row with the
-    * closest timestamp) onto Spark as a LATERAL top-1 probe:
+    * closest timestamp; reference operator
+    * crates/dbsp/src/operator/asof_join.rs:37, lowered by
+    * LowerAsof.java) onto Spark as the union+window form of
+    * [[graft.ops.AsofJoin]] — the scale-correct plan (one exchange on
+    * the key + one sort, O(n log n); a lateral top-1 probe decorrelates
+    * into a quadratic DISTINCT(ts)×build nested loop — measured at
+    * sf0.1):
     *
     * {{{
-    *   L LEFT OUTER JOIN LATERAL (
-    *     SELECT * FROM R WHERE (<on>) AND (<mc>)
-    *     ORDER BY <right-side of mc> DESC LIMIT 1) R ON TRUE
+    *   (SELECT __l.*, __r.*, __l AS L, __r AS R FROM (
+    *      SELECT __side, __l, last(__r0, true) OVER (
+    *        PARTITION BY __k0… ORDER BY __ts <dir> NULLS FIRST,
+    *        __side ASC ROWS UNBOUNDED PRECEDING) AS __r
+    *      FROM (SELECT lk AS __k0, lts AS __ts, 1 AS __side,
+    *              struct(L.*) AS __l, NULL AS __r0 FROM <left>
+    *            UNION ALL
+    *            SELECT rk, rts, 0, NULL, struct(R.*) FROM <right>
+    *              WHERE rk IS NOT NULL AND rts IS NOT NULL) __u
+    *    ) __w WHERE __side = 1 [AND __r IS NOT NULL]) __asof_L_R
     * }}}
     *
-    * (CROSS JOIN LATERAL for the inner form — an empty probe drops the
-    * row, exactly the inner-ASOF contract). The right operand may be a
-    * table name or a parenthesized subquery; its alias names the
-    * lateral relation so outer references keep resolving. The
-    * MATCH_CONDITION comparison must be `>=` (the only operator the
-    * reference supports); the side referencing the right alias becomes
-    * the ORDER BY — DESC when it is the lower bound (the usual
-    * `left >= right`), ASC when the condition is reversed.
+    * The lowering is schema-free: `struct(alias.*)` carries each
+    * side's whole row, Spark's union widens the bare `NULL` branch to
+    * the struct type, and `__l.*`/`__r.*` re-flatten. Qualified
+    * references in the surrounding statement (`L.c`, `R.c`, `L.*`)
+    * keep resolving with no text surgery because the two original
+    * aliases are re-exposed as struct columns — Spark resolves `L.c`
+    * as struct-field access. Build rows with a NULL key or NULL
+    * timestamp are filtered (an equi-join never matches NULL); probe
+    * rows with NULL key/ts sort into an empty frame (NULLS FIRST) and
+    * null-extend (LEFT) or drop (inner). A tie (equal ts) matches —
+    * the build side (__side 0) sorts first. The reversed condition
+    * (`R.t >= L.t`, earliest following match) flips the sort to DESC
+    * so both directions stay on the O(n) running-frame execution path.
     *
-    * SCALE CAVEAT (measured, sf0.1): Spark decorrelates the lateral's
-    * LIMIT through WindowGroupLimit and pulls the equality key into a
-    * hash join, but the correlated INEQUALITY becomes a
-    * BroadcastNestedLoopJoin of DISTINCT(left timestamps) × right —
-    * quadratic. This spelling is therefore right for config-scale
-    * probes only; large ASOF joins should use the production operator
-    * [[graft.ops.AsofJoin]] (one union + window pass, O(n log n),
-    * graded by join_asof). A schema-aware union+window lowering in the
-    * view path (the REPLACE-star throwaway-analysis technique) is the
-    * planned replacement.
+    * Shapes the union+window form cannot prove fall back to the
+    * LATERAL top-1 probe (correct, config-scale only — quadratic under
+    * decorrelation; a note is printed): a left operand that is itself
+    * a join tree, an ON condition that is not a conjunction of
+    * equalities splitting cleanly across the two aliases, or a bare
+    * `*` select list over a multi-item FROM clause. A bare `*` whose
+    * FROM is exactly this ASOF join is rewritten to `L.*, R.*`.
     */
   private def rewriteAsofJoin(s: String): String =
     asofJoinKw.findAllMatchIn(s).find(m => !inQuoteMap(s)(m.start)) match {
@@ -238,15 +302,261 @@ object Dialect {
           else if (refsRight(lhs) && !refsRight(rhs)) (lhs, "ASC")
           else sys.error(s"MATCH_CONDITION must compare the right " +
             s"table's column ($rName.*) against a left expression: $mc")
-        val joinKw = if (isLeft) "LEFT OUTER JOIN LATERAL"
-          else "CROSS JOIN LATERAL"
-        val onTrue = if (isLeft) " ON TRUE" else ""
-        rewriteAsofJoin(
-          s.substring(0, m.start) +
-            s"$joinKw (SELECT * FROM $rightOperand WHERE ($onCond) AND " +
-            s"($mc) ORDER BY $orderExpr $dir LIMIT 1) $rName$onTrue " +
-            s.substring(onEnd).trim)
+        val replaced = lowerAsofUnionWindow(s, m.start, onEnd, baseDepth,
+          isLeft, rightOperand, rName, lhs, rhs, refsRight, onCond)
+          .getOrElse {
+            System.err.println("graft: ASOF JOIN shape not provable for " +
+              "the union+window lowering; falling back to the LATERAL " +
+              "top-1 probe (correct, but quadratic under decorrelation " +
+              "- config scale only)")
+            val joinKw = if (isLeft) "LEFT OUTER JOIN LATERAL"
+              else "CROSS JOIN LATERAL"
+            val onTrue = if (isLeft) " ON TRUE" else ""
+            s.substring(0, m.start) +
+              s"$joinKw (SELECT * FROM $rightOperand WHERE ($onCond) AND " +
+              s"($mc) ORDER BY $orderExpr $dir LIMIT 1) $rName$onTrue " +
+              s.substring(onEnd).trim
+          }
+        rewriteAsofJoin(replaced)
     }
+
+  /** The union+window ASOF emission (see [[rewriteAsofJoin]]). Returns
+    * None when a precondition cannot be proven from the text — the
+    * caller falls back to the lateral probe.
+    */
+  private def lowerAsofUnionWindow(
+      s: String, asofStart: Int, onEnd: Int, baseDepth: Int,
+      isLeft: Boolean, rightOperand: String, rName: String,
+      mcLhs: String, mcRhs: String, refsRight: String => Boolean,
+      onCond: String): Option[String] = {
+    val quotes = inQuoteMap(s)
+    val identRe = "(?i)^[A-Za-z_]\\w*$".r
+    if (!identRe.matches(rName)) return None
+    // the governing FROM: the last one before the ASOF at the same depth
+    val fromM = """(?is)\bFROM\b""".r.findAllMatchIn(s)
+      .filter(fm => fm.end <= asofStart && !quotes(fm.start) &&
+        depthAt(s, fm.start) == baseDepth).toSeq.lastOption
+      .getOrElse(return None)
+    // left operand = the last comma-separated FROM item before the ASOF
+    var segStart = fromM.end
+    var multiFrom = false
+    locally {
+      var depth = baseDepth
+      var inQ = false
+      var i = fromM.end
+      while (i < asofStart) {
+        val c = s.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == baseDepth =>
+            segStart = i + 1; multiFrom = true
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    if (onEnd < s.length && s.charAt(onEnd) == ',') multiFrom = true
+    val seg = s.substring(segStart, asofStart).trim
+    if (seg.isEmpty) return None
+    // a left operand that is itself a join tree (or any other non
+    // table/subquery form) is not provable from text — fall back
+    val disq = Set("JOIN", "APPLY", "LATERAL", "UNNEST", "VALUES", "ON",
+      "TABLE", "PIVOT", "UNPIVOT", "TABLESAMPLE")
+    locally {
+      var depth = 0
+      var inQ = false
+      var i = 0
+      while (i < seg.length) {
+        val c = seg.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false; i += 1 }
+        else c match {
+          case '\'' => inQ = true; i += 1
+          case '(' => depth += 1; i += 1
+          case ')' => depth -= 1; i += 1
+          case c0 if c0.isLetter && depth == 0 &&
+              (i == 0 || !(seg.charAt(i - 1).isLetterOrDigit ||
+                seg.charAt(i - 1) == '_' || seg.charAt(i - 1) == '.')) =>
+            var j = i
+            while (j < seg.length && (seg.charAt(j).isLetterOrDigit ||
+              seg.charAt(j) == '_')) j += 1
+            if (disq.contains(seg.substring(i, j).toUpperCase))
+              return None
+            i = j
+          case _ => i += 1
+        }
+      }
+    }
+    // parse `<table|(subquery)> [AS] alias`
+    val lAlias: String =
+      if (seg.startsWith("(")) {
+        var depth = 0
+        var inQ = false
+        var close = -1
+        var j = 0
+        while (close < 0 && j < seg.length) {
+          val c = seg.charAt(j)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = j
+            case _ => ()
+          }
+          j += 1
+        }
+        if (close < 0) return None
+        val rest = seg.substring(close + 1).trim
+        "(?is)^(?:AS\\s+)?([A-Za-z_]\\w*)$".r.findFirstMatchIn(rest)
+          .map(_.group(1)).getOrElse(return None)
+      } else {
+        val m0 = ("(?is)^([A-Za-z_][\\w.]*)" +
+          "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?$").r
+          .findFirstMatchIn(seg).getOrElse(return None)
+        Option(m0.group(2))
+          .getOrElse(m0.group(1).split('.').last)
+      }
+    if (lAlias.equalsIgnoreCase(rName)) return None
+    if (Set("AS", "ON", "WHERE").contains(lAlias.toUpperCase)) return None
+    // the ON condition must be a conjunction of equalities, each with
+    // exactly one side referencing the right alias
+    val conjuncts = splitTopLevelKeyword(onCond, "AND")
+    if (conjuncts.exists(c =>
+        splitTopLevelKeyword(c, "OR").lengthIs > 1)) return None
+    val keyPairs = conjuncts.map { c =>
+      val eq = {
+        var d = 0
+        var q = false
+        var at = -1
+        var j = 0
+        while (at < 0 && j < c.length) {
+          val ch = c.charAt(j)
+          if (q) { if (ch == '\'') q = false }
+          else ch match {
+            case '\'' => q = true
+            case '(' => d += 1
+            case ')' => d -= 1
+            case '=' if d == 0 &&
+                (j == 0 || !"<>!=".contains(c.charAt(j - 1))) &&
+                (j + 1 >= c.length || c.charAt(j + 1) != '=') => at = j
+            case _ => ()
+          }
+          j += 1
+        }
+        at
+      }
+      if (eq < 0) return None
+      val (a, b) = (c.substring(0, eq).trim, c.substring(eq + 1).trim)
+      if (refsRight(a) && !refsRight(b)) (b, a)
+      else if (refsRight(b) && !refsRight(a)) (a, b)
+      else return None
+    }
+    // MATCH_CONDITION sides: right-referencing side is the build ts.
+    // Backward (L.t >= R.t): latest preceding build — ASC scan.
+    // Forward (R.t >= L.t): earliest following build — DESC scan, so
+    // both directions run the O(n) running frame.
+    val backward = refsRight(mcRhs) && !refsRight(mcLhs)
+    val (leftTs, rightTs) = if (backward) (mcLhs, mcRhs) else (mcRhs, mcLhs)
+    val sortDir = if (backward) "ASC" else "DESC"
+    // a bare `*` over exactly this FROM item rewrites to `L.*, R.*`;
+    // over a multi-item FROM it is not provable — fall back
+    var starSpan: Option[(Int, Int, String)] = None
+    var starOverMultiFrom = false
+    val selM = """(?is)\bSELECT\b""".r.findAllMatchIn(s)
+      .filter(sm => sm.end <= fromM.start && !quotes(sm.start) &&
+        depthAt(s, sm.start) == baseDepth).toSeq.lastOption
+    selM.foreach { sm =>
+      var itemStart = sm.end
+      var depth = baseDepth
+      var inQ = false
+      var i = sm.end
+      def checkItem(endAt: Int): Unit = {
+        val item = s.substring(itemStart, endAt)
+        val bare = "(?is)^(\\s*(?:DISTINCT\\s+)?)\\*\\s*$".r
+        bare.findFirstMatchIn(item).foreach { bm =>
+          if (multiFrom) starOverMultiFrom = true
+          else starSpan = Some((itemStart, endAt,
+            bm.group(1) + s"$lAlias.*, $rName.* "))
+        }
+      }
+      while (i < fromM.start) {
+        val c = s.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == baseDepth =>
+            checkItem(i); itemStart = i + 1
+          case _ => ()
+        }
+        i += 1
+      }
+      checkItem(fromM.start)
+    }
+    if (starOverMultiFrom) return None
+    val ks = keyPairs.indices.map(i => s"__k$i")
+    val b1keys = keyPairs.zipWithIndex
+      .map { case ((l, _), i) => s"($l) AS __k$i" }
+    val b2keys = keyPairs.map { case (_, r) => s"($r)" }
+    val guards = (keyPairs.map(_._2) :+ rightTs)
+      .map(e => s"($e) IS NOT NULL").mkString(" AND ")
+    val filt = if (isLeft) "__side = 1" else "__side = 1 AND __r IS NOT NULL"
+    val fresh = s"__asof_${lAlias}_$rName"
+    val lowered =
+      s"(SELECT __l.*, __r.*, __l AS $lAlias, __r AS $rName FROM " +
+        s"(SELECT __side, __l, last(__r0, true) OVER (PARTITION BY " +
+        s"${ks.mkString(", ")} ORDER BY __ts $sortDir NULLS FIRST, " +
+        "__side ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        s"AS __r FROM (SELECT ${b1keys.mkString(", ")}, ($leftTs) AS " +
+        s"__ts, 1 AS __side, struct($lAlias.*) AS __l, NULL AS __r0 " +
+        s"FROM $seg UNION ALL SELECT ${b2keys.mkString(", ")}, " +
+        s"($rightTs), 0, NULL, struct($rName.*) FROM $rightOperand " +
+        s"WHERE $guards) __u) __w WHERE $filt) $fresh"
+    val sb = new StringBuilder
+    starSpan match {
+      case Some((ss, se, repl)) =>
+        sb.append(s.substring(0, ss)).append(repl)
+          .append(s.substring(se, segStart))
+      case None => sb.append(s.substring(0, segStart))
+    }
+    sb.append(' ').append(lowered)
+    if (onEnd < s.length) sb.append(' ').append(s.substring(onEnd))
+    Some(sb.toString)
+  }
+
+  /** Split on a depth-0, out-of-quote keyword (word-bounded). */
+  private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c0 if depth == 0 && c0.isLetter &&
+            (i == 0 || !(s.charAt(i - 1).isLetterOrDigit ||
+              s.charAt(i - 1) == '_' || s.charAt(i - 1) == '.')) =>
+          var j = i
+          while (j < s.length && (s.charAt(j).isLetterOrDigit ||
+            s.charAt(j) == '_')) j += 1
+          if (s.substring(i, j).equalsIgnoreCase(kw)) {
+            out += s.substring(start, i); start = j
+          }
+          i = j
+        case _ => i += 1
+      }
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   private val distinctOnKw =
     """(?is)\bSELECT\s+DISTINCT\s+ON\s*\(""".r
@@ -260,13 +570,21 @@ object Dialect {
     * the QUALIFY lowering's shape, with the same select-list
     * alias-substitution so ON/ORDER references to aliases evaluate in
     * scope. Without an ORDER BY the first row is unspecified, as in
-    * PostgreSQL (the window orders by the ON exprs alone).
+    * PostgreSQL (the window orders by the ON exprs alone). A DISTINCT
+    * ON inside a subquery (depth > 0) is lowered by recursing into its
+    * innermost enclosing paren group — the grammar allows one per
+    * SELECT block.
     */
-  private def rewriteDistinctOn(s: String): String =
+  private def rewriteDistinctOn(s: String, adHoc: Boolean): String =
     distinctOnKw.findAllMatchIn(s)
-      .find(m => !inQuoteMap(s)(m.start) && depthAt(s, m.start) == 0)
+      .find(m => !inQuoteMap(s)(m.start))
     match {
       case None => s
+      case Some(m) if depthAt(s, m.start) > 0 =>
+        val (open, close) = enclosingGroup(s, m.start)
+        rewriteDistinctOn(s.substring(0, open + 1) +
+          rewriteDistinctOn(s.substring(open + 1, close), adHoc = false) +
+          s.substring(close), adHoc)
       case Some(m) =>
         val onClose = {
           var depth = 0
@@ -308,15 +626,17 @@ object Dialect {
                 depthAt(s, p) == 0)
             // the ORDER BY may reference columns the select list does
     // not project (legal in DISTINCT ON); those are visible to the
-    // WINDOW inside the subquery but not through it — so the trailing
-    // ORDER BY is DROPPED unless a LIMIT/OFFSET makes it semantic
-    // (relation output is an unordered Z-set; pure ordering is
-    // decorative). With a LIMIT it is kept and fails loudly if it
-    // names an unprojected column.
+    // WINDOW inside the subquery but not through it — so in a VIEW
+    // body the trailing ORDER BY is DROPPED unless a LIMIT/OFFSET
+    // makes it semantic (relation output is an unordered Z-set; pure
+    // ordering is decorative). For an AD-HOC statement the user asked
+    // for a presentation order, so it is kept — and fails loudly at
+    // analysis if it names an unprojected column.
             (om.start,
               splitTopLevel(s.substring(om.end,
                 limStart.getOrElse(s.length))).map(_.trim),
-              limStart.map(_ => s.substring(om.start)).getOrElse(""))
+              if (adHoc || limStart.isDefined) s.substring(om.start)
+              else "")
         }
         val body = s.substring(fromStart, bodyEnd)
         // strip trailing ASC/DESC/NULLS markers for alias substitution
@@ -335,9 +655,13 @@ object Dialect {
           if (aliases.isEmpty) e
           else aliases.foldLeft(e) { case (acc, (n, ex)) =>
             // only substitute when the item IS the bare alias (possibly
-            // with a direction suffix); expressions keep their spelling
+            // with a direction suffix); expressions keep their
+            // spelling, and a qualified reference `t.<name>` — the
+            // alias name used as a relation qualifier — is untouched
+            // (the lookahead rejects a following dot)
             acc.replaceAll("(?i)^" + java.util.regex.Pattern.quote(n) +
-              "\\b", java.util.regex.Matcher.quoteReplacement(s"($ex)"))
+              "\\b(?!\\s*\\.)",
+              java.util.regex.Matcher.quoteReplacement(s"($ex)"))
           }
         val part = onExprs.map(subst).mkString(", ")
         val ord = orderItems.map(subst).mkString(", ")
@@ -346,7 +670,7 @@ object Dialect {
             "SELECT * EXCEPT (__dn) FROM (SELECT " + list.trim +
             s", ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $ord) " +
             s"AS __dn ${body.trim}) __don WHERE __dn = 1" +
-            (if (tail.isEmpty) "" else " " + tail.trim))
+            (if (tail.isEmpty) "" else " " + tail.trim), adHoc)
     }
 
   private val qualifyKw = """(?is)\bQUALIFY\b""".r
@@ -366,19 +690,25 @@ object Dialect {
     * aliases substituted by their expressions (so the predicate
     * evaluates in the same scope as the list — a window alias reference
     * like `QUALIFY rn = 1` inlines the window expression, which the
-    * optimizer de-duplicates against the list's own copy). Only a
-    * depth-0 QUALIFY is lowered — the grammar attaches one per SELECT
-    * block, and nested blocks arrive here one statement at a time.
+    * optimizer de-duplicates against the list's own copy). A QUALIFY
+    * inside a subquery (depth > 0) is lowered by recursing into its
+    * innermost enclosing paren group — the grammar attaches one per
+    * SELECT block.
     */
   private def rewriteQualify(s: String): String =
     qualifyKw.findAllMatchIn(s)
-      .find(m => !inQuoteMap(s)(m.start) && depthAt(s, m.start) == 0)
+      .find(m => !inQuoteMap(s)(m.start))
     match {
       case None => s
+      case Some(m) if depthAt(s, m.start) > 0 =>
+        val (open, close) = enclosingGroup(s, m.start)
+        rewriteQualify(s.substring(0, open + 1) +
+          rewriteQualify(s.substring(open + 1, close)) +
+          s.substring(close))
       case Some(m) =>
         // the predicate runs to the first depth-0 trailing clause
         val tailRe =
-          """(?is)\b(ORDER\s+BY|LIMIT|OFFSET|UNION|EXCEPT|INTERSECT)\b""".r
+          """(?is)\b(ORDER\s+BY|LIMIT|OFFSET|FETCH|UNION|EXCEPT|INTERSECT|MINUS)\b""".r
         val predEnd = tailRe.findAllMatchIn(s).map(_.start)
           .find(p => p > m.end && !inQuoteMap(s)(p) && depthAt(s, p) == 0)
           .getOrElse(s.length)
@@ -413,11 +743,17 @@ object Dialect {
             else None
           }
         }.toMap
+        // substitute only alias tokens outside string literals and not
+        // dot-qualified (`t.<alias>` names another relation's column)
         val predSub =
           if (aliases.isEmpty) pred
           else aliases.foldLeft(pred) { case (acc, (n, e)) =>
-            acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(n) +
-              "\\b", java.util.regex.Matcher.quoteReplacement(s"($e)"))
+            val q = inQuoteMap(acc)
+            ("(?i)(?<![\\.\\w])" + java.util.regex.Pattern.quote(n) +
+              "\\b").r.replaceSomeIn(acc, mm =>
+              if (q(mm.start)) None
+              else Some(java.util.regex.Matcher
+                .quoteReplacement(s"($e)")))
           }
         val distinct = Option(selM.group(1)).map(_ => "DISTINCT ").getOrElse("")
         rewriteQualify(
@@ -427,6 +763,45 @@ object Dialect {
             head.substring(fromStart).trim + ") __qualify WHERE __q" +
             (if (tail.trim.isEmpty) "" else " " + tail.trim))
     }
+
+  /** (openIdx, closeIdx) of the innermost paren group containing
+    * `pos` (quote-aware). The caller guarantees depthAt(s, pos) > 0.
+    */
+  private def enclosingGroup(s: String, pos: Int): (Int, Int) = {
+    val opens = scala.collection.mutable.Stack[Int]()
+    var inQ = false
+    var i = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => opens.push(i)
+        case ')' => if (opens.nonEmpty) opens.pop()
+        case _ => ()
+      }
+      i += 1
+    }
+    require(opens.nonEmpty, s"no enclosing paren group at $pos in: $s")
+    val open = opens.top
+    var depth = 0
+    inQ = false
+    i = pos
+    var close = -1
+    while (close < 0 && i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => if (depth == 0) close = i else depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    require(close > open, s"unbalanced paren group at $open in: $s")
+    (open, close)
+  }
 
   private def depthAt(s: String, pos: Int): Int = {
     var depth = 0
@@ -496,7 +871,7 @@ object Dialect {
   }
 
   /** Per-character in-string-literal map (with `''` escapes). */
-  private def inQuoteMap(s: String): Array[Boolean] = {
+  private[graft] def inQuoteMap(s: String): Array[Boolean] = {
     val m = new Array[Boolean](s.length)
     var inQ = false
     var i = 0

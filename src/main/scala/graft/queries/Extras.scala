@@ -303,23 +303,22 @@ object Extras {
 
     // The reference's SQL-spelled ASOF join (grammar.md "ASOF joins":
     // LEFT ASOF JOIN … MATCH_CONDITION (l.ts >= r.ts) ON …) through the
-    // VIEW SQL path — Dialect lowers it to a lateral top-1 probe. Same
-    // semantics as the DataFrame-op row (join_asof); the oracle uses
-    // DuckDB's native ASOF LEFT JOIN, cross-checking the lowering.
-    // BOUNDED INPUT on purpose: Spark plans the lateral's correlated
-    // inequality as distinct(ts)×build nested-loop (see the scale
-    // caveat on Dialect.rewriteAsofJoin) — the production path for
-    // large ASOF joins is ops.AsofJoin (join_asof).
+    // VIEW SQL path — Dialect lowers it to the union+window form
+    // (ops.AsofJoin's shape: one exchange on the key + one sort,
+    // O(n log n)); the oracle uses DuckDB's native ASOF LEFT JOIN,
+    // cross-checking the lowering on the FULL events table (the r11
+    // lateral lowering needed an event_id bound to hide its quadratic
+    // decorrelation; the union+window form does not).
     Q(
       "join_asof_sql",
       """SELECT e.event_id, e.user_id, p.purchase_val
         |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'error' AND event_id <= 3000) e
+        |      WHERE event_type = 'error') e
         |ASOF LEFT JOIN (
         |  SELECT user_id AS p_user, ts AS p_ts,
         |    CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |      AS purchase_val
-        |  FROM events WHERE event_type = 'purchase' AND event_id <= 3000
+        |  FROM events WHERE event_type = 'purchase'
         |  GROUP BY user_id, ts) p
         |ON e.user_id = p.p_user AND e.ts >= p.p_ts""".stripMargin) {
       (s, dir) =>
@@ -340,7 +339,7 @@ object Extras {
           |  ON e.user_id = p.p_user;""".stripMargin
       val pipe = graft.runtime.Pipeline(s, prog)
       pipe.step(Map("ev" -> graft.zset.ZSets.lift(
-        tRaw(s, dir, "events").filter(col("event_id") <= 3000)
+        tRaw(s, dir, "events")
           .select("event_id", "ts", "user_id", "event_type", "value"))))
       pipe.adHoc("SELECT * FROM a")
     },
@@ -396,6 +395,41 @@ object Extras {
         "nat" -> graft.zset.ZSets.lift(tRaw(s, dir, "nation")
           .select(col("n_nationkey").cast("int")))))
       pipe.adHoc("SELECT * FROM m")
+    },
+
+    // SQL hints + SET options (grammar.md "SQL hints" :514-573,
+    // "Setting options" :774-797) through the pipeline: the program
+    // carries SET statements (accepted, recorded) and a broadcast +
+    // shard query hint that Dialect maps to Spark's BROADCAST /
+    // SHUFFLE_HASH strategy hints. Hints never change results — the
+    // oracle is the plain join.
+    Q(
+      "join_hint_broadcast",
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val prog =
+        """SET FELDERA_WARNINGS_ARE_ERRORS = ON;
+          |SET FELDERA_IGNORE_WARNING_UNUSED_COLUMN = ON;
+          |CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT,
+          | c_acctbal DOUBLE);
+          |CREATE TABLE nat (n_nationkey INT, n_name VARCHAR);
+          |CREATE VIEW hinted AS
+          |  SELECT /*+ broadcast(nat), shard(cust) */ n_name,
+          |    COUNT(*) AS n,
+          |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+          |      AS bal
+          |  FROM cust JOIN nat ON c_nationkey = n_nationkey
+          |  GROUP BY n_name;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map(
+        "cust" -> graft.zset.ZSets.lift(tRaw(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey").cast("int"),
+            col("c_acctbal"))),
+        "nat" -> graft.zset.ZSets.lift(tRaw(s, dir, "nation")
+          .select(col("n_nationkey").cast("int"), col("n_name")))))
+      pipe.adHoc("SELECT * FROM hinted")
     },
 
     // Skew-aware salted join (SURVEY §2.3 #44, ops/SkewJoin): the probe

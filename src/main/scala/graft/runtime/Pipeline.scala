@@ -123,44 +123,46 @@ final class Pipeline(spark: SparkSession,
     * aliased `AS money` in a projection, and a scalar subquery alias
     * `(SELECT x AS money)` all keep their spelling (the last closes a
     * plain paren, not a cast — an unanchored `AS name)` rewrite
-    * corrupted it).
+    * corrupted it). The cast-close map is computed over the WHOLE
+    * statement with a quote-aware scan — a per-run scan inside the
+    * quote splitter lost the `CAST(` opener when the cast operand was
+    * itself a string literal (`CAST('1.5' AS money)` split the opener
+    * and its `AS money)` into different runs).
     */
-  private def resolveBodyTypeCasts(s: String): String =
-    substOutsideQuotes(s, run => {
-      if (program.types.isEmpty) run
-      else {
-        // mark every ')' that closes a CAST( / TRY_CAST( opener
-        val castClose = new Array[Boolean](run.length)
-        val stack = scala.collection.mutable.Stack[Boolean]()
-        var i = 0
-        while (i < run.length) {
-          run(i) match {
-            case '(' =>
-              var j = i - 1
-              while (j >= 0 && run(j).isWhitespace) j -= 1
-              val e = j
-              while (j >= 0 && (run(j).isLetterOrDigit || run(j) == '_'))
-                j -= 1
-              val w = run.substring(j + 1, e + 1).toUpperCase
-              stack.push(w == "CAST" || w == "TRY_CAST")
-            case ')' => castClose(i) = stack.nonEmpty && stack.pop()
-            case _ => ()
-          }
-          i += 1
-        }
-        val bySpelling = program.types
-          .map(t => t.name.toLowerCase -> SqlTypes.toSpark(t.name).sql)
-          .toMap
-        val pat = ("(?i)\\b(AS\\s+)(" + program.types.map(t =>
-          java.util.regex.Pattern.quote(t.name)).mkString("|") +
-          ")(\\s*)(?=\\))").r
-        pat.replaceAllIn(run, m =>
-          if (m.end < run.length && castClose(m.end))
-            java.util.regex.Matcher.quoteReplacement(
-              m.group(1) + bySpelling(m.group(2).toLowerCase) + m.group(3))
-          else java.util.regex.Matcher.quoteReplacement(m.matched))
+  private def resolveBodyTypeCasts(s: String): String = {
+    if (program.types.isEmpty) return s
+    val inQ = graft.ddl.Dialect.inQuoteMap(s)
+    // mark every unquoted ')' that closes a CAST( / TRY_CAST( opener
+    val castClose = new Array[Boolean](s.length)
+    val stack = scala.collection.mutable.Stack[Boolean]()
+    var i = 0
+    while (i < s.length) {
+      if (!inQ(i)) s(i) match {
+        case '(' =>
+          var j = i - 1
+          while (j >= 0 && s(j).isWhitespace) j -= 1
+          val e = j
+          while (j >= 0 && !inQ(j) &&
+            (s(j).isLetterOrDigit || s(j) == '_')) j -= 1
+          val w = s.substring(j + 1, e + 1).toUpperCase
+          stack.push(w == "CAST" || w == "TRY_CAST")
+        case ')' => castClose(i) = stack.nonEmpty && stack.pop()
+        case _ => ()
       }
-    })
+      i += 1
+    }
+    val bySpelling = program.types
+      .map(t => t.name.toLowerCase -> SqlTypes.toSpark(t.name).sql)
+      .toMap
+    val pat = ("(?i)\\b(AS\\s+)(" + program.types.map(t =>
+      java.util.regex.Pattern.quote(t.name)).mkString("|") +
+      ")(\\s*)(?=\\))").r
+    pat.replaceAllIn(s, m =>
+      if (!inQ(m.start) && m.end < s.length && castClose(m.end))
+        java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + bySpelling(m.group(2).toLowerCase) + m.group(3))
+      else java.util.regex.Matcher.quoteReplacement(m.matched))
+  }
 
   /** Param list `name type, name type, …`: resolve aliases only in the
     * type slot (everything after each parameter's name token), so a
@@ -1239,6 +1241,28 @@ final class Pipeline(spark: SparkSession,
     tag("sign-probe")
     probeDeltaSigns(relDeltas)
 
+    // SET ENFORCE_POSITIVE_INPUTS = ON (grammar.md "Setting options"):
+    // after integration, a keyless table whose accumulated integral
+    // holds a negative weight received more deletions than insertions
+    // for that key — invalid input; fail the step loudly (the
+    // reference panics the pipeline). Documented-expensive: one scan
+    // per touched table per step, so gated on the option.
+    if (program.optionOn("enforce_positive_inputs")) {
+      tag("enforce-positive-inputs")
+      relDeltas.keys.toSeq.sorted
+        .filter(n => program.tables.find(_.name == n)
+          .exists(_.primaryKey.isEmpty))
+        .foreach { n =>
+          val neg = ZSets.consolidate(tableState(n))
+            .filter(ZSets.weight < 0)
+          if (!neg.isEmpty)
+            throw new IllegalStateException(
+              s"ENFORCE_POSITIVE_INPUTS: table '$n' accumulated a " +
+                "negative weight (more deletions than insertions for " +
+                "a key)")
+        }
+    }
+
     // 2. maintain views in declaration order
     val newStates = mutable.Map[String, DataFrame]() ++ tableState ++ viewState
     var recDeltas = Map.empty[String, DataFrame]
@@ -2200,7 +2224,7 @@ final class Pipeline(spark: SparkSession,
     bindCurrent()
     def one(stmt0: String): DataFrame = {
       val stmt = Pipeline.rewriteReplaceStar(spark,
-        graft.ddl.Dialect.normalize(stmt0))
+        graft.ddl.Dialect.normalize(stmt0, adHoc = true))
       stmt match {
         case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
         case _ => spark.sql(stmt)

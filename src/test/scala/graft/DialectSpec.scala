@@ -204,19 +204,49 @@ class DialectSpec extends SparkSpec {
       === "SELECT k FROM a MINUS SELECT k FROM b")
   }
 
-  test("ASOF JOIN lowers to a lateral top-1 probe") {
+  test("ASOF JOIN lowers to the union+window form (ops.AsofJoin shape)") {
     val lowered = Dialect.normalize(
       "SELECT l.k, r.v FROM l LEFT ASOF JOIN r " +
         "MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k")
-    assert(lowered === "SELECT l.k, r.v FROM l LEFT OUTER JOIN LATERAL " +
-      "(SELECT * FROM r WHERE (l.k = r.k) AND (l.ts >= r.ts) " +
-      "ORDER BY r.ts DESC LIMIT 1) r ON TRUE ")
-    // inner form → CROSS JOIN LATERAL (unmatched lefts drop)
+    assert(lowered.startsWith("SELECT l.k, r.v FROM (SELECT __l.*, " +
+      "__r.*, __l AS l, __r AS r FROM (SELECT __side, __l, " +
+      "last(__r0, true) OVER (PARTITION BY __k0 ORDER BY __ts ASC " +
+      "NULLS FIRST, __side ASC"), lowered)
+    assert(lowered.contains("UNION ALL") &&
+      lowered.contains("(r.ts) IS NOT NULL") &&
+      lowered.endsWith("WHERE __side = 1) __asof_l_r"), lowered)
+    assert(!lowered.contains("LATERAL"), lowered)
+    // inner form keeps only matched probes; WHERE tail survives
     val inner = Dialect.normalize(
       "SELECT l.k FROM l ASOF JOIN r " +
         "MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k WHERE l.k > 0")
-    assert(inner.contains("CROSS JOIN LATERAL") &&
-      inner.contains("WHERE l.k > 0"), inner)
+    assert(inner.contains("__side = 1 AND __r IS NOT NULL") &&
+      inner.endsWith("WHERE l.k > 0"), inner)
+    // the reversed MATCH_CONDITION (earliest following match) flips the
+    // scan direction so it stays on the O(n) running frame
+    val fwd = Dialect.normalize(
+      "SELECT l.k FROM l LEFT ASOF JOIN r " +
+        "MATCH_CONDITION (r.ts >= l.ts) ON l.k = r.k")
+    assert(fwd.contains("ORDER BY __ts DESC NULLS FIRST"), fwd)
+    // bare * over exactly this FROM item expands to both aliases
+    val star = Dialect.normalize(
+      "SELECT * FROM l LEFT ASOF JOIN r " +
+        "MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k")
+    assert(star.startsWith("SELECT l.*, r.* FROM (SELECT __l.*"), star)
+    // shapes the union+window form cannot prove (non-equi ON) fall
+    // back to the lateral top-1 probe
+    val noneq = Dialect.normalize(
+      "SELECT l.k, r.v FROM l LEFT ASOF JOIN r " +
+        "MATCH_CONDITION (l.ts >= r.ts) ON l.k >= r.k")
+    assert(noneq === "SELECT l.k, r.v FROM l LEFT OUTER JOIN LATERAL " +
+      "(SELECT * FROM r WHERE (l.k >= r.k) AND (l.ts >= r.ts) " +
+      "ORDER BY r.ts DESC LIMIT 1) r ON TRUE ")
+    // multi-key ON conjunction partitions on every key
+    val multi = Dialect.normalize(
+      "SELECT l.k FROM l LEFT ASOF JOIN r " +
+        "MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k AND r.g = l.g")
+    assert(multi.contains("PARTITION BY __k0, __k1") &&
+      multi.contains("(l.g) AS __k1"), multi)
   }
 
   test("ASOF JOIN runs end-to-end through the pipeline") {
@@ -297,6 +327,129 @@ class DialectSpec extends SparkSpec {
         "(v FOR m IN (x, y)) ORDER BY ALL FETCH FIRST 3 ROWS ONLY")
     assert(multi === "SELECT * EXCEPT (b) FROM t UNPIVOT INCLUDE NULLS " +
       "(v FOR m IN (x, y)) ORDER BY ALL LIMIT 3")
+  }
+
+  test("QUALIFY/DISTINCT ON alias substitution is quote- and dot-safe") {
+    // dot-qualified reference to a same-named column of another table
+    // is NOT the select alias — it must survive unmangled
+    val dq = Dialect.normalize("SELECT x AS rn FROM t QUALIFY t.rn = 1")
+    assert(dq.contains("(t.rn = 1) AS __q"), dq)
+    // an alias word inside a predicate string literal survives
+    val lit = Dialect.normalize(
+      "SELECT ROW_NUMBER() OVER (ORDER BY x) AS rn, s FROM t " +
+        "QUALIFY rn = 1 AND s <> 'rn = bad'")
+    assert(lit.contains("'rn = bad'"), lit)
+    assert(lit.contains("(ROW_NUMBER() OVER (ORDER BY x)) = 1"), lit)
+    // MINUS anchors the predicate end like the other set-ops
+    val mn = Dialect.normalize(
+      "SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS r FROM a " +
+        "QUALIFY r = 1 MINUS SELECT k, 1 FROM b")
+    assert(mn.contains("WHERE __q MINUS SELECT k, 1 FROM b"), mn)
+    // DISTINCT ON: an order item `t.c` where the select aliases `c`
+    // names another relation's column, not the alias
+    val don = Dialect.normalize(
+      "SELECT DISTINCT ON (g) g, x AS c FROM t ORDER BY g, t.c")
+    assert(don.contains("ORDER BY g, t.c)"), don)
+  }
+
+  test("nested QUALIFY / DISTINCT ON in subqueries are lowered") {
+    val nq = Dialect.normalize(
+      "SELECT q.k FROM (SELECT k, ROW_NUMBER() OVER (ORDER BY x) AS r " +
+        "FROM t QUALIFY r = 1) q")
+    // the keyword is gone (the __qualify subquery alias remains)
+    assert(!"(?i)(?<![\\w])QUALIFY\\b".r.findFirstIn(nq).isDefined &&
+      nq.contains("__q"), nq)
+    val nd = Dialect.normalize(
+      "SELECT d.g FROM (SELECT DISTINCT ON (g) g, k FROM t " +
+        "ORDER BY g, k) d")
+    assert(!nd.toUpperCase.contains("DISTINCT ON") &&
+      nd.contains("__dn"), nd)
+    // e2e: QUALIFY inside a subquery through the pipeline
+    val pipe = Pipeline(spark,
+      """CREATE TABLE nt (g VARCHAR, k BIGINT, x BIGINT);
+        |CREATE VIEW topg AS
+        |  SELECT q.g, q.k FROM (
+        |    SELECT g, k, x FROM nt
+        |    QUALIFY ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY x DESC, k) = 1) q
+        |  WHERE q.k > 0;""".stripMargin)
+    pipe.step(Map("nt" -> ZSets.lift(
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L))
+        .toDF("g", "k", "x"))))
+    val out = pipe.adHoc("SELECT * FROM topg ORDER BY g")
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a", 2L), ("b", 3L)))
+  }
+
+  test("ad-hoc DISTINCT ON keeps the requested presentation order") {
+    val ah = Dialect.normalize(
+      "SELECT DISTINCT ON (g) g, k FROM t ORDER BY g, k DESC",
+      adHoc = true)
+    assert(ah.endsWith("ORDER BY g, k DESC"), ah)
+    // view-body lowering still drops the decorative tail
+    assert(!Dialect.normalize(
+      "SELECT DISTINCT ON (g) g, k FROM t ORDER BY g, k DESC")
+      .endsWith("ORDER BY g, k DESC"))
+  }
+
+  test("star EXCLUDE anchors to a select-item star") {
+    assert(Dialect.normalize("SELECT price * exclude(r) FROM t")
+      === "SELECT price * exclude(r) FROM t")
+    assert(Dialect.normalize("SELECT a, * EXCLUDE (b) FROM t")
+      === "SELECT a, * EXCEPT (b) FROM t")
+  }
+
+  test("CAST with a string-literal operand resolves the user type") {
+    val prog = Ddl.parse(
+      """CREATE TYPE money AS DECIMAL(18, 4);
+        |CREATE TABLE ct (a BIGINT);
+        |CREATE FUNCTION cf(x BIGINT) RETURNS DOUBLE AS
+        |  CAST(CAST('1.5' AS money) AS DOUBLE) + CAST(x AS DOUBLE);
+        |CREATE VIEW cv AS SELECT cf(a) AS r FROM ct;""".stripMargin)
+    val pipe = new Pipeline(spark, prog)
+    pipe.step(Map("ct" -> ZSets.lift(Seq(2L).toDF("a"))))
+    assert(pipe.adHoc("SELECT r FROM cv").as[Double].head() === 3.5)
+  }
+
+  test("SQL hints map to Spark strategy hints; SET options parse") {
+    assert(Dialect.normalize(
+      "SELECT /*+ broadcast(S), shard(T) */ * FROM T JOIN S ON T.k = S.k")
+      === "SELECT /*+ BROADCAST(S), SHUFFLE_HASH(T) */ * FROM T " +
+        "JOIN S ON T.k = S.k")
+    // balance maps to a shuffled hash strategy too
+    assert(Dialect.normalize("SELECT /*+ balance(T) */ a FROM T")
+      === "SELECT /*+ SHUFFLE_HASH(T) */ a FROM T")
+    // table-position hints have no Spark surface — dropped
+    assert(!Dialect.normalize(
+      "SELECT a FROM T /*+ size(5) */ JOIN S ON T.k = S.k")
+      .contains("size(5)"))
+    // a hint spelling inside a string literal is untouched
+    assert(Dialect.normalize("SELECT '/*+ broadcast(x) */' FROM t")
+      === "SELECT '/*+ broadcast(x) */' FROM t")
+    val prog = Ddl.parse(
+      """SET FELDERA_WARNINGS_ARE_ERRORS = ON;
+        |SET ENFORCE_POSITIVE_INPUTS = OFF;
+        |SET FELDERA_IGNORE_WARNING_UNUSED_COLUMN = ON;
+        |CREATE TABLE t (a BIGINT);
+        |CREATE VIEW v AS SELECT /*+ broadcast(t) */ a FROM t;"""
+        .stripMargin)
+    assert(prog.options("feldera_warnings_are_errors") === "true")
+    assert(!prog.optionOn("enforce_positive_inputs"))
+    assert(prog.views.head.sql.contains("/*+ BROADCAST(t) */"))
+  }
+
+  test("ENFORCE_POSITIVE_INPUTS fails a step on negative accumulation") {
+    val pipe = Pipeline(spark,
+      """SET ENFORCE_POSITIVE_INPUTS = ON;
+        |CREATE TABLE pt (a BIGINT);
+        |CREATE VIEW pv AS SELECT a FROM pt;""".stripMargin)
+    pipe.step(Map("pt" -> ZSets.lift(Seq(1L).toDF("a"))))
+    val del = Seq(1L).toDF("a")
+      .withColumn("_w", org.apache.spark.sql.functions.lit(-2L))
+    val ex = intercept[IllegalStateException] {
+      pipe.step(Map("pt" -> del))
+    }
+    assert(ex.getMessage.contains("ENFORCE_POSITIVE_INPUTS"))
   }
 
   test("normalize is idempotent on already-normalized text") {
