@@ -498,6 +498,39 @@ object Extras {
       pipe.adHoc("SELECT * FROM top_bal")
     },
 
+    // QUALIFY inside a SUBQUERY (the grammar attaches one per SELECT
+    // block): Dialect recurses into the enclosing paren group, so the
+    // nested block lowers exactly like a top-level one; the outer block
+    // aggregates the per-nation winners. DuckDB's native nested QUALIFY
+    // is the oracle.
+    Q(
+      "win_qualify_nested",
+      """SELECT w.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(w.c_custkey) AS BIGINT) AS ksum
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey FROM customer
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey) <= 3) w
+        |GROUP BY w.c_mktsegment""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT,
+          | c_acctbal DOUBLE, c_mktsegment VARCHAR);
+          |CREATE VIEW seg_top AS
+          |  SELECT w.c_mktsegment, COUNT(*) AS n,
+          |    CAST(SUM(w.c_custkey) AS BIGINT) AS ksum
+          |  FROM (
+          |    SELECT c_mktsegment, c_custkey FROM cust
+          |    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+          |      ORDER BY c_acctbal DESC, c_custkey) <= 3) w
+          |  GROUP BY w.c_mktsegment;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("cust" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal",
+            "c_mktsegment"))))
+      pipe.adHoc("SELECT * FROM seg_top")
+    },
+
     // ANSI OFFSET … FETCH (grammar.md:343) through the VIEW SQL path:
     // Dialect maps it to Spark's LIMIT/OFFSET (clause order swapped).
     // The ORDER BY key is unique, so the page is deterministic.

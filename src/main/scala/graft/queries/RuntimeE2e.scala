@@ -373,6 +373,261 @@ object RuntimeE2e {
         .agg(count(lit(1)).as("n"),
           sum(col("o_orderkey")).as("ksum"))
         .localCheckpoint(true)
+    },
+
+    // Streaming TopK under retraction (§2.6 #74, StatefulOps.topK —
+    // reference DBSPIndexedTopKOperator.java:29 / group/topk.rs): three
+    // micro-batches — evens, odds, then a retraction wave that removes
+    // every group's current head (custkey <= 200), forcing the
+    // refill-from-multiset path. The accumulated last emission per key
+    // equals the batch top-3 of the survivors, which is the oracle.
+    Q(
+      "inc_stream_topk",
+      """SELECT c_nationkey, rnk, c_custkey FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_custkey) AS rnk
+        |  FROM customer WHERE c_custkey > 200)
+        |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val rows = tRaw(s, dir, "customer")
+        .select(col("c_nationkey").cast("long"), col("c_custkey"))
+        .as[(Long, Long)].collect()
+      val in = MemoryStream[(Long, Long, Long)]
+      val last = scala.collection.mutable.Map[Long, Seq[Long]]()
+      val q = graft.streaming.StatefulOps.topK(
+        in.toDS().map(r =>
+          graft.streaming.StatefulOps.Change(r._1, r._2, r._3)), 3)
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[
+            graft.streaming.StatefulOps.TopK[Long]], _: Long) =>
+            b.collect().foreach(t => last(t.key) = t.topk); ()
+        }.start()
+      try {
+        in.addData(rows.filter(_._2 % 2 == 0).map(r => (r._1, r._2, 1L)).toSeq)
+        q.processAllAvailable()
+        in.addData(rows.filter(_._2 % 2 == 1).map(r => (r._1, r._2, 1L)).toSeq)
+        q.processAllAvailable()
+        in.addData(rows.filter(_._2 <= 200).map(r => (r._1, r._2, -1L)).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      last.toSeq.flatMap { case (k, vs) =>
+        vs.zipWithIndex.map { case (v, i) => (k, (i + 1).toLong, v) }
+      }.toDF("c_nationkey", "rnk", "c_custkey")
+    },
+
+    // Retractable streaming MIN/MAX (§2.7 #91, StatefulOps.minMax —
+    // reference keeps the full group multiset for non-append streams,
+    // dynamic/aggregate/min.rs): insert everything, then retract both
+    // tails — the live min AND max of every group change, exercising
+    // the multiset rescan. Final state equals the batch MIN/MAX of the
+    // surviving band.
+    Q(
+      "inc_stream_minmax",
+      """SELECT c_nationkey, MIN(c_custkey) AS mn, MAX(c_custkey) AS mx
+        |FROM customer WHERE c_custkey > 200 AND c_custkey <= 1300
+        |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val rows = tRaw(s, dir, "customer")
+        .select(col("c_nationkey").cast("long"), col("c_custkey"))
+        .as[(Long, Long)].collect()
+      val in = MemoryStream[(Long, Long, Long)]
+      val last = scala.collection.mutable.Map[Long, (Long, Long, Boolean)]()
+      val q = graft.streaming.StatefulOps.minMax(
+        in.toDS().map(r =>
+          graft.streaming.StatefulOps.Change(r._1, r._2, r._3)))
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[
+            graft.streaming.StatefulOps.MinMax[Long]], _: Long) =>
+            b.collect().foreach(m =>
+              last(m.key) = (m.min, m.max, m.empty)); ()
+        }.start()
+      try {
+        in.addData(rows.map(r => (r._1, r._2, 1L)).toSeq)
+        q.processAllAvailable()
+        in.addData(rows.filter(_._2 <= 200).map(r => (r._1, r._2, -1L)).toSeq)
+        q.processAllAvailable()
+        in.addData(rows.filter(_._2 > 1300).map(r => (r._1, r._2, -1L)).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      last.toSeq.collect { case (k, (mn, mx, false)) => (k, mn, mx) }
+        .toDF("c_nationkey", "mn", "mx")
+    },
+
+    // Streaming rolling RANGE aggregate with waterline (§2.7 #84,
+    // RollingAgg — reference
+    // DBSPPartitionedRollingAggregateOperator.java:30): second batch
+    // arrives event-time-late (within the watermark), retroactively
+    // correcting already-emitted later rows; the final emission per
+    // (user, second) equals the batch RANGE frame over everything —
+    // the oracle. Timestamps are second-truncated on both sides (the
+    // operator keys state by epoch millis; seconds are the shared
+    // cross-engine spelling).
+    Q(
+      "inc_stream_rolling",
+      """SELECT DISTINCT user_id, es,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS s,
+        |  COUNT(*) OVER w AS c
+        |FROM (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es,
+        |        CAST(FLOOR(value) AS DOUBLE) AS v
+        |      FROM events WHERE event_id <= 4000)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val rows = tRaw(s, dir, "events").filter(col("event_id") <= 4000)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("es"),
+          floor(col("value")).cast("double").as("v"))
+        .as[(Long, Long, Long, Double)].collect()
+      val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val last = scala.collection.mutable.Map[(Long, Long), (Double, Long)]()
+      val events = graft.streaming.Streams.withLateness(
+        in.toDF().toDF("key", "ts", "value"), "ts", "3650 days")
+        .as[graft.streaming.RollingAgg.RollEvent[Long]]
+      val q = graft.streaming.RollingAgg
+        .rollingSumCount(events, rangeMs = 3600L * 1000)
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[
+            graft.streaming.RollingAgg.RollOut[Long]], _: Long) =>
+            b.collect().foreach(o =>
+              last((o.key, o.ts.getTime / 1000)) = (o.sum, o.cnt)); ()
+        }.start()
+      def ev(r: (Long, Long, Long, Double)) =
+        (r._2, new java.sql.Timestamp(r._3 * 1000), r._4)
+      try {
+        // batch 1: two thirds of the stream, in whatever event order
+        in.addData(rows.filter(_._1 % 3 != 0).map(ev).toSeq)
+        q.processAllAvailable()
+        // batch 2: the remaining third arrives event-time-LATE (within
+        // the watermark) — later rows' windows are re-emitted corrected
+        in.addData(rows.filter(_._1 % 3 == 0).map(ev).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      last.toSeq.map { case ((u, es), (sm, c)) => (u, es, sm, c) }
+        .toDF("user_id", "es", "s", "c")
+    },
+
+    // LATENESS → watermark drop + emit_final (§2.7 #75/#82, Streams —
+    // streaming.md:12-18,46-56): append mode emits a window only when
+    // the watermark closes it, and rows older than the watermark are
+    // dropped. Batch 1 carries the final six days; batch 2 arrives
+    // entirely before them — every row is beyond the 1-minute lateness
+    // and is discarded. The appended output is exactly the closed
+    // windows over batch 1, which the oracle derives with two static
+    // time predicates.
+    Q(
+      "inc_stream_emit_final",
+      """SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600
+        |    AS wstart,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value) AS DOUBLE)) AS DOUBLE) AS sv
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-30 23:00:00'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val cut = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+      val rows = tRaw(s, dir, "events")
+        .select(col("ts"), col("event_type"),
+          floor(col("value")).cast("double").as("v"))
+        .as[(java.sql.Timestamp, String, Double)].collect()
+      val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val out = scala.collection.mutable.Buffer[
+        (Long, String, Long, Double)]()
+      val agg = graft.streaming.Streams.tumbleAgg(
+        graft.streaming.Streams.withLateness(
+          in.toDF().toDF("ts", "event_type", "v"), "ts", "1 minute"),
+        "ts", "1 hour", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+      val q = agg.writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(unix_timestamp(col("window_start")),
+            col("event_type"), col("n"), col("sv"))
+            .as[(Long, String, Long, Double)].collect()
+            .foreach(out += _); ()
+        }.start()
+      try {
+        in.addData(rows.filter(!_._1.before(cut)).toSeq)
+        q.processAllAvailable()
+        // everything here is > 1 minute behind the watermark — dropped
+        in.addData(rows.filter(_._1.before(cut)).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      out.toSeq.toDF("wstart", "event_type", "n", "sv")
+    },
+
+    // Multi-view atomic micro-batch fan-out (§2.7 #92,
+    // StreamingPipeline.foreachBatchFanout): ONE input stream, two
+    // views maintained inside a single foreachBatch so both always see
+    // the same batches (the reference's atomic circuit step). Each view
+    // accumulates per-batch partial aggregates; the graded relation is
+    // both sinks' final contents, tagged and unioned.
+    Q(
+      "pipeline_fanout",
+      """SELECT 'by_flag' AS v, l_returnflag AS k, COUNT(*) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS ksum
+        |FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'by_mod', CAST(l_orderkey % 5 AS VARCHAR), COUNT(*),
+        |  CAST(SUM(l_orderkey) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |GROUP BY l_orderkey % 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = tRaw(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .as[(Long, String)].collect()
+      val in = MemoryStream[(Long, String)]
+      val partials = scala.collection.mutable.Map[String,
+        scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]]()
+      val views = Seq(
+        "by_flag" -> ((b: org.apache.spark.sql.DataFrame) =>
+          b.groupBy(col("l_returnflag").as("k"))
+            .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("ksum"))),
+        "by_mod" -> ((b: org.apache.spark.sql.DataFrame) =>
+          b.groupBy((col("l_orderkey") % 5).cast("string").as("k"))
+            .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("ksum"))))
+      val q = graft.runtime.StreamingPipeline.foreachBatchFanout(
+        in.toDF().toDF("l_orderkey", "l_returnflag"), views,
+        (name, df, _) => {
+          partials.getOrElseUpdate(name,
+            scala.collection.mutable.Buffer()) += df.localCheckpoint(true)
+          ()
+        }).outputMode("update").start()
+      try {
+        Seq(0L, 1L, 2L).foreach { m =>
+          in.addData(rows.filter(_._1 % 3 == m).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      views.map { case (name, _) =>
+        partials(name).reduce(_ unionByName _)
+          .groupBy("k").agg(sum(col("n")).as("n"),
+            sum(col("ksum")).as("ksum"))
+          .select(lit(name).as("v"), col("k"), col("n"), col("ksum"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
     }
   )
 }

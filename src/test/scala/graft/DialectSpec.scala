@@ -272,6 +272,36 @@ class DialectSpec extends SparkSpec {
       (2L, 5L, None)))
   }
 
+  test("chained and nested ASOF JOINs lower and run e2e") {
+    // two ASOF joins chain: the second lowers over the first's lowered
+    // output — struct-alias refs (pa.*, pb.*) keep resolving because
+    // the first lowering re-exposes them as struct columns, which the
+    // second lowering re-flattens
+    val pipe = Pipeline(spark,
+      """CREATE TABLE pa (k BIGINT, t BIGINT, x VARCHAR);
+        |CREATE TABLE pb (k BIGINT, t BIGINT, bv VARCHAR);
+        |CREATE TABLE pc (k BIGINT, t BIGINT, cv VARCHAR);
+        |CREATE VIEW ch AS SELECT pa.x, pb.bv, pc.cv FROM pa
+        |  LEFT ASOF JOIN pb MATCH_CONDITION (pa.t >= pb.t) ON pa.k = pb.k
+        |  LEFT ASOF JOIN pc MATCH_CONDITION (pa.t >= pc.t) ON pa.k = pc.k;"""
+        .stripMargin)
+    pipe.step(Map(
+      "pa" -> ZSets.lift(Seq((1L, 10L, "a1"), (1L, 30L, "a2"))
+        .toDF("k", "t", "x")),
+      "pb" -> ZSets.lift(Seq((1L, 5L, "b1"), (1L, 20L, "b2"))
+        .toDF("k", "t", "bv")),
+      "pc" -> ZSets.lift(Seq((1L, 25L, "c1")).toDF("k", "t", "cv"))))
+    val out = pipe.adHoc("SELECT * FROM ch ORDER BY x")
+      .as[(String, String, Option[String])].collect().toSeq
+    // t=10: pb<=10 -> b1; pc<=10 -> none. t=30: b2, c1.
+    assert(out === Seq(("a1", "b1", None), ("a2", "b2", Some("c1"))))
+    // ASOF inside a subquery lowers too (baseDepth > 0)
+    val sub = Dialect.normalize(
+      "SELECT * FROM (SELECT l.k FROM l ASOF JOIN r " +
+        "MATCH_CONDITION (l.t >= r.t) ON l.k = r.k) s")
+    assert(sub.contains("__asof_l_r") && !sub.contains("ASOF"), sub)
+  }
+
   test("DISTINCT ON lowers to a rank-1 filter; e2e through the pipeline") {
     // the pure-ordering tail is dropped (relations are unordered
     // Z-sets; it may name unprojected columns) — the window keeps it
