@@ -243,6 +243,7 @@ object SltFuzz {
     * keys — the null-never-matches join rule and the NOT IN null trap
     * are both in play.
     */
+  private[graft] def JSpub: String = JS
   private[queries] val JS =
     """WITH a AS (SELECT id AS i, CAST(id % 13 AS INT) AS ka,
       | CAST(CASE WHEN id % 5 = 0 THEN NULL ELSE id % 7 END AS BIGINT)
@@ -343,6 +344,60 @@ object SltFuzz {
   }
 
   private val joinBody = genJoins()
+
+  /** ASOF-join corpus: random ASOF shapes over the join fixture —
+    * backward (`l.ts >= r.ts`) and forward (reversed) match
+    * conditions, expression timestamps with literal offsets, nullable
+    * keys (`va = wb`: NULL never matches) and a nullable PROBE
+    * timestamp (no match, LEFT null-extends), inner and LEFT forms,
+    * and a pre-aggregated subquery build side keyed on a nullable
+    * build timestamp. The Spark text uses the reference's
+    * MATCH_CONDITION spelling and goes through Dialect.normalize (the
+    * union+window lowering under fuzz); DuckDB's native
+    * `ASOF [LEFT] JOIN … ON eq AND ineq` is the oracle. Build rows are
+    * unique per (key, ts-expression) by construction (j is unique; the
+    * subquery groups by (kb, wb)), so the single-match row is
+    * deterministic in both engines. The probe timestamp stays NON-NULL
+    * by construction: DuckDB's ASOF sorts a NULL probe ordering value
+    * as +infinity and matches it to the key's LARGEST build row
+    * (measured, DuckDB 1.0), while the SQL comparison semantics the
+    * reference and this engine implement (`NULL >= x` is not true) give
+    * no match — a real engine split, pinned instead by DialectSpec's
+    * null-timestamp e2e. Returns (sparkBody, duckBody).
+    */
+  private[graft] def genAsof(seed: Long = 2718281L): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    val sparkCols = Seq.newBuilder[String]
+    val duckCols = Seq.newBuilder[String]
+    (0 until 20).foreach { k =>
+      val left = rnd.nextBoolean()
+      val forward = rnd.nextInt(4) == 0
+      val c = rnd.nextInt(20)
+      val (ropA, on, lts, rts, payload) = rnd.nextInt(4) match {
+        case 0 => ("b", "a.ka = b.kb", "a.i", s"b.j + $c", "b.j")
+        case 1 => ("b", "a.va = b.wb", "a.i", s"b.j + $c", "b.j")
+        case 2 => ("(SELECT kb, wb, MAX(j) AS pj FROM b GROUP BY kb, wb) bb",
+          "a.ka = bb.kb", "a.i", "bb.wb", "bb.pj")
+        // small-domain probe ts: heavy probe-probe and probe-build ties
+        case 3 => ("b", "a.ka = b.kb", "a.i % 7", "b.j", "b.j")
+      }
+      val mc = if (forward) s"$rts >= $lts" else s"$lts >= $rts"
+      val duckIneq = if (forward) s"$lts <= $rts" else s"$lts >= $rts"
+      val fp = s"COALESCE(a.va, -3) * 31 + a.i * 7 + " +
+        s"COALESCE($payload, -${1 + rnd.nextInt(7)})"
+      val agg = s"COALESCE(CAST(SUM($fp) AS BIGINT), -88) || '/' || COUNT(*)"
+      val sj = if (left) "LEFT ASOF JOIN" else "ASOF JOIN"
+      val dj = if (left) "ASOF LEFT JOIN" else "ASOF JOIN"
+      sparkCols +=
+        s"(SELECT $agg FROM a $sj $ropA MATCH_CONDITION ($mc) ON $on) AS q$k"
+      duckCols +=
+        s"(SELECT $agg FROM a $dj $ropA ON $on AND $duckIneq) AS q$k"
+    }
+    ("SELECT " + sparkCols.result().mkString(", "),
+      "SELECT " + duckCols.result().mkString(", "))
+  }
+
+  private val asofBodies = genAsof()
 
   /** Decimal-arithmetic corpus (the reference's Postgres numeric golden
     * suites, fuzzed): random add/subtract/multiply/ABS/LEAST/GREATEST/
@@ -486,12 +541,14 @@ object SltFuzz {
     val jn = genJoins(seed)
     val dc = genDecimals(seed)
     val ts = genTimestamps(seed)
+    val (asS, asD) = genAsof(seed)
     def overT(n: String, b: String) =
       (n, SqlConformance.TS + b, SqlConformance.TD + b)
     Seq(
       overT("fz_flat", f), overT("fz_grouped", g), overT("fz_window", w),
       overT("fz_strings", st), overT("fz_dates", dt),
       ("fz_joins", JS + jn, JD + jn),
+      ("fz_asof", graft.ddl.Dialect.normalize(JS + asS), JD + asD),
       overT("fz_decimals", dc), overT("fz_timestamps", ts))
   }
 
@@ -513,6 +570,9 @@ object SltFuzz {
     },
     Q("slt_fuzz_joins", JD + joinBody) { (s, _) =>
       s.sql(JS + joinBody)
+    },
+    Q("slt_fuzz_asof", JD + asofBodies._2) { (s, _) =>
+      s.sql(graft.ddl.Dialect.normalize(JS + asofBodies._1))
     },
     Q("slt_fuzz_decimals", SqlConformance.TD + decimalBody) { (s, _) =>
       s.sql(SqlConformance.TS + decimalBody)

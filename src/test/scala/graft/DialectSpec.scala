@@ -300,6 +300,28 @@ class DialectSpec extends SparkSpec {
       "SELECT * FROM (SELECT l.k FROM l ASOF JOIN r " +
         "MATCH_CONDITION (l.t >= r.t) ON l.k = r.k) s")
     assert(sub.contains("__asof_l_r") && !sub.contains("ASOF"), sub)
+    // NULL semantics: a NULL probe timestamp or NULL key never matches
+    // (SQL comparison semantics, as the reference's match condition;
+    // DuckDB's native ASOF diverges here — it sorts a NULL probe ts as
+    // +infinity and matches the largest build row, measured on 1.0 —
+    // so this is pinned as a spec, not a graded row)
+    val np = Pipeline(spark,
+      """CREATE TABLE np (k BIGINT, t BIGINT);
+        |CREATE TABLE nb (k BIGINT, t BIGINT, v VARCHAR);
+        |CREATE VIEW nv AS SELECT np.k, nb.v FROM np
+        |  LEFT ASOF JOIN nb MATCH_CONDITION (np.t >= nb.t)
+        |  ON np.k = nb.k;""".stripMargin)
+    np.step(Map(
+      "np" -> ZSets.lift(Seq((1L, Option.empty[Long]),
+        (2L, Some(50L))).toDF("k", "t")),
+      "nb" -> ZSets.lift(Seq(
+        (1L, Some(5L), "x"), (2L, Option.empty[Long], "y"),
+        (2L, Some(7L), "z")).toDF("k", "t", "v"))))
+    val nout = np.adHoc("SELECT * FROM nv ORDER BY k")
+      .as[(Long, Option[String])].collect().toSeq
+    // k=1: probe ts NULL -> no match; k=2: build ts NULL filtered,
+    // 50 >= 7 -> "z"
+    assert(nout === Seq((1L, None), (2L, Some("z"))))
   }
 
   test("DISTINCT ON lowers to a rank-1 filter; e2e through the pipeline") {
