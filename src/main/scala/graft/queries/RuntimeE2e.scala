@@ -323,6 +323,57 @@ object RuntimeE2e {
         "FROM st")
     },
 
+    // soft_delete + DEFAULT + CONNECTOR_METADATA() (§2.1 #24,
+    // connectors/#soft_delete): deletions arrive as flagged INSERTIONS
+    // — the table is an append-only change log — with the change kind
+    // landing in the column whose DEFAULT reads
+    // CONNECTOR_METADATA()['is_delete']. The view reconstructs the
+    // docs' "current rows" shape (latest seq per key, kept iff not a
+    // delete); the oracle re-derives the same survivors statically.
+    Q(
+      "conn_soft_delete",
+      """SELECT CASE WHEN o_orderkey % 20 = 0 THEN 'R'
+        |    ELSE o_orderstatus END AS st,
+        |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS ksum
+        |FROM orders WHERE o_orderkey <= 2000
+        |  AND (o_orderkey % 10 <> 0 OR o_orderkey % 20 = 0)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_softdel").toString
+      val o = tRaw(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+      def line(kind: String, df: org.apache.spark.sql.DataFrame,
+          seq: Long, stCol: org.apache.spark.sql.Column) =
+        df.select(concat(lit(s"""{"$kind": """),
+          to_json(struct(col("k"), stCol.as("st"), lit(seq).as("seq"))),
+          lit("}")).as("value"))
+      line("insert", o, 1L, col("st"))
+        .union(line("delete", o.filter(col("k") % 10 === 0), 2L, col("st")))
+        .union(line("insert", o.filter(col("k") % 20 === 0), 3L, lit("R")))
+        .write.text(s"$base/log")
+      val json = s"""[{"name": "log", "soft_delete": true,
+        | "transport": {"name": "file_input",
+        |  "config": {"path": "$base/log"}},
+        | "format": {"name": "json",
+        |  "config": {"update_format": "insert_delete"}}}]"""
+        .stripMargin.replaceAll("\n", "")
+      val prog =
+        s"""CREATE TABLE ord_log (k BIGINT, st VARCHAR, seq BIGINT,
+           | is_delete BOOLEAN DEFAULT
+           |  CAST(CONNECTOR_METADATA()['is_delete'] AS BOOLEAN))
+           | WITH ('append_only' = 'true', 'connectors' = '$json');
+           |CREATE MATERIALIZED VIEW cur AS
+           |  SELECT st, COUNT(*) AS n, SUM(k) AS ksum FROM (
+           |    SELECT k, st, is_delete,
+           |      ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+           |        AS rk
+           |    FROM ord_log) t WHERE rk = 1 AND NOT is_delete
+           |  GROUP BY st;""".stripMargin
+      val pipe = Pipeline(s, prog)
+      pipe.ingestConnectors()
+      pipe.adHoc("SELECT st, n, CAST(ksum AS BIGINT) AS ksum FROM cur")
+    },
+
     // Standing stream-stream join (§2.3 #43): orders and customers
     // arrive as micro-batches through StreamingPipeline.standingJoin —
     // including a batch where both sides move and a retraction wave —
