@@ -121,9 +121,12 @@ object Ddl {
 
   /** Split a program text into statements on top-level semicolons.
     * Quote-aware: `''` inside a quoted string is an escaped quote, not a
-    * string boundary.
+    * string boundary. Comments are stripped FIRST
+    * ([[Dialect.stripComments]]) so a semicolon, quote, or keyword
+    * inside a comment never derails the split or a later rewriter.
     */
-  private[graft] def statements(program: String): Seq[String] = {
+  private[graft] def statements(program0: String): Seq[String] = {
+    val program = Dialect.stripComments(program0)
     val out = mutable.Buffer[String]()
     val sb = new StringBuilder
     var depth = 0

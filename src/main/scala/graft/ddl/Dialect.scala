@@ -67,7 +67,7 @@ object Dialect {
     *   columns, so it is dropped).
     */
   def normalize(sql: String, adHoc: Boolean): String =
-    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(mapOutsideQuotes(rewriteHints(sql)) { run =>
+    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(mapOutsideQuotes(rewriteHints(stripComments(sql))) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -82,6 +82,51 @@ object Dialect {
       val i = limitStartCount.replaceAllIn(h, "LIMIT $2 OFFSET $1")
       limitAll.replaceAllIn(i, "")
     }))), adHoc)
+
+  /** Strip SQL comments — `--` to end-of-line and (nested) block
+    * comments — outside string literals, BEFORE any rewriter scans the
+    * text: a QUALIFY/ASOF/DISTINCT ON spelled inside a comment must
+    * never trigger a lowering, and a quote or semicolon inside a
+    * comment must never derail the quote/statement scanners. Optimizer
+    * hint blocks (slash-star-PLUS openers) survive verbatim — they are
+    * semantic here ([[rewriteHints]]). Each comment is replaced by one
+    * space so it keeps separating tokens.
+    */
+  private[graft] def stripComments(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var inQ = false   // single-quoted string literal
+    var inD = false   // double-quoted identifier
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (inD) { sb += c; if (c == '"') inD = false; i += 1 }
+      else if (c == '\'') { sb += c; inQ = true; i += 1 }
+      else if (c == '"') { sb += c; inD = true; i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+        sb += ' '
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*' &&
+          i + 2 < s.length && s.charAt(i + 2) == '+') {
+        val end = s.indexOf("*/", i + 2)
+        val stop = if (end < 0) s.length else end + 2
+        sb.append(s.substring(i, stop))
+        i = stop
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        var depth = 1
+        i += 2
+        while (i < s.length && depth > 0) {
+          if (s.charAt(i) == '/' && i + 1 < s.length &&
+            s.charAt(i + 1) == '*') { depth += 1; i += 2 }
+          else if (s.charAt(i) == '*' && i + 1 < s.length &&
+            s.charAt(i + 1) == '/') { depth -= 1; i += 2 }
+          else i += 1
+        }
+        sb += ' '
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   private val hintBlock = """(?s)/\*\+(.*?)\*/""".r
 

@@ -446,6 +446,13 @@ object RuntimeE2e {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
+      // 8 state partitions for this tiny fixture: each micro-batch
+      // opens/commits one RocksDB instance PER state partition, so 32
+      // partitions x batches is pure instance churn here (measured
+      // ~50 task-s); the operator itself scales with partitions on
+      // real data. Restored in the finally.
+      val __oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val rows = tRaw(s, dir, "customer")
         .select(col("c_nationkey").cast("long"), col("c_custkey"))
         .as[(Long, Long)].collect()
@@ -467,7 +474,10 @@ object RuntimeE2e {
         q.processAllAvailable()
         in.addData(rows.filter(_._2 <= 200).map(r => (r._1, r._2, -1L)).toSeq)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", __oldParts)
+      }
       last.toSeq.flatMap { case (k, vs) =>
         vs.zipWithIndex.map { case (v, i) => (k, (i + 1).toLong, v) }
       }.toDF("c_nationkey", "rnk", "c_custkey")
@@ -490,6 +500,13 @@ object RuntimeE2e {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
+      // 8 state partitions for this tiny fixture: each micro-batch
+      // opens/commits one RocksDB instance PER state partition, so 32
+      // partitions x batches is pure instance churn here (measured
+      // ~50 task-s); the operator itself scales with partitions on
+      // real data. Restored in the finally.
+      val __oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val rows = tRaw(s, dir, "customer")
         .select(col("c_nationkey").cast("long"), col("c_custkey"))
         .as[(Long, Long)].collect()
@@ -512,7 +529,10 @@ object RuntimeE2e {
         q.processAllAvailable()
         in.addData(rows.filter(_._2 > 1300).map(r => (r._1, r._2, -1L)).toSeq)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", __oldParts)
+      }
       last.toSeq.collect { case (k, (mn, mx, false)) => (k, mn, mx) }
         .toDF("c_nationkey", "mn", "mx")
     },
@@ -543,6 +563,13 @@ object RuntimeE2e {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
+      // 8 state partitions for this tiny fixture: each micro-batch
+      // opens/commits one RocksDB instance PER state partition, so 32
+      // partitions x batches is pure instance churn here (measured
+      // ~50 task-s); the operator itself scales with partitions on
+      // real data. Restored in the finally.
+      val __oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val rows = tRaw(s, dir, "events").filter(col("event_id") <= 4000)
         .select(col("event_id"), col("user_id"),
           unix_timestamp(col("ts")).as("es"),
@@ -572,7 +599,10 @@ object RuntimeE2e {
         // the watermark) — later rows' windows are re-emitted corrected
         in.addData(rows.filter(_._1 % 3 == 0).map(ev).toSeq)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", __oldParts)
+      }
       last.toSeq.map { case ((u, es), (sm, c)) => (u, es, sm, c) }
         .toDF("user_id", "es", "s", "c")
     },
@@ -599,6 +629,9 @@ object RuntimeE2e {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val cut = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+      // 8 state partitions for the tiny fixture (see inc_stream_topk)
+      val __oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val rows = tRaw(s, dir, "events")
         .select(col("ts"), col("event_type"),
           floor(col("value")).cast("double").as("v"))
@@ -624,7 +657,10 @@ object RuntimeE2e {
         // everything here is > 1 minute behind the watermark — dropped
         in.addData(rows.filter(_._1.before(cut)).toSeq)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", __oldParts)
+      }
       out.toSeq.toDF("wstart", "event_type", "n", "sv")
     },
 

@@ -504,6 +504,37 @@ class DialectSpec extends SparkSpec {
     assert(ex.getMessage.contains("ENFORCE_POSITIVE_INPUTS"))
   }
 
+  test("SQL comments never trigger rewriters or derail the splitter") {
+    // keywords inside comments are inert
+    assert(Dialect.normalize("SELECT k FROM t -- QUALIFY junk\n").trim
+      === "SELECT k FROM t")
+    assert(Dialect.normalize(
+      "SELECT k /* SELECT DISTINCT ON (x) */ FROM t")
+      === "SELECT k   FROM t")
+    assert(Dialect.normalize(
+      "SELECT k FROM t -- l ASOF JOIN r MATCH_CONDITION (x) ON y\n").trim
+      === "SELECT k FROM t")
+    // nested block comments close correctly
+    assert(Dialect.normalize("SELECT k /* a /* b */ c */ FROM t")
+      === "SELECT k   FROM t")
+    // semicolons and quotes inside comments don't derail the program
+    // splitter; comment-only statements vanish
+    val prog = Ddl.parse(
+      "CREATE TABLE t (a BIGINT); -- note; don't trip\n" +
+        "CREATE VIEW v AS SELECT a /* the 'key' */ FROM t;")
+    assert(prog.views.head.sql.trim === "SELECT a   FROM t")
+    // comment spellings inside string literals and double-quoted
+    // identifiers are DATA, not comments
+    assert(Dialect.normalize("SELECT '--not a comment', '/*nor this*/'" +
+      " FROM t") === "SELECT '--not a comment', '/*nor this*/' FROM t")
+    assert(Dialect.normalize("SELECT \"a--b\" FROM t")
+      === "SELECT \"a--b\" FROM t")
+    // optimizer hint blocks survive stripping (and still map)
+    assert(Dialect.normalize(
+      "SELECT /*+ broadcast(S) */ a -- tail\n FROM T JOIN S ON T.k = S.k")
+      .contains("/*+ BROADCAST(S) */"))
+  }
+
   test("normalize is idempotent on already-normalized text") {
     val inputs = Seq(
       "SELECT * EXCLUDE (a) FROM t",
