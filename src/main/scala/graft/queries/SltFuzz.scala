@@ -203,6 +203,7 @@ object SltFuzz {
     * interval add/subtract chains with month-end clamping in play, and
     * LAST_DAY; folded per shape to a yyyymmdd positional checksum.
     */
+  private[graft] def genDatesPub(seed: Long): String = genDates(seed)
   private[queries] def genDates(seed: Long = 27182818L): String = {
     val rnd = new scala.util.Random(seed)
     def leaf(): String = rnd.nextInt(3) match {
@@ -210,11 +211,23 @@ object SltFuzz {
       case 1 => "MAKE_DATE(2020 + two, 1 + ten, 28)"
       case 2 => "MAKE_DATE(2024, 2, 1 + MOD(i, 28))"
     }
+    // day-interval constants avoid multiples of 30: DuckDB 1.0
+    // normalizes intervals at 30-day months for expression equality, so
+    // its CSE merges `X + INTERVAL '30' DAY` with `X + INTERVAL '1'
+    // MONTH` over the same base and returns the MONTH result for the
+    // DAY add — a wrong-result engine bug this sweep caught under seed
+    // 1357 (minimal repro: SELECT both adds of DATE '2020-01-28' in one
+    // projection). Semantically-distinct-but-normalized-equal constant
+    // pairs are exactly the collision class, so the grammar skips them.
+    def days(): Int = {
+      val n = 1 + rnd.nextInt(40)
+      if (n % 30 == 0) n + 1 else n
+    }
     def dExpr(d: Int): String =
       if (d <= 0) leaf()
       else rnd.nextInt(4) match {
-        case 0 => s"(${dExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(40)}' DAY)"
-        case 1 => s"(${dExpr(d - 1)} - INTERVAL '${1 + rnd.nextInt(40)}' DAY)"
+        case 0 => s"(${dExpr(d - 1)} + INTERVAL '${days()}' DAY)"
+        case 1 => s"(${dExpr(d - 1)} - INTERVAL '${days()}' DAY)"
         case 2 =>
           s"(${dExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(14)}' MONTH)"
         case 3 => s"LAST_DAY(${dExpr(d - 1)})"
@@ -498,13 +511,21 @@ object SltFuzz {
       case 2 => "MAKE_TIMESTAMP(2024, 2, 26 + MOD(i, 4), " +
         "MOD(i * 3, 24), 30, 0)" // leap-day neighborhood
     }
+    // DAY constants skip multiples of 30 — the DuckDB interval-CSE
+    // collision class (see genDates); sub-day units are exact multiples
+    // of each other, so their normalized-equal pairs are semantically
+    // identical and CSE-safe.
+    def tDays(): Int = {
+      val n = 1 + rnd.nextInt(40)
+      if (n % 30 == 0) n + 1 else n
+    }
     def tExpr(d: Int): String =
       if (d <= 0) leaf()
       else rnd.nextInt(7) match {
         case 0 => s"(${tExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(90)}' SECOND)"
         case 1 => s"(${tExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(200)}' MINUTE)"
         case 2 => s"(${tExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(50)}' HOUR)"
-        case 3 => s"(${tExpr(d - 1)} - INTERVAL '${1 + rnd.nextInt(40)}' DAY)"
+        case 3 => s"(${tExpr(d - 1)} - INTERVAL '${tDays()}' DAY)"
         case 4 => s"(${tExpr(d - 1)} + INTERVAL '${1 + rnd.nextInt(14)}' MONTH)"
         case 5 => s"DATE_TRUNC('${Seq("minute", "hour", "day")(rnd.nextInt(3))}', " +
           s"${tExpr(d - 1)})"
