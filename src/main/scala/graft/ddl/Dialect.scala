@@ -67,7 +67,7 @@ object Dialect {
     *   columns, so it is dropped).
     */
   def normalize(sql: String, adHoc: Boolean): String =
-    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(mapOutsideQuotes(rewriteHints(stripComments(sql))) { run =>
+    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewriteWindowTvf(mapOutsideQuotes(rewriteHints(stripComments(sql))) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -81,7 +81,7 @@ object Dialect {
       val h = offsetRows.replaceAllIn(g, "OFFSET $1")
       val i = limitStartCount.replaceAllIn(h, "LIMIT $2 OFFSET $1")
       limitAll.replaceAllIn(i, "")
-    }))), adHoc)
+    })))), adHoc)
 
   /** Strip SQL comments — `--` to end-of-line and (nested) block
     * comments — outside string literals, BEFORE any rewriter scans the
@@ -1010,6 +1010,177 @@ object Dialect {
             s.substring(0, m.start) + "LEFT OUTER JOIN LATERAL" +
               s.substring(m.end, k) + " ON TRUE" + s.substring(k))
         }
+    }
+
+  // Windowing table functions (docs/sql/table.md): the
+  // `TABLE(TUMBLE|HOP|SESSION(TABLE t | (query), DESCRIPTOR(..), …))`
+  // FROM-clause spelling, positional or `name => value` named args.
+  private val windowTvf =
+    """(?is)\bTABLE\s*\(\s*(TUMBLE|HOP|SESSION)\s*\(""".r
+  private val namedArg = """(?is)^\s*(\w+)\s*=>\s*(.*)$""".r
+  private val descriptorArg =
+    """(?is)^\s*DESCRIPTOR\s*\(\s*([\w]+(?:\s*,\s*[\w]+)*)\s*\)\s*$""".r
+  private val tableArg = """(?is)^\s*TABLE\s+([\w.]+)\s*$""".r
+  private val shortInterval =
+    """(?is)^\s*INTERVAL\s+'(\d+)'\s+(MILLISECOND|SECOND|MINUTE|HOUR|DAY)S?\s*$""".r
+
+  /** millis + Spark duration string for a "short" interval literal
+    * (table.md: long intervals are not constants and are rejected).
+    */
+  private def parseShortInterval(e: String, fn: String): (Long, String) =
+    e match {
+      case shortInterval(v, u) =>
+        val unit = u.toLowerCase
+        val factor = unit match {
+          case "millisecond" => 1L
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour" => 3600000L
+          case "day" => 86400000L
+        }
+        (v.toLong * factor,
+          s"$v $unit" + (if (v == "1") "" else "s"))
+      case _ => sys.error(
+        s"$fn windowing requires a short INTERVAL literal " +
+          s"(MILLISECOND..DAY, table.md); got: ${e.trim}")
+    }
+
+  /** Lower the reference's windowing table functions (table.md TUMBLE/
+    * HOP/SESSION; Calcite's SqlWindowTableFunction surface) to Spark:
+    *
+    *  - TUMBLE(t, DESCRIPTOR(c), size [, offset]) and
+    *    HOP(t, DESCRIPTOR(c), slide, size [, offset]) become a
+    *    projection over Spark's native `window()` expression (the same
+    *    epoch-aligned assignment; HOP fans each row to its covering
+    *    windows, size/slide swap to Spark's (size, slide) order), with
+    *    the struct re-exposed as `window_start`/`window_end` and NULL
+    *    timestamps filtered (table.md: a NULL timestamp produces no
+    *    rows). One narrow map over the scan — no shuffle.
+    *  - SESSION(t, DESCRIPTOR(ts) [, DESCRIPTOR(k)], gap) becomes the
+    *    reference's own rewrite (SessionRewriteRule.java:51 — brk =
+    *    CASE(prev IS NULL OR ts >= prev + gap), running RANGE-frame sum
+    *    as the session id, min/max+gap per session): one exchange on
+    *    the key + one sort, O(n log n) at any scale.
+    *
+    * Named-argument spellings (`data =>`, `timecol =>`, `slide =>`,
+    * `size =>`, `key =>`, `offset =>`) normalize to the positional
+    * form first (the DATA param is always first, per table.md).
+    */
+  private def rewriteWindowTvf(s: String): String =
+    windowTvf.findAllMatchIn(s)
+      .find(m => !inQuoteMap(s)(m.start)) match {
+      case None => s
+      case Some(m) =>
+        val fn = m.group(1).toUpperCase
+        val innerOpen = m.end - 1
+        // balanced scan for the inner call's close paren
+        var depth = 0
+        var inQ = false
+        var innerClose = -1
+        var j = innerOpen
+        while (innerClose < 0 && j < s.length) {
+          val c = s.charAt(j)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) innerClose = j
+            case _ => ()
+          }
+          j += 1
+        }
+        require(innerClose > 0, s"unbalanced $fn call in: $s")
+        var k = innerClose + 1
+        while (k < s.length && s.charAt(k).isWhitespace) k += 1
+        require(k < s.length && s.charAt(k) == ')',
+          s"TABLE($fn(...)) missing its closing paren in: $s")
+        val rawArgs = splitTopLevel(s.substring(innerOpen + 1, innerClose))
+        // named args → canonical positional order
+        val named = scala.collection.mutable.Map[String, String]()
+        val positional = Seq.newBuilder[String]
+        rawArgs.foreach {
+          case namedArg(n, v) => named(n.toLowerCase) = v
+          case a => positional += a
+        }
+        val pos = positional.result()
+        def arg(name: String, posIdx: Int): Option[String] =
+          named.get(name).orElse(pos.lift(posIdx))
+        val data = arg("data", 0).map(_.trim).getOrElse(
+          sys.error(s"$fn windowing needs a DATA argument: $s"))
+        val dataSql = data match {
+          case tableArg(t) => t
+          case d if d.startsWith("(") => d
+          case d => d // bare table name
+        }
+        val tsCol = arg("timecol", 1).map {
+          case descriptorArg(c) => c.trim
+          case other => sys.error(
+            s"$fn windowing needs DESCRIPTOR(timecol); got: ${other.trim}")
+        }.getOrElse(sys.error(s"$fn windowing needs a TIMECOL: $s"))
+        val replacement = fn match {
+          case "TUMBLE" =>
+            val (_, sizeDur) = parseShortInterval(
+              arg("size", 2).getOrElse(
+                sys.error(s"TUMBLE needs a SIZE interval: $s")), fn)
+            val off = arg("offset", 3).map(parseShortInterval(_, fn)._2)
+            val win = off match {
+              case Some(o) => s"window($tsCol, '$sizeDur', '$sizeDur', '$o')"
+              case None => s"window($tsCol, '$sizeDur')"
+            }
+            s"(SELECT * EXCEPT (__w), __w.start AS window_start, " +
+              s"__w.end AS window_end FROM (SELECT __tvf0.*, $win AS __w " +
+              s"FROM $dataSql __tvf0 WHERE $tsCol IS NOT NULL) __tvf1)"
+          case "HOP" =>
+            val (_, slideDur) = parseShortInterval(
+              arg("slide", 2).getOrElse(
+                sys.error(s"HOP needs a SLIDE interval: $s")), fn)
+            val (_, sizeDur) = parseShortInterval(
+              arg("size", 3).getOrElse(
+                sys.error(s"HOP needs a SIZE interval: $s")), fn)
+            val off = arg("offset", 4).map(parseShortInterval(_, fn)._2)
+            val win = off match {
+              case Some(o) =>
+                s"window($tsCol, '$sizeDur', '$slideDur', '$o')"
+              case None => s"window($tsCol, '$sizeDur', '$slideDur')"
+            }
+            s"(SELECT * EXCEPT (__w), __w.start AS window_start, " +
+              s"__w.end AS window_end FROM (SELECT __tvf0.*, $win AS __w " +
+              s"FROM $dataSql __tvf0 WHERE $tsCol IS NOT NULL) __tvf1)"
+          case "SESSION" =>
+            // positional: key descriptor is optional 3rd arg
+            val posKey = pos.lift(2).collect {
+              case descriptorArg(c) => c
+            }
+            val keyCols: Seq[String] =
+              named.get("key").map {
+                case descriptorArg(c) => c
+                case other => sys.error(
+                  s"SESSION KEY must be DESCRIPTOR(cols); got: ${other.trim}")
+              }.orElse(posKey)
+                .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+            val gapArg = named.get("size").orElse(
+              if (posKey.isDefined) pos.lift(3) else pos.lift(2))
+              .getOrElse(sys.error(s"SESSION needs a SIZE interval: $s"))
+            parseShortInterval(gapArg, fn) // validate: short interval only
+            val gapSql = gapArg.trim
+            val partKey =
+              if (keyCols.isEmpty) "" else s"PARTITION BY ${keyCols.mkString(", ")} "
+            val partSid =
+              if (keyCols.isEmpty) "PARTITION BY __sid"
+              else s"PARTITION BY ${keyCols.mkString(", ")}, __sid"
+            val prev = s"LAG($tsCol) OVER (${partKey}ORDER BY $tsCol)"
+            s"(SELECT * EXCEPT (__sid), " +
+              s"MIN($tsCol) OVER ($partSid) AS window_start, " +
+              s"MAX($tsCol) OVER ($partSid) + $gapSql AS window_end " +
+              s"FROM (SELECT * EXCEPT (__new), " +
+              s"SUM(__new) OVER (${partKey}ORDER BY $tsCol) AS __sid " +
+              s"FROM (SELECT __tvf0.*, CASE WHEN $prev IS NULL OR " +
+              s"$tsCol >= $prev + $gapSql THEN 1 ELSE 0 END AS __new " +
+              s"FROM $dataSql __tvf0 WHERE $tsCol IS NOT NULL) __tvf1) " +
+              s"__tvf2)"
+        }
+        rewriteWindowTvf(
+          s.substring(0, m.start) + replacement + s.substring(k + 1))
     }
 
   /** Apply `f` to the unquoted runs of `s`; single-quoted SQL string

@@ -695,6 +695,146 @@ object Extras {
         tRaw(s, dir, "customer").select("c_custkey", "c_name",
           "c_nationkey", "c_acctbal", "c_mktsegment"))))
       pipe.adHoc("SELECT * FROM slim")
+    },
+
+    // NATURAL JOIN (grammar.md tableExpression) — native in both
+    // engines: the shared column (nationkey) joins and deduplicates.
+    Q(
+      "join_natural",
+      """SELECT nationkey, n_name, COUNT(*) AS n_cust
+        |FROM (SELECT c_custkey, c_nationkey AS nationkey FROM customer) c
+        |NATURAL JOIN
+        |  (SELECT n_nationkey AS nationkey, n_name FROM nation) n
+        |GROUP BY nationkey, n_name""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT);
+          |CREATE TABLE nat (n_nationkey INT, n_name VARCHAR);
+          |CREATE VIEW j AS
+          |  SELECT nationkey, n_name, COUNT(*) AS n_cust
+          |  FROM (SELECT c_custkey, c_nationkey AS nationkey FROM cust) c
+          |  NATURAL JOIN
+          |    (SELECT n_nationkey AS nationkey, n_name FROM nat) n
+          |  GROUP BY nationkey, n_name;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map(
+        "cust" -> graft.zset.ZSets.lift(
+          tRaw(s, dir, "customer").select("c_custkey", "c_nationkey")),
+        "nat" -> graft.zset.ZSets.lift(tRaw(s, dir, "nation")
+          .select(col("n_nationkey").cast("int"), col("n_name")))))
+      pipe.adHoc("SELECT * FROM j")
+    },
+
+    // JOIN … USING (grammar.md joinCondition) — native in both engines;
+    // LEFT form so the null-extension of unmatched keys is pinned, and
+    // the USING column is emitted once (coalesced).
+    Q(
+      "join_using",
+      """SELECT nationkey, COUNT(r_name) AS named, COUNT(*) AS n
+        |FROM (SELECT c_nationkey AS nationkey FROM customer) c
+        |LEFT JOIN (SELECT r_regionkey AS nationkey, r_name FROM region) r
+        |USING (nationkey)
+        |GROUP BY nationkey""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE cust (c_nationkey INT);
+          |CREATE TABLE reg (r_regionkey INT, r_name VARCHAR);
+          |CREATE VIEW j AS
+          |  SELECT nationkey, COUNT(r_name) AS named, COUNT(*) AS n
+          |  FROM (SELECT c_nationkey AS nationkey FROM cust) c
+          |  LEFT JOIN (SELECT r_regionkey AS nationkey, r_name
+          |             FROM (TABLE reg)) r
+          |  USING (nationkey)
+          |  GROUP BY nationkey;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map(
+        "cust" -> graft.zset.ZSets.lift(
+          tRaw(s, dir, "customer").select(col("c_nationkey").cast("int"))),
+        "reg" -> graft.zset.ZSets.lift(tRaw(s, dir, "region")
+          .select(col("r_regionkey").cast("int"), col("r_name")))))
+      pipe.adHoc("SELECT * FROM j")
+    },
+
+    // SQL-spelled PIVOT as a tableReference suffix (grammar.md:466-481)
+    // — native in Spark; the oracle spreads with FILTER.
+    Q(
+      "agg_pivot_sql",
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE ord (o_orderpriority VARCHAR, o_orderstatus VARCHAR);
+          |CREATE VIEW piv AS
+          |  SELECT * FROM ord
+          |  PIVOT (COUNT(*) FOR o_orderstatus
+          |         IN ('F' AS f, 'O' AS o, 'P' AS p));""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ord" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "orders")
+          .select("o_orderpriority", "o_orderstatus"))))
+      pipe.adHoc("SELECT * FROM piv")
+    },
+
+    // ORDER BY ALL [DESC] (grammar.md:417) — native in Spark 4 and
+    // DuckDB; made observable with a LIMIT (the driver compare is
+    // order-insensitive, so only the survivor set pins the ordering).
+    Q(
+      "sort_order_by_all",
+      """SELECT n_regionkey, n_name FROM nation
+        |ORDER BY ALL DESC LIMIT 5""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE nat (n_regionkey INT, n_name VARCHAR);
+          |CREATE VIEW top5 AS
+          |  SELECT n_regionkey, n_name FROM nat
+          |  ORDER BY ALL DESC LIMIT 5;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("nat" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "nation").select("n_regionkey", "n_name"))))
+      pipe.adHoc("SELECT * FROM top5")
+    },
+
+    // Lateral column aliasing (grammar.md "SELECT supports lateral
+    // column aliasing"; identifiers.md) — an alias defined in a SELECT
+    // list is referenced by the next item. Native in Spark 3.4+; the
+    // oracle spells the expansion out (engine-independent).
+    Q(
+      "map_lateral_alias",
+      """SELECT c_custkey, c_nationkey * 100 AS scaled,
+        |  c_nationkey * 100 + c_custkey % 100 AS mixed
+        |FROM customer WHERE c_custkey <= 500""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT);
+          |CREATE VIEW lat AS
+          |  SELECT c_custkey, c_nationkey * 100 AS scaled,
+          |    scaled + c_custkey % 100 AS mixed
+          |  FROM cust WHERE c_custkey <= 500;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("cust" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "customer").select("c_custkey", "c_nationkey"))))
+      pipe.adHoc("SELECT * FROM lat")
+    },
+
+    // ROW(T.* EXCLUDE (cols)) (grammar.md rowStarItem) — the star-with-
+    // exclusion form inside the ROW constructor; packed then flattened
+    // (fn_row's discipline: the driver compare needs scalar columns).
+    Q(
+      "fn_row_exclude",
+      """SELECT c_custkey AS k, upper(c_name) AS nm FROM customer
+        |WHERE c_custkey <= 500""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE cust (c_custkey BIGINT, c_name VARCHAR,
+          | c_acctbal DOUBLE, c_mktsegment VARCHAR);
+          |CREATE VIEW packed AS
+          |  SELECT ROW(cust.* EXCLUDE (c_acctbal, c_mktsegment)) AS r
+          |  FROM cust WHERE c_custkey <= 500;
+          |CREATE VIEW flat AS
+          |  SELECT r.c_custkey AS k, upper(r.c_name) AS nm FROM packed;"""
+          .stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("cust" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "customer").select("c_custkey", "c_name",
+          "c_acctbal", "c_mktsegment"))))
+      pipe.adHoc("SELECT * FROM flat")
     }
   )
 }

@@ -122,6 +122,97 @@ object TimeSeries {
         ev.join(broadcast(ev.agg(max(col("ts")).as("max_ts"))),
             col("ts") >= col("max_ts") - expr("INTERVAL 1 DAY"))
           .select("event_id", "user_id", "event_type")
+    },
+
+    // The SQL-spelled TUMBLE table function (table.md:24-66;
+    // SqlWindowTableFunction surface) through the VIEW path: Dialect
+    // lowers TABLE(TUMBLE(TABLE t, DESCRIPTOR(c), size)) to a projection
+    // over Spark's native window() — a narrow map on the scan, no
+    // shuffle before the aggregate. The oracle re-derives window bounds
+    // with integer epoch math.
+    Q(
+      "ts_tumble_sql",
+      """SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600000 AS ws,
+        |  ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) + 1) * 3600000 AS we,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP,
+          | event_type VARCHAR);
+          |CREATE VIEW w AS
+          |  SELECT window_start, window_end, event_type, COUNT(*) AS n
+          |  FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts),
+          |                    INTERVAL '1' HOUR))
+          |  GROUP BY window_start, window_end, event_type;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ev" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "events").select("event_id", "ts", "event_type"))))
+      pipe.adHoc("SELECT unix_millis(window_start) AS ws, " +
+        "unix_millis(window_end) AS we, event_type, n FROM w")
+    },
+
+    // The SQL-spelled HOP table function (table.md:72-119) in its
+    // named-parameter form (data =>, timecol =>, slide =>, size =>):
+    // Dialect swaps (slide, size) into Spark's window(size, slide),
+    // which fans each row to its covering windows — the reference's
+    // ExpandHop flatmap, here one codegen'd generator on the scan.
+    Q(
+      "ts_hop_sql",
+      """SELECT ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 1800) - u.i) * 1800000 AS ws,
+        |  COUNT(*) AS n
+        |FROM events, (VALUES (0), (1)) u(i)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP);
+          |CREATE VIEW w AS
+          |  SELECT window_start, COUNT(*) AS n
+          |  FROM TABLE(HOP(
+          |    data => TABLE ev,
+          |    timecol => DESCRIPTOR(ts),
+          |    slide => INTERVAL '30' MINUTE,
+          |    size => INTERVAL '1' HOUR))
+          |  GROUP BY window_start;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ev" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "events").select("event_id", "ts"))))
+      pipe.adHoc("SELECT unix_millis(window_start) AS ws, n FROM w")
+    },
+
+    // The SQL-spelled SESSION table function (table.md:122-183) with a
+    // key descriptor: Dialect emits the reference's own rewrite
+    // (SessionRewriteRule.java:51 — brk = ts >= prev + gap, RANGE-frame
+    // running sum as the session id, min/max + gap as the bounds): one
+    // exchange on the key + one sort, O(n log n) at any scale. The
+    // oracle spells the identical islands construction in DuckDB.
+    Q(
+      "ts_session_sql",
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM marked)
+        |SELECT user_id, epoch_ms(MIN(ts)) AS ws,
+        |  epoch_ms(MAX(ts) + INTERVAL 30 MINUTE) AS we, COUNT(*) AS n
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP,
+          | user_id BIGINT);
+          |CREATE VIEW w AS
+          |  SELECT user_id, window_start, window_end, COUNT(*) AS n
+          |  FROM TABLE(SESSION(TABLE ev, DESCRIPTOR(ts),
+          |                     DESCRIPTOR(user_id), INTERVAL '30' MINUTE))
+          |  GROUP BY user_id, window_start, window_end;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ev" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "events").select("event_id", "ts", "user_id"))))
+      pipe.adHoc("SELECT user_id, unix_millis(window_start) AS ws, " +
+        "unix_millis(window_end) AS we, n FROM w")
     }
   )
 }

@@ -563,4 +563,93 @@ class DialectSpec extends SparkSpec {
     // the CAST-closing occurrence is rewritten to DECIMAL(18,4)
     assert(pipe.adHoc("SELECT r FROM v").as[Double].head() === 7.0)
   }
+
+  test("TUMBLE table function lowers to Spark's window projection") {
+    val low = Dialect.normalize(
+      "SELECT window_start, COUNT(*) AS n FROM TABLE(TUMBLE(TABLE t, " +
+        "DESCRIPTOR(ts), INTERVAL '1' HOUR)) GROUP BY window_start")
+    assert(low.contains("window(ts, '1 hour')"))
+    assert(low.contains("window_start"))
+    assert(!low.toUpperCase.contains("TUMBLE"))
+    // spelled inside a string literal or a comment: untouched / stripped
+    assert(Dialect.normalize("SELECT 'TABLE(TUMBLE(TABLE t' FROM t")
+      === "SELECT 'TABLE(TUMBLE(TABLE t' FROM t")
+    assert(!Dialect.normalize(
+      "SELECT a FROM t -- TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), x))\n")
+      .toUpperCase.contains("TUMBLE"))
+    // long intervals are not constants (table.md) — rejected loudly
+    val e = intercept[RuntimeException](Dialect.normalize(
+      "SELECT * FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL '1' MONTH))"))
+    assert(e.getMessage.contains("short INTERVAL"))
+  }
+
+  test("TUMBLE/HOP e2e: window bounds and fan-out, offset alignment") {
+    val pipe = Pipeline(spark,
+      """CREATE TABLE t (id BIGINT, ts TIMESTAMP);
+        |CREATE VIEW tm AS
+        |  SELECT id, window_start, window_end
+        |  FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR));
+        |CREATE VIEW tmo AS
+        |  SELECT id, window_start
+        |  FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR,
+        |                    INTERVAL '15' MINUTE));
+        |CREATE VIEW hp AS
+        |  SELECT id, window_start
+        |  FROM TABLE(HOP(data => TABLE t, timecol => DESCRIPTOR(ts),
+        |                 slide => INTERVAL '30' MINUTE,
+        |                 size => INTERVAL '1' HOUR));""".stripMargin)
+    pipe.step(Map("t" -> ZSets.lift(
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:50:00")))
+        .toDF("id", "ts"))))
+    val tm = pipe.adHoc(
+      "SELECT id, CAST(window_start AS STRING), CAST(window_end AS STRING) " +
+        "FROM tm ORDER BY id").as[(Long, String, String)].collect().toSeq
+    assert(tm === Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+      (2L, "2024-01-01 10:00:00", "2024-01-01 11:00:00")))
+    // offset 15min: 10:10 lands in [09:15, 10:15), 10:50 in [10:15, 11:15)
+    val tmo = pipe.adHoc(
+      "SELECT id, CAST(window_start AS STRING) FROM tmo ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(tmo === Seq(
+      (1L, "2024-01-01 09:15:00"), (2L, "2024-01-01 10:15:00")))
+    // HOP size 1h slide 30m: each row covered by exactly 2 windows
+    val hp = pipe.adHoc(
+      "SELECT id, CAST(window_start AS STRING) FROM hp ORDER BY id, 2")
+      .as[(Long, String)].collect().toSeq
+    assert(hp === Seq(
+      (1L, "2024-01-01 09:30:00"), (1L, "2024-01-01 10:00:00"),
+      (2L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:30:00")))
+  }
+
+  test("SESSION e2e: reference gap boundary (>=), key partitioning") {
+    val pipe = Pipeline(spark,
+      """CREATE TABLE t (u BIGINT, ts TIMESTAMP);
+        |CREATE VIEW s AS
+        |  SELECT u, window_start, window_end, COUNT(*) AS n
+        |  FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), DESCRIPTOR(u),
+        |                     INTERVAL '30' SECOND))
+        |  GROUP BY u, window_start, window_end;""".stripMargin)
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0)
+    pipe.step(Map("t" -> ZSets.lift(Seq(
+      // user 1: 10s gap (same session), then exactly 30s (NEW session —
+      // SessionRewriteRule.java: brk when ts >= prev + gap)
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:00:10")),
+      (1L, ts("2024-01-01 00:00:40")),
+      // user 2: one row; NULL ts produces no rows
+      (2L, ts("2024-01-01 00:05:00"))).toDF("u", "ts")
+      .union(Seq((3L, null.asInstanceOf[java.sql.Timestamp]))
+        .toDF("u", "ts")))))
+    val out = pipe.adHoc(
+      "SELECT u, CAST(window_start AS STRING), CAST(window_end AS STRING), " +
+        "n FROM s ORDER BY u, 2").as[(Long, String, String, Long)]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:00:40", 2L),
+      (1L, "2024-01-01 00:00:40", "2024-01-01 00:01:10", 1L),
+      (2L, "2024-01-01 00:05:00", "2024-01-01 00:05:30", 1L)))
+  }
 }
