@@ -412,6 +412,108 @@ object SltFuzz {
 
   private val asofBodies = genAsof()
 
+  /** Windowing-TVF corpus (table.md TUMBLE/HOP/SESSION through
+    * [[graft.ddl.Dialect]]'s rewriteWindowTvf): 15 random shapes —
+    * TUMBLE with/without offset, HOP with size an exact multiple of
+    * slide, SESSION keyed/unkeyed — each folded to a scalar-subquery
+    * checksum `SUM(fingerprint) || '/' || COUNT(*)`. The DuckDB oracle
+    * re-derives TUMBLE/HOP bounds with integer epoch arithmetic (the
+    * fixture's timestamps are whole seconds, so the math is exact) and
+    * SESSION with the same islands SQL the lowering emits (brk =
+    * ts >= prev + gap, RANGE-frame running sum). ~1/17 of fixture
+    * timestamps are NULL — the produces-no-rows rule is in play on
+    * every line. Named-argument spellings are drawn at random.
+    */
+  private[graft] def genTvf(seed: Long = 31415926L): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    val step = 13 + rnd.nextInt(120)
+    val jit = 1 + rnd.nextInt(29)
+    val base = 1700000000L
+    val es = s"WITH e AS (SELECT id AS i, CAST(id % 7 AS INT) AS k, " +
+      s"CASE WHEN id % 17 = 0 THEN NULL ELSE " +
+      s"timestamp_seconds($base + id * $step + (id % 5) * $jit) END AS ts " +
+      s"FROM range(0, 90)) "
+    val ed = s"WITH e AS (SELECT i, CAST(i % 7 AS INT) AS k, " +
+      s"CASE WHEN i % 17 = 0 THEN NULL ELSE " +
+      s"make_timestamp(($base + i * $step + (i % 5) * $jit) * 1000000) " +
+      s"END AS ts FROM range(0, 90) AS _r(i)) "
+    val ep = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
+    val sparkCols = Seq.newBuilder[String]
+    val duckCols = Seq.newBuilder[String]
+    (0 until 15).foreach { q =>
+      val p1 = 86400 + rnd.nextInt(10000)
+      val p2 = 900 + rnd.nextInt(500)
+      rnd.nextInt(3) match {
+        case 0 => // TUMBLE [offset]
+          val s0 = Seq(60, 120, 300, 600, 900, 1800, 3600)(rnd.nextInt(7))
+          val off = if (rnd.nextInt(3) == 0) 1 + rnd.nextInt(s0 - 1) else 0
+          val tvf =
+            if (rnd.nextBoolean())
+              s"TABLE(TUMBLE(data => TABLE e, timecol => DESCRIPTOR(ts), " +
+                s"size => INTERVAL '$s0' SECOND" +
+                (if (off > 0) s", offset => INTERVAL '$off' SECOND" else "") +
+                "))"
+            else
+              s"TABLE(TUMBLE(TABLE e, DESCRIPTOR(ts), INTERVAL '$s0' SECOND" +
+                (if (off > 0) s", INTERVAL '$off' SECOND" else "") + "))"
+          val fp = s"(unix_seconds(window_start) % $p1) * (i + 1) + " +
+            s"unix_seconds(window_end) % $p2"
+          sparkCols += s"(SELECT CAST(SUM($fp) AS BIGINT) || '/' || " +
+            s"COUNT(*) FROM $tvf) AS q$q"
+          val ws = s"((($ep - $off) // $s0) * $s0 + $off)"
+          duckCols += s"(SELECT CAST(SUM(($ws % $p1) * (i + 1) + " +
+            s"($ws + $s0) % $p2) AS BIGINT) || '/' || COUNT(*) " +
+            s"FROM e WHERE ts IS NOT NULL) AS q$q"
+        case 1 => // HOP, size = m * slide
+          val sl = Seq(60, 300, 600, 900)(rnd.nextInt(4))
+          val m = 2 + rnd.nextInt(3)
+          val sz = sl * m
+          val tvf =
+            if (rnd.nextBoolean())
+              s"TABLE(HOP(data => TABLE e, timecol => DESCRIPTOR(ts), " +
+                s"slide => INTERVAL '$sl' SECOND, " +
+                s"size => INTERVAL '$sz' SECOND))"
+            else
+              s"TABLE(HOP(TABLE e, DESCRIPTOR(ts), INTERVAL '$sl' SECOND, " +
+                s"INTERVAL '$sz' SECOND))"
+          val fp = s"(unix_seconds(window_start) % $p1) * (i + 1)"
+          sparkCols += s"(SELECT CAST(SUM($fp) AS BIGINT) || '/' || " +
+            s"COUNT(*) FROM $tvf) AS q$q"
+          val ds = (0 until m).map(d => s"($d)").mkString(", ")
+          val ws = s"((($ep) // $sl - d.d) * $sl)"
+          duckCols += s"(SELECT CAST(SUM(($ws % $p1) * (i + 1)) AS BIGINT)" +
+            s" || '/' || COUNT(*) FROM e, (VALUES $ds) d(d) " +
+            s"WHERE ts IS NOT NULL) AS q$q"
+        case 2 => // SESSION [key]
+          val g = Seq(30, 60, 120, 300, 600)(rnd.nextInt(5))
+          val keyed = rnd.nextBoolean()
+          val tvf = s"TABLE(SESSION(TABLE e, DESCRIPTOR(ts)" +
+            (if (keyed) ", DESCRIPTOR(k)" else "") +
+            s", INTERVAL '$g' SECOND))"
+          val fp = s"(unix_seconds(window_start) % $p1) * (i + 1) + " +
+            s"unix_seconds(window_end) % $p2"
+          sparkCols += s"(SELECT CAST(SUM($fp) AS BIGINT) || '/' || " +
+            s"COUNT(*) FROM $tvf) AS q$q"
+          val pk = if (keyed) "PARTITION BY k " else ""
+          val pks = if (keyed) "PARTITION BY k, sid" else "PARTITION BY sid"
+          duckCols += s"(SELECT CAST(SUM((CAST(FLOOR(EPOCH(ws)) AS BIGINT)" +
+            s" % $p1) * (i + 1) + CAST(FLOOR(EPOCH(we)) AS BIGINT) % $p2) " +
+            s"AS BIGINT) || '/' || COUNT(*) FROM " +
+            s"(SELECT i, MIN(ts) OVER ($pks) AS ws, " +
+            s"MAX(ts) OVER ($pks) + INTERVAL $g SECOND AS we FROM " +
+            s"(SELECT i, k, ts, SUM(brk) OVER (${pk}ORDER BY ts) AS sid " +
+            s"FROM (SELECT i, k, ts, CASE WHEN LAG(ts) OVER " +
+            s"(${pk}ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER " +
+            s"(${pk}ORDER BY ts) + INTERVAL $g SECOND THEN 1 ELSE 0 END " +
+            s"AS brk FROM e WHERE ts IS NOT NULL) _m) _s) _w) AS q$q"
+      }
+    }
+    (es + "SELECT " + sparkCols.result().mkString(", "),
+      ed + "SELECT " + duckCols.result().mkString(", "))
+  }
+
+  private val tvfBodies = genTvf()
+
   /** Decimal-arithmetic corpus (the reference's Postgres numeric golden
     * suites, fuzzed): random add/subtract/multiply/ABS/LEAST/GREATEST/
     * CASE chains over
@@ -563,6 +665,7 @@ object SltFuzz {
     val dc = genDecimals(seed)
     val ts = genTimestamps(seed)
     val (asS, asD) = genAsof(seed)
+    val (tvS, tvD) = genTvf(seed)
     def overT(n: String, b: String) =
       (n, SqlConformance.TS + b, SqlConformance.TD + b)
     Seq(
@@ -570,6 +673,7 @@ object SltFuzz {
       overT("fz_strings", st), overT("fz_dates", dt),
       ("fz_joins", JS + jn, JD + jn),
       ("fz_asof", graft.ddl.Dialect.normalize(JS + asS), JD + asD),
+      ("fz_tvf", graft.ddl.Dialect.normalize(tvS), tvD),
       overT("fz_decimals", dc), overT("fz_timestamps", ts))
   }
 
@@ -594,6 +698,9 @@ object SltFuzz {
     },
     Q("slt_fuzz_asof", JD + asofBodies._2) { (s, _) =>
       s.sql(graft.ddl.Dialect.normalize(JS + asofBodies._1))
+    },
+    Q("slt_fuzz_tvf", tvfBodies._2) { (s, _) =>
+      s.sql(graft.ddl.Dialect.normalize(tvfBodies._1))
     },
     Q("slt_fuzz_decimals", SqlConformance.TD + decimalBody) { (s, _) =>
       s.sql(SqlConformance.TS + decimalBody)
