@@ -171,4 +171,33 @@ class PlanAuditSpec extends SparkSpec {
       .contains("RepartitionByExpression"),
       "a file with row groups >= cores must not pay an exchange")
   }
+
+  test("windowing-TVF lowerings: TUMBLE narrow, HOP a generator, " +
+      "SESSION at most two exchanges, no cartesians") {
+    spark.range(0, 1000).selectExpr("id AS i", "CAST(id % 7 AS INT) AS k",
+      "timestamp_seconds(1700000000 + id * 37) AS ts")
+      .createOrReplaceTempView("e")
+    def lowered(sql: String): String =
+      spark.sql(graft.ddl.Dialect.normalize(sql))
+        .queryExecution.executedPlan.toString
+    // TUMBLE: a pure projection on the scan — no shuffle, no explode
+    val pt = lowered("SELECT * FROM TABLE(TUMBLE(TABLE e, " +
+      "DESCRIPTOR(ts), INTERVAL '1' HOUR))")
+    assert(!pt.contains("Exchange") && !pt.contains("Generate"),
+      s"tumble must stay a narrow projection:\n$pt")
+    // HOP: the per-row window fan-out is a codegen'd Expand (inside the
+    // same whole-stage span as the scan), still no shuffle
+    val ph = lowered("SELECT * FROM TABLE(HOP(TABLE e, DESCRIPTOR(ts), " +
+      "INTERVAL '30' MINUTE, INTERVAL '1' HOUR))")
+    assert(!ph.contains("Exchange"), s"hop must not shuffle:\n$ph")
+    assert(ph.contains("Expand"), "hop fan-out should be an Expand")
+    // SESSION: one exchange per window tier (key, then key+sid), and
+    // never a cartesian/nested-loop
+    val ps = lowered("SELECT * FROM TABLE(SESSION(TABLE e, " +
+      "DESCRIPTOR(ts), DESCRIPTOR(k), INTERVAL '30' SECOND))")
+    assert(!ps.contains("CartesianProduct") &&
+      !ps.contains("BroadcastNestedLoop"), s"session: stray join:\n$ps")
+    assert("Exchange hashpartitioning".r.findAllIn(ps).size <= 2,
+      s"session: more exchanges than the two window tiers:\n$ps")
+  }
 }
