@@ -105,7 +105,7 @@ object Ddl {
   private val indexRe: Regex =
     """(?is)CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\((.*?)\)\s*$""".r
   private val colRe: Regex =
-    """(?is)^(\w+)\s+(.+?)(\s+DEFAULT\s+(.+?))?(\s+NOT\s+NULL)?(\s+PRIMARY\s+KEY)?(\s+LATENESS\s+(INTERVAL\s+[^,]+))?$""".r
+    """(?is)^("(?:[^"]|"")+"|\w+)\s+(.+?)(\s+DEFAULT\s+(.+?))?(\s+NOT\s+NULL)?(\s+PRIMARY\s+KEY)?(\s+LATENESS\s+(INTERVAL\s+[^,]+))?$""".r
   private val funcRe: Regex =
     """(?is)CREATE\s+FUNCTION\s+(\w+)\s*\((.*?)\)\s*RETURNS\s+(.+?)(?:\s+AS\s+(.+))?$""".r
   private val typeRe: Regex =
@@ -172,7 +172,14 @@ object Ddl {
 
   def parseColumn(s: String): ColumnDef = s.trim match {
     case colRe(name, tpe, _, default, notNull, pk, _, lateness) =>
-      ColumnDef(name.toLowerCase, tpe.trim,
+      // quoted column names keep their exact spelling (identifiers.md:
+      // "Quoted identifiers are left unchanged"); unquoted fold to
+      // lowercase, the reference's own rule
+      val n =
+        if (name.startsWith("\""))
+          name.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+        else name.toLowerCase
+      ColumnDef(n, tpe.trim,
         notNull != null || pk != null, pk != null,
         Option(lateness).map(_.trim),
         Option(default).map(_.trim))

@@ -67,7 +67,7 @@ object Dialect {
     *   columns, so it is dropped).
     */
   def normalize(sql: String, adHoc: Boolean): String =
-    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewriteWindowTvf(mapOutsideQuotes(rewriteHints(stripComments(sql))) { run =>
+    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewriteWindowTvf(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(stripComments(sql)))) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -1011,6 +1011,80 @@ object Dialect {
               s.substring(m.end, k) + " ON TRUE" + s.substring(k))
         }
     }
+
+  /** Map the reference's quoted identifiers onto Spark's backtick form
+    * (identifiers.md): string literals are single-quoted in this
+    * dialect, so any `"..."` outside a string literal is an identifier
+    * (Spark's default parser would read it as a string literal or
+    * reject it; `spark.sql.ansi.doubleQuotedIdentifiers` would drag in
+    * full ANSI arithmetic semantics, so this stays a spelling map).
+    * Handles the `""` escape and the `U&"..." [UESCAPE 'c']` Unicode
+    * code-point variant (4-hex-digit escapes, doubled escape char for
+    * the literal). An identifier containing a single quote or backtick
+    * is rejected loudly — it would derail the downstream quote-aware
+    * rewriters rather than fail cleanly at Spark's parser.
+    */
+  private def rewriteQuotedIdents(s: String): String = {
+    if (s.indexOf('"') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var inQ = false
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val uniForm = (c == 'U' || c == 'u') && i + 2 < s.length &&
+        s.charAt(i + 1) == '&' && s.charAt(i + 2) == '"' &&
+        (i == 0 || !wordChar(s.charAt(i - 1)))
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { sb += c; inQ = true; i += 1 }
+      else if (c == '"' || uniForm) {
+        var j = if (uniForm) i + 3 else i + 1
+        val ident = new StringBuilder
+        var open = true
+        while (open && j < s.length) {
+          val d = s.charAt(j)
+          if (d == '"') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '"') {
+              ident += '"'; j += 2
+            } else { open = false; j += 1 }
+          } else { ident += d; j += 1 }
+        }
+        require(!open, s"unterminated quoted identifier in: $s")
+        var text = ident.toString
+        if (uniForm) {
+          val ue = """(?is)^\s*UESCAPE\s+'(.)'""".r
+            .findFirstMatchIn(s.substring(j))
+          val esc = ue.map(_.group(1).head).getOrElse('\\')
+          ue.foreach(m => j += m.end)
+          val out = new StringBuilder
+          var k = 0
+          while (k < text.length) {
+            val e = text.charAt(k)
+            if (e == esc) {
+              if (k + 1 < text.length && text.charAt(k + 1) == esc) {
+                out += esc; k += 2
+              } else {
+                require(k + 4 < text.length,
+                  s"bad Unicode escape in identifier: $text")
+                out += Integer
+                  .parseInt(text.substring(k + 1, k + 5), 16).toChar
+                k += 5
+              }
+            } else { out += e; k += 1 }
+          }
+          text = out.toString
+        }
+        require(!text.contains('\'') && !text.contains('`'),
+          s"identifier ${'"'}$text${'"'} contains a quote character — " +
+            "not representable through the Spark spelling map")
+        sb += '`'
+        sb ++= text
+        sb += '`'
+        i = j
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   // Windowing table functions (docs/sql/table.md): the
   // `TABLE(TUMBLE|HOP|SESSION(TABLE t | (query), DESCRIPTOR(..), …))`

@@ -697,6 +697,30 @@ object Extras {
       pipe.adHoc("SELECT * FROM slim")
     },
 
+    // Double-quoted + U&"..." Unicode-escaped identifiers
+    // (identifiers.md): standard-SQL quoted identifiers (case- and
+    // space-preserving) flow through Dialect's backtick spelling map —
+    // declared in the table DDL, re-quoted in one view, referenced via
+    // the U& code-point variant in the next.
+    Q(
+      "map_quoted_idents",
+      """SELECT c_custkey AS k, c_nationkey AS nk FROM customer
+        |WHERE c_custkey <= 300""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE cust ("Cust Key" BIGINT, c_nationkey INT);
+          |CREATE VIEW mixed AS
+          |  SELECT "Cust Key" AS "Cust #", c_nationkey FROM cust
+          |  WHERE "Cust Key" <= 300;
+          |CREATE VIEW flat AS
+          |  SELECT U&"Cust\0020#" AS k, c_nationkey AS nk FROM mixed;"""
+          .stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("cust" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "customer")
+          .select(col("c_custkey").as("Cust Key"), col("c_nationkey")))))
+      pipe.adHoc("SELECT * FROM flat")
+    },
+
     // NATURAL JOIN (grammar.md tableExpression) — native in both
     // engines: the shared column (nationkey) joins and deduplicates.
     Q(

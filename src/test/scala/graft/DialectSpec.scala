@@ -527,8 +527,9 @@ class DialectSpec extends SparkSpec {
     // identifiers are DATA, not comments
     assert(Dialect.normalize("SELECT '--not a comment', '/*nor this*/'" +
       " FROM t") === "SELECT '--not a comment', '/*nor this*/' FROM t")
+    // (the identifier itself then maps to Spark's backtick spelling)
     assert(Dialect.normalize("SELECT \"a--b\" FROM t")
-      === "SELECT \"a--b\" FROM t")
+      === "SELECT `a--b` FROM t")
     // optimizer hint blocks survive stripping (and still map)
     assert(Dialect.normalize(
       "SELECT /*+ broadcast(S) */ a -- tail\n FROM T JOIN S ON T.k = S.k")
@@ -562,6 +563,33 @@ class DialectSpec extends SparkSpec {
     // the scalar-subquery projection alias `AS money)` must survive; only
     // the CAST-closing occurrence is rewritten to DECIMAL(18,4)
     assert(pipe.adHoc("SELECT r FROM v").as[Double].head() === 7.0)
+  }
+
+  test("double-quoted and U& identifiers map to Spark backticks") {
+    assert(Dialect.normalize("SELECT a AS \"Mixed Case\" FROM t")
+      === "SELECT a AS `Mixed Case` FROM t")
+    assert(Dialect.normalize("SELECT \"He said \"\"hi\"\"\" FROM t")
+      === "SELECT `He said \"hi\"` FROM t")
+    assert(Dialect.normalize("SELECT U&\"d\\0061t\\0061\" FROM t")
+      === "SELECT `data` FROM t")
+    assert(Dialect.normalize("SELECT U&\"d!0061t!0061\" UESCAPE '!' FROM t")
+      === "SELECT `data` FROM t")
+    // double quotes inside string literals are untouched
+    assert(Dialect.normalize("SELECT '\"not an ident\"' FROM t")
+      === "SELECT '\"not an ident\"' FROM t")
+    // an identifier containing a quote character fails loudly
+    val e = intercept[IllegalArgumentException](
+      Dialect.normalize("SELECT \"O'Brien\" FROM t"))
+    assert(e.getMessage.contains("quote character"))
+    // e2e: quoted column in the DDL, quoted references in the view
+    val pipe = Pipeline(spark,
+      "CREATE TABLE t (\"Order Id\" BIGINT, v BIGINT);\n" +
+        "CREATE VIEW q AS SELECT \"Order Id\" AS k, SUM(v) AS s " +
+        "FROM t GROUP BY \"Order Id\";")
+    pipe.step(Map("t" -> ZSets.lift(
+      Seq((1L, 5L), (1L, 7L), (2L, 1L)).toDF("Order Id", "v"))))
+    assert(pipe.adHoc("SELECT * FROM q ORDER BY k")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 12L), (2L, 1L)))
   }
 
   test("TUMBLE table function lowers to Spark's window projection") {
