@@ -406,10 +406,12 @@ object Dialect {
     if (onEnd < s.length && s.charAt(onEnd) == ',') multiFrom = true
     val seg = s.substring(segStart, asofStart).trim
     if (seg.isEmpty) return None
-    // a left operand that is itself a join tree (or any other non
-    // table/subquery form) is not provable from text — fall back
-    val disq = Set("JOIN", "APPLY", "LATERAL", "UNNEST", "VALUES", "ON",
-      "TABLE", "PIVOT", "UNPIVOT", "TABLESAMPLE")
+    // a left operand that is a non table/subquery/ON-join form (APPLY,
+    // UNNEST, NATURAL/USING joins, …) is not provable from text — fall
+    // back; an ON-join tree takes the multi-alias capture path below
+    val disq = Set("APPLY", "LATERAL", "UNNEST", "VALUES",
+      "TABLE", "PIVOT", "UNPIVOT", "TABLESAMPLE", "NATURAL", "USING")
+    var segHasJoin = false
     locally {
       var depth = 0
       var inQ = false
@@ -427,15 +429,16 @@ object Dialect {
             var j = i
             while (j < seg.length && (seg.charAt(j).isLetterOrDigit ||
               seg.charAt(j) == '_')) j += 1
-            if (disq.contains(seg.substring(i, j).toUpperCase))
-              return None
+            val w = seg.substring(i, j).toUpperCase
+            if (disq.contains(w)) return None
+            if (w == "JOIN") segHasJoin = true
             i = j
           case _ => i += 1
         }
       }
     }
     // parse `<table|(subquery)> [AS] alias`
-    val lAlias: String =
+    def singleAlias(): Option[String] = Some {
       if (seg.startsWith("(")) {
         var depth = 0
         var inQ = false
@@ -463,8 +466,19 @@ object Dialect {
         Option(m0.group(2))
           .getOrElse(m0.group(1).split('.').last)
       }
-    if (lAlias.equalsIgnoreCase(rName)) return None
-    if (Set("AS", "ON", "WHERE").contains(lAlias.toUpperCase)) return None
+    }
+    // the left operand's exposed relation aliases: one for a plain
+    // table/subquery, one PER RELATION for an ON-join tree (each is
+    // captured as its own struct so qualified references keep resolving)
+    val aliases: Seq[String] =
+      if (segHasJoin) parseJoinTreeAliases(seg).getOrElse(return None)
+      else Seq(singleAlias().getOrElse(return None))
+    if (aliases.exists(_.equalsIgnoreCase(rName))) return None
+    if (aliases.exists(a =>
+        Set("AS", "ON", "WHERE").contains(a.toUpperCase))) return None
+    if (aliases.map(_.toLowerCase).distinct.size != aliases.size)
+      return None
+    val lAlias = aliases.head
     // the ON condition must be a conjunction of equalities, each with
     // exactly one side referencing the right alias
     val conjuncts = splitTopLevelKeyword(onCond, "AND")
@@ -523,7 +537,8 @@ object Dialect {
         bare.findFirstMatchIn(item).foreach { bm =>
           if (multiFrom) starOverMultiFrom = true
           else starSpan = Some((itemStart, endAt,
-            bm.group(1) + s"$lAlias.*, $rName.* "))
+            bm.group(1) + aliases.map(_ + ".*").mkString(", ") +
+              s", $rName.* "))
         }
       }
       while (i < fromM.start) {
@@ -550,13 +565,28 @@ object Dialect {
       .map(e => s"($e) IS NOT NULL").mkString(" AND ")
     val filt = if (isLeft) "__side = 1" else "__side = 1 AND __r IS NOT NULL"
     val fresh = s"__asof_${lAlias}_$rName"
+    // left-row capture: one struct for a plain relation; for a join
+    // tree, a struct-of-structs so every relation alias is re-exposed
+    // and qualified references (a.x, b.y) resolve untouched downstream
+    val structCapture =
+      if (aliases.sizeIs == 1) s"struct($lAlias.*)"
+      else "struct(" + aliases.zipWithIndex
+        .map { case (a, i) => s"struct($a.*) AS __s$i" }
+        .mkString(", ") + ")"
+    val expose =
+      if (aliases.sizeIs == 1)
+        s"__l.*, __r.*, __l AS $lAlias, __r AS $rName"
+      else aliases.indices.map(i => s"__l.__s$i.*").mkString(", ") +
+        ", __r.*, " + aliases.zipWithIndex
+          .map { case (a, i) => s"__l.__s$i AS $a" }.mkString(", ") +
+        s", __r AS $rName"
     val lowered =
-      s"(SELECT __l.*, __r.*, __l AS $lAlias, __r AS $rName FROM " +
+      s"(SELECT $expose FROM " +
         s"(SELECT __side, __l, last(__r0, true) OVER (PARTITION BY " +
         s"${ks.mkString(", ")} ORDER BY __ts $sortDir NULLS FIRST, " +
         "__side ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         s"AS __r FROM (SELECT ${b1keys.mkString(", ")}, ($leftTs) AS " +
-        s"__ts, 1 AS __side, struct($lAlias.*) AS __l, NULL AS __r0 " +
+        s"__ts, 1 AS __side, $structCapture AS __l, NULL AS __r0 " +
         s"FROM $seg UNION ALL SELECT ${b2keys.mkString(", ")}, " +
         s"($rightTs), 0, NULL, struct($rName.*) FROM $rightOperand " +
         s"WHERE $guards) __u) __w WHERE $filt) $fresh"
@@ -570,6 +600,126 @@ object Dialect {
     sb.append(' ').append(lowered)
     if (onEnd < s.length) sb.append(' ').append(s.substring(onEnd))
     Some(sb.toString)
+  }
+
+  /** Relation aliases of a depth-0 ON-join tree
+    * `rel ([INNER|LEFT|RIGHT|FULL|CROSS] [OUTER] JOIN rel [ON expr])*`
+    * where each rel is `<table|(subquery)> [AS] alias`. Returns None for
+    * anything not provably of that shape (NATURAL/USING trees are
+    * rejected upstream — their coalesced columns would change a bare
+    * `*`'s schema under the per-alias re-exposure).
+    */
+  private def parseJoinTreeAliases(seg: String): Option[Seq[String]] = {
+    // depth-0 tokens: words (dotted) and whole paren groups; `fn(`-style
+    // calls are tagged so a column/function named like a join keyword
+    // inside an ON expression is never mistaken for one
+    final case class Tok(w: String, call: Boolean)
+    val toks = scala.collection.mutable.ArrayBuffer[Tok]()
+    locally {
+      var i = 0
+      var inQ = false
+      while (i < seg.length) {
+        val c = seg.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false; i += 1 }
+        else c match {
+          case '\'' => inQ = true; i += 1
+          case '(' =>
+            var d = 0
+            var q = false
+            var close = -1
+            var j = i
+            while (close < 0 && j < seg.length) {
+              val ch = seg.charAt(j)
+              if (q) { if (ch == '\'') q = false }
+              else ch match {
+                case '\'' => q = true
+                case '(' => d += 1
+                case ')' => d -= 1; if (d == 0) close = j
+                case _ => ()
+              }
+              j += 1
+            }
+            if (close < 0) return None
+            toks += Tok("()", call = false)
+            i = close + 1
+          case c0 if c0.isLetter || c0 == '_' =>
+            var j = i
+            while (j < seg.length && (seg.charAt(j).isLetterOrDigit ||
+              seg.charAt(j) == '_' || seg.charAt(j) == '.')) j += 1
+            var k = j
+            while (k < seg.length && seg.charAt(k).isWhitespace) k += 1
+            toks += Tok(seg.substring(i, j),
+              call = k < seg.length && seg.charAt(k) == '(')
+            i = j
+          case _ => i += 1
+        }
+      }
+    }
+    val joinKw = Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
+    val reserved = joinKw ++ Set("OUTER", "NATURAL", "ON", "USING", "AS")
+    def isJoinStart(t: Tok) =
+      !t.call && t.w != "()" && joinKw.contains(t.w.toUpperCase)
+    val aliases = Seq.newBuilder[String]
+    var p = 0
+    def parseRelation(): Boolean = {
+      if (p >= toks.length) return false
+      val t = toks(p)
+      if (t.w == "()") {
+        p += 1
+        if (p < toks.length && toks(p).w.equalsIgnoreCase("AS")) p += 1
+        if (p < toks.length && toks(p).w != "()" &&
+            !reserved.contains(toks(p).w.toUpperCase) &&
+            !toks(p).w.contains('.')) {
+          aliases += toks(p).w; p += 1; true
+        } else false // a subquery relation needs an alias
+      } else if (!reserved.contains(t.w.toUpperCase)) {
+        p += 1
+        var a = t.w.split('.').last
+        if (p < toks.length && toks(p).w.equalsIgnoreCase("AS")) {
+          p += 1
+          if (p >= toks.length || toks(p).w == "()" ||
+            reserved.contains(toks(p).w.toUpperCase) ||
+            toks(p).w.contains('.')) return false
+          a = toks(p).w; p += 1
+        } else if (p < toks.length && toks(p).w != "()" &&
+            !reserved.contains(toks(p).w.toUpperCase) &&
+            !toks(p).w.contains('.') && !toks(p).call) {
+          a = toks(p).w; p += 1
+        }
+        if (a.contains('.') || a.isEmpty) return false
+        aliases += a; true
+      } else false
+    }
+    if (!parseRelation()) return None
+    var sawJoin = false
+    while (p < toks.length) {
+      // modifier words up to JOIN
+      var cross = false
+      var sane = true
+      while (p < toks.length && !toks(p).w.equalsIgnoreCase("JOIN")) {
+        val w = toks(p).w.toUpperCase
+        if (toks(p).call || toks(p).w == "()" ||
+          !Set("INNER", "LEFT", "RIGHT", "FULL", "OUTER", "CROSS")
+            .contains(w)) { sane = false; p = toks.length }
+        else { if (w == "CROSS") cross = true; p += 1 }
+      }
+      if (!sane || p >= toks.length) return None
+      p += 1 // JOIN
+      sawJoin = true
+      if (!parseRelation()) return None
+      if (p < toks.length && toks(p).w.equalsIgnoreCase("ON")) {
+        p += 1
+        var exprToks = 0
+        while (p < toks.length && !isJoinStart(toks(p))) {
+          p += 1; exprToks += 1
+        }
+        if (exprToks == 0) return None
+      } else if (!cross && p < toks.length && !isJoinStart(toks(p)))
+        return None
+      else if (!cross && p >= toks.length) return None
+    }
+    val out = aliases.result()
+    if (!sawJoin || out.size < 2) None else Some(out)
   }
 
   /** Split on a depth-0, out-of-quote keyword (word-bounded). */

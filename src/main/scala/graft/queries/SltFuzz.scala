@@ -396,15 +396,25 @@ object SltFuzz {
       }
       val mc = if (forward) s"$rts >= $lts" else s"$lts >= $rts"
       val duckIneq = if (forward) s"$lts <= $rts" else s"$lts >= $rts"
+      // 1-in-4: the probe side is itself an ON-join tree (probe x dim) —
+      // the multi-alias struct-capture path of the union+window lowering;
+      // the fingerprint reads a dim column so the re-exposed alias is
+      // load-bearing. Identical FROM text parses in both engines.
+      val tree = rnd.nextInt(4) == 0
+      val from =
+        if (tree) "a JOIN (SELECT DISTINCT ka AS dk, ka % 3 AS grp " +
+          "FROM a) d ON a.ka = d.dk"
+        else "a"
+      val treeFp = if (tree) " + COALESCE(d.grp, -2) * 13" else ""
       val fp = s"COALESCE(a.va, -3) * 31 + a.i * 7 + " +
-        s"COALESCE($payload, -${1 + rnd.nextInt(7)})"
+        s"COALESCE($payload, -${1 + rnd.nextInt(7)})$treeFp"
       val agg = s"COALESCE(CAST(SUM($fp) AS BIGINT), -88) || '/' || COUNT(*)"
       val sj = if (left) "LEFT ASOF JOIN" else "ASOF JOIN"
       val dj = if (left) "ASOF LEFT JOIN" else "ASOF JOIN"
-      sparkCols +=
-        s"(SELECT $agg FROM a $sj $ropA MATCH_CONDITION ($mc) ON $on) AS q$k"
+      sparkCols += s"(SELECT $agg FROM $from $sj $ropA " +
+        s"MATCH_CONDITION ($mc) ON $on) AS q$k"
       duckCols +=
-        s"(SELECT $agg FROM a $dj $ropA ON $on AND $duckIneq) AS q$k"
+        s"(SELECT $agg FROM $from $dj $ropA ON $on AND $duckIneq) AS q$k"
     }
     ("SELECT " + sparkCols.result().mkString(", "),
       "SELECT " + duckCols.result().mkString(", "))

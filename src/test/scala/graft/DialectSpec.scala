@@ -565,6 +565,56 @@ class DialectSpec extends SparkSpec {
     assert(pipe.adHoc("SELECT r FROM v").as[Double].head() === 7.0)
   }
 
+  test("ASOF JOIN with a join-tree left operand lowers (no lateral)") {
+    val low = Dialect.normalize(
+      "SELECT o.id, c.name, r.v FROM ord o JOIN cust c ON o.cid = c.id " +
+        "LEFT ASOF JOIN rates r MATCH_CONDITION (o.ts >= r.ts) " +
+        "ON o.cur = r.cur")
+    assert(!low.toUpperCase.contains("LATERAL"),
+      s"join-tree left operand fell back to the lateral probe:\n$low")
+    assert(low.contains("__s0") && low.contains("__s1"),
+      "per-alias struct capture missing")
+    // bare * over the tree expands to every alias's columns
+    val star = Dialect.normalize(
+      "SELECT * FROM ord o JOIN cust c ON o.cid = c.id " +
+        "ASOF JOIN rates r MATCH_CONDITION (o.ts >= r.ts) ON o.cur = r.cur")
+    assert(star.contains("o.*, c.*, r.*"), s"star not expanded:\n$star")
+    // NATURAL/USING trees are NOT provable (coalesced columns would
+    // change a bare *'s schema) — lateral fallback
+    val nat = Dialect.normalize(
+      "SELECT a.x FROM a NATURAL JOIN b " +
+        "ASOF JOIN r MATCH_CONDITION (a.ts >= r.ts) ON a.k = r.k")
+    assert(nat.toUpperCase.contains("LATERAL"))
+    // e2e through the pipeline: orders x customers probe, per-currency
+    // rate asof; one unmatched currency null-extends
+    val pipe = Pipeline(spark,
+      """CREATE TABLE ord (id BIGINT, cid BIGINT, cur VARCHAR,
+        | ts TIMESTAMP);
+        |CREATE TABLE cust (id BIGINT, name VARCHAR);
+        |CREATE TABLE rates (cur VARCHAR, ts TIMESTAMP, v BIGINT);
+        |CREATE VIEW j AS
+        |  SELECT o.id, c.name, r.v
+        |  FROM ord o JOIN cust c ON o.cid = c.id
+        |  LEFT ASOF JOIN rates r MATCH_CONDITION (o.ts >= r.ts)
+        |  ON o.cur = r.cur;""".stripMargin)
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    pipe.step(Map(
+      "ord" -> ZSets.lift(Seq(
+        (1L, 10L, "eur", ts("2024-01-01 10:00:00")),
+        (2L, 10L, "eur", ts("2024-01-01 12:00:00")),
+        (3L, 20L, "jpy", ts("2024-01-01 12:00:00"))).toDF(
+        "id", "cid", "cur", "ts")),
+      "cust" -> ZSets.lift(Seq((10L, "alice"), (20L, "bob"))
+        .toDF("id", "name")),
+      "rates" -> ZSets.lift(Seq(
+        ("eur", ts("2024-01-01 09:00:00"), 90L),
+        ("eur", ts("2024-01-01 11:00:00"), 110L)).toDF("cur", "ts", "v"))))
+    val out = pipe.adHoc("SELECT * FROM j ORDER BY id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(out === Seq((1L, "alice", Some(90L)),
+      (2L, "alice", Some(110L)), (3L, "bob", None)))
+  }
+
   test("double-quoted and U& identifiers map to Spark backticks") {
     assert(Dialect.normalize("SELECT a AS \"Mixed Case\" FROM t")
       === "SELECT a AS `Mixed Case` FROM t")
