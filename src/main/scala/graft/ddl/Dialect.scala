@@ -57,6 +57,9 @@ object Dialect {
   private val limitStartCount =
     """(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r
   private val limitAll = """(?is)\s*\bLIMIT\s+ALL\b""".r
+  // LOGICAL_AND / LOGICAL_OR (aggregates.md:90,441 — synonyms of
+  // BOOL_AND/BOOL_OR; Spark spells only the BOOL_ forms natively)
+  private val logicalAgg = """(?is)\bLOGICAL_(AND|OR)(\s*\()""".r
 
   def normalize(sql: String): String = normalize(sql, adHoc = false)
 
@@ -67,7 +70,7 @@ object Dialect {
     *   columns, so it is dropped).
     */
   def normalize(sql: String, adHoc: Boolean): String =
-    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewriteWindowTvf(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(stripComments(sql)))) { run =>
+    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(stripComments(sql)))) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -80,8 +83,11 @@ object Dialect {
         m => "LIMIT " + Option(m.group(1)).getOrElse("1"))
       val h = offsetRows.replaceAllIn(g, "OFFSET $1")
       val i = limitStartCount.replaceAllIn(h, "LIMIT $2 OFFSET $1")
-      limitAll.replaceAllIn(i, "")
-    })))), adHoc)
+      val j = limitAll.replaceAllIn(i, "")
+      logicalAgg.replaceAllIn(j,
+        m => "BOOL_" + m.group(1).toUpperCase +
+          java.util.regex.Matcher.quoteReplacement(m.group(2)))
+    }))))), adHoc)
 
   /** Strip SQL comments — `--` to end-of-line and (nested) block
     * comments — outside string literals, BEFORE any rewriter scans the
@@ -1161,6 +1167,133 @@ object Dialect {
               s.substring(m.end, k) + " ON TRUE" + s.substring(k))
         }
     }
+
+  // SQL:2011 period predicates (datetime.md:370-379): the `(s, e) KW …`
+  // infix forms Spark has no surface for.
+  private val periodKw =
+    """(?is)(?:\b(IMMEDIATELY)\s+)?\b(OVERLAPS|EQUALS|PRECEDES|SUCCEEDS|CONTAINS)\b""".r
+
+  /** Lower the reference's period predicates to plain comparisons
+    * (datetime.md:370-379): `(s1,e1) OVERLAPS (s2,e2)` → s1<=e2 AND
+    * e1>=s2; EQUALS → both ends equal; [IMMEDIATELY] PRECEDES →
+    * e1<=s2 / e1=s2; [IMMEDIATELY] SUCCEEDS → s1>=e2 / s1=e2;
+    * CONTAINS over a pair or a single value. Engages only when the
+    * keyword directly follows a parenthesized TWO-expression group —
+    * a function call or scalar subquery before the word never has a
+    * top-level comma, so it passes through (and fails loudly at
+    * Spark's parser, same as before).
+    */
+  private def rewritePeriodPredicates(s: String): String = {
+    val quotes = inQuoteMap(s)
+    periodKw.findAllMatchIn(s).foreach { m =>
+      if (!quotes(m.start)) {
+        val imm = m.group(1) != null
+        val kw = m.group(2).toUpperCase
+        if (!imm || kw == "PRECEDES" || kw == "SUCCEEDS") {
+          // left operand: a paren group ending right before the keyword
+          var i = m.start - 1
+          while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+          if (i >= 0 && s.charAt(i) == ')') {
+            val close = i
+            var depth = 0
+            var open = -1
+            var j = close
+            while (open < 0 && j >= 0) {
+              if (!quotes(j)) s.charAt(j) match {
+                case ')' => depth += 1
+                case '(' => depth -= 1; if (depth == 0) open = j
+                case _ => ()
+              }
+              j -= 1
+            }
+            if (open >= 0) {
+              val lParts = splitTopLevel(s.substring(open + 1, close))
+              if (lParts.sizeIs == 2) {
+                val (s1, e1) = (lParts(0).trim, lParts(1).trim)
+                // right operand: pair, parenthesized value, or (for
+                // CONTAINS) a bare expression up to a depth-0 boundary
+                var k = m.end
+                while (k < s.length && s.charAt(k).isWhitespace) k += 1
+                val right: Option[(Seq[String], Int)] =
+                  if (k < s.length && s.charAt(k) == '(') {
+                    var d = 0
+                    var rc = -1
+                    var x = k
+                    while (rc < 0 && x < s.length) {
+                      if (!quotes(x)) s.charAt(x) match {
+                        case '(' => d += 1
+                        case ')' => d -= 1; if (d == 0) rc = x
+                        case _ => ()
+                      }
+                      x += 1
+                    }
+                    if (rc < 0) None
+                    else Some((splitTopLevel(s.substring(k + 1, rc))
+                      .map(_.trim), rc + 1))
+                  } else {
+                    val stop = ("(?is)\\b(AND|OR|WHERE|GROUP|ORDER|" +
+                      "HAVING|QUALIFY|UNION|EXCEPT|INTERSECT|MINUS|" +
+                      "LIMIT|OFFSET|FETCH|JOIN|ON|THEN|ELSE|END|WHEN|" +
+                      "AS)\\b").r
+                    var d = 0
+                    var x = k
+                    var endAt = -1
+                    while (endAt < 0 && x < s.length) {
+                      if (!quotes(x)) s.charAt(x) match {
+                        case '(' => d += 1; x += 1
+                        case ')' if d == 0 => endAt = x
+                        case ')' => d -= 1; x += 1
+                        case ',' if d == 0 => endAt = x
+                        case c0 if d == 0 && (c0.isLetter || c0 == '_') &&
+                            !(s.charAt(x - 1).isLetterOrDigit ||
+                              s.charAt(x - 1) == '_' ||
+                              s.charAt(x - 1) == '.') &&
+                            stop.findPrefixOf(s.substring(x)).isDefined =>
+                          endAt = x
+                        case _ => x += 1
+                      }
+                    }
+                    if (endAt < 0) endAt = s.length
+                    val raw = s.substring(k, endAt)
+                    val v = raw.trim
+                    // splice point excludes the value's trailing
+                    // whitespace so the original spacing before the
+                    // next token survives
+                    if (v.isEmpty) None
+                    else Some((Seq(v),
+                      k + raw.lastIndexWhere(!_.isWhitespace) + 1))
+                  }
+                right.foreach { case (rParts, rEnd) =>
+                  val repl: Option[String] = (kw, rParts) match {
+                    case ("OVERLAPS", Seq(s2, e2)) => Some(
+                      s"(($s1) <= ($e2) AND ($e1) >= ($s2))")
+                    case ("EQUALS", Seq(s2, e2)) => Some(
+                      s"(($s1) = ($s2) AND ($e1) = ($e2))")
+                    case ("PRECEDES", Seq(s2, _)) =>
+                      Some(if (imm) s"(($e1) = ($s2))"
+                      else s"(($e1) <= ($s2))")
+                    case ("SUCCEEDS", Seq(_, e2)) =>
+                      Some(if (imm) s"(($s1) = ($e2))"
+                      else s"(($s1) >= ($e2))")
+                    case ("CONTAINS", Seq(s2, e2)) => Some(
+                      s"(($s1) <= ($s2) AND ($e1) >= ($e2))")
+                    case ("CONTAINS", Seq(v)) => Some(
+                      s"(($s1) <= ($v) AND ($v) <= ($e1))")
+                    case _ => None
+                  }
+                  repl.foreach { r =>
+                    return rewritePeriodPredicates(
+                      s.substring(0, open) + r + s.substring(rEnd))
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    s
+  }
 
   /** Map the reference's quoted identifiers onto Spark's backtick form
     * (identifiers.md): string literals are single-quoted in this

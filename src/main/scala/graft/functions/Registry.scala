@@ -16,6 +16,10 @@ object Registry {
 
   /** SQL-bodied aliases: name → (params, returnType, body). */
   val sqlFunctions: Seq[(String, String, String, String)] = Seq(
+    // TO_INT(binary) — big-endian unsigned bytes → INT (binary.md:118:
+    // TO_INT(x'0abc') => 2748); conv's unsigned base-16 read is exactly
+    // that interpretation
+    ("to_int", "b BINARY", "INT", "CAST(conv(hex(b), 16, 10) AS INT)"),
     // trig tail (float.md: SEC/CSC/COT and hyperbolics)
     ("sec", "x DOUBLE", "DOUBLE", "1.0 / cos(x)"),
     ("csc", "x DOUBLE", "DOUBLE", "1.0 / sin(x)"),
@@ -165,6 +169,36 @@ object Registry {
         bb.putLong(u.getLeastSignificantBits)
         bb.array()
       })
+    // chrono/strftime surface (datetime.md:460-560): the %-pattern
+    // formatters under their reference spellings. The Scala helpers work
+    // over the ISO string rendering (CAST bridges the SQL types), so one
+    // implementation serves DATE/TIMESTAMP/TIME; parse failures raise,
+    // matching the reference's runtime-error contract (datetime.md:475).
+    spark.udf.register("__strftime",
+      (fmt: String, iso: String) => Strftime.format(fmt, iso))
+    spark.udf.register("__strptime_date",
+      (fmt: String, s: String) => Strftime.parseDate(fmt, s))
+    spark.udf.register("__strptime_ts",
+      (fmt: String, s: String) => Strftime.parseTimestamp(fmt, s))
+    spark.udf.register("__strptime_time",
+      (fmt: String, s: String) => Strftime.parseTime(fmt, s))
+    def fn(ddl: String): Unit =
+      spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION " + ddl)
+    fn("format_date(f STRING, d DATE) RETURNS STRING " +
+      "RETURN __strftime(f, CAST(d AS STRING))")
+    fn("format_timestamp(f STRING, t TIMESTAMP) RETURNS STRING " +
+      "RETURN __strftime(f, CAST(t AS STRING))")
+    fn("parse_date(f STRING, s STRING) RETURNS DATE " +
+      "RETURN CAST(__strptime_date(f, s) AS DATE)")
+    fn("parse_timestamp(f STRING, s STRING) RETURNS TIMESTAMP " +
+      "RETURN CAST(__strptime_ts(f, s) AS TIMESTAMP)")
+    // the TIME pair needs Spark 4.1's native TimeType flag — the same
+    // contract Pipeline runs under; enable before registering
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    fn("format_time(f STRING, t TIME) RETURNS STRING " +
+      "RETURN __strftime(f, CAST(t AS STRING))")
+    fn("parse_time(f STRING, s STRING) RETURNS TIME " +
+      "RETURN CAST(__strptime_time(f, s) AS TIME)")
   }
 
   def registerAll(spark: SparkSession): Unit = {

@@ -721,6 +721,136 @@ object Extras {
       pipe.adHoc("SELECT * FROM flat")
     },
 
+    // The chrono/strftime surface under its reference spellings
+    // (datetime.md:460-560 FORMAT_DATE/FORMAT_TIMESTAMP/PARSE_DATE/
+    // PARSE_TIMESTAMP — %-directive patterns): registered SQL wrappers
+    // over the Strftime translator, exercised through the VIEW path.
+    // DuckDB's strftime/strptime speak the same %-dialect (args
+    // reversed), so the oracle cross-checks directive-for-directive.
+    Q(
+      "fn_strftime",
+      """SELECT o_orderkey AS k,
+        |  strftime(o_orderdate, '%Y/%m/%d %H:%M:%S') AS ymdhms,
+        |  strftime(o_orderdate, '%j|%a|%b') AS jab,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y.%m') AS ym,
+        |  CAST(strptime('2021-07-15', '%Y-%m-%d') AS DATE) AS pd,
+        |  epoch_ms(strptime('2021-07-15 10:20:30',
+        |                    '%Y-%m-%d %H:%M:%S')) AS pts
+        |FROM orders WHERE o_orderkey <= 5000""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE ord (o_orderkey BIGINT, o_orderdate TIMESTAMP);
+          |CREATE VIEW f AS
+          |  SELECT o_orderkey AS k,
+          |    FORMAT_TIMESTAMP('%Y/%m/%d %H:%M:%S', o_orderdate)
+          |      AS ymdhms,
+          |    FORMAT_TIMESTAMP('%j|%a|%b', o_orderdate) AS jab,
+          |    FORMAT_DATE('%Y.%m', CAST(o_orderdate AS DATE)) AS ym,
+          |    PARSE_DATE('%Y-%m-%d', '2021-07-15') AS pd,
+          |    unix_millis(PARSE_TIMESTAMP('%Y-%m-%d %H:%M:%S',
+          |      '2021-07-15 10:20:30')) AS pts
+          |  FROM ord WHERE o_orderkey <= 5000;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ord" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "orders").select("o_orderkey", "o_orderdate"))))
+      pipe.adHoc("SELECT * FROM f")
+    },
+
+    // SQL:2011 period predicates (datetime.md:370-379): the infix
+    // `(start, end) OVERLAPS|EQUALS|[IMMEDIATELY] PRECEDES|SUCCEEDS|
+    // CONTAINS …` forms, lowered by Dialect.rewritePeriodPredicates to
+    // plain comparisons (Spark has no surface for them); the oracle
+    // spells the documented comparison semantics directly.
+    Q(
+      "fn_period",
+      """SELECT k,
+        |  (s1 <= e2 AND e1 >= s2) AS ov,
+        |  (s1 = s2 AND e1 = e2) AS eqp,
+        |  (e1 <= s2) AS pr, (e1 = s2) AS ipr,
+        |  (s1 >= e2) AS sc, (s1 = e2) AS isc,
+        |  (s1 <= s2 AND e1 >= e2) AS cnp,
+        |  (s1 <= v AND v <= e1) AS cnv
+        |FROM (
+        |  SELECT o_orderkey AS k, o_orderdate AS s1,
+        |    o_orderdate + INTERVAL 5 DAY AS e1,
+        |    o_orderdate + INTERVAL 1 DAY * (o_orderkey % 11 - 5) AS s2,
+        |    o_orderdate + INTERVAL 1 DAY * (o_orderkey % 11 - 2) AS e2,
+        |    o_orderdate + INTERVAL 2 DAY AS v
+        |  FROM orders WHERE o_orderkey <= 4000)""".stripMargin) {
+      (s, dir) =>
+      val prog =
+        """CREATE TABLE ord (o_orderkey BIGINT, o_orderdate TIMESTAMP);
+          |CREATE VIEW p AS
+          |  SELECT k,
+          |    (s1, e1) OVERLAPS (s2, e2) AS ov,
+          |    (s1, e1) EQUALS (s2, e2) AS eqp,
+          |    (s1, e1) PRECEDES (s2, e2) AS pr,
+          |    (s1, e1) IMMEDIATELY PRECEDES (s2, e2) AS ipr,
+          |    (s1, e1) SUCCEEDS (s2, e2) AS sc,
+          |    (s1, e1) IMMEDIATELY SUCCEEDS (s2, e2) AS isc,
+          |    (s1, e1) CONTAINS (s2, e2) AS cnp,
+          |    (s1, e1) CONTAINS v AS cnv
+          |  FROM (
+          |    SELECT o_orderkey AS k, o_orderdate AS s1,
+          |      o_orderdate + INTERVAL '5' DAY AS e1,
+          |      o_orderdate + INTERVAL '1' DAY * (o_orderkey % 11 - 5)
+          |        AS s2,
+          |      o_orderdate + INTERVAL '1' DAY * (o_orderkey % 11 - 2)
+          |        AS e2,
+          |      o_orderdate + INTERVAL '2' DAY AS v
+          |    FROM ord WHERE o_orderkey <= 4000) periods;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ord" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "orders").select("o_orderkey", "o_orderdate"))))
+      pipe.adHoc("SELECT * FROM p")
+    },
+
+    // LOGICAL_AND / LOGICAL_OR (aggregates.md:90 — BOOL_AND/BOOL_OR
+    // synonyms, Dialect-mapped) + GROUPING_ID (grammar.md:650, native)
+    // under a ROLLUP; TO_INT (binary.md:118 — big-endian bytes → INT).
+    Q(
+      "agg_logical_id",
+      """SELECT g, bool_and(f) AS la, bool_or(f) AS lo,
+        |  CAST(GROUPING(g) AS BIGINT) AS gid, COUNT(*) AS n
+        |FROM (SELECT o_orderpriority AS g, o_totalprice > 100000 AS f
+        |      FROM orders) GROUP BY ROLLUP(g)""".stripMargin) {
+      (s, dir) =>
+      val prog =
+        """CREATE TABLE ord (o_orderpriority VARCHAR, o_totalprice DOUBLE);
+          |CREATE VIEW a AS
+          |  SELECT g, LOGICAL_AND(f) AS la, LOGICAL_OR(f) AS lo,
+          |    CAST(GROUPING_ID(g) AS BIGINT) AS gid, COUNT(*) AS n
+          |  FROM (SELECT o_orderpriority AS g, o_totalprice > 100000 AS f
+          |        FROM ord) flags GROUP BY ROLLUP(g);""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ord" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "orders")
+          .select("o_orderpriority", "o_totalprice"))))
+      pipe.adHoc("SELECT * FROM a")
+    },
+
+    // TO_INT(binary) (binary.md:118: big-endian unsigned bytes → INT;
+    // TO_INT(x'0abc') => 2748) — the oracle re-derives from the same
+    // characters' code points.
+    Q(
+      "fn_to_int",
+      """SELECT c_custkey AS k,
+        |  65536 * ord(substr(c_name, 10, 1))
+        |    + 256 * ord(substr(c_name, 11, 1))
+        |    + ord(substr(c_name, 12, 1)) AS ti
+        |FROM customer WHERE c_custkey <= 200""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE cust (c_custkey BIGINT, c_name VARCHAR);
+          |CREATE VIEW b AS
+          |  SELECT c_custkey AS k,
+          |    CAST(TO_INT(CAST(substring(c_name, 10, 3) AS BINARY))
+          |         AS INT) AS ti
+          |  FROM cust WHERE c_custkey <= 200;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("cust" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "customer").select("c_custkey", "c_name"))))
+      pipe.adHoc("SELECT * FROM b")
+    },
+
     // NATURAL JOIN (grammar.md tableExpression) — native in both
     // engines: the shared column (nationkey) joins and deduplicates.
     Q(

@@ -565,6 +565,40 @@ class DialectSpec extends SparkSpec {
     assert(pipe.adHoc("SELECT r FROM v").as[Double].head() === 7.0)
   }
 
+  test("period predicates lower to their documented comparisons") {
+    assert(Dialect.normalize("SELECT (a, b) OVERLAPS (c, d) FROM t")
+      === "SELECT ((a) <= (d) AND (b) >= (c)) FROM t")
+    assert(Dialect.normalize("SELECT (a, b) PRECEDES (c, d) FROM t")
+      === "SELECT ((b) <= (c)) FROM t")
+    assert(Dialect.normalize(
+      "SELECT (a, b) IMMEDIATELY PRECEDES (c, d) FROM t")
+      === "SELECT ((b) = (c)) FROM t")
+    assert(Dialect.normalize("SELECT (a, b) SUCCEEDS (c, d) FROM t")
+      === "SELECT ((a) >= (d)) FROM t")
+    assert(Dialect.normalize("SELECT (a, b) EQUALS (c, d) FROM t")
+      === "SELECT ((a) = (c) AND (b) = (d)) FROM t")
+    assert(Dialect.normalize("SELECT (a, b) CONTAINS (c, d) FROM t")
+      === "SELECT ((a) <= (c) AND (b) >= (d)) FROM t")
+    // CONTAINS value — both the bare and parenthesized spellings
+    assert(Dialect.normalize("SELECT (a, b) CONTAINS x + 1 AS c FROM t")
+      === "SELECT ((a) <= (x + 1) AND (x + 1) <= (b)) AS c FROM t")
+    assert(Dialect.normalize("SELECT (a, b) CONTAINS (x) FROM t")
+      === "SELECT ((a) <= (x) AND (x) <= (b)) FROM t")
+    // a function call or single-expression group before the keyword is
+    // NOT a period — untouched (fails loudly at Spark, as before)
+    assert(Dialect.normalize("SELECT f(a) CONTAINS (c, d) FROM t")
+      === "SELECT f(a) CONTAINS (c, d) FROM t")
+    // keyword inside a string literal untouched
+    assert(Dialect.normalize("SELECT '(a,b) OVERLAPS (c,d)' FROM t")
+      === "SELECT '(a,b) OVERLAPS (c,d)' FROM t")
+    // LOGICAL_AND/LOGICAL_OR map to the BOOL_ spellings
+    assert(Dialect.normalize("SELECT LOGICAL_AND(f), logical_or(g) FROM t")
+      === "SELECT BOOL_AND(f), BOOL_OR(g) FROM t")
+    // a column merely named logical_and is untouched (paren-anchored)
+    assert(Dialect.normalize("SELECT logical_and FROM t")
+      === "SELECT logical_and FROM t")
+  }
+
   test("ASOF JOIN with a join-tree left operand lowers (no lateral)") {
     val low = Dialect.normalize(
       "SELECT o.id, c.name, r.v FROM ord o JOIN cust c ON o.cid = c.id " +
