@@ -60,6 +60,23 @@ object Dialect {
   // LOGICAL_AND / LOGICAL_OR (aggregates.md:90,441 — synonyms of
   // BOOL_AND/BOOL_OR; Spark spells only the BOOL_ forms natively)
   private val logicalAgg = """(?is)\bLOGICAL_(AND|OR)(\s*\()""".r
+  // SAFE_CAST(x AS t) (casts.md:77 — CAST returning NULL on failure) is
+  // Spark's TRY_CAST, spelled differently
+  private val safeCast = """(?is)\bSAFE_CAST(\s*\()""".r
+  // the reference's VARCHAR is unlimited (types.md); Spark's bare
+  // VARCHAR demands a length, so the un-parenthesized type spelling
+  // maps to STRING (VARCHAR(n) stays — Spark accepts it); same for a
+  // bare CHAR → CHAR(1), the SQL default length
+  private val bareVarchar = """(?is)\bVARCHAR\b(?!\s*\()""".r
+  private val bareChar = """(?is)\bCHAR\b(?!\s*\()""".r
+
+  /** Bare VARCHAR/CHAR type spellings → Spark's (the caller guarantees
+    * an unquoted fragment); shared with the CREATE FUNCTION
+    * params/RETURNS path in the runtime.
+    */
+  private[graft] def mapBareTypes(s: String): String =
+    bareChar.replaceAllIn(
+      bareVarchar.replaceAllIn(s, "STRING"), "CHAR(1)")
 
   def normalize(sql: String): String = normalize(sql, adHoc = false)
 
@@ -84,9 +101,11 @@ object Dialect {
       val h = offsetRows.replaceAllIn(g, "OFFSET $1")
       val i = limitStartCount.replaceAllIn(h, "LIMIT $2 OFFSET $1")
       val j = limitAll.replaceAllIn(i, "")
-      logicalAgg.replaceAllIn(j,
+      val k = logicalAgg.replaceAllIn(j,
         m => "BOOL_" + m.group(1).toUpperCase +
           java.util.regex.Matcher.quoteReplacement(m.group(2)))
+      val l = safeCast.replaceAllIn(k, "TRY_CAST$1")
+      mapBareTypes(l)
     }))))), adHoc)
 
   /** Strip SQL comments — `--` to end-of-line and (nested) block

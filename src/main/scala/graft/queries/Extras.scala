@@ -828,6 +828,36 @@ object Extras {
       pipe.adHoc("SELECT * FROM a")
     },
 
+    // SAFE_CAST (casts.md:77 — NULL instead of a runtime error; Spark
+    // spells it TRY_CAST), the `::` cast operator (casts.md), and the
+    // reference's UNLIMITED bare VARCHAR (types.md — Spark demands a
+    // length, so Dialect maps the bare spelling to STRING) through the
+    // VIEW path.
+    Q(
+      "cast_safe",
+      """SELECT o_orderkey AS k,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS p_num,
+        |  TRY_CAST(o_orderpriority AS INT) AS bad,
+        |  CAST(o_orderkey AS VARCHAR) AS k_str,
+        |  o_orderkey :: VARCHAR AS k_cc
+        |FROM orders WHERE o_orderkey <= 3000""".stripMargin) { (s, dir) =>
+      val prog =
+        """CREATE TABLE ord (o_orderkey BIGINT, o_orderpriority VARCHAR);
+          |CREATE VIEW c AS
+          |  SELECT o_orderkey AS k,
+          |    SAFE_CAST(substring(o_orderpriority, 1, 1) AS INT)
+          |      AS p_num,
+          |    SAFE_CAST(o_orderpriority AS INT) AS bad,
+          |    CAST(o_orderkey AS VARCHAR) AS k_str,
+          |    o_orderkey :: VARCHAR AS k_cc
+          |  FROM ord WHERE o_orderkey <= 3000;""".stripMargin
+      val pipe = graft.runtime.Pipeline(s, prog)
+      pipe.step(Map("ord" -> graft.zset.ZSets.lift(
+        tRaw(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority"))))
+      pipe.adHoc("SELECT * FROM c")
+    },
+
     // TO_INT(binary) (binary.md:118: big-endian unsigned bytes → INT;
     // TO_INT(x'0abc') => 2748) — the oracle re-derives from the same
     // characters' code points.

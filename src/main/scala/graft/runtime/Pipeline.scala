@@ -111,11 +111,13 @@ final class Pipeline(spark: SparkSession,
     */
   private def resolveTypeAliases(s: String): String =
     substOutsideQuotes(s, run =>
-      program.types.foldLeft(run) { case (acc, t) =>
-        acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(t.name) +
-          "\\b", java.util.regex.Matcher.quoteReplacement(
-            SqlTypes.toSpark(t.name).sql))
-      })
+      graft.ddl.Dialect.mapBareTypes(
+        program.types.foldLeft(run) { case (acc, t) =>
+          acc.replaceAll("(?i)\\b" +
+            java.util.regex.Pattern.quote(t.name) + "\\b",
+            java.util.regex.Matcher.quoteReplacement(
+              SqlTypes.toSpark(t.name).sql))
+        }))
 
   /** In a body, the only type position is `CAST(expr AS <type>)` — the
     * alias name is replaced only when it directly follows AS and closes
@@ -225,7 +227,11 @@ final class Pipeline(spark: SparkSession,
         s"CREATE OR REPLACE TEMPORARY FUNCTION ${f.name}" +
           s"(${resolveParamTypes(f.params)}) " +
           s"RETURNS ${resolveTypeAliases(f.returnType)} " +
-          s"RETURN ${resolveBodyTypeCasts(b)}")
+          // bare VARCHAR/CHAR in the body's cast positions map to
+          // Spark spellings, same as view bodies (types.md: the
+          // reference's VARCHAR is unlimited)
+          s"RETURN ${substOutsideQuotes(resolveBodyTypeCasts(b),
+            graft.ddl.Dialect.mapBareTypes)}")
       case None => require(spark.catalog.functionExists(f.name),
         s"external-body function '${f.name}' is not registered")
     }

@@ -597,6 +597,18 @@ class DialectSpec extends SparkSpec {
     // a column merely named logical_and is untouched (paren-anchored)
     assert(Dialect.normalize("SELECT logical_and FROM t")
       === "SELECT logical_and FROM t")
+    // SAFE_CAST → TRY_CAST; bare VARCHAR/CHAR type spellings map to
+    // Spark's (VARCHAR(n) and CHAR_LENGTH/chr(...) stay untouched)
+    assert(Dialect.normalize(
+      "SELECT SAFE_CAST(x AS INT), CAST(y AS VARCHAR), z :: VARCHAR, " +
+        "CAST(c AS CHAR) FROM t")
+      === "SELECT TRY_CAST(x AS INT), CAST(y AS STRING), z :: STRING, " +
+        "CAST(c AS CHAR(1)) FROM t")
+    assert(Dialect.normalize(
+      "SELECT CAST(x AS VARCHAR(5)), CHAR_LENGTH(s), chr(65), " +
+        "'a VARCHAR here' FROM t")
+      === "SELECT CAST(x AS VARCHAR(5)), CHAR_LENGTH(s), chr(65), " +
+        "'a VARCHAR here' FROM t")
   }
 
   test("ASOF JOIN with a join-tree left operand lowers (no lateral)") {
