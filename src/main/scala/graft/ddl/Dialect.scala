@@ -186,7 +186,9 @@ object Dialect {
         } else {
           System.err.println("graft: dropping table-position hint " +
             s"'/*+${m.group(1).trim}*/' (no Spark surface)")
-          Some("")
+          // a space, not an empty string: `t/*+hint*/JOIN` must not
+          // fuse into `tJOIN` (same rule as stripComments)
+          Some(" ")
         }
       }
     })
@@ -1090,10 +1092,16 @@ object Dialect {
     last
   }
 
-  /** Per-character in-string-literal map (with `''` escapes). */
+  /** Per-character map of text no rewriter may touch: single-quoted
+    * string literals (with `''` escapes) AND backtick-quoted
+    * identifiers (with ``` `` ``` escapes — rewriteQuotedIdents emits
+    * them, and a quoted identifier named like a keyword, `"VARCHAR"`,
+    * `"qualify"`, must never trigger a keyword rewrite).
+    */
   private[graft] def inQuoteMap(s: String): Array[Boolean] = {
     val m = new Array[Boolean](s.length)
     var inQ = false
+    var inBt = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -1104,7 +1112,15 @@ object Dialect {
             m(i + 1) = true; i += 1
           } else inQ = false
         }
+      } else if (inBt) {
+        m(i) = true
+        if (c == '`') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '`') {
+            m(i + 1) = true; i += 1
+          } else inBt = false
+        }
       } else if (c == '\'') { m(i) = true; inQ = true }
+      else if (c == '`') { m(i) = true; inBt = true }
       i += 1
     }
     m
@@ -1253,7 +1269,7 @@ object Dialect {
                     val stop = ("(?is)\\b(AND|OR|WHERE|GROUP|ORDER|" +
                       "HAVING|QUALIFY|UNION|EXCEPT|INTERSECT|MINUS|" +
                       "LIMIT|OFFSET|FETCH|JOIN|ON|THEN|ELSE|END|WHEN|" +
-                      "AS)\\b").r
+                      "AS|FROM|ASC|DESC|NULLS|WINDOW)\\b").r
                     var d = 0
                     var x = k
                     var endAt = -1
@@ -1376,9 +1392,10 @@ object Dialect {
           }
           text = out.toString
         }
-        require(!text.contains('\'') && !text.contains('`'),
-          s"identifier ${'"'}$text${'"'} contains a quote character — " +
-            "not representable through the Spark spelling map")
+        require(!text.exists(c => "'`(),;".contains(c)),
+          s"identifier ${'"'}$text${'"'} contains a quote/paren/comma/" +
+            "semicolon — not representable through the Spark spelling " +
+            "map (it would derail the statement scanners)")
         sb += '`'
         sb ++= text
         sb += '`'
@@ -1566,6 +1583,7 @@ object Dialect {
     val out = new StringBuilder
     val run = new StringBuilder
     var inQuote = false
+    var inBt = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -1576,10 +1594,17 @@ object Dialect {
             out += '\''; i += 1
           } else inQuote = false
         }
-      } else if (c == '\'') {
+      } else if (inBt) {
+        out += c
+        if (c == '`') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '`') {
+            out += '`'; i += 1
+          } else inBt = false
+        }
+      } else if (c == '\'' || c == '`') {
         out ++= f(run.toString); run.clear()
         out += c
-        inQuote = true
+        if (c == '\'') inQuote = true else inBt = true
       } else run += c
       i += 1
     }

@@ -16,10 +16,12 @@ object Registry {
 
   /** SQL-bodied aliases: name → (params, returnType, body). */
   val sqlFunctions: Seq[(String, String, String, String)] = Seq(
-    // TO_INT(binary) — big-endian unsigned bytes → INT (binary.md:118:
-    // TO_INT(x'0abc') => 2748); conv's unsigned base-16 read is exactly
-    // that interpretation
-    ("to_int", "b BINARY", "INT", "CAST(conv(hex(b), 16, 10) AS INT)"),
+    // TO_INT(binary) — the FIRST min(4, len) bytes folded big-endian
+    // into a SIGNED i32 (binary.md:118, sqllib/src/binary.rs:489:
+    // result = result << 8 | byte): the unsigned conv read goes through
+    // BIGINT then wraps to INT, so x'FFFFFFFF' is -1, not NULL
+    ("to_int", "b BINARY", "INT",
+      "CAST(CAST(conv(hex(substr(b, 1, 4)), 16, 10) AS BIGINT) AS INT)"),
     // trig tail (float.md: SEC/CSC/COT and hyperbolics)
     ("sec", "x DOUBLE", "DOUBLE", "1.0 / cos(x)"),
     ("csc", "x DOUBLE", "DOUBLE", "1.0 / sin(x)"),

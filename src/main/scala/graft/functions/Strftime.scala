@@ -2,22 +2,35 @@ package graft.functions
 
 import java.time.{LocalDate, LocalDateTime, LocalTime}
 import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
-import java.time.temporal.ChronoField
+import java.time.temporal.{ChronoField, IsoFields}
 
 /** chrono/strftime `%`-directive patterns for the reference's
   * FORMAT_DATE/FORMAT_TIMESTAMP/FORMAT_TIME and PARSE_DATE/
   * PARSE_TIMESTAMP/PARSE_TIME surface (datetime.md:460-560 — the
   * format-specifier table; runtime `sqllib/src/timestamp.rs` formats via
   * Rust chrono). The translator builds a java.time formatter from the
-  * common directive set; an UNSUPPORTED directive raises (the reference
-  * likewise raises on directives it cannot satisfy, e.g. `%I` without
-  * `%p` — datetime.md:480-485). Formatters are cached per pattern
-  * (thread-safe, formatters are immutable).
+  * common directive set; an UNSUPPORTED directive raises, and a parse
+  * whose directives cannot resolve the needed fields raises (the
+  * reference's contract — datetime.md:475-485, e.g. `%I` without `%p`).
+  * Week-related directives (%V/%G/%u) use the ISO-8601 fields
+  * explicitly — the pattern letters ww/YYYY/e would resolve through
+  * the US locale's Sunday-start week numbering. Formatters are cached
+  * per pattern (thread-safe, formatters are immutable).
   */
 object Strftime {
 
+  /** Translated pattern + which field families its directives carry
+    * (drives parse resolution: a pattern with time directives that
+    * cannot build a LocalTime must raise, not default to midnight).
+    */
+  private final case class Pat(fmt: DateTimeFormatter,
+      hasDate: Boolean, hasTime: Boolean)
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DateTimeFormatter]()
+    new java.util.concurrent.ConcurrentHashMap[String, Pat]()
+
+  private val dateDirectives = "YymbhBdeaAjFDGVu".toSet
+  private val timeDirectives = "HkIlpMSTRf".toSet
 
   /** chrono directive → java.time pattern fragment (appendPattern). */
   private def javaPattern(directive: Char): String = directive match {
@@ -42,16 +55,15 @@ object Strftime {
     case 'T' => "HH:mm:ss"
     case 'R' => "HH:mm"
     case 'D' => "MM/dd/uu"
-    case 'G' => "YYYY"
-    case 'V' => "ww"
-    case 'u' => "e"
     case other => throw new IllegalArgumentException(
       s"unsupported strftime directive %$other (datetime.md format table)")
   }
 
-  def formatter(fmt: String): DateTimeFormatter =
+  private def pat(fmt: String): Pat =
     cache.computeIfAbsent(fmt, { f =>
       val b = new DateTimeFormatterBuilder()
+      var hasDate = false
+      var hasTime = false
       var i = 0
       while (i < f.length) {
         val c = f.charAt(i)
@@ -61,18 +73,35 @@ object Strftime {
             case '%' => b.appendLiteral('%'); i += 2
             case 'f' => // fractional seconds, full nanos, no dot
               b.appendFraction(ChronoField.NANO_OF_SECOND, 9, 9, false)
-              i += 2
+              hasTime = true; i += 2
             case d @ ('3' | '6' | '9') if i + 2 < f.length &&
                 f.charAt(i + 2) == 'f' =>
               val w = d - '0'
               b.appendFraction(ChronoField.NANO_OF_SECOND, w, w, false)
-              i += 3
-            case d => b.appendPattern(javaPattern(d)); i += 2
+              hasTime = true; i += 3
+            // ISO-8601 week directives — explicit fields, never the
+            // locale-week pattern letters
+            case 'V' =>
+              b.appendValue(IsoFields.WEEK_OF_WEEK_BASED_YEAR, 2)
+              hasDate = true; i += 2
+            case 'G' =>
+              b.appendValue(IsoFields.WEEK_BASED_YEAR, 4)
+              hasDate = true; i += 2
+            case 'u' => // ISO day-of-week, Monday=1
+              b.appendValue(ChronoField.DAY_OF_WEEK, 1)
+              hasDate = true; i += 2
+            case d =>
+              b.appendPattern(javaPattern(d))
+              if (dateDirectives(d)) hasDate = true
+              if (timeDirectives(d)) hasTime = true
+              i += 2
           }
         } else { b.appendLiteral(c); i += 1 }
       }
-      b.toFormatter(java.util.Locale.US)
+      Pat(b.toFormatter(java.util.Locale.US), hasDate, hasTime)
     })
+
+  def formatter(fmt: String): DateTimeFormatter = pat(fmt).fmt
 
   /** Format an ISO-rendered date/timestamp/time value (the SQL wrappers
     * pass `CAST(x AS STRING)`, so this sees `yyyy-MM-dd`,
@@ -96,27 +125,16 @@ object Strftime {
 
   def parseTimestamp(fmt: String, s: String): String = {
     if (fmt == null || s == null) return null
-    val f = formatter(fmt)
-    // a pattern without time fields parses to midnight (the reference:
-    // missing elements default — PARSE_TIMESTAMP('%Y-%m-%d', …) works)
-    val parsed = f.parse(s)
+    val p = pat(fmt)
+    val parsed = p.fmt.parse(s)
+    // a pattern with date/time directives must RESOLVE them —
+    // LocalDate.from / LocalTime.from raise on an incomplete set
+    // (e.g. %I without %p), the reference's contract; a pattern
+    // without them defaults (epoch date / midnight)
     val date =
-      if (parsed.isSupported(ChronoField.EPOCH_DAY))
-        LocalDate.from(parsed)
-      else LocalDate.of(1970, 1, 1)
+      if (p.hasDate) LocalDate.from(parsed) else LocalDate.of(1970, 1, 1)
     val time =
-      if (parsed.isSupported(ChronoField.HOUR_OF_DAY) ||
-        parsed.isSupported(ChronoField.MINUTE_OF_HOUR))
-        LocalTime.of(
-          if (parsed.isSupported(ChronoField.HOUR_OF_DAY))
-            parsed.get(ChronoField.HOUR_OF_DAY) else 0,
-          if (parsed.isSupported(ChronoField.MINUTE_OF_HOUR))
-            parsed.get(ChronoField.MINUTE_OF_HOUR) else 0,
-          if (parsed.isSupported(ChronoField.SECOND_OF_MINUTE))
-            parsed.get(ChronoField.SECOND_OF_MINUTE) else 0,
-          if (parsed.isSupported(ChronoField.NANO_OF_SECOND))
-            parsed.get(ChronoField.NANO_OF_SECOND) else 0)
-      else LocalTime.MIDNIGHT
+      if (p.hasTime) LocalTime.from(parsed) else LocalTime.MIDNIGHT
     LocalDateTime.of(date, time)
       .format(DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
   }

@@ -17,6 +17,22 @@ import QB._
   */
 object RuntimeE2e {
 
+  /** Run `body` with spark.sql.shuffle.partitions pinned to 8 for the
+    * micro-batch fixtures: each micro-batch opens/commits one state
+    * store instance PER state partition, so 32 partitions x batches is
+    * pure instance churn on a ~1.5k-row fixture (measured ~50 task-s,
+    * 4-13 pinned); the operators themselves scale with partitions on
+    * real data. The previous value is restored even when fixture setup
+    * or the stream start throws.
+    */
+  private def withStatePartitions[T](
+      s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   private val qtyProg =
     """CREATE TABLE lineitem (l_orderkey BIGINT, l_quantity DOUBLE,
       | l_returnflag VARCHAR);
@@ -446,13 +462,7 @@ object RuntimeE2e {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
-      // 8 state partitions for this tiny fixture: each micro-batch
-      // opens/commits one RocksDB instance PER state partition, so 32
-      // partitions x batches is pure instance churn here (measured
-      // ~50 task-s); the operator itself scales with partitions on
-      // real data. Restored in the finally.
-      val __oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      withStatePartitions(s) {
       val rows = tRaw(s, dir, "customer")
         .select(col("c_nationkey").cast("long"), col("c_custkey"))
         .as[(Long, Long)].collect()
@@ -474,13 +484,11 @@ object RuntimeE2e {
         q.processAllAvailable()
         in.addData(rows.filter(_._2 <= 200).map(r => (r._1, r._2, -1L)).toSeq)
         q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", __oldParts)
-      }
+      } finally q.stop()
       last.toSeq.flatMap { case (k, vs) =>
         vs.zipWithIndex.map { case (v, i) => (k, (i + 1).toLong, v) }
       }.toDF("c_nationkey", "rnk", "c_custkey")
+      }
     },
 
     // Retractable streaming MIN/MAX (§2.7 #91, StatefulOps.minMax —
@@ -500,13 +508,7 @@ object RuntimeE2e {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
-      // 8 state partitions for this tiny fixture: each micro-batch
-      // opens/commits one RocksDB instance PER state partition, so 32
-      // partitions x batches is pure instance churn here (measured
-      // ~50 task-s); the operator itself scales with partitions on
-      // real data. Restored in the finally.
-      val __oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      withStatePartitions(s) {
       val rows = tRaw(s, dir, "customer")
         .select(col("c_nationkey").cast("long"), col("c_custkey"))
         .as[(Long, Long)].collect()
@@ -529,12 +531,10 @@ object RuntimeE2e {
         q.processAllAvailable()
         in.addData(rows.filter(_._2 > 1300).map(r => (r._1, r._2, -1L)).toSeq)
         q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", __oldParts)
-      }
+      } finally q.stop()
       last.toSeq.collect { case (k, (mn, mx, false)) => (k, mn, mx) }
         .toDF("c_nationkey", "mn", "mx")
+      }
     },
 
     // Streaming rolling RANGE aggregate with waterline (§2.7 #84,
@@ -563,13 +563,7 @@ object RuntimeE2e {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
-      // 8 state partitions for this tiny fixture: each micro-batch
-      // opens/commits one RocksDB instance PER state partition, so 32
-      // partitions x batches is pure instance churn here (measured
-      // ~50 task-s); the operator itself scales with partitions on
-      // real data. Restored in the finally.
-      val __oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      withStatePartitions(s) {
       val rows = tRaw(s, dir, "events").filter(col("event_id") <= 4000)
         .select(col("event_id"), col("user_id"),
           unix_timestamp(col("ts")).as("es"),
@@ -599,12 +593,10 @@ object RuntimeE2e {
         // the watermark) — later rows' windows are re-emitted corrected
         in.addData(rows.filter(_._1 % 3 == 0).map(ev).toSeq)
         q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", __oldParts)
-      }
+      } finally q.stop()
       last.toSeq.map { case ((u, es), (sm, c)) => (u, es, sm, c) }
         .toDF("user_id", "es", "s", "c")
+      }
     },
 
     // LATENESS → watermark drop + emit_final (§2.7 #75/#82, Streams —
@@ -629,9 +621,7 @@ object RuntimeE2e {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val cut = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
-      // 8 state partitions for the tiny fixture (see inc_stream_topk)
-      val __oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      withStatePartitions(s) {
       val rows = tRaw(s, dir, "events")
         .select(col("ts"), col("event_type"),
           floor(col("value")).cast("double").as("v"))
@@ -657,11 +647,9 @@ object RuntimeE2e {
         // everything here is > 1 minute behind the watermark — dropped
         in.addData(rows.filter(_._1.before(cut)).toSeq)
         q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", __oldParts)
-      }
+      } finally q.stop()
       out.toSeq.toDF("wstart", "event_type", "n", "sv")
+      }
     },
 
     // Multi-view atomic micro-batch fan-out (§2.7 #92,

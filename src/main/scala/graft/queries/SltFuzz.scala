@@ -203,7 +203,6 @@ object SltFuzz {
     * interval add/subtract chains with month-end clamping in play, and
     * LAST_DAY; folded per shape to a yyyymmdd positional checksum.
     */
-  private[graft] def genDatesPub(seed: Long): String = genDates(seed)
   private[queries] def genDates(seed: Long = 27182818L): String = {
     val rnd = new scala.util.Random(seed)
     def leaf(): String = rnd.nextInt(3) match {
@@ -256,7 +255,6 @@ object SltFuzz {
     * keys — the null-never-matches join rule and the NOT IN null trap
     * are both in play.
     */
-  private[graft] def JSpub: String = JS
   private[queries] val JS =
     """WITH a AS (SELECT id AS i, CAST(id % 13 AS INT) AS ka,
       | CAST(CASE WHEN id % 5 = 0 THEN NULL ELSE id % 7 END AS BIGINT)

@@ -26,7 +26,6 @@ object SqlConformance {
 
   // 100-row derived fixture: i, two, four, ten, v (nullable, NULL at
   // every i % 3 == 0)
-  private[graft] def TSpub: String = TS
   private[queries] val TS =
     """WITH t AS (SELECT id AS i, CAST(id % 2 AS INT) AS two,
       | CAST(id % 4 AS INT) AS four, CAST(id % 10 AS INT) AS ten,

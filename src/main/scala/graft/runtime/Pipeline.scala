@@ -202,13 +202,16 @@ final class Pipeline(spark: SparkSession,
     var i = 0
     var start = 0
     while (i < s.length) {
-      if (s(i) == '\'') {
+      if (s(i) == '\'' || s(i) == '`') {
+        // copy the quoted span (literal or backticked identifier —
+        // a name like `VARCHAR` must never hit the type maps) verbatim
+        val q = s(i)
         sb.append(f(s.substring(start, i)))
         var k = i + 1
         var open = true
         while (open && k < s.length) {
-          if (s(k) == '\'') {
-            if (k + 1 < s.length && s(k + 1) == '\'') k += 2
+          if (s(k) == q) {
+            if (k + 1 < s.length && s(k + 1) == q) k += 2
             else { open = false; k += 1 }
           } else k += 1
         }

@@ -676,7 +676,12 @@ class DialectSpec extends SparkSpec {
     // an identifier containing a quote character fails loudly
     val e = intercept[IllegalArgumentException](
       Dialect.normalize("SELECT \"O'Brien\" FROM t"))
-    assert(e.getMessage.contains("quote character"))
+    assert(e.getMessage.contains("not representable"))
+    // a quoted identifier named like a rewritten keyword must survive
+    // the keyword maps untouched (it is backticked, and the rewriters
+    // treat backticked spans like literals)
+    assert(Dialect.normalize("SELECT a AS \"VARCHAR\", b AS \"qualify\"" +
+      " FROM t") === "SELECT a AS `VARCHAR`, b AS `qualify` FROM t")
     // e2e: quoted column in the DDL, quoted references in the view
     val pipe = Pipeline(spark,
       "CREATE TABLE t (\"Order Id\" BIGINT, v BIGINT);\n" +
