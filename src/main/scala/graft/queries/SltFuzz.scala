@@ -522,6 +522,51 @@ object SltFuzz {
 
   private val tvfBodies = genTvf()
 
+  /** strftime-format corpus (datetime.md:460-560 through the
+    * registered FORMAT_TIMESTAMP/FORMAT_DATE wrappers): 20 random
+    * %-patterns over the directive subset chrono, java.time (our
+    * translator), and DuckDB's strftime all agree on byte-for-byte
+    * (%e and %f are excluded — space-padding and fraction width are
+    * documented engine splits), each emitted as a PER-ROW output
+    * column, so the driver's hash compares every formatted string of
+    * every row. Whole-second fixture timestamps; one column formats
+    * the DATE cast. Returns (sparkSql, duckSql).
+    */
+  private[graft] def genStrftime(seed: Long = 6180339L): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    val step = 4001 + rnd.nextInt(90000)
+    val base = 1500000000L + rnd.nextInt(100000)
+    val es = s"WITH e AS (SELECT id AS i, " +
+      s"timestamp_seconds($base + id * $step) AS ts FROM range(0, 90)) "
+    val ed = s"WITH e AS (SELECT i, " +
+      s"make_timestamp(($base + i * $step) * 1000000) AS ts " +
+      s"FROM range(0, 90) AS _r(i)) "
+    val dirs = "YymdHMSjaAbBIp".toCharArray
+    val seps = Seq("-", "/", " ", ":", "|", ".", "T", ", ")
+    val sparkCols = Seq.newBuilder[String]
+    val duckCols = Seq.newBuilder[String]
+    (0 until 20).foreach { q =>
+      val n = 3 + rnd.nextInt(4)
+      val fmt = (0 until n).map { k =>
+        "%" + dirs(rnd.nextInt(dirs.length)) +
+          (if (k == n - 1) "" else seps(rnd.nextInt(seps.length)))
+      }.mkString
+      val asDate = rnd.nextInt(5) == 0 &&
+        !fmt.exists("HMSIp".toSet.contains(_: Char))
+      if (asDate) {
+        sparkCols += s"format_date('$fmt', CAST(ts AS DATE)) AS q$q"
+        duckCols += s"strftime(CAST(ts AS DATE), '$fmt') AS q$q"
+      } else {
+        sparkCols += s"format_timestamp('$fmt', ts) AS q$q"
+        duckCols += s"strftime(ts, '$fmt') AS q$q"
+      }
+    }
+    (es + "SELECT i, " + sparkCols.result().mkString(", ") + " FROM e",
+      ed + "SELECT i, " + duckCols.result().mkString(", ") + " FROM e")
+  }
+
+  private val strftimeBodies = genStrftime()
+
   /** Decimal-arithmetic corpus (the reference's Postgres numeric golden
     * suites, fuzzed): random add/subtract/multiply/ABS/LEAST/GREATEST/
     * CASE chains over
@@ -682,6 +727,7 @@ object SltFuzz {
       ("fz_joins", JS + jn, JD + jn),
       ("fz_asof", graft.ddl.Dialect.normalize(JS + asS), JD + asD),
       ("fz_tvf", graft.ddl.Dialect.normalize(tvS), tvD),
+      { val (sfS, sfD) = genStrftime(seed); ("fz_strftime", sfS, sfD) },
       overT("fz_decimals", dc), overT("fz_timestamps", ts))
   }
 
@@ -709,6 +755,10 @@ object SltFuzz {
     },
     Q("slt_fuzz_tvf", tvfBodies._2) { (s, _) =>
       s.sql(graft.ddl.Dialect.normalize(tvfBodies._1))
+    },
+    Q("slt_fuzz_strftime", strftimeBodies._2) { (s, _) =>
+      graft.functions.Registry.registerAll(s)
+      s.sql(strftimeBodies._1)
     },
     Q("slt_fuzz_decimals", SqlConformance.TD + decimalBody) { (s, _) =>
       s.sql(SqlConformance.TS + decimalBody)

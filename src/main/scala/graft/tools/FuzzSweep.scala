@@ -25,6 +25,8 @@ object FuzzSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // the strftime corpus calls the registered FORMAT_* wrappers
+    graft.functions.Registry.registerAll(spark)
     val oracle = scala.collection.mutable.LinkedHashMap[String, String]()
     seeds.foreach { seed =>
       graft.queries.SltFuzz.corpus(seed).foreach {
