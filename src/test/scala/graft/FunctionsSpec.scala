@@ -191,4 +191,34 @@ class FunctionsSpec extends SparkSpec {
       s"SELECT json_get_str($doc, lower('NAME'))").collect())
     assert(e.getMessage.contains("literal"))
   }
+
+  test("strftime family: TIME pair, ISO weeks, parse contract") {
+    Registry.registerAll(spark)
+    val r = spark.sql(
+      "SELECT format_timestamp('%F %T', TIMESTAMP '2020-10-10 10:00:00')," +
+        " format_time('%H-%M-%S', TIME '10:00:00')," +
+        " CAST(parse_time('%H:%M', '10:10') AS STRING)," +
+        // ISO-8601 weeks: 2021-01-01 is week 53 of ISO year 2020, a
+        // Friday (ISO day 5) — the locale week letters would say 01/2021
+        " format_date('%G-W%V-%u', DATE '2021-01-01')," +
+        " CAST(parse_timestamp('%Y-%m-%d', '2020-10-01') AS STRING)")
+      .collect()(0)
+    assert(r.getString(0) === "2020-10-10 10:00:00")
+    assert(r.getString(1) === "10-00-00")
+    assert(r.getString(2) === "10:10:00")
+    assert(r.getString(3) === "2020-W53-5")
+    assert(r.getString(4) === "2020-10-01 00:00:00")
+    // parse failures and unresolvable directive sets raise (the
+    // reference's runtime-error contract, datetime.md:475-485)
+    val bad = intercept[Exception](spark.sql(
+      "SELECT parse_date('%Y-%m-%d', 'nope')").collect())
+    assert(bad.getMessage != null)
+    val ampm = intercept[Exception](spark.sql(
+      "SELECT parse_timestamp('%Y-%m-%d %I', '2024-03-05 07')").collect())
+    assert(ampm.getMessage != null)
+    val unsupported = intercept[Exception](spark.sql(
+      "SELECT format_date('%Q', DATE '2024-01-01')").collect())
+    assert(unsupported.getMessage.contains("%Q") ||
+      unsupported.getCause != null)
+  }
 }
