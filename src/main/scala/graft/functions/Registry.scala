@@ -18,10 +18,14 @@ object Registry {
   val sqlFunctions: Seq[(String, String, String, String)] = Seq(
     // TO_INT(binary) — the FIRST min(4, len) bytes folded big-endian
     // into a SIGNED i32 (binary.md:118, sqllib/src/binary.rs:489:
-    // result = result << 8 | byte): the unsigned conv read goes through
-    // BIGINT then wraps to INT, so x'FFFFFFFF' is -1, not NULL
+    // result = result << 8 | byte). conv() reads the fold unsigned in
+    // [0, 2^32); the modular shift re-centers it into signed-i32 range
+    // BEFORE the INT cast (ANSI mode rejects a wrapping cast — a bare
+    // CAST(BIGINT AS INT) of x'FFFFFFFF' throws CAST_OVERFLOW where the
+    // reference folds to -1)
     ("to_int", "b BINARY", "INT",
-      "CAST(CAST(conv(hex(substr(b, 1, 4)), 16, 10) AS BIGINT) AS INT)"),
+      "CAST(((CAST(conv(hex(substr(b, 1, 4)), 16, 10) AS BIGINT) " +
+        "+ 2147483648) % 4294967296) - 2147483648 AS INT)"),
     // trig tail (float.md: SEC/CSC/COT and hyperbolics)
     ("sec", "x DOUBLE", "DOUBLE", "1.0 / cos(x)"),
     ("csc", "x DOUBLE", "DOUBLE", "1.0 / sin(x)"),
@@ -99,6 +103,11 @@ object Registry {
       "sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"),
     // array tail
     ("array_length", "a ARRAY<STRING>", "INT", "size(a)"),
+    // reference spellings of natives (array.md:96,112); Spark's concat
+    // is already NULL on any NULL argument, matching ARRAY_CONCAT's rule
+    ("array_concat", "a ARRAY<STRING>, b ARRAY<STRING>", "ARRAY<STRING>",
+      "concat(a, b)"),
+    ("array_reverse", "a ARRAY<STRING>", "ARRAY<STRING>", "reverse(a)"),
     ("element", "a ARRAY<STRING>", "STRING",
       "CASE WHEN size(a) = 1 THEN a[0] WHEN size(a) = 0 THEN NULL " +
         "ELSE raise_error('ELEMENT() of array with more than one element') END"),
@@ -174,8 +183,9 @@ object Registry {
     // chrono/strftime surface (datetime.md:460-560): the %-pattern
     // formatters under their reference spellings. The Scala helpers work
     // over the ISO string rendering (CAST bridges the SQL types), so one
-    // implementation serves DATE/TIMESTAMP/TIME; parse failures raise,
-    // matching the reference's runtime-error contract (datetime.md:475).
+    // implementation serves DATE/TIMESTAMP/TIME; a string that fails to
+    // match the format parses to NULL, while a format that cannot
+    // resolve the required fields raises (datetime.md:475-485).
     spark.udf.register("__strftime",
       (fmt: String, iso: String) => Strftime.format(fmt, iso))
     spark.udf.register("__strptime_date",
@@ -201,6 +211,15 @@ object Registry {
       "RETURN __strftime(f, CAST(t AS STRING))")
     fn("parse_time(f STRING, s STRING) RETURNS TIME " +
       "RETURN CAST(__strptime_time(f, s) AS TIME)")
+    // JSON_EACH_TIME completes the json_each family (json.md:208,229-234:
+    // TIME values and strings that parse as SQL TIME literals; JSON has
+    // no time type so the string-parse arm is the productive one) — it
+    // registers here, not with its siblings, because MAP<STRING,TIME>
+    // needs the TimeType flag just enabled above
+    fn("json_each_time(v VARIANT) RETURNS MAP<STRING,TIME> RETURN " +
+      "transform_values(map_filter(try_cast(v AS MAP<STRING,VARIANT>), " +
+      "(k, x) -> try_cast(try_cast(x AS STRING) AS TIME) IS NOT NULL), " +
+      "(k, x) -> try_cast(try_cast(x AS STRING) AS TIME))")
   }
 
   def registerAll(spark: SparkSession): Unit = {
@@ -234,6 +253,12 @@ object Registry {
 
     /** 0-based SAFE_OFFSET: null out of range. */
     def safeOffset(a: Column, i: Column): Column = try_element_at(a, i + 1)
+
+    /** ARRAY_CONCAT / ARRAY_REVERSE (array.md:96,112) — Spark's natives
+      * already carry the NULL-on-any-NULL-argument rule.
+      */
+    def arrayConcat(arrs: Column*): Column = concat(arrs: _*)
+    def arrayReverse(a: Column): Column = reverse(a)
 
     /** Feldera ARRAY_EXCEPT/INTERSECT: deduplicated AND ascending
       * (array.md:100-103) — Spark's natives keep left order.

@@ -9,9 +9,11 @@ import java.time.temporal.{ChronoField, IsoFields}
   * PARSE_TIMESTAMP/PARSE_TIME surface (datetime.md:460-560 — the
   * format-specifier table; runtime `sqllib/src/timestamp.rs` formats via
   * Rust chrono). The translator builds a java.time formatter from the
-  * common directive set; an UNSUPPORTED directive raises, and a parse
-  * whose directives cannot resolve the needed fields raises (the
-  * reference's contract — datetime.md:475-485, e.g. `%I` without `%p`).
+  * common directive set; an UNSUPPORTED directive raises, a parse whose
+  * directives cannot resolve the needed fields raises, and a string that
+  * simply fails to match the format yields NULL (the reference's
+  * contract — datetime.md:475-485, e.g. `%I` without `%p` errors while
+  * `PARSE_DATE('%Y-%m-%d', 'junk')` is NULL).
   * Week-related directives (%V/%G/%u) use the ISO-8601 fields
   * explicitly — the pattern letters ww/YYYY/e would resolve through
   * the US locale's Sunday-start week numbering. Formatters are cached
@@ -32,32 +34,38 @@ object Strftime {
   private val dateDirectives = "YymbhBdeaAjFDGVu".toSet
   private val timeDirectives = "HkIlpMSTRf".toSet
 
-  /** chrono directive → java.time pattern fragment (appendPattern). */
+  /** chrono directive → java.time pattern fragment (appendPattern).
+    * Directives with no exact pattern-letter equivalent (%y's 1969-based
+    * two-digit years, the space-padded %e/%k/%l) are special-cased in
+    * [[pat]] with explicit builder calls instead.
+    */
   private def javaPattern(directive: Char): String = directive match {
     case 'Y' => "uuuu"
-    case 'y' => "uu"
     case 'm' => "MM"
     case 'b' | 'h' => "MMM"
     case 'B' => "MMMM"
     case 'd' => "dd"
-    case 'e' => "d"
     case 'a' => "EEE"
     case 'A' => "EEEE"
     case 'j' => "DDD"
     case 'H' => "HH"
-    case 'k' => "H"
     case 'I' => "hh"
-    case 'l' => "h"
     case 'p' => "a"
     case 'M' => "mm"
     case 'S' => "ss"
     case 'F' => "uuuu-MM-dd"
     case 'T' => "HH:mm:ss"
     case 'R' => "HH:mm"
-    case 'D' => "MM/dd/uu"
     case other => throw new IllegalArgumentException(
       s"unsupported strftime directive %$other (datetime.md format table)")
   }
+
+  /** chrono's %y: prints year mod 100, parses 69-99 as 1969-1999 and
+    * 00-68 as 2000-2068 (the strftime pivot — java's 'uu' would resolve
+    * '85' to 2085). One reduced-value field serves both directions.
+    */
+  private def appendTwoDigitYear(b: DateTimeFormatterBuilder): Unit =
+    b.appendValueReduced(ChronoField.YEAR, 2, 2, 1969)
 
   private def pat(fmt: String): Pat =
     cache.computeIfAbsent(fmt, { f =>
@@ -90,6 +98,21 @@ object Strftime {
             case 'u' => // ISO day-of-week, Monday=1
               b.appendValue(ChronoField.DAY_OF_WEEK, 1)
               hasDate = true; i += 2
+            case 'y' =>
+              appendTwoDigitYear(b); hasDate = true; i += 2
+            case 'D' => // %m/%d/%y, with the %y pivot
+              b.appendPattern("MM/dd/")
+              appendTwoDigitYear(b); hasDate = true; i += 2
+            // space-padded fields ("Same as %d/%H/%I but space-padded")
+            case 'e' =>
+              b.padNext(2, ' ').appendValue(ChronoField.DAY_OF_MONTH)
+              hasDate = true; i += 2
+            case 'k' =>
+              b.padNext(2, ' ').appendValue(ChronoField.HOUR_OF_DAY)
+              hasTime = true; i += 2
+            case 'l' =>
+              b.padNext(2, ' ').appendValue(ChronoField.CLOCK_HOUR_OF_AMPM)
+              hasTime = true; i += 2
             case d =>
               b.appendPattern(javaPattern(d))
               if (dateDirectives(d)) hasDate = true
@@ -118,15 +141,30 @@ object Strftime {
     formatter(fmt).format(accessor)
   }
 
+  /** PARSE_* failure contract (datetime.md:475-485): a string that does
+    * not match the format yields NULL; only a format incapable of
+    * producing the required type (e.g. `%I` without `%p`) is a runtime
+    * error. Text mismatches surface as DateTimeParseException from
+    * `DateTimeFormatter.parse` → null here; the later
+    * `LocalDate.from`/`LocalTime.from` resolution failures (missing
+    * field families) throw plain DateTimeException and keep raising.
+    */
+  private def tryParse(fmt: DateTimeFormatter,
+      s: String): java.time.temporal.TemporalAccessor =
+    try fmt.parse(s)
+    catch { case _: java.time.format.DateTimeParseException => null }
+
   def parseDate(fmt: String, s: String): String = {
     if (fmt == null || s == null) return null
-    LocalDate.parse(s, formatter(fmt)).toString
+    val parsed = tryParse(formatter(fmt), s)
+    if (parsed == null) null else LocalDate.from(parsed).toString
   }
 
   def parseTimestamp(fmt: String, s: String): String = {
     if (fmt == null || s == null) return null
     val p = pat(fmt)
-    val parsed = p.fmt.parse(s)
+    val parsed = tryParse(p.fmt, s)
+    if (parsed == null) return null
     // a pattern with date/time directives must RESOLVE them —
     // LocalDate.from / LocalTime.from raise on an incomplete set
     // (e.g. %I without %p), the reference's contract; a pattern
@@ -141,7 +179,9 @@ object Strftime {
 
   def parseTime(fmt: String, s: String): String = {
     if (fmt == null || s == null) return null
-    LocalTime.parse(s, formatter(fmt))
+    val parsed = tryParse(formatter(fmt), s)
+    if (parsed == null) null
+    else LocalTime.from(parsed)
       .format(DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS"))
   }
 }

@@ -208,11 +208,13 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(2) === "10:10:00")
     assert(r.getString(3) === "2020-W53-5")
     assert(r.getString(4) === "2020-10-01 00:00:00")
-    // parse failures and unresolvable directive sets raise (the
-    // reference's runtime-error contract, datetime.md:475-485)
-    val bad = intercept[Exception](spark.sql(
-      "SELECT parse_date('%Y-%m-%d', 'nope')").collect())
-    assert(bad.getMessage != null)
+    // a string that fails to match the format is NULL (datetime.md:479);
+    // only an unresolvable directive set raises (datetime.md:477-485)
+    val nulls = spark.sql(
+      "SELECT parse_date('%Y-%m-%d', 'nope')," +
+        " parse_timestamp('%Y-%m-%d', '2024-13-99')," +
+        " parse_time('%H:%M', 'junk')").head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
     val ampm = intercept[Exception](spark.sql(
       "SELECT parse_timestamp('%Y-%m-%d %I', '2024-03-05 07')").collect())
     assert(ampm.getMessage != null)
@@ -220,5 +222,41 @@ class FunctionsSpec extends SparkSpec {
       "SELECT format_date('%Q', DATE '2024-01-01')").collect())
     assert(unsupported.getMessage.contains("%Q") ||
       unsupported.getCause != null)
+  }
+
+  test("strftime: %y pivot, %e/%k/%l space padding, %D") {
+    Registry.registerAll(spark)
+    val r = spark.sql(
+      // chrono pivot: 69-99 → 19xx, 00-68 → 20xx (java's 'uu' would
+      // read '85' as 2085); %e/%k/%l are space-padded per the reference
+      "SELECT CAST(parse_date('%y-%m-%d', '85-03-04') AS STRING)," +
+        " CAST(parse_date('%y-%m-%d', '68-03-04') AS STRING)," +
+        " format_date('%y', DATE '1985-06-01')," +
+        " format_date('%e', DATE '2024-01-08')," +
+        " format_timestamp('%k|%l', TIMESTAMP '2024-01-08 08:05:00')," +
+        " format_date('%D', DATE '1999-07-04')," +
+        " CAST(parse_date('%D', '07/04/99') AS STRING)").head()
+    assert(r.getString(0) === "1985-03-04")
+    assert(r.getString(1) === "2068-03-04")
+    assert(r.getString(2) === "85")
+    assert(r.getString(3) === " 8")
+    assert(r.getString(4) === " 8| 8")
+    assert(r.getString(5) === "07/04/99")
+    assert(r.getString(6) === "1999-07-04")
+  }
+
+  test("to_int: signed big-endian fold incl. MSB-set inputs") {
+    Registry.registerAll(spark)
+    // binary.rs to_int_ folds min(4, len) bytes into i32: x'FFFFFFFF'
+    // is -1, x'80000000' is i32::MIN — ANSI CAST must not overflow
+    val r = spark.sql(
+      "SELECT to_int(x'FFFFFFFF'), to_int(x'80000000')," +
+        " to_int(x'7FFFFFFF'), to_int(x'0001'), to_int(x'FFFFFFFF01')")
+      .head()
+    assert(r.getInt(0) === -1)
+    assert(r.getInt(1) === Int.MinValue)
+    assert(r.getInt(2) === Int.MaxValue)
+    assert(r.getInt(3) === 1)
+    assert(r.getInt(4) === -1) // only the first 4 bytes fold
   }
 }
