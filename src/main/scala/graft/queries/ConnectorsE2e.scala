@@ -219,6 +219,52 @@ object ConnectorsE2e {
           sum(col("o_orderkey")).as("keysum"))
     },
 
+    // Secret/env references (§2.1 #18, connectors/secret-references.md):
+    // the connector's path is assembled from an `${env:...}` reference
+    // plus a `${secret:kubernetes:name/key}` file staged under
+    // GRAFT_SECRETS_DIR (the Kubernetes volume-mount layout); resolution
+    // happens inside Connectors.parse, and the graded relation is the
+    // data read back through the RESOLVED connector. A JVM cannot set
+    // its own env vars, so the row stages both references through the
+    // sys.props arm of Connectors.defaultEnv — the same resolution code
+    // path a mounted deployment takes, secret trimming included.
+    Q(
+      "conn_secrets",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderkey <= 1500 AND o_orderkey % 4 <> 0
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_secrets_data").toString
+      tRaw(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1500 && col("o_orderkey") % 4 =!= 0)
+        .select(concat(lit("""{"insert": """),
+          to_json(struct(col("o_orderkey"), col("o_orderstatus"))),
+          lit("}")).as("value"))
+        .write.text(s"$base/orders_log")
+      val secroot = java.nio.file.Files
+        .createTempDirectory("graft_secret_mount")
+      java.nio.file.Files.createDirectories(secroot.resolve("store"))
+      java.nio.file.Files.writeString(
+        secroot.resolve("store").resolve("subdir"), "orders_log\n")
+      sys.props("GRAFT_SECRETS_DIR") = secroot.toString
+      sys.props("GRAFT_E2E_DATA_ROOT") = base
+      val tdef = graft.ddl.Ddl.parse(
+        "CREATE TABLE o_sec (o_orderkey BIGINT, o_orderstatus VARCHAR);")
+        .tables.head
+      val confs = graft.sources.Connectors.parse(
+        """[{"transport": {"name": "file_input", "config": {"path":
+          | "${env:GRAFT_E2E_DATA_ROOT}/${secret:kubernetes:store/subdir}"}},
+          | "format": {"name": "json",
+          |  "config": {"update_format": "insert_delete"}}}]"""
+          .stripMargin.replaceAll("\n", ""))
+      graft.zset.ZSets.toMultiset(
+          graft.sources.Connectors.read(s, tdef, confs.head))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("keysum"))
+    },
+
     // NATS JetStream input: the native text-protocol + JS API client
     // against the in-process stub — insert envelopes plus a deletion
     // wave published through a REAL client socket, drained by the

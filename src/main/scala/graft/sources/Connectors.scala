@@ -52,8 +52,16 @@ object Connectors {
     * mount produces. Resolution happens at connector-parse time and
     * resolved values are never written back to DDL/journals.
     */
+  /** Default reference source: the process environment, with Java system
+    * properties as a fallback for embedded hosts (a JVM cannot set its
+    * own env vars, so an embedding application — or a test harness —
+    * stages references via `sys.props`; a real env var always wins).
+    */
+  private[graft] def defaultEnv(name: String): Option[String] =
+    sys.env.get(name).orElse(sys.props.get(name))
+
   private[graft] def resolveRefs(value: String,
-      env: String => Option[String] = sys.env.get): String = {
+      env: String => Option[String] = defaultEnv): String = {
     val re = """\$\{(env|secret):([^}]+)\}""".r
     re.replaceAllIn(value, m => {
       val resolved = m.group(1) match {

@@ -821,4 +821,20 @@ class ConnectorsSpec extends SparkSpec {
       Connectors.resolveRefs("${secret:vault:x}", k => env.get(k)))
     assert(e2.getMessage.contains("provider"))
   }
+
+  test("defaultEnv falls back to system properties (embedded hosts)") {
+    val key = "GRAFT_TEST_SECRET_PROP"
+    try {
+      sys.props(key) = "from-props"
+      assert(Connectors.resolveRefs(s"$${env:$key}") === "from-props")
+    } finally sys.props -= key
+    // a real env var wins over a same-named property
+    val envName = sys.env.keys.headOption
+    envName.foreach { n =>
+      try {
+        sys.props(n) = "shadowed"
+        assert(Connectors.resolveRefs(s"$${env:$n}") === sys.env(n))
+      } finally sys.props -= n
+    }
+  }
 }
