@@ -260,7 +260,7 @@ object Ddl {
             off.equalsIgnoreCase("FALSE") => "false"
           case lit => lit
         }
-        val known = Set("enforce_positive_inputs",
+        val known = Set("enforce_positive_inputs", "asof_lateral_fallback",
           "feldera_warnings_are_errors", "feldera_avoid_star_joins",
           "feldera_flat_variant", "feldera_use_multi_joins")
         val n = name.toLowerCase
@@ -294,8 +294,11 @@ object Ddl {
           case Some("MATERIALIZED") => MaterializedView
           case _ => OutputView
         }
-        views += ViewDef(name.toLowerCase, Dialect.normalize(sql.trim), k,
-          parseProps(props))
+        views += ViewDef(name.toLowerCase,
+          Dialect.normalize(sql.trim, adHoc = false,
+            asofLateralFallback =
+              options.get("asof_lateral_fallback").contains("true")),
+          k, parseProps(props))
       case indexRe(name, view, cols) =>
         indexes += IndexDef(name.toLowerCase, view.toLowerCase,
           splitColumns(cols).map(_.trim.toLowerCase).filter(_.nonEmpty))

@@ -80,6 +80,23 @@ object Dialect {
 
   def normalize(sql: String): String = normalize(sql, adHoc = false)
 
+  /** Opt-in for the quadratic ASOF LATERAL fallback (scoped to one
+    * normalize call; `SET asof_lateral_fallback = ON` in a program
+    * threads it here). Default OFF: an ASOF shape the union+window
+    * lowering cannot prove is a loud error, not a silent planner-
+    * quadratic plan — a batch job never reads a stderr note.
+    */
+  private val asofLateralOptIn = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  def normalize(sql: String, adHoc: Boolean,
+      asofLateralFallback: Boolean): String = {
+    val prev = asofLateralOptIn.get
+    asofLateralOptIn.set(asofLateralFallback)
+    try normalize(sql, adHoc) finally asofLateralOptIn.set(prev)
+  }
+
   /** @param adHoc true for interactive statements (not view bodies) —
     *   a DISTINCT ON's trailing ORDER BY is then kept (the user asked
     *   for a presentation order; in a view body relations are
@@ -233,13 +250,14 @@ object Dialect {
     * (`R.t >= L.t`, earliest following match) flips the sort to DESC
     * so both directions stay on the O(n) running-frame execution path.
     *
-    * Shapes the union+window form cannot prove fall back to the
-    * LATERAL top-1 probe (correct, config-scale only — quadratic under
-    * decorrelation; a note is printed): a left operand that is itself
-    * a join tree, an ON condition that is not a conjunction of
-    * equalities splitting cleanly across the two aliases, or a bare
-    * `*` select list over a multi-item FROM clause. A bare `*` whose
-    * FROM is exactly this ASOF join is rewritten to `L.*, R.*`.
+    * Shapes the union+window form cannot prove — a left operand that
+    * is itself a join tree, an ON condition that is not a conjunction
+    * of equalities splitting cleanly across the two aliases, or a bare
+    * `*` select list over a multi-item FROM clause — are a loud ERROR
+    * by default; `SET asof_lateral_fallback = ON` opts in to the
+    * LATERAL top-1 probe instead (correct, config-scale only —
+    * quadratic under decorrelation). A bare `*` whose FROM is exactly
+    * this ASOF join is rewritten to `L.*, R.*`.
     */
   private def rewriteAsofJoin(s: String): String =
     asofJoinKw.findAllMatchIn(s).find(m => !inQuoteMap(s)(m.start)) match {
@@ -377,10 +395,20 @@ object Dialect {
         val replaced = lowerAsofUnionWindow(s, m.start, onEnd, baseDepth,
           isLeft, rightOperand, rName, lhs, rhs, refsRight, onCond)
           .getOrElse {
+            if (!asofLateralOptIn.get) sys.error(
+              "graft: ASOF JOIN shape not provable for the union+window " +
+                "lowering (the left operand is a join tree that cannot " +
+                "be wrapped, the ON clause is not a conjunction of " +
+                "cross-alias equalities, or a bare * spans a multi-item " +
+                "FROM): «" +
+                s.substring(m.start, math.min(onEnd, m.start + 200)) +
+                "» — the LATERAL top-1 probe is quadratic under " +
+                "decorrelation (config scale only); opt in explicitly " +
+                "with SET asof_lateral_fallback = ON")
             System.err.println("graft: ASOF JOIN shape not provable for " +
               "the union+window lowering; falling back to the LATERAL " +
               "top-1 probe (correct, but quadratic under decorrelation " +
-              "- config scale only)")
+              "- config scale only) per SET asof_lateral_fallback = ON")
             val joinKw = if (isLeft) "LEFT OUTER JOIN LATERAL"
               else "CROSS JOIN LATERAL"
             val onTrue = if (isLeft) " ON TRUE" else ""

@@ -344,6 +344,18 @@ object Dedup {
   private def localUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val idType = edges.schema("u").dataType
+    // the min-label fold below compares ids via Comparable — a struct/
+    // array/map id would CCE mid-fold; fail loudly at the gate instead
+    val orderableAtomic = idType match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    }
+    require(orderableAtomic,
+      s"localUnionFind needs an orderable atomic id column (numeric/" +
+        s"string/date/timestamp), got ${idType.catalogString}")
     val rows = edges.collect()
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {

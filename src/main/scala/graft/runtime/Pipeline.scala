@@ -2233,7 +2233,9 @@ final class Pipeline(spark: SparkSession,
     bindCurrent()
     def one(stmt0: String): DataFrame = {
       val stmt = Pipeline.rewriteReplaceStar(spark,
-        graft.ddl.Dialect.normalize(stmt0, adHoc = true))
+        graft.ddl.Dialect.normalize(stmt0, adHoc = true,
+          asofLateralFallback =
+            program.optionOn("asof_lateral_fallback")))
       stmt match {
         case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
         case _ => spark.sql(stmt)

@@ -233,14 +233,29 @@ class DialectSpec extends SparkSpec {
       "SELECT * FROM l LEFT ASOF JOIN r " +
         "MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k")
     assert(star.startsWith("SELECT l.*, r.* FROM (SELECT __l.*"), star)
-    // shapes the union+window form cannot prove (non-equi ON) fall
-    // back to the lateral top-1 probe
-    val noneq = Dialect.normalize(
-      "SELECT l.k, r.v FROM l LEFT ASOF JOIN r " +
-        "MATCH_CONDITION (l.ts >= r.ts) ON l.k >= r.k")
+    // shapes the union+window form cannot prove (non-equi ON) are a
+    // loud ERROR by default — the quadratic lateral probe needs an
+    // explicit SET asof_lateral_fallback = ON
+    val unprovable = "SELECT l.k, r.v FROM l LEFT ASOF JOIN r " +
+      "MATCH_CONDITION (l.ts >= r.ts) ON l.k >= r.k"
+    val refusal = intercept[RuntimeException](
+      Dialect.normalize(unprovable))
+    assert(refusal.getMessage.contains("asof_lateral_fallback"),
+      refusal.getMessage)
+    assert(refusal.getMessage.contains("ASOF JOIN r"), refusal.getMessage)
+    val noneq = Dialect.normalize(unprovable, adHoc = false,
+      asofLateralFallback = true)
     assert(noneq === "SELECT l.k, r.v FROM l LEFT OUTER JOIN LATERAL " +
       "(SELECT * FROM r WHERE (l.k >= r.k) AND (l.ts >= r.ts) " +
       "ORDER BY r.ts DESC LIMIT 1) r ON TRUE ")
+    // the SET option threads through Ddl.parse to view lowering
+    val prog = graft.ddl.Ddl.parse(
+      "SET asof_lateral_fallback = ON;\n" +
+        "CREATE VIEW v AS " + unprovable + ";")
+    assert(prog.views.head.sql.contains("JOIN LATERAL"))
+    val refusedProg = intercept[RuntimeException](graft.ddl.Ddl.parse(
+      "CREATE VIEW v AS " + unprovable + ";"))
+    assert(refusedProg.getMessage.contains("asof_lateral_fallback"))
     // multi-key ON conjunction partitions on every key
     val multi = Dialect.normalize(
       "SELECT l.k FROM l LEFT ASOF JOIN r " +
@@ -626,10 +641,13 @@ class DialectSpec extends SparkSpec {
         "ASOF JOIN rates r MATCH_CONDITION (o.ts >= r.ts) ON o.cur = r.cur")
     assert(star.contains("o.*, c.*, r.*"), s"star not expanded:\n$star")
     // NATURAL/USING trees are NOT provable (coalesced columns would
-    // change a bare *'s schema) — lateral fallback
-    val nat = Dialect.normalize(
-      "SELECT a.x FROM a NATURAL JOIN b " +
-        "ASOF JOIN r MATCH_CONDITION (a.ts >= r.ts) ON a.k = r.k")
+    // change a bare *'s schema) — refused by default, lateral on opt-in
+    val natSql = "SELECT a.x FROM a NATURAL JOIN b " +
+      "ASOF JOIN r MATCH_CONDITION (a.ts >= r.ts) ON a.k = r.k"
+    assert(intercept[RuntimeException](Dialect.normalize(natSql))
+      .getMessage.contains("asof_lateral_fallback"))
+    val nat = Dialect.normalize(natSql, adHoc = false,
+      asofLateralFallback = true)
     assert(nat.toUpperCase.contains("LATERAL"))
     // e2e through the pipeline: orders x customers probe, per-currency
     // rate asof; one unmatched currency null-extends

@@ -363,6 +363,12 @@ class LlmSpec extends SparkSpec {
     val comp = Dedup.connectedComponents(path, "id_a", "id_b",
       smallGraphThreshold = 0L).as[(Long, Long)].collect()
     assert(comp.length === 40 && comp.forall(_._2 == 1L))
+    // a non-orderable id type (struct) fails loudly at the gate, not
+    // with a ClassCastException mid-fold on the driver tail
+    val structIds = Seq(((1L, "a"), (2L, "b"))).toDF("id_a", "id_b")
+    val guard = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(structIds, "id_a", "id_b").collect())
+    assert(guard.getMessage.contains("orderable atomic id"))
   }
 
   test("contaminationScore flags overlap with the benchmark set") {
