@@ -229,6 +229,8 @@ object Registry {
     org.apache.spark.sql.graft.DebugFns.register(spark)
     // the ad-hoc json_get path-getter family (ad-hoc.md)
     org.apache.spark.sql.graft.JsonGetFns.register(spark)
+    // constant-pattern FORMAT_* → native date_format optimizer rule
+    org.apache.spark.sql.graft.StrftimeFastPath.register(spark)
   }
 
   /** Generic (any element type) Column forms of the array tail — the SQL

@@ -245,6 +245,39 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(6) === "1999-07-04")
   }
 
+  test("strftime constant-pattern fast path lowers to date_format") {
+    Registry.registerAll(spark)
+    // translatable literal pattern → native date_format, no UDF node
+    // (the input must be a COLUMN — a literal argument constant-folds
+    // the whole expression away and the plan assert would be vacuous)
+    val fast = spark.range(2).selectExpr(
+      "format_timestamp('%Y-%m-%d %H:%M:%S', " +
+        "timestamp_seconds(id + 1709213130)) AS s")
+    assert(!fast.queryExecution.optimizedPlan.toString
+      .contains("__strftime"), fast.queryExecution.optimizedPlan.toString)
+    assert(fast.queryExecution.optimizedPlan.toString
+      .contains("date_format"))
+    assert(fast.orderBy("s").head().getString(0) === "2024-02-29 13:25:30")
+    // results agree with the UDF path across representative patterns
+    for (p <- Seq("%F %T", "%d/%m/%y", "%I %p", "%j", "%B %Y", "%a%%x."))
+      assert(spark.sql(
+        s"SELECT format_timestamp('$p', TIMESTAMP '1999-07-04 06:30:15')")
+        .head().getString(0) ===
+        graft.functions.Strftime.format(p, "1999-07-04 06:30:15"), p)
+    // ISO-week / space-padded directives stay on the UDF (no native
+    // equivalent) and still answer correctly
+    val iso = spark.range(1).selectExpr(
+      "format_date('%G-W%V-%u', date_add(DATE '2021-01-01', " +
+        "CAST(id AS INT))) AS s")
+    assert(iso.queryExecution.optimizedPlan.toString
+      .contains("__strftime"))
+    assert(iso.head().getString(0) === "2020-W53-5")
+    // a DATE source with time directives keeps the UDF's raise contract
+    val e = intercept[Exception](spark.sql(
+      "SELECT format_date('%H:%M', DATE '2024-01-01')").collect())
+    assert(e.getMessage != null)
+  }
+
   test("to_int: signed big-endian fold incl. MSB-set inputs") {
     Registry.registerAll(spark)
     // binary.rs to_int_ folds min(4, len) bytes into i32: x'FFFFFFFF'
