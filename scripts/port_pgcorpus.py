@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Port PostgreSQL-regression-derived conformance fixtures into
+src/test/resources/pgcorpus/<suite>.txt.
+
+The upstream material is PostgreSQL's own regression suite (e.g.
+postgres/src/test/regress/expected/window.out), as adapted by the
+reference compiler's golden tests (sql-to-dbsp-compiler
+.../compiler/sql/postgres/*.java). This script extracts only the SQL
+fixtures and their recorded expected outputs — test DATA, not engine
+code — and stamps each file with its provenance.
+
+Output format per suite file:
+  == SETUP
+  <DDL + INSERT statements>
+  == TEST <method>[/sorted][/trim] <n>
+  <query;>
+  <expected .out block (header, ----, rows, "(N rows)")>
+
+Only q/qs/qst blocks from non-@Ignore'd methods are ported (qf blocks
+test error messages, which are engine-specific).
+"""
+import re
+import sys
+import pathlib
+
+REF = pathlib.Path("/root/reference/sql-to-dbsp-compiler/SQL-compiler/"
+                   "src/test/java/org/dbsp/sqlCompiler/compiler/sql/postgres")
+OUT = pathlib.Path(__file__).resolve().parent.parent / \
+    "src/main/resources/pgcorpus"
+
+TEXTBLOCK = re.compile(r'"""\n?(.*?)"""', re.DOTALL)
+
+
+def unescape_java(t: str) -> str:
+    """Process Java text-block escapes the extractor reads raw from
+    source: the corpus's runtime text is what the tests actually ran."""
+    out = []
+    i = 0
+    esc = {"\\": "\\", '"': '"', "'": "'", "t": "\t", "n": "\n",
+           "r": "\r", "f": "\f", "b": "\b", "s": " "}
+    while i < len(t):
+        c = t[i]
+        if c == "\\" and i + 1 < len(t) and t[i + 1] in esc:
+            out.append(esc[t[i + 1]])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def strip_indent(block: str) -> str:
+    lines = block.split("\n")
+    indents = [len(l) - len(l.lstrip()) for l in lines if l.strip()]
+    if not indents:
+        return block
+    cut = min(indents)
+    return "\n".join(l[cut:] if len(l) >= cut else l for l in lines)
+
+
+def extract(java_path: pathlib.Path):
+    src = java_path.read_text()
+    # split into method chunks: keep (annotations, name, body-with-calls)
+    setup = []
+    tests = []  # (method, mode, block)
+    # prepareInputs text blocks
+    prep = re.search(
+        r"prepareInputs\s*\([^)]*\)\s*\{(.*?)\n    \}", src, re.DOTALL)
+    if prep:
+        body = prep.group(1)
+        blocks = [strip_indent(m.group(1)).strip()
+                  for m in TEXTBLOCK.finditer(body)]
+        # single-line Java string literals may carry DDL alongside the
+        # text blocks (e.g. Int4's createTable variable); lines calling
+        # insertFromResource are excluded so resource names don't leak in
+        def cut_comment(line):
+            # drop // comments (their bodies quote SQL fragments that
+            # would otherwise leak into the literal scan), quote-aware
+            inq = False
+            i = 0
+            while i < len(line):
+                c = line[i]
+                if c == '"' and (i == 0 or line[i - 1] != "\\"):
+                    inq = not inq
+                elif not inq and line.startswith("//", i):
+                    return line[:i]
+                i += 1
+            return line
+        body2 = "\n".join(cut_comment(l)
+                          for l in TEXTBLOCK.sub("", body).split("\n")
+                          if "insertFromResource" not in l)
+        lits = re.findall(r'"((?:[^"\\]|\\.)*)"', body2)
+        joined = "".join(lits)
+        joined = joined.replace("\\n", "\n").replace("\\t", "\t") \
+            .replace('\\"', '"').replace("\\\\", "\\").strip()
+        if joined and ("CREATE" in joined.upper()
+                       or "INSERT" in joined.upper()):
+            setup.append(joined if joined.endswith(";") else joined + ";")
+        # some DDL text blocks lack a trailing ';' (statements are
+        # submitted separately upstream); terminate for our splitter
+        setup.extend(b if b.rstrip().endswith(";") else b + ";"
+                     for b in blocks)
+        # insertFromResource("t", ...) pulls t.csv (tab-separated, the
+        # Postgres tenk1-derived data) into INSERT statements
+        body_nc = "\n".join(l for l in body.split("\n")
+                             if not l.strip().startswith("//"))
+        for m2 in re.finditer(r'insertFromResource\("(\w+)"', body_nc):
+            table = m2.group(1)
+            csv = (REF.parent.parent.parent.parent.parent.parent.parent
+                   / "resources" / f"{table}.csv")
+            rows = []
+            for line in csv.read_text().strip().split("\n"):
+                fields = "', '".join(line.split("\t"))
+                rows.append(f"INSERT INTO {table} VALUES('{fields}');")
+            setup.append("\n".join(rows))
+    # test methods
+    for m in re.finditer(
+            r"((?:@\w+(?:\([^)]*\))?\s*)*)public void (\w+)\(\)\s*\{(.*?)\n    \}",
+            src, re.DOTALL):
+        annotations, name, body = m.group(1), m.group(2), m.group(3)
+        if "@Ignore" in annotations:
+            continue
+        for call in re.finditer(
+                r"this\.(qst|qs|q|qf)\s*\(\s*\"\"\"\n?(.*?)\"\"\"",
+                body, re.DOTALL):
+            kind = call.group(1)
+            if kind == "qf":
+                continue  # error-message tests are engine-specific
+            block = strip_indent(call.group(2)).rstrip()
+            mode = "sorted"  # DBSP compare is multiset for q and qs alike
+            trim = "/trim" if kind == "qst" else ""
+            tests.append((name, kind, mode + trim, block))
+    return setup, tests
+
+
+def split_qs_block(block: str):
+    """Split a qs-style block into (query, expected) units. Units are
+    separated by blank lines, but a blank line can ALSO be an empty-
+    string/NULL result row — so parts are merged until each unit ends
+    with its '(N rows)' fence."""
+    units = []
+    cur = []
+    # exact empty-line separator: a " " line is DATA (an empty cell)
+    for part in re.split(r"\n\n", block):
+        if not part.strip():
+            if cur:
+                cur.append(part)
+            continue
+        cur.append(part)
+        if re.search(r"\(\d+ rows?\)\s*$", part):
+            units.append("\n\n".join(cur).strip("\n"))
+            cur = []
+    if cur and "".join(cur).strip():
+        units.append("\n\n".join(cur).strip("\n"))
+    return units
+
+
+def port(java_name: str, suite: str, take=None, skip=None):
+    setup, tests = extract(REF / java_name)
+    out = [f"-- pgcorpus suite: {suite}",
+           "-- provenance: PostgreSQL regression suite "
+           "(postgres/src/test/regress), as adapted by",
+           f"--   sql-to-dbsp-compiler/.../postgres/{java_name}",
+           "-- ported as test fixtures (queries + recorded expected "
+           "output); see PgCorpus.scala",
+           "== SETUP"]
+    out.extend(setup)
+    n_units = 0
+    method_counter = {}
+    for name, kind, mode, block in tests:
+        if take and name not in take:
+            continue
+        if skip and name in skip:
+            continue
+        units = [block] if kind == "q" else split_qs_block(block)
+        for unit in units:
+            i = method_counter.get(name, 0)
+            method_counter[name] = i + 1
+            if kind != "q" and not re.search(r"\(\d+ rows?\)\s*$", unit):
+                print(f"  [skip malformed] {suite}/{name}#{i}")
+                continue
+            out.append(f"== TEST {name}#{i} {mode}")
+            # escape processing happens after unit splitting so a
+            # lone "\s" row cannot read as a blank separator line
+            out.append(unescape_java(unit).rstrip())
+            n_units += 1
+    OUT.mkdir(parents=True, exist_ok=True)
+    (OUT / f"{suite}.txt").write_text("\n".join(out) + "\n")
+    print(f"{suite}: {n_units} tests, {len(setup)} setup blocks")
+
+
+if __name__ == "__main__":
+    port("PostgresWindowTests.java", "window")
+    port("PostgresCaseTests.java", "case")
+    port("PostgresLimitTests.java", "limit")
+    port("PostgresBoolTests.java", "bool")
+    port("PostgresGroupingSetsTests.java", "groupingsets")
+    port("PostgresAggregatesTests.java", "aggregates")
+    port("PostgresInt4Tests.java", "int4")
+    port("PostgresInt8Tests.java", "int8")
+    port("PostgresStringTests.java", "strings")
+    port("PostgresDateTests.java", "date")
+    port("PostgresTimestampTests.java", "timestamp")

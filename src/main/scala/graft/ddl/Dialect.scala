@@ -57,6 +57,9 @@ object Dialect {
   private val limitStartCount =
     """(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r
   private val limitAll = """(?is)\s*\bLIMIT\s+ALL\b""".r
+  // Postgres also accepts the clauses in OFFSET-first order
+  private val offsetLimit =
+    """(?is)\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b""".r
   // LOGICAL_AND / LOGICAL_OR (aggregates.md:90,441 — synonyms of
   // BOOL_AND/BOOL_OR; Spark spells only the BOOL_ forms natively)
   private val logicalAgg = """(?is)\bLOGICAL_(AND|OR)(\s*\()""".r
@@ -104,7 +107,7 @@ object Dialect {
     *   columns, so it is dropped).
     */
   def normalize(sql: String, adHoc: Boolean): String =
-    rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(stripComments(sql)))) { run =>
+    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteCharCast(rewriteSubstringFromFor(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteUnicodeStringLiterals(stripComments(sql))))) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -116,14 +119,384 @@ object Dialect {
       val g = fetchRows.replaceAllIn(f,
         m => "LIMIT " + Option(m.group(1)).getOrElse("1"))
       val h = offsetRows.replaceAllIn(g, "OFFSET $1")
-      val i = limitStartCount.replaceAllIn(h, "LIMIT $2 OFFSET $1")
+      val h2 = offsetLimit.replaceAllIn(h, "LIMIT $2 OFFSET $1")
+      val i = limitStartCount.replaceAllIn(h2, "LIMIT $2 OFFSET $1")
       val j = limitAll.replaceAllIn(i, "")
       val k = logicalAgg.replaceAllIn(j,
         m => "BOOL_" + m.group(1).toUpperCase +
           java.util.regex.Matcher.quoteReplacement(m.group(2)))
       val l = safeCast.replaceAllIn(k, "TRY_CAST$1")
-      mapBareTypes(l)
-    }))))), adHoc)
+      // reference SPLIT_PART tolerates n = 0 (''), Spark's raises
+      val l2 = """(?i)\bSPLIT_PART(\s*\()""".r
+        .replaceAllIn(l, "split_part_f$1")
+      mapBareTypes(rewriteMultiArgGrouping(l2))
+    }))))))))))), adHoc))
+
+  /** The reference's string literals are standard-conforming (no
+    * backslash escapes; '' is the only escape — string.md), while
+    * Spark's parser processes C-style escapes ('a\b' becomes
+    * a<backspace>). Doubling every backslash inside literals at the
+    * end of the rewrite pipeline makes Spark read them verbatim while
+    * leaving '' doubling (which Spark also honors) untouched.
+    */
+  private[graft] def escapeLiteralBackslashes(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var inQ = false
+    for (c <- s) {
+      if (c == '\'') inQ = !inQ
+      if (c == '\\' && inQ) out ++= "\\\\" else out += c
+    }
+    out.toString
+  }
+
+  /** `U&'...' [UESCAPE 'c']` Unicode string literals (string.md:59-70):
+    * escape char + 4 hex digits denote a code point, a doubled escape
+    * char denotes itself; decoded at rewrite time into a plain quoted
+    * literal (Spark has no U& literal spelling). A decoded quote is
+    * re-doubled so the emitted literal stays well-formed.
+    */
+  private[graft] def rewriteUnicodeStringLiterals(s: String): String = {
+    val re = """(?is)\bU&'((?:[^']|'')*)'(\s*UESCAPE\s*'([^'])')?""".r
+    re.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val esc = if (m.group(3) != null) m.group(3).charAt(0) else '\\'
+      val out = new StringBuilder
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c == esc) {
+          if (i + 1 < body.length && body.charAt(i + 1) == esc) {
+            out += esc; i += 2
+          } else if (i + 4 < body.length && body.substring(i + 1, i + 5)
+              .forall(h => Character.digit(h, 16) >= 0)) {
+            val cp = Integer.parseInt(body.substring(i + 1, i + 5), 16)
+            if (cp == '\'') out ++= "''" else out += cp.toChar
+            i += 5
+          } else sys.error(
+            s"invalid unicode escape in U&'...' literal: $body")
+        } else { out += c; i += 1 }
+      }
+      scala.util.matching.Regex
+        .quoteReplacement("'" + out.toString + "'")
+    })
+  }
+
+  /** `SUBSTRING(x FROM s FOR l)` with the reference's clamp semantics
+    * (string.md:249-251): a negative start yields `max(l + s - 1, 0)`
+    * characters from position 1, a negative length yields the empty
+    * string — where Spark's native FROM/FOR form wraps a negative
+    * start around the END of the string. Arithmetic runs in BIGINT so
+    * pathological lengths cannot overflow. The FROM-only form matches
+    * natively (both count a negative start back from the end) and is
+    * left alone.
+    */
+  private def rewriteSubstringFromFor(s: String): String = {
+    val re = """(?i)\bSUBSTRING\s*\(""".r
+    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+      // top-level scan of the argument list for FROM / FOR keywords
+      var depth = 1
+      var i = m.end
+      var inQ = false
+      var fromAt = -1
+      var forAt = -1
+      var close = -1
+      while (close < 0 && i < acc.length) {
+        val c = acc.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case 'F' | 'f' if depth == 1 =>
+            val up = acc.substring(i, math.min(i + 5, acc.length))
+              .toUpperCase
+            def kw(w: String): Boolean =
+              up.startsWith(w) && i > 0 &&
+                !Character.isLetterOrDigit(acc.charAt(i - 1)) &&
+                i + w.length < acc.length &&
+                !Character.isLetterOrDigit(acc.charAt(i + w.length))
+            if (kw("FROM") && fromAt < 0) fromAt = i
+            else if (kw("FOR") && forAt < 0 && fromAt >= 0) forAt = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0 || fromAt < 0 || forAt < 0) acc
+      else {
+        val x = acc.substring(m.end, fromAt).trim
+        val st = acc.substring(fromAt + 4, forAt).trim
+        val ln = acc.substring(forAt + 3, close).trim
+        val sb = s"CAST(($st) AS BIGINT)"
+        val lb = s"CAST(($ln) AS BIGINT)"
+        val start = s"GREATEST($sb, 1L)"
+        val count =
+          s"LEAST(GREATEST($sb + $lb - $start, 0L), 2147483647L)"
+        acc.substring(0, m.start) +
+          s"(CASE WHEN $lb < 0 THEN '' ELSE SUBSTRING($x, " +
+          s"CAST($start AS INT), CAST($count AS INT)) END)" +
+          acc.substring(close + 1)
+      }
+    }
+  }
+
+  /** EXTRACT units Spark lacks or disagrees on (datetime.md:7-34 — the
+    * reference returns BIGINT for every unit):
+    * EPOCH/CENTURY/MILLENNIUM/DECADE have no Spark field; DOW is
+    * Sunday=1..Saturday=7 where Spark's is 0-based; ISODOW is
+    * Monday=1..Sunday=7; MICROSECOND/MILLISECOND/NANOSECOND count
+    * within the MINUTE; SECOND is integral (Spark's is DECIMAL(8,6));
+    * SQL_TSI_* are unit aliases. Composable forms are emitted in terms
+    * of native EXTRACT/functions so everything stays codegen'd.
+    */
+  private def rewriteExtract(s: String): String = {
+    val re = """(?i)\bEXTRACT\s*\(\s*(\w+)\s+FROM\b""".r
+    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+      val unit = m.group(1).toUpperCase.stripPrefix("SQL_TSI_")
+      val mapped = Set("EPOCH", "CENTURY", "MILLENNIUM", "DECADE",
+        "DOW", "ISODOW", "ISOYEAR", "MICROSECOND", "MILLISECOND",
+        "NANOSECOND", "SECOND")
+      if (!mapped(unit) && !m.group(1).toUpperCase.startsWith("SQL_TSI_"))
+        acc
+      else {
+        var depth = 1
+        var i = m.end
+        var inQ = false
+        var close = -1
+        while (close < 0 && i < acc.length) {
+          val c = acc.charAt(i)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close < 0) acc
+        else {
+          val x = acc.substring(m.end, close).trim
+          val repl = unit match {
+            case "EPOCH" =>
+              s"CAST(unix_timestamp(CAST($x AS TIMESTAMP)) AS BIGINT)"
+            case "CENTURY" =>
+              s"CAST(FLOOR((EXTRACT(YEAR FROM $x) + 99) / 100.0) AS BIGINT)"
+            case "MILLENNIUM" =>
+              s"CAST(FLOOR((EXTRACT(YEAR FROM $x) + 999) / 1000.0) AS BIGINT)"
+            case "DECADE" =>
+              s"CAST(FLOOR(EXTRACT(YEAR FROM $x) / 10.0) AS BIGINT)"
+            case "DOW" => s"CAST(dayofweek($x) AS BIGINT)"
+            case "ISODOW" => s"CAST(weekday($x) + 1 AS BIGINT)"
+            case "ISOYEAR" =>
+              s"CAST(EXTRACT(YEAROFWEEK FROM $x) AS BIGINT)"
+            case "MICROSECOND" =>
+              s"CAST(EXTRACT(SECOND FROM $x) * 1000000 AS BIGINT)"
+            case "MILLISECOND" =>
+              s"CAST(EXTRACT(SECOND FROM $x) * 1000 AS BIGINT)"
+            case "NANOSECOND" =>
+              s"CAST(EXTRACT(SECOND FROM $x) * 1000000000 AS BIGINT)"
+            case "SECOND" =>
+              s"CAST(FLOOR(EXTRACT(SECOND FROM $x)) AS BIGINT)"
+            case u => s"EXTRACT($u FROM $x)" // SQL_TSI_ alias
+          }
+          acc.substring(0, m.start) + repl + acc.substring(close + 1)
+        }
+      }
+    }
+  }
+
+  /** `DATE_PART(unit, x)` with a BARE unit keyword — the reference's
+    * EXTRACT synonym (datetime.md:58). Respelled as EXTRACT so
+    * [[rewriteExtract]] then maps the units Spark lacks. The quoted
+    * form `date_part('unit', x)` is Spark-native and left alone.
+    */
+  private def rewriteDatePart(s: String): String = {
+    val re = """(?i)\bDATE_PART\s*\(\s*([A-Za-z_]+)\s*,""".r
+    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+      var depth = 1
+      var i = m.end
+      var inQ = false
+      var close = -1
+      while (close < 0 && i < acc.length) {
+        val c = acc.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) acc
+      else acc.substring(0, m.start) +
+        s"EXTRACT(${m.group(1).toUpperCase} FROM " +
+        acc.substring(m.end, close).trim + ")" + acc.substring(close + 1)
+    }
+  }
+
+  /** `FLOOR(x TO UNIT)` / `CEIL(x TO UNIT)` (datetime.md:56,59 — round
+    * a date/timestamp to a unit boundary) lower onto
+    * [[org.apache.spark.sql.graft.GraftDateTrunc]].
+    */
+  private def rewriteFloorCeilTo(s: String): String = {
+    val re = """(?i)\b(FLOOR|CEIL|CEILING)\s*\(""".r
+    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+      var depth = 1
+      var i = m.end
+      var inQ = false
+      var toAt = -1
+      var close = -1
+      while (close < 0 && i < acc.length) {
+        val c = acc.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case 'T' | 't' if depth == 1 =>
+            if (acc.regionMatches(true, i, "TO", 0, 2) && i > 0 &&
+              Character.isWhitespace(acc.charAt(i - 1)) &&
+              i + 2 < acc.length &&
+              Character.isWhitespace(acc.charAt(i + 2))) toAt = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0 || toAt < 0) acc
+      else {
+        val unit = acc.substring(toAt + 2, close).trim
+        if (!unit.matches("(?i)[A-Z_]+")) acc
+        else {
+          val fn = if (m.group(1).equalsIgnoreCase("FLOOR"))
+            "graft_date_trunc" else "graft_date_ceil"
+          val x = acc.substring(m.end, toAt).trim
+          acc.substring(0, m.start) +
+            s"$fn($x, '${unit.toUpperCase}')" + acc.substring(close + 1)
+        }
+      }
+    }
+  }
+
+  /** The reference's `DATE_TRUNC(x, UNIT)` spelling (datetime.md:57 —
+    * value first, bare-keyword unit, result type = input type) lowers
+    * onto [[org.apache.spark.sql.graft.GraftDateTrunc]]. Spark's own
+    * `date_trunc('unit', ts)` spelling (string literal first) is left
+    * untouched.
+    */
+  private def rewriteDateTrunc(s: String): String = {
+    val re = """(?i)\b(?:DATE|TIMESTAMP|TIME)_TRUNC\s*\(""".r
+    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+      var depth = 1
+      var i = m.end
+      var inQ = false
+      var commaAt = -1
+      var close = -1
+      while (close < 0 && i < acc.length) {
+        val c = acc.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case ',' if depth == 1 => commaAt = i // last top-level comma
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0 || commaAt < 0) acc
+      else {
+        val unit = acc.substring(commaAt + 1, close).trim
+        if (!unit.matches("(?i)[A-Z_]+") ||
+          unit.equalsIgnoreCase("NULL")) acc
+        else {
+          val x = acc.substring(m.end, commaAt)
+          acc.substring(0, m.start) +
+            s"graft_date_trunc($x, '${unit.toUpperCase}')" +
+            acc.substring(close + 1)
+        }
+      }
+    }
+  }
+
+  /** `CAST(x AS CHAR(n))` with the reference's fixed-width semantics
+    * (types.md CHAR(n): truncate to n, pad to n with spaces) — Spark
+    * erases CHAR(n) to STRING in cast position (no truncation, no
+    * padding). The postfix `x::char(n)` spelling is normalized to the
+    * same form for simple operands (literals/identifiers — the only
+    * shapes the reference grammar's tests use postfix on).
+    */
+  private def rewriteCharCast(s: String): String = {
+    val post =
+      ("""('(?:[^']|'')*'|[A-Za-z_][\w.]*)\s*::\s*""" +
+        """(?i:char(?:acter)?)\s*\(\s*(\d+)\s*\)""").r
+    val s1 = post.replaceAllIn(s, m => {
+      val n = m.group(2)
+      java.util.regex.Matcher.quoteReplacement(
+        s"rpad(substring(CAST(${m.group(1)} AS STRING), 1, $n), $n, ' ')")
+    })
+    val re = """(?i)\bCAST\s*\(""".r
+    re.findAllMatchIn(s1).toSeq.reverse.foldLeft(s1) { (acc, m) =>
+      var depth = 1
+      var i = m.end
+      var inQ = false
+      var asAt = -1
+      var close = -1
+      while (close < 0 && i < acc.length) {
+        val c = acc.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case 'A' | 'a' if depth == 1 =>
+            if (acc.regionMatches(true, i, "AS", 0, 2) && i > 0 &&
+              !Character.isLetterOrDigit(acc.charAt(i - 1)) &&
+              i + 2 < acc.length &&
+              !Character.isLetterOrDigit(acc.charAt(i + 2))) asAt = i
+          case _ =>
+        }
+        i += 1
+      }
+      val charN = """(?i)^CHAR(?:ACTER)?\s*\(\s*(\d+)\s*\)$""".r
+      if (close < 0 || asAt < 0) acc
+      else acc.substring(asAt + 2, close).trim match {
+        case charN(n) =>
+          val x = acc.substring(m.end, asAt).trim
+          acc.substring(0, m.start) +
+            s"rpad(substring(CAST($x AS STRING), 1, $n), $n, ' ')" +
+            acc.substring(close + 1)
+        case _ => acc
+      }
+    }
+  }
+
+  /** Multi-argument `GROUPING(a, b, …)` (SQL standard, Calcite/the
+    * reference's grammar) → Spark's `GROUPING_ID(a, b, …)` — identical
+    * bitmask semantics (leftmost argument = most significant bit);
+    * Spark's own GROUPING takes exactly one argument, which is left
+    * untouched. `GROUPING SETS (` never matches (SETS intervenes).
+    */
+  private def rewriteMultiArgGrouping(s: String): String = {
+    val re = """(?i)\bGROUPING\s*\(""".r
+    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+      var depth = 1
+      var commas = 0
+      var i = m.end
+      while (depth > 0 && i < acc.length) {
+        acc.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 1 => commas += 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (commas == 0) acc
+      else acc.substring(0, m.start) + "GROUPING_ID(" +
+        acc.substring(m.end)
+    }
+  }
 
   /** Strip SQL comments — `--` to end-of-line and (nested) block
     * comments — outside string literals, BEFORE any rewriter scans the

@@ -113,9 +113,11 @@ object Registry {
         "ELSE raise_error('ELEMENT() of array with more than one element') END"),
     ("safe_offset", "a ARRAY<STRING>, i INT", "STRING",
       "try_element_at(a, i + 1)"),
-    // string tail
+    // string tail. SPLIT_PART(s, d, 0) is '' in the reference
+    // (string.md:224-239 — any out-of-range n is ''), where Spark's
+    // native split_part raises INVALID_INDEX_OF_ZERO
     ("split_part_f", "s STRING, d STRING, n INT", "STRING",
-      "split_part(s, d, n)"),
+      "CASE WHEN n = 0 THEN '' ELSE split_part(s, d, n) END"),
     ("bin2utf8", "b BINARY", "STRING", "decode(b, 'UTF-8')"),
     ("utf82bin", "s STRING", "BINARY", "encode(s, 'UTF-8')"),
     // VARIANT tail SQL spellings (variant.rs; json.md:78-510). Lambda-taking
@@ -157,8 +159,44 @@ object Registry {
           s"CREATE OR REPLACE TEMPORARY FUNCTION $name($params) RETURNS $ret RETURN $body")
     }
 
+  /** BIT_AND/BIT_OR/BIT_XOR over BINARY (aggregates.md:62-72 — "integer
+    * and binary types are supported"; bytewise fold, equal lengths
+    * required, sqllib/src/binary.rs ByteArray::and/or/xor). Spark's
+    * builtin bit aggs are integral-only and SQL has no type-directed
+    * overload dispatch, so the binary forms register under explicit
+    * `_binary` spellings.
+    */
+  private def binaryBitAgg(op: (Byte, Byte) => Byte) =
+    new org.apache.spark.sql.expressions.Aggregator[
+      Array[Byte], Array[Byte], Array[Byte]] {
+      override def zero: Array[Byte] = null
+      override def reduce(acc: Array[Byte], x: Array[Byte]): Array[Byte] =
+        merge(acc, x)
+      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+        if (b == null) return a
+        if (a == null) return b.clone()
+        require(a.length == b.length,
+          s"binary bit aggregate over unequal lengths: " +
+            s"${a.length} vs ${b.length}")
+        val out = new Array[Byte](a.length)
+        var i = 0
+        while (i < a.length) { out(i) = op(a(i), b(i)); i += 1 }
+        out
+      }
+      override def finish(r: Array[Byte]): Array[Byte] = r
+      override def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+      override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+    }
+
   /** Procedural tail: GUNZIP (string.md), UUID casts (uuid.md). */
   def registerUdfs(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("bit_and_binary",
+      udaf(binaryBitAgg((a, b) => (a & b).toByte)))
+    spark.udf.register("bit_or_binary",
+      udaf(binaryBitAgg((a, b) => (a | b).toByte)))
+    spark.udf.register("bit_xor_binary",
+      udaf(binaryBitAgg((a, b) => (a ^ b).toByte)))
     spark.udf.register("gunzip", (bytes: Array[Byte]) =>
       if (bytes == null) null
       else {
@@ -231,6 +269,8 @@ object Registry {
     org.apache.spark.sql.graft.JsonGetFns.register(spark)
     // constant-pattern FORMAT_* → native date_format optimizer rule
     org.apache.spark.sql.graft.StrftimeFastPath.register(spark)
+    // type-preserving DATE_TRUNC with the reference's unit set
+    org.apache.spark.sql.graft.DateTruncExpr.register(spark)
   }
 
   /** Generic (any element type) Column forms of the array tail — the SQL

@@ -20,6 +20,7 @@ object Registry {
       RuntimeE2e.queries ++
       ConnectorsE2e.queries ++
       SqlConformance.queries ++
+      PgCorpus.queries ++
       SltFuzz.queries ++
       TpcH.queries ++
       Extras.queries

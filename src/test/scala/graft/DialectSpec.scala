@@ -613,12 +613,14 @@ class DialectSpec extends SparkSpec {
     assert(Dialect.normalize("SELECT logical_and FROM t")
       === "SELECT logical_and FROM t")
     // SAFE_CAST → TRY_CAST; bare VARCHAR/CHAR type spellings map to
-    // Spark's (VARCHAR(n) and CHAR_LENGTH/chr(...) stay untouched)
+    // Spark's (VARCHAR(n) and CHAR_LENGTH/chr(...) stay untouched);
+    // a CHAR(n) cast carries the reference's truncate+pad semantics
+    // (types.md — Spark erases CHAR(n) to STRING in cast position)
     assert(Dialect.normalize(
       "SELECT SAFE_CAST(x AS INT), CAST(y AS VARCHAR), z :: VARCHAR, " +
         "CAST(c AS CHAR) FROM t")
       === "SELECT TRY_CAST(x AS INT), CAST(y AS STRING), z :: STRING, " +
-        "CAST(c AS CHAR(1)) FROM t")
+        "rpad(substring(CAST(c AS STRING), 1, 1), 1, ' ') FROM t")
     assert(Dialect.normalize(
       "SELECT CAST(x AS VARCHAR(5)), CHAR_LENGTH(s), chr(65), " +
         "'a VARCHAR here' FROM t")

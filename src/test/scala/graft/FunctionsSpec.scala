@@ -278,6 +278,26 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("binary bit aggregates fold bytewise (pgcorpus bitwise_test)") {
+    Registry.registerAll(spark)
+    // the PostgresAggregatesTests fixture values: x'05', x'04', x'0C'
+    val r = spark.sql(
+      "SELECT hex(bit_and_binary(y)), hex(bit_or_binary(y)), " +
+        "hex(bit_xor_binary(y)) FROM VALUES (x'05'), (x'04'), (x'0C') " +
+        "AS t(y)").head()
+    assert(r.getString(0) === "04")
+    assert(r.getString(1) === "0D")
+    assert(r.getString(2) === "0D")
+    // empty input → NULL; unequal lengths raise (ByteArray::zip contract)
+    val e = spark.sql("SELECT bit_and_binary(y) FROM VALUES (x'05') AS " +
+      "t(y) WHERE FALSE").head()
+    assert(e.isNullAt(0))
+    val err = intercept[Exception](spark.sql(
+      "SELECT bit_or_binary(y) FROM VALUES (x'05'), (x'0102') AS t(y)")
+      .collect())
+    assert(err.getMessage != null)
+  }
+
   test("to_int: signed big-endian fold incl. MSB-set inputs") {
     Registry.registerAll(spark)
     // binary.rs to_int_ folds min(4, len) bytes into i32: x'FFFFFFFF'
