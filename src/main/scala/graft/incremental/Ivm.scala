@@ -170,7 +170,9 @@ object Ivm {
     */
   def classify(spark: SparkSession, sql: String,
       known: Set[String]): Shape = {
-    val plan = rewriteSubqueries(spark.sql(sql).queryExecution.analyzed)
+    val plan = rewriteSubqueries(
+      org.apache.spark.sql.graft.IntegerDivision.transformPlan(
+        spark.sql(sql).queryExecution.analyzed))
     classifyPlan(plan, leafFn(spark, known))
   }
 
@@ -243,7 +245,8 @@ object Ivm {
     */
   def classifyRecursive(spark: SparkSession, sql: String,
       known: Set[String]): Option[Seq[Shape]] = {
-    val plan = spark.sql(sql).queryExecution.analyzed
+    val plan = org.apache.spark.sql.graft.IntegerDivision
+      .transformPlan(spark.sql(sql).queryExecution.analyzed)
     val leaf = leafFn(spark, known)
     val shapes = unionBranches(plan, leaf).map { b =>
       linearRels(b, leaf).filter(_.nonEmpty).map(Linear(_): Shape)

@@ -290,7 +290,9 @@ final class Pipeline(spark: SparkSession,
       : (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]) =
     leafPlanCache.getOrElseUpdate(viewName, {
-      val plan = spark.sql(sql).queryExecution.analyzed
+      // same division semantics as sqlView — IVM deltas must match batch
+      val plan = org.apache.spark.sql.graft.IntegerDivision
+        .transformPlan(spark.sql(sql).queryExecution.analyzed)
       val known = (tableNames ++ program.views.map(_.name)).toSet
       (plan, Ivm.leafNodes(plan, Ivm.leafFn(spark, known)))
     })
@@ -1030,7 +1032,7 @@ final class Pipeline(spark: SparkSession,
       sh(v.name) =
         if (recursiveNames(v.name)) Ivm.Opaque
         else Ivm.classify(spark, v.sql, known.toSet)
-      val out = spark.sql(v.sql).limit(0).localCheckpoint(false)
+      val out = sqlView(v.sql).limit(0).localCheckpoint(false)
       out.createOrReplaceTempView(v.name)
       ev(v.name) = out
       known += v.name
@@ -1126,7 +1128,7 @@ final class Pipeline(spark: SparkSession,
     // bound to empty (an empty seed would otherwise read as already
     // converged: the base case lives INSIDE the SQL body)
     group.foreach(v => emptyViews(v.name).createOrReplaceTempView(v.name))
-    val bases = group.map(v => v.name -> spark.sql(v.sql)).toMap
+    val bases = group.map(v => v.name -> sqlView(v.sql)).toMap
     graft.recursive.Fixpoint.mutual(
       bases,
       group.map { v =>
@@ -1134,10 +1136,17 @@ final class Pipeline(spark: SparkSession,
           st.totals.foreach { case (n, df) =>
             df.createOrReplaceTempView(n)
           }
-          spark.sql(v.sql)
+          sqlView(v.sql)
         })
       }.toMap)
   }
+
+  /** Evaluate view SQL with the reference's division semantics —
+    * `/` over two integral operands is integer division (integer.md;
+    * see org.apache.spark.sql.graft.IntegerDivision).
+    */
+  private def sqlView(text: String): DataFrame =
+    org.apache.spark.sql.graft.IntegerDivision(spark.sql(text))
 
   /** Register table snapshots as temp views, then evaluate each view in
     * declaration order (later views may reference earlier ones).
@@ -1155,7 +1164,7 @@ final class Pipeline(spark: SparkSession,
         }
         recResults(v.name)
       } else {
-        val d = spark.sql(v.sql)
+        val d = sqlView(v.sql)
         d.createOrReplaceTempView(v.name)
         d
       }
@@ -2238,7 +2247,8 @@ final class Pipeline(spark: SparkSession,
             program.optionOn("asof_lateral_fallback")))
       stmt match {
         case Pipeline.InsertRe(table, source) => adHocInsert(table, source)
-        case _ => spark.sql(stmt)
+        case _ =>
+          org.apache.spark.sql.graft.IntegerDivision(spark.sql(stmt))
       }
     }
     sql match {

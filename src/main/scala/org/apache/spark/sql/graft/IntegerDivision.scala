@@ -40,8 +40,13 @@ object IntegerDivision {
     if (rank(a) >= rank(b)) a else b
   }
 
-  def apply(df: DataFrame): DataFrame = {
-    val fixed = df.queryExecution.analyzed.transformAllExpressions {
+  /** Plan-level form — the IVM delta deriver applies it to analyzed
+    * view plans so incremental evaluation divides exactly like batch.
+    */
+  def transformPlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
       case d @ Divide(l, r, mode) =>
         (coercedIntegral(l), coercedIntegral(r)) match {
           case (Some(a), Some(b)) =>
@@ -50,6 +55,8 @@ object IntegerDivision {
           case _ => d
         }
     }
-    Shims.ofRows(df.sparkSession, fixed)
-  }
+
+  def apply(df: DataFrame): DataFrame =
+    Shims.ofRows(df.sparkSession,
+      transformPlan(df.queryExecution.analyzed))
 }
