@@ -407,8 +407,13 @@ object Dialect {
       if (close < 0 || commaAt < 0) acc
       else {
         val unit = acc.substring(commaAt + 1, close).trim
-        if (!unit.matches("(?i)[A-Z_]+") ||
-          unit.equalsIgnoreCase("NULL")) acc
+        // only a RECOGNIZED bare unit keyword triggers the reference
+        // spelling — any other trailing identifier (a column in Spark's
+        // own date_trunc('unit', col)) leaves the call untouched
+        val units = Set("MILLENNIUM", "CENTURY", "DECADE", "YEAR",
+          "QUARTER", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE",
+          "SECOND", "MILLISECOND")
+        if (!units(unit.toUpperCase)) acc
         else {
           val x = acc.substring(m.end, commaAt)
           acc.substring(0, m.start) +

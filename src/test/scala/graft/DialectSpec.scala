@@ -681,6 +681,58 @@ class DialectSpec extends SparkSpec {
       (2L, "alice", Some(110L)), (3L, "bob", None)))
   }
 
+  test("pgcorpus-derived rewrites: U& literals, EXTRACT units, " +
+    "DATE_TRUNC/FLOOR TO, SUBSTRING clamp, literal backslashes") {
+    // U&'...' decodes; custom UESCAPE char; doubled escape = itself
+    assert(Dialect.normalize("SELECT U&'d\\0061t\\0061'")
+      === "SELECT 'data'")
+    assert(Dialect.normalize("SELECT U&'d!0061t!0061' UESCAPE '!'")
+      === "SELECT 'data'")
+    assert(Dialect.normalize("SELECT U&'a\\\\b'") === "SELECT 'a\\\\b'")
+    // standard-conforming literals: backslashes double so Spark's
+    // C-style literal parser reads them verbatim
+    assert(Dialect.normalize("SELECT 'a\\bcd'") === "SELECT 'a\\\\bcd'")
+    // EXTRACT units Spark lacks lower to native compositions
+    val ext = Dialect.normalize("SELECT EXTRACT(CENTURY FROM d), " +
+      "EXTRACT(DOW FROM d), EXTRACT(EPOCH FROM d) FROM t")
+    assert(ext.contains("FLOOR((EXTRACT(YEAR FROM d) + 99) / 100.0)"))
+    assert(ext.contains("dayofweek(d)"))
+    assert(ext.contains("unix_timestamp(CAST(d AS TIMESTAMP)"))
+    // bare-unit DATE_PART respells onto EXTRACT (and its unit map)
+    assert(Dialect.normalize("SELECT DATE_PART(decade, d) FROM t")
+      .contains("FLOOR(EXTRACT(YEAR FROM d) / 10.0)"))
+    // DATE_TRUNC bare-keyword unit → the type-preserving expression;
+    // Spark's own date_trunc('unit', ts) spelling is untouched
+    assert(Dialect.normalize("SELECT DATE_TRUNC(d, MONTH) FROM t")
+      === "SELECT graft_date_trunc(d, 'MONTH') FROM t")
+    assert(Dialect.normalize("SELECT date_trunc('month', d) FROM t")
+      === "SELECT date_trunc('month', d) FROM t")
+    assert(Dialect.normalize("SELECT FLOOR(ts TO WEEK), " +
+      "CEIL(ts TO MONTH) FROM t")
+      === "SELECT graft_date_trunc(ts, 'WEEK'), " +
+        "graft_date_ceil(ts, 'MONTH') FROM t")
+    // plain FLOOR/CEIL untouched
+    assert(Dialect.normalize("SELECT FLOOR(x / 2.0) FROM t")
+      === "SELECT FLOOR(x / 2.0) FROM t")
+    // SUBSTRING FROM/FOR clamps (negative start → max(l+s-1, 0) chars)
+    val sub = Dialect.normalize(
+      "SELECT SUBSTRING(s FROM -10 FOR 5) FROM t")
+    assert(sub.contains("CASE WHEN") && sub.contains("GREATEST"), sub)
+    // FROM-only form matches Spark natively — untouched
+    assert(Dialect.normalize("SELECT SUBSTRING(s FROM 3) FROM t")
+      === "SELECT SUBSTRING(s FROM 3) FROM t")
+    // SPLIT_PART routes through the 0-tolerant registry spelling
+    assert(Dialect.normalize("SELECT SPLIT_PART(s, ',', 0) FROM t")
+      === "SELECT split_part_f(s, ',', 0) FROM t")
+    // multi-arg GROUPING → GROUPING_ID; 1-arg and GROUPING SETS stay
+    assert(Dialect.normalize(
+      "SELECT GROUPING(a, b) FROM t GROUP BY GROUPING SETS ((a), (b))")
+      === "SELECT GROUPING_ID(a, b) FROM t GROUP BY GROUPING SETS " +
+        "((a), (b))")
+    assert(Dialect.normalize("SELECT GROUPING(a) FROM t GROUP BY a")
+      === "SELECT GROUPING(a) FROM t GROUP BY a")
+  }
+
   test("double-quoted and U& identifiers map to Spark backticks") {
     assert(Dialect.normalize("SELECT a AS \"Mixed Case\" FROM t")
       === "SELECT a AS `Mixed Case` FROM t")
