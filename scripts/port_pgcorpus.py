@@ -89,6 +89,9 @@ def extract(java_path: pathlib.Path):
         body2 = "\n".join(cut_comment(l)
                           for l in TEXTBLOCK.sub("", body).split("\n")
                           if "insertFromResource" not in l)
+        # Java int-constant splices ("...(" + WIDTH + ",10)") — inline
+        # the known constants so the literal join stays contiguous
+        body2 = re.sub(r'"\s*\+\s*WIDTH\s*\+\s*"', "38", body2)
         lits = re.findall(r'"((?:[^"\\]|\\.)*)"', body2)
         joined = "".join(lits)
         joined = joined.replace("\\n", "\n").replace("\\t", "\t") \
@@ -201,3 +204,6 @@ if __name__ == "__main__":
     port("PostgresStringTests.java", "strings")
     port("PostgresDateTests.java", "date")
     port("PostgresTimestampTests.java", "timestamp")
+    port("PostgresTimeTests.java", "time")
+    port("PostgresNumericTests.java", "numeric")
+    port("PostgresIntervalTests.java", "interval")

@@ -107,7 +107,7 @@ object Dialect {
     *   columns, so it is dropped).
     */
   def normalize(sql: String, adHoc: Boolean): String =
-    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteCharCast(rewriteSubstringFromFor(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteUnicodeStringLiterals(stripComments(sql))))) { run =>
+    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteTruncate1(rewriteCharCast(rewriteSubstringFromFor(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteUnicodeStringLiterals(stripComments(sql))))) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -125,12 +125,27 @@ object Dialect {
       val k = logicalAgg.replaceAllIn(j,
         m => "BOOL_" + m.group(1).toUpperCase +
           java.util.regex.Matcher.quoteReplacement(m.group(2)))
-      val l = safeCast.replaceAllIn(k, "TRY_CAST$1")
+      val l0 = safeCast.replaceAllIn(k, "TRY_CAST$1")
+      // interval idioms: negated string literal, plural units in
+      // ranged qualifiers (grammar.md allows plurals; Spark's ranged
+      // form wants singular)
+      val l1 = """(?i)\b(INTERVAL\s+)-\s*'""".r
+        .replaceAllIn(l0, "$1'-")
+      val l1b =
+        """(?i)\b(DAY|HOUR|MINUTE|SECOND|YEAR|MONTH)S(\s+TO\s+)""".r
+          .replaceAllIn(l1, "$1$2")
+      val l1c =
+        """(?i)(\bTO\s+)(DAY|HOUR|MINUTE|SECOND|YEAR|MONTH)S\b""".r
+          .replaceAllIn(l1b, "$1$2")
+      // single-unit interval TYPE spelling (CAST(x AS INTERVAL DAYS))
+      val l = ("""(?i)(\bAS\s+INTERVAL\s+)""" +
+        """(DAY|HOUR|MINUTE|SECOND|YEAR|MONTH)S\b""").r
+        .replaceAllIn(l1c, "$1$2")
       // reference SPLIT_PART tolerates n = 0 (''), Spark's raises
       val l2 = """(?i)\bSPLIT_PART(\s*\()""".r
         .replaceAllIn(l, "split_part_f$1")
       mapBareTypes(rewriteMultiArgGrouping(l2))
-    }))))))))))), adHoc))
+    })))))))))))), adHoc))
 
   /** The reference's string literals are standard-conforming (no
     * backslash escapes; '' is the only escape — string.md), while
@@ -302,6 +317,35 @@ object Dialect {
           acc.substring(0, m.start) + repl + acc.substring(close + 1)
         }
       }
+    }
+  }
+
+  /** Single-argument `TRUNCATE(x)` (decimal.md — truncate toward zero
+    * at scale 0); the registry's truncate is 2-ary, so the bare form
+    * gains the explicit scale.
+    */
+  private def rewriteTruncate1(s: String): String = {
+    val re = """(?i)\bTRUNCATE\s*\(""".r
+    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+      var depth = 1
+      var i = m.end
+      var inQ = false
+      var commas = 0
+      var close = -1
+      while (close < 0 && i < acc.length) {
+        val c = acc.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case ',' if depth == 1 => commas += 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0 || commas > 0) acc
+      else acc.substring(0, close) + ", 0" + acc.substring(close)
     }
   }
 

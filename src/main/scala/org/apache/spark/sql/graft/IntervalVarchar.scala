@@ -1,0 +1,68 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, DayTimeIntervalType, StringType, YearMonthIntervalType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CAST(interval AS VARCHAR) with the reference's rendering
+  * (casts.md; Calcite interval literal form): explicit sign, leading
+  * component unpadded, inner components zero-padded, seconds with a
+  * 6-digit fraction — `+1 02:03:04.500000`, `+1-10`, `-22`, `+2:03`.
+  * Spark's own cast renders `INTERVAL '...' DAY TO SECOND`, which no
+  * reference program expects. Substituted post-analysis (before
+  * constant folding) wherever a cast targets STRING from an interval.
+  */
+case class GraftIntervalVarchar(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "interval_varchar"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = child.dataType match {
+      case ym: YearMonthIntervalType =>
+        val m = input.asInstanceOf[Int]
+        val sign = if (m < 0) "-" else "+"
+        val a = math.abs(m)
+        (ym.startField, ym.endField) match {
+          case (YearMonthIntervalType.YEAR, YearMonthIntervalType.YEAR) =>
+            s"$sign${a / 12}"
+          case (YearMonthIntervalType.MONTH,
+            YearMonthIntervalType.MONTH) => s"$sign$a"
+          case _ => s"$sign${a / 12}-${a % 12}"
+        }
+      case dt: DayTimeIntervalType =>
+        val us = input.asInstanceOf[Long]
+        val sign = if (us < 0) "-" else "+"
+        val a = math.abs(us)
+        val d = a / 86400000000L
+        val h = a / 3600000000L % 24
+        val mi = a / 60000000L % 60
+        val ss = a / 1000000L % 60
+        val frac = a % 1000000L
+        val sb = new StringBuilder(sign)
+        import DayTimeIntervalType._
+        dt.startField match {
+          case DAY => sb.append(d)
+          case HOUR => sb.append(a / 3600000000L)
+          case MINUTE => sb.append(a / 60000000L)
+          case _ => sb.append(a / 1000000L)
+        }
+        if (dt.startField < HOUR && dt.endField >= HOUR)
+          sb.append(f" $h%02d")
+        if (dt.startField < MINUTE && dt.endField >= MINUTE)
+          sb.append(f":$mi%02d")
+        if (dt.startField < SECOND && dt.endField >= SECOND)
+          sb.append(f":$ss%02d")
+        if (dt.endField >= SECOND) sb.append(f".$frac%06d")
+        sb.toString
+      case other => throw new IllegalArgumentException(
+        s"interval_varchar over ${other.catalogString}")
+    }
+    UTF8String.fromString(s)
+  }
+
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}
