@@ -58,7 +58,7 @@ def strip_indent(block: str) -> str:
     return "\n".join(l[cut:] if len(l) >= cut else l for l in lines)
 
 
-def extract(java_path: pathlib.Path):
+def extract(java_path: pathlib.Path, include_ignored=False):
     src = java_path.read_text()
     # split into method chunks: keep (annotations, name, body-with-calls)
     setup = []
@@ -121,7 +121,7 @@ def extract(java_path: pathlib.Path):
             r"((?:@\w+(?:\([^)]*\))?\s*)*)public void (\w+)\(\)\s*\{(.*?)\n    \}",
             src, re.DOTALL):
         annotations, name, body = m.group(1), m.group(2), m.group(3)
-        if "@Ignore" in annotations:
+        if "@Ignore" in annotations and not include_ignored:
             continue
         for call in re.finditer(
                 r"this\.(qst|qs|q|qf)\s*\(\s*\"\"\"\n?(.*?)\"\"\"",
@@ -158,8 +158,30 @@ def split_qs_block(block: str):
     return units
 
 
-def port(java_name: str, suite: str, take=None, skip=None):
-    setup, tests = extract(REF / java_name)
+def quidemize(unit: str) -> str:
+    """Convert a quidem-style table (+--+ borders, |-wrapped rows) to
+    the pg .out shape the parser reads: first border becomes the dashes
+    separator, other borders drop, outer pipes strip."""
+    out = []
+    pipe_rows = 0
+    for line in unit.split("\n"):
+        t = line.strip()
+        if re.fullmatch(r"\+[-+]+\+", t):
+            continue  # all borders drop
+        if t.startswith("|") and t.endswith("|"):
+            out.append(t[1:-1])
+            pipe_rows += 1
+            if pipe_rows == 1:
+                out.append("---")  # pg separator goes AFTER the header
+        else:
+            out.append(line)
+            pipe_rows = 0
+    return "\n".join(out)
+
+
+def port(java_name: str, suite: str, take=None, skip=None, quidem=False,
+         include_ignored=False):
+    setup, tests = extract(REF / java_name, include_ignored)
     out = [f"-- pgcorpus suite: {suite}",
            "-- provenance: PostgreSQL regression suite "
            "(postgres/src/test/regress), as adapted by",
@@ -185,7 +207,8 @@ def port(java_name: str, suite: str, take=None, skip=None):
             out.append(f"== TEST {name}#{i} {mode}")
             # escape processing happens after unit splitting so a
             # lone "\s" row cannot read as a blank separator line
-            out.append(unescape_java(unit).rstrip())
+            u = unescape_java(unit).rstrip()
+            out.append(quidemize(u) if quidem else u)
             n_units += 1
     OUT.mkdir(parents=True, exist_ok=True)
     (OUT / f"{suite}.txt").write_text("\n".join(out) + "\n")
@@ -207,3 +230,8 @@ if __name__ == "__main__":
     port("PostgresTimeTests.java", "time")
     port("PostgresNumericTests.java", "numeric")
     port("PostgresIntervalTests.java", "interval")
+    # the reference runtime restricts ASOF to LEFT + `>=` and keeps the
+    # full-comparison expectations @Ignore'd; they are Calcite-recorded
+    # answers and this engine implements the full set — port them too
+    port("../quidem/AsofTests.java", "asof", quidem=True,
+         include_ignored=True)

@@ -728,6 +728,9 @@ object Dialect {
         if (w1.nonEmpty && !w1.equalsIgnoreCase("MATCH_CONDITION")) {
           if (w1.equalsIgnoreCase("AS")) { skipWs(); alias = ident() }
           else alias = w1
+          // optional alias column list: `AS t2(k2, ts2)`
+          skipWs()
+          if (i < s.length && s.charAt(i) == '(') i = balanceFrom(i) + 1
         } else i = save
         val rightOperand = s.substring(opStart, i).trim
         require(alias.nonEmpty || tableName.nonEmpty,
@@ -738,11 +741,43 @@ object Dialect {
         require(kw.equalsIgnoreCase("MATCH_CONDITION"),
           s"ASOF JOIN requires MATCH_CONDITION, got '$kw' in: $s")
         skipWs()
-        require(i < s.length && s.charAt(i) == '(',
-          s"MATCH_CONDITION needs a parenthesized expression: $s")
-        val mcClose = balanceFrom(i)
-        val mc = s.substring(i + 1, mcClose)
-        i = mcClose + 1
+        // parenthesized or bare condition (both appear in the
+        // reference's corpora: `MATCH_CONDITION (a >= b)` and
+        // `MATCH_CONDITION a < b ON ...`)
+        val mc =
+          if (i < s.length && s.charAt(i) == '(') {
+            val mcClose = balanceFrom(i)
+            val r = s.substring(i + 1, mcClose)
+            i = mcClose + 1
+            r
+          } else {
+            val st = i
+            var onAt = -1
+            var d = 0
+            var q = false
+            while (onAt < 0 && i < s.length) {
+              val c = s.charAt(i)
+              if (q) { if (c == '\'') q = false; i += 1 }
+              else c match {
+                case '\'' => q = true; i += 1
+                case '(' => d += 1; i += 1
+                case ')' => d -= 1; i += 1
+                case c0 if d == 0 && (c0 == 'O' || c0 == 'o') &&
+                    (i == 0 || !(s.charAt(i - 1).isLetterOrDigit ||
+                      s.charAt(i - 1) == '_')) &&
+                    i + 2 <= s.length &&
+                    s.regionMatches(true, i, "ON", 0, 2) &&
+                    (i + 2 >= s.length ||
+                      !(s.charAt(i + 2).isLetterOrDigit ||
+                        s.charAt(i + 2) == '_')) => onAt = i
+                case _ => i += 1
+              }
+            }
+            require(onAt >= 0, s"ASOF JOIN requires an ON condition: $s")
+            val r = s.substring(st, onAt).trim
+            i = onAt
+            r
+          }
         skipWs()
         require(ident().equalsIgnoreCase("ON"),
           s"ASOF JOIN requires an ON condition: $s")
@@ -780,42 +815,73 @@ object Dialect {
         }
         if (onEnd < 0) onEnd = s.length
         val onCond = s.substring(onStart, onEnd).trim
-        // ORDER BY = the mc side referencing the right alias; direction
-        // from which side of >= it sits on
-        val geIdx = {
+        // the comparison operator: >=, <=, > or < at top level (the
+        // reference's AsofTests exercise all four; <> is not a match op)
+        val (opIdx, op) = {
           var j = 0
           var d = 0
           var q = false
           var at = -1
-          while (at < 0 && j < mc.length - 1) {
+          var o = ""
+          while (at < 0 && j < mc.length) {
             val c = mc.charAt(j)
             if (q) { if (c == '\'') q = false }
             else c match {
               case '\'' => q = true
               case '(' => d += 1
               case ')' => d -= 1
-              case '>' if d == 0 && mc.charAt(j + 1) == '=' => at = j
+              case '>' if d == 0 =>
+                if (j + 1 < mc.length && mc.charAt(j + 1) == '=') {
+                  at = j; o = ">="
+                } else { at = j; o = ">" }
+              case '<' if d == 0 =>
+                if (j + 1 < mc.length && mc.charAt(j + 1) == '=') {
+                  at = j; o = "<="
+                } else if (j + 1 < mc.length && mc.charAt(j + 1) == '>') {
+                  j += 1 // <> is not a match comparison
+                } else { at = j; o = "<" }
               case _ => ()
             }
             j += 1
           }
           require(at >= 0,
-            s"MATCH_CONDITION must use >= (the reference's only " +
-              s"supported comparison): $mc")
-          at
+            s"MATCH_CONDITION must use one of >= <= > < : $mc")
+          (at, o)
         }
-        val (lhs, rhs) = (mc.substring(0, geIdx).trim,
-          mc.substring(geIdx + 2).trim)
+        val (lhs, rhs) = (mc.substring(0, opIdx).trim,
+          mc.substring(opIdx + op.length).trim)
+        // right-side reference: `alias.` prefix, or — when the right
+        // operand declares an alias column list (`... AS t2(k2, ts2)`)
+        // — a bare identifier from that list (AsofTests uses
+        // `MATCH_CONDITION ts2 < ts1` unqualified)
+        val rightCols: Set[String] =
+          """(?is)\)\s*(?:AS\s+)?\w+\s*\(([^)]*)\)\s*$""".r
+            .findFirstMatchIn(rightOperand)
+            .map(_.group(1).split(",").map(_.trim.toLowerCase).toSet)
+            .getOrElse(Set.empty)
         val refsRight = (e: String) =>
           ("(?i)\\b" + java.util.regex.Pattern.quote(rName) + "\\s*\\.").r
-            .findFirstIn(e).isDefined
+            .findFirstIn(e).isDefined ||
+            (e.matches("(?i)[A-Za-z_]\\w*") &&
+              rightCols(e.trim.toLowerCase))
+        require(refsRight(lhs) != refsRight(rhs),
+          s"MATCH_CONDITION must compare the right table's column " +
+            s"($rName.*) against a left expression: $mc")
+        // normalize to `Lexpr NOP Rexpr` to read the scan direction
+        val nop =
+          if (refsRight(lhs))
+            op match { case ">=" => "<="; case "<=" => ">="
+              case ">" => "<"; case _ => ">" }
+          else op
+        // backward = latest PRECEDING build row; strict excludes ties
+        val backward = nop == ">=" || nop == ">"
+        val strict = !nop.contains('=')
         val (orderExpr, dir) =
-          if (refsRight(rhs) && !refsRight(lhs)) (rhs, "DESC")
-          else if (refsRight(lhs) && !refsRight(rhs)) (lhs, "ASC")
-          else sys.error(s"MATCH_CONDITION must compare the right " +
-            s"table's column ($rName.*) against a left expression: $mc")
+          (if (refsRight(rhs)) rhs else lhs,
+            if (backward) "DESC" else "ASC")
         val replaced = lowerAsofUnionWindow(s, m.start, onEnd, baseDepth,
-          isLeft, rightOperand, rName, lhs, rhs, refsRight, onCond)
+          isLeft, rightOperand, rName, lhs, rhs, refsRight, onCond,
+          backward, strict)
           .getOrElse {
             if (!asofLateralOptIn.get) sys.error(
               "graft: ASOF JOIN shape not provable for the union+window " +
@@ -850,7 +916,8 @@ object Dialect {
       s: String, asofStart: Int, onEnd: Int, baseDepth: Int,
       isLeft: Boolean, rightOperand: String, rName: String,
       mcLhs: String, mcRhs: String, refsRight: String => Boolean,
-      onCond: String): Option[String] = {
+      onCond: String, backward: Boolean, strict: Boolean)
+      : Option[String] = {
     val quotes = inQuoteMap(s)
     val identRe = "(?i)^[A-Za-z_]\\w*$".r
     if (!identRe.matches(rName)) return None
@@ -934,7 +1001,9 @@ object Dialect {
         }
         if (close < 0) return None
         val rest = seg.substring(close + 1).trim
-        "(?is)^(?:AS\\s+)?([A-Za-z_]\\w*)$".r.findFirstMatchIn(rest)
+        // alias may carry a column list: `(subquery) AS t1(k, t)`
+        "(?is)^(?:AS\\s+)?([A-Za-z_]\\w*)\\s*(?:\\([^)]*\\))?$".r
+          .findFirstMatchIn(rest)
           .map(_.group(1)).getOrElse(return None)
       } else {
         val m0 = ("(?is)^([A-Za-z_][\\w.]*)" +
@@ -991,11 +1060,17 @@ object Dialect {
     }
     // MATCH_CONDITION sides: right-referencing side is the build ts.
     // Backward (L.t >= R.t): latest preceding build — ASC scan.
-    // Forward (R.t >= L.t): earliest following build — DESC scan, so
-    // both directions run the O(n) running frame.
-    val backward = refsRight(mcRhs) && !refsRight(mcLhs)
-    val (leftTs, rightTs) = if (backward) (mcLhs, mcRhs) else (mcRhs, mcLhs)
+    // Forward (R.t <= L.t... i.e. R.t >= L.t): earliest following
+    // build — DESC scan, so both directions run the O(n) running frame.
+    // (backward/strict are resolved by the caller from the operator.)
+    val (leftTs, rightTs) =
+      if (refsRight(mcRhs)) (mcLhs, mcRhs) else (mcRhs, mcLhs)
     val sortDir = if (backward) "ASC" else "DESC"
+    // ties: an inclusive comparison admits equal timestamps, so build
+    // rows (__side 0) sort before the probe; a STRICT one excludes
+    // them, so equal-ts builds sort after the probe and stay outside
+    // the running frame
+    val sideDir = if (strict) "DESC" else "ASC"
     // a bare `*` over exactly this FROM item rewrites to `L.*, R.*`;
     // over a multi-item FROM it is not provable — fall back
     var starSpan: Option[(Int, Int, String)] = None
@@ -1061,7 +1136,8 @@ object Dialect {
       s"(SELECT $expose FROM " +
         s"(SELECT __side, __l, last(__r0, true) OVER (PARTITION BY " +
         s"${ks.mkString(", ")} ORDER BY __ts $sortDir NULLS FIRST, " +
-        "__side ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        s"__side $sideDir ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) " +
         s"AS __r FROM (SELECT ${b1keys.mkString(", ")}, ($leftTs) AS " +
         s"__ts, 1 AS __side, $structCapture AS __l, NULL AS __r0 " +
         s"FROM $seg UNION ALL SELECT ${b2keys.mkString(", ")}, " +

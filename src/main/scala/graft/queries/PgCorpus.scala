@@ -615,7 +615,7 @@ object PgCorpus {
 
   def gradedSuites: Seq[String] = Seq("window", "case", "limit", "bool",
     "groupingsets", "aggregates", "int4", "int8", "strings", "date",
-    "timestamp", "time", "numeric", "interval")
+    "timestamp", "time", "numeric", "interval", "asof")
 
   def queries: Seq[Q] =
     gradedSuites.map { name =>
