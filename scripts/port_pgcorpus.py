@@ -230,6 +230,7 @@ if __name__ == "__main__":
     port("PostgresTimeTests.java", "time")
     port("PostgresNumericTests.java", "numeric")
     port("PostgresIntervalTests.java", "interval")
+    port("PostgresArrayTests.java", "array")
     # the reference runtime restricts ASOF to LEFT + `>=` and keeps the
     # full-comparison expectations @Ignore'd; they are Calcite-recorded
     # answers and this engine implements the full set — port them too

@@ -77,9 +77,15 @@ object Dialect {
     * an unquoted fragment); shared with the CREATE FUNCTION
     * params/RETURNS path in the runtime.
     */
-  private[graft] def mapBareTypes(s: String): String =
-    bareChar.replaceAllIn(
+  private[graft] def mapBareTypes(s: String): String = {
+    val base = bareChar.replaceAllIn(
       bareVarchar.replaceAllIn(s, "STRING"), "CHAR(1)")
+    // `T ARRAY` postfix array type (types.md) → Spark's ARRAY<T>
+    ("""(?i)\b(STRING|INT|INTEGER|BIGINT|SMALLINT|TINYINT|DOUBLE|""" +
+      """FLOAT|REAL|BOOLEAN|DATE|TIMESTAMP|""" +
+      """DECIMAL(?:\(\d+(?:,\s*\d+)?\))?)\s+ARRAY\b""").r
+      .replaceAllIn(base, m => "ARRAY<" + m.group(1) + ">")
+  }
 
   def normalize(sql: String): String = normalize(sql, adHoc = false)
 
@@ -107,7 +113,7 @@ object Dialect {
     *   columns, so it is dropped).
     */
   def normalize(sql: String, adHoc: Boolean): String =
-    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteTruncate1(rewriteCharCast(rewriteSubstringFromFor(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteUnicodeStringLiterals(stripComments(sql))))) { run =>
+    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteTruncate1(rewriteCharCast(rewriteSubstringFromFor(dispatchArityAll(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteArrayBrackets(rewriteUnicodeStringLiterals(stripComments(sql)))))) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -141,11 +147,15 @@ object Dialect {
       val l = ("""(?i)(\bAS\s+INTERVAL\s+)""" +
         """(DAY|HOUR|MINUTE|SECOND|YEAR|MONTH)S\b""").r
         .replaceAllIn(l1c, "$1$2")
-      // reference SPLIT_PART tolerates n = 0 (''), Spark's raises
-      val l2 = """(?i)\bSPLIT_PART(\s*\()""".r
+      // reference SPLIT_PART tolerates n = 0 (''), Spark's raises;
+      // reference SPLIT uses a LITERAL delimiter (Spark's is regex)
+      val l2a = """(?i)\bSPLIT_PART(\s*\()""".r
         .replaceAllIn(l, "split_part_f$1")
+      val l2b = """(?i)\bSPLIT(\s*\()""".r.replaceAllIn(l2a, m =>
+        java.util.regex.Matcher.quoteReplacement("split_f" + m.group(1)))
+      val l2 = l2b
       mapBareTypes(rewriteMultiArgGrouping(l2))
-    })))))))))))), adHoc))
+    }))))))))))))), adHoc))
 
   /** The reference's string literals are standard-conforming (no
     * backslash escapes; '' is the only escape — string.md), while
@@ -317,6 +327,83 @@ object Dialect {
           acc.substring(0, m.start) + repl + acc.substring(close + 1)
         }
       }
+    }
+  }
+
+  /** The SQL-standard `ARRAY[a, b, …]` constructor (Calcite grammar)
+    * → Spark's `array(a, b, …)`. Bracket matching is quote-aware and
+    * counts nesting, so element-access brackets inside stay intact;
+    * nested ARRAY[ constructors resolve over the fixpoint loop.
+    */
+  private def rewriteArrayBrackets(s0: String): String = {
+    var s = s0
+    var changed = true
+    while (changed) {
+      changed = false
+      val m = """(?i)\bARRAY\s*\[""".r.findFirstMatchIn(s)
+        .filter(mm => !inQuoteMap(s)(mm.start))
+      m.foreach { mm =>
+        var depth = 1
+        var i = mm.end
+        var inQ = false
+        var close = -1
+        while (close < 0 && i < s.length) {
+          val c = s.charAt(i)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '[' => depth += 1
+            case ']' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close >= 0) {
+          s = s.substring(0, mm.start) + "array(" +
+            s.substring(mm.end, close) + ")" + s.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    s
+  }
+
+  /** Optional-argument dispatches that need the full quote-bearing
+    * text (1-arg SPLIT → split_f1; 3-arg ARRAY_TO_STRING → its
+    * null_string spelling).
+    */
+  private def dispatchArityAll(s: String): String =
+    dispatchArity(dispatchArity(s, "split_f", 0, "split_f1"),
+      "array_to_string", 2, "array_to_string3")
+
+  /** Re-dispatch `name(` calls with exactly `commas` top-level commas
+    * to `target(` — SQL-bodied functions cannot overload, so optional
+    * arguments get sibling registrations (split_f1, array_to_string3).
+    */
+  private def dispatchArity(s: String, name: String, commas: Int,
+      target: String): String = {
+    val re = ("""(?i)\b""" + name + """\s*\(""").r
+    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+      var depth = 1
+      var i = m.end
+      var inQ = false
+      var n = 0
+      var close = -1
+      while (close < 0 && i < acc.length) {
+        val c = acc.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case ',' if depth == 1 => n += 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0 || n != commas) acc
+      else acc.substring(0, m.start) + target + "(" +
+        acc.substring(m.end)
     }
   }
 

@@ -113,6 +113,26 @@ object Registry {
         "ELSE raise_error('ELEMENT() of array with more than one element') END"),
     ("safe_offset", "a ARRAY<STRING>, i INT", "STRING",
       "try_element_at(a, i + 1)"),
+    // SPLIT(string[, delimiter]) — LITERAL delimiter (string.md:216-221:
+    // empty delimiter → [string]; empty string → []; NULL → NULL;
+    // default delimiter ','). Spark's builtin split is regex-based, so
+    // the Dialect routes the reference spelling here; \\Q..\\E quoting
+    // makes the native (codegen'd) split treat the delimiter literally
+    // empty-delimiter wins over empty-string (the corpus records
+    // split('','') as [''])
+    ("split_f", "s STRING, d STRING", "ARRAY<STRING>",
+      "CASE WHEN s IS NULL OR d IS NULL THEN NULL " +
+        "WHEN d = '' THEN array(s) " +
+        "WHEN s = '' THEN array() " +
+        "ELSE split(s, concat('\\\\Q', d, '\\\\E'), -1) END"),
+    ("split_f1", "s STRING", "ARRAY<STRING>", "split_f(s, ',')"),
+    // ARRAY_TO_STRING (array.md:115): NULL elements omitted unless the
+    // null_string form names a replacement; NULL delimiter → NULL
+    ("array_to_string", "a ARRAY<STRING>, d STRING", "STRING",
+      "array_join(a, d)"),
+    ("array_to_string3", "a ARRAY<STRING>, d STRING, n STRING", "STRING",
+      "CASE WHEN n IS NULL THEN array_join(a, d) " +
+        "ELSE array_join(a, d, n) END"),
     // string tail. SPLIT_PART(s, d, 0) is '' in the reference
     // (string.md:224-239 — any out-of-range n is ''), where Spark's
     // native split_part raises INVALID_INDEX_OF_ZERO

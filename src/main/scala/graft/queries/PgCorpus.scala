@@ -500,6 +500,12 @@ object PgCorpus {
       case StringType =>
         // the corpus renders an embedded NUL as the 2-char "\0"
         regexp_replace(c, "\u0000", "\\\\0")
+      case ArrayType(_, _) =>
+        // the corpus renders arrays "{ a, b, }" (leading space, comma-
+        // joined, NULL spelled out)
+        when(size(c) === 0, "{}").otherwise(concat(lit("{ "),
+          array_join(transform(c, e => e.cast(StringType)), ", ",
+            "NULL"), lit("}")))
       case _: DecimalType =>
         // Postgres trims trailing fractional zeros
         regexp_replace(regexp_replace(
@@ -615,7 +621,7 @@ object PgCorpus {
 
   def gradedSuites: Seq[String] = Seq("window", "case", "limit", "bool",
     "groupingsets", "aggregates", "int4", "int8", "strings", "date",
-    "timestamp", "time", "numeric", "interval", "asof")
+    "timestamp", "time", "numeric", "interval", "asof", "array")
 
   def queries: Seq[Q] =
     gradedSuites.map { name =>
