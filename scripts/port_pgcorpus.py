@@ -179,9 +179,47 @@ def quidemize(unit: str) -> str:
     return "\n".join(out)
 
 
+def mysqlize(unit: str) -> str:
+    """Normalize a MySQL-.result-shaped block (tab-separated cells,
+    header possibly without a dashes separator) into the pg .out shape:
+    tabs become pipes, and a `---` separator is inserted after the
+    header when the fixture has none."""
+    lines = unit.split("\n")
+    qend = next((i for i, l in enumerate(lines)
+                 if l.rstrip().endswith(";")), None)
+    if qend is None:
+        return unit
+    head = lines[:qend + 1]
+    rest = [l.replace("\t", "|") for l in lines[qend + 1:]]
+    hi = next((i for i, l in enumerate(rest) if l.strip()), None)
+    if hi is not None:
+        nxt = rest[hi + 1].strip() if hi + 1 < len(rest) else ""
+        if not re.fullmatch(r"[-+]{3,}", nxt):
+            rest.insert(hi + 1, "---")
+    return "\n".join(head + rest)
+
+
+def drop_extra_dashes(unit: str) -> str:
+    """quidem tables sometimes close with a second decorative all-dash
+    line before the `(N rows)` fence; only the FIRST dash line (the
+    header separator) is structural."""
+    out = []
+    seen = False
+    for line in unit.split("\n"):
+        if re.fullmatch(r"-{3,}", line.strip()):
+            if seen:
+                continue
+            seen = True
+        out.append(line)
+    return "\n".join(out)
+
+
 def port(java_name: str, suite: str, take=None, skip=None, quidem=False,
-         include_ignored=False):
+         include_ignored=False, mysql=False, base=None):
     setup, tests = extract(REF / java_name, include_ignored)
+    if base is not None:
+        base_setup, _ = extract(REF / base)
+        setup = base_setup + setup
     out = [f"-- pgcorpus suite: {suite}",
            "-- provenance: PostgreSQL regression suite "
            "(postgres/src/test/regress), as adapted by",
@@ -208,7 +246,11 @@ def port(java_name: str, suite: str, take=None, skip=None, quidem=False,
             # escape processing happens after unit splitting so a
             # lone "\s" row cannot read as a blank separator line
             u = unescape_java(unit).rstrip()
-            out.append(quidemize(u) if quidem else u)
+            if quidem:
+                u = drop_extra_dashes(quidemize(u))
+            if mysql:
+                u = mysqlize(u)
+            out.append(u)
             n_units += 1
     OUT.mkdir(parents=True, exist_ok=True)
     (OUT / f"{suite}.txt").write_text("\n".join(out) + "\n")

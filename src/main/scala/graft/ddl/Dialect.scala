@@ -217,7 +217,9 @@ object Dialect {
     */
   private def rewriteSubstringFromFor(s: String): String = {
     val re = """(?i)\bSUBSTRING\s*\(""".r
-    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+    re.findAllMatchIn(s).toSeq
+      .filter(mm => !inQuoteMap(s)(mm.start))
+      .reverse.foldLeft(s) { (acc, m) =>
       // top-level scan of the argument list for FROM / FOR keywords
       var depth = 1
       var i = m.end
@@ -275,7 +277,9 @@ object Dialect {
     */
   private def rewriteExtract(s: String): String = {
     val re = """(?i)\bEXTRACT\s*\(\s*(\w+)\s+FROM\b""".r
-    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+    re.findAllMatchIn(s).toSeq
+      .filter(mm => !inQuoteMap(s)(mm.start))
+      .reverse.foldLeft(s) { (acc, m) =>
       val unit = m.group(1).toUpperCase.stripPrefix("SQL_TSI_")
       val mapped = Set("EPOCH", "CENTURY", "MILLENNIUM", "DECADE",
         "DOW", "ISODOW", "ISOYEAR", "MICROSECOND", "MILLISECOND",
@@ -383,7 +387,9 @@ object Dialect {
   private def dispatchArity(s: String, name: String, commas: Int,
       target: String): String = {
     val re = ("""(?i)\b""" + name + """\s*\(""").r
-    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+    re.findAllMatchIn(s).toSeq
+      .filter(mm => !inQuoteMap(s)(mm.start))
+      .reverse.foldLeft(s) { (acc, m) =>
       var depth = 1
       var i = m.end
       var inQ = false
@@ -413,7 +419,9 @@ object Dialect {
     */
   private def rewriteTruncate1(s: String): String = {
     val re = """(?i)\bTRUNCATE\s*\(""".r
-    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+    re.findAllMatchIn(s).toSeq
+      .filter(mm => !inQuoteMap(s)(mm.start))
+      .reverse.foldLeft(s) { (acc, m) =>
       var depth = 1
       var i = m.end
       var inQ = false
@@ -443,7 +451,9 @@ object Dialect {
     */
   private def rewriteDatePart(s: String): String = {
     val re = """(?i)\bDATE_PART\s*\(\s*([A-Za-z_]+)\s*,""".r
-    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+    re.findAllMatchIn(s).toSeq
+      .filter(mm => !inQuoteMap(s)(mm.start))
+      .reverse.foldLeft(s) { (acc, m) =>
       var depth = 1
       var i = m.end
       var inQ = false
@@ -472,7 +482,9 @@ object Dialect {
     */
   private def rewriteFloorCeilTo(s: String): String = {
     val re = """(?i)\b(FLOOR|CEIL|CEILING)\s*\(""".r
-    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+    re.findAllMatchIn(s).toSeq
+      .filter(mm => !inQuoteMap(s)(mm.start))
+      .reverse.foldLeft(s) { (acc, m) =>
       var depth = 1
       var i = m.end
       var inQ = false
@@ -499,8 +511,11 @@ object Dialect {
         val unit = acc.substring(toAt + 2, close).trim
         if (!unit.matches("(?i)[A-Z_]+")) acc
         else {
+          // FLOOR/CEIL TO use the calendar-zero CENTURY/MILLENNIUM
+          // bases (timestamp.rs floor_century: y/100*100), unlike
+          // DATE_TRUNC's century-number base — hence the _to variants
           val fn = if (m.group(1).equalsIgnoreCase("FLOOR"))
-            "graft_date_trunc" else "graft_date_ceil"
+            "graft_date_floor_to" else "graft_date_ceil_to"
           val x = acc.substring(m.end, toAt).trim
           acc.substring(0, m.start) +
             s"$fn($x, '${unit.toUpperCase}')" + acc.substring(close + 1)
@@ -517,7 +532,9 @@ object Dialect {
     */
   private def rewriteDateTrunc(s: String): String = {
     val re = """(?i)\b(?:DATE|TIMESTAMP|TIME)_TRUNC\s*\(""".r
-    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+    re.findAllMatchIn(s).toSeq
+      .filter(mm => !inQuoteMap(s)(mm.start))
+      .reverse.foldLeft(s) { (acc, m) =>
       var depth = 1
       var i = m.end
       var inQ = false
@@ -572,7 +589,9 @@ object Dialect {
         s"rpad(substring(CAST(${m.group(1)} AS STRING), 1, $n), $n, ' ')")
     })
     val re = """(?i)\bCAST\s*\(""".r
-    re.findAllMatchIn(s1).toSeq.reverse.foldLeft(s1) { (acc, m) =>
+    re.findAllMatchIn(s1).toSeq
+      .filter(mm => !inQuoteMap(s1)(mm.start))
+      .reverse.foldLeft(s1) { (acc, m) =>
       var depth = 1
       var i = m.end
       var inQ = false
@@ -615,7 +634,9 @@ object Dialect {
     */
   private def rewriteMultiArgGrouping(s: String): String = {
     val re = """(?i)\bGROUPING\s*\(""".r
-    re.findAllMatchIn(s).toSeq.reverse.foldLeft(s) { (acc, m) =>
+    re.findAllMatchIn(s).toSeq
+      .filter(mm => !inQuoteMap(s)(mm.start))
+      .reverse.foldLeft(s) { (acc, m) =>
       var depth = 1
       var commas = 0
       var i = m.end

@@ -124,7 +124,10 @@ object Registry {
       "CASE WHEN s IS NULL OR d IS NULL THEN NULL " +
         "WHEN d = '' THEN array(s) " +
         "WHEN s = '' THEN array() " +
-        "ELSE split(s, concat('\\\\Q', d, '\\\\E'), -1) END"),
+        // an embedded \E would end the quoting early — re-open it the
+        // way java.util.regex.Pattern.quote does (\E → \E\\E\Q)
+        """ELSE split(s, concat('\\Q', """ +
+        """replace(d, '\\E', '\\E\\\\E\\Q'), '\\E'), -1) END"""),
     ("split_f1", "s STRING", "ARRAY<STRING>", "split_f(s, ',')"),
     // ARRAY_TO_STRING (array.md:115): NULL elements omitted unless the
     // null_string form names a replacement; NULL delimiter → NULL

@@ -60,12 +60,42 @@ object Strftime {
       s"unsupported strftime directive %$other (datetime.md format table)")
   }
 
-  /** chrono's %y: prints year mod 100, parses 69-99 as 1969-1999 and
-    * 00-68 as 2000-2068 (the strftime pivot — java's 'uu' would resolve
-    * '85' to 2085). One reduced-value field serves both directions.
+  /** chrono's %y: prints year mod 100 (ALL years — 1901 prints "01"),
+    * parses 69-99 as 1969-1999 and 00-68 as 2000-2068 (the strftime
+    * pivot — java's 'uu' would resolve '85' to 2085, and a reduced-
+    * value field would print the FULL year outside its 100-year
+    * window). One custom field serves both directions.
     */
+  private object YearMod100 extends java.time.temporal.TemporalField {
+    import java.time.temporal._
+    override def getBaseUnit: TemporalUnit = ChronoUnit.YEARS
+    override def getRangeUnit: TemporalUnit = ChronoUnit.CENTURIES
+    override def range: ValueRange = ValueRange.of(0, 99)
+    override def isDateBased: Boolean = true
+    override def isTimeBased: Boolean = false
+    override def isSupportedBy(t: TemporalAccessor): Boolean =
+      t.isSupported(ChronoField.YEAR)
+    override def rangeRefinedBy(t: TemporalAccessor): ValueRange = range
+    override def getFrom(t: TemporalAccessor): Long =
+      Math.floorMod(t.getLong(ChronoField.YEAR), 100L)
+    override def adjustInto[R <: Temporal](t: R, v: Long): R = {
+      val cur = Math.floorMod(t.getLong(ChronoField.YEAR), 100L)
+      t.plus(v - cur, ChronoUnit.YEARS).asInstanceOf[R]
+    }
+    override def resolve(
+        fieldValues: java.util.Map[TemporalField, java.lang.Long],
+        partialTemporal: TemporalAccessor,
+        resolverStyle: java.time.format.ResolverStyle): TemporalAccessor = {
+      val v = fieldValues.remove(this).longValue
+      val year = if (v >= 69) 1900 + v else 2000 + v
+      fieldValues.put(ChronoField.YEAR, java.lang.Long.valueOf(year))
+      null
+    }
+    override def toString: String = "YearMod100[pivot1969]"
+  }
+
   private def appendTwoDigitYear(b: DateTimeFormatterBuilder): Unit =
-    b.appendValueReduced(ChronoField.YEAR, 2, 2, 1969)
+    b.appendValue(YearMod100, 2)
 
   private def pat(fmt: String): Pat =
     cache.computeIfAbsent(fmt, { f =>

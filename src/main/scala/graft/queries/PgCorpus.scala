@@ -329,11 +329,12 @@ object PgCorpus {
         }
       case createViewRe(name, colList, body) =>
         // fixture views (the interval suite) go straight through the
-        // dialect path like any program view
-        spark.sql(graft.ddl.Dialect.escapeLiteralBackslashes(
+        // dialect path like any program view; normalize already
+        // escapes literal backslashes — a second pass would quadruple
+        spark.sql(
           s"CREATE OR REPLACE TEMPORARY VIEW ${name.toLowerCase}" +
             s"${Option(colList).getOrElse("")} AS " +
-            graft.ddl.Dialect.normalize(body)))
+            graft.ddl.Dialect.normalize(body))
       case other =>
         System.err.println(s"pgcorpus: ignoring setup statement: " +
           other.take(60))

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, Timesta
   * library manages pins spark.sql.session.timeZone=UTC.
   */
 case class GraftDateTrunc(child: Expression, unit: String,
-    ceil: Boolean = false)
+    ceil: Boolean = false, floorMode: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = child.dataType
   override def prettyName: String =
@@ -42,6 +42,13 @@ case class GraftDateTrunc(child: Expression, unit: String,
   }
 
   private def truncDate(d: LocalDate): LocalDate = unit match {
+    // FLOOR/CEIL(x TO CENTURY|MILLENNIUM) use the calendar-zero base
+    // (y/100*100 — timestamp.rs:2436,2419) while DATE_TRUNC keeps the
+    // Postgres century-number base ((c-1)*100+1 — timestamp.rs:3259)
+    case "MILLENNIUM" if floorMode =>
+      LocalDate.of(d.getYear / 1000 * 1000, 1, 1)
+    case "CENTURY" if floorMode =>
+      LocalDate.of(d.getYear / 100 * 100, 1, 1)
     case "MILLENNIUM" =>
       LocalDate.of((d.getYear - 1) / 1000 * 1000 + 1, 1, 1)
     case "CENTURY" => LocalDate.of((d.getYear - 1) / 100 * 100 + 1, 1, 1)
@@ -122,6 +129,16 @@ object DateTruncExpr {
     reg.createOrReplaceTempFunction("graft_date_ceil",
       (args: Seq[Expression]) =>
         GraftDateTrunc(args.head, unitOf(args(1)), ceil = true),
+      "built-in")
+    // FLOOR/CEIL(x TO unit) — calendar-zero century/millennium bases
+    reg.createOrReplaceTempFunction("graft_date_floor_to",
+      (args: Seq[Expression]) =>
+        GraftDateTrunc(args.head, unitOf(args(1)), floorMode = true),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_date_ceil_to",
+      (args: Seq[Expression]) =>
+        GraftDateTrunc(args.head, unitOf(args(1)), ceil = true,
+          floorMode = true),
       "built-in")
   }
 }

@@ -61,6 +61,10 @@ object StrftimeFastPath extends Rule[LogicalPlan] {
           val step = n match {
             case '%' => lit += '%'; true
             case 'Y' => dir("yyyy")
+            // 'yy' prints year mod 100 — matches the UDF's FORMAT
+            // direction. PARSE never takes this path: parsing '85' via
+            // 'yy' would resolve 2085, not the UDF's 1969-pivot 1985
+            // (Strftime.YearMod100) — do not "unify" them
             case 'y' => dir("yy")
             case 'm' => dir("MM")
             case 'b' | 'h' => dir("MMM")

@@ -709,8 +709,8 @@ class DialectSpec extends SparkSpec {
       === "SELECT date_trunc('month', d) FROM t")
     assert(Dialect.normalize("SELECT FLOOR(ts TO WEEK), " +
       "CEIL(ts TO MONTH) FROM t")
-      === "SELECT graft_date_trunc(ts, 'WEEK'), " +
-        "graft_date_ceil(ts, 'MONTH') FROM t")
+      === "SELECT graft_date_floor_to(ts, 'WEEK'), " +
+        "graft_date_ceil_to(ts, 'MONTH') FROM t")
     // plain FLOOR/CEIL untouched
     assert(Dialect.normalize("SELECT FLOOR(x / 2.0) FROM t")
       === "SELECT FLOOR(x / 2.0) FROM t")

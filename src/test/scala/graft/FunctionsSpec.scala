@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.ddl.Dialect
 import graft.functions.{Registry, WeightedAggs}
 import graft.types.SqlTypes
 
@@ -243,6 +244,14 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(4) === " 8| 8")
     assert(r.getString(5) === "07/04/99")
     assert(r.getString(6) === "1999-07-04")
+    // %y prints year MOD 100 for ALL years (chrono), matching the
+    // fast path's 'yy' — not the full year outside 1969-2068
+    assert(graft.functions.Strftime.format("%y",
+      "1901-01-01 00:00:00") === "01")
+    assert(graft.functions.Strftime.format("%y",
+      "2199-06-01 00:00:00") === "99")
+    assert(graft.functions.Strftime.parseDate("%y-%m-%d", "85-03-04")
+      === "1985-03-04")
   }
 
   test("strftime constant-pattern fast path lowers to date_format") {
@@ -296,6 +305,49 @@ class FunctionsSpec extends SparkSpec {
       "SELECT bit_or_binary(y) FROM VALUES (x'05'), (x'0102') AS t(y)")
       .collect())
     assert(err.getMessage != null)
+  }
+
+  test("split_f: literal delimiter incl. regex metachars and \\E") {
+    Registry.registerAll(spark)
+    val q = Dialect.normalize(
+      """SELECT SPLIT('a.b.c', '.'), SPLIT('x\Ey\Ez', '\E'),
+        |SPLIT('p\\E\\Qq', '\\E\\Q')""".stripMargin)
+    val r = spark.sql(q).head()
+    assert(r.getSeq[String](0) === Seq("a", "b", "c"))
+    // a delimiter containing \E must not end the \Q quoting early
+    assert(r.getSeq[String](1) === Seq("x", "y", "z"))
+    assert(r.getSeq[String](2) === Seq("p", "q"))
+  }
+
+  test("FLOOR/CEIL TO CENTURY use the calendar-zero base; " +
+    "DATE_TRUNC keeps the century-number base") {
+    Registry.registerAll(spark)
+    // timestamp.rs floor_century: y/100*100 (2000-06-01 → 2000-01-01);
+    // date_trunc century: (c-1)*100+1 (2000-06-01 → 1901-01-01)
+    val r = spark.sql(Dialect.normalize(
+      "SELECT CAST(FLOOR(DATE '2000-06-01' TO CENTURY) AS STRING), " +
+        "CAST(DATE_TRUNC(DATE '2000-06-01', CENTURY) AS STRING), " +
+        "CAST(CEIL(DATE '2000-06-01' TO CENTURY) AS STRING), " +
+        "CAST(CEIL(DATE '2100-01-01' TO CENTURY) AS STRING), " +
+        "CAST(FLOOR(DATE '2345-06-01' TO MILLENNIUM) AS STRING), " +
+        "CAST(FLOOR(TIMESTAMP '1999-12-31 23:59:59' TO CENTURY) " +
+        "AS STRING)")).head()
+    assert(r.getString(0) === "2000-01-01")
+    assert(r.getString(1) === "1901-01-01")
+    assert(r.getString(2) === "2100-01-01")
+    assert(r.getString(3) === "2100-01-01") // already at a boundary
+    assert(r.getString(4) === "2000-01-01")
+    assert(r.getString(5) === "1900-01-01 00:00:00")
+  }
+
+  test("dialect rewrites leave string-literal bodies untouched") {
+    Registry.registerAll(spark)
+    // EXTRACT(/DATE_TRUNC/SUBSTRING FROM shapes INSIDE a literal must
+    // not be rewritten (would corrupt the literal and desync scans)
+    val lit = "EXTRACT(EPOCH FROM x) DATE_TRUNC(d, MONTH) " +
+      "SUBSTRING(s FROM 1 FOR 2) FLOOR(t TO WEEK) DATE_PART(dow, d)"
+    val q = s"SELECT '$lit' AS s"
+    assert(spark.sql(Dialect.normalize(q)).head().getString(0) === lit)
   }
 
   test("to_int: signed big-endian fold incl. MSB-set inputs") {
