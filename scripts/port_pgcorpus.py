@@ -40,7 +40,9 @@ def unescape_java(t: str) -> str:
            "r": "\r", "f": "\f", "b": "\b", "s": " "}
     while i < len(t):
         c = t[i]
-        if c == "\\" and i + 1 < len(t) and t[i + 1] in esc:
+        if c == "\\" and i + 1 < len(t) and t[i + 1] == "\n":
+            i += 2  # text-block line continuation: join lines
+        elif c == "\\" and i + 1 < len(t) and t[i + 1] in esc:
             out.append(esc[t[i + 1]])
             i += 2
         else:
@@ -58,8 +60,28 @@ def strip_indent(block: str) -> str:
     return "\n".join(l[cut:] if len(l) >= cut else l for l in lines)
 
 
+def strip_block_comments(src: str) -> str:
+    """Remove Java /* */ block comments OUTSIDE text blocks (a commented-
+    out test method would otherwise be extracted as live units)."""
+    out = []
+    i = 0
+    in_tb = False
+    while i < len(src):
+        if src.startswith('"""', i):
+            in_tb = not in_tb
+            out.append('"""')
+            i += 3
+        elif not in_tb and src.startswith("/*", i):
+            end = src.find("*/", i + 2)
+            i = len(src) if end < 0 else end + 2
+        else:
+            out.append(src[i])
+            i += 1
+    return "".join(out)
+
+
 def extract(java_path: pathlib.Path, include_ignored=False):
-    src = java_path.read_text()
+    src = strip_block_comments(java_path.read_text())
     # split into method chunks: keep (annotations, name, body-with-calls)
     setup = []
     tests = []  # (method, mode, block)
@@ -117,8 +139,11 @@ def extract(java_path: pathlib.Path, include_ignored=False):
                 rows.append(f"INSERT INTO {table} VALUES('{fields}');")
             setup.append("\n".join(rows))
     # test methods
+    # annotation args may contain parens inside string literals
+    # (@Ignore("... (generates LATERAL)")) — match quoted runs whole
     for m in re.finditer(
-            r"((?:@\w+(?:\([^)]*\))?\s*)*)public void (\w+)\(\)\s*\{(.*?)\n    \}",
+            r'((?:@\w+(?:\((?:"[^"]*"|[^)"])*\))?\s*)*)'
+            r"public void (\w+)\(\)\s*\{(.*?)\n    \}",
             src, re.DOTALL):
         annotations, name, body = m.group(1), m.group(2), m.group(3)
         if "@Ignore" in annotations and not include_ignored:
@@ -220,10 +245,21 @@ def port(java_name: str, suite: str, take=None, skip=None, quidem=False,
     if base is not None:
         base_setup, _ = extract(REF / base)
         setup = base_setup + setup
+    if java_name.startswith("../quidem/"):
+        origin = ("Apache Calcite quidem suites "
+                  "(calcite core/src/test/resources/sql), as adapted by")
+    elif java_name.startswith("../mysql/"):
+        origin = ("MySQL server regression results "
+                  "(mysql-test/r), as adapted by")
+    else:
+        origin = ("PostgreSQL regression suite "
+                  "(postgres/src/test/regress), as adapted by")
+    src = java_name.replace("../", "")
+    if "/" not in src:
+        src = f"postgres/{src}"
     out = [f"-- pgcorpus suite: {suite}",
-           "-- provenance: PostgreSQL regression suite "
-           "(postgres/src/test/regress), as adapted by",
-           f"--   sql-to-dbsp-compiler/.../postgres/{java_name}",
+           f"-- provenance: {origin}",
+           f"--   sql-to-dbsp-compiler/.../{src}",
            "-- ported as test fixtures (queries + recorded expected "
            "output); see PgCorpus.scala",
            "== SETUP"]
@@ -278,3 +314,21 @@ if __name__ == "__main__":
     # answers and this engine implements the full set — port them too
     port("../quidem/AsofTests.java", "asof", quidem=True,
          include_ignored=True)
+    # round-14 wave: the remaining float/int suites (value-canonical
+    # float compare in PgCorpus), the Calcite quidem suites (POST /
+    # scott-foodmart / HR fixtures), and the MySQL-derived suites
+    port("PostgresFloat4Tests.java", "float4")
+    port("PostgresFloat8Tests.java", "float8")
+    port("PostgresFloat8Part2Tests.java", "float8p2")
+    port("PostgresInt2Tests.java", "int2")
+    port("PostgresCollateTests.java", "collate")
+    port("../quidem/AggTests.java", "aggq", quidem=True,
+         base="../quidem/PostBaseTests.java")
+    port("../quidem/FoodmartTests.java", "foodmart", quidem=True,
+         base="../quidem/FoodmartBaseTests.java")
+    port("../quidem/HRWinAggTests.java", "hrwinagg", quidem=True,
+         base="../quidem/HrBaseTests.java")
+    port("../quidem/BigQueryTests.java", "bigquery", quidem=True)
+    port("../mysql/DateFormatsTests.java", "mysql_date", mysql=True)
+    port("../mysql/TimestampDiffTests.java", "mysql_tsdiff", mysql=True)
+    port("../mysql/VarbinaryTests.java", "varbinary", mysql=True)

@@ -113,7 +113,7 @@ object Dialect {
     *   columns, so it is dropped).
     */
   def normalize(sql: String, adHoc: Boolean): String =
-    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteTruncate1(rewriteCharCast(rewriteSubstringFromFor(dispatchArityAll(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteArrayBrackets(rewriteUnicodeStringLiterals(stripComments(sql)))))) { run =>
+    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteTruncate1(rewriteCharCast(rewriteBinaryCast(rewriteSubstringFromFor(rewriteGroupingSetsWrap(rewriteTimeTsLiterals(dispatchArityAll(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteArrayBrackets(rewriteUnicodeStringLiterals(stripComments(sql)))))) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -153,9 +153,45 @@ object Dialect {
         .replaceAllIn(l, "split_part_f$1")
       val l2b = """(?i)\bSPLIT(\s*\()""".r.replaceAllIn(l2a, m =>
         java.util.regex.Matcher.quoteReplacement("split_f" + m.group(1)))
-      val l2 = l2b
+      // unsigned widths widen to the next signed type in CAST position
+      // (SqlTypes.sparkType; range checks live on the table-DDL path)
+      val uns1 = """(?i)\bTINYINT\s+UNSIGNED\b""".r
+        .replaceAllIn(l2b, "SMALLINT")
+      val uns2 = """(?i)\bSMALLINT\s+UNSIGNED\b""".r
+        .replaceAllIn(uns1, "INT")
+      val uns3 = """(?i)\b(?:INT|INTEGER)\s+UNSIGNED\b""".r
+        .replaceAllIn(uns2, "BIGINT")
+      val uns = """(?i)\bBIGINT\s+UNSIGNED\b""".r
+        .replaceAllIn(uns3, "DECIMAL(20, 0)")
+      // SQL_TSI_* unit aliases in the datetime arithmetic functions
+      // (Calcite grammar; Spark only knows the bare units), and the
+      // 3-arg bare-unit DATEDIFF synonym of TIMESTAMPDIFF
+      // (mysql/TimestampDiffTests)
+      val tsi = ("""(?i)\b(TIMESTAMPDIFF|TIMESTAMPADD|DATEDIFF|""" +
+        """DATEADD|DATE_DIFF|DATE_ADD)(\s*\(\s*)SQL_TSI_(\w+)""").r
+        .replaceAllIn(uns, "$1$2$3")
+      val ddiff =
+        """(?i)\bDATEDIFF(\s*\(\s*)(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\b""".r
+          .replaceAllIn(tsi, "TIMESTAMPDIFF$1$2")
+      // PI is a reserved NILADIC function in the reference grammar
+      // (float.md: "() is not allowed"); Spark's is pi()
+      val l2c = """(?i)\bPI\b(?!\s*\()""".r.replaceAllIn(ddiff, "pi()")
+      // `GROUP BY DISTINCT` (Calcite: dedupe the grouping-set product)
+      // — the keyword drops; queries whose set lists actually contain
+      // duplicates are outside this engine's surface (documented)
+      val l2d = """(?i)\bGROUP\s+BY\s+DISTINCT\b""".r
+        .replaceAllIn(l2c, "GROUP BY")
+      // SQL-standard `GROUP BY ()` is the GLOBAL aggregate in Calcite
+      // (AggTests testScalar#5: one row even over empty input) — strip
+      val l2e = """(?i)\bGROUP\s+BY\s*\(\s*\)""".r
+        .replaceAllIn(l2d, "")
+      // Calcite's GROUP_ID() is the duplicate-grouping-set ordinal —
+      // constant 0 whenever the set list has no duplicates (the only
+      // shape this engine accepts, see GROUP BY DISTINCT above)
+      val l2 = """(?i)\bGROUP_ID\s*\(\s*\)""".r
+        .replaceAllIn(l2e, "CAST(0 AS BIGINT)")
       mapBareTypes(rewriteMultiArgGrouping(l2))
-    }))))))))))))), adHoc))
+    })))))))))))))))), adHoc))
 
   /** The reference's string literals are standard-conforming (no
     * backslash escapes; '' is the only escape — string.md), while
@@ -376,9 +412,21 @@ object Dialect {
     * text (1-arg SPLIT → split_f1; 3-arg ARRAY_TO_STRING → its
     * null_string spelling).
     */
-  private def dispatchArityAll(s: String): String =
-    dispatchArity(dispatchArity(s, "split_f", 0, "split_f1"),
+  private def dispatchArityAll(s: String): String = {
+    var r = dispatchArity(dispatchArity(s, "split_f", 0, "split_f1"),
       "array_to_string", 2, "array_to_string3")
+    // reference transcendentals (float.md/float.rs): LOG(x[, base]) is
+    // ln-ratio (NOT Spark's log(base, x) argument order), LN/LOG10
+    // return -Infinity at 0 and raise below 0, EXP matches libm
+    r = dispatchArity(r, "log10", 0, "graft_log10")
+    r = dispatchArity(r, "log", 1, "graft_log2")
+    r = dispatchArity(r, "log", 0, "graft_ln")
+    r = dispatchArity(r, "ln", 0, "graft_ln")
+    r = dispatchArity(r, "convert_timezone", 2, "graft_convert_tz")
+    r = dispatchArity(r, "power", 1, "graft_pow")
+    r = dispatchArity(r, "pow", 1, "graft_pow")
+    dispatchArity(r, "exp", 0, "graft_exp")
+  }
 
   /** Re-dispatch `name(` calls with exactly `commas` top-level commas
     * to `target(` — SQL-bodied functions cannot overload, so optional
@@ -626,33 +674,185 @@ object Dialect {
     }
   }
 
-  /** Multi-argument `GROUPING(a, b, …)` (SQL standard, Calcite/the
-    * reference's grammar) → Spark's `GROUPING_ID(a, b, …)` — identical
-    * bitmask semantics (leftmost argument = most significant bit);
-    * Spark's own GROUPING takes exactly one argument, which is left
-    * untouched. `GROUPING SETS (` never matches (SETS intervenes).
+  /** TIME literals in TIMESTAMP contexts — `CAST(TIME '…' AS
+    * TIMESTAMP)` and TIME operands of TIMESTAMPDIFF — become epoch-day
+    * timestamps (mysql/TimestampDiffTests issue4610: the reference
+    * casts TIME to TIMESTAMP on 1970-01-01); Spark's TIME type has no
+    * TIMESTAMP cast. Literal spellings only — a TIME column in cast
+    * position stays a loud analysis error.
     */
-  private def rewriteMultiArgGrouping(s: String): String = {
-    val re = """(?i)\bGROUPING\s*\(""".r
+  private def rewriteTimeTsLiterals(s: String): String = {
+    val cast =
+      """(?i)\bCAST\s*\(\s*TIME\s+'([^']*)'\s+AS\s+TIMESTAMP\b""".r
+    var r = cast.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"CAST(TIMESTAMP '1970-01-01 ${m.group(1)}' AS TIMESTAMP"))
+    val inDiff =
+      """(?i)(TIMESTAMPDIFF\s*\([^()]*?)\bTIME\s+'([^']*)'""".r
+    var changed = true
+    while (changed) {
+      val r2 = inDiff.replaceAllIn(r, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + s"TIMESTAMP '1970-01-01 ${m.group(2)}'"))
+      changed = r2 != r
+      r = r2
+    }
+    r
+  }
+
+  /** Calcite allows `GROUPING(c)` under a PLAIN `GROUP BY c` (it is
+    * then the constant 0 — quidem AggTests testGrouping#1), and in the
+    * ORDER BY above such an aggregate; Spark only resolves GROUPING
+    * under GroupingSets/Cube/Rollup. `GROUP BY list` is semantically
+    * identical to `GROUP BY GROUPING SETS ((list))`, so when a
+    * statement mentions GROUPING(/GROUPING_ID( anywhere, plain GROUP
+    * BY lists are wrapped. Only fires on such statements — everything
+    * else keeps the plain (Expand-free) aggregate plan.
+    */
+  private def rewriteGroupingSetsWrap(s: String): String = {
+    val usesGrouping = """(?i)\bGROUPING(_ID)?\s*\(""".r
+      .findFirstMatchIn(s).exists(m => !inQuoteMap(s)(m.start))
+    if (!usesGrouping) return s
+    val re = """(?i)\bGROUP\s+BY\b""".r
+    val enders = Seq("HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",
+      "OFFSET", "FETCH", "UNION", "EXCEPT", "INTERSECT")
     re.findAllMatchIn(s).toSeq
       .filter(mm => !inQuoteMap(s)(mm.start))
       .reverse.foldLeft(s) { (acc, m) =>
-      var depth = 1
-      var commas = 0
-      var i = m.end
-      while (depth > 0 && i < acc.length) {
-        acc.charAt(i) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case ',' if depth == 1 => commas += 1
-          case _ =>
+        // clause extent: scan at the clause's own depth until a
+        // closing paren below it, a top-level clause keyword, or ';'
+        var i = m.end
+        var depth = 0
+        var inQ = false
+        var end = -1
+        while (end < 0 && i < acc.length) {
+          val c = acc.charAt(i)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '(' => depth += 1
+            case ')' => if (depth == 0) end = i else depth -= 1
+            case ';' if depth == 0 => end = i
+            case ch if depth == 0 && Character.isLetter(ch) &&
+              (i == 0 || !Character.isLetterOrDigit(acc.charAt(i - 1))
+                && acc.charAt(i - 1) != '_') =>
+              val word = acc.substring(i).takeWhile(x =>
+                Character.isLetterOrDigit(x) || x == '_').toUpperCase
+              if (enders.contains(word)) end = i
+            case _ =>
+          }
+          i += 1
         }
-        i += 1
+        if (end < 0) end = acc.length
+        val list = acc.substring(m.end, end)
+        if ("""(?i)\b(ROLLUP|CUBE|GROUPING)\b""".r
+          .findFirstIn(list).isDefined || list.trim.isEmpty) acc
+        else acc.substring(0, m.start) +
+          s"GROUP BY GROUPING SETS ((${list.trim})) " +
+          acc.substring(end)
       }
-      if (commas == 0) acc
-      else acc.substring(0, m.start) + "GROUPING_ID(" +
-        acc.substring(m.end)
+  }
+
+  /** `CAST(x AS BINARY(n))` / `CAST(x AS VARBINARY[(n)])` lower onto
+    * [[org.apache.spark.sql.graft.GraftToBinary]] — the reference's
+    * width-adjusting, integral-capable binary cast (casts.rs:3595;
+    * Spark erases the width and refuses integral sources). The bare
+    * `AS BINARY` cast stays Spark-native (string/binary sources,
+    * codegen'd).
+    */
+  private def rewriteBinaryCast(s: String): String = {
+    val re = """(?i)\bCAST\s*\(""".r
+    re.findAllMatchIn(s).toSeq
+      .filter(mm => !inQuoteMap(s)(mm.start))
+      .reverse.foldLeft(s) { (acc, m) =>
+        var depth = 1
+        var i = m.end
+        var inQ = false
+        var asAt = -1
+        var close = -1
+        while (close < 0 && i < acc.length) {
+          val c = acc.charAt(i)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case 'A' | 'a' if depth == 1 =>
+              if (acc.regionMatches(true, i, "AS", 0, 2) && i > 0 &&
+                !Character.isLetterOrDigit(acc.charAt(i - 1)) &&
+                i + 2 < acc.length &&
+                !Character.isLetterOrDigit(acc.charAt(i + 2))) asAt = i
+            case _ =>
+          }
+          i += 1
+        }
+        val binN =
+          """(?i)^(VAR)?BINARY(?:\s*\(\s*(\d+)\s*\))?$""".r
+        if (close < 0 || asAt < 0) acc
+        else acc.substring(asAt + 2, close).trim match {
+          case binN(varPrefix, n)
+            if varPrefix != null || n != null => // bare BINARY: native
+            val x = acc.substring(m.end, asAt).trim
+            val size = Option(n).getOrElse("-1")
+            val fixed = varPrefix == null
+            acc.substring(0, m.start) +
+              s"graft_to_binary($x, $size, $fixed)" +
+              acc.substring(close + 1)
+          case _ => acc
+        }
+      }
+  }
+
+  /** Multi-argument `GROUPING(a, b, …)` and every `GROUPING_ID(…)`
+    * (SQL standard / Calcite) lower to the explicit bit sum
+    * `Σ CAST(GROUPING(argᵢ) AS BIGINT) * 2^(n-1-i)` — the same bitmask
+    * (leftmost argument = most significant bit), but Spark's native
+    * GROUPING_ID insists the argument list equal the grouping columns
+    * exactly, where Calcite allows any subset / reorder / repeat
+    * (quidem AggTests testGrouping). Spark's one-argument GROUPING is
+    * left untouched; `GROUPING SETS (` never matches (SETS intervenes).
+    */
+  private def rewriteMultiArgGrouping(s0: String): String = {
+    def lower(s: String, name: String, minArgs: Int): String = {
+      val re = ("""(?i)\b""" + name + """\s*\(""").r
+      re.findAllMatchIn(s).toSeq
+        .filter(mm => !inQuoteMap(s)(mm.start))
+        .reverse.foldLeft(s) { (acc, m) =>
+          var depth = 1
+          var i = m.end
+          var inQ = false
+          var close = -1
+          while (close < 0 && i < acc.length) {
+            val c = acc.charAt(i)
+            if (inQ) { if (c == '\'') inQ = false }
+            else c match {
+              case '\'' => inQ = true
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = i
+              case _ =>
+            }
+            i += 1
+          }
+          if (close < 0) acc
+          else {
+            val args = splitTopLevel(acc.substring(m.end, close))
+              .map(_.trim).filter(_.nonEmpty)
+            if (args.size < minArgs) acc
+            else {
+              val n = args.size
+              val sum = args.zipWithIndex.map { case (a, k) =>
+                val shift = 1L << (n - 1 - k)
+                if (shift == 1L) s"CAST(GROUPING($a) AS BIGINT)"
+                else s"CAST(GROUPING($a) AS BIGINT) * $shift"
+              }.mkString("(", " + ", ")")
+              acc.substring(0, m.start) + sum + acc.substring(close + 1)
+            }
+          }
+        }
     }
+    // GROUPING_ID first, so the GROUPING(…) calls it emits (zero top-
+    // level commas each) are not re-visited by the multi-arg pass
+    lower(lower(s0, "GROUPING_ID", 1), "GROUPING", 2)
   }
 
   /** Strip SQL comments — `--` to end-of-line and (nested) block

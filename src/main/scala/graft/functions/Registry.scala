@@ -40,8 +40,37 @@ object Registry {
     ("is_inf", "x DOUBLE", "BOOLEAN",
       "x = double('inf') OR x = double('-inf')"),
     ("is_nan", "x DOUBLE", "BOOLEAN", "isnan(x)"),
+    // float.rs truncate_d_i32: (x*10^n).trunc()/10^n in DOUBLE (never
+    // through BIGINT — truncate(1.2e200) is 1.2e200, not an overflow);
+    // x % 1.0 is IEEE fmod so huge/NaN pass through, and the final
+    // `+ 0.0` normalizes -0 like the reference's normalize_zero_d
     ("truncate", "x DOUBLE, n INT", "DOUBLE",
-      "CAST(CAST(x * power(10, n) AS BIGINT) AS DOUBLE) / power(10, n)"),
+      "CASE WHEN isnan(x * power(10, n)) " +
+        "OR abs(x * power(10, n)) = double('inf') " +
+        "THEN (x * power(10, n)) / power(10, n) " +
+        "ELSE ((x * power(10, n)) - (x * power(10, n)) % 1.0D) " +
+        "/ power(10, n) + 0.0D END"),
+    // float.rs log_d_d: LOG(x, base) = ln(x)/ln(base), 0 base → 0,
+    // negative x or base panics; graft_ln supplies ln(0) = -Infinity
+    // POWER edges per the reference's recorded contract (float8
+    // testSelect#34,39-42): pow(1, NaN) = NaN (Postgres), but
+    // pow(±1, ±inf) = 1 (IEEE) — Java's Math.pow returns NaN for
+    // BOTH |x|=1-with-infinite-y cases, so the infinities need the
+    // explicit branch
+    ("graft_pow", "x DOUBLE, y DOUBLE", "DOUBLE",
+      "CASE WHEN abs(x) = 1.0D AND abs(y) = double('inf') THEN 1.0D " +
+        "ELSE power(x, y) END"),
+    // CONVERT_TIMEZONE with an unknown zone name is NULL in the
+    // reference (TimestampDiffTests issue5986); Spark's raises
+    ("graft_convert_tz", "a STRING, b STRING, t TIMESTAMP_NTZ",
+      "TIMESTAMP_NTZ",
+      "CASE WHEN graft_zone_valid(a) AND graft_zone_valid(b) " +
+        "THEN convert_timezone(a, b, t) ELSE NULL END"),
+    ("graft_log2", "x DOUBLE, b DOUBLE", "DOUBLE",
+      "CASE WHEN x < 0D OR b < 0D THEN CAST(raise_error(" +
+        "concat('Unable to calculate log(', x, ', ', b, ')')) " +
+        "AS DOUBLE) WHEN b = 0D THEN 0D " +
+        "ELSE graft_ln(x) / graft_ln(b) END"),
     // Feldera GREATEST/LEAST return NULL on any NULL argument; the
     // _IGNORE_NULLS forms are Spark's native skip-null semantics
     ("greatest_ignore_nulls", "x DOUBLE, y DOUBLE", "DOUBLE",
@@ -141,6 +170,8 @@ object Registry {
     // native split_part raises INVALID_INDEX_OF_ZERO
     ("split_part_f", "s STRING, d STRING, n INT", "STRING",
       "CASE WHEN n = 0 THEN '' ELSE split_part(s, d, n) END"),
+    // binary.rs:361 TO_HEX — lowercase (encode_hex)
+    ("to_hex", "b BINARY", "STRING", "lower(hex(b))"),
     ("bin2utf8", "b BINARY", "STRING", "decode(b, 'UTF-8')"),
     ("utf82bin", "s STRING", "BINARY", "encode(s, 'UTF-8')"),
     // VARIANT tail SQL spellings (variant.rs; json.md:78-510). Lambda-taking
@@ -220,6 +251,30 @@ object Registry {
       udaf(binaryBitAgg((a, b) => (a | b).toByte)))
     spark.udf.register("bit_xor_binary",
       udaf(binaryBitAgg((a, b) => (a ^ b).toByte)))
+    // type-directed BIT_AND/OR/XOR dispatch (aggregates.md:62-72 —
+    // the reference overloads them over BINARY): function builders
+    // run with RESOLVED children, so the argument type picks Spark's
+    // integral aggregate or the bytewise Aggregator above
+    locally {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      import org.apache.spark.sql.catalyst.expressions.Expression
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{BitAndAgg, BitOrAgg, BitXorAgg}
+      val reg = spark
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+      def dispatch(name: String,
+          integral: Expression => Expression): Unit =
+        reg.createOrReplaceTempFunction(name, (args: Seq[Expression]) =>
+          if (args.head.resolved &&
+            args.head.dataType ==
+              org.apache.spark.sql.types.BinaryType)
+            UnresolvedFunction(Seq(name + "_binary"), args,
+              isDistinct = false)
+          else integral(args.head), "built-in")
+      dispatch("bit_and", BitAndAgg(_))
+      dispatch("bit_or", BitOrAgg(_))
+      dispatch("bit_xor", BitXorAgg(_))
+    }
     spark.udf.register("gunzip", (bytes: Array[Byte]) =>
       if (bytes == null) null
       else {
@@ -284,6 +339,10 @@ object Registry {
   }
 
   def registerAll(spark: SparkSession): Unit = {
+    // before registerSql: CreateSQLFunctionCommand eagerly resolves
+    // referenced functions (graft_log2's body calls graft_ln)
+    org.apache.spark.sql.graft.GraftMathFns.register(spark)
+    org.apache.spark.sql.graft.BinaryFns.register(spark)
     registerSql(spark)
     registerUdfs(spark)
     // debug helpers: BLACKBOX (optimizer barrier), WRITELOG (per-row tap)
@@ -294,6 +353,7 @@ object Registry {
     org.apache.spark.sql.graft.StrftimeFastPath.register(spark)
     // type-preserving DATE_TRUNC with the reference's unit set
     org.apache.spark.sql.graft.DateTruncExpr.register(spark)
+    org.apache.spark.sql.graft.GraftFloatRender.register(spark)
   }
 
   /** Generic (any element type) Column forms of the array tail — the SQL

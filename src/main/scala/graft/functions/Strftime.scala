@@ -26,13 +26,23 @@ object Strftime {
     * cannot build a LocalTime must raise, not default to midnight).
     */
   private final case class Pat(fmt: DateTimeFormatter,
-      hasDate: Boolean, hasTime: Boolean)
+      hasDate: Boolean, hasTime: Boolean) {
+    /** chrono parses case-insensitively ('07:30:00 am' matches %p) and
+      * with flexible numeric widths ('2:23:38' matches %I:%M:%S);
+      * java.time is strict. Strict parse runs first — the lenient
+      * wrapper is the fallback, so digit-adjacent patterns (%Y%m%d)
+      * keep their fixed-width reading.
+      */
+    lazy val lenient: DateTimeFormatter =
+      new DateTimeFormatterBuilder().parseCaseInsensitive()
+        .parseLenient().append(fmt).toFormatter(java.util.Locale.US)
+  }
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Pat]()
 
-  private val dateDirectives = "YymbhBdeaAjFDGVu".toSet
-  private val timeDirectives = "HkIlpMSTRf".toSet
+  private val dateDirectives = "YymbhBdeaAjFDGVuxcCgUWw".toSet
+  private val timeDirectives = "HkIlpMSTRfXc".toSet
 
   /** chrono directive → java.time pattern fragment (appendPattern).
     * Directives with no exact pattern-letter equivalent (%y's 1969-based
@@ -56,6 +66,7 @@ object Strftime {
     case 'F' => "uuuu-MM-dd"
     case 'T' => "HH:mm:ss"
     case 'R' => "HH:mm"
+    case 'X' => "HH:mm:ss" // chrono %X: C-locale time representation
     case other => throw new IllegalArgumentException(
       s"unsupported strftime directive %$other (datetime.md format table)")
   }
@@ -97,6 +108,95 @@ object Strftime {
   private def appendTwoDigitYear(b: DateTimeFormatterBuilder): Unit =
     b.appendValue(YearMod100, 2)
 
+  /** chrono's %g: ISO week-based year mod 100 (print side; parse
+    * resolves with the 1969 pivot like %y).
+    */
+  private object WeekYearMod100 extends java.time.temporal.TemporalField {
+    import java.time.temporal._
+    override def getBaseUnit: TemporalUnit = ChronoUnit.YEARS
+    override def getRangeUnit: TemporalUnit = ChronoUnit.CENTURIES
+    override def range: ValueRange = ValueRange.of(0, 99)
+    override def isDateBased: Boolean = true
+    override def isTimeBased: Boolean = false
+    override def isSupportedBy(t: TemporalAccessor): Boolean =
+      t.isSupported(ChronoField.YEAR)
+    override def rangeRefinedBy(t: TemporalAccessor): ValueRange = range
+    override def getFrom(t: TemporalAccessor): Long =
+      Math.floorMod(t.getLong(IsoFields.WEEK_BASED_YEAR), 100L)
+    override def adjustInto[R <: Temporal](t: R, v: Long): R =
+      throw new UnsupportedTemporalTypeException("%g adjust")
+    override def resolve(
+        fieldValues: java.util.Map[TemporalField, java.lang.Long],
+        partialTemporal: TemporalAccessor,
+        resolverStyle: java.time.format.ResolverStyle): TemporalAccessor = {
+      val v = fieldValues.remove(this).longValue
+      fieldValues.put(IsoFields.WEEK_BASED_YEAR,
+        java.lang.Long.valueOf(if (v >= 69) 1900 + v else 2000 + v))
+      null
+    }
+    override def toString: String = "WeekYearMod100"
+  }
+
+  /** chrono's %w: day of week with Sunday = 0 .. Saturday = 6. */
+  private object DowSunZero extends java.time.temporal.TemporalField {
+    import java.time.temporal._
+    override def getBaseUnit: TemporalUnit = ChronoUnit.DAYS
+    override def getRangeUnit: TemporalUnit = ChronoUnit.WEEKS
+    override def range: ValueRange = ValueRange.of(0, 6)
+    override def isDateBased: Boolean = true
+    override def isTimeBased: Boolean = false
+    override def isSupportedBy(t: TemporalAccessor): Boolean =
+      t.isSupported(ChronoField.DAY_OF_WEEK)
+    override def rangeRefinedBy(t: TemporalAccessor): ValueRange = range
+    override def getFrom(t: TemporalAccessor): Long =
+      t.getLong(ChronoField.DAY_OF_WEEK) % 7L
+    override def adjustInto[R <: Temporal](t: R, v: Long): R = {
+      val cur = t.getLong(ChronoField.DAY_OF_WEEK) % 7L
+      t.plus(v - cur, ChronoUnit.DAYS).asInstanceOf[R]
+    }
+    override def resolve(
+        fieldValues: java.util.Map[TemporalField, java.lang.Long],
+        partialTemporal: TemporalAccessor,
+        resolverStyle: java.time.format.ResolverStyle): TemporalAccessor = {
+      val v = fieldValues.remove(this).longValue
+      fieldValues.put(ChronoField.DAY_OF_WEEK,
+        java.lang.Long.valueOf(if (v == 0) 7 else v))
+      null
+    }
+    override def toString: String = "DowSunZero"
+  }
+
+  /** chrono's %C: floor(year/100), two digits. Print-oriented; a parse
+    * resolves to year C*100 (chrono pairs it with %y for exact years —
+    * unsupported combination here, the corpus only formats it).
+    */
+  private object YearDiv100 extends java.time.temporal.TemporalField {
+    import java.time.temporal._
+    override def getBaseUnit: TemporalUnit = ChronoUnit.CENTURIES
+    override def getRangeUnit: TemporalUnit = ChronoUnit.FOREVER
+    override def range: ValueRange = ValueRange.of(0, 99)
+    override def isDateBased: Boolean = true
+    override def isTimeBased: Boolean = false
+    override def isSupportedBy(t: TemporalAccessor): Boolean =
+      t.isSupported(ChronoField.YEAR)
+    override def rangeRefinedBy(t: TemporalAccessor): ValueRange = range
+    override def getFrom(t: TemporalAccessor): Long =
+      Math.floorDiv(t.getLong(ChronoField.YEAR), 100L)
+    override def adjustInto[R <: Temporal](t: R, v: Long): R = {
+      val cur = Math.floorDiv(t.getLong(ChronoField.YEAR), 100L)
+      t.plus((v - cur) * 100, ChronoUnit.YEARS).asInstanceOf[R]
+    }
+    override def resolve(
+        fieldValues: java.util.Map[TemporalField, java.lang.Long],
+        partialTemporal: TemporalAccessor,
+        resolverStyle: java.time.format.ResolverStyle): TemporalAccessor = {
+      val v = fieldValues.remove(this).longValue
+      fieldValues.put(ChronoField.YEAR, java.lang.Long.valueOf(v * 100))
+      null
+    }
+    override def toString: String = "YearDiv100"
+  }
+
   private def pat(fmt: String): Pat =
     cache.computeIfAbsent(fmt, { f =>
       val b = new DateTimeFormatterBuilder()
@@ -130,9 +230,32 @@ object Strftime {
               hasDate = true; i += 2
             case 'y' =>
               appendTwoDigitYear(b); hasDate = true; i += 2
-            case 'D' => // %m/%d/%y, with the %y pivot
+            case 'D' | 'x' => // %m/%d/%y, with the %y pivot (chrono's
+              // %x is the C-locale date representation = %D)
               b.appendPattern("MM/dd/")
               appendTwoDigitYear(b); hasDate = true; i += 2
+            case 'c' => // C-locale date+time: %a %b %e %T %Y
+              b.appendPattern("EEE MMM ")
+              b.padNext(2, ' ').appendValue(ChronoField.DAY_OF_MONTH)
+              b.appendPattern(" HH:mm:ss ")
+              b.appendValue(ChronoField.YEAR, 4)
+              hasDate = true; hasTime = true; i += 2
+            case 'C' => // century (floor(year/100)), print-oriented
+              b.appendValue(YearDiv100, 2); hasDate = true; i += 2
+            case 'g' => // ISO week-based year mod 100
+              b.appendValue(WeekYearMod100, 2); hasDate = true; i += 2
+            case 'U' => // week of year, Sunday-started, 00-53
+              b.appendValue(java.time.temporal.WeekFields
+                .of(java.time.DayOfWeek.SUNDAY, 7).weekOfYear(), 2)
+              hasDate = true; i += 2
+            case 'W' => // week of year, Monday-started, 00-53
+              b.appendValue(java.time.temporal.WeekFields
+                .of(java.time.DayOfWeek.MONDAY, 7).weekOfYear(), 2)
+              hasDate = true; i += 2
+            case 'w' => // day of week, Sunday = 0
+              b.appendValue(DowSunZero, 1); hasDate = true; i += 2
+            case 't' => b.appendLiteral('\t'); i += 2
+            case 'n' => b.appendLiteral('\n'); i += 2
             // space-padded fields ("Same as %d/%H/%I but space-padded")
             case 'e' =>
               b.padNext(2, ' ').appendValue(ChronoField.DAY_OF_MONTH)
@@ -184,16 +307,30 @@ object Strftime {
     try fmt.parse(s)
     catch { case _: java.time.format.DateTimeParseException => null }
 
+  /** chrono's parse treats pattern whitespace as "any run of
+    * whitespace, including none" (PARSE_DATE(' %F ', '  2000-12-30  ')
+    * parses); java.time matches literals exactly. Both sides
+    * normalize: trim + collapse runs to one space. Parse-only — the
+    * FORMAT direction prints pattern whitespace verbatim.
+    */
+  private def wsNorm(x: String): String =
+    x.trim.replaceAll("\\s+", " ")
+
   def parseDate(fmt: String, s: String): String = {
     if (fmt == null || s == null) return null
-    val parsed = tryParse(formatter(fmt), s)
+    val p = pat(wsNorm(fmt))
+    val t = wsNorm(s)
+    val parsed = Option(tryParse(p.fmt, t))
+      .getOrElse(tryParse(p.lenient, t))
     if (parsed == null) null else LocalDate.from(parsed).toString
   }
 
   def parseTimestamp(fmt: String, s: String): String = {
     if (fmt == null || s == null) return null
-    val p = pat(fmt)
-    val parsed = tryParse(p.fmt, s)
+    val p = pat(wsNorm(fmt))
+    val t = wsNorm(s)
+    val parsed = Option(tryParse(p.fmt, t))
+      .getOrElse(tryParse(p.lenient, t))
     if (parsed == null) return null
     // a pattern with date/time directives must RESOLVE them —
     // LocalDate.from / LocalTime.from raise on an incomplete set
@@ -209,7 +346,10 @@ object Strftime {
 
   def parseTime(fmt: String, s: String): String = {
     if (fmt == null || s == null) return null
-    val parsed = tryParse(formatter(fmt), s)
+    val p = pat(wsNorm(fmt))
+    val t = wsNorm(s)
+    val parsed = Option(tryParse(p.fmt, t))
+      .getOrElse(tryParse(p.lenient, t))
     if (parsed == null) null
     else LocalTime.from(parsed)
       .format(DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS"))

@@ -40,6 +40,51 @@ object PgCorpus {
   final case class Suite(name: String, setup: Seq[String],
       tests: Seq[CorpusTest])
 
+  /** Per-suite rendering/canonicalization mode.
+    *  - interval: exact-total interval canon (ym:/dt:).
+    *  - floatWide: value-canonical float compare — float-looking cells
+    *    on BOTH sides collapse to the IEEE bit pattern of the value
+    *    (Some(false) = float4 width, Some(true) = float8); see
+    *    [[org.apache.spark.sql.graft.GraftFloatRender]].
+    *  - quidemBool: Calcite-quidem-derived suites print booleans
+    *    true/false where the Postgres .out suites print t/f.
+    */
+  final case class SuiteMode(interval: Boolean = false,
+      floatWide: Option[Boolean] = None, quidemBool: Boolean = false,
+      /** MySQL-.result suites: the port maps the format's tab cell
+        * separators to pipes, so a tab INSIDE a value (format_date
+        * '%t') renders as a pipe on the actual side to match.
+        */
+      mysqlTabs: Boolean = false,
+      /** varbinary suite: its recorded hex cells mix cases (0000000A
+        * vs abcd); every actual-side cell is lowercase hex or digits,
+        * so expected hex cells lowercase to match.
+        */
+      hexLower: Boolean = false)
+
+  val modes: Map[String, SuiteMode] = Map(
+    "interval" -> SuiteMode(interval = true),
+    // interval-valued difference cells ("1 day", "7200 seconds")
+    "mysql_tsdiff" -> SuiteMode(interval = true, mysqlTabs = true),
+    "mysql_date" -> SuiteMode(mysqlTabs = true),
+    "varbinary" -> SuiteMode(mysqlTabs = true, hexLower = true),
+    "float4" -> SuiteMode(floatWide = Some(false)),
+    "float8" -> SuiteMode(floatWide = Some(true)),
+    "float8p2" -> SuiteMode(floatWide = Some(true)),
+    // testBitAggs#1's recorded binary cells are uppercase hex (the pg
+    // .out convention elsewhere is lowercase; renderCol emits lower)
+    "aggregates" -> SuiteMode(hexLower = true),
+    "aggq" -> SuiteMode(quidemBool = true),
+    "foodmart" -> SuiteMode(quidemBool = true),
+    "hrwinagg" -> SuiteMode(quidemBool = true),
+    // interval: SAFE_CAST interval cells record Calcite's verbose
+    // rendering ("1 year", "61 mins") — the exact-total canon collapses
+    // both sides; it also routes actual cells through canonCell, which
+    // the '1.0'-input string cells need (decimal-trim symmetry)
+    "bigquery" -> SuiteMode(quidemBool = true, interval = true),
+    "asof" -> SuiteMode(quidemBool = true)
+  ).withDefaultValue(SuiteMode())
+
   private val NullMarker = "∅"
 
   /** Canonical cell: trimmed; the corpus's null spellings and NULL
@@ -107,9 +152,39 @@ object PgCorpus {
     case _ => None
   }
 
-  def canonCell(s: String, interval: Boolean): String = {
+  /** Value-canonical float cell (expected-text side): a cell that is a
+    * rendered float (has `.`/`e`, Infinity/NaN, or is `-0`) collapses
+    * to the SAME form [[org.apache.spark.sql.graft.GraftFloatRender]]
+    * emits for the typed value — integral-below-1e15 plain, IEEE bits
+    * otherwise. Pure-integer cells stay text (they are compared
+    * verbatim on both sides already). Injective on distinct values of
+    * the suite's float width.
+    */
+  private def floatCanon(t: String, wide: Boolean): Option[String] = {
+    import org.apache.spark.sql.graft.GraftFloatRender
+    val special = t.matches("[-+]?(Infinity|NaN)")
+    val numeric =
+      t.matches("""[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?""") &&
+        t.exists(c => c == '.' || c == 'e' || c == 'E')
+    if (!special && !numeric && t != "-0") None
+    else if (wide) Some(GraftFloatRender.renderDouble(
+      java.lang.Double.parseDouble(t)))
+    else Some(GraftFloatRender.renderFloat(
+      java.lang.Float.parseFloat(t)))
+  }
+
+  def canonCell(s: String, interval: Boolean): String =
+    canonCell(s, SuiteMode(interval = interval))
+
+  def canonCell(s: String, mode: SuiteMode): String = {
+    val interval = mode.interval
     val t = if (s == null) "" else s.trim
     if (t.isEmpty || t == "null" || t == "NULL") NullMarker
+    else if (mode.floatWide.isDefined &&
+      floatCanon(t, mode.floatWide.get).isDefined)
+      floatCanon(t, mode.floatWide.get).get
+    else if (mode.hexLower && t.matches("[0-9A-Fa-f]+"))
+      t.toLowerCase
     else if (t == "-0") "0" // a corpus-side negative-zero int rendering
     else if (interval && canonInterval(t).isDefined) canonInterval(t).get
     else t match {
@@ -118,8 +193,14 @@ object PgCorpus {
       // timestamps — their TableParser accepts all); both sides
       // canonicalize to ISO with trimmed fractional seconds
       case sci if sci.matches("-?\\d+(\\.\\d+)?[eE][+-]?\\d+") =>
-        // exponent-notation case varies across the corpus adaptations
-        sci.toLowerCase.replace("e", "e").replaceFirst("e(\\d)", "e+$1")
+        // exponent-notation case varies across the corpus adaptations;
+        // integral small values (quidem prints stddev 0 as "0e0")
+        // collapse to the plain integer form renderCol emits
+        val v = java.lang.Double.parseDouble(sci)
+        if (v == Math.rint(v) && Math.abs(v) < 1e15 &&
+          !(v == 0d && 1 / v < 0))
+          java.math.BigDecimal.valueOf(v).toBigInteger.toString
+        else sci.toLowerCase.replaceFirst("e(\\d)", "e+$1")
       case dec if dec.matches("-?\\d+\\.\\d+") =>
         val trimmed = dec.replaceAll("(\\.\\d*?)0+$", "$1")
           .replaceAll("\\.$", "")
@@ -156,7 +237,7 @@ object PgCorpus {
       if (mode == "SETUP") setup ++= splitStatements(
         buf.map(stripLineComment).mkString("\n"))
       else if (mode == "TEST")
-        tests ++= parseTests(testId, buf.toSeq, name == "interval")
+        tests ++= parseTests(testId, buf.toSeq, modes(name))
       buf.clear()
     }
     for (line <- lines) {
@@ -179,7 +260,7 @@ object PgCorpus {
     * units after the first get a `/k` id suffix.
     */
   private def parseTests(id: String, lines0: Seq[String],
-      intervalMode: Boolean = false): Seq[CorpusTest] = {
+      suiteMode: SuiteMode = SuiteMode()): Seq[CorpusTest] = {
     val out = Vector.newBuilder[CorpusTest]
     var lines = lines0.dropWhile(_.trim.isEmpty)
     var k = 0
@@ -207,7 +288,7 @@ object PgCorpus {
         }
       out += CorpusTest(uid, query,
         dataLines.map(_.split("\\|", -1).toSeq
-          .map(canonCell(_, intervalMode))))
+          .map(canonCell(_, suiteMode))))
       lines =
         (if (fenceIdx >= 0) afterSep.drop(fenceIdx + 1) else Seq.empty)
           .dropWhile(_.trim.isEmpty)
@@ -249,8 +330,6 @@ object PgCorpus {
   private[queries] def mapPgTypes(sql: String): String = {
     var s = sql
     s = "(?i)\\bdouble\\s+precision\\b".r.replaceAllIn(s, "DOUBLE")
-    // Spark's BINARY takes no length parameter
-    s = "(?i)\\bbinary\\s*\\(\\s*\\d+\\s*\\)".r.replaceAllIn(s, "BINARY")
     for ((pg, spark) <- Seq("int2" -> "SMALLINT", "int4" -> "INT",
       "int8" -> "BIGINT", "float4" -> "FLOAT", "float8" -> "DOUBLE",
       "int16" -> "SMALLINT", "int32" -> "INT", "int64" -> "BIGINT",
@@ -260,6 +339,8 @@ object PgCorpus {
     graft.ddl.Dialect.mapBareTypes(s) // bare VARCHAR → STRING
   }
 
+  private val createTypeRe =
+    """(?is)\s*CREATE\s+TYPE\s+(\w+)\s+AS\s*\((.*)\)\s*""".r
   private val createRe =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*""".r
   private val createViewRe =
@@ -270,25 +351,56 @@ object PgCorpus {
   /** Build each corpus table as a temp view over VALUES with per-column
     * try_cast; rows whose non-null literals fail the cast are dropped —
     * the corpus includes deliberately-invalid inserts ('1997-02-29',
-    * BC dates) whose rows the recorded outputs omit.
+    * BC dates) whose rows the recorded outputs omit. Returns the
+    * (table, columns) defs — the incremental replay reuses them as a
+    * Pipeline program.
     */
-  def registerSetup(spark: SparkSession, suite: Suite): Unit = {
+  def registerSetup(spark: SparkSession,
+      suite: Suite): Seq[(String, Seq[(String, String)])] = {
     graft.functions.Registry.registerAll(spark)
     val cols = scala.collection.mutable.LinkedHashMap[String,
       Seq[(String, String)]]() // table -> (colName, sparkType)
     val rows = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.Buffer[String]]() // table -> tuples text
+    // CREATE TYPE name AS (fields) → STRUCT<fields> alias, substituted
+    // into later column types (grammar.md:43-50; the HR fixture's
+    // `employees Employee ARRAY`)
+    val typeAliases = scala.collection.mutable.LinkedHashMap[String,
+      String]()
+    def resolveAliases(t: String): String =
+      typeAliases.foldLeft(t) { case (acc, (n, struct)) =>
+        // postfix `Name ARRAY` first (mapBareTypes only rewrites the
+        // builtin names), then the alias itself
+        val arr = ("(?i)\\b" + n + "\\s+ARRAY\\b").r
+          .replaceAllIn(acc, "ARRAY<" + n + ">")
+        ("(?i)\\b" + n + "\\b").r.replaceAllIn(arr,
+          java.util.regex.Matcher.quoteReplacement(struct))
+      }
     for (stmt <- suite.setup) stmt match {
+      case createTypeRe(name, body) =>
+        val fields = splitTopLevel(body, ',').map(_.trim)
+          .filter(_.nonEmpty).map { d =>
+            val parts = d.split("\\s+", 2)
+            s"${parts(0).toLowerCase}: ${mapPgTypes(parts(1).trim)}"
+          }
+        typeAliases(name.toLowerCase) =
+          fields.mkString("STRUCT<", ", ", ">")
       case createRe(name, body) =>
         val defs = splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty)
           .filterNot(_.toUpperCase.startsWith("PRIMARY "))
           .map { d =>
             val parts = d.split("\\s+", 2)
+            // column defs erase [VAR]BINARY widths (Spark's BINARY is
+            // unparameterized); query-path casts keep them — the
+            // Dialect lowers those onto graft_to_binary
             (parts(0).toLowerCase,
-              mapPgTypes(parts(1)
+              resolveAliases(mapPgTypes(parts(1)
                 .replaceAll(
                   "(?i)\\b(not\\s+null|primary\\s+key|unique)\\b", "")
-                .trim))
+                .replaceAll("(?i)\\b(?:var)?binary\\s*\\(\\s*\\d+\\s*\\)",
+                  "BINARY")
+                .replaceAll("(?i)\\bvarbinary\\b", "BINARY")
+                .trim)))
           }
         cols(name.toLowerCase) = defs
         rows.getOrElseUpdate(name.toLowerCase,
@@ -303,8 +415,12 @@ object PgCorpus {
         for (tup <- tuples if tup.nonEmpty) {
           // Postgres typed bool literals (`bool 't'`) in fixture rows
           val inner0 = tup.stripPrefix("(").stripSuffix(")")
-          val inner = """(?i)\bbool(?:ean)?\s+('(?:[^']|'')*')""".r
+          val inner1 = """(?i)\bbool(?:ean)?\s+('(?:[^']|'')*')""".r
             .replaceAllIn(inner0, "CAST($1 AS BOOLEAN)")
+          // the SQL-standard UNKNOWN boolean literal IS NULL (the
+          // quidem EMPS fixture uses it); Spark has no such literal
+          val inner = mapOutsideLiterals(inner1)(run =>
+            """(?i)\bUNKNOWN\b""".r.replaceAllIn(run, "NULL"))
           // quote bare numeric literals destined for DECIMAL/STRING
           // columns — Spark's inline tables refuse mixed INT/STRING
           def normalized(values: Seq[String]): Seq[String] =
@@ -365,6 +481,7 @@ object PgCorpus {
       spark.sql(graft.ddl.Dialect.escapeLiteralBackslashes(
         s"CREATE OR REPLACE TEMPORARY VIEW $t AS $body"))
     }
+    cols.toSeq
   }
 
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
@@ -452,14 +569,14 @@ object PgCorpus {
     * ambiguous.
     */
   private[graft] def renderedRows(df: DataFrame,
-      intervalMode: Boolean = false): DataFrame = {
+      mode: SuiteMode = SuiteMode()): DataFrame = {
     val rn = df.toDF(df.columns.indices.map(i => s"_c$i"): _*)
-    val cells = rn.schema.fields.map(renderCol).toSeq
+    val cells = rn.schema.fields.map(renderCol(_, mode)).toSeq
     // the interval suite's expected cells canonicalize through
     // canonInterval; STRING results (CAST(interval AS VARCHAR)) must
     // take the same path so "+2:03" and "dt:7380000000" compare equal
     val canon =
-      if (!intervalMode) cells
+      if (!mode.interval) cells
       else {
         val u = udf((x: String) =>
           if (x == null) null else canonCell(x, interval = true))
@@ -468,11 +585,26 @@ object PgCorpus {
     rn.select(concat_ws("|", canon: _*).as("r"))
   }
 
+  private[graft] def renderCol(f: StructField): Column =
+    renderCol(f, SuiteMode())
+
   /** Render one column to its canonical Postgres-.out cell string. */
-  private[graft] def renderCol(f: StructField): Column = {
+  private[graft] def renderCol(f: StructField,
+      mode: SuiteMode): Column = {
     val c = col(f.name)
+    // value-canonical float compare (float4/float8 suites): every
+    // float-valued column — incl. Spark's DOUBLE sum over FLOAT and
+    // DECIMAL averages — collapses to the suite width's bit pattern,
+    // mirroring floatCanon on the expected text exactly
+    def bits(wide: Boolean): Column = expr(
+      s"graft_float_render(CAST(${f.name} AS " +
+        s"${if (wide) "DOUBLE" else "FLOAT"}), $wide)")
     val rendered = f.dataType match {
+      case BooleanType if mode.quidemBool =>
+        when(c, "true").otherwise("false")
       case BooleanType => when(c, "t").otherwise("f")
+      case FloatType | DoubleType | _: DecimalType
+        if mode.floatWide.isDefined => bits(mode.floatWide.get)
       // the corpus renders binary as bare lowercase hex (TableParser)
       case BinaryType => lower(hex(c))
       // canonical ISO forms — expected cells canonicalize to the same
@@ -498,6 +630,9 @@ object PgCorpus {
             .cast(StringType))
           .otherwise(regexp_replace(
             regexp_replace(sci, "e\\+-", "e-"), "\\.0$", ""))
+      case StringType if mode.mysqlTabs =>
+        // tab-in-value → pipe, mirroring the port's separator mapping
+        regexp_replace(regexp_replace(c, "\u0000", "\\\\0"), "\t", "|")
       case StringType =>
         // the corpus renders an embedded NUL as the 2-char "\0"
         regexp_replace(c, "\u0000", "\\\\0")
@@ -514,24 +649,15 @@ object PgCorpus {
       case t if t.typeName == "time" || t.typeName.startsWith("time(") =>
         regexp_replace(regexp_replace(
           c.cast(StringType), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
-      case ym: YearMonthIntervalType =>
-        // canonical exact total (months): Spark casts an interval to a
-        // number in its END-field unit exactly
-        val n = c.cast("long")
-        concat(lit("ym:"),
-          (if (ym.endField == YearMonthIntervalType.YEAR) n * 12 else n)
-            .cast(StringType))
-      case dt: DayTimeIntervalType =>
-        // total micros via the end-field-unit numeric cast (the
-        // DECIMAL form keeps the fractional seconds)
-        val totalMicros = dt.endField match {
-          case DayTimeIntervalType.DAY => c.cast("long") * 86400000000L
-          case DayTimeIntervalType.HOUR => c.cast("long") * 3600000000L
-          case DayTimeIntervalType.MINUTE => c.cast("long") * 60000000L
-          case _ =>
-            (c.cast(DecimalType(38, 6)) * 1000000).cast("long")
-        }
-        concat(lit("dt:"), totalMicros.cast(StringType))
+      case _: YearMonthIntervalType | _: DayTimeIntervalType =>
+        // canonical exact total (months / micros) via the RAW stored
+        // value: the end-field numeric cast would truncate the
+        // denormalized values GraftIntervalCast preserves
+        val prefix =
+          if (f.dataType.isInstanceOf[YearMonthIntervalType]) "ym:"
+          else "dt:"
+        concat(lit(prefix), expr(s"graft_interval_total(${f.name})")
+          .cast(StringType))
       case _ => c.cast(StringType)
     }
     when(c.isNull, NullMarker).otherwise(
@@ -546,10 +672,137 @@ object PgCorpus {
   def runSuite(spark: SparkSession, suite: Suite,
       skip: Set[String]): DataFrame = {
     val parts = suite.tests.filterNot(t => skip(t.id)).map { t =>
-      renderedRows(runQuery(spark, t.query), suite.name == "interval")
+      renderedRows(runQuery(spark, t.query), modes(suite.name))
         .select(lit(t.id).as("tid"), col("r"))
     }
     parts.reduce(_ unionAll _)
+  }
+
+  // ------------------------------------------- incremental replay
+
+  /** Fixture table names, statically (no session needed). */
+  def tableNames(suite: Suite): Seq[String] =
+    suite.setup.collect { case createRe(name, _) => name.toLowerCase }
+
+  /** The incremental replay's query subset: table-referencing (a pure
+    * literal SELECT has no deltas to maintain) and LIMIT-free (a limit
+    * without a total order picks nondeterministic rows, so batch-vs-
+    * incremental equality is not a contract for them).
+    */
+  def incEligible(suite: Suite): Seq[CorpusTest] = {
+    val tables = tableNames(suite)
+    suite.tests.filterNot(t => skips(suite.name)(t.id))
+      .filter(t => tables.exists(n =>
+        ("(?i)\\b" + n + "\\b").r.findFirstIn(t.query).isDefined))
+      .filterNot(t => "(?i)\\b(LIMIT|FETCH|OFFSET)\\b".r
+        .findFirstIn(t.query).isDefined)
+      // a view needs unique output names; some corpus selects repeat
+      // an alias (legal for a plain SELECT) — both the AS form and the
+      // bare `expr alias` form (aggq testGrouping#7's two `gd`s)
+      .filterNot { t =>
+        val kw = Set("from", "where", "group", "order", "having",
+          "union", "over", "filter", "as", "on", "join", "window",
+          "and", "or", "then", "else", "end", "in")
+        val names = ("""(?i)\bAS\s+(\w+)""".r
+          .findAllMatchIn(t.query).map(_.group(1)) ++
+          """(?m)\)\s+([A-Za-z_]\w*)\s*(?=,|$)""".r
+            .findAllMatchIn(t.query).map(_.group(1)))
+          .map(_.toLowerCase).filterNot(kw).toSeq
+        names.distinct.size != names.size
+      }
+      // correlated scalar subqueries decorrelate into plans the
+      // Pipeline's leaf-substitution surgery does not support as
+      // standing views yet (foodmart testScalar) — batch-graded only
+      .filterNot(t =>
+        """(?i)\(\s*select\b""".r.findFirstIn(t.query).isDefined)
+  }
+
+  /** The reference's SLT `-inc` contract (sql-to-dbsp-compiler
+    * README.md:147,186-192): feed the inputs as MULTIPLE delta steps
+    * through the incremental path and assert the final view state
+    * equals the batch answer — here the anchor is the corpus's
+    * RECORDED output, so incremental maintenance is graded on queries
+    * authored by neither this repo nor its oracle.
+    *
+    * One Pipeline program per suite (fixture tables + a materialized
+    * view per eligible query); the fixture rows arrive in three steps
+    * — thirds by row hash, with the first third RETRACTED in step 2
+    * and re-inserted in step 3, so every view maintains real deletions,
+    * not just inserts.
+    */
+  def runSuiteIncremental(spark: SparkSession,
+      suite: Suite): DataFrame = {
+    // constraint propagation explodes combinatorially on the stitched
+    // delta plans over the wide foodmart fixtures (OOM inside
+    // getAllValidConstraints); it buys nothing on few-row programs
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val prevCp = spark.conf.get(cpKey, "true")
+    spark.conf.set(cpKey, "false")
+    try runSuiteIncremental0(spark, suite)
+    finally spark.conf.set(cpKey, prevCp)
+  }
+
+  private def runSuiteIncremental0(spark: SparkSession,
+      suite: Suite): DataFrame = {
+    import graft.zset.ZSets
+    val defs = registerSetup(spark, suite)
+    val eligible = incEligible(suite)
+    // SqlTypes spellings for the Pipeline DDL (FLOAT is Spark-only;
+    // bare DECIMAL defaults differ — pin the scale on both sides)
+    def pipeType(t: String): String = t.toUpperCase match {
+      case "FLOAT" => "REAL"
+      case "DECIMAL" => "DECIMAL(38, 10)"
+      case other => other
+    }
+    val ddl = defs.map { case (n, cs) =>
+      s"CREATE TABLE $n (${cs.map { case (c, t) =>
+        s"$c ${pipeType(t)}" }.mkString(", ")});" }
+    // snapshot the fixture frames BEFORE the Pipeline registers its
+    // own (empty) table views over the same names
+    val frames = defs.map { case (n, cs) =>
+      n -> spark.table(n).selectExpr(cs.map { case (c, t) =>
+        s"CAST($c AS ${pipeType(t)}) AS $c" }: _*)
+        .localCheckpoint(true)
+    }
+    def slice(df: DataFrame, k: Int): DataFrame =
+      df.where(pmod(hash(df.columns.map(col): _*), lit(3)) === k)
+    // chunked: a suite can carry 50+ standing views — one pipeline per
+    // 16 keeps trace state within the test JVM's heap
+    val collected = eligible.grouped(16).flatMap { chunk =>
+      val views = chunk.zipWithIndex.map { case (t, i) =>
+        s"CREATE MATERIALIZED VIEW incv$i AS ${preRewrite(t.query)};" }
+      val pipe = graft.runtime.Pipeline(spark,
+        (ddl ++ views).mkString("\n"))
+      pipe.step(frames.map { case (n, f) =>
+        n -> ZSets.lift(slice(f, 0).unionByName(slice(f, 1))) }.toMap)
+      pipe.step(frames.map { case (n, f) =>
+        n -> ZSets.lift(slice(f, 2)).unionByName(
+          ZSets.negate(ZSets.lift(slice(f, 0)))) }.toMap)
+      pipe.step(frames.map { case (n, f) =>
+        n -> ZSets.lift(slice(f, 0)) }.toMap)
+      chunk.zipWithIndex.flatMap { case (t, i) =>
+        renderedRows(pipe.adHoc(s"SELECT * FROM incv$i"),
+          modes(suite.name))
+          .collect().map(r => (t.id, r.getString(0)))
+      }
+    }.toSeq
+    import spark.implicits._
+    collected.toDF("tid", "r")
+  }
+
+  /** Replayed suites: the window/aggregate/join/grouping-set shapes —
+    * the classes where a wrong delta rule shows.
+    */
+  def incSuites: Seq[String] = Seq("window", "aggregates", "aggq",
+    "int4", "groupingsets", "foodmart")
+
+  def incQueries: Seq[Q] = incSuites.map { name =>
+    val suite = load(name)
+    val keep = incEligible(suite).map(_.id).toSet
+    val skip = suite.tests.map(_.id).toSet -- keep
+    Q(s"pgr_inc_$name", expectedSql(suite, skip)) { (s, _) =>
+      runSuiteIncremental(s, suite)
+    }
   }
 
   /** The corpus-recorded expected rows of a suite as literal SQL —
@@ -582,11 +835,8 @@ object PgCorpus {
     // — Dialect's quoted-identifier map rejects such identifiers loudly
     // by design (they would derail the statement scanners)
     "case" -> Set("testCases2#10"),
-    // BIT_AND(binary): SQL has no type-directed overload dispatch over
-    // Spark's integral-only builtin; the binary forms are the explicit
-    // bit_and_binary/bit_or_binary/bit_xor_binary spellings
-    // (FunctionsSpec covers them on this exact fixture)
-    "aggregates" -> Set("testBitAggs#1"),
+    // (testBitAggs#1 closed in r14: BIT_AND/OR/XOR now type-dispatch
+    // to the bytewise aggregators — builders see resolved children)
     // FLOAT4 rendering: Postgres prints the true shortest round-trip
     // decimal ("4.56789e+15"); the JVM's Float.toString is not
     // shortest ("4.5678899E15") — same float value, formatting-only
@@ -604,25 +854,49 @@ object PgCorpus {
     // reference computes in decimal, we in binary double — last-ulp
     // differences on two units
     "numeric" -> Set("testExp#2", "testLog#0"),
-    // interval edges with no Spark equivalent: interval-to-interval
-    // casts keep the underlying VALUE in Calcite (Spark truncates to
-    // the target span); CAST(interval AS VARCHAR) renders Calcite's
-    // +Y-M form; EXTRACT over intervals outside Spark's span rules;
-    // DECADE/CENTURY over intervals divide truncating (no date era)
+    "float8" -> Set(
+      // the reference's recorded `1.12::DOUBLE % 0.3::DOUBLE` is
+      // EXACTLY 0.22 — Calcite constant-folds the literal modulo in
+      // BigDecimal; IEEE fmod of the nearest doubles is 2^-52 off
+      "testModulo#0", "testModulo#1", "testModulo#2", "testModulo#3",
+      // glibc's cbrt is neither correctly rounded nor reproducible
+      // from the JVM: recorded cbrt(1.2345678901234e+200) is
+      // ...b682df, the exactly-rounded result is ...b682dd (BigDecimal
+      // cube verified), the JVM gives ...b682dd±0 — algorithm-specific
+      // last-ulps on 3 of 5 rows
+      "testSelect#63"),
+    // GROUP BY DISTINCT over a cube×rollup product needs grouping-set
+    // DEDUPLICATION (Calcite); this engine drops the DISTINCT keyword
+    // (correct whenever the product is duplicate-free, Dialect run
+    // rewrite) — testRollup#11's product has duplicates by
+    // construction. testGrouping#3/#4 reference GROUPING() from
+    // HAVING/ORDER BY over grouping columns absent from the select
+    // list — Spark's ResolveGroupingAnalytics only resolves grouping
+    // functions against the aggregate list
+    "aggq" -> Set("testRollup#11", "testGrouping#3", "testGrouping#4"),
+    // a UNION whose branches cast to INT / VARCHAR / DATE / … in the
+    // same column: Calcite's lenient mode coerces the union to one
+    // type; Spark's UNION is strictly typed by design
+    "bigquery" -> Set("testSafeCast#0"),
+    // (the 6 interval-to-interval cast skips closed in r14:
+    // GraftIntervalCast keeps the VALUE, GraftIntervalTotal renders
+    // the raw total) — what remains: EXTRACT over intervals outside
+    // Spark's span rules; DECADE/CENTURY over intervals divide
+    // truncating (no date era)
     "interval" -> Set(
-      // interval-to-interval casts keep the underlying VALUE in
-      // Calcite (Spark truncates to the target span)
-      "testCast#0", "doubleCastTest#0", "doubleCastTest#1",
-      "doubleCastTest#2", "testCastToInterval#1", "testCastToInterval#2",
-      // EXTRACT over intervals outside Spark's span rules; DECADE/
-      // CENTURY over intervals divide truncating (no date era)
       "checkExtract#0", "checkExtract#1", "testLongExtract#2",
       "testLongExtract#5")
   ).withDefaultValue(Set.empty)
 
   def gradedSuites: Seq[String] = Seq("window", "case", "limit", "bool",
     "groupingsets", "aggregates", "int4", "int8", "strings", "date",
-    "timestamp", "time", "numeric", "interval", "asof", "array")
+    "timestamp", "time", "numeric", "interval", "asof", "array",
+    // round-14 wave: float suites (value-canonical compare), the
+    // remaining Postgres suites, the Calcite quidem suites, and the
+    // MySQL-derived suites
+    "float4", "float8", "float8p2", "int2", "collate",
+    "aggq", "foodmart", "hrwinagg", "bigquery",
+    "mysql_date", "mysql_tsdiff", "varbinary")
 
   def queries: Seq[Q] =
     gradedSuites.map { name =>

@@ -21,6 +21,7 @@ object Registry {
       ConnectorsE2e.queries ++
       SqlConformance.queries ++
       PgCorpus.queries ++
+      PgCorpus.incQueries ++
       SltFuzz.queries ++
       TpcH.queries ++
       Extras.queries

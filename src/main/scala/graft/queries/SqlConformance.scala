@@ -65,7 +65,7 @@ object SqlConformance {
     overT("pg_win_sum_partition",
       """SELECT four, i,
         | CAST(SUM(i) OVER (PARTITION BY four) AS BIGINT) AS psum,
-        | CAST(AVG(i) OVER (PARTITION BY four) AS DOUBLE) AS pavg
+        | CAST(AVG(CAST(i AS DOUBLE)) OVER (PARTITION BY four) AS DOUBLE) AS pavg
         |FROM t WHERE i < 40""".stripMargin.replaceAll("\n", " ")),
     overT("pg_win_rank_ties",
       """SELECT i, four, RANK() OVER (ORDER BY four) AS rnk,

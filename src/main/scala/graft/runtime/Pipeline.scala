@@ -1190,7 +1190,11 @@ final class Pipeline(spark: SparkSession,
   private def evalWith(sql: String,
       bindings: Map[String, DataFrame]): DataFrame = {
     bindings.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-    spark.sql(sql)
+    // same reference semantics as sqlView — the LINEAR delta path
+    // must divide (and ceil/floor/…) exactly like batch; the foreign-
+    // corpus incremental replay (pgr_inc_int4) caught the bare
+    // spark.sql here diverging on `i.f1 / '2'::INT2`
+    org.apache.spark.sql.graft.IntegerDivision(spark.sql(sql))
   }
 
   /** One incremental step: apply Z-set deltas (must carry `_w`) to table

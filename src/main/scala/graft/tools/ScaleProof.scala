@@ -63,8 +63,16 @@ object ScaleProof {
     */
   private val audited = Seq("tpch_q1", "tpch_q5", "tpch_q9", "tpch_q18",
     "join_asof_sql", "join_star", "win_topk", "agg_linear",
-    "llm_dup_pairs", "llm_minhash", "llm_token_stats", "sort_limit",
-    "distinct_rows")
+    "llm_dup_pairs", "llm_minhash", "llm_dup_groups",
+    "llm_token_stats", "sort_limit", "distinct_rows")
+
+  /** SPARK_GRAFT_SCALE_QUERIES=a,b,c narrows the audited set (the 30×
+    * second-derivative check re-measures just the minhash family).
+    */
+  private def auditedNow: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(audited)
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
@@ -81,7 +89,7 @@ object ScaleProof {
       generate(spark, src, out, factor)
     }
     val qs = graft.SparkEntry.queries
-    for (name <- audited if qs.contains(name)) {
+    for (name <- auditedNow if qs.contains(name)) {
       for ((dir, label) <- Seq(src -> "sf0.1", out -> s"sf0.1x$factor")) {
         def run(): Long = {
           val t0 = System.nanoTime()

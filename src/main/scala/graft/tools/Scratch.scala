@@ -20,6 +20,71 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.llm.{Dedup, TextAnalysis}
 
+    if (sys.env.contains("SPARK_GRAFT_INCDBG")) {
+      // bisect the aggq incremental-replay OOM: one pipeline per query
+      import graft.queries.PgCorpus
+      val name = sys.env.getOrElse("SPARK_GRAFT_INCDBG", "aggq")
+      val suite = PgCorpus.load(name)
+      val eligible = PgCorpus.incEligible(suite)
+      println(s"eligible: ${eligible.size}")
+      if (sys.env.contains("SPARK_GRAFT_INCDBG_SETUP")) {
+        val defs = PgCorpus.registerSetup(spark, suite)
+        for ((n, cs) <- defs) {
+          val t0 = System.nanoTime()
+          val c = spark.table(n).count()
+          println(f"table $n%-12s rows=$c%-4d " +
+            f"${(System.nanoTime() - t0) / 1e9}%5.1f s  " +
+            cs.map(_._2).mkString(","))
+        }
+        import graft.zset.ZSets
+        val defs2 = defs
+        def pipeType(t: String): String = t.toUpperCase match {
+          case "FLOAT" => "REAL"
+          case "DECIMAL" => "DECIMAL(38, 10)"
+          case other => other
+        }
+        val frames = defs2.map { case (n, cs) =>
+          n -> spark.table(n).selectExpr(cs.map { case (c, t) =>
+            s"CAST($c AS ${pipeType(t)}) AS $c" }: _*)
+            .localCheckpoint(true)
+        }
+        println("frames ok: " + frames.map(_._2.count()).sum)
+        val ddl = defs2.map { case (n, cs) =>
+          s"CREATE TABLE $n (${cs.map { case (c, t) =>
+            s"$c ${pipeType(t)}" }.mkString(", ")});" }
+        val vsql = sys.env.getOrElse("SPARK_GRAFT_INCDBG_VIEW", "")
+        val prog = ddl.mkString("\n") +
+          (if (vsql.nonEmpty)
+            s"\nCREATE MATERIALIZED VIEW incv0 AS $vsql;" else "")
+        val pipe = graft.runtime.Pipeline(spark, prog)
+        println("pipeline ok")
+        def slice(df: org.apache.spark.sql.DataFrame, k: Int) =
+          df.where(pmod(hash(df.columns.map(col): _*), lit(3)) === k)
+        pipe.step(frames.map { case (n, f) =>
+          n -> ZSets.lift(slice(f, 0).unionByName(slice(f, 1))) }.toMap)
+        println("step1 ok")
+        pipe.step(frames.map { case (n, f) =>
+          n -> ZSets.lift(slice(f, 2)).unionByName(
+            ZSets.negate(ZSets.lift(slice(f, 0)))) }.toMap)
+        println("step2 ok")
+        spark.stop(); return
+      }
+      for (t <- eligible) {
+        val single = suite.copy(tests = Seq(t))
+        val t0 = System.nanoTime()
+        try {
+          val n = PgCorpus.runSuiteIncremental(spark, single).count()
+          println(f"${t.id}%-28s rows=$n%-5d ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        } catch {
+          case e: Throwable =>
+            println(s"${t.id} ERROR ${e.getMessage.take(120)}")
+            e.printStackTrace()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_FLOOR")) {
       def floor(name: String)(mk: => Unit): Unit = {
         (1 to 5).foreach(_ => mk) // warm

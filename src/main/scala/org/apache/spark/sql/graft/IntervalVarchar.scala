@@ -66,3 +66,38 @@ case class GraftIntervalVarchar(child: Expression)
   override protected def withNewChildInternal(c: Expression) =
     copy(child = c)
 }
+
+/** Interval-to-interval CAST keeps the underlying VALUE and changes
+  * only the nominal span (Calcite/the reference — interval.md:
+  * `CAST(INTERVAL 22 MONTHS AS INTERVAL YEARS)` still holds 22 months;
+  * rendering then truncates to the span's fields, see
+  * [[GraftIntervalVarchar]]). Spark's own interval cast truncates the
+  * stored value to the target's end field.
+  */
+case class GraftIntervalCast(child: Expression, target: DataType)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = target
+  override def prettyName: String = "graft_interval_cast"
+  override def nullSafeEval(input: Any): Any = input
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}
+
+/** Raw interval total — months for year-month, microseconds for
+  * day-time — independent of the nominal span (Spark's numeric cast
+  * reads the END field, truncating a denormalized value). Harness-side
+  * canonical rendering.
+  */
+case class GraftIntervalTotal(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_interval_total"
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case _: YearMonthIntervalType => input.asInstanceOf[Int].toLong
+    case _: DayTimeIntervalType => input.asInstanceOf[Long]
+    case other => throw new IllegalArgumentException(
+      s"graft_interval_total over ${other.catalogString}")
+  }
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}

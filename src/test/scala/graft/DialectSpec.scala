@@ -724,13 +724,19 @@ class DialectSpec extends SparkSpec {
     // SPLIT_PART routes through the 0-tolerant registry spelling
     assert(Dialect.normalize("SELECT SPLIT_PART(s, ',', 0) FROM t")
       === "SELECT split_part_f(s, ',', 0) FROM t")
-    // multi-arg GROUPING → GROUPING_ID; 1-arg and GROUPING SETS stay
+    // multi-arg GROUPING (and GROUPING_ID) lower to the explicit bit
+    // sum (Calcite allows subset/reorder/repeat argument lists, Spark's
+    // native GROUPING_ID does not); GROUPING SETS lists stay
     assert(Dialect.normalize(
       "SELECT GROUPING(a, b) FROM t GROUP BY GROUPING SETS ((a), (b))")
-      === "SELECT GROUPING_ID(a, b) FROM t GROUP BY GROUPING SETS " +
+      === "SELECT (CAST(GROUPING(a) AS BIGINT) * 2 + " +
+        "CAST(GROUPING(b) AS BIGINT)) FROM t GROUP BY GROUPING SETS " +
         "((a), (b))")
+    // 1-arg GROUPING stays native; a PLAIN group-by list wraps into
+    // the equivalent GROUPING SETS form so Spark resolves GROUPING()
+    // over it (Calcite allows it — constant 0)
     assert(Dialect.normalize("SELECT GROUPING(a) FROM t GROUP BY a")
-      === "SELECT GROUPING(a) FROM t GROUP BY a")
+      === "SELECT GROUPING(a) FROM t GROUP BY GROUPING SETS ((a)) ")
   }
 
   test("double-quoted and U& identifiers map to Spark backticks") {

@@ -21,7 +21,7 @@ class PgCorpusSpec extends SparkSpec {
       val outcome =
         try {
           val actual = PgCorpus.runQuery(spark, t.query)
-          val acts = PgCorpus.renderedRows(actual, name == "interval")
+          val acts = PgCorpus.renderedRows(actual, PgCorpus.modes(name))
             .collect().map(_.getString(0)).toSeq.sorted
           val exps = t.expected.map(_.mkString("|")).sorted
           if (acts == exps) None
