@@ -332,3 +332,19 @@ if __name__ == "__main__":
     port("../mysql/DateFormatsTests.java", "mysql_date", mysql=True)
     port("../mysql/TimestampDiffTests.java", "mysql_tsdiff", mysql=True)
     port("../mysql/VarbinaryTests.java", "varbinary", mysql=True)
+    # second quidem wave: scott-fixture window/subquery suites, the
+    # POST-fixture outer-join and window batteries, sort/select/misc
+    port("../quidem/WinAggTests.java", "winagg", quidem=True,
+         base="../quidem/ScottBaseTests.java")
+    port("../quidem/SubQueryTests.java", "subquery", quidem=True,
+         base="../quidem/ScottBaseTests.java")
+    port("../quidem/SelectTests.java", "selectq", quidem=True,
+         base="../quidem/ScottBaseTests.java")
+    port("../quidem/MiscTests.java", "miscq", quidem=True,
+         base="../quidem/ScottBaseTests.java")
+    port("../quidem/OuterTests.java", "outerq", quidem=True,
+         base="../quidem/PostBaseTests.java")
+    port("../quidem/WinAggPostTests.java", "winaggpost", quidem=True,
+         base="../quidem/PostBaseTests.java")
+    port("../quidem/SortTests.java", "sortq", quidem=True,
+         base="../quidem/FoodmartBaseTests.java")

@@ -113,10 +113,16 @@ object Dialect {
     *   columns, so it is dropped).
     */
   def normalize(sql: String, adHoc: Boolean): String =
-    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteTruncate1(rewriteCharCast(rewriteBinaryCast(rewriteSubstringFromFor(rewriteGroupingSetsWrap(rewriteTimeTsLiterals(dispatchArityAll(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteArrayBrackets(rewriteUnicodeStringLiterals(stripComments(sql)))))) { run =>
+    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteTruncate1(rewriteCharCast(rewriteBinaryCast(rewriteSubstringFromFor(rewriteGroupingSetsWrap(rewriteTimeTsLiterals(rewriteCalciteLiterals(dispatchArityAll(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteArrayBrackets(rewriteUnicodeStringLiterals(stripComments(sql)))))) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
-      val c = starExclude.replaceAllIn(b, "$1EXCEPT$2")
+      val c0 = starExclude.replaceAllIn(b, "$1EXCEPT$2")
+      // Calcite tolerates duplicates in the EXCLUDE list; Spark's
+      // EXCEPT list must be distinct (quidem SelectTests testExclude)
+      val c = """(?i)(\*\s*EXCEPT\s*\()([^()]*)(\))""".r
+        .replaceAllIn(c0, m => java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + m.group(2).split(",").map(_.trim)
+            .filter(_.nonEmpty).distinct.mkString(", ") + m.group(3)))
       val d = rowCtor.replaceAllIn(c, "struct$1")
       val e = crossApply.replaceAllIn(d, "CROSS JOIN LATERAL")
       val f = offsetFetchRows.replaceAllIn(e, m =>
@@ -126,7 +132,10 @@ object Dialect {
         m => "LIMIT " + Option(m.group(1)).getOrElse("1"))
       val h = offsetRows.replaceAllIn(g, "OFFSET $1")
       val h2 = offsetLimit.replaceAllIn(h, "LIMIT $2 OFFSET $1")
-      val i = limitStartCount.replaceAllIn(h2, "LIMIT $2 OFFSET $1")
+      // `LIMIT start, ALL` (Calcite: offset with no limit)
+      val h3 = """(?i)\bLIMIT\s+(\d+)\s*,\s*ALL\b""".r
+        .replaceAllIn(h2, "OFFSET $1")
+      val i = limitStartCount.replaceAllIn(h3, "LIMIT $2 OFFSET $1")
       val j = limitAll.replaceAllIn(i, "")
       val k = logicalAgg.replaceAllIn(j,
         m => "BOOL_" + m.group(1).toUpperCase +
@@ -173,9 +182,18 @@ object Dialect {
       val ddiff =
         """(?i)\bDATEDIFF(\s*\(\s*)(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\b""".r
           .replaceAllIn(tsi, "TIMESTAMPDIFF$1$2")
+      // COUNTIF is Calcite's spelling of Spark's count_if
+      val cif = """(?i)\bCOUNTIF(\s*\()""".r.replaceAllIn(ddiff,
+        "count_if$1")
+      // decimal-literal ROWS frame bounds truncate to the integer
+      // (Calcite; Spark requires INT — WinAggTests testWindowRows)
+      val rframe =
+        ("""(?i)\b(ROWS\s+(?:BETWEEN\s+)?)(\d+)\.\d+""" +
+          """(\s+(?:PRECEDING|FOLLOWING))""").r
+          .replaceAllIn(cif, "$1$2$3")
       // PI is a reserved NILADIC function in the reference grammar
       // (float.md: "() is not allowed"); Spark's is pi()
-      val l2c = """(?i)\bPI\b(?!\s*\()""".r.replaceAllIn(ddiff, "pi()")
+      val l2c = """(?i)\bPI\b(?!\s*\()""".r.replaceAllIn(rframe, "pi()")
       // `GROUP BY DISTINCT` (Calcite: dedupe the grouping-set product)
       // — the keyword drops; queries whose set lists actually contain
       // duplicates are outside this engine's surface (documented)
@@ -191,7 +209,7 @@ object Dialect {
       val l2 = """(?i)\bGROUP_ID\s*\(\s*\)""".r
         .replaceAllIn(l2e, "CAST(0 AS BIGINT)")
       mapBareTypes(rewriteMultiArgGrouping(l2))
-    })))))))))))))))), adHoc))
+    }))))))))))))))))), adHoc))
 
   /** The reference's string literals are standard-conforming (no
     * backslash escapes; '' is the only escape — string.md), while
@@ -380,7 +398,7 @@ object Dialect {
     var changed = true
     while (changed) {
       changed = false
-      val m = """(?i)\bARRAY\s*\[""".r.findFirstMatchIn(s)
+      val m = """(?i)\b(ARRAY|MAP)\s*\[""".r.findFirstMatchIn(s)
         .filter(mm => !inQuoteMap(s)(mm.start))
       m.foreach { mm =>
         var depth = 1
@@ -399,7 +417,9 @@ object Dialect {
           i += 1
         }
         if (close >= 0) {
-          s = s.substring(0, mm.start) + "array(" +
+          // `MAP[k1, v1, …]` is Calcite's map constructor → map(...)
+          s = s.substring(0, mm.start) +
+            mm.group(1).toLowerCase + "(" +
             s.substring(mm.end, close) + ")" + s.substring(close + 1)
           changed = true
         }
@@ -700,6 +720,51 @@ object Dialect {
     r
   }
 
+  /** Calcite literal/ctor idioms that span string-literal boundaries
+    * (so they cannot live in the quote-splitting run block):
+    *  - `CAST(UUID '…' AS VARBINARY)` → the 16 raw bytes
+    *    (uuid_to_binary); bare `UUID '…'` → the canonical lowercase
+    *    string literal (uuid.md — the UUID type maps to STRING here,
+    *    SqlTypes:66);
+    *  - `INTERVAL '<n>' WEEK/QUARTER` (units Spark's interval grammar
+    *    lacks) → the equivalent DAY/MONTH literal;
+    *  - `INTERVAL <column|(expr)> unit` (Calcite's dynamic interval)
+    *    → make_dt_interval / make_ym_interval;
+    *  - `UNNEST(` → Spark's explode table function (arrays AND maps).
+    */
+  private def replaceGuarded(s: String, re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String =
+    re.findAllMatchIn(s).toSeq
+      .filter(m => !inQuoteMap(s)(m.start))
+      .reverse.foldLeft(s) { (acc, m) =>
+        acc.substring(0, m.start) + f(m) + acc.substring(m.end)
+      }
+
+  private def rewriteCalciteLiterals(s0: String): String = {
+    var s = s0
+    s = replaceGuarded(s,
+      ("""(?i)\bCAST\s*\(\s*UUID\s+'([0-9a-fA-F-]+)'\s+AS\s+""" +
+        """VARBINARY\b""").r)(m =>
+      s"CAST(uuid_to_binary('${m.group(1).toLowerCase}') AS VARBINARY")
+    s = replaceGuarded(s, """(?i)\bUUID\s+'([0-9a-fA-F-]+)'""".r)(m =>
+      s"'${m.group(1).toLowerCase}'")
+    s = replaceGuarded(s,
+      """(?i)\bINTERVAL\s+'(-?\d+)'\s+WEEKS?\b""".r)(m =>
+      s"INTERVAL '${m.group(1).toLong * 7}' DAY")
+    s = replaceGuarded(s,
+      """(?i)\bINTERVAL\s+'(-?\d+)'\s+QUARTERS?\b""".r)(m =>
+      s"INTERVAL '${m.group(1).toLong * 3}' MONTH")
+    val dyn = ("""(?i)\bINTERVAL\s+""" +
+      """(\((?:[^()]|\([^()]*\))*\)|[A-Za-z_]\w*)\s+""" +
+      """(DAY|HOUR|MINUTE|SECOND|YEAR|MONTH)S?\b""").r
+    // unit-literal × operand keeps the NARROW interval span (DT(DAY)
+    // etc.), so DATE + the result stays DATE-typed via the plan rule,
+    // where make_dt_interval's full DAY-TO-SECOND span would not
+    s = replaceGuarded(s, dyn)(m =>
+      s"(INTERVAL '1' ${m.group(2).toUpperCase} * (${m.group(1)}))")
+    replaceGuarded(s, """(?i)\bUNNEST\s*\(""".r)(_ => "explode(")
+  }
+
   /** Calcite allows `GROUPING(c)` under a PLAIN `GROUP BY c` (it is
     * then the constant 0 — quidem AggTests testGrouping#1), and in the
     * ORDER BY above such an aggregate; Spark only resolves GROUPING
@@ -788,6 +853,9 @@ object Dialect {
         }
         val binN =
           """(?i)^(VAR)?BINARY(?:\s*\(\s*(\d+)\s*\))?$""".r
+        // the run block's ROW-constructor rewrite has already renamed
+        // a `ROW(a T, b T)` cast TARGET to struct(...) — match both
+        val rowT = """(?is)^(?:ROW|STRUCT)\s*\((.*)\)$""".r
         if (close < 0 || asAt < 0) acc
         else acc.substring(asAt + 2, close).trim match {
           case binN(varPrefix, n)
@@ -798,6 +866,20 @@ object Dialect {
             acc.substring(0, m.start) +
               s"graft_to_binary($x, $size, $fixed)" +
               acc.substring(close + 1)
+          case t if t.equalsIgnoreCase("UUID") =>
+            // type-directed (string canonicalize / binary decode)
+            val x = acc.substring(m.end, asAt).trim
+            acc.substring(0, m.start) + s"graft_to_uuid($x)" +
+              acc.substring(close + 1)
+          case rowT(fields) =>
+            // ROW(a T1, b T2) type → STRUCT<a: T1, b: T2>
+            val mapped = splitTopLevel(fields).map(_.trim)
+              .filter(_.nonEmpty).map { d =>
+                val parts = d.split("\\s+", 2)
+                s"${parts(0)}: ${mapBareTypes(parts(1))}"
+              }.mkString("STRUCT<", ", ", ">")
+            acc.substring(0, asAt + 2) + " " + mapped +
+              acc.substring(close)
           case _ => acc
         }
       }

@@ -274,6 +274,19 @@ object Registry {
       dispatch("bit_and", BitAndAgg(_))
       dispatch("bit_or", BitOrAgg(_))
       dispatch("bit_xor", BitXorAgg(_))
+      // CAST(x AS UUID) — type-directed: 16 raw bytes decode to the
+      // canonical dashed form, strings lowercase (uuid.md; the UUID
+      // type maps to STRING, SqlTypes:66)
+      reg.createOrReplaceTempFunction("graft_to_uuid",
+        (args: Seq[Expression]) =>
+          if (args.head.resolved && args.head.dataType ==
+            org.apache.spark.sql.types.BinaryType)
+            UnresolvedFunction(Seq("uuid_from_binary"), args,
+              isDistinct = false)
+          else org.apache.spark.sql.catalyst.expressions.Lower(
+            org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+              org.apache.spark.sql.types.StringType)),
+        "built-in")
     }
     spark.udf.register("gunzip", (bytes: Array[Byte]) =>
       if (bytes == null) null

@@ -20,6 +20,23 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.llm.{Dedup, TextAnalysis}
 
+    if (sys.env.contains("SPARK_GRAFT_SQLDBG")) {
+      graft.functions.Registry.registerAll(spark)
+      for (q <- sys.env("SPARK_GRAFT_SQLDBG").split(";;")) {
+        try {
+          val df = graft.queries.PgCorpus.runQuery(spark, q)
+          println(s"Q: $q\n  schema: ${df.schema.simpleString}\n  rows: " +
+            df.collect().take(5).mkString(" | "))
+          if (sys.env.contains("SPARK_GRAFT_SQLDBG_PLAN"))
+            println(df.queryExecution.analyzed.treeString)
+        } catch {
+          case e: Throwable => println(s"Q: $q\n  ERROR ${e.getMessage.take(200)}")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_INCDBG")) {
       // bisect the aggq incremental-replay OOM: one pipeline per query
       import graft.queries.PgCorpus

@@ -103,10 +103,18 @@ object IntegerDivision {
           case _ =>
             // fractional division is IEEE in the reference (fp_div:
             // 1/0 = Inf, NaN/0 = NaN) — never ANSI DIVIDE_BY_ZERO;
-            // REAL/REAL computes in REAL per Calcite (re-widened to
-            // keep the plan slot's DOUBLE type)
+            // REAL/REAL — and REAL/INTEGRAL (Calcite: result REAL) —
+            // compute in REAL (re-widened to keep the plan slot's
+            // DOUBLE type; MiscTests intervalTests: REAL 10/15 is
+            // 0.6666667f, not the double ratio)
             (coercedFloat(l), coercedFloat(r)) match {
               case (Some(a), Some(b)) => Cast(GraftFpDiv(a, b), DoubleType)
+              case (Some(a), None) if coercedIntegral(r).isDefined =>
+                Cast(GraftFpDiv(a,
+                  Cast(coercedIntegral(r).get, FloatType)), DoubleType)
+              case (None, Some(b)) if coercedIntegral(l).isDefined =>
+                Cast(GraftFpDiv(
+                  Cast(coercedIntegral(l).get, FloatType), b), DoubleType)
               case _ => GraftFpDiv(l, r)
             }
         }
@@ -172,6 +180,46 @@ object IntegerDivision {
           if ov.children.head.dataType == BinaryType =>
         GraftBinOverlay(ov.children(0), ov.children(1),
           ov.children(2), ov.children(3))
+      // interval ×/÷ number truncates toward zero in Calcite (MiscTests
+      // intervalDivision/intervalTests — REAL 10/15 of a day is
+      // …1716 µs, not the half-up …1717); Spark's rounds
+      case d: org.apache.spark.sql.catalyst.expressions.DivideYMInterval =>
+        GraftIntervalDivTrunc(d.interval, d.num)
+      case d: org.apache.spark.sql.catalyst.expressions.DivideDTInterval =>
+        GraftIntervalDivTrunc(d.interval, d.num)
+      case m: org.apache.spark.sql.catalyst.expressions.MultiplyYMInterval =>
+        GraftIntervalMulTrunc(m.interval, m.num)
+      case m: org.apache.spark.sql.catalyst.expressions.MultiplyDTInterval =>
+        GraftIntervalMulTrunc(m.interval, m.num)
+      // DATE + a DAY-span interval stays DATE in Calcite (MiscTests
+      // intervalTests); Spark widens to TIMESTAMP
+      case ta: org.apache.spark.sql.catalyst.expressions
+        .TimestampAddInterval
+          if ta.getTagValue(dateAddTag).isEmpty &&
+            (ta.left match {
+              case c @ Cast(d, _, _, _) =>
+                d.dataType == org.apache.spark.sql.types.DateType &&
+                  c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty
+              case _ => false
+            }) &&
+            ({
+              // a DAY-span interval (seen through the Multiply wrapper
+              // — MultiplyDTInterval widens its TYPE to the full span)
+              def daySpan(e: Expression): Boolean = e.dataType match {
+                case dt: org.apache.spark.sql.types.DayTimeIntervalType =>
+                  dt.endField ==
+                    org.apache.spark.sql.types.DayTimeIntervalType.DAY
+                case _ => false
+              }
+              ta.right match {
+                case m: GraftIntervalMulTrunc => daySpan(m.interval)
+                case m: org.apache.spark.sql.catalyst.expressions
+                  .MultiplyDTInterval => daySpan(m.interval)
+                case other => daySpan(other)
+              }
+            }) =>
+        ta.setTagValue(dateAddTag, true)
+        Cast(ta, org.apache.spark.sql.types.DateType)
       // Calcite's TIMESTAMPADD over a DATE with a day-or-coarser unit
       // returns DATE (mysql/TimestampDiffTests testDateAdd); Spark's
       // always returns TIMESTAMP. Tag guards top-down re-entry.
@@ -212,15 +260,24 @@ object IntegerDivision {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     import org.apache.spark.sql.catalyst.expressions.Literal
 
-    // (argument, kind) for the moment aggregates this rule covers
-    def momentArg(fn: AggregateFunction): Option[(Expression, String)] =
+    // (argument, kind) for the moment aggregates this rule covers.
+    // `deref` sees through the analyzer's window-argument extraction
+    // (stddev(_w0) over a child Project's _w0 = cast(cast(x AS
+    // DECIMAL) AS DOUBLE)).
+    def momentArg(fn: AggregateFunction,
+        deref: Expression => Expression): Option[(Expression, String)] =
       fn match {
-        case StddevSamp(c, _) => coercedIntegral(c).map((_, "stddev_samp"))
-        case StddevPop(c, _) => coercedIntegral(c).map((_, "stddev_pop"))
-        case VarianceSamp(c, _) => coercedIntegral(c).map((_, "var_samp"))
-        case VariancePop(c, _) => coercedIntegral(c).map((_, "var_pop"))
-        case Average(c, _) if c.dataType.isInstanceOf[IntegralType] =>
-          Some((c, "avg"))
+        case StddevSamp(c, _) =>
+          coercedIntegral(deref(c)).map((_, "stddev_samp"))
+        case StddevPop(c, _) =>
+          coercedIntegral(deref(c)).map((_, "stddev_pop"))
+        case VarianceSamp(c, _) =>
+          coercedIntegral(deref(c)).map((_, "var_samp"))
+        case VariancePop(c, _) =>
+          coercedIntegral(deref(c)).map((_, "var_pop"))
+        case Average(c, _)
+          if deref(c).dataType.isInstanceOf[IntegralType] =>
+          Some((deref(c), "avg"))
         case _ => None
       }
 
@@ -256,22 +313,163 @@ object IntegerDivision {
       }
     }
 
-    plan.transformUp { case op =>
-      op.transformExpressionsDown {
-        case we @ WindowExpression(
-            ae @ AggregateExpression(fn, _, _, _, _), spec) =>
-          momentArg(fn).fold(we: Expression) { case (a, kind) =>
-            decompose(a, kind, f => WindowExpression(
-              AggregateExpression(f, ae.mode, ae.isDistinct, ae.filter,
-                NamedExpression.newExprId), spec))
+    // Calcite types STDDEV over DECIMAL(p,s) as DECIMAL(p,s), value
+    // TRUNCATED to the scale (WinAggTests testWindowVariance: stddev
+    // over DECIMAL(10,2) {300,500,1400} is 585.94, not 585.946…);
+    // computed in double, truncated toward zero, type kept DOUBLE for
+    // plan-slot stability (renders identically)
+    def decimalStddevScale(fn: AggregateFunction,
+        deref: Expression => Expression): Option[Int] =
+      fn match {
+        case StddevSamp(c, _) => coercedDecimalScale(deref(c))
+        case StddevPop(c, _) => coercedDecimalScale(deref(c))
+        case VarianceSamp(c, _) => coercedDecimalScale(deref(c))
+        case VariancePop(c, _) => coercedDecimalScale(deref(c))
+        case _ => None
+      }
+    def truncScale(e: Expression, s: Int): Expression = {
+      val f = Literal(math.pow(10, s))
+      import org.apache.spark.sql.catalyst.expressions.{Divide => Div, Multiply => Mul}
+      Div(Cast(Cast(Mul(e, f), LongType), DoubleType), f)
+    }
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
+
+    // Window.windowExpressions entries must be WindowExpression-rooted,
+    // so moment rewrites over a window cannot happen in place: the
+    // PROJECT above the window CHAIN re-aliases each moment output
+    // (keeping its exprId) to either the truncation (decimal) or the
+    // integer decomposition over FRESH window aggregates appended to
+    // the owning Window operator.
+    def rewriteProjectOverWindows(p: Project): Option[Project] = {
+      // the window chain under the project, outermost first
+      def chain(n: LogicalPlan): Seq[Window] = n match {
+        case w: Window => w +: chain(w.child)
+        case _ => Nil
+      }
+      val wins = chain(p.child)
+      if (wins.isEmpty) return None
+      val base = wins.last.child
+      val baseAliases: Map[Long, Expression] = base match {
+        case bp: Project => bp.projectList.collect {
+          case al: Alias => al.exprId.id -> al.child
+        }.toMap
+        case _ => Map.empty
+      }
+      def derefBase(e: Expression): Expression = e match {
+        case ar: AttributeReference =>
+          baseAliases.getOrElse(ar.exprId.id, ar)
+        case other => other
+      }
+      val replacement =
+        scala.collection.mutable.Map[Long, Expression]()
+      val newWins = wins.map { w =>
+        val extra =
+          scala.collection.mutable.Buffer[
+            org.apache.spark.sql.catalyst.expressions.NamedExpression]()
+        w.windowExpressions.foreach {
+          case al: Alias => al.child match {
+            case WindowExpression(
+              ae @ AggregateExpression(fn, _, _, _, _), spec) =>
+              momentArg(fn, derefBase) match {
+                case Some((a, kind)) =>
+                  def mk(f: AggregateFunction): Expression = {
+                    val fresh = Alias(WindowExpression(
+                      AggregateExpression(f, ae.mode, ae.isDistinct,
+                        ae.filter, NamedExpression.newExprId), spec),
+                      "_graft_m")()
+                    extra += fresh
+                    fresh.toAttribute
+                  }
+                  replacement(al.exprId.id) = decompose(a, kind, mk)
+                case None => decimalStddevScale(fn, derefBase)
+                  .foreach { s =>
+                    replacement(al.exprId.id) =
+                      truncScale(al.toAttribute, s)
+                  }
+              }
+            case _ =>
           }
-        case ae @ AggregateExpression(fn, _, _, _, _) =>
-          momentArg(fn).fold(ae: Expression) { case (a, kind) =>
-            decompose(a, kind, f => AggregateExpression(f, ae.mode,
-              ae.isDistinct, ae.filter, NamedExpression.newExprId))
+          case _ =>
+        }
+        (w, extra.toSeq)
+      }
+      if (replacement.isEmpty) return None
+      // rebuild the chain bottom-up with the appended aliases
+      val rebuilt = newWins.reverse.foldLeft(base) {
+        case (child, (w, extra)) =>
+          w.copy(windowExpressions = w.windowExpressions ++ extra,
+            child = child)
+      }
+      Some(p.copy(
+        projectList = p.projectList.map {
+          case ar: AttributeReference
+            if replacement.contains(ar.exprId.id) =>
+            Alias(replacement(ar.exprId.id), ar.name)(
+              ar.exprId, ar.qualifier)
+          case ne => ne
+        },
+        child = rebuilt))
+    }
+
+    plan.transformUp {
+      case p: Project if rewriteProjectOverWindows(p).isDefined =>
+        rewriteProjectOverWindows(p).get
+      case op =>
+      // see through the analyzer's window-argument extraction: a
+      // child Project's `_w0 AS <expr>` aliases resolve back to <expr>
+      val childAliases: Map[Long, Expression] = op.children.flatMap {
+        case p: Project =>
+          p.projectList.collect {
+            case al: Alias => al.exprId.id -> al.child
+          }
+        case _ => Nil
+      }.toMap
+      def deref(e: Expression): Expression = e match {
+        case ar: AttributeReference =>
+          childAliases.getOrElse(ar.exprId.id, ar)
+        case other => other
+      }
+      op.transformExpressionsDown {
+        case we: WindowExpression =>
+          // window moments are handled by the Project-over-chain case;
+          // never rewrite inside windowExpressions (illegal there)
+          we.foreach {
+            case ae: AggregateExpression =>
+              ae.setTagValue(momentTag, true)
+            case _ =>
+          }
+          we
+        case ae @ AggregateExpression(fn, _, _, _, _)
+            if ae.getTagValue(momentTag).isEmpty =>
+          momentArg(fn, deref) match {
+            case Some((a, kind)) =>
+              decompose(a, kind, f => AggregateExpression(f, ae.mode,
+                ae.isDistinct, ae.filter, NamedExpression.newExprId))
+            case None => decimalStddevScale(fn, deref) match {
+              case Some(s) =>
+                ae.setTagValue(momentTag, true)
+                truncScale(ae, s)
+              case _ => ae
+            }
           }
       }
     }
+  }
+
+  private val momentTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean](
+      "graft.decimalMoment")
+
+  /** A coercion CAST of a DECIMAL operand to DOUBLE → its scale. */
+  private def coercedDecimalScale(e: Expression): Option[Int] = e match {
+    case c @ Cast(child, DoubleType, _, _)
+        if child.dataType.isInstanceOf[
+          org.apache.spark.sql.types.DecimalType] &&
+          c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+      Some(child.dataType
+        .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale)
+    case _ => None
   }
 
   def apply(df: DataFrame): DataFrame =

@@ -83,6 +83,73 @@ case class GraftIntervalCast(child: Expression, target: DataType)
     copy(child = c)
 }
 
+/** Interval ÷ number with Calcite's TRUNCATION toward zero (quidem
+  * MiscTests intervalDivision: 15 months / 10 = 1 month, where Spark's
+  * DivideYMInterval rounds half-up to 2). Works for both families —
+  * months (Int) and micros (Long).
+  */
+case class GraftIntervalDivTrunc(interval: Expression, num: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def left: Expression = interval
+  override def right: Expression = num
+  override def dataType: DataType = interval.dataType
+  override def prettyName: String = "graft_interval_div"
+
+  private def toD(n: Any): Double = n match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case x: Number => x.doubleValue()
+  }
+
+  override def nullSafeEval(iv: Any, n: Any): Any = {
+    val d = toD(n)
+    if (d == 0) throw new ArithmeticException("Interval divided by zero")
+    interval.dataType match {
+      case _: YearMonthIntervalType =>
+        (iv.asInstanceOf[Int] / d).toInt
+      case _ => (iv.asInstanceOf[Long] / d).toLong
+    }
+  }
+
+  override protected def withNewChildrenInternal(a: Expression,
+      b: Expression) = copy(interval = a, num = b)
+}
+
+/** Interval × number with Calcite's TRUNCATION toward zero at the
+  * storage unit (months / micros); Spark's Multiply[YM|DT]Interval
+  * round half-up (MiscTests intervalTests: REAL 10/15 of a day is
+  * …1716 µs).
+  */
+case class GraftIntervalMulTrunc(interval: Expression, num: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def left: Expression = interval
+  override def right: Expression = num
+  override def dataType: DataType = interval.dataType
+  override def prettyName: String = "graft_interval_mul"
+
+  private def toD(n: Any): Double = n match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case x: Number => x.doubleValue()
+  }
+
+  override def nullSafeEval(iv: Any, n: Any): Any = {
+    val d = toD(n)
+    interval.dataType match {
+      case _: YearMonthIntervalType =>
+        (iv.asInstanceOf[Int] * d).toInt
+      case _ => (iv.asInstanceOf[Long] * d).toLong
+    }
+  }
+
+  override protected def withNewChildrenInternal(a: Expression,
+      b: Expression) = copy(interval = a, num = b)
+}
+
 /** Raw interval total — months for year-month, microseconds for
   * day-time — independent of the nominal span (Spark's numeric cast
   * reads the END field, truncating a denormalized value). Harness-side
