@@ -348,3 +348,13 @@ if __name__ == "__main__":
          base="../quidem/PostBaseTests.java")
     port("../quidem/SortTests.java", "sortq", quidem=True,
          base="../quidem/FoodmartBaseTests.java")
+    # third quidem wave
+    port("../quidem/AggScottTests.java", "aggscott", quidem=True,
+         base="../quidem/ScottBaseTests.java")
+    port("../quidem/SortHrTests.java", "sorthr", quidem=True,
+         base="../quidem/HrBaseTests.java")
+    port("../quidem/RedshiftTests.java", "redshiftq", quidem=True,
+         base="../quidem/ScottBaseTests.java")
+    port("../quidem/StructTests.java", "structq", quidem=True,
+         base="../quidem/ScottBaseTests.java")
+    port("../quidem/OperatorTests.java", "operatorq", quidem=True)

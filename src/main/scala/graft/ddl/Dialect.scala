@@ -199,10 +199,14 @@ object Dialect {
       // duplicates are outside this engine's surface (documented)
       val l2d = """(?i)\bGROUP\s+BY\s+DISTINCT\b""".r
         .replaceAllIn(l2c, "GROUP BY")
-      // SQL-standard `GROUP BY ()` is the GLOBAL aggregate in Calcite
-      // (AggTests testScalar#5: one row even over empty input) — strip
+      // SQL-standard `GROUP BY ()` is the SINGLE-GROUP aggregate in
+      // Calcite: with aggregates it is the global aggregate (one row
+      // even over empty input — AggTests testScalar#5), without them
+      // one row of the constant select items (testAggregates4#15).
+      // Spark's GROUP BY ALL matches both: no non-aggregate items →
+      // global aggregate; constant items → one group
       val l2e = """(?i)\bGROUP\s+BY\s*\(\s*\)""".r
-        .replaceAllIn(l2d, "")
+        .replaceAllIn(l2d, "GROUP BY ALL")
       // Calcite's GROUP_ID() is the duplicate-grouping-set ordinal —
       // constant 0 whenever the set list has no duplicates (the only
       // shape this engine accepts, see GROUP BY DISTINCT above)
@@ -443,6 +447,7 @@ object Dialect {
     r = dispatchArity(r, "log", 0, "graft_ln")
     r = dispatchArity(r, "ln", 0, "graft_ln")
     r = dispatchArity(r, "convert_timezone", 2, "graft_convert_tz")
+    r = dispatchArity(r, "regexp_replace", 1, "graft_regexp_remove")
     r = dispatchArity(r, "power", 1, "graft_pow")
     r = dispatchArity(r, "pow", 1, "graft_pow")
     dispatchArity(r, "exp", 0, "graft_exp")

@@ -172,6 +172,9 @@ object Registry {
       "CASE WHEN n = 0 THEN '' ELSE split_part(s, d, n) END"),
     // binary.rs:361 TO_HEX — lowercase (encode_hex)
     ("to_hex", "b BINARY", "STRING", "lower(hex(b))"),
+    // 2-argument REGEXP_REPLACE removes matches (string.md)
+    ("graft_regexp_remove", "s STRING, p STRING", "STRING",
+      "regexp_replace(s, p, '')"),
     ("bin2utf8", "b BINARY", "STRING", "decode(b, 'UTF-8')"),
     ("utf82bin", "s STRING", "BINARY", "encode(s, 'UTF-8')"),
     // VARIANT tail SQL spellings (variant.rs; json.md:78-510). Lambda-taking
@@ -274,6 +277,16 @@ object Registry {
       dispatch("bit_and", BitAndAgg(_))
       dispatch("bit_or", BitOrAgg(_))
       dispatch("bit_xor", BitXorAgg(_))
+      // ARG_MIN/ARG_MAX (aggregates.md) = Spark's min_by/max_by —
+      // registered as builders so any value/compared types work
+      reg.createOrReplaceTempFunction("arg_min",
+        (args: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .MinBy(args(0), args(1)), "built-in")
+      reg.createOrReplaceTempFunction("arg_max",
+        (args: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .MaxBy(args(0), args(1)), "built-in")
       // CAST(x AS UUID) — type-directed: 16 raw bytes decode to the
       // canonical dashed form, strings lowercase (uuid.md; the UUID
       // type maps to STRING, SqlTypes:66)

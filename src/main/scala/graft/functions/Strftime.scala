@@ -313,8 +313,24 @@ object Strftime {
     * normalize: trim + collapse runs to one space. Parse-only — the
     * FORMAT direction prints pattern whitespace verbatim.
     */
-  private def wsNorm(x: String): String =
-    x.trim.replaceAll("\\s+", " ")
+  private def wsNorm(x: String): String = {
+    // fast path: already normalized (no edge/run/odd whitespace) —
+    // this runs per parsed ROW, the regex only on the rare shapes
+    val n = x.length
+    var needs = n > 0 &&
+      (Character.isWhitespace(x.charAt(0)) ||
+        Character.isWhitespace(x.charAt(n - 1)))
+    var i = 0
+    var prevWs = false
+    while (!needs && i < n) {
+      val c = x.charAt(i)
+      val ws = Character.isWhitespace(c)
+      if (ws && (prevWs || c != ' ')) needs = true
+      prevWs = ws
+      i += 1
+    }
+    if (!needs) x else x.trim.replaceAll("\\s+", " ")
+  }
 
   def parseDate(fmt: String, s: String): String = {
     if (fmt == null || s == null) return null

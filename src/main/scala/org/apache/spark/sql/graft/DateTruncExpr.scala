@@ -93,7 +93,7 @@ case class GraftDateTrunc(child: Expression, unit: String,
           else tm
       }
     case t if t.typeName.startsWith("time(") || t.typeName == "time" =>
-      // TIME_TRUNC: nanos-of-day payload
+      // TIME_TRUNC / FLOOR/CEIL(time TO unit): nanos-of-day payload
       val nanos = input.asInstanceOf[Long]
       val div = unit match {
         case "HOUR" => 3600000000000L
@@ -103,7 +103,8 @@ case class GraftDateTrunc(child: Expression, unit: String,
         case other => throw new IllegalArgumentException(
           s"TIME_TRUNC unit not valid: $other")
       }
-      nanos / div * div
+      val down = nanos / div * div
+      if (ceil && down != nanos) down + div else down
     case other => throw new IllegalArgumentException(
       s"DATE_TRUNC over ${other.catalogString}")
   }

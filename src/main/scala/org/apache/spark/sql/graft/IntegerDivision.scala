@@ -260,6 +260,20 @@ object IntegerDivision {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     import org.apache.spark.sql.catalyst.expressions.Literal
 
+    // fast bail: the pass builds alias maps per operator — skip it
+    // wholesale unless a moment aggregate is present (the IVM step
+    // loop transforms every delta evaluation through here)
+    val hasMoments = plan.exists(op => op.expressions.exists(_.exists {
+      case AggregateExpression(fn, _, _, _, _) => fn match {
+        case _: StddevSamp | _: StddevPop | _: VarianceSamp |
+          _: VariancePop => true
+        case Average(c, _) => c.dataType.isInstanceOf[IntegralType]
+        case _ => false
+      }
+      case _ => false
+    }))
+    if (!hasMoments) return plan
+
     // (argument, kind) for the moment aggregates this rule covers.
     // `deref` sees through the analyzer's window-argument extraction
     // (stddev(_w0) over a child Project's _w0 = cast(cast(x AS

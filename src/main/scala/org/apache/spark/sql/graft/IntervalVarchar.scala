@@ -30,7 +30,7 @@ case class GraftIntervalVarchar(child: Expression)
             s"$sign${a / 12}"
           case (YearMonthIntervalType.MONTH,
             YearMonthIntervalType.MONTH) => s"$sign$a"
-          case _ => s"$sign${a / 12}-${a % 12}"
+          case _ => f"$sign${a / 12}-${a % 12}%02d"
         }
       case dt: DayTimeIntervalType =>
         val us = input.asInstanceOf[Long]
