@@ -691,15 +691,26 @@ object PgCorpus {
   }
 
   /** Run every (non-skipped) test of a suite; returns (tid, r) rendered
-    * actual rows — the graded-row relation.
+    * actual rows — the graded-row relation. Units evaluate EAGERLY
+    * with a scoped 4-way shuffle: the fixtures are a few hundred rows,
+    * and a lazy union of ~100 grouped subplans at the bench's 32
+    * shuffle partitions prices as thousands of empty tasks
+    * (pgr_aggscott read 126 task-s before this).
     */
   def runSuite(spark: SparkSession, suite: Suite,
       skip: Set[String]): DataFrame = {
-    val parts = suite.tests.filterNot(t => skip(t.id)).map { t =>
-      renderedRows(runQuery(spark, t.query), modes(suite.name))
-        .select(lit(t.id).as("tid"), col("r"))
-    }
-    parts.reduce(_ unionAll _)
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(spKey)
+    spark.conf.set(spKey, "4")
+    try {
+      val collected = suite.tests.filterNot(t => skip(t.id))
+        .flatMap { t =>
+          renderedRows(runQuery(spark, t.query), modes(suite.name))
+            .collect().map(r => (t.id, r.getString(0)))
+        }
+      import spark.implicits._
+      collected.toDF("tid", "r")
+    } finally spark.conf.set(spKey, prev)
   }
 
   // ------------------------------------------- incremental replay
@@ -765,9 +776,17 @@ object PgCorpus {
     // getAllValidConstraints); it buys nothing on few-row programs
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val prevCp = spark.conf.get(cpKey, "true")
+    // few-hundred-row fixtures through many steps: 4-way shuffles keep
+    // the per-step task count (and the row's task-time price) sane
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
     spark.conf.set(cpKey, "false")
+    spark.conf.set(spKey, "4")
     try runSuiteIncremental0(spark, suite)
-    finally spark.conf.set(cpKey, prevCp)
+    finally {
+      spark.conf.set(cpKey, prevCp)
+      spark.conf.set(spKey, prevSp)
+    }
   }
 
   private def runSuiteIncremental0(spark: SparkSession,

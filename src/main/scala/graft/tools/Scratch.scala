@@ -37,6 +37,28 @@ object Scratch {
       return
     }
 
+    if (sys.env.contains("SPARK_GRAFT_BATCHDBG")) {
+      import graft.queries.PgCorpus
+      val name = sys.env("SPARK_GRAFT_BATCHDBG")
+      val suite = PgCorpus.load(name)
+      PgCorpus.registerSetup(spark, suite)
+      val skip = PgCorpus.skips(name)
+      for (t <- suite.tests if !skip(t.id)) {
+        val t0 = System.nanoTime()
+        try {
+          val n = PgCorpus.runQuery(spark, t.query).count()
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (ms > 300)
+            println(f"${t.id}%-28s rows=$n%-5d $ms%8.0f ms")
+        } catch {
+          case e: Throwable =>
+            println(s"${t.id} ERROR ${e.getMessage.take(100)}")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_INCDBG")) {
       // bisect the aggq incremental-replay OOM: one pipeline per query
       import graft.queries.PgCorpus
