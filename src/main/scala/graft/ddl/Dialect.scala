@@ -707,18 +707,19 @@ object Dialect {
     * position stays a loud analysis error.
     */
   private def rewriteTimeTsLiterals(s: String): String = {
+    // runs on the full statement (the rewrite spans string-literal
+    // boundaries), so matches inside string literals must be skipped
+    // like every sibling full-statement rewrite (replaceGuarded)
     val cast =
       """(?i)\bCAST\s*\(\s*TIME\s+'([^']*)'\s+AS\s+TIMESTAMP\b""".r
-    var r = cast.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"CAST(TIMESTAMP '1970-01-01 ${m.group(1)}' AS TIMESTAMP"))
+    var r = replaceGuarded(s, cast)(m =>
+      s"CAST(TIMESTAMP '1970-01-01 ${m.group(1)}' AS TIMESTAMP")
     val inDiff =
       """(?i)(TIMESTAMPDIFF\s*\([^()]*?)\bTIME\s+'([^']*)'""".r
     var changed = true
     while (changed) {
-      val r2 = inDiff.replaceAllIn(r, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          m.group(1) + s"TIMESTAMP '1970-01-01 ${m.group(2)}'"))
+      val r2 = replaceGuarded(r, inDiff)(m =>
+        m.group(1) + s"TIMESTAMP '1970-01-01 ${m.group(2)}'")
       changed = r2 != r
       r = r2
     }

@@ -149,11 +149,16 @@ object PgCorpus {
       // ("-4 mins 30 secs" is -(4m30s)); Postgres signs each component
       // — an unsigned component inherits the preceding sign
       var carry = 1L
-      val part = """(-?\d+(?:\.\d+)?) ([a-z]+)""".r
+      val part = """([-+]?\d+(?:\.\d+)?) ([a-z]+)""".r
       for (m <- part.findAllMatchIn(body)) {
         val n0 = m.group(1)
-        val sign = if (n0.startsWith("-")) { carry = -1L; -1L } else carry
-        val n = n0.stripPrefix("-")
+        // an explicit '+' resets the carry ("-1 days +02:30" forms
+        // print the later components positively-signed)
+        val sign =
+          if (n0.startsWith("-")) { carry = -1L; -1L }
+          else if (n0.startsWith("+")) { carry = 1L; 1L }
+          else carry
+        val n = n0.stripPrefix("-").stripPrefix("+")
         def whole = sign * n.toLong
         def us = sign * math.round(n.toDouble * 1000000L)
         m.group(2).stripSuffix("s") match {

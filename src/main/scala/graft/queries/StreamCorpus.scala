@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+import graft.ddl.Ddl
+import graft.types.SqlTypes
+import graft.zset.ZSets
+
+/** STEP-WISE replay of the reference's streaming golden tests.
+  *
+  * The reference records, for every step of a streaming program, the
+  * expected OUTPUT DELTA of the single output view — value columns
+  * plus a trailing weight column
+  * (compiler/sql/streaming/StreamingTests.java:66-81 — `ccs.step(
+  * insert-script, expected-delta-table)`;
+  * tools/CompilerCircuitStream.java:90-97). This is a strictly
+  * stronger contract than the final-state replay in
+  * [[PgCorpus.runSuiteIncremental]]: a pair of compensating delta-rule
+  * errors (over-retract at step k, over-insert at step k+1) cancels in
+  * final state but cannot pass per-step grading.
+  *
+  * Fixtures live in resources/streamcorpus/<suite>.txt (extracted by
+  * scripts/port_streamcorpus.py — programs, step scripts, and recorded
+  * per-step deltas; test DATA, not engine code). Each unit's program
+  * runs as ONE standing [[graft.runtime.Pipeline]]; each step's
+  * INSERT/REMOVE script becomes a Z-set delta fed to `Pipeline.step`,
+  * and the emitted delta of the output view is rendered through the
+  * same canonical-cell machinery the batch corpus uses and compared as
+  * a multiset against the recorded table.
+  */
+object StreamCorpus {
+
+  final case class CorpusStep(script: String, expected: Seq[Seq[String]])
+  final case class StepUnit(id: String, program: String,
+      steps: Seq[CorpusStep])
+  final case class Suite(name: String, units: Seq[StepUnit])
+
+  // ---------------------------------------------------------- load
+
+  def load(name: String): Suite = {
+    val in = getClass.getResourceAsStream(s"/streamcorpus/$name.txt")
+    require(in != null, s"streamcorpus resource missing: $name")
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val lines = text.split("\n", -1)
+    val units = Vector.newBuilder[StepUnit]
+    var unitId = ""
+    var program = ""
+    var steps = Vector.newBuilder[CorpusStep]
+    var script = ""
+    var mode = ""
+    val buf = scala.collection.mutable.Buffer[String]()
+    def flushSection(): Unit = {
+      val body = buf.mkString("\n")
+      mode match {
+        case "PROGRAM" => program = body
+        case "STEP" => script = body
+        case "EXPECT" => steps += CorpusStep(script, parseExpect(body))
+        case _ =>
+      }
+      buf.clear()
+    }
+    def flushUnit(): Unit = {
+      flushSection()
+      if (unitId.nonEmpty)
+        units += StepUnit(unitId, program, steps.result())
+      steps = Vector.newBuilder[CorpusStep]
+      program = ""
+    }
+    for (line <- lines) {
+      if (line.startsWith("== UNIT ")) {
+        flushUnit()
+        // the /trim marker is informational (canonCell always trims)
+        unitId = line.drop("== UNIT ".length).split("/")(0).trim
+        mode = ""
+      } else if (line.startsWith("== PROGRAM")) { flushSection(); mode = "PROGRAM" }
+      else if (line.startsWith("== STEP")) { flushSection(); mode = "STEP" }
+      else if (line.startsWith("== EXPECT")) { flushSection(); mode = "EXPECT" }
+      else if (!line.startsWith("-- streamcorpus") &&
+        !line.startsWith("-- provenance") &&
+        !line.startsWith("--   sql-to-dbsp") &&
+        !line.startsWith("-- ported ")) buf += line
+    }
+    flushUnit()
+    Suite(name, units.result())
+  }
+
+  /** Expected delta table: header, ---- separator, data rows (cells
+    * pipe-separated, last cell the weight). Canonicalized like the
+    * batch corpus cells.
+    */
+  private def parseExpect(body: String): Seq[Seq[String]] = {
+    val lines = body.split("\n", -1).toSeq
+    val sepIdx = lines.indexWhere(l =>
+      l.trim.nonEmpty && l.trim.forall(c => c == '-' || c == '+'))
+    if (sepIdx < 0) return Seq.empty
+    lines.drop(sepIdx + 1)
+      .reverse.dropWhile(_.trim.isEmpty).reverse
+      .map(_.split("\\|", -1).toSeq.map(PgCorpus.canonCell(_)))
+  }
+
+  // ----------------------------------------------------------- run
+
+  private val insRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+VALUES\s*(.*)$""".r
+  private val remRe =
+    """(?is)^\s*REMOVE\s+FROM\s+([A-Za-z_]\w*)\s+VALUES\s*(.*)$""".r
+
+  /** The step script (INSERT INTO t VALUES … / REMOVE FROM t VALUES …,
+    * the reference's step grammar) as per-table Z-set deltas.
+    */
+  private def scriptDeltas(spark: SparkSession, prog: Ddl.Program,
+      script: String): Map[String, DataFrame] = {
+    val byTable = scala.collection.mutable.Map[String, DataFrame]()
+    def add(table0: String, tuples: String, weight: Long): Unit = {
+      val table = table0.toLowerCase
+      val tdef = prog.tables.find(_.name == table).getOrElse(
+        sys.error(s"step script names unknown table $table0"))
+      val fields = tdef.columns.map(c => StructField(
+        c.name, SqlTypes.toSpark(c.sqlType), nullable = !c.notNull))
+      val raw = spark.sql(s"SELECT * FROM (VALUES $tuples)")
+      require(raw.schema.size == fields.size,
+        s"step INSERT arity mismatch for $table: ${raw.schema.size} " +
+          s"vs ${fields.size} declared")
+      val aligned = raw.toDF(fields.map(_.name): _*)
+        .select(fields.map(f => col(f.name).cast(f.dataType)): _*)
+      val z = ZSets.lift(aligned).withColumn(ZSets.W, lit(weight))
+      byTable(table) = byTable.get(table)
+        .map(_.unionByName(z)).getOrElse(z)
+    }
+    Ddl.statements(script).foreach {
+      case insRe(t, tuples) => add(t, tuples.stripSuffix(";"), 1L)
+      case remRe(t, tuples) => add(t, tuples.stripSuffix(";"), -1L)
+      case other =>
+        sys.error(s"unsupported step statement: ${other.take(60)}")
+    }
+    byTable.toMap
+  }
+
+  /** Run every (non-skipped) unit of a suite; returns (tid, r) rendered
+    * actual rows — tid = `<unit>#s<step>`, one row per emitted delta
+    * row, r = `cell|…|weight`. Scoped small-shuffle config like the
+    * batch replay (fixture-sized data through many serial steps).
+    */
+  def runSuite(spark: SparkSession, suite: Suite,
+      skip: Set[String]): DataFrame = {
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevCp = spark.conf.get(cpKey, "true")
+    val prevSp = spark.conf.get(spKey)
+    spark.conf.set(cpKey, "false")
+    spark.conf.set(spKey, "4")
+    try runSuite0(spark, suite, skip)
+    finally {
+      spark.conf.set(cpKey, prevCp)
+      spark.conf.set(spKey, prevSp)
+    }
+  }
+
+  private def runSuite0(spark: SparkSession, suite: Suite,
+      skip: Set[String]): DataFrame = {
+    val collected = suite.units.filterNot(u => skip(u.id)).flatMap { u =>
+      val prog = Ddl.parse(u.program)
+      val outs = prog.views.filterNot(_.kind == Ddl.LocalView)
+      require(outs.size == 1, s"${u.id}: expected one output view, " +
+        s"got ${outs.map(_.name).mkString(",")}")
+      val outView = outs.head.name
+      val pipe = graft.runtime.Pipeline(spark, u.program)
+      u.steps.zipWithIndex.flatMap { case (st, i) =>
+        val deltas = scriptDeltas(spark, prog, st.script)
+        val res = pipe.step(deltas)
+        val vDelta = res(outView)
+        val ordered = vDelta.select(
+          (ZSets.dataCols(vDelta).map(col) :+ col(ZSets.W)): _*)
+        PgCorpus.renderedRows(ordered)
+          .collect().map(r => (s"${u.id}#s$i", r.getString(0)))
+      }
+    }
+    import spark.implicits._
+    collected.toDF("tid", "r")
+  }
+
+  /** The recorded expected rows as literal SQL — the DuckDB oracle. */
+  def expectedSql(suite: Suite, skip: Set[String]): String = {
+    val rows = for {
+      u <- suite.units if !skip(u.id)
+      (st, i) <- u.steps.zipWithIndex
+      row <- st.expected
+    } yield s"('${u.id}#s$i', " +
+      s"'${row.mkString("|").replace("'", "''")}')"
+    require(rows.nonEmpty, s"suite ${suite.name}: no expected rows")
+    s"SELECT tid, r FROM (VALUES ${rows.mkString(", ")}) AS t(tid, r)"
+  }
+
+  /** Expected rows as in-memory pairs (for the ScalaTest harness). */
+  def expectedRows(suite: Suite,
+      skip: Set[String]): Seq[(String, String)] =
+    for {
+      u <- suite.units if !skip(u.id)
+      (st, i) <- u.steps.zipWithIndex
+      row <- st.expected
+    } yield (s"${u.id}#s$i", row.mkString("|"))
+
+  // ------------------------------------------------- graded surface
+
+  /** Per-suite unit skips, each a documented divergence. */
+  val skips: Map[String, Set[String]] = Map(
+    "streaming" -> Set(),
+    "windowstep" -> Set(),
+    "increg" -> Set(),
+    "increg2" -> Set()
+  ).withDefaultValue(Set.empty)
+
+  def suiteNames: Seq[String] =
+    Seq("streaming", "windowstep", "increg", "increg2")
+
+  def queries: Seq[Q] = suiteNames.map { name =>
+    val suite = load(name)
+    Q(s"pgr_step_$name", expectedSql(suite, skips(name))) { (s, _) =>
+      runSuite(s, suite, skips(name))
+    }
+  }
+}

@@ -104,7 +104,10 @@ case class GraftDateTrunc(child: Expression, unit: String,
           s"TIME_TRUNC unit not valid: $other")
       }
       val down = nanos / div * div
-      if (ceil && down != nanos) down + div else down
+      // CEIL wraps past midnight (timestamp.rs ceil_hour_Time:
+      // `(hour + 1) % 24` — CEIL(TIME '23:30:00' TO HOUR) = 00:00:00),
+      // keeping the payload inside the 0..86399999999999 domain
+      if (ceil && down != nanos) (down + div) % 86400000000000L else down
     case other => throw new IllegalArgumentException(
       s"DATE_TRUNC over ${other.catalogString}")
   }

@@ -426,10 +426,7 @@ object IntegerDivision {
         child = rebuilt))
     }
 
-    plan.transformUp {
-      case p: Project if rewriteProjectOverWindows(p).isDefined =>
-        rewriteProjectOverWindows(p).get
-      case op =>
+    def genericRewrite(op: LogicalPlan): LogicalPlan = {
       // see through the analyzer's window-argument extraction: a
       // child Project's `_w0 AS <expr>` aliases resolve back to <expr>
       val childAliases: Map[Long, Expression] = op.children.flatMap {
@@ -468,6 +465,62 @@ object IntegerDivision {
             }
           }
       }
+    }
+
+    // The decomposition deliberately changes a slot's type (Calcite
+    // types AVG/VAR over INT as INT where Spark's is DOUBLE), so the
+    // rewrite must PROPAGATE the new type to every consumer above:
+    // a changed Alias gets a FRESH exprId and the (old → new) pair is
+    // handed to transformUpWithNewOutput, which rewrites matching
+    // AttributeReferences in all parent operators. An in-place rewrite
+    // that keeps the exprId leaves DOUBLE-typed references reading an
+    // INT slot (bits-reinterpretation garbage / PLAN_VALIDATION_FAILED
+    // under CollapseProject — the `SELECT s.a FROM (SELECT AVG(x) AS a
+    // …) s ORDER BY s.a` shape).
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def retypeOutputs(oldOp: LogicalPlan, newOp0: LogicalPlan)
+        : (LogicalPlan, Seq[(Attribute, Attribute)]) = {
+      if (newOp0 eq oldOp) return (oldOp, Nil)
+      val oldOut = oldOp.output
+      if (oldOut.zip(newOp0.output)
+          .forall { case (o, n) => o.dataType == n.dataType })
+        return (newOp0, Nil)
+      val mapping = scala.collection.mutable.Buffer[(Attribute, Attribute)]()
+      // a projectList may legally repeat an output attribute (the
+      // analyzer's window Project emits one entry per reference);
+      // repeated old exprIds must share ONE fresh alias or the
+      // framework sees duplicate rewrite targets
+      val seen = scala.collection.mutable.Map[Long, Alias]()
+      def freshen(nes: Seq[NamedExpression]): Seq[NamedExpression] =
+        nes.zip(oldOut).map {
+          case (al: Alias, o) if al.dataType != o.dataType =>
+            seen.getOrElseUpdate(o.exprId.id, {
+              val na = Alias(al.child, al.name)(
+                NamedExpression.newExprId, al.qualifier,
+                al.explicitMetadata)
+              mapping += (o -> na.toAttribute)
+              na
+            })
+          case (ne, _) => ne
+        }
+      val newOp = newOp0 match {
+        case a: Aggregate =>
+          a.copy(aggregateExpressions = freshen(a.aggregateExpressions))
+        case p: Project => p.copy(projectList = freshen(p.projectList))
+        case other => other
+      }
+      (newOp, mapping.toSeq)
+    }
+
+    plan.transformUpWithNewOutput {
+      case op =>
+        val rewritten = op match {
+          case p: Project =>
+            rewriteProjectOverWindows(p).getOrElse(genericRewrite(p))
+          case other => genericRewrite(other)
+        }
+        retypeOutputs(op, rewritten)
     }
   }
 

@@ -104,12 +104,30 @@ case class GraftIntervalDivTrunc(interval: Expression, num: Expression)
   }
 
   override def nullSafeEval(iv: Any, n: Any): Any = {
-    val d = toD(n)
-    if (d == 0) throw new ArithmeticException("Interval divided by zero")
-    interval.dataType match {
-      case _: YearMonthIntervalType =>
-        (iv.asInstanceOf[Int] / d).toInt
-      case _ => (iv.asInstanceOf[Long] / d).toLong
+    // integral divisor: exact long division (Java `/` truncates toward
+    // zero) — the double path loses ulps above 2^53 and Long.MIN/-1
+    // must raise, not wrap
+    GraftIntervalMulTrunc.asLongExact(n) match {
+      case Some(l) =>
+        if (l == 0)
+          throw new ArithmeticException("Interval divided by zero")
+        interval.dataType match {
+          case _: YearMonthIntervalType =>
+            val v = iv.asInstanceOf[Int]
+            if (l == -1L) Math.negateExact(v) else (v / l).toInt
+          case _ =>
+            val v = iv.asInstanceOf[Long]
+            if (l == -1L) Math.negateExact(v) else v / l
+        }
+      case None =>
+        val d = toD(n)
+        if (d == 0)
+          throw new ArithmeticException("Interval divided by zero")
+        interval.dataType match {
+          case _: YearMonthIntervalType =>
+            (iv.asInstanceOf[Int] / d).toInt
+          case _ => (iv.asInstanceOf[Long] / d).toLong
+        }
     }
   }
 
@@ -137,17 +155,39 @@ case class GraftIntervalMulTrunc(interval: Expression, num: Expression)
     case x: Number => x.doubleValue()
   }
 
-  override def nullSafeEval(iv: Any, n: Any): Any = {
-    val d = toD(n)
-    interval.dataType match {
-      case _: YearMonthIntervalType =>
-        (iv.asInstanceOf[Int] * d).toInt
-      case _ => (iv.asInstanceOf[Long] * d).toLong
+  override def nullSafeEval(iv: Any, n: Any): Any =
+    // integral multiplier: exact long arithmetic, raising on overflow
+    // like Multiply[DT|YM]Interval (the double path loses ulps above
+    // 2^53 and saturates via toLong); double only for fractional
+    GraftIntervalMulTrunc.asLongExact(n) match {
+      case Some(l) => interval.dataType match {
+        case _: YearMonthIntervalType =>
+          Math.toIntExact(
+            Math.multiplyExact(iv.asInstanceOf[Int].toLong, l))
+        case _ => Math.multiplyExact(iv.asInstanceOf[Long], l)
+      }
+      case None =>
+        val d = toD(n)
+        interval.dataType match {
+          case _: YearMonthIntervalType =>
+            (iv.asInstanceOf[Int] * d).toInt
+          case _ => (iv.asInstanceOf[Long] * d).toLong
+        }
     }
-  }
 
   override protected def withNewChildrenInternal(a: Expression,
       b: Expression) = copy(interval = a, num = b)
+}
+
+object GraftIntervalMulTrunc {
+  /** The factor as an exact Long when it is integral-typed. */
+  private[graft] def asLongExact(n: Any): Option[Long] = n match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
 }
 
 /** Raw interval total — months for year-month, microseconds for
