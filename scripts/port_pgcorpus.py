@@ -358,3 +358,12 @@ if __name__ == "__main__":
     port("../quidem/StructTests.java", "structq", quidem=True,
          base="../quidem/ScottBaseTests.java")
     port("../quidem/OperatorTests.java", "operatorq", quidem=True)
+    # fourth wave: the five remaining quidem suites — the directory is
+    # then fully ported
+    port("../quidem/PivotTests.java", "pivotq", quidem=True,
+         base="../quidem/ScottBaseTests.java")
+    port("../quidem/SessionTests.java", "sessionq", quidem=True)
+    port("../quidem/StreamTests.java", "streamq", quidem=True)
+    port("../quidem/CalciteJdbcTests.java", "calcitejdbc", quidem=True,
+         base="../quidem/HrBaseTests.java")
+    port("../quidem/PostgresTests.java", "postgresq", quidem=True)

@@ -127,60 +127,72 @@ def weight_one(expected: str) -> str:
 
 
 def extract_method(name: str, body: str):
-    """Returns (program, trim, [(script, expected), ...]) or a skip
-    reason string."""
-    # program: getCCS(<var>) where var = """...""", or getCCS("""...""")
-    ccs_m = re.search(r"\.getCCS\s*\(", body)
-    if not ccs_m:
+    """Returns a list of (program, trim, [(script, expected), ...])
+    segments — one per getCCS call (a method may drive SEVERAL
+    programs, e.g. WindowTests testRankDescending) — or a skip reason
+    string. A non-portable segment skips just that segment."""
+    ccs_matches = list(re.finditer(r"\.getCCS\s*\(", body))
+    if not ccs_matches:
         return "no getCCS"
-    lit = parse_literal(body, ccs_m.end())
-    if lit:
-        program, after = lit
-    else:
-        var_m = re.match(r"\s*(\w+)\s*\)", body[ccs_m.end():])
-        if not var_m:
-            return "non-literal getCCS arg"
-        var = var_m.group(1)
-        decl = re.search(
-            r"(?:String\s+|var\s+)" + var + r'\s*=\s*"""', body)
-        if not decl:
-            return "program var not a text block"
-        lit = parse_literal(body, decl.end() - 3)
-        if not lit:
-            return "unterminated program block"
-        program, _ = lit
-        after = ccs_m.end()
-    # multi-output streams / programmatic changes aren't portable
-    if re.search(r"getCCS\s*\(\s*\w+\s*,", body):
-        return "multi-output getCCS"
     if ".addChange(" in body or "new Change(" in body \
             or "new InputOutputChange(" in body:
         return "programmatic Change steps"
     if re.search(r"\bfor\s*\(", body):
         return "loop-driven steps"
-    if re.search(r"(?i)\bNOW\s*\(\)", program):
-        return "NOW()-dependent program (nondeterministic replay)"
     trim = ".withStringTrim()" in body
-    steps = []
-    for m in re.finditer(r"\.step(WeightOne)?\s*\(", body):
-        w1 = m.group(1) is not None
-        lit1 = parse_literal(body, m.end())
-        if not lit1:
-            return "non-literal step script"
-        script, p = lit1
-        cm = re.match(r"\s*,", body[p:])
-        if not cm:
-            return "step without expected literal"
-        lit2 = parse_literal(body, p + cm.end())
-        if not lit2:
-            return "non-literal step expected"
-        expected, _ = lit2
-        if w1:
-            expected = weight_one(expected)
-        steps.append((script, expected))
-    if not steps:
-        return "no text steps"
-    return program, trim, steps
+    segments = []
+    for idx, cm in enumerate(ccs_matches):
+        seg_end = (ccs_matches[idx + 1].start()
+                   if idx + 1 < len(ccs_matches) else len(body))
+        lit = parse_literal(body, cm.end())
+        if lit:
+            program = lit[0]
+        else:
+            var_m = re.match(r"\s*(\w+)\s*[,)]", body[cm.end():])
+            if not var_m:
+                continue  # non-literal segment
+            var = var_m.group(1)
+            decls = [d for d in re.finditer(
+                r"(?:String\s+|var\s+)?" + var + r'\s*=\s*"""', body)
+                if d.start() < cm.start()]
+            if not decls:
+                continue
+            lit = parse_literal(body, decls[-1].end() - 3)
+            if not lit:
+                continue
+            program = lit[0]
+        if re.search(r"getCCS\s*\(\s*\w+\s*,", body[cm.start():cm.end() + 40]):
+            continue  # multi-output stream
+        if re.search(r"(?i)\bNOW\s*\(\)", program):
+            continue  # nondeterministic replay
+        steps = []
+        bad = False
+        for m in re.finditer(r"\.step(WeightOne)?\s*\(",
+                             body[cm.end():seg_end]):
+            w1 = m.group(1) is not None
+            lit1 = parse_literal(body, cm.end() + m.end())
+            if not lit1:
+                bad = True
+                break
+            script, p = lit1
+            cm2 = re.match(r"\s*,", body[p:])
+            if not cm2:
+                bad = True
+                break
+            lit2 = parse_literal(body, p + cm2.end())
+            if not lit2:
+                bad = True
+                break
+            expected, _ = lit2
+            if w1:
+                expected = weight_one(expected)
+            steps.append((script, expected))
+        if bad or not steps:
+            continue
+        segments.append((program, trim, steps))
+    if not segments:
+        return "no portable text-step segments"
+    return segments
 
 
 def methods(src: str):
@@ -213,17 +225,18 @@ def port(java_rel: str, suite: str, skip=()):
         if isinstance(r, str):
             skipped[name] = r
             continue
-        program, trim, steps = r
-        out.append(f"== UNIT {name}" + ("/trim" if trim else ""))
-        out.append("== PROGRAM")
-        out.append(program)
-        for script, expected in steps:
-            out.append("== STEP")
-            out.append(script)
-            out.append("== EXPECT")
-            out.append(expected)
-            n_steps += 1
-        n_units += 1
+        for k, (program, trim, steps) in enumerate(r):
+            uid = name if k == 0 else f"{name}.{k}"
+            out.append(f"== UNIT {uid}" + ("/trim" if trim else ""))
+            out.append("== PROGRAM")
+            out.append(program)
+            for script, expected in steps:
+                out.append("== STEP")
+                out.append(script)
+                out.append("== EXPECT")
+                out.append(expected)
+                n_steps += 1
+            n_units += 1
     OUT.mkdir(parents=True, exist_ok=True)
     (OUT / f"{suite}.txt").write_text("\n".join(out) + "\n")
     by_reason = {}

@@ -20,8 +20,13 @@ object Ddl {
       sqlType: String,
       notNull: Boolean,
       primaryKey: Boolean,
-      lateness: Option[String],     // e.g. "INTERVAL 10 MINUTES"
-      default: Option[String] = None) // DEFAULT expr (grammar.md:135-151)
+      lateness: Option[String],     // e.g. "INTERVAL 10 MINUTES" or "100"
+      default: Option[String] = None, // DEFAULT expr (grammar.md:135-151)
+      /** WATERMARK expr — rows are BUFFERED until the column waterline
+        * (max observed − watermark) passes them (time-series docs;
+        * streaming/StreamingTests.java watermarkTest).
+        */
+      watermark: Option[String] = None)
 
   final case class TableDef(
       name: String,
@@ -104,8 +109,15 @@ object Ddl {
     """(?is)CREATE\s+(LOCAL\s+|MATERIALIZED\s+)?VIEW\s+(\w+)\s*(?:WITH\s*\((.*?)\)\s*)?AS\s+(.*)$""".r
   private val indexRe: Regex =
     """(?is)CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\((.*?)\)\s*$""".r
+  // LATENESS/WATERMARK take any constant expression matching the column
+  // type (INTERVAL for temporal columns, a numeric literal for numeric
+  // ones — StreamingTests `TS INT LATENESS 100`); FOREIGN KEY REFERENCES
+  // is informational in the reference and parsed-and-dropped here
   private val colRe: Regex =
-    """(?is)^("(?:[^"]|"")+"|\w+)\s+(.+?)(\s+DEFAULT\s+(.+?))?(\s+NOT\s+NULL)?(\s+PRIMARY\s+KEY)?(\s+LATENESS\s+(INTERVAL\s+[^,]+))?$""".r
+    ("""(?is)^("(?:[^"]|"")+"|\w+)\s+(.+?)(\s+DEFAULT\s+(.+?))?""" +
+      """(\s+NOT\s+NULL)?(\s+PRIMARY\s+KEY)?""" +
+      """(\s+FOREIGN\s+KEY\s+REFERENCES\s+\w+\s*\([^)]*\))?""" +
+      """(\s+LATENESS\s+(.+?))?(\s+WATERMARK\s+(.+?))?$""").r
   private val funcRe: Regex =
     """(?is)CREATE\s+FUNCTION\s+(\w+)\s*\((.*?)\)\s*RETURNS\s+(.+?)(?:\s+AS\s+(.+))?$""".r
   private val typeRe: Regex =
@@ -171,7 +183,8 @@ object Ddl {
   }
 
   def parseColumn(s: String): ColumnDef = s.trim match {
-    case colRe(name, tpe, _, default, notNull, pk, _, lateness) =>
+    case colRe(name, tpe, _, default, notNull, pk, _, _, lateness,
+        _, watermark) =>
       // quoted column names keep their exact spelling (identifiers.md:
       // "Quoted identifiers are left unchanged"); unquoted fold to
       // lowercase, the reference's own rule
@@ -182,7 +195,8 @@ object Ddl {
       ColumnDef(n, tpe.trim,
         notNull != null || pk != null, pk != null,
         Option(lateness).map(_.trim),
-        Option(default).map(_.trim))
+        Option(default).map(_.trim),
+        Option(watermark).map(_.trim))
     case other =>
       throw new IllegalArgumentException(s"cannot parse column: $other")
   }

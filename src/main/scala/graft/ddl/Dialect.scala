@@ -113,7 +113,7 @@ object Dialect {
     *   columns, so it is dropped).
     */
   def normalize(sql: String, adHoc: Boolean): String =
-    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteTruncate1(rewriteCharCast(rewriteBinaryCast(rewriteSubstringFromFor(rewriteGroupingSetsWrap(rewriteTimeTsLiterals(rewriteCalciteLiterals(dispatchArityAll(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteArrayBrackets(rewriteUnicodeStringLiterals(stripComments(sql)))))) { run =>
+    escapeLiteralBackslashes(rewriteDistinctOn(rewriteAsofJoin(rewriteQualify(rewriteOuterApply(rewritePeriodPredicates(rewriteScalarTumble(rewriteWindowTvf(rewriteFloorCeilTo(rewriteDateTrunc(rewriteExtract(rewriteDatePart(rewriteTruncate1(rewriteCharCast(rewriteBinaryCast(rewriteSubstringFromFor(rewriteGroupingSetsWrap(rewriteTimeTsLiterals(rewriteCalciteLiterals(dispatchArityAll(mapOutsideQuotes(rewriteHints(rewriteQuotedIdents(rewriteArrayBrackets(singularizeIntervalUnits(rewriteUnicodeStringLiterals(stripComments(sql))))))) { run =>
       val a = unpivotIncluding.replaceAllIn(run, "UNPIVOT INCLUDE NULLS")
       val b = unpivotExcluding.replaceAllIn(a, "UNPIVOT EXCLUDE NULLS")
       val c0 = starExclude.replaceAllIn(b, "$1EXCEPT$2")
@@ -140,7 +140,13 @@ object Dialect {
       val k = logicalAgg.replaceAllIn(j,
         m => "BOOL_" + m.group(1).toUpperCase +
           java.util.regex.Matcher.quoteReplacement(m.group(2)))
-      val l0 = safeCast.replaceAllIn(k, "TRY_CAST$1")
+      val l0a = safeCast.replaceAllIn(k, "TRY_CAST$1")
+      // GREATEST/LEAST null-propagate in the reference
+      // (comparisons.md); Spark's natives skip NULLs and stay the
+      // _IGNORE_NULLS spellings (quidem PostgresTests testGreatest)
+      val l0 = """(?i)\b(GREATEST|LEAST)(\s*\()""".r
+        .replaceAllIn(l0a, m =>
+          "graft_" + m.group(1).toLowerCase + m.group(2))
       // interval idioms: negated string literal, plural units in
       // ranged qualifiers (grammar.md allows plurals; Spark's ranged
       // form wants singular)
@@ -213,7 +219,7 @@ object Dialect {
       val l2 = """(?i)\bGROUP_ID\s*\(\s*\)""".r
         .replaceAllIn(l2e, "CAST(0 AS BIGINT)")
       mapBareTypes(rewriteMultiArgGrouping(l2))
-    }))))))))))))))))), adHoc))
+    })))))))))))))))))), adHoc))
 
   /** The reference's string literals are standard-conforming (no
     * backslash escapes; '' is the only escape — string.md), while
@@ -738,6 +744,242 @@ object Dialect {
     *    → make_dt_interval / make_ym_interval;
     *  - `UNNEST(` → Spark's explode table function (arrays AND maps).
     */
+  /** Singularize plural unit words in multi-field interval literals:
+    * the reference accepts `INTERVAL '1:00' HOURS TO MINUTES`
+    * (streaming tests' LATENESS declarations), Spark's `H TO M` form
+    * demands singular units (single-field literals take either).
+    * Exposed for the Pipeline's LATENESS/WATERMARK expressions, which
+    * carry raw CREATE TABLE text.
+    */
+  private[graft] def singularizeIntervalUnits(s: String): String = {
+    val re = ("""(?i)\b(INTERVAL\s+'[^']*'\s+)""" +
+      """(YEARS?|MONTHS?|DAYS?|HOURS?|MINUTES?|SECONDS?)\s+TO\s+""" +
+      """(YEARS?|MONTHS?|DAYS?|HOURS?|MINUTES?|SECONDS?)\b""").r
+    replaceGuarded(s, re)(m => m.group(1) +
+      m.group(2).replaceAll("(?i)s$", "") + " TO " +
+      m.group(3).replaceAll("(?i)s$", ""))
+  }
+
+  /** Calcite's legacy scalar tumbling-window functions (GROUP BY
+    * TUMBLE(ts, size) + SELECT TUMBLE_START/TUMBLE_END — the
+    * pre-windowing-TVF spelling the reference still accepts):
+    * epoch-aligned floor via [[org.apache.spark.sql.graft.GraftTumble]]
+    * (same assignment as Spark's `window()`). Runs AFTER the TVF
+    * rewrite, so `TABLE(TUMBLE(...DESCRIPTOR...))` forms are already
+    * consumed.
+    */
+  private def rewriteScalarTumble(s0: String): String = {
+    val re = """(?i)\bTUMBLE(_START|_END)?\s*\(""".r
+    var s = s0
+    var found = true
+    while (found) {
+      found = false
+      re.findAllMatchIn(s).find(m => !inQuoteMap(s)(m.start)) match {
+        case Some(m) =>
+          val close = balancedClose(s, m.end - 1)
+          if (close > 0) {
+            val args = splitTopLevel(s.substring(m.end, close))
+            if (args.length >= 2 &&
+              !args.exists(_.toUpperCase.contains("DESCRIPTOR"))) {
+              val kind = Option(m.group(1)).getOrElse("").toUpperCase
+              val (sizeMs, _) = parseShortInterval(args(1), "TUMBLE")
+              // Calcite also takes the offset as a TIME literal
+              // (tumblingTestLimits: TIME '00:12:00')
+              val timeLit =
+                """(?is)^\s*TIME\s+'(\d{1,2}):(\d{2})(?::(\d{2}))?'\s*$""".r
+              val offMs = args.lift(2).map {
+                case timeLit(h, mi, se) =>
+                  (h.toLong * 3600 + mi.toLong * 60 +
+                    Option(se).map(_.toLong).getOrElse(0L)) * 1000L
+                case other => parseShortInterval(other, "TUMBLE")._1
+              }.getOrElse(0L)
+              val base =
+                s"graft_tumble(${args.head.trim}, ${sizeMs}L, ${offMs}L)"
+              val repl = kind match {
+                case "_END" =>
+                  s"timestampadd(MILLISECOND, $sizeMs, $base)"
+                case _ => base
+              }
+              s = s.substring(0, m.start) + repl + s.substring(close + 1)
+              found = true
+            }
+          }
+        case None =>
+      }
+    }
+    s
+  }
+
+  /** The balanced unit (subquery) or dotted table name immediately
+    * before position `pos` — the table-suffix operand of PIVOT/UNPIVOT.
+    */
+  private def precedingRelation(s: String, pos: Int): (Int, String) = {
+    var e = pos - 1
+    while (e >= 0 && s.charAt(e).isWhitespace) e -= 1
+    if (e >= 0 && s.charAt(e) == ')') {
+      var d = 0
+      var b = e
+      var open = -1
+      while (open < 0 && b >= 0) {
+        s.charAt(b) match {
+          case ')' => d += 1
+          case '(' => d -= 1; if (d == 0) open = b
+          case _ =>
+        }
+        b -= 1
+      }
+      (open, s.substring(open, e + 1))
+    } else {
+      var b = e
+      while (b >= 0 && (s.charAt(b).isLetterOrDigit ||
+        s.charAt(b) == '_' || s.charAt(b) == '.')) b -= 1
+      (b + 1, s.substring(b + 1, e + 1))
+    }
+  }
+
+  /** Calcite's COMPOUND UNPIVOT — tuple measures and/or tuple FOR keys
+    * with `AS (value, …)` item aliases (PivotTests unpivotTests#0/#10)
+    * — has no Spark UNPIVOT spelling: lower to a UNION ALL of
+    * per-item projections (EXCLUDE NULLS = drop rows whose measures
+    * are all NULL, the default). Simple single-measure forms stay on
+    * Spark's native UNPIVOT, with bare source-column labels folded to
+    * lowercase (Calcite records `sal`, not `SAL`).
+    */
+  private def rewriteUnpivot(s0: String): String = {
+    val re = """(?i)\bUNPIVOT\s*((?:INCLUDE|EXCLUDE)\s+NULLS\s*)?\(""".r
+    var s = s0
+    var search = 0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      re.findAllMatchIn(s)
+        .find(m => m.start >= search && !inQuoteMap(s)(m.start)) match {
+        case None => return s
+        case Some(m) =>
+          val include = Option(m.group(1))
+            .exists(_.toUpperCase.startsWith("INCLUDE"))
+          val close = balancedClose(s, m.end - 1)
+          require(close > 0, s"unbalanced UNPIVOT in: $s")
+          val body = s.substring(m.end, close)
+          val forM = """(?i)\bFOR\b""".r.findAllMatchIn(body).find { fm =>
+            var d = 0
+            body.take(fm.start).foreach {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case _ =>
+            }
+            d == 0
+          }.getOrElse(sys.error(s"UNPIVOT without FOR: $body"))
+          val measText = body.take(forM.start).trim
+          val measures =
+            if (measText.startsWith("("))
+              splitTopLevel(measText.stripPrefix("(").stripSuffix(")"))
+                .map(_.trim)
+            else Seq(measText)
+          val tail = body.drop(forM.end).trim
+          val inM = """(?i)\bIN\s*\(""".r.findFirstMatchIn(tail)
+            .getOrElse(sys.error(s"UNPIVOT FOR without IN: $body"))
+          val keyText = tail.take(inM.start).trim
+          val keys =
+            if (keyText.startsWith("("))
+              splitTopLevel(keyText.stripPrefix("(").stripSuffix(")"))
+                .map(_.trim)
+            else Seq(keyText)
+          val inClose = balancedClose(tail, inM.end - 1)
+          val items = splitTopLevel(tail.substring(inM.end, inClose))
+            .map(_.trim).filter(_.nonEmpty)
+          val compound = measures.size > 1 || keys.size > 1 ||
+            items.exists(i => """(?is)\bAS\s*\(""".r
+              .findFirstIn(i).isDefined)
+          if (!compound) {
+            // native path: lowercase bare source-column labels (the
+            // label VALUE is the column name as written)
+            val lowered = items.map { i =>
+              val asM = """(?is)^([A-Za-z_]\w*)(\s+(?:AS\s+)?.+)?$""".r
+              i match {
+                case asM(c, al) =>
+                  c.toLowerCase + Option(al).getOrElse("")
+                case other => other
+              }
+            }
+            val newBody = body.take(forM.end) + " " +
+              tail.take(inM.end) + lowered.mkString(", ") +
+              tail.substring(inClose)
+            s = s.substring(0, m.end) + newBody + s.substring(close)
+            search = m.end + newBody.length + 1
+          } else {
+          val parsed = items.map { i =>
+            val (colsText, aliasText) =
+              if (i.startsWith("(")) {
+                val c = balancedClose(i, 0)
+                (i.substring(1, c), i.substring(c + 1).trim)
+              } else {
+                val am = """(?is)^(\S+)\s*(.*)$""".r
+                val am(c, a) = i
+                (c, a.trim)
+              }
+            val cols = splitTopLevel(colsText).map(_.trim)
+            val alias = """(?is)^(?:AS\s+)?(.*)$""".r
+              .findFirstMatchIn(aliasText).map(_.group(1).trim)
+              .filter(_.nonEmpty)
+            val vals = alias match {
+              case Some(a) if a.startsWith("(") =>
+                splitTopLevel(a.stripPrefix("(").stripSuffix(")"))
+                  .map(_.trim)
+              case Some(a) => keys.map(_ => a)
+              case None =>
+                // Calcite's default label: source names joined,
+                // lowercased, repeated in every key column
+                val label = "'" + cols.map(_.toLowerCase)
+                  .mkString("_") + "'"
+                keys.map(_ => label)
+            }
+            (cols, vals)
+          }
+          val allCols = parsed.flatMap(_._1).distinct
+          val (inputStart, input) = precedingRelation(s, m.start)
+          val branches = parsed.map { case (cols, vals) =>
+            val keep = s"* EXCEPT (${allCols.mkString(", ")})"
+            val keysSel = keys.zip(vals)
+              .map { case (k, v) => s"$v AS $k" }.mkString(", ")
+            val measSel = measures.zip(cols)
+              .map { case (mn, c) => s"$c AS $mn" }.mkString(", ")
+            val where =
+              if (include) ""
+              else s" WHERE NOT (${cols.map(c => s"$c IS NULL")
+                .mkString(" AND ")})"
+            s"SELECT $keep, $keysSel, $measSel FROM $input __unp0$where"
+          }
+          val repl = s"(${branches.mkString(" UNION ALL ")})"
+          s = s.substring(0, inputStart) + repl + s.substring(close + 1)
+          search = inputStart
+          }
+      }
+    }
+    s
+  }
+
+  /** Index of the `)` closing the `(` at position `open` (quote-aware). */
+  private def balancedClose(s: String, open: Int): Int = {
+    var depth = 0
+    var inQ = false
+    var j = open
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return j
+        case _ => ()
+      }
+      j += 1
+    }
+    -1
+  }
+
   private def replaceGuarded(s: String, re: scala.util.matching.Regex)(
       f: scala.util.matching.Regex.Match => String): String =
     re.findAllMatchIn(s).toSeq
@@ -768,7 +1010,470 @@ object Dialect {
     // where make_dt_interval's full DAY-TO-SECOND span would not
     s = replaceGuarded(s, dyn)(m =>
       s"(INTERVAL '1' ${m.group(2).toUpperCase} * (${m.group(1)}))")
-    replaceGuarded(s, """(?i)\bUNNEST\s*\(""".r)(_ => "explode(")
+    // Calcite lexes digit-leading identifiers (`SELECT 10_sum_empno` —
+    // a pivot-generated column, PivotTests #13); Spark needs quoting.
+    // `\d+_[letter]` cannot be a numeric literal (underscore groups are
+    // digits-only), so the match is unambiguous.
+    val s2 = replaceGuarded(s, """(?<![\w`])(\d+_[A-Za-z_]\w*)""".r)(m =>
+      s"`${m.group(1)}`")
+    rewriteSubscript(rewriteUnnest(rewriteArrayAggOrder(rewriteTupleIn(
+      rewriteUnpivot(rewritePivot(rewriteLateralValues(
+        rewriteParenIntervalQualifier(s2))))))))
+  }
+
+  /** Postfix subscripts `x[i]` follow the reference's contract —
+    * 1-BASED, out-of-bounds → NULL (array.md), ordinal field access on
+    * ROW values — where Spark's native `[]` is 0-based and raises
+    * under ANSI. Lowered to the type-dispatching `graft_subscript`
+    * (Registry): array/map → try_element_at, struct → ordinal
+    * GetStructField. ARRAY[...]/MAP[...] constructors were consumed by
+    * rewriteArrayBrackets earlier in the chain.
+    */
+  private[graft] def rewriteSubscript(s0: String): String = {
+    var s = s0
+    var search = 0
+    var guard = 0
+    while (guard < 500) {
+      guard += 1
+      // a '[' directly after an identifier, ')' or ']' is a subscript
+      var open = -1
+      var j = search
+      while (open < 0 && j < s.length) {
+        if (s.charAt(j) == '[' && !inQuoteMap(s)(j) && j > 0 &&
+          (s.charAt(j - 1).isLetterOrDigit || s.charAt(j - 1) == '_' ||
+            s.charAt(j - 1) == ')' || s.charAt(j - 1) == '`'))
+          open = j
+        j += 1
+      }
+      if (open < 0) return s
+      // balanced close over nested brackets/parens
+      var depth = 0
+      var inQ = false
+      var close = -1
+      j = open
+      while (close < 0 && j < s.length) {
+        val c = s.charAt(j)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '[' => depth += 1
+          case ']' => depth -= 1; if (depth == 0) close = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (close < 0) return s
+      // the primary expression before '[': balanced parens (call or
+      // group), then a dotted identifier chain
+      var b = open - 1
+      if (s.charAt(b) == ')') {
+        var d = 0
+        var o2 = -1
+        while (o2 < 0 && b >= 0) {
+          s.charAt(b) match {
+            case ')' => d += 1
+            case '(' => d -= 1; if (d == 0) o2 = b
+            case _ =>
+          }
+          b -= 1
+        }
+      }
+      while (b >= 0 && (s.charAt(b).isLetterOrDigit ||
+        s.charAt(b) == '_' || s.charAt(b) == '.' || s.charAt(b) == '`'))
+        b -= 1
+      val pStart = b + 1
+      val primary = s.substring(pStart, open)
+      val idxText = s.substring(open + 1, close)
+      if (primary.trim.isEmpty) { search = close + 1 }
+      else {
+        s = s.substring(0, pStart) +
+          s"graft_subscript($primary, $idxText)" + s.substring(close + 1)
+        search = pStart
+      }
+    }
+    s
+  }
+
+  /** `LATERAL (VALUES (…outer refs…), …) AS t(c…)` — a correlated
+    * inline table (PivotTests unpivotTests#2). Spark's inline tables
+    * must be foldable; lower to a UNION ALL of SELECTs, which lateral
+    * correlation supports.
+    */
+  private def rewriteLateralValues(s0: String): String = {
+    val re = """(?i)\bLATERAL\s*\(\s*VALUES\b""".r
+    var s = s0
+    var guard = 0
+    while (guard < 100) {
+      guard += 1
+      re.findAllMatchIn(s).find(m => !inQuoteMap(s)(m.start)) match {
+        case None => return s
+        case Some(m) =>
+          // the '(' right after LATERAL
+          val parOpen = s.indexOf('(', m.start)
+          val close = balancedClose(s, parOpen)
+          require(close > 0, s"unbalanced LATERAL VALUES in: $s")
+          val valuesBody = s.substring(
+            s.indexOf("VALUES", m.start) + "VALUES".length, close)
+          val rows = splitTopLevel(valuesBody).map(_.trim)
+            .filter(_.nonEmpty)
+          val selects = rows.map { r =>
+            val c = balancedClose(r, 0)
+            "SELECT " + splitTopLevel(r.substring(1, c))
+              .map(_.trim).mkString(", ")
+          }
+          val repl = "LATERAL (" + selects.mkString(" UNION ALL ") + ")"
+          s = s.substring(0, m.start) + repl + s.substring(close + 1)
+      }
+    }
+    s
+  }
+
+  /** Row-valued IN over a literal list — `(a, b) IN (('CLERK', 10), …)`
+    * (PivotTests testPivot#16) — expands to a disjunction of pairwise
+    * equalities: Spark compares the named_structs it builds for row-IN
+    * by full struct type (field names included) and rejects the mix.
+    * Subquery IN (`(a,b) IN (SELECT …)`) is left alone. Runs AFTER the
+    * PIVOT/UNPIVOT rewrites so their FOR…IN clauses are already gone.
+    */
+  private def rewriteTupleIn(s0: String): String = {
+    val re = """(?i)\(([^()]+,[^()]+)\)\s+IN\s*\(""".r
+    var s = s0
+    var search = 0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      re.findAllMatchIn(s)
+        .find(m => m.start >= search && !inQuoteMap(s)(m.start)) match {
+        case None => return s
+        case Some(m) =>
+          val close = balancedClose(s, m.end - 1)
+          val list = s.substring(m.end, close).trim
+          if (close < 0 || !list.startsWith("(")) { search = m.end }
+          else {
+            val lhs = splitTopLevel(m.group(1)).map(_.trim)
+            val disjuncts = splitTopLevel(list).map(_.trim).map { it =>
+              val c = balancedClose(it, 0)
+              val rhs = splitTopLevel(it.substring(1, c)).map(_.trim)
+              require(rhs.size == lhs.size,
+                s"row-IN arity mismatch: $it vs (${lhs.mkString(",")})")
+              "(" + lhs.zip(rhs)
+                .map { case (a, b) => s"$a = $b" }.mkString(" AND ") + ")"
+            }
+            val repl = "(" + disjuncts.mkString(" OR ") + ")"
+            s = s.substring(0, m.start) + repl + s.substring(close + 1)
+            search = m.start + repl.length
+          }
+      }
+    }
+    s
+  }
+
+  /** `<input> PIVOT (aggs FOR c IN (vals))` → the explicit
+    * FILTER + GROUP BY ALL spread. Spark has native PIVOT, but its
+    * empty cells are NULL for every aggregate where Calcite records
+    * COUNT cells as 0 (quidem PivotTests); the FILTER form computes
+    * each aggregate over the value-restricted group, so COUNT's
+    * empty-group zero falls out naturally. Output column order matches
+    * Calcite (group cols, then value-major agg spread). Value aliases
+    * (`'MANAGER' mgr`, `AS "a"`) only name columns — grading is
+    * positional — and are dropped.
+    */
+  private def rewritePivot(s0: String): String = {
+    var s = s0
+    var found = true
+    while (found) {
+      found = false
+      """(?i)\bPIVOT\s*\(""".r.findAllMatchIn(s)
+        .find(m => !inQuoteMap(s)(m.start)) match {
+        case None => return s
+        case Some(m) =>
+          val close = balancedClose(s, m.end - 1)
+          require(close > 0, s"unbalanced PIVOT in: $s")
+          val body = s.substring(m.end, close)
+          // split at the top-level FOR
+          val forM = """(?i)\bFOR\b""".r.findAllMatchIn(body).find { fm =>
+            var d = 0; var inQ = false
+            body.take(fm.start).foreach { c =>
+              if (inQ) { if (c == '\'') inQ = false }
+              else c match {
+                case '\'' => inQ = true
+                case '(' => d += 1
+                case ')' => d -= 1
+                case _ =>
+              }
+            }
+            d == 0 && !inQ
+          }.getOrElse(sys.error(s"PIVOT without FOR: $body"))
+          // aggregate list: (expr, alias?) — Calcite's output names are
+          // REFERENCEABLE (`SELECT "10_COUNT" FROM … PIVOT (COUNT(*)
+          // AS "COUNT" …)`), so aliases must be preserved exactly
+          def unalias(x: String): (String, Option[String]) = {
+            // quoted aliases may already be backticked (the
+            // quoted-ident rewrite runs earlier in the chain)
+            val am = ("""(?is)^(.*?)\s+(?:AS\s+)?""" +
+              """("[^"]*"|`[^`]*`|[A-Za-z_]\w*)\s*$""").r
+            am.findFirstMatchIn(x.trim) match {
+              case Some(mm)
+                if !mm.group(1).trim.isEmpty &&
+                  // a trailing close paren means the "alias" candidate
+                  // was inside the expression, not after it
+                  mm.group(1).trim.count(_ == '(') ==
+                    mm.group(1).trim.count(_ == ')') =>
+                val a0 = mm.group(2)
+                val a =
+                  if (a0.startsWith("\""))
+                    a0.stripPrefix("\"").stripSuffix("\"")
+                  else if (a0.startsWith("`"))
+                    a0.stripPrefix("`").stripSuffix("`")
+                  else a0.toLowerCase
+                (mm.group(1).trim, Some(a))
+              case _ => (x.trim, None)
+            }
+          }
+          val aggs = splitTopLevel(body.take(forM.start))
+            .map(_.trim).filter(_.nonEmpty).map(unalias)
+          val tail = body.drop(forM.end).trim
+          val inM = """(?i)\bIN\s*\(""".r.findFirstMatchIn(tail)
+            .getOrElse(sys.error(s"PIVOT FOR without IN: $body"))
+          val pivotColText = tail.take(inM.start).trim
+          val pivotCols =
+            (if (pivotColText.startsWith("("))
+              splitTopLevel(pivotColText.stripPrefix("(")
+                .stripSuffix(")"))
+            else Seq(pivotColText)).map(_.trim).filter(_.nonEmpty)
+          val inClose = balancedClose(tail, inM.end - 1)
+          // value list: tuple-or-literal plus optional alias
+          val values = splitTopLevel(tail.substring(inM.end, inClose))
+            .map(_.trim).filter(_.nonEmpty).map { v =>
+              if (v.startsWith("(")) {
+                val c = balancedClose(v, 0)
+                val elems = splitTopLevel(v.substring(1, c)).map(_.trim)
+                val al = unalias("x " + v.substring(c + 1))._2
+                (elems, al)
+              } else {
+                val (lit, al) = unalias(v)
+                (Seq(lit), al)
+              }
+            }
+          // the input: the balanced unit (subquery) or table name
+          // immediately before PIVOT
+          val (inputStart, input) = precedingRelation(s, m.start)
+          // group columns = everything but the pivot column and the
+          // aggregate argument columns: spelled via * EXCEPT
+          val kw = Set("count", "sum", "min", "max", "avg", "filter",
+            "where", "distinct", "and", "or", "not", "case", "when",
+            "then", "else", "end", "as", "cast", "stddev", "var_pop",
+            "var_samp", "stddev_pop", "stddev_samp")
+          val argCols = aggs.flatMap { case (a, _) =>
+            """[A-Za-z_]\w*""".r.findAllIn(a).toSeq
+              .filterNot(t => kw(t.toLowerCase)) }.distinct
+          val exceptList = (pivotCols ++ argCols).distinct.mkString(", ")
+          val singleBareAgg = aggs.size == 1 && aggs.head._2.isEmpty
+          val spread = for {
+            ((elems, valAlias), vi) <- values.zipWithIndex
+            ((a, aggAlias), j) <- aggs.zipWithIndex
+          } yield {
+            // Calcite matches pivot values with `=`: a NULL value
+            // matches nothing (PivotTests testPivot#7 records NULL_C
+            // = 0 for the mgr-IS-NULL rows)
+            val pred = pivotCols.zip(elems)
+              .map { case (c, v) => s"$c = $v" }.mkString(" AND ")
+            val valPart = valAlias.getOrElse(elems.mkString("_"))
+            val name =
+              if (singleBareAgg) valPart
+              else valPart + "_" + aggAlias.getOrElse(s"__a$j")
+            s"$a FILTER (WHERE $pred) AS `$name`"
+          }
+          val repl = s"(SELECT * EXCEPT ($exceptList), " +
+            spread.mkString(", ") +
+            s" FROM $input __piv0 GROUP BY ALL)"
+          s = s.substring(0, inputStart) + repl + s.substring(close + 1)
+          found = true
+      }
+    }
+    s
+  }
+
+  /** `ARRAY_AGG(e ORDER BY k [DESC])` (Calcite's in-aggregate ordering;
+    * IncrementalRegressionTests issue4447) — Spark's array_agg takes no
+    * ORDER BY: sort by a carried key instead
+    * (`transform(array_sort(array_agg(struct(k, e))), x -> x.v)`).
+    */
+  private def rewriteArrayAggOrder(s0: String): String = {
+    def topOrderBy(body: String): Option[(String, String, Boolean)] = {
+      val re = """(?i)\bORDER\s+BY\b""".r
+      re.findAllMatchIn(body).find { m =>
+        var depth = 0
+        var inQ = false
+        body.take(m.start).foreach { c =>
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+        }
+        depth == 0 && !inQ
+      }.map { m =>
+        val e = body.take(m.start).trim
+        var key = body.drop(m.end).trim
+        val desc = """(?i)\s+DESC\s*$""".r.findFirstIn(key).isDefined
+        key = key.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "")
+          .replaceAll("(?i)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "")
+        (e, key, desc)
+      }
+    }
+    var s = s0
+    var found = true
+    while (found) {
+      found = false
+      """(?i)\bARRAY_AGG\s*\(""".r.findAllMatchIn(s)
+        .find { m =>
+          !inQuoteMap(s)(m.start) && {
+            val close = balancedClose(s, m.end - 1)
+            close > 0 && topOrderBy(s.substring(m.end, close)).isDefined
+          }
+        } match {
+        case Some(m) =>
+          val close = balancedClose(s, m.end - 1)
+          val (e, key, desc) = topOrderBy(s.substring(m.end, close)).get
+          val sorted =
+            s"array_sort(array_agg(named_struct('o', $key, 'v', $e)))"
+          val arr = s"transform(${if (desc) s"reverse($sorted)"
+            else sorted}, __x -> __x.v)"
+          // a bare select item keeps a REFERENCEABLE name (the long
+          // auto-generated one breaks name-keyed view machinery)
+          val aliased =
+            if ("""(?is)^\s*(,|FROM\b)""".r
+              .findPrefixMatchOf(s.substring(close + 1)).isDefined &&
+              !"""(?is)AS\s*$""".r.findFirstIn(s.take(m.start)).isDefined)
+              arr + " AS __array_agg"
+            else arr
+          s = s.substring(0, m.start) + aliased + s.substring(close + 1)
+          found = true
+        case None =>
+      }
+    }
+    s
+  }
+
+  /** Calcite's `(datetime - datetime) UNIT` interval qualifier
+    * (`(t0 - TIMESTAMP '…') HOURS AS t`, StreamingTests
+    * rollingInterval) → `CAST((…) AS INTERVAL UNIT)`. Narrow on
+    * purpose: the balanced group must contain a top-level '-'
+    * (the construct only exists for datetime subtraction) so a
+    * subquery aliased `day`/`hour` never matches. Runs AFTER the
+    * dynamic-INTERVAL rewrite consumed `INTERVAL (expr) UNIT` forms.
+    */
+  private def rewriteParenIntervalQualifier(s0: String): String = {
+    val unitRe =
+      """(?i)\)\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)S?\b(?!\s+TO\b)""".r
+    var s = s0
+    var search = 0
+    var guard = 0
+    while (guard < 1000) {
+      guard += 1
+      val qm = unitRe.findAllMatchIn(s)
+        .find(m => m.start >= search && !inQuoteMap(s)(m.start))
+      qm match {
+        case None => return s
+        case Some(m) =>
+          // backtrack to the matching '('
+          var depth = 0
+          var open = -1
+          var j = m.start
+          while (open < 0 && j >= 0) {
+            s.charAt(j) match {
+              case ')' => depth += 1
+              case '(' => depth -= 1; if (depth == 0) open = j
+              case _ =>
+            }
+            j -= 1
+          }
+          val group = if (open >= 0) s.substring(open, m.start + 1) else ""
+          val topMinus = open >= 0 && {
+            var d = 0; var inQ = false; var found = false
+            group.foreach { c =>
+              if (inQ) { if (c == '\'') inQ = false }
+              else c match {
+                case '\'' => inQ = true
+                case '(' => d += 1
+                case ')' => d -= 1
+                case '-' if d == 1 => found = true
+                case _ =>
+              }
+            }
+            found
+          }
+          if (topMinus) {
+            val unit = m.group(1).toUpperCase
+            s = s.substring(0, open) + "CAST(" + group +
+              s" AS INTERVAL $unit)" + s.substring(m.end)
+            search = open
+          } else search = m.end
+      }
+    }
+    s
+  }
+
+  /** `UNNEST(` → Spark's explode table function. A comma-join UNNEST
+    * may be CORRELATED (`FROM m, UNNEST(m.data)`) — Spark needs the
+    * LATERAL keyword there; and Calcite's single bare alias names the
+    * COLUMN (`UNNEST(data) AS v` → column v), which Spark spells
+    * `AS v(v)`.
+    */
+  private def rewriteUnnest(s0: String): String = {
+    var s = s0
+    var found = true
+    while (found) {
+      found = false
+      """(?i)(,\s*|\bJOIN\s+)?\bUNNEST\s*\(""".r.findAllMatchIn(s)
+        .find(m => !inQuoteMap(s)(m.start)) match {
+        case Some(m) =>
+          val lateral = Option(m.group(1)).isDefined
+          val open = m.end - 1
+          val close = balancedClose(s, open)
+          require(close > 0, s"unbalanced UNNEST in: $s")
+          val args = s.substring(open + 1, close)
+          val after = s.substring(close + 1)
+          // `WITH ORDINALITY AS t(v, o)` → posexplode (1-based)
+          val withOrd = ("""(?is)^\s+WITH\s+ORDINALITY\s+AS\s+""" +
+            """(\w+)\s*\(([^)]*)\)""").r
+          withOrd.findPrefixMatchOf(after) match {
+            case Some(wm) =>
+              val cols = wm.group(2).split(",").map(_.trim).toSeq
+              require(cols.size == 2, "UNNEST WITH ORDINALITY takes " +
+                s"a (value, ordinal) alias list; got ${wm.group(2)}")
+              // args evaluate in a Project below the generator (a SQL
+              // UDF — split_f — may not appear inside Generate itself)
+              val repl = (if (lateral) m.group(1) + "LATERAL " else "") +
+                s"(SELECT __uv AS ${cols.head}, __up + 1 AS " +
+                s"${cols(1)} FROM (SELECT posexplode(__ua) AS " +
+                s"(__up, __uv) FROM (SELECT ($args) AS __ua) __u1) " +
+                s"__u0) ${wm.group(1)}"
+              s = s.substring(0, m.start) + repl +
+                s.substring(close + 1 + wm.end)
+            case None =>
+              // single bare alias names the column: `AS v` → `AS v(v)`
+              val bareAlias =
+                """(?is)^\s+AS\s+([A-Za-z_]\w*)\s*(?![\w(])""".r
+              val (tail, tailLen) =
+                bareAlias.findPrefixMatchOf(after) match {
+                  case Some(am) =>
+                    (s" AS ${am.group(1)}(${am.group(1)})", am.end)
+                  case None => ("", 0)
+                }
+              val kw = if (lateral) m.group(1) + "LATERAL explode("
+                else "explode("
+              s = s.substring(0, m.start) + kw + args + ")" + tail +
+                s.substring(close + 1 + tailLen)
+          }
+          found = true
+        case None =>
+      }
+    }
+    s
   }
 
   /** Calcite allows `GROUPING(c)` under a PLAIN `GROUP BY c` (it is
@@ -2337,7 +3042,7 @@ object Dialect {
     """(?is)^\s*DESCRIPTOR\s*\(\s*([\w]+(?:\s*,\s*[\w]+)*)\s*\)\s*$""".r
   private val tableArg = """(?is)^\s*TABLE\s+([\w.]+)\s*$""".r
   private val shortInterval =
-    """(?is)^\s*INTERVAL\s+'(\d+)'\s+(MILLISECOND|SECOND|MINUTE|HOUR|DAY)S?\s*$""".r
+    """(?is)^\s*INTERVAL\s+'?(\d+)'?\s+(MILLISECOND|SECOND|MINUTE|HOUR|DAY)S?\s*$""".r
 
   /** millis + Spark duration string for a "short" interval literal
     * (table.md: long intervals are not constants and are rejected).

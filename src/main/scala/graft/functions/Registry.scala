@@ -73,9 +73,9 @@ object Registry {
         "ELSE graft_ln(x) / graft_ln(b) END"),
     // Feldera GREATEST/LEAST return NULL on any NULL argument; the
     // _IGNORE_NULLS forms are Spark's native skip-null semantics
-    ("greatest_ignore_nulls", "x DOUBLE, y DOUBLE", "DOUBLE",
-      "greatest(x, y)"),
-    ("least_ignore_nulls", "x DOUBLE, y DOUBLE", "DOUBLE", "least(x, y)"),
+    // greatest/least family: n-ary Catalyst builders below
+    // (comparisons.md: GREATEST null-propagates, the _IGNORE_NULLS
+    // forms keep Spark's native skip-nulls behavior)
     ("finite_or_null", "x DOUBLE", "DOUBLE",
       "CASE WHEN isnan(x) OR x = double('inf') OR x = double('-inf') THEN NULL ELSE x END"),
     // Feldera spellings of natives (ad-hoc.md:34-35, function-index.md)
@@ -287,6 +287,54 @@ object Registry {
         (args: Seq[Expression]) =>
           org.apache.spark.sql.catalyst.expressions.aggregate
             .MaxBy(args(0), args(1)), "built-in")
+      // scalar TUMBLE/TUMBLE_START (Calcite's legacy GROUP BY form) —
+      // Dialect.rewriteScalarTumble lowers to this with ms literals
+      reg.createOrReplaceTempFunction("graft_tumble",
+        (args: Seq[Expression]) =>
+          org.apache.spark.sql.graft.GraftTumble(args(0), args(1),
+            args(2)), "built-in")
+      // 1-based subscript with the reference's contract (array.md):
+      // array/map → try_element_at (NULL out of bounds); ROW values →
+      // ORDINAL field access (Calcite `row[2]` is the 2nd field)
+      reg.createOrReplaceTempFunction("graft_subscript",
+        (args: Seq[Expression]) => {
+          import org.apache.spark.sql.catalyst.expressions.{GetStructField, TryElementAt}
+          val struct = args.head.resolved &&
+            args.head.dataType
+              .isInstanceOf[org.apache.spark.sql.types.StructType]
+          if (struct && args(1).foldable) {
+            val i = args(1).eval(null) match {
+              case n: Number => n.intValue()
+              case other => sys.error(s"ROW ordinal must be a number: $other")
+            }
+            GetStructField(args.head, i - 1)
+          } else UnresolvedFunction(Seq("try_element_at"), args,
+            isDistinct = false)
+        }, "built-in")
+      // GREATEST/LEAST null-propagate in the reference (comparisons.md:
+      // "if any argument is NULL, the result is NULL") — the DIALECT
+      // path respells them onto these builders, so library SQL and the
+      // DuckDB-aligned fuzz batteries keep Spark's skip-nulls natives;
+      // the _IGNORE_NULLS spellings are those natives, n-ary
+      locally {
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Greatest, IsNull, Least, Literal}
+        def nullProp(mk: Seq[Expression] => Expression)(
+            args: Seq[Expression]): Expression =
+          if (args.size <= 1) mk(args)
+          else CaseWhen(
+            Seq((args.map(IsNull(_): Expression)
+              .reduce(org.apache.spark.sql.catalyst.expressions.Or),
+              Literal.create(null, org.apache.spark.sql.types.NullType))),
+            Some(mk(args)))
+        reg.createOrReplaceTempFunction("graft_greatest",
+          nullProp(Greatest) _, "built-in")
+        reg.createOrReplaceTempFunction("graft_least",
+          nullProp(Least) _, "built-in")
+        reg.createOrReplaceTempFunction("greatest_ignore_nulls",
+          (args: Seq[Expression]) => Greatest(args), "built-in")
+        reg.createOrReplaceTempFunction("least_ignore_nulls",
+          (args: Seq[Expression]) => Least(args), "built-in")
+      }
       // CAST(x AS UUID) — type-directed: 16 raw bytes decode to the
       // canonical dashed form, strings lowercase (uuid.md; the UUID
       // type maps to STRING, SqlTypes:66)

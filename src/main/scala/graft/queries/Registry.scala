@@ -22,6 +22,8 @@ object Registry {
       SqlConformance.queries ++
       PgCorpus.queries ++
       PgCorpus.incQueries ++
+      StreamCorpus.queries ++
+      Nexmark.queries ++
       SltFuzz.queries ++
       TpcH.queries ++
       Extras.queries

@@ -58,7 +58,43 @@ object TpcH {
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,4)) * " +
     "(1 - CAST(l_discount AS DECIMAL(18,4)))"
 
+  /** The reference's OWN tpch.sql resource (pg-tpch spellings, 21
+    * standing views) compiled AND evaluated through the full Pipeline
+    * path against empty tables — a parse/plan conformance row for the
+    * reference's exact TPC-H texts, which the data-shape-adapted rows
+    * below cannot pin (the driver's testdata lacks partsupp and the
+    * commit/receipt dates). Mechanical adaptations at load: the
+    * fixture's `//` comments and the declared view column lists drop
+    * (the SELECT aliases carry the same names).
+    */
+  private def tpchCompileRef: Q = {
+    val names = (1 to 22).filter(_ != 15).map(i => s"q$i")
+    Q("tpch_compile_ref",
+      s"SELECT q FROM (VALUES ${names.map(n => s"('$n')")
+        .mkString(", ")}) AS t(q)") { (s, _) =>
+      val in = getClass.getResourceAsStream("/tpch_ref.sql")
+      require(in != null, "tpch_ref.sql resource missing")
+      val raw = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val text = raw.linesIterator
+        .filterNot(_.trim.startsWith("//"))
+        .filterNot(_.startsWith("-- provenance"))
+        .filterNot(_.startsWith("-- ported"))
+        .mkString("\n")
+        // `create view qN (cols) as` → `create view qN as`
+        .replaceAll("(?is)(create\\s+view\\s+\\w+)\\s*\\([^)]*\\)\\s*as",
+          "$1 as")
+      val pipe = graft.runtime.Pipeline(s, text)
+      // step 0 evaluates EVERY view (initial-snapshot emission), so
+      // all 21 plans analyze and execute, not just parse
+      pipe.step(Map.empty)
+      import s.implicits._
+      graft.ddl.Ddl.parse(text).views.map(_.name).sorted.toDF("q")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
+    tpchCompileRef,
 
     // Q1 pricing summary report (faithful; date horizon shifted to the
     // testdata's 1995-2001 range)

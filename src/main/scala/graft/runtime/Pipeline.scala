@@ -233,8 +233,9 @@ final class Pipeline(spark: SparkSession,
           // bare VARCHAR/CHAR in the body's cast positions map to
           // Spark spellings, same as view bodies (types.md: the
           // reference's VARCHAR is unlimited)
-          s"RETURN ${substOutsideQuotes(resolveBodyTypeCasts(b),
-            graft.ddl.Dialect.mapBareTypes)}")
+          s"RETURN ${graft.ddl.Dialect.rewriteSubscript(
+            substOutsideQuotes(resolveBodyTypeCasts(b),
+              graft.ddl.Dialect.mapBareTypes))}")
       case None => require(spark.catalog.functionExists(f.name),
         s"external-body function '${f.name}' is not registered")
     }
@@ -465,6 +466,203 @@ final class Pipeline(spark: SparkSession,
     case ld: java.time.LocalDate =>
       c.cast(org.apache.spark.sql.types.DateType) < lit(ld)
     case other => c < lit(other)
+  }
+
+  /** `column > cutoff` (watermark hold predicate) in the cutoff's
+    * canonical domain.
+    */
+  private def wmHoldCmp(c: org.apache.spark.sql.Column, cut: Any):
+      org.apache.spark.sql.Column = cut match {
+    case ldt: java.time.LocalDateTime =>
+      c.cast(org.apache.spark.sql.types.TimestampNTZType) > lit(ldt)
+    case ld: java.time.LocalDate =>
+      c.cast(org.apache.spark.sql.types.DateType) > lit(ld)
+    case other => c > lit(other)
+  }
+
+  /** table → columns carrying a WATERMARK declaration. */
+  private val watermarkCols: Map[String, Seq[(String, String)]] =
+    program.tables
+      .map(t => t.name -> t.columns.filter(_.watermark.isDefined)
+        .map(c => c.name -> graft.ddl.Dialect
+          .singularizeIntervalUnits(c.watermark.get)))
+      .filter(_._2.nonEmpty).toMap
+
+  private val watermarkCutoffs = mutable.Map[(String, String), Any]()
+  private val watermarkHeld = mutable.Map[String, DataFrame]()
+
+  /** WATERMARK semantics (time-series docs; watermarkTest): a row whose
+    * watermark column exceeds the column waterline (max observed −
+    * WATERMARK) is BUFFERED — withheld from the circuit — and released
+    * in the first step whose advanced waterline passes it. Unlike
+    * LATENESS (which judges a chunk against its predecessors' waterline
+    * and DISCARDS), the watermark waterline advances from the arriving
+    * chunk itself before judging: a lone first insert buffers against
+    * the cutoff it just established.
+    */
+  private def watermarkGate(name: String, raw: DataFrame): DataFrame = {
+    val cols = watermarkCols.getOrElse(name, Nil)
+    if (cols.isEmpty || raw.columns.isEmpty) return raw
+    val aggs = cols.map { case (cn, iv) =>
+      expr(s"max($cn) - $iv").as("_wm_" + cn) }
+    val stats = raw.agg(aggs.head, aggs.tail: _*).head()
+    cols.foreach { case (cn, _) =>
+      Option(stats.getAs[Any]("_wm_" + cn)).map(canonTime).foreach {
+        cand =>
+          val next = watermarkCutoffs.get((name, cn)) match {
+            case Some(cur) if cur.asInstanceOf[Comparable[Any]]
+              .compareTo(cand) >= 0 => cur
+            case _ => cand
+          }
+          watermarkCutoffs((name, cn)) = next
+      }
+    }
+    val all = watermarkHeld.get(name)
+      .map(b => raw.unionByName(b)).getOrElse(raw)
+    val holdPred = cols.map { case (cn, _) =>
+      watermarkCutoffs.get((name, cn)) match {
+        case Some(cut) => wmHoldCmp(col(cn), cut)
+        case None => lit(true)
+      }
+    }.reduce(_ || _)
+    // a REMOVE of a still-held row cancels inside the buffer
+    watermarkHeld(name) =
+      ZSets.consolidate(all.filter(holdPred)).localCheckpoint(false)
+    all.filter(!holdPred)
+  }
+
+  /** view → emit_final column (`WITH ('emit_final' = 'col')`,
+    * streaming.md:46-56): the view's deltas are withheld until the
+    * input waterline STRICTLY passes the column — each group then
+    * emits exactly once, with its final value (StreamingTests
+    * testEmitFinal: LATENESS 2, inserts up to 5 → waterline 3 emits
+    * ts 0,1,2 with their accumulated counts; nothing is ever
+    * retracted downstream).
+    */
+  private val emitFinalCol: Map[String, String] =
+    program.views.flatMap(v =>
+      v.properties.get("emit_final").map(v.name -> _.toLowerCase)).toMap
+
+  /** Transitive input TABLES of each emit_final view (textual closure
+    * through other views — fixture programs join through local views).
+    */
+  private lazy val emitFinalDeps: Map[String, Set[String]] = {
+    def refs(sql: String, names: Seq[String]): Set[String] =
+      names.filter(n =>
+        ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+          .findFirstIn(sql).isDefined).toSet
+    val viewSql = program.views.map(v => v.name -> v.sql).toMap
+    emitFinalCol.keys.map { vn =>
+      val seen = mutable.Set[String]()
+      val tables = mutable.Set[String]()
+      def walk(sql: String): Unit = {
+        tables ++= refs(sql, tableNames)
+        refs(sql, program.views.map(_.name))
+          .filterNot(seen).foreach { w =>
+            seen += w; viewSql.get(w).foreach(walk)
+          }
+      }
+      walk(viewSql(vn))
+      vn -> tables.toSet
+    }.toMap
+  }
+
+  /** view → (input waterline value ⇒ emit-column bound): the emit
+    * column's defining expression with its single source attribute
+    * bound to the waterline, constant-evaluated. Identity when the
+    * emit column is a bare source column or the defining expression
+    * is not a function of exactly one column. Monotonicity of the
+    * expression is the reference's own requirement for emit_final.
+    */
+  private lazy val emitFinalBound: Map[String, Any => Any] =
+    emitFinalCol.map { case (vn, cn) =>
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+      val fn: Any => Any = try {
+        val v = program.views.find(_.name == vn).get
+        val plan = spark.sql(v.sql).queryExecution.analyzed
+        plan.output.find(_.name.equalsIgnoreCase(cn))
+          .flatMap { outAttr =>
+            plan.collectFirst {
+              case op if op.expressions.exists {
+                case al: Alias => al.exprId == outAttr.exprId
+                case _ => false
+              } => op.expressions.collectFirst {
+                case al: Alias if al.exprId == outAttr.exprId => al
+              }.get
+            }
+          } match {
+          case Some(al) if al.child.collect {
+            case a: AttributeReference => a.exprId
+          }.distinct.size == 1 =>
+            val attrType = al.child.collect {
+              case a: AttributeReference => a }.head.dataType
+            (cut: Any) => {
+              // cutoffs are canonTime'd (LocalDateTime/LocalDate);
+              // re-shape for the attribute's exact external type
+              val v = (cut, attrType) match {
+                case (ldt: java.time.LocalDateTime,
+                  org.apache.spark.sql.types.TimestampType) =>
+                  java.sql.Timestamp.valueOf(ldt)
+                case (ld: java.time.LocalDate,
+                  org.apache.spark.sql.types.TimestampNTZType) =>
+                  ld.atStartOfDay()
+                case _ => cut
+              }
+              val bound = al.child.transform {
+                case _: AttributeReference =>
+                  Literal.create(v, attrType)
+              }.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+              canonTime(org.apache.spark.sql.catalyst
+                .CatalystTypeConverters
+                .createToScalaConverter(al.child.dataType)(bound))
+            }
+          case _ => identity[Any] _
+        }
+      } catch { case _: Throwable => identity[Any] _ }
+      vn -> fn
+    }
+
+  private val emitFinalHold = mutable.Map[String, DataFrame]()
+
+  /** TRUE (pre-gate) content of emit_final views — the state the
+    * view's own delta rules diff against; `viewState` keeps only the
+    * emitted (final) rows consumers see.
+    */
+  private val innerViewState = mutable.Map[String, DataFrame]()
+
+  /** Accumulate the view's delta in a hold buffer; release the rows
+    * whose emit_final column lies STRICTLY below every relevant input
+    * waterline (min over the deps' lateness cutoffs). A dep whose
+    * declared lateness column has not advanced a cutoff yet bounds
+    * nothing — everything holds.
+    */
+  private def emitFinalGate(view: String, cn: String,
+      delta: DataFrame): DataFrame = {
+    val hold = emitFinalHold.get(view)
+      .map(h => delta.unionByName(h)).getOrElse(delta)
+    val declared = emitFinalDeps(view).toSeq.flatMap(t =>
+      program.tables.find(_.name == t).toSeq.flatMap(
+        _.columns.filter(_.lateness.isDefined).map(c => (t, c.name))))
+    val empty = hold.filter(lit(false))
+    if (declared.isEmpty ||
+      declared.exists(k => !latenessCutoffs.contains(k))) {
+      emitFinalHold(view) =
+        ZSets.consolidate(hold).localCheckpoint(false)
+      return empty
+    }
+    // the bound compares in the EMIT column's domain: each input
+    // waterline maps through the emit column's defining expression
+    // (TIMESTAMP_TRUNC(ts, DAY) of a LATENESS ts — issue2822: the
+    // day-truncated waterline crosses a day boundary LATER than the
+    // raw waterline; emitting on the raw one is a step early)
+    val bounds = declared.map(latenessCutoffs)
+      .map(emitFinalBound(view))
+    val minCut = bounds.reduce((a, b) =>
+      if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b)
+    val finalPred = lateCmp(col(cn), minCut)
+    emitFinalHold(view) =
+      ZSets.consolidate(hold.filter(!finalPred)).localCheckpoint(false)
+    ZSets.consolidate(hold.filter(finalPred))
   }
 
   /** Per-connector Running/Paused state (connectors/orchestration.md):
@@ -924,8 +1122,24 @@ final class Pipeline(spark: SparkSession,
     * raise_error branch on the weight INSIDE the existing evaluation:
     * zero extra jobs per step, fails at first violating row.
     */
+  /** append_only tables whose property is LOAD-BEARING: some view took
+    * the chain-aggregate fast path over them (state = view output, no
+    * retraction support). A deletion into those must fail loudly; for
+    * the rest the reference itself processes a violating REMOVE as a
+    * plain retraction (StreamingTests issue5811 records the retracted
+    * join output), so the guard passes it through.
+    */
+  private lazy val appendOnlyLoadBearing: Set[String] =
+    program.tables.filter(_.appendOnly).map(_.name).filter { tn =>
+      program.views.exists(v => shapes.get(v.name).exists {
+        case Ivm.GroupAgg(rel, _, _, chainCols) =>
+          rel == tn && chainCols.nonEmpty
+        case _ => false
+      })
+    }.toSet
+
   private def appendOnlyGuard(name: String, raw: DataFrame): DataFrame = {
-    if (!program.tables.exists(t => t.name == name && t.appendOnly)) return raw
+    if (!appendOnlyLoadBearing.contains(name)) return raw
     val msg = s"append_only table $name received a deletion"
     val w =
       if (raw.columns.contains(ZSets.W))
@@ -950,7 +1164,8 @@ final class Pipeline(spark: SparkSession,
     latenessGateOn(name, raw,
       program.tables.find(_.name == name)
         .map(_.columns.filter(_.lateness.isDefined)
-          .map(c => c.name -> c.lateness.get)).getOrElse(Nil))
+          .map(c => c.name -> graft.ddl.Dialect
+            .singularizeIntervalUnits(c.lateness.get))).getOrElse(Nil))
 
   /** Lateness declared on VIEW columns via the standalone `LATENESS
     * view.column INTERVAL ...` statement (time-series.md:113-127) —
@@ -1032,7 +1247,8 @@ final class Pipeline(spark: SparkSession,
       sh(v.name) =
         if (recursiveNames(v.name)) Ivm.Opaque
         else Ivm.classify(spark, v.sql, known.toSet)
-      val out = sqlView(v.sql).limit(0).localCheckpoint(false)
+      val out = Pipeline.dedupCols(sqlView(v.sql).limit(0))
+        .localCheckpoint(false)
       out.createOrReplaceTempView(v.name)
       ev(v.name) = out
       known += v.name
@@ -1230,17 +1446,62 @@ final class Pipeline(spark: SparkSession,
     val relDeltas = mutable.Map[String, DataFrame]()
     deltas.foreach { case (name, raw0) =>
       tag(s"integrate $name")
-      val raw = appendOnlyGuard(name, latenessGate(name, raw0))
+      // freeze verdicts are judged against the waterline the
+      // PREDECESSOR chunks established (same rule as lateness), so
+      // snapshot the cutoffs before this chunk's gate advances them
+      val preCutoffs: Map[String, Any] =
+        latenessCutoffs.collect {
+          case ((`name`, cn), cut) => cn -> cut }.toMap
+      val raw = appendOnlyGuard(name,
+        latenessGate(name, watermarkGate(name, raw0)))
       val pk = program.tables.find(_.name == name)
         .map(_.primaryKey).getOrElse(Nil)
+      // a command on a key whose EXISTING row is FROZEN (any lateness
+      // column strictly below the waterline) is IGNORED outright — the
+      // update would have to retract a row behind the lateness
+      // threshold (StreamingTests gcUpsertOldRow/gcTwoLatenessColumns;
+      // time-series.md: "old" records can never be updated or deleted)
+      def dropFrozenKeyCmds(cmds: DataFrame): DataFrame = {
+        val lateCols = program.tables.find(_.name == name)
+          .map(_.columns.filter(_.lateness.isDefined).map(_.name))
+          .getOrElse(Nil)
+        (lateCols, upsertState.get(name)) match {
+          case (lcs, Some(st)) if lcs.nonEmpty =>
+            val frozenPred = lcs.map(cn =>
+              preCutoffs.get(cn) match {
+                case Some(cut) => lateCmp(col(cn), cut)
+                case None => lit(false)
+              }).reduce(_ || _)
+            cmds.join(st.filter(frozenPred).select(pk.map(col): _*),
+              pk, "left_anti")
+          case _ => cmds
+        }
+      }
+      // upsertStep emits key-first columns; consumers bind by position
+      def declaredOrder(zd: DataFrame): DataFrame = {
+        val cols = raw.columns.toSeq
+          .filterNot(c => c == ZSets.W || c == "_deleted" || c == "_seq")
+        zd.select(cols.map(col) :+ col(ZSets.W): _*)
+      }
       val d = if (pk.nonEmpty && raw.columns.contains("_deleted")) {
         // an optional `_seq` column orders commands within the batch
         // (last-write-wins); without it duplicate keys fail fast
         val seq = if (raw.columns.contains("_seq")) Some("_seq") else None
         val (st, zd) = IncrementalOps.upsertStep(
-          upsertState.get(name), raw, pk, seqCol = seq)
+          upsertState.get(name), dropFrozenKeyCmds(raw), pk, seqCol = seq)
         upsertState(name) = st.localCheckpoint(false)
-        zd
+        declaredOrder(zd)
+      } else if (pk.nonEmpty) {
+        // plain rows into a keyed table are still UPSERT commands (the
+        // reference's input handlers: an INSERT on an existing key
+        // replaces the row, emitting retract+insert — StreamingTests
+        // gcUpsertBoundary); weight sign carries the command kind
+        val cmds = raw
+          .withColumn("_deleted", col(ZSets.W) < 0).drop(ZSets.W)
+        val (st, zd) = IncrementalOps.upsertStep(
+          upsertState.get(name), dropFrozenKeyCmds(cmds), pk)
+        upsertState(name) = st.localCheckpoint(false)
+        declaredOrder(zd)
       } else raw
       // consolidate-at-ingest is deliberate: the canonical (merged,
       // zero-free) delta is what the merge, the sign probe and every
@@ -1290,9 +1551,13 @@ final class Pipeline(spark: SparkSession,
     var recDeltas = Map.empty[String, DataFrame]
     val out = program.views.map { v =>
       tag(s"view ${v.name}")
+      // an emit_final view's delta rules derive against its TRUE
+      // content (innerViewState); viewState holds only EMITTED rows
+      // (what consumers and ad-hoc queries see)
+      val oldSelf = innerViewState.get(v.name).orElse(oldViews.get(v.name))
       val rawDelta = if (nowViews(v.name))
         // clock-dependent: always recompute against the bound step time
-        recomputeDiff(bindClock(v.sql), newStates, oldViews.get(v.name))
+        recomputeDiff(bindClock(v.sql), newStates, oldSelf)
       else if (recursiveNames(v.name)) {
         // recursive group: maintained jointly — semi-naive continuation
         // of the previous fixpoint when the bodies are sum-of-products
@@ -1302,6 +1567,23 @@ final class Pipeline(spark: SparkSession,
             oldViews)
         recDeltas(v.name)
       }
+      // FIRST step, view untouched by any delta: emit its initial
+      // snapshot — a zero-input aggregate already has content
+      // (COUNT() = 0 over an empty table, literal views) and the
+      // reference's circuit emits it at step 0 with weight 1, then
+      // retracts it when data arrives (StreamingTests testAggregate).
+      // Touched views MUST take the normal dispatch: the stateful fast
+      // paths (linear-agg partials, chain state) initialize on first
+      // touch, and a recompute bypass would leave them unseeded.
+      else if (stepsRun == 0L && (shapes(v.name) match {
+        case Ivm.Linear(rels) => !rels.exists(relDeltas.contains)
+        case Ivm.Multilinear(rels) => !rels.exists(relDeltas.contains)
+        case Ivm.GroupAgg(rel, _, _, _) => !relDeltas.contains(rel)
+        case Ivm.AggOverMulti(rels, _, _) => !rels.exists(relDeltas.contains)
+        case Ivm.SemiAnti(l, r, _) => !(l ++ r).exists(relDeltas.contains)
+        case Ivm.Opaque => false // recomputeDiff below regardless
+      }))
+        recomputeDiff(v.sql, newStates, oldSelf)
       else shapes(v.name) match {
         case Ivm.Linear(rels) =>
           evalLinear(v.sql, rels, relDeltas)
@@ -1316,33 +1598,52 @@ final class Pipeline(spark: SparkSession,
           // state is the view output itself, merged with least/greatest
           // (chain_aggregate.rs; no touched-group re-scan of the source)
           evalChainAgg(v.sql, rel, outCols, chainCols, relDeltas(rel),
-            oldViews.get(v.name))
+            oldSelf)
         case Ivm.GroupAgg(rel, groupCols, outCols, _)
             if relDeltas.contains(rel) && groupCols.nonEmpty &&
               Pipeline.linearAggEnabled &&
               linearAggInfo(v.name, v.sql).isDefined =>
           // all-SUM/COUNT view: partial-sum state, delta-only aggregation
           evalLinearAgg(v.name, v.sql, rel, outCols, relDeltas,
-            oldViews.get(v.name))
+            oldSelf)
         case Ivm.GroupAgg(rel, groupCols, outCols, _)
             if relDeltas.contains(rel) =>
           evalGroupAgg(v.sql, rel, groupCols, outCols, relDeltas(rel),
-            newStates, oldViews.get(v.name))
+            newStates, oldSelf)
         case Ivm.GroupAgg(_, _, _, _) => ZSets.lift(emptyViews(v.name))
         case Ivm.AggOverMulti(rels, groupPos, outCols)
             if rels.exists(relDeltas.contains) =>
           evalAggOverMulti(v.sql, v.name, rels, groupPos, outCols,
-            relDeltas, oldStates, newStates, oldViews.get(v.name))
+            relDeltas, oldStates, newStates, oldSelf)
         case Ivm.AggOverMulti(_, _, _) => ZSets.lift(emptyViews(v.name))
         case Ivm.SemiAnti(l, r, anti) if (l ++ r).exists(relDeltas.contains) =>
           evalSemiAnti(v.sql, v.name, l, r, anti, relDeltas, oldStates)
         case Ivm.SemiAnti(_, _, _) => ZSets.lift(emptyViews(v.name))
         case Ivm.Opaque =>
-          recomputeDiff(v.sql, newStates, oldViews.get(v.name))
+          recomputeDiff(v.sql, newStates, oldSelf)
+      }
+      // plan-path deltas may carry duplicate output names (`a.*, b.*`
+      // star-joins); the name-keyed Z-set machinery below needs them
+      // positionally deduped (same renaming as recomputeDiff's)
+      val rawDelta0 = {
+        val dataCols = rawDelta.columns.filterNot(_ == ZSets.W)
+        if (dataCols.distinct.length == dataCols.length) rawDelta
+        else Pipeline.dedupCols(
+          rawDelta.select((dataCols.map(col).toSeq :+ col(ZSets.W)): _*))
       }
       val gatedDelta = viewLateness.get(v.name)
-        .map(latenessGateOn(v.name, rawDelta, _)).getOrElse(rawDelta)
-      val vDelta = ZSets.consolidate(gatedDelta).localCheckpoint(false)
+        .map(latenessGateOn(v.name, rawDelta0, _)).getOrElse(rawDelta0)
+      val vDelta = (emitFinalCol.get(v.name) match {
+        case Some(cn) =>
+          val trueDelta =
+            ZSets.consolidate(gatedDelta).localCheckpoint(false)
+          innerViewState(v.name) = (innerViewState.get(v.name) match {
+            case Some(prev) => IncrementalOps.mergeDelta(prev, trueDelta)
+            case None => trueDelta
+          }).localCheckpoint(false)
+          emitFinalGate(v.name, cn, trueDelta)
+        case None => ZSets.consolidate(gatedDelta)
+      }).localCheckpoint(false)
       val newView =
         if (traceBacked(v.name)) traceIntegrate(v.name, vDelta)
         else (viewState.get(v.name) match {
@@ -2215,7 +2516,9 @@ final class Pipeline(spark: SparkSession,
       oldView: Option[DataFrame]): DataFrame = {
     val rels = (tableNames ++ program.views.map(_.name)).toSet
     val bindings = rels.map(r => r -> multisetOf(r, newStates)).toMap
-    val now = ZSets.lift(evalWith(sql, bindings))
+    // dedup (`a.*, b.*` star-joins repeat names) BEFORE the union with
+    // the previous content, whose names are already deduped
+    val now = ZSets.lift(Pipeline.dedupCols(evalWith(sql, bindings)))
     oldView match {
       case Some(prev) => now.unionByName(ZSets.negate(prev))
       case None => now
@@ -2533,6 +2836,23 @@ object Pipeline {
       }
       p.copy(views = out.result())
     }
+
+  /** Positionally dedup repeated column names (Calcite's `a.*, b.*`
+    * view schemas: second `id` becomes `id0`), so the name-keyed Z-set
+    * machinery (consolidate/merge/splitTouched) stays applicable.
+    */
+  private[runtime] def dedupCols(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    if (cols.distinct.length == cols.length) df
+    else {
+      val seen = scala.collection.mutable.Map[String, Int]()
+      df.toDF(cols.toSeq.map { c =>
+        val n = seen.getOrElse(c, -1) + 1
+        seen(c) = n
+        if (n == 0) c else c + (n - 1)
+      }: _*)
+    }
+  }
 
   def apply(spark: SparkSession, programSql: String): Pipeline =
     new Pipeline(spark, Ddl.parse(programSql))

@@ -712,30 +712,49 @@ object IcebergLake {
       else scan0.join(deletePairs(spark, meta, delsLive),
         col("__file") === col("__del_file") &&
           col("__idx") === col("__del_pos"), "left_anti")
-    val hits = scan.where(expr(pred))
-      .select("__file", "__idx").collect()
-    if (hits.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
-    val fullPath = data.map(e => new Path(e.path).getName -> e.path).toMap
-    val snapshotId = System.nanoTime()
+    // the matched addresses stay DISTRIBUTED end to end: clustered by
+    // data file (so each data file's deletes land in one delete
+    // parquet, the layout compaction likes), sorted (file_path, pos)
+    // within each file per the position-delete spec, written by the
+    // executors, and the manifest built from the committed listing.
+    // A broad DELETE over a 100-TB table never materializes row
+    // addresses on the driver.
     import spark.implicits._
-    val delDf = hits.toSeq.map(r =>
-        (fullPath(r.getString(0)), r.getLong(1)))
-      .toDF("file_path", "pos").repartition(1)
+    val pathsDf = data.map(e => (new Path(e.path).getName, e.path))
+      .toDF("__file", "file_path")
+    val matched = scan.where(expr(pred))
+      .join(broadcast(pathsDf), Seq("__file"))
+      .select(col("file_path"), col("__idx").as("pos"))
+    if (matched.head(1).isEmpty)
+      return meta.currentSnapshotId.getOrElse(0L)
+    val snapshotId = System.nanoTime()
     val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
-    delDf.write.parquet(stage.toString)
+    matched.repartition(col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
+      .write.parquet(stage.toString)
     val dataDir = new Path(root, "data")
     f.mkdirs(dataDir)
-    val delFile = new Path(dataDir,
-      s"delete-$snapshotId-${java.util.UUID.randomUUID()}.parquet")
-    val part = f.listStatus(stage).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).head
-    require(f.rename(part, delFile), "stage move failed")
+    val delFiles = f.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .map { case (part, k) =>
+        val delFile = new Path(dataDir,
+          s"delete-$snapshotId-$k-${java.util.UUID.randomUUID()}.parquet")
+        require(f.rename(part, delFile), "stage move failed")
+        // record count from the parquet footer — no data read
+        val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            delFile, spark.sparkContext.hadoopConfiguration))
+        val rows = try in.getRecordCount finally in.close()
+        (delFile, rows)
+      }.filter(_._2 > 0L)
     f.delete(stage, true)
     val records =
       live.map(e => manifestEntry(snapshotId, 0, e.path, e.recordCount,
-        0L, e.content, e.sequence, e.equalityIds)) :+
-      manifestEntry(snapshotId, 1, delFile.toString, hits.length.toLong,
-        f.getFileStatus(delFile).getLen, 1, (v + 1).toLong)
+        0L, e.content, e.sequence, e.equalityIds)) ++
+      delFiles.map { case (delFile, rows) =>
+        manifestEntry(snapshotId, 1, delFile.toString, rows,
+          f.getFileStatus(delFile).getLen, 1, (v + 1).toLong)
+      }
     commitSnapshot(spark, f, root, metaDir, hint, Some(meta), v + 1,
       snapshotId, records, meta.schema)
     snapshotId

@@ -20,6 +20,40 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.llm.{Dedup, TextAnalysis}
 
+    if (sys.env.contains("SPARK_GRAFT_NORMDBG")) {
+      for (q <- sys.env("SPARK_GRAFT_NORMDBG").split(";;"))
+        println(s"IN : $q\nOUT: ${graft.ddl.Dialect.normalize(q)}")
+      spark.stop()
+      return
+    }
+
+    if (sys.env.contains("SPARK_GRAFT_STEPDBG")) {
+      import graft.queries.StreamCorpus
+      val Array(sname, uname) = sys.env("SPARK_GRAFT_STEPDBG").split(":", 2)
+      val suite = StreamCorpus.load(sname)
+      val u = suite.units.find(_.id == uname).getOrElse(
+        sys.error(s"no unit $uname in $sname"))
+      println(s"== PROGRAM\n${u.program}")
+      try {
+        val acts = StreamCorpus.runSuite(spark,
+          suite.copy(units = Seq(u)), Set.empty)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+        val exps = StreamCorpus.expectedRows(suite.copy(units = Seq(u)),
+          Set.empty).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        for (sid <- (acts.keySet ++ exps.keySet).toSeq.sorted) {
+          val ok = acts.getOrElse(sid, Nil) == exps.getOrElse(sid, Nil)
+          println(s"$sid ${if (ok) "OK" else "MISMATCH"}")
+          if (!ok) {
+            println(s"  exp: ${exps.getOrElse(sid, Nil).mkString(" ; ")}")
+            println(s"  act: ${acts.getOrElse(sid, Nil).mkString(" ; ")}")
+          }
+        }
+      } catch { case e: Throwable => e.printStackTrace() }
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_SQLDBG")) {
       graft.functions.Registry.registerAll(spark)
       for (q <- sys.env("SPARK_GRAFT_SQLDBG").split(";;")) {

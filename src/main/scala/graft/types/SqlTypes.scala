@@ -60,7 +60,10 @@ object SqlTypes {
       // remains the portable fallback for flag-less sessions
       case "TIME" => TimeType(TimeType.DEFAULT_PRECISION)
       case "TIMESTAMP" => TimestampNTZType
+      case p if p.matches("TIMESTAMP\\s*\\(\\d+\\)") => TimestampNTZType
       case "TIMESTAMP WITH TIME ZONE" => TimestampType
+      case p if p.matches("TIMESTAMP\\s*\\(\\d+\\)\\s+WITH\\s+TIME\\s+ZONE") =>
+        TimestampType
       case "INTERVAL YEAR TO MONTH" => YearMonthIntervalType()
       case "INTERVAL DAY TO SECOND" => DayTimeIntervalType()
       case "UUID" => StringType
@@ -70,8 +73,36 @@ object SqlTypes {
         StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType)))
       case arrayT(inner) => ArrayType(toSpark(inner))
       case mapT(k, v) => MapType(toSpark(k), toSpark(v))
+      case row if row.startsWith("ROW(") && row.endsWith(")") =>
+        // ROW(a INT, b VARCHAR NULL) — a per-field nullability marker
+        // is accepted and dropped (struct fields are nullable here)
+        val body = row.substring(4, row.length - 1)
+        val fields = splitTopLevel(body).map { f0 =>
+          val f = f0.trim.replaceAll("(?i)\\s+NOT\\s+NULL$", "")
+            .replaceAll("(?i)\\s+NULL$", "")
+          val sp = f.indexOf(' ')
+          require(sp > 0, s"cannot parse ROW field: $f0")
+          StructField(f.substring(0, sp).trim.toLowerCase,
+            toSpark(f.substring(sp + 1)))
+        }
+        StructType(fields)
       case other => throw new IllegalArgumentException(s"unknown type: $other")
     }
+  }
+
+  /** Split on top-level commas (paren/angle-bracket aware). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    for (c <- s) c match {
+      case '(' | '<' => depth += 1; cur += c
+      case ')' | '>' => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.result()
   }
 
   /** CHAR(n) store semantics: pad-or-truncate to exactly n. */
