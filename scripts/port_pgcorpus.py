@@ -193,7 +193,7 @@ def quidemize(unit: str) -> str:
         t = line.strip()
         if re.fullmatch(r"\+[-+]+\+", t):
             continue  # all borders drop
-        if t.startswith("|") and t.endswith("|"):
+        if t.startswith("|") and t.endswith("|") and len(t) > 1:
             out.append(t[1:-1])
             pipe_rows += 1
             if pipe_rows == 1:

@@ -1016,9 +1016,9 @@ object Dialect {
     // digits-only), so the match is unambiguous.
     val s2 = replaceGuarded(s, """(?<![\w`])(\d+_[A-Za-z_]\w*)""".r)(m =>
       s"`${m.group(1)}`")
-    rewriteSubscript(rewriteUnnest(rewriteArrayAggOrder(rewriteTupleIn(
-      rewriteUnpivot(rewritePivot(rewriteLateralValues(
-        rewriteParenIntervalQualifier(s2))))))))
+    rewriteSubscript(rewriteUnnest(rewriteArrayAggOrder(rewriteRowCase(
+      rewriteTupleIn(rewriteUnpivot(rewritePivot(rewriteLateralValues(
+        rewriteParenIntervalQualifier(s2)))))))))
   }
 
   /** Postfix subscripts `x[i]` follow the reference's contract —
@@ -1123,6 +1123,92 @@ object Dialect {
           }
           val repl = "LATERAL (" + selects.mkString(" UNION ALL ") + ")"
           s = s.substring(0, m.start) + repl + s.substring(close + 1)
+      }
+    }
+    s
+  }
+
+  /** `CASE (a, b) WHEN (x, y) THEN … END` — Calcite's row-valued
+    * simple CASE ([CALCITE-4434]; quidem StructTests testRow#4) —
+    * expands to the searched form with pairwise equalities (Spark
+    * compares the named_structs by full type, field names included).
+    * Only fires when the CASE operand is a top-level-comma tuple.
+    */
+  private def rewriteRowCase(s0: String): String = {
+    var s = s0
+    var search = 0
+    var guard = 0
+    while (guard < 100) {
+      guard += 1
+      """(?i)\bCASE\s*\(""".r.findAllMatchIn(s)
+        .find(m => m.start >= search && !inQuoteMap(s)(m.start)) match {
+        case None => return s
+        case Some(m) =>
+          val open = s.indexOf('(', m.start)
+          val close = balancedClose(s, open)
+          val operand = s.substring(open + 1, close)
+          val lhs = splitTopLevel(operand).map(_.trim)
+          val afterM = """(?is)^\s*WHEN\s*\(""".r
+            .findPrefixMatchOf(s.substring(close + 1))
+          if (lhs.size < 2 || afterM.isEmpty) { search = m.end }
+          else {
+            // rewrite each `WHEN (tuple)` of this CASE up to its END
+            val sb = new StringBuilder("CASE")
+            var pos = close + 1
+            var ok = true
+            while (ok) {
+              val rest = s.substring(pos)
+              """(?is)^\s*WHEN\s*\(""".r.findPrefixMatchOf(rest) match {
+                case Some(wm) =>
+                  val wOpen = pos + wm.end - 1
+                  val wClose = balancedClose(s, wOpen)
+                  val rhs = splitTopLevel(
+                    s.substring(wOpen + 1, wClose)).map(_.trim)
+                  require(rhs.size == lhs.size,
+                    s"row-CASE arity mismatch at: ${rest.take(40)}")
+                  sb ++= " WHEN " + lhs.zip(rhs)
+                    .map { case (a, b) => s"$a = $b" }.mkString(" AND ")
+                  pos = wClose + 1
+                case None =>
+                  ok = false
+              }
+              if (ok) {
+                // copy THEN <result> (up to the next WHEN/ELSE/END)
+                val tm = """(?is)^\s*THEN\b""".r
+                  .findPrefixMatchOf(s.substring(pos)).getOrElse(
+                    sys.error("row-CASE WHEN without THEN"))
+                val bodyStart = pos + tm.end
+                val stop = """(?is)\b(WHEN|ELSE|END)\b""".r
+                  .findAllMatchIn(s).find(x =>
+                    x.start >= bodyStart && {
+                      var d = 0
+                      s.substring(bodyStart, x.start).foreach {
+                        case '(' => d += 1
+                        case ')' => d -= 1
+                        case _ =>
+                      }
+                      d == 0
+                    }).getOrElse(sys.error("row-CASE without END"))
+                sb ++= " THEN" + s.substring(bodyStart, stop.start)
+                pos = stop.start
+              }
+            }
+            // remainder (ELSE … END or END) copies verbatim up to END
+            val endM = """(?is)\bEND\b""".r.findAllMatchIn(s)
+              .find(x => x.start >= pos && {
+                var d = 0
+                s.substring(pos, x.start).foreach {
+                  case '(' => d += 1
+                  case ')' => d -= 1
+                  case _ =>
+                }
+                d == 0
+              }).getOrElse(sys.error("row-CASE without END"))
+            sb ++= " " + s.substring(pos, endM.end).trim
+            s = s.substring(0, m.start) + sb.toString +
+              s.substring(endM.end)
+            search = m.start + sb.length
+          }
       }
     }
     s

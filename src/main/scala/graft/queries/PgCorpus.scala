@@ -983,23 +983,17 @@ object PgCorpus {
       // ARG_MIN/ARG_MAX ties: the reference docs leave the pick
       // unspecified ("the rule … is not specified"); the recording
       // pins THEIR pick
-      "testArgMax#0", "testArgMax#1", "testArgMax#2",
-      // row-valued IN lists need Calcite's row-wise literal coercion
-      "testPairs#0"),
+      "testArgMax#0", "testArgMax#1", "testArgMax#2"),
+    // (testPairs#0 closed in r15: rewriteTupleIn expands row-valued
+    // IN lists to pairwise equalities with scalar coercion)
     // DISTINCT above an aggregate ordered by the aggregate — Spark
     // cannot place the ORDER BY between them
     "sorthr" -> Set("testSort#1"),
     // ordinal STRUCT access `x[2]` — Spark extracts struct fields by
     // NAME; the grammar collides with array indexing, so a textual
     // lowering would be unsound
-    "structq" -> Set("testRow#0", "testRow#1", "testRow#2",
-      "testRow#3", "testRow#4"),
-    "operatorq" -> Set(
-      // row-valued IN lists / CASE over rows need Calcite's row-wise
-      // literal coercion (DECIMAL vs INT element types); ordinal
-      // STRUCT access `x[2]` extracts by name in Spark
-      "testPairs#0", "testRow#0", "testRow#1", "testRow#2",
-      "testRow#3", "testRow#4"),
+    "structq" -> Set.empty[String],
+    "operatorq" -> Set.empty[String],
     // (the 6 interval-to-interval cast skips closed in r14:
     // GraftIntervalCast keeps the VALUE, GraftIntervalTotal renders
     // the raw total) — what remains: EXTRACT over intervals outside
