@@ -145,6 +145,8 @@ def extract_method(name: str, body: str):
         seg_end = (ccs_matches[idx + 1].start()
                    if idx + 1 < len(ccs_matches) else len(body))
         lit = parse_literal(body, cm.end())
+        if lit and re.match(r"\s*\+", body[lit[1]:]):
+            continue  # concatenated (non-literal) program
         if lit:
             program = lit[0]
         else:
@@ -158,8 +160,8 @@ def extract_method(name: str, body: str):
             if not decls:
                 continue
             lit = parse_literal(body, decls[-1].end() - 3)
-            if not lit:
-                continue
+            if not lit or re.match(r"\s*\+", body[lit[1]:]):
+                continue  # concatenated (non-literal) program
             program = lit[0]
         if re.search(r"getCCS\s*\(\s*\w+\s*,", body[cm.start():cm.end() + 40]):
             continue  # multi-output stream
@@ -204,39 +206,42 @@ def methods(src: str):
         yield m.group(1), m.group(2), m.group(3)
 
 
-def port(java_rel: str, suite: str, skip=()):
-    src = (REF / java_rel).read_text()
+def port(java_rel, suite: str, skip=()):
+    files = [java_rel] if isinstance(java_rel, str) else list(java_rel)
     out = [f"-- streamcorpus suite: {suite}",
            "-- provenance: the reference compiler's streaming golden "
-           "tests (step-wise recorded output deltas)",
-           f"--   sql-to-dbsp-compiler/.../compiler/sql/{java_rel}",
-           "-- ported as test fixtures (programs + step scripts + "
-           "recorded per-step deltas); see StreamCorpus.scala"]
+           "tests (step-wise recorded output deltas)"]
+    out += [f"--   sql-to-dbsp-compiler/.../compiler/sql/{f}"
+            for f in files]
+    out.append("-- ported as test fixtures (programs + step scripts + "
+               "recorded per-step deltas); see StreamCorpus.scala")
     n_units, n_steps = 0, 0
     skipped = {}
-    for annotations, name, body in methods(src):
-        if "@Ignore" in annotations:
-            skipped[name] = "@Ignore"
-            continue
-        if name in skip:
-            skipped[name] = "explicit skip"
-            continue
-        r = extract_method(name, body)
-        if isinstance(r, str):
-            skipped[name] = r
-            continue
-        for k, (program, trim, steps) in enumerate(r):
-            uid = name if k == 0 else f"{name}.{k}"
-            out.append(f"== UNIT {uid}" + ("/trim" if trim else ""))
-            out.append("== PROGRAM")
-            out.append(program)
-            for script, expected in steps:
-                out.append("== STEP")
-                out.append(script)
-                out.append("== EXPECT")
-                out.append(expected)
-                n_steps += 1
-            n_units += 1
+    for f in files:
+        src = (REF / f).read_text()
+        for annotations, name, body in methods(src):
+            if "@Ignore" in annotations:
+                skipped[name] = "@Ignore"
+                continue
+            if name in skip:
+                skipped[name] = "explicit skip"
+                continue
+            r = extract_method(name, body)
+            if isinstance(r, str):
+                skipped[name] = r
+                continue
+            for k, (program, trim, steps) in enumerate(r):
+                uid = name if k == 0 else f"{name}.{k}"
+                out.append(f"== UNIT {uid}" + ("/trim" if trim else ""))
+                out.append("== PROGRAM")
+                out.append(program)
+                for script, expected in steps:
+                    out.append("== STEP")
+                    out.append(script)
+                    out.append("== EXPECT")
+                    out.append(expected)
+                    n_steps += 1
+                n_units += 1
     OUT.mkdir(parents=True, exist_ok=True)
     (OUT / f"{suite}.txt").write_text("\n".join(out) + "\n")
     by_reason = {}
@@ -251,7 +256,12 @@ def port(java_rel: str, suite: str, skip=()):
 
 if __name__ == "__main__":
     port("streaming/StreamingTests.java", "streaming")
-    port("streaming/InternalNowTests.java", "internalnow")
     port("WindowTests.java", "windowstep")
     port("simple/IncrementalRegressionTests.java", "increg")
     port("simple/IncrementalRegression2Tests.java", "increg2")
+    # round-15 extension: every remaining step-using file — the
+    # recursive step tests plus the misc regression/function files
+    port("recursive/IncrementalRecursiveTests.java", "increc")
+    port(["simple/RegressionTests.java", "simple/Regression1Tests.java",
+          "simple/OuterJoinTests.java", "simple/InternTests.java",
+          "functions/FunctionsTest.java"], "miscstep")

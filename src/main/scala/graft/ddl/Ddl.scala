@@ -106,7 +106,7 @@ object Ddl {
   private val tableRe: Regex =
     """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*$""".r
   private val viewRe: Regex =
-    """(?is)CREATE\s+(LOCAL\s+|MATERIALIZED\s+)?VIEW\s+(\w+)\s*(?:WITH\s*\((.*?)\)\s*)?AS\s+(.*)$""".r
+    """(?is)CREATE\s+(LOCAL\s+|MATERIALIZED\s+)?VIEW\s+(\w+)\s*(?:\(([\w\s,]*)\)\s*)?(?:WITH\s*\((.*?)\)\s*)?AS\s+(.*)$""".r
   private val indexRe: Regex =
     """(?is)CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\((.*?)\)\s*$""".r
   // LATENESS/WATERMARK take any constant expression matching the column
@@ -302,14 +302,24 @@ object Ddl {
           colDefs.map(parseColumn).map(c =>
             if (pkCols(c.name)) c.copy(primaryKey = true) else c),
           parseProps(props))
-      case viewRe(kind, name, props, sql) =>
+      case viewRe(kind, name, colList, props, sql) =>
         val k = Option(kind).map(_.trim.toUpperCase) match {
           case Some("LOCAL") => LocalView
           case Some("MATERIALIZED") => MaterializedView
           case _ => OutputView
         }
+        // declared view column list (`CREATE VIEW v(a, b) AS …`,
+        // grammar.md) — positional rename via a subquery column-alias
+        // wrapper, so the body's own aliases need not match
+        val body = Option(colList).map(_.trim).filter(_.nonEmpty) match {
+          case Some(cl) =>
+            s"SELECT * FROM (${sql.trim}) AS __vcols(" +
+              cl.split(",").map(_.trim.toLowerCase)
+                .mkString(", ") + ")"
+          case None => sql.trim
+        }
         views += ViewDef(name.toLowerCase,
-          Dialect.normalize(sql.trim, adHoc = false,
+          Dialect.normalize(body, adHoc = false,
             asofLateralFallback =
               options.get("asof_lateral_fallback").contains("true")),
           k, parseProps(props))

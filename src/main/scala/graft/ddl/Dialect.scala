@@ -144,9 +144,14 @@ object Dialect {
       // GREATEST/LEAST null-propagate in the reference
       // (comparisons.md); Spark's natives skip NULLs and stay the
       // _IGNORE_NULLS spellings (quidem PostgresTests testGreatest)
-      val l0 = """(?i)\b(GREATEST|LEAST)(\s*\()""".r
+      val l0b = """(?i)\b(GREATEST|LEAST)(\s*\()""".r
         .replaceAllIn(l0a, m =>
           "graft_" + m.group(1).toLowerCase + m.group(2))
+      // ARRAY_EXCEPT/INTERSECT/UNION results are SORTED ascending in
+      // the reference (array.md:100-116); Spark's keep left order
+      val l0 = """(?i)\bARRAY_(EXCEPT|INTERSECT|UNION)(\s*\()""".r
+        .replaceAllIn(l0b, m =>
+          "graft_array_" + m.group(1).toLowerCase + m.group(2))
       // interval idioms: negated string literal, plural units in
       // ranged qualifiers (grammar.md allows plurals; Spark's ranged
       // form wants singular)
@@ -1454,7 +1459,7 @@ object Dialect {
     */
   private def rewriteParenIntervalQualifier(s0: String): String = {
     val unitRe =
-      """(?i)\)\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)S?\b(?!\s+TO\b)""".r
+      """(?i)\)\s*(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)S?\b(?!\s+TO\b)""".r
     var s = s0
     var search = 0
     var guard = 0
@@ -1478,24 +1483,40 @@ object Dialect {
             j -= 1
           }
           val group = if (open >= 0) s.substring(open, m.start + 1) else ""
-          val topMinus = open >= 0 && {
-            var d = 0; var inQ = false; var found = false
+          // last top-level binary '-' inside the group
+          val minusIdx: Int = if (open < 0) -1 else {
+            var d = 0; var inQ = false; var idx = -1
+            var prev = ' '
+            var k = 0
             group.foreach { c =>
               if (inQ) { if (c == '\'') inQ = false }
               else c match {
                 case '\'' => inQ = true
                 case '(' => d += 1
                 case ')' => d -= 1
-                case '-' if d == 1 => found = true
+                case '-' if d == 1 && !"(,+-*/<>=".contains(prev) =>
+                  idx = k
                 case _ =>
               }
+              if (!c.isWhitespace) prev = c
+              k += 1
             }
-            found
+            idx
           }
-          if (topMinus) {
+          if (minusIdx > 0) {
             val unit = m.group(1).toUpperCase
-            s = s.substring(0, open) + "CAST(" + group +
-              s" AS INTERVAL $unit)" + s.substring(m.end)
+            val repl = unit match {
+              // Spark cannot cast a day-time interval to year-month;
+              // Calcite's `(ts1 - ts2) MONTH/YEAR` is the CALENDAR
+              // difference — lower to TIMESTAMPDIFF
+              case "YEAR" | "MONTH" =>
+                val lhs = group.substring(1, minusIdx).trim
+                val rhs = group.substring(minusIdx + 1,
+                  group.length - 1).trim
+                s"(INTERVAL '1' $unit * TIMESTAMPDIFF($unit, $rhs, $lhs))"
+              case _ => s"CAST($group AS INTERVAL $unit)"
+            }
+            s = s.substring(0, open) + repl + s.substring(m.end)
             search = open
           } else search = m.end
       }

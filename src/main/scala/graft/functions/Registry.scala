@@ -311,6 +311,17 @@ object Registry {
           } else UnresolvedFunction(Seq("try_element_at"), args,
             isDistinct = false)
         }, "built-in")
+      // sorted array set-ops (array.md: "sorted in ascending order",
+      // NULLs first per the recorded fixtures) — dialect-path spellings
+      Seq("except", "intersect", "union").foreach { op =>
+        reg.createOrReplaceTempFunction(s"graft_array_$op",
+          (args: Seq[Expression]) => UnresolvedFunction(
+            Seq("sort_array"),
+            Seq(UnresolvedFunction(Seq(s"array_$op"), args,
+              isDistinct = false),
+              org.apache.spark.sql.catalyst.expressions.Literal(true)),
+            isDistinct = false), "built-in")
+      }
       // GREATEST/LEAST null-propagate in the reference (comparisons.md:
       // "if any argument is NULL, the result is NULL") — the DIALECT
       // path respells them onto these builders, so library SQL and the

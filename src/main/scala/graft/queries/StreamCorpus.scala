@@ -290,11 +290,41 @@ object StreamCorpus {
     // (10,4),(20,6)), the form its batch corpus + DuckDB oracle pin.
     // First-batch rank units (testRankDescending/Group/Null…) agree
     // between the two readings and stay graded.
-    "windowstep" -> Set("testRank", "testRank.1")
+    "windowstep" -> Set("testRank", "testRank.1"),
+    // miscstep is a 71-program grab-bag across five regression files;
+    // the 26 skips below are the long tail, grouped by cause —
+    // each names a concrete gap, none is a delta-rule divergence
+    // (45 programs grade step-wise):
+    "miscstep" -> Set(
+      // reference-specific renderings this harness does not canon:
+      // FLOAT4/DOUBLE shortest-decimal cells (2391/2438/4797),
+      // X'..'-style BINARY casts, DECIMAL→TIMESTAMP epoch-seconds
+      // coercion, trim-mode cells inside array renders (4467a),
+      // NULL-vs-'' cells in 2942, ARG_MIN over all-NULL columns
+      "issue2391", "issue2438", "issue4797", "castBinaryToString",
+      "castDecimalToTimestamp", "issue4467a", "issue2942", "argMin",
+      "issue2539", "issue4448a", "issue4448a.1", "issue4815",
+      "issue4649",
+      // type-system gaps: anonymous row-typed columns in DDL
+      // (3814b), inline CREATE TYPE structs (5120), multi-column
+      // UNNEST WITH ORDINALITY (5120.1), UUID in VALUES cast
+      // position (5375), typed-array literal spelling (5345),
+      // INTERVAL MONTH TO DAY-class mixed qualifiers (3461)
+      "issue3814b", "issue5120", "issue5120.1", "issue5375",
+      "issue5345", "issue3461",
+      // Spark analyzer limits: mixed-unit interval window frames
+      // (2027), VARIANT map keys in element_at (3942/5378),
+      // correlated map-typed references (mapVariant), duplicate
+      // auto-named view columns under localCheckpoint (4335),
+      // safe_offset argument typing (4405), NULL-bodied SQL function
+      // parameter defaults (testSqlFunc.1)
+      "issue2027", "issue3942", "issue5378", "mapVariant",
+      "issue4335", "issue4405", "testSqlFunc.1")
   ).withDefaultValue(Set.empty)
 
   def suiteNames: Seq[String] =
-    Seq("streaming", "windowstep", "increg", "increg2")
+    Seq("streaming", "windowstep", "increg", "increg2",
+      "increc", "miscstep")
 
   def queries: Seq[Q] = suiteNames.map { name =>
     val suite = load(name)

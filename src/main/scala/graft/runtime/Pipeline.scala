@@ -59,10 +59,18 @@ final class Pipeline(spark: SparkSession,
 
   /** The program with every view's `SELECT * REPLACE` star expanded
     * (Pipeline.resolveReplaceStars) — all downstream machinery sees
-    * plain Spark-parsable SQL.
+    * plain Spark-parsable SQL — and local views that sit INSIDE a
+    * recursive cycle inlined into the member bodies
+    * (Pipeline.inlineRecursiveLocals): the reference's recursive
+    * region includes intermediate local views (recursion docs;
+    * IncrementalRecursiveTests transitiveClosure routes the step
+    * term through `CREATE LOCAL VIEW STEP`), but the fixpoint loop
+    * here re-evaluates only the member bodies per round — a local
+    * view indirection would freeze at its previous snapshot.
     */
   private[runtime] val program: Ddl.Program =
-    Pipeline.resolveReplaceStars(spark, program0)
+    Pipeline.inlineRecursiveLocals(
+      Pipeline.resolveReplaceStars(spark, program0))
 
   private[runtime] def session: SparkSession = spark
 
@@ -1627,9 +1635,15 @@ final class Pipeline(spark: SparkSession,
       // positionally deduped (same renaming as recomputeDiff's)
       val rawDelta0 = {
         val dataCols = rawDelta.columns.filterNot(_ == ZSets.W)
-        if (dataCols.distinct.length == dataCols.length) rawDelta
-        else Pipeline.dedupCols(
-          rawDelta.select((dataCols.map(col).toSeq :+ col(ZSets.W)): _*))
+        if (dataCols.distinct.length == dataCols.length &&
+          !dataCols.exists(c => c.contains('.') || c.contains('`')))
+          rawDelta
+        else {
+          val rn = rawDelta.select((dataCols.map(c =>
+            rawDelta(s"`${c.replace("`", "``")}`")).toSeq :+
+            col(ZSets.W)): _*)
+          Pipeline.dedupCols(rn)
+        }
       }
       val gatedDelta = viewLateness.get(v.name)
         .map(latenessGateOn(v.name, rawDelta0, _)).getOrElse(rawDelta0)
@@ -1744,7 +1758,12 @@ final class Pipeline(spark: SparkSession,
     val analyzed: Map[String, Seq[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)])]] =
       group.map { m =>
-        val plan = spark.sql(m.sql).queryExecution.analyzed
+        // transformPlan, like EVERY other evaluation path — the
+        // incremental-recursion branches must divide (ceil/floor/…)
+        // exactly like batch (increc testRecursiveInMiddle caught the
+        // bare analyzed plan here: `v/2` evaluated fractionally)
+        val plan = org.apache.spark.sql.graft.IntegerDivision
+          .transformPlan(spark.sql(m.sql).queryExecution.analyzed)
         val bs = Ivm.unionBranches(plan, leaf).map(b => (b, Ivm.leafNodes(b, leaf)))
         require(bs.length == recShapes(m.name).get.length,
           s"branch structure drifted for ${m.name}: ${bs.length} branches " +
@@ -2837,16 +2856,77 @@ object Pipeline {
       p.copy(views = out.result())
     }
 
+  /** Inline LOCAL views that transitively reference a recursive member
+    * into the recursive members' bodies (and into each other), so the
+    * fixpoint's per-round re-evaluation sees the whole cycle. The
+    * substitution is the FROM/JOIN table-factor form
+    * (`FROM step` → `FROM (<step sql>) step`), quote-safe.
+    */
+  private[runtime] def inlineRecursiveLocals(p: Ddl.Program): Ddl.Program = {
+    val recNames = p.recursive.map(_.name).toSet
+    if (recNames.isEmpty) return p
+    def refs(sql: String, names: Set[String]): Set[String] =
+      names.filter(n =>
+        ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+          .findFirstIn(sql).isDefined)
+    // a recursive member may itself be spelled LOCAL — it is part of
+    // the cycle's FIXPOINT, never an inlinable intermediate
+    val localSql = p.views
+      .filter(v => v.kind == Ddl.LocalView && !recNames(v.name))
+      .map(v => v.name -> v.sql).toMap
+    // locals in the cycle: reference a member directly or through
+    // other cycle locals
+    var cycle = Set.empty[String]
+    var grow = true
+    while (grow) {
+      val next = localSql.keySet.filter(n =>
+        refs(localSql(n), recNames ++ cycle).nonEmpty)
+      grow = next != cycle
+      cycle = next
+    }
+    if (cycle.isEmpty) return p
+    def inline(sql0: String): String = {
+      var sql = sql0
+      var guard = 0
+      var changed = true
+      while (guard < 50 && changed) {
+        guard += 1
+        changed = false
+        cycle.foreach { n =>
+          val re = ("(?i)(\\bFROM\\b|\\bJOIN\\b|,)\\s*(" +
+            java.util.regex.Pattern.quote(n) + ")\\b(?!\\s*\\()").r
+          val next = re.replaceAllIn(sql, m =>
+            scala.util.matching.Regex.quoteReplacement(
+              s"${m.group(1)} (${localSql(n)}) ${m.group(2)}"))
+          if (next != sql) { changed = true; sql = next }
+        }
+      }
+      sql
+    }
+    p.copy(views = p.views.map { v =>
+      if (recNames(v.name) || cycle(v.name)) v.copy(sql = inline(v.sql))
+      else v
+    })
+  }
+
   /** Positionally dedup repeated column names (Calcite's `a.*, b.*`
     * view schemas: second `id` becomes `id0`), so the name-keyed Z-set
     * machinery (consolidate/merge/splitTouched) stays applicable.
     */
   private[runtime] def dedupCols(df: DataFrame): DataFrame = {
     val cols = df.columns
-    if (cols.distinct.length == cols.length) df
+    // dotted/parenthesized auto-generated names (`(100.20 * C)`,
+    // `count(distinct id)`) would read as nested-field paths in the
+    // name-keyed Z-set machinery — sanitize positionally alongside
+    // the duplicate rename
+    // only DOTS (attribute-path separators) and backticks actually
+    // derail name resolution; parenthesized auto-names resolve fine
+    def weird(c: String) = c.contains('.') || c.contains('`')
+    if (cols.distinct.length == cols.length && !cols.exists(weird)) df
     else {
       val seen = scala.collection.mutable.Map[String, Int]()
-      df.toDF(cols.toSeq.map { c =>
+      df.toDF(cols.toSeq.zipWithIndex.map { case (c0, i) =>
+        val c = if (weird(c0)) s"_vc$i" else c0
         val n = seen.getOrElse(c, -1) + 1
         seen(c) = n
         if (n == 0) c else c + (n - 1)

@@ -27,7 +27,13 @@ object SqlTypes {
 
   /** Parse a Feldera SQL type string to (DataType, nullable-default). */
   def toSpark(sqlType: String): DataType = {
-    val t = sqlType.trim.toUpperCase(Locale.ROOT)
+    val t0 = sqlType.trim.toUpperCase(Locale.ROOT)
+      // storage/nullability modifiers carried inside a type string
+      // (`VARCHAR INTERNED`, `ROW(…) NULL`) — not type information
+      .replaceAll("\\s+INTERNED$", "")
+      .replaceAll("\\s+NOT\\s+NULL$", "")
+      .replaceAll("\\s+NULL$", "")
+    val t = t0
     userTypes.get(t).foreach(td => return toSpark(td))
     val charN = "^(CHAR|CHARACTER)\\s*\\((\\d+)\\)$".r
     val varcharN = "^VARCHAR\\s*\\((\\d+)\\)$".r
@@ -36,11 +42,11 @@ object SqlTypes {
     val arrayT = "^(.*)\\s+ARRAY$".r
     val mapT = "^MAP\\s*<(.*),(.*)>$".r
     t match {
-      case "BOOLEAN" => BooleanType
+      case "BOOLEAN" | "BOOL" => BooleanType
       case "TINYINT" => ByteType
-      case "SMALLINT" => ShortType
-      case "INT" | "INTEGER" => IntegerType
-      case "BIGINT" => LongType
+      case "SMALLINT" | "INT2" => ShortType
+      case "INT" | "INTEGER" | "INT4" => IntegerType
+      case "BIGINT" | "INT8" => LongType
       case "TINYINT UNSIGNED" => ShortType
       case "SMALLINT UNSIGNED" => IntegerType
       case "INT UNSIGNED" | "INTEGER UNSIGNED" => LongType
@@ -53,6 +59,8 @@ object SqlTypes {
       case charN(_, _) | "CHAR" | "CHARACTER" => StringType
       case varcharN(_) | "VARCHAR" | "STRING" | "TEXT" => StringType
       case "BINARY" | "VARBINARY" | "BYTEA" => BinaryType
+      case b if b.matches("(BINARY|VARBINARY)\\s*\\(\\d+\\)") =>
+        BinaryType
       case "DATE" => DateType
       // Spark 4.1 native TIME (micros precision), gated by
       // spark.sql.timeType.enabled — Pipeline enables it; the Registry's
