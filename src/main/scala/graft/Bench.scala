@@ -82,7 +82,14 @@ object Bench {
       .filter(n => only.forall(_.contains(n))).map { name =>
       val b0 = busyMs.get
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      // a failed row must not kill the battery, but it must be VISIBLE:
+      // the silent form recorded time-to-fail as if it were compute
+      // (r15 found nexmark_q1..q22 failing silently after dropCaches
+      // tore down the memoized pipeline's checkpoints — 16 rows priced
+      // as ~0.5 s of "work" that never ran)
+      try run(name) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       dropCaches()
       org.apache.spark.sql.graft.Shims.drainListeners(spark)

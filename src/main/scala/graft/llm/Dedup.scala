@@ -36,6 +36,18 @@ object Dedup {
     * it identically (DuckDB: list_reduce over ascii(substr(...))).
     */
   def polyHash(s: Column): Column =
+    // codegen'd kernel (one tight loop over code points per row) —
+    // bit-identical to [[polyHashHof]], the original HOF form, whose
+    // lambdas evaluated interpreted per character (guide §4); the
+    // equivalence is property-tested in HashKernelsSpec
+    org.apache.spark.sql.graft.Shims.column(
+      org.apache.spark.sql.graft.GraftPolyHash(
+        org.apache.spark.sql.graft.Shims.expression(s)))
+
+  /** The HOF reference form of [[polyHash]] (equivalence-spec anchor;
+    * also the shape the DuckDB oracle fragments mirror textually).
+    */
+  private[graft] def polyHashHof(s: Column): Column =
     // empty-string guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) while
     // DuckDB's range(1, 1) is empty — never let the fold see length 0
     when(length(s) < 1, lit(7L)).otherwise(
@@ -49,8 +61,15 @@ object Dedup {
     * they have the identical token sequence — the cheap first-pass exact
     * dedup key (vs [[TextAnalysis.fingerprint]]'s md5 canonical-text form).
     */
-  def rollingFingerprint(toks: Column): Column =
-    aggregate(transform(toks, tk => polyHash(tk)),
+  def rollingFingerprint(toks: Column): Column = {
+    import org.apache.spark.sql.graft.{GraftPolyFold, GraftPolyHashArray, Shims}
+    Shims.column(GraftPolyFold(
+      GraftPolyHashArray(Shims.expression(toks)), 31L))
+  }
+
+  /** HOF reference form of [[rollingFingerprint]] (equivalence spec). */
+  private[graft] def rollingFingerprintHof(toks: Column): Column =
+    aggregate(transform(toks, tk => polyHashHof(tk)),
       lit(7L), (acc, h) => (acc * 31L + h) % FP_P)
 
   /** Exact dedup: keep the lowest id per canonical-text fingerprint. */
@@ -242,8 +261,10 @@ object Dedup {
           val p = (b * bitsPerBand + bit).toLong
           val plane = array((0L until dims.toLong).map(d =>
             lit(component(p, d))): _*)
-          val dot = aggregate(zip_with(qv, plane, (x, c) => x * c),
-            lit(0L), (acc, x) => acc + x)
+          // codegen'd exact-long dot (guide §4) — the interpreted
+          // zip_with+aggregate fold evaluated per (vector × plane × dim);
+          // long adds are associative/exact, so the value is identical
+          val dot = graft.functions.VectorDot.dotL(qv, plane)
           when(dot >= 0, lit(1L << bit)).otherwise(lit(0L))
         }.reduce(_ + _).as("sig"))
     }: _*)
@@ -441,16 +462,24 @@ object Dedup {
     * tiny relative to the text.
     */
   private def rollingGramArrays(df: DataFrame, text: String,
-      extra: Seq[Column], n: Int): DataFrame =
+      extra: Seq[Column], n: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{GraftPolyHashArray, GraftRollingGrams, Shims}
     df.select(extra :+ TextAnalysis.tokens(col(text)).as("_toks"): _*)
       .filter(size(col("_toks")) >= n)
-      .select(extra :+
-        transform(col("_toks"), t => polyHash(t)).as("_th"): _*)
-      .select(extra :+ array_distinct(
-        transform(sequence(lit(1), size(col("_th")) - n + 1),
-          i => aggregate(slice(col("_th"), i, lit(n)), lit(7L),
-            (acc, h) => (acc * 131L + h) % FP_P))).as("_g"): _*)
+      .select(extra :+ Shims.column(GraftPolyHashArray(
+        Shims.expression(col("_toks")))).as("_th"): _*)
+      .select(extra :+ array_distinct(Shims.column(GraftRollingGrams(
+        Shims.expression(col("_th")), n, 131L))).as("_g"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** HOF reference form of the gram pipeline's per-row kernels
+    * (equivalence spec): token hashes and n-window folds.
+    */
+  private[graft] def rollingGramsHof(th: Column, n: Int): Column =
+    transform(sequence(lit(1), size(th) - n + 1),
+      i => aggregate(slice(th, i, lit(n)), lit(7L),
+        (acc, h) => (acc * 131L + h) % FP_P))
 
   /** [[contaminationScoreRolling]] with a Bloom-sketch pre-filter — the
     * join-INPUT shape for 100 TB. The exact equi-join against the distinct

@@ -14,6 +14,16 @@ import QB._
   */
 object LlmOps {
 
+  /** Scan fan-out width for the CPU-heavy per-row pipelines over the
+    * single-row-group doc/embedding fixtures: the session's core count
+    * (scale-adaptive, guide §2), not a local[32] constant — at the
+    * bench's 32 cores the plans are unchanged; at other widths the
+    * fan-out follows. Results are partitioning-independent by the QB
+    * determinism discipline (exact integer/decimal aggregation only).
+    */
+  private def fan(s: org.apache.spark.sql.SparkSession): Int =
+    s.sparkContext.defaultParallelism
+
   /** DuckDB fragments mirroring TextAnalysis.tokens / Dedup.shingles(3). */
   private val tk =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
@@ -153,7 +163,7 @@ object LlmOps {
          |  SELECT fp, doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id % 3, doc_id) AS rk
          |  FROM fp) WHERE rk = 1""".stripMargin) { (s, dir) =>
-      val fps = t(s, dir, "documents").repartition(32, col("doc_id"))
+      val fps = t(s, dir, "documents").repartition(fan(s), col("doc_id"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
           Dedup.rollingFingerprint(col("_toks")).as("fp"))
@@ -205,7 +215,7 @@ object LlmOps {
          |  n_seen * 1.0 / n_spans < 0.5 AS admitted
          |FROM (SELECT * FROM out0 UNION ALL SELECT * FROM out1
          |      UNION ALL SELECT * FROM out2)""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
+      val docs = t(s, dir, "documents").repartition(fan(s), col("doc_id"))
         .select(col("doc_id"), col("text"))
       val trace = new graft.incremental.TieredTrace(
         docs.select(lit(0L).as("_h")).limit(0)
@@ -226,7 +236,7 @@ object LlmOps {
       // staged columns: tokens/shingles/sig each computed once per row;
       // repartition = local fan-out of the one-row-group input before the
       // CPU-heavy interpreted HOF pipeline
-      t(s, dir, "documents").repartition(32, col("doc_id"))
+      t(s, dir, "documents").repartition(fan(s), col("doc_id"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
         .filter(size(col("_toks")) >= 3)
         .select(col("doc_id"),
@@ -255,7 +265,7 @@ object LlmOps {
          |JOIN sig sa ON sa.doc_id = id_a
          |JOIN sig sb ON sb.doc_id = id_b""".stripMargin) { (s, dir) =>
       Dedup.minhashDupPairs(
-        t(s, dir, "documents").repartition(32, col("doc_id"))
+        t(s, dir, "documents").repartition(fan(s), col("doc_id"))
           .filter(size(TextAnalysis.tokens(col("text"))) >= 3),
         "doc_id", "text", w = 3, numHashes = 8, bands = 4,
         sigOf = Some(sh => Dedup.minhashPermuted(sh, 8,
@@ -286,7 +296,7 @@ object LlmOps {
          |SELECT n AS doc_id, MIN(m) AS group_id FROM reach GROUP BY n""".stripMargin) {
       (s, dir) =>
         val pairs = Dedup.minhashDupPairs(
-          t(s, dir, "documents").repartition(32, col("doc_id"))
+          t(s, dir, "documents").repartition(fan(s), col("doc_id"))
             .filter(size(TextAnalysis.tokens(col("text"))) >= 3),
           "doc_id", "text", w = 3, numHashes = 8, bands = 4,
           sigOf = Some(sh => Dedup.minhashPermuted(sh, 8,
@@ -308,7 +318,7 @@ object LlmOps {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sim_fp
          |FROM bits GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents").repartition(32, col("doc_id"))
+      t(s, dir, "documents").repartition(fan(s), col("doc_id"))
         .filter(size(TextAnalysis.tokens(col("text"))) >= 1)
         .select(col("doc_id"),
           Dedup.simhash(col("text"), 48, Dedup.md5Hash).as("sim_fp"))
@@ -363,7 +373,7 @@ object LlmOps {
       Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding")),
-        emb.repartition(32, col("vec_id"))
+        emb.repartition(fan(s), col("vec_id"))
           .select(col("vec_id").as("corpus_id"), col("embedding")),
         k = 5, quantScale = 1000)
     },
@@ -413,7 +423,7 @@ object LlmOps {
         // the candidate volume ~bucket-quadratic-small at this corpus
         // size with ~0.8 recall at the 0.3 threshold. repartition = local
         // fan-out of the one-row-group scan before the signature CPU.
-        val q = t(s, dir, "embeddings").repartition(32, col("vec_id"))
+        val q = t(s, dir, "embeddings").repartition(fan(s), col("vec_id"))
           .select(col("vec_id"),
             Similarity.quantize(col("embedding"), 1000).as("qv"))
           .select(col("vec_id"), col("qv"),
@@ -482,7 +492,7 @@ object LlmOps {
         |FROM a LEFT JOIN dup d ON a.vec_id = d.id_b""".stripMargin) {
       (s, dir) =>
         Similarity.semanticDedup(
-          t(s, dir, "embeddings").repartition(32, col("vec_id")),
+          t(s, dir, "embeddings").repartition(fan(s), col("vec_id")),
           nCells = 8, threshold = 0.85, scale = 1000)
     },
 
@@ -504,7 +514,7 @@ object LlmOps {
          |  list_reduce(list_prepend(CAST(7 AS BIGINT), hs),
          |    (acc, h) -> (acc * 31 + h) % ${Dedup.FP_P}) AS rolling_fp
          |FROM th""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents").repartition(32, col("doc_id"))
+      t(s, dir, "documents").repartition(fan(s), col("doc_id"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
         .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
           Dedup.rollingFingerprint(col("_toks")).as("rolling_fp"))
@@ -551,7 +561,7 @@ object LlmOps {
       Similarity.lshTopKQuantized(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding")),
-        emb.repartition(32, col("vec_id"))
+        emb.repartition(fan(s), col("vec_id"))
           .select(col("vec_id").as("corpus_id"), col("embedding")),
         k = 5, bands = 1, bitsPerBand = 8, scale = 1000)
     },
@@ -614,7 +624,7 @@ object LlmOps {
       Similarity.ivfTopKQuantized(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding")),
-        emb.repartition(32, col("vec_id"))
+        emb.repartition(fan(s), col("vec_id"))
           .select(col("vec_id").as("corpus_id"), col("embedding")),
         nCells = 16, k = 5, nprobe = 3, scale = 1000)
     },
@@ -678,7 +688,7 @@ object LlmOps {
       Similarity.pqTopK(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding")),
-        emb.repartition(32, col("vec_id"))
+        emb.repartition(fan(s), col("vec_id"))
           .select(col("vec_id").as("corpus_id"), col("embedding")),
         m = 4, ksub = 16, k = 5, scale = 1000)
     },
@@ -772,7 +782,7 @@ object LlmOps {
       Similarity.ivfPqTopK(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding")),
-        emb.repartition(32, col("vec_id"))
+        emb.repartition(fan(s), col("vec_id"))
           .select(col("vec_id").as("corpus_id"), col("embedding")),
         nCells = 8, m = 4, ksub = 16, k = 5, nprobe = 2, scale = 1000)
     },
@@ -808,7 +818,7 @@ object LlmOps {
       // fan out before the CPU-heavy hashing projection (a real scan
       // at scale already has thousands of partitions — this shuffle of
       // 5k short rows is the local stand-in, not a scale cost)
-      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
+      val docs = t(s, dir, "documents").repartition(fan(s), col("doc_id"))
       Dedup.contaminationScoreRolling(
         docs, "doc_id", "text",
         docs.filter(col("doc_id") < 50), "text", n = 3)
@@ -838,7 +848,7 @@ object LlmOps {
          |SELECT t.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
          |  COALESCE(n_hit, 0) * 1.0 / n_grams AS contamination
          |FROM tot t LEFT JOIN hit USING (doc_id)""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
+      val docs = t(s, dir, "documents").repartition(fan(s), col("doc_id"))
       Dedup.bloomContaminationScore(
         docs, "doc_id", "text",
         docs.filter(col("doc_id") < 80), "text", n = 3)
@@ -1003,7 +1013,7 @@ object LlmOps {
          |  CAST(COALESCE(score_q, 0) AS DOUBLE) / 10000 AS score
          |FROM dd LEFT JOIN s USING (doc_id)""".stripMargin) { (s, dir) =>
       TextAnalysis.bm25Score(
-        t(s, dir, "documents").repartition(32, col("doc_id"))
+        t(s, dir, "documents").repartition(fan(s), col("doc_id"))
           .select(col("doc_id"), col("text")),
         "doc_id", "text", Seq("join", "filter", "dup"))
     },
@@ -1024,7 +1034,7 @@ object LlmOps {
          |FROM e JOIN cf USING (t) GROUP BY e.doc_id""".stripMargin) {
       (s, dir) =>
         TextAnalysis.unigramScore(
-          t(s, dir, "documents").repartition(32, col("doc_id"))
+          t(s, dir, "documents").repartition(fan(s), col("doc_id"))
             .select(col("doc_id"), col("text")), "doc_id", "text")
     },
 
@@ -1049,7 +1059,7 @@ object LlmOps {
          |FROM e JOIN bf USING (w1, w2) JOIN uf ON e.w1 = uf.t
          |GROUP BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.bigramScore(
-        t(s, dir, "documents").repartition(32, col("doc_id"))
+        t(s, dir, "documents").repartition(fan(s), col("doc_id"))
           .select(col("doc_id"), col("text")), "doc_id", "text")
     },
 
@@ -1082,7 +1092,7 @@ object LlmOps {
          |FROM e JOIN v USING (b) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.dsirScore(
-        t(s, dir, "documents").repartition(32, col("doc_id"))
+        t(s, dir, "documents").repartition(fan(s), col("doc_id"))
           .select(col("doc_id"), col("text"), col("lang")),
         "doc_id", "text", col("lang") === "en")
     },
@@ -1121,7 +1131,7 @@ object LlmOps {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
+      val docs = t(s, dir, "documents").repartition(fan(s), col("doc_id"))
       val contam = Dedup.contaminationScoreRolling(
         docs, "doc_id", "text",
         docs.filter(col("doc_id") < 50), "text", n = 3)
@@ -1176,7 +1186,7 @@ object LlmOps {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM k""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents").repartition(32, col("doc_id"))
+      val docs = t(s, dir, "documents").repartition(fan(s), col("doc_id"))
       val gated = docs
         .withColumn("n_tokens",
           size(TextAnalysis.tokens(col("text"))).cast("long"))
@@ -1223,7 +1233,7 @@ object LlmOps {
          |FROM g a JOIN g b USING (h) WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Dedup.spanDupPairs(
-        t(s, dir, "documents").repartition(32, col("doc_id"))
+        t(s, dir, "documents").repartition(fan(s), col("doc_id"))
           .select(col("doc_id"), col("text")),
         "doc_id", "text", k = 5, maxDf = 50L)
     },
@@ -1264,7 +1274,7 @@ object LlmOps {
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  array_to_string(tkn[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk
          |FROM e""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents").repartition(32, col("doc_id"))
+      t(s, dir, "documents").repartition(fan(s), col("doc_id"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
         .filter(size(col("_toks")) >= 1)
         .select(col("doc_id"),
@@ -1556,7 +1566,7 @@ object LlmOps {
          |FROM toks t LEFT JOIN agg USING (doc_id)""".stripMargin) {
       (s, dir) =>
         Dedup.dropCommonSegments(
-          t(s, dir, "documents").repartition(32, col("doc_id")),
+          t(s, dir, "documents").repartition(fan(s), col("doc_id")),
           "doc_id", "text", segTokens = 5, maxDf = 2L)
     },
 
@@ -1602,7 +1612,7 @@ object LlmOps {
       // cells feeds the size aggregate AND the stratum sampler — snapshot
       // so the k-means assignment pipeline evaluates once
       val cells = Similarity.kmeansCellsQuantized(
-        t(s, dir, "embeddings").repartition(32, col("vec_id"))
+        t(s, dir, "embeddings").repartition(fan(s), col("vec_id"))
           .select("vec_id", "embedding"),
         nCells = 16, scale = 1000)
         .localCheckpoint(true)
@@ -1645,7 +1655,7 @@ object LlmOps {
       // probe — snapshot it so the bigram-LM pipeline (3 tokenizations
       // per evaluation) runs once, not twice
       val sc = TextAnalysis.bigramScore(
-        t(s, dir, "documents").repartition(32, col("doc_id"))
+        t(s, dir, "documents").repartition(fan(s), col("doc_id"))
           .select(col("doc_id"), col("text")), "doc_id", "text")
         .select(col("doc_id"), col("cond_p"))
         .localCheckpoint(true)

@@ -718,11 +718,15 @@ object PgCorpus {
     val prev = spark.conf.get(spKey)
     spark.conf.set(spKey, "4")
     try {
-      val collected = suite.tests.filterNot(t => skip(t.id))
-        .flatMap { t =>
-          renderedRows(runQuery(spark, t.query), modes(suite.name))
-            .collect().map(r => (t.id, r.getString(0)))
-        }
+      // tests are independent reads over the suite's fixture temp
+      // views; each one's cost is driver-side analysis plus a tiny job,
+      // so evaluate them CONCURRENTLY from a bounded pool (optimization
+      // guide §2.6) — the grade is a multiset, order is free
+      val collected = Par.map(suite.tests.filterNot(t => skip(t.id)),
+        Par.width(spark)) { t =>
+        renderedRows(runQuery(spark, t.query), modes(suite.name))
+          .collect().toSeq.map(r => (t.id, r.getString(0)))
+      }.flatten
       import spark.implicits._
       collected.toDF("tid", "r")
     } finally spark.conf.set(spKey, prev)
@@ -823,21 +827,48 @@ object PgCorpus {
     val ddl = defs.map { case (n, cs) =>
       s"CREATE TABLE $n (${cs.map { case (c, t) =>
         s"$c ${pipeType(t)}" }.mkString(", ")});" }
-    // snapshot the fixture frames BEFORE the Pipeline registers its
-    // own (empty) table views over the same names
-    val frames = defs.map { case (n, cs) =>
-      n -> spark.table(n).selectExpr(cs.map { case (c, t) =>
+    // materialize the fixture rows ONCE on the driver (they are a few
+    // hundred rows); each chunk rebuilds them as LocalRelations in its
+    // own session — cheaper than per-table localCheckpoint jobs, and
+    // session-portable. INTERNAL rows, not collect(): the external-row
+    // converter cannot carry every SQL type (TIME — the foodmart
+    // fixture's time_by_day)
+    val localFrames = defs.map { case (n, cs) =>
+      val df = spark.table(n).selectExpr(cs.map { case (c, t) =>
         s"CAST($c AS ${pipeType(t)}) AS $c" }: _*)
-        .localCheckpoint(true)
+      val (attrs, rows) =
+        org.apache.spark.sql.graft.Shims.internalRows(df)
+      (n, attrs, rows)
     }
     def slice(df: DataFrame, k: Int): DataFrame =
       df.where(pmod(hash(df.columns.map(col): _*), lit(3)) === k)
-    // chunked: a suite can carry 50+ standing views — one pipeline per
-    // 16 keeps trace state within the test JVM's heap
-    val collected = eligible.grouped(16).flatMap { chunk =>
+    // chunked into SMALL independent pipelines run CONCURRENTLY from a
+    // bounded pool (guide §2.6), each in a child session (a Pipeline
+    // registers temp views under the fixture table names and incv*,
+    // which collide across chunks in one catalog). The replay's cost is
+    // the serial per-view-per-step driver floor (plan analysis + job
+    // latency; task time is a fraction of wall), so small chunks * wide
+    // pool parallelizes the floor; width * chunk size bounds the live
+    // trace state at ~24 views — same heap envelope as the previous
+    // serial 16-view chunks. Each chunk feeds only the tables its views
+    // reference: the per-step table-integration floor then scales with
+    // the chunk, not the whole fixture catalog.
+    val chunks = eligible.grouped(4).toSeq
+    val collected = Par.map(chunks,
+      math.min(6, Par.width(spark))) { chunk =>
+      val s = Par.childSession(spark,
+        "spark.sql.constraintPropagation.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "4")
+      val used = localFrames.map(_._1).filter(n => chunk.exists(t =>
+        ("(?i)\\b" + n + "\\b").r.findFirstIn(t.query).isDefined)).toSet
+      val frames = localFrames.filter(f => used(f._1))
+        .map { case (n, attrs, rows) =>
+          n -> org.apache.spark.sql.graft.Shims.fromInternalRows(
+            s, attrs, rows)
+        }
       val views = chunk.zipWithIndex.map { case (t, i) =>
         s"CREATE MATERIALIZED VIEW incv$i AS ${preRewrite(t.query)};" }
-      val pipe = graft.runtime.Pipeline(spark,
+      val pipe = graft.runtime.Pipeline(s,
         (ddl ++ views).mkString("\n"))
       pipe.step(frames.map { case (n, f) =>
         n -> ZSets.lift(slice(f, 0).unionByName(slice(f, 1))) }.toMap)
@@ -849,9 +880,9 @@ object PgCorpus {
       chunk.zipWithIndex.flatMap { case (t, i) =>
         renderedRows(pipe.adHoc(s"SELECT * FROM incv$i"),
           modes(suite.name))
-          .collect().map(r => (t.id, r.getString(0)))
+          .collect().toSeq.map(r => (t.id, r.getString(0)))
       }
-    }.toSeq
+    }.flatten
     import spark.implicits._
     collected.toDF("tid", "r")
   }

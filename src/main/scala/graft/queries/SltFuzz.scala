@@ -258,10 +258,10 @@ object SltFuzz {
   private[queries] val JS =
     """WITH a AS (SELECT id AS i, CAST(id % 13 AS INT) AS ka,
       | CAST(CASE WHEN id % 5 = 0 THEN NULL ELSE id % 7 END AS BIGINT)
-      |  AS va FROM range(0, 100)),
+      |  AS va FROM range(0, 100, 1, 1)),
       |b AS (SELECT id AS j, CAST(id % 11 AS INT) AS kb,
       | CAST(CASE WHEN id % 4 = 0 THEN NULL ELSE id % 9 END AS BIGINT)
-      |  AS wb FROM range(0, 60)) """.stripMargin.replaceAll("\n", "")
+      |  AS wb FROM range(0, 60, 1, 1)) """.stripMargin.replaceAll("\n", "")
   private[queries] val JD =
     """WITH a AS (SELECT i, CAST(i % 13 AS INT) AS ka,
       | CAST(CASE WHEN i % 5 = 0 THEN NULL ELSE i % 7 END AS BIGINT)
@@ -440,7 +440,7 @@ object SltFuzz {
     val es = s"WITH e AS (SELECT id AS i, CAST(id % 7 AS INT) AS k, " +
       s"CASE WHEN id % 17 = 0 THEN NULL ELSE " +
       s"timestamp_seconds($base + id * $step + (id % 5) * $jit) END AS ts " +
-      s"FROM range(0, 90)) "
+      s"FROM range(0, 90, 1, 1)) "
     val ed = s"WITH e AS (SELECT i, CAST(i % 7 AS INT) AS k, " +
       s"CASE WHEN i % 17 = 0 THEN NULL ELSE " +
       s"make_timestamp(($base + i * $step + (i % 5) * $jit) * 1000000) " +
@@ -537,7 +537,7 @@ object SltFuzz {
     val step = 4001 + rnd.nextInt(90000)
     val base = 1500000000L + rnd.nextInt(100000)
     val es = s"WITH e AS (SELECT id AS i, " +
-      s"timestamp_seconds($base + id * $step) AS ts FROM range(0, 90)) "
+      s"timestamp_seconds($base + id * $step) AS ts FROM range(0, 90, 1, 1)) "
     val ed = s"WITH e AS (SELECT i, " +
       s"make_timestamp(($base + i * $step) * 1000000) AS ts " +
       s"FROM range(0, 90) AS _r(i)) "

@@ -30,7 +30,7 @@ object SqlConformance {
     """WITH t AS (SELECT id AS i, CAST(id % 2 AS INT) AS two,
       | CAST(id % 4 AS INT) AS four, CAST(id % 10 AS INT) AS ten,
       | CAST(CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS BIGINT) AS v
-      | FROM range(0, 100)) """.stripMargin.replaceAll("\n", "")
+      | FROM range(0, 100, 1, 1)) """.stripMargin.replaceAll("\n", "")
   private[queries] val TD =
     """WITH t AS (SELECT i, CAST(i % 2 AS INT) AS two,
       | CAST(i % 4 AS INT) AS four, CAST(i % 10 AS INT) AS ten,

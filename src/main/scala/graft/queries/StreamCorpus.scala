@@ -219,42 +219,44 @@ object StreamCorpus {
     */
   def runSuite(spark: SparkSession, suite: Suite,
       skip: Set[String]): DataFrame = {
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevCp = spark.conf.get(cpKey, "true")
-    val prevSp = spark.conf.get(spKey)
-    spark.conf.set(cpKey, "false")
-    spark.conf.set(spKey, "4")
-    try runSuite0(spark, suite, skip)
-    finally {
-      spark.conf.set(cpKey, prevCp)
-      spark.conf.set(spKey, prevSp)
-    }
-  }
-
-  private def runSuite0(spark: SparkSession, suite: Suite,
-      skip: Set[String]): DataFrame = {
-    val collected = suite.units.filterNot(u => skip(u.id)).flatMap { u =>
-      val prog = Ddl.parse(u.program)
-      val outs = prog.views.filterNot(_.kind == Ddl.LocalView)
-      require(outs.size == 1, s"${u.id}: expected one output view, " +
-        s"got ${outs.map(_.name).mkString(",")}")
-      val outView = outs.head.name
-      val pipe = graft.runtime.Pipeline(spark, u.program)
-      u.steps.zipWithIndex.flatMap { case (st, i) =>
-        val deltas = scriptDeltas(spark, prog, st.script)
-        val res = pipe.step(deltas)
-        val vDelta = res(outView)
-        val ordered = vDelta.select(
-          (ZSets.dataCols(vDelta).map(col) :+ col(ZSets.W)): _*)
-        // quidemBool: the step tables record true/false, not pg t/f
-        PgCorpus.renderedRows(ordered,
-            PgCorpus.SuiteMode(interval = true, quidemBool = true))
-          .collect().map(r => (s"${u.id}#s$i", r.getString(0)))
-      }
-    }
+    // units are independent standing pipelines; their cost is the
+    // serial per-step driver floor, so run them CONCURRENTLY from a
+    // bounded pool (optimization guide §2.6), each in a child session —
+    // a unit's Pipeline registers temp views under its program's table
+    // names, which collide across units in one catalog. The child
+    // session re-pins the fixture-sized confs (constraint propagation
+    // off, 4-way shuffles) a new session would otherwise take from the
+    // builder conf.
+    val collected = Par.map(suite.units.filterNot(u => skip(u.id)),
+      Par.width(spark)) { u =>
+      val s = Par.childSession(spark,
+        "spark.sql.constraintPropagation.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "4")
+      runUnit(s, u)
+    }.flatten
     import spark.implicits._
     collected.toDF("tid", "r")
+  }
+
+  private def runUnit(spark: SparkSession,
+      u: StepUnit): Seq[(String, String)] = {
+    val prog = Ddl.parse(u.program)
+    val outs = prog.views.filterNot(_.kind == Ddl.LocalView)
+    require(outs.size == 1, s"${u.id}: expected one output view, " +
+      s"got ${outs.map(_.name).mkString(",")}")
+    val outView = outs.head.name
+    val pipe = graft.runtime.Pipeline(spark, u.program)
+    u.steps.zipWithIndex.flatMap { case (st, i) =>
+      val deltas = scriptDeltas(spark, prog, st.script)
+      val res = pipe.step(deltas)
+      val vDelta = res(outView)
+      val ordered = vDelta.select(
+        (ZSets.dataCols(vDelta).map(col) :+ col(ZSets.W)): _*)
+      // quidemBool: the step tables record true/false, not pg t/f
+      PgCorpus.renderedRows(ordered,
+          PgCorpus.SuiteMode(interval = true, quidemBool = true))
+        .collect().map(r => (s"${u.id}#s$i", r.getString(0)))
+    }
   }
 
   /** The recorded expected rows as literal SQL — the DuckDB oracle. */

@@ -28,6 +28,31 @@ object Shims {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Snapshot a DataFrame's rows in INTERNAL form (attributes + copied
+    * InternalRows) — session-portable without the external-row round
+    * trip, which cannot carry every SQL type (Spark 4's TIME has no
+    * external converter yet). Pair with [[fromInternalRows]].
+    */
+  def internalRows(df: org.apache.spark.sql.DataFrame)
+      : (Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+         Array[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val classic =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    (classic.queryExecution.analyzed.output,
+      classic.queryExecution.executedPlan.executeCollect())
+  }
+
+  /** Rebuild a [[internalRows]] snapshot as a LocalRelation DataFrame in
+    * (any) session `spark` — a fully materialized leaf, no re-execution.
+    */
+  def fromInternalRows(spark: org.apache.spark.sql.SparkSession,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      rows: Array[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame =
+    ofRows(spark,
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        attrs, rows.toIndexedSeq))
+
   /** Plan barrier WITHOUT the external-row round trip:
     * `createDataFrame(df.rdd, schema)` severs origin-plan lineage (and its
     * constraints — see the streaming-delta constraint-bug workaround) but
