@@ -312,14 +312,13 @@ object Nexmark {
     })
 
   private def pipeline(s0: SparkSession): graft.runtime.Pipeline = {
-      // fixture-sized build: the generated tables are 20k/500/200 rows,
-      // so the 3-step IVM build prices as task-count overhead at the
-      // bench's core-count-wide shuffles (94 task-s measured at 32).
-      // A child session pins a 4-way shuffle width for the standing
-      // pipeline (state frames + ad-hoc reads) without touching the
-      // caller's conf; at real scale the width is the cluster default.
+      // the 3-step IVM build is REAL parallel compute (q5's double-HOP
+      // explodes bid 5× before its self-join) — a measured A/B of a
+      // fixture-sized 4-way shuffle pin ran 3.7× SLOWER than the
+      // session's core-count width (260 → 641 task-s), so the build
+      // keeps the caller's width. A child session still isolates the
+      // pipeline's temp views from the caller's catalog.
       val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
       graft.functions.Registry.registerAll(s)
       val pipe = graft.runtime.Pipeline(s, program)
       val frames = Map(

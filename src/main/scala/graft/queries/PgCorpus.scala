@@ -715,8 +715,18 @@ object PgCorpus {
   def runSuite(spark: SparkSession, suite: Suite,
       skip: Set[String]): DataFrame = {
     val spKey = "spark.sql.shuffle.partitions"
+    val wsKey = "spark.sql.codegen.wholeStage"
+    val fmKey = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.get(spKey)
+    val prevWs = spark.conf.get(wsKey, "true")
+    val prevFm = spark.conf.get(fmKey, "FALLBACK")
     spark.conf.set(spKey, "4")
+    // interpreted mode for the suite: hundreds of DISTINCT fixture-sized
+    // plans thrash the 100-entry codegen cache and janino-compile inside
+    // tasks (measured 12x task-time inflation under the concurrent
+    // runner); interpreted eval is the right regime at corpus size
+    spark.conf.set(wsKey, "false")
+    spark.conf.set(fmKey, "NO_CODEGEN")
     try {
       // tests are independent reads over the suite's fixture temp
       // views; each one's cost is driver-side analysis plus a tiny job,
@@ -729,7 +739,11 @@ object PgCorpus {
       }.flatten
       import spark.implicits._
       collected.toDF("tid", "r")
-    } finally spark.conf.set(spKey, prev)
+    } finally {
+      spark.conf.set(spKey, prev)
+      spark.conf.set(wsKey, prevWs)
+      spark.conf.set(fmKey, prevFm)
+    }
   }
 
   // ------------------------------------------- incremental replay
@@ -858,7 +872,12 @@ object PgCorpus {
       math.min(6, Par.width(spark))) { chunk =>
       val s = Par.childSession(spark,
         "spark.sql.constraintPropagation.enabled" -> "false",
-        "spark.sql.shuffle.partitions" -> "4")
+        "spark.sql.shuffle.partitions" -> "4",
+        // interpreted-mode children: see StreamCorpus.runSuite — the
+        // replay's distinct per-view plans otherwise janino-compile
+        // inside tasks through a thrashed global codegen cache
+        "spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
       val used = localFrames.map(_._1).filter(n => chunk.exists(t =>
         ("(?i)\\b" + n + "\\b").r.findFirstIn(t.query).isDefined)).toSet
       val frames = localFrames.filter(f => used(f._1))

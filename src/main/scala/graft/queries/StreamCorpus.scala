@@ -231,7 +231,14 @@ object StreamCorpus {
       Par.width(spark)) { u =>
       val s = Par.childSession(spark,
         "spark.sql.constraintPropagation.enabled" -> "false",
-        "spark.sql.shuffle.partitions" -> "4")
+        "spark.sql.shuffle.partitions" -> "4",
+        // fixture-sized plans: compiling hundreds of DISTINCT tiny
+        // plans thrashes the global 100-entry codegen cache (janino
+        // compile INSIDE tasks, under a shared lock — measured 7-12x
+        // task-time inflation across concurrent units); interpreted
+        // eval is the right regime for corpus-sized rows
+        "spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
       runUnit(s, u)
     }.flatten
     import spark.implicits._
