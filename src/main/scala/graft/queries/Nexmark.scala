@@ -305,7 +305,12 @@ object Nexmark {
        Array[org.apache.spark.sql.catalyst.InternalRow])] =
     memo.computeIfAbsent(spark, s0 => {
       val pipe = pipeline(s0)
-      defs.map { d =>
+      // the 17 final-state reads are independent chains of lazy
+      // localCheckpoints — overlap them from a bounded pool (guide
+      // §2.6). Each read materializes only its own view's chain; the
+      // shared table frames are eager checkpoints, so concurrent
+      // first-touch recompute cannot diverge.
+      Par.map(defs, Par.width(s0)) { d =>
         d.view -> org.apache.spark.sql.graft.Shims.internalRows(
           pipe.adHoc(s"SELECT * FROM ${d.view}"))
       }.toMap
@@ -344,6 +349,15 @@ object Nexmark {
       pipe.step(frames.map { case (n, f) => n -> ZSets.lift(slice(f, 0)) })
       pipe
   }
+
+  // dev introspection for tools.Scratch phase timing (no graded use)
+  private[graft] def programSql: String = program
+  private[graft] def gradedViews: Seq[String] = defs.map(_.view)
+  private[graft] def genFrames(s: SparkSession)
+      : Map[String, org.apache.spark.sql.DataFrame] =
+    Seq("person", "auction", "bid").map(n =>
+      n -> s.sql(s"WITH ${genCtes(duck = false)} SELECT * FROM $n")
+        .localCheckpoint(true)).toMap
 
   /** Graded wrapper projections: timestamps emit as epoch millis
     * (cross-engine-stable), DECIMAL money as DOUBLE. The same wrapper

@@ -74,9 +74,12 @@ final class Pipeline(spark: SparkSession,
 
   private[runtime] def session: SparkSession = spark
 
-  /** LSM-tiered state traces for [[traceBacked]] relations. */
+  /** LSM-tiered state traces for [[traceBacked]] relations (concurrent:
+    * trace-backed views may integrate from the parallel view loop; each
+    * relation's trace instance is only ever touched by its own view).
+    */
   private val relTraces =
-    mutable.Map[String, graft.incremental.TieredTrace]()
+    scala.collection.concurrent.TrieMap[String, graft.incremental.TieredTrace]()
 
   /** Integrate `delta` into a trace-backed relation's state and return
     * the post-append consolidated read (lazy; pinned to this step's
@@ -260,24 +263,27 @@ final class Pipeline(spark: SparkSession,
 
   /** Z-set snapshots: tables AND view outputs, consolidated. */
   private val tableState = mutable.Map[String, DataFrame]()
-  private val viewState = mutable.Map[String, DataFrame]()
+  private val viewState =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
   /** Hidden join-body Z-sets for AggOverMulti views (positional column
     * names `_c0.._cN` — join outputs can repeat names).
     */
-  private val joinState = mutable.Map[String, DataFrame]()
+  private val joinState =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
   /** Presence-marked upsert state for PRIMARY KEY tables. */
   private val upsertState = mutable.Map[String, DataFrame]()
   /** Indicator Z-sets for SemiAnti views: the distinct key projection of
     * the semi/anti join's right side, with derivation counts (positional
     * columns `_k0.._kn` + `_w`).
     */
-  private val indicatorState = mutable.Map[String, DataFrame]()
+  private val indicatorState =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
   /** Cached per-view analyzed plans for the SemiAnti delta rule: (plan0,
     * semi parts, left leaves, right leaves, indicator identity). Safe to
     * reuse across steps — every evaluation replaces ALL leaf bindings
     * before running.
     */
-  private val semiAntiCache = mutable.Map[String,
+  private val semiAntiCache = scala.collection.concurrent.TrieMap[String,
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Ivm.SemiParts,
       Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
       Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
@@ -291,20 +297,65 @@ final class Pipeline(spark: SparkSession,
     * relation leaves before running, so the cached analysis can never
     * evaluate a stale binding.
     */
-  private val leafPlanCache = mutable.Map[String,
+  private val leafPlanCache = scala.collection.concurrent.TrieMap[String,
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)])]()
 
   private def analyzedLeaves(viewName: String, sql: String)
       : (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]) =
-    leafPlanCache.getOrElseUpdate(viewName, {
+    leafPlanCache.getOrElseUpdate(viewName, computeAnalyzedLeaves(sql))
+
+  /** One parse+analysis of a view body plus its identified relation
+    * leaves — the uncached form (NOW()-bound bodies change every step).
+    */
+  private def computeAnalyzedLeaves(sql: String)
+      : (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]) =
+    evalLock.synchronized {
       // same division semantics as sqlView — IVM deltas must match batch
       val plan = org.apache.spark.sql.graft.IntegerDivision
         .transformPlan(spark.sql(sql).queryExecution.analyzed)
       val known = (tableNames ++ program.views.map(_.name)).toSet
       (plan, Ivm.leafNodes(plan, Ivm.leafFn(spark, known)))
-    })
+    }
+
+  /** Whether an Opaque view body can be delta-evaluated by grafting
+    * bindings onto its cached analyzed plan instead of re-analyzing the
+    * SQL against rebound session temp views every step. Requires (a) no
+    * subquery expressions (plan-surgery does not descend into them — an
+    * unbound inner relation would silently read analysis-time state) and
+    * (b) every known-name alias in the tree identified as a graftable
+    * leaf (a derived subquery aliased to a relation name must keep the
+    * re-analysis path, same collision rule as [[Ivm.leafFn]]).
+    */
+  private def graftableOpaque(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      leaves: Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)])
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    val hasSubq = plan.exists(p =>
+      p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]])))
+    if (hasSubq) return false
+    val known = (tableNames ++ program.views.map(_.name))
+      .map(_.toLowerCase).toSet
+    val identified =
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]()
+    leaves.foreach { case (_, n) => identified.put(n, true) }
+    def check(p: LogicalPlan): Boolean =
+      if (identified.containsKey(p)) true
+      else p match {
+        case s: SubqueryAlias =>
+          var in = s
+          while (in.child.isInstanceOf[SubqueryAlias])
+            in = in.child.asInstanceOf[SubqueryAlias]
+          if (known(in.alias.toLowerCase)) false
+          else p.children.forall(check)
+        case _ => p.children.forall(check)
+      }
+    check(plan)
+  }
 
   /** Replacement map: each identified relation leaf → its binding's
     * analyzed plan, aliased onto the leaf's exprIds (identity-keyed so
@@ -335,6 +386,25 @@ final class Pipeline(spark: SparkSession,
     repl
   }
 
+  /** Whether every identified leaf has a binding of the exact same arity
+    * and column types. The graft substitution pins the cached plan's
+    * types; a binding whose types drifted (e.g. a hand-built delta frame
+    * typed TIMESTAMP where the declared column analyzed as
+    * TIMESTAMP_NTZ) must take the temp-view re-analysis path, which
+    * applies the session's implicit coercions exactly as batch would.
+    */
+  private def bindsConform(
+      leaves: Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
+      binds: Map[String, DataFrame]): Boolean =
+    leaves.forall { case (rel, node) =>
+      binds.get(rel).exists { df =>
+        val out = df.queryExecution.analyzed.output
+        out.size == node.output.size &&
+          out.zip(node.output).forall { case (c, o) =>
+            c.dataType == o.dataType }
+      }
+    }
+
   /** Graft bindings onto a cached analyzed plan (all leaves replaced). */
   private def graftPlan(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -351,11 +421,13 @@ final class Pipeline(spark: SparkSession,
     * (each skipped term saves a broadcast-build job plus its share of
     * planning). Cleared at the top of [[step]].
     */
-  private val stepDeltaSigns = mutable.Map[String, (Boolean, Boolean)]()
+  private val stepDeltaSigns =
+    scala.collection.concurrent.TrieMap[String, (Boolean, Boolean)]()
 
   private def signsOf(name: String,
       relDeltas: collection.Map[String, DataFrame]): (Boolean, Boolean) =
-    stepDeltaSigns.getOrElseUpdate(name, relDeltas.get(name) match {
+    stepDeltaSigns.synchronized {
+      stepDeltaSigns.getOrElseUpdate(name, relDeltas.get(name) match {
       case None => (false, false)
       case Some(d) =>
         // lazy fallback (view deltas discovered mid-loop); table deltas
@@ -365,7 +437,8 @@ final class Pipeline(spark: SparkSession,
           org.apache.spark.sql.functions.min(col(ZSets.W))).head()
         (!r.isNullAt(0) && r.getLong(0) > 0,
           !r.isNullAt(1) && r.getLong(1) < 0)
-    })
+      })
+    }
 
   /** Relations whose deltas feed a sign-consulting delta rule
     * (multilinear / agg-over-join / semi-anti terms evaluate only the
@@ -406,7 +479,8 @@ final class Pipeline(spark: SparkSession,
     * indicator Z-set and compute its delta once per step. Cleared at the
     * top of [[step]].
     */
-  private val stepIndicatorMemo = mutable.Map[String, Option[DataFrame]]()
+  private val stepIndicatorMemo =
+    scala.collection.concurrent.TrieMap[String, Option[DataFrame]]()
 
   private val tableNames = program.tables.map(_.name)
 
@@ -426,6 +500,38 @@ final class Pipeline(spark: SparkSession,
     */
   private val recursiveNames: Set[String] = program.recursive.map(_.name).toSet
 
+  /** Bounded overlap for the per-step view loop: cores/4 clamped to
+    * [1, 8] (1 = the serial path — the driver's low-core scaling runs
+    * keep their old shape). `spark.graft.pipeline.viewParallelism`
+    * overrides for A/B and cluster sizing.
+    */
+  private val viewPar: Int =
+    sys.env.get("SPARK_GRAFT_VIEWPAR").map(_.toInt).getOrElse(
+      spark.conf.getOption("spark.graft.pipeline.viewParallelism")
+        .map(_.toInt).getOrElse(math.max(1,
+          math.min(8, spark.sparkContext.defaultParallelism / 4))))
+
+  /** Views grouped into dependency levels: a view sits one level above
+    * the deepest earlier view its SQL references (textual word match —
+    * over-approximation only costs parallelism, same rule as
+    * [[emitFinalDeps]]). Views in one level never read each other's
+    * step output, so [[step]] may evaluate a level concurrently.
+    * Declaration order is preserved inside each level.
+    */
+  private lazy val viewLevels: Seq[Seq[graft.ddl.Ddl.ViewDef]] = {
+    val level = mutable.Map[String, Int]()
+    val earlier = mutable.ListBuffer[graft.ddl.Ddl.ViewDef]()
+    program.views.foreach { v =>
+      val deps = earlier.filter(w =>
+        ("(?i)\\b" + java.util.regex.Pattern.quote(w.name) + "\\b").r
+          .findFirstIn(v.sql).isDefined)
+      level(v.name) =
+        if (deps.isEmpty) 0 else deps.map(w => level(w.name)).max + 1
+      earlier += v
+    }
+    program.views.groupBy(v => level(v.name)).toSeq.sortBy(_._1).map(_._2)
+  }
+
   /** Built-in `ERROR_VIEW` (docs/sql/system.md): runtime-populated
     * (table_or_view_name, message, metadata) rows. Currently fed by the
     * LATENESS gate below — the same contract the reference documents
@@ -442,6 +548,11 @@ final class Pipeline(spark: SparkSession,
 
   def errorView: DataFrame = errorState
 
+  /** Guards [[errorState]] read-modify-write (view-lateness gates may
+    * run concurrently in the parallel view loop).
+    */
+  private val errorLock = new Object
+
   /** (table, lateness column) → discard cutoff. The waterline is
     * max-observed(ts) − LATENESS, advanced AFTER each ingested chunk
     * (tutorials/time-series.md:154-195: "Feldera ingests input records in
@@ -450,7 +561,8 @@ final class Pipeline(spark: SparkSession,
     * against the waterline its PREDECESSORS established, making lateness
     * the documented soft bound).
     */
-  private val latenessCutoffs = mutable.Map[(String, String), Any]()
+  private val latenessCutoffs =
+    scala.collection.concurrent.TrieMap[(String, String), Any]()
 
   /** Normalize a collected temporal value into one comparable domain:
     * deltas arrive with whatever timestamp flavor the producer used
@@ -583,7 +695,7 @@ final class Pipeline(spark: SparkSession,
     * expression is the reference's own requirement for emit_final.
     */
   private lazy val emitFinalBound: Map[String, Any => Any] =
-    emitFinalCol.map { case (vn, cn) =>
+    evalLock.synchronized { emitFinalCol.map { case (vn, cn) =>
       import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
       val fn: Any => Any = try {
         val v = program.views.find(_.name == vn).get
@@ -628,15 +740,17 @@ final class Pipeline(spark: SparkSession,
         }
       } catch { case _: Throwable => identity[Any] _ }
       vn -> fn
-    }
+    } }
 
-  private val emitFinalHold = mutable.Map[String, DataFrame]()
+  private val emitFinalHold =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   /** TRUE (pre-gate) content of emit_final views — the state the
     * view's own delta rules diff against; `viewState` keeps only the
     * emitted (final) rows consumers see.
     */
-  private val innerViewState = mutable.Map[String, DataFrame]()
+  private val innerViewState =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   /** Accumulate the view's delta in a hold buffer; release the rows
     * whose emit_final column lies STRICTLY below every relevant input
@@ -1211,8 +1325,10 @@ final class Pipeline(spark: SparkSession,
         to_json(struct(raw.columns.map(col): _*)).as("metadata"))
       // materialize now: the waterline advances below, and error rows must
       // reflect THIS chunk's verdict (constraint-safe eager snapshot)
-      errorState = errorState.unionByName(
-        graft.incremental.Trace.materialize(entries))
+      errorLock.synchronized {
+        errorState = errorState.unionByName(
+          graft.incremental.Trace.materialize(entries))
+      }
       raw.filter(!latePred)
     }
     // advance waterlines from this chunk's maxima (late rows cannot raise
@@ -1251,15 +1367,27 @@ final class Pipeline(spark: SparkSession,
     val sh = mutable.Map[String, Ivm.Shape]()
     val ev = mutable.Map[String, DataFrame]()
     val known = mutable.Set[String]() ++ tableNames
-    program.views.foreach { v =>
-      sh(v.name) =
-        if (recursiveNames(v.name)) Ivm.Opaque
-        else Ivm.classify(spark, v.sql, known.toSet)
-      val out = Pipeline.dedupCols(sqlView(v.sql).limit(0))
-        .localCheckpoint(false)
-      out.createOrReplaceTempView(v.name)
-      ev(v.name) = out
-      known += v.name
+    // classification is per-view Catalyst analysis (driver-bound):
+    // views in one dependency level reference only lower levels, so
+    // their analyses overlap (guide §2.6); registrations stay serial
+    // between levels. Same-level peers are absent from `known` — a
+    // level peer is never a leaf of this view by construction.
+    viewLevels.foreach { level =>
+      val ks = known.toSet
+      val res = graft.queries.Par.map(
+        level, math.min(viewPar, level.size)) { v =>
+        val shape =
+          if (recursiveNames(v.name)) Ivm.Opaque
+          else Ivm.classify(spark, v.sql, ks)
+        (v.name, shape,
+          Pipeline.dedupCols(sqlView(v.sql).limit(0)).localCheckpoint(false))
+      }
+      res.foreach { case (n, shape, out) =>
+        sh(n) = shape
+        out.createOrReplaceTempView(n)
+        ev(n) = out
+        known += n
+      }
     }
     (sh.toMap, ev.toMap)
   }
@@ -1412,14 +1540,24 @@ final class Pipeline(spark: SparkSession,
     * session temp views; `step` re-registers canonical views at the end).
     */
   private def evalWith(sql: String,
-      bindings: Map[String, DataFrame]): DataFrame = {
+      bindings: Map[String, DataFrame]): DataFrame = evalLock.synchronized {
     bindings.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     // same reference semantics as sqlView — the LINEAR delta path
     // must divide (and ceil/floor/…) exactly like batch; the foreign-
     // corpus incremental replay (pgr_inc_int4) caught the bare
     // spark.sql here diverging on `i.f1 / '2'::INT2`
+    // (evalLock: bind-then-analyze must be atomic — the parallel view
+    // loop may analyze other views' SQL concurrently; spark.sql
+    // analyzes EAGERLY, so the returned frame is binding-independent)
     org.apache.spark.sql.graft.IntegerDivision(spark.sql(sql))
   }
+
+  /** Serializes session temp-view rebinding with any analysis that
+    * resolves relations from the session catalog (evalWith leaves its
+    * bindings in place; a concurrent fresh analysis would resolve them
+    * instead of the canonical state).
+    */
+  private val evalLock = new Object
 
   /** One incremental step: apply Z-set deltas (must carry `_w`) to table
     * snapshots, maintain every view by its IVM shape, and return per-view
@@ -1451,7 +1589,8 @@ final class Pipeline(spark: SparkSession,
     // attributable per phase/view in the UI and JobMeter traces
     def tag(phase: String): Unit =
       spark.sparkContext.setJobDescription(s"step#$stepsRun $phase")
-    val relDeltas = mutable.Map[String, DataFrame]()
+    val relDeltas =
+      scala.collection.concurrent.TrieMap[String, DataFrame]()
     deltas.foreach { case (name, raw0) =>
       tag(s"integrate $name")
       // freeze verdicts are judged against the waterline the
@@ -1554,10 +1693,17 @@ final class Pipeline(spark: SparkSession,
         }
     }
 
-    // 2. maintain views in declaration order
-    val newStates = mutable.Map[String, DataFrame]() ++ tableState ++ viewState
+    // 2. maintain views: dependency levels with bounded overlap (guide
+    // §2.6 — a view's per-step cost is driver-side plan surgery,
+    // physical planning at its lazy checkpoints, and broadcast-build
+    // kickoffs; views in one level share no step outputs, so that work
+    // overlaps). Declaration order within a level is preserved in the
+    // result; pipelines with a recursive group (shared recDeltas fill)
+    // or viewParallelism <= 1 keep the exact serial path.
+    val newStates = scala.collection.concurrent
+      .TrieMap[String, DataFrame]() ++ tableState ++ viewState
     var recDeltas = Map.empty[String, DataFrame]
-    val out = program.views.map { v =>
+    def maintainView(v: graft.ddl.Ddl.ViewDef): (String, DataFrame) = {
       tag(s"view ${v.name}")
       // an emit_final view's delta rules derive against its TRUE
       // content (innerViewState); viewState holds only EMITTED rows
@@ -1565,7 +1711,7 @@ final class Pipeline(spark: SparkSession,
       val oldSelf = innerViewState.get(v.name).orElse(oldViews.get(v.name))
       val rawDelta = if (nowViews(v.name))
         // clock-dependent: always recompute against the bound step time
-        recomputeDiff(bindClock(v.sql), newStates, oldSelf)
+        recomputeDiff(None, bindClock(v.sql), newStates, oldSelf)
       else if (recursiveNames(v.name)) {
         // recursive group: maintained jointly — semi-naive continuation
         // of the previous fixpoint when the bodies are sum-of-products
@@ -1591,10 +1737,10 @@ final class Pipeline(spark: SparkSession,
         case Ivm.SemiAnti(l, r, _) => !(l ++ r).exists(relDeltas.contains)
         case Ivm.Opaque => false // recomputeDiff below regardless
       }))
-        recomputeDiff(v.sql, newStates, oldSelf)
+        recomputeDiff(Some(v.name), v.sql, newStates, oldSelf)
       else shapes(v.name) match {
         case Ivm.Linear(rels) =>
-          evalLinear(v.sql, rels, relDeltas)
+          evalLinear(v.name, v.sql, rels, relDeltas)
         case Ivm.Multilinear(rels) if rels.exists(relDeltas.contains) =>
           evalMultilinear(v.name, v.sql, rels, relDeltas, oldStates,
             newStates)
@@ -1605,7 +1751,8 @@ final class Pipeline(spark: SparkSession,
           // append-only source + pure MIN/MAX view: chain fast path —
           // state is the view output itself, merged with least/greatest
           // (chain_aggregate.rs; no touched-group re-scan of the source)
-          evalChainAgg(v.sql, rel, outCols, chainCols, relDeltas(rel),
+          evalChainAgg(v.name, v.sql, rel, outCols, chainCols,
+            relDeltas(rel),
             oldSelf)
         case Ivm.GroupAgg(rel, groupCols, outCols, _)
             if relDeltas.contains(rel) && groupCols.nonEmpty &&
@@ -1616,7 +1763,8 @@ final class Pipeline(spark: SparkSession,
             oldSelf)
         case Ivm.GroupAgg(rel, groupCols, outCols, _)
             if relDeltas.contains(rel) =>
-          evalGroupAgg(v.sql, rel, groupCols, outCols, relDeltas(rel),
+          evalGroupAgg(v.name, v.sql, rel, groupCols, outCols,
+            relDeltas(rel),
             newStates, oldSelf)
         case Ivm.GroupAgg(_, _, _, _) => ZSets.lift(emptyViews(v.name))
         case Ivm.AggOverMulti(rels, groupPos, outCols)
@@ -1628,7 +1776,7 @@ final class Pipeline(spark: SparkSession,
           evalSemiAnti(v.sql, v.name, l, r, anti, relDeltas, oldStates)
         case Ivm.SemiAnti(_, _, _) => ZSets.lift(emptyViews(v.name))
         case Ivm.Opaque =>
-          recomputeDiff(v.sql, newStates, oldSelf)
+          recomputeDiff(Some(v.name), v.sql, newStates, oldSelf)
       }
       // plan-path deltas may carry duplicate output names (`a.*, b.*`
       // star-joins); the name-keyed Z-set machinery below needs them
@@ -1668,7 +1816,14 @@ final class Pipeline(spark: SparkSession,
       newStates(v.name) = newView
       relDeltas(v.name) = vDelta
       v.name -> vDelta
-    }.toMap
+    }
+    val out: Map[String, DataFrame] =
+      if (program.recursive.nonEmpty || viewPar <= 1)
+        program.views.map(maintainView).toMap
+      else
+        viewLevels.flatMap(level =>
+          graft.queries.Par.map(level, math.min(viewPar, level.size))(
+            maintainView)).toMap
 
     // 3. restore canonical temp views (multiset form) for adHoc/runBatch
     tag("restore-views")
@@ -1879,21 +2034,33 @@ final class Pipeline(spark: SparkSession,
     * (positive part, then negated negative part). One row in, its rows
     * out; nothing touches state.
     */
-  private def evalLinear(sql: String, rels: Set[String],
+  private def evalLinear(viewName: String, sql: String, rels: Set[String],
       relDeltas: collection.Map[String, DataFrame]): DataFrame = {
+    // Linear bodies are subquery-free by classification; terms graft
+    // their delta bindings onto the ONE cached analysis (was a full
+    // re-analysis + |rels| temp-view rebinds per term per step).
+    // Bindings whose types drifted from the cached analysis fall back
+    // to the re-analysis path (implicit coercions).
+    val shims = org.apache.spark.sql.graft.Shims
+    val (plan0, leaves) = analyzedLeaves(viewName, sql)
     def part(sign: DataFrame => DataFrame): Map[String, DataFrame] =
       rels.map(r => r -> relDeltas.get(r)
         .map(d => ZSets.toMultiset(sign(d)))
         .getOrElse(emptyOf(r))).toMap
+    // identity and negate parts carry identical schemas: one check
+    val graftOk = bindsConform(leaves, part(identity))
+    def run(binds: Map[String, DataFrame]): DataFrame =
+      if (graftOk) shims.ofRows(spark, graftPlan(plan0, leaves, binds))
+      else evalWith(sql, binds)
     // evaluate only the sign parts that exist in this step's deltas
     val (hasPos, hasNeg) = rels.toSeq.map(signsOf(_, relDeltas))
       .foldLeft((false, false))((a, b) => (a._1 || b._1, a._2 || b._2))
     val terms =
-      (if (hasPos) Seq(ZSets.lift(evalWith(sql, part(identity)))) else Nil) ++
+      (if (hasPos) Seq(ZSets.lift(run(part(identity)))) else Nil) ++
       (if (hasNeg)
-        Seq(ZSets.negate(ZSets.lift(evalWith(sql, part(ZSets.negate)))))
+        Seq(ZSets.negate(ZSets.lift(run(part(ZSets.negate)))))
       else Nil)
-    if (terms.isEmpty) ZSets.lift(evalWith(sql, part(identity)).limit(0))
+    if (terms.isEmpty) ZSets.lift(run(part(identity)).limit(0))
     else terms.reduce(_ unionByName _)
   }
 
@@ -1955,23 +2122,40 @@ final class Pipeline(spark: SparkSession,
     * Exact for any aggregate; global aggregates (no keys) re-evaluate the
     * single group.
     */
-  private def evalGroupAgg(sql: String, rel: String, groupCols: Seq[String],
+  private def evalGroupAgg(viewName: String, sql: String, rel: String,
+      groupCols: Seq[String],
       outCols: Seq[String], delta: DataFrame,
       newStates: collection.Map[String, DataFrame],
       oldView: Option[DataFrame]): DataFrame = {
+    // GroupAgg bodies are single-relation and subquery-free by
+    // classification; the touched-group re-aggregation grafts its
+    // restriction onto the ONE cached analysis (was a re-analysis +
+    // temp-view rebind per step). Type-drifted bindings fall back to
+    // the re-analysis path (implicit coercions).
+    val shims = org.apache.spark.sql.graft.Shims
+    val (plan0, leaves) = analyzedLeaves(viewName, sql)
     val snap = stateOrEmpty(newStates, rel)
+    val graftOk = bindsConform(leaves, Map(rel -> ZSets.toMultiset(snap)))
+    def run(bound: DataFrame): DataFrame =
+      if (graftOk)
+        shims.ofRows(spark, graftPlan(plan0, leaves, Map(rel -> bound)))
+      else evalWith(sql, Map(rel -> bound))
     val old = oldView.getOrElse(
       ZSets.lift(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        evalWith(sql, Map(rel -> emptyOf(rel))).schema)))
+        if (graftOk)
+          StructType(plan0.output.map(a =>
+            org.apache.spark.sql.types.StructField(
+              a.name, a.dataType, a.nullable)))
+        else evalWith(sql, Map(rel -> emptyOf(rel))).schema)))
     if (groupCols.isEmpty) {
       // global aggregate: one group, always touched
-      val newRows = evalWith(sql, Map(rel -> ZSets.toMultiset(snap)))
+      val newRows = run(ZSets.toMultiset(snap))
       ZSets.lift(newRows).unionByName(ZSets.negate(old))
     } else {
       val touched = delta.select(groupCols.map(col): _*).distinct()
       val (restricted, _) = IncrementalOps.splitTouched(snap, touched, groupCols)
-      val newRows = evalWith(sql, Map(rel -> ZSets.toMultiset(restricted)))
+      val newRows = run(ZSets.toMultiset(restricted))
       val touchedOut = touched.toDF(outCols: _*)
       val (oldTouched, _) = IncrementalOps.splitTouched(old, touchedOut, outCols)
       ZSets.lift(newRows).unionByName(ZSets.negate(oldTouched))
@@ -2006,12 +2190,14 @@ final class Pipeline(spark: SparkSession,
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
       slots: Seq[LinearSlot])
 
-  private val linearAggMemo = mutable.Map[String, Option[LinearAggInfo]]()
+  private val linearAggMemo =
+    scala.collection.concurrent.TrieMap[String, Option[LinearAggInfo]]()
   /** Hidden partial-sum state per linear-agg view: group keys ++ one
     * (sum, non-null count) pair per SUM slot ++ one count per COUNT slot
     * ++ `_lp_w` (sum of weights — group liveness).
     */
-  private val linearPartials = mutable.Map[String, DataFrame]()
+  private val linearPartials =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   private def linearAggInfo(viewName: String, sql: String)
       : Option[LinearAggInfo] =
@@ -2329,7 +2515,7 @@ final class Pipeline(spark: SparkSession,
     // indicator right side onto this plan, so the cached analysis can
     // never go stale — no term evaluates a plan0 leaf as-bound.
     val (plan0, sp0, leftLeaves, rightLeaves, indKey) =
-      semiAntiCache.getOrElseUpdate(viewName, {
+      semiAntiCache.getOrElseUpdate(viewName, evalLock.synchronized {
         val p0 = Ivm.rewriteSubqueries(spark.sql(sql).queryExecution.analyzed)
         val sp = Ivm.semiParts(p0).getOrElse(
           sys.error(s"view $viewName lost its semi-join shape"))
@@ -2377,7 +2563,8 @@ final class Pipeline(spark: SparkSession,
     val rightTouched = rightRels.exists(relDeltas.contains)
     val dI: Option[DataFrame] =
       if (!rightTouched) None
-      else stepIndicatorMemo.getOrElseUpdate(indKey, {
+      else stepIndicatorMemo.synchronized {
+        stepIndicatorMemo.getOrElseUpdate(indKey, {
         val (rPos, rNeg) = rightRels.toSeq.map(signsOf(_, relDeltas))
           .foldLeft((false, false))((a, b) => (a._1 || b._1, a._2 || b._2))
         if (!rPos && !rNeg) None
@@ -2401,7 +2588,8 @@ final class Pipeline(spark: SparkSession,
           indicatorState(indKey) = st.localCheckpoint(false)
           Some(d.localCheckpoint(false))
         }
-      })
+        })
+      }
 
     // graft: bind the left-side leaves and replace the join's right child
     // with `rows` (aliased onto the right key attrs' exprIds, broadcast)
@@ -2498,15 +2686,24 @@ final class Pipeline(spark: SparkSession,
     * snapshot. Valid only for append-only sources with pure MIN/MAX
     * aggregates — extrema are monotone without retraction.
     */
-  private def evalChainAgg(sql: String, rel: String, outCols: Seq[String],
+  private def evalChainAgg(viewName: String, sql: String, rel: String,
+      outCols: Seq[String],
       chainCols: Seq[(String, Boolean)], delta: DataFrame,
       oldView: Option[DataFrame]): DataFrame = {
     // append_only contract: a retraction here would silently corrupt the
     // monotone extremum (tableState still integrates it) — fail fast
     // instead (the delta is already localCheckpoint'd; the scan is cheap)
     ZSets.assertNonNegative(delta)
-    val contrib = evalWith(sql,
-      Map(rel -> ZSets.toMultiset(delta)))
+    // single-relation subquery-free body (same classification as
+    // GroupAgg): graft the delta onto the cached analysis; type-drifted
+    // deltas fall back to the re-analysis path
+    val (cPlan0, cLeaves) = analyzedLeaves(viewName, sql)
+    val cBinds = Map(rel -> ZSets.toMultiset(delta))
+    val contrib =
+      if (bindsConform(cLeaves, cBinds))
+        org.apache.spark.sql.graft.Shims.ofRows(spark,
+          graftPlan(cPlan0, cLeaves, cBinds))
+      else evalWith(sql, cBinds)
     oldView match {
       case None => ZSets.lift(contrib)
       case Some(old) =>
@@ -2529,20 +2726,58 @@ final class Pipeline(spark: SparkSession,
 
   /** Opaque fallback: evaluate over full new snapshots, diff against the
     * previous output (the only shape paying O(|state|) per step).
+    *
+    * Evaluation grafts the new snapshots onto the view's analyzed plan
+    * (cached when `viewKey` is set; NOW()-bound bodies pass None and
+    * re-analyze — the clock literal changes every step). Views whose
+    * plan is not graft-safe ([[graftableOpaque]]) keep the temp-view
+    * re-analysis path. The graft path removes one full Catalyst
+    * parse+analysis plus |relations| temp-view rebinds per view per step
+    * — a measured slice of the per-step driver floor.
     */
-  private def recomputeDiff(sql: String,
+  private def recomputeDiff(viewKey: Option[String], sql: String,
       newStates: collection.Map[String, DataFrame],
       oldView: Option[DataFrame]): DataFrame = {
-    val rels = (tableNames ++ program.views.map(_.name)).toSet
-    val bindings = rels.map(r => r -> multisetOf(r, newStates)).toMap
+    val shims = org.apache.spark.sql.graft.Shims
+    val graftable: Option[(
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)])] =
+      viewKey match {
+        case Some(k) =>
+          if (recomputeGraftable.getOrElseUpdate(k, {
+            val (p, ls) = analyzedLeaves(k, sql)
+            graftableOpaque(p, ls)
+          })) Some(analyzedLeaves(k, sql)) else None
+        case None =>
+          val (p, ls) = computeAnalyzedLeaves(sql)
+          if (graftableOpaque(p, ls)) Some((p, ls)) else None
+      }
     // dedup (`a.*, b.*` star-joins repeat names) BEFORE the union with
     // the previous content, whose names are already deduped
-    val now = ZSets.lift(Pipeline.dedupCols(evalWith(sql, bindings)))
+    val now = graftable match {
+      case Some((plan0, leaves))
+          if bindsConform(leaves, leaves.map(_._1).distinct
+            .map(r => r -> multisetOf(r, newStates)).toMap) =>
+        val binds = leaves.map(_._1).distinct
+          .map(r => r -> multisetOf(r, newStates)).toMap
+        ZSets.lift(Pipeline.dedupCols(
+          shims.ofRows(spark, graftPlan(plan0, leaves, binds))))
+      case _ =>
+        val rels = (tableNames ++ program.views.map(_.name)).toSet
+        val bindings = rels.map(r => r -> multisetOf(r, newStates)).toMap
+        ZSets.lift(Pipeline.dedupCols(evalWith(sql, bindings)))
+    }
     oldView match {
       case Some(prev) => now.unionByName(ZSets.negate(prev))
       case None => now
     }
   }
+
+  /** viewName → whether its Opaque body is graft-evaluable (memoized —
+    * the check walks the cached analyzed plan).
+    */
+  private val recomputeGraftable =
+    scala.collection.concurrent.TrieMap[String, Boolean]()
 
   /** Ad-hoc batch SQL over the pipeline's CURRENT state — reference entry
     * point B: `/v0/pipelines/{p}/query`, evaluated there by embedded

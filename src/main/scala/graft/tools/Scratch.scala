@@ -27,6 +27,38 @@ object Scratch {
       return
     }
 
+    if (sys.env.contains("SPARK_GRAFT_NEXDBG")) {
+      // decompose nexmark_q0's wall: program parse, Pipeline
+      // construction (shape classification), each step, snapshot reads
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"NEXPHASE $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
+      val s = spark.newSession()
+      graft.functions.Registry.registerAll(s)
+      val program = graft.queries.Nexmark.programSql
+      val pipe = t("construct")(graft.runtime.Pipeline(s, program))
+      val frames = t("gen-frames")(graft.queries.Nexmark.genFrames(s))
+      import graft.zset.ZSets
+      def slice(df: org.apache.spark.sql.DataFrame, k: Int) =
+        df.where(pmod(hash(df.columns.map(col): _*), lit(3)) === k)
+      t("step1")(pipe.step(frames.map { case (n, f) =>
+        n -> ZSets.lift(slice(f, 0).unionByName(slice(f, 1))) }))
+      t("step2")(pipe.step(frames.map { case (n, f) =>
+        n -> ZSets.lift(slice(f, 2)).unionByName(
+          ZSets.negate(ZSets.lift(slice(f, 0)))) }))
+      t("step3")(pipe.step(frames.map { case (n, f) =>
+        n -> ZSets.lift(slice(f, 0)) }))
+      graft.queries.Nexmark.gradedViews.foreach { v =>
+        t(s"read $v")(org.apache.spark.sql.graft.Shims.internalRows(
+          pipe.adHoc(s"SELECT * FROM $v")))
+      }
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_STEPDBG")) {
       import graft.queries.StreamCorpus
       val Array(sname, uname) = sys.env("SPARK_GRAFT_STEPDBG").split(":", 2)
