@@ -203,6 +203,150 @@ case class VectorDist2Long(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd integer quantization of a FLOAT/DOUBLE vector:
+  * `transform(a, x => round(x.cast("double") * scale).cast("long"))` as a
+  * single tight loop — the staging projection of every quantized ANN row
+  * (brute-force / IVF / PQ / IVFPQ) evaluated that HOF lambda tree
+  * interpreted, per element, per corpus row.
+  *
+  * Bit-identical to the composed form (QuantizeKernelSpec): Spark's
+  * `round` on DOUBLE is `BigDecimal.valueOf(v).setScale(0, HALF_UP)` —
+  * for |v| < 2^52 the shortest-decimal detour equals binary
+  * round-half-away-from-zero (a double whose shortest decimal form is
+  * `k.5` IS the representable `k.5`, because that literal parses to
+  * itself), and above 2^52 every double is already integral; so the
+  * kernel computes floor + half-compare and skips BigDecimal entirely.
+  * The trailing LONG cast replicates ANSI overflow semantics.
+  *
+  * Null semantics: null if the array is null; null ELEMENTS stay null
+  * (exactly `transform`'s behavior).
+  */
+case class QuantizeRoundLong(child: Expression, scale: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_quantize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val isD = elemIsDouble
+    val vals = new Array[Long](n)
+    var anyNull = false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) anyNull = true
+      else {
+        val v = (if (isD) a.getDouble(i) else a.getFloat(i).toDouble) *
+          scale.toDouble
+        vals(i) = QuantizeRoundLong.roundCastLong(v)
+      }
+      i += 1
+    }
+    if (!anyNull)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(vals)
+    else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) out(i) = vals(i)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val vals = ctx.freshName("vals")
+      val anyNull = ctx.freshName("anyNull")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      val getter = if (elemIsDouble) s"$a.getDouble($i)"
+        else s"(double) $a.getFloat($i)"
+      val cls = "graft.functions.QuantizeRoundLong"
+      s"""
+         |int $n = $a.numElements();
+         |long[] $vals = new long[$n];
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $anyNull = true; }
+         |  else {
+         |    double $v = $getter * (double) $scale;
+         |    $vals[$i] = $cls.roundCastLong($v);
+         |  }
+         |}
+         |if (!$anyNull) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($vals);
+         |} else {
+         |  Object[] $out = new Object[$n];
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if (!$a.isNullAt($j)) $out[$j] = $vals[$j];
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeRoundLong = copy(child = newChild)
+}
+
+object QuantizeRoundLong {
+  /** `round(v)` (HALF_UP, Spark Round-on-DOUBLE semantics) then ANSI cast
+    * to LONG. Called from generated code — must stay public and static.
+    */
+  def roundCastLong(v: Double): Long = {
+    val r =
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v) ||
+        math.abs(v) >= 4.503599627370496e15) v // >= 2^52: integral
+      else {
+        val f = math.floor(v)
+        // frac = v - f computed in fp is INEXACT near .5 (e.g.
+        // v = -0.49999999999999994 gives exactly 0.5), so recover the
+        // subtraction's exact error with Knuth 2Sum: s + err == v - f
+        // as reals. Comparing (s - 0.5) + err against 0 is then exact:
+        // s - 0.5 is exact by Sterbenz whenever it could be smaller
+        // than |err|, and fp addition preserves the sign of the result.
+        // Binary-exact comparison agrees with Spark Round's
+        // shortest-decimal HALF_UP: strict sides can't straddle a
+        // representable half (both are within half an ulp of it), and
+        // an exact binary k.5 prints as "k.5".
+        val s = v - f
+        val a1 = s + f
+        val b1 = s - a1
+        val err = (v - a1) + (-f - b1)
+        val c = (s - 0.5d) + err
+        if (c > 0d || (c == 0d && v > 0d)) f + 1d else f
+      }
+    // ANSI cast(double as long), bit-for-bit (probed): the window is
+    // [-2^63, 2^63] on the ROUNDED value (Long.MaxValue.toDouble is
+    // 2^63), in-window values saturate via toLong (so r == 2^63 yields
+    // Long.MaxValue), NaN/Inf/outside throw Spark's own CAST_OVERFLOW.
+    if (r >= -9.223372036854776e18 && r <= 9.223372036854776e18) r.toLong
+    else throw org.apache.spark.sql.graft.Shims.castDoubleToLongOverflow(r)
+  }
+}
+
 object VectorDot {
   /** Column API: codegen'd float-vector dot product. */
   def dotF(a: Column, b: Column): Column =

@@ -48,6 +48,16 @@ object IncrementalOps {
     * genuinely huge materialized or scanned delta (backfill, compaction).
     */
   private[graft] def maybeBroadcast(df: DataFrame): DataFrame = {
+    // single-partition sessions (the fixture-sized corpus regime): a
+    // broadcast avoids no shuffle — both sides are one partition — while
+    // every broadcast BUILD is its own Spark job (driver-floor cost per
+    // step, measured r16). Plain join planning keeps the work inside the
+    // consuming job. Any real partitioning (the default everywhere else)
+    // keeps the delta-broadcast hint.
+    val sp1 =
+      try df.sparkSession.sessionState.conf.numShufflePartitions == 1
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (sp1) return df
     val keep =
       try {
         val default =

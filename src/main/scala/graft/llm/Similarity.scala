@@ -33,8 +33,20 @@ object Similarity {
   /** Integer-quantized cosine: elements scaled by `scale` and rounded to
     * BIGINT, so dot/norms are exact integer sums — bit-identical across
     * engines and partitionings (used by the oracle-checked queries).
+    * Codegen'd kernel; [[quantizeHof]] is the composed form it replaced
+    * (kept as the QuantizeKernelSpec reference — the staging projections
+    * of every ANN row evaluated that lambda tree INTERPRETED, per
+    * element, per corpus row).
     */
   def quantize(a: Column, scale: Int): Column =
+    // SPARK_GRAFT_QUANT_HOF=1: A/B escape hatch back to the composed form
+    if (sys.env.contains("SPARK_GRAFT_QUANT_HOF")) quantizeHof(a, scale)
+    else org.apache.spark.sql.graft.Shims.column(
+      graft.functions.QuantizeRoundLong(
+        org.apache.spark.sql.graft.Shims.expression(a), scale))
+
+  /** Reference HOF form of [[quantize]] (tests only). */
+  def quantizeHof(a: Column, scale: Int): Column =
     transform(a, x => round(x.cast("double") * scale).cast("long"))
 
   def cosineQuantized(a: Column, b: Column, scale: Int): Column = {

@@ -707,7 +707,8 @@ object PgCorpus {
 
   /** Run every (non-skipped) test of a suite; returns (tid, r) rendered
     * actual rows — the graded-row relation. Units evaluate EAGERLY
-    * with a scoped 4-way shuffle: the fixtures are a few hundred rows,
+    * with a scoped single-partition shuffle: the fixtures are a few
+    * hundred rows,
     * and a lazy union of ~100 grouped subplans at the bench's 32
     * shuffle partitions prices as thousands of empty tasks
     * (pgr_aggscott read 126 task-s before this).
@@ -717,16 +718,23 @@ object PgCorpus {
     val spKey = "spark.sql.shuffle.partitions"
     val wsKey = "spark.sql.codegen.wholeStage"
     val fmKey = "spark.sql.codegen.factoryMode"
+    val aqKey = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(spKey)
     val prevWs = spark.conf.get(wsKey, "true")
     val prevFm = spark.conf.get(fmKey, "FALLBACK")
-    spark.conf.set(spKey, "4")
+    val prevAq = spark.conf.get(aqKey, "true")
+    spark.conf.set(spKey,
+      sys.env.getOrElse("SPARK_GRAFT_CORPUS_SP", "1"))
     // interpreted mode for the suite: hundreds of DISTINCT fixture-sized
     // plans thrash the 100-entry codegen cache and janino-compile inside
     // tasks (measured 12x task-time inflation under the concurrent
     // runner); interpreted eval is the right regime at corpus size
     spark.conf.set(wsKey, "false")
     spark.conf.set(fmKey, "NO_CODEGEN")
+    // AQE off at fixture size: one job per query instead of one per
+    // shuffle stage (see StreamCorpus.runSuite)
+    spark.conf.set(aqKey,
+      sys.env.getOrElse("SPARK_GRAFT_CORPUS_AQE", "false"))
     try {
       // tests are independent reads over the suite's fixture temp
       // views; each one's cost is driver-side analysis plus a tiny job,
@@ -743,6 +751,7 @@ object PgCorpus {
       spark.conf.set(spKey, prev)
       spark.conf.set(wsKey, prevWs)
       spark.conf.set(fmKey, prevFm)
+      spark.conf.set(aqKey, prevAq)
     }
   }
 
@@ -813,12 +822,15 @@ object PgCorpus {
     // getAllValidConstraints); it buys nothing on few-row programs
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val prevCp = spark.conf.get(cpKey, "true")
-    // few-hundred-row fixtures through many steps: 4-way shuffles keep
-    // the per-step task count (and the row's task-time price) sane
+    // few-hundred-row fixtures through many steps: single-partition
+    // shuffles keep the per-step task count (and the row's task-time
+    // price) at the data's size (guide §2.2; r16 A/B vs 4-way: equal or
+    // better wall, 3x lower replay task time)
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = spark.conf.get(spKey)
     spark.conf.set(cpKey, "false")
-    spark.conf.set(spKey, "4")
+    spark.conf.set(spKey,
+      sys.env.getOrElse("SPARK_GRAFT_CORPUS_SP", "1"))
     try runSuiteIncremental0(spark, suite, cap)
     finally {
       spark.conf.set(cpKey, prevCp)
@@ -872,12 +884,17 @@ object PgCorpus {
       math.min(6, Par.width(spark))) { chunk =>
       val s = Par.childSession(spark,
         "spark.sql.constraintPropagation.enabled" -> "false",
-        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.shuffle.partitions" ->
+          sys.env.getOrElse("SPARK_GRAFT_CORPUS_SP", "1"),
         // interpreted-mode children: see StreamCorpus.runSuite — the
         // replay's distinct per-view plans otherwise janino-compile
         // inside tasks through a thrashed global codegen cache
         "spark.sql.codegen.wholeStage" -> "false",
-        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+        // AQE off in fixture-sized children: one job per query instead
+        // of one per shuffle stage (see StreamCorpus.runSuite)
+        "spark.sql.adaptive.enabled" ->
+          sys.env.getOrElse("SPARK_GRAFT_CORPUS_AQE", "false"))
       val used = localFrames.map(_._1).filter(n => chunk.exists(t =>
         ("(?i)\\b" + n + "\\b").r.findFirstIn(t.query).isDefined)).toSet
       val frames = localFrames.filter(f => used(f._1))

@@ -225,20 +225,30 @@ object StreamCorpus {
     // a unit's Pipeline registers temp views under its program's table
     // names, which collide across units in one catalog. The child
     // session re-pins the fixture-sized confs (constraint propagation
-    // off, 4-way shuffles) a new session would otherwise take from the
+    // off, single-partition shuffles) a new session would otherwise take from the
     // builder conf.
     val collected = Par.map(suite.units.filterNot(u => skip(u.id)),
       Par.width(spark)) { u =>
       val s = Par.childSession(spark,
         "spark.sql.constraintPropagation.enabled" -> "false",
-        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.shuffle.partitions" ->
+          sys.env.getOrElse("SPARK_GRAFT_CORPUS_SP", "1"),
         // fixture-sized plans: compiling hundreds of DISTINCT tiny
         // plans thrashes the global 100-entry codegen cache (janino
         // compile INSIDE tasks, under a shared lock — measured 7-12x
         // task-time inflation across concurrent units); interpreted
         // eval is the right regime for corpus-sized rows
         "spark.sql.codegen.wholeStage" -> "false",
-        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+        // AQE submits ONE JOB PER SHUFFLE STAGE: every tiny gate-probe /
+        // consolidate aggregate becomes 2-3 jobs instead of one, and the
+        // per-job driver floor IS this row's cost (r16 trace: 729 of
+        // 1578 jobs were gate probes). Plan adaptivity has nothing to
+        // decide on 4-partition fixture shuffles — same §1.2 regime
+        // choice as interpreted mode, scoped to the child session.
+        // SPARK_GRAFT_CORPUS_AQE=true restores it for A/B (dev only).
+        "spark.sql.adaptive.enabled" ->
+          sys.env.getOrElse("SPARK_GRAFT_CORPUS_AQE", "false"))
       runUnit(s, u)
     }.flatten
     import spark.implicits._

@@ -6,6 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.types.StructType
 
 import graft.ddl.Ddl
@@ -352,6 +353,11 @@ final class Pipeline(spark: SparkSession,
             in = in.child.asInstanceOf[SubqueryAlias]
           if (known(in.alias.toLowerCase)) false
           else p.children.forall(check)
+        // a catalog-resolved view that is NOT an identified leaf (e.g.
+        // a session temp view outside the program) would be pinned to
+        // its analysis-time contents by the cached plan, whereas the
+        // evalWith path re-resolves it every step — never graftable
+        case _: org.apache.spark.sql.catalyst.plans.logical.View => false
         case _ => p.children.forall(check)
       }
     check(plan)
@@ -401,7 +407,11 @@ final class Pipeline(spark: SparkSession,
         val out = df.queryExecution.analyzed.output
         out.size == node.output.size &&
           out.zip(node.output).forall { case (c, o) =>
-            c.dataType == o.dataType }
+            // a binding MORE nullable than the cached attribute must
+            // also fall back: grafting nullable data onto an attribute
+            // analyzed as non-nullable would let Catalyst apply
+            // null-intolerant rewrites to data that can hold nulls
+            c.dataType == o.dataType && (!c.nullable || o.nullable) }
       }
     }
 
@@ -422,12 +432,15 @@ final class Pipeline(spark: SparkSession,
     * planning). Cleared at the top of [[step]].
     */
   private val stepDeltaSigns =
-    scala.collection.concurrent.TrieMap[String, (Boolean, Boolean)]()
+    scala.collection.concurrent.TrieMap[String, Pipeline.Memo[(Boolean, Boolean)]]()
 
   private def signsOf(name: String,
-      relDeltas: collection.Map[String, DataFrame]): (Boolean, Boolean) =
-    stepDeltaSigns.synchronized {
-      stepDeltaSigns.getOrElseUpdate(name, relDeltas.get(name) match {
+      relDeltas: collection.Map[String, DataFrame]): (Boolean, Boolean) = {
+    // per-key memo cell, NOT a map-wide lock: the lazy probe runs a
+    // Spark job, and holding the map monitor across it convoyed every
+    // concurrent view needing any sign (r15 verdict). Only same-name
+    // probes serialize (on the cell's lazy init).
+    def compute(): (Boolean, Boolean) = relDeltas.get(name) match {
       case None => (false, false)
       case Some(d) =>
         // lazy fallback (view deltas discovered mid-loop); table deltas
@@ -437,8 +450,14 @@ final class Pipeline(spark: SparkSession,
           org.apache.spark.sql.functions.min(col(ZSets.W))).head()
         (!r.isNullAt(0) && r.getLong(0) > 0,
           !r.isNullAt(1) && r.getLong(1) < 0)
-      })
     }
+    stepDeltaSigns.get(name) match {
+      case Some(m) => m.value
+      case None =>
+        val m = new Pipeline.Memo(() => compute())
+        stepDeltaSigns.putIfAbsent(name, m).getOrElse(m).value
+    }
+  }
 
   /** Relations whose deltas feed a sign-consulting delta rule
     * (multilinear / agg-over-join / semi-anti terms evaluate only the
@@ -464,12 +483,13 @@ final class Pipeline(spark: SparkSession,
     val tagged = rels.map(n => relDeltas(n)
       .select(lit(n).as("_r"), col(ZSets.W)))
       .reduce(_ unionByName _)
-    rels.foreach(n => stepDeltaSigns(n) = (false, false)) // empty deltas
+    rels.foreach(n => // empty deltas
+      stepDeltaSigns(n) = Pipeline.Memo.of((false, false)))
     tagged.groupBy("_r")
       .agg(max(col(ZSets.W)).as("mx"), min(col(ZSets.W)).as("mn"))
       .collect().foreach { r =>
         stepDeltaSigns(r.getString(0)) =
-          (r.getLong(1) > 0, r.getLong(2) < 0)
+          Pipeline.Memo.of((r.getLong(1) > 0, r.getLong(2) < 0))
       }
   }
 
@@ -480,7 +500,8 @@ final class Pipeline(spark: SparkSession,
     * top of [[step]].
     */
   private val stepIndicatorMemo =
-    scala.collection.concurrent.TrieMap[String, Option[DataFrame]]()
+    scala.collection.concurrent.TrieMap[String,
+      Pipeline.Memo[Option[DataFrame]]]()
 
   private val tableNames = program.tables.map(_.name)
 
@@ -530,6 +551,25 @@ final class Pipeline(spark: SparkSession,
       earlier += v
     }
     program.views.groupBy(v => level(v.name)).toSeq.sortBy(_._1).map(_._2)
+  }
+
+  /** Per level: relation names (tables or earlier views) textually
+    * referenced by TWO OR MORE of the level's views. Before a level fans
+    * out, the current frames of these names are warmed
+    * ([[Shims.warmCheckpoint]]) so concurrent first consumers don't race
+    * to materialize one shared lazy checkpoint — the r15 round shipped a
+    * duplicate-first-touch task inflation exactly here (nexmark_q0
+    * taskRun 255→469 s under viewPar=8). A name referenced once is left
+    * to its single consumer (same cost, no race, no extra job).
+    */
+  private lazy val levelSharedDeps: Seq[Seq[String]] = {
+    val names = tableNames ++ program.views.map(_.name)
+    val refs = names.map(n => n ->
+      ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r).toMap
+    viewLevels.map { level =>
+      names.filter(n => level.count(v => v.name != n &&
+        refs(n).findFirstIn(v.sql).isDefined) >= 2).sorted
+    }
   }
 
   /** Built-in `ERROR_VIEW` (docs/sql/system.md): runtime-populated
@@ -625,6 +665,7 @@ final class Pipeline(spark: SparkSession,
     if (cols.isEmpty || raw.columns.isEmpty) return raw
     val aggs = cols.map { case (cn, iv) =>
       expr(s"max($cn) - $iv").as("_wm_" + cn) }
+    spark.sparkContext.setJobDescription(s"wm-probe $name")
     val stats = raw.agg(aggs.head, aggs.tail: _*).head()
     cols.foreach { case (cn, _) =>
       Option(stats.getAs[Any]("_wm_" + cn)).map(canonTime).foreach {
@@ -1310,6 +1351,7 @@ final class Pipeline(spark: SparkSession,
     val aggs = lateCols.map { case (cn, iv) =>
       expr(s"max($cn) - $iv").as("_wl_" + cn) } :+
       sum(when(latePred, 1L).otherwise(0L)).as("_late")
+    spark.sparkContext.setJobDescription(s"gate-probe $name")
     val stats = raw.agg(aggs.head, aggs.tail: _*).head()
     val nLate = Option(stats.getAs[Long]("_late")).getOrElse(0L)
     val kept = if (nLate == 0L) raw else {
@@ -1325,6 +1367,7 @@ final class Pipeline(spark: SparkSession,
         to_json(struct(raw.columns.map(col): _*)).as("metadata"))
       // materialize now: the waterline advances below, and error rows must
       // reflect THIS chunk's verdict (constraint-safe eager snapshot)
+      spark.sparkContext.setJobDescription(s"error-log $name")
       errorLock.synchronized {
         errorState = errorState.unionByName(
           graft.incremental.Trace.materialize(entries))
@@ -1821,9 +1864,26 @@ final class Pipeline(spark: SparkSession,
       if (program.recursive.nonEmpty || viewPar <= 1)
         program.views.map(maintainView).toMap
       else
-        viewLevels.flatMap(level =>
-          graft.queries.Par.map(level, math.min(viewPar, level.size))(
-            maintainView)).toMap
+        viewLevels.zipWithIndex.flatMap { case (level, li) =>
+          val par = math.min(viewPar, level.size)
+          if (par > 1) {
+            // materialize each shared lazy checkpoint ONCE before the
+            // fan-out (warm jobs themselves overlap on the pool); a
+            // frame a previous step or level already materialized is a
+            // no-op — no job
+            val frames = levelSharedDeps(li)
+              .flatMap(n => newStates.get(n).toSeq ++ relDeltas.get(n))
+              .foldLeft(List.empty[DataFrame])((acc, f) =>
+                if (acc.exists(_ eq f)) acc else f :: acc)
+            if (frames.nonEmpty) {
+              tag("warm-shared")
+              graft.queries.Par.map(
+                frames, math.min(viewPar, frames.size))(
+                Shims.warmCheckpoint)
+            }
+          }
+          graft.queries.Par.map(level, par)(maintainView)
+        }.toMap
 
     // 3. restore canonical temp views (multiset form) for adHoc/runBatch
     tag("restore-views")
@@ -2561,10 +2621,12 @@ final class Pipeline(spark: SparkSession,
     //    this once per step; only the sign parts present in the deltas are
     //    evaluated.
     val rightTouched = rightRels.exists(relDeltas.contains)
-    val dI: Option[DataFrame] =
-      if (!rightTouched) None
-      else stepIndicatorMemo.synchronized {
-        stepIndicatorMemo.getOrElseUpdate(indKey, {
+    // per-key memo cell, NOT a map-wide lock: the indicator delta
+    // materializes localCheckpoints (Spark jobs) — holding the map
+    // monitor across them convoyed every concurrent semi/anti view
+    // (r15 verdict). Only same-indicator callers serialize, which is
+    // the required semantics (one indicator state fill per step).
+    def computeIndicator(): Option[DataFrame] = {
         val (rPos, rNeg) = rightRels.toSeq.map(signsOf(_, relDeltas))
           .foldLeft((false, false))((a, b) => (a._1 || b._1, a._2 || b._2))
         if (!rPos && !rNeg) None
@@ -2588,7 +2650,14 @@ final class Pipeline(spark: SparkSession,
           indicatorState(indKey) = st.localCheckpoint(false)
           Some(d.localCheckpoint(false))
         }
-        })
+    }
+    val dI: Option[DataFrame] =
+      if (!rightTouched) None
+      else stepIndicatorMemo.get(indKey) match {
+        case Some(m) => m.value
+        case None =>
+          val m = new Pipeline.Memo(() => computeIndicator())
+          stepIndicatorMemo.putIfAbsent(indKey, m).getOrElse(m).value
       }
 
     // graft: bind the left-side leaves and replace the join's right child
@@ -2691,14 +2760,21 @@ final class Pipeline(spark: SparkSession,
       chainCols: Seq[(String, Boolean)], delta: DataFrame,
       oldView: Option[DataFrame]): DataFrame = {
     // append_only contract: a retraction here would silently corrupt the
-    // monotone extremum (tableState still integrates it) — fail fast
-    // instead (the delta is already localCheckpoint'd; the scan is cheap)
-    ZSets.assertNonNegative(delta)
+    // monotone extremum (tableState still integrates it) — fail loudly.
+    // STREAMSIDE guard (raise_error riding the delta's own evaluation)
+    // instead of an eager count: the count was one extra job per chain
+    // view per step, a measured slice of the step-corpus driver floor
+    // (r16; the ingest-side appendOnlyGuard also fires first for plain
+    // append_only tables, PipelineIvmSpec)
+    val guarded = delta.withColumn(ZSets.W,
+      when(col(ZSets.W) < 0, raise_error(lit(
+        "Z-set contains negative weights (over-retraction)")).cast("long"))
+        .otherwise(col(ZSets.W)))
     // single-relation subquery-free body (same classification as
     // GroupAgg): graft the delta onto the cached analysis; type-drifted
     // deltas fall back to the re-analysis path
     val (cPlan0, cLeaves) = analyzedLeaves(viewName, sql)
-    val cBinds = Map(rel -> ZSets.toMultiset(delta))
+    val cBinds = Map(rel -> ZSets.toMultiset(guarded))
     val contrib =
       if (bindsConform(cLeaves, cBinds))
         org.apache.spark.sql.graft.Shims.ofRows(spark,
@@ -2882,9 +2958,33 @@ final class Pipeline(spark: SparkSession,
     step(Map(table -> ZSets.lift(aligned)))
     spark.sql(s"SELECT CAST($n AS BIGINT) AS count")
   }
+
+  // Force [[emitFinalBound]] while construction is still single-threaded:
+  // its lazy-val initializer takes the instance monitor and then
+  // evalLock; a parallel view-loop thread forcing it while holding
+  // evalLock would deadlock on that lock ordering (r15 ADVICE). Eager
+  // init removes the ordering entirely (views are analyzable here — the
+  // shape classifier registered every empty view above).
+  locally {
+    if (emitFinalCol.nonEmpty) { val _ = emitFinalBound }
+  }
 }
 
 object Pipeline {
+  /** One-shot memo cell: lazy-val init gives per-CELL synchronization —
+    * concurrent same-key callers block on each other while the first
+    * computes, different keys proceed. Used wherever a per-step memo
+    * fill runs Spark jobs: a map-wide monitor there convoys every
+    * concurrent view in the parallel view loop (r15 verdict, guide
+    * §2.6).
+    */
+  private[runtime] final class Memo[T](f: () => T) {
+    lazy val value: T = f()
+  }
+  private[runtime] object Memo {
+    def of[T](v: T): Memo[T] = new Memo(() => v)
+  }
+
   /** Kill switch for the linear-aggregate fast path (A/B perf work and
     * an escape hatch): SPARK_GRAFT_LINEAR_AGG=0 reverts GroupAgg views
     * to touched-group re-aggregation.

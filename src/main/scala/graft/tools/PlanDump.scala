@@ -24,9 +24,26 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Paths.get("plans", tag)
     java.nio.file.Files.createDirectories(dir)
+    // Pre-materialization evidence frames: queries whose REGISTERED form
+    // ends in a checkpoint dump as `Scan ExistingRDD` (no expression
+    // tree). These rebuild the hot pre-checkpoint projection with the
+    // same builders, so the kernel-vs-HOF evidence is visible
+    // (r15 verdict item 7 — llm_inc_dedup's dumps were useless).
+    def evidence(n: String): Option[org.apache.spark.sql.DataFrame] =
+      n match {
+        case "llm_inc_dedup_fp" =>
+          import org.apache.spark.sql.functions.col
+          Some(graft.Tables.load(spark, sfDir, "documents")
+            .select(col("doc_id"),
+              graft.llm.TextAnalysis.tokens(col("text")).as("_toks"))
+            .select(col("doc_id"),
+              graft.llm.Dedup.rollingFingerprint(col("_toks")).as("fp")))
+        case _ => None
+      }
     names.foreach { name =>
       try {
-        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val df = evidence(name).getOrElse(
+          graft.SparkEntry.queries(name)(spark, sfDir))
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         java.nio.file.Files.writeString(

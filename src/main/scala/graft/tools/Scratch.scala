@@ -18,6 +18,21 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // per-job trace (description + timing), same shape as JobMeter's
+    if (sys.env.contains("SPARK_GRAFT_TRACE")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val p = j.properties
+            val desc = Option(p).map(_.getProperty(
+              "spark.job.description", "")).getOrElse("")
+            val st = j.stageInfos.map(_.name.split("\n").head.take(60))
+              .mkString(" | ")
+            println(s"  JOB ${j.jobId}: [$desc] stages: $st")
+          }
+        })
+    }
     import graft.llm.{Dedup, TextAnalysis}
 
     if (sys.env.contains("SPARK_GRAFT_NORMDBG")) {

@@ -12,6 +12,15 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Spark's own ANSI CAST_OVERFLOW error (private[sql] factory) — thrown
+    * by kernels replicating `cast(double as long)` bit-for-bit.
+    */
+  def castDoubleToLongOverflow(v: Double): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors
+      .castingCauseOverflowError(v,
+        org.apache.spark.sql.types.DoubleType,
+        org.apache.spark.sql.types.LongType)
+
   /** Block until all queued listener events are delivered (private[spark]
     * listener bus) — used by Bench so per-query task-time attribution
     * doesn't bleed into the next query's window.
@@ -70,6 +79,26 @@ object Shims {
       classic.queryExecution.toRdd)(spark)
     org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
   }
+
+  /** If the frame is a lazily-checkpointed barrier (`localCheckpoint
+    * (eager = false)`) that has NOT yet materialized, run it once now
+    * (internal-row count, no external-row decode) so later concurrent
+    * consumers read the cached blocks instead of racing to compute the
+    * plan on first touch. No-op (no job) on non-checkpoint frames and on
+    * checkpoints a previous consumer already materialized. Returns
+    * whether a job ran.
+    */
+  def warmCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if l.rdd.getStorageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE &&
+            !l.rdd.isCheckpointed =>
+        l.rdd.count()
+        true
+      case _ => false
+    }
 
   /** LAZY, CACHED barrier: `localCheckpoint(eager = false)` for the
     * caching (the plan runs once; later consumers read the persisted
