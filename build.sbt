@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// per-test durations in the report (suite-balancing evidence for the
+// forked test groups below)
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
 // JSON; sbt's "[success] Total time: …" trailer otherwise lands after it,
 // and the logger would prefix forked-run output with "[info] ".

@@ -262,8 +262,12 @@ final class Pipeline(spark: SparkSession,
         "(CREATE AGGREGATE implementations are external — udf.md)")
   }
 
-  /** Z-set snapshots: tables AND view outputs, consolidated. */
-  private val tableState = mutable.Map[String, DataFrame]()
+  /** Z-set snapshots: tables AND view outputs, consolidated.
+    * Concurrent map: [[step]]'s integrate loop runs per-table from a
+    * bounded pool (each table touches only its own key).
+    */
+  private val tableState =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
   private val viewState =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
   /** Hidden join-body Z-sets for AggOverMulti views (positional column
@@ -271,8 +275,11 @@ final class Pipeline(spark: SparkSession,
     */
   private val joinState =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
-  /** Presence-marked upsert state for PRIMARY KEY tables. */
-  private val upsertState = mutable.Map[String, DataFrame]()
+  /** Presence-marked upsert state for PRIMARY KEY tables. Concurrent:
+    * see [[tableState]].
+    */
+  private val upsertState =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
   /** Indicator Z-sets for SemiAnti views: the distinct key projection of
     * the semi/anti join's right side, with derivation counts (positional
     * columns `_k0.._kn` + `_w`).
@@ -648,8 +655,12 @@ final class Pipeline(spark: SparkSession,
           .singularizeIntervalUnits(c.watermark.get)))
       .filter(_._2.nonEmpty).toMap
 
-  private val watermarkCutoffs = mutable.Map[(String, String), Any]()
-  private val watermarkHeld = mutable.Map[String, DataFrame]()
+  // concurrent: written per-table from the parallel integrate loop
+  // (keys are table-scoped, so writers never contend on a key)
+  private val watermarkCutoffs =
+    scala.collection.concurrent.TrieMap[(String, String), Any]()
+  private val watermarkHeld =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   /** WATERMARK semantics (time-series docs; watermarkTest): a row whose
     * watermark column exceeds the column waterline (max observed −
@@ -1368,9 +1379,11 @@ final class Pipeline(spark: SparkSession,
       // materialize now: the waterline advances below, and error rows must
       // reflect THIS chunk's verdict (constraint-safe eager snapshot)
       spark.sparkContext.setJobDescription(s"error-log $name")
+      // materialize OUTSIDE the lock (it runs a job; only the state
+      // splice needs the monitor — parallel integrate loop)
+      val mat = graft.incremental.Trace.materialize(entries)
       errorLock.synchronized {
-        errorState = errorState.unionByName(
-          graft.incremental.Trace.materialize(entries))
+        errorState = errorState.unionByName(mat)
       }
       raw.filter(!latePred)
     }
@@ -1634,7 +1647,14 @@ final class Pipeline(spark: SparkSession,
       spark.sparkContext.setJobDescription(s"step#$stepsRun $phase")
     val relDeltas =
       scala.collection.concurrent.TrieMap[String, DataFrame]()
-    deltas.foreach { case (name, raw0) =>
+    // tables are independent (each touches only its own state keys;
+    // ERROR_VIEW appends under errorLock): integrate from the bounded
+    // pool so per-table gate probes / upsert steps / checkpoint
+    // materializations overlap instead of paying the per-job driver
+    // floor serially (guide §2.6). viewPar=1 keeps it serial.
+    graft.queries.Par.map(deltas.toSeq,
+      math.min(Pipeline.intPar.getOrElse(viewPar), deltas.size)) {
+      case (name, raw0) =>
       tag(s"integrate $name")
       // freeze verdicts are judged against the waterline the
       // PREDECESSOR chunks established (same rule as lateness), so
@@ -2984,6 +3004,13 @@ object Pipeline {
   private[runtime] object Memo {
     def of[T](v: T): Memo[T] = new Memo(() => v)
   }
+
+  /** Integrate-loop pool width override (A/B escape hatch):
+    * SPARK_GRAFT_INTPAR=1 keeps per-table delta integration serial;
+    * absent = the view-loop width.
+    */
+  private[runtime] val intPar: Option[Int] =
+    sys.env.get("SPARK_GRAFT_INTPAR").map(_.toInt)
 
   /** Kill switch for the linear-aggregate fast path (A/B perf work and
     * an escape hatch): SPARK_GRAFT_LINEAR_AGG=0 reverts GroupAgg views
