@@ -31,13 +31,15 @@ object PlanDump {
     // (r15 verdict item 7 — llm_inc_dedup's dumps were useless).
     def evidence(n: String): Option[org.apache.spark.sql.DataFrame] =
       n match {
-        case "llm_inc_dedup_fp" =>
+        case "llm_inc_dedup_fp" | "llm_inc_dedup_fp_hof" =>
           import org.apache.spark.sql.functions.col
+          val fp =
+            if (n.endsWith("_hof")) graft.llm.Dedup.rollingFingerprintHof _
+            else graft.llm.Dedup.rollingFingerprint _
           Some(graft.Tables.load(spark, sfDir, "documents")
             .select(col("doc_id"),
               graft.llm.TextAnalysis.tokens(col("text")).as("_toks"))
-            .select(col("doc_id"),
-              graft.llm.Dedup.rollingFingerprint(col("_toks")).as("fp")))
+            .select(col("doc_id"), fp(col("_toks")).as("fp")))
         case _ => None
       }
     names.foreach { name =>
