@@ -674,10 +674,12 @@ final class Pipeline(spark: SparkSession,
   private def watermarkGate(name: String, raw: DataFrame): DataFrame = {
     val cols = watermarkCols.getOrElse(name, Nil)
     if (cols.isEmpty || raw.columns.isEmpty) return raw
-    val aggs = cols.map { case (cn, iv) =>
-      expr(s"max($cn) - $iv").as("_wm_" + cn) }
-    spark.sparkContext.setJobDescription(s"wm-probe $name")
-    val stats = raw.agg(aggs.head, aggs.tail: _*).head()
+    val stats = localChunkStats(raw, cols, "_wm_", None).getOrElse {
+      val aggs = cols.map { case (cn, iv) =>
+        expr(s"max($cn) - $iv").as("_wm_" + cn) }
+      spark.sparkContext.setJobDescription(s"wm-probe $name")
+      raw.agg(aggs.head, aggs.tail: _*).head()
+    }
     cols.foreach { case (cn, _) =>
       Option(stats.getAs[Any]("_wm_" + cn)).map(canonTime).foreach {
         cand =>
@@ -1350,6 +1352,67 @@ final class Pipeline(spark: SparkSession,
     program.viewLateness.groupBy(_.view)
       .map { case (v, ds) => v -> ds.map(d => d.column -> d.interval) }
 
+  /** Zero-job gate stats for LITERAL chunks. A corpus `INSERT VALUES`
+    * chunk optimizes to a LocalRelation, and Catalyst's own
+    * `ConvertToLocalRelation` folds any Project over one at
+    * OPTIMIZATION time — so `select(...).collect()` on such a frame
+    * evaluates the very same expressions (casts, interval arithmetic,
+    * comparisons — nothing reimplemented) without launching a job. The
+    * per-chunk wm/gate probe was one driver-floor job per gated table
+    * per step, the largest job class on the step-corpus rows (361 of
+    * 942 traced jobs after the r16 regime change). Guide §5.
+    *
+    * Returns the same row shape as the probe aggregate
+    * (`<prefix><col>` = max(col) − interval, plus `_late` when a
+    * predicate is given), or None when the frame isn't a foldable
+    * local chunk (parquet-backed deltas, watermark-held unions) or a
+    * column's type has no total Comparable order (float/double NaN) —
+    * callers then pay the normal aggregate job. SQL MAX semantics =
+    * greatest non-null by the type's ordering; external row values of
+    * the time/integral/decimal types involved are Comparable with
+    * exactly that order.
+    */
+  private def localChunkStats(raw: DataFrame,
+      cols: Seq[(String, String)], prefix: String,
+      latePred: Option[org.apache.spark.sql.Column]):
+      Option[org.apache.spark.sql.Row] = {
+    if (sys.env.get("SPARK_GRAFT_LOCAL_PROBE").contains("0")) return None
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    def isLocal(df: DataFrame) =
+      df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+    if (!isLocal(raw)) return None
+    val proj = raw.select(cols.map { case (cn, _) => col(cn) } ++
+      latePred.map(p => when(p, 1L).otherwise(0L).as("_late")): _*)
+    if (!isLocal(proj)) return None // paranoia: never pay a job here
+    if (proj.schema.take(cols.size).exists(f => f.dataType match {
+      case org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    })) return None
+    val rows = proj.collect()
+    val nLate = if (latePred.isEmpty) 0L
+      else rows.iterator.map(_.getLong(cols.size)).sum
+    val maxes: Seq[Any] = cols.indices.map { i =>
+      rows.iterator.map(_.get(i)).filter(_ != null).reduceOption {
+        (a, b) =>
+          if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
+      }.orNull
+    }
+    // `max − interval` stays Catalyst arithmetic: a one-row local frame
+    // with the maxima, projected through the same expression text,
+    // folds driver-side the same way
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.zipWithIndex.map { case ((cn, _), i) =>
+        proj.schema(i).copy(name = cn) })
+    val one = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(maxes: _*)), schema)
+    val out = one.select(cols.map { case (cn, iv) =>
+      expr(s"$cn - $iv").as(prefix + cn) } :+ lit(nLate).as("_late"): _*)
+    if (!isLocal(out)) return None
+    Some(out.collect().head)
+  }
+
   private def latenessGateOn(name: String, raw: DataFrame,
       lateCols: Seq[(String, String)]): DataFrame = {
     if (lateCols.isEmpty || raw.columns.isEmpty) return raw
@@ -1359,11 +1422,14 @@ final class Pipeline(spark: SparkSession,
         case None => lit(false)
       }
     }.reduce(_ || _)
-    val aggs = lateCols.map { case (cn, iv) =>
-      expr(s"max($cn) - $iv").as("_wl_" + cn) } :+
-      sum(when(latePred, 1L).otherwise(0L)).as("_late")
-    spark.sparkContext.setJobDescription(s"gate-probe $name")
-    val stats = raw.agg(aggs.head, aggs.tail: _*).head()
+    val stats = localChunkStats(raw, lateCols, "_wl_", Some(latePred))
+      .getOrElse {
+        val aggs = lateCols.map { case (cn, iv) =>
+          expr(s"max($cn) - $iv").as("_wl_" + cn) } :+
+          sum(when(latePred, 1L).otherwise(0L)).as("_late")
+        spark.sparkContext.setJobDescription(s"gate-probe $name")
+        raw.agg(aggs.head, aggs.tail: _*).head()
+      }
     val nLate = Option(stats.getAs[Long]("_late")).getOrElse(0L)
     val kept = if (nLate == 0L) raw else {
       val dropped = raw.filter(latePred)
